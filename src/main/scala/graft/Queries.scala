@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-facing query catalog.
+  *
+  * Each entry re-expresses one operator row of SURVEY.md §2 (reference:
+  * kbaafi/etl-s3-to-redshift `sql_queries.py`) — or one of the LLM-pipeline
+  * extension operators — over the driver's TPC-H-ish testdata, with an
+  * equivalent DuckDB oracle in [[Queries.oracleSql]].
+  *
+  * Determinism/type discipline for the oracle hash-compare:
+  *   - double SUMs go through DECIMAL (exact, order-independent) and are cast
+  *     back to DOUBLE at the end, so Spark partial aggregation order can never
+  *     produce a different bit pattern than DuckDB's serial sum;
+  *   - counts stay BIGINT (both engines), date parts are cast to INT on the
+  *     DuckDB side (Spark's hour()/day()/... are already IntegerType);
+  *   - every computed column is aliased identically on both sides.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------------
+  // Reference surface (SURVEY.md §2) over testdata
+  // ---------------------------------------------------------------------------
+
+  /** A1-A5 analog + aggregate pipeline: group/aggregate with exact decimal sums.
+    * Reference computes only count(*) (test_etl.ipynb); this is the scaled-up
+    * aggregate shape (TPC-H q1 style) the engine must sustain at 100 TB:
+    * map-side partial aggregation, no shuffle beyond the group keys. */
+  val q01PricingSummary: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(14, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** J1: LEFT OUTER equi-join on a composite key with a cross-type comparison
+    * (double l_quantity = int p_size mirrors the reference's decimal(12,6) =
+    * decimal(12,4) key, sql_queries.py:144-151). Null-unsafe ===; part side is
+    * broadcast (diststyle all analog, README.md:73-75) so the fact table never
+    * shuffles. */
+  val q02SongplayLeftJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p),
+        p("p_partkey") === li("l_partkey") && p("p_size") === li("l_quantity"),
+        "left_outer")
+      .select(
+        li("l_orderkey").as("event_key"),
+        li("l_linenumber").as("line_no"),
+        li("l_quantity").as("qty"),
+        p("p_partkey").as("matched_part"),
+        p("p_name").as("part_name"),
+        p("p_retailprice").as("retail_price"))
+  }
+
+  /** A1+F1: users-dim analog — full-tuple SELECT DISTINCT (not keyed dedup,
+    * SURVEY §2.4 trap) behind an IS NOT NULL filter (sql_queries.py:157-159). */
+  val q03UsersDimDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("user_id"), col("o_orderpriority").as("level"))
+      .distinct()
+
+  /** A4+X1-X5: time-dim analog — EXTRACT(hour/day/week/month/year) + DISTINCT
+    * (sql_queries.py:181-188). weekofyear is ISO in both Spark and DuckDB. */
+  val q04TimeDimDateparts: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderdate").as("start_time"),
+        hour(col("o_orderdate")).as("hour"),
+        dayofmonth(col("o_orderdate")).as("day"),
+        weekofyear(col("o_orderdate")).as("week"),
+        month(col("o_orderdate")).as("month"),
+        year(col("o_orderdate")).as("year"))
+      .distinct()
+
+  /** X6/X7: epoch-millis → timestamp conversion and scan-time casts
+    * (COPY timeformat 'epochmillisecs', sql_queries.py:121-124; string→int,
+    * double→decimal casts §1.2). events.ts is int64 nanos on disk. */
+  val q05EpochMillis: Q = (s, d) =>
+    Tables.eventsRawNanos(s, d)
+      .select(
+        col("event_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        timestamp_millis(expr("ts div 1000000")).as("ts_rt"),
+        col("user_id").cast(StringType).as("user_id_str"),
+        col("value").cast(DecimalType(14, 4)).cast(DoubleType).as("value_dec"))
+
+  /** A2/F2: songs-dim analog — DISTINCT + IS NOT NULL over the *outer-join
+    * output* (sql_queries.py:165-167), so the filter really sees nulls. */
+  val q06SongsDimNotNull: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p),
+        p("p_partkey") === li("l_partkey") && p("p_size") === li("l_quantity"),
+        "left_outer")
+      .filter(p("p_partkey").isNotNull)
+      .select(
+        p("p_partkey").as("song_key"),
+        p("p_name").as("song_title"),
+        p("p_brand").as("brand"))
+      .distinct()
+  }
+
+  /** O1/O2: presort + LIMIT (sortkey ×5, sql_queries.py:68..110; notebook
+    * LIMIT 5). Fully tie-broken so the top-k is deterministic. */
+  val q07PresortTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5)
+
+  /** A5: validation counts (test_etl.ipynb cells 8-21) as a grouped count +
+    * exact decimal sum. */
+  val q08EventCounts: Q = (s, d) =>
+    Tables.eventsRawNanos(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+
+  /** E1 flagship: the whole star-build spine in one query — scan + epoch-ns
+    * normalize + broadcast LEFT OUTER join (fact ⟕ dim) + projection/rename
+    * (sql_queries.py:132-152). Also serves as SparkEntry.entry. */
+  val q09StarFlagship: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val c  = Tables.customer(s, d)
+    ev.join(broadcast(c), c("c_custkey") === ev("user_id"), "left_outer")
+      .select(
+        ev("event_id"),
+        ev("ts").as("start_time"),
+        ev("user_id"),
+        c("c_mktsegment").as("segment"),
+        ev("event_type"),
+        ev("value").cast(DecimalType(14, 4)).cast(DoubleType).as("value_dec"))
+  }
+
+  /** X8: widening decimal rescale on insert (numeric(11,3) → numeric(11,8),
+    * sql_queries.py:56-57 → :103-104). */
+  val q10DecimalRescale: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        col("c_acctbal").cast(DecimalType(14, 3)).cast(StringType).as("bal3"),
+        col("c_acctbal").cast(DecimalType(14, 3)).cast(DecimalType(19, 8))
+          .cast(StringType).as("bal8"))
+
+  // ---------------------------------------------------------------------------
+  // Catalog
+  // ---------------------------------------------------------------------------
+
+  val relational: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> q01PricingSummary,
+    "q02_songplay_left_join" -> q02SongplayLeftJoin,
+    "q03_users_dim_distinct" -> q03UsersDimDistinct,
+    "q04_time_dim_dateparts" -> q04TimeDimDateparts,
+    "q05_epoch_millis"      -> q05EpochMillis,
+    "q06_songs_dim_notnull" -> q06SongsDimNotNull,
+    "q07_presort_topk"      -> q07PresortTopk,
+    "q08_event_counts"      -> q08EventCounts,
+    "q09_star_flagship"     -> q09StarFlagship,
+    "q10_decimal_rescale"   -> q10DecimalRescale)
+
+  val relationalOracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_songplay_left_join" ->
+      """SELECT l.l_orderkey AS event_key, l.l_linenumber AS line_no, l.l_quantity AS qty,
+        |  p.p_partkey AS matched_part, p.p_name AS part_name, p.p_retailprice AS retail_price
+        |FROM lineitem l LEFT OUTER JOIN part p
+        |  ON p.p_partkey = l.l_partkey AND p.p_size = l.l_quantity""".stripMargin,
+    "q03_users_dim_distinct" ->
+      "SELECT DISTINCT o_custkey AS user_id, o_orderpriority AS level FROM orders WHERE o_custkey IS NOT NULL",
+    "q04_time_dim_dateparts" ->
+      """SELECT DISTINCT o_orderdate AS start_time,
+        |  CAST(hour(o_orderdate) AS INTEGER) AS hour,
+        |  CAST(day(o_orderdate) AS INTEGER) AS day,
+        |  CAST(week(o_orderdate) AS INTEGER) AS week,
+        |  CAST(month(o_orderdate) AS INTEGER) AS month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS year
+        |FROM orders""".stripMargin,
+    "q05_epoch_millis" ->
+      """SELECT event_id,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts_rt,
+        |  CAST(user_id AS VARCHAR) AS user_id_str,
+        |  CAST(CAST(value AS DECIMAL(14,4)) AS DOUBLE) AS value_dec
+        |FROM events""".stripMargin,
+    "q06_songs_dim_notnull" ->
+      """SELECT DISTINCT p.p_partkey AS song_key, p.p_name AS song_title, p.p_brand AS brand
+        |FROM lineitem l LEFT OUTER JOIN part p
+        |  ON p.p_partkey = l.l_partkey AND p.p_size = l.l_quantity
+        |WHERE p.p_partkey IS NOT NULL""".stripMargin,
+    "q07_presort_topk" ->
+      "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    "q08_event_counts" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q09_star_flagship" ->
+      """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS start_time, e.user_id,
+        |  c.c_mktsegment AS segment, e.event_type,
+        |  CAST(CAST(e.value AS DECIMAL(14,4)) AS DOUBLE) AS value_dec
+        |FROM events e LEFT OUTER JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
+    "q10_decimal_rescale" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(14,3)) AS VARCHAR) AS bal3,
+        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(14,3)) AS DECIMAL(19,8)) AS VARCHAR) AS bal8
+        |FROM customer""".stripMargin)
+}
