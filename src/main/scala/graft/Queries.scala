@@ -85,13 +85,15 @@ object Queries {
 
   /** X6/X7: epoch-millis → timestamp conversion and scan-time casts
     * (COPY timeformat 'epochmillisecs', sql_queries.py:121-124; string→int,
-    * double→decimal casts §1.2). events.ts is int64 nanos on disk. */
+    * double→decimal casts §1.2). events.ts is int64 nanos on disk; floor
+    * division (Epoch.nanosToMillis) matches DuckDB's ns→timestamp cast for
+    * pre-1970 instants too, not just the all-positive testdata. */
   val q05EpochMillis: Q = (s, d) =>
     Tables.eventsRawNanos(s, d)
       .select(
         col("event_id"),
-        expr("ts div 1000000").as("ts_ms"),
-        timestamp_millis(expr("ts div 1000000")).as("ts_rt"),
+        Epoch.nanosToMillis(col("ts")).as("ts_ms"),
+        Epoch.millisToTimestamp(Epoch.nanosToMillis(col("ts"))).as("ts_rt"),
         col("user_id").cast(StringType).as("user_id_str"),
         col("value").cast(DecimalType(14, 4)).cast(DoubleType).as("value_dec"))
 

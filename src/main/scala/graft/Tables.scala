@@ -29,19 +29,28 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read the raw int64 nanos (legacy conf) and surface `ts` as a
-    * proper microsecond TimestampType column. Truncation (ns div 1000) matches
-    * DuckDB's CAST(ts_ns AS TIMESTAMP) for the oracle.
+    * rejects; read the raw int64 nanos (legacy conf, set once at session
+    * construction in [[GraftSession]]) and surface `ts` as a proper
+    * microsecond TimestampType column via floor division — see
+    * [[Epoch.floorDiv]]. DuckDB's CAST(ts_ns AS TIMESTAMP) also floors.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(Epoch.floorDiv(col("ts"), 1000L)))
   }
 
   /** Raw variant keeping `ts` as int64 nanoseconds. */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     load(spark, dir, "events")
   }
+
+  /** [[GraftSession]] sets `nanosAsLong` at build time for all our mains and
+    * tests; the driver, however, calls `SparkEntry.entry` with its OWN
+    * session, so events loads keep this idempotent fallback (always the same
+    * value — never toggled — so concurrent query building cannot race it). */
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

@@ -23,11 +23,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            # pyarrow (Spark parquet) and duckdb .df() may disagree on int
+            # width (int32 vs int64); widen so reprs/hashes can't diverge.
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
         elif s.dtype == object:
             # decimals / lists / bytes → canonical string
             df[c] = s.apply(lambda v: repr(v))
-    rows = df.to_dict("records")
-    key = json.dumps  # not used; sort via string repr below
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -36,7 +40,9 @@ def frame_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
     h.update(("|".join(df.columns)).encode())
     for row in df.itertuples(index=False):
-        h.update(repr(tuple(row)).encode())
+        # hash Python-native values, not numpy scalars: under numpy>=2
+        # repr(np.int32(5)) embeds the dtype and would poison the digest.
+        h.update(repr(tuple(v.item() if hasattr(v, "item") else v for v in row)).encode())
     return h.hexdigest()
 
 
