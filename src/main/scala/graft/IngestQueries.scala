@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schemas.Schemas
+import graft.sources.{Fixtures, JsonSource}
+
+/** Ingestion-layer queries (SURVEY.md §2.1 S1/S2/S3): the reference's two
+  * COPY modes re-expressed as declared-schema JSON scans over deterministic
+  * JSON fixtures (see [[Fixtures]] — the oracle reads the same files with
+  * DuckDB `read_json`).
+  */
+object IngestQueries {
+  import Queries.Q
+
+  /** S1: jsonpaths-mapped JSON scan (`COPY … json '<jsonpaths>' timeformat as
+    * 'epochmillisecs'`, sql_queries.py:121-124): declared raw schema,
+    * field→column rename, epoch-ms→timestamp (long `ts` and FLOAT
+    * `registration`), string→int userId (X6/X7). */
+  val q11JsonEventsScan: Q = (s, d) => {
+    val dir = Fixtures.ensureEventsJson(s, d)
+    JsonSource.jsonpaths(s, dir, Fixtures.eventsRawSchema, Seq(
+      "event_id"    -> col("eventId"),
+      "start_time"  -> Epoch.millisToTimestamp(col("tsMillis")),
+      "registration" -> Epoch.floatMillisToTimestamp(col("registrationMs")),
+      "user_id"     -> col("userIdStr").cast(IntegerType),
+      "event_type"  -> col("eventKind"),
+      "value"       -> col("valueNum"),
+      "props"       -> col("propsJson")))
+  }
+
+  /** S2: auto (name-matched) JSON scan with declared schema
+    * (`COPY … json 'auto'`, sql_queries.py:126-128) — staging_songs shape
+    * including nullable DECIMAL(11,3) lat/long and DECIMAL(12,6) duration. */
+  val q12JsonSongsScan: Q = (s, d) => {
+    val dir = Fixtures.ensureSongsJson(s, d)
+    // Decimal columns go out as strings purely for the hash-compare: DuckDB's
+    // pandas bridge lowers DECIMAL to float64, Spark's parquet keeps Decimal
+    // objects, and the two reprs can never match. The scan itself is typed.
+    JsonSource.auto(s, dir, Schemas.stagingSongs)
+      .withColumn("artist_latitude", col("artist_latitude").cast(StringType))
+      .withColumn("artist_longitude", col("artist_longitude").cast(StringType))
+      .withColumn("duration", col("duration").cast(StringType))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q11_json_events_scan" -> q11JsonEventsScan,
+    "q12_json_songs_scan"  -> q12JsonSongsScan)
+
+  val oracle: Map[String, String] = Map(
+    "q11_json_events_scan" ->
+      """SELECT eventId AS event_id,
+        |  make_timestamp(tsMillis * 1000) AS start_time,
+        |  make_timestamp(CAST(floor(registrationMs) AS BIGINT) * 1000) AS registration,
+        |  CAST(userIdStr AS INTEGER) AS user_id,
+        |  eventKind AS event_type,
+        |  valueNum AS value,
+        |  propsJson AS props
+        |FROM read_json('/root/repo/work/fixtures/sf0.01/events_json/*.json',
+        |  format='newline_delimited',
+        |  columns={'eventId':'BIGINT','tsMillis':'BIGINT','registrationMs':'DOUBLE',
+        |           'userIdStr':'VARCHAR','eventKind':'VARCHAR','valueNum':'DOUBLE',
+        |           'propsJson':'VARCHAR'})""".stripMargin,
+    "q12_json_songs_scan" ->
+      """SELECT num_songs, artist_id,
+        |  CAST(artist_latitude AS VARCHAR) AS artist_latitude,
+        |  CAST(artist_longitude AS VARCHAR) AS artist_longitude,
+        |  artist_location, artist_name, song_id, title,
+        |  CAST(duration AS VARCHAR) AS duration, year
+        |FROM read_json('/root/repo/work/fixtures/sf0.01/songs_json/*.json',
+        |  format='newline_delimited',
+        |  columns={'num_songs':'INTEGER','artist_id':'VARCHAR',
+        |           'artist_latitude':'DECIMAL(11,3)','artist_longitude':'DECIMAL(11,3)',
+        |           'artist_location':'VARCHAR','artist_name':'VARCHAR','song_id':'VARCHAR',
+        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin)
+}

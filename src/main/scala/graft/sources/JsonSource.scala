@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON ingestion (reference: the two COPY modes, SURVEY.md §2.1 S1/S2).
+  *
+  *  - [[JsonSource.jsonpaths]] mirrors `COPY … json '<jsonpaths file>'`
+  *    (`sql_queries.py:121-124`): the raw JSON is read with a *declared*
+  *    schema, then a field→column mapping projects/renames/casts each raw
+  *    field into the staging shape — a jsonpaths file is exactly such a map.
+  *  - [[JsonSource.auto]] mirrors `COPY … json 'auto'`
+  *    (`sql_queries.py:126-128`): name-matched load against a declared
+  *    schema, no mapping step.
+  *
+  * Scale notes: Spark splits newline-delimited JSON across tasks the same
+  * way Redshift's COPY fans out across slices; the declared schema avoids
+  * the inference pass, and because the mapping is a plain projection it is
+  * whole-stage-codegen'd and column-pruned by Catalyst (unreferenced raw
+  * fields are never parsed — `ReadSchema` shows only mapped fields).
+  */
+object JsonSource {
+
+  /** Read newline-delimited JSON with a declared raw schema, then apply a
+    * jsonpaths-style field→column mapping. `mapping` entries are
+    * (targetColumn, expression-over-raw-fields). */
+  def jsonpaths(spark: SparkSession, path: String, raw: StructType,
+                mapping: Seq[(String, Column)]): DataFrame =
+    spark.read.schema(raw).json(path)
+      .select(mapping.map { case (name, c) => c.as(name) }: _*)
+
+  /** Read newline-delimited JSON, name-matched against a declared schema. */
+  def auto(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
