@@ -48,30 +48,46 @@ object IngestQueries {
     "q11_json_events_scan" -> q11JsonEventsScan,
     "q12_json_songs_scan"  -> q12JsonSongsScan)
 
+  /** The correctness gate always runs at sf0.01, so the oracle reads the
+    * sf0.01 fixture files (the exact files the Spark side scanned). */
+  private val sf001 = "/root/testdata/sf0.01"
+
+  /** `read_json(...)` clause over the events fixture, shared by every oracle
+    * that stages from it. Only the fields a query touches are listed —
+    * DuckDB, like our declared-schema reader, ignores the rest. */
+  def eventsReadJson(fields: (String, String)*): String = {
+    val cols = fields.map { case (n, t) => s"'$n':'$t'" }.mkString(",")
+    s"""read_json('${Fixtures.eventsJsonDir(sf001)}/*.json',
+       |  format='newline_delimited', columns={$cols})""".stripMargin
+  }
+
+  def songsReadJson: String =
+    s"""read_json('${Fixtures.songsJsonDir(sf001)}/*.json',
+       |  format='newline_delimited',
+       |  columns={'num_songs':'INTEGER','artist_id':'VARCHAR',
+       |           'artist_latitude':'DECIMAL(11,3)','artist_longitude':'DECIMAL(11,3)',
+       |           'artist_location':'VARCHAR','artist_name':'VARCHAR','song_id':'VARCHAR',
+       |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q11_json_events_scan" ->
-      """SELECT eventId AS event_id,
-        |  make_timestamp(tsMillis * 1000) AS start_time,
-        |  make_timestamp(CAST(floor(registrationMs) AS BIGINT) * 1000) AS registration,
-        |  CAST(userIdStr AS INTEGER) AS user_id,
-        |  eventKind AS event_type,
-        |  valueNum AS value,
-        |  propsJson AS props
-        |FROM read_json('/root/repo/work/fixtures/sf0.01/events_json/*.json',
-        |  format='newline_delimited',
-        |  columns={'eventId':'BIGINT','tsMillis':'BIGINT','registrationMs':'DOUBLE',
-        |           'userIdStr':'VARCHAR','eventKind':'VARCHAR','valueNum':'DOUBLE',
-        |           'propsJson':'VARCHAR'})""".stripMargin,
+      s"""SELECT eventId AS event_id,
+         |  make_timestamp(tsMillis * 1000) AS start_time,
+         |  make_timestamp(CAST(floor(registrationMs) AS BIGINT) * 1000) AS registration,
+         |  CAST(userIdStr AS INTEGER) AS user_id,
+         |  eventKind AS event_type,
+         |  valueNum AS value,
+         |  propsJson AS props
+         |FROM ${eventsReadJson(
+              "eventId" -> "BIGINT", "tsMillis" -> "BIGINT",
+              "registrationMs" -> "DOUBLE", "userIdStr" -> "VARCHAR",
+              "eventKind" -> "VARCHAR", "valueNum" -> "DOUBLE",
+              "propsJson" -> "VARCHAR")}""".stripMargin,
     "q12_json_songs_scan" ->
-      """SELECT num_songs, artist_id,
-        |  CAST(artist_latitude AS VARCHAR) AS artist_latitude,
-        |  CAST(artist_longitude AS VARCHAR) AS artist_longitude,
-        |  artist_location, artist_name, song_id, title,
-        |  CAST(duration AS VARCHAR) AS duration, year
-        |FROM read_json('/root/repo/work/fixtures/sf0.01/songs_json/*.json',
-        |  format='newline_delimited',
-        |  columns={'num_songs':'INTEGER','artist_id':'VARCHAR',
-        |           'artist_latitude':'DECIMAL(11,3)','artist_longitude':'DECIMAL(11,3)',
-        |           'artist_location':'VARCHAR','artist_name':'VARCHAR','song_id':'VARCHAR',
-        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin)
+      s"""SELECT num_songs, artist_id,
+         |  CAST(artist_latitude AS VARCHAR) AS artist_latitude,
+         |  CAST(artist_longitude AS VARCHAR) AS artist_longitude,
+         |  artist_location, artist_name, song_id, title,
+         |  CAST(duration AS VARCHAR) AS duration, year
+         |FROM $songsReadJson""".stripMargin)
 }

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Epoch
+import graft.schemas.Schemas
+import graft.sinks.{ParquetSink, TableSink}
+import graft.sources.{Fixtures, JsonSource}
+
+/** The end-to-end star build (reference entry point E1, `etl.py:55-109`):
+  * drop → create → stage → insert ×5 (in `sql_queries.py:197` order:
+  * songplay, users, songs, artists, time) → staging cleanup.
+  *
+  * Stage inputs come through the real JSON scan path ([[JsonSource]] over
+  * the [[Fixtures]] files — the COPY analog), and every insert is written
+  * through a [[graft.sinks.TableSink]] with its reference sortkey presort.
+  *
+  * Scale shape: the single join broadcasts the songs side (dims are
+  * `diststyle all`, README.md:73-75 — ~15k rows in the reference), so the
+  * event stream never shuffles; the dims are full-tuple DISTINCTs (keyed
+  * shuffles on low-cardinality outputs); nothing collects to the driver.
+  * The whole pipeline is 5 independent lazy plans over 2 shared staged
+  * scans — on a cluster these run as separate jobs against cached staging
+  * or (as here) re-scan; either way each is a single shuffle stage.
+  */
+object Etl {
+
+  val tables: Seq[String] = Seq("songplay", "users", "songs", "artists", "time")
+
+  def starRoot(sfDir: String): String =
+    s"/root/repo/work/star/${Paths.get(sfDir).getFileName}"
+
+  /** Staged events: jsonpaths-mapped scan (S1) with the X6/X7 conversions —
+    * the staging_events contract of `sql_queries.py:28-49`. */
+  def stageEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.ensureEventsJson(spark, sfDir)
+    JsonSource.jsonpaths(spark, dir, Fixtures.eventsRawSchema, Seq(
+      "artist"       -> col("artistName"),
+      "song"         -> col("songTitle"),
+      "length"       -> col("songLenNum").cast(DecimalType(12, 4)),
+      "page"         -> col("eventKind"),
+      "registration" -> Epoch.floatMillisToTimestamp(col("registrationMs")),
+      "sessionId"    -> col("sessionId"),
+      "level"        -> col("levelStr"),
+      "firstName"    -> col("firstName"),
+      "lastName"     -> col("lastName"),
+      "gender"       -> col("gender"),
+      "location"     -> col("locationStr"),
+      "userAgent"    -> col("userAgentStr"),
+      "ts"           -> Epoch.millisToTimestamp(col("tsMillis")),
+      "userId"       -> col("userIdStr").cast(IntegerType)))
+  }
+
+  /** Staged songs: auto-mapped scan (S2) — `sql_queries.py:51-64`. */
+  def stageSongs(spark: SparkSession, sfDir: String): DataFrame =
+    JsonSource.auto(spark, Fixtures.ensureSongsJson(spark, sfDir), Schemas.stagingSongs)
+
+  /** songplay insert (`sql_queries.py:132-152`): LEFT OUTER join on the
+    * 3-column composite key — null-unsafe `===`, cross-scale decimal
+    * length(12,4) = duration(12,6), broadcast dim, NO page filter (the
+    * reference stages every event, SURVEY.md §2.2). */
+  def songplay(events: DataFrame, songs: DataFrame): DataFrame =
+    events.join(broadcast(songs),
+        songs("artist_name") === events("artist") &&
+        songs("title") === events("song") &&
+        songs("duration") === events("length"),
+        "left_outer")
+      .select(
+        events("ts").as("start_time"),
+        events("userId").as("user_id"),
+        events("level"),
+        songs("song_id"),
+        songs("artist_id"),
+        events("sessionId").as("session_id"),
+        events("location"),
+        events("userAgent").as("user_agent"))
+
+  /** users insert (`sql_queries.py:155-159`): full-tuple DISTINCT + F1. */
+  def users(events: DataFrame): DataFrame =
+    events.filter(col("userId").isNotNull)
+      .select(
+        col("userId").as("user_id"),
+        col("firstName").as("first_name"),
+        col("lastName").as("last_name"),
+        col("gender"),
+        col("level"))
+      .distinct()
+
+  /** songs insert (`sql_queries.py:162-167`): full-tuple DISTINCT + F2. */
+  def songs(stagedSongs: DataFrame): DataFrame =
+    stagedSongs.filter(col("song_id").isNotNull)
+      .select(col("song_id"), col("title"), col("artist_id"), col("year"), col("duration"))
+      .distinct()
+
+  /** artists insert (`sql_queries.py:170-176`): DISTINCT + F3 + the X8
+    * widening rescale (11,3) → (11,8). */
+  def artists(stagedSongs: DataFrame): DataFrame =
+    stagedSongs.filter(col("artist_id").isNotNull)
+      .select(
+        col("artist_id"),
+        col("artist_name").as("name"),
+        col("artist_location").as("location"),
+        col("artist_latitude").cast(DecimalType(11, 8)).as("latitude"),
+        col("artist_longitude").cast(DecimalType(11, 8)).as("longitude"))
+      .distinct()
+
+  /** time insert (`sql_queries.py:179-188`): DISTINCT ts + EXTRACT ×5,
+    * built in the reference's scrambled column order and realigned by name
+    * (P3) — `insertInto` is positional, the reorder must be explicit. */
+  def time(events: DataFrame): DataFrame = {
+    val scrambled = events.select(
+      dayofmonth(col("ts")).as("day"),
+      hour(col("ts")).as("hour"),
+      month(col("ts")).as("month"),
+      col("ts").as("start_time"),
+      weekofyear(col("ts")).as("week"),
+      year(col("ts")).as("year"))
+      .distinct()
+    TableSink.insertByName(scrambled, Schemas.time)
+  }
+
+  /** One full pipeline run; idempotent per (session, sfDir). Returns
+    * read-back row counts of the materialized tables (the reference's
+    * validation queries, test_etl.ipynb cells 8–21). */
+  private val ran = new ConcurrentHashMap[String, Map[String, Long]]()
+
+  def run(spark: SparkSession, sfDir: String): Map[String, Long] =
+    ran.computeIfAbsent(sfDir, _ => runOnce(spark, sfDir))
+
+  private def runOnce(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    val root = starRoot(sfDir)
+    val sink = new ParquetSink(root)
+    Files.createDirectories(Paths.get(root))      // S5: namespace
+    tables.foreach(sink.drop)                     // S4: idempotent drop
+
+    val ev = stageEvents(spark, sfDir)            // S1 stage
+    val sg = stageSongs(spark, sfDir)             // S2 stage
+
+    // S6 inserts, reference order (sql_queries.py:197), each with its
+    // sortkey presort (O1).
+    sink.write(songplay(ev, sg), "songplay", Schemas.sortKeys.get("songplay"))
+    sink.write(users(ev),        "users",    Schemas.sortKeys.get("users"))
+    sink.write(songs(sg),        "songs",    Schemas.sortKeys.get("songs"))
+    sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))
+    sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))
+
+    // S8: staging cleanup is a no-op here — the staged plans go out of scope.
+    tables.map(t => t -> sink.read(spark, t).count()).toMap
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.{Epoch, Tables}
 
-/** Deterministic JSON fixtures for the ingestion queries (q11/q12).
+/** Deterministic JSON fixtures for the ingestion + pipeline queries.
   *
   * The driver testdata ships parquet only; the reference's input layer is
   * newline-delimited JSON on S3 (`sql_queries.py:121-128`). To exercise the
@@ -17,10 +17,14 @@ import graft.{Epoch, Tables}
   * [[JsonSource]]. Content is a pure function of the testdata (no
   * timestamps/randomness), so verify and bench see identical files, and the
   * DuckDB oracle reads the very same files with `read_json`.
+  *
+  * `V` is bumped whenever a fixture definition changes, so stale files from
+  * an earlier build can never be read by a newer one.
   */
 object Fixtures {
 
-  val root = "/root/repo/work/fixtures"
+  private val V = "v2"
+  val root = s"/root/repo/work/fixtures/$V"
 
   private def sfName(sfDir: String): String =
     Paths.get(sfDir).getFileName.toString
@@ -39,26 +43,62 @@ object Fixtures {
     StructField("tsMillis", LongType),          // epoch-ms (reference `ts`)
     StructField("registrationMs", DoubleType),  // FLOAT epoch-ms (reference `registration`)
     StructField("userIdStr", StringType),       // JSON string → int (reference `userId`)
-    StructField("eventKind", StringType),
+    StructField("eventKind", StringType),       // reference `page`
     StructField("valueNum", DoubleType),
-    StructField("propsJson", StringType)))
+    StructField("propsJson", StringType),
+    StructField("artistName", StringType),      // J1 join key 1 (nullable)
+    StructField("songTitle", StringType),       // J1 join key 2
+    StructField("songLenNum", DoubleType),      // J1 join key 3 → decimal(12,4)
+    StructField("sessionId", IntegerType),
+    StructField("levelStr", StringType),
+    StructField("firstName", StringType),
+    StructField("lastName", StringType),
+    StructField("gender", StringType),
+    StructField("locationStr", StringType),
+    StructField("userAgentStr", StringType)))
 
-  /** Log-style events JSON: epoch-ms long `tsMillis`, float epoch-ms
-    * `registrationMs` (ts + 0.5ms fraction — exercises the float-ms floor),
-    * string `userIdStr`. Written once per sf. */
+  /** Log-style events JSON mirroring the Sparkify event stream shape:
+    * epoch-ms long `tsMillis`, float epoch-ms `registrationMs` (+0.5 ms
+    * fraction — exercises the float-ms floor), string `userIdStr` (null for
+    * ~1/37 "anonymous" users — F1's filter target), and the three J1 join
+    * fields attached from `part` for ~2/3 of events (1/3 carry unmatchable
+    * titles, 1/13 a NULL artist — the null-unsafe-equality semantic).
+    * Written once per sf. */
   def ensureEventsJson(spark: SparkSession, sfDir: String): String = {
     val dir = eventsJsonDir(sfDir)
     if (!done(dir)) {
-      val ms = Epoch.nanosToMillis(col("ts"))
-      Tables.eventsRawNanos(spark, sfDir)
+      val part = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"), col("p_retailprice"))
+      val nPart = part.count()
+      val ms  = Epoch.nanosToMillis(col("ts"))
+      val eid = col("event_id")
+      val ev  = Tables.eventsRawNanos(spark, sfDir)
+      ev.join(broadcast(part),
+          part("p_partkey") === pmod(eid, lit(nPart)) && pmod(eid, lit(3)) < 2,
+          "left_outer")
         .select(
-          col("event_id").as("eventId"),
+          eid.as("eventId"),
           ms.as("tsMillis"),
           (ms.cast(DoubleType) + lit(0.5)).as("registrationMs"),
-          col("user_id").cast(StringType).as("userIdStr"),
+          when(pmod(col("user_id"), lit(37)) === 0, lit(null))
+            .otherwise(col("user_id").cast(StringType)).as("userIdStr"),
           col("event_type").as("eventKind"),
           col("value").as("valueNum"),
-          col("props").as("propsJson"))
+          col("props").as("propsJson"),
+          when(pmod(eid, lit(13)) === 0, lit(null))
+            .when(pmod(eid, lit(3)) === 2, concat(lit("Unknown Artist "), eid))
+            .otherwise(col("p_brand")).as("artistName"),
+          when(pmod(eid, lit(3)) === 2, concat(lit("Untitled "), eid))
+            .otherwise(col("p_name")).as("songTitle"),
+          when(pmod(eid, lit(3)) === 2, col("value"))
+            .otherwise(col("p_retailprice")).as("songLenNum"),
+          pmod(eid, lit(499)).cast(IntegerType).as("sessionId"),
+          when(pmod(col("user_id"), lit(2)) === 0, lit("free")).otherwise(lit("paid")).as("levelStr"),
+          concat(lit("First"), pmod(col("user_id"), lit(100))).as("firstName"),
+          concat(lit("Last"), pmod(col("user_id"), lit(100))).as("lastName"),
+          when(pmod(col("user_id"), lit(2)) === 0, lit("M")).otherwise(lit("F")).as("gender"),
+          concat(lit("City"), pmod(col("user_id"), lit(50))).as("locationStr"),
+          concat(lit("UA/"), pmod(eid, lit(7))).as("userAgentStr"))
         .write.mode("overwrite").json(dir)
     }
     dir
@@ -66,7 +106,9 @@ object Fixtures {
 
   /** Million-Song-style songs JSON matching [[graft.schemas.Schemas.stagingSongs]]
     * field-for-field (the `json 'auto'` contract), including nullable
-    * decimal lat/long and a DECIMAL(12,6) duration. Derived from `part`. */
+    * decimal lat/long and a DECIMAL(12,6) duration. Derived from `part`;
+    * `(artist_name, title, duration)` is the J1 join key against the events
+    * fixture (cross-scale: duration (12,6) vs event length (12,4)). */
   def ensureSongsJson(spark: SparkSession, sfDir: String): String = {
     val dir = songsJsonDir(sfDir)
     if (!done(dir)) {
