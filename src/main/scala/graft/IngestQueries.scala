@@ -24,7 +24,7 @@ object IngestQueries {
       "event_id"    -> col("eventId"),
       "start_time"  -> Epoch.millisToTimestamp(col("tsMillis")),
       "registration" -> Epoch.floatMillisToTimestamp(col("registrationMs")),
-      "user_id"     -> col("userIdStr").cast(IntegerType),
+      "user_id"     -> JsonSource.intOrNull(col("userIdStr")),
       "event_type"  -> col("eventKind"),
       "value"       -> col("valueNum"),
       "props"       -> col("propsJson")))

@@ -53,7 +53,7 @@ object Etl {
       "location"     -> col("locationStr"),
       "userAgent"    -> col("userAgentStr"),
       "ts"           -> Epoch.millisToTimestamp(col("tsMillis")),
-      "userId"       -> col("userIdStr").cast(IntegerType)))
+      "userId"       -> JsonSource.intOrNull(col("userIdStr"))))
   }
 
   /** Staged songs: auto-mapped scan (S2) — `sql_queries.py:51-64`. */

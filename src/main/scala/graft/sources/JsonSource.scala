@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** JSON ingestion (reference: the two COPY modes, SURVEY.md §2.1 S1/S2).
   *
@@ -32,4 +32,10 @@ object JsonSource {
   /** Read newline-delimited JSON, name-matched against a declared schema. */
   def auto(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Redshift-COPY-style lenient string→int for scan-time casts (X7): the
+    * Sparkify logs carry `"userId": ""` for anonymous sessions, which lands
+    * as NULL in the int staging column. Spark 4's ANSI cast throws on ''; a
+    * try_cast reproduces the load-time semantics. */
+  def intOrNull(c: Column): Column = c.try_cast(IntegerType)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.JsonSource
+
+/** Declared-schema JSON scans (S1/S2): jsonpaths mapping, auto name-match,
+  * missing-key → NULL, string→int cast of malformed values. */
+class JsonSourceSpec extends SparkSpec {
+
+  private def writeJson(lines: String*): String = {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.write(dir.resolve("part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private val raw = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("userId", StringType),
+    StructField("page", StringType)))
+
+  test("jsonpaths mode renames/casts per the field->column map") {
+    val dir = writeJson(
+      """{"ts": 1541121934796, "userId": "101", "page": "NextSong"}""",
+      """{"ts": 1541121934797, "userId": "", "page": "Home"}""")
+    val df = JsonSource.jsonpaths(spark, dir, raw, Seq(
+      "start_time" -> Epoch.millisToTimestamp(col("ts")),
+      "user_id"    -> JsonSource.intOrNull(col("userId")),
+      "page"       -> col("page")))
+    df.schema.fieldNames.toSeq shouldBe Seq("start_time", "user_id", "page")
+    val rows = df.orderBy("start_time").collect()
+    rows(0).getAs[java.sql.Timestamp]("start_time").getTime shouldBe 1541121934796L
+    rows(0).getAs[Integer]("user_id") shouldBe 101
+    rows(1).getAs[Integer]("user_id") shouldBe null // "" → NULL int, like Redshift COPY
+  }
+
+  test("auto mode name-matches and leaves absent keys NULL") {
+    val dir = writeJson(
+      """{"userId": "7"}""",
+      """{"page": "Home", "extra_ignored": 5}""")
+    val df = JsonSource.auto(spark, dir, raw)
+    df.count() shouldBe 2
+    df.filter(col("ts").isNull).count() shouldBe 2
+    df.filter(col("page").isNull).count() shouldBe 1
+    df.schema.fieldNames.toSeq shouldBe Seq("ts", "userId", "page") // extra key pruned
+  }
+}
