@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextOps
+
+/** Text-analysis operators over `documents` (LLM-data-pipeline extension
+  * family 4): quality scoring, language-ID heuristic, token counting,
+  * min-hash fingerprinting, SimHash. All single-pass, shuffle-free (or one
+  * keyed shuffle for SimHash's bit votes), codegen-only — the per-document
+  * cost is O(text length) inside the scan task, which is the only shape that
+  * survives 100 TB.
+  */
+object TextQueries {
+  import Queries.Q
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "in"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** q15: quality scoring — length, punctuation ratio, stopword ratio,
+    * average word length, composite score. The score formula is arbitrary
+    * but fixed; what matters is that every term is deterministic double
+    * arithmetic with a fixed evaluation order (bit-identical in the oracle). */
+  val q15TextStats: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val charLen = length(col("text"))
+    val wordCnt = size(w)
+    val punctCnt = charLen - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val stopHits = TextOps.vocabHits(w, stopwords)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      charLen.as("char_len"),
+      wordCnt.as("word_cnt"),
+      (TextOps.intArraySum(transform(w, x => length(x))).cast(DoubleType) / wordCnt)
+        .as("avg_word_len"),
+      (punctCnt.cast(DoubleType) / charLen).as("punct_ratio"),
+      (stopHits.cast(DoubleType) / wordCnt).as("stop_ratio"),
+      (lit(0.3) * least(lit(1.0), wordCnt.cast(DoubleType) / lit(200.0))
+        + lit(0.4) * (stopHits.cast(DoubleType) / wordCnt)
+        + lit(0.3) * (lit(1.0) - punctCnt.cast(DoubleType) / charLen))
+        .as("quality_score"))
+  }
+
+  /** q16: language-ID heuristic — per-language stopword occurrence counts,
+    * argmax with a fixed alphabetical tie-break, 'und' when no evidence. */
+  val q16LangId: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val scores: Seq[(String, Column)] =
+      langStops.map { case (code, sw) => code -> TextOps.vocabHits(w, sw) }
+    val best = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (code, sc)) => acc.when(sc === best, lit(code))
+    }
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      predicted.as("predicted"),
+      best.as("score"),
+      (col("lang") === predicted).as("is_match"))
+  }
+
+  /** q17: token counting — whitespace tokens, a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation), the chars/4 heuristic,
+    * and byte length. */
+  val q17TokenCount: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.words(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens"),
+      ceil(length(col("text")).cast(DoubleType) / lit(4.0)).as("est_tokens_len4"),
+      octet_length(col("text")).as("byte_len"))
+
+  /** q18: document fingerprint — min 60-bit hash over distinct 8-word
+    * shingles (the min-hash member of a winnowing-style fingerprint family):
+    * two documents sharing any 8-word run have a chance of colliding, equal
+    * fingerprints are a strong containment signal. */
+  val q18Fingerprint: Q = (s, d) => {
+    val sh = TextOps.wordShingles(TextOps.words(col("text")), 8)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_min(transform(sh, x => TextOps.hash60(x))).as("fingerprint"),
+      size(sh).as("n_shingles"))
+  }
+
+  /** q19: 60-bit SimHash over word occurrences (term frequency included).
+    * Shape: explode words → per-(doc, word) 60-bit hash → 60 bit-vote sums
+    * as ONE grouped aggregation (map-side partial combine collapses each
+    * task's rows to one row per doc before the shuffle) → recombine bits.
+    * The shuffle carries |docs| rows × 60 ints, independent of corpus size
+    * per doc — the scalable shape for fingerprinting at 100 TB. */
+  val q19Simhash: Q = (s, d) => {
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
+    val grouped = exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 60)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15_text_stats"  -> q15TextStats,
+    "q16_lang_id"     -> q16LangId,
+    "q17_token_count" -> q17TokenCount,
+    "q18_fingerprint" -> q18Fingerprint,
+    "q19_simhash"     -> q19Simhash)
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. `w` is always regexp_split_to_array(trim(text),'\s+')
+  // — identical tokenization to TextOps.words.
+  // ---------------------------------------------------------------------
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q15_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents),
+         |t2 AS (SELECT *, len(w) AS word_cnt,
+         |    len(list_filter(w, x -> list_contains(${sqlList(stopwords)}, x))) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, lang, char_len, word_cnt,
+         |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / word_cnt AS avg_word_len,
+         |  CAST(punct_cnt AS DOUBLE) / char_len AS punct_ratio,
+         |  CAST(stop_hits AS DOUBLE) / word_cnt AS stop_ratio,
+         |  0.3::DOUBLE * least(1.0::DOUBLE, CAST(word_cnt AS DOUBLE) / 200.0)
+         |    + 0.4::DOUBLE * (CAST(stop_hits AS DOUBLE) / word_cnt)
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(punct_cnt AS DOUBLE) / char_len) AS quality_score
+         |FROM t2""".stripMargin,
+    "q16_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |${langStops.map { case (c, sw) =>
+             s"    len(list_filter(w, x -> list_contains(${sqlList(sw)}, x))) AS s_$c" }
+             .mkString(",\n")}
+         |  FROM t),
+         |m AS (SELECT *, greatest(${langStops.map("s_" + _._1).mkString(",")}) AS best FROM sc)
+         |SELECT doc_id, lang,
+         |  CASE WHEN best = 0 THEN 'und'
+         |${langStops.map { case (c, _) => s"    WHEN s_$c = best THEN '$c'" }.mkString("\n")}
+         |  END AS predicted,
+         |  best AS score,
+         |  lang = (CASE WHEN best = 0 THEN 'und'
+         |${langStops.map { case (c, _) => s"    WHEN s_$c = best THEN '$c'" }.mkString("\n")}
+         |  END) AS is_match
+         |FROM m""".stripMargin,
+    "q17_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens_len4,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents""".stripMargin,
+    "q18_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 7, 1) + 1),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS s FROM t)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(s,
+        |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT), 'min') AS fingerprint,
+        |  len(s) AS n_shingles
+        |FROM sh""".stripMargin,
+    "q19_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, (SELECT unnest(range(60)) AS b) bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id""".stripMargin)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared text machinery for the LLM-data-pipeline operators (dedup,
+  * fingerprinting, quality scoring) over the `documents` table.
+  *
+  * Everything here is built from codegen'd built-in expressions — no UDFs —
+  * so the per-document work (shingling, hashing, ratio math) stays inside
+  * whole-stage codegen and never leaves the scan's task. Higher-order
+  * functions (`transform`/`filter`/`aggregate`) iterate arrays per row
+  * without exploding rows, so a 100 TB corpus pays zero shuffle for
+  * per-document features.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (leading/trailing ws trimmed). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct k-word shingles; documents shorter than k yield one shingle of
+    * all their words (never an empty set — keeps Jaccard well-defined). */
+  def wordShingles(w: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))
+
+  /** 60-bit stable hash: the low 15 hex digits of md5, as a non-negative
+    * LongType. Chosen because it is reproducible in ANY engine with an md5
+    * function (the DuckDB oracle computes the identical value); 60 bits keeps
+    * it inside a signed 64-bit integer in engines without unsigned types. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Element-wise sum of an integer array column via left fold. */
+  def intArraySum(arr: Column): Column =
+    aggregate(arr, lit(0), (acc, x) => acc + x)
+
+  /** Occurrence count of `w`'s elements that appear in a fixed vocabulary. */
+  def vocabHits(w: Column, vocab: Seq[String]): Column =
+    size(filter(w, x => array_contains(array(vocab.map(lit): _*), x)))
+}
