@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup queries over `documents`. The MinHash/LSH and blocked operators
+  * return *verified* pairs (exact Jaccard ≥ threshold over their candidate
+  * sets), so the DuckDB oracle — which computes exact Jaccard over ALL pairs
+  * (feasible at sf0.01) — matches iff the banding/blocking had full recall
+  * at the threshold, which is exactly the property worth gating. */
+object DedupQueries {
+  import Queries.Q
+
+  val q20DedupExact: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  val q21DedupMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.8)
+
+  val q22DedupNgramBlocked: Q = (s, d) =>
+    Dedup.blockedNgramPairs(Tables.documents(s, d), threshold = 0.6)
+
+  val queries: Map[String, Q] = Map(
+    "q20_dedup_exact"         -> q20DedupExact,
+    "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
+    "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked)
+
+  /** Shared oracle CTE: distinct k-word shingle sets per doc. */
+  private def shinglesCte(k: Int): String = {
+    val km1 = k - 1
+    s"""w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - $km1, 1) + 1),
+       |    i -> array_to_string(w[i:i+$km1], ' ')))) AS s FROM w),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def jaccardSelect(extraJoin: String, threshold: Double): String =
+    s"""inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sz za ON za.doc_id = da
+       |JOIN sz zb ON zb.doc_id = db
+       |$extraJoin
+       |WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= $threshold""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    // All-pairs exact Jaccard at threshold 0.8 — the LSH result must equal it.
+    "q21_dedup_minhash_lsh" ->
+      s"""WITH ${shinglesCte(3)},
+         |${jaccardSelect("", 0.8)}""".stripMargin,
+    // Blocked variant: the oracle applies the same (lang, ±1 length-bucket)
+    // candidate constraint the Spark side's exploded keys encode.
+    "q22_dedup_ngram_blocked" ->
+      s"""WITH ${shinglesCte(2)},
+         |blk AS (SELECT doc_id, lang, len(w) // 32 AS b FROM w),
+         |${jaccardSelect(
+           """JOIN blk ba ON ba.doc_id = da
+             |JOIN blk bb ON bb.doc_id = db AND bb.lang = ba.lang
+             |  AND abs(ba.b - bb.b) <= 1""".stripMargin, 0.6)}""".stripMargin)
+}
