@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+/** Multimodal query: documents → media table (binary payload + metadata
+  * struct) → typed decode stub → features joined back with flattened
+  * struct fields. The oracle recomputes every feature on the string side
+  * (payloads are ASCII text bytes, so substr/md5/ascii agree byte-for-byte
+  * with the binary-side JVM decode). */
+object MultimodalQueries {
+  import Queries.Q
+
+  val q25MultimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    val typed = media.select(
+        col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.format").as("format"))
+      .as[MediaRow]
+    val features = Multimodal.decodeFeatures(typed)
+    // Nested-struct projection (meta.*) + join of decoded features back to
+    // the metadata — both sides keyed on doc_id, features side is the
+    // mapPartitions output.
+    media.select(col("doc_id"), col("meta.*"))
+      .join(features.toDF(), Seq("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map("q25_multimodal_decode" -> q25MultimodalDecode)
+
+  val oracle: Map[String, String] = Map(
+    "q25_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(n_chars % 640 AS INTEGER) AS width,
+        |  CAST((doc_id * 7) % 480 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  'fake/raw' AS format,
+        |  octet_length(encode(text)) AS byte_len,
+        |  ascii(substr(text, 1, 1)) AS codec_byte,
+        |  hex(encode(substr(text, 1, 8))) AS header_hex,
+        |  md5(substr(text, 1, 64)) AS frame0_md5,
+        |  md5(substr(text, 102, 64)) AS frame1_md5,
+        |  md5(substr(text, 203, 64)) AS frame2_md5
+        |FROM documents""".stripMargin)
+}

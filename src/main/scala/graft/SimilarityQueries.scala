@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (array<float> ×64).
+  * q23 is the exact brute-force baseline; q24 is the LSH-bucketed ANN scale
+  * path. Both are verified bit-exactly: the cosine is a fixed-order double
+  * fold that DuckDB reproduces via list_reduce with a prepended 0.0
+  * accumulator, and the ANN hyperplanes are deterministic md5-derived
+  * constants embedded identically in plan and oracle. */
+object SimilarityQueries {
+  import Queries.Q
+
+  private val K_BRUTE = 5
+  private val K_ANN = 3
+  private val PLANES = 8
+  private val DIM = 64
+  private lazy val grid = Similarity.hyperplaneGrid(PLANES, DIM)
+
+  private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+
+  val q23CosineTopK: Q = (s, d) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE)
+
+  val q24AnnLsh: Q = (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid)
+
+  val queries: Map[String, Q] = Map(
+    "q23_cosine_topk" -> q23CosineTopK,
+    "q24_ann_lsh"     -> q24AnnLsh)
+
+  // ---------------------------------------------------------------------
+  // Oracles
+  // ---------------------------------------------------------------------
+
+  /** Left-fold dot product matching Similarity.dot bit-for-bit: prepend the
+    * 0.0 accumulator so the fold starts exactly like Spark's aggregate(). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Hyperplane p as a SQL list literal of exact double constants k/1000. */
+  private def hpList(p: Int): String =
+    grid(p).map(k => s"($k)/CAST(1000 AS DOUBLE)").mkString("[", ",", "]")
+
+  private def bucketSql(v: String): String =
+    (0 until PLANES).map { p =>
+      s"(CASE WHEN ${dotSql(v, hpList(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q23_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid, ${cosineSql("qe", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> qid),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+         |FROM ranked WHERE rn <= $K_BRUTE""".stripMargin,
+    "q24_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "v.embedding")} AS sim
+         |  FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> qid),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+         |FROM ranked WHERE rn <= $K_ANN""".stripMargin)
+}

@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.relational ++ IngestQueries.queries ++ PipelineQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.relationalOracle ++ IngestQueries.oracle ++ PipelineQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle
+      TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (LLM-data-pipeline extension
+  * family 2): brute-force cosine top-k as the exact baseline and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate` left fold) over `array<float>` cast element-wise to double —
+  * exact IEEE products (24-bit mantissas fit in 53), a fixed summation
+  * order, and therefore bit-identical results in any engine that folds
+  * left-to-right (the DuckDB oracle does).
+  */
+object Similarity {
+
+  /** Left-fold dot product of a float-array column with another array. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * The query set is broadcast (it is small by construction — the fact
+    * side streams past it with no shuffle), every (query, vector) cosine is
+    * computed map-side, and the per-query top-k is taken with a window
+    * rank. At 1000-executor scale the shuffle carries |queries|·|vectors|
+    * rows; for large query sets swap the window for a partial top-k
+    * aggregation — for ANN at scale use [[lshTopK]] instead, which bounds
+    * the candidate set per bucket. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = vectors.as("v").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(joined
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("v.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("v.embedding")).as("sim")), k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, j) is derived
+    * from md5("hp{p}_{j}") — reproducible in any engine with md5 (the
+    * oracle embeds the same constants), uniform in [-1, 1] at 1/1000 step. */
+  def hyperplaneGrid(planes: Int, dim: Int): Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, j) =>
+      val hex = md.digest(s"hp${p}_$j".getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toInt
+    }
+  }
+
+  /** Sign-bucket of a vector under the hyperplane grid: bit p is set iff
+    * dot(v, h_p) >= 0. Vectors in the same bucket agree on every plane —
+    * the standard random-hyperplane LSH for cosine similarity. */
+  def signBucket(v: Column, grid: Array[Array[Int]]): Column =
+    grid.zipWithIndex.map { case (h, p) =>
+      val hCol = array(h.map(x => lit(x / 1000.0)): _*)
+      when(dot(v, hCol) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates are restricted to the query's sign bucket, then
+    * ranked by exact cosine. One equi-join on the bucket id — candidate
+    * count per query is |corpus| / 2^planes in expectation, and the join
+    * shuffles on bucket keys instead of fanning out all pairs. Recall is
+    * approximate by design (bucket boundaries drop some true neighbors). */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              grid: Array[Array[Int]]): DataFrame = {
+    val bucketed = vectors.withColumn("bucket", signBucket(col("embedding"), grid))
+    val qb = queries.withColumn("bucket", signBucket(col("embedding"), grid))
+    val joined = qb.as("q").join(bucketed.as("v"),
+        col("q.bucket") === col("v.bucket") && col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(joined
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("v.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("v.embedding")).as("sim")), k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+}
