@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Dedup operator semantics on controlled fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("exactGroups: whitespace/case-normalized copies collapse, min id is canonical") {
+    val d = docs(
+      (1L, "Hello  World", "en"),
+      (2L, "hello world", "en"),     // same after normalization
+      (3L, " hello   WORLD ", "en"), // same after normalization
+      (4L, "different", "en"))
+    val out = Dedup.exactGroups(d, col("doc_id"), col("text")).collect()
+    out.length shouldBe 2
+    val dup = out.find(_.getAs[Long]("n_copies") == 3L).get
+    dup.getAs[Long]("canonical_id") shouldBe 1L
+  }
+
+  test("minhashLshPairs: near-identical docs found, dissimilar not, output exact jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"))
+    val out = Dedup.minhashLshPairs(d, threshold = 0.8).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("doc_a") shouldBe 1L
+    out.head.getAs[Long]("doc_b") shouldBe 2L
+    // 38 distinct 3-shingles each; only the last shingle differs: J = 37/39
+    out.head.getAs[Double]("jaccard") shouldBe (37.0 / 39.0)
+  }
+
+  test("minhashLshPairs is deterministic across runs (seeded hashes)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, base + " tail", "en"))
+    val r1 = Dedup.minhashLshPairs(d, 0.5).collect().toSeq
+    val r2 = Dedup.minhashLshPairs(d, 0.5).collect().toSeq
+    r1 shouldBe r2
+  }
+
+  test("blockedNgramPairs: pairs in different langs are never compared") {
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, t, "en"), (2L, t, "fr"))
+    Dedup.blockedNgramPairs(d, threshold = 0.1).count() shouldBe 0
+  }
+
+  test("blockedNgramPairs: adjacent length buckets are compared, distant not") {
+    val w32 = (1 to 32).map(i => s"tok$i").mkString(" ")   // bucket 1
+    val w60 = (1 to 60).map(i => s"tok$i").mkString(" ")   // bucket 1 (60/32=1)
+    val w200 = (1 to 200).map(i => s"tok$i").mkString(" ") // bucket 6
+    val d = docs((1L, w32, "en"), (2L, w60, "en"), (3L, w200, "en"))
+    val pairs = Dedup.blockedNgramPairs(d, threshold = 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("wordShingles: distinct k-shingles; short docs yield a single shingle") {
+    val out = Seq("a b c d", "a b")
+      .toDF("text")
+      .select(TextOps.wordShingles(TextOps.words(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    out(0) shouldBe Seq("a b c", "b c d")
+    out(1) shouldBe Seq("a b")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity + multimodal operator semantics on controlled fixtures. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: exact values for known vectors") {
+    val d = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)), (3L, Seq(-1f, 0f)))
+    val out = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 1L, 3L)
+    out(0).getAs[Double]("sim") shouldBe (1.0 / math.sqrt(2.0))
+    out(1).getAs[Double]("sim") shouldBe 0.0
+    out(2).getAs[Double]("sim") shouldBe -1.0
+  }
+
+  test("bruteForceTopK: ties broken by neighbor_id, k bounds output") {
+    val d = vecs((0L, Seq(1f, 0f)), (5L, Seq(2f, 0f)), (4L, Seq(3f, 0f)), (9L, Seq(4f, 0f)))
+    val out = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    // all sims are exactly 1.0 → rank by id: 4 before 5; 9 cut by k=2
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(4L, 5L)
+  }
+
+  test("hyperplane grid is deterministic and in [-1000, 1000]") {
+    val g1 = Similarity.hyperplaneGrid(8, 64)
+    val g2 = Similarity.hyperplaneGrid(8, 64)
+    g1.map(_.toSeq).toSeq shouldBe g2.map(_.toSeq).toSeq
+    all(g1.flatten.toSeq) should (be >= -1000 and be <= 1000)
+  }
+
+  test("lshTopK only returns same-bucket neighbors, ranked by cosine") {
+    val grid = Similarity.hyperplaneGrid(4, 2)
+    val d = vecs((0L, Seq(1f, 0.1f)), (1L, Seq(1f, 0.2f)), (2L, Seq(-1f, -0.1f)))
+    val out = Similarity.lshTopK(d, d.filter(col("vec_id") === 0), k = 2, grid)
+      .collect()
+    // vector 2 points the opposite way → different sign bucket → absent
+    out.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(1L)
+  }
+
+  test("multimodal decode stub: deterministic features, OOB frames hash empty") {
+    val docs = Seq((7L, "abcdefgh-rest-of-payload", "en", "x", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaTable(docs)
+    media.schema("meta").dataType.typeName shouldBe "struct"
+    val typed = media.select(col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.format").as("format"))
+      .as[Multimodal.MediaRow]
+    val f = Multimodal.decodeFeatures(typed).head()
+    f.byte_len shouldBe 24L
+    f.codec_byte shouldBe 'a'.toInt
+    f.header_hex shouldBe "6162636465666768"
+    // frame1 starts at byte 101 > len → empty-slice digest
+    f.frame1_md5 shouldBe "d41d8cd98f00b204e9800998ecf8427e"
+    f.frame0_md5 should not be f.frame1_md5
+  }
+}
