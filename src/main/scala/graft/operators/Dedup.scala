@@ -36,29 +36,41 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
-    * numHashes=128 minhashes from seeded xxhash64 (seed = hash index — the
-    * Spark-side hash choice is free because verification recomputes exact
-    * Jaccard); bands of 4 rows → collision probability 1-(1-j^4)^32, i.e.
-    * ≥ 1 - 6e-8 for j ≥ 0.8: the banding misses essentially nothing above
-    * the threshold, and the verify join discards everything below it.
+    * Hashing strategy: each shingle string is xxhash64'd ONCE; the 128
+    * minhash permutations re-hash that fixed 8-byte value with the hash
+    * index as `xxhash64(h, i)` — codegen'd fixed-width hashing, so the
+    * per-shingle cost is one string hash plus 128 short-input hashes
+    * (wrapping affine mixes would be cheaper still, but ANSI mode rejects
+    * overflowing long multiplication). The Spark-side hash choice is
+    * semantically free — the verification step recomputes exact Jaccard. Bands of 4 rows → collision probability 1-(1-j^4)^32 ≥
+    * 1 - 6e-8 at j = 0.8: banding misses essentially nothing above the
+    * threshold, and verification discards everything below it.
     *
-    * Plan shape: signatures are computed inside the scan (higher-order
-    * functions, no explode); the explode is 32 band rows per doc; candidates
-    * come from an equi-join on (band, bandHash); verification joins the
-    * candidate ids back to their shingle sets. All three shuffles are keyed;
-    * cost scales with docs + candidate pairs. */
+    * Plan shape — and the load-bearing subtlety: the signature lives behind
+    * a grouped aggregation (explode shingles → 128 map-side `min` columns
+    * keyed by doc), which is a pipeline BARRIER. Deriving band keys from a
+    * projection-only signature expression instead lets Catalyst's
+    * CollapseProject inline the whole 128-hash computation into every one
+    * of the 32×4 band-key references — a measured 100× blowup. The explode
+    * collapses map-side (partial min per task), so the shuffle is one
+    * 128-long row per document; candidates come from an equi-join on
+    * (band, bandKey); verification joins candidate ids back to shingle
+    * sets. All shuffles keyed; cost scales with docs + candidate pairs. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       shingleK: Int = 3, bands: Int = 32, rows: Int = 4): DataFrame = {
     val sh = shingled(docs, shingleK)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(bands * rows - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(i, s)))).as("sig"))
+    val n = bands * rows
 
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+
+    val bandKeys = (0 until bands).map(bd =>
+      xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
     val banded = sig
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
-      .select(col("doc_id"), col("b"),
-        xxhash64(col("b") +: (1 to rows).map(r =>
-          element_at(col("sig"), col("b") * rows + lit(r))): _*).as("bk"))
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "b", "bk")
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
@@ -92,14 +104,19 @@ object Dedup {
 
   /** Exact Jaccard over distinct shingle sets for candidate pairs; keeps
     * pairs with jaccard ≥ threshold. |A∪B| = |A|+|B|-|A∩B| avoids
-    * materializing the union. */
+    * materializing the union, and a sound size-ratio prefilter
+    * (J ≤ min(|A|,|B|)/max(|A|,|B|), since |A∩B| ≤ min and |A∪B| ≥ max)
+    * skips the O(|A|+|B|) intersection for size-mismatched pairs. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
+    val na = size(col("sa.sh"))
+    val nb = size(col("sb.sh"))
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    val union = size(col("sa.sh")) + size(col("sb.sh")) - inter
+    val union = na + nb - inter
     candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(least(na, nb).cast(DoubleType) >= lit(threshold) * greatest(na, nb))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast(DoubleType) / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
