@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.relational ++ IngestQueries.queries ++ PipelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.relationalOracle ++ IngestQueries.oracle ++ PipelineQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ MultimodalQueries.oracle
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      WindowQueries.oracle
 }

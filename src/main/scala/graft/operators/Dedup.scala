@@ -29,10 +29,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
   }
 
-  /** Distinct (id, shingleSet) pairs used by both near-dup operators. */
+  /** Distinct shingle sets per doc, as 64-bit hashes: strings are
+    * deduplicated first, then each shingle is xxhash64'd once. Downstream
+    * set operations (min-hash, intersection) work on fixed-width longs
+    * instead of re-comparing strings — Jaccard over the hashed sets equals
+    * Jaccard over the strings up to a ~2^-64 per-pair collision chance. */
   private def shingled(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-      TextOps.wordShingles(TextOps.words(col("text")), k).as("sh"))
+      transform(TextOps.wordShingles(TextOps.words(col("text")), k),
+        s => xxhash64(s)).as("sh"))
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
@@ -61,8 +66,7 @@ object Dedup {
     val sh = shingled(docs, shingleK)
     val n = bands * rows
 
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Epoch
+import graft.sources.Fixtures
+
+/** Structured Streaming over the event feed (extension beyond the
+  * reference, which is strictly batch — SURVEY.md §2.9; the engine treats
+  * the stream as the same logical events table: the batch and streaming
+  * paths share transforms, so a query verified in batch runs unchanged as a
+  * stream).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1 hour is dropped and its state evicted);
+  * sessionization keeps one small state object per active user key, evicted
+  * on event-time timeout. Both shuffle only on their group keys.
+  */
+object EventStream {
+
+  /** File-source streaming read of the events JSON feed with the declared
+    * raw schema — the streaming twin of the batch jsonpaths scan (S1). */
+  def readEventsJson(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Fixtures.eventsRawSchema).json(dir)
+      .select(
+        col("eventId").as("event_id"),
+        Epoch.millisToTimestamp(col("tsMillis")).as("ts"),
+        col("userIdStr").try_cast("int").as("user_id"),
+        col("eventKind").as("event_type"),
+        col("valueNum").as("value"))
+
+  /** Tumbling-window counts + exact sums per event type, watermarked.
+    * Works identically on a batch DataFrame (used by q26's oracle check)
+    * and a streaming one — same plan, different sink. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long)
+
+  /** Streaming sessionization: per-user state with an event-time gap;
+    * sessions are emitted when the watermark passes start-of-gap (state is
+    * then evicted — bounded by active users, not history). */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= UserSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run the windowed aggregation as a stream over a JSON feed directory
+    * into an in-memory table; used by the streaming spec. */
+  def runWindowedToMemory(spark: SparkSession, dir: String, queryName: String) =
+    windowedAgg(readEventsJson(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{SessionEvent, UserSession}
+
+/** Structured Streaming specs: the windowed aggregation runs identically to
+  * its batch twin, and sessionization state closes sessions on event-time
+  * gaps and evicts on watermark timeout. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("streaming windowedAgg matches the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.windowedAgg(events)
+      .writeStream.format("memory").queryName("win_agg_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.5), (ts(10), "click", 2.5),
+        (ts(70), "click", 4.0), (ts(5), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("win_agg_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.windowedAgg(
+          Seq((ts(0), "click", 1.5), (ts(10), "click", 2.5),
+            (ts(70), "click", 4.0), (ts(5), "view", 1.0))
+            .toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type").collect()
+      got.toSeq shouldBe batch.toSeq
+      got.length shouldBe 3 // (h0,click) (h0,view) (h1,click)
+      got.map(_.getAs[Long]("cnt")).toSeq shouldBe Seq(2L, 1L, 1L)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; watermark timeout emits and evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,10 (one session), then 60 (gap > 30 → new session)
+      input.addData(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(10)), SessionEvent(1L, ts(60)))
+      q.processAllAvailable()
+      // advance the watermark far past everything → all state times out
+      input.addData(SessionEvent(99L, ts(10000)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(98L, ts(30000)))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_test").as[UserSession]
+        .collect().filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      sessions.length shouldBe 2
+      sessions(0).n_events shouldBe 2L
+      sessions(0).session_start shouldBe ts(0)
+      sessions(0).session_end shouldBe ts(10)
+      sessions(1).n_events shouldBe 1L
+      sessions(1).session_start shouldBe ts(60)
+    } finally q.stop()
+  }
+
+  test("streaming file-source scan reads the events JSON feed schema") {
+    val dir = graft.sources.Fixtures.ensureEventsJson(spark, "/root/testdata/sf0.001")
+    val q = EventStream.readEventsJson(spark, dir)
+      .writeStream.format("memory").queryName("feed_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("feed_test").count()
+      n shouldBe 1000L // sf0.001 events
+      spark.table("feed_test").schema.fieldNames.toSeq shouldBe
+        Seq("event_id", "ts", "user_id", "event_type", "value")
+    } finally q.stop()
+  }
+}
