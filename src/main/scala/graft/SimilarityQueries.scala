@@ -22,11 +22,21 @@ object SimilarityQueries {
   private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
 
+  /** Prefer the native fused-loop expression (registered by
+    * [[GraftExtensions]]; bit-identical to the composable fold — see
+    * CosineSimilarity's scaladoc) and fall back to the built-in
+    * higher-order-function version on sessions without the extension. */
+  private def cosineFn(s: org.apache.spark.sql.SparkSession) =
+    if (s.catalog.functionExists("cosine_sim"))
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        call_function("cosine_sim", a, b)
+    else Similarity.cosine _
+
   val q23CosineTopK: Q = (s, d) =>
-    Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE)
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE, cosineFn(s))
 
   val q24AnnLsh: Q = (s, d) =>
-    Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid)
+    Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid, cosineFn(s))
 
   val queries: Map[String, Q] = Map(
     "q23_cosine_topk" -> q23CosineTopK,

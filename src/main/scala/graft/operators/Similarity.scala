@@ -38,14 +38,15 @@ object Similarity {
     * rows; for large query sets swap the window for a partial top-k
     * aggregation — for ANN at scale use [[lshTopK]] instead, which bounds
     * the candidate set per bucket. */
-  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val joined = vectors.as("v").join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("v.vec_id"))
     rankTopK(joined
       .select(
         col("q.vec_id").as("query_id"),
         col("v.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("v.embedding")).as("sim")), k)
+        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component (p, j) is derived
@@ -75,7 +76,8 @@ object Similarity {
     * shuffles on bucket keys instead of fanning out all pairs. Recall is
     * approximate by design (bucket boundaries drop some true neighbors). */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              grid: Array[Array[Int]]): DataFrame = {
+              grid: Array[Array[Int]],
+              cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val bucketed = vectors.withColumn("bucket", signBucket(col("embedding"), grid))
     val qb = queries.withColumn("bucket", signBucket(col("embedding"), grid))
     val joined = qb.as("q").join(bucketed.as("v"),
@@ -84,7 +86,7 @@ object Similarity {
       .select(
         col("q.vec_id").as("query_id"),
         col("v.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("v.embedding")).as("sim")), k)
+        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =

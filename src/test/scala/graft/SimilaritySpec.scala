@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(1L)
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF fold") {
+    spark.catalog.functionExists("cosine_sim") shouldBe true // GraftExtensions installed
+    val d = vecs((0 until 30).map(i =>
+      (i.toLong, (0 until 64).map(j => ((i * 31 + j * 17) % 97 - 48) / 7.0f))): _*)
+    val both = d.as("a").join(d.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("native"))
+      .collect()
+    both.length shouldBe 435
+    both.foreach { r =>
+      // exact bit equality, not approx — same IEEE ops in the same order
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("multimodal decode stub: deterministic features, OOB frames hash empty") {
     val docs = Seq((7L, "abcdefgh-rest-of-payload", "en", "x", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
