@@ -17,6 +17,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet-reader paths once so the first timed
+    // query doesn't absorb session bootstrap cost (it applies equally to
+    // every query, so excluding it keeps per-query numbers comparable).
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    Tables.lineitem(spark, sfDir).limit(10).write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the ".explain and iterate until it's the
+  * plan you'd want" discipline, pinned as tests so a regression (lost
+  * broadcast, lost pushdown, an accidental cartesian product) fails CI
+  * instead of surfacing as a 100× slowdown at scale. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("J1 analog joins broadcast the dim side — the fact never shuffles") {
+    val p = plan(Queries.q02SongplayLeftJoin(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Exchange hashpartitioning" // no fact-side shuffle
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val p = plan(Queries.q03UsersDimDistinct(spark, sf))
+    p should include("PushedFilters: [IsNotNull(o_custkey)]")
+    // column pruning: only the two projected columns are read
+    p should include("ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Queries.q07PresortTopk(spark, sf))
+    p should include("TakeOrderedAndProject")
+    p should not include "Sort ["
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(Queries.q01PricingSummary(spark, sf))
+    p should include("HashAggregate")
+    p should include("partial_")
+  }
+
+  test("no accidental cartesian products or nested-loop joins in keyed queries") {
+    for (q <- Seq(Queries.q09StarFlagship, DedupQueries.q21DedupMinhashLsh,
+                  DedupQueries.q22DedupNgramBlocked, WindowQueries.q26WindowedAgg)) {
+      val p = plan(q(spark, sf))
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("brute-force similarity broadcasts only the small query side") {
+    val p = plan(SimilarityQueries.q23CosineTopK(spark, sf))
+    // non-equi self-pairing against a broadcast query set is the intended
+    // shape: the corpus side streams, the query side is the broadcast
+    p should include("BroadcastNestedLoopJoin Inner BuildRight")
+    p should not include "CartesianProduct"
+  }
+
+  test("text ops read only the columns they use (scan pruning)") {
+    // Higher-order-function expressions are interpreted (no codegen path in
+    // Spark), so the win to protect here is the columnar scan reading only
+    // the referenced fields — not WholeStageCodegen coverage.
+    val p = plan(TextQueries.q15TextStats(spark, sf))
+    p should include("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
+  }
+
+  test("dedup band join is an equi-join on (band, bandKey)") {
+    val p = plan(DedupQueries.q21DedupMinhashLsh(spark, sf))
+    p should (include("SortMergeJoin") or include("ShuffledHashJoin") or
+      include("BroadcastHashJoin"))
+  }
+
+  test("native cosine_sim participates in codegen (no eval fallback marker)") {
+    val df = SimilarityQueries.q23CosineTopK(spark, sf)
+    plan(df) should include("cosine_sim")
+  }
+}
