@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Scale
+
+/** Scale-pattern queries: q28 salted aggregation over the (5-value, i.e.
+  * maximally skewed) event_type key; q29 bucketed co-located fact join.
+  * Results are byte-identical to their unsalted/unbucketed equivalents —
+  * which is exactly what the oracles assert. */
+object ScaleQueries {
+  import Queries.Q
+
+  /** q28: two-stage salted count+sum by event_type. Oracle is the DIRECT
+    * aggregation — the algebraic merge must be exact (decimal sums). */
+  val q28SaltedAgg: Q = (s, d) =>
+    Scale.saltedAgg(
+        Tables.eventsRawNanos(s, d), col("event_type"), col("event_id"), salts = 16)(
+        "cnt" -> count(lit(1)),
+        "total_dec" -> sum(col("value").cast(DecimalType(18, 6))))
+      .select(col("k").as("event_type"), col("cnt"),
+        col("total_dec").cast(DoubleType).as("total_value"))
+
+  /** q29: lineitem ⋈ orders on the order key, both sides bucketed (16
+    * buckets) on that key — the join itself is exchange-free (plan-asserted
+    * in PlanSpec); only the final small aggregation shuffles. */
+  val q29BucketedJoin: Q = (s, d) => {
+    Scale.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_lineitem_b", "l_orderkey", 16)
+    Scale.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_orders_b", "o_orderkey", 16)
+    val li = s.table("graft_lineitem_b")
+    val o = s.table("graft_orders_b")
+    // merge hint: at test SF the orders side is broadcastable, which would
+    // bypass the bucket layout; the hint pins the both-sides-large plan this
+    // operator exists for (bucket-aligned SortMergeJoin, no join shuffle).
+    li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("line_cnt"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q28_salted_agg"    -> q28SaltedAgg,
+    "q29_bucketed_join" -> q29BucketedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q28_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q29_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS line_cnt,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns that only matter past a single node: skew-salted
+  * aggregation and bucketed (co-located) joins.
+  *
+  * These are the Spark analogs of the reference's physical layout hints —
+  * `diststyle even` spreads a skewless fact, but nothing in Redshift or
+  * Spark saves a shuffle whose key histogram is pathological; salting does.
+  * Bucketing is the `diststyle key` the reference never needed (its dims
+  * were `all`-replicated) but a 100 TB fact-to-fact join does.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for skewed group keys.
+    *
+    * Stage 1 groups on (key, salt) — a hot key's rows land on `salts`
+    * different reducers instead of one; stage 2 merges the partials per
+    * key. Both stages are algebraic (count/sum), so the result is exactly
+    * the direct aggregation's. The salt is derived from a uniform column
+    * (not `rand()`) to keep the plan deterministic and retry-safe.
+    *
+    * Note Spark's map-side partial aggregation already handles *moderate*
+    * skew; explicit salting is for the regime where even one reducer's
+    * share of a single key exceeds executor memory — at 100 TB with a
+    * 5-value key column, that is the default regime, not the exception. */
+  def saltedAgg(df: DataFrame, key: Column, saltSource: Column, salts: Int)(
+      aggs: (String, Column)*): DataFrame = {
+    val stage1 = df
+      .groupBy(key.as("k"), pmod(xxhash64(saltSource), lit(salts)).as("salt"))
+      .agg(aggs.head._2.as(s"p_${aggs.head._1}"),
+        aggs.tail.map { case (n, c) => c.as(s"p_$n") }: _*)
+    val merged = aggs.map { case (n, _) => sum(col(s"p_$n")).as(n) }
+    stage1.groupBy(col("k")).agg(merged.head, merged.tail: _*)
+  }
+
+  /** Write both sides of a join bucketed on the join key (same bucket
+    * count) into the session catalog — subsequent joins on that key are
+    * exchange-free: each task reads matching buckets from both tables
+    * (`diststyle key` co-location). Sort-by makes the merge join's sort a
+    * no-op per bucket file. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // A fresh session's in-memory catalog doesn't know tables a previous
+    // session left in the warehouse; clear the physical location too so the
+    // create below is idempotent across sessions.
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+  }
+}

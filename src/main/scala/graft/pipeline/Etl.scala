@@ -140,6 +140,10 @@ object Etl {
 
     val ev = stageEvents(spark, sfDir)            // S1 stage
     val sg = stageSongs(spark, sfDir)             // S2 stage
+    // Staging tables are addressable by name for the pipeline's duration,
+    // like the reference's staging_events/staging_songs (sql_queries.py:28-64).
+    ev.createOrReplaceTempView("staging_events")
+    sg.createOrReplaceTempView("staging_songs")
 
     // S6 inserts, reference order (sql_queries.py:197), each with its
     // sortkey presort (O1).
@@ -149,7 +153,9 @@ object Etl {
     sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))
     sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))
 
-    // S8: staging cleanup is a no-op here — the staged plans go out of scope.
+    // S8: drop staging (sql_queries.py:198, etl.py:31-34).
+    spark.catalog.dropTempView("staging_events")
+    spark.catalog.dropTempView("staging_songs")
     tables.map(t => t -> sink.read(spark, t).count()).toMap
   }
 }

@@ -75,4 +75,15 @@ class PlanSpec extends SparkSpec {
     val df = SimilarityQueries.q23CosineTopK(spark, sf)
     plan(df) should include("cosine_sim")
   }
+
+  test("bucketed join is exchange-free: only the final aggregation shuffles") {
+    val p = plan(ScaleQueries.q29BucketedJoin(spark, sf))
+    p should include("Bucketed: true")
+    p should include("SortMergeJoin")
+    // the join reads co-located buckets from both sides: no shuffle on
+    // either join key, no broadcast; the only Exchange is the final agg
+    p should not include "Exchange hashpartitioning(l_orderkey"
+    p should not include "Exchange hashpartitioning(o_orderkey"
+    p should not include "BroadcastExchange"
+  }
 }
