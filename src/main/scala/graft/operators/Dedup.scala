@@ -29,15 +29,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
   }
 
-  /** Distinct shingle sets per doc, as 64-bit hashes: strings are
-    * deduplicated first, then each shingle is xxhash64'd once. Downstream
-    * set operations (min-hash, intersection) work on fixed-width longs
-    * instead of re-comparing strings — Jaccard over the hashed sets equals
-    * Jaccard over the strings up to a ~2^-64 per-pair collision chance. */
+  /** Distinct shingle sets per doc, as SORTED 64-bit hashes: strings are
+    * deduplicated first, each shingle xxhash64'd once, then sorted so the
+    * verification can merge-intersect (see [[graft.functions.JaccardSimilarity]]).
+    * Downstream set operations work on fixed-width longs instead of
+    * re-comparing strings — Jaccard over the hashed sets equals Jaccard over
+    * the strings up to a ~2^-64 per-pair collision chance. */
   private def shingled(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-      transform(TextOps.wordShingles(TextOps.words(col("text")), k),
-        s => xxhash64(s)).as("sh"))
+      array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), k),
+        s => xxhash64(s))).as("sh"))
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
@@ -115,14 +116,21 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val na = size(col("sa.sh"))
     val nb = size(col("sb.sh"))
-    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    val union = na + nb - inter
+    // Native sorted-merge intersection when the session has GraftExtensions
+    // (no per-pair hash-set allocation); built-in array_intersect otherwise.
+    // Identical value either way: |A∩B| / (|A|+|B|-|A∩B|).
+    val jaccard =
+      if (candidates.sparkSession.catalog.functionExists("jaccard_sim"))
+        call_function("jaccard_sim", col("sa.sh"), col("sb.sh"))
+      else {
+        val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+        inter.cast(DoubleType) / (na + nb - inter)
+      }
     candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(least(na, nb).cast(DoubleType) >= lit(threshold) * greatest(na, nb))
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast(DoubleType) / union).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

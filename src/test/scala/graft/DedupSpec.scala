@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
     pairs should not contain ((2L, 3L))
   }
 
+  test("native jaccard_sim equals the array_intersect formulation exactly") {
+    import org.apache.spark.sql.functions.{array_intersect, array_sort, call_function, transform, xxhash64, size => asize}
+    val d = docs(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" "), "en"),
+      (2L, (5 to 45).map(i => s"t$i").mkString(" "), "en"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "), "en"))
+    val sh = d.select(col("doc_id"),
+      array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), 3),
+        s => xxhash64(s))).as("sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val inter = asize(array_intersect(col("a.sh"), col("b.sh")))
+    val rows = pairs.select(
+        call_function("jaccard_sim", col("a.sh"), col("b.sh")).as("native"),
+        (inter.cast("double") / (asize(col("a.sh")) + asize(col("b.sh")) - inter)).as("hof"))
+      .collect()
+    rows.length shouldBe 3
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+    rows.map(_.getDouble(0)).max should be > 0.5 // overlapping pair found
+  }
+
   test("wordShingles: distinct k-shingles; short docs yield a single shingle") {
     val out = Seq("a b c d", "a b")
       .toDF("text")
