@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHash60Expr}
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, null, "jaccard_sim"),
       (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("min_hash60"),
+      new ExpressionInfo(classOf[MinHash60Expr].getName, null, "min_hash60"),
+      (children: Seq[Expression]) => MinHash60Expr(children.head)))
   }
 }

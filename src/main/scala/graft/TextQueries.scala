@@ -77,15 +77,20 @@ object TextQueries {
       ceil(length(col("text")).cast(DoubleType) / lit(4.0)).as("est_tokens_len4"),
       octet_length(col("text")).as("byte_len"))
 
-  /** q18: document fingerprint — min 60-bit hash over distinct 8-word
+  /** q18: document fingerprint — min 60-bit md5 hash over distinct 8-word
     * shingles (the min-hash member of a winnowing-style fingerprint family):
     * two documents sharing any 8-word run have a chance of colliding, equal
-    * fingerprints are a strong containment signal. */
+    * fingerprints are a strong containment signal. Uses the native
+    * min_hash60 expression when registered (one digest pass per shingle);
+    * the interpreted HOF chain is the portable fallback — same value. */
   val q18Fingerprint: Q = (s, d) => {
     val sh = TextOps.wordShingles(TextOps.words(col("text")), 8)
+    val fp =
+      if (s.catalog.functionExists("min_hash60")) call_function("min_hash60", sh)
+      else array_min(transform(sh, x => TextOps.hash60(x)))
     Tables.documents(s, d).select(
       col("doc_id"),
-      array_min(transform(sh, x => TextOps.hash60(x))).as("fingerprint"),
+      fp.as("fingerprint"),
       size(sh).as("n_shingles"))
   }
 

@@ -63,6 +63,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native min_hash60 equals the md5 HOF chain exactly") {
+    import graft.operators.TextOps
+    val docs = Seq("alpha beta gamma delta", "one two", "x").toDF("text")
+    val sh = TextOps.wordShingles(TextOps.words(col("text")), 2)
+    val rows = docs.select(
+        call_function("min_hash60", sh).as("native"),
+        array_min(transform(sh, x => TextOps.hash60(x))).as("hof"))
+      .collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("multimodal decode stub: deterministic features, OOB frames hash empty") {
     val docs = Seq((7L, "abcdefgh-rest-of-payload", "en", "x", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
