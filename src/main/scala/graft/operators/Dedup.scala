@@ -65,17 +65,28 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       shingleK: Int = 3, bands: Int = 32, rows: Int = 4): DataFrame = {
     val sh = shingled(docs, shingleK)
-    val n = bands * rows
 
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-
-    val bandKeys = (0 until bands).map(bd =>
-      xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
-    val banded = sig
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
-      .toDF("doc_id", "b", "bk")
+    // Fast path: the native lsh_band_keys expression fuses signature +
+    // banding into one projection loop — no explode of shingles, no wide
+    // aggregation, no signature shuffle. Fallback (vanilla session): the
+    // signature as a grouped aggregation, which is ALSO the structural
+    // safeguard — a projection-only signature expression would get inlined
+    // by CollapseProject into every band-key reference (measured 100×).
+    val banded =
+      if (docs.sparkSession.catalog.functionExists("lsh_band_keys"))
+        sh.select(col("doc_id"),
+            posexplode(call_function("lsh_band_keys", col("sh"), lit(bands), lit(rows))))
+          .toDF("doc_id", "b", "bk")
+      else {
+        val n = bands * rows
+        val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+        val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+        val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bandKeys = (0 until bands).map(bd =>
+          xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
+        sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+          .toDF("doc_id", "b", "bk")
+      }
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
