@@ -21,10 +21,14 @@ object DedupQueries {
   val q22DedupNgramBlocked: Q = (s, d) =>
     Dedup.blockedNgramPairs(Tables.documents(s, d), threshold = 0.6)
 
+  val q30DedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(TextQueries.simhashDf(Tables.documents(s, d)), maxHamming = 3)
+
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
-    "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked)
+    "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked,
+    "q30_dedup_simhash"       -> q30DedupSimhash)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -68,5 +72,13 @@ object DedupQueries {
          |${jaccardSelect(
            """JOIN blk ba ON ba.doc_id = da
              |JOIN blk bb ON bb.doc_id = db AND bb.lang = ba.lang
-             |  AND abs(ba.b - bb.b) <= 1""".stripMargin, 0.6)}""".stripMargin)
+             |  AND abs(ba.b - bb.b) <= 1""".stripMargin, 0.6)}""".stripMargin,
+    // All-pairs exact hamming over the identical fingerprints — pigeonhole
+    // blocking has recall 1 at hamming <= 3, so the sets must be equal.
+    "q30_dedup_simhash" ->
+      s"""WITH fp AS (${TextQueries.simhashSql})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)
 }

@@ -24,5 +24,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // Pinned: the default derives from the process cwd, and managed
+      // tables (bucketed joins) must land inside the repo regardless of
+      // where the harness launches us.
+      .config("spark.sql.warehouse.dir", "/root/repo/work/warehouse")
       .config("spark.ui.enabled", "false")
 }

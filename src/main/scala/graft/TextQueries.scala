@@ -100,8 +100,11 @@ object TextQueries {
     * task's rows to one row per doc before the shuffle) → recombine bits.
     * The shuffle carries |docs| rows × 60 ints, independent of corpus size
     * per doc — the scalable shape for fingerprinting at 100 TB. */
-  val q19Simhash: Q = (s, d) => {
-    val exploded = Tables.documents(s, d)
+  /** (doc_id, simhash) table — shared by q19 and the SimHash near-dup
+    * pair detector (q30). Aggregation output = safe to reference many
+    * times downstream (pipeline barrier, no projection-collapse risk). */
+  def simhashDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
     val votes = (0 until 60).map(b =>
@@ -112,6 +115,8 @@ object TextQueries {
       .reduce(_ + _)
     grouped.select(col("doc_id"), simhash.as("simhash"))
   }
+
+  val q19Simhash: Q = (s, d) => simhashDf(Tables.documents(s, d))
 
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
@@ -180,13 +185,17 @@ object TextQueries {
         |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT), 'min') AS fingerprint,
         |  len(s) AS n_shingles
         |FROM sh""".stripMargin,
-    "q19_simhash" ->
-      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h FROM w),
-        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM h, (SELECT unnest(range(60)) AS b) bits GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash
-        |FROM v GROUP BY doc_id""".stripMargin)
+    "q19_simhash" -> simhashSql)
+
+  /** The q19 oracle SQL, exposed so the q30 near-dup oracle can stage the
+    * identical fingerprints. */
+  lazy val simhashSql: String =
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h FROM w),
+      |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h, (SELECT unnest(range(60)) AS b) bits GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+      |FROM v GROUP BY doc_id""".stripMargin
 }

@@ -97,6 +97,33 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** SimHash near-duplicate pairs with GUARANTEED recall at the hamming
+    * threshold: a 60-bit fingerprint differs in ≤ `maxHamming` (< 4) bits
+    * only if at least one of its four 15-bit pieces is identical
+    * (pigeonhole — a theorem, not a probabilistic bound, unlike MinHash
+    * banding). Candidates equi-join on (piece index, piece value); the
+    * exact hamming verify via bit_count(xor) keeps only true pairs.
+    * `fingerprints` must be a (doc_id, simhash) table whose values come
+    * from an aggregation (safe to reference repeatedly). */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-piece pigeonhole blocking guarantees recall only for hamming <= 3")
+    val pieces = fingerprints
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("shiftright(simhash, i * 15) & 32767").as("piece"))
+    val candidates = pieces.as("x").join(pieces.as("y"),
+        col("x.i") === col("y.i") && col("x.piece") === col("y.piece") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(fingerprints.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(fingerprints.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(fa.simhash ^ fb.simhash) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Blocked pairwise n-gram Jaccard: candidates are pairs sharing the
     * blocking key (`lang`) and sitting in the same or adjacent word-count
     * bucket (each doc emits its bucket and bucket+1, so an equi-join covers

@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
     rows.map(_.getDouble(0)).max should be > 0.5 // overlapping pair found
   }
 
+  test("simhashPairs: hamming<=3 pairs found via pigeonhole pieces, others dropped") {
+    import spark.implicits.{newLongEncoder => _, _}
+    // fingerprints differing in 2 bits (pair), 10 bits (no pair)
+    val fp = Seq(
+      (1L, 0x0F0F0F0F0FL), (2L, 0x0F0F0F0F0CL),  // hamming 2 (low bits)
+      (3L, 0x7000000000L)).toDF("doc_id", "simhash")
+    val out = Dedup.simhashPairs(fp, maxHamming = 3).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("doc_a") shouldBe 1L
+    out.head.getAs[Long]("doc_b") shouldBe 2L
+    out.head.getAs[Int]("hamming") shouldBe 2
+  }
+
+  test("simhashPairs rejects thresholds the blocking cannot guarantee") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashPairs(docs().select(col("doc_id"), col("doc_id").as("simhash")), 4)
+  }
+
   test("wordShingles: distinct k-shingles; short docs yield a single shingle") {
     val out = Seq("a b c d", "a b")
       .toDF("text")
