@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract). Runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
