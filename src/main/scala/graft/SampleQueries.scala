@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextOps
+
+/** Corpus-shaping operators a training-data pipeline runs after scoring:
+  * deterministic stratified sampling and per-stratum length statistics.
+  */
+object SampleQueries {
+  import Queries.Q
+
+  /** Per-language keep rates (percent): the over-represented language is
+    * downsampled, the rest kept — the classic corpus rebalancing step. */
+  private val keepPct: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 100, "es" -> 100, "fr" -> 100, "zh" -> 80)
+
+  private def rateCol(lang: Column): Column =
+    keepPct.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (l, r)) => acc.when(lang === l, lit(r))
+    }.otherwise(lit(0))
+
+  /** q31: hash-bucket stratified sampling — keep a document iff its 60-bit
+    * content-independent hash (md5 of the id, so the decision is stable
+    * across runs, machines, and engines) falls under the language's rate;
+    * emit the importance weight 100/rate for downstream statistics.
+    * Unlike `df.sample()`, this is deterministic, join-stable (the same id
+    * always lands the same way), and needs no RNG state — the only sampling
+    * discipline that works on a 1000-executor re-runnable pipeline. */
+  val q31StratifiedSample: Q = (s, d) => {
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(100))
+    val rate = rateCol(col("lang"))
+    Tables.documents(s, d)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"),
+        (lit(100.0) / rate.cast(DoubleType)).as("weight"))
+  }
+
+  /** q32: per-language word-count distribution — exact interpolated
+    * percentiles (p50/p90/p99) + mean. Exact percentile = a sort per
+    * group; for 100 TB you'd swap in approx_percentile (t-digest sketch,
+    * mergeable map-side) and accept bounded error — kept exact here so the
+    * oracle can assert equality. */
+  val q32TokenPercentiles: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), size(TextOps.words(col("text"))).as("wc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("wc"), lit(0.5)).as("p50"),
+        percentile(col("wc"), lit(0.9)).as("p90"),
+        percentile(col("wc"), lit(0.99)).as("p99"),
+        // decimal sum, not avg(): double partial sums are order-dependent
+        // across partitions; the exact sum divides deterministically
+        (sum(col("wc").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+          .as("mean_wc"))
+
+  val queries: Map[String, Q] = Map(
+    "q31_stratified_sample" -> q31StratifiedSample,
+    "q32_token_percentiles" -> q32TokenPercentiles)
+
+  private val rateSql = keepPct
+    .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+    .mkString("CASE ", " ", " ELSE 0 END")
+
+  val oracle: Map[String, String] = Map(
+    "q31_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |  100.0::DOUBLE / CAST(($rateSql) AS DOUBLE) AS weight
+         |FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100
+         |      < ($rateSql)""".stripMargin,
+    "q32_token_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(wc, 0.5) AS p50,
+        |  quantile_cont(wc, 0.9) AS p90,
+        |  quantile_cont(wc, 0.99) AS p99,
+        |  CAST(sum(CAST(wc AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_wc
+        |FROM (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS wc
+        |      FROM documents) GROUP BY lang""".stripMargin)
+}
