@@ -17,7 +17,10 @@ object SimilarityQueries {
   private val K_ANN = 3
   private val PLANES = 8
   private val DIM = 64
+  private val CELLS = 16
+  private val NPROBE = 2
   private lazy val grid = Similarity.hyperplaneGrid(PLANES, DIM)
+  private lazy val cents = Similarity.mdGrid("iv", CELLS, DIM)
 
   private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
@@ -38,9 +41,14 @@ object SimilarityQueries {
   val q24AnnLsh: Q = (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid, cosineFn(s))
 
+  val q33AnnIvf: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, cents,
+      NPROBE, cosineFn(s))
+
   val queries: Map[String, Q] = Map(
     "q23_cosine_topk" -> q23CosineTopK,
-    "q24_ann_lsh"     -> q24AnnLsh)
+    "q24_ann_lsh"     -> q24AnnLsh,
+    "q33_ann_ivf"     -> q33AnnIvf)
 
   // ---------------------------------------------------------------------
   // Oracles
@@ -65,6 +73,17 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql(v, hpList(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Centroid c as a SQL list literal; dist² fold mirrors Similarity.dist2
+    * (0.0-seeded left fold of (x-c)² in element order). */
+  private def centList(c: Int): String =
+    cents(c).map(k => s"($k)/CAST(1000 AS DOUBLE)").mkString("[", ",", "]")
+
+  private def dist2Sql(v: String, c: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($v, ${centList(c)}),
+       |      z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))),
+       |  (x, y) -> x + y)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -82,6 +101,24 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "v.embedding")} AS sim
          |  FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> qid),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+         |FROM ranked WHERE rn <= $K_ANN""".stripMargin,
+    "q33_ann_ivf" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(range($CELLS)) AS c,
+         |    unnest([${(0 until CELLS).map(dist2Sql("embedding", _)).mkString(",\n      ")}]) AS dist
+         |  FROM embeddings),
+         |r AS (SELECT vec_id, embedding, c, dist, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d),
+         |assign AS (SELECT vec_id, embedding, c AS cell FROM r WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, embedding AS qe, c AS cell
+         |  FROM r WHERE rn <= $NPROBE AND vec_id < 8),
+         |scored AS (
+         |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "v.embedding")} AS sim
+         |  FROM probes q JOIN assign v ON v.cell = q.cell AND v.vec_id <> qid),
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim

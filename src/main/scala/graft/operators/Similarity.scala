@@ -49,17 +49,20 @@ object Similarity {
         cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: component (p, j) is derived
-    * from md5("hp{p}_{j}") — reproducible in any engine with md5 (the
-    * oracle embeds the same constants), uniform in [-1, 1] at 1/1000 step. */
-  def hyperplaneGrid(planes: Int, dim: Int): Array[Array[Int]] = {
+  /** Deterministic pseudo-random grid: component (p, j) is derived from
+    * md5("{prefix}{p}_{j}") — reproducible in any engine with md5 (the
+    * oracle embeds the same constants), uniform in [-1, 1] at 1/1000 step.
+    * Used for both LSH hyperplanes and IVF centroids. */
+  def mdGrid(prefix: String, n: Int, dim: Int): Array[Array[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(planes, dim) { (p, j) =>
-      val hex = md.digest(s"hp${p}_$j".getBytes(StandardCharsets.UTF_8))
+    Array.tabulate(n, dim) { (p, j) =>
+      val hex = md.digest(s"$prefix${p}_$j".getBytes(StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.substring(0, 15)
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toInt
     }
   }
+
+  def hyperplaneGrid(planes: Int, dim: Int): Array[Array[Int]] = mdGrid("hp", planes, dim)
 
   /** Sign-bucket of a vector under the hyperplane grid: bit p is set iff
     * dot(v, h_p) >= 0. Vectors in the same bucket agree on every plane —
@@ -82,6 +85,48 @@ object Similarity {
     val qb = queries.withColumn("bucket", signBucket(col("embedding"), grid))
     val joined = qb.as("q").join(bucketed.as("v"),
         col("q.bucket") === col("v.bucket") && col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(joined
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("v.vec_id").as("neighbor_id"),
+        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
+  }
+
+  /** Squared L2 distance of a float-array column to a constant centroid. */
+  private def dist2(v: Column, cent: Array[Int]): Column = {
+    val c = array(cent.map(x => lit(x / 1000.0)): _*)
+    aggregate(zip_with(v, c, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, d) => acc + d)
+  }
+
+  /** (dist², centroidIdx) structs for every centroid — struct order is
+    * lexicographic, so array_min/array_sort give the (nearest, lowest-idx)
+    * deterministic assignment and probe order. */
+  private def centroidDists(v: Column, cents: Array[Array[Int]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2(v, c).as("dist"), lit(i).as("c"))
+    }: _*)
+
+  /** IVF (inverted-file) ANN top-k: vectors are assigned to their nearest
+    * of `cents.length` coarse centroids (one pass, no iteration — the
+    * centroids are a deterministic md5-derived grid, so plan and oracle
+    * agree); each query probes its `nprobe` nearest cells and ranks the
+    * candidates by exact cosine. Complements [[lshTopK]]: IVF cells adapt
+    * recall via nprobe without re-hashing, and the cell assignment is the
+    * same partitioning a 100 TB corpus would be physically clustered by
+    * (write the corpus partitioned by cell → each probe reads nprobe/cells
+    * of the data). */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              cents: Array[Array[Int]], nprobe: Int,
+              cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val assigned = vectors.withColumn("cell",
+      array_min(centroidDists(col("embedding"), cents)).getField("c"))
+    val probed = queries.withColumn("cell",
+      explode(transform(
+        slice(array_sort(centroidDists(col("embedding"), cents)), 1, nprobe),
+        s => s.getField("c"))))
+    val joined = probed.as("q").join(assigned.as("v"),
+      col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
     rankTopK(joined
       .select(
         col("q.vec_id").as("query_id"),

@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK assigns to nearest cell and only ranks in-cell candidates") {
+    // 2-dim toy centroids: cell 0 at (1,0), cell 1 at (-1,0)
+    val cents = Array(Array(1000, 0), Array(-1000, 0))
+    val d = vecs(
+      (0L, Seq(0.9f, 0.1f)), (1L, Seq(0.8f, -0.1f)),  // near cell 0
+      (2L, Seq(-0.9f, 0.05f)))                        // near cell 1
+    val out = Similarity.ivfTopK(d, d.filter(col("vec_id") === 0), k = 2, cents, nprobe = 1)
+      .collect()
+    // with nprobe=1 only cell 0 is probed: vector 2 (cell 1) is invisible
+    out.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(1L)
+    val both = Similarity.ivfTopK(d, d.filter(col("vec_id") === 0), k = 2, cents, nprobe = 2)
+      .collect()
+    both.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(1L, 2L)
+  }
+
   test("native min_hash60 equals the md5 HOF chain exactly") {
     import graft.operators.TextOps
     val docs = Seq("alpha beta gamma delta", "one two", "x").toDF("text")
