@@ -45,10 +45,37 @@ object SimilarityQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, cents,
       NPROBE, cosineFn(s))
 
+  /** q34: same answer as q23, via the typed partial top-k Aggregator
+    * instead of a window rank — the shuffle carries ≤ k rows per (query,
+    * map task) instead of every scored row (see [[graft.functions.TopKAgg]]);
+    * the oracle is the SAME SQL as q23, asserting the two formulations are
+    * interchangeable. */
+  val q34TopkAggregated: Q = (s, d) => {
+    import org.apache.spark.sql.functions.udaf
+    val vectors = Tables.embeddings(s, d)
+    val queries = queriesOf(s, d)
+    val cos = cosineFn(s)
+    val scored = vectors.as("v").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("v.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("v.vec_id").as("neighbor_id"),
+        cos(col("q.embedding"), col("v.embedding")).as("sim"))
+    val topk = udaf(graft.functions.TopKAgg.topK(K_BRUTE))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.sim").as("sim"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q23_cosine_topk" -> q23CosineTopK,
-    "q24_ann_lsh"     -> q24AnnLsh,
-    "q33_ann_ivf"     -> q33AnnIvf)
+    "q23_cosine_topk"     -> q23CosineTopK,
+    "q24_ann_lsh"         -> q24AnnLsh,
+    "q33_ann_ivf"         -> q33AnnIvf,
+    "q34_topk_aggregated" -> q34TopkAggregated)
 
   // ---------------------------------------------------------------------
   // Oracles
@@ -84,7 +111,19 @@ object SimilarityQueries {
        |      z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))),
        |  (x, y) -> x + y)""".stripMargin
 
+  private def bruteTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS nid, ${cosineSql("qe", "e.embedding")} AS sim
+       |  FROM q, embeddings e WHERE e.vec_id <> qid),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
+       |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+       |FROM ranked WHERE rn <= $K_BRUTE""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q34 must produce exactly the window formulation's answer.
+    "q34_topk_aggregated" -> bruteTopKSql,
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |scored AS (
