@@ -35,25 +35,29 @@ object Etl {
   def starRoot(sfDir: String): String =
     s"/root/repo/work/star/${Paths.get(sfDir).getFileName}"
 
-  /** Staged events: jsonpaths-mapped scan (S1) with the X6/X7 conversions —
-    * the staging_events contract of `sql_queries.py:28-49`. */
+  /** The jsonpaths field→column mapping for the events staging shape (the
+    * staging_events contract of `sql_queries.py:28-49`) — shared by the
+    * batch scan and its streaming twin, so both build the same plan. */
+  val eventsMapping: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "artist"       -> col("artistName"),
+    "song"         -> col("songTitle"),
+    "length"       -> col("songLenNum").cast(DecimalType(12, 4)),
+    "page"         -> col("eventKind"),
+    "registration" -> Epoch.floatMillisToTimestamp(col("registrationMs")),
+    "sessionId"    -> col("sessionId"),
+    "level"        -> col("levelStr"),
+    "firstName"    -> col("firstName"),
+    "lastName"     -> col("lastName"),
+    "gender"       -> col("gender"),
+    "location"     -> col("locationStr"),
+    "userAgent"    -> col("userAgentStr"),
+    "ts"           -> Epoch.millisToTimestamp(col("tsMillis")),
+    "userId"       -> JsonSource.intOrNull(col("userIdStr")))
+
+  /** Staged events: jsonpaths-mapped scan (S1) with the X6/X7 conversions. */
   def stageEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.ensureEventsJson(spark, sfDir)
-    JsonSource.jsonpaths(spark, dir, Fixtures.eventsRawSchema, Seq(
-      "artist"       -> col("artistName"),
-      "song"         -> col("songTitle"),
-      "length"       -> col("songLenNum").cast(DecimalType(12, 4)),
-      "page"         -> col("eventKind"),
-      "registration" -> Epoch.floatMillisToTimestamp(col("registrationMs")),
-      "sessionId"    -> col("sessionId"),
-      "level"        -> col("levelStr"),
-      "firstName"    -> col("firstName"),
-      "lastName"     -> col("lastName"),
-      "gender"       -> col("gender"),
-      "location"     -> col("locationStr"),
-      "userAgent"    -> col("userAgentStr"),
-      "ts"           -> Epoch.millisToTimestamp(col("tsMillis")),
-      "userId"       -> JsonSource.intOrNull(col("userIdStr"))))
+    JsonSource.jsonpaths(spark, dir, Fixtures.eventsRawSchema, eventsMapping)
   }
 
   /** Staged songs: auto-mapped scan (S2) — `sql_queries.py:51-64`. */

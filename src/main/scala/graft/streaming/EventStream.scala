@@ -100,4 +100,19 @@ object EventStream {
     windowedAgg(readEventsJson(spark, dir))
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete()).start()
+
+  /** Streaming twin of the flagship star build: the event feed streams
+    * through the SAME staging mapping and the SAME songplay join builder as
+    * the batch pipeline (stream-static join — the static songs dim is
+    * broadcast per micro-batch, the stream side never shuffles, and
+    * left-outer stream-static needs no watermark because the static side
+    * can't be late). Each micro-batch appends fact rows; the batch Etl and
+    * this stream produce identical row multisets over the same input. */
+  def streamingSongplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Fixtures.ensureEventsJson(spark, sfDir)
+    val evStream = spark.readStream.schema(Fixtures.eventsRawSchema).json(dir)
+      .select(graft.pipeline.Etl.eventsMapping.map { case (n, c) => c.as(n) }: _*)
+    val songs = graft.pipeline.Etl.stageSongs(spark, sfDir) // static side
+    graft.pipeline.Etl.songplay(evStream, songs)
+  }
 }

@@ -70,6 +70,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming songplay equals the batch star build on the same feed") {
+    val sf = "/root/testdata/sf0.001"
+    val q = EventStream.streamingSongplay(spark, sf)
+      .writeStream.format("memory").queryName("songplay_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("songplay_stream")
+      val batch = graft.pipeline.Etl.songplay(
+        graft.pipeline.Etl.stageEvents(spark, sf),
+        graft.pipeline.Etl.stageSongs(spark, sf))
+      streamed.count() shouldBe batch.count()
+      // identical row multisets: anti-joins empty in both directions
+      streamed.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(streamed).count() shouldBe 0
+    } finally q.stop()
+  }
+
   test("streaming file-source scan reads the events JSON feed schema") {
     val dir = graft.sources.Fixtures.ensureEventsJson(spark, "/root/testdata/sf0.001")
     val q = EventStream.readEventsJson(spark, dir)
