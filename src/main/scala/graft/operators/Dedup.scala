@@ -29,16 +29,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
   }
 
-  /** Distinct shingle sets per doc, as SORTED 64-bit hashes: strings are
-    * deduplicated first, each shingle xxhash64'd once, then sorted so the
+  /** Distinct shingle sets per doc, as SORTED 64-bit hashes, so the
     * verification can merge-intersect (see [[graft.functions.JaccardSimilarity]]).
-    * Downstream set operations work on fixed-width longs instead of
-    * re-comparing strings — Jaccard over the hashed sets equals Jaccard over
-    * the strings up to a ~2^-64 per-pair collision chance. */
-  private def shingled(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-      array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), k),
-        s => xxhash64(s))).as("sh"))
+    * Set operations work on fixed-width longs instead of re-comparing
+    * strings — Jaccard over the hashed sets equals Jaccard over the strings
+    * up to a ~2^-64 per-pair collision chance. Fast path: the native
+    * hashed_shingles expression (one fused loop); fallback: the composable
+    * higher-order chain (distinct → xxhash64 → sort), interpreted. */
+  private def shingled(docs: DataFrame, k: Int): DataFrame = {
+    val sh =
+      if (docs.sparkSession.catalog.functionExists("hashed_shingles"))
+        call_function("hashed_shingles", TextOps.words(col("text")), lit(k))
+      else
+        array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), k),
+          s => xxhash64(s)))
+    docs.select(col("doc_id"), sh.as("sh"))
+  }
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *

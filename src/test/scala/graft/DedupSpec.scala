@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     rows.map(_.getDouble(0)).max should be > 0.5 // overlapping pair found
   }
 
+  test("hashed_shingles preserves shingle-set identity vs the string HOF chain") {
+    import org.apache.spark.sql.functions.{array_sort, call_function, transform, xxhash64, size => asize}
+    val d = docs(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" "), "en"),
+      (2L, "short", "en"),
+      (3L, "a b a b a b", "en")) // repeated shingles → dedupe matters
+    val native = d.select(call_function("hashed_shingles",
+      TextOps.words(col("text")), lit(3)).as("sh"))
+    val hof = d.select(array_sort(transform(
+      TextOps.wordShingles(TextOps.words(col("text")), 3), s => xxhash64(s))).as("sh"))
+    // different hash families → different values, but identical SET SIZES
+    // (distinctness) and identical pairwise jaccards
+    native.select(asize(col("sh"))).as[Int].collect().toSeq shouldBe
+      hof.select(asize(col("sh"))).as[Int].collect().toSeq
+    // sortedness + distinctness of the native output
+    native.as[Seq[Long]].collect().foreach { arr =>
+      arr shouldBe arr.sorted
+      arr.distinct.length shouldBe arr.length
+    }
+  }
+
   test("simhashPairs: hamming<=3 pairs found via pigeonhole pieces, others dropped") {
     import spark.implicits.{newLongEncoder => _, _}
     // fingerprints differing in 2 bits (pair), 10 bits (no pair)
