@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShinglesExpr, JaccardSimilarity, LshBandKeysExpr, MinHash60Expr}
+import graft.functions.{CosineSimilarity, HashedShinglesExpr, JaccardSimilarity, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr}
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("min_hash60"),
       new ExpressionInfo(classOf[MinHash60Expr].getName, null, "min_hash60"),
       (children: Seq[Expression]) => MinHash60Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("min_md5_shingle60"),
+      new ExpressionInfo(classOf[MinMd5Shingle60Expr].getName, null, "min_md5_shingle60"),
+      (children: Seq[Expression]) => MinMd5Shingle60Expr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("hashed_shingles"),
       new ExpressionInfo(classOf[HashedShinglesExpr].getName, null, "hashed_shingles"),

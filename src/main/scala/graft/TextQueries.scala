@@ -84,14 +84,20 @@ object TextQueries {
     * min_hash60 expression when registered (one digest pass per shingle);
     * the interpreted HOF chain is the portable fallback — same value. */
   val q18Fingerprint: Q = (s, d) => {
-    val sh = TextOps.wordShingles(TextOps.words(col("text")), 8)
-    val fp =
-      if (s.catalog.functionExists("min_hash60")) call_function("min_hash60", sh)
-      else array_min(transform(sh, x => TextOps.hash60(x)))
+    val w = TextOps.words(col("text"))
+    val sh = TextOps.wordShingles(w, 8)
+    // Fast path: shingle construction fused into the digest loop, distinct
+    // count via the fused hashed-shingle set; fallback: the HOF chain.
+    val (fp, nSh) =
+      if (s.catalog.functionExists("min_md5_shingle60"))
+        (call_function("min_md5_shingle60", w, lit(8)),
+          size(call_function("hashed_shingles", w, lit(8))))
+      else
+        (array_min(transform(sh, x => TextOps.hash60(x))), size(sh))
     Tables.documents(s, d).select(
       col("doc_id"),
       fp.as("fingerprint"),
-      size(sh).as("n_shingles"))
+      nSh.as("n_shingles"))
   }
 
   /** q19: 60-bit SimHash over word occurrences (term frequency included).

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -36,6 +36,48 @@ object MinHash60 {
   }
 }
 
+object MinMd5Shingle60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** min 60-bit md5 over the space-joined k-word shingles of `words`,
+    * building each shingle's bytes directly (no per-shingle UTF8String /
+    * array materialization). Identical value to computing
+    * [[MinHash60.compute]] over [[graft.operators.TextOps.wordShingles]] —
+    * md5 input bytes are the same UTF-8 "w1 w2 … wk" strings; dedup before
+    * min is irrelevant to the minimum. */
+  def compute(words: ArrayData, k: Int): Long = {
+    val digest = md.get()
+    val n = words.numElements()
+    val m = math.max(1, n - k + 1)
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    var minV = Long.MaxValue
+    var s = 0
+    while (s < m) {
+      digest.reset()
+      var j = s
+      val e = math.min(s + k, n)
+      while (j < e) {
+        if (j > s) digest.update(' '.toByte)
+        digest.update(wb(j))
+        j += 1
+      }
+      val h = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      if (v < minV) minV = v
+      s += 1
+    }
+    minV
+  }
+}
+
 /** Native Catalyst expression: minimum 60-bit md5 hash over an
   * `array<string>` of shingles — the document-fingerprint hot loop as one
   * digest pass per element, replacing the interpreted higher-order chain
@@ -62,4 +104,34 @@ case class MinHash60Expr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHash60Expr =
     copy(child = newChild)
+}
+
+/** Native Catalyst expression: `min_md5_shingle60(words, k)` — fuses the
+  * k-word shingle construction INTO the digest loop (shingle bytes are
+  * streamed into the MessageDigest word by word), so the fingerprint needs
+  * neither shingle strings nor an intermediate array. Same value as
+  * min_hash60 over the built shingle array. */
+case class MinMd5Shingle60Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "min_md5_shingle60"
+
+  override protected def nullSafeEval(words: Any, k: Any): Any =
+    MinMd5Shingle60.compute(words.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, k) => s"graft.functions.MinMd5Shingle60.compute($w, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinMd5Shingle60Expr =
+    copy(left = newLeft, right = newRight)
 }

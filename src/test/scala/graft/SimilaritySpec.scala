@@ -89,6 +89,18 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("fused min_md5_shingle60 equals min_hash60 over built shingles") {
+    import graft.operators.TextOps
+    val docs = Seq("alpha beta gamma delta epsilon", "one two", "x").toDF("text")
+    val w = TextOps.words(col("text"))
+    val sh = TextOps.wordShingles(w, 3)
+    val rows = docs.select(
+        call_function("min_md5_shingle60", w, lit(3)).as("fused"),
+        call_function("min_hash60", sh).as("built"))
+      .collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("multimodal decode stub: deterministic features, OOB frames hash empty") {
     val docs = Seq((7L, "abcdefgh-rest-of-payload", "en", "x", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
