@@ -12,33 +12,28 @@ import graft.functions.{CosineSimilarity, HashedShinglesExpr, JaccardSimilarity,
   * session built elsewhere simply falls back to the composable built-in
   * implementations (see SimilarityQueries' guard). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("jaccard_sim"),
-      new ExpressionInfo(classOf[JaccardSimilarity].getName, null, "jaccard_sim"),
-      (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("min_hash60"),
-      new ExpressionInfo(classOf[MinHash60Expr].getName, null, "min_hash60"),
-      (children: Seq[Expression]) => MinHash60Expr(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("min_md5_shingle60"),
-      new ExpressionInfo(classOf[MinMd5Shingle60Expr].getName, null, "min_md5_shingle60"),
-      (children: Seq[Expression]) => MinMd5Shingle60Expr(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("hashed_shingles"),
-      new ExpressionInfo(classOf[HashedShinglesExpr].getName, null, "hashed_shingles"),
-      (children: Seq[Expression]) => HashedShinglesExpr(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("lsh_band_keys"),
-      new ExpressionInfo(classOf[LshBandKeysExpr].getName, null, "lsh_band_keys"),
-      (children: Seq[Expression]) => LshBandKeysExpr(
-        children.head,
-        children(1).eval().asInstanceOf[Int],
-        children(2).eval().asInstanceOf[Int])))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def desc(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, null, name), builder)
+
+  /** The registrations, exposed so specs can drop/restore them to exercise
+    * the composable fallback paths vanilla sessions take. */
+  val functions: Seq[FunctionDescription] = Seq(
+    desc("cosine_sim", classOf[CosineSimilarity])(c => CosineSimilarity(c.head, c(1))),
+    desc("jaccard_sim", classOf[JaccardSimilarity])(c => JaccardSimilarity(c.head, c(1))),
+    desc("min_hash60", classOf[MinHash60Expr])(c => MinHash60Expr(c.head)),
+    desc("min_md5_shingle60", classOf[MinMd5Shingle60Expr])(
+      c => MinMd5Shingle60Expr(c.head, c(1))),
+    desc("hashed_shingles", classOf[HashedShinglesExpr])(
+      c => HashedShinglesExpr(c.head, c(1))),
+    desc("lsh_band_keys", classOf[LshBandKeysExpr])(c => LshBandKeysExpr(
+      c.head, c(1).eval().asInstanceOf[Int], c(2).eval().asInstanceOf[Int])))
 }

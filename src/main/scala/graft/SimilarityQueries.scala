@@ -29,21 +29,21 @@ object SimilarityQueries {
     * [[GraftExtensions]]; bit-identical to the composable fold — see
     * CosineSimilarity's scaladoc) and fall back to the built-in
     * higher-order-function version on sessions without the extension. */
-  private def cosineFn(s: org.apache.spark.sql.SparkSession) =
+  private[graft] def cosineFnFor(s: org.apache.spark.sql.SparkSession) =
     if (s.catalog.functionExists("cosine_sim"))
       (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         call_function("cosine_sim", a, b)
     else Similarity.cosine _
 
   val q23CosineTopK: Q = (s, d) =>
-    Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE, cosineFn(s))
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE, cosineFnFor(s))
 
   val q24AnnLsh: Q = (s, d) =>
-    Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid, cosineFn(s))
+    Similarity.lshTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, grid, cosineFnFor(s))
 
   val q33AnnIvf: Q = (s, d) =>
     Similarity.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, cents,
-      NPROBE, cosineFn(s))
+      NPROBE, cosineFnFor(s))
 
   /** q34: same answer as q23, via the typed partial top-k Aggregator
     * instead of a window rank — the shuffle carries ≤ k rows per (query,
@@ -54,7 +54,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions.udaf
     val vectors = Tables.embeddings(s, d)
     val queries = queriesOf(s, d)
-    val cos = cosineFn(s)
+    val cos = cosineFnFor(s)
     val scored = vectors.as("v").join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("v.vec_id"))
       .select(

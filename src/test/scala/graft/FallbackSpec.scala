@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** The driver's own sessions don't carry GraftExtensions; every operator
+  * guards on functionExists and falls back to composable built-ins. This
+  * spec drops the native functions from the registry, re-runs the
+  * operators down their fallback paths, and asserts identical results —
+  * then restores the registry. */
+class FallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withoutNativeFunctions[T](body: => T): T = {
+    val reg = spark.sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (ident, _, _) => reg.dropFunction(ident) }
+    try body
+    finally GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  test("dedup fallbacks (agg-barrier minhash, array_intersect verify) match native") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" "), "en"),
+      (2L, (1 to 40).map(i => if (i == 40) "x" else s"tok$i").mkString(" "), "en"),
+      (3L, (100 to 140).map(i => s"o$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val native = Dedup.minhashLshPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("lsh_band_keys") shouldBe false
+      Dedup.minhashLshPairs(docs, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    }
+    fallback shouldBe native
+    native.length shouldBe 1
+  }
+
+  test("similarity fallback (HOF cosine fold) matches the native expression") {
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, (0 until 16).map(j => ((i * 13 + j * 7) % 19 - 9) / 5.0f)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") < 2), k = 3,
+        SimilarityQueries.cosineFnFor(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val native = run()
+    val fallback = withoutNativeFunctions { run() }
+    fallback shouldBe native
+  }
+
+  test("fingerprint fallback (HOF md5 chain) matches the fused expression") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("fpdocs")
+    def run() = TextQueries.q18Fingerprint(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val native = run()
+    val fallback = withoutNativeFunctions { run() }
+    fallback shouldBe native
+  }
+}
