@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Etl
+import graft.sinks.ParquetSink
+
+/** Full pipeline run at smoke scale: materialized star tables satisfy the
+  * reference's derived invariants (BASELINE.md): |time| = |distinct ts|,
+  * |songplay| ≥ |events| (left outer + fanout), users excludes anonymous,
+  * and the sortkey presort leaves each parquet file internally ordered. */
+class EtlEndToEndSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("star build materializes all five tables with reference invariants") {
+    val counts = Etl.run(spark, sf)
+    val sink = new ParquetSink(Etl.starRoot(sf))
+
+    val events = Etl.stageEvents(spark, sf)
+    val nEvents = events.count()
+
+    counts("songplay") should be >= nEvents // left outer keeps all + fanout
+    counts("time") shouldBe events.select(col("ts")).distinct().count()
+    counts("users") shouldBe events.filter(col("userId").isNotNull)
+      .select("userId", "firstName", "lastName", "gender", "level").distinct().count()
+    Etl.tables.foreach(t => counts(t) should be > 0L)
+
+    // schema contract: songplay columns in target order
+    sink.read(spark, "songplay").schema.fieldNames.toSeq shouldBe
+      graft.schemas.Schemas.songplay.fieldNames.toSeq
+  }
+
+  test("sortkey presort: each songplay file is internally ordered by start_time") {
+    Etl.run(spark, sf)
+    val sink = new ParquetSink(Etl.starRoot(sf))
+    import org.apache.spark.sql.Row
+    val unordered = sink.read(spark, "songplay")
+      .select(input_file_name().as("f"), col("start_time"))
+      .withColumn("prev", lag(col("start_time"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("start_time"))
+    unordered.count() shouldBe 0L
+  }
+}
