@@ -49,7 +49,7 @@ object PipelineQueries {
          |sp AS (SELECT e.ts FROM ev e LEFT OUTER JOIN sg s
          |       ON s.artist_name = e.artistName AND s.title = e.songTitle
          |          AND s.duration = e.length),
-         |us AS (SELECT DISTINCT user_id, firstName, lastName, gender, levelStr
+         |us AS (SELECT DISTINCT user_id, firstName, lastName, gender
          |       FROM ev WHERE user_id IS NOT NULL),
          |so AS (SELECT DISTINCT song_id, title, artist_id, year, duration
          |       FROM sg WHERE song_id IS NOT NULL),
@@ -67,7 +67,7 @@ object PipelineQueries {
       s"""WITH ev AS ($evStage),
          |sg AS (SELECT * FROM ${IngestQueries.songsReadJson})
          |SELECT e.ts AS start_time, e.user_id, e.levelStr AS level,
-         |  s.song_id, s.artist_id, e.sessionId AS session_id,
+         |  s.song_id, s.artist_id, CAST(e.sessionId AS VARCHAR) AS session_id,
          |  e.locationStr AS location, e.userAgentStr AS user_agent
          |FROM ev e LEFT OUTER JOIN sg s
          |  ON s.artist_name = e.artistName AND s.title = e.songTitle

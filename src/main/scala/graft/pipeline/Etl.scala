@@ -80,38 +80,45 @@ object Etl {
         events("level"),
         songs("song_id"),
         songs("artist_id"),
-        events("sessionId").as("session_id"),
+        events("sessionId").cast(StringType).as("session_id"),  // int → varchar (DDL :73)
         events("location"),
         events("userAgent").as("user_agent"))
 
-  /** users insert (`sql_queries.py:155-159`): full-tuple DISTINCT + F1. */
+  /** users insert (`sql_queries.py:155-159`): full-tuple DISTINCT + F1.
+    * Only (user_id, first_name, last_name, gender) — the reference users
+    * table has no `level` column. */
   def users(events: DataFrame): DataFrame =
     events.filter(col("userId").isNotNull)
       .select(
         col("userId").as("user_id"),
         col("firstName").as("first_name"),
         col("lastName").as("last_name"),
-        col("gender"),
-        col("level"))
+        col("gender"))
       .distinct()
 
-  /** songs insert (`sql_queries.py:162-167`): full-tuple DISTINCT + F2. */
+  /** songs insert (`sql_queries.py:162-167`): full-tuple DISTINCT + F2.
+    * Staged `title` lands in the `song_title` DDL column (sql_queries.py:90). */
   def songs(stagedSongs: DataFrame): DataFrame =
     stagedSongs.filter(col("song_id").isNotNull)
-      .select(col("song_id"), col("title"), col("artist_id"), col("year"), col("duration"))
+      .select(col("song_id"), col("title").as("song_title"), col("artist_id"),
+        col("year"), col("duration"))
       .distinct()
 
   /** artists insert (`sql_queries.py:170-176`): DISTINCT + F3 + the X8
-    * widening rescale (11,3) → (11,8). */
-  def artists(stagedSongs: DataFrame): DataFrame =
-    stagedSongs.filter(col("artist_id").isNotNull)
+    * widening rescale (11,3) → (11,8). Built in the insert's named order
+    * (latitude first) and realigned by name to the DDL order (longitude
+    * first) — the second P3 reorder besides `time`. */
+  def artists(stagedSongs: DataFrame): DataFrame = {
+    val named = stagedSongs.filter(col("artist_id").isNotNull)
       .select(
         col("artist_id"),
-        col("artist_name").as("name"),
-        col("artist_location").as("location"),
-        col("artist_latitude").cast(DecimalType(11, 8)).as("latitude"),
-        col("artist_longitude").cast(DecimalType(11, 8)).as("longitude"))
+        col("artist_name"),
+        col("artist_location"),
+        col("artist_latitude").cast(DecimalType(11, 8)),
+        col("artist_longitude").cast(DecimalType(11, 8)))
       .distinct()
+    TableSink.insertByName(named, Schemas.artists)
+  }
 
   /** time insert (`sql_queries.py:179-188`): DISTINCT ts + EXTRACT ×5,
     * built in the reference's scrambled column order and realigned by name
@@ -128,13 +135,26 @@ object Etl {
     TableSink.insertByName(scrambled, Schemas.time)
   }
 
-  /** One full pipeline run; idempotent per (session, sfDir). Returns
+  /** One full pipeline run; idempotent per sfDir AS LONG AS the materialized
+    * parquet is still intact — the cache is only trusted when every table's
+    * `_SUCCESS` marker is present on disk, so an externally-deleted star dir
+    * (or a fresh session over a wiped workdir) triggers a rebuild. Returns
     * read-back row counts of the materialized tables (the reference's
     * validation queries, test_etl.ipynb cells 8–21). */
   private val ran = new ConcurrentHashMap[String, Map[String, Long]]()
 
-  def run(spark: SparkSession, sfDir: String): Map[String, Long] =
-    ran.computeIfAbsent(sfDir, _ => runOnce(spark, sfDir))
+  private def intact(sfDir: String): Boolean =
+    tables.forall(t => Files.exists(Paths.get(starRoot(sfDir), t, "_SUCCESS")))
+
+  def run(spark: SparkSession, sfDir: String): Map[String, Long] = synchronized {
+    val cached = ran.get(sfDir)
+    if (cached != null && intact(sfDir)) cached
+    else {
+      val counts = runOnce(spark, sfDir)
+      ran.put(sfDir, counts)
+      counts
+    }
+  }
 
   private def runOnce(spark: SparkSession, sfDir: String): Map[String, Long] = {
     val root = starRoot(sfDir)

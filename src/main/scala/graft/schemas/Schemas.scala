@@ -64,14 +64,15 @@ object Schemas {
     StructField("userAgent", StringType),
     StructField("userId", IntegerType)))
 
-  /** `staging_songs` (sql_queries.py:51-64) — `json 'auto'` name-matched. */
+  /** `staging_songs` (sql_queries.py:51-64) — `json 'auto'` name-matched.
+    * Column order mirrors the DDL (longitude before latitude). */
   val stagingSongs: StructType = StructType(Seq(
     StructField("num_songs", IntegerType),
     StructField("artist_id", StringType),
-    StructField("artist_latitude", DecimalType(11, 3)),
-    StructField("artist_longitude", DecimalType(11, 3)),
-    StructField("artist_location", StringType),
     StructField("artist_name", StringType),
+    StructField("artist_longitude", DecimalType(11, 3)),
+    StructField("artist_latitude", DecimalType(11, 3)),
+    StructField("artist_location", StringType),
     StructField("song_id", StringType),
     StructField("title", StringType),
     StructField("duration", DecimalType(12, 6)),
@@ -88,30 +89,35 @@ object Schemas {
     StructField("level", StringType),
     StructField("song_id", StringType),
     StructField("artist_id", StringType),
-    StructField("session_id", IntegerType),
+    StructField("session_id", StringType),   // varchar in the DDL: staged int → varchar on insert
     StructField("location", StringType),
     StructField("user_agent", StringType)))
 
+  /** users (sql_queries.py:79-86): NO level column — the insert
+    * (sql_queries.py:155-159) projects only these four. A user whose level
+    * changes still yields ONE row here (unlike a 5-column projection). */
   val users: StructType = StructType(Seq(
     StructField("user_id", IntegerType),
     StructField("first_name", StringType),
     StructField("last_name", StringType),
-    StructField("gender", StringType),
-    StructField("level", StringType)))
+    StructField("gender", StringType)))
 
   val songs: StructType = StructType(Seq(
     StructField("song_id", StringType),
-    StructField("title", StringType),
+    StructField("song_title", StringType),   // DDL name (sql_queries.py:90); staged as `title`
     StructField("artist_id", StringType),
     StructField("year", IntegerType),
     StructField("duration", DecimalType(12, 6))))
 
+  /** artists (sql_queries.py:98-106): DDL orders longitude BEFORE latitude,
+    * while the insert (sql_queries.py:170-176) names latitude first — a
+    * second genuine insert-by-name reorder (P3) besides `time`. */
   val artists: StructType = StructType(Seq(
     StructField("artist_id", StringType),
-    StructField("name", StringType),
-    StructField("location", StringType),
-    StructField("latitude", DecimalType(11, 8)),   // widening rescale X8
-    StructField("longitude", DecimalType(11, 8))))
+    StructField("artist_name", StringType),
+    StructField("artist_location", StringType),
+    StructField("artist_longitude", DecimalType(11, 8)),   // widening rescale X8
+    StructField("artist_latitude", DecimalType(11, 8))))
 
   val time: StructType = StructType(Seq(
     StructField("start_time", TimestampType),

@@ -23,7 +23,7 @@ class EtlEndToEndSpec extends SparkSpec {
     counts("songplay") should be >= nEvents // left outer keeps all + fanout
     counts("time") shouldBe events.select(col("ts")).distinct().count()
     counts("users") shouldBe events.filter(col("userId").isNotNull)
-      .select("userId", "firstName", "lastName", "gender", "level").distinct().count()
+      .select("userId", "firstName", "lastName", "gender").distinct().count()
     Etl.tables.foreach(t => counts(t) should be > 0L)
 
     // schema contract: songplay columns in target order

@@ -80,14 +80,18 @@ class EtlSemanticsSpec extends SparkSpec {
     Etl.songplay(events, mkSongs(Nil)).count() shouldBe 2
   }
 
-  test("users: full-tuple DISTINCT, not keyed dedup — changed attrs keep both rows") {
-    val twoLevels = Seq(
+  test("users: full-tuple DISTINCT over (id,first,last,gender) — changed name keeps both rows") {
+    val rows = Seq(
       ev("A", "t", "1.0", userId = 7),
       ev("A", "t", "1.0", userId = 7).copy(), // identical tuple → deduped
       Row("A", "t", bd("1.0", 4), "NextSong", ts(1L), Integer.valueOf(7), "paid", 1,
-        "City", "UA", "First", "Last", "M"))  // same user, level=paid → second row
-    val out = Etl.users(mkEvents(twoLevels)).collect()
+        "City", "UA", "First", "Married", "M"), // same user, new lastName → second row
+      Row("A", "t", bd("1.0", 4), "NextSong", ts(1L), Integer.valueOf(7), "paid", 1,
+        "City", "UA", "First", "Last", "M"))  // level-only change → NOT a new row
+    val out = Etl.users(mkEvents(rows)).collect()
     out.length shouldBe 2
+    out.map(_.schema.fieldNames.toSeq).distinct.head shouldBe
+      Seq("user_id", "first_name", "last_name", "gender") // no level column
   }
 
   test("users: F1 drops anonymous (null userId) events") {
@@ -108,10 +112,13 @@ class EtlSemanticsSpec extends SparkSpec {
     r.getAs[Int]("year") shouldBe 2018
   }
 
-  test("artists: X8 widening rescale (11,3) -> (11,8) preserves value") {
-    val a = Etl.artists(mkSongs(Seq(so("A", "t", "1.0", "S1")))).head()
-    a.getAs[java.math.BigDecimal]("latitude") shouldBe bd("1.5", 8)
-    a.getAs[java.math.BigDecimal]("longitude") shouldBe bd("-2.25", 8)
+  test("artists: X8 widening rescale (11,3) -> (11,8) + P3 reorder to DDL order") {
+    val out = Etl.artists(mkSongs(Seq(so("A", "t", "1.0", "S1"))))
+    // DDL column order: longitude BEFORE latitude (sql_queries.py:98-106)
+    out.schema.fieldNames.toSeq shouldBe Schemas.artists.fieldNames.toSeq
+    val a = out.head()
+    a.getAs[java.math.BigDecimal]("artist_latitude") shouldBe bd("1.5", 8)
+    a.getAs[java.math.BigDecimal]("artist_longitude") shouldBe bd("-2.25", 8)
   }
 
   test("insertByName reorders and casts to the target schema") {
