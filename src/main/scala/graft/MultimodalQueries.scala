@@ -15,7 +15,14 @@ object MultimodalQueries {
 
   val q25MultimodalDecode: Q = (s, d) => {
     import s.implicits._
-    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    // The oracle slices by CHARACTER (DuckDB has no blob substring) while the
+    // decode slices by BYTE — equal only when every char is one byte. Enforce
+    // that fixture contract at runtime: any non-ASCII or empty document makes
+    // the query throw instead of silently hash-mismatching.
+    val docs = Tables.documents(s, d).where(assert_true(
+      length(col("text")) > 0 && octet_length(col("text")) === length(col("text")),
+      lit("q25 contract: documents must be non-empty single-byte text")).isNull)
+    val media = Multimodal.mediaTable(docs)
     val typed = media.select(
         col("doc_id"), col("payload"),
         col("meta.width").as("width"), col("meta.height").as("height"),

@@ -74,7 +74,7 @@ object Multimodal {
     MediaFeatures(
       doc_id = r.doc_id,
       byte_len = r.payload.length.toLong,
-      codec_byte = if (r.payload.nonEmpty) r.payload(0) & 0xFF else -1,
+      codec_byte = if (r.payload.nonEmpty) r.payload(0) & 0xFF else 0, // 0 = SQL ascii('')
       header_hex = hex(r.payload.take(8), upper = true),
       frame0_md5 = frameMd5(0),
       frame1_md5 = frameMd5(1),

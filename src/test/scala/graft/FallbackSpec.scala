@@ -51,6 +51,21 @@ class FallbackSpec extends SparkSpec {
     fallback shouldBe native
   }
 
+  test("cosine_sim agrees with the fallback on malformed input: ragged/null-element → NULL") {
+    val rows = Seq(
+      (1L, Seq(Some(1f), Some(2f)), Seq(Some(1f), Some(2f), Some(3f))), // ragged
+      (2L, Seq(Some(1f), None),     Seq(Some(1f), Some(2f))),           // null element
+      (3L, Seq(Some(1f), Some(0f)), Seq(Some(1f), Some(0f))))           // well-formed
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>"), col("b").cast("array<float>"))
+    val native = rows.select(col("id"), call_function("cosine_sim", col("a"), col("b")).as("sim"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq.sortBy(_._1)
+    val fallback = rows.select(col("id"), Similarity.cosine(col("a"), col("b")).as("sim"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq.sortBy(_._1)
+    native shouldBe fallback
+    native.map(_._2.isDefined) shouldBe Seq(false, false, true)
+  }
+
   test("fingerprint fallback (HOF md5 chain) matches the fused expression") {
     val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
