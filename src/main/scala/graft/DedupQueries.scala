@@ -16,13 +16,13 @@ object DedupQueries {
     Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
 
   val q21DedupMinhashLsh: Q = (s, d) =>
-    Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.8)
+    Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
 
   val q22DedupNgramBlocked: Q = (s, d) =>
-    Dedup.blockedNgramPairs(Tables.documents(s, d), threshold = 0.6)
+    Dedup.blockedNgramPairs(Tables.documentsDistributed(s, d), threshold = 0.6)
 
   val q30DedupSimhash: Q = (s, d) =>
-    Dedup.simhashPairs(TextQueries.simhashDf(Tables.documents(s, d)), maxHamming = 3)
+    Dedup.simhashPairs(TextQueries.simhashDf(Tables.documentsDistributed(s, d)), maxHamming = 3)
 
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact"         -> q20DedupExact,

@@ -19,7 +19,7 @@ object MultimodalQueries {
     // decode slices by BYTE — equal only when every char is one byte. Enforce
     // that fixture contract at runtime: any non-ASCII or empty document makes
     // the query throw instead of silently hash-mismatching.
-    val docs = Tables.documents(s, d).where(assert_true(
+    val docs = Tables.documentsDistributed(s, d).where(assert_true(
       length(col("text")) > 0 && octet_length(col("text")) === length(col("text")),
       lit("q25 contract: documents must be non-empty single-byte text")).isNull)
     val media = Multimodal.mediaTable(docs)

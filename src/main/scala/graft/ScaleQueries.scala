@@ -26,14 +26,19 @@ object ScaleQueries {
     * buckets) on that key — the join itself is exchange-free (plan-asserted
     * in PlanSpec); only the final small aggregation shuffles. */
   val q29BucketedJoin: Q = (s, d) => {
+    // Table identity includes the scale dir: bucketed layouts from different
+    // scales must never alias each other (the build is write-once per scale).
+    val tag = java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val liName = s"graft_lineitem_b_$tag"
+    val oName = s"graft_orders_b_$tag"
     Scale.writeBucketed(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "graft_lineitem_b", "l_orderkey", 16)
+      liName, "l_orderkey", 16)
     Scale.writeBucketed(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_orders_b", "o_orderkey", 16)
-    val li = s.table("graft_lineitem_b")
-    val o = s.table("graft_orders_b")
+      oName, "o_orderkey", 16)
+    val li = s.table(liName)
+    val o = s.table(oName)
     // merge hint: at test SF the orders side is broadcastable, which would
     // bypass the bucket layout; the hint pins the both-sides-large plan this
     // operator exists for (bucket-aligned SortMergeJoin, no join shuffle).

@@ -28,6 +28,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** `documents`, hash-distributed on doc_id before CPU-dense per-doc work
+    * (fingerprints, shingling, minhash). Scans are only as parallel as the
+    * input's row groups; a fingerprint stage is compute-bound, not
+    * scan-bound, so rebalancing a few bytes per doc across all cores before
+    * hashing is the standard cluster move (the shuffle moves the raw text
+    * once — far cheaper than serializing the hash work on a few tasks). */
+  def documentsDistributed(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(org.apache.spark.sql.functions.col("doc_id"))
+
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read the raw int64 nanos (legacy conf, set once at session
     * construction in [[GraftSession]]) and surface `ts` as a proper

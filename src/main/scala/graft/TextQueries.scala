@@ -122,7 +122,7 @@ object TextQueries {
     grouped.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  val q19Simhash: Q = (s, d) => simhashDf(Tables.documents(s, d))
+  val q19Simhash: Q = (s, d) => simhashDf(Tables.documentsDistributed(s, d))
 
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,

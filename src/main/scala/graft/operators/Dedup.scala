@@ -36,15 +36,29 @@ object Dedup {
     * up to a ~2^-64 per-pair collision chance. Fast path: the native
     * hashed_shingles expression (one fused loop); fallback: the composable
     * higher-order chain (distinct → xxhash64 → sort), interpreted. */
-  private def shingled(docs: DataFrame, k: Int): DataFrame = {
-    val sh =
-      if (docs.sparkSession.catalog.functionExists("hashed_shingles"))
-        call_function("hashed_shingles", TextOps.words(col("text")), lit(k))
-      else
-        array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), k),
-          s => xxhash64(s)))
-    docs.select(col("doc_id"), sh.as("sh"))
-  }
+  /** Sorted distinct hashed-shingle set of `text` — the fused native
+    * expression when registered, else the composable HOF chain. */
+  private def shingleCol(docs: DataFrame, k: Int): Column =
+    if (docs.sparkSession.catalog.functionExists("hashed_shingles"))
+      call_function("hashed_shingles", TextOps.words(col("text")), lit(k))
+    else
+      array_sort(transform(TextOps.wordShingles(TextOps.words(col("text")), k),
+        s => xxhash64(s)))
+
+  private def shingled(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), shingleCol(docs, k).as("sh"))
+
+  /** Exact Jaccard of two shingle-set columns: native sorted-merge
+    * intersection when the session has GraftExtensions (no per-pair hash-set
+    * allocation), built-in array_intersect otherwise — identical value
+    * either way: |A∩B| / (|A|+|B|-|A∩B|). */
+  private def jaccardOf(session: DataFrame, a: Column, b: Column): Column =
+    if (session.sparkSession.catalog.functionExists("jaccard_sim"))
+      call_function("jaccard_sim", a, b)
+    else {
+      val inter = size(array_intersect(a, b))
+      inter.cast(DoubleType) / (size(a) + size(b) - inter)
+    }
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
@@ -113,40 +127,64 @@ object Dedup {
     * from an aggregation (safe to reference repeatedly). */
   def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-piece pigeonhole blocking guarantees recall only for hamming <= 3")
+    // The fingerprint rides along through the piece join (8 extra bytes per
+    // exploded row), so the hamming verify needs NO lookup joins back to
+    // `fingerprints` — the expensive fingerprint plan appears only in the
+    // two sides of this one self-join, whose identical shuffle Spark's
+    // ReuseExchange executes once. distinct() runs after the hamming filter:
+    // same pair set, fewer rows shuffled into the dedup.
     val pieces = fingerprints
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("i"))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("simhash"), col("i"),
         expr("shiftright(simhash, i * 15) & 32767").as("piece"))
-    val candidates = pieces.as("x").join(pieces.as("y"),
+      // Merge-join hint: both sides then shuffle on the SAME (i, piece)
+      // key with IDENTICAL subplans, so ReuseExchange computes the
+      // fingerprint plan once. (Without it Catalyst broadcasts one side —
+      // recomputing every fingerprint for the build, and a corpus-wide
+      // broadcast is exactly what a 100 TB run cannot do.)
+      .hint("merge")
+    pieces.as("x").join(pieces.as("y"),
         col("x.i") === col("y.i") && col("x.piece") === col("y.piece") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    candidates
-      .join(fingerprints.as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(fingerprints.as("fb"), col("doc_b") === col("fb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(fa.simhash ^ fb.simhash) AS INT)").as("hamming"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Blocked pairwise n-gram Jaccard: candidates are pairs sharing the
     * blocking key (`lang`) and sitting in the same or adjacent word-count
     * bucket (each doc emits its bucket and bucket+1, so an equi-join covers
-    * the ±1 neighborhood without a non-equi join). */
+    * the ±1 neighborhood without a non-equi join).
+    *
+    * The shingle sets ride THROUGH the block join (each doc's array is
+    * duplicated twice — |docs| extra arrays, not |pairs|), so every
+    * candidate pair verifies inline where the join match is enumerated: no
+    * pair-list distinct, no lookup joins shuffling |pairs| rows. A pair of
+    * same-bucket docs matches on both shared keys (b and b+1); the
+    * both-at-plus-one predicate keeps exactly one of the two matches, which
+    * is the algebraic form of the old `distinct()` — evaluated per match
+    * instead of shuffling every pair to dedup. */
   def blockedNgramPairs(docs: DataFrame, threshold: Double,
                         shingleK: Int = 2, bucketWords: Int = 32): DataFrame = {
     val sh = shingled(docs, shingleK)
     val blk = floor(size(TextOps.words(col("text"))) / lit(bucketWords)).cast(IntegerType)
     val keyed = docs.select(col("doc_id"), col("lang"), blk.as("blk"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("blk"),
         explode(array(col("blk"), col("blk") + 1)).as("bkey"))
 
+    // A same-bucket pair matches on both its shared keys (b and b+1); the
+    // both-at-plus-one predicate keeps exactly one of the two matches — the
+    // algebraic form of a pair-list distinct(), evaluated per match instead
+    // of shuffling every pair to dedup.
     val candidates = keyed.as("x").join(keyed.as("y"),
         col("x.lang") === col("y.lang") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          !(col("x.bkey") === col("x.blk") + 1 && col("y.bkey") === col("y.blk") + 1))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      // Rebalance: the block join's output parallelism is its (lang, bucket)
+      // key count; the verify is CPU-dense, so spread pairs over all cores.
+      .repartition(col("doc_a"))
 
     verifyJaccard(candidates, sh, threshold)
   }
@@ -160,16 +198,7 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val na = size(col("sa.sh"))
     val nb = size(col("sb.sh"))
-    // Native sorted-merge intersection when the session has GraftExtensions
-    // (no per-pair hash-set allocation); built-in array_intersect otherwise.
-    // Identical value either way: |A∩B| / (|A|+|B|-|A∩B|).
-    val jaccard =
-      if (candidates.sparkSession.catalog.functionExists("jaccard_sim"))
-        call_function("jaccard_sim", col("sa.sh"), col("sb.sh"))
-      else {
-        val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-        inter.cast(DoubleType) / (na + nb - inter)
-      }
+    val jaccard = jaccardOf(candidates, col("sa.sh"), col("sb.sh"))
     candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

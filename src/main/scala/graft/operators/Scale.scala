@@ -40,15 +40,29 @@ object Scale {
     * count) into the session catalog — subsequent joins on that key are
     * exchange-free: each task reads matching buckets from both tables
     * (`diststyle key` co-location). Sort-by makes the merge join's sort a
-    * no-op per bucket file. */
+    * no-op per bucket file.
+    *
+    * Idempotent like a real `CREATE TABLE … diststyle key`: callers tag the
+    * table name with the data's identity (e.g. scale dir), and a build is
+    * skipped when that table's bucketed files are already on disk — a fresh
+    * session re-registers the metadata over the existing files instead of
+    * rewriting them (bucket once, join many). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // A fresh session's in-memory catalog doesn't know tables a previous
-    // session left in the warehouse; clear the physical location too so the
-    // create below is idempotent across sessions.
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS"))
+    if (spark.catalog.tableExists(table) && intact) return
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (intact) {
+      // Files survive from a previous session; only the in-memory catalog
+      // forgot them. Re-attach the bucketing metadata over the same location.
+      spark.sql(
+        s"""CREATE TABLE $table (${df.schema.toDDL}) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '${loc.toUri}'""".stripMargin)
+      return
+    }
     if (java.nio.file.Files.exists(loc))
       java.nio.file.Files.walk(loc)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -92,19 +92,23 @@ object Similarity {
         cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
   }
 
-  /** Squared L2 distance of a float-array column to a constant centroid. */
-  private def dist2(v: Column, cent: Array[Int]): Column = {
+  /** Squared L2 distance of a float-array column to a constant centroid —
+    * the native fused loop when the session registers `l2_sq` (bit-equal,
+    * see [[graft.functions.L2SquaredDistance]]), else the HOF fold. */
+  private def dist2(v: Column, cent: Array[Int], native: Boolean): Column = {
     val c = array(cent.map(x => lit(x / 1000.0)): _*)
-    aggregate(zip_with(v, c, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-      lit(0.0), (acc, d) => acc + d)
+    if (native) call_function("l2_sq", v, c)
+    else
+      aggregate(zip_with(v, c, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, d) => acc + d)
   }
 
   /** (dist², centroidIdx) structs for every centroid — struct order is
     * lexicographic, so array_min/array_sort give the (nearest, lowest-idx)
     * deterministic assignment and probe order. */
-  private def centroidDists(v: Column, cents: Array[Array[Int]]): Column =
+  private def centroidDists(v: Column, cents: Array[Array[Int]], native: Boolean): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2(v, c).as("dist"), lit(i).as("c"))
+      struct(dist2(v, c, native).as("dist"), lit(i).as("c"))
     }: _*)
 
   /** IVF (inverted-file) ANN top-k: vectors are assigned to their nearest
@@ -119,11 +123,12 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               cents: Array[Array[Int]], nprobe: Int,
               cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val native = vectors.sparkSession.catalog.functionExists("l2_sq")
     val assigned = vectors.withColumn("cell",
-      array_min(centroidDists(col("embedding"), cents)).getField("c"))
+      array_min(centroidDists(col("embedding"), cents, native)).getField("c"))
     val probed = queries.withColumn("cell",
       explode(transform(
-        slice(array_sort(centroidDists(col("embedding"), cents)), 1, nprobe),
+        slice(array_sort(centroidDists(col("embedding"), cents, native)), 1, nprobe),
         s => s.getField("c"))))
     val joined = probed.as("q").join(assigned.as("v"),
       col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))

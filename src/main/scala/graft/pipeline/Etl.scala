@@ -160,10 +160,16 @@ object Etl {
     val root = starRoot(sfDir)
     val sink = new ParquetSink(root)
     Files.createDirectories(Paths.get(root))      // S5: namespace
-    tables.foreach(sink.drop)                     // S4: idempotent drop
+    val staging = Seq("staging_events", "staging_songs")
+    (staging ++ tables).foreach(sink.drop)        // S4: idempotent drop ×7
 
-    val ev = stageEvents(spark, sfDir)            // S1 stage
-    val sg = stageSongs(spark, sfDir)             // S2 stage
+    // S1/S2: COPY physically LOADS the staging tables before any insert reads
+    // them (sql_queries.py:121-128) — so stage = materialize, columnar. The
+    // five inserts then read parquet instead of re-parsing the JSON per plan.
+    sink.write(stageEvents(spark, sfDir), "staging_events")
+    sink.write(stageSongs(spark, sfDir), "staging_songs")
+    val ev = sink.read(spark, "staging_events")
+    val sg = sink.read(spark, "staging_songs")
     // Staging tables are addressable by name for the pipeline's duration,
     // like the reference's staging_events/staging_songs (sql_queries.py:28-64).
     ev.createOrReplaceTempView("staging_events")
@@ -177,9 +183,10 @@ object Etl {
     sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))
     sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))
 
-    // S8: drop staging (sql_queries.py:198, etl.py:31-34).
-    spark.catalog.dropTempView("staging_events")
-    spark.catalog.dropTempView("staging_songs")
+    // S8: drop staging (sql_queries.py:198, etl.py:31-34) — the materialized
+    // staging parquet goes away with the temp views, like the reference's
+    // post-ETL staging drop.
+    staging.foreach { t => spark.catalog.dropTempView(t); sink.drop(t) }
     tables.map(t => t -> sink.read(spark, t).count()).toMap
   }
 }

@@ -23,7 +23,7 @@ import graft.{Epoch, Tables}
   */
 object Fixtures {
 
-  private val V = "v2"
+  private val V = "v3"
   val root = s"/root/repo/work/fixtures/$V"
 
   private def sfName(sfDir: String): String =
@@ -99,6 +99,9 @@ object Fixtures {
           when(pmod(col("user_id"), lit(2)) === 0, lit("M")).otherwise(lit("F")).as("gender"),
           concat(lit("City"), pmod(col("user_id"), lit(50))).as("locationStr"),
           concat(lit("UA/"), pmod(eid, lit(7))).as("userAgentStr"))
+        // 16 files, not 1: the S3 COPY analog fans ingest across slices —
+        // a single JSON file caps every downstream scan at one task.
+        .repartition(16)
         .write.mode("overwrite").json(dir)
     }
     dir
@@ -129,6 +132,7 @@ object Fixtures {
           col("p_name").as("title"),
           col("p_retailprice").cast(DecimalType(12, 6)).as("duration"),
           (lit(1990) + pmod(col("p_size"), lit(30))).as("year"))
+        .repartition(8)
         .write.mode("overwrite").json(dir)
     }
     dir

@@ -51,6 +51,24 @@ class FallbackSpec extends SparkSpec {
     fallback shouldBe native
   }
 
+  test("ivf fallback (HOF l2 fold) matches the native l2_sq path") {
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, (0 until 16).map(j => ((i * 11 + j * 5) % 17 - 8) / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.mdGrid("iv", 4, 16)
+    def run() = Similarity
+      .ivfTopK(vecs, vecs.filter(col("vec_id") < 2), k = 3, cents, nprobe = 2,
+        SimilarityQueries.cosineFnFor(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val native = run()
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("l2_sq") shouldBe false
+      run()
+    }
+    fallback shouldBe native
+    native should not be empty
+  }
+
   test("cosine_sim agrees with the fallback on malformed input: ragged/null-element → NULL") {
     val rows = Seq(
       (1L, Seq(Some(1f), Some(2f)), Seq(Some(1f), Some(2f), Some(3f))), // ragged
