@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Dedup queries over `documents`. The MinHash/LSH and blocked operators
   * return *verified* pairs (exact Jaccard ≥ threshold over their candidate
@@ -24,11 +24,26 @@ object DedupQueries {
   val q30DedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(TextQueries.simhashDf(Tables.documentsDistributed(s, d)), maxHamming = 3)
 
+  /** q35: embedding-cosine near-dup — banded sign-bucket LSH over the
+    * `embeddings` table, exact-cosine verified at τ. The oracle encodes the
+    * SAME banding constraint (like q22/q24), so the gate pins the candidate
+    * mechanics and the verify exactly. */
+  private val ND_PLANES = 4
+  private val ND_BANDS = 6
+  private val ND_TAU = 0.42
+  private lazy val ndGrids: Seq[Array[Array[Int]]] =
+    (0 until ND_BANDS).map(b => Similarity.mdGrid(s"nd$b", ND_PLANES, 64))
+
+  val q35DedupEmbedding: Q = (s, d) =>
+    Dedup.cosineNearDupPairs(Tables.embeddings(s, d), ND_TAU, ndGrids,
+      SimilarityQueries.cosineFnFor(s))
+
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
     "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked,
-    "q30_dedup_simhash"       -> q30DedupSimhash)
+    "q30_dedup_simhash"       -> q30DedupSimhash,
+    "q35_dedup_embedding"     -> q35DedupEmbedding)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -80,5 +95,35 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // Banded sign-bucket LSH with the identical md5-derived hyperplanes;
+    // the oracle applies the same (band, bucket) candidate constraint and
+    // the same 0.0-seeded left-fold cosine (bit-equal to cosine_sim).
+    "q35_dedup_embedding" -> embeddingOracle)
+
+  private def ndHpList(g: Array[Array[Int]], p: Int): String =
+    g(p).map(k => s"($k)/CAST(1000 AS DOUBLE)").mkString("[", ",", "]")
+
+  private def ndBucketSql(g: Array[Array[Int]], v: String): String =
+    (0 until ND_PLANES).map { p =>
+      s"(CASE WHEN ${SimilarityQueries.dotSql(v, ndHpList(g, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def embeddingOracle: String = {
+    val dot = SimilarityQueries.dotSql _
+    val bands = ndGrids.zipWithIndex.map { case (g, b) =>
+      s"SELECT vec_id, embedding, $b AS band, ${ndBucketSql(g, "embedding")} AS bucket FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bands AS ($bands),
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |e2 AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("embedding", "embedding")}) AS nrm FROM e)
+       |SELECT vec_a, vec_b,
+       |  ${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+       |FROM pairs JOIN e2 x ON vec_a = x.vec_id JOIN e2 y ON vec_b = y.vec_id
+       |WHERE ${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ND_TAU""".stripMargin
+  }
 }

@@ -83,7 +83,7 @@ object SimilarityQueries {
 
   /** Left-fold dot product matching Similarity.dot bit-for-bit: prepend the
     * 0.0 accumulator so the fold starts exactly like Spark's aggregate(). */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin

@@ -152,6 +152,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
+    * (OR-construction over `grids.length` independent sign-bucketings),
+    * exact-cosine verified. The embedding rides through the band self-join
+    * (like [[simhashPairs]]' fingerprint), so the verify needs no lookup
+    * joins; the merge hint keeps both sides on the same (band, bucket)
+    * shuffle — one corpus pass via stage reuse, and no corpus broadcast.
+    * A pair colliding in several bands is deduped AFTER the threshold
+    * filter (survivors are few; candidates never shuffle for dedup).
+    *
+    * Recall is the OR-construction's 1-(1-p^planes)^bands — tuned by the
+    * grid shape, verified exact; the candidate count per band is
+    * |corpus|²/2^planes in expectation, the scale knob at 100 TB. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         grids: Seq[Array[Array[Int]]],
+                         cosineFn: (Column, Column) => Column): DataFrame = {
+    val bandCols = grids.map(g => Similarity.signBucket(col("embedding"), g))
+    val banded = vectors
+      .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .hint("merge")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosineFn(col("x.embedding"), col("y.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** Blocked pairwise n-gram Jaccard: candidates are pairs sharing the
     * blocking key (`lang`) and sitting in the same or adjacent word-count
     * bucket (each doc emits its bucket and bucket+1, so an equi-join covers

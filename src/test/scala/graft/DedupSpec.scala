@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Dedup operator semantics on controlled fixtures. */
 class DedupSpec extends SparkSpec {
@@ -128,5 +128,22 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].collect()
     out(0) shouldBe Seq("a b c", "b c d")
     out(1) shouldBe Seq("a b")
+  }
+
+  test("cosineNearDupPairs: same-direction vectors pair once, orthogonal never") {
+    // v2 = 2*v1 (cosine 1, same sign bucket in EVERY band -> would duplicate
+    // without the post-filter dedup); v3 orthogonal-ish to v1.
+    val dim = 8
+    val v1 = (0 until dim).map(j => (j + 1).toFloat)
+    val v2 = v1.map(_ * 2f)
+    val v3 = (0 until dim).map(j => if (j % 2 == 0) (j + 1).toFloat else -(j + 1).toFloat)
+    val vecs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val grids = (0 until 4).map(b => Similarity.mdGrid(s"t$b", 4, dim))
+    val out = Dedup.cosineNearDupPairs(vecs, 0.9, grids,
+      SimilarityQueries.cosineFnFor(spark)).collect()
+    out.length shouldBe 1                       // (1,2) exactly once despite 4 band hits
+    out.head.getAs[Long]("vec_a") shouldBe 1L
+    out.head.getAs[Long]("vec_b") shouldBe 2L
+    out.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-12
   }
 }
