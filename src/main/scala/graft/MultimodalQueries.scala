@@ -13,16 +13,18 @@ import graft.operators.Multimodal.MediaRow
 object MultimodalQueries {
   import Queries.Q
 
+  // The oracles slice by CHARACTER (DuckDB has no blob substring) while the
+  // decode slices by BYTE — equal only when every char is one byte. Enforce
+  // that fixture contract at runtime: any non-ASCII or empty document makes
+  // the query throw instead of silently hash-mismatching.
+  private def guardedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documentsDistributed(s, d).where(assert_true(
+      length(col("text")) > 0 && octet_length(col("text")) === length(col("text")),
+      lit("multimodal contract: documents must be non-empty single-byte text")).isNull)
+
   val q25MultimodalDecode: Q = (s, d) => {
     import s.implicits._
-    // The oracle slices by CHARACTER (DuckDB has no blob substring) while the
-    // decode slices by BYTE — equal only when every char is one byte. Enforce
-    // that fixture contract at runtime: any non-ASCII or empty document makes
-    // the query throw instead of silently hash-mismatching.
-    val docs = Tables.documentsDistributed(s, d).where(assert_true(
-      length(col("text")) > 0 && octet_length(col("text")) === length(col("text")),
-      lit("q25 contract: documents must be non-empty single-byte text")).isNull)
-    val media = Multimodal.mediaTable(docs)
+    val media = Multimodal.mediaTable(guardedDocs(s, d))
     val typed = media.select(
         col("doc_id"), col("payload"),
         col("meta.width").as("width"), col("meta.height").as("height"),
@@ -36,7 +38,21 @@ object MultimodalQueries {
       .join(features.toDF(), Seq("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("q25_multimodal_decode" -> q25MultimodalDecode)
+  /** q36: frame sampling + resize — one row per sampled "frame" (byte-slice
+    * stand-in for video frames at a stride, capped), each digested, with the
+    * resize stub's halved output dimensions carried alongside. Generator
+    * shape: posexplode(sequence), codegen'd, partition-parallel. */
+  val q36FrameSample: Q = (s, d) => {
+    val media = Multimodal.mediaTable(guardedDocs(s, d))
+    val (w2, h2) = Multimodal.resizeMeta(col("meta.width"), col("meta.height"), 2)
+    val withResize = media.select(
+      col("doc_id"), col("payload"), w2.as("out_w"), h2.as("out_h"))
+    Multimodal.sampleFrames(withResize, carry = Seq("out_w", "out_h"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q25_multimodal_decode" -> q25MultimodalDecode,
+    "q36_frame_sample"      -> q36FrameSample)
 
   val oracle: Map[String, String] = Map(
     "q25_multimodal_decode" ->
@@ -51,5 +67,16 @@ object MultimodalQueries {
         |  md5(substr(text, 1, 64)) AS frame0_md5,
         |  md5(substr(text, 102, 64)) AS frame1_md5,
         |  md5(substr(text, 203, 64)) AS frame2_md5
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Same stride/cap arithmetic over char-indexed text (ASCII contract);
+    // range() is exclusive-end, Spark's sequence() inclusive -> +1.
+    "q36_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 101 AS INTEGER) AS frame_off,
+        |  md5(substr(text, CAST(i * 101 + 1 AS INTEGER), 64)) AS frame_md5,
+        |  CAST(greatest((n_chars % 640) // 2, 1) AS INTEGER) AS out_w,
+        |  CAST(greatest(((doc_id * 7) % 480) // 2, 1) AS INTEGER) AS out_h
+        |FROM documents,
+        |  UNNEST(range(0, least((length(text) - 1) // 101, 7) + 1)) AS t(i)""".stripMargin)
 }

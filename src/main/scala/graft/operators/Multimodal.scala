@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,6 +47,37 @@ object Multimodal {
         pmod(col("doc_id") * 7, lit(480)).cast(IntegerType).as("height"),
         lit(3).as("channels"),
         lit("fake/raw").as("format")).as("meta"))
+
+  /** Frame sampling: one output row per sampled frame — the video
+    * frame-sample shape (a generator, not an aggregate). Offsets step by
+    * `stride` from byte 0, capped at `maxFrames` per document; each frame is
+    * a `frameLen`-byte payload slice, digested. Declarative
+    * (posexplode(sequence) + binary substring + md5), so it codegens and
+    * splits across partitions like any projection; a real decoder would
+    * replace the slice+digest with codec output, same plumbing. */
+  def sampleFrames(media: DataFrame, stride: Int = FrameStride,
+                   frameLen: Int = FrameLen, maxFrames: Int = 8,
+                   carry: Seq[String] = Nil): DataFrame = {
+    val lastIdx = least(
+      floor((octet_length(col("payload")) - 1) / lit(stride)),
+      lit(maxFrames - 1)).cast(IntegerType)
+    media
+      .select(Seq(col("doc_id"), col("payload")) ++ carry.map(col) :+
+        posexplode(sequence(lit(0), lastIdx)): _*)
+      .select(Seq(
+        col("doc_id"),
+        col("pos").as("frame_idx"),
+        (col("pos") * stride).as("frame_off"),
+        md5(col("payload").substr(col("pos") * stride + 1, lit(frameLen))).as("frame_md5")) ++
+        carry.map(col): _*)
+  }
+
+  /** Resize stub: scales the metadata (integer-halved, floor 1) and passes
+    * the payload through — a real resampler would transform the bytes; the
+    * metadata contract and plumbing are what the engine owns. */
+  def resizeMeta(w: Column, h: Column, factor: Int): (Column, Column) =
+    (greatest(w.cast(IntegerType) / factor, lit(1)).cast(IntegerType),
+     greatest(h.cast(IntegerType) / factor, lit(1)).cast(IntegerType))
 
   /** The decode stub: partition-parallel, batch-amortized. Exactly the
     * shape `mapInPandas` gives a Python decoder — an iterator of rows per

@@ -118,4 +118,23 @@ class SimilaritySpec extends SparkSpec {
     f.frame1_md5 shouldBe "d41d8cd98f00b204e9800998ecf8427e"
     f.frame0_md5 should not be f.frame1_md5
   }
+
+  test("sampleFrames: stride offsets, maxFrames cap, partial tail frame; resize floors at 1") {
+    // 250 bytes at stride 101 → offsets 0, 101, 202 (3 frames, tail is 48 bytes)
+    val text = ("ab" * 125)
+    val docs = Seq((3L, text, "en", "x", 250L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(media).orderBy("frame_idx").collect()
+    frames.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 1, 2)
+    frames.map(_.getAs[Int]("frame_off")).toSeq shouldBe Seq(0, 101, 202)
+    // cap: a 10_000-byte doc yields exactly maxFrames rows
+    val big = Seq((4L, "x" * 10000, "en", "x", 10000L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Multimodal.sampleFrames(Multimodal.mediaTable(big), maxFrames = 8).count() shouldBe 8L
+    // resize stub: integer-halve, floor at 1
+    import org.apache.spark.sql.functions.lit
+    val (w2, h2) = Multimodal.resizeMeta(lit(639), lit(0), 2)
+    val r = docs.select(w2.as("w"), h2.as("h")).head()
+    r.getAs[Int]("w") shouldBe 319
+    r.getAs[Int]("h") shouldBe 1
+  }
 }
