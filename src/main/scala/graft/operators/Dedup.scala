@@ -20,14 +20,18 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup groups: md5 over whitespace-normalized lowercased text.
-    * Returns one row per distinct content with its copy count and canonical
-    * (minimum) id — the classic "keep first, count the rest" shape. */
-  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val norm = md5(lower(regexp_replace(trim(text), "\\s+", " ")))
-    docs.groupBy(norm.as("text_hash"))
+  /** Normalized content digest — the exact-dedup key: md5 over
+    * whitespace-collapsed, lowercased text. Shared by the batch grouping
+    * and the streaming dedup so both define "same document" identically. */
+  def normalizedHash(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Exact dedup groups: one row per distinct content with its copy count
+    * and canonical (minimum) id — the classic "keep first, count the rest"
+    * shape. */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(normalizedHash(text).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
-  }
 
   /** Distinct shingle sets per doc, as SORTED 64-bit hashes, so the
     * verification can merge-intersect (see [[graft.functions.JaccardSimilarity]]).

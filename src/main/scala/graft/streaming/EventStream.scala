@@ -101,6 +101,20 @@ object EventStream {
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete()).start()
 
+  /** Streaming exact dedup over a document feed: the first arrival of each
+    * normalized content digest ([[graft.operators.Dedup.normalizedHash]] —
+    * the batch operator's identical key) passes; later copies are dropped.
+    * `dropDuplicatesWithinWatermark` bounds the state by the dedup horizon
+    * (keys older than the watermark are evicted), so state is
+    * O(docs-per-horizon), not O(stream history) — the only viable contract
+    * for an unbounded 100 TB/day feed; cross-horizon duplicates are the
+    * near-dup operators' (batch) job. */
+  def dedupDocStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", graft.operators.Dedup.normalizedHash(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Streaming twin of the flagship star build: the event feed streams
     * through the SAME staging mapping and the SAME songplay join builder as
     * the batch pipeline (stream-static join — the static songs dim is

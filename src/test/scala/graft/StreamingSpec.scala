@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocStream: duplicate content dropped across micro-batches, first kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.dedupDocStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "Hello  World", ts(0)), (2L, "other doc", ts(1)))
+      q.processAllAvailable()
+      // normalized duplicate of doc 1 in a LATER micro-batch, inside horizon
+      input.addData((3L, "hello world", ts(2)), (4L, "third doc", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream_test").collect()
+      got.map(_.getAs[Long]("doc_id")).sorted.toSeq shouldBe Seq(1L, 2L, 4L)
+      // the streaming survivor set matches the batch canonical ids
+      val batch = graft.operators.Dedup.exactGroups(
+          Seq((1L, "Hello  World"), (2L, "other doc"), (3L, "hello world"), (4L, "third doc"))
+            .toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .collect().map(_.getAs[Long]("canonical_id")).sorted.toSeq
+      got.map(_.getAs[Long]("doc_id")).sorted.toSeq shouldBe batch
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; watermark timeout emits and evicts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
