@@ -109,18 +109,27 @@ object TextQueries {
   /** (doc_id, simhash) table — shared by q19 and the SimHash near-dup
     * pair detector (q30). Aggregation output = safe to reference many
     * times downstream (pipeline barrier, no projection-collapse risk). */
-  def simhashDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
-    val votes = (0 until 60).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
-    val grouped = exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val simhash = (0 until 60)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    grouped.select(col("doc_id"), simhash.as("simhash"))
-  }
+  def simhashDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (docs.sparkSession.catalog.functionExists("sim_hash60"))
+      // Fused native path: the whole fingerprint is one scalar projection —
+      // no explode to |tokens| rows, no 60-column aggregation, no shuffle.
+      // The isNotNull filter mirrors the explode path's presence semantics
+      // (a null token array contributes no row there).
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          call_function("sim_hash60", TextOps.words(col("text"))).as("simhash"))
+    else {
+      val exploded = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
+      val votes = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
+      val grouped = exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val simhash = (0 until 60)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      grouped.select(col("doc_id"), simhash.as("simhash"))
+    }
 
   val q19Simhash: Q = (s, d) => simhashDf(Tables.documentsDistributed(s, d))
 

@@ -127,8 +127,9 @@ object Dedup {
     * (pigeonhole — a theorem, not a probabilistic bound, unlike MinHash
     * banding). Candidates equi-join on (piece index, piece value); the
     * exact hamming verify via bit_count(xor) keeps only true pairs.
-    * `fingerprints` must be a (doc_id, simhash) table whose values come
-    * from an aggregation (safe to reference repeatedly). */
+    * `fingerprints` is any (doc_id, simhash) table; the merge hint below
+    * pins both self-join sides to one shared shuffle stage, so its plan —
+    * aggregation or fused scalar projection — executes once. */
   def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-piece pigeonhole blocking guarantees recall only for hamming <= 3")
     // The fingerprint rides along through the piece join (8 extra bytes per

@@ -84,6 +84,23 @@ class FallbackSpec extends SparkSpec {
     native.map(_._2.isDefined) shouldBe Seq(false, false, true)
   }
 
+  test("sim_hash60 fused expression matches the explode+votes fallback") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma delta"),      // duplicate token votes twice
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, ""))                                  // trim+split -> [""] single token
+      .toDF("doc_id", "text")
+    def run() = TextQueries.simhashDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val native = run()
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("sim_hash60") shouldBe false
+      run()
+    }
+    fallback shouldBe native
+    native.length shouldBe 3
+  }
+
   test("fingerprint fallback (HOF md5 chain) matches the fused expression") {
     val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
