@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShinglesExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr}
+import graft.functions.{CosineSimilarity, DotFD, HashedShinglesExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr}
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
@@ -29,6 +29,7 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     desc("cosine_sim", classOf[CosineSimilarity])(c => CosineSimilarity(c.head, c(1))),
     desc("l2_sq", classOf[L2SquaredDistance])(c => L2SquaredDistance(c.head, c(1))),
+    desc("dot_fd", classOf[DotFD])(c => DotFD(c.head, c(1))),
     desc("jaccard_sim", classOf[JaccardSimilarity])(c => JaccardSimilarity(c.head, c(1))),
     desc("min_hash60", classOf[MinHash60Expr])(c => MinHash60Expr(c.head)),
     desc("sim_hash60", classOf[SimHash60Expr])(c => SimHash60Expr(c.head)),

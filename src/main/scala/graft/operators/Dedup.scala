@@ -172,7 +172,8 @@ object Dedup {
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          grids: Seq[Array[Array[Int]]],
                          cosineFn: (Column, Column) => Column): DataFrame = {
-    val bandCols = grids.map(g => Similarity.signBucket(col("embedding"), g))
+    val native = vectors.sparkSession.catalog.functionExists("dot_fd")
+    val bandCols = grids.map(g => Similarity.signBucket(col("embedding"), g, native))
     val banded = vectors
       .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")

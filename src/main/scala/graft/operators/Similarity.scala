@@ -66,11 +66,15 @@ object Similarity {
 
   /** Sign-bucket of a vector under the hyperplane grid: bit p is set iff
     * dot(v, h_p) >= 0. Vectors in the same bucket agree on every plane —
-    * the standard random-hyperplane LSH for cosine similarity. */
-  def signBucket(v: Column, grid: Array[Array[Int]]): Column =
+    * the standard random-hyperplane LSH for cosine similarity. `native`
+    * selects the fused `dot_fd` expression (bit-equal to the HOF fold —
+    * see [[graft.functions.DotFD]]); callers pass
+    * `session.catalog.functionExists("dot_fd")`. */
+  def signBucket(v: Column, grid: Array[Array[Int]], native: Boolean = false): Column =
     grid.zipWithIndex.map { case (h, p) =>
       val hCol = array(h.map(x => lit(x / 1000.0)): _*)
-      when(dot(v, hCol) >= 0, lit(1 << p)).otherwise(lit(0))
+      val d = if (native) call_function("dot_fd", v, hCol) else dot(v, hCol)
+      when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** ANN top-k: candidates are restricted to the query's sign bucket, then
@@ -81,8 +85,9 @@ object Similarity {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               grid: Array[Array[Int]],
               cosineFn: (Column, Column) => Column = cosine): DataFrame = {
-    val bucketed = vectors.withColumn("bucket", signBucket(col("embedding"), grid))
-    val qb = queries.withColumn("bucket", signBucket(col("embedding"), grid))
+    val native = vectors.sparkSession.catalog.functionExists("dot_fd")
+    val bucketed = vectors.withColumn("bucket", signBucket(col("embedding"), grid, native))
+    val qb = queries.withColumn("bucket", signBucket(col("embedding"), grid, native))
     val joined = qb.as("q").join(bucketed.as("v"),
         col("q.bucket") === col("v.bucket") && col("q.vec_id") =!= col("v.vec_id"))
     rankTopK(joined

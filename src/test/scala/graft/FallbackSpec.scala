@@ -51,6 +51,27 @@ class FallbackSpec extends SparkSpec {
     fallback shouldBe native
   }
 
+  test("sign-bucket fallback (HOF dot fold) matches the native dot_fd path") {
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, (0 until 16).map(j => ((i * 7 + j * 3) % 13 - 6) / 3.0f)))
+      .toDF("vec_id", "embedding")
+    val grid = Similarity.hyperplaneGrid(4, 16)
+    val grids = (0 until 3).map(b => Similarity.mdGrid(s"fb$b", 4, 16))
+    def runLsh() = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 2), 3, grid,
+        SimilarityQueries.cosineFnFor(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    def runNd() = graft.operators.Dedup.cosineNearDupPairs(vecs, 0.3, grids,
+        SimilarityQueries.cosineFnFor(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val (lshN, ndN) = (runLsh(), runNd())
+    val (lshF, ndF) = withoutNativeFunctions {
+      spark.catalog.functionExists("dot_fd") shouldBe false
+      (runLsh(), runNd())
+    }
+    lshF shouldBe lshN
+    ndF shouldBe ndN
+  }
+
   test("ivf fallback (HOF l2 fold) matches the native l2_sq path") {
     val vecs = (0 until 12).map(i =>
       (i.toLong, (0 until 16).map(j => ((i * 11 + j * 5) % 17 - 8) / 4.0f)))
