@@ -76,6 +76,27 @@ class PlanSpec extends SparkSpec {
     plan(df) should include("cosine_sim")
   }
 
+  test("q35 band join is an equi-join via SortMergeJoin — no corpus broadcast, no cartesian") {
+    val p = plan(DedupQueries.q35DedupEmbedding(spark, sf))
+    p should include("SortMergeJoin")
+    p should not include "BroadcastExchange"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q36 frame sampling is a generator over the scan — no join, no shuffle") {
+    val p = plan(MultimodalQueries.q36FrameSample(spark, sf))
+    p should include("Generate")
+    (p should not).include("SortMergeJoin")
+    p should not include "BroadcastHashJoin"
+  }
+
+  test("fused fingerprints run in-scan: q19 has no explode and no aggregation") {
+    val p = plan(TextQueries.q19Simhash(spark, sf))
+    p should include("sim_hash60")
+    p should not include "HashAggregate"
+  }
+
   test("bucketed join is exchange-free: only the final aggregation shuffles") {
     val p = plan(ScaleQueries.q29BucketedJoin(spark, sf))
     p should include("Bucketed: true")
