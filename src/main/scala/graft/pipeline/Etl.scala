@@ -187,6 +187,10 @@ object Etl {
     // staging parquet goes away with the temp views, like the reference's
     // post-ETL staging drop.
     staging.foreach { t => spark.catalog.dropTempView(t); sink.drop(t) }
-    tables.map(t => t -> sink.read(spark, t).count()).toMap
+    // The reference's five count(*) validation queries, as ONE union job
+    // (per-table counts still come from the materialized files).
+    tables.map(t => sink.read(spark, t).select(lit(t).as("t")).groupBy("t").count())
+      .reduce(_ union _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 }
