@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Malformed inputs agree with the fallback: a length mismatch or a null
   * element yields NULL (exactly what `zip_with`'s null-padding + null
   * arithmetic produce), so the two paths are interchangeable even on bad
-  * embeddings.
+  * embeddings. One divergence outside the contract: an all-zero vector
+  * yields NaN here but raises DIVIDE_BY_ZERO on the ANSI-mode fallback —
+  * embeddings are non-zero by contract.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
