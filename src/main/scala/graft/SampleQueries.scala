@@ -57,9 +57,32 @@ object SampleQueries {
         (sum(col("wc").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
           .as("mean_wc"))
 
+  /** q37: deterministic training-shard materialization — every document
+    * gets a stable shard id (md5-hash mod n, engine-portable like q31's
+    * buckets) and a position within its shard, ordered by a second
+    * independent content-stable hash (the "global shuffle" of training
+    * data WITHOUT a global sort: order is decided per shard, so the only
+    * exchange is the shard hash partitioning — at 100 TB each shard sorts
+    * independently and writes its file; no range exchange, no skew from
+    * data order). Ties cannot occur: the position hash is keyed by the
+    * unique doc_id. */
+  private val N_SHARDS = 8
+
+  val q37TrainingShards: Q = (s, d) => {
+    val shard = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(N_SHARDS))
+    val order = TextOps.hash60(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.cast(IntegerType).as("shard"), order.as("ord"))
+      .withColumn("position",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("ord"))))
+      .select(col("doc_id"), col("shard"), col("position"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_stratified_sample" -> q31StratifiedSample,
-    "q32_token_percentiles" -> q32TokenPercentiles)
+    "q32_token_percentiles" -> q32TokenPercentiles,
+    "q37_training_shards"   -> q37TrainingShards)
 
   private val rateSql = keepPct
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -79,5 +102,14 @@ object SampleQueries {
         |  quantile_cont(wc, 0.99) AS p99,
         |  CAST(sum(CAST(wc AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_wc
         |FROM (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS wc
-        |      FROM documents) GROUP BY lang""".stripMargin)
+        |      FROM documents) GROUP BY lang""".stripMargin,
+    "q37_training_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |       % $N_SHARDS AS INTEGER) AS shard,
+         |  CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS ord
+         |FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS INTEGER) AS position
+         |FROM h""".stripMargin)
 }
