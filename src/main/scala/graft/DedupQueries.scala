@@ -38,12 +38,27 @@ object DedupQueries {
     Dedup.cosineNearDupPairs(Tables.embeddings(s, d), ND_TAU, ndGrids,
       SimilarityQueries.cosineFnFor(s))
 
+  /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
+    * with any doc of the (small, broadcast) eval set. */
+  private val EVAL_MAX_ID = 25
+  private val DECON_K = 3
+  private val DECON_MIN = 3
+
+  val q38Decontamination: Q = (s, d) => {
+    val docs = Tables.documentsDistributed(s, d)
+    Dedup.contaminationPairs(
+      docs.filter(col("doc_id") >= EVAL_MAX_ID),
+      docs.filter(col("doc_id") < EVAL_MAX_ID),
+      DECON_K, DECON_MIN)
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
     "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked,
     "q30_dedup_simhash"       -> q30DedupSimhash,
-    "q35_dedup_embedding"     -> q35DedupEmbedding)
+    "q35_dedup_embedding"     -> q35DedupEmbedding,
+    "q38_decontamination"     -> q38Decontamination)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -96,6 +111,17 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // Inverted-index n-gram overlap; string shingles in the oracle vs
+    // 64-bit-hashed shingles in the plan — identical counts up to a
+    // ~2^-64 per-shingle collision chance (same argument as q21/q22).
+    "q38_decontamination" ->
+      s"""WITH ${shinglesCte(DECON_K)},
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < $EVAL_MAX_ID),
+         |co AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id >= $EVAL_MAX_ID)
+         |SELECT corpus_id, eval_id, count(*) AS shared_ngrams
+         |FROM co JOIN ev USING (s)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $DECON_MIN""".stripMargin,
     // Banded sign-bucket LSH with the identical md5-derived hyperplanes;
     // the oracle applies the same (band, bucket) candidate constraint and
     // the same 0.0-seeded left-fold cosine (bit-equal to cosine_sim).

@@ -157,6 +157,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Decontamination: (corpus doc, eval doc) pairs sharing ≥ `minOverlap`
+    * distinct k-word shingles — the standard n-gram overlap check run
+    * before training, as an inverted-index equi-join on hashed shingles.
+    * The eval side is tiny by construction and is BROADCAST, so the corpus
+    * never shuffles for the probe; only matched (corpus, eval, shingle)
+    * hits shuffle into the pair-count aggregation — at 100 TB the cost
+    * scales with contamination hits, not corpus size. Shingle sets are
+    * distinct per doc, so count(*) per pair is exactly |A∩B|. */
+  def contaminationPairs(corpus: DataFrame, eval: DataFrame,
+                         shingleK: Int, minOverlap: Int): DataFrame = {
+    val cSh = shingled(corpus, shingleK)
+      .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("h"))
+    val eSh = shingled(eval, shingleK)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("h"))
+    cSh.join(broadcast(eSh), Seq("h"))
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minOverlap)
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
     * (OR-construction over `grids.length` independent sign-bucketings),
     * exact-cosine verified. The embedding rides through the band self-join

@@ -130,6 +130,20 @@ class DedupSpec extends SparkSpec {
     out(1) shouldBe Seq("a b")
   }
 
+  test("contaminationPairs: shared-trigram pairs surface with exact overlap counts") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val leaked  = "prefix words then the quick brown fox jumps over the lazy dog tonight suffix"
+    val clean   = "completely different content with no phrases in common at all here"
+    val corpus = docs((10L, leaked, "en"), (11L, clean, "en"))
+    val eval = docs((1L, evalDoc, "en"))
+    val out = Dedup.contaminationPairs(corpus, eval, shingleK = 3, minOverlap = 3).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("corpus_id") shouldBe 10L
+    out.head.getAs[Long]("eval_id") shouldBe 1L
+    // evalDoc has 8 distinct trigrams, all present in leaked
+    out.head.getAs[Long]("shared_ngrams") shouldBe 8L
+  }
+
   test("cosineNearDupPairs: same-direction vectors pair once, orthogonal never") {
     // v2 = 2*v1 (cosine 1, same sign bucket in EVERY band -> would duplicate
     // without the post-filter dedup); v3 orthogonal-ish to v1.
