@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, TextOps}
+
+/** q39: the composed corpus-curation pipeline — the LLM-data analog of the
+  * reference's star build (E1): score → filter → exact-dedup (keep first)
+  * → stratified sample → shard. One flow, four operators, each already
+  * verified standalone (q15/q20/q31/q37); this entry verifies their
+  * COMPOSITION end-to-end against a single SQL replay.
+  *
+  * Scale shape: score+filter are in-scan; dedup is one window shuffle on
+  * the content digest (keep-first via row_number, the standard pattern —
+  * no self-join); sampling is a stateless filter; the shard id is a
+  * projection. Total: ONE shuffle for the whole curation pass.
+  */
+object CorpusPipelineQueries {
+  import Queries.Q
+
+  private val MIN_QUALITY = 0.38
+  private val N_SHARDS = 8
+
+  val q39CorpusPipeline: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val charLen = length(col("text"))
+    val wordCnt = size(w)
+    val punctCnt = charLen - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val stopHits = TextOps.vocabHits(w, TextQueries.stopwords)
+    val score = lit(0.3) * least(lit(1.0), wordCnt.cast(DoubleType) / lit(200.0)) +
+      lit(0.4) * (stopHits.cast(DoubleType) / wordCnt) +
+      lit(0.3) * (lit(1.0) - punctCnt.cast(DoubleType) / charLen)
+
+    val scored = Tables.documentsDistributed(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), score.as("quality_score"))
+      .filter(col("quality_score") >= MIN_QUALITY)
+
+    // Exact dedup, keep-first: one window shuffle on the content digest.
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(Dedup.normalizedHash(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(100))
+    val rate = SampleQueries.rateCol(col("lang"))
+    val shard = pmod(
+      TextOps.hash60(concat(lit("shard:"), col("doc_id").cast(StringType))), lit(N_SHARDS))
+    deduped
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        (lit(100.0) / rate.cast(DoubleType)).as("weight"),
+        shard.cast(IntegerType).as("shard"))
+  }
+
+  val queries: Map[String, Q] = Map("q39_corpus_pipeline" -> q39CorpusPipeline)
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+  private def md60(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS UBIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q39_corpus_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, text,
+         |    0.3::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS DOUBLE) / 200.0)
+         |      + 0.4::DOUBLE * (CAST(len(list_filter(w, x ->
+         |          list_contains(${sqlList(TextQueries.stopwords)}, x))) AS DOUBLE) / len(w))
+         |      + 0.3::DOUBLE * (1.0::DOUBLE - CAST(punct_cnt AS DOUBLE) / char_len)
+         |      AS quality_score
+         |  FROM t),
+         |filt AS (SELECT * FROM sc WHERE quality_score >= $MIN_QUALITY),
+         |dd AS (SELECT *, row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn FROM filt),
+         |sampled AS (SELECT doc_id, lang, quality_score,
+         |    CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 100
+         |         WHEN lang = 'es' THEN 100 WHEN lang = 'fr' THEN 100
+         |         WHEN lang = 'zh' THEN 80 ELSE 0 END AS rate
+         |  FROM dd WHERE rn = 1)
+         |SELECT doc_id, lang, quality_score,
+         |  100.0::DOUBLE / CAST(rate AS DOUBLE) AS weight,
+         |  CAST(${md60("'shard:' || CAST(doc_id AS VARCHAR)")} % $N_SHARDS AS INTEGER) AS shard
+         |FROM sampled
+         |WHERE ${md60("CAST(doc_id AS VARCHAR)")} % 100 < rate""".stripMargin)
+}

@@ -17,7 +17,7 @@ object SampleQueries {
   private val keepPct: Seq[(String, Int)] =
     Seq("en" -> 40, "de" -> 100, "es" -> 100, "fr" -> 100, "zh" -> 80)
 
-  private def rateCol(lang: Column): Column =
+  private[graft] def rateCol(lang: Column): Column =
     keepPct.foldLeft(when(lit(false), lit(0))) {
       case (acc, (l, r)) => acc.when(lang === l, lit(r))
     }.otherwise(lit(0))

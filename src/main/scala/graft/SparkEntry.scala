@@ -16,7 +16,8 @@ object SparkEntry {
     Queries.relational ++ IngestQueries.queries ++ PipelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries
+      WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries ++
+      CorpusPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     Queries.relationalOracle ++ IngestQueries.oracle ++ PipelineQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle
+      WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle ++
+      CorpusPipelineQueries.oracle
 }

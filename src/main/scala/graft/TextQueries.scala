@@ -16,7 +16,7 @@ import graft.operators.TextOps
 object TextQueries {
   import Queries.Q
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private[graft] val stopwords = Seq("the", "a", "and", "of", "to", "in")
   private val langStops: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "and", "of", "in"),

@@ -97,6 +97,13 @@ class PlanSpec extends SparkSpec {
     p should not include "HashAggregate"
   }
 
+  test("q39 curation pipeline: one dedup-window shuffle plus the compute rebalance, no joins") {
+    val p = plan(CorpusPipelineQueries.q39CorpusPipeline(spark, sf))
+    "Exchange hashpartitioning".r.findAllMatchIn(p).length should be <= 2
+    (p should not).include("SortMergeJoin")
+    p should not include "BroadcastHashJoin"
+  }
+
   test("bucketed join is exchange-free: only the final aggregation shuffles") {
     val p = plan(ScaleQueries.q29BucketedJoin(spark, sf))
     p should include("Bucketed: true")
