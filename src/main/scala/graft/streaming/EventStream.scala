@@ -101,6 +101,27 @@ object EventStream {
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete()).start()
 
+  /** Stream-stream inner join with an event-time range: each left event
+    * pairs with right events of the SAME user within ±`minutes` of event
+    * time. Both sides carry watermarks, and the range condition bounds how
+    * long either side's state must be retained (watermark + range) — the
+    * standard correlated-events shape (impression↔click, query↔result).
+    * The builder is source-agnostic: on batch frames it is the identical
+    * range join, so the batch run is the streaming run's oracle. */
+  def correlate(left: DataFrame, right: DataFrame, minutes: Int): DataFrame = {
+    val l = left.withWatermark("ts", s"$minutes minutes").as("l")
+    val r = right.withWatermark("ts", s"$minutes minutes").as("r")
+    l.join(r,
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $minutes MINUTES") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $minutes MINUTES") &&
+          col("l.event_id") =!= col("r.event_id"))
+      .select(
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"))
+  }
+
   /** Streaming exact dedup over a document feed: the first arrival of each
     * normalized content digest ([[graft.operators.Dedup.normalizedHash]] —
     * the batch operator's identical key) passes; later copies are dropped.

@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream correlate equals the batch range join on the same feeds") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long, Timestamp)]
+    val ri = MemoryStream[(Long, Long, Timestamp)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("event_id", "user_id", "ts")
+    val q = EventStream.correlate(named(li.toDF()), named(ri.toDF()), minutes = 5)
+      .writeStream.format("memory").queryName("corr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val lrows = Seq((1L, 7L, ts(0)), (2L, 7L, ts(20)), (3L, 8L, ts(0)))
+      val rrows = Seq((10L, 7L, ts(3)), (11L, 7L, ts(9)), (12L, 9L, ts(1)))
+      li.addData(lrows: _*); ri.addData(rrows: _*)
+      q.processAllAvailable()
+      val got = spark.table("corr_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val batch = EventStream.correlate(
+          named(lrows.toDF()), named(rrows.toDF()), minutes = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      got shouldBe batch
+      // in-range same-user pair (1,10) matches; (2,*) out of range; user 8/9 never pair
+      got shouldBe Seq((1L, 10L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; watermark timeout emits and evicts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
