@@ -70,6 +70,33 @@ class ExprEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("hashed_shingles preserves set relations of the string shingles on random pairs") {
+    // The native hash is deliberately different from xxhash64 (set identity
+    // is the contract, not value identity): for random document pairs the
+    // (|A|, |B|, |A∩B|) triple — everything Jaccard depends on — must agree
+    // between the native hashed sets and the string shingle sets.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc() = Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+    val rows = (0 until 80).map(i => (i.toLong, doc(), doc()))
+    val df = rows.toDF("id", "wa", "wb")
+    val sz = org.apache.spark.sql.functions.size _
+    val cmp = df.select(
+      sz(call_function("hashed_shingles", col("wa"), lit(2))).as("na"),
+      sz(call_function("hashed_shingles", col("wb"), lit(2))).as("nb"),
+      sz(array_intersect(
+        call_function("hashed_shingles", col("wa"), lit(2)),
+        call_function("hashed_shingles", col("wb"), lit(2)))).as("ni"),
+      sz(TextOps.wordShingles(col("wa"), 2)).as("sa"),
+      sz(TextOps.wordShingles(col("wb"), 2)).as("sb"),
+      sz(array_intersect(
+        TextOps.wordShingles(col("wa"), 2),
+        TextOps.wordShingles(col("wb"), 2))).as("si"))
+      .collect()
+    cmp.foreach { r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2)) shouldBe (r.getInt(3), r.getInt(4), r.getInt(5))
+    }
+  }
+
   test("min_hash60 equals the md5 HOF chain on random token arrays") {
     val rows = (0 until 100).map { i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(40))(
