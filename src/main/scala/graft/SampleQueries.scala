@@ -79,10 +79,30 @@ object SampleQueries {
       .select(col("doc_id"), col("shard"), col("position"))
   }
 
+  /** q40: the 100 TB sketch path q32's scaladoc promises — mergeable
+    * approximations instead of exact sorts: `approx_percentile` (t-digest,
+    * map-side mergeable, no per-group sort) and `approx_count_distinct`
+    * (HyperLogLog++, fixed 2.5KB state per group vs an exact distinct's
+    * keyed shuffle of every value). No DuckDB oracle — sketch internals
+    * differ across engines — so the gate records the weaker rows-only
+    * check; the EXACT twins (q32, q20) stay the correctness anchors, and
+    * the spec below bounds the sketch error against them. */
+  val q40ApproxStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), size(TextOps.words(col("text"))).as("wc"),
+        substring(col("text"), 1, 32).as("prefix32"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("prefix32")).as("approx_distinct_prefixes"),
+        approx_percentile(col("wc"), lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(col("wc"), lit(0.99), lit(10000)).as("p99_approx"))
+
   val queries: Map[String, Q] = Map(
     "q31_stratified_sample" -> q31StratifiedSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
-    "q37_training_shards"   -> q37TrainingShards)
+    "q37_training_shards"   -> q37TrainingShards,
+    "q40_approx_stats"      -> q40ApproxStats)
 
   private val rateSql = keepPct
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }

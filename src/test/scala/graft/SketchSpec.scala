@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q40's mergeable sketches, bounded against their exact twins: the sketch
+  * path is only acceptable at 100 TB because its error is known — pin it. */
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx sketches stay within bounds of the exact statistics") {
+    val approx = SampleQueries.q40ApproxStats(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sz = org.apache.spark.sql.functions.size _
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), sz(graft.operators.TextOps.words(col("text"))).as("wc"),
+        substring(col("text"), 1, 32).as("prefix32"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("prefix32")).as("nd"),
+        percentile(col("wc"), lit(0.5)).as("p50"),
+        percentile(col("wc"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    exact.keySet shouldBe approx.keySet
+    exact.foreach { case (lang, e) =>
+      val a = approx(lang)
+      // HLL++ default rsd is 5%; allow 3 sigma
+      val nd = e.getAs[Long]("nd").toDouble
+      math.abs(a.getAs[Long]("approx_distinct_prefixes") - nd) should be <= (nd * 0.15 + 1)
+      // approx_percentile returns the input's type (an actual int element);
+      // at accuracy 10000 over small groups its rank error is tiny
+      def num(r: org.apache.spark.sql.Row, f: String) = r.getAs[Number](f).doubleValue
+      math.abs(num(a, "p50_approx") - num(e, "p50")) should be <= (num(e, "p50") * 0.05 + 1)
+      math.abs(num(a, "p99_approx") - num(e, "p99")) should be <= (num(e, "p99") * 0.05 + 1)
+    }
+  }
+}
