@@ -26,9 +26,19 @@ class EtlEndToEndSpec extends SparkSpec {
       .select("userId", "firstName", "lastName", "gender").distinct().count()
     Etl.tables.foreach(t => counts(t) should be > 0L)
 
-    // schema contract: songplay columns in target order
-    sink.read(spark, "songplay").schema.fieldNames.toSeq shouldBe
-      graft.schemas.Schemas.songplay.fieldNames.toSeq
+    // schema contract: every materialized table matches its DDL StructType
+    // exactly — names, order, AND types (users has no level; songs uses
+    // song_title; session_id is a varchar; artists is longitude-first)
+    import graft.schemas.Schemas
+    val contracts = Map(
+      "songplay" -> Schemas.songplay, "users" -> Schemas.users,
+      "songs" -> Schemas.songs, "artists" -> Schemas.artists,
+      "time" -> Schemas.time)
+    contracts.foreach { case (t, expected) =>
+      val got = sink.read(spark, t).schema
+      got.fieldNames.toSeq shouldBe expected.fieldNames.toSeq
+      got.fields.map(_.dataType).toSeq shouldBe expected.fields.map(_.dataType).toSeq
+    }
   }
 
   test("sortkey presort: each songplay file is internally ordered by start_time") {

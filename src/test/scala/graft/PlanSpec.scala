@@ -99,9 +99,17 @@ class PlanSpec extends SparkSpec {
 
   test("q39 curation pipeline: one dedup-window shuffle plus the compute rebalance, no joins") {
     val p = plan(CorpusPipelineQueries.q39CorpusPipeline(spark, sf))
-    "Exchange hashpartitioning".r.findAllMatchIn(p).length should be <= 2
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length should be <= 2
     (p should not).include("SortMergeJoin")
     p should not include "BroadcastHashJoin"
+  }
+
+  test("q37 training shards: one hash exchange for the per-shard window, no range exchange") {
+    val p = plan(SampleQueries.q37TrainingShards(spark, sf))
+    p should include("Window")
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Arguments: hashpartitioning(shard")
+    p should not include "rangepartitioning"
   }
 
   test("bucketed join is exchange-free: only the final aggregation shuffles") {
