@@ -18,7 +18,7 @@ class PlanSpec extends SparkSpec {
     val p = plan(Queries.q02SongplayLeftJoin(spark, sf))
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
-    p should not include "Exchange hashpartitioning" // no fact-side shuffle
+    p should not include "Arguments: hashpartitioning" // no fact-side shuffle
   }
 
   test("filter + projection push into the parquet scan") {
@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan(Queries.q07PresortTopk(spark, sf))
     p should include("TakeOrderedAndProject")
-    p should not include "Sort ["
+    """\(\d+\) Sort""".r.findAllMatchIn(p) shouldBe empty // no global sort node
   }
 
   test("aggregations are partial (map-side combine) before the shuffle") {
@@ -118,8 +118,8 @@ class PlanSpec extends SparkSpec {
     p should include("SortMergeJoin")
     // the join reads co-located buckets from both sides: no shuffle on
     // either join key, no broadcast; the only Exchange is the final agg
-    p should not include "Exchange hashpartitioning(l_orderkey"
-    p should not include "Exchange hashpartitioning(o_orderkey"
+    p should not include "hashpartitioning(l_orderkey"
+    p should not include "hashpartitioning(o_orderkey"
     p should not include "BroadcastExchange"
   }
 }
