@@ -66,6 +66,41 @@ object TextQueries {
       (col("lang") === predicted).as("is_match"))
   }
 
+  /** Characteristic character n-grams per language (the classic Cavnar–
+    * Trenkle-style profile, reduced to a fixed discriminative set): q41
+    * scores a document by total occurrence count of each language's
+    * trigrams and takes the argmax. Complements q16's word-stopword
+    * heuristic with the sub-word mechanism that also works on unsegmented
+    * scripts. Constants, not learned — deterministic and oracle-able. */
+  private[graft] val charNgrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "ich", "ein", "und", "der", "ung"),
+    "en" -> Seq("the", "ing", "ion", "and", " of", " to"),
+    "es" -> Seq("ión", "los", "ado", " de", "que", "ara"),
+    "fr" -> Seq("les", "ait", "eur", " de", "que", "est"))
+
+  /** q41: n-gram language-ID — per-language summed trigram occurrence
+    * counts (overlapping matches included via lookahead-free stepping:
+    * regexp_count counts non-overlapping, which both engines implement
+    * identically), argmax with alphabetical tie-break, 'und' on zero
+    * evidence. Single-pass, in-scan, shuffle-free. */
+  val q41LangIdNgram: Q = (s, d) => {
+    val scores: Seq[(String, Column)] = charNgrams.map { case (code, ngs) =>
+      // the profile n-grams are letters/spaces only — safe as literal
+      // regex patterns in both Spark (Java regex) and DuckDB (RE2)
+      code -> ngs.map(g => regexp_count(col("text"), lit(g))).reduce(_ + _)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (code, sc)) => acc.when(sc === best, lit(code))
+    }
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      predicted.as("predicted"),
+      best.cast(IntegerType).as("score"),
+      (col("lang") === predicted).as("is_match"))
+  }
+
   /** q17: token counting — whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), the chars/4 heuristic,
     * and byte length. */
@@ -138,7 +173,8 @@ object TextQueries {
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
     "q18_fingerprint" -> q18Fingerprint,
-    "q19_simhash"     -> q19Simhash)
+    "q19_simhash"     -> q19Simhash,
+    "q41_lang_id_ngram" -> q41LangIdNgram)
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `w` is always regexp_split_to_array(trim(text),'\s+')
@@ -200,7 +236,22 @@ object TextQueries {
         |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)::BIGINT), 'min') AS fingerprint,
         |  len(s) AS n_shingles
         |FROM sh""".stripMargin,
-    "q19_simhash" -> simhashSql)
+    "q19_simhash" -> simhashSql,
+    "q41_lang_id_ngram" -> {
+      val scoreSql = charNgrams.map { case (code, ngs) =>
+        code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")
+      }
+      val best = scoreSql.map(s => s"(${s._2})").mkString("greatest(", ", ", ")")
+      val pred = scoreSql
+        .map { case (c, s) => s"WHEN ($s) = best THEN '$c'" }
+        .mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, lang, text, $best AS best FROM documents)
+         |SELECT doc_id, lang,
+         |  $pred AS predicted,
+         |  CAST(best AS INTEGER) AS score,
+         |  (lang = ($pred)) AS is_match
+         |FROM t""".stripMargin
+    })
 
   /** The q19 oracle SQL, exposed so the q30 near-dup oracle can stage the
     * identical fingerprints. */
