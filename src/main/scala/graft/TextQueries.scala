@@ -93,7 +93,8 @@ object TextQueries {
     val predicted = scores.foldLeft(when(best === 0, lit("und"))) {
       case (acc, (code, sc)) => acc.when(sc === best, lit(code))
     }
-    Tables.documents(s, d).select(
+    // 24 regex scans per row: compute-dense → rebalance before scoring
+    Tables.documentsDistributed(s, d).select(
       col("doc_id"),
       col("lang"),
       predicted.as("predicted"),
