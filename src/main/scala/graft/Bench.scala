@@ -22,10 +22,15 @@ object Bench {
     // structure, which is scale-independent, so the timed run at the target
     // scale measures the plans, not first compilation.
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
-    val warmSf = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if (!new java.io.File(warmSf).isDirectory)
+      System.err.println(s"[bench] WARN warmup dir $warmSf missing — timed numbers include first-compilation cost")
+    else SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // a warmup failure surfaces in the timed pass
+      catch { case e: Throwable =>
+        // non-fatal (the timed pass decides pass/fail), but never silent
+        System.err.println(s"[bench] WARN warmup $name failed: ${e.getMessage}")
+      }
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

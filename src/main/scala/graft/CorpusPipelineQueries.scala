@@ -24,17 +24,11 @@ object CorpusPipelineQueries {
   private val N_SHARDS = 8
 
   val q39CorpusPipeline: Q = (s, d) => {
-    val w = TextOps.words(col("text"))
-    val charLen = length(col("text"))
-    val wordCnt = size(w)
-    val punctCnt = charLen - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    val stopHits = TextOps.vocabHits(w, TextQueries.stopwords)
-    val score = lit(0.3) * least(lit(1.0), wordCnt.cast(DoubleType) / lit(200.0)) +
-      lit(0.4) * (stopHits.cast(DoubleType) / wordCnt) +
-      lit(0.3) * (lit(1.0) - punctCnt.cast(DoubleType) / charLen)
-
+    // The SAME score definition q15 verifies standalone — shared builder,
+    // so the composed pipeline can never drift from the verified operator.
     val scored = Tables.documentsDistributed(s, d)
-      .select(col("doc_id"), col("lang"), col("text"), score.as("quality_score"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextQueries.qualityScore(col("text")).as("quality_score"))
       .filter(col("quality_score") >= MIN_QUALITY)
 
     // Exact dedup, keep-first: one window shuffle on the content digest.
@@ -56,7 +50,6 @@ object CorpusPipelineQueries {
 
   val queries: Map[String, Q] = Map("q39_corpus_pipeline" -> q39CorpusPipeline)
 
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
   private def md60(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS UBIGINT)"
 
@@ -68,10 +61,7 @@ object CorpusPipelineQueries {
          |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
          |  FROM documents),
          |sc AS (SELECT doc_id, lang, text,
-         |    0.3::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS DOUBLE) / 200.0)
-         |      + 0.4::DOUBLE * (CAST(len(list_filter(w, x ->
-         |          list_contains(${sqlList(TextQueries.stopwords)}, x))) AS DOUBLE) / len(w))
-         |      + 0.3::DOUBLE * (1.0::DOUBLE - CAST(punct_cnt AS DOUBLE) / char_len)
+         |    ${TextQueries.qualityScoreSql("w", "punct_cnt", "char_len")}
          |      AS quality_score
          |  FROM t),
          |filt AS (SELECT * FROM sc WHERE quality_score >= $MIN_QUALITY),

@@ -23,10 +23,33 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "de", "y"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
+  /** The composite quality score as ONE shared definition — q15 reports it,
+    * q39's curation pipeline filters on it; both build this exact Column
+    * (and both oracles embed [[qualityScoreSql]]), so the two can never
+    * drift. The formula is arbitrary but fixed; what matters is that every
+    * term is deterministic double arithmetic with a fixed evaluation order
+    * (bit-identical in the oracle). */
+  private[graft] def qualityScore(text: Column): Column = {
+    val w = TextOps.words(text)
+    val charLen = length(text)
+    val wordCnt = size(w)
+    val punctCnt = charLen - length(regexp_replace(text, "[.,;:!?]", ""))
+    val stopHits = TextOps.vocabHits(w, stopwords)
+    lit(0.3) * least(lit(1.0), wordCnt.cast(DoubleType) / lit(200.0)) +
+      lit(0.4) * (stopHits.cast(DoubleType) / wordCnt) +
+      lit(0.3) * (lit(1.0) - punctCnt.cast(DoubleType) / charLen)
+  }
+
+  /** The identical score in DuckDB SQL, over a tokenized CTE exposing the
+    * word list `w`, punctuation count `punct`, and char count `chars`. */
+  private[graft] def qualityScoreSql(w: String, punct: String, chars: String): String =
+    s"""0.3::DOUBLE * least(1.0::DOUBLE, CAST(len($w) AS DOUBLE) / 200.0)
+       |    + 0.4::DOUBLE * (CAST(len(list_filter($w, x ->
+       |        list_contains(${sqlList(stopwords)}, x))) AS DOUBLE) / len($w))
+       |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST($punct AS DOUBLE) / $chars)""".stripMargin
+
   /** q15: quality scoring — length, punctuation ratio, stopword ratio,
-    * average word length, composite score. The score formula is arbitrary
-    * but fixed; what matters is that every term is deterministic double
-    * arithmetic with a fixed evaluation order (bit-identical in the oracle). */
+    * average word length, composite score (the shared [[qualityScore]]). */
   val q15TextStats: Q = (s, d) => {
     val w = TextOps.words(col("text"))
     val charLen = length(col("text"))
@@ -42,10 +65,7 @@ object TextQueries {
         .as("avg_word_len"),
       (punctCnt.cast(DoubleType) / charLen).as("punct_ratio"),
       (stopHits.cast(DoubleType) / wordCnt).as("stop_ratio"),
-      (lit(0.3) * least(lit(1.0), wordCnt.cast(DoubleType) / lit(200.0))
-        + lit(0.4) * (stopHits.cast(DoubleType) / wordCnt)
-        + lit(0.3) * (lit(1.0) - punctCnt.cast(DoubleType) / charLen))
-        .as("quality_score"))
+      qualityScore(col("text")).as("quality_score"))
   }
 
   /** q16: language-ID heuristic — per-language stopword occurrence counts,
@@ -198,9 +218,7 @@ object TextQueries {
          |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / word_cnt AS avg_word_len,
          |  CAST(punct_cnt AS DOUBLE) / char_len AS punct_ratio,
          |  CAST(stop_hits AS DOUBLE) / word_cnt AS stop_ratio,
-         |  0.3::DOUBLE * least(1.0::DOUBLE, CAST(word_cnt AS DOUBLE) / 200.0)
-         |    + 0.4::DOUBLE * (CAST(stop_hits AS DOUBLE) / word_cnt)
-         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(punct_cnt AS DOUBLE) / char_len) AS quality_score
+         |  ${qualityScoreSql("w", "punct_cnt", "char_len")} AS quality_score
          |FROM t2""".stripMargin,
     "q16_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w

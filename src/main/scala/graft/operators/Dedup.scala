@@ -33,15 +33,12 @@ object Dedup {
     docs.groupBy(normalizedHash(text).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
 
-  /** Distinct shingle sets per doc, as SORTED 64-bit hashes, so the
-    * verification can merge-intersect (see [[graft.functions.JaccardSimilarity]]).
-    * Set operations work on fixed-width longs instead of re-comparing
-    * strings — Jaccard over the hashed sets equals Jaccard over the strings
-    * up to a ~2^-64 per-pair collision chance. Fast path: the native
-    * hashed_shingles expression (one fused loop); fallback: the composable
-    * higher-order chain (distinct → xxhash64 → sort), interpreted. */
-  /** Sorted distinct hashed-shingle set of `text` — the fused native
-    * expression when registered, else the composable HOF chain. */
+  /** Sorted distinct hashed-shingle set of `text`, as 64-bit longs so the
+    * verification can merge-intersect without re-comparing strings (Jaccard
+    * over the hashed sets equals Jaccard over the strings up to a ~2^-64
+    * per-pair collision chance). Fast path: the native hashed_shingles
+    * expression (one fused loop); fallback: the composable higher-order
+    * chain (distinct → xxhash64 → sort), interpreted. */
   private def shingleCol(docs: DataFrame, k: Int): Column =
     if (docs.sparkSession.catalog.functionExists("hashed_shingles"))
       call_function("hashed_shingles", TextOps.words(col("text")), lit(k))
@@ -213,14 +210,14 @@ object Dedup {
     * bucket (each doc emits its bucket and bucket+1, so an equi-join covers
     * the ±1 neighborhood without a non-equi join).
     *
-    * The shingle sets ride THROUGH the block join (each doc's array is
-    * duplicated twice — |docs| extra arrays, not |pairs|), so every
-    * candidate pair verifies inline where the join match is enumerated: no
-    * pair-list distinct, no lookup joins shuffling |pairs| rows. A pair of
-    * same-bucket docs matches on both shared keys (b and b+1); the
-    * both-at-plus-one predicate keeps exactly one of the two matches, which
-    * is the algebraic form of the old `distinct()` — evaluated per match
-    * instead of shuffling every pair to dedup. */
+    * A pair of same-bucket docs matches on both shared keys (b and b+1);
+    * the both-at-plus-one join predicate keeps exactly one of the two
+    * matches — the algebraic form of a pair-list `distinct()`, decided per
+    * match with no dedup shuffle. The skinny candidate pairs are then
+    * rebalanced (the block join's parallelism is its key count) and
+    * verified via [[verifyJaccard]]'s shingle lookup joins — those DO
+    * shuffle |pairs| rows, which is the operator's inherent cost: the
+    * block structure bounds |pairs|, quadratic within a block by design. */
   def blockedNgramPairs(docs: DataFrame, threshold: Double,
                         shingleK: Int = 2, bucketWords: Int = 32): DataFrame = {
     val sh = shingled(docs, shingleK)

@@ -62,6 +62,9 @@ object Multimodal {
       floor((octet_length(col("payload")) - 1) / lit(stride)),
       lit(maxFrames - 1)).cast(IntegerType)
     media
+      // An empty payload has NO frames. Without this filter lastIdx = -1
+      // and sequence(0, -1) counts DOWN, yielding two phantom frames.
+      .filter(octet_length(col("payload")) > 0)
       .select(Seq(col("doc_id"), col("payload")) ++ carry.map(col) :+
         posexplode(sequence(lit(0), lastIdx)): _*)
       .select(Seq(

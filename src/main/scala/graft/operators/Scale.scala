@@ -51,7 +51,16 @@ object Scale {
     val spark = df.sparkSession
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS"))
+    // The on-disk layout is only reusable if it was written with THIS exact
+    // spec — schema, key, and bucket count. A signature file next to
+    // _SUCCESS records the spec; any mismatch (changed bucket count,
+    // changed projection) forces a rebuild instead of silently attaching
+    // new metadata to an old physical layout.
+    val spec = s"${df.schema.toDDL}|$key|$buckets"
+    val specFile = loc.resolve("_graft_bucket_spec")
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(specFile) &&
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
     if (spark.catalog.tableExists(table) && intact) return
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (intact) {
@@ -69,5 +78,6 @@ object Scale {
         .forEach(p => java.nio.file.Files.delete(p))
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
+    java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
   }
 }

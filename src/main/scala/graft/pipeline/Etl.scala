@@ -188,9 +188,13 @@ object Etl {
     // post-ETL staging drop.
     staging.foreach { t => spark.catalog.dropTempView(t); sink.drop(t) }
     // The reference's five count(*) validation queries, as ONE union job
-    // (per-table counts still come from the materialized files).
-    tables.map(t => sink.read(spark, t).select(lit(t).as("t")).groupBy("t").count())
+    // (per-table counts still come from the materialized files). A grouped
+    // count over an empty table yields NO row — restore the 0 explicitly so
+    // an empty table reports 0 instead of vanishing from the map.
+    val counted = tables
+      .map(t => sink.read(spark, t).select(lit(t).as("t")).groupBy("t").count())
       .reduce(_ union _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tables.map(t => t -> counted.getOrElse(t, 0L)).toMap
   }
 }

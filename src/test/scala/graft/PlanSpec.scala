@@ -112,6 +112,21 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("writeBucketed rebuilds on spec change instead of attaching stale layout") {
+    import spark.implicits._
+    import graft.operators.Scale
+    val t = "graft_spec_probe"
+    Scale.writeBucketed((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    spark.table(t).count() shouldBe 100
+    // same spec: write-once contract — the second call must NOT rewrite
+    Scale.writeBucketed((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    spark.table(t).count() shouldBe 100
+    // changed bucket count: stale physical layout must be rebuilt, not reused
+    Scale.writeBucketed((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 8)
+    spark.table(t).count() shouldBe 50
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("bucketed join is exchange-free: only the final aggregation shuffles") {
     val p = plan(ScaleQueries.q29BucketedJoin(spark, sf))
     p should include("Bucketed: true")

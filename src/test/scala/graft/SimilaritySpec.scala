@@ -130,6 +130,9 @@ class SimilaritySpec extends SparkSpec {
     // cap: a 10_000-byte doc yields exactly maxFrames rows
     val big = Seq((4L, "x" * 10000, "en", "x", 10000L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     Multimodal.sampleFrames(Multimodal.mediaTable(big), maxFrames = 8).count() shouldBe 8L
+    // an empty payload has NO frames (not phantom descending-sequence rows)
+    val empty = Seq((5L, "", "en", "x", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Multimodal.sampleFrames(Multimodal.mediaTable(empty)).count() shouldBe 0L
     // resize stub: integer-halve, floor at 1
     import org.apache.spark.sql.functions.lit
     val (w2, h2) = Multimodal.resizeMeta(lit(639), lit(0), 2)
