@@ -189,13 +189,39 @@ object TextQueries {
 
   val q19Simhash: Q = (s, d) => simhashDf(Tables.documentsDistributed(s, d))
 
+  /** q42: context-window chunking — every document splits into overlapping
+    * word windows (window 64, stride 48: 16 words of overlap), one row per
+    * chunk, the canonical training-sequence prep. Generator shape
+    * (posexplode over the stride sequence + array slice), codegen'd,
+    * shuffle-free; chunk content is digested so the gate hash-compares the
+    * exact text of every chunk. A document shorter than one window yields
+    * exactly one chunk. */
+  private val CHUNK_WINDOW = 64
+  private val CHUNK_STRIDE = 48
+
+  val q42Chunking: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(CHUNK_STRIDE)))
+          .as("chunk_start"))
+      .select(
+        col("doc_id"),
+        col("chunk_start"),
+        size(slice(col("w"), col("chunk_start") + 1, lit(CHUNK_WINDOW))).as("chunk_words"),
+        md5(concat_ws(" ", slice(col("w"), col("chunk_start") + 1, lit(CHUNK_WINDOW))))
+          .as("chunk_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
     "q18_fingerprint" -> q18Fingerprint,
     "q19_simhash"     -> q19Simhash,
-    "q41_lang_id_ngram" -> q41LangIdNgram)
+    "q41_lang_id_ngram" -> q41LangIdNgram,
+    "q42_chunking"    -> q42Chunking)
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `w` is always regexp_split_to_array(trim(text),'\s+')
@@ -256,6 +282,17 @@ object TextQueries {
         |  len(s) AS n_shingles
         |FROM sh""".stripMargin,
     "q19_simhash" -> simhashSql,
+    // range() is exclusive-end and sequence() inclusive: range(0, nw, 48)
+    // and sequence(0, nw-1, 48) generate the same starts for nw >= 1
+    // (words of empty text is [""], so nw >= 1 always).
+    "q42_chunking" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(s AS INTEGER) AS chunk_start,
+         |  CAST(len(w[s + 1 : s + $CHUNK_WINDOW]) AS INTEGER) AS chunk_words,
+         |  md5(array_to_string(w[s + 1 : s + $CHUNK_WINDOW], ' ')) AS chunk_md5
+         |FROM w, UNNEST(range(0, greatest(len(w), 1), $CHUNK_STRIDE)) AS t(s)""".stripMargin,
     "q41_lang_id_ngram" -> {
       val scoreSql = charNgrams.map { case (code, ngs) =>
         code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")
