@@ -194,18 +194,27 @@ object TextQueries {
     * chunk, the canonical training-sequence prep. Generator shape
     * (posexplode over the stride sequence + array slice), codegen'd,
     * shuffle-free; chunk content is digested so the gate hash-compares the
-    * exact text of every chunk. A document shorter than one window yields
-    * exactly one chunk. */
+    * exact text of every chunk. No chunk is ever fully contained in its
+    * predecessor (the start sequence stops at the last start that adds
+    * words), so a document shorter than window+overlap yields exactly one
+    * chunk and no training sequence is emitted twice. */
   private val CHUNK_WINDOW = 64
   private val CHUNK_STRIDE = 48
 
   val q42Chunking: Q = (s, d) => {
     val w = TextOps.words(col("text"))
-    Tables.documents(s, d)
+    // Last useful start: a chunk at s only adds words when nw > s + overlap
+    // (overlap = window - stride); capping the sequence there drops trailing
+    // chunks fully contained in their predecessor while keeping coverage
+    // exact (the first dropped start s' satisfies nw <= s' + overlap, so the
+    // kept predecessor's window s' - stride + window >= nw spans the tail).
+    val lastStart = greatest(
+      size(col("w")) - 1 - lit(CHUNK_WINDOW - CHUNK_STRIDE), lit(0))
+    Tables.documentsDistributed(s, d)
+      .filter(col("text").isNotNull) // oracle and plan agree: no chunks for NULL text
       .select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(CHUNK_STRIDE)))
-          .as("chunk_start"))
+        explode(sequence(lit(0), lastStart, lit(CHUNK_STRIDE))).as("chunk_start"))
       .select(
         col("doc_id"),
         col("chunk_start"),
@@ -282,17 +291,19 @@ object TextQueries {
         |  len(s) AS n_shingles
         |FROM sh""".stripMargin,
     "q19_simhash" -> simhashSql,
-    // range() is exclusive-end and sequence() inclusive: range(0, nw, 48)
-    // and sequence(0, nw-1, 48) generate the same starts for nw >= 1
-    // (words of empty text is [""], so nw >= 1 always).
+    // range() is exclusive-end and sequence() inclusive → +1 on the same
+    // last-useful-start bound (words of empty text is [""], so nw >= 1;
+    // NULL text is filtered on both sides).
     "q42_chunking" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT doc_id,
          |  CAST(s AS INTEGER) AS chunk_start,
          |  CAST(len(w[s + 1 : s + $CHUNK_WINDOW]) AS INTEGER) AS chunk_words,
          |  md5(array_to_string(w[s + 1 : s + $CHUNK_WINDOW], ' ')) AS chunk_md5
-         |FROM w, UNNEST(range(0, greatest(len(w), 1), $CHUNK_STRIDE)) AS t(s)""".stripMargin,
+         |FROM w, UNNEST(range(0,
+         |  greatest(len(w) - 1 - ${CHUNK_WINDOW - CHUNK_STRIDE}, 0) + 1,
+         |  $CHUNK_STRIDE)) AS t(s)""".stripMargin,
     "q41_lang_id_ngram" -> {
       val scoreSql = charNgrams.map { case (code, ngs) =>
         code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")

@@ -79,4 +79,28 @@ class TextOpsSpec extends SparkSpec {
     salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
       direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
   }
+
+  test("q42 chunking: no chunk is contained in its predecessor; coverage is exact") {
+    def chunks(nWords: Int) = {
+      val doc = Seq((1L, (1 to nWords).map(i => s"w$i").mkString(" "), "en", "x", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // the same start-generation expressions q42 builds, on a tiny doc
+      val w = graft.operators.TextOps.words(col("text"))
+      import org.apache.spark.sql.functions.{explode, sequence, greatest, lit, slice, size => asize}
+      doc.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), greatest(asize(col("w")) - 1 - lit(16), lit(0)), lit(48)))
+            .as("s"), asize(col("w")).as("nw"))
+        .collect().map(r => (r.getAs[Int]("s"), r.getAs[Int]("nw"))).toSeq.sortBy(_._1)
+    }
+    // shorter than window+overlap: exactly one chunk
+    chunks(49).map(_._1) shouldBe Seq(0)
+    chunks(64).map(_._1) shouldBe Seq(0)
+    // 100 words: starts {0, 48}; the dropped start 96 would add nothing
+    // (words 97..100 are inside chunk(48) = words 49..112) and chunk(48)
+    // spans through word 112 >= 100 -> coverage exact
+    chunks(100).map(_._1) shouldBe Seq(0, 48)
+    // just past the containment bound: start 48 adds word 65
+    chunks(65).map(_._1) shouldBe Seq(0, 48)
+  }
 }
