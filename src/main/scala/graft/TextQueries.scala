@@ -223,8 +223,30 @@ object TextQueries {
           .as("chunk_md5"))
   }
 
+  /** q43: repetition scoring — the duplicated-n-gram quality rule (the
+    * Gopher-style repetition filter): the fraction of a document's trigram
+    * OCCURRENCES that are repeats of an earlier trigram. High values mark
+    * boilerplate/looping text that length and stopword ratios (q15) miss.
+    * distinct counts come from the shingle set; totals are pure arithmetic
+    * (nw-2 positions, floored at 1 to mirror the short-doc single-shingle
+    * contract). Single-pass, in-scan; rebalanced like the other
+    * compute-dense text passes. */
+  val q43RepetitionScore: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val total3 = greatest(size(w) - 2, lit(1))
+    val distinct3 = size(TextOps.wordShingles(w, 3))
+    val dupFrac = lit(1.0) - distinct3.cast(DoubleType) / total3.cast(DoubleType)
+    Tables.documentsDistributed(s, d).select(
+      col("doc_id"),
+      total3.cast(IntegerType).as("total_3grams"),
+      distinct3.cast(IntegerType).as("distinct_3grams"),
+      dupFrac.as("dup_frac_3"),
+      (dupFrac > 0.5).as("is_repetitive"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
+    "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
     "q18_fingerprint" -> q18Fingerprint,
@@ -291,6 +313,22 @@ object TextQueries {
         |  len(s) AS n_shingles
         |FROM sh""".stripMargin,
     "q19_simhash" -> simhashSql,
+    "q43_repetition_score" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    greatest(len(w) - 2, 1) AS total_3grams,
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 2, 1) + 1),
+        |      i -> array_to_string(w[i:i+2], ' ')))) AS distinct_3grams
+        |  FROM w)
+        |SELECT doc_id, CAST(total_3grams AS INTEGER) AS total_3grams,
+        |  CAST(distinct_3grams AS INTEGER) AS distinct_3grams,
+        |  1.0::DOUBLE - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE)
+        |    AS dup_frac_3,
+        |  (1.0::DOUBLE - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE))
+        |    > 0.5 AS is_repetitive
+        |FROM t""".stripMargin,
     // range() is exclusive-end and sequence() inclusive → +1 on the same
     // last-useful-start bound (words of empty text is [""], so nw >= 1;
     // NULL text is filtered on both sides).
