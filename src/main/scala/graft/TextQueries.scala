@@ -234,7 +234,13 @@ object TextQueries {
   val q43RepetitionScore: Q = (s, d) => {
     val w = TextOps.words(col("text"))
     val total3 = greatest(size(w) - 2, lit(1))
-    val distinct3 = size(TextOps.wordShingles(w, 3))
+    // distinct count via the fused hashed-shingle set (one loop/doc; equal
+    // to the string-set count up to ~2^-64 collisions — q18's precedent);
+    // the interpreted string-shingle chain is the vanilla-session fallback
+    val distinct3 =
+      if (s.catalog.functionExists("hashed_shingles"))
+        size(call_function("hashed_shingles", w, lit(3)))
+      else size(TextOps.wordShingles(w, 3))
     val dupFrac = lit(1.0) - distinct3.cast(DoubleType) / total3.cast(DoubleType)
     Tables.documentsDistributed(s, d).select(
       col("doc_id"),
