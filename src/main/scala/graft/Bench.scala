@@ -32,6 +32,14 @@ object Bench {
         System.err.println(s"[bench] WARN warmup $name failed: ${e.getMessage}")
       }
     }
+    // If the warmup scale IS the timed scale, the warmup left warm state
+    // behind (Etl memo, bucketed tables) — timed q13/q29 would measure
+    // cache hits. Purge so they measure the real build.
+    if (new java.io.File(warmSf).getCanonicalPath == new java.io.File(sfDir).getCanonicalPath) {
+      System.err.println(s"[bench] WARN warmup dir == timed dir; purging warm Etl/bucket state")
+      graft.pipeline.Etl.invalidate(sfDir)
+      ScaleQueries.purgeBucketed(spark, sfDir)
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -242,7 +242,9 @@ object TextQueries {
         size(call_function("hashed_shingles", w, lit(3)))
       else size(TextOps.wordShingles(w, 3))
     val dupFrac = lit(1.0) - distinct3.cast(DoubleType) / total3.cast(DoubleType)
-    Tables.documentsDistributed(s, d).select(
+    Tables.documentsDistributed(s, d)
+      .filter(col("text").isNotNull) // oracle and plan agree: no score for NULL text
+      .select(
       col("doc_id"),
       total3.cast(IntegerType).as("total_3grams"),
       distinct3.cast(IntegerType).as("distinct_3grams"),
@@ -321,7 +323,7 @@ object TextQueries {
     "q19_simhash" -> simhashSql,
     "q43_repetition_score" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |t AS (SELECT doc_id,
         |    greatest(len(w) - 2, 1) AS total_3grams,
         |    len(list_distinct(list_transform(

@@ -19,6 +19,20 @@ object SimHash60 {
     * 60 bit positions, duplicates included; output bit b is set iff the
     * vote sum is positive. Integer votes are order-free, so this equals the
     * explode → 60×sum(CASE) → reassemble formulation exactly. */
+  /** Null-propagating wrapper: an array containing a null element yields a
+    * NULL hash (matching the explode-fallback's NULL propagation) instead
+    * of an NPE — the expression is SQL-registered and callable on arbitrary
+    * array<string> input, not just TextOps.words output. */
+  def computeOrNull(words: ArrayData): java.lang.Long = {
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      i += 1
+    }
+    java.lang.Long.valueOf(compute(words))
+  }
+
   def compute(words: ArrayData): Long = {
     val digest = md.get()
     val votes = new Array[Int](60)
@@ -60,13 +74,19 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true // null array OR null element → NULL
+
   override def prettyName: String = "sim_hash60"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash60.compute(input.asInstanceOf[ArrayData])
+    SimHash60.computeOrNull(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.SimHash60.computeOrNull($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
     copy(child = newChild)

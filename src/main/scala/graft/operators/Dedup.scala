@@ -237,7 +237,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       // Rebalance: the block join's output parallelism is its (lang, bucket)
       // key count; the verify is CPU-dense, so spread pairs over all cores.
-      .repartition(col("doc_a"))
+      // Both columns, so a hub doc's pairs don't re-concentrate on one task.
+      .repartition(col("doc_a"), col("doc_b"))
 
     verifyJaccard(candidates, sh, threshold)
   }

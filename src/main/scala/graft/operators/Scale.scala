@@ -46,8 +46,14 @@ object Scale {
     * table name with the data's identity (e.g. scale dir), and a build is
     * skipped when that table's bucketed files are already on disk — a fresh
     * session re-registers the metadata over the existing files instead of
-    * rewriting them (bucket once, join many). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    * rewriting them (bucket once, join many).
+    *
+    * `dataFingerprint` ties the layout to the INPUT data's identity (e.g.
+    * [[dirFingerprint]] of the source dir): if the source parquet is ever
+    * regenerated in place, the spec no longer matches and the bucketed
+    * copy is rebuilt instead of silently serving stale rows. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      dataFingerprint: String = ""): Unit = {
     val spark = df.sparkSession
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
@@ -56,7 +62,7 @@ object Scale {
     // _SUCCESS records the spec; any mismatch (changed bucket count,
     // changed projection) forces a rebuild instead of silently attaching
     // new metadata to an old physical layout.
-    val spec = s"${df.schema.toDDL}|$key|$buckets"
+    val spec = s"${df.schema.toDDL}|$key|$buckets|$dataFingerprint"
     val specFile = loc.resolve("_graft_bucket_spec")
     val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(specFile) &&
@@ -79,5 +85,28 @@ object Scale {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
     java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
+  }
+
+  /** Cheap identity digest of the files under `dirs` (name, size, mtime of
+    * each regular file) — driver-side metadata only, no data read. Feed to
+    * [[writeBucketed]] so regenerated source data invalidates derived
+    * bucketed layouts. */
+  def dirFingerprint(dirs: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .sorted()
+          .forEach { f =>
+            md.update(
+              s"${p.relativize(f)}|${java.nio.file.Files.size(f)}|${java.nio.file.Files.getLastModifiedTime(f).toMillis}\n"
+                .getBytes("UTF-8"))
+          }
+        finally s.close()
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 }

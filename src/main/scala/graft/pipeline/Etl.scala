@@ -143,6 +143,11 @@ object Etl {
     * validation queries, test_etl.ipynb cells 8–21). */
   private val ran = new ConcurrentHashMap[String, Map[String, Long]]()
 
+  /** Drop the in-process memo for `sfDir` so the next [[run]] measures a
+    * real rebuild — used by Bench when the warmup scale equals the timed
+    * scale (a warm cache hit must not masquerade as the pipeline's cost). */
+  def invalidate(sfDir: String): Unit = ran.remove(sfDir)
+
   private def intact(sfDir: String): Boolean =
     tables.forall(t => Files.exists(Paths.get(starRoot(sfDir), t, "_SUCCESS")))
 

@@ -122,6 +122,16 @@ class FallbackSpec extends SparkSpec {
     native.length shouldBe 3
   }
 
+  test("sim_hash60 yields NULL (not NPE) for a null array element") {
+    // The expression is SQL-registered and callable on arbitrary
+    // array<string>; a null element must propagate NULL like the fallback.
+    val r = spark.sql(
+      "SELECT sim_hash60(array('a', CAST(NULL AS STRING), 'b')), sim_hash60(array('a','b'))")
+      .collect()(0)
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe false
+  }
+
   test("fingerprint fallback (HOF md5 chain) matches the fused expression") {
     val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
