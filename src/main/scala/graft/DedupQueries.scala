@@ -38,6 +38,19 @@ object DedupQueries {
     Dedup.cosineNearDupPairs(Tables.embeddings(s, d), ND_TAU, ndGrids,
       SimilarityQueries.cosineFnFor(s))
 
+  /** q44: duplicate-cluster resolution — connected components over the
+    * q21 MinHash/LSH verified pairs, labeling EVERY document with its
+    * cluster's minimum doc_id (itself when unpaired), plus cluster size and
+    * the keep-this-one canonical flag. The oracle recomputes the same
+    * transitive closure with a DuckDB recursive CTE over the exact-Jaccard
+    * pair set, so the gate covers both the pair recall (as q21) and the
+    * fixpoint of the distributed label propagation. */
+  val q44DedupClusters: Q = (s, d) =>
+    Dedup.resolveClusters(
+      Tables.documents(s, d).select(col("doc_id")),
+      Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")))
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -58,7 +71,8 @@ object DedupQueries {
     "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked,
     "q30_dedup_simhash"       -> q30DedupSimhash,
     "q35_dedup_embedding"     -> q35DedupEmbedding,
-    "q38_decontamination"     -> q38Decontamination)
+    "q38_decontamination"     -> q38Decontamination,
+    "q44_dedup_clusters"      -> q44DedupClusters)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -125,7 +139,32 @@ object DedupQueries {
     // Banded sign-bucket LSH with the identical md5-derived hyperplanes;
     // the oracle applies the same (band, bucket) candidate constraint and
     // the same 0.0-seeded left-fold cosine (bit-equal to cosine_sim).
-    "q35_dedup_embedding" -> embeddingOracle)
+    "q35_dedup_embedding" -> embeddingOracle,
+    // Transitive closure over the exact-Jaccard τ=0.8 pair set (q21's
+    // oracle semantics) via recursive CTE; min reachable id per node.
+    "q44_dedup_clusters" ->
+      s"""WITH RECURSIVE ${shinglesCte(3)},
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT da AS doc_a, db AS doc_b
+         |  FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
+         |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+         |SELECT labeled.doc_id, labeled.cluster_id, csz.cluster_size,
+         |  labeled.doc_id = labeled.cluster_id AS is_canonical
+         |FROM labeled JOIN csz USING (cluster_id)""".stripMargin)
 
   private def ndHpList(g: Array[Array[Int]], p: Int): String =
     g(p).map(k => s"($k)/CAST(1000 AS DOUBLE)").mkString("[", ",", "]")

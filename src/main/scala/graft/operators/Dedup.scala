@@ -243,6 +243,72 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over a verified
+    * near-dup pair list. Every id in `ids` is labeled with the MINIMUM id
+    * reachable through the pair graph (its own id when unpaired) — the step
+    * that turns pairwise dedup output ("A~B, B~C") into per-group decisions
+    * ("keep min, drop the rest"), with cluster sizes and a canonical flag.
+    *
+    * Algorithm: min-label propagation. Each round joins the current label
+    * table across the (symmetrized) edge list and keeps the per-node
+    * minimum; a fixpoint is reached when no label changes. Monotone-min
+    * convergence is exact: at the fixpoint both endpoints of every edge
+    * carry equal labels, and the component minimum (whose own label can
+    * never drop) has flooded the component.
+    *
+    * Scale shape: rounds = O(max component diameter), each round ONE
+    * equi-join shuffle of |edges| + |nodes| keyed rows — no all-pairs work,
+    * no driver-side graph. Near-dup clusters are mutually-similar doc
+    * groups, so diameters are small; for adversarially chain-shaped graphs
+    * the alternating star-contraction algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014) bounds rounds by
+    * O(log n) at the cost of rewriting the edge list every round — the
+    * cheaper per-round label join wins for dedup workloads. Labels are
+    * localCheckpoint'ed per round (iterative lineage would otherwise grow
+    * the plan unboundedly and re-run the expensive pair plan every round);
+    * on a multi-executor cluster prefer `spark.sparkContext.setCheckpointDir`
+    * + reliable `checkpoint()` so label blocks survive executor loss.
+    *
+    * Throws after `maxRounds` non-converged rounds — a deterministic
+    * failure beats silently-partial clusters. */
+  def resolveClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Materialize the symmetrized edges once: the upstream pair plan
+    // (MinHash/LSH + verify) must run once, not once per round.
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+
+    // Round 0 fused into initialization: label(u) = min(u, min N(u)).
+    var labels = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNbr = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(edges("u").as("node")).agg(min(col("label")).as("nl"))
+      val next = labels.as("l")
+        .join(viaNbr.as("n"), col("l.node") === col("n.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
+          (coalesce(col("n.nl"), col("l.label")) < col("l.label")).as("chg"))
+        .localCheckpoint()
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.drop("chg")
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters: no fixpoint after $maxRounds rounds — component diameter exceeds bound")
+
+    val labeled = ids.join(labels, ids("doc_id") === labels("node"), "left")
+      .select(ids("doc_id"),
+        coalesce(col("label"), ids("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Exact Jaccard over distinct shingle sets for candidate pairs; keeps
     * pairs with jaccard ≥ threshold. |A∪B| = |A|+|B|-|A∩B| avoids
     * materializing the union, and a sound size-ratio prefilter

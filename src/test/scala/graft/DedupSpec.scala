@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs().select(col("doc_id"), col("doc_id").as("simhash")), 4)
   }
 
+  test("resolveClusters: chain components get the min label, singletons stay canonical") {
+    // Chain 1-2-3-4-5 (diameter 4, forces several propagation rounds),
+    // separate pair 10-11, singleton 20.
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((4L, 5L), (2L, 3L), (3L, 4L), (1L, 2L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    out.map(t => (t._1, t._2)) shouldBe Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    out.filter(_._4).map(_._1) shouldBe Seq(1L, 10L, 20L)
+    out.find(_._1 == 3L).get._3 shouldBe 5L  // cluster size
+    out.find(_._1 == 20L).get._3 shouldBe 1L
+  }
+
+  test("resolveClusters throws instead of returning partial labels past maxRounds") {
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    an[IllegalStateException] should be thrownBy
+      Dedup.resolveClusters(ids, pairs, maxRounds = 1).collect()
+  }
+
   test("wordShingles: distinct k-shingles; short docs yield a single shingle") {
     val out = Seq("a b c d", "a b")
       .toDF("text")
