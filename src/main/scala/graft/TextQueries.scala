@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.TextOps
+import graft.operators.{Pii, TextOps}
 
 /** Text-analysis operators over `documents` (LLM-data-pipeline extension
   * family 4): quality scoring, language-ID heuristic, token counting,
@@ -252,8 +252,41 @@ object TextQueries {
       (dupFrac > 0.5).as("is_repetitive"))
   }
 
+  /** q45: PII detection + redaction. The synthetic corpus carries no real
+    * PII, so the query plants deterministic PII spans first — emails /
+    * phones / IPv4s derived from doc_id, appended by the SAME arithmetic in
+    * the oracle — then runs the actual operator ([[Pii]]): per-doc match
+    * counts and order-fixed placeholder redaction, all codegen'd regex
+    * projections in the scan. */
+  val q45PiiRedact: Q = (s, d) => {
+    val id = col("doc_id")
+    val planted = {
+      val e = when(pmod(id, lit(3)) === 0,
+        concat(col("text"), lit(" Contact user"), id.cast(StringType),
+          lit("@example.com now."))).otherwise(col("text"))
+      val p = when(pmod(id, lit(4)) === 0,
+        concat(e, lit(" call 415-555-"),
+          lpad(pmod(id, lit(10000)).cast(StringType), 4, "0"))).otherwise(e)
+      when(pmod(id, lit(5)) === 0,
+        concat(p, lit(" from host 10."), pmod(id, lit(200)).cast(StringType),
+          lit(".0."), pmod(id, lit(250)).cast(StringType))).otherwise(p)
+    }
+    Tables.documentsDistributed(s, d)
+      .filter(col("text").isNotNull)
+      .select(id, planted.as("aug"))
+      .select(
+        id,
+        Pii.emailCount(col("aug")).as("n_emails"),
+        Pii.phoneCount(col("aug")).as("n_phones"),
+        Pii.ipCount(col("aug")).as("n_ips"),
+        Pii.redact(col("aug")).as("redacted"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
+    "q45_pii_redact"  -> q45PiiRedact,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -270,6 +303,35 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Identical deterministic PII planting (same doc_id arithmetic), then
+    // the same RE2/Java-compatible patterns: counts before redaction,
+    // redaction in the same fixed order (email -> ip -> phone).
+    "q45_pii_redact" ->
+      s"""WITH a1 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' Contact user' || doc_id || '@example.com now.'
+         |      ELSE text END AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |a2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN t || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE t END AS t FROM a1),
+         |a3 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN t || ' from host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+         |      ELSE t END AS t FROM a2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Pii.EMAIL}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Pii.PHONE}')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Pii.IPV4}')) AS INT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Pii.EMAIL}', '[EMAIL]', 'g'),
+         |    '${Pii.IPV4}', '[IP]', 'g'),
+         |    '${Pii.PHONE}', '[PHONE]', 'g') AS redacted,
+         |  len(regexp_extract_all(t, '${Pii.EMAIL}'))
+         |    + len(regexp_extract_all(t, '${Pii.PHONE}'))
+         |    + len(regexp_extract_all(t, '${Pii.IPV4}')) > 0 AS has_pii
+         |FROM a3""".stripMargin,
     "q15_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,

@@ -103,4 +103,26 @@ class TextOpsSpec extends SparkSpec {
     // just past the containment bound: start 48 adds word 65
     chunks(65).map(_._1) shouldBe Seq(0, 48)
   }
+
+  test("Pii counts and redacts emails, phones, IPs; order prevents cross-matching") {
+    import graft.operators.Pii
+    val rows = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io here"),
+      (2L, "call 415-555-0134 or 415.555.9999"),
+      (3L, "host 10.0.200.7 peer 192.168.1.1"),
+      (4L, "clean text with no identifiers at all"),
+      (5L, "mixed bob@corp.net from 172.16.0.9 dial 212-555-0001"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        Pii.emailCount(col("text")).as("e"), Pii.phoneCount(col("text")).as("p"),
+        Pii.ipCount(col("text")).as("i"), Pii.redact(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).sortBy(_._1)
+    out.map(t => (t._2, t._3, t._4)) shouldBe
+      Seq((2, 0, 0), (0, 2, 0), (0, 0, 2), (0, 0, 0), (1, 1, 1))
+    out(0)._5 shouldBe "mail [EMAIL] and [EMAIL] here"
+    out(1)._5 shouldBe "call [PHONE] or [PHONE]"
+    out(2)._5 shouldBe "host [IP] peer [IP]"
+    out(4)._5 shouldBe "mixed [EMAIL] from [IP] dial [PHONE]"
+  }
 }
