@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Pii, TextOps}
+import graft.operators.{Pii, TextOps, Urls}
 
 /** Text-analysis operators over `documents` (LLM-data-pipeline extension
   * family 4): quality scoring, language-ID heuristic, token counting,
@@ -284,9 +284,44 @@ object TextQueries {
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
   }
 
+  private[graft] val urlBlocklist = Seq("spam-site.biz", "tracker.example.net")
+
+  /** q46: URL extraction + domain blocklist filter. URLs are planted
+    * deterministically (the synthetic corpus has none — same doc_id
+    * arithmetic in the oracle), then the [[Urls]] operator extracts every
+    * URL, reduces to sorted distinct hosts, and flags docs touching the
+    * blocklist; `kept` is the curation decision. Domains are emitted
+    * comma-joined (not as an array) so the oracle hash compares strings. */
+  val q46UrlFilter: Q = (s, d) => {
+    val id = col("doc_id")
+    val planted = {
+      val a = when(pmod(id, lit(3)) === 0,
+        concat(col("text"), lit(" see https://news.example.com/a"),
+          id.cast(StringType), lit(" ok"))).otherwise(col("text"))
+      val b = when(pmod(id, lit(4)) === 0,
+        concat(a, lit(" img http://cdn"), pmod(id, lit(7)).cast(StringType),
+          lit(".assets.io/i.png"))).otherwise(a)
+      when(pmod(id, lit(10)) === 0,
+        concat(b, lit(" buy http://spam-site.biz/x?q="),
+          id.cast(StringType))).otherwise(b)
+    }
+    val doms = Urls.domains(col("aug"))
+    Tables.documentsDistributed(s, d)
+      .filter(col("text").isNotNull)
+      .select(id, planted.as("aug"))
+      .select(
+        id,
+        size(Urls.urls(col("aug"))).as("n_urls"),
+        size(doms).as("n_domains"),
+        concat_ws(",", doms).as("domains"),
+        Urls.hasBlocked(doms, urlBlocklist).as("has_blocked"))
+      .withColumn("kept", !col("has_blocked"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
     "q45_pii_redact"  -> q45PiiRedact,
+    "q46_url_filter"  -> q46UrlFilter,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -332,6 +367,37 @@ object TextQueries {
          |    + len(regexp_extract_all(t, '${Pii.PHONE}'))
          |    + len(regexp_extract_all(t, '${Pii.IPV4}')) > 0 AS has_pii
          |FROM a3""".stripMargin,
+    // Same planted URLs; regexp_extract_all group 0, host via group 1,
+    // sorted distinct hosts comma-joined, blocklist via list_filter.
+    "q46_url_filter" ->
+      s"""WITH a1 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' see https://news.example.com/a' || doc_id || ' ok'
+         |      ELSE text END AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |a2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN t || ' img http://cdn' || (doc_id % 7) || '.assets.io/i.png'
+         |      ELSE t END AS t FROM a1),
+         |a3 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |      THEN t || ' buy http://spam-site.biz/x?q=' || doc_id
+         |      ELSE t END AS t FROM a2),
+         |x AS (SELECT doc_id,
+         |    regexp_extract_all(t, '${Urls.URL}') AS urls,
+         |    list_sort(list_distinct(list_transform(
+         |      regexp_extract_all(t, '${Urls.URL}'),
+         |      u -> regexp_extract(u, '${Urls.HOST}', 1)))) AS doms
+         |  FROM a3)
+         |SELECT doc_id,
+         |  CAST(len(urls) AS INT) AS n_urls,
+         |  CAST(len(doms) AS INT) AS n_domains,
+         |  coalesce(array_to_string(doms, ','), '') AS domains,
+         |  len(list_filter(doms, x -> list_contains(
+         |    ${sqlList(urlBlocklist)}, x))) > 0 AS has_blocked,
+         |  NOT (len(list_filter(doms, x -> list_contains(
+         |    ${sqlList(urlBlocklist)}, x))) > 0) AS kept
+         |FROM x""".stripMargin,
     "q15_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,

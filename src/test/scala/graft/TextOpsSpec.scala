@@ -125,4 +125,23 @@ class TextOpsSpec extends SparkSpec {
     out(2)._5 shouldBe "host [IP] peer [IP]"
     out(4)._5 shouldBe "mixed [EMAIL] from [IP] dial [PHONE]"
   }
+
+  test("Urls extracts hosts sorted-distinct and flags blocklisted domains") {
+    import graft.operators.Urls
+    import org.apache.spark.sql.functions.{size => asize}
+    val rows = Seq(
+      (1L, "go https://b.example.com/x and http://a.example.org then https://b.example.com/y"),
+      (2L, "bad http://spam.biz/buy?q=1 mixed https://ok.io/p"),
+      (3L, "no links at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        asize(Urls.urls(col("text"))).as("n"),
+        concat_ws(",", Urls.domains(col("text"))).as("d"),
+        Urls.hasBlocked(Urls.domains(col("text")), Seq("spam.biz")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    out(0) shouldBe (1L, 3, "a.example.org,b.example.com", false)
+    out(1) shouldBe (2L, 2, "ok.io,spam.biz", true)
+    out(2) shouldBe (3L, 0, "", false)
+  }
 }
