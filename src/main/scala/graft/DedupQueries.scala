@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Dedup queries over `documents`. The MinHash/LSH and blocked operators
   * return *verified* pairs (exact Jaccard ≥ threshold over their candidate
@@ -51,6 +51,25 @@ object DedupQueries {
       Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
         .select(col("doc_a"), col("doc_b")))
 
+  /** q47: block-level boilerplate removal. The synthetic corpus has no
+    * newlines, so "paragraphs" are aligned 16-word blocks; any block
+    * recurring in ≥ 2 distinct documents is boilerplate (the corpus's
+    * near-dup structure makes dozens of such blocks real). Per doc: block
+    * counts, boilerplate fraction, and the cleaned-document digest. */
+  private val BOIL_BLOCK = 16
+  private val BOIL_MIN_DOCS = 2
+
+  val q47Boilerplate: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val nblk = ceil(size(w).cast(org.apache.spark.sql.types.DoubleType) /
+      lit(BOIL_BLOCK.toDouble)).cast(org.apache.spark.sql.types.IntegerType)
+    val segs = transform(sequence(lit(0), nblk - 1),
+      i => concat_ws(" ", slice(w, i * BOIL_BLOCK + 1, lit(BOIL_BLOCK))))
+    Dedup.segmentBoilerplate(
+      Tables.documentsDistributed(s, d).filter(col("text").isNotNull),
+      segs, BOIL_MIN_DOCS)
+  }
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -72,7 +91,8 @@ object DedupQueries {
     "q30_dedup_simhash"       -> q30DedupSimhash,
     "q35_dedup_embedding"     -> q35DedupEmbedding,
     "q38_decontamination"     -> q38Decontamination,
-    "q44_dedup_clusters"      -> q44DedupClusters)
+    "q44_dedup_clusters"      -> q44DedupClusters,
+    "q47_boilerplate"         -> q47Boilerplate)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -164,7 +184,28 @@ object DedupQueries {
          |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
          |SELECT labeled.doc_id, labeled.cluster_id, csz.cluster_size,
          |  labeled.doc_id = labeled.cluster_id AS is_canonical
-         |FROM labeled JOIN csz USING (cluster_id)""".stripMargin)
+         |FROM labeled JOIN csz USING (cluster_id)""".stripMargin,
+    // Same aligned 16-word block segmentation, md5 per block, >= 2 distinct
+    // docs -> boilerplate; cleaned digest = kept block hashes in order.
+    "q47_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |seg AS (SELECT doc_id, i,
+         |    md5(array_to_string(w[(i*$BOIL_BLOCK+1):(i*$BOIL_BLOCK+$BOIL_BLOCK)], ' ')) AS h
+         |  FROM w, unnest(range(0, CAST(ceil(len(w) / ${BOIL_BLOCK.toDouble}) AS INT))) AS t(i)),
+         |bo AS (SELECT h, TRUE AS boiler FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+         |  WHERE nd >= $BOIL_MIN_DOCS),
+         |m AS (SELECT seg.doc_id, seg.i, seg.h, coalesce(bo.boiler, FALSE) AS boiler
+         |  FROM seg LEFT JOIN bo USING (h))
+         |SELECT doc_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  md5(coalesce(string_agg(h, ',' ORDER BY i) FILTER (WHERE NOT boiler), ''))
+         |    AS clean_md5,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS boiler_frac
+         |FROM m GROUP BY doc_id""".stripMargin)
 
   private def ndHpList(g: Array[Array[Int]], p: Int): String =
     g(p).map(k => s"($k)/CAST(1000 AS DOUBLE)").mkString("[", ",", "]")

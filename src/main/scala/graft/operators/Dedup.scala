@@ -243,6 +243,45 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Paragraph/segment-level boilerplate removal: a segment (paragraph,
+    * fixed word block, line — any `segments` expression producing
+    * array<string>) that recurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (headers, footers, nav text, license blurbs); per document
+    * this reports segment counts, the boilerplate fraction, and a digest of
+    * the document with boilerplate removed (kept segment hashes joined in
+    * original order — the "cleaned corpus" fingerprint without shipping
+    * text through the aggregation).
+    *
+    * Scale shape: segments are md5'd INSIDE the scan task, so both shuffles
+    * — the corpus-wide (hash → distinct-doc count) aggregation and the
+    * per-doc regroup — carry 32-byte hashes plus ids, never text. The
+    * boilerplate side of the join is the output of a `>= minDocs` filter
+    * (recurring segments only), orders of magnitude smaller than the
+    * corpus; AQE picks broadcast when it fits. */
+  def segmentBoilerplate(docs: DataFrame, segments: Column,
+      minDocs: Int): DataFrame = {
+    val seg = docs
+      .select(col("doc_id"), posexplode(segments))
+      .toDF("doc_id", "i", "s")
+      .select(col("doc_id"), col("i"), md5(col("s")).as("h"))
+    val boiler = seg.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("boiler"))
+    seg.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        md5(concat_ws(",", transform(
+          // collect_list drops nulls: only kept (non-boiler) segments,
+          // re-ordered by index via the struct sort — deterministic.
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("i"), col("h"))))),
+          x => x.getField("h")))).as("clean_md5"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast(DoubleType) / col("n_segments"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a verified
     * near-dup pair list. Every id in `ids` is labeled with the MINIMUM id
     * reachable through the pair graph (its own id when unpaired) — the step

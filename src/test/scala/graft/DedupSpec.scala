@@ -145,6 +145,27 @@ class DedupSpec extends SparkSpec {
       Dedup.resolveClusters(ids, pairs, maxRounds = 1).collect()
   }
 
+  test("segmentBoilerplate: cross-doc repeated segments drop, order-preserving digest") {
+    import org.apache.spark.sql.functions.{split => ssplit}
+    // "paragraphs" delimited by '|': HDR recurs in all three docs, FTR in
+    // two, bodies are unique.
+    val d = Seq(
+      (1L, "HDR|body one|FTR"),
+      (2L, "HDR|body two|FTR"),
+      (3L, "HDR|body three")).toDF("doc_id", "text")
+    val out = Dedup.segmentBoilerplate(d, ssplit(col("text"), "\\|"), minDocs = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("n_boiler"), r.getAs[String]("clean_md5"))).sortBy(_._1)
+    out.map(t => (t._2, t._3)) shouldBe Seq((3L, 2L), (3L, 2L), (2L, 1L))
+    // kept content differs (unique bodies) -> distinct cleaned digests
+    out.map(_._4).distinct.length shouldBe 3
+    // a doc of pure boilerplate digests to md5("")
+    val all = Seq((1L, "HDR"), (2L, "HDR")).toDF("doc_id", "text")
+    Dedup.segmentBoilerplate(all, ssplit(col("text"), "\\|"), minDocs = 2)
+      .collect().map(_.getAs[String]("clean_md5")).distinct shouldBe
+      Array("d41d8cd98f00b204e9800998ecf8427e")
+  }
+
   test("wordShingles: distinct k-shingles; short docs yield a single shingle") {
     val out = Seq("a b c d", "a b")
       .toDF("text")
