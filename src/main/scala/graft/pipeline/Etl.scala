@@ -3,6 +3,10 @@ package graft.pipeline
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -143,6 +147,11 @@ object Etl {
     * validation queries, test_etl.ipynb cells 8–21). */
   private val ran = new ConcurrentHashMap[String, Map[String, Long]]()
 
+  /** Await concurrently-submitted Spark write jobs; a failed job's
+    * exception propagates to the caller (runOnce then never caches). */
+  private def awaitAll(jobs: Future[Unit]*): Unit =
+    jobs.foreach(Await.result(_, Duration.Inf))
+
   /** Drop the in-process memo for `sfDir` so the next [[run]] measures a
     * real rebuild — used by Bench when the warmup scale equals the timed
     * scale (a warm cache hit must not masquerade as the pipeline's cost). */
@@ -171,8 +180,12 @@ object Etl {
     // S1/S2: COPY physically LOADS the staging tables before any insert reads
     // them (sql_queries.py:121-128) — so stage = materialize, columnar. The
     // five inserts then read parquet instead of re-parsing the JSON per plan.
-    sink.write(stageEvents(spark, sfDir), "staging_events")
-    sink.write(stageSongs(spark, sfDir), "staging_songs")
+    // The two COPYs are independent → submitted concurrently; Spark's
+    // scheduler interleaves their tasks across the executor pool instead of
+    // idling it between two sequential job barriers.
+    awaitAll(
+      Future(sink.write(stageEvents(spark, sfDir), "staging_events")),
+      Future(sink.write(stageSongs(spark, sfDir), "staging_songs")))
     val ev = sink.read(spark, "staging_events")
     val sg = sink.read(spark, "staging_songs")
     // Staging tables are addressable by name for the pipeline's duration,
@@ -180,13 +193,19 @@ object Etl {
     ev.createOrReplaceTempView("staging_events")
     sg.createOrReplaceTempView("staging_songs")
 
-    // S6 inserts, reference order (sql_queries.py:197), each with its
-    // sortkey presort (O1).
-    sink.write(songplay(ev, sg), "songplay", Schemas.sortKeys.get("songplay"))
-    sink.write(users(ev),        "users",    Schemas.sortKeys.get("users"))
-    sink.write(songs(sg),        "songs",    Schemas.sortKeys.get("songs"))
-    sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))
-    sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))
+    // S6 inserts in the reference's list order (sql_queries.py:197), each
+    // with its sortkey presort (O1). All five read only the materialized
+    // staging tables — mutually independent, so they are SUBMITTED in
+    // reference order but execute concurrently. (Redshift serializes them
+    // because one leader runs the statement list; the results are
+    // order-independent, and on a 1000-executor cluster five sequential
+    // barriers would idle the pool five times.)
+    awaitAll(
+      Future(sink.write(songplay(ev, sg), "songplay", Schemas.sortKeys.get("songplay"))),
+      Future(sink.write(users(ev),        "users",    Schemas.sortKeys.get("users"))),
+      Future(sink.write(songs(sg),        "songs",    Schemas.sortKeys.get("songs"))),
+      Future(sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))),
+      Future(sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))))
 
     // S8: drop staging (sql_queries.py:198, etl.py:31-34) — the materialized
     // staging parquet goes away with the temp views, like the reference's
