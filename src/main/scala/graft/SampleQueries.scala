@@ -98,11 +98,68 @@ object SampleQueries {
         approx_percentile(col("wc"), lit(0.5), lit(10000)).as("p50_approx"),
         approx_percentile(col("wc"), lit(0.99), lit(10000)).as("p99_approx"))
 
+  /** q48: fixed-length sequence packing — the step after q37's sharding
+    * that turns documents into training sequences: documents are laid
+    * back-to-back in each shard's deterministic order, and a document
+    * starting at running-token offset t belongs to sequence floor(t/L)
+    * at offset t mod L (straddlers continue into the next sequence at
+    * read time). One window per shard partition — the only exchange is
+    * the shard hash partitioning, same scale shape as q37: no global
+    * sort, each shard packs independently. */
+  private val SEQ_LEN = 1024
+
+  val q48SequencePack: Q = (s, d) => {
+    val shard = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(N_SHARDS))
+    val order = TextOps.hash60(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.cast(IntegerType).as("shard"), order.as("ord"),
+        size(TextOps.words(col("text"))).as("n_tokens"))
+      .withColumn("start_tok", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / lit(SEQ_LEN.toDouble)).cast(LongType).as("seq_id"),
+        pmod(col("start_tok"), lit(SEQ_LEN.toLong)).as("seq_off"))
+  }
+
+  /** q49: mixture rebalancing — hit a target language mixture with maximal
+    * data retention: the bottleneck language (smallest actual/target ratio)
+    * keeps 100% and every other language downsamples to C·target_l/actual_l,
+    * where C = min_l(actual_l/target_l). The global stats feed back into the
+    * per-row decision through two tiny broadcast joins (5-row lang counts ×
+    * 1-row scale constant) — the corpus itself NEVER shuffles and nothing
+    * touches the driver; the keep decision is the same deterministic
+    * hash-bucket sampling as q31. */
+  private val targetMix: Seq[(String, Double)] =
+    Seq("en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.20, "zh" -> 0.10)
+
+  private def targetCol(lang: Column): Column =
+    targetMix.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (l, t)) => acc.when(lang === l, lit(t))
+    }.otherwise(lit(0.0))
+
+  val q49MixtureRebalance: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("ratio", col("n").cast(DoubleType) / targetCol(col("lang")))
+    val scale = counts.agg(min(col("ratio")).as("c"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col("lang"),
+        (col("c") * targetCol(col("lang")) / col("n").cast(DoubleType)).as("rate"))
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(10000))
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), col("rate"),
+        (bucket.cast(DoubleType) < col("rate") * 10000.0).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_stratified_sample" -> q31StratifiedSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
     "q37_training_shards"   -> q37TrainingShards,
-    "q40_approx_stats"      -> q40ApproxStats)
+    "q40_approx_stats"      -> q40ApproxStats,
+    "q48_sequence_pack"     -> q48SequencePack,
+    "q49_mixture_rebalance" -> q49MixtureRebalance)
 
   private val rateSql = keepPct
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -131,5 +188,38 @@ object SampleQueries {
          |FROM documents)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS INTEGER) AS position
-         |FROM h""".stripMargin)
+         |FROM h""".stripMargin,
+    // Same shard/order hashes as q37 plus the running token sum; a doc
+    // starting at offset t lands in sequence t // 1024 at offset t % 1024.
+    "q48_sequence_pack" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |       % $N_SHARDS AS INTEGER) AS shard,
+         |  CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS ord,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |FROM h)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(start_tok / ${SEQ_LEN.toDouble}) AS BIGINT) AS seq_id,
+         |  CAST(start_tok % $SEQ_LEN AS BIGINT) AS seq_off
+         |FROM c""".stripMargin,
+    // Bottleneck-language scaling with the identical double evaluation
+    // order ((c * target) / n), then the same hash-bucket keep decision.
+    "q49_mixture_rebalance" ->
+      s"""WITH a AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |r AS (SELECT lang, n, CAST(n AS DOUBLE) / ($targetSqlCase) AS ratio FROM a),
+         |mc AS (SELECT min(ratio) AS c FROM r),
+         |rt AS (SELECT lang, mc.c * ($targetSqlCase) / CAST(n AS DOUBLE) AS rate
+         |  FROM r, mc)
+         |SELECT d.doc_id, d.lang, rt.rate,
+         |  CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |    % 10000 AS DOUBLE) < rt.rate * 10000.0 AS kept
+         |FROM documents d JOIN rt USING (lang)""".stripMargin)
+
+  private def targetSqlCase: String = targetMix
+    .map { case (l, t) => s"WHEN lang = '$l' THEN $t::DOUBLE" }
+    .mkString("CASE ", " ", " ELSE 0.0::DOUBLE END")
 }
