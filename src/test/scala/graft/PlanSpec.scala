@@ -112,6 +112,32 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q48 sequence packing: one shard hash exchange for the window, no range sort") {
+    val p = plan(SampleQueries.q48SequencePack(spark, sf))
+    p should include("Window")
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Arguments: hashpartitioning(shard")
+    p should not include "rangepartitioning"
+  }
+
+  test("q49 mixture rebalance: corpus feeds a broadcast join, never an exchange") {
+    val p = plan(SampleQueries.q49MixtureRebalance(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // the only Exchanges belong to the tiny per-lang stats aggregations
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length should be <= 3
+    // stats pass reads only the pruned lang column
+    p should include("ReadSchema: struct<lang:string>")
+  }
+
+  test("q47 boilerplate: per-doc regroup reuses the doc_id partitioning (no 3rd corpus exchange)") {
+    val p = plan(DedupQueries.q47Boilerplate(spark, sf))
+    p should include("BroadcastHashJoin") // boiler side is the filtered minority
+    // exchanges: the two corpus rebalances + the segment-hash aggregation;
+    // the final groupBy(doc_id) must NOT add another
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 3
+  }
+
   test("writeBucketed rebuilds on spec change instead of attaching stale layout") {
     import spark.implicits._
     import graft.operators.Scale
