@@ -42,9 +42,46 @@ object WindowQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** q50: as-of join — each purchase picks up the latest strictly-earlier
+    * click of the same user (the point-in-time lookup Spark has no native
+    * operator for). Implemented as union + window, NOT a join: both event
+    * subsets land in ONE hash exchange on user_id, a per-partition sort
+    * orders them by time, and `last(click, ignoreNulls)` over the
+    * strictly-preceding frame carries the most recent click into each
+    * purchase row. Equal-timestamp safety: purchases sort BEFORE clicks at
+    * the same ts (type_rank), so a same-instant click is never "earlier".
+    * At 100 TB this beats any join formulation — no range partitioning, no
+    * per-key probe buffering, cost = one shuffle + one sort, and skewed
+    * users still bound state to their own partition run. The oracle is
+    * DuckDB's NATIVE ASOF LEFT JOIN — a true cross-implementation check of
+    * the semantics, not a formulation replay. */
+  val q50AsofJoin: Q = (s, d) => asofClicks(Tables.events(s, d))
+
+  private[graft] def asofClicks(events: org.apache.spark.sql.DataFrame) = {
+    val sub = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("type_rank"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("type_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sub
+      .withColumn("clk", when(col("event_type") === "click",
+        struct(col("ts").as("click_ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))))
+      .withColumn("asof", last(col("clk"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof.click_id").as("click_id"),
+        col("asof.click_ts").as("click_ts"),
+        col("asof.click_value").as("click_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_windowed_agg" -> q26WindowedAgg,
-    "q27_sessionize"   -> q27Sessionize)
+    "q27_sessionize"   -> q27Sessionize,
+    "q50_asof_join"    -> q50AsofJoin)
 
   val oracle: Map[String, String] = Map(
     "q26_windowed_agg" ->
@@ -69,5 +106,17 @@ object WindowQueries {
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
-        |FROM s GROUP BY user_id, session_no""".stripMargin)
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN: latest click with click.ts strictly
+    // below the purchase ts, NULLs when none — an independent
+    // implementation of the same semantics, not the window replay.
+    "q50_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin)
 }

@@ -17,6 +17,27 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
 
+  test("asofClicks: latest strictly-earlier click only; same-instant click excluded") {
+    val ev = Seq(
+      // user 7: clicks at m1, m5; purchase at m10 -> picks the m5 click
+      (1L, ts(1), 7L, "click", 1.0),
+      (2L, ts(5), 7L, "click", 2.0),
+      (3L, ts(10), 7L, "purchase", 9.0),
+      // user 8: click exactly AT the purchase instant -> not earlier, NULL
+      (4L, ts(3), 8L, "click", 3.0),
+      (5L, ts(3), 8L, "purchase", 8.0),
+      // user 9: purchase with no click at all -> NULL
+      (6L, ts(2), 9L, "purchase", 7.0),
+      // noise: other types never match
+      (7L, ts(4), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = WindowQueries.asofClicks(ev).collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+      .sortBy(_._1)
+    out shouldBe Seq((3L, Some(2L)), (5L, None), (6L, None))
+  }
+
   test("streaming windowedAgg matches the batch plan on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
