@@ -68,9 +68,27 @@ object ScaleQueries {
     }
   }
 
+  /** q51: partition-pruned read over a Hive-partitioned layout. The
+    * documents table is materialized once per scale partitioned by lang
+    * (`lang=en/`, `lang=de/`, …); the read-back filter on the partition key
+    * is resolved at PLANNING time — the scan lists only the two matching
+    * directories (PartitionFilters, plan-pinned), the other languages'
+    * files are never opened. The oracle filters the flat table: layout must
+    * not change results, only pruning. */
+  val q51PartitionPruning: Q = (s, d) => {
+    val tag = java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = Scale.writePartitioned(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+      s"graft_docs_part_$tag", "lang", Scale.dirFingerprint(s"$d/documents.parquet"))
+    s.read.parquet(dir)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q28_salted_agg"    -> q28SaltedAgg,
-    "q29_bucketed_join" -> q29BucketedJoin)
+    "q29_bucketed_join" -> q29BucketedJoin,
+    "q51_partition_pruning" -> q51PartitionPruning)
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" ->
@@ -82,5 +100,9 @@ object ScaleQueries {
         |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6)))
         |    AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY o.o_orderpriority""".stripMargin)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+    // Flat-table filter: the partitioned layout must be invisible to results.
+    "q51_partition_pruning" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de')""".stripMargin)
 }

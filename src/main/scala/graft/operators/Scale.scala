@@ -87,6 +87,35 @@ object Scale {
     java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
   }
 
+  /** Hive-style partitioned write (write-once, like [[writeBucketed]]):
+    * lays the DataFrame out as `<warehouse>/<table>/<partKey>=<value>/...`
+    * so a reader's partition-key predicate prunes whole directories at
+    * planning time (PartitionFilters) — the Spark analog of the date/tenant
+    * partition layout every 100 TB corpus uses to avoid full scans. Returns
+    * the directory to read back. Same spec-file gating: schema, key, or
+    * data-fingerprint drift forces a rebuild, a fresh session over intact
+    * files skips it. */
+  def writePartitioned(df: DataFrame, table: String, partKey: String,
+      dataFingerprint: String = ""): String = {
+    val spark = df.sparkSession
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val spec = s"${df.schema.toDDL}|$partKey|$dataFingerprint"
+    val specFile = loc.resolve("_graft_part_spec")
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(specFile) &&
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
+    if (!intact) {
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      df.write.partitionBy(partKey).mode("overwrite").parquet(loc.toString)
+      java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
+    }
+    loc.toString
+  }
+
   /** Cheap identity digest of the files under `dirs` (name, size, mtime of
     * each regular file) — driver-side metadata only, no data read. Feed to
     * [[writeBucketed]] so regenerated source data invalidates derived

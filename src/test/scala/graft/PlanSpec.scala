@@ -138,6 +138,14 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 3
   }
 
+  test("q51: partition-key filter prunes at planning time, not per-file") {
+    val p = plan(ScaleQueries.q51PartitionPruning(spark, sf))
+    p should include("PartitionFilters")
+    (p should include).regex("""lang#\d+ IN \(en,de\)""")
+    // no row-level filter remains: pruning is directory-level
+    """\(\d+\) Filter""".r.findAllMatchIn(p) shouldBe empty
+  }
+
   test("writeBucketed rebuilds on spec change instead of attaching stale layout") {
     import spark.implicits._
     import graft.operators.Scale
