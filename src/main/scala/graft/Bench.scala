@@ -38,7 +38,7 @@ object Bench {
     if (new java.io.File(warmSf).getCanonicalPath == new java.io.File(sfDir).getCanonicalPath) {
       System.err.println(s"[bench] WARN warmup dir == timed dir; purging warm Etl/bucket state")
       graft.pipeline.Etl.invalidate(sfDir)
-      ScaleQueries.purgeBucketed(spark, sfDir)
+      ScaleQueries.purgeWriteOnceLayouts(spark, sfDir)
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -139,14 +139,21 @@ object SampleQueries {
       case (acc, (l, t)) => acc.when(lang === l, lit(t))
     }.otherwise(lit(0.0))
 
-  val q49MixtureRebalance: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  val q49MixtureRebalance: Q = (s, d) => mixtureRebalance(Tables.documents(s, d))
+
+  private[graft] def mixtureRebalance(docs: org.apache.spark.sql.DataFrame) = {
+    // Langs outside the target mix get target 0: excluded from the
+    // bottleneck min (NULL ratio — ANSI mode would otherwise throw
+    // DIVIDE_BY_ZERO on the double division) and kept at rate 0.
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .withColumn("ratio", col("n").cast(DoubleType) / targetCol(col("lang")))
+      .withColumn("ratio", when(targetCol(col("lang")) > 0,
+        col("n").cast(DoubleType) / targetCol(col("lang"))))
     val scale = counts.agg(min(col("ratio")).as("c"))
     val rates = counts.crossJoin(broadcast(scale))
       .select(col("lang"),
-        (col("c") * targetCol(col("lang")) / col("n").cast(DoubleType)).as("rate"))
+        when(targetCol(col("lang")) > 0,
+          col("c") * targetCol(col("lang")) / col("n").cast(DoubleType))
+          .otherwise(lit(0.0)).as("rate"))
     val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(10000))
     docs.join(broadcast(rates), "lang")
       .select(col("doc_id"), col("lang"), col("rate"),
@@ -210,9 +217,12 @@ object SampleQueries {
     // order ((c * target) / n), then the same hash-bucket keep decision.
     "q49_mixture_rebalance" ->
       s"""WITH a AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-         |r AS (SELECT lang, n, CAST(n AS DOUBLE) / ($targetSqlCase) AS ratio FROM a),
+         |r AS (SELECT lang, n, CASE WHEN ($targetSqlCase) > 0
+         |    THEN CAST(n AS DOUBLE) / ($targetSqlCase) END AS ratio FROM a),
          |mc AS (SELECT min(ratio) AS c FROM r),
-         |rt AS (SELECT lang, mc.c * ($targetSqlCase) / CAST(n AS DOUBLE) AS rate
+         |rt AS (SELECT lang, CASE WHEN ($targetSqlCase) > 0
+         |    THEN mc.c * ($targetSqlCase) / CAST(n AS DOUBLE)
+         |    ELSE 0.0::DOUBLE END AS rate
          |  FROM r, mc)
          |SELECT d.doc_id, d.lang, rt.rate,
          |  CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)

@@ -22,13 +22,16 @@ object ScaleQueries {
       .select(col("k").as("event_type"), col("cnt"),
         col("total_dec").cast(DoubleType).as("total_value"))
 
+  /** Scale-dir tag for write-once table names: layouts from different
+    * scales must never alias each other. */
+  private[graft] def sfTag(d: String): String =
+    java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+
   /** q29: lineitem ⋈ orders on the order key, both sides bucketed (16
     * buckets) on that key — the join itself is exchange-free (plan-asserted
     * in PlanSpec); only the final small aggregation shuffles. */
   val q29BucketedJoin: Q = (s, d) => {
-    // Table identity includes the scale dir: bucketed layouts from different
-    // scales must never alias each other (the build is write-once per scale).
-    val tag = java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = sfTag(d)
     val liName = s"graft_lineitem_b_$tag"
     val oName = s"graft_orders_b_$tag"
     // Regenerated source parquet (same dir, new bytes) must invalidate the
@@ -52,20 +55,20 @@ object ScaleQueries {
           .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
   }
 
-  /** Drop the sf-tagged bucketed tables (catalog + files) so a subsequent
-    * q29 measures the build, not a warm reuse — Bench calls this when the
-    * warmup scale equals the timed scale. */
-  def purgeBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    val tag = java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
-    Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (java.nio.file.Files.exists(loc))
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-    }
+  /** Drop EVERY sf-tagged write-once layout (q29's bucketed tables, q51's
+    * partitioned dir — catalog entries + files) so a subsequent run
+    * measures the build, not a warm reuse — Bench calls this when the
+    * warmup scale equals the timed scale. One list to extend when a new
+    * write-once layout is added, instead of a hand-enumerated purge per
+    * call site. */
+  def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val tag = sfTag(d)
+    Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag")
+      .foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        Scale.deleteRecursively(java.nio.file.Paths.get(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t))
+      }
   }
 
   /** q51: partition-pruned read over a Hive-partitioned layout. The
@@ -76,7 +79,7 @@ object ScaleQueries {
     * files are never opened. The oracle filters the flat table: layout must
     * not change results, only pruning. */
   val q51PartitionPruning: Q = (s, d) => {
-    val tag = java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = sfTag(d)
     val dir = Scale.writePartitioned(
       Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
       s"graft_docs_part_$tag", "lang", Scale.dirFingerprint(s"$d/documents.parquet"))

@@ -109,12 +109,16 @@ object WindowQueries {
         |FROM s GROUP BY user_id, session_no""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN: latest click with click.ts strictly
     // below the purchase ts, NULLs when none — an independent
-    // implementation of the same semantics, not the window replay.
+    // implementation of the same semantics, not the window replay. Clicks
+    // are pre-deduped per (user, ts) keeping max event_id — the same tie
+    // policy the Spark window's (ts, rank, event_id) ordering encodes —
+    // so an equal-ts click pair can never make the ASOF pick arbitrary.
     "q50_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        |  FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(event_id) AS event_id, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c

@@ -311,33 +311,60 @@ object Dedup {
     * Throws after `maxRounds` non-converged rounds — a deterministic
     * failure beats silently-partial clusters. */
   def resolveClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val sc = ids.sparkSession.sparkContext
+    // localCheckpoint pins RDD blocks in executor storage with no public
+    // Dataset-level release; track each checkpoint's persistent RDDs (the
+    // delta in getPersistentRDDs around the eager materialization) so a
+    // superseded round's blocks are unpersisted instead of accumulating
+    // maxRounds copies of the label table until GC. (The delta attribution
+    // assumes no concurrent persists in the session, which holds for the
+    // sequential Verify/Bench harnesses.)
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.collect {
+        case (id, r) if !before.contains(id) => r
+      }.toSeq
+      (out, added)
+    }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+
     // Materialize the symmetrized edges once: the upstream pair plan
     // (MinHash/LSH + verify) must run once, not once per round.
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+    val (edges, edgesRdds) = checkpointTracked(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
 
     // Round 0 fused into initialization: label(u) = min(u, min N(u)).
-    var labels = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .localCheckpoint()
+    var (labels, labelsRdds) = checkpointTracked(
+      edges.groupBy(col("u").as("node")).agg(min(col("v")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val viaNbr = edges.join(labels, edges("v") === labels("node"))
         .groupBy(edges("u").as("node")).agg(min(col("label")).as("nl"))
-      val next = labels.as("l")
-        .join(viaNbr.as("n"), col("l.node") === col("n.node"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
-          (coalesce(col("n.nl"), col("l.label")) < col("l.label")).as("chg"))
-        .localCheckpoint()
+      val (next, nextRdds) = checkpointTracked(
+        labels.as("l")
+          .join(viaNbr.as("n"), col("l.node") === col("n.node"), "left")
+          .select(col("l.node").as("node"),
+            least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
+            (coalesce(col("n.nl"), col("l.label")) < col("l.label")).as("chg")))
       converged = next.filter(col("chg")).isEmpty
+      release(labelsRdds) // previous round's labels are superseded
       labels = next.drop("chg")
+      labelsRdds = nextRdds
       round += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"resolveClusters: no fixpoint after $maxRounds rounds — component diameter exceeds bound")
+    if (!converged) {
+      release(labelsRdds); release(edgesRdds)
+      throw new IllegalStateException(
+        s"resolveClusters: no fixpoint after $maxRounds rounds — component diameter exceeds bound")
+    }
+    // The returned plan reads only the final labels checkpoint; the edge
+    // blocks are no longer referenced.
+    release(edgesRdds)
 
     val labeled = ids.join(labels, ids("doc_id") === labels("node"), "left")
       .select(ids("doc_id"),

@@ -78,10 +78,7 @@ object Scale {
            |LOCATION '${loc.toUri}'""".stripMargin)
       return
     }
-    if (java.nio.file.Files.exists(loc))
-      java.nio.file.Files.walk(loc)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
+    deleteRecursively(loc)
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
     java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
@@ -106,15 +103,21 @@ object Scale {
       java.nio.file.Files.exists(specFile) &&
       new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
     if (!intact) {
-      if (java.nio.file.Files.exists(loc))
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
+      deleteRecursively(loc)
       df.write.partitionBy(partKey).mode("overwrite").parquet(loc.toString)
       java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
     }
     loc.toString
   }
+
+  /** Recursive local-filesystem delete (children before parents); no-op on
+    * a missing path. The one shared copy of the idiom for every write-once
+    * layout. */
+  def deleteRecursively(loc: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
 
   /** Cheap identity digest of the files under `dirs` (name, size, mtime of
     * each regular file) — driver-side metadata only, no data read. Feed to

@@ -47,11 +47,8 @@ final class ParquetSink(root: String) extends TableSink {
     presorted.write.mode("overwrite").parquet(path(table))
   }
 
-  override def drop(table: String): Unit = {
-    val p = Paths.get(path(table))
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-  }
+  override def drop(table: String): Unit =
+    graft.operators.Scale.deleteRecursively(Paths.get(path(table)))
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))

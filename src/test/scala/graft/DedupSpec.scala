@@ -138,6 +138,15 @@ class DedupSpec extends SparkSpec {
     out.find(_._1 == 20L).get._3 shouldBe 1L
   }
 
+  test("resolveClusters releases superseded checkpoint blocks (keeps only final labels)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b") // diameter 5
+    Dedup.resolveClusters(ids, pairs).collect()
+    // several rounds ran; only the final label checkpoint may remain pinned
+    spark.sparkContext.getPersistentRDDs.size should be <= (before + 1)
+  }
+
   test("resolveClusters throws instead of returning partial labels past maxRounds") {
     val ids = (1L to 6L).toDF("doc_id")
     val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

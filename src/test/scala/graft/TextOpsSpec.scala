@@ -126,6 +126,19 @@ class TextOpsSpec extends SparkSpec {
     out(4)._5 shouldBe "mixed [EMAIL] from [IP] dial [PHONE]"
   }
 
+  test("mixtureRebalance: unknown lang gets rate 0 without an ANSI divide-by-zero") {
+    // 'xx' is outside the target mix -> target 0; the guard must exclude it
+    // from the bottleneck min and emit rate 0 / kept=false, not throw.
+    val docs = ((1 to 10).map(i => (i.toLong, "en")) ++ Seq((11L, "xx")) ++
+      Seq("de", "es", "fr", "zh").zipWithIndex.map { case (l, i) => (12L + i, l) })
+      .toDF("doc_id", "lang")
+    val out = SampleQueries.mixtureRebalance(docs).collect()
+    val xx = out.find(_.getAs[String]("lang") == "xx").get
+    xx.getAs[Double]("rate") shouldBe 0.0
+    xx.getAs[Boolean]("kept") shouldBe false
+    out.count(_.getAs[String]("lang") == "en") shouldBe 10
+  }
+
   test("Urls extracts hosts sorted-distinct and flags blocklisted domains") {
     import graft.operators.Urls
     import org.apache.spark.sql.functions.{size => asize}
