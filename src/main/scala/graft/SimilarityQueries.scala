@@ -45,6 +45,22 @@ object SimilarityQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN, cents,
       NPROBE, cosineFnFor(s))
 
+  /** q52: q33's IVF over a cell-partitioned corpus layout — the probe's
+    * cell join dynamically prunes the partitioned scan to the probed
+    * directories (DPP, plan-pinned). Same candidates, same ranks: the
+    * oracle is q33's SQL verbatim. */
+  val q52AnnIvfPruned: Q = (s, d) =>
+    Similarity.ivfTopKPartitioned(Tables.embeddings(s, d), queriesOf(s, d),
+      K_ANN, cents, NPROBE,
+      assigned => {
+        val dir = graft.operators.Scale.writePartitioned(
+          assigned.select(col("vec_id"), col("embedding"), col("cell")),
+          s"graft_emb_ivf_${ScaleQueries.sfTag(d)}", "cell",
+          graft.operators.Scale.dirFingerprint(s"$d/embeddings.parquet"))
+        s.read.parquet(dir)
+      },
+      cosineFnFor(s))
+
   /** q34: same answer as q23, via the typed partial top-k Aggregator
     * instead of a window rank — the shuffle carries ≤ k rows per (query,
     * map task) instead of every scored row (see [[graft.functions.TopKAgg]]);
@@ -75,7 +91,8 @@ object SimilarityQueries {
     "q23_cosine_topk"     -> q23CosineTopK,
     "q24_ann_lsh"         -> q24AnnLsh,
     "q33_ann_ivf"         -> q33AnnIvf,
-    "q34_topk_aggregated" -> q34TopkAggregated)
+    "q34_topk_aggregated" -> q34TopkAggregated,
+    "q52_ann_ivf_pruned"  -> q52AnnIvfPruned)
 
   // ---------------------------------------------------------------------
   // Oracles
@@ -144,7 +161,12 @@ object SimilarityQueries {
          |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
          |FROM ranked WHERE rn <= $K_ANN""".stripMargin,
-    "q33_ann_ivf" ->
+    // q52 reads a cell-partitioned materialization of the same assignment:
+    // layout must not change the answer, so it shares q33's oracle.
+    "q52_ann_ivf_pruned" -> ivfSql,
+    "q33_ann_ivf" -> ivfSql)
+
+  private lazy val ivfSql: String =
       s"""WITH d AS (
          |  SELECT vec_id, embedding,
          |    unnest(range($CELLS)) AS c,
@@ -161,5 +183,5 @@ object SimilarityQueries {
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
-         |FROM ranked WHERE rn <= $K_ANN""".stripMargin)
+         |FROM ranked WHERE rn <= $K_ANN""".stripMargin
 }

@@ -144,6 +144,35 @@ object Similarity {
         cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
   }
 
+  /** The physically-clustered variant [[ivfTopK]]'s scaladoc promises:
+    * the corpus is MATERIALIZED partitioned by cell (via `materialize`,
+    * e.g. a write-once `Scale.writePartitioned` + read-back), and the
+    * probe joins the partitioned scan on the partition column against the
+    * small broadcast query side — Spark's dynamic partition pruning then
+    * restricts the scan to the probed cells' directories at runtime
+    * (plan-pinned): each query reads ~nprobe/cells of the corpus bytes,
+    * which is the entire point of IVF at 100 TB. Results are identical to
+    * [[ivfTopK]] — the oracle asserts exactly that. */
+  def ivfTopKPartitioned(vectors: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Int]], nprobe: Int,
+      materialize: DataFrame => DataFrame,
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val native = vectors.sparkSession.catalog.functionExists("l2_sq")
+    val corpus = materialize(vectors.withColumn("cell",
+      array_min(centroidDists(col("embedding"), cents, native)).getField("c")))
+    val probed = queries.withColumn("cell",
+      explode(transform(
+        slice(array_sort(centroidDists(col("embedding"), cents, native)), 1, nprobe),
+        s => s.getField("c"))))
+    val joined = corpus.as("v").join(broadcast(probed.as("q")),
+      col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(joined
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("v.vec_id").as("neighbor_id"),
+        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(

@@ -146,6 +146,12 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Filter""".r.findAllMatchIn(p) shouldBe empty
   }
 
+  test("q52: probe join dynamically prunes the cell-partitioned corpus scan") {
+    val p = plan(SimilarityQueries.q52AnnIvfPruned(spark, sf))
+    p should include("dynamicpruningexpression")
+    p should include("BroadcastHashJoin")
+  }
+
   test("writeBucketed rebuilds on spec change instead of attaching stale layout") {
     import spark.implicits._
     import graft.operators.Scale
