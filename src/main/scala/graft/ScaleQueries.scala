@@ -63,7 +63,8 @@ object ScaleQueries {
     * call site. */
   def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val tag = sfTag(d)
-    Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag")
+    Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag",
+        s"graft_emb_ivf_$tag")
       .foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         Scale.deleteRecursively(java.nio.file.Paths.get(
