@@ -318,10 +318,33 @@ object TextQueries {
       .withColumn("kept", !col("has_blocked"))
   }
 
+  /** q53: vocabulary heavy-hitters — the tokenizer-training primitive:
+    * per-language token frequencies, top-10 by count. Two aggregations
+    * with very different scales: the (lang, token) count is the heavy one
+    * and collapses map-side (each task emits its distinct tokens once, so
+    * the shuffle carries |local vocab| rows, not |corpus tokens|); the
+    * rank then runs over the VOCABULARY (≪ corpus), where a per-lang
+    * window is the right tool. Deterministic tie-break (count desc, token
+    * asc) keeps the cut stable under equal frequencies. */
+  private val VOCAB_K = 10
+
+  val q53VocabTopK: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rank") <= VOCAB_K)
+      .select(col("lang"), col("token"), col("cnt"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
     "q45_pii_redact"  -> q45PiiRedact,
     "q46_url_filter"  -> q46UrlFilter,
+    "q53_vocab_topk"  -> q53VocabTopK,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -338,6 +361,15 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    "q53_vocab_topk" ->
+      s"""WITH t AS (SELECT lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt, CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS rank
+         |  FROM c)
+         |SELECT lang, token, cnt, rank FROM r WHERE rank <= $VOCAB_K""".stripMargin,
     // Identical deterministic PII planting (same doc_id arithmetic), then
     // the same RE2/Java-compatible patterns: counts before redaction,
     // redaction in the same fixed order (email -> ip -> phone).

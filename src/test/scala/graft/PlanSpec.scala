@@ -146,6 +146,13 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Filter""".r.findAllMatchIn(p) shouldBe empty
   }
 
+  test("q53 vocab top-k: token count collapses map-side before the shuffle") {
+    val p = plan(TextQueries.q53VocabTopK(spark, sf))
+    p should include("partial_count")
+    // (lang,token) agg exchange + per-lang window exchange, nothing else
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+  }
+
   test("q52: probe join dynamically prunes the cell-partitioned corpus scan") {
     val p = plan(SimilarityQueries.q52AnnIvfPruned(spark, sf))
     p should include("dynamicpruningexpression")
