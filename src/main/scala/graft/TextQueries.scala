@@ -340,11 +340,30 @@ object TextQueries {
       .select(col("lang"), col("token"), col("cnt"), col("rank"))
   }
 
+  /** q54: adaptive quality cutoff — "drop the worst quartile" without a
+    * fixed constant: the global p25 of the shared quality score (exact
+    * interpolated percentile, one tiny aggregate) broadcasts back as the
+    * per-row threshold. The q49 discipline again: global stats from an
+    * aggregate measured in ROWS-OF-ONE, per-row decisions via broadcast —
+    * the corpus never shuffles and the driver never sees data. The kept
+    * flag is robust to last-ulp interpolation differences: a doc's score
+    * equals the interpolated cut only when the cut lands exactly on a data
+    * point, where both engines return the raw value. */
+  val q54QualityCutoff: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality_score"))
+    val th = scored.agg(percentile(col("quality_score"), lit(0.25)).as("t"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        (col("quality_score") >= col("t")).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
     "q45_pii_redact"  -> q45PiiRedact,
     "q46_url_filter"  -> q46UrlFilter,
     "q53_vocab_topk"  -> q53VocabTopK,
+    "q54_quality_cutoff" -> q54QualityCutoff,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -370,6 +389,19 @@ object TextQueries {
          |    (PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS rank
          |  FROM c)
          |SELECT lang, token, cnt, rank FROM r WHERE rank <= $VOCAB_K""".stripMargin,
+    // Same score formula, DuckDB's exact interpolated quantile as the cut.
+    "q54_quality_cutoff" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS q
+         |  FROM t),
+         |th AS (SELECT quantile_cont(q, 0.25) AS t FROM s)
+         |SELECT doc_id, lang, q AS quality_score, q >= th.t AS kept
+         |FROM s, th""".stripMargin,
     // Identical deterministic PII planting (same doc_id arithmetic), then
     // the same RE2/Java-compatible patterns: counts before redaction,
     // redaction in the same fixed order (email -> ip -> phone).
