@@ -53,10 +53,15 @@ object SimilarityQueries {
     Similarity.ivfTopKPartitioned(Tables.embeddings(s, d), queriesOf(s, d),
       K_ANN, cents, NPROBE,
       assigned => {
+        // The layout depends on the source data AND the centroid grid: a
+        // CELLS/grid change must rebuild, not reuse stale cell assignments.
+        val centsSig = s"${cents.length}x${cents.headOption.fold(0)(_.length)}:" +
+          cents.flatten.mkString(",").hashCode
         val dir = graft.operators.Scale.writePartitioned(
           assigned.select(col("vec_id"), col("embedding"), col("cell")),
           s"graft_emb_ivf_${ScaleQueries.sfTag(d)}", "cell",
-          graft.operators.Scale.dirFingerprint(s"$d/embeddings.parquet"))
+          graft.operators.Scale.dirFingerprint(s"$d/embeddings.parquet") +
+            s"|cents=$centsSig")
         s.read.parquet(dir)
       },
       cosineFnFor(s))

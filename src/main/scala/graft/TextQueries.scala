@@ -341,14 +341,21 @@ object TextQueries {
   }
 
   /** q54: adaptive quality cutoff — "drop the worst quartile" without a
-    * fixed constant: the global p25 of the shared quality score (exact
-    * interpolated percentile, one tiny aggregate) broadcasts back as the
-    * per-row threshold. The q49 discipline again: global stats from an
-    * aggregate measured in ROWS-OF-ONE, per-row decisions via broadcast —
-    * the corpus never shuffles and the driver never sees data. The kept
-    * flag is robust to last-ulp interpolation differences: a doc's score
-    * equals the interpolated cut only when the cut lands exactly on a data
-    * point, where both engines return the raw value. */
+    * fixed constant: the global p25 of the shared quality score broadcasts
+    * back as the per-row threshold (the q49 discipline: per-row decisions
+    * from a broadcast global stat, never a driver round-trip; the corpus
+    * itself never shuffles). Honest cost statement: Spark's EXACT
+    * `percentile` buffers a value→count map — O(distinct scores), near-
+    * O(corpus) here since scores are real-valued — and merges it on one
+    * reducer; it is kept because the oracle asserts exact equality. The
+    * 100 TB swap is `approx_percentile` (mergeable t-digest, fixed-size
+    * state — q40's path), trading the exact-oracle story for bounded
+    * error. The score projection also runs twice (threshold pass + output
+    * pass) — at scale, cache `scored` or accept the second scan.
+    * Oracle parity: the oracle replicates Spark's interpolation formula
+    * `(hi-pos)*q_lo + (pos-lo)*q_hi` literally (one addition, bitwise
+    * commutative), so the threshold is bit-identical — no last-ulp flake
+    * against DuckDB's `lo + frac*(hi-lo)` formulation. */
   val q54QualityCutoff: Q = (s, d) => {
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality_score"))
@@ -389,7 +396,11 @@ object TextQueries {
          |    (PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS rank
          |  FROM c)
          |SELECT lang, token, cnt, rank FROM r WHERE rank <= $VOCAB_K""".stripMargin,
-    // Same score formula, DuckDB's exact interpolated quantile as the cut.
+    // Same score formula; the cut replicates Spark's exact-percentile
+    // interpolation literally — (hi-pos)*q_lo + (pos-lo)*q_hi over the
+    // 0-based sorted index, raw value when the position is integral —
+    // rather than quantile_cont's lo + frac*(hi-lo), which can differ in
+    // the last ulp and flip boundary rows.
     "q54_quality_cutoff" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,
@@ -399,7 +410,17 @@ object TextQueries {
          |s AS (SELECT doc_id, lang,
          |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS q
          |  FROM t),
-         |th AS (SELECT quantile_cont(q, 0.25) AS t FROM s)
+         |ord AS (SELECT q, row_number() OVER (ORDER BY q) - 1 AS i FROM s),
+         |p AS (SELECT 0.25::DOUBLE * CAST(count(*) - 1 AS DOUBLE) AS pos,
+         |    CAST(floor(0.25::DOUBLE * CAST(count(*) - 1 AS DOUBLE)) AS BIGINT) AS lo,
+         |    CAST(ceil(0.25::DOUBLE * CAST(count(*) - 1 AS DOUBLE)) AS BIGINT) AS hi
+         |  FROM s),
+         |th AS (SELECT sum(CASE
+         |    WHEN p.lo = p.hi AND ord.i = p.lo THEN ord.q
+         |    WHEN ord.i = p.lo THEN (CAST(p.hi AS DOUBLE) - p.pos) * ord.q
+         |    WHEN ord.i = p.hi THEN (p.pos - CAST(p.lo AS DOUBLE)) * ord.q
+         |    END) AS t
+         |  FROM ord, p)
          |SELECT doc_id, lang, q AS quality_score, q >= th.t AS kept
          |FROM s, th""".stripMargin,
     // Identical deterministic PII planting (same doc_id arithmetic), then

@@ -125,23 +125,37 @@ object Similarity {
     * same partitioning a 100 TB corpus would be physically clustered by
     * (write the corpus partitioned by cell → each probe reads nprobe/cells
     * of the data). */
+  /** Nearest-cell assignment column (the IVF inverted-file key). */
+  private def cellAssign(cents: Array[Array[Int]], native: Boolean): Column =
+    array_min(centroidDists(col("embedding"), cents, native)).getField("c")
+
+  /** One row per (query, probed cell): the nprobe nearest cells in
+    * deterministic (distance, idx) order — the single definition of the
+    * probe contract both IVF variants and the oracle must agree on. */
+  private def cellProbes(queries: DataFrame, cents: Array[Array[Int]],
+      nprobe: Int, native: Boolean): DataFrame =
+    queries.withColumn("cell",
+      explode(transform(
+        slice(array_sort(centroidDists(col("embedding"), cents, native)), 1, nprobe),
+        s => s.getField("c"))))
+
+  /** The (query_id, neighbor_id, sim) projection both IVF variants rank. */
+  private def scoredSelect(joined: DataFrame,
+      cosineFn: (Column, Column) => Column): DataFrame =
+    joined.select(
+      col("q.vec_id").as("query_id"),
+      col("v.vec_id").as("neighbor_id"),
+      cosineFn(col("q.embedding"), col("v.embedding")).as("sim"))
+
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               cents: Array[Array[Int]], nprobe: Int,
               cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val native = vectors.sparkSession.catalog.functionExists("l2_sq")
-    val assigned = vectors.withColumn("cell",
-      array_min(centroidDists(col("embedding"), cents, native)).getField("c"))
-    val probed = queries.withColumn("cell",
-      explode(transform(
-        slice(array_sort(centroidDists(col("embedding"), cents, native)), 1, nprobe),
-        s => s.getField("c"))))
-    val joined = probed.as("q").join(assigned.as("v"),
-      col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
-    rankTopK(joined
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("v.vec_id").as("neighbor_id"),
-        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
+    val assigned = vectors.withColumn("cell", cellAssign(cents, native))
+    val joined = cellProbes(queries, cents, nprobe, native).as("q")
+      .join(assigned.as("v"),
+        col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(scoredSelect(joined, cosineFn), k)
   }
 
   /** The physically-clustered variant [[ivfTopK]]'s scaladoc promises:
@@ -158,19 +172,11 @@ object Similarity {
       materialize: DataFrame => DataFrame,
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val native = vectors.sparkSession.catalog.functionExists("l2_sq")
-    val corpus = materialize(vectors.withColumn("cell",
-      array_min(centroidDists(col("embedding"), cents, native)).getField("c")))
-    val probed = queries.withColumn("cell",
-      explode(transform(
-        slice(array_sort(centroidDists(col("embedding"), cents, native)), 1, nprobe),
-        s => s.getField("c"))))
-    val joined = corpus.as("v").join(broadcast(probed.as("q")),
-      col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
-    rankTopK(joined
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("v.vec_id").as("neighbor_id"),
-        cosineFn(col("q.embedding"), col("v.embedding")).as("sim")), k)
+    val corpus = materialize(vectors.withColumn("cell", cellAssign(cents, native)))
+    val joined = corpus.as("v")
+      .join(broadcast(cellProbes(queries, cents, nprobe, native).as("q")),
+        col("q.cell") === col("v.cell") && col("q.vec_id") =!= col("v.vec_id"))
+    rankTopK(scoredSelect(joined, cosineFn), k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
