@@ -64,7 +64,7 @@ object ScaleQueries {
   def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val tag = sfTag(d)
     Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag",
-        s"graft_emb_ivf_$tag")
+        s"graft_emb_ivf_$tag", s"graft_docs_compact_$tag")
       .foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         Scale.deleteRecursively(java.nio.file.Paths.get(
@@ -89,10 +89,23 @@ object ScaleQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** q55: stats-driven compaction — rewrite `documents` into ~128 KB
+    * files (count from Catalyst size stats, not a constant) and read the
+    * compacted copy back. Identity semantics: the oracle reads the
+    * original flat table — layout maintenance must never change data. */
+  val q55Compaction: Q = (s, d) => {
+    val dir = Scale.compact(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      s"graft_docs_compact_${sfTag(d)}", 128L * 1024,
+      Scale.dirFingerprint(s"$d/documents.parquet"))
+    s.read.parquet(dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q28_salted_agg"    -> q28SaltedAgg,
     "q29_bucketed_join" -> q29BucketedJoin,
-    "q51_partition_pruning" -> q51PartitionPruning)
+    "q51_partition_pruning" -> q51PartitionPruning,
+    "q55_compaction"    -> q55Compaction)
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" ->
@@ -108,5 +121,8 @@ object ScaleQueries {
     // Flat-table filter: the partitioned layout must be invisible to results.
     "q51_partition_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE lang IN ('en', 'de')""".stripMargin)
+        |WHERE lang IN ('en', 'de')""".stripMargin,
+    // Identity: compaction is layout maintenance, never a data change.
+    "q55_compaction" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents")
 }

@@ -110,6 +110,36 @@ object Scale {
     loc.toString
   }
 
+  /** Small-files compaction (write-once): rewrite a table into
+    * ~`targetBytes`-sized files, with the file count derived from
+    * Catalyst's size statistics (`optimizedPlan.stats.sizeInBytes` — scan
+    * file sizes, no data read) instead of a hand-tuned constant. The
+    * classic layout-maintenance pass: a 100 TB table accreted from
+    * thousands of micro-batches reads 100× slower through a million tiny
+    * files (task-per-file scheduling, footer overhead) than through
+    * right-sized ones; conversely one giant file caps scan parallelism.
+    * `repartition(n)` (round-robin) balances output sizes; the write is
+    * spec-gated like every other write-once layout. Returns the dir. */
+  def compact(df: DataFrame, table: String, targetBytes: Long,
+      dataFingerprint: String = ""): String = {
+    val spark = df.sparkSession
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val spec = s"${df.schema.toDDL}|$targetBytes|$dataFingerprint"
+    val specFile = loc.resolve("_graft_compact_spec")
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(specFile) &&
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
+    if (!intact) {
+      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val n = ((estBytes + targetBytes - 1) / targetBytes).toInt.max(1)
+      deleteRecursively(loc)
+      df.repartition(n).write.mode("overwrite").parquet(loc.toString)
+      java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
+    }
+    loc.toString
+  }
+
   /** Recursive local-filesystem delete (children before parents); no-op on
     * a missing path. The one shared copy of the idiom for every write-once
     * layout. */

@@ -159,6 +159,24 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("compact sizes the file count from stats: one big target file, many small ones") {
+    import spark.implicits._
+    import graft.operators.Scale
+    val df = (1 to 20000).map(i => (i.toLong, s"value-$i-${"x" * 40}")).toDF("k", "v")
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(f => f.getName.startsWith("part-"))
+    // huge target -> a single output file
+    partFiles(Scale.compact(df, "graft_compact_probe_big", 1L << 30)) shouldBe 1
+    // tiny target -> stats force a multi-file layout
+    partFiles(Scale.compact(df, "graft_compact_probe_small", 64L * 1024)) should be > 1
+    // write-once: same spec skips the rewrite (same file set)
+    val again = Scale.compact(df, "graft_compact_probe_small", 64L * 1024)
+    partFiles(again) should be > 1
+    Seq("graft_compact_probe_big", "graft_compact_probe_small").foreach(t =>
+      Scale.deleteRecursively(java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)))
+  }
+
   test("writeBucketed rebuilds on spec change instead of attaching stale layout") {
     import spark.implicits._
     import graft.operators.Scale
