@@ -44,9 +44,36 @@ object IngestQueries {
       .withColumn("duration", col("duration").cast(StringType))
   }
 
+  /** q56: schema-evolution read — a lake table accreted from batches whose
+    * schema grew over time (an early batch without `n_chars`, a later one
+    * with it) is read as ONE table via parquet schema merging: the union
+    * schema, missing columns NULL-filled per file. The two batches are
+    * write-once materializations split from `documents` on a fixed id
+    * boundary; the oracle applies the same boundary to the flat table.
+    * At scale, mergeSchema's footer-union pass is a planning-time cost
+    * knob — pay it on evolving tables, pin a declared schema elsewhere. */
+  private val EVO_SPLIT = 250
+
+  val q56SchemaEvolution: Q = (s, d) => {
+    import graft.operators.Scale
+    val docs = Tables.documents(s, d)
+    val fp = Scale.dirFingerprint(s"$d/documents.parquet")
+    val tag = ScaleQueries.sfTag(d)
+    val early = Scale.writeOnce(
+      docs.filter(col("doc_id") < EVO_SPLIT).select(col("doc_id"), col("lang")),
+      s"graft_evo_a_$tag", fp)
+    val late = Scale.writeOnce(
+      docs.filter(col("doc_id") >= EVO_SPLIT)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      s"graft_evo_b_$tag", fp)
+    s.read.option("mergeSchema", "true").parquet(early, late)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q11_json_events_scan" -> q11JsonEventsScan,
-    "q12_json_songs_scan"  -> q12JsonSongsScan)
+    "q12_json_songs_scan"  -> q12JsonSongsScan,
+    "q56_schema_evolution" -> q56SchemaEvolution)
 
   /** The correctness gate always runs at sf0.01, so the oracle reads the
     * sf0.01 fixture files (the exact files the Spark side scanned). */
@@ -70,6 +97,12 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The same id boundary on the flat table: early-batch rows carry NULL
+    // for the column that did not exist yet.
+    "q56_schema_evolution" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN doc_id < $EVO_SPLIT THEN NULL ELSE n_chars END AS n_chars
+         |FROM documents""".stripMargin,
     "q11_json_events_scan" ->
       s"""SELECT eventId AS event_id,
          |  make_timestamp(tsMillis * 1000) AS start_time,

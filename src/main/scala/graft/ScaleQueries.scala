@@ -64,7 +64,8 @@ object ScaleQueries {
   def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val tag = sfTag(d)
     Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag",
-        s"graft_emb_ivf_$tag", s"graft_docs_compact_$tag")
+        s"graft_emb_ivf_$tag", s"graft_docs_compact_$tag",
+        s"graft_evo_a_$tag", s"graft_evo_b_$tag")
       .foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         Scale.deleteRecursively(java.nio.file.Paths.get(

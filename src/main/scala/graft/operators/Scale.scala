@@ -140,6 +140,28 @@ object Scale {
     loc.toString
   }
 
+  /** Plain write-once parquet materialization: rewrite only when the spec
+    * (schema + caller-supplied identity, e.g. a [[dirFingerprint]]) does
+    * not match what is on disk. The minimal member of the write-once
+    * family ([[writeBucketed]]/[[writePartitioned]]/[[compact]] add their
+    * layout knobs to the spec). Returns the dir. */
+  def writeOnce(df: DataFrame, table: String, dataFingerprint: String): String = {
+    val spark = df.sparkSession
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val spec = s"${df.schema.toDDL}|$dataFingerprint"
+    val specFile = loc.resolve("_graft_spec")
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(specFile) &&
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
+    if (!intact) {
+      deleteRecursively(loc)
+      df.write.mode("overwrite").parquet(loc.toString)
+      java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
+    }
+    loc.toString
+  }
+
   /** Recursive local-filesystem delete (children before parents); no-op on
     * a missing path. The one shared copy of the idiom for every write-once
     * layout. */
