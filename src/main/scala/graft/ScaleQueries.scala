@@ -65,7 +65,7 @@ object ScaleQueries {
     val tag = sfTag(d)
     Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag",
         s"graft_emb_ivf_$tag", s"graft_docs_compact_$tag",
-        s"graft_evo_a_$tag", s"graft_evo_b_$tag")
+        s"graft_evo_a_$tag", s"graft_evo_b_$tag", s"graft_events_z_$tag")
       .foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         Scale.deleteRecursively(java.nio.file.Paths.get(
@@ -102,11 +102,37 @@ object ScaleQueries {
     s.read.parquet(dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** q57: Z-order clustered layout — events rewritten once, globally
+    * range-partitioned and sorted by the Morton interleave of
+    * (user_id, floor(value)), then probed with a 2-D range predicate.
+    * Sorting by z packs rows close in BOTH dimensions into the same
+    * parquet row groups, so their min/max statistics skip row groups for
+    * selective 2-D scans — which a single-column sort order cannot do
+    * (row-group skipping happens at read time and is invisible in the
+    * plan; what the oracle gates is the z arithmetic and that the layout
+    * never changes the data). The build's one range exchange is the
+    * honest cost — paid once, amortized over every probe. */
+  val q57ZorderLayout: Q = (s, d) => {
+    val z = Scale.zOrder2(col("user_id"),
+      floor(col("value")).cast(org.apache.spark.sql.types.LongType))
+    val dir = Scale.writeOnce(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("z", z)
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z")),
+      s"graft_events_z_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/events.parquet") + "|zorder2")
+    s.read.parquet(dir)
+      .filter(col("user_id").between(10, 40) && col("value").between(5.0, 10.0))
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q28_salted_agg"    -> q28SaltedAgg,
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
-    "q55_compaction"    -> q55Compaction)
+    "q55_compaction"    -> q55Compaction,
+    "q57_zorder_layout" -> q57ZorderLayout)
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" ->
@@ -125,5 +151,11 @@ object ScaleQueries {
         |WHERE lang IN ('en', 'de')""".stripMargin,
     // Identity: compaction is layout maintenance, never a data change.
     "q55_compaction" ->
-      "SELECT doc_id, lang, source, n_chars FROM documents")
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    // Same Morton interleave arithmetic; layout must not change results.
+    "q57_zorder_layout" ->
+      s"""SELECT event_id, user_id, value,
+         |  CAST(${Scale.zOrder2Sql("user_id", "CAST(floor(value) AS BIGINT)")} AS BIGINT) AS z
+         |FROM events
+         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 5.0 AND 10.0""".stripMargin)
 }

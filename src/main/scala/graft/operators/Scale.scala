@@ -162,6 +162,25 @@ object Scale {
     loc.toString
   }
 
+  /** Z-order (Morton) interleave of two non-negative int columns, `bits`
+    * bits each → one long sort key. Sorting by z clusters rows that are
+    * close in BOTH dimensions into the same parquet row groups, so
+    * min/max row-group statistics prune selective 2-D range scans that a
+    * single-column sort order cannot — the lakehouse OPTIMIZE ZORDER
+    * technique, as a pure column expression (16 shift/mask terms per
+    * dimension, codegen'd; identical integer math in the oracle). */
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)): Column
+    }.reduce(_ + _)
+
+  /** The same interleave in DuckDB SQL over expressions `a`/`b`. */
+  def zOrder2Sql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   /** Recursive local-filesystem delete (children before parents); no-op on
     * a missing path. The one shared copy of the idiom for every write-once
     * layout. */

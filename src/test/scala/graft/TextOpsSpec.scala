@@ -126,6 +126,19 @@ class TextOpsSpec extends SparkSpec {
     out(4)._5 shouldBe "mixed [EMAIL] from [IP] dial [PHONE]"
   }
 
+  test("zOrder2 interleaves bits: a at even positions, b at odd") {
+    // a=5 (101), b=3 (011) -> z bits b2 a2 b1 a1 b0 a0 = 011011 = 27
+    val r = Seq((5L, 3L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("a", "b")
+      .select(Scale.zOrder2(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    r(0) shouldBe 27L
+    r(1) shouldBe 0L
+    // 16 one-bits at even positions = 0x55555555; odd = 0xAAAAAAAA
+    r(2) shouldBe 0x55555555L
+    r(3) shouldBe 0xAAAAAAAAL
+  }
+
   test("mixtureRebalance: unknown lang gets rate 0 without an ANSI divide-by-zero") {
     // 'xx' is outside the target mix -> target 0; the guard must exclude it
     // from the bottleneck min and emit rate 0 / kept=false, not throw.
