@@ -57,7 +57,9 @@ object IngestQueries {
   val q56SchemaEvolution: Q = (s, d) => {
     import graft.operators.Scale
     val docs = Tables.documents(s, d)
-    val fp = Scale.dirFingerprint(s"$d/documents.parquet")
+    // The split constant shapes the written data: changing it must rebuild
+    // the batches, not serve the old boundary from disk.
+    val fp = Scale.dirFingerprint(s"$d/documents.parquet") + s"|split=$EVO_SPLIT"
     val tag = ScaleQueries.sfTag(d)
     val early = Scale.writeOnce(
       docs.filter(col("doc_id") < EVO_SPLIT).select(col("doc_id"), col("lang")),

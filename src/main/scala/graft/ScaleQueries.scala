@@ -112,16 +112,21 @@ object ScaleQueries {
     * plan; what the oracle gates is the z arithmetic and that the layout
     * never changes the data). The build's one range exchange is the
     * honest cost — paid once, amortized over every probe. */
+  private val Z_BITS = 16
+
   val q57ZorderLayout: Q = (s, d) => {
     val z = Scale.zOrder2(col("user_id"),
-      floor(col("value")).cast(org.apache.spark.sql.types.LongType))
+      floor(col("value")).cast(org.apache.spark.sql.types.LongType), Z_BITS)
     val dir = Scale.writeOnce(
       Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
         .withColumn("z", z)
         .repartitionByRange(8, col("z"))
         .sortWithinPartitions(col("z")),
       s"graft_events_z_${sfTag(d)}",
-      Scale.dirFingerprint(s"$d/events.parquet") + "|zorder2")
+      // The z expression's identity (not a hand-bumped literal) gates the
+      // layout: an arithmetic/bits change rebuilds instead of serving
+      // stale z values.
+      Scale.dirFingerprint(s"$d/events.parquet") + s"|z=${z.toString.hashCode}")
     s.read.parquet(dir)
       .filter(col("user_id").between(10, 40) && col("value").between(5.0, 10.0))
       .select(col("event_id"), col("user_id"), col("value"), col("z"))
@@ -155,7 +160,7 @@ object ScaleQueries {
     // Same Morton interleave arithmetic; layout must not change results.
     "q57_zorder_layout" ->
       s"""SELECT event_id, user_id, value,
-         |  CAST(${Scale.zOrder2Sql("user_id", "CAST(floor(value) AS BIGINT)")} AS BIGINT) AS z
+         |  CAST(${Scale.zOrder2Sql("user_id", "CAST(floor(value) AS BIGINT)", Z_BITS)} AS BIGINT) AS z
          |FROM events
          |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 5.0 AND 10.0""".stripMargin)
 }

@@ -112,32 +112,26 @@ object Scale {
 
   /** Small-files compaction (write-once): rewrite a table into
     * ~`targetBytes`-sized files, with the file count derived from
-    * Catalyst's size statistics (`optimizedPlan.stats.sizeInBytes` — scan
-    * file sizes, no data read) instead of a hand-tuned constant. The
-    * classic layout-maintenance pass: a 100 TB table accreted from
-    * thousands of micro-batches reads 100× slower through a million tiny
-    * files (task-per-file scheduling, footer overhead) than through
-    * right-sized ones; conversely one giant file caps scan parallelism.
+    * Catalyst's size ESTIMATE (`optimizedPlan.stats.sizeInBytes` — file
+    * sizes scaled by the pruned-schema defaultSize ratio, so it is
+    * directionally right but can miss actual bytes by a wide factor on
+    * string-heavy schemas; right-sizing to compressed output bytes needs
+    * a post-write pass or table statistics). The classic
+    * layout-maintenance pass: a 100 TB table accreted from thousands of
+    * micro-batches reads far slower through a million tiny files
+    * (task-per-file scheduling, footer overhead) than through right-sized
+    * ones; conversely one giant file caps scan parallelism.
     * `repartition(n)` (round-robin) balances output sizes; the write is
-    * spec-gated like every other write-once layout. Returns the dir. */
+    * gated through [[writeOnce]]. Returns the dir. */
   def compact(df: DataFrame, table: String, targetBytes: Long,
       dataFingerprint: String = ""): String = {
-    val spark = df.sparkSession
-    val loc = java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    val spec = s"${df.schema.toDDL}|$targetBytes|$dataFingerprint"
-    val specFile = loc.resolve("_graft_compact_spec")
-    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
-      java.nio.file.Files.exists(specFile) &&
-      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
-    if (!intact) {
-      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val n = ((estBytes + targetBytes - 1) / targetBytes).toInt.max(1)
-      deleteRecursively(loc)
-      df.repartition(n).write.mode("overwrite").parquet(loc.toString)
-      java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
-    }
-    loc.toString
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Clamp before toInt: a stats fallback (defaultSizeInBytes can be
+    // Long.MaxValue) must degrade to "many partitions", never wrap through
+    // BigInt.toInt into a garbage (or 1-file) count.
+    val n = ((estBytes + targetBytes - 1) / targetBytes)
+      .min(BigInt(1 << 20)).toInt.max(1)
+    writeOnce(df.repartition(n), table, s"compact=$targetBytes|$dataFingerprint")
   }
 
   /** Plain write-once parquet materialization: rewrite only when the spec
@@ -168,12 +162,18 @@ object Scale {
     * min/max row-group statistics prune selective 2-D range scans that a
     * single-column sort order cannot — the lakehouse OPTIMIZE ZORDER
     * technique, as a pure column expression (16 shift/mask terms per
-    * dimension, codegen'd; identical integer math in the oracle). */
-  def zOrder2(a: Column, b: Column, bits: Int = 16): Column =
+    * dimension, codegen'd; identical integer math in the oracle).
+    * `bits` ≤ 31 (bit 2·31+1 = 63 would reach the sign bit and break the
+    * sort order); coordinate bits above `bits` are TRUNCATED — callers
+    * must pick `bits` covering their coordinate domain. */
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31,
+      s"zOrder2 bits must be in [1,31] (got $bits): bit 2*bits+1 must stay below the sign bit")
     (0 until bits).map { i =>
       (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)): Column
     }.reduce(_ + _)
+  }
 
   /** The same interleave in DuckDB SQL over expressions `a`/`b`. */
   def zOrder2Sql(a: String, b: String, bits: Int = 16): String =
