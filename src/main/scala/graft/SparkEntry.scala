@@ -17,7 +17,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries ++
-      CorpusPipelineQueries.queries
+      CorpusPipelineQueries.queries ++ OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle ++
-      CorpusPipelineQueries.oracle
+      CorpusPipelineQueries.oracle ++ OlapQueries.oracle
 }
