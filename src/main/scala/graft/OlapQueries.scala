@@ -27,16 +27,21 @@ object OlapQueries {
 
   /** q59: pivot — events cross-tabbed as one row per user-id bucket with
     * one count column per event type. The pivot values are a fixed
-    * literal list: the plan is a single groupBy with five conditional
-    * aggregates (codegen'd), no data-driven column inference. */
+    * literal list, so Spark plans the two-phase PivotFirst aggregation
+    * without any data-driven column inference (an unvalued pivot would
+    * first run a driver-side distinct scan). Spark's pivot leaves empty
+    * cells NULL where SQL conditional counts yield 0 — na.fill aligns
+    * the two. `%` (not pmod) matches the oracle's remainder semantics
+    * for negative ids. */
   private val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
 
   val q59Pivot: Q = (s, d) =>
     Tables.events(s, d)
-      .select(pmod(col("user_id"), lit(10)).as("user_bucket"), col("event_type"))
+      .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
       .groupBy(col("user_bucket"))
       .pivot("event_type", EVENT_TYPES)
       .count()
+      .na.fill(0L, EVENT_TYPES)
 
   /** q60: semi-structured extraction — `events.props` is a JSON string;
     * pull `$.k` out as an int and aggregate it per event type. In-scan

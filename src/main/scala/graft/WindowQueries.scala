@@ -81,22 +81,18 @@ object WindowQueries {
   /** q61: gap filling — the sparse hourly counts densified to EVERY
     * (hour, event_type) cell over the data's time span, zeros included
     * (time-series models need dense timelines; a groupBy emits only
-    * occupied cells). The dense axis is generated, not scanned:
-    * sequence() over the global [min,max] hour span (one tiny all-reduce)
-    * explodes into hours × the fixed type list, then the observed counts
-    * join in broadcast (occupied cells ≤ corpus, usually ≪ dense grid).
-    * The corpus aggregates once; nothing driver-side. */
-  private val GAP_TYPES = Seq("click", "error", "purchase", "signup", "view")
-
+    * occupied cells). ONE corpus aggregation total: the hour span AND the
+    * type axis both derive from the tiny grouped result (min/max over it
+    * equals min/max over raw ts after truncation; observed-distinct types
+    * means densify-never-filter — a hardcoded type list would silently
+    * DROP counts for unlisted types). The dense grid is generated, never
+    * scanned, and the observed counts join back in broadcast. */
   val q61GapFill: Q = (s, d) => {
-    val hour = date_trunc("hour", col("ts"))
     val counts = Tables.events(s, d)
-      .select(hour.as("h"), col("event_type"))
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("cnt"))
-    val span = Tables.events(s, d)
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
-    val types = s.range(1).select(explode(lit(GAP_TYPES.toArray)).as("event_type"))
+    val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = counts.select(col("event_type")).distinct()
     val grid = span
       .select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("h"))
@@ -152,18 +148,17 @@ object WindowQueries {
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin,
-    // Dense grid via generate_series over the same hour span; observed
-    // counts left-join in, gaps coalesce to 0.
+    // Dense grid via generate_series over the observed hour span and the
+    // observed distinct types; counts left-join in, gaps coalesce to 0.
     "q61_gap_fill" ->
-      s"""WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-         |    event_type FROM events),
-         |c AS (SELECT h, event_type, count(*) AS cnt FROM e GROUP BY 1, 2),
-         |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
-         |grid AS (SELECT g.h, t.event_type
-         |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-         |        FROM span) g
-         |  CROSS JOIN (SELECT unnest(${GAP_TYPES.map(t => s"'$t'").mkString("[", ",", "]")})
-         |        AS event_type) t)
-         |SELECT grid.h AS hour, grid.event_type, coalesce(c.cnt, 0) AS cnt
-         |FROM grid LEFT JOIN c ON grid.h = c.h AND grid.event_type = c.event_type""".stripMargin)
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    event_type FROM events),
+        |c AS (SELECT h, event_type, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |grid AS (SELECT g.h, t.event_type
+        |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |        FROM span) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t)
+        |SELECT grid.h AS hour, grid.event_type, coalesce(c.cnt, 0) AS cnt
+        |FROM grid LEFT JOIN c ON grid.h = c.h AND grid.event_type = c.event_type""".stripMargin)
 }
