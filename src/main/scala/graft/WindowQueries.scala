@@ -102,11 +102,43 @@ object WindowQueries {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** q62: range join — every error within 30 minutes AFTER a purchase by
+    * the same user. Spark plans a raw inequality join as a nested loop
+    * (quadratic per user); the scale shape is BIN BLOCKING, the temporal
+    * twin of q22's length buckets: time is bucketed into range-width
+    * bins, purchases explode to (bin, bin+1), errors keep their bin, and
+    * the candidates come from an EQUI-join on (user, bin) — any
+    * in-range pair's error lands in the purchase's bin or the next one,
+    * so recall is exact (a theorem of the bin width, not a heuristic),
+    * and each candidate is verified by the exact predicate. No nested
+    * loop, no cartesian (plan-pinned); candidates ∝ events per
+    * (user, 30-minute bin), not per user. The streaming twin is
+    * EventStream's watermarked stream-stream correlate. */
+  private val RANGE_MS = 30L * 60000L
+
+  val q62RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        floor(unix_millis(col("ts")) / RANGE_MS).as("bin"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), explode(array(col("bin"), col("bin") + 1)).as("bin"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("bin"))
+    val gap = unix_millis(col("e_ts")) - unix_millis(col("p_ts"))
+    p.join(e, col("user_id") === col("e_user") && p("bin") === e("bin"))
+      .filter(gap > 0 && gap <= RANGE_MS)
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        gap.as("gap_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
     "q50_asof_join"    -> q50AsofJoin,
-    "q61_gap_fill"     -> q61GapFill)
+    "q61_gap_fill"     -> q61GapFill,
+    "q62_range_join"   -> q62RangeJoin)
 
   val oracle: Map[String, String] = Map(
     "q26_windowed_agg" ->
@@ -160,5 +192,15 @@ object WindowQueries {
         |        FROM span) g
         |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t)
         |SELECT grid.h AS hour, grid.event_type, coalesce(c.cnt, 0) AS cnt
-        |FROM grid LEFT JOIN c ON grid.h = c.h AND grid.event_type = c.event_type""".stripMargin)
+        |FROM grid LEFT JOIN c ON grid.h = c.h AND grid.event_type = c.event_type""".stripMargin,
+    // The plain inequality join — DuckDB's IEJoin handles it natively;
+    // the Spark side must reproduce it exactly through its bin blocking.
+    "q62_range_join" ->
+      s"""SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+         |  epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) AS gap_ms
+         |FROM events p JOIN events e
+         |  ON p.user_id = e.user_id
+         |  AND p.event_type = 'purchase' AND e.event_type = 'error'
+         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) > 0
+         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) <= $RANGE_MS""".stripMargin)
 }

@@ -153,6 +153,13 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
 
+  test("q62 range join: bin blocking yields an equi-join, never a nested loop") {
+    val p = plan(WindowQueries.q62RangeJoin(spark, sf))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    (p should include).regex("BroadcastHashJoin|SortMergeJoin")
+  }
+
   test("q52: probe join dynamically prunes the cell-partitioned corpus scan") {
     val p = plan(SimilarityQueries.q52AnnIvfPruned(spark, sf))
     p should include("dynamicpruningexpression")
