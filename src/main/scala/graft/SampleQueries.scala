@@ -160,8 +160,29 @@ object SampleQueries {
         (bucket.cast(DoubleType) < col("rate") * 10000.0).as("kept"))
   }
 
+  /** q63: exact-size stratified sample — exactly `EXACT_N` docs per
+    * language (q31's rate sampler yields binomially-varying sizes; quota
+    * jobs need exact counts). Deterministic: rank within each language by
+    * the content-independent id hash and keep the first N — same sample
+    * on every run/engine, no RNG state, uniform inclusion within each
+    * stratum. One hash exchange on lang + per-partition sort; the rank
+    * never leaves the partition. */
+  private val EXACT_N = 20
+
+  val q63ExactSample: Q = (s, d) => {
+    val ord = TextOps.hash60(concat(lit("xs:"), col("doc_id").cast(StringType)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), ord.as("ord"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("ord"))))
+      .filter(col("rk") <= EXACT_N)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_stratified_sample" -> q31StratifiedSample,
+    "q63_exact_sample"      -> q63ExactSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
     "q37_training_shards"   -> q37TrainingShards,
     "q40_approx_stats"      -> q40ApproxStats,
@@ -173,6 +194,15 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Same salted-hash order, same per-lang rank cut.
+    "q63_exact_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  CAST(('0x' || substr(md5('xs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS ord
+         |FROM documents)
+         |SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY ord) AS INTEGER) AS rk FROM h)
+         |WHERE rk <= $EXACT_N""".stripMargin,
     "q31_stratified_sample" ->
       s"""SELECT doc_id, lang,
          |  100.0::DOUBLE / CAST(($rateSql) AS DOUBLE) AS weight
