@@ -33,6 +33,22 @@ object JsonSource {
   def auto(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Error-tolerant variant of [[auto]]: malformed lines do not fail the
+    * load (the reference's COPY with maxerror 0 aborts; a 100 TB ingest
+    * cannot). PERMISSIVE mode parses what it can and captures each bad
+    * line's raw text in `corruptCol` — yielding the load-audit split:
+    * `df.filter(col(corruptCol).isNull)` is the clean staging input,
+    * `df.filter(col(corruptCol).isNotNull)` is the reject file (Redshift's
+    * stl_load_errors, as a DataFrame). The corrupt column must also be
+    * declared in the schema passed to the reader, which this wraps. */
+  def autoTolerant(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** Redshift-COPY-style lenient string→int for scan-time casts (X7): the
     * Sparkify logs carry `"userId": ""` for anonymous sessions, which lands
     * as NULL in the int staging column. Spark 4's ANSI cast throws on ''; a

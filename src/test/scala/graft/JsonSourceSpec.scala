@@ -48,4 +48,25 @@ class JsonSourceSpec extends SparkSpec {
     df.filter(col("page").isNull).count() shouldBe 1
     df.schema.fieldNames.toSeq shouldBe Seq("ts", "userId", "page") // extra key pruned
   }
+
+  test("autoTolerant splits clean rows from captured corrupt lines") {
+    val dir = writeJson(
+      """{"ts": 1, "userId": "7", "page": "Home"}""",
+      """{"ts": 2, "userId": oops-not-json""",
+      """{"ts": 3, "page": "NextSong"}""")
+    val df = JsonSource.autoTolerant(spark, dir, raw).cache()
+    try {
+      df.count() shouldBe 3
+      val clean = df.filter(col("_corrupt_record").isNull)
+      val rejects = df.filter(col("_corrupt_record").isNotNull)
+      clean.count() shouldBe 2
+      rejects.count() shouldBe 1
+      // the reject preserves the raw line for the audit trail
+      rejects.collect()(0).getAs[String]("_corrupt_record") should include("oops-not-json")
+      // and the strict auto() reader rejects the same file outright
+      an[Exception] should be thrownBy {
+        spark.read.schema(raw).option("mode", "FAILFAST").json(dir).collect()
+      }
+    } finally df.unpersist()
+  }
 }
