@@ -70,7 +70,7 @@ object SampleQueries {
 
   val q37TrainingShards: Q = (s, d) => {
     val shard = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(N_SHARDS))
-    val order = TextOps.hash60(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+    val order = TextOps.saltedOrd("shuf:")
     Tables.documents(s, d)
       .select(col("doc_id"), shard.cast(IntegerType).as("shard"), order.as("ord"))
       .withColumn("position",
@@ -110,7 +110,7 @@ object SampleQueries {
 
   val q48SequencePack: Q = (s, d) => {
     val shard = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(N_SHARDS))
-    val order = TextOps.hash60(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+    val order = TextOps.saltedOrd("shuf:")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("ord"))
     Tables.documents(s, d)
@@ -160,17 +160,20 @@ object SampleQueries {
         (bucket.cast(DoubleType) < col("rate") * 10000.0).as("kept"))
   }
 
-  /** q63: exact-size stratified sample — exactly `EXACT_N` docs per
-    * language (q31's rate sampler yields binomially-varying sizes; quota
-    * jobs need exact counts). Deterministic: rank within each language by
-    * the content-independent id hash and keep the first N — same sample
-    * on every run/engine, no RNG state, uniform inclusion within each
+  /** q63: exact-size stratified sample — min(`EXACT_N`, stratum size)
+    * docs per language (q31's rate sampler yields binomially-varying
+    * sizes; quota jobs need fixed counts — and must still handle a
+    * stratum SMALLER than its quota, which this under-fills with no
+    * error: check per-stratum row counts downstream if short batches are
+    * fatal). Deterministic: rank within each language by the salted
+    * content-independent id hash and keep the first N — same sample on
+    * every run/engine, no RNG state, uniform inclusion within each
     * stratum. One hash exchange on lang + per-partition sort; the rank
     * never leaves the partition. */
   private val EXACT_N = 20
 
   val q63ExactSample: Q = (s, d) => {
-    val ord = TextOps.hash60(concat(lit("xs:"), col("doc_id").cast(StringType)))
+    val ord = TextOps.saltedOrd("xs:")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), ord.as("ord"))
       .withColumn("rk", row_number().over(

@@ -33,6 +33,13 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Salted content-stable ordering hash over doc_id — the one definition
+    * of the `hash60(salt || doc_id)` idiom the shard/pack/sample operators
+    * and their oracles' md5 incantations must all stay bit-identical to.
+    * Distinct salts give independent orders from the same ids. */
+  def saltedOrd(salt: String): Column =
+    hash60(concat(lit(salt), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+
   /** Element-wise sum of an integer array column via left fold. */
   def intArraySum(arr: Column): Column =
     aggregate(arr, lit(0), (acc, x) => acc + x)

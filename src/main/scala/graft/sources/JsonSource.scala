@@ -33,21 +33,31 @@ object JsonSource {
   def auto(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** Error-tolerant variant of [[auto]]: malformed lines do not fail the
-    * load (the reference's COPY with maxerror 0 aborts; a 100 TB ingest
-    * cannot). PERMISSIVE mode parses what it can and captures each bad
-    * line's raw text in `corruptCol` — yielding the load-audit split:
-    * `df.filter(col(corruptCol).isNull)` is the clean staging input,
-    * `df.filter(col(corruptCol).isNotNull)` is the reject file (Redshift's
-    * stl_load_errors, as a DataFrame). The corrupt column must also be
-    * declared in the schema passed to the reader, which this wraps. */
+  /** Audit-tolerant variant of [[auto]]. Three load postures exist:
+    * FAILFAST aborts on the first bad line (the reference's COPY with
+    * maxerror 0 — a 100 TB ingest cannot); default PERMISSIVE (what
+    * [[auto]] does) silently null-fills malformed lines — corrupt input
+    * flows into staging UNDETECTED; this variant captures each bad line's
+    * raw text in `corruptCol`, so rejects are auditable:
+    * `filter(col(corruptCol).isNull)` is the clean staging input,
+    * `filter(col(corruptCol).isNotNull)` the reject file (Redshift's
+    * stl_load_errors, as a DataFrame).
+    *
+    * Spark restriction: a query whose only REQUIRED column from the raw
+    * JSON scan is the corrupt column throws at planning time —
+    * `cache()`/persist the returned frame (as the spec does) or select a
+    * data column alongside it before computing the reject split. */
   def autoTolerant(spark: SparkSession, path: String, schema: StructType,
-      corruptCol: String = "_corrupt_record"): DataFrame =
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    // idempotent if the caller's schema already declares the column
+    val full = if (schema.fieldNames.contains(corruptCol)) schema
+      else schema.add(corruptCol, org.apache.spark.sql.types.StringType)
     spark.read
-      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .schema(full)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+  }
 
   /** Redshift-COPY-style lenient string→int for scan-time casts (X7): the
     * Sparkify logs carry `"userId": ""` for anonymous sessions, which lands

@@ -63,10 +63,17 @@ class JsonSourceSpec extends SparkSpec {
       rejects.count() shouldBe 1
       // the reject preserves the raw line for the audit trail
       rejects.collect()(0).getAs[String]("_corrupt_record") should include("oops-not-json")
-      // and the strict auto() reader rejects the same file outright
+      // plain auto() (default PERMISSIVE) null-fills the bad line SILENTLY
+      // — same row count, no captured text: the gap autoTolerant closes
+      JsonSource.auto(spark, dir, raw).count() shouldBe 3
+      // FAILFAST is the abort posture (reference COPY maxerror 0)
       an[Exception] should be thrownBy {
         spark.read.schema(raw).option("mode", "FAILFAST").json(dir).collect()
       }
+      // declaring the corrupt column yourself must not duplicate it
+      JsonSource.autoTolerant(spark, dir,
+        raw.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+        .schema.fieldNames.count(_ == "_corrupt_record") shouldBe 1
     } finally df.unpersist()
   }
 }
