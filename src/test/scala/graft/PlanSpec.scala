@@ -153,6 +153,14 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
 
+  test("q63 exact sample: one lang hash exchange for the rank window, no range sort") {
+    val p = plan(SampleQueries.q63ExactSample(spark, sf))
+    p should include("Window")
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Arguments: hashpartitioning(lang")
+    p should not include "rangepartitioning"
+  }
+
   test("q62 range join: bin blocking yields an equi-join, never a nested loop") {
     val p = plan(WindowQueries.q62RangeJoin(spark, sf))
     p should not include "BroadcastNestedLoopJoin"
