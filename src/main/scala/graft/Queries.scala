@@ -156,6 +156,37 @@ object Queries {
         col("c_acctbal").cast(DecimalType(14, 3)).cast(DecimalType(19, 8))
           .cast(StringType).as("bal8"))
 
+  /** q64: five-way star join (the TPC-H Q5 shape) — revenue per nation for
+    * one region, with local suppliers only (c_nationkey = s_nationkey).
+    * The multi-join optimizer workout the 2-way queries don't exercise:
+    * the selective region filter sits on the scan and prunes the dim
+    * cascade BEFORE any fact touches it; region and nation are true
+    * fixed-size dims (explicit broadcast — 5 and 25 rows at any scale);
+    * customer and supplier grow with the corpus, so their join strategy is
+    * deliberately LEFT TO AQE — broadcast at test SF, sort-merge (or
+    * bucketed co-location, q29's pattern) at 100 TB, with no code change.
+    * The fact chain joins on its natural keys; aggregation is
+    * decimal-exact like q01/q29. */
+  val q64RegionRevenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(
+        sum((li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+          .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   // ---------------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------------
@@ -170,7 +201,8 @@ object Queries {
     "q07_presort_topk"      -> q07PresortTopk,
     "q08_event_counts"      -> q08EventCounts,
     "q09_star_flagship"     -> q09StarFlagship,
-    "q10_decimal_rescale"   -> q10DecimalRescale)
+    "q10_decimal_rescale"   -> q10DecimalRescale,
+    "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -222,5 +254,19 @@ object Queries {
       """SELECT c_custkey,
         |  CAST(CAST(c_acctbal AS DECIMAL(14,3)) AS VARCHAR) AS bal3,
         |  CAST(CAST(CAST(c_acctbal AS DECIMAL(14,3)) AS DECIMAL(19,8)) AS VARCHAR) AS bal8
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+    "q64_region_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin)
 }

@@ -153,6 +153,16 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
 
+  test("q64 five-way star join: fact never shuffles at test SF, region filter on the scan") {
+    val p = plan(Queries.q64RegionRevenue(spark, sf))
+    // all five dims broadcast onto the lineitem scan; the only Exchange is
+    // the final aggregation (at 100 TB AQE swaps customer/supplier to SMJ)
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) BroadcastHashJoin""".r.findAllMatchIn(p).length shouldBe 5
+    p should not include "CartesianProduct"
+    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+  }
+
   test("q63 exact sample: one lang hash exchange for the rank window, no range sort") {
     val p = plan(SampleQueries.q63ExactSample(spark, sf))
     p should include("Window")
