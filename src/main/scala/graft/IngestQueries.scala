@@ -77,28 +77,31 @@ object IngestQueries {
     "q12_json_songs_scan"  -> q12JsonSongsScan,
     "q56_schema_evolution" -> q56SchemaEvolution)
 
-  /** The correctness gate always runs at sf0.01, so the oracle reads the
-    * sf0.01 fixture files (the exact files the Spark side scanned). */
-  private val sf001 = "/root/testdata/sf0.01"
+  /** The fixture dir the oracle's read_json points at must be the EXACT
+    * files the Spark side scanned — i.e. the scale Verify is running at.
+    * Verify sets `graft.oracle.sf` from its sfDir argument before dumping
+    * oracle_sql.json; the default matches the driver's sf0.01 gate. */
+  private def oracleSf: String =
+    sys.props.getOrElse("graft.oracle.sf", "/root/testdata/sf0.01")
 
   /** `read_json(...)` clause over the events fixture, shared by every oracle
     * that stages from it. Only the fields a query touches are listed —
     * DuckDB, like our declared-schema reader, ignores the rest. */
   def eventsReadJson(fields: (String, String)*): String = {
     val cols = fields.map { case (n, t) => s"'$n':'$t'" }.mkString(",")
-    s"""read_json('${Fixtures.eventsJsonDir(sf001)}/*.json',
+    s"""read_json('${Fixtures.eventsJsonDir(oracleSf)}/*.json',
        |  format='newline_delimited', columns={$cols})""".stripMargin
   }
 
   def songsReadJson: String =
-    s"""read_json('${Fixtures.songsJsonDir(sf001)}/*.json',
+    s"""read_json('${Fixtures.songsJsonDir(oracleSf)}/*.json',
        |  format='newline_delimited',
        |  columns={'num_songs':'INTEGER','artist_id':'VARCHAR',
        |           'artist_latitude':'DECIMAL(11,3)','artist_longitude':'DECIMAL(11,3)',
        |           'artist_location':'VARCHAR','artist_name':'VARCHAR','song_id':'VARCHAR',
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     // The same id boundary on the flat table: early-batch rows carry NULL
     // for the column that did not exist yet.
     "q56_schema_evolution" ->

@@ -42,7 +42,7 @@ object PipelineQueries {
             "lastName" -> "VARCHAR", "gender" -> "VARCHAR",
             "locationStr" -> "VARCHAR", "userAgentStr" -> "VARCHAR")}""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     "q13_star_pipeline_counts" ->
       s"""WITH ev AS ($evStage),
          |sg AS (SELECT * FROM ${IngestQueries.songsReadJson}),

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Oracle SQL embeds absolute fixture paths (read_json) — render them
+    // for THIS run's scale, not the default sf0.01, so the gate is
+    // scale-correct everywhere.
+    System.setProperty("graft.oracle.sf", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
