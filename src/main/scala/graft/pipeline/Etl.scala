@@ -177,35 +177,46 @@ object Etl {
     val staging = Seq("staging_events", "staging_songs")
     (staging ++ tables).foreach(sink.drop)        // S4: idempotent drop ×7
 
-    // S1/S2: COPY physically LOADS the staging tables before any insert reads
-    // them (sql_queries.py:121-128) — so stage = materialize, columnar. The
-    // five inserts then read parquet instead of re-parsing the JSON per plan.
-    // The two COPYs are independent → submitted concurrently; Spark's
-    // scheduler interleaves their tasks across the executor pool instead of
-    // idling it between two sequential job barriers.
-    awaitAll(
-      Future(sink.write(stageEvents(spark, sfDir), "staging_events")),
-      Future(sink.write(stageSongs(spark, sfDir), "staging_songs")))
-    val ev = sink.read(spark, "staging_events")
-    val sg = sink.read(spark, "staging_songs")
+    // The pipeline is a dependency DAG, not a statement list: each insert
+    // launches the moment its staging input MATERIALIZES, instead of
+    // waiting behind a global stage-then-insert barrier. (Redshift
+    // serializes the reference's statement list — sql_queries.py:197 —
+    // because one leader runs it; results are order-independent, and on a
+    // 1000-executor cluster every artificial barrier idles the pool.)
+    //
+    //   stage_events ──┬─▶ users, time, songplay(+songs staging)
+    //   stage_songs ───┴─▶ songs, artists
+    //
+    // S1/S2 stay the COPY semantic (sql_queries.py:121-128): each staging
+    // table is physically materialized columnar BEFORE any insert reads
+    // it — one JSON parse total, inserts read pruned parquet.
+    val evF = Future {
+      sink.write(stageEvents(spark, sfDir), "staging_events")
+      sink.read(spark, "staging_events")
+    }
+    val sgF = Future {
+      sink.write(stageSongs(spark, sfDir), "staging_songs")
+      sink.read(spark, "staging_songs")
+    }
+    // song-side inserts start as soon as staging_songs lands (typically
+    // while the larger events COPY is still parsing)
+    val songSideF = sgF.map { sg =>
+      awaitAll(
+        Future(sink.write(songs(sg),   "songs",   Schemas.sortKeys.get("songs"))),
+        Future(sink.write(artists(sg), "artists", Schemas.sortKeys.get("artists"))))
+    }
+    val ev = Await.result(evF, Duration.Inf)
+    val sg = Await.result(sgF, Duration.Inf)
     // Staging tables are addressable by name for the pipeline's duration,
     // like the reference's staging_events/staging_songs (sql_queries.py:28-64).
     ev.createOrReplaceTempView("staging_events")
     sg.createOrReplaceTempView("staging_songs")
-
-    // S6 inserts in the reference's list order (sql_queries.py:197), each
-    // with its sortkey presort (O1). All five read only the materialized
-    // staging tables — mutually independent, so they are SUBMITTED in
-    // reference order but execute concurrently. (Redshift serializes them
-    // because one leader runs the statement list; the results are
-    // order-independent, and on a 1000-executor cluster five sequential
-    // barriers would idle the pool five times.)
+    // event-side inserts (S6, each with its sortkey presort O1)
     awaitAll(
       Future(sink.write(songplay(ev, sg), "songplay", Schemas.sortKeys.get("songplay"))),
       Future(sink.write(users(ev),        "users",    Schemas.sortKeys.get("users"))),
-      Future(sink.write(songs(sg),        "songs",    Schemas.sortKeys.get("songs"))),
-      Future(sink.write(artists(sg),      "artists",  Schemas.sortKeys.get("artists"))),
-      Future(sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))))
+      Future(sink.write(time(ev),         "time",     Schemas.sortKeys.get("time"))),
+      songSideF)
 
     // S8: drop staging (sql_queries.py:198, etl.py:31-34) — the materialized
     // staging parquet goes away with the temp views, like the reference's
