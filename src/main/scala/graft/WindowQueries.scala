@@ -87,8 +87,11 @@ object WindowQueries {
     * means densify-never-filter — a hardcoded type list would silently
     * DROP counts for unlisted types). The dense grid is generated, never
     * scanned, and the observed counts join back in broadcast. */
-  val q61GapFill: Q = (s, d) => {
-    val counts = Tables.events(s, d)
+  val q61GapFill: Q = (s, d) => gapFill(Tables.events(s, d))
+
+  private[graft] def gapFill(events: org.apache.spark.sql.DataFrame) = {
+    val s = events.sparkSession
+    val counts = events
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("cnt"))
     val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -116,8 +119,10 @@ object WindowQueries {
     * EventStream's watermarked stream-stream correlate. */
   private val RANGE_MS = 30L * 60000L
 
-  val q62RangeJoin: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+  val q62RangeJoin: Q = (s, d) => rangeJoinErrors(Tables.events(s, d))
+
+  private[graft] def rangeJoinErrors(events: org.apache.spark.sql.DataFrame) = {
+    val ev = events
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         floor(unix_millis(col("ts")) / RANGE_MS).as("bin"))
     val p = ev.filter(col("event_type") === "purchase")

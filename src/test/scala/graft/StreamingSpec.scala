@@ -38,6 +38,41 @@ class StreamingSpec extends SparkSpec {
     out shouldBe Seq((3L, Some(2L)), (5L, None), (6L, None))
   }
 
+  test("rangeJoinErrors: inclusive far edge, exclusive same-instant, bin straddle found") {
+    val RANGE = 30L * 60000L
+    def at(ms: Long) = new Timestamp(1700000000000L + ms)
+    val ev = Seq(
+      (1L, at(0), 5L, "purchase", 0.0),
+      (2L, at(RANGE), 5L, "error", 0.0),       // exactly at the edge -> kept
+      (3L, at(RANGE + 1), 5L, "error", 0.0),   // 1ms past -> dropped
+      (4L, at(0), 5L, "error", 0.0),           // same instant -> gap 0 -> dropped
+      // straddle: purchase near a bin boundary, error in the NEXT bin
+      (5L, at(RANGE - 1), 6L, "purchase", 0.0),
+      (6L, at(RANGE + 5), 6L, "error", 0.0),   // gap 6ms, different bin -> kept
+      // other user never matches
+      (7L, at(10), 9L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = WindowQueries.rangeJoinErrors(ev).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"),
+        r.getAs[Long]("gap_ms"))).sortBy(t => (t._1, t._2))
+    out shouldBe Seq((1L, 2L, RANGE), (5L, 6L, 6L))
+  }
+
+  test("gapFill: zeros for empty cells, span and type axis from the data") {
+    def at(h: Int) = new Timestamp(1700000000000L / 3600000L * 3600000L + h * 3600000L)
+    val ev = Seq(
+      (1L, at(0), 1L, "click", 0.0),
+      (2L, at(0), 1L, "view", 0.0),
+      (3L, at(2), 1L, "click", 0.0))  // hour 1 has NO events at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = WindowQueries.gapFill(ev).collect()
+      .map(r => (r.getAs[Timestamp]("hour"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt")))
+    out.length shouldBe 6 // 3 hours x 2 observed types — axis from data
+    out.count(_._3 == 0L) shouldBe 3 // (h0,view gone?) no: h1 both, h2 view
+    out.filter(_._2 == "view").map(_._3).sum shouldBe 1L
+  }
+
   test("streaming windowedAgg matches the batch plan on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
