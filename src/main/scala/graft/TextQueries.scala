@@ -104,10 +104,17 @@ object TextQueries {
     * identically), argmax with alphabetical tie-break, 'und' on zero
     * evidence. Single-pass, in-scan, shuffle-free. */
   val q41LangIdNgram: Q = (s, d) => {
+    // Fast path: the native fixed-substring counter (24 direct scans, no
+    // regex machinery); fallback: regexp_count — the profile n-grams are
+    // letters/spaces only, so the literal is metachar-free and the two
+    // counts are identical (FallbackSpec pins it; DuckDB's oracle uses
+    // the regexp form either way).
+    val cnt: String => Column =
+      if (s.catalog.functionExists("substr_count"))
+        g => call_function("substr_count", col("text"), lit(g))
+      else g => regexp_count(col("text"), lit(g))
     val scores: Seq[(String, Column)] = charNgrams.map { case (code, ngs) =>
-      // the profile n-grams are letters/spaces only — safe as literal
-      // regex patterns in both Spark (Java regex) and DuckDB (RE2)
-      code -> ngs.map(g => regexp_count(col("text"), lit(g))).reduce(_ + _)
+      code -> ngs.map(cnt).reduce(_ + _)
     }
     val best = greatest(scores.map(_._2): _*)
     val predicted = scores.foldLeft(when(best === 0, lit("und"))) {

@@ -122,6 +122,25 @@ class FallbackSpec extends SparkSpec {
     native.length shouldBe 3
   }
 
+  test("substr_count equals regexp_count on metachar-free literals (randomized)") {
+    val rnd = new scala.util.Random(41)
+    val pats = Seq("ab", "ión", " de", "aa", "the", "zzz")
+    val rows = (1 to 60).map { i =>
+      (i.toLong, (0 until 80).map(_ => "abión dethz "(rnd.nextInt(12))).mkString)
+    }.toDF("id", "t")
+    pats.foreach { p =>
+      val got = rows.select(call_function("substr_count", col("t"), lit(p)).as("c"))
+        .collect().map(_.getInt(0)).toSeq
+      val want = rows.select(regexp_count(col("t"), lit(p)).as("c"))
+        .collect().map(_.getInt(0)).toSeq
+      got shouldBe want
+    }
+    // overlap semantics match regex: non-overlapping stepping
+    Seq(("aaaa", "aa", 2), ("aaa", "aa", 1), ("", "aa", 0)).toDF("t", "p", "want")
+      .select(call_function("substr_count", col("t"), col("p")).as("c"), col("want"))
+      .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("sim_hash60 yields NULL (not NPE) for a null array element") {
     // The expression is SQL-registered and callable on arbitrary
     // array<string>; a null element must propagate NULL like the fallback.
