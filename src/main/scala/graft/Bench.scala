@@ -56,7 +56,10 @@ object Bench {
       .map { case (k, v, ok) => s""""$k":${if (ok) v else -1.0}""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    // Field order matters: the driver's tail capture keeps the END of the
+    // line, so the headline fields (value/failed) go LAST — per-query
+    // timings are the only thing a truncation can cost.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":${failed.size},"value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

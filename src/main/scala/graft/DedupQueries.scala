@@ -63,8 +63,13 @@ object DedupQueries {
     val w = TextOps.words(col("text"))
     val nblk = ceil(size(w).cast(org.apache.spark.sql.types.DoubleType) /
       lit(BOIL_BLOCK.toDouble)).cast(org.apache.spark.sql.types.IntegerType)
-    val segs = transform(sequence(lit(0), nblk - 1),
-      i => concat_ws(" ", slice(w, i * BOIL_BLOCK + 1, lit(BOIL_BLOCK))))
+    // nblk = 0 guard: sequence(0, -1) auto-steps DOWN and would invent two
+    // spurious segments ([0, -1]) where the oracle's range(0, 0) is empty.
+    // Unreachable via TextOps.words today (split('') = ['']), but
+    // segmentBoilerplate accepts any segmenter — keep the edge sound.
+    val segs = when(nblk <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nblk - 1),
+        i => concat_ws(" ", slice(w, i * BOIL_BLOCK + 1, lit(BOIL_BLOCK)))))
     Dedup.segmentBoilerplate(
       Tables.documentsDistributed(s, d).filter(col("text").isNotNull),
       segs, BOIL_MIN_DOCS)

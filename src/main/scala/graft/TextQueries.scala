@@ -351,20 +351,47 @@ object TextQueries {
     * fixed constant: the global p25 of the shared quality score broadcasts
     * back as the per-row threshold (the q49 discipline: per-row decisions
     * from a broadcast global stat, never a driver round-trip; the corpus
-    * itself never shuffles). Honest cost statement: Spark's EXACT
-    * `percentile` buffers a value→count map — O(distinct scores), near-
-    * O(corpus) here since scores are real-valued — and merges it on one
-    * reducer; it is kept because the oracle asserts exact equality. The
-    * 100 TB swap is `approx_percentile` (mergeable t-digest, fixed-size
-    * state — q40's path), trading the exact-oracle story for bounded
-    * error. The score projection also runs twice (threshold pass + output
-    * pass) — at scale, cache `scored` or accept the second scan.
+    * itself never shuffles). The headline threshold is `approx_percentile`
+    * — a mergeable fixed-size quantile sketch, so every map task emits
+    * O(accuracy) state and the single-partition merge is O(tasks ·
+    * accuracy), NOT the exact `percentile`'s O(distinct scores) value→count
+    * map that concentrates near-corpus-sized state on one reducer over a
+    * real-valued score. The sketch's rank error is ≤ n/accuracy (pinned
+    * against the exact twin in SketchSpec), so the gate is rows-only (the
+    * q40 pattern); [[q65QualityCutoffExact]] is the hash-exact oracle twin.
+    * NULL texts are filtered on BOTH paths (the repo-wide NULL-text parity
+    * convention): Spark's percentile family skips NULL inputs while a
+    * positional oracle counts the rows, so the pin keeps the twins honest
+    * the day a NULL document enters the fixtures. The score projection
+    * runs twice (threshold pass + output pass) — at scale, cache `scored`
+    * or accept the second scan. */
+  private[graft] val CUTOFF_ACCURACY = 10000
+
+  val q54QualityCutoff: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality_score"))
+    val th = scored.agg(
+      approx_percentile(col("quality_score"), lit(0.25), lit(CUTOFF_ACCURACY)).as("t"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        (col("quality_score") >= col("t")).as("kept"))
+  }
+
+  /** q65: q54's exact oracle twin — same cutoff semantics through Spark's
+    * EXACT `percentile`, kept because the oracle asserts bit-identical
+    * equality (and SketchSpec bounds q54's sketch against it). The honest
+    * cost statement that demoted this from the headline: exact percentile
+    * buffers a value→count map — O(distinct scores), near-O(corpus) over a
+    * real-valued score — and merges it on ONE reducer; fine as the
+    * correctness anchor at test SF, a scale-killer as the gated plan.
     * Oracle parity: the oracle replicates Spark's interpolation formula
     * `(hi-pos)*q_lo + (pos-lo)*q_hi` literally (one addition, bitwise
     * commutative), so the threshold is bit-identical — no last-ulp flake
     * against DuckDB's `lo + frac*(hi-lo)` formulation. */
-  val q54QualityCutoff: Q = (s, d) => {
+  val q65QualityCutoffExact: Q = (s, d) => {
     val scored = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality_score"))
     val th = scored.agg(percentile(col("quality_score"), lit(0.25)).as("t"))
     scored.crossJoin(broadcast(th))
@@ -378,6 +405,7 @@ object TextQueries {
     "q46_url_filter"  -> q46UrlFilter,
     "q53_vocab_topk"  -> q53VocabTopK,
     "q54_quality_cutoff" -> q54QualityCutoff,
+    "q65_quality_cutoff_exact" -> q65QualityCutoffExact,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -403,17 +431,21 @@ object TextQueries {
          |    (PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS rank
          |  FROM c)
          |SELECT lang, token, cnt, rank FROM r WHERE rank <= $VOCAB_K""".stripMargin,
+    // q54 itself has NO oracle entry: its approx_percentile threshold is a
+    // sketch whose internals differ across engines, so the gate records the
+    // weaker rows-only check (the q40 pattern) and SketchSpec bounds the
+    // rank error against the exact twin below.
     // Same score formula; the cut replicates Spark's exact-percentile
     // interpolation literally — (hi-pos)*q_lo + (pos-lo)*q_hi over the
     // 0-based sorted index, raw value when the position is integral —
     // rather than quantile_cont's lo + frac*(hi-lo), which can differ in
     // the last ulp and flip boundary rows.
-    "q54_quality_cutoff" ->
+    "q65_quality_cutoff_exact" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,
          |    length(text) AS char_len,
          |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT doc_id, lang,
          |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS q
          |  FROM t),

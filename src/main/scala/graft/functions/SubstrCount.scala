@@ -11,11 +11,13 @@ object SubstrCount {
     * `regexp_count(str, <literal>)` produces for a metachar-free pattern
     * (after a match, scanning resumes past it), via UTF8String.indexOf
     * instead of the regex engine: no Pattern/Matcher machinery, no
-    * per-row String materialization. Empty pattern → 0 (regexp_count on
-    * '' would count positions; the language-ID profiles never ask). */
+    * per-row String materialization. Empty pattern → numChars + 1, exactly
+    * regexp_count's empty-regex position count — the expression is SQL-
+    * registered, so ad-hoc SQL treating it as a drop-in must get drop-in
+    * semantics on every edge, not a silent 0 (FallbackSpec pins it). */
   def count(str: UTF8String, pat: UTF8String): Int = {
     val plen = pat.numChars()
-    if (plen == 0) return 0
+    if (plen == 0) return str.numChars() + 1
     var from = 0
     var n = 0
     var found = str.indexOf(pat, from)

@@ -148,9 +148,16 @@ object Etl {
   private val ran = new ConcurrentHashMap[String, Map[String, Long]]()
 
   /** Await concurrently-submitted Spark write jobs; a failed job's
-    * exception propagates to the caller (runOnce then never caches). */
-  private def awaitAll(jobs: Future[Unit]*): Unit =
-    jobs.foreach(Await.result(_, Duration.Inf))
+    * exception propagates to the caller (runOnce then never caches) — but
+    * only after EVERY sibling has finished. Rethrowing while other writes
+    * are still in flight would let a retried runOnce re-enter the drop
+    * phase racing live writers to the same output dirs; draining first
+    * guarantees nothing is running when the failure escapes. */
+  private def awaitAll(jobs: Future[Unit]*): Unit = {
+    val failures = jobs.flatMap(j =>
+      Await.ready(j, Duration.Inf).value.get.failed.toOption)
+    failures.headOption.foreach(throw _)
+  }
 
   /** Drop the in-process memo for `sfDir` so the next [[run]] measures a
     * real rebuild — used by Bench when the warmup scale equals the timed
@@ -205,8 +212,18 @@ object Etl {
         Future(sink.write(songs(sg),   "songs",   Schemas.sortKeys.get("songs"))),
         Future(sink.write(artists(sg), "artists", Schemas.sortKeys.get("artists"))))
     }
-    val ev = Await.result(evF, Duration.Inf)
-    val sg = Await.result(sgF, Duration.Inf)
+    // Same drain discipline as awaitAll: if a staging COPY fails, the
+    // sibling staging future AND the detached song-side writes must land
+    // before the exception escapes — a retry must never race live writers.
+    // On the happy path songSideF is NOT awaited here: it keeps running
+    // concurrently with the event-side inserts (the final awaitAll joins it).
+    val staged = Seq(evF, sgF).map(f => Await.ready(f, Duration.Inf).value.get)
+    if (staged.exists(_.isFailure)) {
+      Await.ready(songSideF, Duration.Inf)
+      staged.flatMap(_.failed.toOption).headOption.foreach(throw _)
+    }
+    val ev = staged(0).get
+    val sg = staged(1).get
     // Staging tables are addressable by name for the pipeline's duration,
     // like the reference's staging_events/staging_songs (sql_queries.py:28-64).
     ev.createOrReplaceTempView("staging_events")

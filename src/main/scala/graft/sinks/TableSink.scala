@@ -56,14 +56,32 @@ final class ParquetSink(root: String) extends TableSink {
 
 /** JDBC sink — the Redshift-shaped endpoint (S7, `etl.py:36-52`). Kept
   * behind the same trait so the pipeline can target a warehouse unchanged;
-  * not exercised locally (no cluster in the test environment, per
-  * SURVEY.md §7.5). Presort is still applied: Redshift benefits identically
-  * from pre-clustered input on the sortkey. */
+  * exercised locally against embedded Derby (JdbcSinkSpec) — no Redshift
+  * cluster exists in the test environment (SURVEY.md §7.5), but the sink's
+  * executable semantics (append + create-if-missing, idempotent drop,
+  * presort) are identical against any JDBC endpoint. Presort is still
+  * applied: Redshift benefits identically from pre-clustered input on the
+  * sortkey. */
 final class JdbcSink(url: String, connectionProperties: java.util.Properties)
     extends TableSink {
   override def write(df: DataFrame, table: String, sortKey: Option[String]): Unit = {
     val presorted = sortKey.fold(df)(k => df.sortWithinPartitions(col(k)))
     presorted.write.mode("append").jdbc(url, table, connectionProperties)
   }
-  override def drop(table: String): Unit = () // DROP TABLE is a DDL round-trip; out of local scope
+
+  /** S4: `DROP TABLE IF EXISTS` as a DDL round-trip. ANSI has no portable
+    * IF EXISTS (Derby lacks the clause; Redshift has it), so idempotency is
+    * drop + swallow of the two missing-table SQLStates — anything else
+    * (permissions, connectivity) still propagates. */
+  override def drop(table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, connectionProperties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch {
+        case e: java.sql.SQLException
+            if e.getSQLState == "42Y55" || e.getSQLState == "42P01" => ()
+      } finally st.close()
+    } finally conn.close()
+  }
 }

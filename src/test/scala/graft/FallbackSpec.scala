@@ -135,10 +135,17 @@ class FallbackSpec extends SparkSpec {
         .collect().map(_.getInt(0)).toSeq
       got shouldBe want
     }
-    // overlap semantics match regex: non-overlapping stepping
-    Seq(("aaaa", "aa", 2), ("aaa", "aa", 1), ("", "aa", 0)).toDF("t", "p", "want")
+    // overlap semantics match regex: non-overlapping stepping; empty
+    // pattern matches regexp_count's empty-regex position count (true
+    // drop-in, no silently-different edge)
+    Seq(("aaaa", "aa", 2), ("aaa", "aa", 1), ("", "aa", 0),
+        ("abc", "", 4), ("", "", 1)).toDF("t", "p", "want")
       .select(call_function("substr_count", col("t"), col("p")).as("c"), col("want"))
       .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    Seq(("abc", ""), ("", "")).toDF("t", "p")
+      .select(regexp_count(col("t"), col("p")).as("c"),
+        call_function("substr_count", col("t"), col("p")).as("s"))
+      .collect().foreach(r => r.getInt(1) shouldBe r.getInt(0))
   }
 
   test("sim_hash60 yields NULL (not NPE) for a null array element") {

@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q23 headline top-k is the bounded aggregation, not a window over all scored rows") {
+    val p = plan(SimilarityQueries.q23CosineTopK(spark, sf))
+    // partial top-k runs map-side (≤ k rows per query per task reach the
+    // exchange); the full-scored-row window shape lives only in q34's twin
+    p should include("ObjectHashAggregate")
+    p should include("partial_")
+    """\(\d+\) Window""".r.findAllMatchIn(p) shouldBe empty
+    val twin = plan(SimilarityQueries.q34TopkWindowTwin(spark, sf))
+    twin should include("Window")
+  }
+
   test("text ops read only the columns they use (scan pruning)") {
     // Higher-order-function expressions are interpreted (no codegen path in
     // Spark), so the win to protect here is the columnar scan reading only
@@ -151,6 +162,18 @@ class PlanSpec extends SparkSpec {
     p should include("partial_count")
     // (lang,token) agg exchange + per-lang window exchange, nothing else
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+  }
+
+  test("q54 sketch cutoff: fixed-size sketch merge, corpus never hash-shuffles") {
+    val p = plan(TextQueries.q54QualityCutoff(spark, sf))
+    p should include("approx_percentile")
+    // the exact percentile (O(distinct) single-reducer state) must be gone
+    """(?<!approx_)percentile\(""".r.findAllMatchIn(p) shouldBe empty
+    // the only Exchange is the single-partition merge of bounded sketch
+    // state; the corpus rides the scan straight into the broadcast join
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Arguments: SinglePartition")
+    p should not include "hashpartitioning"
   }
 
   test("q64 five-way star join: fact never shuffles at test SF, region filter on the scan") {

@@ -35,4 +35,36 @@ class SketchSpec extends SparkSpec {
       math.abs(num(a, "p99_approx") - num(e, "p99")) should be <= (num(e, "p99") * 0.05 + 1)
     }
   }
+
+  test("q54 sketch cutoff stays within rank-error bounds of the exact twin (q65)") {
+    // approx_percentile guarantees the returned element's rank is within
+    // n/accuracy of the requested p·n — assert exactly that, against the
+    // same scored corpus, plus that the two kept-sets can only disagree on
+    // rows whose score falls between the two thresholds.
+    val approx = TextQueries.q54QualityCutoff(spark, sf).collect()
+    val exact = TextQueries.q65QualityCutoffExact(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    approx.length shouldBe exact.size
+    val n = approx.length.toDouble
+    val scores = approx.map(_.getDouble(2))
+    // recover each threshold from the flags: smallest kept score is >= t
+    // and every dropped score is < t, for both runs
+    def threshold(rows: Array[(Double, Boolean)]): Double =
+      rows.collect { case (q, true) => q }.min
+    val tA = threshold(approx.map(r => r.getDouble(2) -> r.getBoolean(3)))
+    val tE = threshold(exact.values.toArray.map(r => r.getDouble(2) -> r.getBoolean(3)))
+
+    val rankErr = n / TextQueries.CUTOFF_ACCURACY + 1
+    val below = scores.count(_ < tA).toDouble  // rows the sketch cut
+    below should be >= (0.25 * n - rankErr - scores.count(_ == tA))
+    below should be <= (0.25 * n + rankErr)
+
+    val lo = math.min(tA, tE); val hi = math.max(tA, tE)
+    approx.foreach { r =>
+      val q = r.getDouble(2)
+      if (q < lo || q > hi)
+        r.getBoolean(3) shouldBe exact(r.getLong(0)).getBoolean(3)
+    }
+  }
 }
