@@ -50,9 +50,22 @@ object MultimodalQueries {
     Multimodal.sampleFrames(withResize, carry = Seq("out_w", "out_h"))
   }
 
+  /** q66: REAL image decode — per doc, an actual BMP payload (encoded by
+    * `javax.imageio`'s BMP writer from deterministic pixels) is decoded by
+    * the actual `javax.imageio` codec; the output is true decoder output
+    * (dimensions + decoded-raster digest). BMP is uncompressed, so the
+    * oracle reassembles the identical pixel byte stream from the generating
+    * arithmetic with chr()/string_agg and must hash-match — a real codec
+    * round-trip under the gate, not a digest simulation. */
+  val q66ImageDecode: Q = (s, d) => {
+    Multimodal.decodeImages(
+      Multimodal.imageTable(Tables.documentsDistributed(s, d))).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_multimodal_decode" -> q25MultimodalDecode,
-    "q36_frame_sample"      -> q36FrameSample)
+    "q36_frame_sample"      -> q36FrameSample,
+    "q66_image_decode"      -> q66ImageDecode)
 
   val oracle: Map[String, String] = Map(
     "q25_multimodal_decode" ->
@@ -78,5 +91,27 @@ object MultimodalQueries {
         |  CAST(greatest((n_chars % 640) // 2, 1) AS INTEGER) AS out_w,
         |  CAST(greatest(((doc_id * 7) % 480) // 2, 1) AS INTEGER) AS out_h
         |FROM documents,
-        |  UNNEST(range(0, least((length(text) - 1) // 101, 7) + 1)) AS t(i)""".stripMargin)
+        |  UNNEST(range(0, least((length(text) - 1) // 101, 7) + 1)) AS t(i)""".stripMargin,
+    // Reassembles the decoded raster byte-for-byte: pixel (x,y) channel c is
+    // (doc_id*31 + x*7 + y*13 + c*5) % 127 + 1 — in [1,127], so chr() emits
+    // exactly one byte per value and md5(string) hashes the same bytes the
+    // JVM digests from the decoded BufferedImage.
+    "q66_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 4 + 2 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, y, x, c,
+        |    CAST((doc_id * 31 + x * 7 + y * 13 + c * 5) % 127 + 1 AS INTEGER) AS v
+        |  FROM dims,
+        |    UNNEST(range(0, h)) t1(y),
+        |    UNNEST(range(0, w)) t2(x),
+        |    UNNEST(range(0, 3)) t3(c))
+        |SELECT doc_id,
+        |  CAST(any_value(w) AS INTEGER) AS img_w,
+        |  CAST(any_value(h) AS INTEGER) AS img_h,
+        |  md5(string_agg(chr(v), '' ORDER BY y, x, c)) AS pixel_md5
+        |FROM px GROUP BY doc_id""".stripMargin)
 }
