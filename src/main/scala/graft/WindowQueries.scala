@@ -23,10 +23,18 @@ object WindowQueries {
     * session ids, then per-session aggregates. One shuffle on user_id
     * (partitioned sort, no global sort); the streaming twin is
     * [[EventStream.sessionize]] with equivalent gap semantics. */
-  val q27Sessionize: Q = (s, d) => {
+  val q27Sessionize: Q = (s, d) =>
+    sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+
+  /** The batch sessionization builder behind q27, reusable on any
+    * (user_id, ts) frame — the streaming spec runs it against
+    * [[graft.streaming.EventStream.sessionize]]'s emitted sessions on the
+    * same fixture to prove the two formulations equivalent. */
+  private[graft] def sessionizeBatch(events: org.apache.spark.sql.DataFrame,
+                                     gapMinutes: Int) = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapMs = 30L * 60000L
-    Tables.events(s, d)
+    val gapMs = gapMinutes * 60000L
+    events
       .select(col("user_id"), col("ts"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",

@@ -175,6 +175,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals the batch window sessionization (q27) on the same feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_twin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three users, sessions split by >30min gaps, spread across
+      // micro-batches (the state must survive batch boundaries)
+      val feed = Seq(
+        SessionEvent(1L, ts(0)), SessionEvent(1L, ts(10)), SessionEvent(1L, ts(60)),
+        SessionEvent(2L, ts(5)), SessionEvent(2L, ts(34)), SessionEvent(2L, ts(66)),
+        SessionEvent(3L, ts(50)))
+      val (b1, b2) = feed.splitAt(4)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // sentinel advances the watermark far past everything -> all real
+      // sessions time out and emit; the sentinel's own stays open
+      input.addData(SessionEvent(99L, ts(100000))); q.processAllAvailable()
+
+      val streamed = spark.table("sessions_twin_test").as[UserSession]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .sortBy(t => (t._1, t._2.getTime))
+      val batch = WindowQueries.sessionizeBatch(
+          feed.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+        .sortBy(t => (t._1, t._2.getTime))
+      streamed.toSeq shouldBe batch.toSeq
+      streamed.length shouldBe 5 // u1: 2 sessions, u2: 2 (34->66 gap 32min), u3: 1
+    } finally q.stop()
+  }
+
   test("streaming songplay equals the batch star build on the same feed") {
     val sf = "/root/testdata/sf0.001"
     val q = EventStream.streamingSongplay(spark, sf)
