@@ -7,8 +7,10 @@ package graft
   * prune every computed column (and serve parquet counts from footer
   * metadata), so projection-heavy queries would appear free. The noop sink
   * consumes every row and every column — the full physical plan runs.
-  * Failures are reported per-query (`ok:false`) and flip the exit code;
-  * a broken query must never look "fast".
+  * Each query is timed over SPARK_GRAFT_BENCH_ITERS (default 3) iterations
+  * and the per-query MINIMUM is reported (plus the iteration count), so a
+  * noisy host window can't fake a regression. Failures on ANY iteration
+  * flip the exit code; a broken query must never look "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,26 +42,45 @@ object Bench {
       graft.pipeline.Etl.invalidate(sfDir)
       ScaleQueries.purgeWriteOnceLayouts(spark, sfDir)
     }
+    // Self-defending measurement: each query runs `iters` timed iterations
+    // and reports the per-query MINIMUM. A one-shot number can't tell a
+    // code regression from a noisy host window (a 2× phantom regression is
+    // exactly one unlucky scheduling burst); the min of 3 back-to-back runs
+    // is the cost floor of the plan itself — what a second run on a quiet
+    // host would reproduce.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // q13's contract is a COLD star rebuild (drop → stage → insert ×5); the
+    // Etl memo would turn iterations 2+ into cache hits, so it is dropped
+    // before every timed iteration. q14 stays a memo-hit readback — it runs
+    // after q13 in name order, identical to the single-iteration semantics.
+    val perIterReset: Map[String, () => Unit] = Map(
+      "q13_star_pipeline_counts" -> (() => graft.pipeline.Etl.invalidate(sfDir)))
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to iters).flatMap { _ =>
+        perIterReset.get(name).foreach(_.apply())
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
+          None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      // Any failed iteration fails the query: a plan that only sometimes
+      // executes must never look "fast".
+      val ok = times.size == iters
+      if (!ok) failed ::= name
+      (name, if (ok) times.min else -1.0, ok)
     }
     val qs = results
-      .map { case (k, v, ok) => s""""$k":${if (ok) v else -1.0}""" }
+      .map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     // Field order matters: the driver's tail capture keeps the END of the
     // line, so the headline fields (value/failed) go LAST — per-query
     // timings are the only thing a truncation can cost.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":${failed.size},"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$qs,"failed":${failed.size},"value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

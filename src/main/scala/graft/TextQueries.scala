@@ -362,15 +362,19 @@ object TextQueries {
     * NULL texts are filtered on BOTH paths (the repo-wide NULL-text parity
     * convention): Spark's percentile family skips NULL inputs while a
     * positional oracle counts the rows, so the pin keeps the twins honest
-    * the day a NULL document enters the fixtures. The score projection
-    * runs twice (threshold pass + output pass) — at scale, cache `scored`
-    * or accept the second scan. */
+    * the day a NULL document enters the fixtures. The scored projection is
+    * PERSISTED (memory-and-disk) so the corpus parses once: the threshold
+    * pass materializes the narrow (doc_id, lang, double) projection — a
+    * tiny fraction of the raw text bytes — and the output pass reads it
+    * back instead of re-scanning and re-scoring 100 TB of text
+    * (plan-pinned: both branches are InMemoryTableScans). */
   private[graft] val CUTOFF_ACCURACY = 10000
 
   val q54QualityCutoff: Q = (s, d) => {
     val scored = Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = scored.agg(
       approx_percentile(col("quality_score"), lit(0.25), lit(CUTOFF_ACCURACY)).as("t"))
     scored.crossJoin(broadcast(th))

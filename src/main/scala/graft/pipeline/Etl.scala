@@ -156,7 +156,12 @@ object Etl {
   private def awaitAll(jobs: Future[Unit]*): Unit = {
     val failures = jobs.flatMap(j =>
       Await.ready(j, Duration.Inf).value.get.failed.toOption)
-    failures.headOption.foreach(throw _)
+    // One exception escapes; the siblings' ride along as suppressed so a
+    // multi-write failure keeps every diagnostic, not just the first.
+    failures.headOption.foreach { first =>
+      failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   /** Drop the in-process memo for `sfDir` so the next [[run]] measures a
@@ -219,8 +224,12 @@ object Etl {
     // concurrently with the event-side inserts (the final awaitAll joins it).
     val staged = Seq(evF, sgF).map(f => Await.ready(f, Duration.Inf).value.get)
     if (staged.exists(_.isFailure)) {
-      Await.ready(songSideF, Duration.Inf)
-      staged.flatMap(_.failed.toOption).headOption.foreach(throw _)
+      val drained = Await.ready(songSideF, Duration.Inf).value.get
+      val failures = staged.flatMap(_.failed.toOption) ++ drained.failed.toOption
+      failures.headOption.foreach { first =>
+        failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+        throw first
+      }
     }
     val ev = staged(0).get
     val sg = staged(1).get

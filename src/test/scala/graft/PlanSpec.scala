@@ -164,13 +164,27 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
 
-  test("q54 sketch cutoff: fixed-size sketch merge, corpus never hash-shuffles") {
+  test("q54 sketch cutoff: fixed-size sketch merge, corpus scans ONCE, never hash-shuffles") {
     val p = plan(TextQueries.q54QualityCutoff(spark, sf))
     p should include("approx_percentile")
     // the exact percentile (O(distinct) single-reducer state) must be gone
     """(?<!approx_)percentile\(""".r.findAllMatchIn(p) shouldBe empty
+    // single corpus pass: the scored projection is persisted, so BOTH the
+    // threshold branch and the output branch read the cache — a plan with
+    // an executed parquet scan outside the cache re-parses the corpus.
+    // (Each InMemoryRelation's printout INCLUDES its cached child plan, so
+    // `Scan parquet` appears once per cache description — assert exactly
+    // that many, i.e. zero executed scans outside an InMemoryRelation.
+    // Formatted explain lists every node twice — tree + details — so count
+    // DISTINCT node ids, not raw occurrences.)
+    def nodes(name: String): Set[String] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    nodes("InMemoryTableScan").size shouldBe 2
+    // both cache reads share ONE cached build plan — a second distinct scan
+    // node id would be an executed (uncached) corpus re-read
+    nodes("Scan parquet").size shouldBe 1
     // the only Exchange is the single-partition merge of bounded sketch
-    // state; the corpus rides the scan straight into the broadcast join
+    // state; the corpus rides the cache straight into the broadcast join
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
     p should include("Arguments: SinglePartition")
     p should not include "hashpartitioning"
