@@ -50,22 +50,45 @@ object MultimodalQueries {
     Multimodal.sampleFrames(withResize, carry = Seq("out_w", "out_h"))
   }
 
-  /** q66: REAL image decode — per doc, an actual BMP payload (encoded by
-    * `javax.imageio`'s BMP writer from deterministic pixels) is decoded by
-    * the actual `javax.imageio` codec; the output is true decoder output
-    * (dimensions + decoded-raster digest). BMP is uncompressed, so the
-    * oracle reassembles the identical pixel byte stream from the generating
-    * arithmetic with chr()/string_agg and must hash-match — a real codec
-    * round-trip under the gate, not a digest simulation. */
+  /** q66: REAL image decode over a format-MIXED corpus — per doc, an actual
+    * BMP or PNG payload (encoded by the matching `javax.imageio` writer from
+    * deterministic pixels) is decoded by the reader the `format` column
+    * selects from the registry; the output is true decoder output
+    * (format + dimensions + decoded-raster digest). Both containers are
+    * lossless, so the oracle reassembles the identical pixel byte stream
+    * from the generating arithmetic with chr()/string_agg and must
+    * hash-match for BOTH codecs — a real registry dispatch under the gate,
+    * not a single-container special case. */
   val q66ImageDecode: Q = (s, d) => {
     Multimodal.decodeImages(
       Multimodal.imageTable(Tables.documentsDistributed(s, d))).toDF()
   }
 
+  /** q67: corrupt-payload quarantine — the q66 corpus with DETERMINISTIC
+    * injected damage (doc_id % 13: format relabeled to one with no
+    * registered reader; else doc_id % 7: payload truncated to its first 8
+    * bytes, an unparseable container for both codecs) run through the
+    * quarantining decode: good docs come back as true decoder output, bad
+    * docs as quarantine rows with a stable reason code, and the job never
+    * dies. The oracle replays the same injection arithmetic: it KNOWS which
+    * docs are damaged and why, reconstructs the decoded raster for the
+    * rest, and the whole mixed result hash-matches. */
+  val q67DecodeQuarantine: Q = (s, d) => {
+    import s.implicits._
+    val corrupted = Multimodal.imageTable(Tables.documentsDistributed(s, d))
+      .map { r =>
+        if (r.doc_id % 13 == 0) r.copy(format = "glyph9")
+        else if (r.doc_id % 7 == 0) r.copy(payload = r.payload.take(8))
+        else r
+      }
+    Multimodal.decodeImagesQuarantine(corrupted).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_multimodal_decode" -> q25MultimodalDecode,
     "q36_frame_sample"      -> q36FrameSample,
-    "q66_image_decode"      -> q66ImageDecode)
+    "q66_image_decode"      -> q66ImageDecode,
+    "q67_decode_quarantine" -> q67DecodeQuarantine)
 
   val oracle: Map[String, String] = Map(
     "q25_multimodal_decode" ->
@@ -99,19 +122,55 @@ object MultimodalQueries {
     "q66_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
         |    CAST(doc_id % 4 + 2 AS INTEGER) AS h
         |  FROM documents),
         |px AS (
-        |  SELECT doc_id, w, h, y, x, c,
+        |  SELECT doc_id, format, w, h, y, x, c,
         |    CAST((doc_id * 31 + x * 7 + y * 13 + c * 5) % 127 + 1 AS INTEGER) AS v
         |  FROM dims,
         |    UNNEST(range(0, h)) t1(y),
         |    UNNEST(range(0, w)) t2(x),
         |    UNNEST(range(0, 3)) t3(c))
         |SELECT doc_id,
+        |  any_value(format) AS format,
         |  CAST(any_value(w) AS INTEGER) AS img_w,
         |  CAST(any_value(h) AS INTEGER) AS img_h,
         |  md5(string_agg(chr(v), '' ORDER BY y, x, c)) AS pixel_md5
-        |FROM px GROUP BY doc_id""".stripMargin)
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // Replays the injection arithmetic: %13 -> unknown-format label, else
+    // %7 -> truncated container; everything else decodes and its raster is
+    // reassembled exactly as in q66. Quarantine rows carry NULL decode
+    // columns and the stable reason code.
+    "q67_decode_quarantine" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'glyph9'
+        |         WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'no_decoder_for_format'
+        |         WHEN doc_id % 7 = 0 THEN 'undecodable_payload' END AS reason,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 4 + 2 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, format, w, h, y, x, c,
+        |    CAST((doc_id * 31 + x * 7 + y * 13 + c * 5) % 127 + 1 AS INTEGER) AS v
+        |  FROM cls,
+        |    UNNEST(range(0, h)) t1(y),
+        |    UNNEST(range(0, w)) t2(x),
+        |    UNNEST(range(0, 3)) t3(c)
+        |  WHERE reason IS NULL)
+        |SELECT doc_id, any_value(format) AS format,
+        |  'decoded' AS status,
+        |  CAST(any_value(w) AS INTEGER) AS img_w,
+        |  CAST(any_value(h) AS INTEGER) AS img_h,
+        |  md5(string_agg(chr(v), '' ORDER BY y, x, c)) AS pixel_md5,
+        |  CAST(NULL AS VARCHAR) AS quarantine_reason
+        |FROM px GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, format, 'quarantined' AS status,
+        |  CAST(NULL AS INTEGER) AS img_w, CAST(NULL AS INTEGER) AS img_h,
+        |  CAST(NULL AS VARCHAR) AS pixel_md5, reason AS quarantine_reason
+        |FROM cls WHERE reason IS NOT NULL""".stripMargin)
 }

@@ -16,13 +16,15 @@ import org.apache.spark.sql.types._
   *    `mapPartitions` batching, and the per-partition amortization pattern
   *    (one MessageDigest per partition, like one decoder context per Arrow
   *    batch in a Pandas-UDF setup) with the oracle replaying every byte.
-  *  - [[decodeImages]] (q66): a REAL image codec — `javax.imageio` decoding
-  *    actual BMP payloads produced by [[imageTable]] — in the same
-  *    mapPartitions shape. BMP is uncompressed, so the decoded pixel stream
-  *    is oracle-reconstructible byte-for-byte from the generating
-  *    arithmetic: the gate verifies true decoder output (dimensions +
-  *    pixel digest), not a simulation of one. Swapping in JNI/FFmpeg for
-  *    other codecs changes no plumbing.
+  *  - [[decodeImages]] (q66): a REAL image codec path — `javax.imageio`
+  *    decoding a format-MIXED corpus (BMP and PNG payloads produced by
+  *    [[imageTable]]), dispatched per row by the `format` column through
+  *    the reader registry — in the same mapPartitions shape. Both
+  *    containers are lossless, so the decoded pixel stream is
+  *    oracle-reconstructible byte-for-byte from the generating arithmetic:
+  *    the gate verifies true decoder output (dimensions + pixel digest)
+  *    across BOTH codecs, not a simulation of one. Registering a JNI/FFmpeg
+  *    reader for other codecs changes no plumbing.
   */
 object Multimodal {
 
@@ -104,14 +106,20 @@ object Multimodal {
     bytes.map(fmt.format(_)).mkString
   }
 
-  /** An image row: real encoded bytes (BMP container), nothing synthetic
-    * downstream of here — consumers must run an actual codec. */
+  /** An image row: real encoded bytes (BMP or PNG container), nothing
+    * synthetic downstream of here — consumers must run an actual codec. */
   final case class ImageRow(doc_id: Long, payload: Array[Byte], format: String)
 
   /** True decoder output: dimensions and a digest of the decoded pixel
-    * raster (row-major, R,G,B per pixel). */
-  final case class ImageDecoded(doc_id: Long, img_w: Int, img_h: Int,
-                                pixel_md5: String)
+    * raster (row-major, R,G,B per pixel), plus the container format the
+    * dispatch decoded it from. */
+  final case class ImageDecoded(doc_id: Long, format: String, img_w: Int,
+                                img_h: Int, pixel_md5: String)
+
+  /** Deterministic per-doc container: the corpus is format-MIXED (both
+    * lossless, so the decoded raster — and therefore the oracle — is
+    * format-independent; only the bytes on the wire differ). */
+  def imageFormat(docId: Long): String = if (docId % 2 == 0) "bmp" else "png"
 
   /** Deterministic pixel channel value in [1,127] — single-byte UTF-8, so
     * the DuckDB oracle reassembles the exact decoded byte stream with
@@ -125,9 +133,10 @@ object Multimodal {
   def imgH(docId: Long): Int = (docId % 4 + 2).toInt
 
   /** Build REAL image payloads: per doc, a tiny deterministic RGB bitmap
-    * encoded through the actual `javax.imageio` BMP writer (lossless,
-    * uncompressed — the one container whose decoded bytes an engine-
-    * independent oracle can reproduce). mapPartitions is the licensed
+    * encoded through the actual `javax.imageio` writer for that doc's
+    * [[imageFormat]] — the corpus mixes BMP and PNG containers (both
+    * lossless, so an engine-independent oracle reproduces the decoded
+    * bytes regardless of container). mapPartitions is the licensed
     * altitude here: an encoder is imperative per-row work with reusable
     * per-partition context, exactly the Pandas-UDF batch shape. */
   def imageTable(docs: DataFrame): Dataset[ImageRow] = {
@@ -150,44 +159,122 @@ object Multimodal {
           }
           y += 1
         }
+        val fmt = imageFormat(id)
         bos.reset()
-        if (!javax.imageio.ImageIO.write(img, "bmp", bos))
-          throw new IllegalStateException(s"no BMP encoder for doc $id")
-        ImageRow(id, bos.toByteArray, "bmp")
+        if (!javax.imageio.ImageIO.write(img, fmt, bos))
+          throw new IllegalStateException(s"no $fmt encoder for doc $id")
+        ImageRow(id, bos.toByteArray, fmt)
       }
     }
   }
 
-  /** The REAL decode: `javax.imageio.ImageIO.read` over the binary payload
-    * — an actual codec parses an actual container; a corrupt payload throws
-    * instead of passing garbage downstream. Same partition-parallel batch
-    * shape as [[decodeFeatures]], same per-partition context amortization
-    * (one MD5 instance; ImageIO's reader registry is JVM-wide). */
+  /** The REAL decode, dispatched by the `format` column through the
+    * `javax.imageio` READER REGISTRY: each partition looks the format's
+    * `ImageReader` up once (`getImageReadersByFormatName`), caches it, and
+    * reuses it row-to-row via `setInput` — a codec registry, not a
+    * single-container special case; an unknown format or a corrupt payload
+    * throws instead of passing garbage downstream. Same partition-parallel
+    * batch shape as [[decodeFeatures]], same per-partition context
+    * amortization (one MD5 instance + one reader per format). */
   def decodeImages(images: Dataset[ImageRow]): Dataset[ImageDecoded] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5") // per-partition decoder context
+      val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+      def readerFor(fmt: String): javax.imageio.ImageReader =
+        readers.getOrElseUpdate(fmt, {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (!it.hasNext)
+            throw new IllegalStateException(s"no decoder registered for format '$fmt'")
+          it.next()
+        })
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val reader = readerFor(r.format)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val img =
+          try { reader.setInput(iis); reader.read(0) }
+          catch { case e: Exception =>
+            throw new IllegalStateException(
+              s"undecodable ${r.format} payload, doc ${r.doc_id}", e)
+          }
+          finally iis.close()
         if (img == null)
           throw new IllegalStateException(s"undecodable ${r.format} payload, doc ${r.doc_id}")
-        val w = img.getWidth; val h = img.getHeight
-        val px = new Array[Byte](w * h * 3)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            px(i) = ((rgb >> 16) & 0xFF).toByte
-            px(i + 1) = ((rgb >> 8) & 0xFF).toByte
-            px(i + 2) = (rgb & 0xFF).toByte
-            i += 3; x += 1
-          }
-          y += 1
+        val (w, h, digest) = rasterDigest(md, img)
+        ImageDecoded(r.doc_id, r.format, w, h, digest)
+      }
+    }
+  }
+
+  /** Width, height, and MD5 of the decoded raster (row-major R,G,B). */
+  private def rasterDigest(md: MessageDigest,
+      img: java.awt.image.BufferedImage): (Int, Int, String) = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        px(i) = ((rgb >> 16) & 0xFF).toByte
+        px(i + 1) = ((rgb >> 8) & 0xFF).toByte
+        px(i + 2) = (rgb & 0xFF).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    md.reset()
+    (w, h, hex(md.digest(px), upper = false))
+  }
+
+  /** A decode attempt: either true decoder output (`status = decoded`) or a
+    * quarantine record (`status = quarantined`) with a STABLE machine reason
+    * code — never exception text, which varies by JDK and would poison a
+    * deterministic gate (and, at scale, any downstream groupBy on reason). */
+  final case class ImageDecodeResult(doc_id: Long, format: String, status: String,
+                                     img_w: Option[Int], img_h: Option[Int],
+                                     pixel_md5: Option[String],
+                                     quarantine_reason: Option[String])
+
+  /** Quarantining decode: the same registry dispatch as [[decodeImages]],
+    * but an undecodable payload (or a format with no registered reader)
+    * emits a quarantine ROW instead of failing the job — the 100 TB media
+    * posture, where one corrupt blob among billions must not kill a
+    * 1000-executor pass; the quarantine output is routed/audited downstream
+    * (the binary analog of PERMISSIVE `_corrupt_record` JSON ingest,
+    * JsonSource.scala). Still one partition-parallel pass, no shuffle. */
+  def decodeImagesQuarantine(images: Dataset[ImageRow]): Dataset[ImageDecodeResult] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      val readers = scala.collection.mutable.Map.empty[String, Option[javax.imageio.ImageReader]]
+      def readerFor(fmt: String): Option[javax.imageio.ImageReader] =
+        readers.getOrElseUpdate(fmt, {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) Some(it.next()) else None
+        })
+      def quarantined(r: ImageRow, reason: String): ImageDecodeResult =
+        ImageDecodeResult(r.doc_id, r.format, "quarantined", None, None, None, Some(reason))
+      rows.map { r =>
+        readerFor(r.format) match {
+          case None => quarantined(r, "no_decoder_for_format")
+          case Some(reader) =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val imgOpt =
+              try { reader.setInput(iis); Option(reader.read(0)) }
+              catch { case _: Exception => None }
+              finally iis.close()
+            imgOpt match {
+              case None => quarantined(r, "undecodable_payload")
+              case Some(img) =>
+                val (w, h, digest) = rasterDigest(md, img)
+                ImageDecodeResult(r.doc_id, r.format, "decoded", Some(w), Some(h),
+                  Some(digest), None)
+            }
         }
-        md.reset()
-        ImageDecoded(r.doc_id, w, h, hex(md.digest(px), upper = false))
       }
     }
   }

@@ -200,6 +200,27 @@ class PlanSpec extends SparkSpec {
     p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
   }
 
+  test("q28 salted agg: stage 1 shuffles on (key, salt), stage 2 merges algebraically") {
+    val p = plan(ScaleQueries.q28SaltedAgg(spark, sf))
+    // exactly two shuffles — the skew-splitting (key, salt) exchange and the
+    // per-key merge; a collapse to a single-stage groupBy(key) has one
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).map(_.matched).toSet
+    exchanges.size shouldBe 2
+    // stage 1 partitions on BOTH the key and the derived salt expression, so
+    // a hot key's rows fan out over `salts` reducers instead of one
+    (p should include).regex(
+      """Arguments: hashpartitioning\(event_type#\d+, _groupingexpression#\d+L?, \d+\)""")
+    // stage 2 partitions on the key alone — the merge of ≤salts partials/key
+    (p should include).regex("""Arguments: hashpartitioning\(k#\d+, \d+\)""")
+    // the salt is a deterministic hash of a uniform column (retry-safe), not rand()
+    p should include("pmod(xxhash64(")
+    p should not include "rand("
+    // the final aggregate is the ALGEBRAIC merge of stage-1 partials — its
+    // functions are sums OF the partial columns, never a direct count of
+    // the corpus rows (which is what a single-stage collapse would show)
+    (p should include).regex("""Functions \[2\]: \[sum\(p_cnt#\d+L?\), sum\(p_total_dec#\d+\)\]""")
+  }
+
   test("q63 exact sample: one lang hash exchange for the rank window, no range sort") {
     val p = plan(SampleQueries.q63ExactSample(spark, sf))
     p should include("Window")
