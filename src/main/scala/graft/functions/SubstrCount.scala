@@ -11,13 +11,25 @@ object SubstrCount {
     * `regexp_count(str, <literal>)` produces for a metachar-free pattern
     * (after a match, scanning resumes past it), via UTF8String.indexOf
     * instead of the regex engine: no Pattern/Matcher machinery, no
-    * per-row String materialization. Empty pattern → numChars + 1, exactly
-    * regexp_count's empty-regex position count — the expression is SQL-
-    * registered, so ad-hoc SQL treating it as a drop-in must get drop-in
-    * semantics on every edge, not a silent 0 (FallbackSpec pins it). */
+    * per-row String materialization. Empty pattern → UTF-16 length + 1,
+    * exactly regexp_count's empty-regex position count: Java's regex engine
+    * advances zero-width matches by UTF-16 UNIT, so a supplementary
+    * (surrogate-pair) character contributes TWO positions, not one — the
+    * expression is SQL-registered, so ad-hoc SQL treating it as a drop-in
+    * must get drop-in semantics on every edge, including non-BMP text
+    * (FallbackSpec pins it dynamically against regexp_count on emoji). */
   def count(str: UTF8String, pat: UTF8String): Int = {
     val plen = pat.numChars()
-    if (plen == 0) return str.numChars() + 1
+    if (plen == 0) {
+      // UTF-16 length = code points + #supplementary (4-byte UTF-8 leads)
+      var supp = 0
+      var i = 0
+      while (i < str.numBytes()) {
+        if ((str.getByte(i) & 0xF8) == 0xF0) supp += 1
+        i += 1
+      }
+      return str.numChars() + supp + 1
+    }
     var from = 0
     var n = 0
     var found = str.indexOf(pat, from)

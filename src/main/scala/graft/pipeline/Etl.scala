@@ -169,6 +169,22 @@ object Etl {
     * scale (a warm cache hit must not masquerade as the pipeline's cost). */
   def invalidate(sfDir: String): Unit = ran.remove(sfDir)
 
+  /** E3 SQL surface: register the materialized star tables under the
+    * warehouse schema (`songsdwh` — the reference's dwh.cfg schema, the
+    * name every notebook query qualifies with, test_etl.ipynb cells 8–21)
+    * so the reference's LITERAL validation SQL runs through `spark.sql`
+    * unchanged. External parquet tables over the star dirs — metadata
+    * only, no copy; call after [[run]] has materialized them. */
+  def registerWarehouse(spark: SparkSession, sfDir: String,
+      schema: String = "songsdwh"): Unit = {
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS $schema")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $schema.$t")
+      spark.sql(s"CREATE TABLE $schema.$t USING PARQUET LOCATION " +
+        s"'${Paths.get(starRoot(sfDir), t).toUri}'")
+    }
+  }
+
   private def intact(sfDir: String): Boolean =
     tables.forall(t => Files.exists(Paths.get(starRoot(sfDir), t, "_SUCCESS")))
 

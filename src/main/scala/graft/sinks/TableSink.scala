@@ -36,16 +36,22 @@ object TableSink {
     * target schema's columns in target order, casting to target types. */
   def insertByName(df: DataFrame, target: StructType): DataFrame =
     df.select(target.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+
+  /** O1: the sortkey presort both sinks apply before materializing —
+    * `sortWithinPartitions`, never a global sort (see trait scaladoc).
+    * Exposed so the spec can pin the PLAN (a Sort with global=false and no
+    * added Exchange) independent of any endpoint's physical read-back
+    * order. */
+  def presorted(df: DataFrame, sortKey: Option[String]): DataFrame =
+    sortKey.fold(df)(k => df.sortWithinPartitions(col(k)))
 }
 
 /** Parquet sink — the locally-verified materialization path. */
 final class ParquetSink(root: String) extends TableSink {
   def path(table: String): String = s"$root/$table"
 
-  override def write(df: DataFrame, table: String, sortKey: Option[String]): Unit = {
-    val presorted = sortKey.fold(df)(k => df.sortWithinPartitions(col(k)))
-    presorted.write.mode("overwrite").parquet(path(table))
-  }
+  override def write(df: DataFrame, table: String, sortKey: Option[String]): Unit =
+    TableSink.presorted(df, sortKey).write.mode("overwrite").parquet(path(table))
 
   override def drop(table: String): Unit =
     graft.operators.Scale.deleteRecursively(Paths.get(path(table)))
@@ -64,10 +70,8 @@ final class ParquetSink(root: String) extends TableSink {
   * sortkey. */
 final class JdbcSink(url: String, connectionProperties: java.util.Properties)
     extends TableSink {
-  override def write(df: DataFrame, table: String, sortKey: Option[String]): Unit = {
-    val presorted = sortKey.fold(df)(k => df.sortWithinPartitions(col(k)))
-    presorted.write.mode("append").jdbc(url, table, connectionProperties)
-  }
+  override def write(df: DataFrame, table: String, sortKey: Option[String]): Unit =
+    TableSink.presorted(df, sortKey).write.mode("append").jdbc(url, table, connectionProperties)
 
   /** S4: `DROP TABLE IF EXISTS` as a DDL round-trip. ANSI has no portable
     * IF EXISTS (Derby lacks the clause; Redshift has it), so idempotency is

@@ -53,4 +53,23 @@ class EtlEndToEndSpec extends SparkSpec {
       .filter(col("prev") > col("start_time"))
     unordered.count() shouldBe 0L
   }
+
+  test("E3: the notebook's literal validation SQL runs through spark.sql over songsdwh") {
+    val counts = Etl.run(spark, sf)
+    Etl.registerWarehouse(spark, sf)
+    val sink = new ParquetSink(Etl.starRoot(sf))
+    Etl.tables.foreach { t =>
+      // test_etl.ipynb cells 8–21, verbatim (including the `limit(5)` form):
+      // the SQL surface must agree with the DataFrame results on the same
+      // materialized tables.
+      spark.sql(s"select count(*) from songsdwh.$t")
+        .head.getLong(0) shouldBe counts(t)
+      val five = spark.sql(s"select * from songsdwh.$t limit(5)")
+      five.schema shouldBe sink.read(spark, t).schema
+      five.count() shouldBe math.min(5L, counts(t))
+      // the sampled rows are real table rows (not nulls/garbage): anti-join
+      // against the DataFrame read must be empty
+      five.exceptAll(sink.read(spark, t)).count() shouldBe 0L
+    }
+  }
 }

@@ -142,7 +142,14 @@ class FallbackSpec extends SparkSpec {
         ("abc", "", 4), ("", "", 1)).toDF("t", "p", "want")
       .select(call_function("substr_count", col("t"), col("p")).as("c"), col("want"))
       .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
-    Seq(("abc", ""), ("", "")).toDF("t", "p")
+    // supplementary (surrogate-pair) text: the empty-pattern parity claims
+    // numChars+1 CODE POINTS, while Java's zero-width-match advance over
+    // surrogates is a JDK implementation detail — pin the two against each
+    // other DYNAMICALLY (on this JDK) so a runtime where they diverge fails
+    // loudly instead of shipping a silently-different edge. Non-empty
+    // supplementary patterns ride the same pin.
+    Seq(("abc", ""), ("", ""), ("a🦜b", ""), ("🦜🦜", ""),
+        ("a🦜b🦜", "🦜"), ("🦜", "a")).toDF("t", "p")
       .select(regexp_count(col("t"), col("p")).as("c"),
         call_function("substr_count", col("t"), col("p")).as("s"))
       .collect().foreach(r => r.getInt(1) shouldBe r.getInt(0))

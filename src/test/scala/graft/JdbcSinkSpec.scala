@@ -64,11 +64,28 @@ class JdbcSinkSpec extends SparkSpec {
     // not the input order — must decide the insertion sequence
     val scrambled = Seq(5L, 2L, 9L, 1L, 7L).map(i => (i, s"r$i"))
       .toDF("id", "name").coalesce(1)
+
+    // Plan-level pin (endpoint-independent): the frame both sinks write is
+    // the input plus ONE partition-local Sort — global=false, so no range
+    // Exchange is ever added to a 100 TB write — and no presort at all when
+    // the sortkey is absent.
+    val planned = graft.sinks.TableSink.presorted(scrambled, Some("id"))
+      .queryExecution.executedPlan.toString
+    planned should include("Sort [id")
+    planned should include("false, 0") // Sort(..., global=false, ...)
+    planned should not include "rangepartitioning"
+    planned should not include "Exchange"
+    graft.sinks.TableSink.presorted(scrambled, None)
+      .queryExecution.executedPlan.toString should not include "Sort ["
+
     sink.write(scrambled, "sorted_t", sortKey = Some("id"))
 
-    // read the physical insertion order back over a raw connection (no
-    // ORDER BY): Derby scans a freshly-built heap in insertion order, so a
-    // sorted sequence here proves sortWithinPartitions ran before the write
+    // Physical read-back over a raw connection (no ORDER BY): Derby 10.x
+    // scans a freshly-built heap in insertion order. That scan order is NOT
+    // contractual SQL — this assertion pins the bundled Derby version's
+    // observed behavior as a second, end-to-end witness that the presort
+    // reached the wire; if a Derby upgrade reorders heap scans, drop THIS
+    // block and keep the plan pin above.
     val conn = java.sql.DriverManager.getConnection(url(create = false), props)
     try {
       // Spark's JDBC writer quotes COLUMN identifiers (case-sensitive

@@ -76,4 +76,27 @@ class JsonSourceSpec extends SparkSpec {
         .schema.fieldNames.count(_ == "_corrupt_record") shouldBe 1
     } finally df.unpersist()
   }
+
+  test("sources are scheme-agnostic: an explicit file:// URI reads identically") {
+    // The reference's S1/S2 read s3://udacity-dend/... (sql_queries.py:121-128,
+    // bucket from dwh.cfg); this engine addresses sources through the Hadoop
+    // FileSystem API, so the SAME code serves s3a:// by swapping scheme +
+    // credentials config (spark.hadoop.fs.s3a.*) — no engine logic changes.
+    // Pin that contract: a fully-qualified URI from the Hadoop FS layer and
+    // the bare local path produce identical staging frames.
+    val dir = writeJson(
+      """{"ts": 1541121934796, "userId": "101", "page": "NextSong"}""",
+      """{"ts": 1541121934797, "userId": "", "page": "Home"}""")
+    val hadoopPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(hadoopPath) // file:/... with explicit scheme
+    qualified.toUri.getScheme shouldBe "file"
+
+    val viaUri = JsonSource.auto(spark, qualified.toString, raw)
+    val viaPath = JsonSource.auto(spark, dir, raw)
+    viaUri.schema shouldBe viaPath.schema
+    viaUri.exceptAll(viaPath).count() shouldBe 0L
+    viaPath.exceptAll(viaUri).count() shouldBe 0L
+    viaUri.count() shouldBe 2L
+  }
 }
