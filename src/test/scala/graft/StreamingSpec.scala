@@ -148,6 +148,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg (append): watermark finalizes windows across micro-batches, equals batch") {
+    // The Complete-mode twin above never exercises the watermark; this one
+    // runs the production posture — Append mode, where a window row is
+    // emitted exactly once, only after the watermark passes its end — and
+    // must still equal the batch plan on the same feed.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(events)
+      .writeStream.format("memory").queryName("win_agg_append_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val feed = Seq(
+        (ts(0), "click", 1.5), (ts(10), "click", 2.5),
+        (ts(70), "click", 4.0), (ts(5), "view", 1.0))
+      // the real feed spread over two micro-batches: h0's partial state
+      // must survive the boundary
+      input.addData(feed.take(2): _*); q.processAllAvailable()
+      input.addData(feed.drop(2): _*); q.processAllAvailable()
+      // nothing can have been emitted yet: watermark (max 70min - 1h) is
+      // still before h0's window end
+      spark.table("win_agg_append_test").count() shouldBe 0L
+      // two sentinel batches push the watermark past both real windows
+      // (watermark advances from the PREVIOUS batch's max event time)
+      input.addData((ts(10000), "sentinel", 0.0)); q.processAllAvailable()
+      input.addData((ts(20000), "sentinel", 0.0)); q.processAllAvailable()
+
+      val got = spark.table("win_agg_append_test")
+        .filter(col("event_type") =!= "sentinel")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.windowedAgg(feed.toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type").collect()
+      got.toSeq shouldBe batch.toSeq
+      got.length shouldBe 3 // (h0,click) (h0,view) (h1,click)
+
+      // a row later than the watermark allows is DROPPED, not re-emitted:
+      // h0 is finalized and must stay finalized
+      input.addData((ts(5), "click", 99.0)); q.processAllAvailable()
+      spark.table("win_agg_append_test")
+        .filter(col("event_type") =!= "sentinel").count() shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("correlate: join state survives micro-batch boundaries; watermark drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long, Timestamp)]
+    val ri = MemoryStream[(Long, Long, Timestamp)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("event_id", "user_id", "ts")
+    val q = EventStream.correlate(named(li.toDF()), named(ri.toDF()), minutes = 5)
+      .writeStream.format("memory").queryName("corr_xbatch_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // left arrives ALONE in batch 1; its matching right only in batch 2 —
+      // the pair can only form if buffered join state crosses the boundary
+      val lrows = Seq((1L, 7L, ts(0)), (3L, 8L, ts(0)))
+      val rrows = Seq((10L, 7L, ts(3)), (12L, 9L, ts(1)))
+      li.addData(lrows: _*); q.processAllAvailable()
+      ri.addData(rrows: _*); q.processAllAvailable()
+      def emitted() = spark.table("corr_xbatch_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val batch = EventStream.correlate(
+          named(lrows.toDF()), named(rrows.toDF()), minutes = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      emitted() shouldBe batch
+      emitted() shouldBe Seq((1L, 10L))
+
+      // push BOTH watermarks far forward (sentinel user pairs with nothing:
+      // same-id exclusion keeps a lone sentinel row un-joined)
+      li.addData((901L, 99L, ts(10000))); ri.addData((902L, 98L, ts(10000)))
+      q.processAllAvailable()
+      li.addData((903L, 99L, ts(20000))); ri.addData((904L, 98L, ts(20000)))
+      q.processAllAvailable()
+      // a would-match pair entirely BEHIND the watermark produces nothing:
+      // late input is dropped and the old state is already evicted
+      li.addData((5L, 7L, ts(1))); ri.addData((13L, 7L, ts(2)))
+      q.processAllAvailable()
+      emitted() shouldBe Seq((1L, 10L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; watermark timeout emits and evicts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
