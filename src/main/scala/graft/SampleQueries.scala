@@ -98,6 +98,21 @@ object SampleQueries {
         approx_percentile(col("wc"), lit(0.5), lit(10000)).as("p50_approx"),
         approx_percentile(col("wc"), lit(0.99), lit(10000)).as("p99_approx"))
 
+  /** q70: q40's EXACT distinct twin under the hash gate — per-language
+    * `count(distinct prefix32)` through Spark's exact distinct aggregation
+    * (the Expand-based two-shuffle plan: every distinct value rides the
+    * exchange once, then collapses per key). This is the plan HLL replaces
+    * at 100 TB — kept oracle-green as the correctness anchor the q40
+    * sketch is bounded against (SketchSpec), exactly the q65↔q54 pairing:
+    * sketch headline rows-only, exact twin hash-exact. */
+  val q70DistinctExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), substring(col("text"), 1, 32).as("prefix32"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("prefix32")).as("distinct_prefixes"))
+
   /** q48: fixed-length sequence packing — the step after q37's sharding
     * that turns documents into training sequences: documents are laid
     * back-to-back in each shard's deterministic order, and a document
@@ -190,7 +205,8 @@ object SampleQueries {
     "q37_training_shards"   -> q37TrainingShards,
     "q40_approx_stats"      -> q40ApproxStats,
     "q48_sequence_pack"     -> q48SequencePack,
-    "q49_mixture_rebalance" -> q49MixtureRebalance)
+    "q49_mixture_rebalance" -> q49MixtureRebalance,
+    "q70_distinct_exact"    -> q70DistinctExact)
 
   private val rateSql = keepPct
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -260,7 +276,12 @@ object SampleQueries {
          |SELECT d.doc_id, d.lang, rt.rate,
          |  CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
          |    % 10000 AS DOUBLE) < rt.rate * 10000.0 AS kept
-         |FROM documents d JOIN rt USING (lang)""".stripMargin)
+         |FROM documents d JOIN rt USING (lang)""".stripMargin,
+    // Exact distinct — the anchor q40's HLL is bounded against.
+    "q70_distinct_exact" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT substr(text, 1, 32)) AS distinct_prefixes
+        |FROM documents GROUP BY lang""".stripMargin)
 
   private def targetSqlCase: String = targetMix
     .map { case (l, t) => s"WHEN lang = '$l' THEN $t::DOUBLE" }

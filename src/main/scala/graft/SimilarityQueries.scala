@@ -103,12 +103,37 @@ object SimilarityQueries {
   val q34TopkWindowTwin: Q = (s, d) =>
     Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d), K_BRUTE, cosineFnFor(s))
 
+  /** q69: scalar int8 quantization of the embedding column — per-vector
+    * min/max affine codes in [0,255], the compression step every
+    * billion-vector ANN index applies before sharding (4× smaller than
+    * fp32; recall loss is bounded by the per-vector range). Pure
+    * per-row column arithmetic: codegen'd `transform` HOF over the array,
+    * no shuffle at all — scales linearly with executors. Output is
+    * EXPLODED to (vec_id, dim, code) scalars so the gate hash-checks every
+    * code exactly; the arithmetic is float→double (exact widening) with a
+    * floor, so Spark and DuckDB agree bit-for-bit — max elements hit code
+    * 255 exactly, degenerate constant vectors (vmax == vmin) code to 0. */
+  val q69EmbedQuantize: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast(DoubleType).as("vmin"),
+        array_max(col("embedding")).cast(DoubleType).as("vmax"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(floor((col("col").cast(DoubleType) - col("vmin")) * 255.0
+            / (col("vmax") - col("vmin"))))
+          .cast(IntegerType).as("code"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q23_cosine_topk"      -> q23CosineTopK,
     "q24_ann_lsh"          -> q24AnnLsh,
     "q33_ann_ivf"          -> q33AnnIvf,
     "q34_topk_window_twin" -> q34TopkWindowTwin,
-    "q52_ann_ivf_pruned"   -> q52AnnIvfPruned)
+    "q52_ann_ivf_pruned"   -> q52AnnIvfPruned,
+    "q69_embed_quantize"   -> q69EmbedQuantize)
 
   // ---------------------------------------------------------------------
   // Oracles
@@ -173,7 +198,19 @@ object SimilarityQueries {
     // q52 reads a cell-partitioned materialization of the same assignment:
     // layout must not change the answer, so it shares q33's oracle.
     "q52_ann_ivf_pruned" -> ivfSql,
-    "q33_ann_ivf" -> ivfSql)
+    "q33_ann_ivf" -> ivfSql,
+    // Same float→double-exact affine arithmetic, 1-based list indexing.
+    "q69_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i AS INTEGER) AS dim,
+        |  CAST(CASE WHEN vmax = vmin THEN 0 ELSE
+        |    floor((CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) - vmin)
+        |          * 255.0 / (vmax - vmin))
+        |  END AS INTEGER) AS code
+        |FROM v, UNNEST(range(0, len(embedding))) t(i)""".stripMargin)
 
   private lazy val ivfSql: String =
       s"""WITH d AS (

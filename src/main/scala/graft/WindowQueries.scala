@@ -146,12 +146,35 @@ object WindowQueries {
         gap.as("gap_ms"))
   }
 
+  /** q68: trailing 3-hour rolling aggregates over the hourly series — a
+    * RANGE frame on event time (7200 s preceding .. current), NOT a ROWS
+    * frame: hours in which a type had no events are absent from the
+    * series, and a rows frame would silently average over non-adjacent
+    * hours across the gap; the range frame is anchored to TIME, so a gap
+    * shrinks the window's population instead of stretching its span (the
+    * correctness subtlety that shows up exactly when traffic is bursty).
+    * Scale shape: the heavy input collapses to |type × hour| rows in one
+    * keyed partial agg BEFORE the window; the window then runs per type
+    * over the tiny series — never over raw events. */
+  val q68RollingHourly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(col("hour"), col("event_type")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_seconds(col("hour")))
+      .rangeBetween(-7200L, 0L)
+    hourly.select(col("hour"), col("event_type"), col("cnt"),
+      sum(col("cnt")).over(w).as("sum_3h"),
+      avg(col("cnt")).over(w).as("avg_3h"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
     "q50_asof_join"    -> q50AsofJoin,
     "q61_gap_fill"     -> q61GapFill,
-    "q62_range_join"   -> q62RangeJoin)
+    "q62_range_join"   -> q62RangeJoin,
+    "q68_rolling_hourly" -> q68RollingHourly)
 
   val oracle: Map[String, String] = Map(
     "q26_windowed_agg" ->
@@ -215,5 +238,16 @@ object WindowQueries {
          |  ON p.user_id = e.user_id
          |  AND p.event_type = 'purchase' AND e.event_type = 'error'
          |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) > 0
-         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) <= $RANGE_MS""".stripMargin)
+         |  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(p.ts AS TIMESTAMP)) <= $RANGE_MS""".stripMargin,
+    // Identical RANGE frame over epoch seconds; a windowed sum returns
+    // HUGEINT in DuckDB -> cast back to BIGINT to match Spark's long.
+    "q68_rolling_hourly" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, cnt,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS sum_3h,
+        |  avg(cnt) OVER w AS avg_3h
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour)
+        |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)""".stripMargin)
 }

@@ -221,6 +221,35 @@ class PlanSpec extends SparkSpec {
     (p should include).regex("""Functions \[2\]: \[sum\(p_cnt#\d+L?\), sum\(p_total_dec#\d+\)\]""")
   }
 
+  test("q68 rolling hourly: window runs AFTER the agg, on a time-anchored RANGE frame") {
+    val p = plan(WindowQueries.q68RollingHourly(spark, sf))
+    // events collapse to |type × hour| in the keyed agg BEFORE the window:
+    // (hour, type) agg exchange + per-type window exchange, nothing else —
+    // the window must never see raw events
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+    p should include("partial_count")
+    // RANGE (time-anchored), not ROWS: gaps in the hourly series must
+    // shrink the trailing window's population, not stretch its span
+    p should include("specifiedwindowframe(RangeFrame, -7200, currentrow")
+    p should not include "RowFrame, -2"
+  }
+
+  test("q69 quantization: pure codegen'd projection — zero exchanges, nothing leaves the map side") {
+    val p = plan(SimilarityQueries.q69EmbedQuantize(spark, sf))
+    """\(\d+\) Exchange""".r.findAllMatchIn(p) shouldBe empty
+    p should include("Generate") // posexplode, inside codegen
+    p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+  }
+
+  test("q70 exact distinct: the two-shuffle distinct plan its HLL twin (q40) replaces at scale") {
+    val p = plan(SampleQueries.q70DistinctExact(spark, sf))
+    // partial distinct on (lang, prefix32) rides exchange 1; the per-lang
+    // merge rides exchange 2 — the cost HLL's 1-exchange sketch avoids
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+    (p should include).regex("""Arguments: hashpartitioning\(lang#\d+, prefix32#\d+""")
+    (p should include).regex("""Arguments: hashpartitioning\(lang#\d+, \d+\)""")
+  }
+
   test("q63 exact sample: one lang hash exchange for the rank window, no range sort") {
     val p = plan(SampleQueries.q63ExactSample(spark, sf))
     p should include("Window")
