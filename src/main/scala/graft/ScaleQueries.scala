@@ -55,23 +55,37 @@ object ScaleQueries {
           .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
   }
 
-  /** Drop EVERY sf-tagged write-once layout (q29's bucketed tables, q51's
-    * partitioned dir — catalog entries + files) so a subsequent run
-    * measures the build, not a warm reuse — Bench calls this when the
-    * warmup scale equals the timed scale. One list to extend when a new
-    * write-once layout is added, instead of a hand-enumerated purge per
-    * call site. */
-  def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+  /** The write-once layout tables OWNED by each catalog query (base names;
+    * the sf tag is appended per scale). One map to extend when a new
+    * write-once layout is added — it feeds both the global purge below and
+    * Bench's per-iteration resets (each layout query must pay its OWN
+    * build in every timed iteration, or the reported minimum is always the
+    * warm readback and a build regression is invisible). */
+  val layoutsByQuery: Map[String, Seq[String]] = Map(
+    "q29_bucketed_join"     -> Seq("graft_lineitem_b", "graft_orders_b"),
+    "q51_partition_pruning" -> Seq("graft_docs_part"),
+    "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
+    "q55_compaction"        -> Seq("graft_docs_compact"),
+    "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
+    "q57_zorder_layout"     -> Seq("graft_events_z"))
+
+  /** Drop the given sf-tagged write-once layouts (catalog entries + files)
+    * so the next run measures the build, not a warm reuse. */
+  def purgeLayouts(s: org.apache.spark.sql.SparkSession, d: String,
+      baseNames: Seq[String]): Unit = {
     val tag = sfTag(d)
-    Seq(s"graft_lineitem_b_$tag", s"graft_orders_b_$tag", s"graft_docs_part_$tag",
-        s"graft_emb_ivf_$tag", s"graft_docs_compact_$tag",
-        s"graft_evo_a_$tag", s"graft_evo_b_$tag", s"graft_events_z_$tag")
-      .foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        Scale.deleteRecursively(java.nio.file.Paths.get(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t))
-      }
+    baseNames.foreach { b =>
+      val t = s"${b}_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Scale.deleteRecursively(java.nio.file.Paths.get(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t))
+    }
   }
+
+  /** Drop EVERY sf-tagged write-once layout — Bench's whole-catalog purge
+    * when the warmup scale equals the timed scale. */
+  def purgeWriteOnceLayouts(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    purgeLayouts(s, d, layoutsByQuery.values.flatten.toSeq)
 
   /** q51: partition-pruned read over a Hive-partitioned layout. The
     * documents table is materialized once per scale partitioned by lang

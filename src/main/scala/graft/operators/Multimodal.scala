@@ -179,32 +179,57 @@ object Multimodal {
   def decodeImages(images: Dataset[ImageRow]): Dataset[ImageDecoded] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5") // per-partition decoder context
-      val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
-      def readerFor(fmt: String): javax.imageio.ImageReader =
-        readers.getOrElseUpdate(fmt, {
-          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-          if (!it.hasNext)
-            throw new IllegalStateException(s"no decoder registered for format '$fmt'")
-          it.next()
-        })
+      val ctx = new DecodeContext
       rows.map { r =>
-        val reader = readerFor(r.format)
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val img =
-          try { reader.setInput(iis); reader.read(0) }
-          catch { case e: Exception =>
+        ctx.decode(r) match {
+          case Right((w, h, digest)) => ImageDecoded(r.doc_id, r.format, w, h, digest)
+          case Left((NoDecoder, _)) =>
+            throw new IllegalStateException(s"no decoder registered for format '${r.format}'")
+          case Left((_, cause)) =>
             throw new IllegalStateException(
-              s"undecodable ${r.format} payload, doc ${r.doc_id}", e)
-          }
-          finally iis.close()
-        if (img == null)
-          throw new IllegalStateException(s"undecodable ${r.format} payload, doc ${r.doc_id}")
-        val (w, h, digest) = rasterDigest(md, img)
-        ImageDecoded(r.doc_id, r.format, w, h, digest)
+              s"undecodable ${r.format} payload, doc ${r.doc_id}", cause.orNull)
+        }
       }
     }
+  }
+
+  /** Stable quarantine reason codes (never exception text — JDK-varying
+    * messages would poison a deterministic gate and any groupBy on reason). */
+  private[graft] val NoDecoder = "no_decoder_for_format"
+  private[graft] val Undecodable = "undecodable_payload"
+
+  /** The per-partition codec context both decode paths share: one MD5
+    * instance, one lazily-resolved `ImageReader` per format (the
+    * `javax.imageio` registry lookup), reused row-to-row via `setInput`.
+    * `decode` returns the raster digest or a (reason, cause) pair — the
+    * strict path throws on Left, the quarantining path emits a row. */
+  private final class DecodeContext {
+    private val md = MessageDigest.getInstance("MD5")
+    private val readers =
+      scala.collection.mutable.Map.empty[String, Option[javax.imageio.ImageReader]]
+
+    private def readerFor(fmt: String): Option[javax.imageio.ImageReader] =
+      readers.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (it.hasNext) Some(it.next()) else None
+      })
+
+    def decode(r: ImageRow): Either[(String, Option[Exception]), (Int, Int, String)] =
+      readerFor(r.format) match {
+        case None => Left(NoDecoder -> None)
+        case Some(reader) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            reader.setInput(iis)
+            Option(reader.read(0)) match {
+              case None      => Left(Undecodable -> None)
+              case Some(img) => Right(rasterDigest(md, img))
+            }
+          }
+          catch { case e: Exception => Left(Undecodable -> Some(e)) }
+          finally iis.close()
+      }
   }
 
   /** Width, height, and MD5 of the decoded raster (row-major R,G,B). */
@@ -231,49 +256,32 @@ object Multimodal {
 
   /** A decode attempt: either true decoder output (`status = decoded`) or a
     * quarantine record (`status = quarantined`) with a STABLE machine reason
-    * code — never exception text, which varies by JDK and would poison a
-    * deterministic gate (and, at scale, any downstream groupBy on reason). */
+    * code ([[NoDecoder]]/[[Undecodable]]). */
   final case class ImageDecodeResult(doc_id: Long, format: String, status: String,
                                      img_w: Option[Int], img_h: Option[Int],
                                      pixel_md5: Option[String],
                                      quarantine_reason: Option[String])
 
-  /** Quarantining decode: the same registry dispatch as [[decodeImages]],
-    * but an undecodable payload (or a format with no registered reader)
-    * emits a quarantine ROW instead of failing the job — the 100 TB media
-    * posture, where one corrupt blob among billions must not kill a
-    * 1000-executor pass; the quarantine output is routed/audited downstream
-    * (the binary analog of PERMISSIVE `_corrupt_record` JSON ingest,
-    * JsonSource.scala). Still one partition-parallel pass, no shuffle. */
+  /** Quarantining decode: the identical [[DecodeContext]] dispatch as
+    * [[decodeImages]], but an undecodable payload (or a format with no
+    * registered reader) emits a quarantine ROW instead of failing the job —
+    * the 100 TB media posture, where one corrupt blob among billions must
+    * not kill a 1000-executor pass; the quarantine output is routed/audited
+    * downstream (the binary analog of PERMISSIVE `_corrupt_record` JSON
+    * ingest, JsonSource.scala). Still one partition-parallel pass, no
+    * shuffle. */
   def decodeImagesQuarantine(images: Dataset[ImageRow]): Dataset[ImageDecodeResult] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5")
-      val readers = scala.collection.mutable.Map.empty[String, Option[javax.imageio.ImageReader]]
-      def readerFor(fmt: String): Option[javax.imageio.ImageReader] =
-        readers.getOrElseUpdate(fmt, {
-          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-          if (it.hasNext) Some(it.next()) else None
-        })
-      def quarantined(r: ImageRow, reason: String): ImageDecodeResult =
-        ImageDecodeResult(r.doc_id, r.format, "quarantined", None, None, None, Some(reason))
+      val ctx = new DecodeContext
       rows.map { r =>
-        readerFor(r.format) match {
-          case None => quarantined(r, "no_decoder_for_format")
-          case Some(reader) =>
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            val imgOpt =
-              try { reader.setInput(iis); Option(reader.read(0)) }
-              catch { case _: Exception => None }
-              finally iis.close()
-            imgOpt match {
-              case None => quarantined(r, "undecodable_payload")
-              case Some(img) =>
-                val (w, h, digest) = rasterDigest(md, img)
-                ImageDecodeResult(r.doc_id, r.format, "decoded", Some(w), Some(h),
-                  Some(digest), None)
-            }
+        ctx.decode(r) match {
+          case Right((w, h, digest)) =>
+            ImageDecodeResult(r.doc_id, r.format, "decoded", Some(w), Some(h),
+              Some(digest), None)
+          case Left((reason, _)) =>
+            ImageDecodeResult(r.doc_id, r.format, "quarantined", None, None, None,
+              Some(reason))
         }
       }
     }

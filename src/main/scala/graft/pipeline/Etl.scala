@@ -153,16 +153,18 @@ object Etl {
     * are still in flight would let a retried runOnce re-enter the drop
     * phase racing live writers to the same output dirs; draining first
     * guarantees nothing is running when the failure escapes. */
-  private def awaitAll(jobs: Future[Unit]*): Unit = {
-    val failures = jobs.flatMap(j =>
-      Await.ready(j, Duration.Inf).value.get.failed.toOption)
-    // One exception escapes; the siblings' ride along as suppressed so a
-    // multi-write failure keeps every diagnostic, not just the first.
+  private def awaitAll(jobs: Future[Unit]*): Unit =
+    throwAll(jobs.flatMap(j =>
+      Await.ready(j, Duration.Inf).value.get.failed.toOption))
+
+  /** One exception escapes; the siblings ride along as suppressed so a
+    * multi-write failure keeps every diagnostic, not just the first.
+    * No-op on an empty list. */
+  private def throwAll(failures: Seq[Throwable]): Unit =
     failures.headOption.foreach { first =>
       failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
       throw first
     }
-  }
 
   /** Drop the in-process memo for `sfDir` so the next [[run]] measures a
     * real rebuild — used by Bench when the warmup scale equals the timed
@@ -241,11 +243,7 @@ object Etl {
     val staged = Seq(evF, sgF).map(f => Await.ready(f, Duration.Inf).value.get)
     if (staged.exists(_.isFailure)) {
       val drained = Await.ready(songSideF, Duration.Inf).value.get
-      val failures = staged.flatMap(_.failed.toOption) ++ drained.failed.toOption
-      failures.headOption.foreach { first =>
-        failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
-        throw first
-      }
+      throwAll(staged.flatMap(_.failed.toOption) ++ drained.failed.toOption)
     }
     val ev = staged(0).get
     val sg = staged(1).get
