@@ -56,10 +56,28 @@ object OlapQueries {
         sum(col("k").cast(LongType)).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** q71: CUBE over (lang, source) — q58's rollup covers the hierarchy
+    * prefixes; CUBE adds the per-source-across-all-langs slice (the 2^k
+    * grouping-set lattice). The `grouping()` marker columns disambiguate a
+    * REAL NULL group key from a subtotal row — the textbook reporting trap:
+    * without them a NULL-lang document's row is indistinguishable from the
+    * all-langs subtotal. Same Expand-then-one-shuffle plan as rollup (4
+    * grouping sets here): one corpus pass for the whole lattice, vs four
+    * scans + a union by hand. */
+  val q71Cube: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(graft.operators.TextOps.words(col("text"))).as("wc"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens"),
+        grouping(col("lang")).cast(IntegerType).as("lang_subtotal"),
+        grouping(col("source")).cast(IntegerType).as("source_subtotal"))
+
   val queries: Map[String, Q] = Map(
     "q58_rollup"       -> q58Rollup,
     "q59_pivot"        -> q59Pivot,
-    "q60_json_extract" -> q60JsonExtract)
+    "q60_json_extract" -> q60JsonExtract,
+    "q71_cube"         -> q71Cube)
 
   val oracle: Map[String, String] = Map(
     "q58_rollup" ->
@@ -78,5 +96,12 @@ object OlapQueries {
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q71_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(grouping(lang) AS INTEGER) AS lang_subtotal,
+        |  CAST(grouping(source) AS INTEGER) AS source_subtotal
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin)
 }
