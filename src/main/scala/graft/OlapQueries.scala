@@ -73,11 +73,46 @@ object OlapQueries {
         grouping(col("lang")).cast(IntegerType).as("lang_subtotal"),
         grouping(col("source")).cast(IntegerType).as("source_subtotal"))
 
+  /** q77: the SQL set operators over two corpus snapshots — the daily-crawl
+    * diff ("which docs appeared / disappeared / persisted") plus the
+    * multiset (ALL) variants over a non-unique projection, assembled into
+    * one result by UNION ALL. Snapshots are deterministic hash-bucket
+    * views of `documents` (A drops bucket 0, B drops bucket 1), so the
+    * overlap and both diffs are non-trivial at every scale.
+    *
+    * Plan shape: Spark compiles INTERSECT/EXCEPT to left-semi/anti joins
+    * over distinct inputs and INTERSECT ALL/EXCEPT ALL to the
+    * count-replicating aggregate form — all keyed shuffles, no cartesian;
+    * the UNION ALL glue is shuffle-free concatenation. The doc_id-keyed
+    * branches hash on the unique key; the multiset branches hash on
+    * (lang, source) — 25 groups, collapsed map-side before the exchange. */
+  val q77SetOps: Q = (s, d) => {
+    val bucket = pmod(graft.operators.TextOps.hash60(
+      col("doc_id").cast(StringType)), lit(5))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bkt"))
+    val a = docs.filter(col("bkt") =!= 0).drop("bkt")
+    val b = docs.filter(col("bkt") =!= 1).drop("bkt")
+    def tag(op: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(op).as("op"), col("doc_id"), col("lang"), col("source"))
+    val nullId = lit(null).cast(LongType).as("doc_id")
+    def tagMix(op: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(op).as("op"), nullId, col("lang"), col("source"))
+    val mixA = a.select(col("lang"), col("source"))
+    val mixB = b.select(col("lang"), col("source"))
+    tag("only_a", a.except(b))
+      .unionByName(tag("only_b", b.except(a)))
+      .unionByName(tag("common", a.intersect(b)))
+      .unionByName(tagMix("mix_intersect_all", mixA.intersectAll(mixB)))
+      .unionByName(tagMix("mix_except_all", mixA.exceptAll(mixB)))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_rollup"       -> q58Rollup,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
-    "q71_cube"         -> q71Cube)
+    "q71_cube"         -> q71Cube,
+    "q77_set_ops"      -> q77SetOps)
 
   val oracle: Map[String, String] = Map(
     "q58_rollup" ->
@@ -103,5 +138,22 @@ object OlapQueries {
         |    AS total_tokens,
         |  CAST(grouping(lang) AS INTEGER) AS lang_subtotal,
         |  CAST(grouping(source) AS INTEGER) AS source_subtotal
-        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin)
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    // Identical snapshot split (md5 hash-bucket), identical set algebra.
+    "q77_set_ops" ->
+      """WITH s AS (SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 5
+        |      AS bkt FROM documents),
+        |a AS (SELECT doc_id, lang, source FROM s WHERE bkt <> 0),
+        |b AS (SELECT doc_id, lang, source FROM s WHERE bkt <> 1)
+        |SELECT 'only_a' AS op, doc_id, lang, source
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL SELECT 'only_b', doc_id, lang, source
+        |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |UNION ALL SELECT 'common', doc_id, lang, source
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL SELECT 'mix_intersect_all', CAST(NULL AS BIGINT), lang, source
+        |  FROM (SELECT lang, source FROM a INTERSECT ALL SELECT lang, source FROM b)
+        |UNION ALL SELECT 'mix_except_all', CAST(NULL AS BIGINT), lang, source
+        |  FROM (SELECT lang, source FROM a EXCEPT ALL SELECT lang, source FROM b)""".stripMargin)
 }

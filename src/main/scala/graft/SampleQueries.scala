@@ -113,6 +113,38 @@ object SampleQueries {
         count(lit(1)).as("n_docs"),
         countDistinct(col("prefix32")).as("distinct_prefixes"))
 
+  /** q74: deterministic multi-epoch reshuffle — q37's training shards,
+    * re-permuted per epoch. Training runs want a DIFFERENT global order
+    * every epoch without ever paying a global sort: both the shard
+    * assignment and the within-shard order are salted by the epoch
+    * (`hash60("ep<e>s:"||id)` / `hash60("ep<e>o:"||id)`), so epoch e's
+    * layout is a fresh pseudo-random permutation, reproducible from
+    * (doc_id, epoch) alone — a failed epoch re-materializes bit-identically
+    * on any cluster. All epochs build in ONE job and ONE exchange: the
+    * epoch column is exploded in-scan (a generator, not a shuffle) and the
+    * window partitions by (epoch, shard), so the hash exchange carries each
+    * doc once per epoch and each (epoch, shard) cell sorts independently —
+    * no range exchange, no cross-epoch barrier, same scale shape as q37.
+    * OperationalSpec asserts the epochs really are pairwise different
+    * permutations; the plan pin holds the single-exchange shape. */
+  private[graft] val N_EPOCHS = 2
+
+  val q74EpochReshuffle: Q = (s, d) => {
+    val idStr = col("doc_id").cast(StringType)
+    val epStr = col("epoch").cast(StringType)
+    val shard = pmod(TextOps.hash60(concat(lit("ep"), epStr, lit("s:"), idStr)), lit(N_SHARDS))
+    val ord = TextOps.hash60(concat(lit("ep"), epStr, lit("o:"), idStr))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(N_EPOCHS - 1))).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        shard.cast(IntegerType).as("shard"), ord.as("ord"))
+      .withColumn("position",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch"), col("shard")).orderBy(col("ord"))))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("position"))
+  }
+
   /** q48: fixed-length sequence packing — the step after q37's sharding
     * that turns documents into training sequences: documents are laid
     * back-to-back in each shard's deterministic order, and a document
@@ -203,6 +235,7 @@ object SampleQueries {
     "q63_exact_sample"      -> q63ExactSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
     "q37_training_shards"   -> q37TrainingShards,
+    "q74_epoch_reshuffle"   -> q74EpochReshuffle,
     "q40_approx_stats"      -> q40ApproxStats,
     "q48_sequence_pack"     -> q48SequencePack,
     "q49_mixture_rebalance" -> q49MixtureRebalance,
@@ -244,6 +277,21 @@ object SampleQueries {
          |FROM documents)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS INTEGER) AS position
+         |FROM h""".stripMargin,
+    // Same epoch-salted shard/order hashes, same per-(epoch,shard) rank.
+    "q74_epoch_reshuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(epoch AS INTEGER) AS epoch
+         |  FROM documents, UNNEST(range(0, $N_EPOCHS)) t(epoch)),
+         |h AS (SELECT doc_id, epoch,
+         |  CAST(CAST(('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) || 's:'
+         |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |    % $N_SHARDS AS INTEGER) AS shard,
+         |  CAST(('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) || 'o:'
+         |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS ord
+         |FROM e)
+         |SELECT doc_id, epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord)
+         |    AS INTEGER) AS position
          |FROM h""".stripMargin,
     // Same shard/order hashes as q37 plus the running token sum; a doc
     // starting at offset t lands in sequence t // 1024 at offset t % 1024.

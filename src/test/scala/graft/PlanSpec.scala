@@ -123,6 +123,23 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q74 epoch reshuffle: all epochs build in one job — one hash exchange, no range sort") {
+    val p = plan(SampleQueries.q74EpochReshuffle(spark, sf))
+    p should include("Window")
+    // the epoch fan-out is a generator inside the scan stage, not a shuffle
+    p should include("Generate")
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Arguments: hashpartitioning(epoch")
+    p should not include "rangepartitioning"
+  }
+
+  test("q77 set ops: INTERSECT/EXCEPT compile to keyed joins — no cartesian, no nested loop") {
+    val p = plan(OlapQueries.q77SetOps(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Union")
+  }
+
   test("q48 sequence packing: one shard hash exchange for the window, no range sort") {
     val p = plan(SampleQueries.q48SequencePack(spark, sf))
     p should include("Window")
