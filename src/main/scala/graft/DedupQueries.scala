@@ -75,6 +75,38 @@ object DedupQueries {
       segs, BOIL_MIN_DOCS)
   }
 
+  /** q73: incremental dedup — a new batch of documents (doc_id < 50, the
+    * fixed-size "daily crawl") probed against the EXISTING corpus
+    * (doc_id ≥ 50) through a write-once fingerprint layout, with zero
+    * corpus-side shuffle. The corpus shingle sets and LSH band keys are
+    * materialized once per scale ([[graft.operators.Scale.writeOnce]],
+    * fingerprint-gated like q29's buckets — and purged per bench iteration
+    * so the build cost stays visible); the probe broadcasts the batch's
+    * band keys and shingle sets against them (two straight scans into
+    * broadcast joins, plan-pinned). Same hashing and τ=0.8 as q21, so the
+    * all-pairs oracle — restricted to batch×corpus pairs — gates both the
+    * banding recall and the probe mechanics. */
+  private val BATCH_MAX_ID = 50
+  private val INC_K = 3
+  private val INC_TAU = 0.8
+
+  val q73IncrementalDedup: Q = (s, d) => {
+    val tag = ScaleQueries.sfTag(d)
+    val fp = graft.operators.Scale.dirFingerprint(s"$d/documents.parquet") +
+      s"|k=$INC_K|b=32|r=4|split=$BATCH_MAX_ID"
+    val corpus = Tables.documentsDistributed(s, d).filter(col("doc_id") >= BATCH_MAX_ID)
+    // Shingle once, band from the materialized shingles: the corpus text is
+    // read exactly once across both layout builds.
+    val shDir = graft.operators.Scale.writeOnce(
+      Dedup.shingleSets(corpus, INC_K), s"graft_corpus_sh_$tag", fp)
+    val bandsDir = graft.operators.Scale.writeOnce(
+      Dedup.bandKeys(s.read.parquet(shDir), bands = 32, rows = 4),
+      s"graft_corpus_bands_$tag", fp)
+    val batch = Tables.documents(s, d).filter(col("doc_id") < BATCH_MAX_ID)
+    Dedup.incrementalNearDupPairs(
+      s.read.parquet(bandsDir), s.read.parquet(shDir), batch, INC_TAU, INC_K)
+  }
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -97,7 +129,8 @@ object DedupQueries {
     "q35_dedup_embedding"     -> q35DedupEmbedding,
     "q38_decontamination"     -> q38Decontamination,
     "q44_dedup_clusters"      -> q44DedupClusters,
-    "q47_boilerplate"         -> q47Boilerplate)
+    "q47_boilerplate"         -> q47Boilerplate,
+    "q73_incremental_dedup"   -> q73IncrementalDedup)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -161,6 +194,23 @@ object DedupQueries {
          |FROM co JOIN ev USING (s)
          |GROUP BY 1, 2
          |HAVING count(*) >= $DECON_MIN""".stripMargin,
+    // All-pairs exact Jaccard at τ=0.8 restricted to batch×corpus pairs —
+    // the incremental probe through the materialized fingerprints must
+    // equal the all-pairs gate on exactly those pairs (same recall argument
+    // as q21; the layout must be invisible to results).
+    "q73_incremental_dedup" ->
+      s"""WITH ${shinglesCte(INC_K)},
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.doc_id < $BATCH_MAX_ID AND b.doc_id >= $BATCH_MAX_ID
+         |  GROUP BY 1, 2)
+         |SELECT da AS batch_id, db AS corpus_id,
+         |  CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+         |FROM inter
+         |JOIN sz za ON za.doc_id = da
+         |JOIN sz zb ON zb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= $INC_TAU""".stripMargin,
     // Banded sign-bucket LSH with the identical md5-derived hyperplanes;
     // the oracle applies the same (band, bucket) candidate constraint and
     // the same 0.0-seeded left-fold cosine (bit-equal to cosine_sim).

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Scale
+import graft.operators.{Merge, Scale}
 
 /** Scale-pattern queries: q28 salted aggregation over the (5-value, i.e.
   * maximally skewed) event_type key; q29 bucketed co-located fact join.
@@ -55,6 +55,49 @@ object ScaleQueries {
           .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
   }
 
+  /** q72: MERGE-style corpus upsert — the incremental form of the
+    * reference's drop-and-rebuild refresh (`etl.py:22-29`; the users dim's
+    * full `INSERT … SELECT DISTINCT` reload, `sql_queries.py:155-159`, is
+    * the SCD1 shape this replaces). The documents corpus lives as a
+    * lang-partitioned write-once layout; a deterministic daily batch
+    * (updates: en docs with doc_id % 7 = 3 get re-crawled text; inserts:
+    * en docs with doc_id % 11 = 5 spawn new ids) merges in via
+    * [[Merge.upsertPartitioned]] — update-on-match by doc_id,
+    * insert-on-miss, ONLY the lang=en partition rewritten; de/es/fr/zh
+    * files stay byte-identical (OperationalSpec). The merge is idempotent
+    * (the batch is a pure function of the SOURCE table), so re-running it
+    * over an already-merged base reproduces the same corpus — which is
+    * also what the oracle replays relationally. */
+  private[graft] def mergeBatch(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val en = docs.filter(col("lang") === "en")
+    val upd = en.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"), col("lang"), lit("merge_upsert").as("source"),
+        concat(lit("rev2 "), col("text")).as("text"))
+    val ins = en.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        lit("merge_insert").as("source"), concat(lit("new "), col("text")).as("text"))
+    // n_chars is recomputed for batch rows (en text is ASCII, so Spark's
+    // and DuckDB's character counts agree) — the SCD1 "latest attributes
+    // win" contract covers derived columns too.
+    upd.union(ins).withColumn("n_chars", length(col("text")).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+  }
+
+  private[graft] def mergeBaseDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Scale.writePartitioned(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"), col("lang")),
+      s"graft_corpus_base_${sfTag(d)}", "lang",
+      Scale.dirFingerprint(s"$d/documents.parquet"))
+
+  val q72MergeUpsert: Q = (s, d) => {
+    val dir = mergeBaseDir(s, d)
+    Merge.upsertPartitioned(s, dir, "lang", "doc_id",
+      mergeBatch(Tables.documents(s, d)))
+    s.read.parquet(dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+  }
+
   /** The write-once layout tables OWNED by each catalog query (base names;
     * the sf tag is appended per scale). One map to extend when a new
     * write-once layout is added — it feeds both the global purge below and
@@ -67,7 +110,9 @@ object ScaleQueries {
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
-    "q57_zorder_layout"     -> Seq("graft_events_z"))
+    "q57_zorder_layout"     -> Seq("graft_events_z"),
+    "q72_merge_upsert"      -> Seq("graft_corpus_base"),
+    "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"))
 
   /** Drop the given sf-tagged write-once layouts (catalog entries + files)
     * so the next run measures the build, not a warm reuse. */
@@ -151,7 +196,8 @@ object ScaleQueries {
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
     "q55_compaction"    -> q55Compaction,
-    "q57_zorder_layout" -> q57ZorderLayout)
+    "q57_zorder_layout" -> q57ZorderLayout,
+    "q72_merge_upsert"  -> q72MergeUpsert)
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" ->
@@ -171,6 +217,22 @@ object ScaleQueries {
     // Identity: compaction is layout maintenance, never a data change.
     "q55_compaction" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // Relational replay of the merge: anti-join the batch keys out of the
+    // base, union the batch back in. The layout mechanics (staging, moves,
+    // partition pruning) must be invisible to results.
+    "q72_merge_upsert" ->
+      """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        |upd AS (SELECT doc_id, lang, 'merge_upsert' AS source,
+        |    'rev2 ' || text AS text FROM en WHERE doc_id % 7 = 3),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, 'merge_insert' AS source,
+        |    'new ' || text AS text FROM en WHERE doc_id % 11 = 5),
+        |batch AS (SELECT doc_id, lang, source, length(text) AS n_chars, text
+        |  FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)),
+        |keep AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+        |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM batch))
+        |SELECT doc_id, lang, source, n_chars, text FROM keep
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars, text FROM batch""".stripMargin,
     // Same Morton interleave arithmetic; layout must not change results.
     "q57_zorder_layout" ->
       s"""SELECT event_id, user_id, value,

@@ -49,6 +49,39 @@ object Dedup {
   private def shingled(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), shingleCol(docs, k).as("sh"))
 
+  /** Public handle on the per-doc sorted distinct hashed-shingle sets
+    * (doc_id, sh: array<bigint>) — the corpus fingerprint a write-once
+    * layout materializes so incremental probes ([[incrementalNearDupPairs]])
+    * never re-shingle the corpus. */
+  def shingleSets(docs: DataFrame, k: Int): DataFrame = shingled(docs, k)
+
+  /** LSH band keys (doc_id, b, bk) for a (doc_id, sh) shingle-set table —
+    * the banding stage of [[minhashLshPairs]], factored out so a corpus
+    * build can materialize it once and a batch probe can compute the SAME
+    * keys for new documents (identical hashing ⇒ identical buckets).
+    *
+    * Fast path: the native lsh_band_keys expression fuses signature +
+    * banding into one projection loop — no explode of shingles, no wide
+    * aggregation, no signature shuffle. Fallback (vanilla session): the
+    * signature as a grouped aggregation, which is ALSO the structural
+    * safeguard — a projection-only signature expression would get inlined
+    * by CollapseProject into every band-key reference (measured 100×). */
+  def bandKeys(sh: DataFrame, bands: Int, rows: Int): DataFrame =
+    if (sh.sparkSession.catalog.functionExists("lsh_band_keys"))
+      sh.select(col("doc_id"),
+          posexplode(call_function("lsh_band_keys", col("sh"), lit(bands), lit(rows))))
+        .toDF("doc_id", "b", "bk")
+    else {
+      val n = bands * rows
+      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandKeyCols = (0 until bands).map(bd =>
+        xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
+      sig.select(col("doc_id"), posexplode(array(bandKeyCols: _*)))
+        .toDF("doc_id", "b", "bk")
+    }
+
   /** Exact Jaccard of two shingle-set columns: native sorted-merge
     * intersection when the session has GraftExtensions (no per-pair hash-set
     * allocation), built-in array_intersect otherwise — identical value
@@ -86,28 +119,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       shingleK: Int = 3, bands: Int = 32, rows: Int = 4): DataFrame = {
     val sh = shingled(docs, shingleK)
-
-    // Fast path: the native lsh_band_keys expression fuses signature +
-    // banding into one projection loop — no explode of shingles, no wide
-    // aggregation, no signature shuffle. Fallback (vanilla session): the
-    // signature as a grouped aggregation, which is ALSO the structural
-    // safeguard — a projection-only signature expression would get inlined
-    // by CollapseProject into every band-key reference (measured 100×).
-    val banded =
-      if (docs.sparkSession.catalog.functionExists("lsh_band_keys"))
-        sh.select(col("doc_id"),
-            posexplode(call_function("lsh_band_keys", col("sh"), lit(bands), lit(rows))))
-          .toDF("doc_id", "b", "bk")
-      else {
-        val n = bands * rows
-        val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-        val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-        val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        val bandKeys = (0 until bands).map(bd =>
-          xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
-        sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
-          .toDF("doc_id", "b", "bk")
-      }
+    val banded = bandKeys(sh, bands, rows)
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
@@ -116,6 +128,63 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Incremental near-dup probe: a SMALL new batch of documents against a
+    * MATERIALIZED corpus fingerprint layout, with zero corpus-side shuffle —
+    * the daily-crawl workload: the corpus was fingerprinted once
+    * ([[shingleSets]] + [[bandKeys]] written to a write-once layout); each
+    * new batch probes those fingerprints without ever re-shingling,
+    * re-hashing, or re-shuffling a single corpus row.
+    *
+    * Plan shape (the point of the operator, plan-pinned in PlanSpec):
+    *  - the batch's shingle sets and band keys are computed on the (tiny)
+    *    batch side and BROADCAST;
+    *  - candidates = corpus band table ⋈_BHJ broadcast(batch bands) on
+    *    (b, bk) — the corpus band scan feeds the join directly, no exchange;
+    *  - verify = corpus shingle table ⋈_BHJ broadcast(candidates ⋈ batch
+    *    shingles) — again a straight scan into a broadcast join;
+    *  - the ONLY shuffle in the whole plan is the final distinct over
+    *    verified (batch_id, corpus_id, jaccard) survivors — rows ∝ matches,
+    *    never ∝ corpus. (A pair hitting several bands is verified more than
+    *    once — duplicate verifies of a tiny candidate set are cheaper than
+    *    an extra candidate-dedup exchange in the probe path.)
+    *
+    * At 100 TB the probe's cost is two sequential scans of the fingerprint
+    * layout (band keys: 32 longs/doc; shingle sets: ~text-sized) — with the
+    * shingle layout written sorted by doc_id, parquet row-group min/max
+    * statistics turn the verify scan into point reads of the candidate ids.
+    * Uses the same hashing as [[minhashLshPairs]], so banding recall at the
+    * threshold is the same 1-(1-j^rows)^bands bound the all-pairs gate
+    * proves every round. */
+  def incrementalNearDupPairs(corpusBands: DataFrame, corpusShingles: DataFrame,
+                              batch: DataFrame, threshold: Double,
+                              shingleK: Int = 3, bands: Int = 32,
+                              rows: Int = 4): DataFrame = {
+    val bSh = shingled(batch, shingleK)
+      .select(col("doc_id").as("batch_id"), col("sh").as("bsh"))
+    val bBands = bandKeys(
+      bSh.select(col("batch_id").as("doc_id"), col("bsh").as("sh")), bands, rows)
+      .select(col("doc_id").as("batch_id"), col("b"), col("bk"))
+
+    val candidates = corpusBands.as("c")
+      .join(broadcast(bBands).as("p"),
+        col("c.b") === col("p.b") && col("c.bk") === col("p.bk"))
+      .select(col("p.batch_id"), col("c.doc_id").as("corpus_id"))
+
+    // Batch shingles ride with the candidates into the verify broadcast, so
+    // the corpus shingle scan needs no second lookup join.
+    val candWithSh = candidates.join(broadcast(bSh), Seq("batch_id"))
+
+    val na = size(col("p.bsh"))
+    val nb = size(col("c.sh"))
+    corpusShingles.as("c")
+      .join(broadcast(candWithSh).as("p"), col("c.doc_id") === col("p.corpus_id"))
+      .filter(least(na, nb).cast(DoubleType) >= lit(threshold) * greatest(na, nb))
+      .select(col("p.batch_id"), col("p.corpus_id"),
+        jaccardOf(corpusShingles, col("p.bsh"), col("c.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs with GUARANTEED recall at the hamming

@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q73 incremental dedup: zero corpus-side exchange — batch broadcasts, one result-only shuffle") {
+    val p = plan(DedupQueries.q73IncrementalDedup(spark, sf))
+    // every join is a broadcast with the batch/candidate side as build —
+    // the corpus fingerprint scans feed their joins directly
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("BroadcastHashJoin")
+    // the ONLY shuffle is the final distinct over verified survivors, and
+    // its key list proves it carries probe results (batch_id, corpus_id,
+    // jaccard) — never a corpus band key or shingle set
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    (p should include).regex(
+      """Arguments: hashpartitioning\(batch_id#\d+L?, corpus_id#\d+L?, jaccard#\d+""")
+  }
+
   test("q77 set ops: INTERSECT/EXCEPT compile to keyed joins — no cartesian, no nested loop") {
     val p = plan(OlapQueries.q77SetOps(spark, sf))
     p should not include "CartesianProduct"
