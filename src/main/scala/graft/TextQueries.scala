@@ -403,8 +403,58 @@ object TextQueries {
         (col("quality_score") >= col("t")).as("kept"))
   }
 
+  /** q75: character-class entropy — the classic "does this look like prose
+    * or like noise/markup/minified junk" curation signal: Shannon entropy
+    * over a FIXED six-class character alphabet (lower, upper, digit, space,
+    * the q15 punctuation set, other), classes summed in declared order.
+    * Low entropy ⇒ one class dominates (all-caps shouting, digit dumps,
+    * whitespace padding); natural prose sits in a characteristic band.
+    * Single-pass, in-scan, shuffle-free — the q15 shape.
+    *
+    * Determinism contract: the per-class counts are exact integers (gated
+    * directly), and the entropy summation is a fixed-order IEEE expression
+    * tree the oracle replicates term by term — but `ln` itself is NOT
+    * bit-portable (measured: JVM Math.log and DuckDB ln disagree by 1 ulp
+    * on ~0.04% of this corpus's class ratios). So the gated entropy column
+    * is quantized to integer MICRO-bits via floor(bits·1e6): both engines
+    * run the identical multiply+floor, and a flip would need an integer
+    * within ~1e-10 of the product — dominated by the exact-count gate
+    * beside it. ln(2) enters as a literal double constant, not each
+    * engine's ln(2), for the same reason. */
+  val q75CharEntropy: Q = (s, d) => {
+    val n = length(col("text"))
+    def cls(pattern: String): Column =
+      n - length(regexp_replace(col("text"), pattern, ""))
+    val cLower = cls("[a-z]")
+    val cUpper = cls("[A-Z]")
+    val cDigit = cls("[0-9]")
+    val cSpace = cls("[ ]")
+    val cPunct = cls("[.,;:!?]")
+    val cOther = n - cLower - cUpper - cDigit - cSpace - cPunct
+    val nD = n.cast(DoubleType)
+    def term(c: Column): Column = {
+      val p = c.cast(DoubleType) / nD
+      when(c > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    val sumTerms = term(cLower) + term(cUpper) + term(cDigit) +
+      term(cSpace) + term(cPunct) + term(cOther)
+    val bits = -sumTerms / lit(0.6931471805599453)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && n > 0)
+      .select(col("doc_id"), col("lang"),
+        n.cast(LongType).as("n_chars"),
+        cLower.cast(LongType).as("c_lower"),
+        cUpper.cast(LongType).as("c_upper"),
+        cDigit.cast(LongType).as("c_digit"),
+        cSpace.cast(LongType).as("c_space"),
+        cPunct.cast(LongType).as("c_punct"),
+        cOther.cast(LongType).as("c_other"),
+        floor(bits * lit(1000000.0)).cast(LongType).as("entropy_mbits"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_text_stats"  -> q15TextStats,
+    "q75_char_entropy" -> q75CharEntropy,
     "q45_pii_redact"  -> q45PiiRedact,
     "q46_url_filter"  -> q46UrlFilter,
     "q53_vocab_topk"  -> q53VocabTopK,
@@ -426,6 +476,30 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Same class regexes, same fixed-order term sum, same literal ln(2),
+    // same floor-to-micro-bits quantization (see the q75 scaladoc for why
+    // the quantization exists: ln is not bit-portable across engines).
+    "q75_char_entropy" -> {
+      def term(c: String) =
+        s"CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE)/CAST(n AS DOUBLE))*ln(CAST($c AS DOUBLE)/CAST(n AS DOUBLE)) ELSE 0.0 END"
+      s"""WITH c AS (SELECT doc_id, lang, length(text) AS n,
+         |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS c_lower,
+         |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS c_upper,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
+         |    length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS c_space,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS c_punct
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |k AS (SELECT *, n - c_lower - c_upper - c_digit - c_space - c_punct AS c_other FROM c)
+         |SELECT doc_id, lang,
+         |  CAST(n AS BIGINT) AS n_chars,
+         |  CAST(c_lower AS BIGINT) AS c_lower, CAST(c_upper AS BIGINT) AS c_upper,
+         |  CAST(c_digit AS BIGINT) AS c_digit, CAST(c_space AS BIGINT) AS c_space,
+         |  CAST(c_punct AS BIGINT) AS c_punct, CAST(c_other AS BIGINT) AS c_other,
+         |  CAST(floor((-(${term("c_lower")} + ${term("c_upper")} + ${term("c_digit")}
+         |    + ${term("c_space")} + ${term("c_punct")} + ${term("c_other")})
+         |    / 0.6931471805599453) * 1000000.0) AS BIGINT) AS entropy_mbits
+         |FROM k""".stripMargin
+    },
     "q53_vocab_topk" ->
       s"""WITH t AS (SELECT lang,
          |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
