@@ -127,8 +127,71 @@ object SimilarityQueries {
           .cast(IntegerType).as("code"))
   }
 
+  /** q76: product-quantization codes — q69's scalar quantization upgraded
+    * to the index-grade form: the 64-dim embedding splits into M=8
+    * subvectors of 8 dims; each subspace has a K=16-entry codebook and a
+    * vector's code in that subspace is the L2-nearest codebook entry
+    * (8 bytes/vector total, 32× smaller than fp32 — the memory layout
+    * IVF-PQ indexes shard across a cluster). The codebooks are
+    * DATA-DERIVED and deterministic: subspace m's entries are the m-th
+    * subvectors of the K seed vectors vec_id < 16 (no iterative training,
+    * so plan and oracle replay identically — a Lloyd refinement would add
+    * order-dependent float summation and break the bit gate).
+    *
+    * Plan shape: subvector explode is a generator in-scan; the 128-row
+    * codebook broadcasts; argmin is min(struct(dist, k)) — an algebraic
+    * aggregate with map-side partials and a deterministic (dist, k)
+    * lexicographic tie-break (the oracle's ORDER BY dist, k). ONE keyed
+    * shuffle of (vec_id, m) partial minima — linear in vectors, scale-free
+    * in K·M. Distances run through the fused native l2_sq when registered
+    * (bit-identical fold — see L2SquaredDistance), the zip_with/aggregate
+    * HOF otherwise. OperationalSpec bounds the reconstruction quality
+    * against q23's exact cosine ranking. */
+  private[graft] val PQ_M = 8
+  private[graft] val PQ_SUBDIM = 8
+  private[graft] val PQ_K = 16
+
+  private def dist2For(s: org.apache.spark.sql.SparkSession)(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    if (s.catalog.functionExists("l2_sq"))
+      call_function("l2_sq", a, b.cast("array<double>"))
+    else
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(org.apache.spark.sql.types.DoubleType) -
+            y.cast(org.apache.spark.sql.types.DoubleType)) *
+            (x.cast(org.apache.spark.sql.types.DoubleType) -
+              y.cast(org.apache.spark.sql.types.DoubleType))),
+        lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, m, sv): the M subvectors of every embedding, exploded. */
+  private[graft] def pqSubvectors(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(transform(
+        sequence(lit(0), lit(PQ_M - 1)),
+        m => slice(col("embedding"), m * PQ_SUBDIM + 1, lit(PQ_SUBDIM)))))
+      .toDF("vec_id", "m", "sv")
+
+  /** (k, m, cent): the deterministic seed codebook (vec_id < PQ_K). */
+  private[graft] def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqSubvectors(s, d).filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast(org.apache.spark.sql.types.IntegerType).as("k"),
+        col("m"), col("sv").as("cent"))
+
+  val q76PqCodes: Q = (s, d) => {
+    val dist2 = dist2For(s) _
+    pqSubvectors(s, d)
+      .join(broadcast(pqCodebook(s, d)), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(dist2(col("sv"), col("cent")).as("dist"), col("k")).as("dk"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dk")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q23_cosine_topk"      -> q23CosineTopK,
+    "q76_pq_codes"         -> q76PqCodes,
     "q24_ann_lsh"          -> q24AnnLsh,
     "q33_ann_ivf"          -> q33AnnIvf,
     "q34_topk_window_twin" -> q34TopkWindowTwin,
@@ -199,6 +262,23 @@ object SimilarityQueries {
     // layout must not change the answer, so it shares q33's oracle.
     "q52_ann_ivf_pruned" -> ivfSql,
     "q33_ann_ivf" -> ivfSql,
+    // Same subvector slicing, same seed codebook (vec_id < 16), same
+    // 0.0-seeded left-fold squared distance, same (dist, k) tie-break.
+    "q76_pq_codes" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, m, embedding[m*$PQ_SUBDIM+1 : m*$PQ_SUBDIM+$PQ_SUBDIM] AS sv
+         |  FROM embeddings, UNNEST(range(0, $PQ_M)) t(m)),
+         |cb AS (SELECT vec_id AS k, m, sv AS cent FROM sub WHERE vec_id < $PQ_K),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip(s.sv, c.cent),
+         |        z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))),
+         |      (x, y) -> x + y) AS dist
+         |  FROM sub s JOIN cb c USING (m)),
+         |r AS (SELECT vec_id, m, k, row_number() OVER
+         |    (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM d)
+         |SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS code
+         |FROM r WHERE rn = 1""".stripMargin,
     // Same float→double-exact affine arithmetic, 1-based list indexing.
     "q69_embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding,

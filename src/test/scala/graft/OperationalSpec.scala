@@ -1,10 +1,11 @@
 package graft
 
 /** Property tests for the operational-regime capabilities: the epoch
-  * reshuffle's permutation guarantees (q74) and the merge upsert's
-  * layout-reuse contract (q72). These assert the semantics the DuckDB hash
-  * gate cannot see — "different order per epoch", "untouched partitions'
-  * files byte-identical".
+  * reshuffle's permutation guarantees (q74), the merge upsert's
+  * layout-reuse contract (q72), and the PQ codes' reconstruction quality
+  * (q76). These assert the semantics the DuckDB hash gate cannot see —
+  * "different order per epoch", "untouched partitions' files
+  * byte-identical", "reconstruction close enough to preserve ranking".
   */
 class OperationalSpec extends SparkSpec {
 
@@ -44,6 +45,65 @@ class OperationalSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.lit(11)) === 5).count()
     merged1 shouldBe docs.count() + inserts
+  }
+
+  test("q76: PQ codes reconstruct well enough to preserve q23's exact cosine ranking") {
+    import org.apache.spark.sql.functions._
+    // decode: each (vec_id, m, code) picks its codebook entry; subvectors
+    // re-assemble in subspace order into the reconstructed vector
+    val codes = SimilarityQueries.q76PqCodes(spark, sf)
+    val cb = SimilarityQueries.pqCodebook(spark, sf)
+    val rec = codes.as("c").join(cb.as("b"),
+        col("c.m") === col("b.m") && col("c.code") === col("b.k"))
+      .groupBy(col("c.vec_id").as("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("c.m"), col("b.cent")))),
+        x => x.getField("cent"))).as("rec"))
+    val orig = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+
+    // reconstruction error: the codes must explain a nontrivial share of
+    // the (unit-norm) vectors' energy — the zero-reconstruction baseline
+    // has relative error 1.0. (The synthetic embeddings are near-random,
+    // the hardest case for PQ; measured rel ≈ 0.75 with the 16-entry seed
+    // codebook.)
+    val err = orig.join(rec, "vec_id").select(
+      aggregate(zip_with(col("embedding"), col("rec"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, v) => a + v).as("se"),
+      graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("norm2"))
+    val st = err.agg(avg(col("se")), avg(col("norm2"))).collect()(0)
+    val rel = st.getDouble(0) / st.getDouble(1)
+    withClue(s"relative reconstruction error $rel:") {
+      rel should be > 0.0
+      rel should be < 0.85
+    }
+
+    // ranking preservation: asymmetric-distance-style scoring (original
+    // query against reconstructed corpus) must land far above chance on
+    // q23's exact top-5 (chance overlap at 500 vectors ≈ 0.01; measured
+    // mean ≈ 0.33)
+    val queries = orig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val approxTop = queries.crossJoin(rec.withColumnRenamed("vec_id", "nid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.operators.Similarity.cosine(col("qe"), col("rec")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactTop = graft.operators.Similarity.bruteForceTopK(
+        Tables.embeddings(spark, sf), Tables.embeddings(spark, sf).filter(col("vec_id") < 8), 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = exactTop.keys.toSeq.sorted
+      .map(q => (exactTop(q) intersect approxTop.getOrElse(q, Set.empty)).size / 5.0)
+    val mean = overlaps.sum / overlaps.size
+    withClue(s"mean top-5 overlap $mean (chance ≈ 0.01):") {
+      mean should be >= 0.15
+    }
   }
 
   test("q74: every epoch is a valid per-shard permutation, and epochs are different permutations") {
