@@ -7,10 +7,14 @@ package graft
   * prune every computed column (and serve parquet counts from footer
   * metadata), so projection-heavy queries would appear free. The noop sink
   * consumes every row and every column — the full physical plan runs.
-  * Each query is timed over SPARK_GRAFT_BENCH_ITERS (default 3) iterations
-  * and the per-query MINIMUM is reported (plus the iteration count), so a
-  * noisy host window can't fake a regression. Failures on ANY iteration
-  * flip the exit code; a broken query must never look "fast".
+  * Each query is timed over SPARK_GRAFT_BENCH_ITERS (default 5) iterations
+  * and the per-query MINIMUM is reported (plus the iteration count and the
+  * relative spread (max-min)/min), so a noisy host window can't fake a
+  * regression — and when it tries, the spread says so: a genuine plan
+  * regression shows a moved minimum with a small spread; a host burst shows
+  * a large spread around an unmoved minimum (the round-7 q28 "6×" was the
+  * latter). Failures on ANY iteration flip the exit code; a broken query
+  * must never look "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,9 +54,9 @@ object Bench {
     // host would reproduce.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption.orElse {
-        System.err.println(s"[bench] WARN unparsable SPARK_GRAFT_BENCH_ITERS '$v', using 3")
+        System.err.println(s"[bench] WARN unparsable SPARK_GRAFT_BENCH_ITERS '$v', using 5")
         None
-      }).getOrElse(3).max(1)
+      }).getOrElse(5).max(1)
     // Stateful queries must pay their own build in EVERY timed iteration,
     // or the minimum is just the warm replay and a build regression is
     // invisible: q13's Etl memo is dropped (cold star rebuild contract);
@@ -88,16 +92,23 @@ object Bench {
       // executes must never look "fast".
       val ok = !broken && times.size == iters
       if (!ok) failed ::= name
-      (name, if (ok) times.min else -1.0, ok)
+      // Relative spread (max-min)/min over the iterations: the
+      // noise-vs-regression discriminator (see the object scaladoc).
+      val spread = if (ok && times.min > 0) (times.max - times.min) / times.min else -1.0
+      (name, if (ok) times.min else -1.0, spread, ok)
     }
     val qs = results
-      .map { case (k, v, _) => s""""$k":$v""" }
+      .map { case (k, v, _, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val spreads = results
+      .map { case (k, _, sp, _) => s""""$k":${"%.2f".formatLocal(java.util.Locale.ROOT, sp)}""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, true) => v }.sum
     // Field order matters: the driver's tail capture keeps the END of the
-    // line, so the headline fields (value/failed) go LAST — per-query
-    // timings are the only thing a truncation can cost.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$qs,"failed":${failed.size},"value":$total}""")
+    // line, so the headline fields (value/failed) go LAST and the spread
+    // diagnostics go FIRST — they are the cheapest thing to lose to a
+    // truncation.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"spread":$spreads,"queries":$qs,"failed":${failed.size},"value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
