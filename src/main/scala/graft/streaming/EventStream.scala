@@ -136,6 +136,31 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming twin of q73's incremental dedup: a document feed probed per
+    * micro-batch against the STATIC corpus fingerprint layout (shingle sets
+    * + LSH band keys) via `foreachBatch` — each micro-batch runs the batch
+    * operator [[graft.operators.Dedup.incrementalNearDupPairs]] UNCHANGED,
+    * so the streaming path inherits its whole contract: batch side
+    * broadcast, zero corpus-side shuffle, exact-Jaccard verification.
+    *
+    * `foreachBatch` is the honest architecture here (not a stream-static
+    * join): the probe's build side must be the tiny arriving batch, and
+    * a stream-static join would broadcast the static (corpus) side per
+    * micro-batch — exactly what a 100 TB fingerprint table cannot do.
+    * Because the probe is per-document independent (candidates and
+    * verification only ever pair a batch doc with a corpus doc), the union
+    * of per-micro-batch outputs equals the one-shot batch probe over the
+    * same documents regardless of how the feed is chopped — the
+    * decomposition property StreamingSpec asserts. */
+  def incrementalDedupStream(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, threshold: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Dedup.incrementalNearDupPairs(
+          corpusBands, corpusShingles, batch, threshold), id)
+      }
+
   /** Streaming twin of the flagship star build: the event feed streams
     * through the SAME staging mapping and the SAME songplay join builder as
     * the batch pipeline (stream-static join — the static songs dim is

@@ -124,6 +124,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: chopped feed equals the one-shot batch probe (q73 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the q73 corpus-side fingerprints, as in-memory static frames (the
+    // layout's content; the write-once materialization is q73's own test)
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") >= 50)
+      .repartition(col("doc_id"))
+    val sh = graft.operators.Dedup.shingleSets(corpus, 3)
+    val bands = graft.operators.Dedup.bandKeys(sh, 32, 4)
+
+    val batchDocs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (feedA, feedB) = batchDocs.partition(_._1 < 25)
+
+    val input = MemoryStream[(Long, String)]
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = EventStream.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"), bands, sh, 0.8) { (df, _) =>
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }.start()
+    try {
+      input.addData(feedA.toSeq); q.processAllAvailable()
+      input.addData(feedB.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // per-document independence: the union over micro-batches equals the
+    // one-shot probe over the same documents, however the feed was chopped
+    val oneShot = graft.operators.Dedup.incrementalNearDupPairs(
+        bands, sh,
+        Tables.documents(spark, sf).filter(col("doc_id") < 50), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    buf.size shouldBe oneShot.length // no duplicate emissions across batches
+    oneShot should not be empty
+    buf.toSet shouldBe oneShot.toSet
+  }
+
   test("stream-stream correlate equals the batch range join on the same feeds") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(Long, Long, Timestamp)]
