@@ -56,18 +56,9 @@ object Merge {
     * aligned by name against the batch's column order. */
   def upsertPartitioned(spark: SparkSession, dir: String, partKey: String,
                         key: String, batch: DataFrame): Unit = {
-    val cols = batch.columns.toSeq
-    val affected = batch.select(col(partKey)).distinct().collect().map(_.get(0))
+    val affected = batch.select(col(partKey)).distinct().collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return
-
-    // Planning-time partition pruning: isin over the collected values lists
-    // only the affected directories (PartitionFilters) — the untouched
-    // partitions are invisible to the job, not merely filtered.
-    val base = spark.read.parquet(dir)
-      .filter(col(partKey).isin(affected: _*))
-      .select(cols.map(col): _*)
-    val merged = base.join(broadcast(batch.select(col(key))), Seq(key), "left_anti")
-      .unionByName(batch)
+    val merged = mergedView(spark, dir, partKey, key, batch, affected)
 
     val root = Paths.get(dir)
     val staging = root.resolve("_staging_merge")
@@ -86,6 +77,22 @@ object Merge {
       }
     }
     Scale.deleteRecursively(staging)
+  }
+
+  /** The merged content of the affected partitions, as a plan (exposed so
+    * PlanSpec can pin the 100 TB shape): a planning-time-pruned scan of the
+    * affected partition directories only (PartitionFilters — the untouched
+    * partitions are invisible to the job, not merely filtered), anti-joined
+    * against the BROADCAST batch keys, union the batch. The base side never
+    * shuffles and never broadcasts. */
+  def mergedView(spark: SparkSession, dir: String, partKey: String,
+                 key: String, batch: DataFrame, affected: Seq[Any]): DataFrame = {
+    val cols = batch.columns.toSeq
+    val base = spark.read.parquet(dir)
+      .filter(col(partKey).isin(affected: _*))
+      .select(cols.map(col): _*)
+    base.join(broadcast(batch.select(col(key))), Seq(key), "left_anti")
+      .unionByName(batch)
   }
 
   /** File inventory of the partition directories under `dir` EXCLUDING the

@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q72 merge view: affected-partition pruning + broadcast anti join — base never shuffles") {
+    val dir = ScaleQueries.mergeBaseDir(spark, sf)
+    val batch = ScaleQueries.mergeBatch(Tables.documents(spark, sf))
+    val p = plan(graft.operators.Merge.mergedView(
+      spark, dir, "lang", "doc_id", batch, Seq("en")))
+    // the base scan lists ONLY the affected partition directories —
+    // planning-time pruning, untouched partitions invisible to the job
+    (p should include).regex("""PartitionFilters: \[.*lang.*en""")
+    // matched keys are removed via a broadcast anti join (batch keys build
+    // side); the base never shuffles and never broadcasts
+    p should include("BroadcastHashJoin LeftAnti BuildRight")
+    p should not include "SortMergeJoin"
+    """\(\d+\) Exchange""".r.findAllMatchIn(p) shouldBe empty
+  }
+
   test("q73 incremental dedup: zero corpus-side exchange — batch broadcasts, one result-only shuffle") {
     val p = plan(DedupQueries.q73IncrementalDedup(spark, sf))
     // every join is a broadcast with the batch/candidate side as build —
