@@ -107,6 +107,58 @@ object DedupQueries {
       s.read.parquet(bandsDir), s.read.parquet(shDir), batch, INC_TAU, INC_K)
   }
 
+  /** q78: the daily operational loop, closed end-to-end — the piece that
+    * ties q72 and q73 together: (day 0) the corpus base and a
+    * LANG-PARTITIONED fingerprint layout (shingle sets + band keys) are
+    * materialized; (day 1) a merge batch upserts into the corpus
+    * ([[graft.operators.Merge.upsertPartitioned]], only lang=en rewritten)
+    * and the fingerprint layouts REFRESH ONLY THAT PARTITION
+    * ([[graft.operators.Merge.replacePartitions]] — recompute en, swap it
+    * in; de/es/fr/zh fingerprint files stay byte-identical,
+    * OperationalSpec); (day 2) the next batch probes the refreshed
+    * fingerprints with the q73 operator. At 100 TB this is the whole point
+    * of partitioned fingerprints: corpus maintenance costs O(affected
+    * partitions) for the data AND for the derived index — nothing
+    * re-fingerprints the other 99%.
+    *
+    * The oracle replays the merge relationally (q72's CTEs) and computes
+    * all-pairs exact Jaccard of the day-2 batch against the MERGED corpus
+    * — so the gate covers the merge, the partial refresh, and the probe in
+    * one check; the newly inserted near-dup copies (doc_id+1000000) must
+    * show up as matches, which only happens if the refresh really folded
+    * the merge into the fingerprints. */
+  val q78IncrementalRefresh: Q = (s, d) => {
+    import graft.operators.{Merge, Scale}
+    val tag = ScaleQueries.sfTag(d)
+    val baseDir = ScaleQueries.mergeBaseDir(s, d)
+    val srcFp = Scale.dirFingerprint(s"$d/documents.parquet") +
+      s"|k=$INC_K|b=32|r=4|split=$BATCH_MAX_ID"
+    def shOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingleSets(
+        df.filter(col("doc_id") >= BATCH_MAX_ID).repartition(col("doc_id")),
+        INC_K, keep = Seq("lang"))
+    // day 0: fingerprint layouts over whatever the base currently holds
+    // (pre-merge on a cold run; the refresh below makes the final state
+    // identical either way — the merge only ever changes en)
+    val fpShDir = Scale.writePartitioned(
+      shOf(s.read.parquet(baseDir)), s"graft_corpus_fp_$tag", "lang", srcFp)
+    val fpBandsDir = Scale.writePartitioned(
+      Dedup.bandKeys(s.read.parquet(fpShDir), bands = 32, rows = 4, keep = Seq("lang")),
+      s"graft_corpus_fpb_$tag", "lang", srcFp)
+    // day 1: merge arrives; fingerprints refresh ONLY the affected partition
+    Merge.upsertPartitioned(s, baseDir, "lang", "doc_id",
+      ScaleQueries.mergeBatch(Tables.documents(s, d)))
+    Merge.replacePartitions(fpShDir, "lang", Seq("en"),
+      shOf(s.read.parquet(baseDir).filter(col("lang") === "en")))
+    Merge.replacePartitions(fpBandsDir, "lang", Seq("en"),
+      Dedup.bandKeys(s.read.parquet(fpShDir).filter(col("lang") === "en"),
+        bands = 32, rows = 4, keep = Seq("lang")))
+    // day 2: the next batch probes the refreshed fingerprints (q73's operator)
+    Dedup.incrementalNearDupPairs(
+      s.read.parquet(fpBandsDir), s.read.parquet(fpShDir),
+      Tables.documents(s, d).filter(col("doc_id") < BATCH_MAX_ID), INC_TAU, INC_K)
+  }
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -130,7 +182,8 @@ object DedupQueries {
     "q38_decontamination"     -> q38Decontamination,
     "q44_dedup_clusters"      -> q44DedupClusters,
     "q47_boilerplate"         -> q47Boilerplate,
-    "q73_incremental_dedup"   -> q73IncrementalDedup)
+    "q73_incremental_dedup"   -> q73IncrementalDedup,
+    "q78_incremental_refresh" -> q78IncrementalRefresh)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -211,6 +264,41 @@ object DedupQueries {
          |JOIN sz za ON za.doc_id = da
          |JOIN sz zb ON zb.doc_id = db
          |WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= $INC_TAU""".stripMargin,
+    // The merge replayed relationally (q72's CTEs), then all-pairs exact
+    // Jaccard of the day-2 batch against the MERGED corpus — one gate over
+    // merge + partial fingerprint refresh + probe. The inserted near-dup
+    // copies (doc_id+1000000) must appear as matches.
+    "q78_incremental_refresh" -> {
+      val km1 = INC_K - 1
+      s"""WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+         |upd AS (SELECT doc_id, 'rev2 ' || text AS text FROM en WHERE doc_id % 7 = 3),
+         |ins AS (SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+         |  FROM en WHERE doc_id % 11 = 5),
+         |b AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |merged AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM b)
+         |  UNION ALL SELECT doc_id, text FROM b),
+         |uni AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < $BATCH_MAX_ID
+         |  UNION ALL SELECT doc_id, text FROM merged WHERE doc_id >= $BATCH_MAX_ID),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM uni),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - $km1, 1) + 1),
+         |    i -> array_to_string(w[i:i+$km1], ' ')))) AS s FROM w),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b2 ON a.s = b2.s
+         |  WHERE a.doc_id < $BATCH_MAX_ID AND b2.doc_id >= $BATCH_MAX_ID
+         |  GROUP BY 1, 2)
+         |SELECT da AS batch_id, db AS corpus_id,
+         |  CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+         |FROM inter
+         |JOIN sz za ON za.doc_id = da
+         |JOIN sz zb ON zb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= $INC_TAU""".stripMargin
+    },
     // Banded sign-bucket LSH with the identical md5-derived hyperplanes;
     // the oracle applies the same (band, bucket) candidate constraint and
     // the same 0.0-seeded left-fold cosine (bit-equal to cosine_sim).

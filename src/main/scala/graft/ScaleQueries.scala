@@ -112,7 +112,9 @@ object ScaleQueries {
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
     "q57_zorder_layout"     -> Seq("graft_events_z"),
     "q72_merge_upsert"      -> Seq("graft_corpus_base"),
-    "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"))
+    "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"),
+    "q78_incremental_refresh" ->
+      Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"))
 
   /** Drop the given sf-tagged write-once layouts (catalog entries + files)
     * so the next run measures the build, not a warm reuse. */

@@ -52,8 +52,11 @@ object Dedup {
   /** Public handle on the per-doc sorted distinct hashed-shingle sets
     * (doc_id, sh: array<bigint>) — the corpus fingerprint a write-once
     * layout materializes so incremental probes ([[incrementalNearDupPairs]])
-    * never re-shingle the corpus. */
-  def shingleSets(docs: DataFrame, k: Int): DataFrame = shingled(docs, k)
+    * never re-shingle the corpus. `keep` names extra columns carried
+    * through unchanged (e.g. the partition key of a partitioned
+    * fingerprint layout). */
+  def shingleSets(docs: DataFrame, k: Int, keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: keep.map(col) :+ shingleCol(docs, k).as("sh"): _*)
 
   /** LSH band keys (doc_id, b, bk) for a (doc_id, sh) shingle-set table —
     * the banding stage of [[minhashLshPairs]], factored out so a corpus
@@ -66,21 +69,24 @@ object Dedup {
     * signature as a grouped aggregation, which is ALSO the structural
     * safeguard — a projection-only signature expression would get inlined
     * by CollapseProject into every band-key reference (measured 100×). */
-  def bandKeys(sh: DataFrame, bands: Int, rows: Int): DataFrame =
+  def bandKeys(sh: DataFrame, bands: Int, rows: Int, keep: Seq[String] = Nil): DataFrame = {
+    val ids = "doc_id" +: keep
+    val outNames = ids ++ Seq("b", "bk")
     if (sh.sparkSession.catalog.functionExists("lsh_band_keys"))
-      sh.select(col("doc_id"),
-          posexplode(call_function("lsh_band_keys", col("sh"), lit(bands), lit(rows))))
-        .toDF("doc_id", "b", "bk")
+      sh.select(ids.map(col) :+
+          posexplode(call_function("lsh_band_keys", col("sh"), lit(bands), lit(rows))): _*)
+        .toDF(outNames: _*)
     else {
       val n = bands * rows
-      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val hashed = sh.select(ids.map(col) :+ explode(col("sh")).as("h"): _*)
       val minCols = (0 until n).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-      val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val sig = hashed.groupBy(ids.map(col): _*).agg(minCols.head, minCols.tail: _*)
       val bandKeyCols = (0 until bands).map(bd =>
         xxhash64(lit(bd) +: (0 until rows).map(r => col(s"m${bd * rows + r}")): _*))
-      sig.select(col("doc_id"), posexplode(array(bandKeyCols: _*)))
-        .toDF("doc_id", "b", "bk")
+      sig.select(ids.map(col) :+ posexplode(array(bandKeyCols: _*)): _*)
+        .toDF(outNames: _*)
     }
+  }
 
   /** Exact Jaccard of two shingle-set columns: native sorted-merge
     * intersection when the session has GraftExtensions (no per-pair hash-set

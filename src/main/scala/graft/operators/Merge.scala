@@ -58,19 +58,29 @@ object Merge {
                         key: String, batch: DataFrame): Unit = {
     val affected = batch.select(col(partKey)).distinct().collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return
-    val merged = mergedView(spark, dir, partKey, key, batch, affected)
+    replacePartitions(dir, partKey, affected,
+      mergedView(spark, dir, partKey, key, batch, affected))
+  }
 
+  /** Replace the named partition directories of `dir` with `data`'s content
+    * for those partitions — the staged-write + directory-swap promotion
+    * step shared by the merge upsert and any derived-layout refresh (q78
+    * recomputes a corpus fingerprint layout's affected partitions this
+    * way). `data` must cover only rows with partKey ∈ `values`; untouched
+    * partitions are never read, written, or moved. */
+  def replacePartitions(dir: String, partKey: String, values: Seq[Any],
+                        data: DataFrame): Unit = {
     val root = Paths.get(dir)
     val staging = root.resolve("_staging_merge")
     Scale.deleteRecursively(staging)
-    merged.write.mode("overwrite").partitionBy(partKey).parquet(staging.toString)
+    data.write.mode("overwrite").partitionBy(partKey).parquet(staging.toString)
 
-    affected.foreach { v =>
+    values.foreach { v =>
       val leaf = s"$partKey=$v"
       val live = root.resolve(leaf)
       val staged = staging.resolve(leaf)
-      // A batch partition with zero rows after the merge cannot happen
-      // (the batch itself contributes rows), but guard the move anyway.
+      // A replaced partition with zero staged rows cannot happen in the
+      // merge flow (the batch itself contributes rows), but guard the move.
       if (Files.exists(staged)) {
         Scale.deleteRecursively(live)
         Files.move(staged, live)

@@ -47,6 +47,38 @@ class OperationalSpec extends SparkSpec {
     merged1 shouldBe docs.count() + inserts
   }
 
+  test("q78: fingerprint refresh rewrites only the affected partition of each derived layout") {
+    val layouts = Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb")
+    ScaleQueries.purgeLayouts(spark, sf, layouts)
+    val otherLangs = Set("de", "es", "fr", "zh")
+    def dirOf(base: String) = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"${base}_${ScaleQueries.sfTag(sf)}").toString
+    def untouched(base: String) =
+      graft.operators.Merge.partitionFileInventory(dirOf(base), "lang", Set("en"))
+    def enPart(base: String) =
+      graft.operators.Merge.partitionFileInventory(dirOf(base), "lang", otherLangs)
+
+    // run 1: cold — base build, fingerprint build, merge, refresh, probe
+    val r1 = DedupQueries.q78IncrementalRefresh(spark, sf).count()
+    r1 should be > 0L
+    val before = layouts.map(t => t -> untouched(t)).toMap
+    val beforeEn = layouts.map(t => t -> enPart(t)).toMap
+
+    // run 2: everything reused; merge + refresh re-applied (idempotent)
+    val r2 = DedupQueries.q78IncrementalRefresh(spark, sf).count()
+    r2 shouldBe r1
+    layouts.foreach { t =>
+      withClue(s"$t untouched partitions:") {
+        before(t) should not be empty
+        untouched(t) shouldBe before(t) // names, sizes, mtimes, bytes
+      }
+      withClue(s"$t en partition rewritten:") {
+        enPart(t).keySet should not equal beforeEn(t).keySet
+      }
+    }
+  }
+
   test("q76: PQ codes reconstruct well enough to preserve q23's exact cosine ranking") {
     import org.apache.spark.sql.functions._
     // decode: each (vec_id, m, code) picks its codebook entry; subvectors
