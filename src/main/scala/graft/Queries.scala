@@ -30,7 +30,15 @@ object Queries {
   /** A1-A5 analog + aggregate pipeline: group/aggregate with exact decimal sums.
     * Reference computes only count(*) (test_etl.ipynb); this is the scaled-up
     * aggregate shape (TPC-H q1 style) the engine must sustain at 100 TB:
-    * map-side partial aggregation, no shuffle beyond the group keys. */
+    * map-side partial aggregation, no shuffle beyond the group keys.
+    *
+    * Cost profile (measured at sf0.1): the scan is ~0.13 s; the remaining
+    * ~1 s is the per-row double→Decimal casts of the three sums — the
+    * price of the exactness contract (decimal sums are order-independent,
+    * so partial aggregation can never produce a different bit pattern than
+    * the oracle's serial sum). The work is map-side and parallelizes with
+    * input splits; the single-row-group testdata parquet serializes it
+    * onto one task, which a real multi-row-group layout would not. */
   val q01PricingSummary: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
