@@ -189,9 +189,26 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m"), col("best.k").as("code"))
   }
 
+  /** q79: IVF-PQ search — the q33 (coarse cells) × q76 (PQ codes)
+    * composition, i.e. the modern ANN index end-to-end: probe nprobe
+    * cells, score candidates by ADC over the 8-byte codes, exact-re-rank a
+    * 10-deep shortlist. See [[Similarity.ivfPqTopK]] for the scale story;
+    * the oracle replays cells, codes, ADC, shortlist, and re-rank in full,
+    * so the gate pins every stage including both deterministic tie-break
+    * chains. Output schema matches q33 (NOT its results — PQ shortlisting
+    * may legitimately drop a true neighbor; OperationalSpec bounds that
+    * recall against q23's exact ranking for the codes themselves). */
+  private[graft] val PQ_SHORTLIST = 10
+
+  val q79AnnIvfPq: Q = (s, d) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), queriesOf(s, d), K_ANN,
+      cents, NPROBE, PQ_SHORTLIST, q76PqCodes(s, d), pqCodebook(s, d),
+      cosineFnFor(s))
+
   val queries: Map[String, Q] = Map(
     "q23_cosine_topk"      -> q23CosineTopK,
     "q76_pq_codes"         -> q76PqCodes,
+    "q79_ann_ivf_pq"       -> q79AnnIvfPq,
     "q24_ann_lsh"          -> q24AnnLsh,
     "q33_ann_ivf"          -> q33AnnIvf,
     "q34_topk_window_twin" -> q34TopkWindowTwin,
@@ -258,6 +275,8 @@ object SimilarityQueries {
          |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
          |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
          |FROM ranked WHERE rn <= $K_ANN""".stripMargin,
+    // Full IVF-PQ replay: cells + codes + ADC shortlist + exact re-rank.
+    "q79_ann_ivf_pq" -> ivfPqSql,
     // q52 reads a cell-partitioned materialization of the same assignment:
     // layout must not change the answer, so it shares q33's oracle.
     "q52_ann_ivf_pruned" -> ivfSql,
@@ -291,6 +310,57 @@ object SimilarityQueries {
         |          * 255.0 / (vmax - vmin))
         |  END AS INTEGER) AS code
         |FROM v, UNNEST(range(0, len(embedding))) t(i)""".stripMargin)
+
+  /** q79's full replay: subvector codes (q76's CTEs), cell assignment and
+    * probes (q33's CTEs), code-decoded reconstructions, the ADC shortlist,
+    * and the exact re-rank — every tie broken (dist,k)/(adc,nid)/(sim,nid)
+    * exactly as the plan does. */
+  private lazy val ivfPqSql: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, m, embedding[m*$PQ_SUBDIM+1 : m*$PQ_SUBDIM+$PQ_SUBDIM] AS sv
+       |  FROM embeddings, UNNEST(range(0, $PQ_M)) t(m)),
+       |cb AS (SELECT vec_id AS k, m, sv AS cent FROM sub WHERE vec_id < $PQ_K),
+       |dc AS (SELECT s.vec_id, s.m, c.k,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(s.sv, c.cent),
+       |        z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))),
+       |      (x, y) -> x + y) AS dist
+       |  FROM sub s JOIN cb c USING (m)),
+       |codes AS (SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k, row_number() OVER
+       |      (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM dc)
+       |  WHERE rn = 1),
+       |recv AS (
+       |  SELECT codes.vec_id, flatten(list(cb.cent ORDER BY codes.m)) AS rec
+       |  FROM codes JOIN cb ON cb.m = codes.m AND cb.k = codes.code
+       |  GROUP BY codes.vec_id),
+       |d AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(range($CELLS)) AS c,
+       |    unnest([${(0 until CELLS).map(dist2Sql("embedding", _)).mkString(",\n      ")}]) AS dist
+       |  FROM embeddings),
+       |r AS (SELECT vec_id, embedding, c, dist, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d),
+       |assign AS (SELECT vec_id, c AS cell FROM r WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, embedding AS qe, c AS cell
+       |  FROM r WHERE rn <= $NPROBE AND vec_id < 8),
+       |adc AS (
+       |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "recv.rec")} AS adc
+       |  FROM probes q JOIN assign v ON v.cell = q.cell AND v.vec_id <> q.qid
+       |  JOIN recv ON recv.vec_id = v.vec_id),
+       |short AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER
+       |      (PARTITION BY qid ORDER BY adc DESC, nid) AS rn FROM adc)
+       |  WHERE rn <= $PQ_SHORTLIST),
+       |ex AS (
+       |  SELECT qid, nid, ${cosineSql("qv.embedding", "nv.embedding")} AS sim
+       |  FROM short
+       |  JOIN embeddings qv ON qv.vec_id = qid
+       |  JOIN embeddings nv ON nv.vec_id = nid),
+       |ranked AS (SELECT qid, nid, sim, row_number() OVER
+       |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex)
+       |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+       |FROM ranked WHERE rn <= $K_ANN""".stripMargin
 
   private lazy val ivfSql: String =
       s"""WITH d AS (

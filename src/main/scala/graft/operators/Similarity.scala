@@ -179,6 +179,87 @@ object Similarity {
     rankTopK(scoredSelect(joined, cosineFn), k)
   }
 
+  /** IVF-PQ ANN top-k — the full modern vector-index stack in one plan:
+    * coarse IVF cells bound the candidate set, PRODUCT-QUANTIZATION codes
+    * (8 bytes/vector) stand in for the embeddings during candidate
+    * scoring, and only a small shortlist is re-ranked with exact cosine
+    * over the real vectors. This is the q33/q76 composition: at 100 TB
+    * the scored index is `(vec_id, cell, codes)` — 32× smaller than fp32
+    * embeddings, the structure IVF-PQ systems actually hold in memory —
+    * and the full-precision vectors are touched only for |shortlist| rows
+    * per query.
+    *
+    * Approximate-distance computation: each candidate's subvectors are
+    * reconstructed from its codes via the (broadcast, 1-row nested-array)
+    * codebook and scored with the standard fixed-order cosine fold —
+    * arithmetically identical to the classic per-query lookup-table ADC
+    * (same products, same summation order, table indexing replaced by
+    * direct centroid lookup), which is the constant-factor optimization a
+    * production build would apply without changing a single result bit.
+    * Everything is deterministic: codes and cells use (dist, idx)
+    * tie-breaks, the ADC shortlist ranks by (adc desc, vec_id), the final
+    * ranking by (sim desc, vec_id) — the oracle replays all of it.
+    *
+    * Plan shape: the index build is two keyed aggregations (codes fold,
+    * cell assign is a projection); the probe is an index scan into a
+    * broadcast join with the probe list and the codebook (no corpus
+    * shuffle), one qid-keyed window for the shortlist over candidate
+    * rows (∝ nprobe/cells of the corpus per query), and a broadcast
+    * lookup join for the exact re-rank. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Int]], nprobe: Int, shortlist: Int,
+      codes: DataFrame, codebook: DataFrame,
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val native = vectors.sparkSession.catalog.functionExists("l2_sq")
+
+    // The index: one row per vector — coarse cell + the M codes in
+    // subspace order (array_sort on (m, code) structs: deterministic).
+    val codesArr = codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val index = vectors.select(col("vec_id"), cellAssign(cents, native).as("cell"))
+      .join(codesArr, "vec_id")
+
+    // The codebook as ONE nested-array row [m][k][d], broadcast to every
+    // candidate: struct sorts pin both nesting orders.
+    val cbNested = codebook
+      .groupBy(col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("cent")))),
+        x => x.getField("cent")).as("row"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("row")))),
+        x => x.getField("row")).as("cb"))
+
+    val probes = cellProbes(queries, cents, nprobe, native)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+
+    // ADC: reconstruct each candidate's subvectors from its codes (1-based
+    // element_at; transform's index lambda supplies the subspace) and score
+    // with the standard fold — same bits as lookup-table ADC.
+    val rec = flatten(transform(col("codes"),
+      (c, mi) => element_at(element_at(col("cb"), mi + 1), c + 1)))
+    val scored = index.as("v")
+      .join(broadcast(probes).as("q"),
+        col("q.cell") === col("v.cell") && col("q.qid") =!= col("v.vec_id"))
+      .crossJoin(broadcast(cbNested))
+      .select(col("q.qid"), col("q.qe"), col("v.vec_id").as("nid"),
+        cosineFn(col("q.qe"), rec).as("adc"))
+    val short = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("nid"))
+
+    // Exact re-rank of the shortlist only: full-precision vectors enter
+    // here for the first time, via a broadcast lookup join on the corpus.
+    val exact = vectors.as("n")
+      .join(broadcast(short.join(queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qe")), "qid")),
+        col("n.vec_id") === col("nid"))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        cosineFn(col("qe"), col("n.embedding")).as("sim"))
+    rankTopK(exact, k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(

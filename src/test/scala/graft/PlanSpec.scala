@@ -165,6 +165,26 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(batch_id#\d+L?, corpus_id#\d+L?, jaccard#\d+""")
   }
 
+  test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
+    val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
+    // no corpus-shuffling join anywhere: the index build is keyed
+    // aggregation, the probe/re-rank sides are broadcast hash joins
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should not include "CartesianProduct"
+    // exactly ONE nested-loop join — the intentional 1-row codebook
+    // attach; anything more would be an accidental cross product
+    """\(\d+\) BroadcastNestedLoopJoin""".r.findAllMatchIn(p).length shouldBe 1
+    // shortlist + final rank skip non-top rows before the window sort
+    p should include("WindowGroupLimit")
+    // bounded exchange budget: two corpus-scale index-build aggregations
+    // (codes argmin on (vec_id, m); codes array fold on vec_id), two
+    // K·M-row codebook-nesting aggregations inside the broadcast build,
+    // and the two tiny qid-keyed rank windows — nothing else may shuffle
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length should be <= 6
+    (p should include).regex("""Arguments: hashpartitioning\(vec_id#\d+L, m#\d+""")
+  }
+
   test("q77 set ops: INTERSECT/EXCEPT compile to keyed joins — no cartesian, no nested loop") {
     val p = plan(OlapQueries.q77SetOps(spark, sf))
     p should not include "CartesianProduct"
