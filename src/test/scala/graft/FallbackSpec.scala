@@ -38,6 +38,31 @@ class FallbackSpec extends SparkSpec {
     native.length shouldBe 1
   }
 
+  test("incremental-dedup and PQ-code fallbacks match the native paths") {
+    val sf = "/root/testdata/sf0.001"
+    // the q78 shape: fingerprints with a pass-through partition column,
+    // probed by the q73 operator
+    def runInc() = {
+      val corpus = Tables.documents(spark, sf).filter(col("doc_id") >= 50)
+      val sh = graft.operators.Dedup.shingleSets(corpus, 3, keep = Seq("lang"))
+      val bands = graft.operators.Dedup.bandKeys(sh, 32, 4, keep = Seq("lang"))
+      graft.operators.Dedup.incrementalNearDupPairs(bands, sh,
+          Tables.documents(spark, sf).filter(col("doc_id") < 50), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    }
+    // the q76 shape: argmin code assignment through dist2For's l2_sq guard
+    def runPq() = SimilarityQueries.q76PqCodes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    val (nativeInc, nativePq) = (runInc(), runPq())
+    val (fbInc, fbPq) = withoutNativeFunctions {
+      spark.catalog.functionExists("l2_sq") shouldBe false
+      (runInc(), runPq())
+    }
+    fbInc shouldBe nativeInc
+    nativeInc should not be empty
+    fbPq shouldBe nativePq
+  }
+
   test("similarity fallback (HOF cosine fold) matches the native expression") {
     val vecs = (0 until 12).map(i =>
       (i.toLong, (0 until 16).map(j => ((i * 13 + j * 7) % 19 - 9) / 5.0f)))
