@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotFD, HashedShinglesExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr, SubstrCountExpr}
+import graft.functions.{CharClassCountsExpr, CosineSimilarity, DotFD, HashedShinglesExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr, SubstrCountExpr}
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
@@ -39,5 +39,7 @@ object GraftExtensions {
       c => HashedShinglesExpr(c.head, c(1))),
     desc("lsh_band_keys", classOf[LshBandKeysExpr])(c => LshBandKeysExpr(
       c.head, c(1).eval().asInstanceOf[Int], c(2).eval().asInstanceOf[Int])),
-    desc("substr_count", classOf[SubstrCountExpr])(c => SubstrCountExpr(c.head, c(1))))
+    desc("substr_count", classOf[SubstrCountExpr])(c => SubstrCountExpr(c.head, c(1))),
+    desc("char_class_counts", classOf[CharClassCountsExpr])(
+      c => CharClassCountsExpr(c.head)))
 }

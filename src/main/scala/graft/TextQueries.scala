@@ -423,14 +423,25 @@ object TextQueries {
     * engine's ln(2), for the same reason. */
   val q75CharEntropy: Q = (s, d) => {
     val n = length(col("text"))
-    def cls(pattern: String): Column =
-      n - length(regexp_replace(col("text"), pattern, ""))
-    val cLower = cls("[a-z]")
-    val cUpper = cls("[A-Z]")
-    val cDigit = cls("[0-9]")
-    val cSpace = cls("[ ]")
-    val cPunct = cls("[.,;:!?]")
-    val cOther = n - cLower - cUpper - cDigit - cSpace - cPunct
+    // Fast path: the native char_class_counts expression — all six counts
+    // in ONE byte scan (value-identical to the regex definition, see its
+    // scaladoc; FallbackSpec pins it). Fallback: six regexp_replace
+    // passes, one per class. At test SF the query is scan/job-overhead
+    // bound either way (bench unchanged); the fused scan's win is
+    // per-text-byte CPU, which is what dominates at corpus scale.
+    val native = s.catalog.functionExists("char_class_counts")
+    val counts = call_function("char_class_counts", col("text"))
+    def cls(i: Int, pattern: String): Column =
+      if (native) element_at(counts, i + 1)
+      else n - length(regexp_replace(col("text"), pattern, ""))
+    val cLower = cls(0, "[a-z]")
+    val cUpper = cls(1, "[A-Z]")
+    val cDigit = cls(2, "[0-9]")
+    val cSpace = cls(3, "[ ]")
+    val cPunct = cls(4, "[.,;:!?]")
+    val cOther =
+      if (native) element_at(counts, 6)
+      else n - cLower - cUpper - cDigit - cSpace - cPunct
     val nD = n.cast(DoubleType)
     def term(c: Column): Column = {
       val p = c.cast(DoubleType) / nD

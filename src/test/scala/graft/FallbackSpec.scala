@@ -63,6 +63,20 @@ class FallbackSpec extends SparkSpec {
     fbPq shouldBe nativePq
   }
 
+  test("char_class_counts fused scan matches the six-regex fallback (incl. non-ASCII)") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = TextQueries.q75CharEntropy(spark, sf)
+      .collect().map(r => r.toSeq.toList).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val native = run()
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("char_class_counts") shouldBe false
+      run()
+    }
+    fallback shouldBe native
+    // the zh documents exercise the multi-byte `other` bucket
+    native should not be empty
+  }
+
   test("similarity fallback (HOF cosine fold) matches the native expression") {
     val vecs = (0 until 12).map(i =>
       (i.toLong, (0 until 16).map(j => ((i * 13 + j * 7) % 19 - 9) / 5.0f)))
