@@ -72,7 +72,7 @@ object Similarity {
     * `session.catalog.functionExists("dot_fd")`. */
   def signBucket(v: Column, grid: Array[Array[Int]], native: Boolean = false): Column =
     grid.zipWithIndex.map { case (h, p) =>
-      val hCol = array(h.map(x => lit(x / 1000.0)): _*)
+      val hCol = array(h.toIndexedSeq.map(x => lit(x / 1000.0)): _*)
       val d = if (native) call_function("dot_fd", v, hCol) else dot(v, hCol)
       when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -101,7 +101,7 @@ object Similarity {
     * the native fused loop when the session registers `l2_sq` (bit-equal,
     * see [[graft.functions.L2SquaredDistance]]), else the HOF fold. */
   private def dist2(v: Column, cent: Array[Int], native: Boolean): Column = {
-    val c = array(cent.map(x => lit(x / 1000.0)): _*)
+    val c = array(cent.toIndexedSeq.map(x => lit(x / 1000.0)): _*)
     if (native) call_function("l2_sq", v, c)
     else
       aggregate(zip_with(v, c, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
@@ -112,7 +112,7 @@ object Similarity {
     * lexicographic, so array_min/array_sort give the (nearest, lowest-idx)
     * deterministic assignment and probe order. */
   private def centroidDists(v: Column, cents: Array[Array[Int]], native: Boolean): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+    array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(dist2(v, c, native).as("dist"), lit(i).as("c"))
     }: _*)
 
