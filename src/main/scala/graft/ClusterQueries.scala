@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Embedding-space clustering over `embeddings` — the corpus-organization
+  * primitive behind semantic dedup, topic balancing, and IVF index training.
+  *
+  * The interesting problem at cluster scale is not Lloyd's algorithm, it is
+  * DETERMINISM: a centroid is a mean, a mean is a float sum, and a float sum
+  * is order-dependent — so a naive distributed k-means produces different
+  * centroids on every run (and on every partitioning) once tasks race. The
+  * fix here is fixed-point accumulation: each component is scaled to
+  * integer micro-units in-scan (floor(x·1e6) — exact, per-row), summed as
+  * BIGINT (associative + commutative, so ANY task order and ANY combiner
+  * tree yields the identical total), and divided back to double once, in a
+  * fixed order, at the K-row reduction. The refined centroids are therefore
+  * bit-identical at local[1], local[32], or 1000 executors — and in DuckDB,
+  * which is what lets the gate hash the full assignment including raw
+  * double distances (the distance fold itself is transcendental-free).
+  */
+object ClusterQueries {
+  import Queries.Q
+
+  private[graft] val K = 8
+  private[graft] val DIM = 64
+  private val SCALE = 1000000.0
+
+  /** 0.0-seeded left-fold squared L2 in element order (the q76 contract);
+    * native fused expression when registered, HOF fallback otherwise. */
+  private def dist2For(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists("l2_sq"))
+      call_function("l2_sq", a, b.cast("array<double>"))
+    else
+      aggregate(
+        zip_with(a, b.cast("array<double>"), (x, y) =>
+          (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment: broadcast the K-row centroid table,
+    * argmin via min(struct(dist, cluster)) — an algebraic aggregate with
+    * map-side partials and the oracle's (dist, cluster) tie-break. The
+    * corpus side never shuffles raw vectors: the exchange carries one
+    * partial minimum per (vec_id, task). */
+  private def assign(s: SparkSession, vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = dist2For(s) _
+    vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(dist2(col("embedding"), col("cent")).as("dist"), col("cluster")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cluster").as("cluster"), col("best.dist").as("dist2"))
+  }
+
+  /** Fixed-point centroid refinement: per-(cluster, dim) BIGINT sums of
+    * floor(x·1e6), rebuilt into ordered double arrays at K rows. ONE keyed
+    * shuffle of integer partials; the division back to double happens once
+    * per component in a fixed order. */
+  private def refine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(
+        sum(floor(col("x").cast(DoubleType) * lit(SCALE)).cast(LongType)).as("s"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast(DoubleType) / lit(SCALE) / col("cnt").cast(DoubleType))
+            .as("v")))),
+        e => e.getField("v")).as("cent"))
+
+  /** q81: deterministic k-means — K=8 seeds (vec_id < K, the q76 seeding
+    * discipline), one fixed-point refinement, final re-assignment. Output
+    * is the full corpus assignment (vec_id, cluster, dist2) with RAW double
+    * distances gated bit-exactly: every step is integer math or a
+    * fixed-order IEEE fold, so no quantization is needed anywhere. More
+    * Lloyd rounds are the same two plan fragments repeated (with the q44
+    * lineage-checkpoint discipline once rounds grow). */
+  val q81Kmeans: Q = (s, d) => {
+    val vectors = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seeds = vectors.filter(col("vec_id") < K)
+      .select(col("vec_id").cast(IntegerType).as("cluster"),
+        col("embedding").cast("array<double>").as("cent"))
+    val refined = refine(assign(s, vectors, seeds))
+    assign(s, vectors, refined)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q81_kmeans" -> q81Kmeans)
+
+  /** dist² between a float-list column and a double-list column: the exact
+    * 0.0-seeded left fold both Spark paths implement. */
+  private def dist2Sql(v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($v, $c),
+       |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q81_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < $K),
+         |a1 AS (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.embedding", "c.cent")}, c.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+         |u1 AS (
+         |  SELECT cluster, i AS dim,
+         |    sum(CAST(floor(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+         |      * $SCALE) AS BIGINT)) AS s,
+         |    count(*) AS cnt
+         |  FROM a1, UNNEST(range(0, $DIM)) t(i)
+         |  GROUP BY cluster, i),
+         |c1 AS (
+         |  SELECT cluster,
+         |    list(CAST(s AS DOUBLE) / $SCALE / CAST(cnt AS DOUBLE) ORDER BY dim)
+         |      AS cent
+         |  FROM u1 GROUP BY cluster),
+         |a2 AS (
+         |  SELECT vec_id, cluster, dist2 FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |      ${dist2Sql("e.embedding", "c.cent")} AS dist2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.embedding", "c.cent")}, c.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)
+         |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin)
+}

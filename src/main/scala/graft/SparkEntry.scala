@@ -17,7 +17,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries ++
-      CorpusPipelineQueries.queries ++ OlapQueries.queries
+      CorpusPipelineQueries.queries ++ OlapQueries.queries ++
+      RetrievalQueries.queries ++ ClusterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle ++
-      CorpusPipelineQueries.oracle ++ OlapQueries.oracle
+      CorpusPipelineQueries.oracle ++ OlapQueries.oracle ++
+      RetrievalQueries.oracle ++ ClusterQueries.oracle
 }

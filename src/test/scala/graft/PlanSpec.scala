@@ -383,4 +383,36 @@ class PlanSpec extends SparkSpec {
     p should not include "hashpartitioning(o_orderkey"
     p should not include "BroadcastExchange"
   }
+
+  test("q80 BM25: scan-and-score — zero keyed exchanges, top-k is a heap not a sort") {
+    val p = plan(RetrievalQueries.q80Bm25(spark, sf))
+    // per-term tf is an in-scan array fold (no explode, no posting shuffle);
+    // the only aggregation is the 1-row corpus-stats scalar, and the only
+    // join is its broadcast back — nothing ever hash-partitions
+    p should not include "Arguments: hashpartitioning"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+    """\(\d+\) Sort""".r.findAllMatchIn(p) shouldBe empty // no global sort
+    // scan pruning: only the two columns BM25 reads
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q81 k-means: centroids broadcast to the corpus; only integer partials shuffle") {
+    val p = plan(ClusterQueries.q81Kmeans(spark, sf))
+    // both assignment rounds pair the corpus with a K-row broadcast —
+    // never a shuffled or sort-merge join of raw vectors
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin")
+    // argmin and the fixed-point sums are algebraic: map-side partials
+    // collapse before every exchange
+    p should include("partial_min")
+    p should include("partial_sum")
+    // raw embeddings cross an exchange only as (vec_id, task)-bounded
+    // argmin partials — the refine shuffle carries BIGINT sums, the
+    // final assignment's exchange is the same bounded argmin shape
+    (p should include).regex("""Arguments: hashpartitioning\(vec_id#\d+L""")
+  }
 }
