@@ -173,6 +173,22 @@ object DedupQueries {
       DECON_K, DECON_MIN)
   }
 
+  /** q82: q38's decontamination in the eval-too-big-to-broadcast regime —
+    * bloom-filter semi-join reduction (see
+    * [[Dedup.bloomContaminationPairs]]). Same pairs, same counts: the
+    * oracle is q38's SQL verbatim, so the gate proves the bloom prefilter
+    * is invisible to results (no false negatives) every round. */
+  private val BLOOM_EST = 4096L
+  private val BLOOM_BITS = 65536L
+
+  val q82BloomDecontam: Q = (s, d) => {
+    val docs = Tables.documentsDistributed(s, d)
+    Dedup.bloomContaminationPairs(
+      docs.filter(col("doc_id") >= EVAL_MAX_ID),
+      docs.filter(col("doc_id") < EVAL_MAX_ID),
+      DECON_K, DECON_MIN, BLOOM_EST, BLOOM_BITS)
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
@@ -180,6 +196,7 @@ object DedupQueries {
     "q30_dedup_simhash"       -> q30DedupSimhash,
     "q35_dedup_embedding"     -> q35DedupEmbedding,
     "q38_decontamination"     -> q38Decontamination,
+    "q82_bloom_decontam"      -> q82BloomDecontam,
     "q44_dedup_clusters"      -> q44DedupClusters,
     "q47_boilerplate"         -> q47Boilerplate,
     "q73_incremental_dedup"   -> q73IncrementalDedup,
@@ -208,6 +225,15 @@ object DedupQueries {
        |JOIN sz zb ON zb.doc_id = db
        |$extraJoin
        |WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= $threshold""".stripMargin
+
+  private lazy val deconSql: String =
+    s"""WITH ${shinglesCte(DECON_K)},
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < $EVAL_MAX_ID),
+       |co AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id >= $EVAL_MAX_ID)
+       |SELECT corpus_id, eval_id, count(*) AS shared_ngrams
+       |FROM co JOIN ev USING (s)
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $DECON_MIN""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -239,14 +265,10 @@ object DedupQueries {
     // Inverted-index n-gram overlap; string shingles in the oracle vs
     // 64-bit-hashed shingles in the plan — identical counts up to a
     // ~2^-64 per-shingle collision chance (same argument as q21/q22).
-    "q38_decontamination" ->
-      s"""WITH ${shinglesCte(DECON_K)},
-         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < $EVAL_MAX_ID),
-         |co AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id >= $EVAL_MAX_ID)
-         |SELECT corpus_id, eval_id, count(*) AS shared_ngrams
-         |FROM co JOIN ev USING (s)
-         |GROUP BY 1, 2
-         |HAVING count(*) >= $DECON_MIN""".stripMargin,
+    "q38_decontamination" -> deconSql,
+    // The bloom-prefiltered variant must return exactly the exact answer
+    // (no false negatives): q38's oracle verbatim.
+    "q82_bloom_decontam" -> deconSql,
     // All-pairs exact Jaccard at τ=0.8 restricted to batch×corpus pairs —
     // the incremental probe through the materialized fingerprints must
     // equal the all-pairs gate on exactly those pairs (same recall argument

@@ -41,5 +41,21 @@ object GraftExtensions {
       c.head, c(1).eval().asInstanceOf[Int], c(2).eval().asInstanceOf[Int])),
     desc("substr_count", classOf[SubstrCountExpr])(c => SubstrCountExpr(c.head, c(1))),
     desc("char_class_counts", classOf[CharClassCountsExpr])(
-      c => CharClassCountsExpr(c.head)))
+      c => CharClassCountsExpr(c.head)),
+    // Spark's own sketch expressions (the machinery behind the optimizer's
+    // runtime bloom-filter join reduction), surfaced as callable functions
+    // so a query can build the semi-join-reduction shape explicitly:
+    // bloom_agg(longCol, estItems, numBits) -> binary; a bitset OR-merge is
+    // order-independent, so the aggregate is deterministic at any
+    // parallelism. bloom_might_contain(bloom, longCol) -> boolean, with
+    // NO false negatives — an exact join downstream of the prefilter
+    // returns exactly the unfiltered answer.
+    desc("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])(
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c.head, c(1), c(2))),
+    desc("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])(
+      c => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        c.head, c(1))))
 }

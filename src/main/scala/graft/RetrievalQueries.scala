@@ -87,8 +87,57 @@ object RetrievalQueries {
           .orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** q83: PMI bigram collocations — the corpus-statistics classic for
+    * finding multi-word expressions ("new york", "machine learning") worth
+    * treating as single tokens in a vocabulary build (complements q53's
+    * unigram top-k). Pointwise mutual information compares the observed
+    * bigram rate to the independence expectation; since log is monotone,
+    * the gated statistic is the RAW ODDS RATIO
+    *   r = (c_xy · N_uni²) / (N_bi · c_x · c_y)
+    * — exact BIGINT products (ANSI mode faults on overflow rather than
+    * corrupting; a >2^63-scale corpus upgrades them to DECIMAL) divided
+    * ONCE into a double, so unlike q75/q80 nothing needs quantizing: the
+    * ranking is bit-exact with zero transcendentals.
+    *
+    * Scale shape: two keyed count shuffles (bigrams, unigrams) that
+    * collapse map-side; the unigram vocabulary broadcasts back onto the
+    * bigram counts (bounded vocab — an unbounded-key corpus flips these
+    * to a shuffle join, same semantics); corpus totals are one scalar
+    * broadcast; top-k is a TakeOrderedAndProject heap. */
+  private val PMI_MIN_COUNT = 5
+  private val PMI_TOP_K = 50
+
+  val q83PmiBigrams: Q = (s, d) => {
+    val w = TextOps.words(col("text"))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val uni = docs.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("c_xy"))
+    val tot = docs.agg(
+      sum(size(w).cast(LongType)).as("n_uni"),
+      sum((size(w) - 1).cast(LongType)).as("n_bi"))
+    bi.filter(col("c_xy") >= PMI_MIN_COUNT)
+      .join(broadcast(uni.withColumnRenamed("t", "term_a")
+        .withColumnRenamed("c", "c_a")), Seq("term_a"))
+      .join(broadcast(uni.withColumnRenamed("t", "term_b")
+        .withColumnRenamed("c", "c_b")), Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("term_a"), col("term_b"), col("c_xy"), col("c_a"), col("c_b"),
+        ((col("c_xy") * col("n_uni") * col("n_uni")).cast(DoubleType) /
+          (col("n_bi") * col("c_a") * col("c_b")).cast(DoubleType))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("term_a"), col("term_b"))
+      .limit(PMI_TOP_K)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q80_bm25" -> q80Bm25)
+    "q80_bm25" -> q80Bm25,
+    "q83_pmi_bigrams" -> q83PmiBigrams)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -125,5 +174,26 @@ object RetrievalQueries {
          |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
          |    AS rank
          |FROM scored
-         |QUALIFY rank <= $TOP_K""".stripMargin)
+         |QUALIFY rank <= $TOP_K""".stripMargin,
+    "q83_pmi_bigrams" ->
+      s"""WITH docs AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT unnest(w) AS t FROM docs),
+         |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |bi AS (SELECT w[CAST(i AS INTEGER)] AS term_a,
+         |              w[CAST(i + 1 AS INTEGER)] AS term_b
+         |       FROM docs, UNNEST(range(1, len(w))) r(i)),
+         |bc AS (SELECT term_a, term_b, count(*) AS c_xy
+         |       FROM bi GROUP BY term_a, term_b),
+         |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_uni,
+         |               CAST(sum(len(w) - 1) AS BIGINT) AS n_bi
+         |        FROM docs)
+         |SELECT term_a, term_b, c_xy, a.c AS c_a, b.c AS c_b,
+         |  CAST(c_xy * n_uni * n_uni AS DOUBLE)
+         |    / CAST(n_bi * a.c * b.c AS DOUBLE) AS pmi_ratio
+         |FROM bc JOIN uc a ON a.t = term_a JOIN uc b ON b.t = term_b, tot
+         |WHERE c_xy >= $PMI_MIN_COUNT
+         |ORDER BY pmi_ratio DESC, term_a, term_b
+         |LIMIT $PMI_TOP_K""".stripMargin)
 }

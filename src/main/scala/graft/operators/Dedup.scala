@@ -249,6 +249,49 @@ object Dedup {
       .filter(col("shared_ngrams") >= minOverlap)
   }
 
+  /** [[contaminationPairs]] for the regime where the eval side is too big
+    * to broadcast as a hash relation (a full multi-benchmark suite's
+    * shingle set): classic bloom-filter semi-join reduction. The eval
+    * shingles aggregate into ONE bloom bitset (a scalar subquery — the
+    * OR-merge is order-independent, so the sketch is deterministic at any
+    * parallelism, and at `numBits` bits it is ~10× smaller than a
+    * broadcast hash relation of the same keys), the corpus side is
+    * prefiltered by `bloom_might_contain` INSIDE its scan task before its
+    * shuffle, and only surviving shingles enter the sort-merge join. A
+    * bloom filter has NO false negatives, so the exact equi-join
+    * downstream returns exactly [[contaminationPairs]]' answer — the gate
+    * shares q38's oracle; false positives cost only wasted shuffle rows
+    * (fpp-bounded), never wrong results.
+    *
+    * On a vanilla session (no GraftExtensions) the prefilter is dropped —
+    * same equi-join, same exact answer, just without the semi-join
+    * reduction (FallbackSpec pins the equality). */
+  def bloomContaminationPairs(corpus: DataFrame, eval: DataFrame,
+                              shingleK: Int, minOverlap: Int,
+                              estItems: Long, numBits: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    shingled(corpus, shingleK)
+      .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("h"))
+      .createOrReplaceTempView("graft_bloom_corpus_sh")
+    shingled(eval, shingleK)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("h"))
+      .createOrReplaceTempView("graft_bloom_eval_sh")
+    val prefilter =
+      if (spark.catalog.functionExists("bloom_might_contain"))
+        s"""WHERE bloom_might_contain(
+           |  (SELECT bloom_agg(h, ${estItems}L, ${numBits}L)
+           |   FROM graft_bloom_eval_sh), c.h)""".stripMargin
+      else ""
+    spark.sql(
+      s"""SELECT /*+ MERGE(c, e) */ corpus_id, eval_id,
+         |  count(*) AS shared_ngrams
+         |FROM graft_bloom_corpus_sh c
+         |JOIN graft_bloom_eval_sh e ON c.h = e.h
+         |$prefilter
+         |GROUP BY corpus_id, eval_id
+         |HAVING count(*) >= $minOverlap""".stripMargin)
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
     * (OR-construction over `grids.length` independent sign-bucketings),
     * exact-cosine verified. The embedding rides through the band self-join

@@ -215,4 +215,20 @@ class FallbackSpec extends SparkSpec {
     val fallback = withoutNativeFunctions { run() }
     fallback shouldBe native
   }
+
+  test("q82 without the bloom functions drops the prefilter, keeps the exact answer") {
+    def run() = DedupQueries.q82BloomDecontam(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val native = run()
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("bloom_might_contain") shouldBe false
+      run()
+    }
+    fallback shouldBe native
+    // and the prefiltered plan really is the prefiltered plan
+    val p = DedupQueries.q82BloomDecontam(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should include("might_contain")
+  }
 }

@@ -384,6 +384,25 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastExchange"
   }
 
+  test("q82 bloom decontamination: prefilter kills corpus shingles BEFORE the join shuffle") {
+    val p = plan(DedupQueries.q82BloomDecontam(spark, sf))
+    // the eval-too-big-to-broadcast regime: a sort-merge equi-join, with
+    // the bloom bitset (scalar subquery) probed in the corpus branch
+    p should include("SortMergeJoin Inner")
+    p should not include "CartesianProduct"
+    p should include("bloom_filter_agg")
+    // the might_contain filter must sit BELOW the join's h-keyed exchange:
+    // survivors shuffle, victims die in the scan task
+    val might = """\((\d+)\) Filter\s*\nInput.*\nCondition : might_contain""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val joinExchange = """\((\d+)\) Exchange\s*\nInput \[2\]: \[corpus_id""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(might.isDefined, "no might_contain filter in plan")
+    assert(joinExchange.isDefined, "no corpus-side join exchange in plan")
+    assert(might.get < joinExchange.get,
+      s"bloom prefilter (node ${might.get}) must precede the join exchange (node ${joinExchange.get})")
+  }
+
   test("q80 BM25: scan-and-score — zero keyed exchanges, top-k is a heap not a sort") {
     val p = plan(RetrievalQueries.q80Bm25(spark, sf))
     // per-term tf is an in-scan array fold (no explode, no posting shuffle);
@@ -396,6 +415,19 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Sort""".r.findAllMatchIn(p) shouldBe empty // no global sort
     // scan pruning: only the two columns BM25 reads
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q83 PMI: two map-side-combined count shuffles, vocab broadcasts, heap top-k") {
+    val p = plan(RetrievalQueries.q83PmiBigrams(spark, sf))
+    // bigram + unigram counts collapse before their exchanges; the c_xy >= 5
+    // filter runs on the counted rows BEFORE the vocab joins
+    p should include("partial_count")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("TakeOrderedAndProject")
+    """\(\d+\) Sort""".r.findAllMatchIn(p) shouldBe empty
+    // only the text column feeds the whole statistic
+    p should include("ReadSchema: struct<text:string>")
   }
 
   test("q81 k-means: centroids broadcast to the corpus; only integer partials shuffle") {
