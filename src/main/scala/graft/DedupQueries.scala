@@ -159,6 +159,15 @@ object DedupQueries {
       Tables.documents(s, d).filter(col("doc_id") < BATCH_MAX_ID), INC_TAU, INC_K)
   }
 
+  /** q84: edit-distance near-dup pairs — q22's blocking with the
+    * character-level banded-Levenshtein verifier
+    * ([[Dedup.blockedEditPairs]]): pairs within 40 edits on the 200-char
+    * prefix. Catches small in-place edits Jaccard barely registers. */
+  private val EDIT_MAX = 40
+
+  val q84DedupEdit: Q = (s, d) =>
+    Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX)
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -197,6 +206,7 @@ object DedupQueries {
     "q35_dedup_embedding"     -> q35DedupEmbedding,
     "q38_decontamination"     -> q38Decontamination,
     "q82_bloom_decontam"      -> q82BloomDecontam,
+    "q84_dedup_edit"          -> q84DedupEdit,
     "q44_dedup_clusters"      -> q44DedupClusters,
     "q47_boilerplate"         -> q47Boilerplate,
     "q73_incremental_dedup"   -> q73IncrementalDedup,
@@ -269,6 +279,20 @@ object DedupQueries {
     // The bloom-prefiltered variant must return exactly the exact answer
     // (no false negatives): q38's oracle verbatim.
     "q82_bloom_decontam" -> deconSql,
+    // Same blocking as q22; DuckDB's unbanded levenshtein equals the
+    // banded result wherever the banded one answers (<= threshold).
+    "q84_dedup_edit" ->
+      s"""WITH w AS (SELECT doc_id, lang, text,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+         |  FROM documents),
+         |blk AS (SELECT doc_id, lang, text, nw // 32 AS b FROM w)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |    AS INTEGER) AS edit_dist
+         |FROM blk a JOIN blk b
+         |  ON a.lang = b.lang AND abs(a.b - b.b) <= 1 AND a.doc_id < b.doc_id
+         |WHERE levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |  <= $EDIT_MAX""".stripMargin,
     // All-pairs exact Jaccard at τ=0.8 restricted to batch×corpus pairs —
     // the incremental probe through the materialized fingerprints must
     // equal the all-pairs gate on exactly those pairs (same recall argument

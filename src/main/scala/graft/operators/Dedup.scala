@@ -249,6 +249,49 @@ object Dedup {
       .filter(col("shared_ngrams") >= minOverlap)
   }
 
+  /** Blocked pairwise EDIT-DISTANCE near-dup pairs — the character-level
+    * verifier for corpora where token-set Jaccard is too coarse (small
+    * in-place edits barely move a shingle set's Jaccard but land within a
+    * few character operations). Candidates come from the same
+    * (lang, ±1 length-bucket) blocking as [[blockedNgramPairs]], with each
+    * side's comparison PREFIX carried through the block join so the verify
+    * needs no lookup joins. The verify itself is Spark's banded
+    * `levenshtein(l, r, threshold)` — O(len·maxDist) cells instead of the
+    * full O(len²) DP, returning -1 past the threshold, so the per-pair cost
+    * is capped no matter how long documents get. Prefix truncation bounds
+    * it further (a 200-char prefix decides near-identity for crawl dups;
+    * full-text distance would be quadratic in document length for every
+    * true dup).
+    *
+    * Plan note (pinned): because the banded DP is a pure scalar predicate,
+    * Catalyst hoists the `>= 0` filter INTO the block join as a residual
+    * condition — candidate pairs are verified as the join produces them
+    * and never materialize; only survivors (true near-dups) reach the
+    * rebalance exchange. That beats the verify-after-shuffle shape
+    * [[blockedNgramPairs]] needs (its Jaccard verify requires set columns
+    * a join residual can't carry cheaply). Corpus here is ASCII;
+    * cross-engine length units (codepoint vs character) only matter past
+    * the BMP — the substr_count parity note applies. */
+  def blockedEditPairs(docs: DataFrame, maxDist: Int,
+                       prefixLen: Int = 200, bucketWords: Int = 32): DataFrame = {
+    val blk = floor(size(TextOps.words(col("text"))) / lit(bucketWords)).cast(IntegerType)
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("pfx"), blk.as("blk"))
+      .select(col("doc_id"), col("lang"), col("pfx"), col("blk"),
+        explode(array(col("blk"), col("blk") + 1)).as("bkey"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          !(col("x.bkey") === col("x.blk") + 1 && col("y.bkey") === col("y.blk") + 1))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pfx").as("pa"), col("y.pfx").as("pb"))
+      // Rebalance before the CPU-dense DP (see blockedNgramPairs).
+      .repartition(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** [[contaminationPairs]] for the regime where the eval side is too big
     * to broadcast as a hash relation (a full multi-benchmark suite's
     * shingle set): classic bloom-filter semi-join reduction. The eval

@@ -384,6 +384,18 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastExchange"
   }
 
+  test("q84 edit-distance dedup: banded DP verifies as a join residual — pairs never materialize") {
+    val p = plan(DedupQueries.q84DedupEdit(spark, sf))
+    // candidates come from an equi-join on (lang, bkey) — never all-pairs
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p should include).regex("""Left keys \[2\]: \[lang#\d+, bkey#\d+\]""")
+    // the banded (threshold-capped) levenshtein runs inside the join
+    // condition: a non-dup candidate dies where it is generated, before
+    // any exchange sees it
+    (p should include).regex("""Join condition: \(\(\(levenshtein\(pfx#\d+, pfx#\d+, Some\(40\)\) >= 0\)""")
+  }
+
   test("q82 bloom decontamination: prefilter kills corpus shingles BEFORE the join shuffle") {
     val p = plan(DedupQueries.q82BloomDecontam(spark, sf))
     // the eval-too-big-to-broadcast regime: a sort-merge equi-join, with
