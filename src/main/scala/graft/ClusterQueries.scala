@@ -89,8 +89,38 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** q85: cluster-balanced sampling — the diversity-preserving subset
+    * selection behind "don't let one dominant mode eat the training mix":
+    * q81's clusters partition the corpus by embedding region; each cluster
+    * contributes at most QUOTA vectors, chosen by a deterministic
+    * content-stable salted-hash order (the q37/q63 idiom — any engine
+    * reproduces the same subset from ids alone, no RNG state). A dominant
+    * cluster is capped, a rare cluster survives whole: the output is the
+    * balanced mix.
+    *
+    * Scale shape: q81's plan (broadcast assignment, integer-partial
+    * refine) + ONE cluster-keyed exchange for the quota window — and the
+    * rank filter pushes into WindowGroupLimit, so each task forwards at
+    * most QUOTA rows per cluster to the window sort, never the full
+    * cluster. */
+  private[graft] val QUOTA = 30
+  private val SALT = "q85|"
+
+  val q85ClusterSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = graft.operators.TextOps.hash60(
+      concat(lit(SALT), col("vec_id").cast(org.apache.spark.sql.types.StringType)))
+    q81Kmeans(s, d)
+      .select(col("vec_id"), col("cluster"), ord.as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("ord"), col("vec_id"))))
+      .filter(col("pos") <= QUOTA)
+      .select(col("vec_id"), col("cluster"), col("pos").cast(LongType).as("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q81_kmeans" -> q81Kmeans)
+    "q81_kmeans" -> q81Kmeans,
+    "q85_cluster_sample" -> q85ClusterSample)
 
   /** dist² between a float-list column and a double-list column: the exact
     * 0.0-seeded left fold both Spark paths implement. */
@@ -100,9 +130,10 @@ object ClusterQueries {
        |      z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))),
        |  (x, y) -> x + y)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "q81_kmeans" ->
-      s"""WITH c0 AS (
+  /** The k-means replay (seeds → assign → fixed-point refine → re-assign),
+    * shared by q81's gate and q85's quota stage. */
+  private lazy val kmeansCtes: String =
+    s"""WITH c0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cluster,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
          |  FROM embeddings WHERE vec_id < $K),
@@ -130,6 +161,24 @@ object ClusterQueries {
          |      ${dist2Sql("e.embedding", "c.cent")} AS dist2,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${dist2Sql("e.embedding", "c.cent")}, c.cluster) AS rn
-         |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)
-         |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin)
+         |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q81_kmeans" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,
+    // Same replay + the salted-hash quota window (the q37/q63 md5 idiom).
+    "q85_cluster_sample" ->
+      s"""$kmeansCtes,
+         |o AS (
+         |  SELECT vec_id, cluster,
+         |    CAST(('0x' || substr(md5('q85|' || CAST(vec_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) AS ord
+         |  FROM a2),
+         |r AS (
+         |  SELECT vec_id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY ord, vec_id)
+         |      AS BIGINT) AS pos
+         |  FROM o)
+         |SELECT vec_id, cluster, pos FROM r WHERE pos <= $QUOTA""".stripMargin)
 }

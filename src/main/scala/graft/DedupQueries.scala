@@ -161,12 +161,15 @@ object DedupQueries {
 
   /** q84: edit-distance near-dup pairs — q22's blocking with the
     * character-level banded-Levenshtein verifier
-    * ([[Dedup.blockedEditPairs]]): pairs within 40 edits on the 200-char
-    * prefix. Catches small in-place edits Jaccard barely registers. */
-  private val EDIT_MAX = 40
+    * ([[Dedup.blockedEditPairs]]): pairs within 24 edits on the 128-char
+    * prefix (both scales show a wide stable gap there: true dups sit ≤16
+    * edits, the noise floor starts ~70). Catches small in-place edits
+    * Jaccard barely registers. */
+  private val EDIT_MAX = 24
+  private val EDIT_PREFIX = 128
 
   val q84DedupEdit: Q = (s, d) =>
-    Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX)
+    Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX, EDIT_PREFIX)
 
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
@@ -287,12 +290,13 @@ object DedupQueries {
          |  FROM documents),
          |blk AS (SELECT doc_id, lang, text, nw // 32 AS b FROM w)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
-         |    AS INTEGER) AS edit_dist
+         |  CAST(levenshtein(substr(a.text, 1, $EDIT_PREFIX),
+         |                   substr(b.text, 1, $EDIT_PREFIX)) AS INTEGER)
+         |    AS edit_dist
          |FROM blk a JOIN blk b
          |  ON a.lang = b.lang AND abs(a.b - b.b) <= 1 AND a.doc_id < b.doc_id
-         |WHERE levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
-         |  <= $EDIT_MAX""".stripMargin,
+         |WHERE levenshtein(substr(a.text, 1, $EDIT_PREFIX),
+         |                  substr(b.text, 1, $EDIT_PREFIX)) <= $EDIT_MAX""".stripMargin,
     // All-pairs exact Jaccard at τ=0.8 restricted to batch×corpus pairs —
     // the incremental probe through the materialized fingerprints must
     // equal the all-pairs gate on exactly those pairs (same recall argument

@@ -263,15 +263,23 @@ object Dedup {
     * full-text distance would be quadratic in document length for every
     * true dup).
     *
-    * Plan note (pinned): because the banded DP is a pure scalar predicate,
-    * Catalyst hoists the `>= 0` filter INTO the block join as a residual
-    * condition — candidate pairs are verified as the join produces them
-    * and never materialize; only survivors (true near-dups) reach the
-    * rebalance exchange. That beats the verify-after-shuffle shape
-    * [[blockedNgramPairs]] needs (its Jaccard verify requires set columns
-    * a join residual can't carry cheaply). Corpus here is ASCII;
-    * cross-engine length units (codepoint vs character) only matter past
-    * the BMP — the substr_count parity note applies. */
+    * Plan note (pinned): the banded DP must run AFTER the fixed-width pair
+    * rebalance, never as a join residual. levenshtein is a deterministic
+    * scalar, so a bare post-exchange filter gets pushed back through the
+    * exchange into the join condition — where the DP inherits the JOIN's
+    * parallelism, and AQE's size-based partition coalescing (correct for
+    * byte-bound work, blind to CPU-dense residuals) collapses a
+    * small-bytes corpus to ONE task: measured 224 s serial vs seconds
+    * rebalanced at sf0.1. Two levers pin the scale shape: the rebalance
+    * uses an EXPLICIT partition count (REPARTITION_BY_NUM — AQE honors
+    * user-fixed widths and will not coalesce them), and the DP is wrapped
+    * in an always-true nondeterministic branch
+    * (`when(spark_partition_id() >= 0, …)`) so the optimizer cannot
+    * substitute it back through the exchange. Candidate-pair bytes cross
+    * the wire once either way; the CPU goes where the width is
+    * guaranteed. Corpus here is ASCII; cross-engine length units
+    * (codepoint vs character) only matter past the BMP — the substr_count
+    * parity note applies. */
   def blockedEditPairs(docs: DataFrame, maxDist: Int,
                        prefixLen: Int = 200, bucketWords: Int = 32): DataFrame = {
     val blk = floor(size(TextOps.words(col("text"))) / lit(bucketWords)).cast(IntegerType)
@@ -279,16 +287,18 @@ object Dedup {
         substring(col("text"), 1, prefixLen).as("pfx"), blk.as("blk"))
       .select(col("doc_id"), col("lang"), col("pfx"), col("blk"),
         explode(array(col("blk"), col("blk") + 1)).as("bkey"))
-    keyed.as("x").join(keyed.as("y"),
+    val candidates = keyed.as("x").join(keyed.as("y"),
         col("x.lang") === col("y.lang") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id") &&
           !(col("x.bkey") === col("x.blk") + 1 && col("y.bkey") === col("y.blk") + 1))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.pfx").as("pa"), col("y.pfx").as("pb"))
-      // Rebalance before the CPU-dense DP (see blockedNgramPairs).
-      .repartition(col("doc_a"), col("doc_b"))
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    candidates
+      .repartition(width, col("doc_a"), col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb"), maxDist).as("edit_dist"))
+        when(spark_partition_id() >= 0,
+          levenshtein(col("pa"), col("pb"), maxDist)).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 

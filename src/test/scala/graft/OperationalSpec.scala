@@ -2,10 +2,12 @@ package graft
 
 /** Property tests for the operational-regime capabilities: the epoch
   * reshuffle's permutation guarantees (q74), the merge upsert's
-  * layout-reuse contract (q72), and the PQ codes' reconstruction quality
-  * (q76). These assert the semantics the DuckDB hash gate cannot see —
-  * "different order per epoch", "untouched partitions' files
-  * byte-identical", "reconstruction close enough to preserve ranking".
+  * layout-reuse contract (q72), the PQ codes' reconstruction quality
+  * (q76), and the k-means determinism contract (q81). These assert the
+  * semantics the DuckDB hash gate cannot see — "different order per
+  * epoch", "untouched partitions' files byte-identical", "reconstruction
+  * close enough to preserve ranking", "same centroids at any
+  * parallelism".
   */
 class OperationalSpec extends SparkSpec {
 
@@ -162,5 +164,33 @@ class OperationalSpec extends SparkSpec {
         frac should be < 0.5
       }
     }
+  }
+
+  test("q81: fixed-point centroid accumulation is partitioning-invariant — bit-identical at any parallelism") {
+    // The determinism claim, executed: a float-mean k-means drifts when the
+    // summation order changes (different partitioning => different task
+    // order => different IEEE rounding); the BIGINT micro-unit accumulation
+    // must not. Run the identical query with the corpus pre-shuffled into
+    // 1, 7, and 32 partitions and demand the same (cluster, dist2) per
+    // vector INCLUDING the raw double distances.
+    def run(parts: Int) = {
+      val base = Tables.embeddings(spark, sf).repartition(parts)
+      // ClusterQueries reads via Tables.embeddings(dir); to vary ONLY the
+      // partitioning we re-run its pipeline on the repartitioned frame by
+      // writing it out and pointing the query at the copy.
+      val dir = java.nio.file.Files.createTempDirectory(s"q81inv$parts").toString
+      base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = ClusterQueries.q81Kmeans(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      out
+    }
+    val p1 = run(1)
+    val p7 = run(7)
+    val p32 = run(32)
+    p7 shouldBe p1
+    p32 shouldBe p1
+    p1.size should be > 0
   }
 }

@@ -384,16 +384,38 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastExchange"
   }
 
-  test("q84 edit-distance dedup: banded DP verifies as a join residual — pairs never materialize") {
+  test("q85 cluster sample: quota window group-limits before its sort; q81's plan underneath") {
+    val p = plan(ClusterQueries.q85ClusterSample(spark, sf))
+    // the rank<=QUOTA filter pushes into WindowGroupLimit: each task
+    // forwards at most QUOTA rows per cluster to the window sort
+    p should include("WindowGroupLimit")
+    // inherited q81 shape: broadcast centroids, no vector-shuffling join
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q84 edit-distance dedup: the banded DP runs ABOVE the fixed-width pair rebalance") {
     val p = plan(DedupQueries.q84DedupEdit(spark, sf))
     // candidates come from an equi-join on (lang, bkey) — never all-pairs
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
     (p should include).regex("""Left keys \[2\]: \[lang#\d+, bkey#\d+\]""")
-    // the banded (threshold-capped) levenshtein runs inside the join
-    // condition: a non-dup candidate dies where it is generated, before
-    // any exchange sees it
-    (p should include).regex("""Join condition: \(\(\(levenshtein\(pfx#\d+, pfx#\d+, Some\(40\)\) >= 0\)""")
+    // the CPU-dense DP must NOT be a join residual: there AQE's size-based
+    // coalescing would run it serially (measured 224 s at sf0.1). The
+    // nondeterministic fence keeps it above the REPARTITION_BY_NUM
+    // exchange, whose width AQE may not coalesce.
+    p should not include "Join condition: (((levenshtein"
+    (p should include).regex(
+      """hashpartitioning\(doc_a#\d+L, doc_b#\d+L, \d+\), REPARTITION_BY_NUM""")
+    val fence = """\((\d+)\) Project\s*\nOutput \[3\]: \[doc_a#\d+L, doc_b#\d+L, CASE WHEN \(SPARK_PARTITION_ID""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val rebalance = """\((\d+)\) Exchange\s*\nInput \[4\]: \[doc_a#\d+L, doc_b#\d+L, pa#\d+, pb#\d+\]""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(fence.isDefined, "fenced levenshtein projection missing")
+    assert(rebalance.isDefined, "pair rebalance exchange missing")
+    assert(fence.get > rebalance.get,
+      s"DP (node ${fence.get}) must run above the rebalance (node ${rebalance.get})")
   }
 
   test("q82 bloom decontamination: prefilter kills corpus shingles BEFORE the join shuffle") {
