@@ -44,23 +44,37 @@ object RetrievalQueries {
     * raw double, so a sub-micro wiggle cannot flip the gated ordering.
     * A zero-tf term contributes an exact 0.0 in both engines, so the sum
     * needs no per-term conditionals. */
-  val q80Bm25: Q = (s, d) => {
+  /** (doc_id, dl, tf_<term>…): the in-scan per-document features — batch
+    * query and streaming twin build these IDENTICAL columns (the windowed-
+    * agg/sessionize "same builder" discipline, applied to retrieval). */
+  private[graft] def perDocFeatures(docs: org.apache.spark.sql.DataFrame) = {
     val w = TextOps.words(col("text"))
     def tfCol(t: String): Column =
       size(filter(w, x => x === lit(t))).cast(LongType)
-    val perDoc = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(
         (col("doc_id") +: size(w).cast(LongType).as("dl") +:
           Q_TERMS.map(t => tfCol(t).as(s"tf_$t"))): _*)
-    // ONE scalar aggregate for every corpus statistic BM25 needs.
+  }
+
+  /** ONE scalar aggregate for every corpus statistic BM25 needs. */
+  private[graft] def corpusStats(perDoc: org.apache.spark.sql.DataFrame) = {
     val statCols =
       count(lit(1)).cast(DoubleType).as("n_docs") +:
         sum(col("dl")).as("sum_dl") +:
         Q_TERMS.map(t =>
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
             .cast(DoubleType).as(s"df_$t"))
-    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    perDoc.agg(statCols.head, statCols.tail: _*)
+  }
+
+  /** Scores features against a (broadcast) 1-row stats frame; emits every
+    * hit (some query term present) with its quantized score. The const-key
+    * equi-join form works identically for a batch frame and a streaming
+    * feed (stream-static joins need an equi-condition; the 1-row stats
+    * side broadcasts either way). */
+  private[graft] def scoreAgainst(perDoc: org.apache.spark.sql.DataFrame,
+                                  stats: org.apache.spark.sql.DataFrame) = {
     val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
     def termScore(t: String): Column = {
       val tf = col(s"tf_$t").cast(DoubleType)
@@ -70,13 +84,18 @@ object RetrievalQueries {
         (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / avgdl))
     }
     val score = Q_TERMS.map(termScore).reduce(_ + _)
-    val hits = perDoc
-      .crossJoin(broadcast(stats))
+    perDoc.withColumn("__one", lit(1))
+      .join(broadcast(stats.withColumn("__one", lit(1))), "__one")
       .select(
         col("doc_id") +: col("dl") +:
           Q_TERMS.map(t => col(s"tf_$t")) :+
           floor(score * lit(1000000.0)).cast(LongType).as("score_micro"): _*)
       .filter(Q_TERMS.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+  }
+
+  val q80Bm25: Q = (s, d) => {
+    val perDoc = perDocFeatures(Tables.documents(s, d))
+    val hits = scoreAgainst(perDoc, corpusStats(perDoc))
     // Top-k FIRST (TakeOrderedAndProject: a k-row heap per scan task, never
     // a global sort), then rank the k survivors with a trivial window.
     hits

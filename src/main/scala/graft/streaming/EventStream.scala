@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.Epoch
+import graft.{Epoch, RetrievalQueries}
 import graft.sources.Fixtures
 
 /** Structured Streaming over the event feed (extension beyond the
@@ -160,6 +160,22 @@ object EventStream {
         sink(graft.operators.Dedup.incrementalNearDupPairs(
           corpusBands, corpusShingles, batch, threshold), id)
       }
+
+  /** Streaming twin of q80's BM25 scorer: arriving documents score against
+    * PRECOMPUTED corpus statistics — the same snapshot discipline as
+    * [[incrementalDedupStream]]'s materialized fingerprints (a production
+    * feed reads the stats row from the last corpus build; recomputing
+    * corpus-wide df/avgdl per micro-batch would rescan the corpus). The
+    * feature columns and the score expression are the batch builder's own
+    * ([[RetrievalQueries.perDocFeatures]]/[[RetrievalQueries.scoreAgainst]]),
+    * so streamed scores are bit-identical to batch scores and chop-invariant
+    * (per-document independence — StreamingSpec asserts both). The stream
+    * side never shuffles: per-doc tf folds in-scan, the 1-row stats frame
+    * broadcasts. Top-k is not meaningful on an unbounded feed; compose with
+    * a windowed aggregation for per-window leaders. */
+  def bm25ScoreStream(docsStream: DataFrame, stats: DataFrame): DataFrame =
+    RetrievalQueries.scoreAgainst(
+      RetrievalQueries.perDocFeatures(docsStream), stats)
 
   /** Streaming twin of the flagship star build: the event feed streams
     * through the SAME staging mapping and the SAME songplay join builder as

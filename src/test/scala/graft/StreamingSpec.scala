@@ -358,4 +358,35 @@ class StreamingSpec extends SparkSpec {
         Seq("event_id", "ts", "user_id", "event_type", "value")
     } finally q.stop()
   }
+
+  test("streaming BM25 scores equal the batch scorer and are chop-invariant (q80 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val stats = RetrievalQueries.corpusStats(
+      RetrievalQueries.perDocFeatures(corpus)).cache()
+    // the feed: a handful of docs containing the fixed query's terms
+    val feedDocs = corpus.filter(col("doc_id") < 40)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStream.bm25ScoreStream(docs, stats)
+      .writeStream.format("memory").queryName("bm25_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two arbitrary chops — scoring is per-document, so the chop must be
+      // invisible in the union of outputs
+      input.addData(feedDocs.take(15))
+      q.processAllAvailable()
+      input.addData(feedDocs.drop(15))
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(r.length - 1))).sorted.toSeq
+      val batch = RetrievalQueries.scoreAgainst(
+          RetrievalQueries.perDocFeatures(
+            feedDocs.toDF("doc_id", "text")), stats)
+        .collect().map(r => (r.getLong(0), r.getLong(r.length - 1))).sorted.toSeq
+      streamed shouldBe batch
+      streamed.size should be > 0
+    } finally { q.stop(); stats.unpersist() }
+  }
 }
