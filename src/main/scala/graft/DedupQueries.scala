@@ -171,6 +171,15 @@ object DedupQueries {
   val q84DedupEdit: Q = (s, d) =>
     Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX, EDIT_PREFIX)
 
+  /** q86: span-level exact-substring duplication signal
+    * ([[Dedup.spanDuplication]]) — per-doc duplicated-span fraction at a
+    * 10-token window (the corpus's min doc length, so every doc has ≥ 1
+    * span and the result covers the whole table). */
+  private val SPAN_W = 10
+
+  val q86SpanDedup: Q = (s, d) =>
+    Dedup.spanDuplication(Tables.documentsDistributed(s, d), SPAN_W)
+
   /** q38: decontamination — corpus docs sharing ≥ 3 distinct word trigrams
     * with any doc of the (small, broadcast) eval set. */
   private val EVAL_MAX_ID = 25
@@ -210,6 +219,7 @@ object DedupQueries {
     "q38_decontamination"     -> q38Decontamination,
     "q82_bloom_decontam"      -> q82BloomDecontam,
     "q84_dedup_edit"          -> q84DedupEdit,
+    "q86_span_dedup"          -> q86SpanDedup,
     "q44_dedup_clusters"      -> q44DedupClusters,
     "q47_boilerplate"         -> q47Boilerplate,
     "q73_incremental_dedup"   -> q73IncrementalDedup,
@@ -282,6 +292,22 @@ object DedupQueries {
     // The bloom-prefiltered variant must return exactly the exact answer
     // (no false negatives): q38's oracle verbatim.
     "q82_bloom_decontam" -> deconSql,
+    // String spans in the oracle vs xxhash64'd spans in the plan — identical
+    // counts up to the ~2^-64 per-span collision chance (the q21 argument).
+    "q86_span_dedup" -> {
+      val wm1 = SPAN_W - 1
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |spans AS (SELECT doc_id,
+         |    array_to_string(w[CAST(i AS INTEGER):CAST(i + $wm1 AS INTEGER)], ' ') AS s
+         |  FROM w, UNNEST(range(1, len(w) - $wm1 + 1)) r(i)),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS c FROM spans)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS dup_frac
+         |FROM c GROUP BY doc_id""".stripMargin
+    },
     // Same blocking as q22; DuckDB's unbanded levenshtein equals the
     // banded result wherever the banded one answers (<= threshold).
     "q84_dedup_edit" ->

@@ -546,6 +546,45 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Span-level exact-substring duplication — the per-position dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022), at fixed window width: every `window`-token span of
+    * every document is hashed in-scan; a span whose hash occurs ≥ 2 times
+    * ANYWHERE in the corpus (including elsewhere in the same document) is
+    * duplicated text. Per document: span count, duplicated-span count, and
+    * the duplicated fraction — the signal a curation pass thresholds to trim
+    * boilerplate-heavy documents where whole-doc dedup (exactGroups) and
+    * near-dup pairs (minhashLshPairs) both say "unique".
+    *
+    * Scale shape: spans never carry text — each is xxhash64'd inside the
+    * scan task, so the ONE corpus-wide exchange is keyed 8-byte hashes (the
+    * q21 hashed-shingle collision argument: counts over hashes equal counts
+    * over strings up to ~2^-64 per span). The global occurrence count is a
+    * window count over that exchange — no self-join, no second shuffle of
+    * the span set; the per-doc regroup is the second keyed exchange,
+    * carrying two longs per span. A true suffix-array pass (arbitrary-length
+    * longest duplicated substrings) trades this for a global sort of every
+    * suffix; fixed-width spans keep the exchange linear and are the standard
+    * production approximation. */
+  def spanDuplication(docs: DataFrame, window: Int): DataFrame = {
+    val w = TextOps.words(col("text"))
+    // size < window guard: sequence(1, 0) would auto-step DOWN ([1, 0]) and
+    // invent two phantom spans where the oracle's range(1, 1) is empty.
+    val spanHashes = when(size(w) >= window,
+      transform(sequence(lit(1), size(w) - (window - 1)),
+        i => xxhash64(concat_ws(" ", slice(w, i, lit(window))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(spanHashes).as("span_h"))
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("span_h"))))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        col("dup_spans").cast(DoubleType) / col("n_spans"))
+  }
+
   /** Exact Jaccard over distinct shingle sets for candidate pairs; keeps
     * pairs with jaccard ≥ threshold. |A∪B| = |A|+|B|-|A∩B| avoids
     * materializing the union, and a sound size-ratio prefilter

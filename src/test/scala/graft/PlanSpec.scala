@@ -481,4 +481,21 @@ class PlanSpec extends SparkSpec {
     // final assignment's exchange is the same bounded argmin shape
     (p should include).regex("""Arguments: hashpartitioning\(vec_id#\d+L""")
   }
+
+  test("q86 span dedup: global occurrence counts are a window, never a span self-join") {
+    val p = plan(DedupQueries.q86SpanDedup(spark, sf))
+    // spans are hashed in-scan; the corpus-wide count is ONE window over the
+    // span_h exchange — a self-join here would shuffle the span set twice
+    // and re-materialize it as join output
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
+    p should not include "CartesianProduct"
+    // spans cross the exchange as 8-byte hashes keyed by span_h, never text
+    (p should include).regex("""hashpartitioning\(span_h#\d+L""")
+    // per-doc regroup collapses map-side before its exchange
+    p should include("partial_count")
+    // only the two needed columns are read
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
 }
