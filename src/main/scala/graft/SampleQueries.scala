@@ -230,6 +230,101 @@ object SampleQueries {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** q87: deterministic weighted (PPS) systematic sampling — pick K
+    * documents with probability proportional to size, without RNG state and
+    * without a global sort. Classic systematic sampling: lay the corpus on
+    * a [0, T) weight axis in a content-stable pseudo-random order
+    * (hash60("ws:"||id), the q31/q37 discipline), drop K evenly spaced
+    * thresholds, and pick the doc whose interval covers each threshold —
+    * a doc wider than the stride is picked more than once (`n_picks` is the
+    * multiplicity: exactly the PPS-with-replacement semantics quota
+    * samplers expect). All math is BIGINT — threshold j lands in doc i iff
+    * floor(cum_i·K/T) increments — so the sample is bit-reproducible on any
+    * engine, and Σ n_picks = K exactly, by telescoping. (cum·K must stay
+    * under 2^63: at 10^14 chars × K=100 that holds with 3 orders of margin;
+    * past it, widen to DECIMAL.)
+    *
+    * Scale shape: the weight axis needs a GLOBAL prefix sum — the one
+    * primitive a Window can't do distributed (no partition key ⇒ Spark
+    * moves the table to a single partition). Two-phase decomposition
+    * instead: ord's high bits split the axis into 64 ORDER-ALIGNED range
+    * shards (shard = ord >> 54 — shard boundaries respect the global ord
+    * order, no range exchange needed to form them); each shard cumsums
+    * independently behind ONE hash exchange; the 64 shard totals prefix-sum
+    * into offsets on a metadata-scale frame; a broadcast join adds each
+    * shard's offset back. The scan reads two stored BIGINT columns
+    * (doc_id, n_chars) — weight needs no tokenization pass. */
+  private val WS_K = 100
+  private val WS_SHARD_SHIFT = 54 // 60-bit ord >> 54 → 64 order-aligned shards
+
+  private[graft] def weightedSystematicSample(
+      docs: org.apache.spark.sql.DataFrame, weight: Column, k: Int) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val narrow = docs.select(col("doc_id"),
+      TextOps.hash60(concat(lit("ws:"), col("doc_id").cast(StringType))).as("ord"),
+      weight.cast(LongType).as("weight"))
+      .withColumn("shard", shiftright(col("ord"), WS_SHARD_SHIFT).cast(IntegerType))
+    val cumShard = narrow.withColumn("cum_in",
+      sum(col("weight")).over(W.partitionBy(col("shard"))
+        .orderBy(col("ord"), col("doc_id")).rowsBetween(Long.MinValue, 0)))
+    val totals = narrow.groupBy(col("shard")).agg(sum(col("weight")).as("tot"))
+    val offsets = totals.withColumn("offset", coalesce(
+      sum(col("tot")).over(W.orderBy(col("shard")).rowsBetween(Long.MinValue, -1)),
+      lit(0L)))
+    val total = totals.agg(sum(col("tot")).as("total"))
+    cumShard.join(broadcast(offsets.select(col("shard"), col("offset"))), "shard")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_weight", col("offset") + col("cum_in"))
+      .withColumn("n_picks",
+        expr(s"(cum_weight * $k) div total - ((cum_weight - weight) * $k) div total"))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("weight"), col("cum_weight"), col("n_picks"))
+  }
+
+  val q87WeightedSample: Q = (s, d) =>
+    weightedSystematicSample(Tables.documents(s, d), col("n_chars"), WS_K)
+
+  /** q88: robust outlier scoring — per-language median/MAD z-scores over
+    * document word counts. Mean/stddev outlier detection is itself skewed
+    * by the outliers it hunts; the robust estimator (median absolute
+    * deviation, scaled by the normal-consistency constant 1.4826) is the
+    * standard curation gate for length-anomalous documents (truncation,
+    * concatenation bugs, boilerplate floods).
+    *
+    * Determinism: wc is an exact integer; both medians interpolate exact
+    * halves (q32's argument — integers and integer-diffs below 2^52, so
+    * (a+b)/2 is exact in both engines); the z expression is the identical
+    * fixed-shape IEEE tree on both sides, and `is_outlier` compares those
+    * bit-equal doubles. A constant-length stratum (mad = 0) yields NULL z
+    * — surfaced, not crashed (ANSI divide-by-zero).
+    *
+    * Scale shape: two keyed aggregations on lang (the second over
+    * (wc - med) needs med first — inherently two-round), each collapsing
+    * map-side to one row per language; the per-doc frame never shuffles —
+    * stats come BACK as broadcasts (q49's feedback pattern). Exact
+    * per-group percentile sorts per group; at 100 TB swap
+    * approx_percentile like q32→q40 and keep this exact twin as the
+    * anchor. */
+  private val OUT_Z = 2.5
+
+  val q88RobustOutliers: Q = (s, d) => {
+    val wcs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).as("wc"))
+    val med = wcs.groupBy(col("lang"))
+      .agg(percentile(col("wc"), lit(0.5)).as("med"))
+    val withMed = wcs.join(broadcast(med), "lang")
+    val mad = withMed.groupBy(col("lang"))
+      .agg(percentile(abs(col("wc").cast(DoubleType) - col("med")), lit(0.5))
+        .as("mad"))
+    val z = (col("wc").cast(DoubleType) - col("med")) /
+      (lit(1.4826) * col("mad"))
+    withMed.join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("wc"), col("med"), col("mad"),
+        when(col("mad") > 0, z).as("z"))
+      .withColumn("is_outlier", abs(col("z")) > OUT_Z)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_stratified_sample" -> q31StratifiedSample,
     "q63_exact_sample"      -> q63ExactSample,
@@ -239,7 +334,9 @@ object SampleQueries {
     "q40_approx_stats"      -> q40ApproxStats,
     "q48_sequence_pack"     -> q48SequencePack,
     "q49_mixture_rebalance" -> q49MixtureRebalance,
-    "q70_distinct_exact"    -> q70DistinctExact)
+    "q70_distinct_exact"    -> q70DistinctExact,
+    "q87_weighted_sample"   -> q87WeightedSample,
+    "q88_robust_outliers"   -> q88RobustOutliers)
 
   private val rateSql = keepPct
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -325,6 +422,42 @@ object SampleQueries {
          |  CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
          |    % 10000 AS DOUBLE) < rt.rate * 10000.0 AS kept
          |FROM documents d JOIN rt USING (lang)""".stripMargin,
+    // One flat window replays the two-phase prefix sum (the decomposition
+    // is exact — offsets + in-shard sums telescope to the global cumsum),
+    // then the identical BIGINT floor-division pick rule.
+    "q87_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS ord,
+         |  CAST(n_chars AS BIGINT) AS weight
+         |FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |  CAST(sum(weight) OVER (ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+         |FROM h),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM h)
+         |SELECT doc_id, weight, cum_weight,
+         |  CAST((cum_weight * $WS_K) // total
+         |     - ((cum_weight - weight) * $WS_K) // total AS BIGINT) AS n_picks
+         |FROM c, t
+         |WHERE (cum_weight * $WS_K) // total
+         |    > ((cum_weight - weight) * $WS_K) // total""".stripMargin,
+    // Same two-round median/MAD pipeline; z is the identical fixed-shape
+    // IEEE tree, so is_outlier compares bit-equal doubles.
+    "q88_robust_outliers" ->
+      s"""WITH wcs AS (SELECT doc_id, lang,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS wc
+         |  FROM documents),
+         |med AS (SELECT lang, quantile_cont(wc, 0.5) AS med FROM wcs GROUP BY lang),
+         |mad AS (SELECT lang,
+         |    quantile_cont(abs(CAST(wc AS DOUBLE) - med), 0.5) AS mad
+         |  FROM wcs JOIN med USING (lang) GROUP BY lang)
+         |SELECT doc_id, lang, CAST(wc AS INTEGER) AS wc, med, mad,
+         |  CASE WHEN mad > 0
+         |       THEN (CAST(wc AS DOUBLE) - med) / (1.4826 * mad) END AS z,
+         |  CASE WHEN mad > 0
+         |       THEN abs((CAST(wc AS DOUBLE) - med) / (1.4826 * mad)) > $OUT_Z
+         |       END AS is_outlier
+         |FROM wcs JOIN med USING (lang) JOIN mad USING (lang)""".stripMargin,
     // Exact distinct — the anchor q40's HLL is bounded against.
     "q70_distinct_exact" ->
       """SELECT lang, count(*) AS n_docs,

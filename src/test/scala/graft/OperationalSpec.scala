@@ -3,11 +3,12 @@ package graft
 /** Property tests for the operational-regime capabilities: the epoch
   * reshuffle's permutation guarantees (q74), the merge upsert's
   * layout-reuse contract (q72), the PQ codes' reconstruction quality
-  * (q76), and the k-means determinism contract (q81). These assert the
-  * semantics the DuckDB hash gate cannot see — "different order per
-  * epoch", "untouched partitions' files byte-identical", "reconstruction
-  * close enough to preserve ranking", "same centroids at any
-  * parallelism".
+  * (q76), the k-means determinism contract (q81), and the weighted
+  * sampler's exact-K / multiplicity / prefix-sum-decomposition contract
+  * (q87). These assert the semantics the DuckDB hash gate cannot see —
+  * "different order per epoch", "untouched partitions' files
+  * byte-identical", "reconstruction close enough to preserve ranking",
+  * "same centroids at any parallelism", "Σ picks = K exactly".
   */
 class OperationalSpec extends SparkSpec {
 
@@ -164,6 +165,44 @@ class OperationalSpec extends SparkSpec {
         frac should be < 0.5
       }
     }
+  }
+
+  test("q87: weighted systematic sample totals exactly K picks and honors multiplicity") {
+    import org.apache.spark.sql.functions._
+    // On the real corpus: Σ n_picks telescopes to exactly K, and every
+    // pick's interval really covers a threshold (n_picks ≥ 1 by the filter).
+    val k = 100
+    val picks = SampleQueries.weightedSystematicSample(
+      Tables.documents(spark, sf), col("n_chars"), k)
+    val total = picks.agg(sum(col("n_picks"))).collect()(0).getLong(0)
+    total shouldBe k
+
+    // Multiplicity: a doc wider than the stride T/K must be picked more
+    // than once — the PPS-with-replacement contract. Synthetic frame: one
+    // giant doc holding half the total weight at K=10 gets ≥ 4 picks.
+    val ss = spark
+    import ss.implicits._
+    val synth = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "w")
+      .union(Seq((999L, 1000L)).toDF("doc_id", "w"))
+    val sp = SampleQueries.weightedSystematicSample(synth, col("w"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    sp.values.sum shouldBe 10
+    sp(999L) should be >= 4L
+
+    // Decomposition exactness: the two-phase (shard offsets + in-shard
+    // cumsum) cum_weight must equal a flat global prefix sum in the same
+    // (ord, doc_id) order — the property that makes the oracle's single
+    // window a faithful replay.
+    val flat = Tables.documents(spark, sf).select(col("doc_id"),
+        graft.operators.TextOps.hash60(
+          concat(lit("ws:"), col("doc_id").cast("string"))).as("ord"),
+        col("n_chars").cast("long").as("w"))
+      .withColumn("cum_flat", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ord"), col("doc_id")).rowsBetween(Long.MinValue, 0)))
+    val joined = picks.join(flat, "doc_id")
+      .filter(col("cum_weight") =!= col("cum_flat")).count()
+    joined shouldBe 0L
   }
 
   test("q81: fixed-point centroid accumulation is partitioning-invariant — bit-identical at any parallelism") {

@@ -482,6 +482,31 @@ class PlanSpec extends SparkSpec {
     (p should include).regex("""Arguments: hashpartitioning\(vec_id#\d+L""")
   }
 
+  test("q87 weighted sample: one shard exchange, broadcast offsets, no global sort of the corpus") {
+    val p = plan(SampleQueries.q87WeightedSample(spark, sf))
+    // the corpus crosses exactly one keyed exchange — the order-aligned
+    // shard hash partition the per-shard cumsum windows sit on
+    p should not include "rangepartitioning" // never a global range sort
+    p should not include "SortMergeJoin"
+    // shard offsets and the scalar total come back as broadcasts
+    p should include("BroadcastHashJoin")
+    p should include("BroadcastNestedLoopJoin") // 1-row total crossJoin
+    p should not include "CartesianProduct"
+    // weight is the stored n_chars: no text in the scan at all
+    p should include("ReadSchema: struct<doc_id:bigint,n_chars:bigint>")
+  }
+
+  test("q88 robust outliers: per-lang stats broadcast back; the per-doc frame never shuffles") {
+    val p = plan(SampleQueries.q88RobustOutliers(spark, sf))
+    // med and mad come back as broadcasts (the q49 feedback pattern);
+    // only 5-row per-lang partials ride the aggregation exchanges
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    """hashpartitioning\(doc_id""".r.findAllMatchIn(p) shouldBe empty
+    p should include("partial_percentile")
+  }
+
   test("q86 span dedup: global occurrence counts are a window, never a span self-join") {
     val p = plan(DedupQueries.q86SpanDedup(spark, sf))
     // spans are hashed in-scan; the corpus-wide count is ONE window over the
