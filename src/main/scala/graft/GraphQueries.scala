@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the relational star — PageRank on the
+  * customer↔supplier bipartite graph induced by orders⋈lineitem. Together
+  * with q44's connected components (label propagation) this covers the two
+  * canonical iterative-join shapes; PageRank adds the weighted-redistribution
+  * regime (numeric mass through degrees, not just label minima) that backs
+  * entity-importance scoring, seed-document expansion, and link-graph
+  * curation of web crawls.
+  *
+  * Determinism is the q81 discipline, applied to a graph: rank is BIGINT
+  * mass in fixed-point units (10^12 per node), per-edge contributions are
+  * floor-divided by degree, and every per-node reduction is a BIGINT sum —
+  * associative and commutative, so ANY task order, ANY combiner tree, and
+  * ANY partitioning produces bit-identical ranks (a float PageRank drifts
+  * per run; this one is hash-gated against DuckDB exactly). The damping
+  * update r' = 0.15·S + 0.85·Σ floor(r/deg) runs as integer multiply-divide
+  * ((85·Σ) div 100), so no transcendentals and no rounding ambiguity
+  * anywhere. Σ contributions is bounded by N·S·85 ≈ 1.4e17 at sf0.01 —
+  * three orders under 2^63; a billion-node graph upgrades the sums to
+  * DECIMAL before overflow, same plan.
+  *
+  * Scale shape: the edge list is built ONCE (distinct pairs from the
+  * orders⋈lineitem join, symmetrized) and each of the 3 fixed iterations is
+  * one rank-side join + one dst-keyed aggregation with map-side partial
+  * sums. The rank table is |nodes| rows — orders of magnitude smaller than
+  * the edge list — so it is hinted broadcast; on a graph whose rank table
+  * outgrows broadcast, pre-partition edges and ranks on the same key and
+  * the join is co-located, no edge-side exchange per round. More
+  * rounds = the same fragment repeated, with q44's localCheckpoint lineage
+  * discipline once the round count grows past a handful.
+  */
+object GraphQueries {
+  import Queries.Q
+
+  private val PR_SCALE = 1000000000000L // fixed-point mass per node (10^12)
+  private val PR_BASE = PR_SCALE * 15L / 100L // the 0.15 teleport term
+  private val PR_ITERS = 3
+
+  /** q89: 3-iteration fixed-point PageRank. Nodes pack into one BIGINT —
+    * custkey·2 / suppkey·2+1 — so the whole loop is long-keyed (no string
+    * keys on the hot path); the output decodes the type back out. The
+    * symmetrized bipartite graph has no dangling nodes (every node has the
+    * reverse edge), so no dangling-mass redistribution term is needed. */
+  val q89Pagerank: Q = (s, d) => {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // |nodes| ≪ |edges|: degree and rank tables are hinted broadcast —
+    // statically, not left to AQE, because the aggregation output's size
+    // is unknown to the static planner and the edge list must NEVER pay a
+    // sort-merge exchange per iteration.
+    val edgeDeg = edges.join(broadcast(deg), "src")
+    var ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
+    for (_ <- 1 to PR_ITERS)
+      ranks = edgeDeg.join(broadcast(ranks), edgeDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(PR_BASE) + expr("(85 * sc) div 100")).as("r"))
+    ranks.select(
+      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("r").as("rank_fp"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q89_pagerank" -> q89Pagerank)
+
+  private def iterCte(i: Int): String =
+    s"""r$i AS (
+       |  SELECT e.dst AS node,
+       |    $PR_BASE + (85 * CAST(sum(r.r // e.deg) AS BIGINT)) // 100 AS r
+       |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // The identical integer update, unrolled: BIGINT floor divisions and
+    // sums have exactly one answer, so the replay is bit-exact.
+    "q89_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT src AS node, CAST($PR_SCALE AS BIGINT) AS r FROM deg),
+         |${(1 to PR_ITERS).map(iterCte).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS key, r AS rank_fp
+         |FROM r$PR_ITERS""".stripMargin)
+}

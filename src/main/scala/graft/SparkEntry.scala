@@ -18,7 +18,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries ++
       CorpusPipelineQueries.queries ++ OlapQueries.queries ++
-      RetrievalQueries.queries ++ ClusterQueries.queries
+      RetrievalQueries.queries ++ ClusterQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle ++
       CorpusPipelineQueries.oracle ++ OlapQueries.oracle ++
-      RetrievalQueries.oracle ++ ClusterQueries.oracle
+      RetrievalQueries.oracle ++ ClusterQueries.oracle ++
+      GraphQueries.oracle
 }

@@ -496,6 +496,20 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<doc_id:bigint,n_chars:bigint>")
   }
 
+  test("q89 pagerank: rank table broadcasts into the edge list; partial sums collapse per round") {
+    val p = plan(GraphQueries.q89Pagerank(spark, sf))
+    // |nodes| ≪ |edges|: every iteration's rank join must build on the
+    // rank side, never shuffle the edge list into a sort-merge join
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the per-iteration dst aggregation combines map-side (integer sums)
+    p should include("partial_sum")
+    // only the join keys feed the graph build
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>")
+    p should include("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>")
+  }
+
   test("q88 robust outliers: per-lang stats broadcast back; the per-doc frame never shuffles") {
     val p = plan(SampleQueries.q88RobustOutliers(spark, sf))
     // med and mad come back as broadcasts (the q49 feedback pattern);
