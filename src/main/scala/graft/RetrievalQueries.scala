@@ -154,9 +154,70 @@ object RetrievalQueries {
       .limit(PMI_TOP_K)
   }
 
+  /** q90: BPE tokenizer training, first merges — the iterative pair-merge
+    * loop of Sennrich et al. 2016, unrolled for the first `BPE_ROUNDS`
+    * merges: count adjacent symbol pairs over the word-frequency table,
+    * merge the most frequent pair everywhere (count desc, pair asc
+    * tiebreak), repeat on the merged symbols. Round 1 is character
+    * statistics; by round 3 merged multi-char symbols compete — the part a
+    * one-shot pair count can't see.
+    *
+    * Symbol sequences are strings with a TWO-space gap between symbols and
+    * a one-space pad at each end, so "merge pair (x,y)" is the literal
+    * replace of " x  y " with " xy " — each match consumes one space of
+    * each neighboring gap and the replacement restores it, so adjacent
+    * occurrences ("a b a b") all merge in one left-to-right pass, exactly
+    * BPE's greedy non-overlapping application, with no token-boundary
+    * false positives ("xa b" never matches " a  b "). Characters split by
+    * codepoint (substr semantics) on both engines, so the zh corpus is
+    * safe.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table in one
+    * keyed shuffle BEFORE any BPE work (the vocabulary, not the corpus, is
+    * the working set — the classic trick that makes BPE training cheap at
+    * 100 TB); each round is one pair-count aggregation over that bounded
+    * table plus a 1-row TakeOrdered broadcast back. Rounds chain by
+    * lineage (3 fixed rounds; past a handful, localCheckpoint like q44). */
+  private[graft] val BPE_ROUNDS = 3
+
+  val q90BpeMerges: Q = (s, d) =>
+    bpeMerges(Tables.documents(s, d), BPE_ROUNDS)
+
+  private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+                               rounds: Int) = {
+    val wf = docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => substr(col("word"), i, lit(1)))
+    var seqs = wf.select(col("word"), col("freq"),
+      concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seq"))
+    val merges = (1 to rounds).map { round =>
+      val toks = split(trim(col("seq")), "  ")
+      val best = seqs
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+        .groupBy(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("term_a"), col("term_b"))
+        .limit(1)
+      seqs = seqs.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          replace(col("seq"),
+            concat(lit(" "), col("term_a"), lit("  "), col("term_b"), lit(" ")),
+            concat(lit(" "), col("term_a"), col("term_b"), lit(" "))).as("seq"))
+      best.select(lit(round).as("round"), col("term_a"), col("term_b"),
+        col("pair_count"))
+    }
+    merges.reduce(_ union _)
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_bm25" -> q80Bm25,
-    "q83_pmi_bigrams" -> q83PmiBigrams)
+    "q83_pmi_bigrams" -> q83PmiBigrams,
+    "q90_bpe_merges" -> q90BpeMerges)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -168,7 +229,36 @@ object RetrievalQueries {
        |      + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE
        |                       + $B::DOUBLE * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
 
+  private def bpeRoundCtes(r: Int): String =
+    s"""p$r AS (SELECT t[CAST(i AS INTEGER)] AS ta, t[CAST(i + 1 AS INTEGER)] AS tb,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s${r - 1}),
+       |    UNNEST(range(1, len(t))) x(i)
+       |  GROUP BY 1, 2),
+       |b$r AS (SELECT ta, tb, cnt FROM p$r ORDER BY cnt DESC, ta, tb LIMIT 1),
+       |s$r AS (SELECT word, freq,
+       |    replace(seq, ' ' || ta || '  ' || tb || ' ',
+       |                 ' ' || ta || tb || ' ') AS seq
+       |  FROM s${r - 1}, b$r)""".stripMargin
+
+  private lazy val bpeSql: String =
+    s"""WITH wf AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE len(w) > 0
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS seq
+       |  FROM wf),
+       |${(1 to BPE_ROUNDS).map(bpeRoundCtes).mkString(",\n")}
+       |${(1 to BPE_ROUNDS).map(r =>
+           s"SELECT CAST($r AS INTEGER) AS round, ta AS term_a, tb AS term_b, cnt AS pair_count FROM b$r")
+         .mkString("\nUNION ALL ")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q90_bpe_merges" -> bpeSql,
     "q80_bm25" ->
       s"""WITH perdoc AS (
          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

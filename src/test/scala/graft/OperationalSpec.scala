@@ -205,6 +205,36 @@ class OperationalSpec extends SparkSpec {
     joined shouldBe 0L
   }
 
+  test("q90: merged BPE symbols compete in later rounds, and merging is greedy non-overlapping") {
+    val ss = spark
+    import ss.implicits._
+    // "abcd"×10: round 1 merges (a,b) (count ties broken pair-asc), round 2
+    // MUST see the merged symbol "ab" as a unit and merge (ab, c) — the
+    // recursion a one-shot pair count cannot produce — then (abc, d).
+    val docs1 = Seq.fill(10)("abcd").toDF("text")
+    val m1 = RetrievalQueries.bpeMerges(docs1, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    m1 shouldBe Array((1, "a", "b", 10L), (2, "ab", "c", 10L), (3, "abc", "d", 10L))
+
+    // "abab"×10: (a,b) counts both positions; the replace must merge BOTH
+    // adjacent occurrences in one left-to-right pass (" a  b  a  b " →
+    // " ab  ab "), so round 2's top pair is (ab, ab).
+    val docs2 = Seq.fill(10)("abab").toDF("text")
+    val m2 = RetrievalQueries.bpeMerges(docs2, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    m2 shouldBe Array((1, "a", "b", 20L), (2, "ab", "ab", 10L))
+
+    // boundary safety: in "xab", the (a,b) merge must not touch the x —
+    // and (x,ab) must then beat the exhausted pair in round 2.
+    val docs3 = (Seq.fill(10)("xab") ++ Seq.fill(3)("ab")).toDF("text")
+    val m3 = RetrievalQueries.bpeMerges(docs3, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    m3 shouldBe Array((1, "a", "b", 13L), (2, "x", "ab", 10L))
+  }
+
   test("q81: fixed-point centroid accumulation is partitioning-invariant — bit-identical at any parallelism") {
     // The determinism claim, executed: a float-mean k-means drifts when the
     // summation order changes (different partitioning => different task
