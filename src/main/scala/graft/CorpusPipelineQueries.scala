@@ -48,12 +48,48 @@ object CorpusPipelineQueries {
         shard.cast(IntegerType).as("shard"))
   }
 
-  val queries: Map[String, Q] = Map("q39_corpus_pipeline" -> q39CorpusPipeline)
+  /** q93: rare-combination suppression — the k-anonymity generalization
+    * gate a privacy-conscious pipeline runs on quasi-identifier columns
+    * before release: any (lang, source) combination carried by fewer than
+    * K documents is generalized (source → '*'), because a rare combination
+    * IS an identifier even when each column alone is harmless. Emits every
+    * doc with its (possibly generalized) source, the combination's
+    * population, and the suppression flag — the auditable form (a silent
+    * drop would bias the corpus; a flagged generalization is reversible
+    * policy).
+    *
+    * Scale shape: one (lang, source) count aggregation — combination
+    * cardinality, not corpus cardinality — broadcast back onto the corpus
+    * (the q49 feedback pattern); the per-doc frame never shuffles. */
+  private val K_ANON = 5
+
+  val q93RareSuppress: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val combos = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("group_n"))
+    docs.join(broadcast(combos), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"),
+        when(col("group_n") >= K_ANON, col("source")).otherwise(lit("*"))
+          .as("source_out"),
+        col("group_n"),
+        (col("group_n") < K_ANON).as("suppressed"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q39_corpus_pipeline" -> q39CorpusPipeline,
+    "q93_rare_suppress"   -> q93RareSuppress)
 
   private def md60(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS UBIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q93_rare_suppress" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS group_n
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT doc_id, d.lang,
+         |  CASE WHEN group_n >= $K_ANON THEN d.source ELSE '*' END AS source_out,
+         |  group_n, group_n < $K_ANON AS suppressed
+         |FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source""".stripMargin,
     "q39_corpus_pipeline" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,

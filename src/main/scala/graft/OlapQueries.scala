@@ -107,14 +107,187 @@ object OlapQueries {
       .unionByName(tagMix("mix_except_all", mixA.exceptAll(mixB)))
   }
 
+  /** q91: ANALYZE-style column statistics over `lineitem` — per column:
+    * row/null counts, exact NDV, min/max, and DISCRETE (type-7-free)
+    * quartile boundaries — the statistics block a cost-based optimizer
+    * keeps per column, computed as a query. Boundaries are exact disc
+    * percentiles — the smallest value whose cumulative count reaches
+    * ceil(q·n) — so no interpolation arithmetic exists to diverge between
+    * engines; the thresholds are pure integer ceilings ((n+3) div 4 etc.).
+    *
+    * Scale shape: the profiled columns unpivot IN-SCAN (stack is a
+    * generator, not a shuffle); everything then rides ONE (col, value)
+    * aggregation — the frequency table — from which NDV/min/max collapse
+    * per column and the quartiles come from a cumulative-count window over
+    * DISTINCT values (|vc| ≤ n rows, usually far fewer). The per-column
+    * window partition bounds parallelism by column count — the honest cost
+    * of exact boundaries; the 100 TB swap is approx_percentile/HLL per
+    * column in one pass (q40's sketch pattern) with this exact form as the
+    * anchor, and the same unpivot feeding both. */
+  private val STAT_COLS = Seq(
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_partkey", "l_suppkey")
+
+  val q91ColumnStats: Q = (s, d) => {
+    val stackArgs = STAT_COLS
+      .map(c => s"'$c', cast($c as double)").mkString(", ")
+    val stacked = Tables.lineitem(s, d)
+      .selectExpr(s"stack(${STAT_COLS.size}, $stackArgs) as (col_name, v)")
+    val counts = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      count(col("v")).as("nv"))
+    val vc = stacked.filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("col_name")).orderBy(col("v"))
+        .rowsBetween(Long.MinValue, 0)))
+    cum.join(broadcast(counts), "col_name")
+      .groupBy(col("col_name")).agg(
+        first(col("n_rows")).as("n_rows"),
+        first(col("n_null")).as("n_null"),
+        count(lit(1)).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        min(when(col("cum") >= expr("(nv + 3) div 4"), col("v"))).as("p25"),
+        min(when(col("cum") >= expr("(nv + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(nv * 3 + 3) div 4"), col("v"))).as("p75"))
+  }
+
+  /** q95: the analytic window-function surface in one gated query — rank,
+    * dense_rank, percent_rank, cume_dist over the VALUE ordering (ties
+    * share ranks, exactly the semantics a reporting layer expects);
+    * row_number and ntile over a TOTAL ordering (value + unique key —
+    * ntile's tie placement is order-dependent, so a non-total ordering
+    * would be nondeterministic by construction); lag/lead neighbors; and
+    * the inter-order day gap over the DATE ordering. percent_rank and
+    * cume_dist are rank ratios — exact rational arithmetic, bit-portable.
+    *
+    * Scale shape: all six window specs share the o_custkey partitioning,
+    * so Spark plans ONE hash exchange and per-partition sorts (one per
+    * distinct ordering) — windows never repartition between specs. */
+  val q95WindowSuite: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byVal = W.partitionBy(col("o_custkey")).orderBy(col("price"))
+    val total = W.partitionBy(col("o_custkey"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val byDate = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(DoubleType).as("price"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(total))
+      .withColumn("rnk", rank().over(byVal))
+      .withColumn("drnk", dense_rank().over(byVal))
+      .withColumn("prnk", percent_rank().over(byVal))
+      .withColumn("cdist", cume_dist().over(byVal))
+      .withColumn("tile4", ntile(4).over(total))
+      .withColumn("prev_price", lag(col("price"), 1).over(total))
+      .withColumn("next_price", lead(col("price"), 1).over(total))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate)))
+      .drop("o_orderdate")
+  }
+
+  /** q96: correlated-subquery decorrelation — EXISTS, NOT EXISTS, and two
+    * correlated scalar aggregates in one query, written exactly as a SQL
+    * user would write them. The engine credential is what Catalyst does
+    * underneath: EXISTS → left-semi join, NOT EXISTS → left-anti join,
+    * the scalar aggregates → decorrelated grouped subplans joined on the
+    * correlation key (plan-pinned: no per-row re-execution, no nested
+    * loop). The above-average predicate cross-multiplies instead of
+    * dividing (price · n > Σ price) so the comparison stays in exact
+    * decimal/BIGINT arithmetic — avg() would lower to engine-specific
+    * decimal division semantics. */
+  val q96SubqueryDecorrelate: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_q96_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q96_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM graft_q96_orders o
+        |WHERE EXISTS (SELECT 1 FROM graft_q96_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q96_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |  AND o_totalprice * (SELECT count(*) FROM graft_q96_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |      > (SELECT sum(o2.o_totalprice) FROM graft_q96_orders o2
+        |         WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_rollup"       -> q58Rollup,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
-    "q77_set_ops"      -> q77SetOps)
+    "q77_set_ops"      -> q77SetOps,
+    "q91_column_stats" -> q91ColumnStats,
+    "q95_window_suite" -> q95WindowSuite,
+    "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 
   val oracle: Map[String, String] = Map(
+    // Same unpivot → (col, value) frequency table → cumulative-count disc
+    // quartiles with integer ceilings; no interpolation anywhere.
+    "q91_column_stats" -> {
+      val unpivot = STAT_COLS
+        .map(c => s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+        .mkString("\nUNION ALL ")
+      s"""WITH stacked AS ($unpivot),
+         |counts AS (SELECT col_name, count(*) AS n_rows,
+         |    count(*) - count(v) AS n_null, count(v) AS nv
+         |  FROM stacked GROUP BY 1),
+         |vc AS (SELECT col_name, v, count(*) AS c FROM stacked
+         |  WHERE v IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT col_name, v, c,
+         |    sum(c) OVER (PARTITION BY col_name ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM vc)
+         |SELECT col_name,
+         |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+         |  CAST(count(*) AS BIGINT) AS ndv,
+         |  min(v) AS min_v, max(v) AS max_v,
+         |  min(v) FILTER (WHERE cum >= (nv + 3) // 4) AS p25,
+         |  min(v) FILTER (WHERE cum >= (nv + 1) // 2) AS p50,
+         |  min(v) FILTER (WHERE cum >= (nv * 3 + 3) // 4) AS p75
+         |FROM cum JOIN counts USING (col_name)
+         |GROUP BY col_name, n_rows, n_null, nv""".stripMargin
+    },
+    // Identical window specs; percent_rank/cume_dist are exact rank ratios.
+    "q95_window_suite" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS price, o_orderdate
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, price,
+        |  CAST(row_number() OVER total AS INTEGER) AS rn,
+        |  CAST(rank() OVER byval AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER byval AS INTEGER) AS drnk,
+        |  percent_rank() OVER byval AS prnk,
+        |  cume_dist() OVER byval AS cdist,
+        |  CAST(ntile(4) OVER total AS INTEGER) AS tile4,
+        |  lag(price, 1) OVER total AS prev_price,
+        |  lead(price, 1) OVER total AS next_price,
+        |  CAST(datediff('day',
+        |    CAST(lag(o_orderdate, 1) OVER bydate AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        |FROM o
+        |WINDOW
+        |  byval AS (PARTITION BY o_custkey ORDER BY price),
+        |  total AS (PARTITION BY o_custkey ORDER BY price, o_orderkey),
+        |  bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // The same subqueries, decorrelated by DuckDB's own planner — two
+    // independent engines must agree on the quantified semantics.
+    "q96_subquery_decorrelate" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |  AND o_totalprice * (SELECT count(*) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |      > (SELECT sum(o2.o_totalprice) FROM orders o2
+        |         WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "q58_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)

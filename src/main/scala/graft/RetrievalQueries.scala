@@ -214,10 +214,47 @@ object RetrievalQueries {
     merges.reduce(_ union _)
   }
 
+  /** q94: unigram LM surprisal scoring — the CCNet-style quality signal: a
+    * document whose words are corpus-rare carries high average surprisal
+    * (could be valuable rare content OR garbage; either way it's the
+    * standard axis an LM-perplexity filter thresholds, here with the
+    * corpus itself as the LM). Per word, surprisal is quantized to INTEGER
+    * BITS: bits(w) = floor(log2(N / count(w))) computed EXACTLY as
+    * bit-width minus one of the integer quotient (length(bin(N div c)) −
+    * 1) — no transcendental ever evaluates, so unlike q75/q80 there is no
+    * 1-ulp engine divergence to quantize away, and the per-doc BIGINT sums
+    * are order-independent by construction (a per-word double-ln sum would
+    * floor-diverge at the measured 4e-4 rate × 57k tokens ≈ 20 boundary
+    * hits — unusable for a hash gate).
+    *
+    * Scale shape: the vocabulary aggregation is one keyed shuffle that
+    * collapses map-side (q53's shape); the per-word bit costs broadcast
+    * back onto the in-scan exploded words (bounded vocab — an unbounded
+    * vocabulary flips this to a shuffle join, same semantics); the per-doc
+    * regroup carries (doc_id, bits) longs. avg_bits is one exact IEEE
+    * division per doc at the end. */
+  val q94LmSurprisal: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("t"), expr("length(bin(n_total div c)) - 1").as("bits"))
+    toks.join(broadcast(bits), "t")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_bm25" -> q80Bm25,
     "q83_pmi_bigrams" -> q83PmiBigrams,
-    "q90_bpe_merges" -> q90BpeMerges)
+    "q90_bpe_merges" -> q90BpeMerges,
+    "q94_lm_surprisal" -> q94LmSurprisal)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -258,6 +295,22 @@ object RetrievalQueries {
          .mkString("\nUNION ALL ")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same integer-bit surprisal: bit-width of the BIGINT quotient, no
+    // transcendental on either side.
+    "q94_lm_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |bits AS (SELECT t,
+        |    CAST(length(format('{:b}', n_total // c)) - 1 AS INTEGER) AS bits
+        |  FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+        |FROM toks JOIN bits USING (t)
+        |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
     "q80_bm25" ->
       s"""WITH perdoc AS (

@@ -168,15 +168,69 @@ object WindowQueries {
       avg(col("cnt")).over(w).as("avg_3h"))
   }
 
+  /** q92: ordered funnel — per user, the earliest view, the earliest click
+    * STRICTLY AFTER that view, and the earliest purchase strictly after
+    * that click (the product-analytics workhorse: "how far did each user
+    * get, in order?"). The ordering constraint is the point: a user who
+    * purchased before ever viewing does NOT count as a completed funnel,
+    * which plain per-type mins would get wrong.
+    *
+    * Scale shape: three column-pruned scans with the event_type filter
+    * pushed to parquet, each collapsing to one min per user BEFORE any
+    * join (map-side partial min); the per-user stage tables are |users|
+    * rows and join keyed on user_id. No window over raw events, no sort —
+    * the "min after threshold" formulation beats the sort-based funnel
+    * whenever events-per-user is large (the conditional aggregation
+    * re-reads the filtered scan instead of sorting it). */
+  val q92Funnel: Q = (s, d) => {
+    def stage(t: String, after: Option[org.apache.spark.sql.DataFrame]) = {
+      val base = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val gated = after match {
+        case None => base
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("ts") > col("prev_ts"))
+          .select(col("user_id"), col("ts"))
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts")).as("prev_ts"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    v.select(col("user_id"), col("prev_ts").as("ts_view"))
+      .join(c.select(col("user_id"), col("prev_ts").as("ts_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("prev_ts").as("ts_purchase")), Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        (lit(1) + when(col("ts_click").isNotNull, 1).otherwise(0)
+          + when(col("ts_purchase").isNotNull, 1).otherwise(0)))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
     "q50_asof_join"    -> q50AsofJoin,
     "q61_gap_fill"     -> q61GapFill,
     "q62_range_join"   -> q62RangeJoin,
-    "q68_rolling_hourly" -> q68RollingHourly)
+    "q68_rolling_hourly" -> q68RollingHourly,
+    "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same staged "min strictly after the previous stage" formulation.
+    "q92_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS ts_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ts_click
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.ts_view
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts_click
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+        |  CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+        |    AS INTEGER) AS stage_reached
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "q26_windowed_agg" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
         |b AS (SELECT make_timestamp((epoch_ms(t) // 3600000) * 3600000 * 1000) AS ws,

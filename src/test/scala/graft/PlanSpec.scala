@@ -510,6 +510,69 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>")
   }
 
+  test("q91 column stats: unpivot is an in-scan generator feeding one frequency-table aggregation") {
+    val p = plan(OlapQueries.q91ColumnStats(spark, sf))
+    // stack() must plan as Generate (a generator inside the scan stage),
+    // never as a union of per-column scans
+    p should include("Generate")
+    p should include("stack(6")
+    // the (col, value) frequency table collapses map-side
+    p should include("partial_count")
+    // per-column row/null counts come back as a broadcast, not an SMJ
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q94 lm surprisal: vocabulary costs broadcast back onto the scan-side tokens") {
+    val p = plan(RetrievalQueries.q94LmSurprisal(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the vocabulary count collapses map-side before its exchange
+    p should include("partial_count")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q95 window suite: all three orderings share ONE o_custkey exchange") {
+    val p = plan(OlapQueries.q95WindowSuite(spark, sf))
+    // six window functions, three sort specs, ONE partitioning: windows
+    // must not repartition between specs
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).size shouldBe 1
+    (p should include).regex("""hashpartitioning\(o_custkey#\d+L""")
+    p should include("Window")
+  }
+
+  test("q96 subqueries: EXISTS/NOT EXISTS/scalar aggregates all decorrelate to joins") {
+    val p = plan(OlapQueries.q96SubqueryDecorrelate(spark, sf))
+    // never a per-row re-execution or nested loop
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the correlated scalar aggregates become grouped subplans
+    p should include("partial_count")
+    p should include("partial_sum")
+  }
+
+  test("q92 funnel: stage filters push to parquet; per-stage mins collapse before the user joins") {
+    val p = plan(WindowQueries.q92Funnel(spark, sf))
+    // event_type equality pushes into the scan
+    p should include("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]")
+    p should include("EqualTo(event_type,click)")
+    p should include("EqualTo(event_type,purchase)")
+    // per-user stage tables are min-aggregated before joining (map-side min)
+    p should include("partial_min")
+    p should not include "CartesianProduct"
+  }
+
+  test("q93 rare suppression: combination counts broadcast back; the corpus never shuffles") {
+    val p = plan(CorpusPipelineQueries.q93RareSuppress(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    """hashpartitioning\(doc_id""".r.findAllMatchIn(p) shouldBe empty
+  }
+
   test("q88 robust outliers: per-lang stats broadcast back; the per-doc frame never shuffles") {
     val p = plan(SampleQueries.q88RobustOutliers(spark, sf))
     // med and mad come back as broadcasts (the q49 feedback pattern);
