@@ -60,7 +60,7 @@ object DedupQueries {
   private val BOIL_MIN_DOCS = 2
 
   val q47Boilerplate: Q = (s, d) => {
-    val w = TextOps.words(col("text"))
+    val w = col("w")
     val nblk = ceil(size(w).cast(org.apache.spark.sql.types.DoubleType) /
       lit(BOIL_BLOCK.toDouble)).cast(org.apache.spark.sql.types.IntegerType)
     // nblk = 0 guard: sequence(0, -1) auto-steps DOWN and would invent two
@@ -71,7 +71,12 @@ object DedupQueries {
       .otherwise(transform(sequence(lit(0), nblk - 1),
         i => concat_ws(" ", slice(w, i * BOIL_BLOCK + 1, lit(BOIL_BLOCK)))))
     Dedup.segmentBoilerplate(
-      Tables.documentsDistributed(s, d).filter(col("text").isNotNull),
+      Tables.documentsDistributed(s, d).filter(col("text").isNotNull)
+        // q86's fence: pin the token array to a real column so the
+        // interpreted segment lambda slices a materialized array instead
+        // of re-running the regex split per block
+        .select(col("doc_id"),
+          when(spark_partition_id() >= 0, TextOps.words(col("text"))).as("w")),
       segs, BOIL_MIN_DOCS)
   }
 

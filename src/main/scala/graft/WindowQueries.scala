@@ -182,9 +182,15 @@ object WindowQueries {
     * the "min after threshold" formulation beats the sort-based funnel
     * whenever events-per-user is large (the conditional aggregation
     * re-reads the filtered scan instead of sorting it). */
-  val q92Funnel: Q = (s, d) => {
+  val q92Funnel: Q = (s, d) => funnelBatch(Tables.events(s, d))
+
+  /** The batch funnel builder behind q92, reusable on any
+    * (user_id, ts, event_type) frame — the streaming spec runs it against
+    * [[EventStream.funnelStream]]'s emissions on the same feed to prove the
+    * incremental watermark-ordered fold equivalent. */
+  private[graft] def funnelBatch(events: org.apache.spark.sql.DataFrame) = {
     def stage(t: String, after: Option[org.apache.spark.sql.DataFrame]) = {
-      val base = Tables.events(s, d)
+      val base = events
         .filter(col("event_type") === t)
         .select(col("user_id"), col("ts"))
       val gated = after match {

@@ -136,6 +136,87 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(view: Option[Long], click: Option[Long],
+                               purchase: Option[Long],
+                               buffer: List[(Long, String)], lastTs: Long)
+  final case class UserFunnel(user_id: Long, ts_view: Timestamp,
+                              ts_click: Option[Timestamp],
+                              ts_purchase: Option[Timestamp],
+                              stage_reached: Int)
+
+  /** Streaming twin of q92's ordered funnel: per-user earliest view →
+    * earliest click strictly after it → earliest purchase strictly after
+    * that, over an out-of-order event feed.
+    *
+    * The correctness subtlety is retroactivity: a late-arriving EARLIER
+    * view changes which clicks qualify, so a naive "update slots on
+    * arrival" machine diverges from the batch answer. The watermark is the
+    * fix: events are buffered until the watermark passes them — at that
+    * point nothing older can still arrive, so folding buffered events in
+    * event-time order through the three slots is FINAL (a folded minimum
+    * can never be undercut: any later arrival must carry ts > watermark ≥
+    * every folded ts). State per active user = three slot longs + only the
+    * young events the watermark can still reorder — bounded by the
+    * out-of-orderness horizon, not by history. Users idle past the
+    * inactivity horizon emit their funnel and evict (event-time timeout,
+    * the sessionize discipline); rows at or behind the watermark are
+    * dropped, matching the finalized fold.
+    *
+    * StreamingSpec proves stream-vs-batch equality on an out-of-order feed
+    * chopped across micro-batches. */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   horizonMinutes: Int): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60000L
+
+    def fold(slots: (Option[Long], Option[Long], Option[Long]),
+             ready: Seq[(Long, String)]) = {
+      var (v, c, p) = slots
+      ready.sortBy(_._1).foreach { case (t, et) =>
+        et match {
+          case "view" if v.isEmpty => v = Some(t)
+          case "click" if c.isEmpty && v.exists(t > _) => c = Some(t)
+          case "purchase" if p.isEmpty && c.exists(t > _) => p = Some(t)
+          case _ => ()
+        }
+      }
+      (v, c, p)
+    }
+    def result(user: Long, v: Option[Long], c: Option[Long], p: Option[Long]) =
+      v.map(vt => UserFunnel(user, new Timestamp(vt),
+        c.map(new Timestamp(_)), p.map(new Timestamp(_)),
+        1 + c.size + p.size)).iterator
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // nothing younger than the watermark can exist now — the
+            // remaining buffer is final
+            val (v, c, p) = fold((s.view, s.click, s.purchase), s.buffer)
+            result(user, v, c, p)
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val s = state.getOption.getOrElse(FunnelState(None, None, None, Nil, 0L))
+            // drop rows the watermark already passed — their fold is final
+            val incoming = rows.map(e => (e.ts.getTime, e.event_type))
+              .filter(_._1 > wm).toList
+            val (ready, young) = (s.buffer ++ incoming).partition(_._1 <= wm)
+            val (v, c, p) = fold((s.view, s.click, s.purchase), ready)
+            val last = (s.lastTs +: incoming.map(_._1)).max
+            state.update(FunnelState(v, c, p, young, last))
+            state.setTimeoutTimestamp(last + horizonMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of q73's incremental dedup: a document feed probed per
     * micro-batch against the STATIC corpus fingerprint layout (shingle sets
     * + LSH band keys) via `foreachBatch` — each micro-batch runs the batch

@@ -389,4 +389,57 @@ class StreamingSpec extends SparkSpec {
       streamed.size should be > 0
     } finally { q.stop(); stats.unpersist() }
   }
+
+  test("streaming funnel equals the batch funnel (q92) on an out-of-order, chopped feed") {
+    import graft.streaming.EventStream.{FunnelEvent, UserFunnel}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelStream(input.toDS(), horizonMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_twin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val feed = Seq(
+        // user 1: full ordered funnel
+        FunnelEvent(1L, ts(0), "view"), FunnelEvent(1L, ts(5), "click"),
+        FunnelEvent(1L, ts(9), "purchase"),
+        // user 2: purchase BEFORE any view — must stall at stage 1;
+        // the later click counts (strictly after the view)
+        FunnelEvent(2L, ts(1), "purchase"), FunnelEvent(2L, ts(2), "view"),
+        FunnelEvent(2L, ts(6), "click"),
+        // user 3: click exactly AT the view instant — excluded (strict >)
+        FunnelEvent(3L, ts(4), "view"), FunnelEvent(3L, ts(4), "click"),
+        // user 4: the retroactivity trap — an EARLIER view arrives LATER
+        // in the feed than the click it must gate
+        FunnelEvent(4L, ts(8), "click"), FunnelEvent(4L, ts(3), "view"),
+        // user 5: no view at all — absent from the funnel
+        FunnelEvent(5L, ts(2), "click"), FunnelEvent(5L, ts(7), "purchase"))
+      // chop mid-user AND deliver user 4's gating view in a later batch
+      // than its click: only the watermark-ordered fold gets this right
+      val (b1, b2) = feed.splitAt(9)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // sentinels advance the watermark past everything → all users emit
+      input.addData(FunnelEvent(99L, ts(10000), "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(98L, ts(30000), "view")); q.processAllAvailable()
+
+      val streamed = spark.table("funnel_twin_test").as[UserFunnel]
+        .collect().filter(_.user_id < 90L)
+        .map(f => (f.user_id, f.ts_view, f.ts_click, f.ts_purchase, f.stage_reached))
+        .sortBy(_._1)
+      val batch = WindowQueries.funnelBatch(
+          feed.map(e => (e.user_id, e.ts, e.event_type))
+            .toDF("user_id", "ts", "event_type"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), r.getInt(4)))
+        .sortBy(_._1)
+      streamed.toSeq shouldBe batch.toSeq
+      // the specific traps, pinned explicitly
+      val byUser = streamed.map(f => f._1 -> f).toMap
+      byUser(1L)._5 shouldBe 3
+      byUser(2L)._5 shouldBe 2 // pre-view purchase ignored, later click counts
+      byUser(3L)._5 shouldBe 1 // same-instant click excluded
+      byUser(4L)._5 shouldBe 2 // late-arriving earlier view gates the click
+      byUser.contains(5L) shouldBe false
+    } finally q.stop()
+  }
 }
