@@ -250,11 +250,55 @@ object RetrievalQueries {
           col("n_tokens"))
   }
 
+  /** q97: TF-IDF top terms per document — the keyword-extraction classic
+    * (and the feature behind sparse retrieval indexes and topic labels):
+    * for every document, the [[TFIDF_TOP]] terms maximizing
+    * tf·idf with idf = ln(1 + N/df). Complements q80 (fixed query, whole
+    * corpus scored) with the transpose (every doc, its own best terms).
+    *
+    * Determinism: tf/df/N are exact integers; the single `ln` follows the
+    * q80 discipline — quantize to integer micro-points and rank BY the
+    * quantized score (desc, term tiebreak) so a 1-ulp JVM-vs-DuckDB wiggle
+    * cannot flip the gated ordering.
+    *
+    * Scale shape: the corpus is tokenized ONCE — df is a count window
+    * over the (doc_id, term) counts keyed by term, not a groupBy that
+    * would re-derive tf in a second subtree (DataFrame reuse duplicates
+    * the whole scan+explode+agg: measured plan had TWO Generate passes)
+    * and not a collected vocabulary broadcast (no bounded-vocab
+    * assumption — any term cardinality shuffles the same collapsed
+    * counts). So: one (doc_id, term) count exchange, one term-keyed
+    * window exchange, one doc-keyed rank window exchange whose rank<=3
+    * filter pushes into WindowGroupLimit, plus a 1-row N broadcast from a
+    * doc_id-only second scan. No global sort, no driver-side data. */
+  private val TFIDF_TOP = 3
+
+  val q97TfidfTerms: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        floor(col("tf").cast(DoubleType) *
+          log(lit(1.0) +
+            col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType).as("tfidf_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_micro").desc, col("term"))))
+      .filter(col("rank") <= TFIDF_TOP)
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_bm25" -> q80Bm25,
     "q83_pmi_bigrams" -> q83PmiBigrams,
     "q90_bpe_merges" -> q90BpeMerges,
-    "q94_lm_surprisal" -> q94LmSurprisal)
+    "q94_lm_surprisal" -> q94LmSurprisal,
+    "q97_tfidf_terms" -> q97TfidfTerms)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -337,6 +381,28 @@ object RetrievalQueries {
          |    AS rank
          |FROM scored
          |QUALIFY rank <= $TOP_K""".stripMargin,
+    // Same quantized-micro ln discipline as q80; rank derived from the
+    // quantized score so the ordering is ulp-proof.
+    "q97_tfidf_terms" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM d),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(floor(CAST(tf.tf AS DOUBLE)
+         |      * ln(1.0::DOUBLE
+         |           + CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |      * 1000000.0::DOUBLE) AS BIGINT) AS tfidf_micro
+         |  FROM tf JOIN df USING (term), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_micro DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf_micro, rank
+         |FROM r WHERE rank <= $TFIDF_TOP""".stripMargin,
     "q83_pmi_bigrams" ->
       s"""WITH docs AS (
          |  SELECT regexp_split_to_array(trim(text), '\\s+') AS w

@@ -600,4 +600,19 @@ class PlanSpec extends SparkSpec {
     // only the two needed columns are read
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
+
+  test("q97 tf-idf: corpus tokenized once, df as term window, top-3 in WindowGroupLimit") {
+    val p = plan(RetrievalQueries.q97TfidfTerms(spark, sf))
+    // ONE explode pass over the corpus — a groupBy-df formulation
+    // duplicates the whole scan+tokenize subtree (measured: 2 Generates)
+    """\(\d+\) Generate""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("BroadcastNestedLoopJoin") // 1-row n_docs scalar
+    p should not include "SortMergeJoin"
+    // rank<=3 caps each task's window input before the per-doc sort
+    p should include("WindowGroupLimit")
+    // tf agg + term df window + doc rank window + 1-row scalar agg: 4
+    // exchanges, and the tf agg collapses map-side first
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 4
+    p should include("partial_count")
+  }
 }
