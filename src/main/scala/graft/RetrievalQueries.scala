@@ -293,12 +293,59 @@ object RetrievalQueries {
       .filter(col("rank") <= TFIDF_TOP)
   }
 
+  /** q98: hybrid retrieval via reciprocal rank fusion — the standard RAG
+    * recipe: run the lexical ranker (q80's BM25 top-20) and the vector
+    * ranker (exact cosine top-20 against a fixed query embedding, q23's
+    * fold contract) independently, then fuse on
+    * rrf(d) = Σ_lists 1/(k + rank_d) with k = [[RRF_K]], missing-from-list
+    * contributing 0. Rank fusion needs only the two k-row rank lists —
+    * never the underlying scores — which is exactly why it composes
+    * heterogeneous retrievers at any corpus scale.
+    *
+    * Determinism: ranks are exact integers; rrf is two correctly-rounded
+    * IEEE divisions added in fixed (lex, vec) order — no transcendental,
+    * so the RAW double is gated (no quantization needed; the q23/q81 raw
+    * double discipline).
+    *
+    * Scale shape: two independent scan-shaped top-k jobs (each a
+    * TakeOrderedAndProject k-row heap — q80's shape; the vector side
+    * broadcasts the 1-row query embedding), then a full outer join of two
+    * ≤k-row lists and a ≤2k-row rank window: everything after the scans is
+    * constant-size regardless of corpus size. */
+  private[graft] val RRF_K = 60
+  private val HYBRID_K = 20
+
+  val q98HybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = q80Bm25(s, d).select(col("doc_id"), col("rank").as("lex_rank"))
+    val cos = SimilarityQueries.cosineFnFor(s)
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vec = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        cos(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(HYBRID_K)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("vec_rank"))
+    def rrfTerm(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(RRF_K.toDouble) + rank.cast(DoubleType)),
+        lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (rrfTerm(col("lex_rank")) + rrfTerm(col("vec_rank"))).as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_bm25" -> q80Bm25,
     "q83_pmi_bigrams" -> q83PmiBigrams,
     "q90_bpe_merges" -> q90BpeMerges,
     "q94_lm_surprisal" -> q94LmSurprisal,
-    "q97_tfidf_terms" -> q97TfidfTerms)
+    "q97_tfidf_terms" -> q97TfidfTerms,
+    "q98_hybrid_rrf" -> q98HybridRrf)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -356,7 +403,33 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
-    "q80_bm25" ->
+    "q80_bm25" -> bm25RankedSql,
+    // Nested q80 replay + cosine top-20 replay (q23's fold contract) +
+    // the two-term IEEE rrf sum in fixed (lex, vec) order.
+    "q98_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id, rank AS lex_rank
+         |  FROM ($bm25RankedSql) bm),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |    ${SimilarityQueries.cosineSql("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e, qv WHERE vec_id <> 0),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+         |      AS vec_rank
+         |  FROM vs QUALIFY vec_rank <= $HYBRID_K),
+         |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank, v.vec_rank,
+         |    coalesce(1.0::DOUBLE / (60.0::DOUBLE + CAST(l.lex_rank AS DOUBLE)),
+         |             0.0::DOUBLE)
+         |    + coalesce(1.0::DOUBLE / (60.0::DOUBLE + CAST(v.vec_rank AS DOUBLE)),
+         |               0.0::DOUBLE) AS rrf
+         |  FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+         |    AS fused_rank
+         |FROM f""".stripMargin) ++ moreOracle
+
+  private lazy val bm25RankedSql: String =
       s"""WITH perdoc AS (
          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
          |    ${Q_TERMS.map(t => s"${tfSql(t)} AS tf_$t").mkString(",\n    ")}
@@ -380,9 +453,11 @@ object RetrievalQueries {
          |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
          |    AS rank
          |FROM scored
-         |QUALIFY rank <= $TOP_K""".stripMargin,
-    // Same quantized-micro ln discipline as q80; rank derived from the
-    // quantized score so the ordering is ulp-proof.
+         |QUALIFY rank <= $TOP_K""".stripMargin
+
+  // Same quantized-micro ln discipline as q80; rank derived from the
+  // quantized score so the ordering is ulp-proof.
+  private lazy val moreOracle: Map[String, String] = Map(
     "q97_tfidf_terms" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          |t AS (SELECT doc_id,

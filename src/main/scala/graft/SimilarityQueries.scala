@@ -226,7 +226,7 @@ object SimilarityQueries {
        |    list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def cosineSql(a: String, b: String): String =
+  private[graft] def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Hyperplane p as a SQL list literal of exact double constants k/1000. */

@@ -615,4 +615,17 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 4
     p should include("partial_count")
   }
+
+  test("q98 hybrid rrf: both retriever legs are k-row top-k heaps, never global sorts") {
+    val p = plan(RetrievalQueries.q98HybridRrf(spark, sf))
+    // BM25 leg + cosine leg: one TakeOrderedAndProject each
+    """\(\d+\) TakeOrderedAndProject""".r.findAllMatchIn(p).length shouldBe 2
+    // 1-row broadcasts (query embedding, corpus stats) — never a true
+    // cartesian product
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    // everything after the scans is constant-size: the only Sorts are the
+    // ≤2k-row fusion window and the two ≤k-row rank windows
+    """\(\d+\) Sort""".r.findAllMatchIn(p).length should be <= 4
+  }
 }
