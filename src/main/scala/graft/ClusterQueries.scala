@@ -79,15 +79,19 @@ object ClusterQueries {
     * fixed-order IEEE fold, so no quantization is needed anywhere. More
     * Lloyd rounds are the same two plan fragments repeated (with the q44
     * lineage-checkpoint discipline once rounds grow). */
-  val q81Kmeans: Q = (s, d) => {
+  /** The converged assignment WITH its embedding column — q81 projects it
+    * down; q99's intra-cluster pair scan consumes it directly. */
+  private[graft] def finalAssignment(s: SparkSession, d: String): DataFrame = {
     val vectors = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val seeds = vectors.filter(col("vec_id") < K)
       .select(col("vec_id").cast(IntegerType).as("cluster"),
         col("embedding").cast("array<double>").as("cent"))
     val refined = refine(assign(s, vectors, seeds))
     assign(s, vectors, refined)
-      .select(col("vec_id"), col("cluster"), col("dist2"))
   }
+
+  val q81Kmeans: Q = (s, d) =>
+    finalAssignment(s, d).select(col("vec_id"), col("cluster"), col("dist2"))
 
   /** q85: cluster-balanced sampling — the diversity-preserving subset
     * selection behind "don't let one dominant mode eat the training mix":
@@ -118,9 +122,48 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster"), col("pos").cast(LongType).as("pos"))
   }
 
+  /** q99: SemDeDup — semantic deduplication the way the SemDeDup paper
+    * (Abbas et al., 2023) frames it: k-means partitions the embedding
+    * space, then duplicates are sought ONLY inside each cluster — the
+    * pairwise cosine scan that is quadratic-in-corpus becomes
+    * quadratic-in-cluster, the same bounding trick q22 applies to n-gram
+    * blocks. A vector is pruned when some lower-id cluster-mate sits
+    * within cosine ≥ [[SEM_TAU]]; `dup_of` records the smallest such
+    * anchor (deterministic min, no tie ambiguity — the q20/q21 keep-rule).
+    *
+    * Scale shape: q81's assignment plan (broadcast K-row centroids, the
+    * corpus never shuffles raw vectors for assignment), then ONE
+    * cluster-keyed self-join — each side shuffles once on cluster, pairs
+    * are generated and REDUCED (min anchor per victim) inside the join
+    * task, so the exchange after the pair scan carries at most one row per
+    * pruned vector, never the pair set. Cluster size bounds the quadratic
+    * term: production runs pick K ∝ corpus/target-cluster-size (and q85's
+    * quota capping handles runaway clusters); K=8 here only because the
+    * gate corpus is 500 vectors. */
+  private[graft] val SEM_TAU = 0.42
+
+  val q99SemDedup: Q = (s, d) => {
+    val cos = SimilarityQueries.cosineFnFor(s)
+    val asg = finalAssignment(s, d)
+    val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = asg.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cos(col("a_emb"), col("b_emb")) >= SEM_TAU)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "vec_id")
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.cast(IntegerType).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_kmeans" -> q81Kmeans,
-    "q85_cluster_sample" -> q85ClusterSample)
+    "q85_cluster_sample" -> q85ClusterSample,
+    "q99_semdedup" -> q99SemDedup)
 
   /** dist² between a float-list column and a double-list column: the exact
     * 0.0-seeded left fold both Spark paths implement. */
@@ -167,6 +210,23 @@ object ClusterQueries {
     "q81_kmeans" ->
       s"""$kmeansCtes
          |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,
+    // Same replay + the intra-cluster pair scan; cosine is q23's exact
+    // fold contract, so the raw-double threshold cut is boundary-safe.
+    "q99_semdedup" ->
+      s"""$kmeansCtes,
+         |pairs AS (
+         |  SELECT b.vec_id AS b_id, a.vec_id AS a_id
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
+         |    >= $SEM_TAU),
+         |dups AS (SELECT b_id AS vec_id, min(a_id) AS dup_of
+         |  FROM pairs GROUP BY 1)
+         |SELECT a2.vec_id, a2.cluster, d.dup_of,
+         |  CAST(d.dup_of IS NULL AS INTEGER) AS kept
+         |FROM a2 LEFT JOIN dups d USING (vec_id)""".stripMargin,
     // Same replay + the salted-hash quota window (the q37/q63 md5 idiom).
     "q85_cluster_sample" ->
       s"""$kmeansCtes,

@@ -628,4 +628,18 @@ class PlanSpec extends SparkSpec {
     // ≤2k-row fusion window and the two ≤k-row rank windows
     """\(\d+\) Sort""".r.findAllMatchIn(p).length should be <= 4
   }
+
+  test("q99 semdedup: pair scan is cluster-keyed, min-anchor collapses map-side") {
+    val p = plan(ClusterQueries.q99SemDedup(spark, sf))
+    // the intra-cluster self-join is an equi-join on cluster — never a
+    // corpus-wide cartesian pair scan
+    p should not include "CartesianProduct"
+    (p should include).regex("""hashpartitioning\(cluster#\d+""")
+    // the min(a_id) anchor reduction starts inside the join task: the
+    // post-pair exchange carries one partial row per victim, not the pairs
+    p should include("partial_min")
+    // centroid assignment broadcasts the K-row table, corpus never
+    // shuffles raw vectors for it
+    p should include("BroadcastNestedLoopJoin")
+  }
 }
