@@ -325,7 +325,50 @@ object SampleQueries {
       .withColumn("is_outlier", abs(col("z")) > OUT_Z)
   }
 
+  /** q100: global rank assignment — contiguous 1-based sequence numbers in
+    * a TOTAL order over the fact table (the "give every sample its index"
+    * step a corpus needs before packed shard writes or curriculum
+    * ordering). A single-partition window (`row_number() OVER (ORDER BY
+    * …)` with no PARTITION BY) moves the whole table through one task —
+    * the non-scalable plan Spark itself warns about. The scalable shape is
+    * the three-phase industrial sort: (1) sample the keys to pick range
+    * boundaries, (2) ONE range exchange + in-partition sort, (3) a
+    * per-partition count pass whose N partial counts prefix-sum into
+    * offsets (N longs of metadata, not data), so index = offset + local
+    * position. `zipWithIndex` IS phases 3's textbook implementation — the
+    * one genuinely per-partition-imperative step, taken at the RDD
+    * altitude exactly once.
+    *
+    * Ties (the fact table holds a few fully-duplicate triples) get
+    * arbitrary-but-consecutive ranks in any engine; since the tied rows
+    * are identical on every projected column, the output MULTISET is
+    * engine-independent and the hash gate stays exact. Range boundaries
+    * only move rows between partitions — the total order, and therefore
+    * every rank, is invariant to them. */
+  private val RANK_PARTS = 32
+
+  /** Phases 1–2 (boundary sample + range exchange + local sort), exposed
+    * so PlanSpec can pin the rangepartitioning shape. */
+  private[graft] def rankSorted(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val keys = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, d)
+      .select(keys.map(col): _*)
+      .repartitionByRange(RANK_PARTS, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+  }
+
+  val q100GlobalRank: Q = (s, d) => {
+    import org.apache.spark.sql.Row
+    val sorted = rankSorted(s, d)
+    val schema = sorted.schema.add("rank", LongType, nullable = false)
+    s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_global_rank"      -> q100GlobalRank,
     "q31_stratified_sample" -> q31StratifiedSample,
     "q63_exact_sample"      -> q63ExactSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
@@ -343,6 +386,15 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Ties rank arbitrarily-but-consecutively in both engines; the tied
+    // rows are identical, so the multiset (and its hash) is invariant.
+    // NULLS FIRST mirrors Spark's ascending-sort null placement.
+    "q100_global_rank" ->
+      """SELECT l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (ORDER BY
+        |    l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+        |    l_linenumber NULLS FIRST) AS BIGINT) AS rank
+        |FROM lineitem""".stripMargin,
     // Same salted-hash order, same per-lang rank cut.
     "q63_exact_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,

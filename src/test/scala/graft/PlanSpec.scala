@@ -642,4 +642,15 @@ class PlanSpec extends SparkSpec {
     // shuffles raw vectors for it
     p should include("BroadcastNestedLoopJoin")
   }
+
+  test("q100 global rank: range exchange + local sorts, never a single-partition window") {
+    val p = plan(SampleQueries.rankSorted(spark, sf))
+    (p should include).regex("""rangepartitioning\(l_shipdate#\d+ ASC NULLS FIRST""")
+    // a lost range partitioner degrades to SinglePartition + one giant sort
+    p should not include "SinglePartition"
+    p should not include "Window"
+    // the projection prunes to the three key columns at the scan
+    p should include(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>")
+  }
 }
