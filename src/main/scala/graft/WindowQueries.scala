@@ -212,7 +212,44 @@ object WindowQueries {
           + when(col("ts_purchase").isNotNull, 1).otherwise(0)))
   }
 
+  /** q101: SCD2 dimension history — the operational twin of q72's SCD1
+    * "latest wins" refresh: instead of overwriting, every CHANGE of a
+    * user's state (their event_type here) opens a new version row with
+    * [valid_from, valid_to) effectivity, the lakehouse pattern for
+    * time-travel joins ("what was this user's state when the sample was
+    * collected?"). Classic gaps-and-islands: a null-safe lag marks change
+    * points, a running sum numbers the runs, runs collapse to version
+    * rows, and lead() closes each version with its successor's start
+    * (null = current).
+    *
+    * Scale shape: every window and the run-collapse group share the
+    * user_id key — the lag/sum windows partition by user_id, the
+    * (user_id, version) aggregation is satisfied by the same hash
+    * clustering (subset rule), and the lead window re-uses it again: ONE
+    * exchange of the events table, total (plan-pinned). No self-join —
+    * the naive "join each row to its successor" formulation shuffles
+    * twice and breaks on duplicate timestamps. */
+  val q101Scd2History: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd) <=> col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wVer).as("valid_to"),
+        col("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
     "q50_asof_join"    -> q50AsofJoin,
@@ -222,6 +259,26 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same islands construction: null-safe lag change flags, running-sum
+    // version numbers, lead() effectivity close.
+    "q101_scd2_history" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |v AS (SELECT *, sum(chg) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |  FROM m),
+        |r AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS state, min(ts) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  n_events
+        |FROM r""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -653,4 +653,15 @@ class PlanSpec extends SparkSpec {
     p should include(
       "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>")
   }
+
+  test("q101 scd2: lag/sum windows, run collapse, and lead all share ONE user_id exchange") {
+    val p = plan(WindowQueries.q101Scd2History(spark, sf))
+    // the hash(user_id) clustering satisfies every stage downstream: the
+    // change-flag window, the (user_id, version) collapse (subset rule),
+    // and the effectivity lead window
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    (p should include).regex("""hashpartitioning\(user_id#\d+L""")
+    // islands, not a self-join successor lookup
+    p should not include "Join"
+  }
 }
