@@ -184,7 +184,13 @@ object RetrievalQueries {
     bpeMerges(Tables.documents(s, d), BPE_ROUNDS)
 
   private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
-                               rounds: Int) = {
+                               rounds: Int) = bpeState(docs, rounds)._1
+
+  /** The shared BPE learner state: (learned merges, the word table's final
+    * segmentation). q90 reports the merges; q102 reports the encoding the
+    * merges induce — one machine, both views, so the two can never drift. */
+  private[graft] def bpeState(docs: org.apache.spark.sql.DataFrame,
+                              rounds: Int) = {
     val wf = docs.filter(col("text").isNotNull)
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -211,7 +217,28 @@ object RetrievalQueries {
       best.select(lit(round).as("round"), col("term_a"), col("term_b"),
         col("pair_count"))
     }
-    merges.reduce(_ union _)
+    (merges.reduce(_ union _), seqs)
+  }
+
+  /** q102: BPE encoding — APPLY the q90-learned merges: every corpus word
+    * with its frequency and its final subword segmentation after
+    * [[BPE_ROUNDS]] merge rounds (the tokenizer-apply step between "learn
+    * the vocab" and "pack the shards"; q17 counts whitespace tokens, this
+    * produces the subword stream an LM actually consumes).
+    *
+    * Scale shape: identical to q90 — encoding operates on the DISTINCT
+    * word table (one keyed count shuffle), and each merge round is a
+    * 1-row broadcast + a codegen'd string replace, so R rounds add zero
+    * exchanges. Corpus text never re-scans per round. A
+    * production-R (tens of thousands of merges) tokenizer leaves the
+    * relational unroll for a per-partition priority-queue encoder at the
+    * mapPartitions altitude; the semantics gated here are the same. */
+  val q102BpeEncode: Q = (s, d) => {
+    val seqs = bpeState(Tables.documents(s, d), BPE_ROUNDS)._2
+    val toks = split(trim(col("seq")), "  ")
+    seqs.select(col("word"), col("freq"),
+      size(toks).as("n_tokens"),
+      concat_ws(" ", toks).as("tokens"))
   }
 
   /** q94: unigram LM surprisal scoring — the CCNet-style quality signal: a
@@ -343,6 +370,7 @@ object RetrievalQueries {
     "q80_bm25" -> q80Bm25,
     "q83_pmi_bigrams" -> q83PmiBigrams,
     "q90_bpe_merges" -> q90BpeMerges,
+    "q102_bpe_encode" -> q102BpeEncode,
     "q94_lm_surprisal" -> q94LmSurprisal,
     "q97_tfidf_terms" -> q97TfidfTerms,
     "q98_hybrid_rrf" -> q98HybridRrf)
@@ -369,7 +397,9 @@ object RetrievalQueries {
        |                 ' ' || ta || tb || ' ') AS seq
        |  FROM s${r - 1}, b$r)""".stripMargin
 
-  private lazy val bpeSql: String =
+  /** The shared learner replay (wf → s0 → b1/s1 … b_R/s_R), reused by the
+    * q90 merges view and the q102 encoding view. */
+  private lazy val bpeCtes: String =
     s"""WITH wf AS (
        |  SELECT w AS word, count(*) AS freq
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
@@ -380,10 +410,20 @@ object RetrievalQueries {
        |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
        |      i -> substr(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS seq
        |  FROM wf),
-       |${(1 to BPE_ROUNDS).map(bpeRoundCtes).mkString(",\n")}
+       |${(1 to BPE_ROUNDS).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+
+  private lazy val bpeSql: String =
+    s"""$bpeCtes
        |${(1 to BPE_ROUNDS).map(r =>
            s"SELECT CAST($r AS INTEGER) AS round, ta AS term_a, tb AS term_b, cnt AS pair_count FROM b$r")
          .mkString("\nUNION ALL ")}""".stripMargin
+
+  private lazy val bpeEncodeSql: String =
+    s"""$bpeCtes
+       |SELECT word, freq,
+       |  CAST(len(string_split(trim(seq), '  ')) AS INTEGER) AS n_tokens,
+       |  array_to_string(string_split(trim(seq), '  '), ' ') AS tokens
+       |FROM s$BPE_ROUNDS""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Same integer-bit surprisal: bit-width of the BIGINT quotient, no
@@ -403,6 +443,7 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
+    "q102_bpe_encode" -> bpeEncodeSql,
     "q80_bm25" -> bm25RankedSql,
     // Nested q80 replay + cosine top-20 replay (q23's fold contract) +
     // the two-term IEEE rrf sum in fixed (lex, vec) order.
