@@ -91,7 +91,7 @@ object DedupQueries {
     * broadcast joins, plan-pinned). Same hashing and τ=0.8 as q21, so the
     * all-pairs oracle — restricted to batch×corpus pairs — gates both the
     * banding recall and the probe mechanics. */
-  private val BATCH_MAX_ID = 50
+  private[graft] val BATCH_MAX_ID = 50
   private val INC_K = 3
   private val INC_TAU = 0.8
 

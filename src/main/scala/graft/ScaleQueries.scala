@@ -114,7 +114,8 @@ object ScaleQueries {
     "q72_merge_upsert"      -> Seq("graft_corpus_base"),
     "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"),
     "q78_incremental_refresh" ->
-      Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"))
+      Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"),
+    "q103_incremental_agg"  -> Seq("graft_lang_state"))
 
   /** Drop the given sf-tagged write-once layouts (catalog entries + files)
     * so the next run measures the build, not a warm reuse. */
@@ -193,7 +194,52 @@ object ScaleQueries {
       .select(col("event_id"), col("user_id"), col("value"), col("z"))
   }
 
+  /** q103: incremental aggregate maintenance — the operational answer to
+    * "our per-language corpus statistics must stay current as batches
+    * land, and re-scanning 100 TB per batch is not an option". The
+    * per-lang state (n_docs, n_tokens, n_chars) is an ALGEBRAIC aggregate
+    * — a commutative monoid — so state ⊕ delta(batch) ≡ recompute(corpus ∪
+    * batch); that equivalence is exactly what the DuckDB oracle gates
+    * (the oracle recomputes from scratch; the engine never does). Derived
+    * non-algebraic stats (avg here) are computed at READ time from the
+    * monoid fields — the rule that makes a stat maintainable.
+    *
+    * Scale shape: the corpus contributes through its materialized
+    * write-once state (a K-row parquet, K = |langs|); the only scan of
+    * the raw documents table in the steady-state plan is the BATCH, with
+    * the doc_id split pushed to the parquet scan (plan-pinned). The merge
+    * union is K+K rows into a K-row aggregate — free. A new batch costs
+    * O(batch), never O(corpus). */
+  val q103IncrementalAgg: Q = (s, d) => {
+    def langStats(docs: org.apache.spark.sql.DataFrame) =
+      docs.filter(col("text").isNotNull)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(org.apache.spark.sql.functions.size(
+            graft.operators.TextOps.words(col("text"))).cast(
+              org.apache.spark.sql.types.LongType)).as("n_tokens"),
+          sum(length(col("text")).cast(
+            org.apache.spark.sql.types.LongType)).as("n_chars"))
+    val stateDir = Scale.writeOnce(
+      langStats(Tables.documents(s, d).filter(col("doc_id") >= DedupQueries.BATCH_MAX_ID)),
+      s"graft_lang_state_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/documents.parquet") +
+        s"|split=${DedupQueries.BATCH_MAX_ID}")
+    val delta = langStats(
+      Tables.documents(s, d).filter(col("doc_id") < DedupQueries.BATCH_MAX_ID))
+    s.read.parquet(stateDir).unionByName(delta)
+      .groupBy(col("lang")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_docs").cast(org.apache.spark.sql.types.DoubleType))
+          .as("avg_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q103_incremental_agg" -> q103IncrementalAgg,
     "q28_salted_agg"    -> q28SaltedAgg,
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
@@ -202,6 +248,17 @@ object ScaleQueries {
     "q72_merge_upsert"  -> q72MergeUpsert)
 
   val oracle: Map[String, String] = Map(
+    // Full recompute over corpus ∪ batch: the monoid-merge equivalence is
+    // the thing under test.
+    "q103_incremental_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_tokens
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

@@ -664,4 +664,15 @@ class PlanSpec extends SparkSpec {
     // islands, not a self-join successor lookup
     p should not include "Join"
   }
+
+  test("q103 incremental agg: steady state scans the BATCH only — corpus arrives as K-row state") {
+    val p = plan(ScaleQueries.q103IncrementalAgg(spark, sf))
+    // the only documents scan is the batch slice, split pushed to parquet
+    """documents\.parquet""".r.findAllMatchIn(p).length shouldBe 1
+    (p should include).regex("""PushedFilters: \[.*LessThan\(doc_id,50\)""")
+    // the corpus side is the materialized per-lang state table
+    p should include("graft_lang_state")
+    // batch agg + K-row merge agg — no corpus-sized exchange can exist
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+  }
 }
