@@ -367,7 +367,45 @@ object SampleQueries {
       schema)
   }
 
+  /** q104: equi-depth histogram — the data-profiling staple (optimizer
+    * statistics, drift monitors, feature binning): quartile boundaries of
+    * `events.value` from the EXACT percentile, then per-bin count / min /
+    * max / total. Equal-width histograms lie about skewed columns;
+    * equal-depth bins adapt their boundaries to the mass.
+    *
+    * Determinism: the three thresholds replicate Spark's exact-percentile
+    * interpolation in the oracle literally (the q65 contract, ×3); bin
+    * assignment compares against bit-identical thresholds; the per-bin sum
+    * runs in DECIMAL (order-independent — a double sum would vary with
+    * task order) and casts to double once.
+    *
+    * Scale shape: one scalar aggregate broadcasts the 3-element threshold
+    * array back onto the scan (the q54/q65 pattern — per-row decisions
+    * from a broadcast global stat); the per-bin rollup is a 4-group keyed
+    * aggregate collapsing map-side. The exact percentile concentrates
+    * O(distinct values) on one reducer — q65's declared honest cost; the
+    * sketch path for unbounded columns is q40's approx_percentile, same
+    * downstream shape. */
+  val q104EquidepthHist: Q = (s, d) => {
+    val vals = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val th = vals.agg(
+      expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("t"))
+    vals.crossJoin(broadcast(th))
+      .select(col("value"),
+        when(col("value") < element_at(col("t"), 1), 0)
+          .when(col("value") < element_at(col("t"), 2), 1)
+          .when(col("value") < element_at(col("t"), 3), 2)
+          .otherwise(3).as("bin"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q104_equidepth_hist"   -> q104EquidepthHist,
     "q100_global_rank"      -> q100GlobalRank,
     "q31_stratified_sample" -> q31StratifiedSample,
     "q63_exact_sample"      -> q63ExactSample,
@@ -386,6 +424,36 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Spark's exact-percentile interpolation replayed literally (the q65
+    // contract) for each of the three quartile cuts; DECIMAL bin sums.
+    "q104_equidepth_hist" ->
+      """WITH s AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |ord AS (SELECT value AS q, row_number() OVER (ORDER BY value) - 1 AS i
+        |  FROM s),
+        |p AS (SELECT pq,
+        |    pq * CAST(n - 1 AS DOUBLE) AS pos,
+        |    CAST(floor(pq * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo,
+        |    CAST(ceil(pq * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi
+        |  FROM (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS pq),
+        |       (SELECT count(*) AS n FROM s)),
+        |th AS (SELECT p.pq, sum(CASE
+        |    WHEN p.lo = p.hi AND ord.i = p.lo THEN ord.q
+        |    WHEN ord.i = p.lo THEN (CAST(p.hi AS DOUBLE) - p.pos) * ord.q
+        |    WHEN ord.i = p.hi THEN (p.pos - CAST(p.lo AS DOUBLE)) * ord.q
+        |    END) AS t
+        |  FROM ord, p GROUP BY p.pq),
+        |cuts AS (SELECT
+        |    max(CASE WHEN pq = 0.25 THEN t END) AS t25,
+        |    max(CASE WHEN pq = 0.5  THEN t END) AS t50,
+        |    max(CASE WHEN pq = 0.75 THEN t END) AS t75
+        |  FROM th),
+        |binned AS (SELECT value,
+        |    CASE WHEN value < t25 THEN 0 WHEN value < t50 THEN 1
+        |         WHEN value < t75 THEN 2 ELSE 3 END AS bin
+        |  FROM s, cuts)
+        |SELECT bin, count(*) AS n, min(value) AS vmin, max(value) AS vmax,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM binned GROUP BY bin""".stripMargin,
     // Ties rank arbitrarily-but-consecutively in both engines; the tied
     // rows are identical, so the multiset (and its hash) is invariant.
     // NULLS FIRST mirrors Spark's ascending-sort null placement.
