@@ -169,12 +169,21 @@ object DedupQueries {
     * ([[Dedup.blockedEditPairs]]): pairs within 24 edits on the 128-char
     * prefix (both scales show a wide stable gap there: true dups sit ≤16
     * edits, the noise floor starts ~70). Catches small in-place edits
-    * Jaccard barely registers. */
+    * Jaccard barely registers.
+    *
+    * The word-count block width is the candidate-count dial: at 32 the
+    * block key barely discriminated (doc lengths cluster — 2.48M DP pairs
+    * at sf0.1 for 79 survivors, 13.5 s); at 8 the same survivors emerge
+    * from 0.8M pairs (every measured true pair differs by ≤1 word; the
+    * ±bucket guarantee still covers 8–16 words of drift, ~3× the edit
+    * budget's plausible word-count effect on a 128-char prefix). */
   private val EDIT_MAX = 24
   private val EDIT_PREFIX = 128
+  private val EDIT_BUCKET = 8
 
   val q84DedupEdit: Q = (s, d) =>
-    Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX, EDIT_PREFIX)
+    Dedup.blockedEditPairs(Tables.documentsDistributed(s, d), EDIT_MAX,
+      EDIT_PREFIX, EDIT_BUCKET)
 
   /** q86: span-level exact-substring duplication signal
     * ([[Dedup.spanDuplication]]) — per-doc duplicated-span fraction at a
@@ -319,7 +328,7 @@ object DedupQueries {
       s"""WITH w AS (SELECT doc_id, lang, text,
          |    len(regexp_split_to_array(trim(text), '\\s+')) AS nw
          |  FROM documents),
-         |blk AS (SELECT doc_id, lang, text, nw // 32 AS b FROM w)
+         |blk AS (SELECT doc_id, lang, text, nw // $EDIT_BUCKET AS b FROM w)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(levenshtein(substr(a.text, 1, $EDIT_PREFIX),
          |                   substr(b.text, 1, $EDIT_PREFIX)) AS INTEGER)

@@ -404,7 +404,46 @@ object SampleQueries {
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total"))
   }
 
+  /** q105: temperature-scaled mixture weights — the multilingual-corpus
+    * sampling rule (α-smoothed multinomial, the standard way to keep
+    * high-resource languages from drowning low-resource ones): per
+    * language, weight ∝ n^α with α = [[MIX_ALPHA]] < 1, normalized over
+    * the corpus; the expected per-language document counts for a fixed
+    * [[MIX_TARGET]]-doc epoch follow. q49 APPLIES a hand-set mixture;
+    * this computes one from the corpus itself.
+    *
+    * Determinism: n^α = exp(α·ln n) is transcendental (1-ulp
+    * engine-divergent), so each per-lang power is quantized ONCE at the
+    * source — floor(n^α·1e6) — and everything downstream is exact integer
+    * arithmetic: the normalizer is a BIGINT sum (order-free, unlike a
+    * double fold whose rounding depends on task order), the weight and
+    * expected count are integer-division micro-ints. ANSI mode faults on
+    * overflow rather than corrupting; a corpus big enough to overflow the
+    * ×1e6 products upgrades them to DECIMAL (the q83 note).
+    *
+    * Scale shape: one keyed count shuffle that collapses map-side (K
+    * groups), then ALL remaining arithmetic happens on K rows — the
+    * per-lang powers, the scalar normalizer (1-row broadcast back), the
+    * final weights. A 100 TB corpus pays one count pass, the mixture
+    * itself is metadata-sized. */
+  private val MIX_ALPHA = 0.7
+  private val MIX_TARGET = 1000000L
+
+  val q105TemperatureMix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p_micro",
+        floor(pow(col("n_docs").cast(DoubleType), lit(MIX_ALPHA)) *
+          lit(1000000.0)).cast(LongType))
+    val z = counts.agg(sum(col("p_micro")).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        expr("p_micro * 1000000L DIV z").as("weight_micro"),
+        expr(s"p_micro * ${MIX_TARGET}L DIV z").as("expected_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_temperature_mix"  -> q105TemperatureMix,
     "q104_equidepth_hist"   -> q104EquidepthHist,
     "q100_global_rank"      -> q100GlobalRank,
     "q31_stratified_sample" -> q31StratifiedSample,
@@ -424,6 +463,19 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // pow quantized once at the source; all downstream arithmetic is
+    // exact BIGINT (order-free normalizer sum, integer-division weights).
+    "q105_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |p AS (SELECT lang, n_docs,
+         |    CAST(floor(pow(CAST(n_docs AS DOUBLE), $MIX_ALPHA) * 1000000.0)
+         |      AS BIGINT) AS p_micro
+         |  FROM c),
+         |z AS (SELECT CAST(sum(p_micro) AS BIGINT) AS z FROM p)
+         |SELECT lang, n_docs,
+         |  p_micro * 1000000 // z AS weight_micro,
+         |  p_micro * $MIX_TARGET // z AS expected_docs
+         |FROM p, z""".stripMargin,
     // Spark's exact-percentile interpolation replayed literally (the q65
     // contract) for each of the three quartile cuts; DECIMAL bin sums.
     "q104_equidepth_hist" ->
