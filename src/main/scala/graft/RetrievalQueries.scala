@@ -277,6 +277,47 @@ object RetrievalQueries {
           col("n_tokens"))
   }
 
+  /** q106: bigram-LM surprisal — q94's unigram filter upgraded to the
+    * CONDITIONAL model: each adjacent pair (a, b) costs
+    * bits = ⌊log₂((c_a + V) / (c_ab + 1))⌋, the add-one-smoothed
+    * P(b|a) = (c_ab + 1)/(c_a + V) in q94's integer-bit quantization —
+    * bit-width of the BIGINT quotient, no transcendental, so per-doc
+    * BIGINT sums are order-free and hash-exact (the reason q94 chose
+    * integer bits: a double-ln sum would floor-diverge ~20× per corpus).
+    * A doc full of common words in UNCOMMON orders — the word-salad spam
+    * a unigram model scores as fluent — now pays for every surprising
+    * transition. Smoothing guarantees c_a + V > c_ab, so every quotient
+    * is ≥ 1 and bits ≥ 0.
+    *
+    * Scale shape: two corpus count shuffles (bigrams, unigrams) that
+    * collapse map-side; V is a 1-row scalar broadcast; both count tables
+    * broadcast back onto the in-scan bigram stream (bounded vocab — the
+    * q83 note); the per-doc regroup carries (doc_id, bits) longs. */
+  val q106BigramSurprisal: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val w = TextOps.words(col("text"))
+    val bigrams = docs.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"))
+    val uni = docs.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
+    val bi = bigrams.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(broadcast(bi), Seq("ta", "tb"))
+      .join(broadcast(uni.withColumnRenamed("t", "ta")), Seq("ta"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("length(bin((c_a + v) div (c_ab + 1))) - 1").as("bits"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_bigrams"))
+  }
+
   /** q97: TF-IDF top terms per document — the keyword-extraction classic
     * (and the feature behind sparse retrieval indexes and topic labels):
     * for every document, the [[TFIDF_TOP]] terms maximizing
@@ -371,6 +412,7 @@ object RetrievalQueries {
     "q83_pmi_bigrams" -> q83PmiBigrams,
     "q90_bpe_merges" -> q90BpeMerges,
     "q102_bpe_encode" -> q102BpeEncode,
+    "q106_bigram_surprisal" -> q106BigramSurprisal,
     "q94_lm_surprisal" -> q94LmSurprisal,
     "q97_tfidf_terms" -> q97TfidfTerms,
     "q98_hybrid_rrf" -> q98HybridRrf)
@@ -443,6 +485,27 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
+    // Same integer-bit trick as q94, lifted to the smoothed conditional.
+    "q106_bigram_surprisal" ->
+      """WITH docs AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, w[CAST(i AS INTEGER)] AS ta,
+        |              w[CAST(i + 1 AS INTEGER)] AS tb
+        |       FROM docs, UNNEST(range(1, len(w))) r(i)),
+        |uni AS (SELECT unnest(w) AS t FROM docs),
+        |uc AS (SELECT t, count(*) AS c_a FROM uni GROUP BY t),
+        |bc AS (SELECT ta, tb, count(*) AS c_ab FROM bg GROUP BY ta, tb),
+        |vv AS (SELECT count(*) AS v FROM uc),
+        |scored AS (SELECT doc_id,
+        |    CAST(length(format('{:b}', (uc.c_a + v) // (bc.c_ab + 1))) - 1
+        |      AS INTEGER) AS bits
+        |  FROM bg JOIN bc USING (ta, tb) JOIN uc ON uc.t = bg.ta, vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+        |FROM scored
+        |GROUP BY doc_id""".stripMargin,
     "q102_bpe_encode" -> bpeEncodeSql,
     "q80_bm25" -> bm25RankedSql,
     // Nested q80 replay + cosine top-20 replay (q23's fold contract) +
