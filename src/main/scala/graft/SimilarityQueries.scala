@@ -205,7 +205,40 @@ object SimilarityQueries {
       cents, NPROBE, PQ_SHORTLIST, q76PqCodes(s, d), pqCodebook(s, d),
       cosineFnFor(s))
 
+  /** q107: ANN recall audit — recall@k of each approximate index (q24's
+    * banded LSH, q33's IVF) against the q23 exact ranking, per query and
+    * per index family, AS A QUERY: the index-quality monitor a production
+    * ANN deployment runs continuously (on a sampled query set) to catch
+    * recall rot when the data distribution drifts away from the hash
+    * family. The side-by-side is the point — at this corpus the audit
+    * reports IVF ≈ 0.9 while the single-grid LSH scores 0.0, exactly the
+    * drift signal that triggers re-tuning the hash family. The exact leg
+    * is the audit's declared cost — it runs on the sample, never the full
+    * query load; all legs are the already-pinned scan-shaped top-k plans,
+    * and everything after them is k-row-per-query arithmetic.
+    * recall = n_hit/k is one exact IEEE division of two small integers —
+    * gate-safe raw (the q98 rule). */
+  val q107AnnRecall: Q = (s, d) => {
+    val exact = q23CosineTopK(s, d).filter(col("rank") <= K_ANN)
+      .select(col("query_id"), col("neighbor_id"))
+    def leg(tag: String, approx: org.apache.spark.sql.DataFrame) = {
+      val hits = exact
+        .join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(tag).as("index"), col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            lit(K_ANN.toDouble)).as("recall"))
+    }
+    leg("lsh", q24AnnLsh(s, d)).unionByName(leg("ivf", q33AnnIvf(s, d)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_ann_recall"      -> q107AnnRecall,
     "q23_cosine_topk"      -> q23CosineTopK,
     "q76_pq_codes"         -> q76PqCodes,
     "q79_ann_ivf_pq"       -> q79AnnIvfPq,
@@ -249,6 +282,18 @@ object SimilarityQueries {
        |      z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))),
        |  (x, y) -> x + y)""".stripMargin
 
+  private def annLshSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "v.embedding")} AS sim
+       |  FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> qid),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
+       |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
+       |FROM ranked WHERE rn <= $K_ANN""".stripMargin
+
   private def bruteTopKSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
        |scored AS (
@@ -264,17 +309,25 @@ object SimilarityQueries {
     // the gate proves the two formulations interchangeable every round.
     "q34_topk_window_twin" -> bruteTopKSql,
     "q23_cosine_topk" -> bruteTopKSql,
-    "q24_ann_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT qid, v.vec_id AS nid, ${cosineSql("qe", "v.embedding")} AS sim
-         |  FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> qid),
-         |ranked AS (SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored)
-         |SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim
-         |FROM ranked WHERE rn <= $K_ANN""".stripMargin,
+    "q24_ann_lsh" -> annLshSql,
+    // All three legs replayed, then the plain set arithmetic of recall@k
+    // per index family.
+    "q107_ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id
+         |  FROM ($bruteTopKSql) t WHERE rank <= $K_ANN),
+         |ap AS (
+         |  SELECT 'lsh' AS idx, query_id, neighbor_id FROM ($annLshSql) t
+         |  UNION ALL
+         |  SELECT 'ivf' AS idx, query_id, neighbor_id FROM ($ivfSql) t),
+         |h AS (SELECT idx, query_id, count(*) AS n_hit
+         |  FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1, 2),
+         |e AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |tags AS (SELECT unnest(['lsh', 'ivf']) AS idx)
+         |SELECT tags.idx AS index, e.query_id, e.n_exact,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K_ANN AS recall
+         |FROM e CROSS JOIN tags
+         |LEFT JOIN h ON h.idx = tags.idx AND h.query_id = e.query_id""".stripMargin,
     // Full IVF-PQ replay: cells + codes + ADC shortlist + exact re-rank.
     "q79_ann_ivf_pq" -> ivfPqSql,
     // q52 reads a cell-partitioned materialization of the same assignment:
