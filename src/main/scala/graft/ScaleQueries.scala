@@ -210,16 +210,22 @@ object ScaleQueries {
     * the doc_id split pushed to the parquet scan (plan-pinned). The merge
     * union is K+K rows into a K-row aggregate — free. A new batch costs
     * O(batch), never O(corpus). */
+  /** The q103 monoid builder — also the streaming twin: applied to a
+    * document feed, Structured Streaming's aggregation state IS this
+    * monoid (each micro-batch folds its delta into the per-group sums),
+    * so a Complete-mode stream equals the batch aggregate under any
+    * chopping of the feed (StreamingSpec). */
+  private[graft] def langStats(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("text").isNotNull)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(org.apache.spark.sql.functions.size(
+          graft.operators.TextOps.words(col("text"))).cast(
+            org.apache.spark.sql.types.LongType)).as("n_tokens"),
+        sum(length(col("text")).cast(
+          org.apache.spark.sql.types.LongType)).as("n_chars"))
+
   val q103IncrementalAgg: Q = (s, d) => {
-    def langStats(docs: org.apache.spark.sql.DataFrame) =
-      docs.filter(col("text").isNotNull)
-        .groupBy(col("lang")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(org.apache.spark.sql.functions.size(
-            graft.operators.TextOps.words(col("text"))).cast(
-              org.apache.spark.sql.types.LongType)).as("n_tokens"),
-          sum(length(col("text")).cast(
-            org.apache.spark.sql.types.LongType)).as("n_chars"))
     val stateDir = Scale.writeOnce(
       langStats(Tables.documents(s, d).filter(col("doc_id") >= DedupQueries.BATCH_MAX_ID)),
       s"graft_lang_state_${sfTag(d)}",

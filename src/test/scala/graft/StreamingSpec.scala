@@ -442,4 +442,42 @@ class StreamingSpec extends SparkSpec {
       byUser.contains(5L) shouldBe false
     } finally q.stop()
   }
+
+  test("streaming per-lang stats (q103's monoid builder) equal the batch aggregate on a chopped feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    // the SAME builder the batch query and the materialized state use —
+    // streaming aggregation state IS the monoid, so Complete mode must
+    // converge to the batch answer under any micro-batch chopping
+    val q = ScaleQueries.langStats(
+        input.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("q103_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val feed = Seq[(Long, String, String)](
+        (0L, "en", "alpha beta gamma"), (1L, "en", "delta"),
+        (2L, "de", "eins zwei"), (3L, "en", null), // null text: excluded
+        (4L, "zh", "one"), (5L, "de", "drei vier fünf"),
+        (6L, "en", "epsilon zeta"))
+      // chop mid-language so en/de state must fold across batches
+      val (b1, rest) = feed.splitAt(3)
+      val (b2, b3) = rest.splitAt(2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("q103_twin_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      val batch = ScaleQueries.langStats(
+          feed.toDF("doc_id", "lang", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      streamed.toSeq shouldBe batch.toSeq
+      streamed.map(_._1).toSeq shouldBe Seq("de", "en", "zh")
+      // en: doc 3's null text contributes to NOTHING
+      val en = streamed.find(_._1 == "en").get
+      (en._2, en._3) shouldBe ((3L, 6L))
+    } finally q.stop()
+  }
 }
