@@ -224,7 +224,35 @@ object DedupQueries {
       DECON_K, DECON_MIN, BLOOM_EST, BLOOM_BITS)
   }
 
+  /** q108: keep-best cluster resolution — the curation refinement of
+    * q44's min-id canonical rule: inside each near-dup cluster, KEEP the
+    * highest-quality member (q65's shared quality score; doc_id breaks
+    * ties), prune the rest. Min-id is arbitrary; argmax-quality is what a
+    * production curation pass actually ships — the one decision that
+    * determines which copy of every duplicated document survives into the
+    * training mix.
+    *
+    * Determinism: the score is the q65 contract (bit-exact in both
+    * engines), so ranking on the raw double with the doc_id tiebreak is
+    * boundary-safe (the q23 rule).
+    *
+    * Scale shape: q44's iterative label propagation unchanged, plus one
+    * quality scan of the corpus (in-scan arithmetic, no shuffle) and one
+    * cluster-keyed window for the argmax — the window input is the
+    * (doc_id, cluster, score) triple, never text. */
+  val q108KeepBest: Q = (s, d) => {
+    val clusters = q44DedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val scored = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextQueries.qualityScore(col("text")).as("quality_score"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("kept", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))) === 1)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_keep_best"          -> q108KeepBest,
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
     "q22_dedup_ngram_blocked" -> q22DedupNgramBlocked,
@@ -271,6 +299,32 @@ object DedupQueries {
        |FROM co JOIN ev USING (s)
        |GROUP BY 1, 2
        |HAVING count(*) >= $DECON_MIN""".stripMargin
+
+  /** q44's full transitive-closure replay (recursive CTE over the exact
+    * Jaccard pair set) — shared by the q44 gate and q108's keep-best. */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE ${shinglesCte(3)},
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT da AS doc_a, db AS doc_b
+       |  FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
+       |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+       |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+       |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+       |SELECT labeled.doc_id, labeled.cluster_id, csz.cluster_size,
+       |  labeled.doc_id = labeled.cluster_id AS is_canonical
+       |FROM labeled JOIN csz USING (cluster_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -395,29 +449,26 @@ object DedupQueries {
     "q35_dedup_embedding" -> embeddingOracle,
     // Transitive closure over the exact-Jaccard τ=0.8 pair set (q21's
     // oracle semantics) via recursive CTE; min reachable id per node.
-    "q44_dedup_clusters" ->
-      s"""WITH RECURSIVE ${shinglesCte(3)},
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT da AS doc_a, db AS doc_b
-         |  FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
-         |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-         |  UNION
-         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-         |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
-         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
-         |SELECT labeled.doc_id, labeled.cluster_id, csz.cluster_size,
-         |  labeled.doc_id = labeled.cluster_id AS is_canonical
-         |FROM labeled JOIN csz USING (cluster_id)""".stripMargin,
+    "q44_dedup_clusters" -> clustersSql,
+    // q44's transitive closure + q65's score + the argmax keep window.
+    "q108_keep_best" ->
+      s"""WITH c AS (SELECT doc_id, cluster_id FROM ($clustersSql) t),
+         |tok AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |      AS punct_cnt
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |    ${TextQueries.qualityScoreSql("w", "punct_cnt", "char_len")}
+         |      AS quality_score
+         |  FROM tok),
+         |j AS (SELECT c.doc_id, c.cluster_id, s.quality_score
+         |  FROM c JOIN s USING (doc_id))
+         |SELECT doc_id, cluster_id, quality_score,
+         |  (row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY quality_score DESC, doc_id)) = 1 AS kept
+         |FROM j""".stripMargin,
     // Same aligned 16-word block segmentation, md5 per block, >= 2 distinct
     // docs -> boilerplate; cleaned digest = kept block hashes in order.
     "q47_boilerplate" ->
