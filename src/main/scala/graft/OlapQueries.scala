@@ -107,6 +107,49 @@ object OlapQueries {
       .unionByName(tagMix("mix_except_all", mixA.exceptAll(mixB)))
   }
 
+  /** q109: keyed CDC diff — q77's row-level snapshot algebra upgraded to
+    * the per-KEY change feed a downstream consumer actually subscribes
+    * to: full-outer join of two corpus snapshots on doc_id, each change
+    * typed `inserted` / `deleted` / `updated` (content digest moved) with
+    * the old/new digests attached; unchanged keys are filtered out — CDC
+    * emits changes, not the corpus. Snapshot B both drops a hash bucket
+    * (deletes + inserts vs A) and rewrites bucket 2's text (updates), so
+    * all three change types are non-trivial at every scale.
+    *
+    * Presence is tracked with explicit flags, never digest-nullness — a
+    * legitimately null text hashes via a sentinel, so a null-text doc can
+    * not masquerade as an insert. Digests are md5 (identical bytes in
+    * both engines; the q18 fingerprint rule).
+    *
+    * Scale shape: two in-scan digest projections of the same table and
+    * ONE doc_id-keyed full-outer merge join; the change filter runs on
+    * (flags, digests) — text never crosses the exchange. At 100 TB both
+    * snapshots would be doc_id-bucketed layouts (q29's discipline), making
+    * the join exchange-free. */
+  val q109CdcDiff: Q = (s, d) => {
+    val bucket = pmod(graft.operators.TextOps.hash60(
+      col("doc_id").cast(StringType)), lit(5))
+    val digest = md5(coalesce(col("text"), lit("<graft:null>")))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), bucket.as("bkt"))
+    val a = docs.filter(col("bkt") =!= 0)
+      .select(col("doc_id"), lit(1).as("in_a"), digest.as("old_hash"))
+    val b = docs.filter(col("bkt") =!= 1)
+      .withColumn("text",
+        when(col("bkt") === 2, concat(lit("rev2 "), col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), lit(1).as("in_b"), digest.as("new_hash"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("in_b").isNull, "deleted")
+          .when(col("in_a").isNull, "inserted")
+          .when(!(col("old_hash") <=> col("new_hash")), "updated"))
+      .filter(col("change_type").isNotNull)
+      .select(col("doc_id"), col("change_type"),
+        when(col("in_a").isNotNull, col("old_hash")).as("old_hash"),
+        when(col("in_b").isNotNull, col("new_hash")).as("new_hash"))
+  }
+
   /** q91: ANALYZE-style column statistics over `lineitem` — per column:
     * row/null counts, exact NDV, min/max, and DISCRETE (type-7-free)
     * quartile boundaries — the statistics block a cost-based optimizer
@@ -222,11 +265,38 @@ object OlapQueries {
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
     "q77_set_ops"      -> q77SetOps,
+    "q109_cdc_diff"    -> q109CdcDiff,
     "q91_column_stats" -> q91ColumnStats,
     "q95_window_suite" -> q95WindowSuite,
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 
   val oracle: Map[String, String] = Map(
+    // Same bucket construction, same sentinel digest, same typing rules.
+    "q109_cdc_diff" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |      % 5 AS bkt
+        |  FROM documents),
+        |a AS (SELECT doc_id, 1 AS in_a,
+        |    md5(coalesce(text, '<graft:null>')) AS old_hash
+        |  FROM s WHERE bkt <> 0),
+        |b0 AS (SELECT doc_id,
+        |    CASE WHEN bkt = 2 THEN 'rev2 ' || text ELSE text END AS text
+        |  FROM s WHERE bkt <> 1),
+        |b AS (SELECT doc_id, 1 AS in_b,
+        |    md5(coalesce(text, '<graft:null>')) AS new_hash
+        |  FROM b0),
+        |f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    in_a, in_b, old_hash, new_hash,
+        |    CASE WHEN in_b IS NULL THEN 'deleted'
+        |         WHEN in_a IS NULL THEN 'inserted'
+        |         WHEN old_hash IS DISTINCT FROM new_hash THEN 'updated'
+        |    END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, change_type,
+        |  CASE WHEN in_a IS NOT NULL THEN old_hash END AS old_hash,
+        |  CASE WHEN in_b IS NOT NULL THEN new_hash END AS new_hash
+        |FROM f WHERE change_type IS NOT NULL""".stripMargin,
     // Same unpivot → (col, value) frequency table → cumulative-count disc
     // quartiles with integer ceilings; no interpolation anywhere.
     "q91_column_stats" -> {
