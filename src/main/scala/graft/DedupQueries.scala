@@ -80,6 +80,53 @@ object DedupQueries {
       segs, BOIL_MIN_DOCS)
   }
 
+  /** q110: content-defined chunking — the storage-dedup primitive (Rabin
+    * splitting, the rsync/LBFS/backup-system classic, and the sub-document
+    * unit for training-corpus near-dup work): a document splits wherever
+    * the rolling hash of its last [[CDC_W]] characters ≡ 0 mod
+    * [[CDC_MASK]], so chunk boundaries move WITH the content — insert one
+    * word and only the chunk containing the edit changes its digest, while
+    * fixed-width blocks (q47's segmentation) would shift every block after
+    * the edit. Output: one row per chunk with its md5, the dedupable unit.
+    *
+    * Determinism: the window hash is the hash60 idiom (md5 of the 4-char
+    * window, first 15 hex digits as BIGINT) — byte-identical in both
+    * engines by construction, and immune to the codepoint-vs-surrogate
+    * divergence a charCodeAt-style rolling hash would hit on this
+    * corpus's non-BMP characters. Boundaries, chunk extents, and digests
+    * follow integer-exactly. Chunking is per-row column arithmetic — zero
+    * shuffles; the cut array materializes ONCE per doc behind the
+    * q84/q86 nondeterministic fence. */
+  private val CDC_W = 4
+  private val CDC_MASK = 64
+
+  val q110CdcChunks: Q = (s, d) => {
+    import org.apache.spark.sql.types.LongType
+    // boundary candidates W..len (guard: sequence() auto-steps DOWN when
+    // len < W and would invent phantom positions — the q47/q86 edge)
+    val cutsRaw = when(length(col("text")) < CDC_W, array().cast("array<long>"))
+      .otherwise(filter(
+        sequence(lit(CDC_W.toLong), length(col("text")).cast(LongType)),
+        i => pmod(TextOps.hash60(
+          substr(col("text"), (i - lit(CDC_W - 1)).cast("int"), lit(CDC_W))),
+          lit(CDC_MASK.toLong)) === 0L))
+    val cuts = array_sort(array_distinct(concat(
+      array(lit(0L)), cutsRaw, array(length(col("text")).cast(LongType)))))
+    val bounds = zip_with(
+      col("cuts"),
+      slice(col("cuts"), lit(2), size(col("cuts"))), // one shorter: tail hi null
+      (lo, hi) => struct(lo.as("lo"), hi.as("hi")))
+    Tables.documentsDistributed(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        when(spark_partition_id() >= 0, cuts).as("cuts"))
+      .select(col("doc_id"), col("text"), posexplode(filter(bounds,
+        b => b.getField("hi") > b.getField("lo"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        (col("col.hi") - col("col.lo")).as("chunk_len"),
+        md5(substr(col("text"), (col("col.lo") + 1).cast("int"),
+          (col("col.hi") - col("col.lo")).cast("int"))).as("chunk_md5"))
+  }
+
   /** q73: incremental dedup — a new batch of documents (doc_id < 50, the
     * fixed-size "daily crawl") probed against the EXISTING corpus
     * (doc_id ≥ 50) through a write-once fingerprint layout, with zero
@@ -252,6 +299,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q110_cdc_chunks"         -> q110CdcChunks,
     "q108_keep_best"          -> q108KeepBest,
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
@@ -450,6 +498,28 @@ object DedupQueries {
     // Transitive closure over the exact-Jaccard τ=0.8 pair set (q21's
     // oracle semantics) via recursive CTE; min reachable id per node.
     "q44_dedup_clusters" -> clustersSql,
+    // Same hash60 window rule, same cut assembly, same digests.
+    "q110_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |cu AS (SELECT doc_id, text,
+        |    list_sort(list_distinct(list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      CASE WHEN n < 4 THEN CAST([] AS BIGINT[])
+        |           ELSE list_filter(range(CAST(4 AS BIGINT), CAST(n + 1 AS BIGINT)),
+        |             i -> CAST(('0x' || substr(md5(
+        |                    substr(text, CAST(i - 3 AS INTEGER), 4)), 1, 15))
+        |                  AS UBIGINT) % 64 = 0)
+        |      END),
+        |      [CAST(n AS BIGINT)]))) AS cuts
+        |  FROM t)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |  cuts[CAST(j + 1 AS INTEGER)] - cuts[CAST(j AS INTEGER)] AS chunk_len,
+        |  md5(substr(text, CAST(cuts[CAST(j AS INTEGER)] + 1 AS INTEGER),
+        |      CAST(cuts[CAST(j + 1 AS INTEGER)] - cuts[CAST(j AS INTEGER)]
+        |        AS INTEGER))) AS chunk_md5
+        |FROM cu, UNNEST(range(1, len(cuts))) s(j)
+        |WHERE cuts[CAST(j + 1 AS INTEGER)] > cuts[CAST(j AS INTEGER)]""".stripMargin,
     // q44's transitive closure + q65's score + the argmax keep window.
     "q108_keep_best" ->
       s"""WITH c AS (SELECT doc_id, cluster_id FROM ($clustersSql) t),
