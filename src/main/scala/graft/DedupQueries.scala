@@ -100,7 +100,13 @@ object DedupQueries {
   private val CDC_W = 4
   private val CDC_MASK = 64
 
-  val q110CdcChunks: Q = (s, d) => {
+  val q110CdcChunks: Q = (s, d) =>
+    cdcChunks(Tables.documentsDistributed(s, d), s)
+
+  /** The composable cut scan — the fallback on vanilla sessions, and the
+    * definition the native `cdc_cuts` expression must reproduce
+    * bit-for-bit (FallbackSpec pins the equality). */
+  private[graft] def cdcCutsComposable: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types.LongType
     // boundary candidates W..len (guard: sequence() auto-steps DOWN when
     // len < W and would invent phantom positions — the q47/q86 edge)
@@ -110,13 +116,24 @@ object DedupQueries {
         i => pmod(TextOps.hash60(
           substr(col("text"), (i - lit(CDC_W - 1)).cast("int"), lit(CDC_W))),
           lit(CDC_MASK.toLong)) === 0L))
-    val cuts = array_sort(array_distinct(concat(
+    array_sort(array_distinct(concat(
       array(lit(0L)), cutsRaw, array(length(col("text")).cast(LongType)))))
+  }
+
+  /** The chunker over any (doc_id, text) frame — OperationalSpec drives it
+    * with an edited twin to pin the boundary-locality property (a prefix
+    * edit must leave suffix chunk digests intact). */
+  private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame,
+                               s: org.apache.spark.sql.SparkSession) = {
+    val cuts =
+      if (s.catalog.functionExists("cdc_cuts"))
+        call_function("cdc_cuts", col("text"), lit(CDC_W), lit(CDC_MASK))
+      else cdcCutsComposable
     val bounds = zip_with(
       col("cuts"),
       slice(col("cuts"), lit(2), size(col("cuts"))), // one shorter: tail hi null
       (lo, hi) => struct(lo.as("lo"), hi.as("hi")))
-    Tables.documentsDistributed(s, d).filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
         when(spark_partition_id() >= 0, cuts).as("cuts"))
       .select(col("doc_id"), col("text"), posexplode(filter(bounds,

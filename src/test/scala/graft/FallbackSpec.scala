@@ -63,6 +63,28 @@ class FallbackSpec extends SparkSpec {
     fbPq shouldBe nativePq
   }
 
+  test("cdc_cuts fused byte scan matches the composable hash60 window chain (incl. non-BMP)") {
+    val docs = Seq(
+      (1L, (1 to 300).map(i => f"w${(i * 13) % 89}%02d").mkString(" ")),
+      (2L, (1 to 40).map(i => s"sm\u00f6rg\u00e5sbord$i \ud83d\ude00 caf\u00e9${i * 7}")
+        .mkString(" ")), // multibyte + non-BMP
+      (3L, "abc"), // shorter than the window
+      (4L, "")) // degenerate
+      .toDF("doc_id", "text")
+    def run() = DedupQueries.cdcChunks(docs, spark).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSeq.sorted
+    val native = run()
+    val fallback = withoutNativeFunctions {
+      spark.catalog.functionExists("cdc_cuts") shouldBe false
+      run()
+    }
+    fallback shouldBe native
+    // the long docs really split (the property is non-vacuous)
+    native.count(_._1 == 1L) should be > 1
+    native.count(_._1 == 2L) should be > 1
+  }
+
   test("char_class_counts fused scan matches the six-regex fallback (incl. non-ASCII)") {
     val sf = "/root/testdata/sf0.001"
     def run() = TextQueries.q75CharEntropy(spark, sf)

@@ -5,10 +5,11 @@ package graft
   * layout-reuse contract (q72), the PQ codes' reconstruction quality
   * (q76), the k-means determinism contract (q81), and the weighted
   * sampler's exact-K / multiplicity / prefix-sum-decomposition contract
-  * (q87). These assert the semantics the DuckDB hash gate cannot see —
-  * "different order per epoch", "untouched partitions' files
-  * byte-identical", "reconstruction close enough to preserve ranking",
-  * "same centroids at any parallelism", "Σ picks = K exactly".
+  * (q87), and the CDC chunker's boundary locality (q110). These assert the
+  * semantics the DuckDB hash gate cannot see — "different order per
+  * epoch", "untouched partitions' files byte-identical", "reconstruction
+  * close enough to preserve ranking", "same centroids at any parallelism",
+  * "Σ picks = K exactly", "a prefix edit leaves suffix chunks intact".
   */
 class OperationalSpec extends SparkSpec {
 
@@ -261,5 +262,25 @@ class OperationalSpec extends SparkSpec {
     p7 shouldBe p1
     p32 shouldBe p1
     p1.size should be > 0
+  }
+
+  test("q110: content-defined boundaries are edit-local — a prefix edit leaves suffix chunks intact") {
+    import spark.implicits._
+    val textA = (1 to 80).map(i => f"tok${(i * 37) % 101}%03d").mkString(" ")
+    val textB = "EDIT! " + textA
+    val chunks = DedupQueries.cdcChunks(
+        Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), spark)
+      .collect().groupBy(_.getLong(0))
+    val da = chunks(1L).sortBy(_.getInt(1)).map(_.getString(3)).toSeq
+    val db = chunks(2L).sortBy(_.getInt(1)).map(_.getString(3)).toSeq
+    // enough chunks that alignment is a real claim, not vacuity
+    da.size should be >= 3
+    // boundaries derive from LOCAL 4-char windows, so the first boundary
+    // after the edit realigns both docs: every later chunk digest matches.
+    // A fixed-width blocker (q47's segmentation) shifts EVERY block.
+    (da.toSet intersect db.toSet).size should be >= da.size - 1
+    da.last shouldBe db.last
+    // the edited region itself must differ — the diff is localized, not absent
+    da.head should not equal db.head
   }
 }
