@@ -144,6 +144,46 @@ object DedupQueries {
           (col("col.hi") - col("col.lo")).cast("int"))).as("chunk_md5"))
   }
 
+  /** q111: cross-source duplication matrix — q21's verified near-dup
+    * pairs rolled up by (source_a, source_b): which crawls duplicate
+    * which, at what rate. This is the dashboard number behind "drop crawl
+    * X, it's 90% re-crawl of Y" decisions; the rate normalizes pair
+    * counts by the possible-pair count (n·(n−1)/2 within a source,
+    * n_a·n_b across), so a big crawl can't look dirty by size alone.
+    *
+    * Determinism: counts are exact; the rate is ONE division of two
+    * exact BIGINTs (the q83 rule — no quantization needed).
+    *
+    * Scale shape: q21's banded-LSH plan unchanged; the pair→source
+    * lookups broadcast the PAIR side (survivors are few — the corpus
+    * never reshuffles for the rollup); the matrix aggregate is
+    * |sources|²-bounded. */
+  val q111SourceDupMatrix: Q = (s, d) => {
+    val pairs = q21DedupMinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val cnt = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val withSrc = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_b"), col("source").as("sa"))
+      .join(src, col("doc_id") === col("doc_b"))
+      .select(least(col("sa"), col("source")).as("source_a"),
+        greatest(col("sa"), col("source")).as("source_b"))
+    withSrc.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(cnt.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(cnt.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .withColumn("possible_pairs",
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) DIV 2")).otherwise(col("na") * col("nb")))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("possible_pairs"),
+        (col("n_pairs").cast(org.apache.spark.sql.types.DoubleType) /
+          col("possible_pairs").cast(org.apache.spark.sql.types.DoubleType))
+          .as("dup_rate"))
+  }
+
   /** q73: incremental dedup — a new batch of documents (doc_id < 50, the
     * fixed-size "daily crawl") probed against the EXISTING corpus
     * (doc_id ≥ 50) through a write-once fingerprint layout, with zero
@@ -317,6 +357,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "q110_cdc_chunks"         -> q110CdcChunks,
+    "q111_source_dup_matrix"  -> q111SourceDupMatrix,
     "q108_keep_best"          -> q108KeepBest,
     "q20_dedup_exact"         -> q20DedupExact,
     "q21_dedup_minhash_lsh"   -> q21DedupMinhashLsh,
@@ -401,6 +442,27 @@ object DedupQueries {
     "q21_dedup_minhash_lsh" ->
       s"""WITH ${shinglesCte(3)},
          |${jaccardSelect("", 0.8)}""".stripMargin,
+    // q21's pairs replayed, then the (source, source) rollup with exact
+    // possible-pair denominators.
+    "q111_source_dup_matrix" ->
+      s"""WITH pr AS (WITH ${shinglesCte(3)},
+         |${jaccardSelect("", 0.8)}),
+         |src AS (SELECT doc_id, source FROM documents),
+         |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |px AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM pr JOIN src sa ON sa.doc_id = pr.doc_a
+         |  JOIN src sb ON sb.doc_id = pr.doc_b),
+         |m AS (SELECT source_a, source_b, count(*) AS n_pairs
+         |  FROM px GROUP BY 1, 2),
+         |x AS (SELECT m.source_a, m.source_b, m.n_pairs,
+         |    CASE WHEN m.source_a = m.source_b THEN ca.n * (ca.n - 1) // 2
+         |         ELSE ca.n * cb.n END AS possible_pairs
+         |  FROM m JOIN cnt ca ON ca.source = m.source_a
+         |  JOIN cnt cb ON cb.source = m.source_b)
+         |SELECT source_a, source_b, n_pairs, possible_pairs,
+         |  CAST(n_pairs AS DOUBLE) / CAST(possible_pairs AS DOUBLE) AS dup_rate
+         |FROM x""".stripMargin,
     // Blocked variant: the oracle applies the same (lang, ±1 length-bucket)
     // candidate constraint the Spark side's exploded keys encode.
     "q22_dedup_ngram_blocked" ->
