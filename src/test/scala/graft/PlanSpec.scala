@@ -665,6 +665,32 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("q110 cdc chunking: scan shape — only the CPU-spreading repartition, boundaries in-scan") {
+    val p = plan(DedupQueries.q110CdcChunks(spark, sf))
+    // chunking is per-row column arithmetic: the single exchange is
+    // documentsDistributed's REPARTITION (spreads the digest-dense work
+    // across cores; one small parquet file = one input split otherwise) —
+    // never a keyed aggregation/join requirement
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("REPARTITION_BY_COL")
+    p should not include "Join"
+    // the fused native boundary scan is in the plan (not the interpreted
+    // hash60 window chain)
+    p should include("cdc_cuts")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q109 cdc diff: one keyed full-outer merge — text never crosses the exchange") {
+    val p = plan(OlapQueries.q109CdcDiff(spark, sf))
+    p should include("FullOuter")
+    // exactly the join's two side exchanges, keyed on doc_id
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+    (p should include).regex("""hashpartitioning\(doc_id#\d+L""")
+    // digests are computed in-scan: the exchanges carry (doc_id, flag,
+    // 32-char md5), never the text column
+    """Arguments: hashpartitioning[^\n]*text""".r.findAllMatchIn(p) shouldBe empty
+  }
+
   test("q103 incremental agg: steady state scans the BATCH only — corpus arrives as K-row state") {
     val p = plan(ScaleQueries.q103IncrementalAgg(spark, sf))
     // the only documents scan is the batch slice, split pushed to parquet
