@@ -68,16 +68,28 @@ object TextQueries {
       qualityScore(col("text")).as("quality_score"))
   }
 
+  /** Per-language stopword scores over the in-scan token array — the one
+    * definition q16 and q112 share. */
+  private[graft] def stopwordScores: Seq[(String, Column)] = {
+    val w = TextOps.words(col("text"))
+    langStops.map { case (code, sw) => code -> TextOps.vocabHits(w, sw) }
+  }
+
+  /** Argmax with the fixed alphabetical tie-break, 'und' on zero evidence
+    * — the classifier head both language-ID mechanisms use. */
+  private[graft] def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (code, sc)) => acc.when(sc === best, lit(code))
+    }
+  }
+
   /** q16: language-ID heuristic — per-language stopword occurrence counts,
     * argmax with a fixed alphabetical tie-break, 'und' when no evidence. */
   val q16LangId: Q = (s, d) => {
-    val w = TextOps.words(col("text"))
-    val scores: Seq[(String, Column)] =
-      langStops.map { case (code, sw) => code -> TextOps.vocabHits(w, sw) }
+    val scores = stopwordScores
     val best = greatest(scores.map(_._2): _*)
-    val predicted = scores.foldLeft(when(best === 0, lit("und"))) {
-      case (acc, (code, sc)) => acc.when(sc === best, lit(code))
-    }
+    val predicted = argmaxLang(scores)
     Tables.documents(s, d).select(
       col("doc_id"),
       col("lang"),
@@ -103,23 +115,49 @@ object TextQueries {
     * regexp_count counts non-overlapping, which both engines implement
     * identically), argmax with alphabetical tie-break, 'und' on zero
     * evidence. Single-pass, in-scan, shuffle-free. */
-  val q41LangIdNgram: Q = (s, d) => {
-    // Fast path: the native fixed-substring counter (24 direct scans, no
-    // regex machinery); fallback: regexp_count — the profile n-grams are
-    // letters/spaces only, so the literal is metachar-free and the two
-    // counts are identical (FallbackSpec pins it; DuckDB's oracle uses
-    // the regexp form either way).
+  /** Per-language summed trigram scores — q41 and q112 share this one
+    * definition. Fast path: the native fixed-substring counter (24 direct
+    * scans, no regex machinery); fallback: regexp_count — the profile
+    * n-grams are letters/spaces only, so the literal is metachar-free and
+    * the two counts are identical (FallbackSpec pins it; DuckDB's oracle
+    * uses the regexp form either way). */
+  private[graft] def ngramScores(s: org.apache.spark.sql.SparkSession): Seq[(String, Column)] = {
     val cnt: String => Column =
       if (s.catalog.functionExists("substr_count"))
         g => call_function("substr_count", col("text"), lit(g))
       else g => regexp_count(col("text"), lit(g))
-    val scores: Seq[(String, Column)] = charNgrams.map { case (code, ngs) =>
-      code -> ngs.map(cnt).reduce(_ + _)
-    }
+    charNgrams.map { case (code, ngs) => code -> ngs.map(cnt).reduce(_ + _) }
+  }
+
+  /** q112: classifier agreement matrix — q16's stopword language-ID and
+    * q41's character-n-gram language-ID audited AGAINST EACH OTHER (and
+    * the truth label), as a query: the (pred_stop, pred_ngram) confusion
+    * matrix with per-cell truth-accuracy counts. This is the q107 move
+    * applied to classifiers instead of indexes — when two cheap models
+    * disagree, that disagreement surface IS the drift/data-quality
+    * signal (and the routing rule for which docs deserve an expensive
+    * third opinion).
+    *
+    * Scale shape: BOTH classifiers evaluate in the SAME single scan (no
+    * join of two query outputs — the q97 lesson: DataFrame reuse
+    * duplicates the scan subtree); the only exchange carries the
+    * ≤ (langs+1)² matrix cells, collapsed map-side. */
+  val q112LangAgreement: Q = (s, d) =>
+    Tables.documentsDistributed(s, d)
+      .select(col("lang"),
+        argmaxLang(stopwordScores).as("pred_stop"),
+        argmaxLang(ngramScores(s)).as("pred_ngram"))
+      .groupBy(col("pred_stop"), col("pred_ngram"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("pred_stop"), 1L).otherwise(0L))
+          .as("n_stop_right"),
+        sum(when(col("lang") === col("pred_ngram"), 1L).otherwise(0L))
+          .as("n_ngram_right"))
+
+  val q41LangIdNgram: Q = (s, d) => {
+    val scores = ngramScores(s)
     val best = greatest(scores.map(_._2): _*)
-    val predicted = scores.foldLeft(when(best === 0, lit("und"))) {
-      case (acc, (code, sc)) => acc.when(sc === best, lit(code))
-    }
+    val predicted = argmaxLang(scores)
     // 24 regex scans per row: compute-dense → rebalance before scoring
     Tables.documentsDistributed(s, d).select(
       col("doc_id"),
@@ -477,6 +515,7 @@ object TextQueries {
     "q18_fingerprint" -> q18Fingerprint,
     "q19_simhash"     -> q19Simhash,
     "q41_lang_id_ngram" -> q41LangIdNgram,
+    "q112_lang_agreement" -> q112LangAgreement,
     "q42_chunking"    -> q42Chunking)
 
   // ---------------------------------------------------------------------
@@ -691,6 +730,28 @@ object TextQueries {
          |FROM w, UNNEST(range(0,
          |  greatest(len(w) - 1 - ${CHUNK_WINDOW - CHUNK_STRIDE}, 0) + 1,
          |  $CHUNK_STRIDE)) AS t(s)""".stripMargin,
+    "q112_lang_agreement" -> {
+      val stopScores = langStops.map { case (c, sw) =>
+        c -> s"len(list_filter(w, x -> list_contains(${sqlList(sw)}, x)))" }
+      val sBest = stopScores.map(x => s"(${x._2})").mkString("greatest(", ", ", ")")
+      val sPred = stopScores.map { case (c, x) => s"WHEN ($x) = sbest THEN '$c'" }
+        .mkString("CASE WHEN sbest = 0 THEN 'und' ", " ", " END")
+      val ngScores = charNgrams.map { case (code, ngs) =>
+        code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ") }
+      val nBest = ngScores.map(x => s"(${x._2})").mkString("greatest(", ", ", ")")
+      val nPred = ngScores.map { case (c, x) => s"WHEN ($x) = nbest THEN '$c'" }
+        .mkString("CASE WHEN nbest = 0 THEN 'und' ", " ", " END")
+      s"""WITH t AS (SELECT lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |b AS (SELECT lang, text, w, $sBest AS sbest, $nBest AS nbest FROM t),
+         |p AS (SELECT lang, $sPred AS pred_stop, $nPred AS pred_ngram FROM b)
+         |SELECT pred_stop, pred_ngram, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lang = pred_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_stop_right,
+         |  CAST(sum(CASE WHEN lang = pred_ngram THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ngram_right
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
     "q41_lang_id_ngram" -> {
       val scoreSql = charNgrams.map { case (code, ngs) =>
         code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")
