@@ -150,6 +150,59 @@ object OlapQueries {
         when(col("in_b").isNotNull, col("new_hash")).as("new_hash"))
   }
 
+  /** q113: corpus-signature comparison — "is today's crawl basically
+    * yesterday's?" answered per language WITHOUT diffing documents: each
+    * snapshot's per-lang MinHash signature ([[SIG_K]] salted 60-bit md5
+    * minima over its doc digests) estimates Jaccard as the fraction of
+    * matching components, next to the exact distinct-digest Jaccard twin
+    * (the q40/q70 sketch-plus-exact-anchor discipline, lifted from
+    * row-level to CORPUS-level monitoring).
+    *
+    * The scale argument is the signature's algebra: a component-wise MIN
+    * is a commutative monoid, so each signature partial-aggregates
+    * map-side, merges across any sharding, and can be SAVED per snapshot
+    * — tomorrow's comparison needs yesterday's 16 longs, not yesterday's
+    * corpus (q103's state discipline applied to a sketch). Everything is
+    * salted md5 minima and integer counts — deterministic in both
+    * engines, no randomness, no quantization. */
+  private val SIG_K = 16
+
+  val q113CorpusSignature: Q = (s, d) => {
+    val bucket = pmod(graft.operators.TextOps.hash60(
+      col("doc_id").cast(StringType)), lit(5))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("lang"), col("text"), bucket.as("bkt"))
+    def sig(snap: org.apache.spark.sql.DataFrame, tag: String) =
+      snap.select(col("lang"), explode(sequence(lit(0), lit(SIG_K - 1))).as("j"),
+          graft.operators.TextOps.hash60(
+            concat(lit("sig"), col("j").cast(StringType), lit(":"), col("text")))
+            .as("h"))
+        .groupBy(col("lang"), col("j")).agg(min(col("h")).as(s"min_$tag"))
+    def digests(snap: org.apache.spark.sql.DataFrame, tag: String) =
+      snap.select(col("lang"),
+          graft.operators.TextOps.hash60(col("text")).as("h"))
+        .distinct()
+        .select(col("lang"), col("h"), lit(1).as(s"in_$tag"))
+    val a = docs.filter(col("bkt") =!= 0)
+    val b = docs.filter(col("bkt") =!= 1)
+    val est = sig(a, "a").join(sig(b, "b"), Seq("lang", "j"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("min_a") === col("min_b"), 1L).otherwise(0L))
+        .as("sig_matches"))
+    val exact = digests(a, "a").join(digests(b, "b"), Seq("lang", "h"), "full_outer")
+      .groupBy(col("lang"))
+      .agg(sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        count(lit(1)).as("n_union"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("sig_matches"),
+        (col("sig_matches").cast(DoubleType) / lit(SIG_K.toDouble))
+          .as("est_jaccard"),
+        col("n_common"), col("n_union"),
+        (col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+          .as("exact_jaccard"))
+  }
+
   /** q91: ANALYZE-style column statistics over `lineitem` — per column:
     * row/null counts, exact NDV, min/max, and DISCRETE (type-7-free)
     * quartile boundaries — the statistics block a cost-based optimizer
@@ -266,11 +319,49 @@ object OlapQueries {
     "q71_cube"         -> q71Cube,
     "q77_set_ops"      -> q77SetOps,
     "q109_cdc_diff"    -> q109CdcDiff,
+    "q113_corpus_signature" -> q113CorpusSignature,
     "q91_column_stats" -> q91ColumnStats,
     "q95_window_suite" -> q95WindowSuite,
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 
   val oracle: Map[String, String] = Map(
+    // Same salted md5 minima, same distinct-digest exact twin.
+    "q113_corpus_signature" ->
+      s"""WITH docs AS (SELECT lang, text,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) % 5 AS bkt
+         |  FROM documents WHERE text IS NOT NULL),
+         |a AS (SELECT lang, text FROM docs WHERE bkt <> 0),
+         |b AS (SELECT lang, text FROM docs WHERE bkt <> 1),
+         |sa AS (SELECT lang, j,
+         |    min(CAST(('0x' || substr(md5('sig' || CAST(j AS VARCHAR) || ':'
+         |      || text), 1, 15)) AS UBIGINT)) AS min_a
+         |  FROM a, UNNEST(range(0, $SIG_K)) t(j) GROUP BY 1, 2),
+         |sb AS (SELECT lang, j,
+         |    min(CAST(('0x' || substr(md5('sig' || CAST(j AS VARCHAR) || ':'
+         |      || text), 1, 15)) AS UBIGINT)) AS min_b
+         |  FROM b, UNNEST(range(0, $SIG_K)) t(j) GROUP BY 1, 2),
+         |est AS (SELECT lang,
+         |    CAST(sum(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS sig_matches
+         |  FROM sa JOIN sb USING (lang, j) GROUP BY 1),
+         |da AS (SELECT DISTINCT lang,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS h, 1 AS in_a
+         |  FROM a),
+         |db AS (SELECT DISTINCT lang,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS h, 1 AS in_b
+         |  FROM b),
+         |ex AS (SELECT coalesce(da.lang, db.lang) AS lang,
+         |    CAST(sum(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |    count(*) AS n_union
+         |  FROM da FULL OUTER JOIN db ON da.lang = db.lang AND da.h = db.h
+         |  GROUP BY 1)
+         |SELECT est.lang, sig_matches,
+         |  CAST(sig_matches AS DOUBLE) / $SIG_K AS est_jaccard,
+         |  n_common, n_union,
+         |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard
+         |FROM est JOIN ex ON ex.lang = est.lang""".stripMargin,
     // Same bucket construction, same sentinel digest, same typing rules.
     "q109_cdc_diff" ->
       """WITH s AS (SELECT doc_id, text,
