@@ -348,24 +348,30 @@ object SampleQueries {
   private val RANK_PARTS = 32
 
   /** Phases 1–2 (boundary sample + range exchange + local sort), exposed
-    * so PlanSpec can pin the rangepartitioning shape. */
+    * so PlanSpec can pin the rangepartitioning shape; `parts` is exposed
+    * so OperationalSpec can prove rank invariance to the partitioning. */
   private[graft] def rankSorted(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
+                                d: String,
+                                parts: Int = RANK_PARTS): org.apache.spark.sql.DataFrame = {
     val keys = Seq("l_shipdate", "l_orderkey", "l_linenumber")
     Tables.lineitem(s, d)
       .select(keys.map(col): _*)
-      .repartitionByRange(RANK_PARTS, keys.map(col): _*)
+      .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
   }
 
-  val q100GlobalRank: Q = (s, d) => {
+  private[graft] def globalRank(s: org.apache.spark.sql.SparkSession,
+                                d: String,
+                                parts: Int = RANK_PARTS): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
-    val sorted = rankSorted(s, d)
+    val sorted = rankSorted(s, d, parts)
     val schema = sorted.schema.add("rank", LongType, nullable = false)
     s.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
       schema)
   }
+
+  val q100GlobalRank: Q = (s, d) => globalRank(s, d)
 
   /** q104: equi-depth histogram — the data-profiling staple (optimizer
     * statistics, drift monitors, feature binning): quartile boundaries of

@@ -283,4 +283,19 @@ class OperationalSpec extends SparkSpec {
     // the edited region itself must differ — the diff is localized, not absent
     da.head should not equal db.head
   }
+
+  test("q100: global ranks are invariant to the range partition count") {
+    // boundaries only move rows between partitions; the total order — and
+    // therefore every assigned rank — must not notice. (This is the claim
+    // that makes zipWithIndex safe at any cluster size.)
+    def ranks(parts: Int) = SampleQueries.globalRank(spark, sf, parts)
+      .collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._4)
+    val r3 = ranks(3)
+    val r32 = ranks(32)
+    r32 shouldBe r3
+    // contiguity: 1..N exactly once
+    r32.map(_._4).toSeq shouldBe (1L to r32.length.toLong)
+  }
 }
