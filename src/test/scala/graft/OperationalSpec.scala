@@ -1,15 +1,18 @@
 package graft
 
 /** Property tests for the operational-regime capabilities: the epoch
-  * reshuffle's permutation guarantees (q74), the merge upsert's
-  * layout-reuse contract (q72), the PQ codes' reconstruction quality
-  * (q76), the k-means determinism contract (q81), and the weighted
-  * sampler's exact-K / multiplicity / prefix-sum-decomposition contract
-  * (q87), and the CDC chunker's boundary locality (q110). These assert the
-  * semantics the DuckDB hash gate cannot see — "different order per
-  * epoch", "untouched partitions' files byte-identical", "reconstruction
-  * close enough to preserve ranking", "same centroids at any parallelism",
-  * "Σ picks = K exactly", "a prefix edit leaves suffix chunks intact".
+  * reshuffle's permutation guarantees (q74), the merge upsert's and
+  * fingerprint refresh's layout-reuse contracts (q72, q78), the PQ codes'
+  * reconstruction quality (q76), the k-means determinism contract (q81),
+  * the weighted sampler's exact-K / multiplicity / prefix-sum-
+  * decomposition contract (q87), the BPE learner's greedy-merge mechanics
+  * (q90), the global ranker's partitioning invariance (q100), and the CDC
+  * chunker's boundary locality (q110). These assert the semantics the
+  * DuckDB hash gate cannot see — "different order per epoch", "untouched
+  * partitions' files byte-identical", "reconstruction close enough to
+  * preserve ranking", "same centroids at any parallelism", "Σ picks = K
+  * exactly", "same ranks at any partition count", "a prefix edit leaves
+  * suffix chunks intact".
   */
 class OperationalSpec extends SparkSpec {
 
