@@ -371,6 +371,50 @@ object TextQueries {
     * rank then runs over the VOCABULARY (≪ corpus), where a per-lang
     * window is the right tool. Deterministic tie-break (count desc, token
     * asc) keeps the cut stable under equal frequencies. */
+  /** q114: vocabulary coverage curve — the tokenizer-design analytic that
+    * answers "how big must the vocabulary be?": for each target coverage
+    * level (90/95/99% of token OCCURRENCES), the smallest
+    * frequency-ranked vocabulary prefix that reaches it, plus the exact
+    * occurrence count that prefix covers. The long-tail shape this
+    * exposes is the whole argument for subword tokenization (q90/q102):
+    * word-level coverage saturates slowly, so the last percents cost
+    * thousands of types.
+    *
+    * Determinism: the threshold test is exact integer cross-multiplication
+    * (csum·100 ≥ pct·total — no floating point anywhere near the
+    * boundary); ranking ties break on the token string.
+    *
+    * Scale shape: ONE token-count shuffle collapsing map-side (q53's
+    * shape); the cumulative window then runs over the VOCABULARY, not the
+    * corpus — bounded, single-partition by declaration (the q83 bounded-
+    * vocab note; an unbounded-type corpus swaps in q87's two-phase
+    * sharded prefix sum, same semantics); levels explode from a 3-element
+    * literal. */
+  private val COVERAGE_PCTS = Seq(90, 95, 99)
+
+  val q114VocabCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(TextOps.words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("csum", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(typedLit(COVERAGE_PCTS)).as("pct"),
+        col("rank"), col("csum"), col("total"))
+      .filter(col("csum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(struct(col("rank"), col("csum"))).as("first"))
+      .select(col("pct"),
+        col("first.rank").cast(LongType).as("vocab_size"),
+        col("first.csum").as("tokens_covered"))
+  }
+
   private val VOCAB_K = 10
 
   val q53VocabTopK: Q = (s, d) => {
@@ -507,6 +551,7 @@ object TextQueries {
     "q45_pii_redact"  -> q45PiiRedact,
     "q46_url_filter"  -> q46UrlFilter,
     "q53_vocab_topk"  -> q53VocabTopK,
+    "q114_vocab_coverage" -> q114VocabCoverage,
     "q54_quality_cutoff" -> q54QualityCutoff,
     "q65_quality_cutoff_exact" -> q65QualityCutoffExact,
     "q43_repetition_score" -> q43RepetitionScore,
@@ -550,6 +595,26 @@ object TextQueries {
          |    / 0.6931471805599453) * 1000000.0) AS BIGINT) AS entropy_mbits
          |FROM k""".stripMargin
     },
+    // Same rank/cumsum, same exact integer cross-multiplied threshold.
+    "q114_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+         |    AS token FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT token, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum
+         |  FROM c),
+         |lv AS (SELECT unnest([${COVERAGE_PCTS.mkString(", ")}]) AS pct),
+         |hit AS (SELECT pct, rank, csum FROM r, lv, tot
+         |  WHERE csum * 100 >= pct * total)
+         |SELECT CAST(pct AS INTEGER) AS pct,
+         |  CAST(min(rank) AS BIGINT) AS vocab_size,
+         |  CAST(min(CASE WHEN rank = mr THEN csum END) AS BIGINT)
+         |    AS tokens_covered
+         |FROM (SELECT *, min(rank) OVER (PARTITION BY pct) AS mr FROM hit)
+         |GROUP BY pct""".stripMargin,
     "q53_vocab_topk" ->
       s"""WITH t AS (SELECT lang,
          |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
