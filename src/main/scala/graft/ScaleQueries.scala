@@ -115,7 +115,8 @@ object ScaleQueries {
     "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"),
     "q78_incremental_refresh" ->
       Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"),
-    "q103_incremental_agg"  -> Seq("graft_lang_state"))
+    "q103_incremental_agg"  -> Seq("graft_lang_state"),
+    "q115_wap_publish"      -> Seq("graft_docs_wap"))
 
   /** Drop the given sf-tagged write-once layouts (catalog entries + files)
     * so the next run measures the build, not a warm reuse. */
@@ -244,7 +245,31 @@ object ScaleQueries {
           .as("avg_tokens"))
   }
 
+  /** q115: write-audit-publish promotion of the documents snapshot —
+    * [[graft.operators.Scale.writeAuditPublish]] with the three audits a
+    * fact publish always carries (non-empty, primary key unique, primary
+    * key non-null), read back through the published pointer. The oracle
+    * is the identity (q55's rule: promotion machinery must be invisible
+    * to results); what makes the operator REAL is OperationalSpec — a
+    * deliberately failing audit must refuse to move the pointer and
+    * leave the previous version current. */
+  val q115WapPublish: Q = (s, d) => {
+    val dir = Scale.writeAuditPublish(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      s"graft_docs_wap_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/documents.parquet"),
+      Seq(
+        "non_empty" -> (df => df.count() > 0),
+        "pk_unique" -> (df =>
+          df.select(col("doc_id")).distinct().count() == df.count()),
+        "pk_not_null" -> (df =>
+          df.filter(col("doc_id").isNull).count() == 0)))
+    s.read.parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q28_salted_agg"    -> q28SaltedAgg,
     "q29_bucketed_join" -> q29BucketedJoin,
@@ -254,6 +279,9 @@ object ScaleQueries {
     "q72_merge_upsert"  -> q72MergeUpsert)
 
   val oracle: Map[String, String] = Map(
+    // Identity: promotion machinery must be invisible to results.
+    "q115_wap_publish" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     // Full recompute over corpus ∪ batch: the monoid-merge equivalence is
     // the thing under test.
     "q103_incremental_agg" ->

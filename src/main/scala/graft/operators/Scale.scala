@@ -156,6 +156,74 @@ object Scale {
     loc.toString
   }
 
+  /** A WAP publish refused: every failed audit by name. The job fails
+    * loudly and the PREVIOUS published version stays current. */
+  final case class AuditFailure(table: String, failed: Seq[String])
+    extends RuntimeException(
+      s"WAP audit failed for $table: ${failed.mkString(", ")}")
+
+  /** Write-Audit-Publish: the lakehouse promotion protocol. The candidate
+    * materializes into an UNPUBLISHED version directory, the audits run
+    * against the STAGED BYTES (what readers would actually see — auditing
+    * the input DataFrame would re-plan and could pass while the files are
+    * wrong), and only a full pass moves the `_graft_current` pointer —
+    * via temp-file + ATOMIC_MOVE, so a concurrent reader resolves
+    * old-version-or-new-version, never a partial write (the snapshot-
+    * pointer mechanics behind Iceberg/Delta commits, reduced to one
+    * pointer file). A failed audit throws [[AuditFailure]], deletes the
+    * candidate, and leaves the previous version published — bad data can
+    * not become visible, which is the entire point.
+    *
+    * Version identity is the write-once spec (schema + caller
+    * fingerprint): an unchanged spec re-publish is a no-op reuse, the
+    * bench-purge discipline applies unchanged. Returns the CURRENT
+    * version's data directory. */
+  def writeAuditPublish(df: DataFrame, table: String, dataFingerprint: String,
+      audits: Seq[(String, DataFrame => Boolean)]): String = {
+    val spark = df.sparkSession
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val spec = s"${df.schema.toDDL}|$dataFingerprint"
+    val ver = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "v_" + md.digest(spec.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+    }
+    val pointer = root.resolve("_graft_current")
+    val verDir = root.resolve(ver)
+    val current =
+      if (java.nio.file.Files.exists(pointer))
+        new String(java.nio.file.Files.readAllBytes(pointer), "UTF-8")
+      else ""
+    val intact = current == ver &&
+      java.nio.file.Files.exists(verDir.resolve("_SUCCESS"))
+    if (!intact) {
+      val staging = root.resolve(s"${ver}__staging")
+      deleteRecursively(staging)
+      deleteRecursively(verDir)
+      df.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      val failed = audits.collect { case (name, check) if !check(staged) => name }
+      if (failed.nonEmpty) {
+        deleteRecursively(staging) // no unpublished corpse to confuse anyone
+        throw AuditFailure(table, failed)
+      }
+      java.nio.file.Files.move(staging, verDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmp = root.resolve("_graft_current__tmp")
+      java.nio.file.Files.write(tmp, ver.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, pointer,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // previous versions are now unreachable — reclaim them
+      java.nio.file.Files.list(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_") && n != ver) deleteRecursively(p)
+      }
+    }
+    verDir.toString
+  }
+
   /** Z-order (Morton) interleave of two non-negative int columns, `bits`
     * bits each → one long sort key. Sorting by z clusters rows that are
     * close in BOTH dimensions into the same parquet row groups, so

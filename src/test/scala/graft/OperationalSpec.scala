@@ -7,7 +7,8 @@ package graft
   * the weighted sampler's exact-K / multiplicity / prefix-sum-
   * decomposition contract (q87), the BPE learner's greedy-merge mechanics
   * (q90), the global ranker's partitioning invariance (q100), and the CDC
-  * chunker's boundary locality (q110). These assert the semantics the
+  * chunker's boundary locality (q110), and the WAP publish's
+  * audit-gates-pointer contract (q115). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -300,5 +301,31 @@ class OperationalSpec extends SparkSpec {
     r32 shouldBe r3
     // contiguity: 1..N exactly once
     r32.map(_._4).toSeq shouldBe (1L to r32.length.toLong)
+  }
+
+  test("q115: a failing audit refuses to publish — the previous version stays current") {
+    import org.apache.spark.sql.functions._
+    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_docs_wap"))
+    val table = s"graft_docs_wap_${ScaleQueries.sfTag(sf)}"
+    val n1 = ScaleQueries.q115WapPublish(spark, sf).count()
+    n1 should be > 0L
+    // a NEW candidate version (fresh spec) whose audit fails: the publish
+    // must throw, name the audit, and leave the pointer on the good version
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val boom = intercept[graft.operators.Scale.AuditFailure] {
+      graft.operators.Scale.writeAuditPublish(df, table,
+        "deliberately-new-spec",
+        Seq("always_fails" -> (_ => false),
+          "also_fails" -> (d => d.count() < 0)))
+    }
+    boom.failed shouldBe Seq("always_fails", "also_fails")
+    ScaleQueries.q115WapPublish(spark, sf).count() shouldBe n1
+    // no staged corpse, no unpublished version directory left behind
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val leftovers = java.nio.file.Files.list(root).toArray.map(_.toString)
+      .filter(p => p.contains("__staging"))
+    leftovers shouldBe empty
   }
 }
