@@ -355,7 +355,51 @@ object DedupQueries {
           .orderBy(col("quality_score").desc, col("doc_id"))) === 1)
   }
 
+  /** q116: dedup-aware train/val/test split — the leakage-safe assignment a
+    * training pipeline needs before any eval number can be trusted. Phase 1
+    * assigns every document by content-independent hash (the q31 idiom:
+    * hash60 of "split:"+doc_id mod 100 → 90/5/5 train/val/test), stable
+    * across runs, machines, and engines. Phase 2 audits the assignment
+    * against the corpus's NEAR-DUP structure (q21's verified MinHash/LSH
+    * pairs): a pair straddling two splits leaks training text into eval —
+    * the eval doc is a paraphrase of a training doc, and its loss measures
+    * memorization, not generalization (the cross-split twin of q38's
+    * corpus-vs-benchmark decontamination). The repair: every document
+    * touching a cross-split pair moves to train — the contaminated eval row
+    * is worthless as eval but still good training data, so it is recycled,
+    * not discarded.
+    *
+    * Scale shape: the split is a PURE FUNCTION of doc_id, so the audit
+    * computes both endpoints' splits IN-SCAN on the pair list — no
+    * pairs-to-assignment join exists. The leaked-id set (∝ leaking pairs,
+    * tiny) broadcasts back onto the corpus scan; the corpus pays q21's
+    * pair machinery plus ONE broadcast hash join and nothing else
+    * (plan-pinned). */
+  private val SPLIT_SALT = "split:"
+
+  private[graft] def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(TextOps.hash60(concat(lit(SPLIT_SALT),
+      id.cast(org.apache.spark.sql.types.StringType))), lit(100L))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  val q116SplitLeakage: Q = (s, d) => {
+    val leakedIds = Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
+      .filter(splitOf(col("doc_a")) =!= splitOf(col("doc_b")))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("leaked", lit(true))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(leakedIds), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        splitOf(col("doc_id")).as("split_assigned"),
+        coalesce(col("leaked"), lit(false)).as("leaked"),
+        when(coalesce(col("leaked"), lit(false)), "train")
+          .otherwise(splitOf(col("doc_id"))).as("split_final"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_split_leakage"      -> q116SplitLeakage,
     "q110_cdc_chunks"         -> q110CdcChunks,
     "q111_source_dup_matrix"  -> q111SourceDupMatrix,
     "q108_keep_best"          -> q108KeepBest,
@@ -442,6 +486,29 @@ object DedupQueries {
     "q21_dedup_minhash_lsh" ->
       s"""WITH ${shinglesCte(3)},
          |${jaccardSelect("", 0.8)}""".stripMargin,
+    // q21's pairs replayed, split assignment replayed as the same md5
+    // bucket arithmetic, leak repair replayed as the same move-to-train.
+    "q116_split_leakage" ->
+      s"""WITH pr AS (WITH ${shinglesCte(3)},
+         |${jaccardSelect("", 0.8)}),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |         ELSE 'test' END AS split_assigned
+         |  FROM (SELECT doc_id,
+         |      CAST(('0x' || substr(md5('$SPLIT_SALT' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |        AS UBIGINT) % 100 AS b
+         |    FROM documents)),
+         |x AS (SELECT pr.doc_a, pr.doc_b
+         |  FROM pr JOIN sp sa ON sa.doc_id = pr.doc_a
+         |  JOIN sp sb ON sb.doc_id = pr.doc_b
+         |  WHERE sa.split_assigned <> sb.split_assigned),
+         |lk AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM x UNION ALL SELECT doc_b FROM x))
+         |SELECT sp.doc_id, sp.split_assigned,
+         |  lk.doc_id IS NOT NULL AS leaked,
+         |  CASE WHEN lk.doc_id IS NOT NULL THEN 'train'
+         |       ELSE sp.split_assigned END AS split_final
+         |FROM sp LEFT JOIN lk ON lk.doc_id = sp.doc_id""".stripMargin,
     // q21's pairs replayed, then the (source, source) rollup with exact
     // possible-pair denominators.
     "q111_source_dup_matrix" ->

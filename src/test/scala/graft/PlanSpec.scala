@@ -165,6 +165,19 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(batch_id#\d+L?, corpus_id#\d+L?, jaccard#\d+""")
   }
 
+  test("q116 split leakage: split is computed in-scan, never joined from an assignment table") {
+    val p = plan(DedupQueries.q116SplitLeakage(spark, sf))
+    // the cross-split predicate lives INSIDE the pair machinery as pure
+    // column arithmetic over both endpoint ids — the md5 split expression
+    // appears in the plan, an assignment-table join does not
+    p should include("concat(split:,")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the tiny leaked-id set broadcasts back onto the corpus scan: the
+    // corpus side pays no exchange for the repair
+    p should include("BroadcastHashJoin LeftOuter BuildRight")
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
