@@ -318,6 +318,72 @@ object RetrievalQueries {
           col("n_bigrams"))
   }
 
+  /** q117: DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its text is under a TARGET
+    * domain's hashed-unigram LM than under the raw-corpus LM, then select
+    * the docs whose mean per-token log-ratio is ≥ 0 — "more target-like
+    * than raw". The target here is the German sub-corpus (any domain
+    * label works: the machinery only needs a target predicate); features
+    * are words hashed into [[DSIR_B]] buckets (the paper's hashed n-gram
+    * trick, which bounds BOTH distributions at [[DSIR_B]] rows no matter
+    * the vocabulary).
+    *
+    * Determinism: the per-bucket log-ratio
+    * log2(P_t(b)/P_r(b)) with add-one smoothing
+    * P_t(b) = (ct+1)/(Nt+B), P_r(b) = (cr+1)/(Nr+B)
+    * is quantized to INTEGER BITS by q94's rule applied to the cross-
+    * multiplied BIGINT quotient: num = (ct+1)·(Nr+B), den = (cr+1)·(Nt+B),
+    * bits = len(bin(num div den)) − 1 when num ≥ den else
+    * 1 − len(bin(den div num)) — no transcendental, so per-doc BIGINT sums
+    * are order-free and the ≥ 0 selection threshold is the exact integer
+    * cross-multiplication of "mean bits ≥ 0" (q114's discipline). Products
+    * stay ≤ tokens², far inside BIGINT at any tested SF (at true corpus
+    * scale the counts themselves cap the product; rescale both sides by a
+    * common shift if a corpus ever approaches 2^31 tokens).
+    *
+    * Scale shape: ONE token scan builds both distributions (conditional
+    * sums per bucket — a [[DSIR_B]]-row table, one map-side-combined
+    * shuffle); totals are a 1-row broadcast; the 256-row bits table
+    * broadcasts back onto the in-scan token stream; the per-doc regroup
+    * carries (doc_id, lang, bits) — the corpus never joins an
+    * assignment table and never shuffles text. */
+  private val DSIR_B = 256L
+  private val DSIR_TARGET = "de"
+  private val DSIR_SALT = "dsir:"
+
+  val q117DsirSelection: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val bucketed = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.hash60(concat(lit(DSIR_SALT), col("t"))), lit(DSIR_B)).as("b"))
+    val cnt = bucketed.groupBy(col("b")).agg(
+      sum(when(col("lang") === DSIR_TARGET, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= DSIR_TARGET, 1L).otherwise(0L)).as("cr"))
+    // totals as an unpartitioned window over the 256-row count table: a
+    // separate .agg would re-plan (and re-scan) the whole count subtree —
+    // a second full token pass — where this is a 256-row single-partition
+    // window (q94 pays that extra scan; bounded-B makes it avoidable here)
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bits = cnt
+      .withColumn("nt", sum(col("ct")).over(totW))
+      .withColumn("nr", sum(col("cr")).over(totW))
+      .select(col("b"),
+        ((col("ct") + lit(1L)) * (col("nr") + lit(DSIR_B))).as("num"),
+        ((col("cr") + lit(1L)) * (col("nt") + lit(DSIR_B))).as("den"))
+      .select(col("b"),
+        when(col("num") >= col("den"), expr("length(bin(num div den)) - 1"))
+          .otherwise(lit(1) - expr("length(bin(den div num))")).as("bits"))
+    bucketed.join(broadcast(bits), Seq("b"))
+      .groupBy(col("doc_id"), col("lang")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("total_bits"),
+        (col("total_bits") >= 0L).as("selected"))
+  }
+
   /** q97: TF-IDF top terms per document — the keyword-extraction classic
     * (and the feature behind sparse retrieval indexes and topic labels):
     * for every document, the [[TFIDF_TOP]] terms maximizing
@@ -415,7 +481,8 @@ object RetrievalQueries {
     "q106_bigram_surprisal" -> q106BigramSurprisal,
     "q94_lm_surprisal" -> q94LmSurprisal,
     "q97_tfidf_terms" -> q97TfidfTerms,
-    "q98_hybrid_rrf" -> q98HybridRrf)
+    "q98_hybrid_rrf" -> q98HybridRrf,
+    "q117_dsir_selection" -> q117DsirSelection)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -485,6 +552,34 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
+    // Same hashed buckets (md5 idiom), same cross-multiplied integer-bit
+    // log-ratio, same ≥ 0 selection — bit-identical by construction.
+    "q117_dsir_selection" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bt AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5('$DSIR_SALT' || t), 1, 15)) AS UBIGINT)
+         |      % $DSIR_B AS b
+         |  FROM toks),
+         |cnt AS (SELECT b,
+         |    CAST(sum(CASE WHEN lang = '$DSIR_TARGET' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN lang <> '$DSIR_TARGET' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |  FROM bt GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+         |wt AS (SELECT b, (ct + 1) * (nr + $DSIR_B) AS num,
+         |    (cr + 1) * (nt + $DSIR_B) AS den FROM cnt, tot),
+         |bits AS (SELECT b, CASE WHEN num >= den
+         |    THEN CAST(length(format('{:b}', num // den)) - 1 AS INTEGER)
+         |    ELSE CAST(1 - length(format('{:b}', den // num)) AS INTEGER)
+         |    END AS bits
+         |  FROM wt)
+         |SELECT doc_id, lang, count(*) AS n_tokens,
+         |  CAST(sum(bits) AS BIGINT) AS total_bits,
+         |  CAST(sum(bits) AS BIGINT) >= 0 AS selected
+         |FROM bt JOIN bits USING (b)
+         |GROUP BY doc_id, lang""".stripMargin,
     // Same integer-bit trick as q94, lifted to the smoothed conditional.
     "q106_bigram_surprisal" ->
       """WITH docs AS (SELECT doc_id,

@@ -178,6 +178,19 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin LeftOuter BuildRight")
   }
 
+  test("q117 DSIR: two token scans, bits table broadcasts back, text never shuffles") {
+    val p = plan(RetrievalQueries.q117DsirSelection(spark, sf))
+    // one scan builds the bucket distributions, one scan is the probe —
+    // the totals come from a 256-row window, NOT a third re-planned scan
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 2
+    p should include("BroadcastHashJoin Inner BuildRight")
+    p should not include "SortMergeJoin"
+    // exchanges: bucket counts (map-side combined), the 256-row totals
+    // window, and the per-doc regroup — nothing else
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 3
+    (p should include).regex("""Arguments: hashpartitioning\(doc_id#\d+L, lang#\d+""")
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
