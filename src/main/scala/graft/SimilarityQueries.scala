@@ -237,7 +237,42 @@ object SimilarityQueries {
     leg("lsh", q24AnnLsh(s, d)).unionByName(leg("ivf", q33AnnIvf(s, d)))
   }
 
+  /** q118: the higher-order array-function surface — transform / filter /
+    * exists / forall / aggregate / zip_with / reverse in ONE projection
+    * over the embedding column, the q95-style coverage row for the lambda
+    * API (Spark's SQL-standard answer to per-element array work without
+    * explode). Per vector: dimension count, positive-component count, an
+    * any-extreme flag, an all-bounded flag, the L1 norm, and the
+    * dot-with-own-reverse — each a different HOF, all fused into the scan.
+    *
+    * Determinism: every float promotes to double BEFORE any arithmetic
+    * (IEEE-exact), folds are left-to-right with an explicit 0.0 seed on
+    * both engines (the q23 dotSql discipline: list_reduce over a
+    * list_prepend(0.0, …)), and comparisons use exactly-representable
+    * constants (0, 2.5, 16.0) so no rounding can flip a boolean.
+    *
+    * Scale shape: zero shuffles, zero joins, one column-pruned scan —
+    * per-row lambda work parallelizes embarrassingly. HOF lambdas are
+    * interpreted (not codegen'd) in Spark; the native-expression upgrade
+    * path (functions/ package, q23's cosine_sim precedent) applies the
+    * day a profile shows the lambda interpreter on the critical path. */
+  val q118HofSurface: Q = (s, d) => {
+    import org.apache.spark.sql.types.DoubleType
+    val ed = transform(col("embedding"), x => x.cast(DoubleType))
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      size(filter(ed, x => x > 0.0)).as("n_pos"),
+      exists(ed, x => abs(x) > 2.5).as("has_extreme"),
+      forall(ed, x => abs(x) < 16.0).as("all_small"),
+      aggregate(transform(ed, x => abs(x)), lit(0.0), (acc, x) => acc + x)
+        .as("l1_norm"),
+      aggregate(zip_with(ed, reverse(ed), (a, b) => a * b), lit(0.0),
+        (acc, x) => acc + x).as("rev_dot"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_hof_surface"     -> q118HofSurface,
     "q107_ann_recall"      -> q107AnnRecall,
     "q23_cosine_topk"      -> q23CosineTopK,
     "q76_pq_codes"         -> q76PqCodes,
@@ -305,6 +340,22 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= $K_BRUTE""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same HOFs as DuckDB list lambdas; same double promotion, same
+    // 0.0-seeded left folds, same exactly-representable bounds.
+    "q118_hof_surface" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  CAST(len(list_filter(embedding, x -> x::DOUBLE > 0)) AS INTEGER) AS n_pos,
+        |  len(list_filter(embedding, x -> abs(x::DOUBLE) > 2.5)) > 0 AS has_extreme,
+        |  len(list_filter(embedding, x -> NOT (abs(x::DOUBLE) < 16.0))) = 0 AS all_small,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> abs(x::DOUBLE))),
+        |    (acc, x) -> acc + x) AS l1_norm,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(embedding, list_reverse(embedding)),
+        |        z -> z[1]::DOUBLE * z[2]::DOUBLE)),
+        |    (acc, x) -> acc + x) AS rev_dot
+        |FROM embeddings""".stripMargin,
     // q23 (bounded Aggregator) and q34 (window twin) share the exact SQL:
     // the gate proves the two formulations interchangeable every round.
     "q34_topk_window_twin" -> bruteTopKSql,

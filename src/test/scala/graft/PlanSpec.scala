@@ -191,6 +191,13 @@ class PlanSpec extends SparkSpec {
     (p should include).regex("""Arguments: hashpartitioning\(doc_id#\d+L, lang#\d+""")
   }
 
+  test("q118 HOF surface: one pruned scan, zero exchanges — pure per-row lambda work") {
+    val p = plan(SimilarityQueries.q118HofSurface(spark, sf))
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) Exchange""".r.findAllMatchIn(p) shouldBe empty
+    p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
