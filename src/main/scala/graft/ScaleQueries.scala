@@ -22,6 +22,23 @@ object ScaleQueries {
       .select(col("k").as("event_type"), col("cnt"),
         col("total_dec").cast(DoubleType).as("total_value"))
 
+  /** q119: salted skew JOIN — [[graft.operators.Scale.saltedJoin]] over the
+    * catalog's one genuinely pathological key (event_type: 5 values over
+    * the whole events table, ~N/5 probe rows per key), enriching every
+    * event with its type's total. The build side here is derived (5 rows)
+    * — in the regime this operator exists for it is a type→config table
+    * too big to broadcast; the mechanics are identical and the gate only
+    * needs result-equality to the PLAIN join (the salt must be invisible).
+    * Plan-pinned: a merge join keyed (event_type, _salt), probe exchange
+    * partitioned on BOTH columns — the hot key's rows spread over 8
+    * reducers — and no broadcast anywhere. */
+  val q119SaltedJoin: Q = (s, d) => {
+    val ev = Tables.eventsRawNanos(s, d)
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+    Scale.saltedJoin(ev.select(col("event_id"), col("event_type")), dim,
+      "event_type", probeSaltSource = col("event_id"), salts = 8)
+  }
+
   /** Scale-dir tag for write-once table names: layouts from different
     * scales must never alias each other. */
   private[graft] def sfTag(d: String): String =
@@ -272,6 +289,7 @@ object ScaleQueries {
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q28_salted_agg"    -> q28SaltedAgg,
+    "q119_salted_join"  -> q119SaltedJoin,
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
     "q55_compaction"    -> q55Compaction,
@@ -293,6 +311,11 @@ object ScaleQueries {
         |    / CAST(count(*) AS DOUBLE) AS avg_tokens
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY lang""".stripMargin,
+    // The plain join: the salt must be invisible to results.
+    "q119_salted_join" ->
+      """SELECT e.event_id, e.event_type, t.type_total
+        |FROM events e JOIN (SELECT event_type, count(*) AS type_total
+        |  FROM events GROUP BY event_type) t USING (event_type)""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

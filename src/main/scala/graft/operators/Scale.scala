@@ -36,6 +36,30 @@ object Scale {
     stage1.groupBy(col("k")).agg(merged.head, merged.tail: _*)
   }
 
+  /** Salted skew JOIN — the join-shaped twin of [[saltedAgg]], for the
+    * regime where the probe side's key histogram is pathological AND the
+    * build side is too big to broadcast (a broadcast absorbs skew for
+    * free — salting only earns its keep past that size). The build side
+    * replicates `salts`× via an in-scan generator (rows materialize at the
+    * shuffle, never on the driver); the probe side computes its salt from
+    * a uniform column; the join keys become (key, salt), so a hot key's
+    * probe rows spread over `salts` reducers instead of drowning one.
+    * The salt columns drop before returning — results are exactly the
+    * plain join's (the oracle gates that). AQE's skew split handles
+    * moderate skew reactively; explicit salting is the plan-stable form
+    * for known-pathological keys. Forced to a merge join so the physical
+    * shape under test cannot silently degrade to a broadcast. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      probeSaltSource: Column, salts: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("_salt",
+      pmod(xxhash64(probeSaltSource), lit(salts.toLong)))
+    val saltedBuild = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedProbe.hint("merge")
+      .join(saltedBuild, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
   /** Write both sides of a join bucketed on the join key (same bucket
     * count) into the session catalog — subsequent joins on that key are
     * exchange-free: each task reads matching buckets from both tables

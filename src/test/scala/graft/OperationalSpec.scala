@@ -8,7 +8,8 @@ package graft
   * decomposition contract (q87), the BPE learner's greedy-merge mechanics
   * (q90), the global ranker's partitioning invariance (q100), and the CDC
   * chunker's boundary locality (q110), and the WAP publish's
-  * audit-gates-pointer contract (q115). These assert the semantics the
+  * audit-gates-pointer contract (q115), and the salted join's
+  * dilution guarantee (q119). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -18,6 +19,25 @@ package graft
 class OperationalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("q119: the salt spreads every key's probe rows near-evenly over all 8 reducer cells") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 for statistical stability: ~250 rows per (key, salt) cell
+    val cells = Tables.eventsRawNanos(spark, "/root/testdata/sf0.01")
+      .groupBy(col("event_type"),
+        pmod(xxhash64(col("event_id")), lit(8L)).as("salt"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    cells.groupBy(_._1).foreach { case (key, cs) =>
+      withClue(s"key $key: ") {
+        cs.length shouldBe 8 // every salt value is populated
+        val counts = cs.map(_._2)
+        // a hot key's worst reducer carries ~1/8, never the whole key
+        counts.max.toDouble should be <= (counts.sum / 8.0) * 1.5
+      }
+    }
+  }
 
   test("q72: merge rewrites ONLY the affected partition; untouched partition files are byte-identical") {
     ScaleQueries.purgeLayouts(spark, sf, Seq("graft_corpus_base"))

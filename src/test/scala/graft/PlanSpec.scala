@@ -198,6 +198,16 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
   }
 
+  test("q119 salted join: merge join keyed (key, salt), no broadcast — skew spreads by construction") {
+    val p = plan(ScaleQueries.q119SaltedJoin(spark, sf))
+    p should include("SortMergeJoin")
+    p should not include "BroadcastHashJoin"
+    // BOTH the probe exchange and the replicated build exchange carry the
+    // salt in their partitioning key — the hot key cannot drown one reducer
+    """Arguments: hashpartitioning\(event_type#\d+, _salt#\d+L""".r
+      .findAllMatchIn(p).length shouldBe 2
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
