@@ -115,6 +115,37 @@ object ScaleQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
   }
 
+  /** q120: snapshot time travel — [[graft.operators.Scale.publishRetained]]
+    * publishes the documents corpus twice (v1 = the raw snapshot, v2 = the
+    * q72 merge applied relationally), retention keep=2, then reads BOTH
+    * versions back FROM THEIR RETAINED DIRECTORIES (0 and 1 steps back in
+    * the version log — never recomputed) and emits the per-lang profile of
+    * each. This is the operational loop q115's single pointer cannot do:
+    * yesterday's corpus stays queryable next to today's (as-of debugging,
+    * incident rollback, version diffs), bounded by retention. The oracle
+    * recomputes both snapshots relationally — the disk round-trip and log
+    * mechanics must be invisible to results. OperationalSpec pins what the
+    * gate cannot see: a publish leaves the retained older version's files
+    * byte-identical, and a third publish prunes past keep. */
+  val q120TimeTravel: Q = (s, d) => {
+    val table = s"graft_docs_tt_${sfTag(d)}"
+    val fp = Scale.dirFingerprint(s"$d/documents.parquet")
+    val cols = Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val base = Tables.documents(s, d).select(cols: _*)
+    val batch = mergeBatch(Tables.documents(s, d)).select(cols: _*)
+    val merged = base.join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+    Scale.publishRetained(base, table, s"v1|$fp", keep = 2)
+    Scale.publishRetained(merged, table, s"v2|$fp", keep = 2)
+    def profile(ago: Int) = Scale.readVersionAgo(s, table, ago)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(lit(ago).as("versions_ago"), col("lang"),
+        col("n_docs"), col("total_chars"))
+    profile(0).unionByName(profile(1))
+  }
+
   /** The write-once layout tables OWNED by each catalog query (base names;
     * the sf tag is appended per scale). One map to extend when a new
     * write-once layout is added — it feeds both the global purge below and
@@ -133,7 +164,8 @@ object ScaleQueries {
     "q78_incremental_refresh" ->
       Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"),
     "q103_incremental_agg"  -> Seq("graft_lang_state"),
-    "q115_wap_publish"      -> Seq("graft_docs_wap"))
+    "q115_wap_publish"      -> Seq("graft_docs_wap"),
+    "q120_time_travel"      -> Seq("graft_docs_tt"))
 
   /** Drop the given sf-tagged write-once layouts (catalog entries + files)
     * so the next run measures the build, not a warm reuse. */
@@ -294,7 +326,8 @@ object ScaleQueries {
     "q51_partition_pruning" -> q51PartitionPruning,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
-    "q72_merge_upsert"  -> q72MergeUpsert)
+    "q72_merge_upsert"  -> q72MergeUpsert,
+    "q120_time_travel"  -> q120TimeTravel)
 
   val oracle: Map[String, String] = Map(
     // Identity: promotion machinery must be invisible to results.
@@ -333,6 +366,26 @@ object ScaleQueries {
     // Identity: compaction is layout maintenance, never a data change.
     "q55_compaction" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // Both snapshots recomputed relationally (v2 = the q72 merge replay):
+    // the version log, directories, and disk round-trip must be invisible.
+    "q120_time_travel" ->
+      """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        |upd AS (SELECT doc_id, lang, 'merge_upsert' AS source,
+        |    'rev2 ' || text AS text FROM en WHERE doc_id % 7 = 3),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, 'merge_insert' AS source,
+        |    'new ' || text AS text FROM en WHERE doc_id % 11 = 5),
+        |batch AS (SELECT doc_id, lang, source, length(text) AS n_chars
+        |  FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)),
+        |v2 AS (SELECT d.lang, d.n_chars FROM documents d
+        |    WHERE d.doc_id NOT IN (SELECT doc_id FROM batch)
+        |  UNION ALL SELECT lang, n_chars FROM batch)
+        |SELECT CAST(0 AS INTEGER) AS versions_ago, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM v2 GROUP BY lang
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), lang, count(*),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents GROUP BY lang""".stripMargin,
     // Relational replay of the merge: anti-join the batch keys out of the
     // base, union the batch back in. The layout mechanics (staging, moves,
     // partition pruning) must be invisible to results.

@@ -248,6 +248,81 @@ object Scale {
     verDir.toString
   }
 
+  /** Versioned publish with RETENTION — [[writeAuditPublish]]'s single
+    * pointer generalized to an ordered version LOG (`_graft_log`, oldest →
+    * newest, rewritten by temp-file + ATOMIC_MOVE), keeping the newest
+    * `keep` versions' directories on disk. This is what turns a snapshot
+    * store into a TIME-TRAVELABLE one: yesterday's corpus stays readable
+    * (as-of reads, version diffs, incident rollback) until retention
+    * prunes it — the Iceberg/Delta snapshot-log + expire-snapshots pair,
+    * reduced to one log file and version directories.
+    *
+    * Version identity is the write-once spec (schema + caller
+    * fingerprint): re-publishing content whose version is already retained
+    * is a no-op reuse — idempotent daily pipelines re-publish their whole
+    * history every run and the log neither grows nor reorders. A NEW
+    * version appends, then directories that fell off the retained tail are
+    * reclaimed. Publishing never touches retained older versions' files
+    * (OperationalSpec pins byte-identity across a publish). */
+  def publishRetained(df: DataFrame, table: String, dataFingerprint: String,
+      keep: Int): String = {
+    require(keep >= 1, s"publishRetained keep must be >= 1 (got $keep)")
+    val spark = df.sparkSession
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    java.nio.file.Files.createDirectories(root)
+    val spec = s"${df.schema.toDDL}|$dataFingerprint"
+    val ver = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "v_" + md.digest(spec.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+    }
+    val verDir = root.resolve(ver)
+    val log0 = readLog(root)
+    val intact = log0.contains(ver) &&
+      java.nio.file.Files.exists(verDir.resolve("_SUCCESS"))
+    if (!intact) {
+      val staging = root.resolve(s"${ver}__staging")
+      deleteRecursively(staging)
+      deleteRecursively(verDir)
+      df.write.mode("overwrite").parquet(staging.toString)
+      java.nio.file.Files.move(staging, verDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val log1 = (log0.filterNot(_ == ver) :+ ver).takeRight(keep)
+      val tmp = root.resolve("_graft_log__tmp")
+      java.nio.file.Files.write(tmp, log1.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, root.resolve("_graft_log"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.list(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_") && !log1.contains(n)) deleteRecursively(p)
+      }
+    }
+    root.toString
+  }
+
+  private def readLog(root: java.nio.file.Path): Seq[String] = {
+    val logFile = root.resolve("_graft_log")
+    if (java.nio.file.Files.exists(logFile))
+      new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  /** Time-travel read: the version `ago` steps back from the newest
+    * retained one (0 = current). Throws if retention has already pruned
+    * that far back — time travel is bounded by `keep`, by design. */
+  def readVersionAgo(spark: org.apache.spark.sql.SparkSession, table: String,
+      ago: Int): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val log = readLog(root)
+    require(ago >= 0 && ago < log.size,
+      s"version $ago steps back is not retained (log has ${log.size} versions)")
+    spark.read.parquet(root.resolve(log(log.size - 1 - ago)).toString)
+  }
+
   /** Z-order (Morton) interleave of two non-negative int columns, `bits`
     * bits each → one long sort key. Sorting by z clusters rows that are
     * close in BOTH dimensions into the same parquet row groups, so

@@ -9,7 +9,8 @@ package graft
   * (q90), the global ranker's partitioning invariance (q100), and the CDC
   * chunker's boundary locality (q110), and the WAP publish's
   * audit-gates-pointer contract (q115), and the salted join's
-  * dilution guarantee (q119). These assert the semantics the
+  * dilution guarantee (q119), and the retained-version store's
+  * byte-identity / retention / no-op-republish contract (q120). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -37,6 +38,65 @@ class OperationalSpec extends SparkSpec {
         counts.max.toDouble should be <= (counts.sum / 8.0) * 1.5
       }
     }
+  }
+
+  test("q120: publish leaves retained versions byte-identical; retention prunes; re-publish is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Scale
+    val table = "graft_tt_spec"
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    Scale.deleteRecursively(root)
+
+    // full inventory (relative path -> size, mtime, content md5) of one version dir
+    def inv(ver: Int): Map[String, (Long, Long, String)] = {
+      val dirs = java.nio.file.Files.list(root).toArray.map(_.toString)
+        .filter(p => java.nio.file.Paths.get(p).getFileName.toString.startsWith("v_")).sorted
+      val d = java.nio.file.Paths.get(dirs(ver))
+      java.nio.file.Files.walk(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (d.relativize(f).toString,
+            (bytes.length.toLong, java.nio.file.Files.getLastModifiedTime(f).toMillis,
+              md.digest(bytes).map(b => f"$b%02x").mkString))
+        }.toMap
+    }
+    def nVerDirs: Int = java.nio.file.Files.list(root).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .count(_.startsWith("v_"))
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val v2 = docs.filter(pmod(col("doc_id"), lit(3)) <= 1)
+
+    Scale.publishRetained(v1, table, "t1", keep = 2)
+    Scale.readVersionAgo(spark, table, 0).count() shouldBe v1.count()
+    val v1Inv = inv(0)
+    v1Inv.nonEmpty shouldBe true
+
+    // second publish: v1's retained files stay byte-identical (size, mtime, md5)
+    Scale.publishRetained(v2, table, "t2", keep = 2)
+    nVerDirs shouldBe 2
+    Scale.readVersionAgo(spark, table, 0).count() shouldBe v2.count()
+    Scale.readVersionAgo(spark, table, 1).count() shouldBe v1.count()
+    // locate v1's dir again by re-reading ago=1 — inventory must match exactly
+    val v1InvAfter = (0 until 2).map(inv).find(_.keySet == v1Inv.keySet).get
+    v1InvAfter shouldBe v1Inv
+
+    // third publish with keep=2 prunes v1; time travel past retention throws
+    Scale.publishRetained(docs, table, "t3", keep = 2)
+    nVerDirs shouldBe 2
+    Scale.readVersionAgo(spark, table, 0).count() shouldBe docs.count()
+    Scale.readVersionAgo(spark, table, 1).count() shouldBe v2.count()
+    an[IllegalArgumentException] should be thrownBy
+      Scale.readVersionAgo(spark, table, 2)
+
+    // idempotent re-publish: nothing rewrites (mtimes prove a true no-op)
+    val curInv = (inv(0), inv(1))
+    Scale.publishRetained(docs, table, "t3", keep = 2)
+    (inv(0), inv(1)) shouldBe curInv
   }
 
   test("q72: merge rewrites ONLY the affected partition; untouched partition files are byte-identical") {
