@@ -84,13 +84,67 @@ object MultimodalQueries {
     Multimodal.decodeImagesQuarantine(corrupted).toDF()
   }
 
+  /** q122: perceptual-hash image dedup — q66's real decode path feeding
+    * [[graft.operators.Multimodal.perceptualHash]] (integer average-hash
+    * over the decoded raster), then a (dims, ahash)-keyed window counts
+    * how many images share each perceptual bucket: the image-corpus
+    * near-dup signal (identical content collides across containers — a
+    * BMP and a PNG of the same pixels land in one bucket). The oracle
+    * re-derives every hash from the generating pixel arithmetic — the
+    * codec round-trip and the bit packing must both be exact. Scale
+    * shape: decode is per-partition imperative work (the one legitimate
+    * mapPartitions altitude), the window carries (doc_id, dims, hash) —
+    * never payloads. */
+  val q122PerceptualDedup: Q = (s, d) => {
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.imageTable(Tables.documentsDistributed(s, d))).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("img_w"), col("img_h"), col("ahash"))
+    hashed.withColumn("n_dups", count(lit(1)).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_perceptual_dedup" -> q122PerceptualDedup,
     "q25_multimodal_decode" -> q25MultimodalDecode,
     "q36_frame_sample"      -> q36FrameSample,
     "q66_image_decode"      -> q66ImageDecode,
     "q67_decode_quarantine" -> q67DecodeQuarantine)
 
   val oracle: Map[String, String] = Map(
+    // The aHash replayed from the generating pixel arithmetic: same
+    // integer luminance, same cross-multiplied mean threshold, same
+    // row-major bit packing.
+    "q122_perceptual_dedup" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 4 + 2 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, format, w, h, y, x,
+        |    CAST((doc_id * 31 + x * 7 + y * 13) % 127 + 1
+        |       + (doc_id * 31 + x * 7 + y * 13 + 5) % 127 + 1
+        |       + (doc_id * 31 + x * 7 + y * 13 + 10) % 127 + 1 AS BIGINT) AS lum
+        |  FROM dims,
+        |    UNNEST(range(0, h)) t1(y),
+        |    UNNEST(range(0, w)) t2(x)),
+        |sc AS (
+        |  SELECT doc_id, format, w, h, y, x, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS total,
+        |    count(*) OVER (PARTITION BY doc_id) AS npx
+        |  FROM px),
+        |ah AS (
+        |  SELECT doc_id, any_value(format) AS format,
+        |    CAST(any_value(w) AS INTEGER) AS img_w,
+        |    CAST(any_value(h) AS INTEGER) AS img_h,
+        |    CAST(sum(CASE WHEN lum * npx >= total
+        |      THEN (CAST(1 AS BIGINT) << (y * w + x)) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, format, img_w, img_h, ahash,
+        |  count(*) OVER (PARTITION BY img_w, img_h, ahash) AS n_dups
+        |FROM ah""".stripMargin,
     "q25_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(n_chars % 640 AS INTEGER) AS width,

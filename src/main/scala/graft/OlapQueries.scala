@@ -25,6 +25,27 @@ object OlapQueries {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens"))
 
+  /** q121: GROUPING SETS — the general form rollup (q58) and cube (q71)
+    * are sugar for, with the grouping-set list chosen to be NEITHER (the
+    * hierarchy plus the (source)-only slice, minus nothing): the exact
+    * shape a reporting layer asks for when it wants two independent
+    * drill paths without paying for the full cube. grouping_id() (both
+    * engines: first grouping column = most significant bit) disambiguates
+    * a subtotal's NULL from a data NULL — the thing a consumer of mixed
+    * grouping output cannot infer from the value columns alone. Same
+    * Expand-then-one-shuffle plan as q58/q71: one replicated row per
+    * matching set, partial aggregation before the single exchange. */
+  val q121GroupingSets: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(graft.operators.TextOps.words(col("text"))).as("wc"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("total_tokens"))
+
   /** q59: pivot — events cross-tabbed as one row per user-id bucket with
     * one count column per event type. The pivot values are a fixed
     * literal list, so Spark plans the two-phase PivotFirst aggregation
@@ -314,6 +335,7 @@ object OlapQueries {
 
   val queries: Map[String, Q] = Map(
     "q58_rollup"       -> q58Rollup,
+    "q121_grouping_sets" -> q121GroupingSets,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -454,6 +476,14 @@ object OlapQueries {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS total_tokens
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // Same sets, same bit order (first grouping column most significant).
+    "q121_grouping_sets" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
     // Fixed-list conditional aggregation — the portable pivot spelling.
     "q59_pivot" ->
       s"""SELECT user_id % 10 AS user_bucket,

@@ -215,6 +215,14 @@ object Multimodal {
       })
 
     def decode(r: ImageRow): Either[(String, Option[Exception]), (Int, Int, String)] =
+      decodeRaster(r).map { case (w, h, px) =>
+        md.reset()
+        (w, h, hex(md.digest(px), upper = false))
+      }
+
+    /** The raw decoded raster (row-major R,G,B bytes) — for consumers that
+      * compute on pixels (perceptual hashing) rather than digest them. */
+    def decodeRaster(r: ImageRow): Either[(String, Option[Exception]), (Int, Int, Array[Byte])] =
       readerFor(r.format) match {
         case None => Left(NoDecoder -> None)
         case Some(reader) =>
@@ -224,7 +232,7 @@ object Multimodal {
             reader.setInput(iis)
             Option(reader.read(0)) match {
               case None      => Left(Undecodable -> None)
-              case Some(img) => Right(rasterDigest(md, img))
+              case Some(img) => Right(rasterBytes(img))
             }
           }
           catch { case e: Exception => Left(Undecodable -> Some(e)) }
@@ -232,9 +240,8 @@ object Multimodal {
       }
   }
 
-  /** Width, height, and MD5 of the decoded raster (row-major R,G,B). */
-  private def rasterDigest(md: MessageDigest,
-      img: java.awt.image.BufferedImage): (Int, Int, String) = {
+  /** Width, height, and row-major R,G,B bytes of the decoded raster. */
+  private def rasterBytes(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
     val w = img.getWidth; val h = img.getHeight
     val px = new Array[Byte](w * h * 3)
     var i = 0
@@ -250,8 +257,54 @@ object Multimodal {
       }
       y += 1
     }
-    md.reset()
-    (w, h, hex(md.digest(px), upper = false))
+    (w, h, px)
+  }
+
+  /** One perceptual hash per decoded image: [[perceptualHash]]'s row. */
+  final case class ImagePHash(doc_id: Long, format: String, img_w: Int,
+    img_h: Int, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL decoded raster — the
+    * image-dedup primitive: per pixel, integer luminance r+g+b; bit (y·w+x)
+    * is set iff the pixel is at-or-above the image's mean luminance,
+    * decided by INTEGER cross-multiplication (lum·npixels ≥ total — no
+    * division, no float, bit-reproducible anywhere). Identical content →
+    * identical hash regardless of container (a BMP and a PNG of the same
+    * pixels collide, which is the point); the corpus's rasters are ≤ 7×5,
+    * so the bitmap fits one long directly — the production path downsamples
+    * to 8×8 first and packs the same way. Decode reuses the per-partition
+    * [[DecodeContext]] (one reader per format, reused row-to-row). */
+  def perceptualHash(images: Dataset[ImageRow]): Dataset[ImagePHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val ctx = new DecodeContext
+      rows.map { r =>
+        ctx.decodeRaster(r) match {
+          case Right((w, h, px)) =>
+            val npx = w * h
+            require(npx <= 64, s"aHash bitmap needs <= 64 px (got $npx); downsample first")
+            val lums = new Array[Long](npx)
+            var total = 0L
+            var i = 0
+            while (i < npx) {
+              lums(i) = (px(3 * i) & 0xFF).toLong + (px(3 * i + 1) & 0xFF) +
+                (px(3 * i + 2) & 0xFF)
+              total += lums(i)
+              i += 1
+            }
+            var hash = 0L
+            i = 0
+            while (i < npx) {
+              if (lums(i) * npx >= total) hash |= 1L << i
+              i += 1
+            }
+            ImagePHash(r.doc_id, r.format, w, h, hash)
+          case Left((reason, cause)) =>
+            throw new IllegalStateException(
+              s"undecodable ${r.format} payload, doc ${r.doc_id}: $reason", cause.orNull)
+        }
+      }
+    }
   }
 
   /** A decode attempt: either true decoder output (`status = decoded`) or a

@@ -208,6 +208,24 @@ class PlanSpec extends SparkSpec {
       .findAllMatchIn(p).length shouldBe 2
   }
 
+  test("q121 grouping sets: one Expand feeding one partial-aggregated exchange — never a union of scans") {
+    val p = plan(OlapQueries.q121GroupingSets(spark, sf))
+    p should include("Expand")
+    p should include("partial_")
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+  }
+
+  test("q122 perceptual dedup: the bucket window shuffles hashes, never payloads") {
+    val p = plan(MultimodalQueries.q122PerceptualDedup(spark, sf))
+    // two exchanges total: the decode-parallelism repartition of the doc
+    // scan, and the bucket window keyed on (dims, hash) — whose input
+    // columns are exactly the five hash-row fields, no payload bytes
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+    (p should include).regex(
+      """Arguments: hashpartitioning\(img_w#\d+, img_h#\d+, ahash#\d+L""")
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
