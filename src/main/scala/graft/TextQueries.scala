@@ -545,7 +545,38 @@ object TextQueries {
         floor(bits * lit(1000000.0)).cast(LongType).as("entropy_mbits"))
   }
 
+  /** q123: cross-source quality calibration — a mixed corpus carries
+    * quality scores whose raw scales are incomparable across
+    * crawls/classifiers; rank-based calibration (percent_rank WITHIN
+    * source) puts every source on [0,1] before any global keep-rate is
+    * applied. Output is the per-(source, decile) calibration table —
+    * bucket population and raw-score range — the mapping that translates
+    * "keep the top 30%" into per-source raw cutoffs.
+    *
+    * Determinism: the window orders by (q, doc_id) — tie-free, so
+    * percent_rank is exactly (rank−1)/(n−1) with identical IEEE steps in
+    * both engines; decile = least(floor(10·pct), 9) keeps the pct = 1.0
+    * row in the top bucket.
+    *
+    * Scale shape: ONE source-keyed window exchange carrying (doc_id,
+    * source, q) triples — never text — then a ≤10-row-per-source
+    * aggregation that collapses map-side. The per-source sort is the
+    * exact-percentile discipline (q32's note); at true scale the window
+    * swaps for q100's range-partitioned rank. */
+  val q123SourceCalibration: Q = (s, d) => {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("q"))
+      .withColumn("pct", percent_rank().over(win))
+      .withColumn("decile", least(floor(col("pct") * 10), lit(9L)))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_source_calibration" -> q123SourceCalibration,
     "q15_text_stats"  -> q15TextStats,
     "q75_char_entropy" -> q75CharEntropy,
     "q45_pii_redact"  -> q45PiiRedact,
@@ -633,6 +664,24 @@ object TextQueries {
     // 0-based sorted index, raw value when the position is integral —
     // rather than quantile_cont's lo + frac*(hi-lo), which can differ in
     // the last ulp and flip boundary rows.
+    // Same shared score, same tie-free window, same decile arithmetic.
+    "q123_source_calibration" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, source,
+         |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS q
+         |  FROM t),
+         |p AS (SELECT source, q,
+         |    percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pct
+         |  FROM s),
+         |dd AS (SELECT source,
+         |    least(CAST(floor(pct * 10) AS BIGINT), 9) AS decile, q FROM p)
+         |SELECT source, decile, count(*) AS n_docs,
+         |  min(q) AS q_min, max(q) AS q_max
+         |FROM dd GROUP BY source, decile""".stripMargin,
     "q65_quality_cutoff_exact" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |    regexp_split_to_array(trim(text), '\\s+') AS w,
