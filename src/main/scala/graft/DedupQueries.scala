@@ -398,7 +398,36 @@ object DedupQueries {
           .otherwise(splitOf(col("doc_id"))).as("split_final"))
   }
 
+  /** q124: contrastive training-pair assembly — the SimCSE/CLIP-style
+    * batch builder: every verified near-dup pair (q21) becomes an (anchor,
+    * positive) example, and each example draws [[NEG_K]] deterministic
+    * negatives by hashing (k, anchor, positive) into the corpus's dense
+    * id space [0, N). Accidental hits on the anchor or positive are
+    * dropped (deterministic filter, not re-rolled — the oracle replays
+    * the same rule). N is a 1-row scalar broadcast; the sampling itself
+    * is pure column arithmetic — no join into `documents` exists (sparse
+    * id spaces would route through q100's rank index instead). On top of
+    * q21's pair machinery this adds ZERO keyed exchanges. */
+  private val NEG_K = 3L
+
+  val q124ContrastivePairs: Q = (s, d) => {
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_a"), col("doc_b"),
+        explode(sequence(lit(0L), lit(NEG_K - 1L))).as("k"), col("n"))
+      .withColumn("neg_id", pmod(TextOps.hash60(concat(
+        lit("neg:"), col("k").cast(org.apache.spark.sql.types.StringType),
+        lit(":"), col("doc_a").cast(org.apache.spark.sql.types.StringType),
+        lit(":"), col("doc_b").cast(org.apache.spark.sql.types.StringType))),
+        col("n")))
+      .filter(col("neg_id") =!= col("doc_a") && col("neg_id") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("k"), col("neg_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_contrastive_pairs"  -> q124ContrastivePairs,
     "q116_split_leakage"      -> q116SplitLeakage,
     "q110_cdc_chunks"         -> q110CdcChunks,
     "q111_source_dup_matrix"  -> q111SourceDupMatrix,
@@ -486,6 +515,21 @@ object DedupQueries {
     "q21_dedup_minhash_lsh" ->
       s"""WITH ${shinglesCte(3)},
          |${jaccardSelect("", 0.8)}""".stripMargin,
+    // q21's pairs replayed; negatives replayed as the same salted-md5
+    // arithmetic over the dense id space, same drop-on-collision rule.
+    "q124_contrastive_pairs" ->
+      s"""WITH pr AS (WITH ${shinglesCte(3)},
+         |${jaccardSelect("", 0.8)}),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |kk AS (SELECT unnest(range(0, $NEG_K)) AS k),
+         |c AS (SELECT pr.doc_a, pr.doc_b, CAST(kk.k AS BIGINT) AS k,
+         |    CAST(CAST(('0x' || substr(md5('neg:' || CAST(kk.k AS VARCHAR)
+         |        || ':' || CAST(pr.doc_a AS VARCHAR)
+         |        || ':' || CAST(pr.doc_b AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |      % nn.n AS BIGINT) AS neg_id
+         |  FROM pr, kk, nn)
+         |SELECT doc_a, doc_b, k, neg_id FROM c
+         |WHERE neg_id <> doc_a AND neg_id <> doc_b""".stripMargin,
     // q21's pairs replayed, split assignment replayed as the same md5
     // bucket arithmetic, leak repair replayed as the same move-to-train.
     "q116_split_leakage" ->
