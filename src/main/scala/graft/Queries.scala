@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -195,11 +195,61 @@ object Queries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** q125: declarative data-quality expectations — the Deequ/Great
+    * Expectations capability as one catalog row: a fixed constraint suite
+    * (primary-key uniqueness, fact→dim referential integrity, null-rate
+    * budget, value whitelist, numeric range) evaluated to one row per
+    * constraint with exact violation counts and an integer-arithmetic
+    * verdict (the 5% budget is `violations·20 ≤ total`, never a float
+    * ratio). This is the audit LIST a promotion gate consumes — feed these
+    * predicates to q115's writeAuditPublish and bad data cannot publish.
+    *
+    * Scale shape: every constraint is a scan-shaped aggregate that
+    * collapses map-side; the RI check joins fact→dim on the key (broadcast
+    * at dim scale, shuffle-keyed at fact scale — never a distinct-collect);
+    * the union glue is shuffle-free. Single job, concurrent stages. */
+  val q125Expectations: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def verdictRow(name: String, df: DataFrame, budget: Column => Column) =
+      df.select(lit(name).as("check_name"), col("violations"), col("total"),
+        budget(col("violations")).as("passed"))
+    val zeroTolerance: Column => Column = _ === 0L
+
+    val pkUnique = verdictRow("orders_pk_unique",
+      orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"),
+        count(lit(1)).as("total")), zeroTolerance)
+    val fkOrders = verdictRow("lineitem_fk_orders",
+      li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).as("total")), zeroTolerance)
+    val nullBudget = verdictRow("events_value_null_budget_5pct",
+      Tables.events(s, d).agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("total")), v => v * 20L <= col("total"))
+    val langWhitelist = verdictRow("documents_lang_whitelist",
+      Tables.documents(s, d).agg(
+        sum(when(col("lang").isNull ||
+          !col("lang").isin("en", "de", "es", "fr", "zh"), 1L)
+          .otherwise(0L)).as("violations"),
+        count(lit(1)).as("total")), zeroTolerance)
+    val qtyRange = verdictRow("lineitem_qty_range",
+      li.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("violations"),
+        count(lit(1)).as("total")), zeroTolerance)
+
+    pkUnique.unionByName(fkOrders).unionByName(nullBudget)
+      .unionByName(langWhitelist).unionByName(qtyRange)
+  }
+
   // ---------------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------------
 
   val relational: Map[String, Q] = Map(
+    "q125_expectations"     -> q125Expectations,
     "q01_pricing_summary"   -> q01PricingSummary,
     "q02_songplay_left_join" -> q02SongplayLeftJoin,
     "q03_users_dim_distinct" -> q03UsersDimDistinct,
@@ -213,6 +263,38 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same constraints, same integer verdicts.
+    "q125_expectations" ->
+      """SELECT 'orders_pk_unique' AS check_name,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |  count(*) AS total,
+        |  count(*) - count(DISTINCT o_orderkey) = 0 AS passed FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders',
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'events_value_null_budget_5pct',
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 20 <= count(*)
+        |FROM events
+        |UNION ALL
+        |SELECT 'documents_lang_whitelist',
+        |  CAST(sum(CASE WHEN lang IS NULL
+        |    OR lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN lang IS NULL
+        |    OR lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
