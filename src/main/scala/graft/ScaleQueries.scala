@@ -155,6 +155,7 @@ object ScaleQueries {
   val layoutsByQuery: Map[String, Seq[String]] = Map(
     "q29_bucketed_join"     -> Seq("graft_lineitem_b", "graft_orders_b"),
     "q51_partition_pruning" -> Seq("graft_docs_part"),
+    "q126_layout_audit"     -> Seq("graft_docs_part"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
@@ -200,6 +201,43 @@ object ScaleQueries {
     s.read.parquet(dir)
       .filter(col("lang").isin("en", "de"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** q126: derived-layout integrity audit — the consistency check every
+    * lake with write-once derived copies (q51's partitioned layout here)
+    * needs on a schedule: per partition key, row counts AND an
+    * order-independent content signature (bit_xor of the row-digest
+    * hash60 — XOR is commutative/associative with no overflow, so ANY
+    * partitioning computes the same signature) from BOTH the source table
+    * and the layout, full-outer-merged so a missing partition on either
+    * side still surfaces as a row with `consistent = false`. A stale,
+    * truncated, or bit-rotted layout shows exactly which partition
+    * diverged; the healthy state is all-true (which is what the oracle —
+    * computing both legs from the SAME source relation — asserts, plus
+    * the signature arithmetic itself).
+    *
+    * Scale shape: two scan-shaped aggregations (map-side-collapsed to one
+    * row per lang) and a 5-row merge join — the audit never moves data,
+    * only signatures. */
+  val q126LayoutAudit: Q = (s, d) => {
+    val dir = Scale.writePartitioned(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+      s"graft_docs_part_${sfTag(d)}", "lang", Scale.dirFingerprint(s"$d/documents.parquet"))
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), graft.operators.TextOps.hash60(concat_ws("|",
+        col("doc_id"), col("source"), col("n_chars"))).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(h)").as("sig"))
+    val src = sig(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang")))
+      .withColumnsRenamed(Map("rows" -> "src_rows", "sig" -> "src_sig"))
+    val lay = sig(s.read.parquet(dir))
+      .withColumnsRenamed(Map("rows" -> "layout_rows", "sig" -> "layout_sig"))
+    src.join(lay, Seq("lang"), "full_outer")
+      .select(col("lang"), col("src_rows"), col("layout_rows"),
+        col("src_sig"), col("layout_sig"),
+        (col("src_rows") <=> col("layout_rows") &&
+          col("src_sig") <=> col("layout_sig")).as("consistent"))
   }
 
   /** q55: stats-driven compaction — rewrite `documents` into ~128 KB
@@ -324,6 +362,7 @@ object ScaleQueries {
     "q119_salted_join"  -> q119SaltedJoin,
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
+    "q126_layout_audit" -> q126LayoutAudit,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
@@ -359,6 +398,19 @@ object ScaleQueries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
+    // Both legs from the SAME relation: the audit must read all-green, and
+    // the signature arithmetic (hash60 of the joined fields, bit_xor) must
+    // match bit-for-bit.
+    "q126_layout_audit" ->
+      """WITH sig AS (SELECT lang, count(*) AS rows_n,
+        |    bit_xor(CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || source || '|'
+        |        || CAST(n_chars AS VARCHAR)), 1, 15)) AS UBIGINT)) AS sig
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, rows_n AS src_rows, rows_n AS layout_rows,
+        |  CAST(sig AS BIGINT) AS src_sig, CAST(sig AS BIGINT) AS layout_sig,
+        |  true AS consistent
+        |FROM sig""".stripMargin,
     // Flat-table filter: the partitioned layout must be invisible to results.
     "q51_partition_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
