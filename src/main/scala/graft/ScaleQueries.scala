@@ -156,6 +156,7 @@ object ScaleQueries {
     "q29_bucketed_join"     -> Seq("graft_lineitem_b", "graft_orders_b"),
     "q51_partition_pruning" -> Seq("graft_docs_part"),
     "q126_layout_audit"     -> Seq("graft_docs_part"),
+    "q127_forget_delete"    -> Seq("graft_docs_del"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
@@ -238,6 +239,31 @@ object ScaleQueries {
         col("src_sig"), col("layout_sig"),
         (col("src_rows") <=> col("layout_rows") &&
           col("src_sig") <=> col("layout_sig")).as("consistent"))
+  }
+
+  /** q127: targeted forget-delete — the GDPR/right-to-be-forgotten (and
+    * takedown/retention-purge) capability: [[graft.operators.Merge
+    * .deletePartitioned]] removes a deterministic target set (de docs with
+    * doc_id ≡ 2 mod 5) from its OWN lang-partitioned corpus copy and the
+    * query returns the post-delete corpus. Targets carry their partition
+    * value, so the locate phase prunes at planning time; only lang=de
+    * rewrites; a re-run finds no targets and touches NOTHING (strongest
+    * idempotence — OperationalSpec pins untouched-partition byte-identity,
+    * the no-op re-delete, and the drop of a fully-emptied partition). The
+    * oracle is the source minus the target predicate — the delete
+    * machinery must be invisible to surviving rows. */
+  val q127ForgetDelete: Q = (s, d) => {
+    val dir = Scale.writePartitioned(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+      s"graft_docs_del_${sfTag(d)}", "lang",
+      Scale.dirFingerprint(s"$d/documents.parquet"))
+    val targets = Tables.documents(s, d)
+      .filter(col("lang") === "de" && pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"), col("lang"))
+    Merge.deletePartitioned(s, dir, "lang", "doc_id", targets)
+    s.read.parquet(dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
   /** q55: stats-driven compaction — rewrite `documents` into ~128 KB
@@ -363,6 +389,7 @@ object ScaleQueries {
     "q29_bucketed_join" -> q29BucketedJoin,
     "q51_partition_pruning" -> q51PartitionPruning,
     "q126_layout_audit" -> q126LayoutAudit,
+    "q127_forget_delete" -> q127ForgetDelete,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
@@ -411,6 +438,11 @@ object ScaleQueries {
         |  CAST(sig AS BIGINT) AS src_sig, CAST(sig AS BIGINT) AS layout_sig,
         |  true AS consistent
         |FROM sig""".stripMargin,
+    // Source minus the target predicate: the delete machinery must be
+    // invisible to surviving rows.
+    "q127_forget_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (lang = 'de' AND doc_id % 5 = 2)""".stripMargin,
     // Flat-table filter: the partitioned layout must be invisible to results.
     "q51_partition_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

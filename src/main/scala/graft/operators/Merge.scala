@@ -62,14 +62,56 @@ object Merge {
       mergedView(spark, dir, partKey, key, batch, affected))
   }
 
+  /** Targeted DELETE from a partitioned layout — the right-to-be-forgotten /
+    * retention-purge primitive: remove every row whose `key` appears in
+    * `keys`, rewriting ONLY the partitions that actually CONTAIN a target
+    * row. Deleting keys that are already absent is a FILESYSTEM no-op (the
+    * locate probe finds no affected partitions) — so the operator is
+    * idempotent in the strongest sense: a re-run leaves every file's bytes
+    * and mtimes untouched (OperationalSpec). A partition whose every row is
+    * deleted is removed outright, not left as an empty husk.
+    *
+    * Locate phase: if `keys` carries the partition column, its distinct
+    * values prune at planning time and the layout is never probed; bare
+    * keys cost one pruned-to-nothing-extra scan of the layout (a broadcast
+    * semi join — scan-shaped, no shuffle) to find the partitions holding
+    * targets. Rewrite phase: [[mergedView]]'s anti-join shape minus the
+    * union — pruned scan of affected partitions, broadcast anti join,
+    * staged write, directory swap. O(affected partitions), never a global
+    * rewrite. */
+  def deletePartitioned(spark: SparkSession, dir: String, partKey: String,
+                        key: String, keys: DataFrame): Unit = {
+    val base = spark.read.parquet(dir)
+    // keys carrying the partition column prune the probe's scan at planning
+    // time; the containment semi join still runs either way — it is what
+    // makes a re-delete of absent keys a filesystem no-op
+    val probe =
+      if (keys.columns.contains(partKey)) {
+        val vals = keys.select(col(partKey)).distinct().collect().map(_.get(0)).toSeq
+        base.filter(col(partKey).isin(vals: _*))
+      } else base
+    val affected = probe
+      .join(broadcast(keys.select(col(key))), Seq(key), "left_semi")
+      .select(col(partKey)).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val cols = base.columns.toSeq
+    val remaining = base.filter(col(partKey).isin(affected: _*))
+      .select(cols.map(col): _*)
+      .join(broadcast(keys.select(col(key))), Seq(key), "left_anti")
+    replacePartitions(dir, partKey, affected, remaining, dropEmptied = true)
+  }
+
   /** Replace the named partition directories of `dir` with `data`'s content
     * for those partitions — the staged-write + directory-swap promotion
     * step shared by the merge upsert and any derived-layout refresh (q78
     * recomputes a corpus fingerprint layout's affected partitions this
     * way). `data` must cover only rows with partKey ∈ `values`; untouched
-    * partitions are never read, written, or moved. */
+    * partitions are never read, written, or moved. With `dropEmptied` a
+    * named partition that stages zero rows is deleted (the delete-last-row
+    * case); without it the live directory is left as-is (the merge flow,
+    * where zero staged rows cannot happen — the batch itself contributes). */
   def replacePartitions(dir: String, partKey: String, values: Seq[Any],
-                        data: DataFrame): Unit = {
+                        data: DataFrame, dropEmptied: Boolean = false): Unit = {
     val root = Paths.get(dir)
     val staging = root.resolve("_staging_merge")
     Scale.deleteRecursively(staging)
@@ -79,11 +121,11 @@ object Merge {
       val leaf = s"$partKey=$v"
       val live = root.resolve(leaf)
       val staged = staging.resolve(leaf)
-      // A replaced partition with zero staged rows cannot happen in the
-      // merge flow (the batch itself contributes rows), but guard the move.
       if (Files.exists(staged)) {
         Scale.deleteRecursively(live)
         Files.move(staged, live)
+      } else if (dropEmptied) {
+        Scale.deleteRecursively(live)
       }
     }
     Scale.deleteRecursively(staging)

@@ -10,7 +10,8 @@ package graft
   * chunker's boundary locality (q110), and the WAP publish's
   * audit-gates-pointer contract (q115), and the salted join's
   * dilution guarantee (q119), and the retained-version store's
-  * byte-identity / retention / no-op-republish contract (q120). These assert the semantics the
+  * byte-identity / retention / no-op-republish contract (q120), and the
+  * forget-delete's containment / no-op / emptied-partition contract (q127). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -97,6 +98,50 @@ class OperationalSpec extends SparkSpec {
     val curInv = (inv(0), inv(1))
     Scale.publishRetained(docs, table, "t3", keep = 2)
     (inv(0), inv(1)) shouldBe curInv
+  }
+
+  test("q127: delete rewrites only containing partitions; re-delete touches nothing; emptied partitions drop") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Merge, Scale}
+    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_docs_del"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    val dir = Scale.writePartitioned(docs,
+      s"graft_docs_del_${ScaleQueries.sfTag(sf)}", "lang",
+      Scale.dirFingerprint(s"$sf/documents.parquet"))
+    val targets = Tables.documents(spark, sf)
+      .filter(col("lang") === "de" && pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"), col("lang"))
+    val nTargets = targets.count()
+    nTargets should be > 0L
+    val total = docs.count()
+    val untouchedLangs = Set("en", "es", "fr", "zh")
+
+    // delete 1: only lang=de rewrites
+    val before = Merge.partitionFileInventory(dir, "lang", Set("de"))
+    Merge.deletePartitioned(spark, dir, "lang", "doc_id", targets)
+    Merge.partitionFileInventory(dir, "lang", Set("de")) shouldBe before
+    val after = spark.read.parquet(dir)
+    after.count() shouldBe total - nTargets
+    after.join(targets.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count() shouldBe 0L
+
+    // delete 2 (same targets, now absent): a true filesystem no-op —
+    // EVERY file, including lang=de's, keeps its bytes and mtimes
+    val allBefore = Merge.partitionFileInventory(dir, "lang", Set.empty)
+    Merge.deletePartitioned(spark, dir, "lang", "doc_id", targets)
+    Merge.partitionFileInventory(dir, "lang", Set.empty) shouldBe allBefore
+
+    // delete 3: removing every zh row drops the partition directory
+    Merge.deletePartitioned(spark, dir, "lang", "doc_id",
+      Tables.documents(spark, sf).filter(col("lang") === "zh")
+        .select(col("doc_id"), col("lang")))
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve("lang=zh")) shouldBe false
+    spark.read.parquet(dir).filter(col("lang") === "zh").count() shouldBe 0L
+    // leave a clean layout for the catalog query (write-once spec is
+    // still intact, so purge forces the next run to rebuild)
+    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_docs_del"))
   }
 
   test("q72: merge rewrites ONLY the affected partition; untouched partition files are byte-identical") {
