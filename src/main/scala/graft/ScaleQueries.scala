@@ -157,6 +157,7 @@ object ScaleQueries {
     "q51_partition_pruning" -> Seq("graft_docs_part"),
     "q126_layout_audit"     -> Seq("graft_docs_part"),
     "q127_forget_delete"    -> Seq("graft_docs_del"),
+    "q128_zone_map"         -> Seq("graft_events_zm"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
@@ -265,6 +266,48 @@ object ScaleQueries {
     s.read.parquet(dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  /** q128: zone-map data skipping — the EXPLICIT file-level form of the
+    * pruning q57's Z-order gets implicitly from parquet row-group stats
+    * (and the mechanism behind Delta/Iceberg file-stats skipping): events
+    * lay out range-partitioned by `value` (8 files, each covering a tight
+    * value interval), a per-file (min, max, rows) zone map is computed
+    * from the layout itself, and a selective BETWEEN predicate consults
+    * the zone map FIRST — only files whose interval intersects the
+    * predicate are handed to the scan; the rest are never opened. The
+    * zone-map lookup is the one driver-side step, bounded by FILE COUNT
+    * (that is what makes external indexes work: metadata ∝ files, not
+    * rows). OperationalSpec asserts real skipping (hit files < total
+    * files); the oracle is the flat filter — skipping must be invisible
+    * to results. */
+  private val ZM_LO = 40.0
+  private val ZM_HI = 45.0
+
+  val q128ZoneMap: Q = (s, d) => {
+    val dir = Scale.writeOnce(
+      Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+        .repartitionByRange(8, col("value")),
+      s"graft_events_zm_${sfTag(d)}", Scale.dirFingerprint(s"$d/events.parquet"))
+    val hit = zoneMapHits(s, dir, ZM_LO, ZM_HI)
+    (if (hit.isEmpty) s.read.parquet(dir).limit(0)
+     else s.read.parquet(hit: _*))
+      .filter(col("value") >= ZM_LO && col("value") <= ZM_HI)
+      .select(col("event_id"), col("value"))
+  }
+
+  /** The zone-map consultation: per-file min/max from the layout, then the
+    * files whose interval intersects [lo, hi]. Exposed so OperationalSpec
+    * can assert that skipping actually skips. */
+  private[graft] def zoneMapHits(s: org.apache.spark.sql.SparkSession,
+      dir: String, lo: Double, hi: Double): Seq[String] =
+    s.read.parquet(dir)
+      .select(input_file_name().as("f"), col("value"))
+      .groupBy(col("f"))
+      .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      .collect()
+      .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+      .map(_.getString(0)).toSeq
 
   /** q55: stats-driven compaction — rewrite `documents` into ~128 KB
     * files (count from Catalyst size stats, not a constant) and read the
@@ -390,6 +433,7 @@ object ScaleQueries {
     "q51_partition_pruning" -> q51PartitionPruning,
     "q126_layout_audit" -> q126LayoutAudit,
     "q127_forget_delete" -> q127ForgetDelete,
+    "q128_zone_map" -> q128ZoneMap,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
@@ -438,6 +482,10 @@ object ScaleQueries {
         |  CAST(sig AS BIGINT) AS src_sig, CAST(sig AS BIGINT) AS layout_sig,
         |  true AS consistent
         |FROM sig""".stripMargin,
+    // The flat filter: skipping must be invisible to results.
+    "q128_zone_map" ->
+      """SELECT event_id, value FROM events
+        |WHERE value IS NOT NULL AND value >= 40.0 AND value <= 45.0""".stripMargin,
     // Source minus the target predicate: the delete machinery must be
     // invisible to surviving rows.
     "q127_forget_delete" ->

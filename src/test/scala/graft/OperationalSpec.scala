@@ -11,7 +11,8 @@ package graft
   * audit-gates-pointer contract (q115), and the salted join's
   * dilution guarantee (q119), and the retained-version store's
   * byte-identity / retention / no-op-republish contract (q120), and the
-  * forget-delete's containment / no-op / emptied-partition contract (q127). These assert the semantics the
+  * forget-delete's containment / no-op / emptied-partition contract (q127),
+  * and the zone map's real-skipping guarantee (q128). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -142,6 +143,22 @@ class OperationalSpec extends SparkSpec {
     // leave a clean layout for the catalog query (write-once spec is
     // still intact, so purge forces the next run to rebuild)
     ScaleQueries.purgeLayouts(spark, sf, Seq("graft_docs_del"))
+  }
+
+  test("q128: the zone map actually skips — hit files are a strict subset covering a narrow interval") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Scale
+    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_events_zm"))
+    ScaleQueries.q128ZoneMap(spark, sf).count() // builds the layout
+    val dir = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"graft_events_zm_${ScaleQueries.sfTag(sf)}").toString
+    val totalFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    totalFiles shouldBe 8 // the range layout really produced 8 value-sorted files
+    val hits = ScaleQueries.zoneMapHits(spark, dir, lo = 40.0, hi = 45.0)
+    hits.nonEmpty shouldBe true
+    hits.length.toLong should be < totalFiles // skipping skipped something
   }
 
   test("q72: merge rewrites ONLY the affected partition; untouched partition files are byte-identical") {
