@@ -116,7 +116,6 @@ class OperationalSpec extends SparkSpec {
     val nTargets = targets.count()
     nTargets should be > 0L
     val total = docs.count()
-    val untouchedLangs = Set("en", "es", "fr", "zh")
 
     // delete 1: only lang=de rewrites
     val before = Merge.partitionFileInventory(dir, "lang", Set("de"))
