@@ -226,6 +226,22 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(img_w#\d+, img_h#\d+, ahash#\d+L""")
   }
 
+  test("q125 expectations: every constraint collapses map-side; the RI check is a keyed join") {
+    val p = plan(Queries.q125Expectations(spark, sf))
+    p should include("partial_")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p should include).regex("BroadcastHashJoin|SortMergeJoin")
+  }
+
+  test("q126 layout audit: two scan-shaped signature aggregations, one small merge") {
+    val p = plan(ScaleQueries.q126LayoutAudit(spark, sf))
+    p should include("partial_")
+    p should include("bit_xor")
+    p should not include "CartesianProduct"
+    (p should include).regex("FullOuter|BroadcastHashJoin|SortMergeJoin")
+  }
+
   test("q79 IVF-PQ: probe phase is broadcast-only; rank windows use group-limit pushdown") {
     val p = plan(SimilarityQueries.q79AnnIvfPq(spark, sf))
     // no corpus-shuffling join anywhere: the index build is keyed
