@@ -448,7 +448,39 @@ object SampleQueries {
         expr(s"p_micro * ${MIX_TARGET}L DIV z").as("expected_docs"))
   }
 
+  /** q129: the deterministic weighted interleave SCHEDULE — the data-loader
+    * order itself, not just the mixture (q105 computes weights, q49 applies
+    * keep-rates, q74 orders epochs; this emits the position key a loader
+    * sorts by to interleave sources α-smoothly). Each source's docs get a
+    * content-stable within-source order k (the hash60 idiom), and the
+    * global key is (k+1)/√n_source — the classic smooth weighted
+    * round-robin: a source with 4× the docs advances its key 2× slower per
+    * item, so under the √-temperature mixture small sources surface early
+    * and often instead of drowning at the tail.
+    *
+    * Determinism: √ and ÷ are IEEE-correctly-rounded primitives (not
+    * transcendental approximations), so both engines produce identical
+    * bits from identical (k, n) integers; ties cannot exist across sources
+    * with distinct n, and within a source k is unique.
+    *
+    * Scale shape: ONE source-keyed window exchange carries (doc_id,
+    * source, ord) — row_number and the per-source count share the same
+    * partition spec, so no second scan and no broadcast exist. */
+  val q129InterleaveSchedule: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val bySrc = W.partitionBy(col("source"))
+    val ordered = bySrc.orderBy(TextOps.saltedOrd("il:"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("k", row_number().over(ordered) - 1)
+      .withColumn("n_source", count(lit(1)).over(bySrc))
+      .withColumn("interleave_key",
+        (col("k") + lit(1)).cast(DoubleType) /
+          sqrt(col("n_source").cast(DoubleType)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_interleave_schedule" -> q129InterleaveSchedule,
     "q105_temperature_mix"  -> q105TemperatureMix,
     "q104_equidepth_hist"   -> q104EquidepthHist,
     "q100_global_rank"      -> q100GlobalRank,
@@ -469,6 +501,20 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Same hash order, same √n divisor — sqrt and ÷ are IEEE-exact
+    // primitives, so the key bits match.
+    "q129_interleave_schedule" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT), doc_id) - 1 AS INTEGER) AS k,
+        |  count(*) OVER (PARTITION BY source) AS n_source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT), doc_id) AS DOUBLE)
+        |    / sqrt(CAST(count(*) OVER (PARTITION BY source) AS DOUBLE))
+        |    AS interleave_key
+        |FROM documents""".stripMargin,
     // pow quantized once at the source; all downstream arithmetic is
     // exact BIGINT (order-free normalizer sum, integer-division weights).
     "q105_temperature_mix" ->

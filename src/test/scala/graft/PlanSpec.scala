@@ -226,6 +226,13 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(img_w#\d+, img_h#\d+, ahash#\d+L""")
   }
 
+  test("q129 interleave schedule: row_number and the per-source count share ONE exchange, no joins") {
+    val p = plan(SampleQueries.q129InterleaveSchedule(spark, sf))
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
+    p should not include "Join"
+  }
+
   test("q125 expectations: every constraint collapses map-side; the RI check is a keyed join") {
     val p = plan(Queries.q125Expectations(spark, sf))
     p should include("partial_")
