@@ -94,6 +94,37 @@ object OlapQueries {
         grouping(col("lang")).cast(IntegerType).as("lang_subtotal"),
         grouping(col("source")).cast(IntegerType).as("source_subtotal"))
 
+  /** q130: join-cardinality estimation from column statistics — the
+    * cost-based-optimizer capability that decides join order and strategy
+    * before a single row moves: predict |events ⋈ events ON event_type|
+    * (the M:N blowup case — 5 hot keys, ~(N/5)² output rows per key)
+    * three ways. `exact_histogram` is Σc² over the full per-key frequency
+    * table (with a complete histogram the "estimate" IS the answer);
+    * `system_r_uniform` is the classic n²/ndv uniformity assumption
+    * (Selinger '79 — exact only when keys are equidistributed, the error
+    * a real histogram exists to kill); `top1_plus_uniform` keeps the
+    * heaviest key exact and spreads the rest uniformly — the truncated
+    * heavy-hitter histogram every production CBO actually stores. All
+    * BIGINT arithmetic (integer division), so the three predictions are
+    * bit-portable. Scale shape: one map-side-collapsed key histogram +
+    * two 1-row scalar aggregates — statistics cost ∝ ndv, never the join
+    * itself. */
+  val q130JoinCardinality: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hist = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val exact = hist.agg(sum(col("c") * col("c")).as("est_rows"))
+      .select(lit("exact_histogram").as("method"), col("est_rows"))
+    val tot = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("event_type")).as("ndv"))
+    val sysR = tot.select(lit("system_r_uniform").as("method"),
+      expr("(n * n) div ndv").as("est_rows"))
+    val top1 = tot.crossJoin(broadcast(hist.agg(max(col("c")).as("cmax"))))
+      .select(lit("top1_plus_uniform").as("method"),
+        expr("cmax * cmax + ((n - cmax) * (n - cmax)) div (ndv - 1)")
+          .as("est_rows"))
+    exact.unionByName(sysR).unionByName(top1)
+  }
+
   /** q77: the SQL set operators over two corpus snapshots — the daily-crawl
     * diff ("which docs appeared / disappeared / persisted") plus the
     * multiset (ALL) variants over a non-unique projection, assembled into
@@ -336,6 +367,7 @@ object OlapQueries {
   val queries: Map[String, Q] = Map(
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
+    "q130_join_cardinality" -> q130JoinCardinality,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -476,6 +508,19 @@ object OlapQueries {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS total_tokens
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // Same three estimators, same integer arithmetic.
+    "q130_join_cardinality" ->
+      """WITH h AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n, count(DISTINCT event_type) AS ndv FROM events),
+        |m AS (SELECT max(c) AS cmax FROM h)
+        |SELECT 'exact_histogram' AS method,
+        |  CAST(sum(c * c) AS BIGINT) AS est_rows FROM h
+        |UNION ALL
+        |SELECT 'system_r_uniform', CAST((n * n) // ndv AS BIGINT) FROM t
+        |UNION ALL
+        |SELECT 'top1_plus_uniform',
+        |  CAST(cmax * cmax + ((n - cmax) * (n - cmax)) // (ndv - 1) AS BIGINT)
+        |FROM t, m""".stripMargin,
     // Same sets, same bit order (first grouping column most significant).
     "q121_grouping_sets" ->
       """SELECT lang, source,
