@@ -575,7 +575,40 @@ object TextQueries {
         min(col("q")).as("q_min"), max(col("q")).as("q_max"))
   }
 
+  /** q131: the map-column higher-order surface — q118's lambda coverage
+    * extended to MapType: per document, the word→count map is built
+    * IN-ROW (aggregate over the token array into a map accumulator — no
+    * explode, no shuffle), then transform_values doubles each count
+    * (weighting hook), map_filter keeps repeated words only, and
+    * map_keys/map_values explode the survivors back to rows. Everything
+    * between scan and generator is per-row lambda work; the only
+    * wide operation in the plan is nothing at all — zero exchanges.
+    * The oracle computes the same (doc_id, word, weighted count) rows
+    * relationally (DuckDB's MAP type never crosses the gate — rows do),
+    * which is exactly the point: map columns are an ENGINE-side layout
+    * choice and must be invisible to relational results. */
+  val q131MapSurface: Q = (s, d) => {
+    // first 64 tokens: the fold rebuilds the accumulator per token
+    // (O(tokens·distinct) interpreted lambda work), so the surface demo
+    // bounds it; a production counter is explode + groupBy (q53's shape)
+    val toks = slice(TextOps.words(col("text")), 1, 64)
+    val counts = aggregate(
+      toks,
+      map().cast(org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType)),
+      (acc, w) => map_concat(
+        map_filter(acc, (k, _) => k =!= w),
+        map(w, coalesce(element_at(acc, w), lit(0L)) + 1L)))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        map_filter(transform_values(counts, (_, v) => v * 2L),
+          (_, v) => v > 2L).as("m"))
+      .select(col("doc_id"), explode(col("m")).as(Seq("t", "v")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_map_surface" -> q131MapSurface,
     "q123_source_calibration" -> q123SourceCalibration,
     "q15_text_stats"  -> q15TextStats,
     "q75_char_entropy" -> q75CharEntropy,
@@ -664,6 +697,15 @@ object TextQueries {
     // 0-based sorted index, raw value when the position is integral —
     // rather than quantile_cont's lo + frac*(hi-lo), which can differ in
     // the last ulp and flip boundary rows.
+    // The map column never crosses the gate — the exploded rows do: same
+    // first-64-token counts, same ×2 weighting, same >2 filter.
+    "q131_map_surface" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')[1:64]) AS t
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, t, count(*) * 2 AS v
+        |FROM w GROUP BY doc_id, t
+        |HAVING count(*) * 2 > 2""".stripMargin,
     // Same shared score, same tie-free window, same decile arithmetic.
     "q123_source_calibration" ->
       s"""WITH t AS (SELECT doc_id, source, text,

@@ -226,6 +226,13 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(img_w#\d+, img_h#\d+, ahash#\d+L""")
   }
 
+  test("q131 map surface: in-row map fold, one scan, zero exchanges") {
+    val p = plan(TextQueries.q131MapSurface(spark, sf))
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) Exchange""".r.findAllMatchIn(p) shouldBe empty
+    p should include("Generate") // the explode back to rows
+  }
+
   test("q129 interleave schedule: row_number and the per-source count share ONE exchange, no joins") {
     val p = plan(SampleQueries.q129InterleaveSchedule(spark, sf))
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
