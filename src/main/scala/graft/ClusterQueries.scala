@@ -160,8 +160,35 @@ object ClusterQueries {
         col("dup_of").isNull.cast(IntegerType).as("kept"))
   }
 
+  /** q132: iterative-job checkpoint/resume — the operational property a
+    * long-running clustering/training job needs to survive preemption:
+    * round-1's refined centroids externalize to a write-once K-row layout
+    * (the CHECKPOINT: 8 rows that are the ENTIRE recoverable state of the
+    * iteration — q103's externalized-state discipline applied to Lloyd's
+    * algorithm), and the job RESUMES by reading them back from disk and
+    * running only the final assignment. The resumed plan carries no
+    * lineage to the seed scan or the refinement — its input is parquet
+    * bytes. The oracle is q81's straight-through replay: resuming must be
+    * bit-identical to never having stopped, which the fixed-point integer
+    * centroid math is what makes possible (a double-sum refinement would
+    * drift per partitioning, and a checkpoint would change the answer). */
+  val q132CheckpointResume: Q = (s, d) => {
+    import graft.operators.Scale
+    val vectors = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seeds = vectors.filter(col("vec_id") < K)
+      .select(col("vec_id").cast(IntegerType).as("cluster"),
+        col("embedding").cast("array<double>").as("cent"))
+    val ckpt = Scale.writeOnce(
+      refine(assign(s, vectors, seeds)),
+      s"graft_kmeans_ckpt_${ScaleQueries.sfTag(d)}",
+      Scale.dirFingerprint(s"$d/embeddings.parquet"))
+    assign(s, vectors, s.read.parquet(ckpt))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_kmeans" -> q81Kmeans,
+    "q132_checkpoint_resume" -> q132CheckpointResume,
     "q85_cluster_sample" -> q85ClusterSample,
     "q99_semdedup" -> q99SemDedup)
 
@@ -208,6 +235,10 @@ object ClusterQueries {
 
   val oracle: Map[String, String] = Map(
     "q81_kmeans" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,
+    // The checkpoint round-trip must be invisible: resume == straight run.
+    "q132_checkpoint_resume" ->
       s"""$kmeansCtes
          |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,
     // Same replay + the intra-cluster pair scan; cosine is q23's exact

@@ -158,6 +158,7 @@ object ScaleQueries {
     "q126_layout_audit"     -> Seq("graft_docs_part"),
     "q127_forget_delete"    -> Seq("graft_docs_del"),
     "q128_zone_map"         -> Seq("graft_events_zm"),
+    "q132_checkpoint_resume" -> Seq("graft_kmeans_ckpt"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),

@@ -226,6 +226,15 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(img_w#\d+, img_h#\d+, ahash#\d+L""")
   }
 
+  test("q132 checkpoint resume: the resumed plan reads checkpoint bytes — no lineage to seeds or refinement") {
+    val p = plan(ClusterQueries.q132CheckpointResume(spark, sf))
+    p should include("graft_kmeans_ckpt") // centroids come from the layout
+    // the refinement's posexplode and the seed filter exist only in the
+    // checkpointing run — the resumed assignment has neither
+    p should not include "Generate"
+    """vec_id#\d+L? < 8""".r.findFirstIn(p) shouldBe None
+  }
+
   test("q131 map surface: in-row map fold, one scan, zero exchanges") {
     val p = plan(TextQueries.q131MapSurface(spark, sf))
     """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
