@@ -125,6 +125,44 @@ object OlapQueries {
     exact.unionByName(sysR).unionByName(top1)
   }
 
+  /** q133: distribution-drift monitoring — the ML-ops complement to
+    * q109/q113 (which diff CONTENT): did the SHAPE of the corpus move
+    * between two snapshots? Per language, the χ²-style drift term of the
+    * two-sample homogeneity test over q77's A/B snapshot views:
+    * term = (a·N_b − b·N_a)² / (N_a·N_b·(a+b)). Everything up to the last
+    * step is exact BIGINT (cross-multiplied counts — no proportions, no
+    * logs: PSI's ln(p/q) is transcendental and would 1-ulp-diverge, which
+    * is why the χ² form is the gate-safe drift statistic); the single
+    * division per row maps exact integers through one IEEE op. Terms are
+    * emitted PER feature value — the consumer sums against its threshold
+    * (a global float sum would be task-order-dependent; 5 exact rows are
+    * strictly more informative anyway: they name WHICH language drifted).
+    * Counts² must fit BIGINT — past ~10⁹ docs per snapshot, rescale both
+    * sides by a common factor first.
+    *
+    * Scale shape: both snapshot histograms come from ONE scan (conditional
+    * sums per lang), collapse map-side, and the totals are an
+    * unpartitioned window over the 5-row result — no second scan, no
+    * broadcast, no join. */
+  val q133DriftChi2: Q = (s, d) => {
+    val bucket = pmod(graft.operators.TextOps.hash60(
+      col("doc_id").cast(StringType)), lit(5))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, d)
+      .select(col("lang"), bucket.as("bkt"))
+      .groupBy(col("lang")).agg(
+        sum(when(col("bkt") =!= 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("bkt") =!= 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("na_tot", sum(col("n_a")).over(W))
+      .withColumn("nb_tot", sum(col("n_b")).over(W))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        ((col("n_a") * col("nb_tot") - col("n_b") * col("na_tot")) *
+          (col("n_a") * col("nb_tot") - col("n_b") * col("na_tot"))).as("num"),
+        (col("na_tot") * col("nb_tot") * (col("n_a") + col("n_b"))).as("den"))
+      .withColumn("chi2_term",
+        col("num").cast(DoubleType) / col("den").cast(DoubleType))
+  }
+
   /** q77: the SQL set operators over two corpus snapshots — the daily-crawl
     * diff ("which docs appeared / disappeared / persisted") plus the
     * multiset (ALL) variants over a non-unique projection, assembled into
@@ -368,6 +406,7 @@ object OlapQueries {
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
+    "q133_drift_chi2" -> q133DriftChi2,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -508,6 +547,23 @@ object OlapQueries {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS total_tokens
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // Same cross-multiplied integers, same single division per row.
+    "q133_drift_chi2" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) % 5 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n_a, n_b,
+        |    CAST(sum(n_a) OVER () AS BIGINT) AS na_tot,
+        |    CAST(sum(n_b) OVER () AS BIGINT) AS nb_tot FROM h)
+        |SELECT lang, n_a, n_b,
+        |  (n_a * nb_tot - n_b * na_tot) * (n_a * nb_tot - n_b * na_tot) AS num,
+        |  na_tot * nb_tot * (n_a + n_b) AS den,
+        |  CAST((n_a * nb_tot - n_b * na_tot) * (n_a * nb_tot - n_b * na_tot) AS DOUBLE)
+        |    / CAST(na_tot * nb_tot * (n_a + n_b) AS DOUBLE) AS chi2_term
+        |FROM t""".stripMargin,
     // Same three estimators, same integer arithmetic.
     "q130_join_cardinality" ->
       """WITH h AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
