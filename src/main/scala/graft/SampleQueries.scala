@@ -479,7 +479,51 @@ object SampleQueries {
           sqrt(col("n_source").cast(DoubleType)))
   }
 
+  /** q134: Neyman minimum-variance sample allocation — the survey-design
+    * answer to "I can afford [[NEYMAN_K]] documents for human eval; how
+    * many from each language?": allocate ∝ n_h·σ_h (big AND
+    * internally-varied strata earn more), which minimizes the estimator's
+    * variance at fixed budget. Complements the samplers that pick WHICH
+    * rows (q31/q63/q85/q87) with the design step that decides HOW MANY.
+    *
+    * Determinism: per-stratum variance comes from exact BIGINT moment sums
+    * ((n·S2 − S1²)/(n·(n−1))), σ via one IEEE-exact sqrt; the weight is
+    * then quantized ONCE (floor(n·σ·10⁶), the q105 rule) so the
+    * largest-remainder rounding — floor shares by integer division,
+    * remainders ranked by the exact integer K·w mod ΣW, lang tie-break —
+    * is pure BIGINT and Σalloc = K EXACTLY (no float allocation ever sums
+    * to budget; OperationalSpec pins the invariant).
+    *
+    * Scale shape: one scan collapses to 5 moment rows map-side; windows
+    * run over those 5 rows. */
+  private[graft] val NEYMAN_K = 1000L
+
+  val q134NeymanAllocation: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val moments = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("lang"), size(TextOps.words(col("text"))).cast(LongType).as("wc"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("wc")).as("s1"),
+        sum(col("wc") * col("wc")).as("s2"))
+    val sigma = sqrt(
+      (col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType) /
+        (col("n") * (col("n") - 1L)).cast(DoubleType))
+    val weighted = moments
+      .withColumn("wq", floor(col("n").cast(DoubleType) * sigma * lit(1e6)).cast(LongType))
+      .withColumn("w_tot", sum(col("wq")).over(W.partitionBy()))
+      .withColumn("base", expr(s"($NEYMAN_K * wq) div w_tot"))
+      .withColumn("rem", expr(s"($NEYMAN_K * wq) % w_tot"))
+      .withColumn("base_tot", sum(col("base")).over(W.partitionBy()))
+      .withColumn("rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang"))))
+    weighted.select(col("lang"), col("n").as("n_docs"), col("wq"),
+      (col("base") + when(col("rk") <= lit(NEYMAN_K) - col("base_tot"), 1L)
+        .otherwise(0L)).as("alloc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_neyman_allocation" -> q134NeymanAllocation,
     "q129_interleave_schedule" -> q129InterleaveSchedule,
     "q105_temperature_mix"  -> q105TemperatureMix,
     "q104_equidepth_hist"   -> q104EquidepthHist,
@@ -501,6 +545,31 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Exact BIGINT moments, one IEEE sqrt, weight quantized once, then
+    // pure-integer largest-remainder rounding — Σalloc = K by construction.
+    "q134_neyman_allocation" ->
+      s"""WITH m AS (SELECT lang, count(*) AS n,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS s1,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))
+         |      * len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS s2
+         |  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+         |w AS (SELECT lang, n,
+         |    CAST(floor(CAST(n AS DOUBLE) * sqrt(
+         |      CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS wq
+         |  FROM m),
+         |t AS (SELECT lang, n, wq,
+         |    CAST(sum(wq) OVER () AS BIGINT) AS w_tot FROM w),
+         |b AS (SELECT lang, n, wq,
+         |    ($NEYMAN_K * wq) // w_tot AS base,
+         |    ($NEYMAN_K * wq) % w_tot AS rem,
+         |    CAST(sum(($NEYMAN_K * wq) // w_tot) OVER () AS BIGINT) AS base_tot,
+         |    row_number() OVER (ORDER BY ($NEYMAN_K * wq) % w_tot DESC, lang) AS rk
+         |  FROM t)
+         |SELECT lang, n AS n_docs, wq,
+         |  CAST(base + (CASE WHEN rk <= $NEYMAN_K - base_tot THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS alloc
+         |FROM b""".stripMargin,
     // Same hash order, same √n divisor — sqrt and ÷ are IEEE-exact
     // primitives, so the key bits match.
     "q129_interleave_schedule" ->

@@ -160,6 +160,16 @@ class OperationalSpec extends SparkSpec {
     hits.length.toLong should be < totalFiles // skipping skipped something
   }
 
+  test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SampleQueries.q134NeymanAllocation(spark, dir).collect()
+      withClue(s"$dir: ") {
+        rows.map(_.getAs[Long]("alloc")).sum shouldBe SampleQueries.NEYMAN_K
+        all(rows.map(_.getAs[Long]("alloc"))) should be >= 0L
+      }
+    }
+  }
+
   test("q72: merge rewrites ONLY the affected partition; untouched partition files are byte-identical") {
     ScaleQueries.purgeLayouts(spark, sf, Seq("graft_corpus_base"))
     val otherLangs = Set("de", "es", "fr", "zh")
