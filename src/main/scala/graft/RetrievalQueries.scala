@@ -384,6 +384,39 @@ object RetrievalQueries {
         (col("total_bits") >= 0L).as("selected"))
   }
 
+  /** q135: inverted-index construction — the batch-build artifact behind
+    * every keyword search system (q80 deliberately scores a FIXED query
+    * with no index; this builds the index for the many-queries regime):
+    * per term, the document-frequency, the first posting, and the
+    * remaining postings DELTA-GAP encoded (the classic posting-list
+    * compression primitive — sorted ids stored as small gaps). Postings
+    * are sorted doc_id sets, so the encoding is fully deterministic; gaps
+    * ship as a CSV string (the gate hashes scalars, and the string IS the
+    * serialized artifact). The [[IDX_MIN_DF]] floor keeps the demo output
+    * bounded — a production build shards the full vocabulary instead of
+    * truncating it.
+    *
+    * Scale shape: one tokenize scan, one (term, doc) distinct + term-keyed
+    * list aggregation (both collapse map-side); the posting arrays never
+    * re-shuffle after assembly. */
+  private val IDX_MIN_DF = 20
+
+  val q135InvertedIndex: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("t"))
+      .distinct()
+    toks.groupBy(col("t"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .withColumn("df", size(col("p")).cast(LongType))
+      .filter(col("df") >= IDX_MIN_DF)
+      .select(col("t"), col("df"),
+        element_at(col("p"), 1).as("first_id"),
+        concat_ws(",", transform(
+          sequence(lit(2), size(col("p"))),
+          i => (element_at(col("p"), i) - element_at(col("p"), i - 1))
+            .cast(org.apache.spark.sql.types.StringType))).as("gaps"))
+  }
+
   /** q97: TF-IDF top terms per document — the keyword-extraction classic
     * (and the feature behind sparse retrieval indexes and topic labels):
     * for every document, the [[TFIDF_TOP]] terms maximizing
@@ -482,7 +515,8 @@ object RetrievalQueries {
     "q94_lm_surprisal" -> q94LmSurprisal,
     "q97_tfidf_terms" -> q97TfidfTerms,
     "q98_hybrid_rrf" -> q98HybridRrf,
-    "q117_dsir_selection" -> q117DsirSelection)
+    "q117_dsir_selection" -> q117DsirSelection,
+    "q135_inverted_index" -> q135InvertedIndex)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -552,6 +586,19 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
+    // Same sorted posting sets, same delta-gap serialization.
+    "q135_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |    FROM documents WHERE text IS NOT NULL)),
+        |p AS (SELECT t, CAST(count(*) AS BIGINT) AS df,
+        |    list_sort(list(doc_id)) AS ps
+        |  FROM tok GROUP BY t HAVING count(*) >= 20)
+        |SELECT t, df, ps[1] AS first_id,
+        |  array_to_string(list_transform(range(2, CAST(df AS INTEGER) + 1),
+        |    i -> CAST(ps[CAST(i AS INTEGER)] - ps[CAST(i AS INTEGER) - 1] AS VARCHAR)),
+        |    ',') AS gaps
+        |FROM p""".stripMargin,
     // Same hashed buckets (md5 idiom), same cross-multiplied integer-bit
     // log-ratio, same ≥ 0 selection — bit-identical by construction.
     "q117_dsir_selection" ->
