@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.streaming.EventStream
 
@@ -248,7 +249,39 @@ object WindowQueries {
         col("n_events"))
   }
 
+  /** q136: cohort retention — the product-analytics staple the funnel
+    * (q92) and sessionization (q27) family was missing: users cohort by
+    * their FIRST active ISO week, and each later week's activity counts
+    * against that cohort — the (cohort_week, week_offset) retention
+    * matrix, with the rate against the cohort's own size. Both engines
+    * truncate to Monday-start ISO weeks and difference in whole days/7,
+    * so every cell is exact integer arithmetic; the one division (rate)
+    * maps exact integers through a single IEEE op.
+    *
+    * Scale shape: distinct (user, week) pairs collapse map-side; the
+    * cohort assignment is a user-keyed min that rides the SAME exchange
+    * (window over user_id); the matrix aggregation and the cohort-size
+    * window run over ≤ cohorts×weeks rows. */
+  val q136CohortRetention: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorted = weekly
+      .withColumn("cohort_week", min(col("wk")).over(W.partitionBy(col("user_id"))))
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast(LongType))
+    cohorted.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        sum(when(col("week_offset") === 0L, col("n_active")))
+          .over(W.partitionBy(col("cohort_week"))))
+      .withColumn("retention",
+        col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_cohort_retention" -> q136CohortRetention,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -259,6 +292,24 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same ISO week truncation, same integer day/7 offsets, one division.
+    "q136_cohort_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM weekly),
+        |o AS (SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset
+        |  FROM c),
+        |g AS (SELECT cohort_week, week_offset, count(*) AS n_active
+        |  FROM o GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |  CAST(sum(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(sum(CASE WHEN week_offset = 0
+        |    THEN n_active END) OVER (PARTITION BY cohort_week) AS DOUBLE)
+        |    AS retention
+        |FROM g""".stripMargin,
     // Same islands construction: null-safe lag change flags, running-sum
     // version numbers, lead() effectivity close.
     "q101_scd2_history" ->
