@@ -163,6 +163,36 @@ object OlapQueries {
         col("num").cast(DoubleType) / col("den").cast(DoubleType))
   }
 
+  /** q137: per-segment OLS trend — closed-form simple linear regression
+    * (value on day-of-month, per event type) as a pure AGGREGATE:
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept from the slope.
+    * The moment sums are the whole trick at scale: they collapse map-side
+    * like any algebraic aggregate (regression over 100 TB is ONE scan +
+    * one 5-row reduction — no iterative solver, no collect), and they are
+    * kept EXACT — x is an integer, y goes through the q28 DECIMAL cast,
+    * so Σy/Σxy are order-independent decimals and the only doubles are
+    * the two final divisions, identical IEEE trees in both engines.
+    * This is the trend-per-segment analytic (is purchase value drifting
+    * up through the month?) the windowed family (q26/q68) summarizes but
+    * never fits. */
+  val q137TrendOls: Q = (s, d) => {
+    val m = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        dayofmonth(col("ts")).cast(LongType).as("x"),
+        col("value").cast(DecimalType(18, 6)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    m.select(col("event_type"), col("n"), slope.as("slope"),
+        ((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType)).as("intercept"))
+  }
+
   /** q77: the SQL set operators over two corpus snapshots — the daily-crawl
     * diff ("which docs appeared / disappeared / persisted") plus the
     * multiset (ALL) variants over a non-unique projection, assembled into
@@ -407,6 +437,7 @@ object OlapQueries {
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
     "q133_drift_chi2" -> q133DriftChi2,
+    "q137_trend_ols" -> q137TrendOls,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -547,6 +578,22 @@ object OlapQueries {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS total_tokens
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // Same exact decimal moments, same two IEEE division trees.
+    "q137_trend_ols" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(day(ts)) AS BIGINT) AS sx,
+        |    CAST(sum(day(ts) * day(ts)) AS BIGINT) AS sxx,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(value AS DECIMAL(18,6)) * day(ts)) AS sxy
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM m""".stripMargin,
     // Same cross-multiplied integers, same single division per row.
     "q133_drift_chi2" ->
       """WITH h AS (SELECT lang,
