@@ -230,11 +230,17 @@ object WindowQueries {
     * exchange of the events table, total (plan-pinned). No self-join —
     * the naive "join each row to its successor" formulation shuffles
     * twice and breaks on duplicate timestamps. */
-  val q101Scd2History: Q = (s, d) => {
+  val q101Scd2History: Q = (s, d) => scd2History(Tables.events(s, d))
+
+  /** The SCD2 history builder behind q101, reused by q138's point-in-time
+    * feature join — one definition of the versioned dimension, two
+    * consumers (the lakehouse discipline: features join the SAME history
+    * the audit reads, not a re-derivation that can drift). */
+  private[graft] def scd2History(events: org.apache.spark.sql.DataFrame) = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(wOrd) <=> col("event_type"), 0)
@@ -247,6 +253,39 @@ object WindowQueries {
       .select(col("user_id"), col("version"), col("state"), col("valid_from"),
         lead(col("valid_from"), 1).over(wVer).as("valid_to"),
         col("n_events"))
+  }
+
+  /** q138: point-in-time feature join — each purchase (the label row)
+    * looks up the user's SCD2 state as of ONE HOUR BEFORE the purchase,
+    * the feature-store assembly rule that prevents label leakage: a
+    * training feature must come from data strictly earlier than the
+    * label, so the lookup time is ts − 1h, not ts (joining at ts would
+    * trivially return the purchase's own run). Purchases whose lookup
+    * time predates the user's first version keep a NULL feature — the
+    * cold-start row a real training set must carry, hence LEFT join.
+    *
+    * Scale shape: the join is EQUI on user_id with the interval
+    * containment as a join-condition filter — Catalyst plans a keyed
+    * hash/merge join (plan-pinned: no nested loop, no cartesian), one
+    * exchange per side, and versions-per-user is bounded so the per-key
+    * verify cost is flat. SCD2 intervals are disjoint per user, so each
+    * label matches at most one version: output rows == purchases,
+    * which the oracle enforces exactly. */
+  val q138PitFeatures: Q = (s, d) => {
+    val hist = scd2History(Tables.events(s, d))
+      .select(col("user_id").as("h_user"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("asof_ts"))
+    obs.join(hist,
+        col("user_id") === col("h_user") &&
+          col("valid_from") <= col("asof_ts") &&
+          (col("valid_to").isNull || col("asof_ts") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
+        col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
   /** q136: cohort retention — the product-analytics staple the funnel
@@ -282,6 +321,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "q136_cohort_retention" -> q136CohortRetention,
+    "q138_pit_features" -> q138PitFeatures,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -330,6 +370,31 @@ object WindowQueries {
         |    AS valid_to,
         |  n_events
         |FROM r""".stripMargin,
+    // Same history CTE, same equi+containment LEFT join at ts − 1h.
+    "q138_pit_features" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |v AS (SELECT *, sum(chg) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |  FROM m),
+        |r AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS state, min(ts) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY 1, 2),
+        |hist AS (SELECT *, lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM r),
+        |obs AS (SELECT event_id, user_id, ts,
+        |    ts - INTERVAL 1 HOUR AS asof_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT o.event_id, o.user_id, o.ts, o.asof_ts,
+        |  h.version, h.state, h.valid_from, h.n_events
+        |FROM obs o LEFT JOIN hist h
+        |  ON o.user_id = h.user_id AND h.valid_from <= o.asof_ts
+        |  AND (h.valid_to IS NULL OR o.asof_ts < h.valid_to)""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

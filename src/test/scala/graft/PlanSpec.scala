@@ -165,6 +165,21 @@ class PlanSpec extends SparkSpec {
       """Arguments: hashpartitioning\(batch_id#\d+L?, corpus_id#\d+L?, jaccard#\d+""")
   }
 
+  test("q138 pit features: keyed join on user_id with containment as join condition — no nested loop") {
+    val p = plan(WindowQueries.q138PitFeatures(spark, sf))
+    // equi-key user_id carries the join; the SCD2 interval containment
+    // rides as the join CONDITION of that keyed join — a naive planner
+    // (or a formulation without the equi-key) degrades to a per-row
+    // nested loop that is quadratic per user at 100 TB
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Join type: LeftOuter")
+    (p should include).regex("""Join condition: \(\(valid_from#\d+ <= asof_ts#\d+\)""")
+    // the history side is built by q101's single user_id exchange; the
+    // observation side joins without any additional shuffle
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+  }
+
   test("q116 split leakage: split is computed in-scan, never joined from an assignment table") {
     val p = plan(DedupQueries.q116SplitLeakage(spark, sf))
     // the cross-split predicate lives INSIDE the pair machinery as pure
