@@ -417,6 +417,48 @@ object RetrievalQueries {
             .cast(org.apache.spark.sql.types.StringType))).as("gaps"))
   }
 
+  /** q139: phrase search over positional postings — the evaluation-side
+    * twin of q135's index BUILD: the corpus's top-[[PHRASE_TOP]] word
+    * bigrams become the "query log", and each phrase is answered the way
+    * a positional inverted index answers it — join the first term's
+    * postings (doc_id, pos) to the second term's postings at pos+1 —
+    * yielding per-phrase occurrence and document counts. Repeated
+    * occurrences inside one document make n_occ > n_docs, so the gate
+    * distinguishes positional evaluation from mere co-occurrence.
+    *
+    * Scale shape: the query terms broadcast-prune the token stream IN
+    * SCAN (BroadcastHashJoin against the ≤2·PHRASE_TOP term set), so the
+    * posting join shuffles only the pruned postings — the corpus never
+    * shuffles for evaluation. Query-log mining itself is one doc-keyed
+    * lead() window — in production the phrase list is an input (or a
+    * q115-style materialized artifact), and only the pruned-postings path
+    * pays per query. */
+  private val PHRASE_TOP = 5
+
+  val q139PhraseSearch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
+      .withColumnRenamed("col", "t")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val topq = toks
+      .withColumn("nx", lead(col("t"), 1).over(wDoc))
+      .filter(col("nx").isNotNull)
+      .groupBy(col("t"), col("nx")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"), col("nx"))
+      .limit(PHRASE_TOP)
+      .select(col("t").as("q1"), col("nx").as("q2"))
+    val terms = topq.select(explode(array(col("q1"), col("q2"))).as("qt")).distinct()
+    val p = toks.join(broadcast(terms), col("t") === col("qt")).drop("qt")
+    val hits = p.select(col("doc_id"), col("pos"), col("t").as("t1"))
+      .join(p.select(col("doc_id").as("d2"), col("pos").as("p2"), col("t").as("t2")),
+        col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .join(broadcast(topq), col("t1") === col("q1") && col("t2") === col("q2"), "left_semi")
+    hits.groupBy(concat_ws(" ", col("t1"), col("t2")).as("phrase"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** q97: TF-IDF top terms per document — the keyword-extraction classic
     * (and the feature behind sparse retrieval indexes and topic labels):
     * for every document, the [[TFIDF_TOP]] terms maximizing
@@ -516,7 +558,8 @@ object RetrievalQueries {
     "q97_tfidf_terms" -> q97TfidfTerms,
     "q98_hybrid_rrf" -> q98HybridRrf,
     "q117_dsir_selection" -> q117DsirSelection,
-    "q135_inverted_index" -> q135InvertedIndex)
+    "q135_inverted_index" -> q135InvertedIndex,
+    "q139_phrase_search" -> q139PhraseSearch)
 
   private def tfSql(t: String): String =
     s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
@@ -586,6 +629,22 @@ object RetrievalQueries {
         |FROM toks JOIN bits USING (t)
         |GROUP BY doc_id""".stripMargin,
     "q90_bpe_merges" -> bpeSql,
+    // Same 1-based adjacency, same total order on the query log, same
+    // per-phrase occurrence vs distinct-document counts.
+    "q139_phrase_search" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |    FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, i AS pos, w[CAST(i AS INTEGER)] AS t
+        |    FROM d, unnest(generate_series(1, len(w))) AS u(i)),
+        |big AS (SELECT a.t AS t1, b.t AS t2, a.doc_id
+        |    FROM toks a JOIN toks b
+        |      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |topq AS (SELECT t1, t2, count(*) AS n FROM big GROUP BY 1, 2
+        |    ORDER BY n DESC, t1, t2 LIMIT 5)
+        |SELECT t1 || ' ' || t2 AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs
+        |FROM big b JOIN topq USING (t1, t2) GROUP BY 1""".stripMargin,
     // Same sorted posting sets, same delta-gap serialization.
     "q135_inverted_index" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t FROM (

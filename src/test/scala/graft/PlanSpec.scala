@@ -180,6 +180,19 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
   }
 
+  test("q139 phrase search: query terms broadcast-prune the postings; phrase filter is a broadcast semi") {
+    val p = plan(RetrievalQueries.q139PhraseSearch(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the ≤2·top term set builds the broadcast side of the in-scan prune,
+    // and the top-phrase filter arrives as a broadcast LEFT SEMI — the
+    // token stream itself never shuffles for evaluation
+    p should include("BroadcastHashJoin LeftSemi BuildRight")
+    p should include("BroadcastHashJoin Inner BuildRight")
+    // query-log mining is TakeOrdered (k phrases), never a global sort
+    p should include("TakeOrderedAndProject")
+  }
+
   test("q116 split leakage: split is computed in-scan, never joined from an assignment table") {
     val p = plan(DedupQueries.q116SplitLeakage(spark, sf))
     // the cross-split predicate lives INSIDE the pair machinery as pure
