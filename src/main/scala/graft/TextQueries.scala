@@ -13,6 +13,11 @@ import graft.operators.{Pii, TextOps, Urls}
   * cost is O(text length) inside the scan task, which is the only shape that
   * survives 100 TB.
   */
+/** A candidate point for q140's skyline: one document's two selection
+  * criteria. Top-level so the product encoder needs no outer instance. */
+final case class SkyPoint(doc_id: Long, lang: String,
+    quality_score: Double, n_tokens: Long)
+
 object TextQueries {
   import Queries.Q
 
@@ -485,6 +490,77 @@ object TextQueries {
         (col("quality_score") >= col("t")).as("kept"))
   }
 
+  /** q140: Pareto-frontier (skyline) selection — per language, the documents
+    * no other document of that language beats on BOTH curation criteria at
+    * once (higher quality AND more tokens, strictly better in at least
+    * one): the multi-criteria selection that replaces a weighted scalar
+    * score when the weights are unknown — the frontier is every
+    * best-possible trade-off, and threshold queries (q54/q65) pick FROM it.
+    * Equal-criteria ties are incomparable, so tied documents all stay.
+    *
+    * Scale shape — the two-stage distributed skyline: (1) a per-partition
+    * block-nested-loop prune inside mapPartitions (the imperative
+    * altitude: a running per-lang frontier, O(frontier) per row, emitted
+    * at partition end) cuts candidates from |docs| to ~|local frontiers|
+    * with ZERO shuffle — a point dominated locally is dominated globally,
+    * and dominance is transitive, so the prune is lossless; (2) the exact
+    * resolve runs only on the pruned union: collapse to distinct
+    * (lang, quality) with the per-quality max token count, one per-lang
+    * window over DISTINCT quality values (rows-frame-safe because
+    * grouping made the order key unique; cm = best token count at any
+    * STRICTLY higher quality), and a keyed join back onto candidates:
+    * kept ⇔ n == mx (no same-quality point strictly longer) AND
+    * cm < n (nothing strictly better on both axes). The window runs over
+    * frontier-sized data, never the corpus — the single-partition-window
+    * trap this formulation exists to avoid.
+    *
+    * Determinism: quality is the shared bit-identical [[qualityScore]]
+    * tree, token counts are exact integers, and the skyline of a SET is
+    * order-free — partitioning cannot change the result (the q74/q100
+    * invariance discipline; the oracle is the quadratic NOT EXISTS
+    * dominance definition itself). */
+  val q140ParetoFrontier: Q = (s, d) => paretoFrontier(Tables.documents(s, d))
+
+  /** The skyline builder behind q140, on any (doc_id, lang, text) frame —
+    * the OperationalSpec feeds it re-partitioned copies of the same set to
+    * prove the local prune is slice-invariant. */
+  private[graft] def paretoFrontier(docs: org.apache.spark.sql.DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pts = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality_score"),
+        size(TextOps.words(col("text"))).cast(LongType).as("n_tokens"))
+      .as[SkyPoint]
+    def dominates(a: SkyPoint, b: SkyPoint): Boolean =
+      a.quality_score >= b.quality_score && a.n_tokens >= b.n_tokens &&
+        (a.quality_score > b.quality_score || a.n_tokens > b.n_tokens)
+    val cand = pts.mapPartitions { it =>
+      val front = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[SkyPoint]]
+      it.foreach { p =>
+        val f = front.getOrElseUpdate(p.lang,
+          scala.collection.mutable.ArrayBuffer.empty[SkyPoint])
+        if (!f.exists(dominates(_, p))) {
+          val kept = f.filterNot(dominates(p, _)); kept += p
+          front(p.lang) = kept
+        }
+      }
+      front.valuesIterator.flatten
+    }.toDF()
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("lang")).orderBy(col("quality_score").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val g = cand.groupBy(col("lang"), col("quality_score"))
+      .agg(max(col("n_tokens")).as("mx"))
+      .withColumn("cm", max(col("mx")).over(w))
+    cand.join(g, Seq("lang", "quality_score"))
+      .filter(col("n_tokens") === col("mx") &&
+        (col("cm").isNull || col("cm") < col("n_tokens")))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("n_tokens"))
+  }
+
   /** q75: character-class entropy — the classic "does this look like prose
     * or like noise/markup/minified junk" curation signal: Shannon entropy
     * over a FIXED six-class character alphabet (lower, upper, digit, space,
@@ -618,6 +694,7 @@ object TextQueries {
     "q114_vocab_coverage" -> q114VocabCoverage,
     "q54_quality_cutoff" -> q54QualityCutoff,
     "q65_quality_cutoff_exact" -> q65QualityCutoffExact,
+    "q140_pareto_frontier" -> q140ParetoFrontier,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
     "q17_token_count" -> q17TokenCount,
@@ -746,6 +823,25 @@ object TextQueries {
          |  FROM ord, p)
          |SELECT doc_id, lang, q AS quality_score, q >= th.t AS kept
          |FROM s, th""".stripMargin,
+    // The dominance DEFINITION itself (quadratic NOT EXISTS) over the same
+    // bit-identical score — the distributed prune must reproduce it exactly.
+    "q140_pareto_frontier" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, lang,
+         |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS quality_score,
+         |    CAST(len(w) AS BIGINT) AS n_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, quality_score, n_tokens FROM s p
+         |WHERE NOT EXISTS (SELECT 1 FROM s o
+         |  WHERE o.lang = p.lang
+         |    AND o.quality_score >= p.quality_score
+         |    AND o.n_tokens >= p.n_tokens
+         |    AND (o.quality_score > p.quality_score
+         |         OR o.n_tokens > p.n_tokens))""".stripMargin,
     // Identical deterministic PII planting (same doc_id arithmetic), then
     // the same RE2/Java-compatible patterns: counts before redaction,
     // redaction in the same fixed order (email -> ip -> phone).

@@ -12,7 +12,8 @@ package graft
   * dilution guarantee (q119), and the retained-version store's
   * byte-identity / retention / no-op-republish contract (q120), and the
   * forget-delete's containment / no-op / emptied-partition contract (q127),
-  * and the zone map's real-skipping guarantee (q128). These assert the semantics the
+  * and the zone map's real-skipping guarantee (q128), and the skyline's
+  * partitioning invariance (q140). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -22,6 +23,22 @@ package graft
 class OperationalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("q140: the skyline is invariant to input partitioning — the BNL prune is lossless at any split") {
+    import org.apache.spark.sql.functions._
+    // the local prune runs per-partition, so a dominance mistake would
+    // show up as a partition-count-dependent frontier; the skyline of a
+    // SET must not care how the set is sliced
+    val base = TextQueries.q140ParetoFrontier(spark, sf)
+      .orderBy(col("lang"), col("doc_id")).collect().toSeq
+    base.nonEmpty shouldBe true
+    Seq(1, 3, 17).foreach { n =>
+      val alt = TextQueries
+        .paretoFrontier(Tables.documents(spark, sf).repartition(n))
+        .orderBy(col("lang"), col("doc_id")).collect().toSeq
+      withClue(s"parallelism $n: ") { alt shouldBe base }
+    }
+  }
 
   test("q119: the salt spreads every key's probe rows near-evenly over all 8 reducer cells") {
     import org.apache.spark.sql.functions._
