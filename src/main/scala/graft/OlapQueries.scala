@@ -406,6 +406,64 @@ object OlapQueries {
       .drop("o_orderdate")
   }
 
+  /** The q141 state-machine SQL, shared VERBATIM between the Spark query
+    * and the DuckDB oracle (only the events table name differs): one
+    * definition of the transition function, zero drift risk. */
+  private def dfaSql(eventsTable: String): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS step,
+       |    event_type
+       |  FROM $eventsTable),
+       |walk AS (
+       |  SELECT user_id, 0 AS step, 'start' AS state
+       |  FROM (SELECT DISTINCT user_id FROM $eventsTable) u
+       |  UNION ALL
+       |  SELECT s.user_id, s.step, CASE
+       |      WHEN w.state = 'converted' THEN 'converted'
+       |      WHEN s.event_type = 'purchase' THEN 'converted'
+       |      WHEN s.event_type = 'error' THEN 'churn_risk'
+       |      WHEN s.event_type = 'click' THEN 'engaged'
+       |      WHEN s.event_type = 'view' THEN
+       |        CASE WHEN w.state = 'engaged' THEN 'engaged'
+       |             ELSE 'browsing' END
+       |      WHEN s.event_type = 'signup' THEN
+       |        CASE WHEN w.state = 'start' THEN 'browsing'
+       |             ELSE w.state END
+       |      ELSE w.state END AS state
+       |  FROM walk w JOIN seq s
+       |    ON s.user_id = w.user_id AND s.step = w.step + 1
+       |  WHERE w.step < 8)
+       |SELECT user_id, step AS steps, state AS final_state
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY user_id ORDER BY step DESC) AS rn
+       |      FROM walk) z
+       |WHERE rn = 1""".stripMargin
+
+  /** q141: recursive CTE — the declarative twin of the hand-looped
+    * iteration family (q44's label propagation and q89's PageRank drive
+    * the loop from Scala; this one hands the fixed-point to the ENGINE
+    * via WITH RECURSIVE … UNION ALL, Spark 4's UnionLoop operator): each
+    * user's event chain is walked in order through an engagement DFA
+    * (start/browsing/engaged/converted-absorbing/churn_risk), and the
+    * state after the first 8 transitions comes back per user. A DFA fold
+    * is order-dependent and non-associative — the one sequence shape
+    * plain windowed SQL cannot express without recursion (or a UDAF),
+    * which is exactly the surface this query pins down.
+    *
+    * Scale shape: linear recursion — each of the 8 iterations is ONE
+    * keyed join of the |users|-row frontier against the step-indexed
+    * chain on (user_id, step), never a self-cross of walk; the UNION ALL
+    * frontier stays |users| rows per level because the chain is
+    * functional (out-degree 1 by row_number construction), so the working
+    * set never explodes. The step cap bounds recursion depth far below
+    * Spark's recursion level limit. */
+  val q141RecursiveDfa: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("graft_q141_events")
+    s.sql(dfaSql("graft_q141_events"))
+  }
+
   /** q96: correlated-subquery decorrelation — EXISTS, NOT EXISTS, and two
     * correlated scalar aggregates in one query, written exactly as a SQL
     * user would write them. The engine credential is what Catalyst does
@@ -438,6 +496,7 @@ object OlapQueries {
     "q130_join_cardinality" -> q130JoinCardinality,
     "q133_drift_chi2" -> q133DriftChi2,
     "q137_trend_ols" -> q137TrendOls,
+    "q141_recursive_dfa" -> q141RecursiveDfa,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -578,6 +637,8 @@ object OlapQueries {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS total_tokens
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // LITERALLY the same SQL text — one transition function, two engines.
+    "q141_recursive_dfa" -> dfaSql("events"),
     // Same exact decimal moments, same two IEEE division trees.
     "q137_trend_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
