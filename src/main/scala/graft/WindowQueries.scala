@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.streaming.EventStream
 
@@ -288,6 +288,63 @@ object WindowQueries {
         col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
+  /** q142: position-based (U-shaped) multi-touch attribution — every
+    * purchase distributes 10,000 basis points of conversion credit over
+    * the user's clicks in the preceding [[ATTR_DAYS]]-day lookback: 40%
+    * to the first touch, 40% to the last, the middle 20% floor-divided
+    * across interior touches with the integer REMAINDER going to the last
+    * touch (the deterministic tie rule; a lone touch takes all 10,000,
+    * a 2-touch path gives the last 6,000). Credit is INTEGER bps end to
+    * end — the marketing-analytics classic, made hash-exact, aggregated
+    * per acquisition channel (the props.k JSON field mod 4, re-exercising
+    * scan-time path extraction on the join's build side).
+    *
+    * Scale shape: q62's bin-blocking, pointed backwards — purchases probe
+    * (bin, bin−1) where bin width == the lookback, so candidates come
+    * from an EQUI-join on (user, bin) with exact recall by construction,
+    * never an inequality nested loop. Position ranking is one window
+    * keyed by purchase over touch-count-bounded groups; the channel
+    * rollup collapses map-side to four rows. */
+  private val ATTR_DAYS = 4L
+  private val ATTR_MS = ATTR_DAYS * 86400000L
+
+  val q142Attribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        floor(unix_millis(col("ts")) / ATTR_MS).as("b"))
+      .select(col("pid"), col("user_id"), col("pts"),
+        explode(array(col("b"), col("b") - 1)).as("bin"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts").as("cts"),
+        element_at(array(lit("search"), lit("social"), lit("email"),
+          lit("direct")),
+          (pmod(get_json_object(col("props"), "$.k").cast(LongType), lit(4L))
+            + 1).cast(IntegerType)).as("channel"),
+        floor(unix_millis(col("ts")) / ATTR_MS).as("bin"))
+    val touches = p.join(c, col("user_id") === col("cu") && p("bin") === c("bin"))
+      .filter(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $ATTR_DAYS DAY"))
+    val wp = Window.partitionBy(col("pid"))
+    val wo = wp.orderBy(col("cts"), col("cid"))
+    val mid = when(col("n") > 2, expr("2000 div (n - 2)")).otherwise(0L)
+      .cast(LongType)
+    val scored = touches
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("pos", row_number().over(wo))
+      .withColumn("credit_bps",
+        when(col("n") === 1, 10000L)
+          .when(col("pos") === 1, 4000L)
+          .when(col("pos") === col("n"),
+            lit(4000L) + lit(2000L) - (col("n") - 2) * mid)
+          .otherwise(mid))
+    scored.groupBy(col("channel"))
+      .agg(sum(col("credit_bps")).as("total_bps"),
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"))
+  }
+
   /** q136: cohort retention — the product-analytics staple the funnel
     * (q92) and sessionization (q27) family was missing: users cohort by
     * their FIRST active ISO week, and each later week's activity counts
@@ -322,6 +379,7 @@ object WindowQueries {
   val queries: Map[String, Q] = Map(
     "q136_cohort_retention" -> q136CohortRetention,
     "q138_pit_features" -> q138PitFeatures,
+    "q142_attribution" -> q142Attribution,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -395,6 +453,34 @@ object WindowQueries {
         |FROM obs o LEFT JOIN hist h
         |  ON o.user_id = h.user_id AND h.valid_from <= o.asof_ts
         |  AND (h.valid_to IS NULL OR o.asof_ts < h.valid_to)""".stripMargin,
+    // Same integer bps schedule: 4000/4000 endpoints, floor-divided middle
+    // pot, remainder to the last touch; the lookback as a direct
+    // inequality join (DuckDB's planner handles the small scale).
+    "q142_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+        |    FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, ts AS cts,
+        |    ['search', 'social', 'email', 'direct']
+        |      [CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+        |        AS INTEGER) + 1] AS channel
+        |    FROM events WHERE event_type = 'click'),
+        |t AS (SELECT pid, cid, channel, cts,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS pos
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE cts < pts AND cts >= pts - INTERVAL 4 DAY),
+        |s AS (SELECT pid, channel,
+        |    CASE WHEN n = 1 THEN 10000
+        |         WHEN pos = 1 THEN 4000
+        |         WHEN pos = n THEN 4000 + 2000 - (n - 2) *
+        |           (CASE WHEN n > 2 THEN 2000 // (n - 2) ELSE 0 END)
+        |         ELSE (CASE WHEN n > 2 THEN 2000 // (n - 2) ELSE 0 END)
+        |         END AS credit_bps
+        |  FROM t)
+        |SELECT channel, CAST(sum(credit_bps) AS BIGINT) AS total_bps,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+        |FROM s GROUP BY channel""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -40,6 +40,27 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q142: attribution conserves credit — every attributed purchase's bps sum to exactly 10000") {
+    import org.apache.spark.sql.functions._
+    // the U-shaped schedule floor-divides the middle pot; the remainder
+    // rule must hand back every lost basis point, for every touch count
+    val bps = WindowQueries.q142Attribution(spark, "/root/testdata/sf0.01")
+      .agg(sum(col("total_bps"))).collect()(0).getLong(0)
+    // independent count of attributable purchases: a plain semi-join on
+    // the raw inequality (no bins, no windows) — if the bin blocking
+    // dropped or duplicated a candidate, 10000× this count won't match
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val attributable = p.join(c,
+        col("user_id") === col("cu") && col("cts") < col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 4 DAY"), "left_semi")
+      .count()
+    bps shouldBe attributable * 10000L
+  }
+
   test("q119: the salt spreads every key's probe rows near-evenly over all 8 reducer cells") {
     import org.apache.spark.sql.functions._
     // sf0.01 for statistical stability: ~250 rows per (key, salt) cell
