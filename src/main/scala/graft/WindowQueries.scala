@@ -288,6 +288,43 @@ object WindowQueries {
         col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
+  /** q143: rolling active users — DAU and trailing-7-day WAU per day, with
+    * the DAU/WAU stickiness ratio (the engagement dashboard staple). The
+    * subtlety this query exists for: COUNT(DISTINCT) cannot ride a window
+    * frame (Spark rejects it, and sketch approximations change the
+    * answer), so the rolling distinct is computed by COVERAGE REVERSAL —
+    * each (user, active_day) marks the user active for report days
+    * day..day+6 (a 7-value generator), and WAU(day) is a plain distinct
+    * count of covering users per report day. Exact, associative,
+    * windowless. Report days are clamped to the observed span so no
+    * phantom trailing days appear, and the report is per ACTIVE day — a
+    * day with zero events anchors no DAU row (densifying the calendar is
+    * q61's gap-fill job, composable upstream).
+    *
+    * Scale shape: raw events collapse to distinct (user, day) FIRST
+    * (map-side partial distinct) — the 7× generator fan-out runs on the
+    * collapsed |users|·|days| table, never on raw events; both distincts
+    * are keyed aggregations with partial combiners. The one division is
+    * exact-integer → IEEE double, gate-stable. */
+  val q143RollingActives: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val span = ud.agg(max(col("day")).as("last_day"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAY"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("last_day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+          .as("stickiness"))
+  }
+
   /** q142: position-based (U-shaped) multi-touch attribution — every
     * purchase distributes 10,000 basis points of conversion credit over
     * the user's clicks in the preceding [[ATTR_DAYS]]-day lookback: 40%
@@ -380,6 +417,7 @@ object WindowQueries {
     "q136_cohort_retention" -> q136CohortRetention,
     "q138_pit_features" -> q138PitFeatures,
     "q142_attribution" -> q142Attribution,
+    "q143_rolling_actives" -> q143RollingActives,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -481,6 +519,23 @@ object WindowQueries {
         |  CAST(count(*) AS BIGINT) AS n_touches,
         |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
         |FROM s GROUP BY channel""".stripMargin,
+    // Same coverage reversal: day..day+6 generator per active (user, day),
+    // clamped to the observed span, same exact distinct counts.
+    "q143_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', ts) AS day FROM events),
+        |last AS (SELECT max(day) AS last_day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM ud GROUP BY 1),
+        |cov AS (SELECT user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY)) AS day
+        |  FROM ud),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |  FROM cov, last WHERE day <= last_day GROUP BY 1)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
