@@ -464,6 +464,33 @@ object OlapQueries {
     s.sql(dfaSql("graft_q141_events"))
   }
 
+  /** The q144 LATERAL SQL, shared verbatim with the oracle (table name is
+    * the only difference) — one definition of the correlated top-k. */
+  private def lateralSql(docsTable: String): String =
+    s"""SELECT g.lang, g.source, t.doc_id, t.n_chars
+       |FROM (SELECT DISTINCT lang, source FROM $docsTable) g,
+       |LATERAL (SELECT doc_id, n_chars FROM $docsTable d
+       |         WHERE d.lang = g.lang AND d.source = g.source
+       |         ORDER BY n_chars DESC, doc_id LIMIT 3) t""".stripMargin
+
+  /** q144: LATERAL correlated top-k — "for every (lang, source) cell, its
+    * 3 longest documents", written the way a SQL user writes it: a
+    * correlated LATERAL subquery with ORDER BY … LIMIT. The engine
+    * credential is what Catalyst does underneath (q96's discipline,
+    * extended to lateral correlation): the per-group subquery is
+    * DECORRELATED into one window rank over the corpus whose LIMIT pushes
+    * into WindowGroupLimit (a per-partition top-k heap — never a global
+    * sort, never a per-group re-execution of the subquery), joined back
+    * to the group list on the correlation keys. Plan-pinned; a naive
+    * engine runs |groups| separate scans.
+    *
+    * Determinism: ties break on doc_id inside the subquery's ORDER BY, so
+    * the 3 rows per cell are a total order — exact integers throughout. */
+  val q144LateralTopk: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("graft_q144_docs")
+    s.sql(lateralSql("graft_q144_docs"))
+  }
+
   /** q96: correlated-subquery decorrelation — EXISTS, NOT EXISTS, and two
     * correlated scalar aggregates in one query, written exactly as a SQL
     * user would write them. The engine credential is what Catalyst does
@@ -497,6 +524,7 @@ object OlapQueries {
     "q133_drift_chi2" -> q133DriftChi2,
     "q137_trend_ols" -> q137TrendOls,
     "q141_recursive_dfa" -> q141RecursiveDfa,
+    "q144_lateral_topk" -> q144LateralTopk,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -639,6 +667,8 @@ object OlapQueries {
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     // LITERALLY the same SQL text — one transition function, two engines.
     "q141_recursive_dfa" -> dfaSql("events"),
+    // Literally the same LATERAL text over the shared documents view.
+    "q144_lateral_topk" -> lateralSql("documents"),
     // Same exact decimal moments, same two IEEE division trees.
     "q137_trend_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,

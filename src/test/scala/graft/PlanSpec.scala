@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q144 lateral top-k: the correlated LIMIT decorrelates to WindowGroupLimit, never per-group re-execution") {
+    val p = plan(OlapQueries.q144LateralTopk(spark, sf))
+    // the LATERAL ORDER BY … LIMIT must become a rank window whose limit
+    // pushes into WindowGroupLimit (per-partition top-k heap), joined back
+    // on the correlation keys — not a nested loop over groups, not a
+    // global sort of the corpus
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    """\(\d+\) Sort\b""".r.findAllMatchIn(p).length should be <= 2 // rank-window local sorts only
+  }
+
   test("q116 split leakage: split is computed in-scan, never joined from an assignment table") {
     val p = plan(DedupQueries.q116SplitLeakage(spark, sf))
     // the cross-split predicate lives INSIDE the pair machinery as pure
