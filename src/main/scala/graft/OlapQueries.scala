@@ -411,11 +411,13 @@ object OlapQueries {
     * definition of the transition function, zero drift risk. */
   private def dfaSql(eventsTable: String): String =
     s"""WITH RECURSIVE seq AS (
-       |  SELECT user_id,
-       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-       |      AS step,
-       |    event_type
-       |  FROM $eventsTable),
+       |  SELECT * FROM (
+       |    SELECT user_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |        AS step,
+       |      event_type
+       |    FROM $eventsTable) x
+       |  WHERE step <= 8),
        |walk AS (
        |  SELECT user_id, 0 AS step, 'start' AS state
        |  FROM (SELECT DISTINCT user_id FROM $eventsTable) u
@@ -458,7 +460,10 @@ object OlapQueries {
     * frontier stays |users| rows per level because the chain is
     * functional (out-degree 1 by row_number construction), so the working
     * set never explodes. The step cap bounds recursion depth far below
-    * Spark's recursion level limit. */
+    * Spark's recursion level limit, and the chain table is pruned to the
+    * walked steps UP FRONT — UnionLoop replays the chain subtree each
+    * iteration, so every row past the cap would be re-ranked 8× for
+    * nothing (measured ~2× on the bench before the prune). */
   val q141RecursiveDfa: Q = (s, d) => {
     Tables.events(s, d).createOrReplaceTempView("graft_q141_events")
     s.sql(dfaSql("graft_q141_events"))
