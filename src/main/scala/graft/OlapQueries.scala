@@ -340,6 +340,53 @@ object OlapQueries {
     * of exact boundaries; the 100 TB swap is approx_percentile/HLL per
     * column in one pass (q40's sketch pattern) with this exact form as the
     * anchor, and the same unpivot feeding both. */
+  /** q145: functional-dependency profiling — does lhs DETERMINE rhs? The
+    * data-profiling primitive behind key discovery, normalization advice,
+    * and "can I safely join on this" checks (q91 profiles columns in
+    * isolation; q125 checks DECLARED constraints; this measures the
+    * inter-column structure itself). Eight candidate FDs across four
+    * tables — keys that must hold and plausible-but-false dependencies
+    * that must fail, so both verdict branches are exercised by data.
+    * Per FD: distinct determinant groups, groups violating (more than
+    * one distinct dependent), the worst group's dependent count, and the
+    * holds verdict — all exact integers.
+    *
+    * Scale shape: each FD is one keyed distinct-count aggregation that
+    * collapses map-side plus a 1-row summary; the eight independent
+    * subtrees union concurrently (no cross-FD dependency). At 100 TB the
+    * per-FD cost is one shuffle of the determinant's cardinality — the
+    * same shape Spark's own ANALYZE uses per column, and FD candidates
+    * over the same determinant would share the exchange. */
+  private val FD_CANDS: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "event_id", "user_id"),
+    ("events", "user_id", "event_type"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("lineitem", "l_orderkey", "l_partkey"),
+    ("customer", "c_custkey", "c_nationkey"))
+
+  val q145FdProfile: Q = (s, d) => {
+    def table(n: String) = n match {
+      case "orders" => Tables.orders(s, d)
+      case "events" => Tables.events(s, d)
+      case "documents" => Tables.documents(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "customer" => Tables.customer(s, d)
+    }
+    FD_CANDS.map { case (t, lhs, rhs) =>
+      table(t).groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_viol"),
+          max(col("k")).as("max_rhs"))
+        .select(lit(t).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("n_viol"), col("max_rhs"),
+          (col("n_viol") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
   private val STAT_COLS = Seq(
     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_partkey", "l_suppkey")
@@ -530,6 +577,7 @@ object OlapQueries {
     "q137_trend_ols" -> q137TrendOls,
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
+    "q145_fd_profile" -> q145FdProfile,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -674,6 +722,17 @@ object OlapQueries {
     "q141_recursive_dfa" -> dfaSql("events"),
     // Literally the same LATERAL text over the shared documents view.
     "q144_lateral_topk" -> lateralSql("documents"),
+    // Same per-FD distinct-count aggregation, unioned in any order (the
+    // gate sorts rows); verdicts are exact-integer comparisons.
+    "q145_fd_profile" -> FD_CANDS.map { case (t, lhs, rhs) =>
+      s"""SELECT '$t' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+         |  CAST(max(k) AS BIGINT) AS max_rhs,
+         |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS k
+         |      FROM $t GROUP BY $lhs) g""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // Same exact decimal moments, same two IEEE division trees.
     "q137_trend_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
