@@ -340,6 +340,35 @@ object OlapQueries {
     * of exact boundaries; the 100 TB swap is approx_percentile/HLL per
     * column in one pass (q40's sketch pattern) with this exact form as the
     * anchor, and the same unpivot feeding both. */
+  /** q146: nested document assembly — the denormalize-for-serving export:
+    * each order ships with its line items NESTED as a sorted array of
+    * structs, serialized to JSON (the shape a search index, document
+    * store, or API cache ingests; the exact inverse of warehouse
+    * normalization, and the output side of q60's JSON input scan). The
+    * array sorts lexicographically by (line number, part key) before
+    * serializing, so the JSON TEXT is deterministic and both engines
+    * emit byte-identical bytes — the string itself is the gated artifact,
+    * proving serialization (field order, number formatting, separators)
+    * matches, not just the data.
+    *
+    * Scale shape: one keyed join + one collect_list aggregation sharing
+    * the o_orderkey exchange; group size is bounded by the schema
+    * (line items per order), so the nesting can never skew a reducer —
+    * the property that makes nested export safe at 100 TB where an
+    * unbounded collect_list would OOM. */
+  val q146NestedExport: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("ln"),
+        col("l_partkey").cast(LongType).as("pk"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        to_json(array_sort(collect_list(struct(col("ln"), col("pk")))))
+          .as("items_json"))
+  }
+
   /** q145: functional-dependency profiling — does lhs DETERMINE rhs? The
     * data-profiling primitive behind key discovery, normalization advice,
     * and "can I safely join on this" checks (q91 profiles columns in
@@ -578,6 +607,7 @@ object OlapQueries {
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
+    "q146_nested_export" -> q146NestedExport,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -733,6 +763,16 @@ object OlapQueries {
          |FROM (SELECT $lhs, count(DISTINCT $rhs) AS k
          |      FROM $t GROUP BY $lhs) g""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // Same lexicographic struct sort, same JSON text — the serialized
+    // bytes themselves are compared, not a parsed re-interpretation.
+    "q146_nested_export" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  to_json(list_sort(list(struct_pack(
+        |    ln := CAST(l_linenumber AS BIGINT),
+        |    pk := CAST(l_partkey AS BIGINT))))) AS items_json
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     // Same exact decimal moments, same two IEEE division trees.
     "q137_trend_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
