@@ -288,6 +288,36 @@ object WindowQueries {
         col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
+  /** q147: event transition matrix — the first-order Markov "user journey"
+    * summary: for every (current, next) event-type pair across each
+    * user's time-ordered stream, the transition count, the conditional
+    * probability P(next | current), and the destination's rank within its
+    * source row (count desc, name tiebreak — a total order). The DFA walk
+    * (q141) asks "where does one user END UP"; this asks "how does the
+    * whole population MOVE" — the product-analytics dual, and the
+    * empirical transition kernel a journey simulator or next-step
+    * recommender consumes. Counts are exact integers; each probability is
+    * one integer÷integer IEEE division, identical in both engines.
+    *
+    * Scale shape: the lead() window and nothing else touches raw events —
+    * ONE user-keyed exchange, then the (cur, nxt) aggregation collapses
+    * map-side to at most |types|² rows; the per-source totals and ranks
+    * run over that tiny matrix. */
+  val q147TransitionMatrix: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(wu))
+      .filter(col("nxt").isNotNull)
+    val m = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("cur"))
+    m.withColumn("src_total", sum(col("n")).over(wSrc))
+      .withColumn("p", col("n").cast(DoubleType) / col("src_total").cast(DoubleType))
+      .withColumn("dst_rank",
+        row_number().over(wSrc.orderBy(col("n").desc, col("nxt"))))
+  }
+
   /** q143: rolling active users — DAU and trailing-7-day WAU per day, with
     * the DAU/WAU stickiness ratio (the engagement dashboard staple). The
     * subtlety this query exists for: COUNT(DISTINCT) cannot ride a window
@@ -418,6 +448,7 @@ object WindowQueries {
     "q138_pit_features" -> q138PitFeatures,
     "q142_attribution" -> q142Attribution,
     "q143_rolling_actives" -> q143RollingActives,
+    "q147_transition_matrix" -> q147TransitionMatrix,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -536,6 +567,22 @@ object WindowQueries {
         |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // Same lead pairing, same integer counts, one division, same total
+    // order on destination rank.
+    "q147_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |m AS (SELECT cur, nxt, count(*) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS src_total,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY cur ORDER BY n DESC, nxt) AS INTEGER) AS dst_rank
+        |FROM m""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
