@@ -288,6 +288,51 @@ object WindowQueries {
         col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
+  /** q148: rolling robust anomaly detection — per event type, each day's
+    * count against the trailing-7-day MEDIAN and MAD (median absolute
+    * deviation), flagging days where |count − median| > 3·MAD: the
+    * monitoring rule that survives the exact situation that breaks
+    * mean/stddev z-scores — a spike poisons the mean it is judged
+    * against, but barely moves the median (q88 applies robust cuts
+    * globally; this is the per-series ROLLING form a pipeline health
+    * monitor runs). MAD needs the window's raw members twice (median,
+    * then median of deviations), which no frame-window aggregate
+    * expresses — so q143's coverage reversal supplies the members: each
+    * (type, day, count) covers report days day..day+6, and both medians
+    * are plain keyed aggregations over the covered rows.
+    *
+    * Determinism: daily counts are exact integers, medians of small
+    * integers (and of their half-integer deviations) are exact binary
+    * fractions in BOTH engines' interpolation forms, and the 3·MAD
+    * comparison is single-op IEEE — hash-stable without quantization.
+    *
+    * Scale shape: raw events collapse to the |types|×|days| daily series
+    * FIRST (one map-side-combined aggregation); the 7× fan-out, both
+    * median aggregations, and the final join all ride the tiny series,
+    * never the corpus. */
+  val q148RollingMad: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(max(col("day")).as("last_day"))
+    val cov = daily
+      .select(col("event_type"), col("cnt").as("m_cnt"),
+        explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAY"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("last_day"))
+    val med = cov.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_win"),
+        percentile(col("m_cnt"), lit(0.5)).as("med"))
+    val mad = cov.join(med, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"), col("n_win"), col("med"))
+      .agg(percentile(abs(col("m_cnt") - col("med")), lit(0.5)).as("mad"))
+    daily.join(mad, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("cnt"), col("n_win"),
+        col("med"), col("mad"),
+        (abs(col("cnt") - col("med")) > lit(3.0) * col("mad")).as("anomaly"))
+  }
+
   /** q147: event transition matrix — the first-order Markov "user journey"
     * summary: for every (current, next) event-type pair across each
     * user's time-ordered stream, the transition count, the conditional
@@ -449,6 +494,7 @@ object WindowQueries {
     "q142_attribution" -> q142Attribution,
     "q143_rolling_actives" -> q143RollingActives,
     "q147_transition_matrix" -> q147TransitionMatrix,
+    "q148_rolling_mad" -> q148RollingMad,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -583,6 +629,26 @@ object WindowQueries {
         |  CAST(row_number() OVER
         |    (PARTITION BY cur ORDER BY n DESC, nxt) AS INTEGER) AS dst_rank
         |FROM m""".stripMargin,
+    // Same coverage reversal, same exact small-integer medians, same
+    // single-op 3·MAD comparison.
+    "q148_rolling_mad" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |last AS (SELECT max(day) AS last_day FROM daily),
+        |cov AS (SELECT event_type, cnt AS m_cnt,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY)) AS day
+        |  FROM daily),
+        |cv AS (SELECT * FROM cov, last WHERE day <= last_day),
+        |med AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_win,
+        |    median(m_cnt) AS med FROM cv GROUP BY 1, 2),
+        |mad AS (SELECT c.event_type, c.day, m.n_win, m.med,
+        |    median(abs(c.m_cnt - m.med)) AS mad
+        |  FROM cv c JOIN med m USING (event_type, day)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d.event_type, d.day, d.cnt, a.n_win, a.med, a.mad,
+        |  abs(d.cnt - a.med) > 3.0 * a.mad AS anomaly
+        |FROM daily d JOIN mad a USING (event_type, day)""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
