@@ -349,18 +349,26 @@ object WindowQueries {
     * map-side to at most |types|² rows; the per-source totals and ranks
     * run over that tiny matrix. */
   val q147TransitionMatrix: Q = (s, d) => {
-    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("cur"))
-      .withColumn("nxt", lead(col("cur"), 1).over(wu))
-      .filter(col("nxt").isNotNull)
-    val m = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val m = transitionPairs(Tables.events(s, d))
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
     val wSrc = Window.partitionBy(col("cur"))
     m.withColumn("src_total", sum(col("n")).over(wSrc))
       .withColumn("p", col("n").cast(DoubleType) / col("src_total").cast(DoubleType))
       .withColumn("dst_rank",
         row_number().over(wSrc.orderBy(col("n").desc, col("nxt"))))
+  }
+
+  /** The consecutive-pair builder behind q147, on any
+    * (user_id, event_id, ts, event_type) frame — the streaming twin
+    * ([[EventStream.transitionStream]]) must emit exactly these pairs on
+    * the same feed, which StreamingSpec asserts. */
+  private[graft] def transitionPairs(events: org.apache.spark.sql.DataFrame) = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(wu))
+      .filter(col("nxt").isNotNull)
   }
 
   /** q143: rolling active users — DAU and trailing-7-day WAU per day, with

@@ -217,6 +217,75 @@ object EventStream {
       }
   }
 
+  final case class TransEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                              event_type: String)
+  final case class TransState(prevTs: Long, prevId: Long, prevType: String,
+                              hasPrev: Boolean,
+                              buffer: List[(Long, Long, String)], lastTs: Long)
+  final case class Transition(user_id: Long, cur: String, nxt: String)
+
+  /** Streaming twin of q147's transition pairing: consecutive-event
+    * (cur, nxt) pairs per user over an out-of-order feed. Same
+    * retroactivity trap as the funnel — a late-arriving EARLIER event
+    * belongs BETWEEN two already-seen events and changes both their
+    * pairs — and the same watermark fix: events fold in event-time order
+    * only once the watermark finalizes them, with the last finalized
+    * event carried as the pairing anchor for the next fold. State per
+    * user = one anchor + the young events the watermark can still
+    * reorder; idle users evict on event-time timeout after emitting
+    * their buffered tail. Downstream, the q147 matrix aggregation runs
+    * unchanged on the emitted pairs. */
+  def transitionStream(events: Dataset[TransEvent],
+                       horizonMinutes: Int): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60000L
+
+    // fold finalized events in (ts, event_id) order through the anchor
+    def fold(s: TransState, ready: Seq[(Long, Long, String)]):
+        (TransState, List[(String, String)]) = {
+      var prev = if (s.hasPrev) Some((s.prevTs, s.prevId, s.prevType)) else None
+      val out = List.newBuilder[(String, String)]
+      ready.sortBy(e => (e._1, e._2)).foreach { e =>
+        prev.foreach(p => out += ((p._3, e._3)))
+        prev = Some(e)
+      }
+      val ns = prev match {
+        case Some((t, i, ty)) => s.copy(prevTs = t, prevId = i,
+          prevType = ty, hasPrev = true)
+        case None => s
+      }
+      (ns, out.result())
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // watermark passed everything — the buffered tail is final
+            val (_, pairs) = fold(s, s.buffer)
+            pairs.map(p => Transition(user, p._1, p._2)).iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val s = state.getOption.getOrElse(
+              TransState(0L, 0L, "", hasPrev = false, Nil, 0L))
+            val incoming = rows
+              .map(e => (e.ts.getTime, e.event_id, e.event_type))
+              .filter(_._1 > wm).toList
+            val (ready, young) = (s.buffer ++ incoming).partition(_._1 <= wm)
+            val (ns, pairs) = fold(s, ready)
+            val last = (s.lastTs +: incoming.map(_._1)).max
+            state.update(ns.copy(buffer = young, lastTs = last))
+            state.setTimeoutTimestamp(last + horizonMs)
+            pairs.map(p => Transition(user, p._1, p._2)).iterator
+          }
+      }
+  }
+
   /** Streaming twin of q73's incremental dedup: a document feed probed per
     * micro-batch against the STATIC corpus fingerprint layout (shingle sets
     * + LSH band keys) via `foreachBatch` — each micro-batch runs the batch

@@ -480,4 +480,52 @@ class StreamingSpec extends SparkSpec {
       (en._2, en._3) shouldBe ((3L, 6L))
     } finally q.stop()
   }
+
+  test("streaming transition pairs equal the batch pairing (q147) on an out-of-order, chopped feed") {
+    import graft.streaming.EventStream.{TransEvent, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TransEvent]
+    val q = EventStream.transitionStream(input.toDS(), horizonMinutes = 30)
+      .writeStream.format("memory").queryName("trans_twin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val feed = Seq(
+        // user 1: plain ordered chain view → click → purchase
+        TransEvent(1L, 10L, ts(0), "view"), TransEvent(1L, 11L, ts(5), "click"),
+        TransEvent(1L, 12L, ts(9), "purchase"),
+        // user 2: the retroactivity trap — the click at t3 arrives LAST
+        // but belongs BETWEEN view(t1) and purchase(t8): the naive
+        // arrival-order pairing emits (view,purchase); the correct answer
+        // is (view,click),(click,purchase)
+        TransEvent(2L, 20L, ts(1), "view"), TransEvent(2L, 21L, ts(8), "purchase"),
+        TransEvent(2L, 22L, ts(3), "click"),
+        // user 3: same-instant events — event_id breaks the tie
+        TransEvent(3L, 31L, ts(4), "view"), TransEvent(3L, 30L, ts(4), "click"),
+        // user 4: a single event pairs with nothing
+        TransEvent(4L, 40L, ts(2), "error"))
+      // chop mid-user AND deliver user 2's gating click in a later batch
+      val (b1, b2) = feed.splitAt(5)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // sentinels advance the watermark past everything → tails emit
+      input.addData(TransEvent(99L, 990L, ts(10000), "view")); q.processAllAvailable()
+      input.addData(TransEvent(98L, 980L, ts(30000), "view")); q.processAllAvailable()
+
+      val streamed = spark.table("trans_twin_test").as[Transition]
+        .collect().filter(_.user_id < 90L)
+        .map(t => (t.user_id, t.cur, t.nxt)).sorted.toSeq
+      val batch = WindowQueries.transitionPairs(
+          feed.map(e => (e.user_id, e.event_id, e.ts, e.event_type))
+            .toDF("user_id", "event_id", "ts", "event_type"))
+        .select(col("user_id"), col("cur"), col("nxt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+      streamed shouldBe batch
+      // the traps, pinned explicitly
+      streamed.filter(_._1 == 2L) shouldBe Seq(
+        (2L, "click", "purchase"), (2L, "view", "click"))
+      streamed.filter(_._1 == 3L) shouldBe Seq((3L, "click", "view")) // id 30 first
+      streamed.exists(_._1 == 4L) shouldBe false
+    } finally q.stop()
+  }
 }
