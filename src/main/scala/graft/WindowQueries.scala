@@ -288,6 +288,49 @@ object WindowQueries {
         col("version"), col("state"), col("valid_from"), col("n_events"))
   }
 
+  /** q149: session path matrix — q27's gap sessionization extended with
+    * WHAT each session did: the (entry, exit) event-type matrix with
+    * session counts, bounce counts (single-event sessions), total events,
+    * and the bounce rate per cell — the "how do visits start and end"
+    * summary behind landing-page and exit-page analysis (q147 is the
+    * event-level kernel; this is the session-level shape). Entry/exit
+    * resolve by (ts, event_id) within the session — a total order, so
+    * ties cannot flake the gate; the one division maps exact integers
+    * through a single IEEE op.
+    *
+    * Scale shape: the session numbering (lag + running sum), the
+    * entry/exit windows, and the per-session collapse ALL share the
+    * user_id hash clustering (subset rule) — ONE exchange of the events
+    * table; the (entry, exit) matrix aggregation then runs map-side on
+    * ≤ |types|² cells. */
+  val q149SessionPaths: Q = (s, d) => {
+    val gapMs = 30L * 60000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wSess = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("entry", first(col("event_type")).over(wSess))
+      .withColumn("exit", last(col("event_type")).over(
+        wSess.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("user_id"), col("session_no"), col("entry"), col("exit"))
+      .agg(count(lit(1)).as("n_events"))
+    sessions.groupBy(col("entry"), col("exit"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("total_events"))
+      .withColumn("bounce_rate",
+        col("n_bounce").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+  }
+
   /** q148: rolling robust anomaly detection — per event type, each day's
     * count against the trailing-7-day MEDIAN and MAD (median absolute
     * deviation), flagging days where |count − median| > 3·MAD: the
@@ -503,6 +546,7 @@ object WindowQueries {
     "q143_rolling_actives" -> q143RollingActives,
     "q147_transition_matrix" -> q147TransitionMatrix,
     "q148_rolling_mad" -> q148RollingMad,
+    "q149_session_paths" -> q149SessionPaths,
     "q101_scd2_history" -> q101Scd2History,
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
@@ -657,6 +701,39 @@ object WindowQueries {
         |SELECT d.event_type, d.day, d.cnt, a.n_win, a.med, a.mad,
         |  abs(d.cnt - a.med) > 3.0 * a.mad AS anomaly
         |FROM daily d JOIN mad a USING (event_type, day)""".stripMargin,
+    // Same gaps-and-islands numbering, same (ts, event_id) total order
+    // for entry/exit, same integer cells and single division.
+    "q149_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |n AS (SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM e),
+        |x AS (SELECT *,
+        |    first_value(event_type) OVER w AS entry,
+        |    last_value(event_type) OVER
+        |      (PARTITION BY user_id, session_no ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS exit
+        |  FROM n
+        |  WINDOW w AS (PARTITION BY user_id, session_no
+        |               ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, session_no, entry, exit,
+        |    count(*) AS n_events
+        |  FROM x GROUP BY 1, 2, 3, 4)
+        |SELECT entry, exit, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     // Same staged "min strictly after the previous stage" formulation.
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
