@@ -340,6 +340,56 @@ object OlapQueries {
     * of exact boundaries; the 100 TB swap is approx_percentile/HLL per
     * column in one pass (q40's sketch pattern) with this exact form as the
     * anchor, and the same unpivot feeding both. */
+  /** q150: A/B experiment analysis — users deterministically assigned to
+    * control/treatment by the hash60 parity of their salted user_id (the
+    * replayable bucketing every experimentation platform runs; the same
+    * md5 idiom as q116's train/val/test split), conversion = the user
+    * purchased within 24 hours of their first activity (a windowed
+    * definition — "ever purchased" saturates to 100% on a month of
+    * activity, collapsing the pooled variance to zero and the z to a
+    * division by zero), compared with the two-proportion pooled z-statistic
+    * z = (p1−p0) / sqrt(p̂(1−p̂)(1/n0+1/n1)) and the |z| > 1.96 verdict.
+    * Because arms come from a hash (an A/A test in truth — the events
+    * feed has no real treatment), the EXPECTED verdict is "not
+    * significant", and the gate pins the full statistic exactly: counts
+    * are integers, and the z tree is division/multiply/sqrt primitives
+    * in one declared order, bit-identical in both engines (the
+    * qualityScore discipline — no transcendentals, no quantization
+    * needed).
+    *
+    * Scale shape: one scan collapsing to per-user conversion flags
+    * (map-side partial max), one 2-row arm aggregation, one 1-row
+    * summary — regression-free statistics over any corpus size. */
+  val q150AbTest: Q = (s, d) => {
+    import graft.operators.TextOps
+    val ua = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tp") < col("t0") + expr("INTERVAL 24 HOUR"), 1L)
+          .otherwise(0L).as("converted"))
+      .withColumn("arm", pmod(TextOps.hash60(concat(lit("ab:"),
+        col("user_id").cast(org.apache.spark.sql.types.StringType))), lit(2L)))
+    val w = ua.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      .agg(max(when(col("arm") === 0L, col("n"))).as("n0"),
+        max(when(col("arm") === 0L, col("c"))).as("c0"),
+        max(when(col("arm") === 1L, col("n"))).as("n1"),
+        max(when(col("arm") === 1L, col("c"))).as("c1"))
+    val p0 = col("c0").cast(DoubleType) / col("n0").cast(DoubleType)
+    val p1 = col("c1").cast(DoubleType) / col("n1").cast(DoubleType)
+    val pp = (col("c0") + col("c1")).cast(DoubleType) /
+      (col("n0") + col("n1")).cast(DoubleType)
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0").cast(DoubleType) +
+        lit(1.0) / col("n1").cast(DoubleType)))
+    val z = (p1 - p0) / se
+    w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      p0.as("p0"), p1.as("p1"), (p1 - p0).as("lift"), z.as("z"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
   /** q146: nested document assembly — the denormalize-for-serving export:
     * each order ships with its line items NESTED as a sorted array of
     * structs, serialized to JSON (the shape a search index, document
@@ -608,6 +658,7 @@ object OlapQueries {
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
     "q146_nested_export" -> q146NestedExport,
+    "q150_ab_test" -> q150AbTest,
     "q59_pivot"        -> q59Pivot,
     "q60_json_extract" -> q60JsonExtract,
     "q71_cube"         -> q71Cube,
@@ -773,6 +824,43 @@ object OlapQueries {
         |    pk := CAST(l_partkey AS BIGINT))))) AS items_json
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+    // Same md5-parity arms, same integer counts, same single-order
+    // division/multiply/sqrt z tree.
+    "q150_ab_test" ->
+      """WITH m AS (SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY user_id),
+        |ua AS (SELECT user_id,
+        |    CASE WHEN tp < t0 + INTERVAL 24 HOUR THEN 1 ELSE 0 END
+        |      AS converted,
+        |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS UBIGINT) % 2 AS arm
+        |  FROM m),
+        |per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS c FROM ua GROUP BY arm),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c0,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c1
+        |  FROM per)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS lift,
+        |  ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |   / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z,
+        |  abs(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |   / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))
+        |    > 1.96 AS significant
+        |FROM w""".stripMargin,
     // Same exact decimal moments, same two IEEE division trees.
     "q137_trend_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
