@@ -18,6 +18,16 @@ object DedupQueries {
   val q21DedupMinhashLsh: Q = (s, d) =>
     Dedup.minhashLshPairs(Tables.documentsDistributed(s, d), threshold = 0.8)
 
+  /** q151: exact Jaccard similarity self-join via prefix filtering — the
+    * LOSSLESS global answer at τ = 3/5 over the same 3-shingle sets q21
+    * approximates at 0.8 and q22 block-bounds at 0.6. The oracle is the
+    * unconstrained all-pairs exact Jaccard, so hash-green means the
+    * AllPairs prefix rule missed nothing (see
+    * [[graft.operators.Dedup.prefixFilterPairs]] for the proof and the
+    * posting-list scale argument). */
+  val q151PrefixJoin: Q = (s, d) =>
+    Dedup.prefixFilterPairs(Tables.documentsDistributed(s, d), 3, 5)
+
   val q22DedupNgramBlocked: Q = (s, d) =>
     Dedup.blockedNgramPairs(Tables.documentsDistributed(s, d), threshold = 0.6)
 
@@ -444,7 +454,8 @@ object DedupQueries {
     "q44_dedup_clusters"      -> q44DedupClusters,
     "q47_boilerplate"         -> q47Boilerplate,
     "q73_incremental_dedup"   -> q73IncrementalDedup,
-    "q78_incremental_refresh" -> q78IncrementalRefresh)
+    "q78_incremental_refresh" -> q78IncrementalRefresh,
+    "q151_prefix_join"        -> q151PrefixJoin)
 
   /** Shared oracle CTE: distinct k-word shingle sets per doc. */
   private def shinglesCte(k: Int): String = {
@@ -515,6 +526,12 @@ object DedupQueries {
     "q21_dedup_minhash_lsh" ->
       s"""WITH ${shinglesCte(3)},
          |${jaccardSelect("", 0.8)}""".stripMargin,
+    // All-pairs exact Jaccard at 0.6, UNCONSTRAINED — hash-green proves the
+    // prefix filter's recall is exactly 100% (the losslessness theorem, on
+    // real data).
+    "q151_prefix_join" ->
+      s"""WITH ${shinglesCte(3)},
+         |${jaccardSelect("", 0.6)}""".stripMargin,
     // q21's pairs replayed; negatives replayed as the same salted-md5
     // arithmetic over the dense id space, same drop-on-collision rule.
     "q124_contrastive_pairs" ->

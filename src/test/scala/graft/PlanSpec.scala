@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
       include("BroadcastHashJoin"))
   }
 
+  test("q151 prefix-filter join: candidates come from a keyed posting join — no all-pairs product") {
+    val p = plan(DedupQueries.q151PrefixJoin(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the candidate self-join is keyed on the prefix shingle hash (broadcast
+    // at toy scale, shuffled-keyed beyond the threshold — never a product)
+    p should (include("SortMergeJoin") or include("ShuffledHashJoin") or
+      include("BroadcastHashJoin"))
+    // the global (df, hash) ordering is consumed per-doc inside hash-keyed
+    // windows — it never materializes as a range-partitioned global sort
+    p should not include "rangepartitioning"
+  }
+
   test("native cosine_sim participates in codegen (no eval fallback marker)") {
     val df = SimilarityQueries.q23CosineTopK(spark, sf)
     plan(df) should include("cosine_sim")
