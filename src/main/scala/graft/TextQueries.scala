@@ -434,6 +434,77 @@ object TextQueries {
       .select(col("lang"), col("token"), col("cnt"), col("rank"))
   }
 
+  /** q152: Count-Min sketch n-gram frequency estimation — the point-query
+    * frequency sketch completing the sketch family (q40's HLL answers
+    * cardinality, q54's t-digest answers quantiles, q113's MinHash answers
+    * similarity), over the corpus's 3-word shingle multiset (16k+ distinct
+    * trigrams at sf0.01 — the heavy-hitter n-gram counting job CMS exists
+    * for; the 31-word vocabulary itself would never collide): d = [[CM_D]]
+    * hash rows × w = [[CM_W]] counters, estimate of any trigram's
+    * frequency = min over rows of its bucket's counter — never an
+    * underestimate (every occurrence lands in the counter), with the
+    * classic P[err > εN] ≤ (1/e)^d bound at w = e/ε.
+    *
+    * Unlike HLL and t-digest — whose engine-internal state forces rows-only
+    * gates — every CMS counter is a plain integer SUM over md5-derived
+    * buckets, so the sketch STATE ITSELF is bit-replayable in DuckDB and
+    * this sketch query is hash-green: the gate pins the top-[[CM_TOPK]]
+    * trigrams' true counts, their sketch estimates, and the exact
+    * overcount of each.
+    *
+    * Counters are built from the collapsed trigram-count table — the
+    * combine-then-sketch optimization, bit-identical to per-occurrence
+    * ingestion because counter addition is associative and commutative
+    * over the same multiset. The true counts exist here as the gate's
+    * comparator; a production pipeline keeps only the 1,024 counters.
+    *
+    * Scale shape: one trigram-keyed count exchange (shared by comparator
+    * and sketch), then the counter build collapses map-side to ≤ d·w rows per
+    * task — the sketch is O(d·w) memory at ANY corpus size, merges by
+    * element-wise addition across partitions/days/sources (the property
+    * [[graft.SketchSpec]] pins), and the 1,024-row counter table
+    * broadcasts for estimate lookups. No driver-side data, no second
+    * corpus pass. */
+  private[graft] val CM_D = 4
+  private[graft] val CM_W = 256
+  private val CM_TOPK = 50
+
+  /** The d×w counter table (r, b, c) for a word-count table — public to the
+    * spec so mergeability (half-corpus counters sum to whole-corpus
+    * counters) is testable against the same code the query runs. */
+  private[graft] def cmCounters(wc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    wc.select(col("true_cnt"),
+        explode(sequence(lit(0), lit(CM_D - 1))).as("r"), col("word"))
+      .select(col("r"),
+        pmod(TextOps.hash60(concat(lit("cm"), col("r").cast("string"),
+          lit(":"), col("word"))), lit(CM_W.toLong)).as("b"),
+        col("true_cnt"))
+      .groupBy(col("r"), col("b")).agg(sum(col("true_cnt")).as("c"))
+
+  /** The sketched items: ALL 3-word shingle occurrences (multiset — no
+    * array_distinct, unlike the dedup family's set semantics: frequency
+    * needs every occurrence), collapsed to (word, true_cnt). */
+  private[graft] def cmItemCounts(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(TextOps.words(col("text")).as("w"))
+      .select(explode(transform(
+        sequence(lit(0), greatest(size(col("w")) - 3, lit(0))),
+        i => concat_ws(" ", slice(col("w"), i + lit(1), lit(3))))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("true_cnt"))
+
+  val q152CountminFreq: Q = (s, d) => {
+    val wc = cmItemCounts(Tables.documents(s, d))
+    val counters = cmCounters(wc)
+    wc.orderBy(col("true_cnt").desc, col("word")).limit(CM_TOPK)
+      .select(col("word"), col("true_cnt"),
+        explode(sequence(lit(0), lit(CM_D - 1))).as("r"))
+      .withColumn("b", pmod(TextOps.hash60(concat(lit("cm"),
+        col("r").cast("string"), lit(":"), col("word"))), lit(CM_W.toLong)))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("word"), col("true_cnt"))
+      .agg(min(col("c")).as("cm_est"))
+      .withColumn("overcount", col("cm_est") - col("true_cnt"))
+  }
+
   /** q54: adaptive quality cutoff — "drop the worst quartile" without a
     * fixed constant: the global p25 of the shared quality score broadcasts
     * back as the per-row threshold (the q49 discipline: per-row decisions
@@ -694,6 +765,7 @@ object TextQueries {
     "q114_vocab_coverage" -> q114VocabCoverage,
     "q54_quality_cutoff" -> q54QualityCutoff,
     "q65_quality_cutoff_exact" -> q65QualityCutoffExact,
+    "q152_countmin_freq" -> q152CountminFreq,
     "q140_pareto_frontier" -> q140ParetoFrontier,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
@@ -712,6 +784,30 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Same md5-bucket arithmetic, same integer counter sums, same min-over-
+    // rows estimate — the sketch state replayed bit-for-bit.
+    "q152_countmin_freq" -> {
+      def bucket(r: String, w: String) =
+        s"CAST(CAST(('0x' || substr(md5('cm' || CAST($r AS VARCHAR) || ':' || $w), 1, 15)) AS UBIGINT) % $CM_W AS BIGINT)"
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |t AS (SELECT unnest(list_transform(
+         |    range(1, greatest(len(w) - 2, 1) + 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS word FROM w),
+         |wc AS (SELECT word, count(*) AS true_cnt FROM t GROUP BY 1),
+         |rr AS (SELECT unnest(range(0, $CM_D)) AS r),
+         |cnt AS (SELECT r, ${bucket("r", "word")} AS b,
+         |    CAST(sum(true_cnt) AS BIGINT) AS c
+         |  FROM wc, rr GROUP BY 1, 2),
+         |topk AS (SELECT word, true_cnt FROM wc
+         |  ORDER BY true_cnt DESC, word LIMIT $CM_TOPK),
+         |e AS (SELECT topk.word, topk.true_cnt, min(cnt.c) AS cm_est
+         |  FROM topk CROSS JOIN rr
+         |  JOIN cnt ON cnt.r = rr.r AND cnt.b = ${bucket("rr.r", "topk.word")}
+         |  GROUP BY 1, 2)
+         |SELECT word, true_cnt, cm_est, cm_est - true_cnt AS overcount
+         |FROM e""".stripMargin
+    },
     // Same class regexes, same fixed-order term sum, same literal ln(2),
     // same floor-to-micro-bits quantization (see the q75 scaladoc for why
     // the quantization exists: ln is not bit-portable across engines).

@@ -67,4 +67,30 @@ class SketchSpec extends SparkSpec {
         r.getBoolean(3) shouldBe exact(r.getLong(0)).getBoolean(3)
     }
   }
+
+  test("q152 Count-Min: estimates never underestimate; counters merge by element-wise addition") {
+    // Structural guarantee: every occurrence of a word lands in its bucket's
+    // counter, so min-over-rows can only overcount.
+    val out = TextQueries.q152CountminFreq(spark, sf).collect()
+    out should not be empty
+    out.foreach { r =>
+      r.getAs[Long]("cm_est") should be >= r.getAs[Long]("true_cnt")
+      r.getAs[Long]("overcount") shouldBe
+        r.getAs[Long]("cm_est") - r.getAs[Long]("true_cnt")
+    }
+
+    // Mergeability — the property that lets per-day/per-source sketches
+    // roll up without a corpus re-scan: counters over the whole corpus ==
+    // element-wise SUM of counters over any disjoint split.
+    val docs = Tables.documents(spark, sf)
+    def countersOf(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.cmCounters(TextQueries.cmItemCounts(df))
+    val whole = countersOf(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val halves = countersOf(docs.filter(col("doc_id") < 250))
+      .union(countersOf(docs.filter(col("doc_id") >= 250)))
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    halves shouldBe whole
+  }
 }
