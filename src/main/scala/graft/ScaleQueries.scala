@@ -168,6 +168,7 @@ object ScaleQueries {
     "q78_incremental_refresh" ->
       Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"),
     "q103_incremental_agg"  -> Seq("graft_lang_state"),
+    "q153_ivm_join"         -> Seq("graft_ivm_state"),
     "q115_wap_publish"      -> Seq("graft_docs_wap"),
     "q120_time_travel"      -> Seq("graft_docs_tt"))
 
@@ -402,6 +403,75 @@ object ScaleQueries {
           .as("avg_tokens"))
   }
 
+  /** q153: incremental maintenance of a JOIN view — the delta-join algebra
+    * Δ(O ⋈ L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL that differential-dataflow / DBSP
+    * systems are built on, here as the q103 pattern extended from
+    * aggregates to joins: q103's monoid state maintains a GROUP BY under
+    * new rows; this maintains the revenue-by-(priority, returnflag) view
+    * of orders ⋈ lineitem when BOTH base tables receive a batch, without
+    * recomputing the base join.
+    *
+    * Arms: rows split old/delta by the salted-md5 arithmetic (~10% of each
+    * table is "the new batch"), so all three delta terms are
+    * data-exercised (ΔO⋈ΔL — new orders whose new line items arrived in
+    * the same batch — matches ~1%). The base view over O₀ ⋈ L₀ is
+    * materialized ONCE as a write-once K-row state layout
+    * ([[Scale.writeOnce]], fingerprint-gated like q103); the returned
+    * steady-state plan reads those K rows and computes ONLY delta terms.
+    *
+    * Exactness: revenue takes the q28 DECIMAL discipline per row, so
+    * partial sums are associative and `state + Σ(delta terms)` is
+    * bit-equal to the oracle's from-scratch recompute — the whole gate: an
+    * IVM whose incremental answer drifts from recompute is worse than no
+    * IVM. The output also carries each group's delta contribution
+    * (delta_items / delta_revenue), replayed by the oracle via the same
+    * arm arithmetic.
+    *
+    * Scale shape: delta terms BROADCAST the delta side — ΔO⋈L₀ and O₀⋈ΔL
+    * build on Δ and STREAM the base scan with zero base-side exchange
+    * (plan-pinned: no SortMergeJoin anywhere in the steady-state plan); a
+    * batch too big to broadcast degrades to a keyed shuffle of batch plus
+    * matching base keys, never a base rebuild. View state is
+    * K = |priorities| × |returnflags| rows. Steady-state cost: O(base
+    * scan + batch) with zero base shuffles, vs O(base join) for
+    * recompute. */
+  val q153IvmJoin: Q = (s, d) => {
+    import graft.operators.TextOps
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      pmod(TextOps.hash60(concat(lit("ivmo:"),
+        col("o_orderkey").cast(StringType))), lit(10L)).as("o_arm"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(24, 6)).as("rev"),
+      pmod(TextOps.hash60(concat(lit("ivml:"),
+        col("l_orderkey").cast(StringType), lit(":"),
+        col("l_linenumber").cast(StringType))), lit(10L)).as("l_arm"))
+    def view(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
+    val oOld = o.filter(col("o_arm") =!= 0); val oNew = o.filter(col("o_arm") === 0)
+    val lOld = l.filter(col("l_arm") =!= 0); val lNew = l.filter(col("l_arm") === 0)
+    val stateDir = Scale.writeOnce(
+      view(oOld.join(lOld, col("o_orderkey") === col("l_orderkey"))),
+      s"graft_ivm_state_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/orders.parquet", s"$d/lineitem.parquet")
+        + "|arms=10")
+    val delta = view(
+      broadcast(oNew).join(lOld, col("o_orderkey") === col("l_orderkey"))
+        .unionByName(oOld.join(broadcast(lNew),
+          col("o_orderkey") === col("l_orderkey")))
+        .unionByName(broadcast(oNew).join(lNew,
+          col("o_orderkey") === col("l_orderkey"))))
+    s.read.parquet(stateDir).withColumn("is_delta", lit(false))
+      .unionByName(delta.withColumn("is_delta", lit(true)))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("n")).as("n_items"),
+        sum(col("r")).cast(DoubleType).as("revenue"),
+        sum(when(col("is_delta"), col("n")).otherwise(0L)).as("delta_items"),
+        coalesce(sum(when(col("is_delta"), col("r"))).cast(DoubleType),
+          lit(0.0)).as("delta_revenue"))
+  }
+
   /** q115: write-audit-publish promotion of the documents snapshot —
     * [[graft.operators.Scale.writeAuditPublish]] with the three audits a
     * fact publish always carries (non-empty, primary key unique, primary
@@ -428,6 +498,7 @@ object ScaleQueries {
   val queries: Map[String, Q] = Map(
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
+    "q153_ivm_join"     -> q153IvmJoin,
     "q28_salted_agg"    -> q28SaltedAgg,
     "q119_salted_join"  -> q119SaltedJoin,
     "q29_bucketed_join" -> q29BucketedJoin,
@@ -444,6 +515,28 @@ object ScaleQueries {
     // Identity: promotion machinery must be invisible to results.
     "q115_wap_publish" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // From-scratch recompute of the maintained view, same arm arithmetic
+    // for the delta attribution: state + delta terms must be bit-equal.
+    "q153_ivm_join" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(('0x' || substr(md5('ivmo:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) % 10 AS BIGINT) AS arm
+        |  FROM orders),
+        |l AS (SELECT l_orderkey, l_returnflag,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)) AS rev,
+        |    CAST(CAST(('0x' || substr(md5('ivml:' || CAST(l_orderkey AS VARCHAR)
+        |        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) % 10 AS BIGINT) AS arm
+        |  FROM lineitem),
+        |j AS (SELECT o.o_orderpriority, l.l_returnflag, l.rev,
+        |    (o.arm = 0 OR l.arm = 0) AS is_delta
+        |  FROM o JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue,
+        |  count(*) FILTER (WHERE is_delta) AS delta_items,
+        |  CAST(coalesce(sum(rev) FILTER (WHERE is_delta), 0) AS DOUBLE)
+        |    AS delta_revenue
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // Full recompute over corpus ∪ batch: the monoid-merge equivalence is
     // the thing under test.
     "q103_incremental_agg" ->

@@ -854,4 +854,16 @@ class PlanSpec extends SparkSpec {
     // batch agg + K-row merge agg — no corpus-sized exchange can exist
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
+
+  test("q153 IVM join: steady state reads K-row state; delta terms broadcast — base never sort-merge-joins") {
+    val p = plan(ScaleQueries.q153IvmJoin(spark, sf))
+    // the maintained view arrives as the materialized state layout
+    p should include("graft_ivm_state")
+    // every delta term builds on the broadcast batch side; the base scans
+    // stream into BroadcastHashJoins — a SortMergeJoin would mean a base
+    // table paid a join exchange in the steady state
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
 }
