@@ -13,6 +13,48 @@ import org.apache.spark.sql.types._
 object OlapQueries {
   import Queries.Q
 
+  /** q154: bitmap-index distinct counting — COUNT(DISTINCT user) per
+    * (event_type, period) computed as dense integer BITMAPS instead of a
+    * user-keyed distinct: each user owns bit (user_id mod 64) of word
+    * (user_id div 64); per group the words OR-merge (bit_or — an
+    * associative, commutative, idempotent aggregate that partial-aggregates
+    * map-side), and the distinct count is the sum of popcounts. This is
+    * the pattern behind roaring-bitmap OLAP engines (Druid, ClickHouse,
+    * Kylin): COUNT(DISTINCT) must move every (group, user) pair through
+    * the exchange exactly because counting isn't mergeable — bitmap words
+    * ARE mergeable, so up to 64 users collapse into one 8-byte row before
+    * the shuffle, re-aggregate across grains without re-scanning
+    * (OperationalSpec pins weekly = OR of dailies), and distribute over
+    * any partitioning.
+    *
+    * Both day and week grains come from ONE scan: the grain pair explodes
+    * in-row (generator, not a shuffle), so the single exchange carries
+    * (type, grain, period, word) partial masks. The oracle is the direct
+    * COUNT(DISTINCT) — the bitmap machinery must be invisible to results.
+    *
+    * Scale shape: exchange rows ≤ groups × ceil(|user space|/64), vs
+    * groups × |users| for expand-based distinct; the bitmap is exact (no
+    * HLL error bar) while staying mergeable like a sketch. Sparse user
+    * spaces cost one word per 64-id stride actually occupied (absent
+    * words are simply never emitted). */
+  val q154BitmapDistinct: Q = (s, d) => {
+    val masks = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        explode(array(
+          struct(lit("day").as("grain"),
+            to_date(date_trunc("day", col("ts"))).as("period")),
+          struct(lit("week").as("grain"),
+            to_date(date_trunc("week", col("ts"))).as("period")))).as("g"))
+      .select(col("event_type"), col("g.grain").as("grain"),
+        col("g.period").as("period"),
+        shiftright(col("user_id"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("grain"), col("period"), col("word"))
+      .agg(expr("bit_or(m)").as("mask"))
+    masks.groupBy(col("event_type"), col("grain"), col("period"))
+      .agg(sum(bit_count(col("mask")).cast(LongType)).as("n_users"))
+  }
+
   /** q58: ROLLUP over (lang, source) — per-(lang,source), per-lang, and
     * grand-total document counts and token sums in one pass. Spark plans
     * a rollup as an Expand (one replicated row per grouping set) feeding
@@ -649,6 +691,7 @@ object OlapQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q154_bitmap_distinct" -> q154BitmapDistinct,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -670,6 +713,17 @@ object OlapQueries {
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 
   val oracle: Map[String, String] = Map(
+    // The direct COUNT(DISTINCT): bitmap machinery must be invisible.
+    "q154_bitmap_distinct" ->
+      """WITH g AS (
+        |  SELECT event_type, 'day' AS grain,
+        |    CAST(date_trunc('day', ts) AS DATE) AS period, user_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'week', CAST(date_trunc('week', ts) AS DATE), user_id
+        |  FROM events)
+        |SELECT event_type, grain, period,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
     // Same salted md5 minima, same distinct-digest exact twin.
     "q113_corpus_signature" ->
       s"""WITH docs AS (SELECT lang, text,

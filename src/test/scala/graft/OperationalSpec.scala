@@ -517,4 +517,29 @@ class OperationalSpec extends SparkSpec {
       .filter(p => p.contains("__staging"))
     leftovers shouldBe empty
   }
+
+  test("q154: bitmap words re-aggregate — weekly masks are the OR of daily masks, counts exact") {
+    import org.apache.spark.sql.functions._
+    // the mergeability COUNT(DISTINCT) lacks: a coarser grain must be
+    // derivable from the finer grain's masks with no re-scan
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        shiftright(col("user_id"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("day"), col("word"))
+      .agg(expr("bit_or(m)").as("mask"))
+    val weeklyFromDaily = daily
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("period"),
+        col("word"))
+      .agg(expr("bit_or(mask)").as("mask"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(sum(bit_count(col("mask")).cast("long")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("period"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    weeklyFromDaily shouldBe direct
+    direct.nonEmpty shouldBe true
+  }
 }

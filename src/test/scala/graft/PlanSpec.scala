@@ -855,6 +855,18 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
   }
 
+  test("q154 bitmap distinct: the exchange carries partial OR-masks, never per-user rows") {
+    val p = plan(OlapQueries.q154BitmapDistinct(spark, sf))
+    // grain fan-out is an in-row generator; the distinct mechanism is the
+    // map-side-combined bit_or — not COUNT(DISTINCT)'s expand/exchange of
+    // (group, user) pairs
+    p should include("Generate")
+    p should include("explode(array(struct(grain, day")
+    p should include("partial_bit_or")
+    p should not include "Expand"
+    p should not include "distinct"
+  }
+
   test("q153 IVM join: steady state reads K-row state; delta terms broadcast — base never sort-merge-joins") {
     val p = plan(ScaleQueries.q153IvmJoin(spark, sf))
     // the maintained view arrives as the materialized state layout
