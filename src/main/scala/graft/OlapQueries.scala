@@ -55,6 +55,56 @@ object OlapQueries {
       .agg(sum(bit_count(col("mask")).cast(LongType)).as("n_users"))
   }
 
+  /** q155: frequent-pair co-occurrence mining (the association-rule /
+    * market-basket classic): which part pairs appear in the same order
+    * more often than chance, with exact support counts and the lift ratio
+    * lift(a,b) = N·sup(ab) / (sup(a)·sup(b)). The apriori prune sits in
+    * the plan where it belongs — only items with support ≥ [[FP_MINSUP]]
+    * enter pair generation (lossless: a frequent pair's items are each at
+    * least as frequent; on data where item frequency is zipf-skewed this
+    * is THE cost lever, and the unconstrained oracle proves it drops no
+    * qualifying pair).
+    *
+    * Scale shape: pair generation is IN-ROW — each basket's sorted item
+    * array expands to its a<b pairs via nested `transform` (a generator,
+    * not a self-join), so candidate volume is Σ(basket²) bounded by the
+    * schema's basket size (≤ 13 parts here), never |items|². The
+    * canonical anti-pattern this query exists to displace is the
+    * (order, part) ⋈ (order, part) self-join, whose skew on a hot order
+    * is quadratic and unsalvageable. One distinct exchange, one basket
+    * collect, one pair-count exchange; the item-support table broadcasts
+    * for the lift join; N arrives as a 1-row broadcast. */
+  private val FP_MINSUP = 2
+
+  val q155FrequentPairs: Q = (s, d) => {
+    val t = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val isup = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val freq = isup.filter(col("s") >= FP_MINSUP)
+    val baskets = t.join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .groupBy(col("pr.pa").as("part_a"), col("pr.pb").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= FP_MINSUP)
+    val n = t.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(isup.select(col("l_partkey").as("part_a"),
+        col("s").as("support_a"))), "part_a")
+      .join(broadcast(isup.select(col("l_partkey").as("part_b"),
+        col("s").as("support_b"))), "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("support_a"), col("support_b"),
+        ((col("support") * col("n_orders")).cast(DoubleType) /
+          (col("support_a") * col("support_b")).cast(DoubleType)).as("lift"))
+  }
+
   /** q58: ROLLUP over (lang, source) — per-(lang,source), per-lang, and
     * grand-total document counts and token sums in one pass. Spark plans
     * a rollup as an Expand (one replicated row per grouping set) feeding
@@ -692,6 +742,7 @@ object OlapQueries {
 
   val queries: Map[String, Q] = Map(
     "q154_bitmap_distinct" -> q154BitmapDistinct,
+    "q155_frequent_pairs" -> q155FrequentPairs,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -724,6 +775,25 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Unconstrained pair self-join at the same threshold: the in-row pair
+    // generator and the apriori prune must drop no qualifying pair.
+    "q155_frequent_pairs" ->
+      s"""WITH t AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM t),
+         |isup AS (SELECT l_partkey, count(*) AS s FROM t GROUP BY 1),
+         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s
+         |  FROM t a JOIN t b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |f AS (SELECT * FROM p WHERE s >= $FP_MINSUP)
+         |SELECT pa AS part_a, pb AS part_b, f.s AS support,
+         |  ia.s AS support_a, ib.s AS support_b,
+         |  CAST(f.s * n_orders AS DOUBLE)
+         |    / CAST(ia.s * ib.s AS DOUBLE) AS lift
+         |FROM f
+         |JOIN isup ia ON ia.l_partkey = pa
+         |JOIN isup ib ON ib.l_partkey = pb
+         |CROSS JOIN n""".stripMargin,
     // Same salted md5 minima, same distinct-digest exact twin.
     "q113_corpus_signature" ->
       s"""WITH docs AS (SELECT lang, text,

@@ -867,6 +867,16 @@ class PlanSpec extends SparkSpec {
     p should not include "distinct"
   }
 
+  test("q155 frequent pairs: pair generation is an in-row generator — never a basket self-join") {
+    val p = plan(OlapQueries.q155FrequentPairs(spark, sf))
+    // the displaced anti-pattern is (order,part) ⋈ (order,part): any
+    // sort-merge join here would mean the self-join shape crept back
+    p should include("Generate")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // the lift joins on broadcast isup
+  }
+
   test("q153 IVM join: steady state reads K-row state; delta terms broadcast — base never sort-merge-joins") {
     val p = plan(ScaleQueries.q153IvmJoin(spark, sf))
     // the maintained view arrives as the materialized state layout
