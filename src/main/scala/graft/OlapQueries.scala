@@ -105,6 +105,54 @@ object OlapQueries {
           (col("support_a") * col("support_b")).cast(DoubleType)).as("lift"))
   }
 
+  /** q156: metric delta attribution — the "why did revenue move"
+    * decomposition every metrics platform runs when a headline number
+    * shifts between two periods: total 2000-vs-1999 revenue delta broken
+    * down by (priority, status) slice, each slice carrying its exact
+    * delta, its share of the total move, and its rank by |delta|. The
+    * conservation property that makes the report trustworthy — slice
+    * deltas sum EXACTLY to the headline delta — holds because every
+    * revenue goes through the q28 DECIMAL discipline: subtraction and the
+    * grand total are exact, so no slice's contribution can evaporate into
+    * float error (the doubles in the output are final casts; the one IEEE
+    * division is the share ratio, and ranking orders by the DECIMAL delta,
+    * never the double).
+    *
+    * Scale shape: one scan with the two-period date range pushed to
+    * parquet (plan-pinned), both periods' (count, revenue) conditional
+    * aggregates in ONE pass (no per-period scans, no self-join of
+    * snapshots), a slice-cardinality aggregate, a 1-row total broadcast,
+    * and a K-row rank window — everything after the first aggregation is
+    * constant-size in the corpus. */
+  val q156DeltaAttribution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val zero = lit(0).cast(DecimalType(24, 6))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("2001-01-01").cast(TimestampType))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast(DecimalType(24, 6)).as("rev"))
+    val sl = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") === 2000, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("yr") === 1999, col("rev")).otherwise(zero)).as("r1"),
+        sum(when(col("yr") === 2000, col("rev")).otherwise(zero)).as("r2"))
+      .withColumn("delta_dec", col("r2") - col("r1"))
+    val tot = sl.agg(sum(col("delta_dec")).as("tot_dec"))
+    sl.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("n1"), col("n2"),
+        col("r1").cast(DoubleType).as("rev1"),
+        col("r2").cast(DoubleType).as("rev2"),
+        col("delta_dec").cast(DoubleType).as("delta"),
+        (col("delta_dec").cast(DoubleType) /
+          col("tot_dec").cast(DoubleType)).as("share"),
+        row_number().over(Window.orderBy(abs(col("delta_dec")).desc,
+          col("o_orderpriority"), col("o_orderstatus"))).as("rnk"))
+  }
+
   /** q58: ROLLUP over (lang, source) — per-(lang,source), per-lang, and
     * grand-total document counts and token sums in one pass. Spark plans
     * a rollup as an Expand (one replicated row per grouping set) feeding
@@ -743,6 +791,7 @@ object OlapQueries {
   val queries: Map[String, Q] = Map(
     "q154_bitmap_distinct" -> q154BitmapDistinct,
     "q155_frequent_pairs" -> q155FrequentPairs,
+    "q156_delta_attribution" -> q156DeltaAttribution,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -775,6 +824,31 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Same decimal subtraction/total, same double casts, same decimal rank.
+    "q156_delta_attribution" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderstatus,
+        |    year(o_orderdate) AS yr,
+        |    CAST(o_totalprice AS DECIMAL(24,6)) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01'),
+        |sl AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(sum(CASE WHEN yr = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN yr = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN yr = 1999 THEN rev
+        |        ELSE CAST(0 AS DECIMAL(24,6)) END) AS r1,
+        |    sum(CASE WHEN yr = 2000 THEN rev
+        |        ELSE CAST(0 AS DECIMAL(24,6)) END) AS r2
+        |  FROM o GROUP BY 1, 2),
+        |d AS (SELECT *, r2 - r1 AS delta_dec FROM sl),
+        |t AS (SELECT sum(delta_dec) AS tot_dec FROM d)
+        |SELECT o_orderpriority, o_orderstatus, n1, n2,
+        |  CAST(r1 AS DOUBLE) AS rev1, CAST(r2 AS DOUBLE) AS rev2,
+        |  CAST(delta_dec AS DOUBLE) AS delta,
+        |  CAST(delta_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share,
+        |  CAST(row_number() OVER (ORDER BY abs(delta_dec) DESC,
+        |    o_orderpriority, o_orderstatus) AS INTEGER) AS rnk
+        |FROM d CROSS JOIN t""".stripMargin,
     // Unconstrained pair self-join at the same threshold: the in-row pair
     // generator and the apriori prune must drop no qualifying pair.
     "q155_frequent_pairs" ->

@@ -877,6 +877,15 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin") // the lift joins on broadcast isup
   }
 
+  test("q156 delta attribution: the two-period range is pushed to the scan; one pass over orders") {
+    val p = plan(OlapQueries.q156DeltaAttribution(spark, sf))
+    (p should include).regex(
+      """PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate.*LessThan\(o_orderdate""")
+    // both periods aggregate in one pass — exactly one orders scan
+    """orders\.parquet""".r.findAllMatchIn(p).length shouldBe 2 // slice agg + 1-row total
+    p should not include "SortMergeJoin"
+  }
+
   test("q153 IVM join: steady state reads K-row state; delta terms broadcast — base never sort-merge-joins") {
     val p = plan(ScaleQueries.q153IvmJoin(spark, sf))
     // the maintained view arrives as the materialized state layout
