@@ -76,21 +76,31 @@ object OlapQueries {
     * for the lift join; N arrives as a 1-row broadcast. */
   private val FP_MINSUP = 2
 
-  val q155FrequentPairs: Q = (s, d) => {
-    val t = Tables.lineitem(s, d)
+  private def distinctOrderParts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val isup = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
-    val freq = isup.filter(col("s") >= FP_MINSUP)
-    val baskets = t.join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
+
+  /** The qualifying co-occurrence edges (part_a < part_b, support ≥
+    * [[FP_MINSUP]]) — q155's mining output and q157's input graph. */
+  private[graft] def partPairSupports(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = distinctOrderParts(s, d)
+    val freq = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= FP_MINSUP)
+    t.join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = baskets
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
       .groupBy(col("pr.pa").as("part_a"), col("pr.pb").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= FP_MINSUP)
+  }
+
+  val q155FrequentPairs: Q = (s, d) => {
+    val t = distinctOrderParts(s, d)
+    val isup = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val pairs = partPairSupports(s, d)
     val n = t.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     pairs
@@ -103,6 +113,54 @@ object OlapQueries {
         col("support_a"), col("support_b"),
         ((col("support") * col("n_orders")).cast(DoubleType) /
           (col("support_a") * col("support_b")).cast(DoubleType)).as("lift"))
+  }
+
+  /** q157: triangle enumeration over the co-purchase graph — subgraph
+    * counting, the canonical "graph analytics on a relational engine"
+    * workload (community detection features, graph density audits,
+    * recommendation signals): all part triples where each pair co-occurs
+    * in ≥ [[FP_MINSUP]] orders (q155's edges as the graph).
+    *
+    * The algorithm is the degree-ordered orientation classic: orient every
+    * undirected edge from its (degree, id)-smaller endpoint to the larger,
+    * making the graph acyclic with out-degree O(√m); every triangle then has
+    * EXACTLY one wedge u→v→w with a closing arc u→w, so one wedge join
+    * plus one closing join enumerates each triangle once — no
+    * deduplication pass, and the wedge blowup is bounded by Σ outdeg² ≤
+    * O(m^1.5) instead of the naive Σ deg² that a hub vertex makes
+    * quadratic. This is the join-ordering insight every distributed
+    * triangle system (MPC model, GraphFrames' motif finding) is built on.
+    *
+    * The oracle is the straightforward id-ordered triple self-join —
+    * orientation must be invisible to WHICH triangles exist.
+    *
+    * Scale shape: edges come from q155's bounded in-row generator; the
+    * wedge and closing joins are keyed exchanges on vertex / arc keys;
+    * degree attach is two keyed joins against a |V|-row aggregate. No
+    * cartesian, no driver-side graph. */
+  val q157TriangleCount: Q = (s, d) => {
+    val e = partPairSupports(s, d).select(col("part_a"), col("part_b"))
+    val deg = e.select(explode(array(col("part_a"), col("part_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val arcs = e
+      .join(deg.select(col("v").as("part_a"), col("dg").as("da")), "part_a")
+      .join(deg.select(col("v").as("part_b"), col("dg").as("db")), "part_b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("part_a") < col("part_b")),
+          struct(col("part_a").as("src"), col("part_b").as("dst")))
+        .otherwise(
+          struct(col("part_b").as("src"), col("part_a").as("dst"))).as("ar"))
+      .select(col("ar.src").as("src"), col("ar.dst").as("dst"))
+    val tri = arcs.as("e1")
+      .join(arcs.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+      .join(arcs.as("e3"),
+        col("u") === col("e3.src") && col("w") === col("e3.dst"))
+    val sorted = array_sort(array(col("u"), col("v"), col("w")))
+    tri.select(sorted.getItem(0).as("t1"), sorted.getItem(1).as("t2"),
+      sorted.getItem(2).as("t3"))
   }
 
   /** q156: metric delta attribution — the "why did revenue move"
@@ -792,6 +850,7 @@ object OlapQueries {
     "q154_bitmap_distinct" -> q154BitmapDistinct,
     "q155_frequent_pairs" -> q155FrequentPairs,
     "q156_delta_attribution" -> q156DeltaAttribution,
+    "q157_triangle_count" -> q157TriangleCount,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -824,6 +883,18 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Direct id-ordered triple self-join over the same threshold edges:
+    // the degree orientation must be invisible to WHICH triangles exist.
+    "q157_triangle_count" ->
+      s"""WITH t AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM t a JOIN t b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $FP_MINSUP)
+         |SELECT e1.pa AS t1, e1.pb AS t2, e2.pb AS t3
+         |FROM p e1
+         |JOIN p e2 ON e2.pa = e1.pb
+         |JOIN p e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin,
     // Same decimal subtraction/total, same double casts, same decimal rank.
     "q156_delta_attribution" ->
       """WITH o AS (SELECT o_orderpriority, o_orderstatus,

@@ -877,6 +877,13 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin") // the lift joins on broadcast isup
   }
 
+  test("q157 triangles: wedge and closing joins are keyed — no cartesian anywhere in the motif") {
+    val p = plan(OlapQueries.q157TriangleCount(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Generate") // edges from the in-row pair generator
+  }
+
   test("q156 delta attribution: the two-period range is pushed to the scan; one pass over orders") {
     val p = plan(OlapQueries.q156DeltaAttribution(spark, sf))
     (p should include).regex(
