@@ -163,6 +163,70 @@ object OlapQueries {
       sorted.getItem(2).as("t3"))
   }
 
+  /** q158: storage-encoding advisor — the physical-design complement to
+    * q91's planner statistics: for each candidate column, the signals a
+    * columnar writer's encoding chooser (Parquet dictionary fallback,
+    * ClickHouse codecs, ORC dictionary checks) derives — row/null/distinct
+    * counts, average value width, the value-distribution Shannon entropy
+    * (the lower bound on bits/value any entropy coder can reach), the
+    * dictionary index width ceil(log2(ndv)), and the resulting encoding
+    * recommendation. Cardinality thresholds are exact integer comparisons;
+    * the dictionary width comes from the BINARY-STRING length of ndv−1
+    * (pure integer — no log2 float boundary at powers of two); entropy
+    * takes the q75 discipline (per-value terms floor-quantized to
+    * micro-bits, integer-summed → order-independent).
+    *
+    * Scale shape: each candidate is one value-keyed count aggregation
+    * (collapsing map-side), a 1-row moment aggregate, and a per-value
+    * entropy-term sum against the broadcast total — the q145 multi-
+    * candidate union shape; cost per column ∝ its NDV after the map-side
+    * collapse, the same bound ANALYZE pays. Doubles exist only inside the
+    * per-term quantization; every gated number is an integer or a final
+    * cast. */
+  private val ENC_CANDS: Seq[(String, String)] = Seq(
+    ("events", "event_type"), ("events", "user_id"),
+    ("documents", "lang"), ("documents", "source"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"), ("lineitem", "l_returnflag"),
+    ("part", "p_brand"), ("part", "p_type"))
+
+  val q158EncodingAdvisor: Q = (s, d) => {
+    def table(n: String) = n match {
+      case "events" => Tables.events(s, d)
+      case "documents" => Tables.documents(s, d)
+      case "orders" => Tables.orders(s, d)
+      case "customer" => Tables.customer(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "part" => Tables.part(s, d)
+    }
+    ENC_CANDS.map { case (t, c) =>
+      val counts = table(t).select(col(c).cast(StringType).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val nRow = counts.agg(
+        sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
+        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("nnull"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("ndv"),
+        sum(when(col("v").isNotNull,
+          length(col("v")).cast(LongType) * col("c")).otherwise(0L)).as("sum_len"))
+      val ratio = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      val ent = counts.filter(col("v").isNotNull)
+        .crossJoin(broadcast(nRow.select(col("n"))))
+        .select(floor(lit(-1000000.0) * ratio * log(ratio) / log(lit(2.0)))
+          .cast(LongType).as("term"))
+        .agg(coalesce(sum(col("term")), lit(0L)).as("entropy_micro"))
+      nRow.crossJoin(broadcast(ent)).select(
+        lit(t).as("tbl"), lit(c).as("col_name"),
+        col("n"), col("nnull"), col("ndv"),
+        expr("(sum_len * 1000) div n").as("avg_len_milli"),
+        col("entropy_micro"),
+        when(col("ndv") <= 1, 0)
+          .otherwise(length(bin(col("ndv") - 1))).as("dict_bits"),
+        when(col("ndv") <= 256, "dict8")
+          .when(col("ndv") * 100 <= col("n"), "dict")
+          .otherwise("plain").as("encoding"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -851,6 +915,7 @@ object OlapQueries {
     "q155_frequent_pairs" -> q155FrequentPairs,
     "q156_delta_attribution" -> q156DeltaAttribution,
     "q157_triangle_count" -> q157TriangleCount,
+    "q158_encoding_advisor" -> q158EncodingAdvisor,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -883,6 +948,31 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Same per-value floor-quantized entropy terms, same binary-string
+    // dictionary width, same integer thresholds — per candidate column.
+    "q158_encoding_advisor" -> ENC_CANDS.map { case (t, c) =>
+      s"""SELECT '$t' AS tbl, '$c' AS col_name, n, nnull, ndv,
+         |  (sum_len * 1000) // n AS avg_len_milli, entropy_micro,
+         |  CAST(CASE WHEN ndv <= 1 THEN 0
+         |    ELSE length(bin(ndv - 1)) END AS INTEGER) AS dict_bits,
+         |  CASE WHEN ndv <= 256 THEN 'dict8'
+         |    WHEN ndv * 100 <= n THEN 'dict' ELSE 'plain' END AS encoding
+         |FROM (
+         |  WITH counts AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c
+         |      FROM $t GROUP BY 1),
+         |  m AS (SELECT
+         |      CAST(sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n,
+         |      CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS nnull,
+         |      CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ndv,
+         |      CAST(sum(CASE WHEN v IS NOT NULL THEN length(v) * c ELSE 0 END) AS BIGINT) AS sum_len
+         |    FROM counts),
+         |  e AS (SELECT CAST(coalesce(sum(CAST(floor(
+         |        -1000000.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0))
+         |      AS BIGINT)), 0) AS BIGINT) AS entropy_micro
+         |    FROM counts CROSS JOIN m WHERE v IS NOT NULL)
+         |  SELECT * FROM m CROSS JOIN e)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
     // Direct id-ordered triple self-join over the same threshold edges:
     // the degree orientation must be invisible to WHICH triangles exist.
     "q157_triangle_count" ->
