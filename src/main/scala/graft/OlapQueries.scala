@@ -37,9 +37,14 @@ object OlapQueries {
     * HLL error bar) while staying mergeable like a sketch. Sparse user
     * spaces cost one word per 64-id stride actually occupied (absent
     * words are simply never emitted). */
-  val q154BitmapDistinct: Q = (s, d) => {
-    val masks = Tables.events(s, d)
-      .select(col("event_type"), col("user_id"),
+  /** The q154 mask state builder — also the streaming twin: a single
+    * streaming aggregation whose per-group state is the OR-mask words
+    * (bit_or folds each micro-batch's masks into state), so a
+    * Complete-mode stream's mask table equals the batch one under any
+    * feed chopping (StreamingSpec); counts are a read-time popcount
+    * rollup over the masks, exactly like q103's read-time avg. */
+  private[graft] def bitmapMasks(ev: org.apache.spark.sql.DataFrame) =
+    ev.select(col("event_type"), col("user_id"),
         explode(array(
           struct(lit("day").as("grain"),
             to_date(date_trunc("day", col("ts"))).as("period")),
@@ -51,9 +56,13 @@ object OlapQueries {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
       .groupBy(col("event_type"), col("grain"), col("period"), col("word"))
       .agg(expr("bit_or(m)").as("mask"))
+
+  private[graft] def bitmapCounts(masks: org.apache.spark.sql.DataFrame) =
     masks.groupBy(col("event_type"), col("grain"), col("period"))
       .agg(sum(bit_count(col("mask")).cast(LongType)).as("n_users"))
-  }
+
+  val q154BitmapDistinct: Q = (s, d) =>
+    bitmapCounts(bitmapMasks(Tables.events(s, d)))
 
   /** q155: frequent-pair co-occurrence mining (the association-rule /
     * market-basket classic): which part pairs appear in the same order

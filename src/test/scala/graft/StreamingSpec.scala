@@ -481,6 +481,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bitmap masks (q154's builder) equal the batch masks on a chopped feed; counts follow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Timestamp)]
+    // the SAME builder as batch q154: streaming aggregation state IS the
+    // OR-mask word table (bit_or is associative/commutative/idempotent, so
+    // replays and chopping cannot corrupt it)
+    val q = OlapQueries.bitmapMasks(
+        input.toDS().toDF("event_type", "user_id", "ts"))
+      .writeStream.format("memory").queryName("q154_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      val feed = Seq[(String, Long, Timestamp)](
+        ("click", 1L, t("2024-01-01 10:00:00")),
+        ("click", 65L, t("2024-01-01 11:00:00")), // same word as 1? no: word 1
+        ("click", 1L, t("2024-01-01 12:00:00")),  // same user same day: idempotent
+        ("view", 1L, t("2024-01-01 10:30:00")),
+        ("click", 2L, t("2024-01-02 09:00:00")),  // next day, same ISO week
+        ("click", 64L, t("2024-01-08 09:00:00"))) // next week
+      val (b1, b2) = feed.splitAt(2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getDate(2).toString, r.getLong(3))
+      val streamed = spark.table("q154_twin_test")
+        .collect().map(r => key(r) -> r.getLong(4)).toMap
+      val batchMasks = OlapQueries.bitmapMasks(
+        feed.toDF("event_type", "user_id", "ts"))
+      val batch = batchMasks.collect().map(r => key(r) -> r.getLong(4)).toMap
+      streamed shouldBe batch
+      // read-time rollup over the streamed state equals the batch counts
+      val sc = OlapQueries.bitmapCounts(spark.table("q154_twin_test"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDate(2).toString) -> r.getLong(3)).toMap
+      val bc = OlapQueries.bitmapCounts(batchMasks)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDate(2).toString) -> r.getLong(3)).toMap
+      sc shouldBe bc
+      // day-level distincts: users 1,65 and 1 dedup within 2024-01-01 clicks
+      sc(("click", "day", "2024-01-01")) shouldBe 2L
+      // week grain merges 01-01 and 01-02 clicks: users 1,65,2
+      sc(("click", "week", "2024-01-01")) shouldBe 3L
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch pairing (q147) on an out-of-order, chopped feed") {
     import graft.streaming.EventStream.{TransEvent, Transition}
     implicit val sqlCtx = spark.sqlContext
