@@ -45,11 +45,14 @@ object OlapQueries {
     * rollup over the masks, exactly like q103's read-time avg. */
   private[graft] def bitmapMasks(ev: org.apache.spark.sql.DataFrame) =
     ev.select(col("event_type"), col("user_id"),
+        // periods stay TIMESTAMP (midnight), not DATE: the driver's gate
+        // reprs Spark DATE values as python objects while DuckDB dates
+        // normalize to datetime64 — a type-level hash trap, not semantics
         explode(array(
           struct(lit("day").as("grain"),
-            to_date(date_trunc("day", col("ts"))).as("period")),
+            date_trunc("day", col("ts")).as("period")),
           struct(lit("week").as("grain"),
-            to_date(date_trunc("week", col("ts"))).as("period")))).as("g"))
+            date_trunc("week", col("ts")).as("period")))).as("g"))
       .select(col("event_type"), col("g.grain").as("grain"),
         col("g.period").as("period"),
         shiftright(col("user_id"), 6).as("word"),

@@ -505,7 +505,7 @@ class StreamingSpec extends SparkSpec {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
       val key = (r: org.apache.spark.sql.Row) =>
-        (r.getString(0), r.getString(1), r.getDate(2).toString, r.getLong(3))
+        (r.getString(0), r.getString(1), r.getTimestamp(2).toString, r.getLong(3))
       val streamed = spark.table("q154_twin_test")
         .collect().map(r => key(r) -> r.getLong(4)).toMap
       val batchMasks = OlapQueries.bitmapMasks(
@@ -515,15 +515,15 @@ class StreamingSpec extends SparkSpec {
       // read-time rollup over the streamed state equals the batch counts
       val sc = OlapQueries.bitmapCounts(spark.table("q154_twin_test"))
         .collect().map(r => (r.getString(0), r.getString(1),
-          r.getDate(2).toString) -> r.getLong(3)).toMap
+          r.getTimestamp(2).toString) -> r.getLong(3)).toMap
       val bc = OlapQueries.bitmapCounts(batchMasks)
         .collect().map(r => (r.getString(0), r.getString(1),
-          r.getDate(2).toString) -> r.getLong(3)).toMap
+          r.getTimestamp(2).toString) -> r.getLong(3)).toMap
       sc shouldBe bc
       // day-level distincts: users 1,65 and 1 dedup within 2024-01-01 clicks
-      sc(("click", "day", "2024-01-01")) shouldBe 2L
+      sc(("click", "day", "2024-01-01 00:00:00.0")) shouldBe 2L
       // week grain merges 01-01 and 01-02 clicks: users 1,65,2
-      sc(("click", "week", "2024-01-01")) shouldBe 3L
+      sc(("click", "week", "2024-01-01 00:00:00.0")) shouldBe 3L
     } finally q.stop()
   }
 
