@@ -239,6 +239,48 @@ object OlapQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q159: audience-overlap matrix — for every pair of event types, how
+    * many distinct users did BOTH (the cross-segment Venn analysis behind
+    * campaign planning and cannibalization checks), via q154's bitmap
+    * words: per-type audience masks OR-build in one pass, the pairwise
+    * intersection is a word-keyed mask join whose per-row work is
+    * popcount(mask_a AND mask_b) — set intersection as 64-bit integer
+    * arithmetic. Jaccard affinity comes from the exact integer overlap
+    * and sizes with one final division.
+    *
+    * Scale shape: the naive form self-joins the distinct (type, user)
+    * pairs on user_id — an exchange of |users|·|types| rows. The mask
+    * join exchanges |users|/64·|types| words, a 64× compression of BOTH
+    * the shuffle and the join's row count, and the intersection never
+    * materializes user ids at all. Type pairs sharing zero words simply
+    * never meet (same semantics as the oracle's inner join on common
+    * users). */
+  val q159AudienceOverlap: Q = (s, d) => {
+    val masks = Tables.events(s, d)
+      .select(col("event_type"), shiftright(col("user_id"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("word")).agg(expr("bit_or(m)").as("mask"))
+    val sizes = masks.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("mask")).cast(LongType)).as("n"))
+    masks.as("a").join(masks.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+        .cast(LongType)).as("overlap"))
+      .filter(col("overlap") > 0)
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("overlap"),
+        col("n_a"), col("n_b"),
+        (col("overlap").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("overlap")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -928,6 +970,7 @@ object OlapQueries {
     "q156_delta_attribution" -> q156DeltaAttribution,
     "q157_triangle_count" -> q157TriangleCount,
     "q158_encoding_advisor" -> q158EncodingAdvisor,
+    "q159_audience_overlap" -> q159AudienceOverlap,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -960,6 +1003,20 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // The direct user-pair overlap: bitmap words must be invisible.
+    "q159_audience_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS ov
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1)
+        |SELECT ta AS type_a, tb AS type_b, ov AS overlap,
+        |  za.n AS n_a, zb.n AS n_b,
+        |  CAST(ov AS DOUBLE) / CAST(za.n + zb.n - ov AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN sz za ON za.event_type = ta
+        |JOIN sz zb ON zb.event_type = tb""".stripMargin,
     // Same per-value floor-quantized entropy terms, same binary-string
     // dictionary width, same integer thresholds — per candidate column.
     "q158_encoding_advisor" -> ENC_CANDS.map { case (t, c) =>

@@ -884,6 +884,15 @@ class PlanSpec extends SparkSpec {
     p should include("Generate") // edges from the in-row pair generator
   }
 
+  test("q159 audience overlap: the intersection join is word-keyed mask arithmetic — no user-id exchange") {
+    val p = plan(OlapQueries.q159AudienceOverlap(spark, sf))
+    p should include("partial_bit_or") // masks collapse map-side
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the pairwise join carries 64-user words, never (type, user) rows
+    p should not include "hashpartitioning(user_id"
+  }
+
   test("q156 delta attribution: the two-period range is pushed to the scan; one pass over orders") {
     val p = plan(OlapQueries.q156DeltaAttribution(spark, sf))
     (p should include).regex(
