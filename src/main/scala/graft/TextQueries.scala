@@ -505,6 +505,38 @@ object TextQueries {
       .withColumn("overcount", col("cm_est") - col("true_cnt"))
   }
 
+  /** q160: token-budget curation fill — the assembly op every training-mix
+    * spec ends with: "take the BEST documents of each language until its
+    * token budget is spent". Complements the q54/q65 quantile cutoffs
+    * (relative thresholds) with the absolute-budget form: per language,
+    * quality-rank the docs ([[qualityScore]], doc_id tiebreak → total
+    * order) and keep every doc that STARTS before the [[FILL_BUDGET]]-th
+    * token (cum − own < B: greedy fill including the boundary doc). The
+    * running token sum is integer arithmetic over a unique ordering, so
+    * the kept set is bit-deterministic; the score itself is
+    * transcendental-free (divisions and a `least`), hence raw-double
+    * gated like q98.
+    *
+    * Scale shape: one lang-keyed window exchange carrying (ids, token
+    * counts, score) — never text; rank and running sum share the
+    * exchange and sort. The budget filter is per-row; no driver
+    * collect, no second pass. */
+  private val FILL_BUDGET = 5000L
+
+  val q160BudgetFill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast(LongType).as("n_tokens"),
+        qualityScore(col("text")).as("q"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < FILL_BUDGET)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("q").as("quality"), col("rnk"), col("cum_tokens"))
+  }
+
   /** q54: adaptive quality cutoff — "drop the worst quartile" without a
     * fixed constant: the global p25 of the shared quality score broadcasts
     * back as the per-row threshold (the q49 discipline: per-row decisions
@@ -766,6 +798,7 @@ object TextQueries {
     "q54_quality_cutoff" -> q54QualityCutoff,
     "q65_quality_cutoff_exact" -> q65QualityCutoffExact,
     "q152_countmin_freq" -> q152CountminFreq,
+    "q160_budget_fill" -> q160BudgetFill,
     "q140_pareto_frontier" -> q140ParetoFrontier,
     "q43_repetition_score" -> q43RepetitionScore,
     "q16_lang_id"     -> q16LangId,
@@ -784,6 +817,22 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Same score, same (q DESC, doc_id) total order, same integer running
+    // sum, same strict start-before-budget rule.
+    "q160_budget_fill" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    length(text) AS char_len,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ${qualityScoreSql("w", "punct_cnt", "char_len")} AS q
+         |  FROM t),
+         |r AS (SELECT *, CAST(row_number() OVER win AS INTEGER) AS rnk,
+         |    CAST(sum(n_tokens) OVER win AS BIGINT) AS cum_tokens
+         |  FROM s WINDOW win AS (PARTITION BY lang ORDER BY q DESC, doc_id))
+         |SELECT lang, doc_id, n_tokens, q AS quality, rnk, cum_tokens
+         |FROM r WHERE cum_tokens - n_tokens < $FILL_BUDGET""".stripMargin,
     // Same md5-bucket arithmetic, same integer counter sums, same min-over-
     // rows estimate — the sketch state replayed bit-for-bit.
     "q152_countmin_freq" -> {
