@@ -281,6 +281,57 @@ object OlapQueries {
           .as("jaccard"))
   }
 
+  /** q161: join-key skew pre-flight — the diagnostic a planner (or an
+    * engineer) runs BEFORE keying a shuffle on a column: per candidate
+    * key, the group-size profile (rows, NDV, largest group, mean in
+    * milli-rows, top-group share in ppm) and the two-mode skew verdict
+    * with a recommended salt factor. The two failure modes are distinct:
+    * IMBALANCE (largest group ≥ 4× the mean — one reducer drags) and
+    * LOW CARDINALITY (largest group > 1/32 of the table — a group
+    * exceeds one ideal partition's share at 32-way parallelism, even if
+    * perfectly balanced; event_type's 5 uniform groups are exactly this
+    * mode, q28's motivating shape). Both tests are integer
+    * cross-multiplications — max·ndv ≥ 4·n and max·32 > n — so the
+    * verdict has no float boundary; the salt factor is the integer
+    * number of ideal partition shares the largest group spans, capped at
+    * 32 (the q28/q119 dilution discipline).
+    *
+    * Scale shape: one map-side-combined count aggregation per candidate
+    * key (cost ∝ NDV after collapse, like q158/q91), a 1-row moment
+    * reduce, seven independent subtrees unioned — the q145 profiling
+    * shape. */
+  private val SKEW_CANDS: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("orders", "o_custkey"),
+    ("events", "user_id"), ("events", "event_type"),
+    ("documents", "lang"))
+
+  val q161SkewReport: Q = (s, d) => {
+    def table(n: String) = n match {
+      case "lineitem" => Tables.lineitem(s, d)
+      case "orders" => Tables.orders(s, d)
+      case "events" => Tables.events(s, d)
+      case "documents" => Tables.documents(s, d)
+    }
+    SKEW_CANDS.map { case (t, k) =>
+      table(t).select(col(k).cast(StringType).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"),
+          max(col("c")).as("max_grp"))
+        .select(lit(t).as("tbl"), lit(k).as("key"),
+          col("n"), col("ndv"), col("max_grp"),
+          expr("(1000 * n) div ndv").as("mean_grp_milli"),
+          expr("(1000000 * max_grp) div n").as("top_share_ppm"),
+          when(col("max_grp") * col("ndv") >= lit(4) * col("n"), "salt:imbalance")
+            .when(col("max_grp") * 32 > col("n"), "salt:low-cardinality")
+            .otherwise("plain").as("verdict"),
+          when(col("max_grp") * col("ndv") >= lit(4) * col("n") ||
+              col("max_grp") * 32 > col("n"),
+            least(lit(32L), expr("(max_grp * 32) div n") + 1))
+            .otherwise(1L).as("salt_factor"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -971,6 +1022,7 @@ object OlapQueries {
     "q157_triangle_count" -> q157TriangleCount,
     "q158_encoding_advisor" -> q158EncodingAdvisor,
     "q159_audience_overlap" -> q159AudienceOverlap,
+    "q161_skew_report" -> q161SkewReport,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1003,6 +1055,21 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Same integer cross-multiplied two-mode verdict per candidate key.
+    "q161_skew_report" -> SKEW_CANDS.map { case (t, k) =>
+      s"""SELECT '$t' AS tbl, '$k' AS key, n, ndv, max_grp,
+         |  (1000 * n) // ndv AS mean_grp_milli,
+         |  (1000000 * max_grp) // n AS top_share_ppm,
+         |  CASE WHEN max_grp * ndv >= 4 * n THEN 'salt:imbalance'
+         |    WHEN max_grp * 32 > n THEN 'salt:low-cardinality'
+         |    ELSE 'plain' END AS verdict,
+         |  CASE WHEN max_grp * ndv >= 4 * n OR max_grp * 32 > n
+         |    THEN least(32, (max_grp * 32) // n + 1) ELSE 1 END AS salt_factor
+         |FROM (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS ndv, CAST(max(c) AS BIGINT) AS max_grp
+         |  FROM (SELECT CAST($k AS VARCHAR) AS v, count(*) AS c
+         |    FROM $t GROUP BY 1))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
     // The direct user-pair overlap: bitmap words must be invisible.
     "q159_audience_overlap" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
