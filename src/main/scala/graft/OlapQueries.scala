@@ -211,31 +211,45 @@ object OlapQueries {
       case "lineitem" => Tables.lineitem(s, d)
       case "part" => Tables.part(s, d)
     }
-    ENC_CANDS.map { case (t, c) =>
-      val counts = table(t).select(col(c).cast(StringType).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val nRow = counts.agg(
-        sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
-        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("nnull"),
-        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("ndv"),
-        sum(when(col("v").isNotNull,
-          length(col("v")).cast(LongType) * col("c")).otherwise(0L)).as("sum_len"))
+    // ALL of a table's candidate columns profile in ONE scan: the in-row
+    // (col_name, value) unpivot feeds a single (col_name, v) count
+    // aggregation — the ANALYZE discipline; a per-column loop would scan
+    // events/lineitem once per candidate.
+    ENC_CANDS.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, cands) =>
+      val cols = cands.map(_._2)
+      val counts = table(t)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(c).cast(StringType).as("v"))): _*)).as("x"))
+        .select(col("x.col_name").as("col_name"), col("x.v").as("v"))
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+      // per-row entropy terms need the column total n — a col_name-keyed
+      // window puts it on the rows, and the following groupBy shares the
+      // SAME partitioning, so the whole profile is one linear chain (one
+      // scan, two stacked exchanges, no re-derived subtrees)
       val ratio = col("c").cast(DoubleType) / col("n").cast(DoubleType)
-      val ent = counts.filter(col("v").isNotNull)
-        .crossJoin(broadcast(nRow.select(col("n"))))
-        .select(floor(lit(-1000000.0) * ratio * log(ratio) / log(lit(2.0)))
-          .cast(LongType).as("term"))
-        .agg(coalesce(sum(col("term")), lit(0L)).as("entropy_micro"))
-      nRow.crossJoin(broadcast(ent)).select(
-        lit(t).as("tbl"), lit(c).as("col_name"),
-        col("n"), col("nnull"), col("ndv"),
-        expr("(sum_len * 1000) div n").as("avg_len_milli"),
-        col("entropy_micro"),
-        when(col("ndv") <= 1, 0)
-          .otherwise(length(bin(col("ndv") - 1))).as("dict_bits"),
-        when(col("ndv") <= 256, "dict8")
-          .when(col("ndv") * 100 <= col("n"), "dict")
-          .otherwise("plain").as("encoding"))
+      counts
+        .withColumn("n", sum(when(col("v").isNotNull, col("c")).otherwise(0L))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("col_name"))))
+        .groupBy(col("col_name")).agg(
+          max(col("n")).as("n"),
+          sum(when(col("v").isNull, col("c")).otherwise(0L)).as("nnull"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("ndv"),
+          sum(when(col("v").isNotNull,
+            length(col("v")).cast(LongType) * col("c")).otherwise(0L)).as("sum_len"),
+          sum(when(col("v").isNotNull,
+            floor(lit(-1000000.0) * ratio * log(ratio) / log(lit(2.0)))
+              .cast(LongType)).otherwise(0L)).as("entropy_micro"))
+        .select(
+          lit(t).as("tbl"), col("col_name"),
+          col("n"), col("nnull"), col("ndv"),
+          expr("(sum_len * 1000) div n").as("avg_len_milli"),
+          col("entropy_micro"),
+          when(col("ndv") <= 1, 0)
+            .otherwise(length(bin(col("ndv") - 1))).as("dict_bits"),
+          when(col("ndv") <= 256, "dict8")
+            .when(col("ndv") * 100 <= col("n"), "dict")
+            .otherwise("plain").as("encoding"))
     }.reduce(_ unionByName _)
   }
 

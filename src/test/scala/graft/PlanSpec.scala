@@ -884,6 +884,16 @@ class PlanSpec extends SparkSpec {
     p should include("Generate") // edges from the in-row pair generator
   }
 
+  test("q158 encoding advisor: all of a table's candidate columns profile in ONE scan") {
+    val p = plan(OlapQueries.q158EncodingAdvisor(spark, sf))
+    // events carries two candidates (event_type, user_id) but scans once;
+    // every table appears exactly once per profiling subtree — the in-row
+    // unpivot, not a per-column scan loop
+    """events\.parquet""".r.findAllMatchIn(p).length shouldBe 1
+    """lineitem\.parquet""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("Generate") // the (col_name, value) unpivot generator
+  }
+
   test("q159 audience overlap: the intersection join is word-keyed mask arithmetic — no user-id exchange") {
     val p = plan(OlapQueries.q159AudienceOverlap(spark, sf))
     p should include("partial_bit_or") // masks collapse map-side
