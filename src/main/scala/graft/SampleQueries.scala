@@ -522,7 +522,67 @@ object SampleQueries {
         .otherwise(0L)).as("alloc"))
   }
 
+  /** q162: consistent-hash resharding — the elastic-scaling primitive: when
+    * a corpus grows from [[CH_SHARDS]] to [[CH_SHARDS]]+1 shards, a
+    * mod-N assignment moves ~N/(N+1) of ALL documents (every bucket
+    * re-numbers); a consistent-hash ring moves only ~1/(N+1) — the docs
+    * whose ring arc the new shard's virtual nodes capture. Each shard
+    * owns [[CH_VNODES]] virtual nodes at md5-derived ring positions; a
+    * doc belongs to the first ring node at-or-after its own position
+    * (wrapping past the top). Both rings' 128/144 positions are
+    * PRECOMPUTED LITERALS (the same md5-hash60 arithmetic as the oracle,
+    * evaluated once at plan build), so the per-row assignment is a pure
+    * in-scan array `filter`/`element_at` — ZERO joins, zero exchanges on
+    * the Spark side; the oracle derives the identical ring relationally
+    * and resolves the successor with an inequality join.
+    *
+    * OperationalSpec pins the movement bound the operator exists for:
+    * ring movement ≤ a loose multiple of n/(k+1) while mod-N movement
+    * sits near n·k/(k+1).
+    *
+    * Scale shape: assignment is per-row codegen over a 144-element
+    * literal — O(corpus) scan work, no shuffle at all; the reshard plan
+    * (which docs move where) falls out as a flag column, so the actual
+    * data movement job copies ONLY the moved arc. */
+  private val CH_SHARDS = 8
+  private val CH_VNODES = 16
+
+  /** JVM twin of TextOps.hash60 / the oracle's md5 incantation — used only
+    * at PLAN BUILD time to embed ring positions as literals. */
+  private def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def ring(k: Int): (Seq[Long], Seq[Int]) = {
+    val nodes = for (s <- 0 until k; v <- 0 until CH_VNODES)
+      yield (hash60Jvm(s"ring:$s:$v"), s)
+    val sorted = nodes.sortBy(n => (n._1, n._2))
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  private def ringOwner(h: Column, k: Int): Column = {
+    val (ps, ss) = ring(k)
+    val posArr = typedlit(ps)
+    val shardArr = typedlit(ss)
+    val idx = size(filter(posArr, x => x < h))
+    when(idx === ps.length, element_at(shardArr, 1))
+      .otherwise(element_at(shardArr, idx + 1))
+  }
+
+  val q162ConsistentHash: Q = (s, d) => {
+    val h = TextOps.hash60(concat(lit("doc:"),
+      col("doc_id").cast(StringType)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard_old", ringOwner(col("h"), CH_SHARDS))
+      .withColumn("shard_new", ringOwner(col("h"), CH_SHARDS + 1))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q162_consistent_hash" -> q162ConsistentHash,
     "q134_neyman_allocation" -> q134NeymanAllocation,
     "q129_interleave_schedule" -> q129InterleaveSchedule,
     "q105_temperature_mix"  -> q105TemperatureMix,
@@ -545,6 +605,34 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // The ring derived relationally from the SAME md5 arithmetic the Spark
+    // side baked into literals; successor resolved by inequality join.
+    "q162_consistent_hash" -> {
+      def h60(arg: String) =
+        s"CAST(CAST(('0x' || substr(md5($arg), 1, 15)) AS UBIGINT) AS BIGINT)"
+      def ringCte(name: String, k: Int) =
+        s"""$name AS (SELECT CAST(sv.s AS INTEGER) AS s,
+           |    ${h60("'ring:' || CAST(sv.s AS VARCHAR) || ':' || CAST(sv.v AS VARCHAR)")} AS p
+           |  FROM (SELECT ss.s, vv.v FROM
+           |    (SELECT unnest(range(0, $k)) AS s) ss,
+           |    (SELECT unnest(range(0, $CH_VNODES)) AS v) vv) sv)""".stripMargin
+      def ownerCte(name: String, ringName: String, outCol: String) =
+        s"""$name AS (SELECT d.doc_id, d.h,
+           |    coalesce(arg_min(r.s, r.p),
+           |      (SELECT arg_min(s, p) FROM $ringName)) AS $outCol
+           |  FROM docs d LEFT JOIN $ringName r ON r.p >= d.h
+           |  GROUP BY d.doc_id, d.h)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id,
+         |    ${h60("'doc:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |${ringCte("ring_old", CH_SHARDS)},
+         |${ringCte("ring_new", CH_SHARDS + 1)},
+         |${ownerCte("o_old", "ring_old", "shard_old")},
+         |${ownerCte("o_new", "ring_new", "shard_new")}
+         |SELECT o_old.doc_id, o_old.h, shard_old, shard_new,
+         |  shard_old <> shard_new AS moved
+         |FROM o_old JOIN o_new ON o_new.doc_id = o_old.doc_id""".stripMargin
+    },
     // Exact BIGINT moments, one IEEE sqrt, weight quantized once, then
     // pure-integer largest-remainder rounding — Σalloc = K by construction.
     "q134_neyman_allocation" ->

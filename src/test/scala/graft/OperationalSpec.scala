@@ -518,6 +518,26 @@ class OperationalSpec extends SparkSpec {
     leftovers shouldBe empty
   }
 
+  test("q162: consistent hashing moves ~1/(k+1) of docs on scale-out; mod-N would move ~k/(k+1)") {
+    import org.apache.spark.sql.functions._
+    val out = SampleQueries.q162ConsistentHash(spark, sf).collect()
+    val n = out.length
+    n should be > 0
+    val movedRing = out.count(_.getAs[Boolean]("moved"))
+    // adding a 9th shard captures ~16/144 of the ring; allow 2.5× slack on
+    // the expectation — far below the mod-N catastrophe
+    movedRing should be <= (5 * n / 18) // 2.5 × n/9
+    // every moved doc lands ON the new shard — existing arcs are untouched
+    out.filter(_.getAs[Boolean]("moved"))
+      .foreach(_.getAs[Int]("shard_new") shouldBe 8)
+    // the mod-N strawman: re-bucketing h%8 → h%9 moves almost everything
+    val movedMod = out.count { r =>
+      val h = r.getAs[Long]("h"); h % 8 != h % 9
+    }
+    movedMod should be >= (3 * n / 4)
+    movedRing.toDouble should be < (movedMod.toDouble / 4)
+  }
+
   test("q154: bitmap words re-aggregate — weekly masks are the OR of daily masks, counts exact") {
     import org.apache.spark.sql.functions._
     // the mergeability COUNT(DISTINCT) lacks: a coarser grain must be
