@@ -214,4 +214,51 @@ class DedupSpec extends SparkSpec {
     out.head.getAs[Long]("vec_b") shouldBe 2L
     out.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-12
   }
+
+  test("prefixFilterPairs: lossless vs brute force on a seeded random corpus (mutated families, tiny docs, shared boilerplate)") {
+    // adversarial shapes for the prefix rule: near-identical families (true
+    // pairs), docs shorter than the shingle size, heavy shared boilerplate
+    // (stresses the rarest-first ordering), and unrelated noise
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def sentence(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val boiler = sentence(12)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var id = 0L
+    (0 until 10).foreach { _ =>           // families of mutated near-dups
+      val base = sentence(8 + rnd.nextInt(30))
+      val words = base.split(" ")
+      rows += ((id, base, "en")); id += 1
+      (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        val mutated = words.updated(rnd.nextInt(words.length),
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        rows += ((id, mutated, "en")); id += 1
+      }
+    }
+    (0 until 6).foreach { _ =>            // boilerplate-heavy docs
+      rows += ((id, s"$boiler ${sentence(4 + rnd.nextInt(6))}", "en")); id += 1
+    }
+    (0 until 5).foreach { _ =>            // tiny docs (below shingle k)
+      rows += ((id, sentence(1 + rnd.nextInt(2)), "en")); id += 1
+    }
+    (0 until 8).foreach { _ =>            // noise
+      rows += ((id, sentence(5 + rnd.nextInt(25)), "en")); id += 1
+    }
+    val d = docs(rows.toSeq: _*)
+
+    // brute force over the SAME shingle sets the operator uses
+    val sets = Dedup.shingleSets(d, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if inter.toDouble / uni >= 0.6
+    } yield (a, b)).toSet
+
+    val got = Dedup.prefixFilterPairs(d, 3, 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    got shouldBe expected
+    expected.size should be >= 10 // the fixture really exercises true pairs
+  }
 }
