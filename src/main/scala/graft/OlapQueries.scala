@@ -346,6 +346,93 @@ object OlapQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q163: time-decayed trending parts — the leaderboard recency pattern:
+    * each order contributes weight 2^(40 − age_weeks) toward its parts, a
+    * one-week half-life expressed ENTIRELY in integer shifts (the decay
+    * table 2^-k is exact in powers of two, so "decayed score" needs no
+    * float, no exp(), and partial sums merge exactly across any
+    * partitioning — the property that lets a decayed leaderboard
+    * incrementally update). The 26-week recency window anchors on the
+    * corpus's max order date (a 1-row broadcast) and pushes a date range
+    * into the orders scan once composed with it.
+    *
+    * Scale shape: one orders⋈lineitem keyed join (the fact pattern), one
+    * part-keyed partial-agg exchange, and a 20-row TakeOrdered heap — no
+    * global sort. The decay weight rides the row as a shift, so the
+    * aggregation stays whole-stage-codegen integer arithmetic. */
+  private val TREND_TOP = 20
+
+  val q163TrendingDecay: Q = (s, d) => {
+    val maxD = Tables.orders(s, d).agg(max(col("o_orderdate")).as("max_d"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("age_w", expr("datediff(max_d, o_orderdate) div 7"))
+      .filter(col("age_w") <= 26)
+      .select(col("o_orderkey"),
+        expr("shiftright(CAST(1099511627776 AS BIGINT), CAST(least(age_w, 40) AS INT))")
+          .as("w"))
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_lines"))
+      .orderBy(col("score").desc, col("l_partkey"))
+      .limit(TREND_TOP)
+  }
+
+  /** q164: inclusion-dependency profiling — the CROSS-table complement to
+    * q145's within-table FDs: is every (non-null) value of child column A
+    * present in parent column B? The foreign-key discovery / referential
+    * pre-flight check (Metanome-style data profiling): four real FK edges
+    * that must hold and four plausible-but-false pairs (id ranges that
+    * overflow the parent, disjoint string domains) that must fail, so
+    * both verdicts are data-exercised. Reported per candidate: child NDV,
+    * missing-from-parent count, coverage in ppm (integer division), and
+    * the holds verdict.
+    *
+    * Scale shape: per candidate, the child collapses to its distinct
+    * values (map-side combined), then ONE keyed anti-join against the
+    * parent column — cost ∝ child NDV + parent rows, never a cartesian;
+    * candidates are independent subtrees that union concurrently (the
+    * q145/q158 profiling shape). */
+  private val IND_CANDS: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "event_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "documents", "doc_id"),
+    ("events", "event_type", "documents", "lang"),
+    ("customer", "c_mktsegment", "orders", "o_orderpriority"))
+
+  val q164InclusionDeps: Q = (s, d) => {
+    def table(n: String) = n match {
+      case "orders" => Tables.orders(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "customer" => Tables.customer(s, d)
+      case "supplier" => Tables.supplier(s, d)
+      case "part" => Tables.part(s, d)
+      case "events" => Tables.events(s, d)
+      case "documents" => Tables.documents(s, d)
+    }
+    IND_CANDS.map { case (ct, cc, pt, pc) =>
+      val child = table(ct).filter(col(cc).isNotNull)
+        .select(col(cc).cast(StringType).as("v")).distinct()
+      val miss = child.join(
+          table(pt).filter(col(pc).isNotNull)
+            .select(col(pc).cast(StringType).as("pv")),
+          col("v") === col("pv"), "left_anti")
+        .agg(count(lit(1)).as("missing"))
+      child.agg(count(lit(1)).as("ndv_child"))
+        .crossJoin(broadcast(miss))
+        .select(lit(ct).as("child_tbl"), lit(cc).as("child_col"),
+          lit(pt).as("parent_tbl"), lit(pc).as("parent_col"),
+          col("ndv_child"), col("missing"),
+          expr("(1000000 * (ndv_child - missing)) div ndv_child")
+            .as("coverage_ppm"),
+          (col("missing") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -1037,6 +1124,8 @@ object OlapQueries {
     "q158_encoding_advisor" -> q158EncodingAdvisor,
     "q159_audience_overlap" -> q159AudienceOverlap,
     "q161_skew_report" -> q161SkewReport,
+    "q163_trending_decay" -> q163TrendingDecay,
+    "q164_inclusion_deps" -> q164InclusionDeps,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1069,6 +1158,34 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Same shift-based decay weights, same week arithmetic, same heap order.
+    "q163_trending_decay" ->
+      s"""WITH m AS (SELECT max(o_orderdate) AS max_d FROM orders),
+         |o AS (SELECT o_orderkey,
+         |    (1099511627776 >> CAST(least(
+         |      datediff('day', o_orderdate, max_d) // 7, 40) AS INTEGER)) AS w
+         |  FROM orders CROSS JOIN m
+         |  WHERE datediff('day', o_orderdate, max_d) // 7 <= 26)
+         |SELECT l_partkey, CAST(sum(w) AS BIGINT) AS score,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN o ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY score DESC, l_partkey LIMIT $TREND_TOP""".stripMargin,
+    // Same distinct-child anti-join counts, same integer coverage ppm.
+    "q164_inclusion_deps" -> IND_CANDS.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct' AS child_tbl, '$cc' AS child_col,
+         |  '$pt' AS parent_tbl, '$pc' AS parent_col,
+         |  ndv_child, missing,
+         |  (1000000 * (ndv_child - missing)) // ndv_child AS coverage_ppm,
+         |  missing = 0 AS holds
+         |FROM (
+         |  WITH c AS (SELECT DISTINCT CAST($cc AS VARCHAR) AS v
+         |      FROM $ct WHERE $cc IS NOT NULL),
+         |  mi AS (SELECT CAST(count(*) AS BIGINT) AS missing FROM c
+         |    WHERE v NOT IN (SELECT CAST($pc AS VARCHAR) FROM $pt
+         |      WHERE $pc IS NOT NULL)),
+         |  nn AS (SELECT CAST(count(*) AS BIGINT) AS ndv_child FROM c)
+         |  SELECT * FROM nn CROSS JOIN mi)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
     // Same integer cross-multiplied two-mode verdict per candidate key.
     "q161_skew_report" -> SKEW_CANDS.map { case (t, k) =>
       s"""SELECT '$t' AS tbl, '$k' AS key, n, ndv, max_grp,

@@ -884,6 +884,19 @@ class PlanSpec extends SparkSpec {
     p should include("Generate") // edges from the in-row pair generator
   }
 
+  test("q163 trending decay: top-k is a heap, not a global sort; decay is integer shifts in the scan") {
+    val p = plan(OlapQueries.q163TrendingDecay(spark, sf))
+    p should include("TakeOrderedAndProject")
+    p should not include "rangepartitioning" // no global sort exchange
+    p should include("shiftright")           // the decay weight is a shift
+  }
+
+  test("q164 inclusion deps: every candidate resolves by keyed anti-join — no cartesian") {
+    val p = plan(OlapQueries.q164InclusionDeps(spark, sf))
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
   test("q158 encoding advisor: all of a table's candidate columns profile in ONE scan") {
     val p = plan(OlapQueries.q158EncodingAdvisor(spark, sf))
     // events carries two candidates (event_type, user_id) but scans once;
