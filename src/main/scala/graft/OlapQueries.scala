@@ -433,6 +433,52 @@ object OlapQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q165: linear-counting cardinality sketch — q40's HLL answers the same
+    * question with engine-internal state that forces a rows-only gate;
+    * linear counting (Whang et al. 1990, Redis/PFCOUNT's small-range
+    * regime) keeps its ENTIRE state as an m-bit hash bitmap, which is the
+    * q154 word monoid — so the sketch state is bit-replayable, mergeable
+    * by OR across partitions/days, and this cardinality sketch query is
+    * hash-green like q152's frequency sketch. Estimate: n̂ = m·ln(m/V)
+    * with V = zero bits (each distinct key sets one hash position;
+    * occupancy → expected collisions), floor-quantized ONCE to
+    * milli-units (the q75 ln discipline). The exact COUNT(DISTINCT) rides
+    * along as the gate's comparator.
+    *
+    * Scale shape: the sketch path is the q154 shape exactly — per-group
+    * (word, mask) partial bit_or map-side, m/64 rows per group through
+    * the exchange regardless of corpus size, an O(m) reduce; at
+    * [[LC_M]] = 8192 bits the whole per-group state is 1 KiB. The exact
+    * comparator is the expensive distinct — in production you keep only
+    * the bitmap. */
+  private val LC_M = 8192L
+
+  val q165LinearCounting: Q = (s, d) => {
+    import graft.operators.TextOps
+    val lc = Tables.events(s, d)
+      .select(col("event_type"),
+        pmod(TextOps.hash60(concat(lit("lc:"),
+          col("user_id").cast(StringType))), lit(LC_M)).as("pos"))
+      // 63-bit word packing: DuckDB raises on the signed-overflow shift
+      // 1::BIGINT << 63 that bit 63 would need, so the replayable packing
+      // keeps shifts in 0..62 (one wasted bit per word, same counting)
+      .select(col("event_type"), expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("word")).agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col("event_type"))
+      .agg(sum(bit_count(col("mask")).cast(LongType)).as("used_bits"))
+      .withColumn("zero_bits", lit(LC_M) - col("used_bits"))
+      .withColumn("est_milli",
+        floor(lit(LC_M.toDouble) *
+          log(lit(LC_M.toDouble) / col("zero_bits").cast(DoubleType)) *
+          lit(1000.0)).cast(LongType))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    lc.join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("used_bits"), col("zero_bits"),
+        col("est_milli"), col("n_exact"))
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -1126,6 +1172,7 @@ object OlapQueries {
     "q161_skew_report" -> q161SkewReport,
     "q163_trending_decay" -> q163TrendingDecay,
     "q164_inclusion_deps" -> q164InclusionDeps,
+    "q165_linear_counting" -> q165LinearCounting,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1158,6 +1205,28 @@ object OlapQueries {
         |SELECT event_type, grain, period,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // Same md5 bit positions, same OR-bitmap state, same floor-quantized
+    // m·ln(m/V) estimate, exact distinct as comparator.
+    "q165_linear_counting" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(CAST(('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) % $LC_M AS BIGINT) AS pos
+         |  FROM events),
+         |w AS (SELECT event_type, pos // 63 AS word,
+         |    bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS mask
+         |  FROM b GROUP BY 1, 2),
+         |lc AS (SELECT event_type,
+         |    CAST(sum(bit_count(mask)) AS BIGINT) AS used_bits
+         |  FROM w GROUP BY 1),
+         |e AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT lc.event_type, used_bits, $LC_M - used_bits AS zero_bits,
+         |  CAST(floor(${LC_M}.0 * ln(${LC_M}.0
+         |    / CAST($LC_M - used_bits AS DOUBLE)) * 1000.0) AS BIGINT)
+         |    AS est_milli,
+         |  n_exact
+         |FROM lc JOIN e USING (event_type)""".stripMargin,
     // Same shift-based decay weights, same week arithmetic, same heap order.
     "q163_trending_decay" ->
       s"""WITH m AS (SELECT max(o_orderdate) AS max_d FROM orders),
