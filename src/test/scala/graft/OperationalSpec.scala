@@ -13,7 +13,9 @@ package graft
   * byte-identity / retention / no-op-republish contract (q120), and the
   * forget-delete's containment / no-op / emptied-partition contract (q127),
   * and the zone map's real-skipping guarantee (q128), and the skyline's
-  * partitioning invariance (q140). These assert the semantics the
+  * partitioning invariance (q140), and the bitmap words' week-from-day
+  * re-aggregation (q154), and the consistent-hash ring's movement bound
+  * (q162). These assert the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
