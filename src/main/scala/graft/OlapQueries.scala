@@ -479,6 +479,76 @@ object OlapQueries {
         col("est_milli"), col("n_exact"))
   }
 
+  /** q166: replayable HyperLogLog — completes the cardinality-sketch
+    * ladder: q40 is the engine HLL (internal state → rows-only gate),
+    * q165 is linear counting (bitmap state, accurate only while the
+    * bitmap is sparse), and this is the FULL Flajolet–Durand HLL whose
+    * register state is built from plain SQL so the whole sketch —
+    * state, merge, and estimate — replays bit-exactly in the oracle.
+    * Registers: the 60-bit md5 hash splits into bucket = h mod m
+    * ([[HLL_M]] = 256) and a 52-bit window w = h div m; the register is
+    * the position of w's highest set bit measured from the top,
+    * rho = 53 − bitlength(w) (w = 0 → 53), an EXACT integer both engines
+    * compute via length(bin(w)) — no float log2 at any hash. Per-group
+    * state is max(rho) per bucket: an associative/commutative/idempotent
+    * monoid exactly like q154's bit_or, so registers partial-aggregate
+    * map-side and re-aggregate across grains (OperationalSpec pins
+    * weekly = MAX of dailies). The harmonic mean is integerized before
+    * any float touches it: Z = Σ 2^(53−reg) over all m buckets (empty
+    * buckets contribute 2^53) is an exact BIGINT ≤ 2^61, and the only
+    * float arithmetic is the final αm²·2^53/Z estimate — written as ONE
+    * expression string shared verbatim with the oracle so both engines
+    * run the identical IEEE sequence, then floor-quantized to milli-units.
+    * Small-range regime applies the standard linear-counting fallback
+    * (zeros > 0 and raw ≤ 2.5m → m·ln(m/zeros)).
+    *
+    * Scale shape: the exchange carries ≤ m register rows per group — 256
+    * bytes-ish of state for ANY corpus size, the property that lets a
+    * 100 TB distinct-count run as a map-side sketch + a constant-size
+    * reduce. The exact COUNT(DISTINCT) comparator rides along for the
+    * gate; production keeps only the registers. */
+  private val HLL_M = 256L
+
+  /** αm²·2^53/Z with the small-range LC fallback, as ONE shared SQL
+    * expression (Spark `expr` and DuckDB parse the identical text, so
+    * the IEEE operation sequence — and therefore the floor-quantized
+    * milli-estimate — cannot diverge between the engines). */
+  private def hllEstSql(zerosCol: String, zCol: String): String = {
+    val raw = s"0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * " +
+      s"9007199254740992.0 / CAST($zCol AS DOUBLE)"
+    s"CAST(floor(1000.0 * (CASE WHEN $zerosCol > 0 AND $raw <= 2.5 * 256.0 " +
+      s"THEN 256.0 * ln(256.0 / CAST($zerosCol AS DOUBLE)) " +
+      s"ELSE $raw END)) AS BIGINT)"
+  }
+
+  val q166HllSketch: Q = (s, d) => {
+    import graft.operators.TextOps
+    val regs = Tables.events(s, d)
+      .select(col("event_type"),
+        TextOps.hash60(concat(lit("hll:"),
+          col("user_id").cast(StringType))).as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(HLL_M)).as("bucket"),
+        expr(s"h div $HLL_M").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val st = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("used_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+          .as("zsum"))
+      .withColumn("zeros", lit(HLL_M) - col("used_buckets"))
+      .withColumn("z",
+        col("zsum") + col("zeros") * lit(9007199254740992L)) // + zeros·2^53
+      .withColumn("est_milli", expr(hllEstSql("zeros", "z")))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    st.join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("used_buckets"), col("zeros"),
+        col("z"), col("est_milli"), col("n_exact"))
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -1173,6 +1243,7 @@ object OlapQueries {
     "q163_trending_decay" -> q163TrendingDecay,
     "q164_inclusion_deps" -> q164InclusionDeps,
     "q165_linear_counting" -> q165LinearCounting,
+    "q166_hll_sketch" -> q166HllSketch,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1227,6 +1298,32 @@ object OlapQueries {
          |    AS est_milli,
          |  n_exact
          |FROM lc JOIN e USING (event_type)""".stripMargin,
+    // Same md5 split, same exact-integer bitlength registers, same BIGINT
+    // harmonic sum, and the estimate expression SHARED verbatim with the
+    // Spark side — the full HLL replays bit-for-bit.
+    "q166_hll_sketch" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h % $HLL_M AS bucket,
+         |    max(CASE WHEN h // $HLL_M = 0 THEN 53
+         |      ELSE 53 - length(bin(h // $HLL_M)) END) AS reg
+         |  FROM b GROUP BY 1, 2),
+         |st AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS used_buckets,
+         |    CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zsum
+         |  FROM r GROUP BY 1),
+         |z AS (SELECT event_type, used_buckets,
+         |    $HLL_M - used_buckets AS zeros,
+         |    zsum + ($HLL_M - used_buckets) * 9007199254740992 AS z
+         |  FROM st),
+         |e AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT z.event_type, used_buckets, zeros, z,
+         |  ${hllEstSql("zeros", "z")} AS est_milli, n_exact
+         |FROM z JOIN e USING (event_type)""".stripMargin,
     // Same shift-based decay weights, same week arithmetic, same heap order.
     "q163_trending_decay" ->
       s"""WITH m AS (SELECT max(o_orderdate) AS max_d FROM orders),

@@ -15,7 +15,8 @@ package graft
   * and the zone map's real-skipping guarantee (q128), and the skyline's
   * partitioning invariance (q140), and the bitmap words' week-from-day
   * re-aggregation (q154), and the consistent-hash ring's movement bound
-  * (q162). These assert the semantics the
+  * (q162), and the HLL registers' MAX-mergeability (q166). These assert
+  * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
   * preserve ranking", "same centroids at any parallelism", "Σ picks = K
@@ -538,6 +539,39 @@ class OperationalSpec extends SparkSpec {
     }
     movedMod should be >= (3 * n / 4)
     movedRing.toDouble should be < (movedMod.toDouble / 4)
+  }
+
+  test("q166: HLL registers re-aggregate — weekly registers are the MAX of daily registers") {
+    import org.apache.spark.sql.functions._
+    // the register monoid (max per bucket) must be grain-mergeable like
+    // q154's bit_or: a weekly sketch derivable from retained daily
+    // sketches with no re-scan — and since the estimate is a pure
+    // function of the registers, the merged estimate is exact-equal too
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        graft.operators.TextOps.hash60(concat(lit("hll:"),
+          col("user_id").cast("string"))).as("h"))
+      .select(col("event_type"), col("day"),
+        pmod(col("h"), lit(256L)).as("bucket"), expr("h div 256").as("w"))
+      .select(col("event_type"), col("day"), col("bucket"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) -
+            org.apache.spark.sql.functions.length(bin(col("w")))).as("rho"))
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)) -> r.getInt(3))
+      .toMap
+    val daily = base.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val weeklyFromDaily = regMap(daily
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("period"),
+        col("bucket"))
+      .agg(max(col("reg")).as("reg")))
+    val direct = regMap(base
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("period"),
+        col("bucket"))
+      .agg(max(col("rho")).as("reg")))
+    weeklyFromDaily shouldBe direct
+    direct.nonEmpty shouldBe true
   }
 
   test("q154: bitmap words re-aggregate — weekly masks are the OR of daily masks, counts exact") {
