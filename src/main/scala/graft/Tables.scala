@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -37,22 +38,46 @@ object Tables {
   def documentsDistributed(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(org.apache.spark.sql.functions.col("doc_id"))
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read the raw int64 nanos (legacy conf, set once at session
-    * construction in [[GraftSession]]) and surface `ts` as a proper
-    * microsecond TimestampType column via floor division — see
-    * [[Epoch.floorDiv]]. DuckDB's CAST(ts_ns AS TIMESTAMP) also floors.
+  /** `events` with `ts` surfaced as a microsecond TimestampType column,
+    * whatever physical type the parquet carries. The driver's generator has
+    * shipped two layouts across rounds:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright, so the session
+    *    conf (set in [[GraftSession]], re-asserted here) reads the raw int64
+    *    nanos and we floor-divide to micros ([[Epoch.floorDiv]] — matches
+    *    DuckDB's ns→timestamp cast for pre-1970 instants too);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers TIMESTAMP_NTZ;
+    *    under the session's pinned UTC zone the NTZ→TZ cast is wall-clock and
+    *    instant preserving, and DuckDB reads the same column as its naive
+    *    TIMESTAMP — both sides see identical microsecond values.
+    * Branching on the scanned dtype (not an env flag) keeps every query
+    * correct against either generation of testdata.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(Epoch.floorDiv(col("ts"), 1000L)))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(Epoch.floorDiv(col("ts"), 1000L)))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
-  /** Raw variant keeping `ts` as int64 nanoseconds. */
+  /** Raw variant with `ts` as int64 epoch NANOSECONDS — the contract the
+    * epoch-arithmetic queries (q05) and fixture builders are written against.
+    * When the parquet already carries a timestamp, the nanos are synthesized
+    * as `unix_micros(ts) * 1000` (exact: micros ≈ 1.7e15, ×1000 is far below
+    * Long.MaxValue; the generator's instants have no sub-microsecond part to
+    * lose). */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
-    load(spark, dir, "events")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   /** [[GraftSession]] sets `nanosAsLong` at build time for all our mains and
