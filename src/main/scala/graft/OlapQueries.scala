@@ -549,6 +549,90 @@ object OlapQueries {
         col("z"), col("est_milli"), col("n_exact"))
   }
 
+  /** q167: sketch SET ALGEBRA — the property that justifies keeping sketch
+    * states at all: q165's per-type linear-counting bitmaps answer not just
+    * "how many distinct users did type X" but "how many did X OR Y" and
+    * "X AND Y" from the STATES ALONE, with no second corpus scan. The
+    * union sketch of two types is the OR of their bitmaps (the q154/q165
+    * monoid, so used(A∪B) = used(A) + used(B) − shared popcount), its
+    * cardinality comes from the same m·ln(m/V) estimator, and the
+    * intersection estimate is inclusion–exclusion over the three
+    * floor-quantized milli-estimates — exact BIGINT subtraction, so both
+    * engines agree bit-for-bit. This is the sketch twin of q159's exact
+    * AND-popcount overlap matrix, built on the SAME "lc:" hash positions
+    * as q165, so the states in play are literally the ones q165 ships.
+    *
+    * Scale shape: one corpus scan builds the per-(type, word) masks
+    * (map-side bit_or partials, ≤ m/63 words per type through the
+    * exchange); everything pairwise happens on sketch state — the
+    * word-keyed self-join touches |types|·m/63 rows REGARDLESS of corpus
+    * size, where q159's exact matrix still scales with |users|/64. The
+    * exact distinct/intersection comparators ride along for the gate (a
+    * production deployment keeps only the 1 KiB-per-type bitmaps).
+    * Saturation guard: a bitmap with zero unset bits has no LC estimate —
+    * the shared expression yields the −1 sentinel instead of ln(∞), and
+    * inclusion–exclusion propagates it. */
+  private def lcEstSql(zerosExpr: String): String =
+    s"CASE WHEN $zerosExpr > 0 THEN CAST(floor(${LC_M}.0 * " +
+      s"ln(${LC_M}.0 / CAST($zerosExpr AS DOUBLE)) * 1000.0) AS BIGINT) " +
+      "ELSE CAST(-1 AS BIGINT) END"
+
+  val q167SketchAlgebra: Q = (s, d) => {
+    import graft.operators.TextOps
+    val masks = Tables.events(s, d)
+      .select(col("event_type"),
+        pmod(TextOps.hash60(concat(lit("lc:"),
+          col("user_id").cast(StringType))), lit(LC_M)).as("pos"))
+      .select(col("event_type"), expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("word")).agg(expr("bit_or(m)").as("mask"))
+    val sizes = masks.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("mask")).cast(LongType)).as("used"))
+    val shared = masks.as("a").join(masks.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+        .cast(LongType)).as("shared_bits"))
+    val du = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exactSz = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val exactPair = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    shared
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("used").as("used_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("used").as("used_b"))), "type_b")
+      .join(broadcast(exactSz.select(col("event_type").as("type_a"),
+        col("n_exact").as("n_exact_a"))), "type_a")
+      .join(broadcast(exactSz.select(col("event_type").as("type_b"),
+        col("n_exact").as("n_exact_b"))), "type_b")
+      .join(broadcast(exactPair), Seq("type_a", "type_b"))
+      .withColumn("used_union",
+        col("used_a") + col("used_b") - col("shared_bits"))
+      .withColumn("est_a_milli", expr(lcEstSql(s"($LC_M - used_a)")))
+      .withColumn("est_b_milli", expr(lcEstSql(s"($LC_M - used_b)")))
+      .withColumn("est_union_milli", expr(lcEstSql(s"($LC_M - used_union)")))
+      .withColumn("est_inter_milli",
+        when(col("est_a_milli") >= 0 && col("est_b_milli") >= 0 &&
+            col("est_union_milli") >= 0,
+          col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+          .otherwise(lit(-1L)))
+      .withColumn("n_union_exact",
+        col("n_exact_a") + col("n_exact_b") - col("n_inter_exact"))
+      .select(col("type_a"), col("type_b"), col("shared_bits"),
+        col("used_a"), col("used_b"), col("used_union"),
+        col("est_a_milli"), col("est_b_milli"), col("est_union_milli"),
+        col("est_inter_milli"), col("n_exact_a"), col("n_exact_b"),
+        col("n_inter_exact"), col("n_union_exact"))
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -1244,6 +1328,7 @@ object OlapQueries {
     "q164_inclusion_deps" -> q164InclusionDeps,
     "q165_linear_counting" -> q165LinearCounting,
     "q166_hll_sketch" -> q166HllSketch,
+    "q167_sketch_algebra" -> q167SketchAlgebra,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1324,6 +1409,55 @@ object OlapQueries {
          |SELECT z.event_type, used_buckets, zeros, z,
          |  ${hllEstSql("zeros", "z")} AS est_milli, n_exact
          |FROM z JOIN e USING (event_type)""".stripMargin,
+    // Same "lc:" md5 bitmaps as q165, pairwise shared popcounts, the SAME
+    // floor-quantized estimator text on all three cardinalities, exact
+    // distinct/intersection comparators via the direct user-level joins.
+    "q167_sketch_algebra" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(CAST(('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) % $LC_M AS BIGINT) AS pos
+         |  FROM events),
+         |w AS (SELECT event_type, pos // 63 AS word,
+         |    bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS mask
+         |  FROM b GROUP BY 1, 2),
+         |sz AS (SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS used
+         |  FROM w GROUP BY 1),
+         |sh AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS shared_bits
+         |  FROM w a JOIN w b ON a.word = b.word AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM du GROUP BY 1),
+         |ip AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter_exact
+         |  FROM du x JOIN du y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |  GROUP BY 1, 2),
+         |j AS (SELECT sh.type_a, sh.type_b, shared_bits,
+         |    sa.used AS used_a, sb.used AS used_b,
+         |    sa.used + sb.used - shared_bits AS used_union,
+         |    ea.n_exact AS n_exact_a, eb.n_exact AS n_exact_b, n_inter_exact
+         |  FROM sh
+         |  JOIN sz sa ON sa.event_type = sh.type_a
+         |  JOIN sz sb ON sb.event_type = sh.type_b
+         |  JOIN ex ea ON ea.event_type = sh.type_a
+         |  JOIN ex eb ON eb.event_type = sh.type_b
+         |  JOIN ip ON ip.type_a = sh.type_a AND ip.type_b = sh.type_b),
+         |est AS (SELECT *,
+         |    ${lcEstSql(s"($LC_M - used_a)")} AS est_a_milli,
+         |    ${lcEstSql(s"($LC_M - used_b)")} AS est_b_milli,
+         |    ${lcEstSql(s"($LC_M - used_union)")} AS est_union_milli
+         |  FROM j)
+         |SELECT type_a, type_b, shared_bits, used_a, used_b, used_union,
+         |  est_a_milli, est_b_milli, est_union_milli,
+         |  CASE WHEN est_a_milli >= 0 AND est_b_milli >= 0
+         |      AND est_union_milli >= 0
+         |    THEN est_a_milli + est_b_milli - est_union_milli
+         |    ELSE CAST(-1 AS BIGINT) END AS est_inter_milli,
+         |  n_exact_a, n_exact_b, n_inter_exact,
+         |  n_exact_a + n_exact_b - n_inter_exact AS n_union_exact
+         |FROM est""".stripMargin,
     // Same shift-based decay weights, same week arithmetic, same heap order.
     "q163_trending_decay" ->
       s"""WITH m AS (SELECT max(o_orderdate) AS max_d FROM orders),

@@ -57,6 +57,43 @@ object SampleQueries {
         (sum(col("wc").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
           .as("mean_wc"))
 
+  /** q168: EXACT percentiles WITHOUT the per-group sort — the third member
+    * of the percentile ladder: q32 is exact-by-sort (collects every value
+    * per group), q40 is approximate (t-digest, rows-only gate); this is
+    * exact AND mergeable, exploiting that the metric's domain is bounded
+    * integers (word counts): the corpus collapses to a (lang, wc) → count
+    * HISTOGRAM first (map-side combined, the value-distribution state an
+    * ANALYZE pass ships), the cumulative walk runs over NDV(wc) rows —
+    * never corpus rows — and the discrete percentile is the smallest value
+    * whose cumulative count covers ⌈p·n⌉, decided by integer
+    * cross-multiplication (100·cum ≥ pct·n), so no IEEE operation exists
+    * anywhere in the query. Discrete ("type 1") percentiles, not q32's
+    * interpolated ones: the answer is always a value that occurs in the
+    * data.
+    *
+    * Scale shape: one groupBy exchange carrying NDV(lang, wc) rows (for
+    * text word-counts, thousands — regardless of corpus size), one
+    * NDV-sized window per lang, one 5-row final aggregate. Histogram
+    * states merge by addition across shards/days (the q152/q154 mergeable
+    * discipline). The oracle computes the same percentiles the brute way —
+    * row_number over every value — so the gate proves the histogram path
+    * against the full sort it replaces. */
+  val q168HistogramPercentiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .select(col("lang"), size(TextOps.words(col("text"))).as("wc"))
+      .groupBy(col("lang"), col("wc")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("wc"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    def pctVal(pct: Int): Column =
+      min(when(col("cum") * 100 >= col("n") * pct, col("wc")))
+    cum.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        pctVal(50).as("p50"), pctVal(90).as("p90"), pctVal(99).as("p99"))
+  }
+
   /** q37: deterministic training-shard materialization — every document
     * gets a stable shard id (md5-hash mod n, engine-portable like q31's
     * buckets) and a position within its shard, ordered by a second
@@ -591,6 +628,7 @@ object SampleQueries {
     "q31_stratified_sample" -> q31StratifiedSample,
     "q63_exact_sample"      -> q63ExactSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
+    "q168_histogram_percentiles" -> q168HistogramPercentiles,
     "q37_training_shards"   -> q37TrainingShards,
     "q74_epoch_reshuffle"   -> q74EpochReshuffle,
     "q40_approx_stats"      -> q40ApproxStats,
@@ -747,6 +785,22 @@ object SampleQueries {
         |  CAST(sum(CAST(wc AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_wc
         |FROM (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS wc
         |      FROM documents) GROUP BY lang""".stripMargin,
+    // The brute-force formulation the histogram replaces: rank every value
+    // with row_number, pick the one at ceil(p*n) — same integer
+    // cross-multiplied rank rule, no histogram anywhere.
+    "q168_histogram_percentiles" ->
+      """WITH v AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS wc
+        |  FROM documents),
+        |r AS (SELECT lang, wc,
+        |    row_number() OVER (PARTITION BY lang ORDER BY wc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM v)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN rn * 100 >= n * 50 THEN wc END) AS p50,
+        |  min(CASE WHEN rn * 100 >= n * 90 THEN wc END) AS p90,
+        |  min(CASE WHEN rn * 100 >= n * 99 THEN wc END) AS p99
+        |FROM r GROUP BY lang""".stripMargin,
     "q37_training_shards" ->
       s"""WITH h AS (SELECT doc_id,
          |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)

@@ -158,6 +158,7 @@ object ScaleQueries {
     "q126_layout_audit"     -> Seq("graft_docs_part"),
     "q127_forget_delete"    -> Seq("graft_docs_del"),
     "q128_zone_map"         -> Seq("graft_events_zm"),
+    "q169_bloom_skipping"   -> Seq("graft_docs_bl", "graft_docs_blidx"),
     "q132_checkpoint_resume" -> Seq("graft_kmeans_ckpt"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
@@ -310,6 +311,103 @@ object ScaleQueries {
       .collect()
       .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
       .map(_.getString(0)).toSeq
+
+  /** q169: BLOOM-FILTER file skipping — the point-lookup complement of
+    * q128's zone maps: min/max intervals prune range predicates but are
+    * useless for equality lookups on a key the layout is NOT ordered by
+    * (here the layout is range-partitioned by n_chars, so every file's
+    * doc_id interval spans the whole domain). A per-file Bloom filter —
+    * [[BF_K]] md5-derived bit positions per key in an [[BF_M]]-bit bitmap,
+    * the q154/q165 word monoid again, so the filter builds as one
+    * map-side bit_or aggregate — answers "might this file contain key x"
+    * from [[BF_M]]/63 words of metadata per file. The index is a
+    * WRITE-ONCE SIDECAR table fingerprint-chained to the layout it
+    * indexes (layout rebuild → new file names → sidecar rebuilds), which
+    * is exactly the Delta/Iceberg/Parquet-bloom deployment shape: metadata
+    * ∝ files, consulted BEFORE the scan, only candidate files opened.
+    * False positives cost an extra file read, never a wrong row — the
+    * flat-filter oracle enforces that. OperationalSpec asserts the
+    * candidate set is a strict subset of the files and that an absent key
+    * blooms negative (zero files opened).
+    *
+    * Scale shape: the probe reads ~[[BF_FILES]]·[[BF_M]]/63 sidecar rows
+    * (driver-side, bounded by file count), then scans ONLY candidate
+    * files with the IN-list pushed to parquet. At 100 TB the sidecar for
+    * a million-file table is ~65M tiny rows — still a metadata-scale
+    * lookup joinable against probe batches instead of collected. */
+  private[graft] val BF_M = 4096L
+  private[graft] val BF_K = 4
+  private val BF_FILES = 16
+  /** Probe workload: keys present at every scale + one key absent at every
+    * scale (doc_ids are dense 0..N−1; 999999937 exceeds any sf). */
+  private[graft] val BF_PROBES: Seq[Long] =
+    Seq(3L, 77L, 240L, 499L, 1234L, 2718L, 4242L, 999999937L)
+
+  /** The Spark-side bloom positions of a key column: k salted 60-bit md5
+    * hashes mod m (the q31/q37 content-stable hash discipline). */
+  private def bloomPositions(key: org.apache.spark.sql.Column) = {
+    import graft.operators.TextOps
+    (0 until BF_K).map(i =>
+      pmod(TextOps.hash60(concat(lit(s"bf$i:"),
+        key.cast(StringType))), lit(BF_M)))
+  }
+
+  /** The same positions for a literal key, driver-side (bit-identical md5
+    * arithmetic — this is the probe path, which never touches the data). */
+  private[graft] def bloomPositionsJvm(key: Long): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until BF_K).map { i =>
+      val hex = md.digest(s"bf$i:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % BF_M
+    }
+  }
+
+  /** Build (write-once) the layout + its bloom sidecar; return both dirs. */
+  private[graft] def bloomLayout(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    val dir = Scale.writeOnce(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartitionByRange(BF_FILES, col("n_chars"), col("doc_id")),
+      s"graft_docs_bl_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/documents.parquet"))
+    val pos = bloomPositions(col("doc_id"))
+    val idx = Scale.writeOnce(
+      s.read.parquet(dir)
+        .select(input_file_name().as("f"), col("doc_id"))
+        .select(col("f"), explode(array(pos: _*)).as("pos"))
+        .select(col("f"), expr("pos div 63").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
+        .groupBy(col("f"), col("word")).agg(expr("bit_or(m)").as("mask")),
+      s"graft_docs_blidx_${sfTag(d)}", Scale.dirFingerprint(dir))
+    (dir, idx)
+  }
+
+  /** Consult the sidecar: files where EVERY bit of at least one probe key
+    * is set. Exposed so OperationalSpec can assert real skipping. */
+  private[graft] def bloomCandidates(s: org.apache.spark.sql.SparkSession,
+      idx: String, probes: Seq[Long]): Seq[String] = {
+    val masks: Map[String, Map[Long, Long]] =
+      s.read.parquet(idx).collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) =>
+          f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val want = probes.map(k =>
+      bloomPositionsJvm(k).map(p => (p / 63, 1L << (p % 63).toInt)))
+    masks.collect { case (f, words)
+        if want.exists(_.forall { case (w, bit) =>
+          (words.getOrElse(w, 0L) & bit) != 0L }) => f }.toSeq
+  }
+
+  val q169BloomSkipping: Q = (s, d) => {
+    val (dir, idx) = bloomLayout(s, d)
+    val hit = bloomCandidates(s, idx, BF_PROBES)
+    (if (hit.isEmpty) s.read.parquet(dir).limit(0)
+     else s.read.parquet(hit: _*))
+      .filter(col("doc_id").isin(BF_PROBES: _*))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 
   /** q55: stats-driven compaction — rewrite `documents` into ~128 KB
     * files (count from Catalyst size stats, not a constant) and read the
@@ -506,6 +604,7 @@ object ScaleQueries {
     "q126_layout_audit" -> q126LayoutAudit,
     "q127_forget_delete" -> q127ForgetDelete,
     "q128_zone_map" -> q128ZoneMap,
+    "q169_bloom_skipping" -> q169BloomSkipping,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
@@ -580,6 +679,11 @@ object ScaleQueries {
     "q128_zone_map" ->
       """SELECT event_id, value FROM events
         |WHERE value IS NOT NULL AND value >= 40.0 AND value <= 45.0""".stripMargin,
+    // The flat IN-list: bloom consultation and file skipping must be
+    // invisible to results (false positives cost reads, never rows).
+    "q169_bloom_skipping" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (${BF_PROBES.mkString(", ")})""".stripMargin,
     // Source minus the target predicate: the delete machinery must be
     // invisible to surviving rows.
     "q127_forget_delete" ->

@@ -598,4 +598,27 @@ class OperationalSpec extends SparkSpec {
     weeklyFromDaily shouldBe direct
     direct.nonEmpty shouldBe true
   }
+
+  test("q169: bloom skipping opens a strict subset of files; an absent key opens none; results equal the flat filter") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01" // 16-file layout: skipping is visible
+    val (dir, idx) = ScaleQueries.bloomLayout(spark, d)
+    val total = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    // a single present key must touch its own file but skip most others
+    // (16 files × 4096-bit filters at ≤ ~315 keys/file: FP rate « 50%)
+    val one = ScaleQueries.bloomCandidates(spark, idx, Seq(240L))
+    one.size should be >= 1
+    one.size.toLong should be < total
+    // the absent probe key blooms negative everywhere — zero files opened
+    ScaleQueries.bloomCandidates(spark, idx, Seq(999999937L)) shouldBe empty
+    // skipping must be invisible to results
+    val got = ScaleQueries.q169BloomSkipping(spark, d)
+      .collect().map(_.getLong(0)).sorted
+    val want = Tables.documents(spark, d)
+      .filter(col("doc_id").isin(ScaleQueries.BF_PROBES: _*))
+      .collect().map(_.getLong(0)).sorted
+    got shouldBe want
+    got.nonEmpty shouldBe true
+  }
 }

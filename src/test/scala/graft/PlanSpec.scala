@@ -936,4 +936,25 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
   }
+
+  test("q168 histogram percentiles: corpus collapses map-side to the histogram — no corpus range sort anywhere") {
+    val p = plan(SampleQueries.q168HistogramPercentiles(spark, sf))
+    // the first aggregate (lang, wc) → count partial-aggregates before its
+    // exchange, so the shuffle carries histogram rows, never documents
+    p should include("partial_count")
+    // the window's sort is a local sort over NDV rows after a hash
+    // exchange; a rangepartitioning exchange would mean a global sort of
+    // corpus rows snuck in
+    p should not include "rangepartitioning"
+  }
+
+  test("q167 sketch algebra: pairwise work runs on sketch state — masks partial-aggregate map-side, no cartesian") {
+    val p = plan(OlapQueries.q167SketchAlgebra(spark, sf))
+    // the bitmap build collapses map-side (bit_or partials), so the word
+    // exchange carries ≤ m/63 mask rows per type — never events
+    p should include("partial_bit_or")
+    // the word self-join and every pair merge are keyed joins on state
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

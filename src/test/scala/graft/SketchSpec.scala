@@ -93,4 +93,28 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     halves shouldBe whole
   }
+
+  test("q167 set algebra: inclusion–exclusion is the exact integer identity; estimates track the exact set sizes") {
+    // sf0.01: per-type audiences ≈ thousands on an 8192-bit bitmap —
+    // squarely in linear counting's accurate occupancy regime
+    val rows = OlapQueries.q167SketchAlgebra(spark, "/root/testdata/sf0.01").collect()
+    rows.length should be >= 1
+    rows.foreach { r =>
+      def l(f: String) = r.getAs[Long](f)
+      // the intersection estimate IS the subtraction of the three floored
+      // milli-estimates — an integer identity, not an approximation
+      l("est_inter_milli") shouldBe
+        l("est_a_milli") + l("est_b_milli") - l("est_union_milli")
+      // no saturation sentinel at this occupancy
+      l("est_a_milli") should be >= 0L
+      l("est_union_milli") should be >= 0L
+      // LC standard error at m=8192, n≈6k is ~1.5%; allow generous 10%+50
+      def close(estMilli: Long, exact: Long): Unit =
+        math.abs(estMilli / 1000.0 - exact) should be <= (exact * 0.10 + 50)
+      close(l("est_a_milli"), l("n_exact_a"))
+      close(l("est_b_milli"), l("n_exact_b"))
+      close(l("est_union_milli"), l("n_union_exact"))
+      close(l("est_inter_milli"), l("n_inter_exact"))
+    }
+  }
 }
