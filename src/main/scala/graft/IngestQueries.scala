@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.schemas.Schemas
-import graft.sources.{Fixtures, JsonSource}
+import graft.sources.{CsvSource, Fixtures, JsonSource}
 
 /** Ingestion-layer queries (SURVEY.md §2.1 S1/S2/S3): the reference's two
   * COPY modes re-expressed as declared-schema JSON scans over deterministic
@@ -72,9 +72,31 @@ object IngestQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** q170: CSV ingestion with reject quarantine — the third source format
+    * (parquet tables, JSON fixtures q11/q12, now COPY-from-CSV): a
+    * declared-schema RFC-4180 scan over the orders-derived fixture whose
+    * `comment` field carries embedded commas AND doubled quotes, empty
+    * strings read back as NULLs, the text date CAST to TIMESTAMP in the
+    * query, and three deliberately garbage lines (wrong arity, non-numeric
+    * BIGINT, free text) captured per-line by the tolerant scan — the clean
+    * split is the result; CsvSourceSpec pins the reject side (count and
+    * raw-text capture). The oracle reads the SAME files with DuckDB
+    * `read_csv` (ignore_errors drops exactly the lines Spark quarantines),
+    * so quoting, nulls, doubles, and timestamps all round-trip
+    * bit-identically through two independent CSV parsers. */
+  val q170CsvScan: Q = (s, d) => {
+    val dir = Fixtures.ensureOrdersCsv(s, d)
+    CsvSource.tolerant(s, dir, Fixtures.ordersCsvSchema)
+      .filter(col("_corrupt_record").isNull)
+      .select(col("order_id"), col("cust_id"), col("status"), col("total"),
+        col("odate").cast(TimestampType).as("odate"),
+        col("priority"), col("comment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q11_json_events_scan" -> q11JsonEventsScan,
     "q12_json_songs_scan"  -> q12JsonSongsScan,
+    "q170_csv_scan"        -> q170CsvScan,
     "q56_schema_evolution" -> q56SchemaEvolution)
 
   /** The fixture dir the oracle's read_json points at must be the EXACT
@@ -127,5 +149,16 @@ object IngestQueries {
          |  CAST(artist_longitude AS VARCHAR) AS artist_longitude,
          |  artist_location, artist_name, song_id, title,
          |  CAST(duration AS VARCHAR) AS duration, year
-         |FROM $songsReadJson""".stripMargin)
+         |FROM $songsReadJson""".stripMargin,
+    // An independent RFC-4180 parser over the same files; ignore_errors
+    // drops exactly the lines the tolerant Spark scan quarantines.
+    "q170_csv_scan" ->
+      s"""SELECT order_id, cust_id, status, total,
+         |  CAST(odate AS TIMESTAMP) AS odate, priority, comment
+         |FROM read_csv('${Fixtures.ordersCsvDir(oracleSf)}/*.csv',
+         |  columns={'order_id':'BIGINT','cust_id':'BIGINT','status':'VARCHAR',
+         |           'total':'DOUBLE','odate':'VARCHAR','priority':'VARCHAR',
+         |           'comment':'VARCHAR'},
+         |  header=false, quote='"', escape='"', nullstr='',
+         |  ignore_errors=true)""".stripMargin)
 }

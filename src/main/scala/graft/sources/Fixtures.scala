@@ -31,6 +31,7 @@ object Fixtures {
 
   def eventsJsonDir(sfDir: String): String = s"$root/${sfName(sfDir)}/events_json"
   def songsJsonDir(sfDir: String): String  = s"$root/${sfName(sfDir)}/songs_json"
+  def ordersCsvDir(sfDir: String): String  = s"$root/${sfName(sfDir)}/orders_csv"
 
   private def done(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_SUCCESS"))
@@ -134,6 +135,64 @@ object Fixtures {
           (lit(1990) + pmod(col("p_size"), lit(30))).as("year"))
         .repartition(8)
         .write.mode("overwrite").json(dir)
+    }
+    dir
+  }
+
+  /** Declared schema of the orders CSV fixture (the COPY-from-CSV shape:
+    * no header, every type explicit). `odate` stays VARCHAR at scan level
+    * and is CAST to TIMESTAMP by the query — the one text→time format both
+    * engines parse identically. */
+  val ordersCsvSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("cust_id", LongType),
+    StructField("status", StringType),
+    StructField("total", DoubleType),
+    StructField("odate", StringType),
+    StructField("priority", StringType),
+    StructField("comment", StringType)))
+
+  /** Number of deliberately corrupt lines appended to the CSV fixture
+    * (wrong arity, non-numeric BIGINT, free garbage) — the quarantine
+    * spec's expected reject count. */
+  val ordersCsvCorrupt: Seq[String] = Seq(
+    """13000001,notanumber,O,1.5,2020-01-01 00:00:00,1-URGENT,bad bigint""",
+    """13000002,7""",
+    """!!!""")
+
+  /** RFC-4180 CSV derived from `orders`: quoted fields with embedded commas
+    * AND embedded (doubled) double-quotes in `comment`, empty-string NULLs,
+    * plus [[ordersCsvCorrupt]] garbage lines appended as their own part
+    * file so the tolerant scan has real rejects to quarantine. No embedded
+    * newlines BY CHOICE: multiLine CSV cannot split across tasks — a
+    * newline-free quoting discipline keeps the 100 TB scan splittable.
+    * Completion marker is our own (`_graft_csv_done`, written AFTER the
+    * corrupt lines land) so a half-built fixture can never be read. */
+  def ensureOrdersCsv(spark: SparkSession, sfDir: String): String = {
+    val dir = ordersCsvDir(sfDir)
+    if (!Files.exists(Paths.get(dir, "_graft_csv_done"))) {
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_orderkey").as("order_id"),
+          // ~1/23 anonymous orders: the empty-string NULL round-trip
+          when(pmod(col("o_orderkey"), lit(23)) === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
+          col("o_orderpriority").as("priority"),
+          concat(lit("prio \""), col("o_orderpriority"),
+            lit("\", key "), col("o_orderkey"),
+            lit(", status "), col("o_orderstatus")).as("comment"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", "false")
+        .option("quote", "\"").option("escape", "\"") // RFC-4180 "" doubling
+        .option("nullValue", "")
+        .csv(dir)
+      Files.write(Paths.get(dir, "zz_corrupt.csv"),
+        (ordersCsvCorrupt.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.write(Paths.get(dir, "_graft_csv_done"), Array.emptyByteArray)
     }
     dir
   }
