@@ -633,6 +633,69 @@ object OlapQueries {
         col("n_inter_exact"), col("n_union_exact"))
   }
 
+  /** q171: CHANGEPOINT detection — the "when did this metric's regime
+    * shift" monitor that sits beside q133's two-snapshot drift test and
+    * q156's two-period decomposition, but with the split point UNKNOWN:
+    * for each event_type's daily value series, the single split that
+    * maximizes the between-segment sum of squares (equivalently minimizes
+    * the two-segment SSE — the k=2 step of binary-segmentation
+    * changepoint algorithms and of CART's regression split). The exact
+    * path: daily (count, decimal-sum) moments collapse map-side; prefix
+    * sums over the day series are EXACT decimal/integer window sums; each
+    * candidate's gain (s_l·n_r − s_r·n_l)²/(n_l·n_r·n) touches floats
+    * only inside ONE expression whose text is shared verbatim with the
+    * oracle (the q150/q166 discipline: identical IEEE sequence, then
+    * floor-quantized to milli-units), and the argmax breaks ties on the
+    * earliest day. No ss moment is needed — between-SS needs only
+    * (n, s) per side.
+    *
+    * Scale shape: one map-side-combined exchange carrying (type, day)
+    * moment rows; every window (prefix, total, argmax rank) runs over
+    * days-per-type rows — hundreds, regardless of corpus size. This is
+    * the q137/q148 bound: the corpus is touched once, everything after is
+    * metadata-sized. */
+  private def cpGainSql(sl: String, sr: String, nl: String, nr: String,
+      n: String): String = {
+    val dev = s"(($sl) * CAST($nr AS DOUBLE) - ($sr) * CAST($nl AS DOUBLE))"
+    s"CAST(floor(1000.0 * ($dev * $dev) / (CAST($nl AS DOUBLE) * " +
+      s"CAST($nr AS DOUBLE) * CAST($n AS DOUBLE))) AS BIGINT)"
+  }
+
+  val q171Changepoint: Q = (s, d) =>
+    changepoint(Tables.events(s, d))
+
+  /** The q171 machinery over any (event_type, ts, value) frame — exposed so
+    * OperationalSpec can verify a PLANTED regime shift is recovered. */
+  private[graft] def changepoint(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("dn"),
+        sum(col("value").cast(DecimalType(18, 6))).as("ds"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cands = daily
+      .withColumn("n_left", sum(col("dn")).over(wOrd))
+      .withColumn("s_left_dec", sum(col("ds")).over(wOrd))
+      .withColumn("n", sum(col("dn")).over(wAll))
+      .withColumn("s_dec", sum(col("ds")).over(wAll))
+      .withColumn("n_right", col("n") - col("n_left"))
+      .filter(col("n_right") > 0) // every day boundary except the last
+      .withColumn("s_left", col("s_left_dec").cast(DoubleType))
+      .withColumn("s_right",
+        (col("s_dec") - col("s_left_dec")).cast(DoubleType))
+      .withColumn("gain_milli",
+        expr(cpGainSql("s_left", "s_right", "n_left", "n_right", "n")))
+    cands
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("gain_milli").desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n_left"), col("n_right"), col("s_left"), col("s_right"),
+        col("gain_milli"))
+  }
+
   /** q156: metric delta attribution — the "why did revenue move"
     * decomposition every metrics platform runs when a headline number
     * shifts between two periods: total 2000-vs-1999 revenue delta broken
@@ -1329,6 +1392,7 @@ object OlapQueries {
     "q165_linear_counting" -> q165LinearCounting,
     "q166_hll_sketch" -> q166HllSketch,
     "q167_sketch_algebra" -> q167SketchAlgebra,
+    "q171_changepoint" -> q171Changepoint,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1458,6 +1522,32 @@ object OlapQueries {
          |  n_exact_a, n_exact_b, n_inter_exact,
          |  n_exact_a + n_exact_b - n_inter_exact AS n_union_exact
          |FROM est""".stripMargin,
+    // Same daily decimal moments, same exact prefix sums, the gain
+    // expression SHARED verbatim, same earliest-day tiebreak.
+    "q171_changepoint" ->
+      s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |    count(*) AS dn, sum(CAST(value AS DECIMAL(18,6))) AS ds
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |pre AS (SELECT event_type, day,
+         |    sum(dn) OVER w AS n_left, sum(ds) OVER w AS s_left_dec,
+         |    sum(dn) OVER p AS n, sum(ds) OVER p AS s_dec
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         |         p AS (PARTITION BY event_type)),
+         |c AS (SELECT event_type, day, n_left, n - n_left AS n_right, n,
+         |    CAST(s_left_dec AS DOUBLE) AS s_left,
+         |    CAST(s_dec - s_left_dec AS DOUBLE) AS s_right
+         |  FROM pre WHERE n - n_left > 0),
+         |g AS (SELECT *,
+         |    ${cpGainSql("s_left", "s_right", "n_left", "n_right", "n")}
+         |      AS gain_milli
+         |  FROM c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gain_milli DESC, day) AS rk FROM g)
+         |SELECT event_type, day AS split_day,
+         |  CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+         |  s_left, s_right, gain_milli
+         |FROM r WHERE rk = 1""".stripMargin,
     // Same shift-based decay weights, same week arithmetic, same heap order.
     "q163_trending_decay" ->
       s"""WITH m AS (SELECT max(o_orderdate) AS max_d FROM orders),

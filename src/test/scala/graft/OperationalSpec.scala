@@ -599,6 +599,26 @@ class OperationalSpec extends SparkSpec {
     direct.nonEmpty shouldBe true
   }
 
+  test("q171: a planted regime shift is recovered exactly — the argmax lands on the true boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 60 days of one event per day: value 10.0 through day 39, 20.0 after.
+    // Between-segment SS is maximized exactly at the planted boundary.
+    val ev = (0 until 60).map { i =>
+      ("shift", java.sql.Timestamp.valueOf(f"2024-03-${"%02d".format(i % 30 + 1)} 12:00:00")
+        , i) }
+      .toDF("event_type", "ts0", "i")
+      .select(col("event_type"),
+        (col("ts0") + expr("make_interval(0, 0, 0, CAST(i / 30 AS INT) * 30, 0, 0, 0)")).as("ts"),
+        when(col("i") < 40, lit(10.0)).otherwise(lit(20.0)).as("value"))
+    val r = OlapQueries.changepoint(ev).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_left") shouldBe 40L
+    r.head.getAs[Long]("n_right") shouldBe 20L
+    // the split day is the LAST day of the left regime
+    r.head.getAs[java.sql.Timestamp]("split_day").toString should startWith("2024-04-09")
+  }
+
   test("q169: bloom skipping opens a strict subset of files; an absent key opens none; results equal the flat filter") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01" // 16-file layout: skipping is visible
