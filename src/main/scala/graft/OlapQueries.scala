@@ -453,18 +453,28 @@ object OlapQueries {
     * the bitmap. */
   private val LC_M = 8192L
 
-  val q165LinearCounting: Q = (s, d) => {
+  /** The per-(event_type, word) LC bitmap state over the "lc:" hash
+    * positions — ONE builder shared by q165 (cardinality), q167 (pair
+    * algebra), and the streaming twin (bit_or is associative, commutative
+    * and idempotent, so the identical plan runs as a Complete-mode
+    * streaming aggregation whose state IS this word table — StreamingSpec).
+    * 63-bit word packing: DuckDB raises on the signed-overflow shift
+    * 1::BIGINT << 63 that bit 63 would need, so the replayable packing
+    * keeps shifts in 0..62 (one wasted bit per word, same counting). */
+  private[graft] def lcMasks(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.operators.TextOps
-    val lc = Tables.events(s, d)
+    events
       .select(col("event_type"),
         pmod(TextOps.hash60(concat(lit("lc:"),
           col("user_id").cast(StringType))), lit(LC_M)).as("pos"))
-      // 63-bit word packing: DuckDB raises on the signed-overflow shift
-      // 1::BIGINT << 63 that bit 63 would need, so the replayable packing
-      // keeps shifts in 0..62 (one wasted bit per word, same counting)
       .select(col("event_type"), expr("pos div 63").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
       .groupBy(col("event_type"), col("word")).agg(expr("bit_or(m)").as("mask"))
+  }
+
+  val q165LinearCounting: Q = (s, d) => {
+    val lc = lcMasks(Tables.events(s, d))
       .groupBy(col("event_type"))
       .agg(sum(bit_count(col("mask")).cast(LongType)).as("used_bits"))
       .withColumn("zero_bits", lit(LC_M) - col("used_bits"))
@@ -578,14 +588,7 @@ object OlapQueries {
       "ELSE CAST(-1 AS BIGINT) END"
 
   val q167SketchAlgebra: Q = (s, d) => {
-    import graft.operators.TextOps
-    val masks = Tables.events(s, d)
-      .select(col("event_type"),
-        pmod(TextOps.hash60(concat(lit("lc:"),
-          col("user_id").cast(StringType))), lit(LC_M)).as("pos"))
-      .select(col("event_type"), expr("pos div 63").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
-      .groupBy(col("event_type"), col("word")).agg(expr("bit_or(m)").as("mask"))
+    val masks = lcMasks(Tables.events(s, d))
     val sizes = masks.groupBy(col("event_type"))
       .agg(sum(bit_count(col("mask")).cast(LongType)).as("used"))
     val shared = masks.as("a").join(masks.as("b"),

@@ -527,6 +527,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LC sketch state (q165/q167's builder) equals the batch masks on a chopped feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // the SAME builder as q165/q167: the Complete-mode aggregation state IS
+    // the LC bitmap word table, so a stream and a batch over the same
+    // events ship bit-identical sketch states — and everything derived
+    // from states (cardinality estimates, q167's union/intersection
+    // algebra) is automatically stream-correct too
+    val q = OlapQueries.lcMasks(input.toDS().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("q165_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val feed = Seq[(String, Long)](
+        ("click", 11L), ("click", 207L), ("click", 11L), // re-arrival: idempotent
+        ("view", 11L),                                   // same user, other type
+        ("view", 3042L), ("click", 99999L))
+      val (b1, b2) = feed.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+      val streamed = spark.table("q165_twin_test")
+        .collect().map(r => key(r) -> r.getLong(2)).toMap
+      val batch = OlapQueries.lcMasks(feed.toDF("event_type", "user_id"))
+        .collect().map(r => key(r) -> r.getLong(2)).toMap
+      streamed shouldBe batch
+      // distinct hash positions: 3 distinct click users, 2 distinct view
+      // users — each sets exactly one bit (no collisions in this tiny set)
+      def bits(t: String) = streamed.collect {
+        case ((`t`, _), m) => java.lang.Long.bitCount(m) }.sum
+      bits("click") shouldBe 3
+      bits("view") shouldBe 2
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch pairing (q147) on an out-of-order, chopped feed") {
     import graft.streaming.EventStream.{TransEvent, Transition}
     implicit val sqlCtx = spark.sqlContext
