@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.operators.{Dedup, Similarity, TextOps}
 
@@ -436,7 +437,71 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("k"), col("neg_id"))
   }
 
+  /** q172: probabilistic RECORD LINKAGE (Fellegi–Sunter) — entity
+    * resolution across two noisy sources that share NO reliable key: the
+    * companion to the content-dedup family for the structured-records
+    * side (CRM merges, supplier/customer master data, the dedup step
+    * before any entity-keyed training join). Source A is `customer`;
+    * source B is the same population through a lossy channel (a
+    * deterministic perturbation: every 5th name case-mangled, every 7th
+    * balance shifted past the tolerance, every 11th segment blanked — so
+    * agreement patterns, and BOTH verdicts, are data-exercised with known
+    * ground truth riding along as `is_true`). The pipeline is the
+    * classic three stages, all integer-exact:
+    *  - BLOCKING on (nationkey, last digit of the name): candidate pairs
+    *    only within a block, ~N²/250 instead of N² — and the block key
+    *    survives the perturbations by construction (digits don't case);
+    *  - FIELD COMPARISON: name exact, balance within 100 cents (decimal
+    *    cents compare — never float), segment exact;
+    *  - SCORING: Fellegi–Sunter agreement/disagreement weights in
+    *    integer centi-log-odds (+4000/−1000 name, +2500/−500 balance,
+    *    +1500/−500 segment), match ≥ 6000, possible ≥ 3000, the rest
+    *    dropped.
+    *
+    * Scale shape: ONE equi-join on the block key (both sides
+    * hash-partition by block — no broadcast needed when both sources are
+    * large), per-pair arithmetic is codegen'd integer compares, and the
+    * block-size distribution is exactly what q161's skew pre-flight
+    * audits. Missed matches are the declared blocking recall loss every
+    * real linkage system tolerates (a name perturbation that crossed
+    * blocks would be invisible — here the block key is perturbation-proof,
+    * so recall loss is zero BY CONSTRUCTION and the gate can assert the
+    * full truth set). */
+  val q172RecordLinkage: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+    def blockKey(name: org.apache.spark.sql.Column) =
+      substring(name, -1, 1)
+    val a = base.select(col("c_custkey").as("a_key"),
+      col("c_name").as("a_name"), col("c_nationkey").as("nation"),
+      (col("c_acctbal").cast(DecimalType(14, 2)) * 100)
+        .cast(LongType).as("a_cents"),
+      col("c_mktsegment").as("a_seg"), blockKey(col("c_name")).as("blk"))
+    val b = base.select(col("c_custkey").as("b_key"),
+      when(pmod(col("c_custkey"), lit(5)) === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("b_name"),
+      col("c_nationkey").as("nation"),
+      ((col("c_acctbal") +
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit(500.0))
+          .otherwise(lit(0.0))).cast(DecimalType(14, 2)) * 100)
+        .cast(LongType).as("b_cents"),
+      when(pmod(col("c_custkey"), lit(11)) === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("b_seg"),
+      blockKey(col("c_name")).as("blk"))
+    a.join(b, Seq("nation", "blk"))
+      .withColumn("score",
+        when(col("a_name") === col("b_name"), lit(4000L)).otherwise(lit(-1000L)) +
+        when(abs(col("a_cents") - col("b_cents")) <= 100L, lit(2500L))
+          .otherwise(lit(-500L)) +
+        when(col("a_seg") === col("b_seg"), lit(1500L)).otherwise(lit(-500L)))
+      .filter(col("score") >= 3000L)
+      .select(col("a_key"), col("b_key"), col("score"),
+        when(col("score") >= 6000L, lit("match")).otherwise(lit("possible"))
+          .as("verdict"),
+        (col("a_key") === col("b_key")).as("is_true"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_record_linkage" -> q172RecordLinkage,
     "q124_contrastive_pairs"  -> q124ContrastivePairs,
     "q116_split_leakage"      -> q116SplitLeakage,
     "q110_cdc_chunks"         -> q110CdcChunks,
@@ -517,6 +582,35 @@ object DedupQueries {
        |FROM labeled JOIN csz USING (cluster_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The same perturbation channel, blocking rule, cent compares and
+    // integer weights, replayed relationally.
+    "q172_record_linkage" ->
+      """WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name,
+        |    c_nationkey AS nation,
+        |    CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS a_cents,
+        |    c_mktsegment AS a_seg,
+        |    substr(c_name, length(c_name), 1) AS blk
+        |  FROM customer),
+        |b AS (SELECT c_custkey AS b_key,
+        |    CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END
+        |      AS b_name,
+        |    c_nationkey AS nation,
+        |    CAST(CAST(c_acctbal + CASE WHEN c_custkey % 7 = 0
+        |        THEN 500.0 ELSE 0.0 END AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS b_cents,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+        |      AS b_seg,
+        |    substr(c_name, length(c_name), 1) AS blk
+        |  FROM customer),
+        |p AS (SELECT a_key, b_key,
+        |    (CASE WHEN a_name = b_name THEN 4000 ELSE -1000 END
+        |     + CASE WHEN abs(a_cents - b_cents) <= 100 THEN 2500 ELSE -500 END
+        |     + CASE WHEN a_seg = b_seg THEN 1500 ELSE -500 END) AS score
+        |  FROM a JOIN b USING (nation, blk))
+        |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 6000 THEN 'match' ELSE 'possible' END AS verdict,
+        |  a_key = b_key AS is_true
+        |FROM p WHERE score >= 3000""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
         |  count(*) AS n_copies, min(doc_id) AS canonical_id
