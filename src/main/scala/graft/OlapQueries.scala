@@ -636,6 +636,60 @@ object OlapQueries {
         col("n_inter_exact"), col("n_union_exact"))
   }
 
+  /** q174: exact two-sample KOLMOGOROV–SMIRNOV test — the continuous-
+    * distribution drift check beside q133's categorical chi-square: is the
+    * `value` distribution of one event stream different from another's
+    * (the canary-vs-control / yesterday-vs-today comparison for numeric
+    * metrics)? The KS statistic D = max |F₁(v) − F₂(v)| over the merged
+    * sample is computed with ZERO floating point anywhere: per-value
+    * counts collapse map-side, cumulative counts are integer window sums
+    * over the NDV-sized merged value domain, the CDF gap at v is the
+    * BIGINT |n₂·cum₁(v) − n₁·cum₂(v)|, the argmax breaks ties on the
+    * smallest value, and even the headline ks_milli is integer floor
+    * division (1000·num) div (n₁·n₂). Every pair of the five event types
+    * is tested in one pass — the all-pairs drift matrix.
+    *
+    * Scale shape: one map-side-combined exchange carrying (type, value)
+    * count rows; the per-pair merged domain walk is a window over
+    * NDV(value-pairs) rows. n ≤ 3·10⁹ keeps n₂·cum₁ under BIGINT — the
+    * 100 TB regime quantizes values first (q168's histogram discipline),
+    * which this plan already is: everything after the scan is the
+    * histogram. */
+  val q174KsTest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+    // build each pair's merged domain: per (ta, tb, v) the two counts
+    val merged = counts.as("x").join(
+        counts.select(col("event_type").as("t2")).distinct().as("y"),
+        col("x.event_type") < col("y.t2"))
+      .select(col("x.event_type").as("ta"), col("y.t2").as("tb"),
+        col("x.value").as("v"), col("x.c").as("c1"), lit(0L).as("c2"))
+      .unionByName(counts.as("x").join(
+          counts.select(col("event_type").as("t1")).distinct().as("y"),
+          col("y.t1") < col("x.event_type"))
+        .select(col("y.t1").as("ta"), col("x.event_type").as("tb"),
+          col("x.value").as("v"), lit(0L).as("c1"), col("x.c").as("c2")))
+      .groupBy(col("ta"), col("tb"), col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("ta"), col("tb"))
+    merged
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("gap", abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ta"), col("tb"))
+          .orderBy(col("gap").desc, col("v").asc)))
+      .filter(col("rk") === 1)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n1"), col("n2"), col("v").as("at_value"), col("gap").as("d_num"),
+        (col("n1") * col("n2")).as("d_den"),
+        expr("(1000 * gap) div (n1 * n2)").as("ks_milli"))
+  }
+
   /** q171: CHANGEPOINT detection — the "when did this metric's regime
     * shift" monitor that sits beside q133's two-snapshot drift test and
     * q156's two-period decomposition, but with the split point UNKNOWN:
@@ -1396,6 +1450,7 @@ object OlapQueries {
     "q166_hll_sketch" -> q166HllSketch,
     "q167_sketch_algebra" -> q167SketchAlgebra,
     "q171_changepoint" -> q171Changepoint,
+    "q174_ks_test" -> q174KsTest,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
     "q130_join_cardinality" -> q130JoinCardinality,
@@ -1525,6 +1580,39 @@ object OlapQueries {
          |  n_exact_a, n_exact_b, n_inter_exact,
          |  n_exact_a + n_exact_b - n_inter_exact AS n_union_exact
          |FROM est""".stripMargin,
+    // The same all-integer KS machinery replayed relationally: per-value
+    // counts, merged-domain cumulative sums, BIGINT CDF gaps, smallest-value
+    // argmax tiebreak, integer milli division.
+    "q174_ks_test" ->
+      """WITH counts AS (SELECT event_type, value, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM counts),
+        |merged AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, x.value AS v,
+        |    x.c AS c1, 0 AS c2
+        |  FROM counts x JOIN types y ON x.event_type < y.event_type
+        |  UNION ALL
+        |  SELECT y.event_type, x.event_type, x.value, 0, x.c
+        |  FROM counts x JOIN types y ON y.event_type < x.event_type),
+        |g AS (SELECT ta, tb, v, sum(c1) AS c1, sum(c2) AS c2
+        |  FROM merged GROUP BY 1, 2, 3),
+        |cum AS (SELECT ta, tb, v,
+        |    sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+        |    sum(c1) OVER p AS n1, sum(c2) OVER p AS n2
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY ta, tb ORDER BY v),
+        |         p AS (PARTITION BY ta, tb)),
+        |gap AS (SELECT ta, tb, v, n1, n2,
+        |    abs(n2 * cum1 - n1 * cum2) AS d_num,
+        |    row_number() OVER (PARTITION BY ta, tb
+        |      ORDER BY abs(n2 * cum1 - n1 * cum2) DESC, v) AS rk
+        |  FROM cum)
+        |SELECT ta AS type_a, tb AS type_b,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  v AS at_value, CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(n1 * n2 AS BIGINT) AS d_den,
+        |  CAST((1000 * d_num) // (n1 * n2) AS BIGINT) AS ks_milli
+        |FROM gap WHERE rk = 1""".stripMargin,
     // Same daily decimal moments, same exact prefix sums, the gain
     // expression SHARED verbatim, same earliest-day tiebreak.
     "q171_changepoint" ->

@@ -170,6 +170,7 @@ object ScaleQueries {
       Seq("graft_corpus_base", "graft_corpus_fp", "graft_corpus_fpb"),
     "q103_incremental_agg"  -> Seq("graft_lang_state"),
     "q153_ivm_join"         -> Seq("graft_ivm_state"),
+    "q173_grain_cascade"    -> Seq("graft_daily_state"),
     "q115_wap_publish"      -> Seq("graft_docs_wap"),
     "q120_time_travel"      -> Seq("graft_docs_tt"))
 
@@ -451,6 +452,49 @@ object ScaleQueries {
       .select(col("event_id"), col("user_id"), col("value"), col("z"))
   }
 
+  /** q173: GRAIN-CASCADE rollup maintenance — the silver→gold discipline
+    * every lakehouse metrics layer runs: the FINEST grain (per-type DAILY
+    * decimal moments) is the only thing computed from the corpus and is
+    * persisted as a write-once state table; the coarser grains (weekly,
+    * monthly) re-aggregate FROM THAT STATE — the plan's week/month
+    * subtrees scan the K-row daily parquet, never events (PlanSpec pins
+    * exactly that). This works because (count, decimal-sum) is the q103
+    * commutative monoid, and it is the moments twin of q154's
+    * week-from-day bitmap property — here promoted to a first-class gated
+    * query whose oracle aggregates every grain DIRECTLY from the corpus:
+    * hash-green proves state-derived ≡ recomputed, exactly, in DECIMAL.
+    * Week and month both cascade from daily (never week→month: ISO weeks
+    * straddle month boundaries, so months only re-aggregate from grains
+    * that nest — the cascade encodes which grains nest, which IS the
+    * correctness content of a rollup layer).
+    *
+    * Scale shape: ONE corpus exchange (the daily aggregate, map-side
+    * combined) amortized across every grain and every downstream read;
+    * each coarser grain is a K-row→K-row aggregate, metadata-sized. At
+    * 100 TB the daily state for 5 types × years of days is a few
+    * thousand rows serving every dashboard grain with zero corpus
+    * re-scans. */
+  val q173GrainCascade: Q = (s, d) => {
+    val dailyDir = Scale.writeOnce(
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("period"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("s")),
+      s"graft_daily_state_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/events.parquet"))
+    val daily = s.read.parquet(dailyDir)
+    def coarser(grain: String) = daily
+      .groupBy(col("event_type"),
+        date_trunc(grain, col("period")).as("period"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    daily.withColumn("grain", lit("day"))
+      .unionByName(coarser("week").withColumn("grain", lit("week")))
+      .unionByName(coarser("month").withColumn("grain", lit("month")))
+      .select(col("event_type"), col("grain"), col("period"), col("n"),
+        col("s").cast(DoubleType).as("total"))
+  }
+
   /** q103: incremental aggregate maintenance — the operational answer to
     * "our per-language corpus statistics must stay current as batches
     * land, and re-scanning 100 TB per batch is not an option". The
@@ -605,12 +649,28 @@ object ScaleQueries {
     "q127_forget_delete" -> q127ForgetDelete,
     "q128_zone_map" -> q128ZoneMap,
     "q169_bloom_skipping" -> q169BloomSkipping,
+    "q173_grain_cascade" -> q173GrainCascade,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
     "q120_time_travel"  -> q120TimeTravel)
 
   val oracle: Map[String, String] = Map(
+    // Every grain aggregated DIRECTLY from the corpus: the state cascade
+    // must be indistinguishable from recomputation.
+    "q173_grain_cascade" ->
+      """WITH g AS (
+        |  SELECT event_type, 'day' AS grain, date_trunc('day', ts) AS period,
+        |    value FROM events WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'week', date_trunc('week', ts), value
+        |  FROM events WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'month', date_trunc('month', ts), value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, grain, period, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
     // Identity: promotion machinery must be invisible to results.
     "q115_wap_publish" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

@@ -937,6 +937,15 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q173 grain cascade: week and month aggregate the persisted daily state — the read plan never touches events") {
+    val p = plan(ScaleQueries.q173GrainCascade(spark, sf))
+    // every grain subtree reads the K-row daily state layout...
+    p should include("graft_daily_state")
+    // ...and the corpus scan exists only in the (already-executed)
+    // write-once build job, not in the steady-state read plan
+    p should not include "events.parquet"
+  }
+
   test("q168 histogram percentiles: corpus collapses map-side to the histogram — no corpus range sort anywhere") {
     val p = plan(SampleQueries.q168HistogramPercentiles(spark, sf))
     // the first aggregate (lang, wc) → count partial-aggregates before its
