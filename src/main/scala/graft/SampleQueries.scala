@@ -94,6 +94,44 @@ object SampleQueries {
         pctVal(50).as("p50"), pctVal(90).as("p90"), pctVal(99).as("p99"))
   }
 
+  /** q175: importance-WEIGHTED exact percentiles over the q31 stratified
+    * sample — the statistics half of the sampling contract: q31 keeps a
+    * deterministic hash-bucket sample with per-language importance
+    * weights; this query proves the weighted estimator is itself an exact,
+    * replayable operator. The q168 histogram discipline carries over with
+    * weights: per (lang, n_chars) the INTEGER centi-weights (10000/rate —
+    * exact for every configured rate) sum map-side, the cumulative walk
+    * runs over NDV rows, and the weighted discrete percentile is the
+    * smallest value whose cumulative weight covers p·W by integer
+    * cross-multiplication. No IEEE operation exists in the query; the
+    * sample-vs-corpus estimation error (the statistical claim) is bounded
+    * separately by OperationalSpec against the full-corpus percentiles.
+    *
+    * Scale shape: the sample predicate is in-scan (no RNG state, no
+    * join), the histogram exchange carries NDV(lang, n_chars) rows, and
+    * weights never leave integer arithmetic — the exact-replay property
+    * that makes a weighted-sample dashboard auditable. */
+  val q175WeightedPercentiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(100))
+    val rate = rateCol(col("lang"))
+    val hist = Tables.documents(s, d)
+      .filter(bucket < rate)
+      .select(col("lang"), col("n_chars"),
+        (lit(10000) / rate).cast(LongType).as("w_centi"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(sum(col("w_centi")).as("wc"))
+    val cum = hist
+      .withColumn("cumw", sum(col("wc"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+      .withColumn("totw", sum(col("wc")).over(Window.partitionBy(col("lang"))))
+    def wp(pct: Int) =
+      min(when(col("cumw") * 100 >= col("totw") * pct, col("n_chars")))
+    cum.groupBy(col("lang"))
+      .agg(max(col("totw")).as("total_weight_centi"),
+        wp(50).as("wp50"), wp(90).as("wp90"), wp(99).as("wp99"))
+  }
+
   /** q37: deterministic training-shard materialization — every document
     * gets a stable shard id (md5-hash mod n, engine-portable like q31's
     * buckets) and a position within its shard, ordered by a second
@@ -629,6 +667,7 @@ object SampleQueries {
     "q63_exact_sample"      -> q63ExactSample,
     "q32_token_percentiles" -> q32TokenPercentiles,
     "q168_histogram_percentiles" -> q168HistogramPercentiles,
+    "q175_weighted_percentiles" -> q175WeightedPercentiles,
     "q37_training_shards"   -> q37TrainingShards,
     "q74_epoch_reshuffle"   -> q74EpochReshuffle,
     "q40_approx_stats"      -> q40ApproxStats,
@@ -777,6 +816,25 @@ object SampleQueries {
          |FROM documents
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100
          |      < ($rateSql)""".stripMargin,
+    // Same hash-bucket sample, same integer centi-weights, percentiles by
+    // the same integer cross-multiplied rank rule over a ranked replay.
+    "q175_weighted_percentiles" ->
+      s"""WITH smp AS (SELECT lang, n_chars,
+         |    CAST(10000 / ($rateSql) AS BIGINT) AS w_centi
+         |  FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100
+         |        < ($rateSql)),
+         |h AS (SELECT lang, n_chars, sum(w_centi) AS wc
+         |  FROM smp GROUP BY 1, 2),
+         |c AS (SELECT lang, n_chars,
+         |    sum(wc) OVER (PARTITION BY lang ORDER BY n_chars) AS cumw,
+         |    sum(wc) OVER (PARTITION BY lang) AS totw
+         |  FROM h)
+         |SELECT lang, CAST(max(totw) AS BIGINT) AS total_weight_centi,
+         |  min(CASE WHEN cumw * 100 >= totw * 50 THEN n_chars END) AS wp50,
+         |  min(CASE WHEN cumw * 100 >= totw * 90 THEN n_chars END) AS wp90,
+         |  min(CASE WHEN cumw * 100 >= totw * 99 THEN n_chars END) AS wp99
+         |FROM c GROUP BY lang""".stripMargin,
     "q32_token_percentiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  quantile_cont(wc, 0.5) AS p50,

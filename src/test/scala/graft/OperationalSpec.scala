@@ -599,6 +599,30 @@ class OperationalSpec extends SparkSpec {
     direct.nonEmpty shouldBe true
   }
 
+  test("q175: weighted sample percentiles track the full-corpus percentiles") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val est = SampleQueries.q175WeightedPercentiles(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val truth = Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    est.keySet shouldBe truth.keySet // every sampled language is estimated
+    est.foreach { case (lang, e) =>
+      def num(r: org.apache.spark.sql.Row, f: String) = r.getAs[Number](f).doubleValue
+      // the en stratum keeps 40% (~40 docs at this sf) — a discrete
+      // percentile from a sample that size sits well within 20% of truth
+      withClue(s"lang $lang: ") {
+        math.abs(num(e, "wp50") - num(truth(lang), "p50")) should be <=
+          (num(truth(lang), "p50") * 0.20 + 1)
+        math.abs(num(e, "wp90") - num(truth(lang), "p90")) should be <=
+          (num(truth(lang), "p90") * 0.20 + 1)
+      }
+    }
+  }
+
   test("q171: a planted regime shift is recovered exactly — the argmax lands on the true boundary") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
