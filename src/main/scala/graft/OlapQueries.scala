@@ -531,9 +531,15 @@ object OlapQueries {
       s"ELSE $raw END)) AS BIGINT)"
   }
 
-  val q166HllSketch: Q = (s, d) => {
+  /** The per-(event_type, bucket) HLL register state — ONE builder shared
+    * by q166 (cardinality) and q176 (set algebra). max(rho) is an
+    * associative/commutative/idempotent monoid like q154's bit_or, so the
+    * registers partial-aggregate map-side and re-aggregate across grains
+    * and across SETS (a pair's union registers are element-wise MAX). */
+  private[graft] def hllRegs(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.operators.TextOps
-    val regs = Tables.events(s, d)
+    events
       .select(col("event_type"),
         TextOps.hash60(concat(lit("hll:"),
           col("user_id").cast(StringType))).as("h"))
@@ -544,6 +550,10 @@ object OlapQueries {
           .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
+  }
+
+  val q166HllSketch: Q = (s, d) => {
+    val regs = hllRegs(Tables.events(s, d))
     val st = regs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("used_buckets"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
@@ -631,6 +641,78 @@ object OlapQueries {
         col("n_exact_a") + col("n_exact_b") - col("n_inter_exact"))
       .select(col("type_a"), col("type_b"), col("shared_bits"),
         col("used_a"), col("used_b"), col("used_union"),
+        col("est_a_milli"), col("est_b_milli"), col("est_union_milli"),
+        col("est_inter_milli"), col("n_exact_a"), col("n_exact_b"),
+        col("n_inter_exact"), col("n_union_exact"))
+  }
+
+  /** q176: HLL SET ALGEBRA — q167's inclusion–exclusion lifted from linear
+    * counting to the q166 HyperLogLog, which is the variant that still
+    * works when LC saturates: a pair's UNION sketch is the element-wise
+    * MAX of the two register vectors (max is the register monoid, so
+    * "merge two audiences" is the same operation as "merge two
+    * partitions" — no re-scan, no user ids), its cardinality comes from
+    * the same shared-text harmonic estimate, and the intersection is
+    * exact BIGINT inclusion–exclusion over the three floor-quantized
+    * milli-estimates. Exact comparators ride along; production keeps only
+    * the ≤ m registers per audience.
+    *
+    * Scale shape: one corpus scan builds all per-type registers
+    * (map-side MAX partials, ≤ m rows per type through the exchange);
+    * the pairwise union is a (type-pair, bucket)-keyed MAX over
+    * |types|²·m/2 state rows — constant in the corpus. The exact
+    * comparator is the expensive part, present only for the gate. */
+  val q176HllAlgebra: Q = (s, d) => {
+    val regs = hllRegs(Tables.events(s, d))
+    def stateCols(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+          .as("zsum"))
+      .withColumn("zeros", lit(HLL_M) - col("used"))
+      .withColumn("z", col("zsum") + col("zeros") * lit(9007199254740992L))
+      .withColumn("est_milli", expr(hllEstSql("zeros", "z")))
+    val st = stateCols(regs.groupBy(col("event_type")))
+    val types = regs.select(col("event_type")).distinct()
+    val pairRegs = regs.as("x").join(
+        types.select(col("event_type").as("t2")).as("y"),
+        col("x.event_type") < col("y.t2"))
+      .select(col("x.event_type").as("ta"), col("y.t2").as("tb"),
+        col("bucket"), col("reg"))
+      .unionByName(regs.as("x").join(
+          types.select(col("event_type").as("t1")).as("y"),
+          col("y.t1") < col("x.event_type"))
+        .select(col("y.t1").as("ta"), col("x.event_type").as("tb"),
+          col("bucket"), col("reg")))
+      .groupBy(col("ta"), col("tb"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val stU = stateCols(pairRegs.groupBy(col("ta"), col("tb")))
+      .select(col("ta"), col("tb"), col("used").as("used_union"),
+        col("zeros").as("zeros_union"), col("z").as("z_union"),
+        col("est_milli").as("est_union_milli"))
+    val du = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exactSz = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val exactPair = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    stU
+      .join(broadcast(st.select(col("event_type").as("ta"),
+        col("est_milli").as("est_a_milli"))), "ta")
+      .join(broadcast(st.select(col("event_type").as("tb"),
+        col("est_milli").as("est_b_milli"))), "tb")
+      .join(broadcast(exactSz.select(col("event_type").as("ta"),
+        col("n_exact").as("n_exact_a"))), "ta")
+      .join(broadcast(exactSz.select(col("event_type").as("tb"),
+        col("n_exact").as("n_exact_b"))), "tb")
+      .join(broadcast(exactPair), Seq("ta", "tb"))
+      .withColumn("est_inter_milli",
+        col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+      .withColumn("n_union_exact",
+        col("n_exact_a") + col("n_exact_b") - col("n_inter_exact"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("used_union"), col("zeros_union"), col("z_union"),
         col("est_a_milli"), col("est_b_milli"), col("est_union_milli"),
         col("est_inter_milli"), col("n_exact_a"), col("n_exact_b"),
         col("n_inter_exact"), col("n_union_exact"))
@@ -1450,6 +1532,7 @@ object OlapQueries {
     "q166_hll_sketch" -> q166HllSketch,
     "q167_sketch_algebra" -> q167SketchAlgebra,
     "q171_changepoint" -> q171Changepoint,
+    "q176_hll_algebra" -> q176HllAlgebra,
     "q174_ks_test" -> q174KsTest,
     "q58_rollup"       -> q58Rollup,
     "q121_grouping_sets" -> q121GroupingSets,
@@ -1580,6 +1663,69 @@ object OlapQueries {
          |  n_exact_a, n_exact_b, n_inter_exact,
          |  n_exact_a + n_exact_b - n_inter_exact AS n_union_exact
          |FROM est""".stripMargin,
+    // Same md5 register build as q166, pair union registers as per-bucket
+    // MAX, the harmonic estimate expression shared verbatim on all three
+    // cardinalities, integer inclusion-exclusion, exact comparators.
+    "q176_hll_algebra" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h % $HLL_M AS bucket,
+         |    max(CASE WHEN h // $HLL_M = 0 THEN 53
+         |      ELSE 53 - length(bin(h // $HLL_M)) END) AS reg
+         |  FROM b GROUP BY 1, 2),
+         |st AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS used,
+         |    CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zsum
+         |  FROM r GROUP BY 1),
+         |z1 AS (SELECT event_type,
+         |    $HLL_M - used AS zeros,
+         |    zsum + ($HLL_M - used) * 9007199254740992 AS z
+         |  FROM st),
+         |e1 AS (SELECT event_type, ${hllEstSql("zeros", "z")} AS est_milli
+         |  FROM z1),
+         |types AS (SELECT DISTINCT event_type FROM r),
+         |pr AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb, x.bucket, x.reg
+         |  FROM r x JOIN types y ON x.event_type < y.event_type
+         |  UNION ALL
+         |  SELECT y.event_type, x.event_type, x.bucket, x.reg
+         |  FROM r x JOIN types y ON y.event_type < x.event_type),
+         |pru AS (SELECT ta, tb, bucket, max(reg) AS reg
+         |  FROM pr GROUP BY 1, 2, 3),
+         |stu AS (SELECT ta, tb,
+         |    CAST(count(*) AS BIGINT) AS used_union,
+         |    CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zsum
+         |  FROM pru GROUP BY 1, 2),
+         |zu AS (SELECT ta, tb, used_union,
+         |    $HLL_M - used_union AS zeros_union,
+         |    zsum + ($HLL_M - used_union) * 9007199254740992 AS z_union
+         |  FROM stu),
+         |eu AS (SELECT ta, tb, used_union, zeros_union, z_union,
+         |    ${hllEstSql("zeros_union", "z_union")} AS est_union_milli
+         |  FROM zu),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM du GROUP BY 1),
+         |ip AS (SELECT x.event_type AS ta, y.event_type AS tb,
+         |    CAST(count(*) AS BIGINT) AS n_inter_exact
+         |  FROM du x JOIN du y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |  GROUP BY 1, 2)
+         |SELECT eu.ta AS type_a, eu.tb AS type_b,
+         |  used_union, zeros_union, z_union,
+         |  ea.est_milli AS est_a_milli, eb.est_milli AS est_b_milli,
+         |  est_union_milli,
+         |  ea.est_milli + eb.est_milli - est_union_milli AS est_inter_milli,
+         |  exa.n_exact AS n_exact_a, exb.n_exact AS n_exact_b, n_inter_exact,
+         |  exa.n_exact + exb.n_exact - n_inter_exact AS n_union_exact
+         |FROM eu
+         |JOIN e1 ea ON ea.event_type = eu.ta
+         |JOIN e1 eb ON eb.event_type = eu.tb
+         |JOIN ex exa ON exa.event_type = eu.ta
+         |JOIN ex exb ON exb.event_type = eu.tb
+         |JOIN ip ON ip.ta = eu.ta AND ip.tb = eu.tb""".stripMargin,
     // The same all-integer KS machinery replayed relationally: per-value
     // counts, merged-domain cumulative sums, BIGINT CDF gaps, smallest-value
     // argmax tiebreak, integer milli division.

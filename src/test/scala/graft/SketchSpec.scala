@@ -94,6 +94,27 @@ class SketchSpec extends SparkSpec {
     halves shouldBe whole
   }
 
+  test("q176 HLL algebra: inclusion–exclusion is the exact integer identity; estimates track the exact set sizes") {
+    val rows = OlapQueries.q176HllAlgebra(spark, "/root/testdata/sf0.01").collect()
+    rows.length should be >= 1
+    rows.foreach { r =>
+      def l(f: String) = r.getAs[Long](f)
+      // exact integer identity over the three floored milli-estimates
+      l("est_inter_milli") shouldBe
+        l("est_a_milli") + l("est_b_milli") - l("est_union_milli")
+      // HLL at m=256 has rsd ≈ 1.04/√256 ≈ 6.5%; allow 3σ ≈ 20%
+      def close(estMilli: Long, exact: Long, tol: Double): Unit =
+        math.abs(estMilli / 1000.0 - exact) should be <= (exact * tol + 100)
+      close(l("est_a_milli"), l("n_exact_a"), 0.20)
+      close(l("est_b_milli"), l("n_exact_b"), 0.20)
+      close(l("est_union_milli"), l("n_union_exact"), 0.20)
+      // the intersection inherits the union terms' absolute errors — bound
+      // it against the UNION size, the scale its error actually lives on
+      math.abs(l("est_inter_milli") / 1000.0 - l("n_inter_exact")) should be <=
+        (l("n_union_exact") * 0.30 + 100)
+    }
+  }
+
   test("q167 set algebra: inclusion–exclusion is the exact integer identity; estimates track the exact set sizes") {
     // sf0.01: per-type audiences ≈ thousands on an 8192-bit bitmap —
     // squarely in linear counting's accurate occupancy regime
