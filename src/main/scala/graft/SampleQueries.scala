@@ -132,6 +132,46 @@ object SampleQueries {
         wp(50).as("wp50"), wp(90).as("wp90"), wp(99).as("wp99"))
   }
 
+  /** q177: QUANTILE NORMALIZATION across sources — the batch-effect
+    * correction for merging heterogeneous corpora (the cross-source score
+    * problem q123 calibrates at decile granularity, solved exactly at
+    * full rank granularity): each document's score is replaced by the
+    * POOLED distribution's value at the same relative rank, so every
+    * source's normalized scores follow one common distribution and a
+    * single global cutoff treats sources fairly. All rank arithmetic is
+    * integer: within-source rank r by (score, doc_id) — tie-free by the
+    * unique id — target pooled rank k = ⌈r·N_pool/N_src⌉ as
+    * (r·N_pool + N_src − 1) div N_src, and the pooled value at rank k
+    * comes from the pooled HISTOGRAM's cumulative rank intervals
+    * [cum−cnt+1, cum] (the q168 discipline — no global row sort
+    * anywhere).
+    *
+    * Scale shape: one window per source partition (corpus rows, hash-
+    * partitioned by source), a histogram collapse to NDV rows, a 1-row
+    * pool-size broadcast, and the rank→value lookup as a range join
+    * against the BROADCAST histogram — NDV(score) stays bounded while
+    * the corpus grows, so the broadcast holds at any scale. */
+  val q177QuantileNorm: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    val ranked = docs
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val total = docs.agg(count(lit(1)).as("n_pool"))
+    val hist = docs.groupBy(col("score").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cumhi", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      .withColumn("cumlo", col("cumhi") - col("cnt") + 1)
+    ranked.crossJoin(broadcast(total))
+      .withColumn("k",
+        expr("(r * n_pool + n_src - 1) div n_src"))
+      .join(broadcast(hist),
+        col("k") >= col("cumlo") && col("k") <= col("cumhi"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("v").as("norm_score"))
+  }
+
   /** q37: deterministic training-shard materialization — every document
     * gets a stable shard id (md5-hash mod n, engine-portable like q31's
     * buckets) and a position within its shard, ordered by a second
@@ -668,6 +708,7 @@ object SampleQueries {
     "q32_token_percentiles" -> q32TokenPercentiles,
     "q168_histogram_percentiles" -> q168HistogramPercentiles,
     "q175_weighted_percentiles" -> q175WeightedPercentiles,
+    "q177_quantile_norm" -> q177QuantileNorm,
     "q37_training_shards"   -> q37TrainingShards,
     "q74_epoch_reshuffle"   -> q74EpochReshuffle,
     "q40_approx_stats"      -> q40ApproxStats,
@@ -816,6 +857,23 @@ object SampleQueries {
          |FROM documents
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100
          |      < ($rateSql)""".stripMargin,
+    // Same tie-free source ranks, integer ceil to the pooled rank, pooled
+    // value from the histogram's cumulative rank intervals.
+    "q177_quantile_norm" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM docs),
+        |t AS (SELECT count(*) AS n_pool FROM docs),
+        |h AS (SELECT score AS v, count(*) AS cnt FROM docs GROUP BY 1),
+        |hc AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cumhi FROM h),
+        |hh AS (SELECT v, cumhi - cnt + 1 AS cumlo, cumhi FROM hc),
+        |k AS (SELECT doc_id, source, score,
+        |    (r * n_pool + n_src - 1) // n_src AS k
+        |  FROM r CROSS JOIN t)
+        |SELECT doc_id, source, score, v AS norm_score
+        |FROM k JOIN hh ON k >= cumlo AND k <= cumhi""".stripMargin,
     // Same hash-bucket sample, same integer centi-weights, percentiles by
     // the same integer cross-multiplied rank rule over a ranked replay.
     "q175_weighted_percentiles" ->

@@ -946,6 +946,17 @@ class PlanSpec extends SparkSpec {
     p should not include "events.parquet"
   }
 
+  test("q177 quantile normalization: the rank→value lookup probes a broadcast histogram — corpus rows never join by shuffle") {
+    val p = plan(SampleQueries.q177QuantileNorm(spark, sf))
+    // the range lookup (k BETWEEN cumlo AND cumhi) streams corpus rows
+    // against the broadcast NDV-sized histogram — the q23 declared shape
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    // the only per-row sorts are the per-source rank windows (hash
+    // partitioned); no corpus-wide rangepartitioning exchange exists
+    p should not include "rangepartitioning"
+  }
+
   test("q168 histogram percentiles: corpus collapses map-side to the histogram — no corpus range sort anywhere") {
     val p = plan(SampleQueries.q168HistogramPercentiles(spark, sf))
     // the first aggregate (lang, wc) → count partial-aggregates before its
