@@ -15,7 +15,10 @@ package graft
   * and the zone map's real-skipping guarantee (q128), and the skyline's
   * partitioning invariance (q140), and the bitmap words' week-from-day
   * re-aggregation (q154), and the consistent-hash ring's movement bound
-  * (q162), and the HLL registers' MAX-mergeability (q166). These assert
+  * (q162), and the HLL registers' MAX-mergeability (q166), and the bloom
+  * sidecar's strict-subset / absent-key-opens-nothing skipping (q169),
+  * and the changepoint's planted-shift recovery (q171), and the weighted
+  * sample percentiles' corpus-tracking error bound (q175). These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
