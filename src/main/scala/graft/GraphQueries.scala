@@ -39,19 +39,29 @@ object GraphQueries {
   private val PR_BASE = PR_SCALE * 15L / 100L // the 0.15 teleport term
   private val PR_ITERS = 3
 
-  /** q89: 3-iteration fixed-point PageRank. Nodes pack into one BIGINT —
-    * custkey·2 / suppkey·2+1 — so the whole loop is long-keyed (no string
-    * keys on the hot path); the output decodes the type back out. The
-    * symmetrized bipartite graph has no dangling nodes (every node has the
-    * reverse edge), so no dangling-mass redistribution term is needed. */
-  val q89Pagerank: Q = (s, d) => {
+  /** The customer↔supplier bipartite edge list induced by orders⋈lineitem,
+    * symmetrized, with nodes packed into one BIGINT (custkey·2 /
+    * suppkey·2+1) so every iterative loop over it is long-keyed — shared by
+    * q89 (PageRank) and q178 (BFS). Built ONCE per query; at cluster scale
+    * this is the materialized edge table every graph pass reads. */
+  private def bipartiteEdges(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** q89: 3-iteration fixed-point PageRank. Nodes pack into one BIGINT —
+    * custkey·2 / suppkey·2+1 — so the whole loop is long-keyed (no string
+    * keys on the hot path); the output decodes the type back out. The
+    * symmetrized bipartite graph has no dangling nodes (every node has the
+    * reverse edge), so no dangling-mass redistribution term is needed. */
+  val q89Pagerank: Q = (s, d) => {
+    val edges = bipartiteEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // |nodes| ≪ |edges|: degree and rank tables are hinted broadcast —
     // statically, not left to AQE, because the aggregation output's size
@@ -72,8 +82,58 @@ object GraphQueries {
       col("r").as("rank_fp"))
   }
 
+  /** q178: k-hop BFS — exact minimum-hop distances from a seed set (the
+    * customers of nation 0) through 3 rounds of frontier expansion over the
+    * q89 bipartite graph. This is the reachability primitive behind seed
+    * expansion ("every supplier within two business hops of these
+    * customers"), blast-radius analysis, and crawl-frontier scheduling —
+    * the third canonical iterative-join shape after q44's label propagation
+    * (set minima) and q89's PageRank (mass redistribution): BFS carries
+    * LEVELS, and each node must expand exactly once.
+    *
+    * Per round the plan is: edges ⋈ broadcast(frontier) → dst-distinct →
+    * broadcast anti-join against the visited set. Frontier and visited are
+    * node-sized — orders of magnitude under the edge list — so the edge
+    * list NEVER pays a keyed exchange: its only shuffle-shaped cost is the
+    * dst-distinct over the candidate set, which collapses map-side first.
+    * Every value is an exact integer (node ids, hop counts) and every
+    * operation is a set operation, so any task order, combiner tree, or
+    * partitioning yields the identical distance table — hash-gated against
+    * DuckDB's unrolled replay. A deeper walk repeats the same fragment with
+    * q44's localCheckpoint lineage discipline; a graph whose visited set
+    * outgrows broadcast swaps both broadcasts for co-partitioned joins on
+    * node, same loop. Seeds that never appear in the edge list (customers
+    * with no orders) stay isolated at dist 0 — kept, not dropped: absence
+    * from the graph is itself the finding. */
+  val q178BfsKhop: Q = (s, d) => {
+    val edges = bipartiteEdges(s, d)
+    val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var visited = seeds
+    var frontier = seeds.select(col("node"))
+    for (i <- 1 to BFS_HOPS) {
+      val next = edges.join(broadcast(frontier),
+          edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node").as("vnode"))),
+          col("node") === col("vnode"), "left_anti")
+        .select(col("node")).withColumn("dist", lit(i.toLong))
+      visited = visited.unionByName(next)
+      frontier = next.select(col("node"))
+    }
+    visited.select(
+      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("dist"))
+  }
+
+  private val BFS_HOPS = 3
+
   val queries: Map[String, Q] = Map(
-    "q89_pagerank" -> q89Pagerank)
+    "q89_pagerank" -> q89Pagerank,
+    "q178_bfs_khop" -> q178BfsKhop)
 
   private def iterCte(i: Int): String =
     s"""r$i AS (
@@ -98,5 +158,30 @@ object GraphQueries {
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS node_type,
          |  node // 2 AS key, r AS rank_fp
-         |FROM r$PR_ITERS""".stripMargin)
+         |FROM r$PR_ITERS""".stripMargin,
+    // The identical frontier recursion, unrolled: each n_i is the distinct
+    // neighbor set of n_{i-1} minus everything already levelled — set
+    // operations over exact integers have exactly one answer.
+    "q178_bfs_khop" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION ALL SELECT dst, src FROM e0),
+         |n0 AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |       WHERE c_nationkey = 0),
+         |v0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n0),
+         |${(1 to BFS_HOPS).map(bfsCte).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS key, dist
+         |FROM v$BFS_HOPS""".stripMargin)
+
+  private def bfsCte(i: Int): String =
+    s"""n$i AS (
+       |  SELECT DISTINCT e.dst AS node
+       |  FROM edges e JOIN n${i - 1} f ON e.src = f.node
+       |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+       |v$i AS (SELECT node, dist FROM v${i - 1}
+       |        UNION ALL SELECT node, CAST($i AS BIGINT) FROM n$i)""".stripMargin
 }

@@ -1063,6 +1063,182 @@ object OlapQueries {
           col("n").cast(DoubleType)).as("intercept"))
   }
 
+  /** The lineitem measures q179 correlates, and the strict upper-triangle
+    * pair list — shared with the oracle generator so the Spark plan and the
+    * DuckDB replay can never disagree about which moments exist. */
+  private val CORR_COLS = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val CORR_PAIRS: Seq[(String, String)] =
+    for { i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j }
+      yield (CORR_COLS(i), CORR_COLS(j))
+
+  /** q179: the Pearson correlation MATRIX over the lineitem measures
+    * (quantity, price, discount, tax) in ONE corpus scan — the q137
+    * moment-sum discipline widened from a single regression to all
+    * K·(K−1)/2 column pairs at once. The feature-engineering and
+    * data-profiling staple ("which signals are redundant?") that a naive
+    * implementation runs as K² separate corr() passes.
+    *
+    * All 15 moments (n, Σx and Σx² per column, Σxy per pair) accumulate in
+    * one aggregate: algebraic sums that collapse map-side, so correlation
+    * over 100 TB is one scan plus a 1-row reduction. The measures are
+    * quantized to integer CENTI-units first (the q172 decimal-cent cast —
+    * exact for these 2-decimal columns), which buys two invariants at
+    * once: Pearson r is scale-invariant, so centi-units change nothing
+    * semantically, and every moment becomes an INTEGER-VALUED sum (plain
+    * BIGINT for Σx; DECIMAL(38,0) for the product sums, whose per-row
+    * BIGINT products ≈10¹⁴ would overflow a BIGINT total past ~10⁴ rows).
+    * Integer-valued moments are the determinism keystone: both engines
+    * correctly-round an integer to double, whereas a fractional decimal's
+    * double cast is 1-ulp engine-dependent (DuckDB computes m·10⁻ˢ in
+    * floating point). The 6 output rows unfold from the single moment row
+    * by an in-row generator (explode of a literal struct array — no join,
+    * no second scan). Doubles exist only in the final
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) expression,
+    * rendered from ONE template for both engines ([[corrSql]]) with the
+    * product moments entering through the [[TWO53]] hi/lo split — exact
+    * integers through one fixed float tree, the q171 contract, even where
+    * a moment outgrows 2⁵³ and a direct engine cast would 1-ulp diverge. */
+  val q179CorrMatrix: Q = (s, d) => {
+    val base = Tables.lineitem(s, d).select(
+      CORR_COLS.map(c => (col(c).cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as(c)): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        CORR_COLS.map(c => sum(col(c)).as(s"s_$c")) ++
+        CORR_COLS.map(c =>
+          sum((col(c) * col(c)).cast(DecimalType(38, 0))).as(s"ss_$c")) ++
+        CORR_PAIRS.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(DecimalType(38, 0))).as(s"sp_${a}_$b") }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val rows = CORR_PAIRS.map { case (a, b) =>
+      struct(lit(a).as("x_col"), lit(b).as("y_col"), col("n").as("n"),
+        expr(corrSql(a, b, "div", identity)).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** 2⁵³ — the largest power of two below which every integer is exactly
+    * representable as a double, i.e. the split point at which a wide
+    * integer moment can be fed to IEEE arithmetic with NO engine-dependent
+    * rounding: hi = t div 2⁵³ and lo = t mod 2⁵³ both cast exactly,
+    * hi·2⁵³ is an exact power-of-two scale, and the final hi·2⁵³+lo is
+    * then ONE correctly-rounded IEEE addition — the same double in every
+    * engine. (A 2⁶² split looks tidier but double-rounds: its lo exceeds
+    * 2⁵³ and the lo cast itself already rounded.) */
+  private val TWO53 = "9007199254740992"
+
+  /** The shared Pearson-r expression over the named moment columns —
+    * rendered for Spark (idiv = "div", decimals divide integrally as-is)
+    * and for DuckDB (idiv = "//", which is FLOAT division on DuckDB
+    * decimals, so the moment first detours through HUGEINT via toInt).
+    * One template, two renderings: the engines cannot disagree about the
+    * float tree because there is only one. */
+  private def corrSql(a: String, b: String,
+                      idiv: String, toInt: String => String): String = {
+    def big(t: String) =
+      s"(CAST(${toInt(t)} $idiv $TWO53 AS DOUBLE) * CAST($TWO53 AS DOUBLE)" +
+        s" + CAST(${toInt(t)} % $TWO53 AS DOUBLE))"
+    def d(t: String) = s"CAST($t AS DOUBLE)"
+    s"""(${d("n")} * ${big(s"sp_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})
+       | / (sqrt(${d("n")} * ${big(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})
+       |    * sqrt(${d("n")} * ${big(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")}))""".stripMargin
+  }
+
+  /** Benford first-digit milli-probabilities: round(log₁₀(1+1/d)·1000) as
+    * LITERAL integer constants (they sum to exactly 1000) — baked into both
+    * plans so no transcendental is ever evaluated by either engine. */
+  private val BENFORD_MILLI: Seq[(Long, Long)] = Seq(
+    1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+    6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+
+  /** q180: Benford first-digit audit over order amounts — the fraud /
+    * data-fabrication screen: the leading-digit histogram of o_totalprice
+    * against Benford's law, with a χ²-style deviation term per digit in the
+    * q133 cross-multiplied integer discipline. Natural multi-scale amounts
+    * follow P(d) = log₁₀(1+1/d); fabricated or truncated feeds don't — a
+    * one-scan data-quality gate (the generator's uniform-ish prices WILL
+    * show deviation; the audit reports it exactly either way).
+    *
+    * The expected distribution enters as integer MILLI-probabilities
+    * (literal constants, never a runtime log), so each digit's term is
+    * exact BIGINT cross-multiplication — num = (1000·obs − p_d·N)²,
+    * den = 1000·p_d·N — with the single IEEE division per row shared
+    * verbatim with the oracle. All 9 digits are emitted even at zero
+    * observations (absent evidence is evidence in an audit): the digit
+    * spine is a 9-row literal unfolded in-row, the observed counts
+    * broadcast onto it, and N arrives as the house 1-row scalar-aggregate
+    * cross-broadcast — the corpus is scanned once, collapses map-side to
+    * ≤10 rows, and nothing else moves. */
+  val q180Benford: Q = (s, d) => {
+    val obs = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = Tables.orders(s, d).agg(count(lit(1)).as("n_tot"))
+    val spine = BENFORD_MILLI.map { case (dg, m) =>
+      struct(lit(dg).as("digit"), lit(m).as("exp_milli")) }
+    val num = (lit(1000L) * col("n_obs") - col("exp_milli") * col("n_tot")) *
+      (lit(1000L) * col("n_obs") - col("exp_milli") * col("n_tot"))
+    val den = lit(1000L) * col("exp_milli") * col("n_tot")
+    s.range(1).select(explode(array(spine: _*)).as("e"))
+      .select(col("e.*"))
+      .join(broadcast(obs), Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("exp_milli"), col("n_tot"))
+      .select(col("digit"), col("n_obs"), col("exp_milli"), col("n_tot"),
+        num.as("num"), den.as("den"),
+        (num.cast(DoubleType) / den.cast(DoubleType)).as("chi2_term"))
+  }
+
+  /** q181: Gini concentration of customer revenue per market segment — the
+    * inequality/concentration analytic behind "do 1% of customers carry 80%
+    * of revenue?" (and, on a corpus, "do 1% of domains carry 80% of
+    * documents?"). The rank formula G = (2·Σᵢ rᵢxᵢ − (n+1)·Σx)/(n·Σx)
+    * needs every value's global rank within its segment — but ranks over
+    * GROUPED data are closed-form: collapsing to a (segment, value,
+    * count) histogram first, a value with count c and strictly-lower
+    * prefix P contributes Σranks·x = x·(c·P + c(c+1)/2) exactly. So the
+    * plan is the q168 histogram walk, not a row-level sort: per-customer
+    * revenue in exact integer CENTS (the q172 decimal-cent quantization),
+    * one keyed collapse to the histogram, one ordered prefix walk over
+    * histogram rows, and a 5-row final reduction. Everything to the left
+    * of the last division is BIGINT (peak ≈ x·n² ≈ 5·10¹⁴ at sf0.1;
+    * upgrade the S-sum to DECIMAL past ~10⁸ customers, same plan), so the
+    * result is partitioning-proof and hash-gated.
+    *
+    * Scale shape: orders collapse map-side into per-customer sums (one
+    * custkey exchange), the segment dim broadcasts on, and the prefix walk
+    * runs over the collapsed (segment, cents) histogram — distinct
+    * revenue values, not orders. When one segment's distinct-value count
+    * outgrows a task, the prefix sum routes through q100's
+    * range-partitioned three-phase machinery (the arithmetic is unchanged
+    * — c·P + c(c+1)/2 only needs the cross-partition count offsets q100
+    * already computes). */
+  val q181Gini: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("rev"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev"))
+    val seg = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    rev.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("rev")).agg(count(lit(1)).as("c"))
+      .withColumn("pfx", coalesce(sum(col("c")).over(W), lit(0L)))
+      .groupBy(col("seg")).agg(
+        sum(col("c")).as("n"),
+        sum(col("rev") * col("c")).as("t"),
+        sum(col("rev") * (col("c") * col("pfx") +
+          expr("(c * (c + 1)) div 2"))).as("srank"))
+      .select(col("seg"), col("n"), col("t"), col("srank"),
+        ((lit(2L) * col("srank") - (col("n") + 1L) * col("t")).cast(DoubleType) /
+          (col("n") * col("t")).cast(DoubleType)).as("gini"))
+  }
+
   /** q77: the SQL set operators over two corpus snapshots — the daily-crawl
     * diff ("which docs appeared / disappeared / persisted") plus the
     * multiset (ALL) variants over a non-unique projection, assembled into
@@ -1539,6 +1715,9 @@ object OlapQueries {
     "q130_join_cardinality" -> q130JoinCardinality,
     "q133_drift_chi2" -> q133DriftChi2,
     "q137_trend_ols" -> q137TrendOls,
+    "q179_corr_matrix" -> q179CorrMatrix,
+    "q180_benford" -> q180Benford,
+    "q181_gini" -> q181Gini,
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
@@ -2130,6 +2309,70 @@ object OlapQueries {
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM m""".stripMargin,
+    // Same exact decimal moments (generated from the SAME pair list as the
+    // Spark plan), same per-pair IEEE tree.
+    "q179_corr_matrix" -> {
+      // Same centi-unit quantization; product sums in DECIMAL(38,0) (the
+      // per-row BIGINT product is exact, the 38-digit total can't
+      // overflow), so every moment is integer-valued and its double cast
+      // is the same correctly-rounded value in both engines.
+      def qc(c: String) = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val moments = (
+        CORR_COLS.map(c => s"    CAST(sum(${qc(c)}) AS BIGINT) AS s_$c") ++
+          CORR_COLS.map(c =>
+            s"    sum(CAST(${qc(c)} * ${qc(c)} AS DECIMAL(38,0))) AS ss_$c") ++
+          CORR_PAIRS.map { case (a, b) =>
+            s"    sum(CAST(${qc(a)} * ${qc(b)} AS DECIMAL(38,0))) AS sp_${a}_$b" }
+        ).mkString(",\n")
+      val selects = CORR_PAIRS.map { case (a, b) =>
+        s"""SELECT '$a' AS x_col, '$b' AS y_col, CAST(n AS BIGINT) AS n,
+           |  ${corrSql(a, b, "//", t => s"CAST($t AS HUGEINT)")} AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH m AS (SELECT count(*) AS n,\n$moments\n  FROM lineitem)\n$selects"
+    },
+    // Same literal milli-probabilities (generated from the SAME constant
+    // list), same cross-multiplied integers, one division per digit.
+    "q180_benford" ->
+      s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dg GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM orders),
+         |e AS (SELECT CAST(digit AS BIGINT) AS digit,
+         |    CAST(exp_milli AS BIGINT) AS exp_milli
+         |  FROM (VALUES ${BENFORD_MILLI.map { case (dg, m) => s"($dg,$m)" }.mkString(",")})
+         |    v(digit, exp_milli)),
+         |j AS (SELECT e.digit, COALESCE(c.n_obs, 0) AS n_obs, e.exp_milli, t.n_tot
+         |  FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t)
+         |SELECT digit, n_obs, exp_milli, n_tot,
+         |  (1000 * n_obs - exp_milli * n_tot)
+         |    * (1000 * n_obs - exp_milli * n_tot) AS num,
+         |  1000 * exp_milli * n_tot AS den,
+         |  CAST((1000 * n_obs - exp_milli * n_tot)
+         |      * (1000 * n_obs - exp_milli * n_tot) AS DOUBLE)
+         |    / CAST(1000 * exp_milli * n_tot AS DOUBLE) AS chi2_term
+         |FROM j""".stripMargin,
+    // Same cents quantization, same grouped-rank closed form, same single
+    // division per segment.
+    "q181_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_mktsegment AS seg, rev
+        |  FROM rev JOIN customer ON c_custkey = o_custkey),
+        |h AS (SELECT seg, rev, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |p AS (SELECT seg, rev, c,
+        |    COALESCE(CAST(sum(c) OVER (PARTITION BY seg ORDER BY rev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pfx
+        |  FROM h),
+        |g AS (SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(rev * c) AS BIGINT) AS t,
+        |    CAST(sum(rev * (c * pfx + (c * (c + 1)) // 2)) AS BIGINT) AS srank
+        |  FROM p GROUP BY 1)
+        |SELECT seg, n, t, srank,
+        |  CAST(2 * srank - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
+        |FROM g""".stripMargin,
     // Same cross-multiplied integers, same single division per row.
     "q133_drift_chi2" ->
       """WITH h AS (SELECT lang,

@@ -16,13 +16,15 @@ class DeterminismSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   // one per family: scan/agg, text, window, sketch, histogram, linkage,
-  // advisor, drift, weighted stats, set algebra
+  // advisor, drift, weighted stats, set algebra, graph traversal,
+  // moment statistics, concentration
   private val sample = Seq(
     "q01_pricing_summary", "q17_token_count", "q95_window_suite",
     "q147_transition_matrix", "q163_trending_decay",
     "q167_sketch_algebra", "q168_histogram_percentiles",
     "q171_changepoint", "q172_record_linkage", "q174_ks_test",
-    "q175_weighted_percentiles", "q176_hll_algebra")
+    "q175_weighted_percentiles", "q176_hll_algebra",
+    "q178_bfs_khop", "q179_corr_matrix", "q181_gini")
 
   test("results are invariant to the shuffle-partition count (7 vs the default)") {
     val hostile = spark.newSession()

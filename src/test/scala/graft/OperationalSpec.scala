@@ -18,7 +18,11 @@ package graft
   * (q162), and the HLL registers' MAX-mergeability (q166), and the bloom
   * sidecar's strict-subset / absent-key-opens-nothing skipping (q169),
   * and the changepoint's planted-shift recovery (q171), and the weighted
-  * sample percentiles' corpus-tracking error bound (q175). These assert
+  * sample percentiles' corpus-tracking error bound (q175), and the BFS
+  * levels' shortest-path soundness (q178), and the moment-algebra
+  * correlations' agreement with the engine's own corr() (q179), and the
+  * Benford audit's partition totals (q180), and the Gini closed form's
+  * bit-equality with the brute rank formula (q181). These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
@@ -667,5 +671,97 @@ class OperationalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     got shouldBe want
     got.nonEmpty shouldBe true
+  }
+
+  test("q178: BFS levels are genuine shortest paths — every level-i node touches level i-1 and nothing earlier") {
+    import org.apache.spark.sql.functions._
+    val dist = GraphQueries.q178BfsKhop(spark, sf)
+      .select(concat(col("node_type"), lit(":"), col("key")).as("node"), col("dist"))
+    dist.count() shouldBe dist.select(col("node")).distinct().count() // one level per node
+    // rebuild the undirected edge list in decoded node space
+    val e0 = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("customer:"), col("o_custkey")).as("a"),
+        concat(lit("supplier:"), col("l_suppkey")).as("b")).distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    // minimum over neighbors' levels: for every node at level i ≥ 1, the
+    // best neighbor level must be EXACTLY i-1 — i-2 would mean a shorter
+    // path exists (BFS missed it), i would mean no path of length i exists
+    // (BFS invented it)
+    val nbrBest = edges.join(dist.withColumnRenamed("node", "a")
+        .withColumnRenamed("dist", "da"), Seq("a"))
+      .groupBy(col("b")).agg(min(col("da")).as("best"))
+    val bad = dist.filter(col("dist") >= 1)
+      .join(nbrBest, dist("node") === nbrBest("b"))
+      .filter(col("best") =!= col("dist") - 1)
+    bad.count() shouldBe 0L
+    // levels form a contiguous prefix of 0..3 (a gap would mean a level
+    // expanded from nothing); the dense small-SF graph saturates by hop 2,
+    // so level 3 may legitimately be empty — but 0..2 must be there
+    val levels = dist.select(col("dist")).distinct().collect().map(_.getLong(0)).sorted
+    levels shouldBe (0L until levels.length).toArray
+    levels.length should be >= 3
+  }
+
+  test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
+    import org.apache.spark.sql.functions._
+    // corr() streams Welford-style in doubles — an entirely different
+    // algorithm and summation order. Agreement to 1e-9 on every pair is
+    // evidence the moment algebra is right; bit-equality is neither
+    // expected nor needed (the DuckDB gate pins OUR tree exactly).
+    val got = OlapQueries.q179CorrMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("x_col"), r.getAs[String]("y_col")) ->
+        r.getAs[Double]("corr")).toMap
+    got.size shouldBe 6
+    val cents = Tables.lineitem(spark, sf).select(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("double").as(c)): _*)
+    got.foreach { case ((a, b), r) =>
+      val builtin = cents.agg(corr(col(a), col(b))).head.getDouble(0)
+      math.abs(r - builtin) should be < 1e-9
+    }
+  }
+
+  test("q180: the Benford audit is a complete partition of the orders — counts and milli-probabilities both total exactly") {
+    val rows = OlapQueries.q180Benford(spark, sf).collect()
+    rows.length shouldBe 9 // all digits present even at zero observations
+    rows.map(_.getAs[Long]("exp_milli")).sum shouldBe 1000L // a true distribution
+    val nTot = rows.head.getAs[Long]("n_tot")
+    rows.map(_.getAs[Long]("n_obs")).sum shouldBe nTot // every order counted once
+    nTot shouldBe Tables.orders(spark, sf).count()
+  }
+
+  test("q181: the grouped-rank closed form equals the brute row-level rank formula, bit for bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // brute force: materialize every customer's rank within its segment
+    // (row_number over revenue; tied revenues share x, so any tie order
+    // yields the same Σ rᵢxᵢ) and apply G = (2·Σrᵢxᵢ − (n+1)·Σx)/(n·Σx)
+    // directly. The closed form must reproduce it EXACTLY — same BIGINTs
+    // in, same single division out.
+    val rev = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+    val brute = rev
+      .withColumn("r", row_number().over(Window.partitionBy(col("seg")).orderBy(col("rev"))))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("rev")).as("t"),
+        sum(col("r") * col("rev")).as("srank"))
+      .select(col("seg"),
+        ((lit(2L) * col("srank") - (col("n") + 1L) * col("t")).cast("double") /
+          (col("n") * col("t")).cast("double")).as("gini"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = OlapQueries.q181Gini(spark, sf).collect()
+      .map(r => r.getAs[String]("seg") -> r.getAs[Double]("gini")).toMap
+    got.keySet shouldBe brute.keySet
+    got.foreach { case (seg, g) =>
+      g shouldBe brute(seg) // bit-exact: identical integers, identical tree
+      g should (be >= 0.0 and be < 1.0)
+    }
   }
 }

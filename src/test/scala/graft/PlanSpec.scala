@@ -977,4 +977,30 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q178 BFS: every frontier and visited set joins by broadcast — the edge list never sort-merges") {
+    val p = plan(GraphQueries.q178BfsKhop(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q179 correlation matrix: all 15 moments come from ONE lineitem scan, partial-aggregated map-side") {
+    val p = plan(OlapQueries.q179CorrMatrix(spark, sf))
+    // formatted explain lists each node once in the tree and once in the
+    // detail section — count the numbered detail entries
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).size shouldBe 1
+    p should include("partial_") // moment sums collapse before the exchange
+    p should not include "SortMergeJoin" // no join exists at all
+  }
+
+  test("q181 Gini: the segment dim broadcasts onto per-customer sums; no sort-merge join anywhere") {
+    val p = plan(OlapQueries.q181Gini(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // the ordered prefix walk runs over collapsed histogram rows — its
+    // sort is the in-partition window sort, never a range repartition of
+    // order rows
+    p should not include "rangepartitioning"
+  }
 }
