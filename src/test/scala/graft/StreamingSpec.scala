@@ -562,6 +562,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers (q166/q176's builder) equal the batch registers on a chopped feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // the SAME builder as q166/q176: max(rho) is an associative /
+    // commutative / idempotent monoid, so the Complete-mode aggregation
+    // state IS the register table — a stream and a batch over the same
+    // events ship bit-identical registers, and everything derived from
+    // registers (harmonic estimates, q176's element-wise-MAX set algebra)
+    // is automatically stream-correct too
+    val q = OlapQueries.hllRegs(input.toDS().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("q166_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val feed = Seq[(String, Long)](
+        ("click", 11L), ("click", 207L), ("click", 11L), // re-arrival: idempotent
+        ("view", 11L),                                   // same user, other type
+        ("view", 3042L), ("click", 99999L), ("view", 512L))
+      val (b1, b2) = feed.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+      val streamed = spark.table("q166_twin_test")
+        .collect().map(r => key(r) -> r.getInt(2)).toMap
+      val batch = OlapQueries.hllRegs(feed.toDF("event_type", "user_id"))
+        .collect().map(r => key(r) -> r.getInt(2)).toMap
+      streamed shouldBe batch
+      // each distinct user occupies exactly one register here (no bucket
+      // collisions in this tiny set): 3 distinct click / 3 distinct view
+      streamed.keys.count(_._1 == "click") shouldBe 3
+      streamed.keys.count(_._1 == "view") shouldBe 3
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch pairing (q147) on an out-of-order, chopped feed") {
     import graft.streaming.EventStream.{TransEvent, Transition}
     implicit val sqlCtx = spark.sqlContext
