@@ -1144,6 +1144,72 @@ object OlapQueries {
        |    * sqrt(${d("n")} * ${big(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")}))""".stripMargin
   }
 
+  /** q183: distribution-shape profiling — population skewness and excess
+    * kurtosis of `events.value` per event type, from the SAME one-scan
+    * integer-moment discipline as q179: raw moments Σc..Σc⁴ over exact
+    * centi-units (both shape statistics are scale-invariant, so the
+    * quantization is semantically free), n/Σc as BIGINT and the wide
+    * power sums as integer-valued decimals — per-row c² stays in BIGINT
+    * (safe to c ≈ 3·10⁹ cents) and c³/c⁴ multiply in DECIMAL, because a
+    * BIGINT c⁴ would already overflow near c ≈ 55,000. The
+    * monitoring story: mean/variance drift gates (q133/q174) miss
+    * tail-shape changes — a distribution can hold its mean while growing
+    * a heavy tail, which is exactly what skewness/kurtosis flag, and at
+    * 100 TB this stays ONE scan + a 5-row reduction because raw power
+    * sums are algebraic aggregates that collapse map-side.
+    *
+    * Central moments come from raw moments inside the shared float tree
+    * ([[shapeSql]], one template for both engines, wide moments through
+    * the [[TWO53]] split): m₂ = a₂−μ², m₃ = a₃−3μa₂+2μ³,
+    * m₄ = a₄−4μa₃+6μ²a₂−3μ⁴, skew = m₃/(m₂√m₂), exkurt = m₄/m₂²−3 —
+    * written with multiply+sqrt, never pow(x,1.5), because sqrt is
+    * IEEE-correctly-rounded everywhere and pow is not. The exact moment
+    * state rides along (n, s1 BIGINT; s2–s4 as canonical decimal
+    * strings), so the gate pins the integers AND the doubles. */
+  val q183MomentShape: Q = (s, d) => {
+    val c = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    // c² stays in BIGINT (safe for cents up to 3·10⁹); the 3rd/4th powers
+    // multiply in DECIMAL — a BIGINT c⁴ would overflow past c ≈ 55,000
+    val cc = (col("c") * col("c")).cast(DecimalType(19, 0))
+    val m = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), c.as("c"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(cc).as("s2"),
+        sum(cc * col("c")).as("s3"),
+        sum(cc * cc).as("s4"))
+    val (skew, kurt) = shapeSql("div", identity)
+    m.select(col("event_type"), col("n"), col("s1"),
+      col("s2").cast(StringType).as("s2"),
+      col("s3").cast(StringType).as("s3"),
+      col("s4").cast(StringType).as("s4"),
+      expr(skew).as("skewness"), expr(kurt).as("ex_kurtosis"))
+  }
+
+  /** The shared skewness/kurtosis float tree over moment columns
+    * n, s1, s2, s3, s4 — the q179 [[corrSql]] contract applied to shape
+    * statistics. Returns (skewness, excess kurtosis) expression texts. */
+  private def shapeSql(idiv: String,
+                       toInt: String => String): (String, String) = {
+    def big(t: String) =
+      s"(CAST(${toInt(t)} $idiv $TWO53 AS DOUBLE) * CAST($TWO53 AS DOUBLE)" +
+        s" + CAST(${toInt(t)} % $TWO53 AS DOUBLE))"
+    val nD = "CAST(n AS DOUBLE)"
+    val mu = s"(CAST(s1 AS DOUBLE) / $nD)"
+    val a2 = s"(${big("s2")} / $nD)"
+    val a3 = s"(${big("s3")} / $nD)"
+    val a4 = s"(${big("s4")} / $nD)"
+    val m2 = s"($a2 - $mu * $mu)"
+    val m3 = s"($a3 - CAST(3 AS DOUBLE) * $mu * $a2" +
+      s" + CAST(2 AS DOUBLE) * $mu * $mu * $mu)"
+    val m4 = s"($a4 - CAST(4 AS DOUBLE) * $mu * $a3" +
+      s" + CAST(6 AS DOUBLE) * $mu * $mu * $a2" +
+      s" - CAST(3 AS DOUBLE) * $mu * $mu * $mu * $mu)"
+    (s"($m3 / ($m2 * sqrt($m2)))",
+      s"($m4 / ($m2 * $m2) - CAST(3 AS DOUBLE))")
+  }
+
   /** Benford first-digit milli-probabilities: round(log₁₀(1+1/d)·1000) as
     * LITERAL integer constants (they sum to exactly 1000) — baked into both
     * plans so no transcendental is ever evaluated by either engine. */
@@ -1718,6 +1784,7 @@ object OlapQueries {
     "q179_corr_matrix" -> q179CorrMatrix,
     "q180_benford" -> q180Benford,
     "q181_gini" -> q181Gini,
+    "q183_moment_shape" -> q183MomentShape,
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
@@ -2330,6 +2397,25 @@ object OlapQueries {
            |FROM m""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH m AS (SELECT count(*) AS n,\n$moments\n  FROM lineitem)\n$selects"
+    },
+    // Same centi-unit power sums, same shared float tree over the split
+    // moments; the exact state gates as integers/decimal strings.
+    "q183_moment_shape" -> {
+      val (skew, kurt) = shapeSql("//", t => s"CAST($t AS HUGEINT)")
+      val qc = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      s"""WITH m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum($qc) AS BIGINT) AS s1,
+         |    sum(CAST($qc * $qc AS DECIMAL(19,0))) AS s2,
+         |    sum(CAST($qc * $qc AS DECIMAL(19,0)) * CAST($qc AS DECIMAL(19,0)))
+         |      AS s3,
+         |    sum(CAST($qc * $qc AS DECIMAL(19,0)) * CAST($qc * $qc AS DECIMAL(19,0)))
+         |      AS s4
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n, s1,
+         |  CAST(s2 AS VARCHAR) AS s2, CAST(s3 AS VARCHAR) AS s3,
+         |  CAST(s4 AS VARCHAR) AS s4,
+         |  $skew AS skewness, $kurt AS ex_kurtosis
+         |FROM m""".stripMargin
     },
     // Same literal milli-probabilities (generated from the SAME constant
     // list), same cross-multiplied integers, one division per digit.

@@ -786,7 +786,72 @@ object TextQueries {
       .select(col("doc_id"), explode(col("m")).as(Seq("t", "v")))
   }
 
+  /** q184: RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyword/keyphrase miner: candidate phrases are the maximal stopword-
+    * free word runs, each word scores degree/frequency (degree = Σ length
+    * of phrases it appears in — words that live in long phrases score
+    * high; frequency = raw occurrences), and a phrase scores the sum of
+    * its words' scores. Top 5 phrases per language, with occurrence
+    * counts.
+    *
+    * Phrase extraction is pure string arithmetic IN THE SCAN: whitespace
+    * is doubled so every stopword occurrence owns non-overlapping
+    * delimiters, one global regexp_replace turns ` stopword ` into a
+    * sentinel, and split/transform/filter produce the per-occurrence word
+    * arrays with zero exchanges (consecutive stopwords and edge positions
+    * fall out of the padding — no lookaround, because RE2 engines don't
+    * have it and the oracle must run the SAME regex). The word score is
+    * integer MILLI-units — (1000·deg) div freq — so phrase scores are
+    * exact BIGINT sums: classic RAKE's rational deg/freq sum would be a
+    * float whose summation order the engines could disagree on; the
+    * quantized form is order-free and hash-gates, and ranking is total
+    * ((score, occ, phrase) — no float tie anywhere).
+    *
+    * Scale shape: three keyed exchanges — (lang, word) stats, the
+    * (lang, phrase) occurrence collapse, and the score join — each over
+    * phrase/vocabulary rows that collapse map-side, never raw text; the
+    * top-5 rank filter pushes into WindowGroupLimit. A bounded vocabulary
+    * would let the word-score side broadcast (the q94 shape); the keyed
+    * join is the unbounded-vocab default. */
+  val q184RakeKeywords: Q = (s, d) => rake(Tables.documents(s, d))
+
+  /** The RAKE machinery behind q184, on any (lang, text) frame — exposed
+    * so OperationalSpec can replay a hand-scored document. */
+  private[graft] def rake(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val alt = stopwords.mkString("|")
+    val t2 = regexp_replace(
+      concat(lit(" "), regexp_replace(trim(col("text")), "\\s+", "  "), lit(" ")),
+      s" ($alt) ", " ~ ")
+    val phrRows = docs
+      .select(col("lang"), explode(filter(
+        transform(split(t2, "~"),
+          x => filter(split(trim(x), "\\s+"), w => w =!= "")),
+        a => size(a) > 0)).as("ws"))
+      .select(col("lang"), array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).cast(LongType).as("plen"), col("ws"))
+    val wordScores = phrRows
+      .select(col("lang"), col("plen"), explode(col("ws")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("lang"), col("word"), expr("(1000 * deg) div freq").as("sw"))
+    val scored = phrRows.groupBy(col("lang"), col("phrase"))
+      .agg(count(lit(1)).as("occ"))
+      .select(col("lang"), col("phrase"), col("occ"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wordScores, Seq("lang", "word"))
+      .groupBy(col("lang"), col("phrase"))
+      .agg(max(col("occ")).as("occ"), sum(col("sw")).as("score_milli"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("score_milli").desc, col("occ").desc, col("phrase"))
+    scored.withColumn("rank", row_number().over(W).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("phrase"), col("occ"),
+        col("score_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_rake_keywords" -> q184RakeKeywords,
     "q131_map_surface" -> q131MapSurface,
     "q123_source_calibration" -> q123SourceCalibration,
     "q15_text_stats"  -> q15TextStats,
@@ -817,6 +882,40 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Same doubled-space sentinel regex, same integer milli-scores, same
+    // total ranking — the phrase machinery replayed in DuckDB's RE2.
+    "q184_rake_keywords" -> {
+      val alt = stopwords.mkString("|")
+      s"""WITH t2 AS (SELECT lang,
+         |    regexp_replace(' ' || regexp_replace(trim(text), '\\s+', '  ', 'g')
+         |        || ' ', ' ($alt) ', ' ~ ', 'g') AS tx
+         |  FROM documents),
+         |pr AS (SELECT lang,
+         |    list_filter(string_split_regex(trim(p), '\\s+'), w -> w <> '') AS ws
+         |  FROM t2, unnest(string_split(tx, '~')) AS u(p)),
+         |phr AS (SELECT lang, array_to_string(ws, ' ') AS phrase,
+         |    CAST(len(ws) AS BIGINT) AS plen, ws
+         |  FROM pr WHERE len(ws) > 0),
+         |wr AS (SELECT lang, plen, u.w AS word FROM phr, unnest(ws) AS u(w)),
+         |wstats AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM wr GROUP BY 1, 2),
+         |swt AS (SELECT lang, word, (1000 * deg) // freq AS sw FROM wstats),
+         |oc AS (SELECT lang, phrase, CAST(count(*) AS BIGINT) AS occ
+         |  FROM phr GROUP BY 1, 2),
+         |px AS (SELECT oc.lang, oc.phrase, oc.occ, u.w AS word
+         |  FROM oc, unnest(string_split(oc.phrase, ' ')) AS u(w)),
+         |sc AS (SELECT px.lang, px.phrase, max(px.occ) AS occ,
+         |    CAST(sum(s.sw) AS BIGINT) AS score_milli
+         |  FROM px JOIN swt s ON s.lang = px.lang AND s.word = px.word
+         |  GROUP BY 1, 2),
+         |r AS (SELECT lang, phrase, occ, score_milli,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_milli DESC, occ DESC, phrase) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT lang, rank, phrase, occ, score_milli FROM r WHERE rank <= 5"""
+        .stripMargin
+    },
     // Same score, same (q DESC, doc_id) total order, same integer running
     // sum, same strict start-before-budget rule.
     "q160_budget_fill" ->

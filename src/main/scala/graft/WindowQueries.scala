@@ -539,7 +539,56 @@ object WindowQueries {
         col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
   }
 
+  /** q182: calendar-RANGE trailing aggregation — the 7-day trailing
+    * large-transaction exposure per event type, as a RANGE frame over the
+    * integer epoch-day axis. RANGE and ROWS diverge exactly when the axis
+    * has holes: ROWS BETWEEN 6 PRECEDING reaches back seven OBSERVED
+    * rows — arbitrarily far in calendar time once days are missing —
+    * while the RANGE frame is anchored to the calendar and absent days
+    * contribute nothing. The rare-event filter (value > 250, ~1% of the skewed
+    * value distribution) leaves most
+    * (type, day) cells empty, so the two frames genuinely differ; both
+    * are emitted, plus the in-frame day count, so the divergence is data
+    * the gate checks, not prose. This is the one surface q95's window
+    * suite (ROWS/ordering frames) and q143/q148's coverage reversal
+    * deliberately avoided: here the calendar frame itself is the
+    * operator.
+    *
+    * Scale shape: events collapse map-side to (type, day) DECIMAL daily
+    * sums behind one keyed exchange — the windows then run over
+    * ≤ |types|·|days| rows, never events, sharing one (type)-keyed sort.
+    * All frame arithmetic is exact DECIMAL re-aggregation of the daily
+    * state (the q173 grain argument applied to sliding frames); sums are
+    * emitted as canonical decimal STRINGS so the gate compares exact
+    * values, not engine float renderings. */
+  val q182RangeFrame: Q = (s, d) => rangeFrame(Tables.events(s, d))
+
+  /** The q182 frame machinery on any (event_type, ts, value) frame —
+    * exposed so OperationalSpec can replay the calendar semantics against
+    * a brute-force day-filter recompute. */
+  private[graft] def rangeFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = events
+      .filter(col("value") > 250.0)
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast(LongType).as("eday"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"))
+      .groupBy(col("event_type"), col("eday"))
+      .agg(sum(col("v")).as("d_sum"), count(lit(1)).as("d_n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("eday"))
+    val wRange = byDay.rangeBetween(-6, 0)
+    val wRows = byDay.rowsBetween(-6, 0)
+    daily.select(col("event_type"), col("eday"), col("d_n"),
+      col("d_sum").cast(org.apache.spark.sql.types.StringType).as("d_sum"),
+      sum(col("d_sum")).over(wRange)
+        .cast(org.apache.spark.sql.types.StringType).as("trail7_range"),
+      count(lit(1)).over(wRange).as("days_in_range"),
+      sum(col("d_sum")).over(wRows)
+        .cast(org.apache.spark.sql.types.StringType).as("trail7_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_range_frame" -> q182RangeFrame,
     "q136_cohort_retention" -> q136CohortRetention,
     "q138_pit_features" -> q138PitFeatures,
     "q142_attribution" -> q142Attribution,
@@ -557,6 +606,27 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same daily decimal collapse, same integer day axis, same two frames;
+    // sums compared as canonical decimal strings.
+    "q182_range_frame" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS d_sum,
+        |    CAST(count(*) AS BIGINT) AS d_n
+        |  FROM events WHERE value > 250.0 GROUP BY 1, 2)
+        |SELECT event_type, eday, d_n,
+        |  CAST(d_sum AS VARCHAR) AS d_sum,
+        |  CAST(sum(d_sum) OVER (PARTITION BY event_type ORDER BY eday
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS trail7_range,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY eday
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS days_in_range,
+        |  CAST(sum(d_sum) OVER (PARTITION BY event_type ORDER BY eday
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS trail7_rows
+        |FROM daily""".stripMargin,
     // Same ISO week truncation, same integer day/7 offsets, one division.
     "q136_cohort_retention" ->
       """WITH weekly AS (SELECT DISTINCT user_id,

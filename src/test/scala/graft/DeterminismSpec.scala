@@ -24,7 +24,8 @@ class DeterminismSpec extends SparkSpec {
     "q167_sketch_algebra", "q168_histogram_percentiles",
     "q171_changepoint", "q172_record_linkage", "q174_ks_test",
     "q175_weighted_percentiles", "q176_hll_algebra",
-    "q178_bfs_khop", "q179_corr_matrix", "q181_gini")
+    "q178_bfs_khop", "q179_corr_matrix", "q181_gini",
+    "q182_range_frame", "q183_moment_shape", "q184_rake_keywords")
 
   test("results are invariant to the shuffle-partition count (7 vs the default)") {
     val hostile = spark.newSession()

@@ -22,7 +22,10 @@ package graft
   * levels' shortest-path soundness (q178), and the moment-algebra
   * correlations' agreement with the engine's own corr() (q179), and the
   * Benford audit's partition totals (q180), and the Gini closed form's
-  * bit-equality with the brute rank formula (q181). These assert
+  * bit-equality with the brute rank formula (q181), and the RANGE
+  * frame's calendar semantics vs its ROWS twin (q182), and the moment
+  * shapes' agreement with the engine's own skewness()/kurtosis() (q183),
+  * and the RAKE scorer's hand-computed document (q184). These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
@@ -671,6 +674,80 @@ class OperationalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     got shouldBe want
     got.nonEmpty shouldBe true
+  }
+
+  test("q182: the RANGE frame is the calendar — it equals a brute day-filter recompute, and diverges from ROWS on gaps") {
+    import org.apache.spark.sql.functions._
+    val rows = WindowQueries.q182RangeFrame(spark, sf).collect()
+    rows.nonEmpty shouldBe true
+    // brute force: for every (type, day), re-sum the daily sums whose day
+    // falls in [day-6, day] — straight from the output's own daily column
+    val daily = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("eday"))
+      -> BigDecimal(r.getAs[String]("d_sum"))).toMap
+    rows.foreach { r =>
+      val (t, day) = (r.getAs[String]("event_type"), r.getAs[Long]("eday"))
+      val want = daily.collect {
+        case ((`t`, d0), v) if d0 >= day - 6 && d0 <= day => v }.sum
+      BigDecimal(r.getAs[String]("trail7_range")) shouldBe want
+      val wantDays = daily.keys.count { case (t0, d0) =>
+        t0 == t && d0 >= day - 6 && d0 <= day }
+      r.getAs[Long]("days_in_range") shouldBe wantDays.toLong
+    }
+    // the rare-event filter leaves calendar holes at this scale, so the
+    // two frames must actually disagree somewhere — otherwise the query
+    // demonstrates nothing
+    rows.count(r => r.getAs[String]("trail7_range") != r.getAs[String]("trail7_rows")) should be > 0
+  }
+
+  test("q183: integer-moment skewness/kurtosis agree with Spark's own skewness()/kurtosis()") {
+    import org.apache.spark.sql.functions._
+    // Spark's implementations stream central moments in doubles — a
+    // different algorithm entirely; agreement to 1e-6 (they, unlike us,
+    // lose precision to cancellation) validates the raw→central algebra.
+    // Both statistics are scale-invariant, so comparing on centi-units
+    // needs no unit conversion.
+    val got = OlapQueries.q183MomentShape(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("skewness"), r.getAs[Double]("ex_kurtosis"))).toMap
+    got.size should be >= 3
+    val ref = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("double").as("c"))
+      .groupBy(col("event_type"))
+      .agg(skewness(col("c")).as("sk"), kurtosis(col("c")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (t, (sk, ku)) =>
+      math.abs(sk - ref(t)._1) should be < 1e-6
+      math.abs(ku - ref(t)._2) should be < 1e-6
+    }
+  }
+
+  test("q184: RAKE scores a hand-computed document exactly, and no phrase ever contains a stopword") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "deep learning of the deep learning and model":
+    //   phrases = [deep learning] ×2, [model]
+    //   freq(deep)=2 deg(deep)=2+2=4 → sw=2000; learning likewise;
+    //   freq(model)=1 deg=1 → sw=1000
+    //   score(deep learning) = 4000 (occ 2), score(model) = 1000 (occ 1)
+    val doc = Seq(("xx", "deep learning of the deep learning and model"))
+      .toDF("lang", "text")
+    val r = TextQueries.rake(doc).collect()
+      .map(x => (x.getAs[String]("phrase"), x.getAs[Long]("rank"),
+        x.getAs[Long]("occ"), x.getAs[Long]("score_milli"))).toSet
+    r shouldBe Set(("deep learning", 1L, 2L, 4000L), ("model", 2L, 1L, 1000L))
+    // on the real corpus: ranks are 1..5 per lang and phrases are
+    // stopword-free (the delimiter really delimits)
+    val full = TextQueries.q184RakeKeywords(spark, sf).collect()
+    full.nonEmpty shouldBe true
+    full.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("rank")).sorted shouldBe (1L to rs.length).toArray
+    }
+    val stops = TextQueries.stopwords.toSet
+    full.foreach { row =>
+      row.getAs[String]("phrase").split(" ").exists(stops) shouldBe false
+    }
   }
 
   test("q178: BFS levels are genuine shortest paths — every level-i node touches level i-1 and nothing earlier") {

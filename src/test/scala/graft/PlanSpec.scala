@@ -994,6 +994,32 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin" // no join exists at all
   }
 
+  test("q182 RANGE frame: events collapse map-side to daily sums; both frames share ONE Window over daily rows") {
+    val p = plan(WindowQueries.q182RangeFrame(spark, sf))
+    p should include("partial_sum") // daily collapse before any exchange
+    // all three framed aggregates (RANGE sum/count, ROWS sum) share one
+    // (event_type) partition + eday sort: exactly one Window node, and
+    // every exchange after the scan carries daily rows, never events —
+    // both are hash exchanges (a rangepartitioning would mean a global
+    // sort of events snuck in)
+    """\(\d+\) Window""".r.findAllMatchIn(p).size shouldBe 1
+    p should not include "rangepartitioning"
+  }
+
+  test("q183 moment shape: all five power sums come from ONE events scan, partial-aggregated map-side") {
+    val p = plan(OlapQueries.q183MomentShape(spark, sf))
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).size shouldBe 1
+    p should include("partial_")
+    p should include("PushedFilters: [IsNotNull(value)]")
+  }
+
+  test("q184 RAKE: the top-5 rank filter pushes into WindowGroupLimit; all joins keyed") {
+    val p = plan(TextQueries.q184RakeKeywords(spark, sf))
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q181 Gini: the segment dim broadcasts onto per-customer sums; no sort-merge join anywhere") {
     val p = plan(OlapQueries.q181Gini(spark, sf))
     p should include("BroadcastHashJoin")
