@@ -1210,6 +1210,54 @@ object OlapQueries {
       s"($m4 / ($m2 * $m2) - CAST(3 AS DOUBLE))")
   }
 
+  /** q186: winsorized statistics — the outlier-clipping preprocessing
+    * step (clip each value into its type's [p05, p95] band) that guards
+    * every downstream mean/σ feature against heavy tails, computed
+    * ENTIRELY from the value histogram: the q168 cumulative walk yields
+    * the exact discrete percentile thresholds by integer
+    * cross-multiplication (smallest c with 20·cum ≥ n, resp. ≥ 19·n),
+    * the 5-row threshold table broadcasts back onto the histogram, and
+    * the clipped sums are Σ count·clip(c) — the corpus is scanned ONCE
+    * and never rescanned for the clip pass, because clipping is a
+    * pure function of (value, thresholds) and the histogram already
+    * carries every distinct value with its multiplicity. Complements
+    * q88 (median/MAD gating DROPS outliers) — winsorizing KEEPS the rows
+    * at the boundary, the choice a budgeted training corpus usually
+    * wants. Clip counts per side ride along; the only doubles are the
+    * two final mean divisions over exact BIGINTs. */
+  val q186Winsorize: Q = (s, d) => {
+    val Wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val Wt = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val hist = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(Wcum))
+      .withColumn("n", sum(col("cnt")).over(Wt))
+      .groupBy(col("event_type")).agg(
+        min(when(col("cum") * 20 >= col("n"), col("c"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("hi"),
+        max(col("n")).as("n"))
+    val clip = greatest(least(col("c"), col("hi")), col("lo"))
+    hist.join(broadcast(thr), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+        sum(when(col("c") < col("lo"), col("cnt")).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("c") > col("hi"), col("cnt")).otherwise(0L)).as("n_clip_hi"),
+        sum(col("c") * col("cnt")).as("sum_raw"),
+        sum(clip * col("cnt")).as("sum_winsor"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clip_lo"), col("n_clip_hi"), col("sum_raw"), col("sum_winsor"),
+        (col("sum_raw").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_raw"),
+        (col("sum_winsor").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_winsor"))
+  }
+
   /** Benford first-digit milli-probabilities: round(log₁₀(1+1/d)·1000) as
     * LITERAL integer constants (they sum to exactly 1000) — baked into both
     * plans so no transcendental is ever evaluated by either engine. */
@@ -1785,6 +1833,7 @@ object OlapQueries {
     "q180_benford" -> q180Benford,
     "q181_gini" -> q181Gini,
     "q183_moment_shape" -> q183MomentShape,
+    "q186_winsorize" -> q186Winsorize,
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
@@ -2398,6 +2447,35 @@ object OlapQueries {
       }.mkString("\nUNION ALL\n")
       s"WITH m AS (SELECT count(*) AS n,\n$moments\n  FROM lineitem)\n$selects"
     },
+    // Same cents histogram, same cross-multiplied percentile walk, same
+    // histogram-side clipping; two divisions over exact BIGINTs.
+    "q186_winsorize" ->
+      """WITH hist AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |thr AS (SELECT event_type,
+        |    min(CASE WHEN cum * 20 >= n THEN c END) AS lo,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN c END) AS hi,
+        |    max(n) AS n
+        |  FROM cum GROUP BY 1),
+        |j AS (SELECT h.event_type, h.c, h.cnt, t.lo, t.hi, t.n
+        |  FROM hist h JOIN thr t USING (event_type))
+        |SELECT event_type, max(n) AS n,
+        |  max(lo) AS lo_cents, max(hi) AS hi_cents,
+        |  CAST(sum(CASE WHEN c < lo THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(c * cnt) AS BIGINT) AS sum_raw,
+        |  CAST(sum(greatest(least(c, hi), lo) * cnt) AS BIGINT) AS sum_winsor,
+        |  CAST(sum(c * cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_raw,
+        |  CAST(sum(greatest(least(c, hi), lo) * cnt) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE) AS mean_winsor
+        |FROM j GROUP BY 1""".stripMargin,
     // Same centi-unit power sums, same shared float tree over the split
     // moments; the exact state gates as integers/decimal strings.
     "q183_moment_shape" -> {

@@ -548,7 +548,57 @@ object RetrievalQueries {
         Window.orderBy(col("rrf").desc, col("doc_id"))))
   }
 
+  /** q187: deterministic weighted NEGATIVE SAMPLING — the word2vec /
+    * contrastive-training primitive: 1000 draws from the unigram
+    * distribution smoothed to n^(3/4) (Mikolov et al. 2013's exponent,
+    * which up-weights rare words without letting stopwords dominate).
+    *
+    * Two determinism tricks make it hash-gateable where the textbook
+    * implementation is irreproducible:
+    *  - the SMOOTHED WEIGHT is w = ⌊√(c·⌊√c⌋)⌋ ≈ c^(3/4) — a composition
+    *    of two integer square roots instead of exp(0.75·ln c), so no
+    *    transcendental exists to 1-ulp-diverge; both engines evaluate the
+    *    identical floor∘sqrt∘int pipeline (and sqrt is IEEE
+    *    correctly-rounded everywhere, unlike pow/ln);
+    *  - each draw k is a PURE FUNCTION of k: u_k = hash60("neg:"||k) mod
+    *    W + 1, so any failed batch of draws re-materializes identically —
+    *    the q74 replayability contract applied to sampling.
+    * The draw resolves by inverse CDF: vocabulary words carry cumulative
+    * weight intervals [cumlo, cumhi] and draw u lands in exactly one
+    * interval — the q177 broadcast-interval probe, so the draw set never
+    * pays a keyed exchange. The per-word interval walk is a window over
+    * the VOCABULARY (bounded state, the q90/q163 argument; an unbounded
+    * id space would route through q100's range-partitioned rank instead).
+    * P(word) ∝ w exactly — frequent corpus words ("data", "line") must
+    * surface in a 1000-draw sample; the gate sees every (k, u, word)
+    * triple, not a summary. */
+  private val NEG_K = 1000L
+
+  val q187NegativeSampling: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def isqrt(x: Column) = floor(sqrt(x.cast(DoubleType))).cast(LongType)
+    val wt = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("w", isqrt(col("c") * isqrt(col("c"))))
+    val cum = wt
+      .withColumn("cumhi", sum(col("w")).over(Window.orderBy(col("word"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumlo", col("cumhi") - col("w") + 1)
+    val tot = cum.agg(max(col("cumhi")).as("wtot"))
+    val draws = s.range(NEG_K).select(col("id").as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        (pmod(TextOps.hash60(concat(lit("neg:"), col("k").cast(
+          org.apache.spark.sql.types.StringType))), col("wtot")) + 1).as("u"))
+    draws.join(broadcast(cum),
+        col("u") >= col("cumlo") && col("u") <= col("cumhi"))
+      .select(col("k"), col("u"), col("word"), col("c"), col("w"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_negative_sampling" -> q187NegativeSampling,
     "q80_bm25" -> q80Bm25,
     "q83_pmi_bigrams" -> q83PmiBigrams,
     "q90_bpe_merges" -> q90BpeMerges,
@@ -612,6 +662,29 @@ object RetrievalQueries {
        |FROM s$BPE_ROUNDS""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same double-isqrt weights, same md5 draws, same interval resolve.
+    "q187_negative_sampling" ->
+      s"""WITH wc AS (SELECT u.w AS word, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+         |  WHERE u.w <> '' GROUP BY 1),
+         |wt AS (SELECT word, c,
+         |    CAST(floor(sqrt(CAST(c * CAST(floor(sqrt(CAST(c AS DOUBLE)))
+         |      AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM wc),
+         |cl AS (SELECT word, c, w,
+         |    CAST(sum(w) OVER (ORDER BY word
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhi,
+         |    CAST(sum(w) OVER (ORDER BY word
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - w + 1 AS cumlo
+         |  FROM wt),
+         |tot AS (SELECT max(cumhi) AS wtot FROM cl),
+         |dr AS (SELECT t.k, CAST(CAST(('0x' || substr(md5('neg:'
+         |        || CAST(t.k AS VARCHAR)), 1, 15)) AS UBIGINT)
+         |      % (SELECT wtot FROM tot) AS BIGINT) + 1 AS u
+         |  FROM range($NEG_K) AS t(k))
+         |SELECT dr.k, dr.u, cl.word, cl.c, cl.w
+         |FROM dr JOIN cl ON dr.u BETWEEN cl.cumlo AND cl.cumhi""".stripMargin,
     // Same integer-bit surprisal: bit-width of the BIGINT quotient, no
     // transcendental on either side.
     "q94_lm_surprisal" ->

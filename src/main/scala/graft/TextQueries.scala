@@ -850,7 +850,41 @@ object TextQueries {
         col("score_milli"))
   }
 
+  /** q185: the feature-hashing vectorizer (Weinberger et al. 2009) — the
+    * text side of every large-scale linear/logistic baseline and the
+    * de-facto preprocessing for hashed n-gram features: each token maps
+    * straight to one of [[FH_DIM]] buckets by hash, so there is NO
+    * vocabulary, no fit pass, no dictionary to broadcast or drift — the
+    * property that makes it the only vectorizer that works on an
+    * unbounded stream — and an unseen word at serving time lands exactly
+    * where training put it. The companion SIGN hash (bit 12 of the same
+    * md5-derived integer) makes colliding words cancel in expectation
+    * instead of piling up, the standard collision-debiasing refinement;
+    * both raw tf and the signed sum are emitted per (doc, bucket).
+    *
+    * Everything is integer arithmetic on the shared hash60 idiom — the
+    * oracle replays bucket and sign from the same md5 — so the sparse
+    * matrix hash-gates exactly. Scale shape: one scan, tokens hashed
+    * in-flight (no vocabulary side input exists by construction), one
+    * (doc, bucket) exchange whose rows are already collapsed map-side;
+    * when a consumer wants one sparse-vector ROW per document instead of
+    * triples, q131's in-row map-fold removes even that exchange. */
+  val q185FeatureHashing: Q = (s, d) => {
+    val h = TextOps.hash60(concat(lit("fh:"), col("word")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(FH_DIM)).as("bucket"),
+        (pmod(expr(s"h div $FH_DIM"), lit(2L)) * lit(2L) - lit(1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"), sum(col("sgn")).as("tf_signed"))
+  }
+
+  private val FH_DIM = 4096L
+
   val queries: Map[String, Q] = Map(
+    "q185_feature_hashing" -> q185FeatureHashing,
     "q184_rake_keywords" -> q184RakeKeywords,
     "q131_map_surface" -> q131MapSurface,
     "q123_source_calibration" -> q123SourceCalibration,
@@ -882,6 +916,19 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Same md5-derived bucket and sign bits, same integer sums.
+    "q185_feature_hashing" ->
+      s"""WITH toks AS (SELECT doc_id, u.w AS word
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+         |  WHERE u.w <> ''),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('fh:' || word), 1, 15)) AS UBIGINT) AS h
+         |  FROM toks),
+         |b AS (SELECT doc_id, CAST(h % $FH_DIM AS BIGINT) AS bucket,
+         |    CAST((h // $FH_DIM) % 2 AS BIGINT) * 2 - 1 AS sgn FROM h)
+         |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf,
+         |  CAST(sum(sgn) AS BIGINT) AS tf_signed
+         |FROM b GROUP BY 1, 2""".stripMargin,
     // Same doubled-space sentinel regex, same integer milli-scores, same
     // total ranking — the phrase machinery replayed in DuckDB's RE2.
     "q184_rake_keywords" -> {

@@ -25,7 +25,8 @@ class DeterminismSpec extends SparkSpec {
     "q171_changepoint", "q172_record_linkage", "q174_ks_test",
     "q175_weighted_percentiles", "q176_hll_algebra",
     "q178_bfs_khop", "q179_corr_matrix", "q181_gini",
-    "q182_range_frame", "q183_moment_shape", "q184_rake_keywords")
+    "q182_range_frame", "q183_moment_shape", "q184_rake_keywords",
+    "q185_feature_hashing", "q186_winsorize", "q187_negative_sampling")
 
   test("results are invariant to the shuffle-partition count (7 vs the default)") {
     val hostile = spark.newSession()

@@ -25,7 +25,10 @@ package graft
   * bit-equality with the brute rank formula (q181), and the RANGE
   * frame's calendar semantics vs its ROWS twin (q182), and the moment
   * shapes' agreement with the engine's own skewness()/kurtosis() (q183),
-  * and the RAKE scorer's hand-computed document (q184). These assert
+  * and the RAKE scorer's hand-computed document (q184), and the hashed
+  * features' token conservation (q185), and the winsorizer's exact
+  * percentile clip bounds (q186), and the negative sampler's
+  * partition-of-weight-space invariant (q187). These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
@@ -748,6 +751,67 @@ class OperationalSpec extends SparkSpec {
     full.foreach { row =>
       row.getAs[String]("phrase").split(" ").exists(stops) shouldBe false
     }
+  }
+
+  test("q185: hashed features conserve every token — per-doc tf totals equal token counts, signed sums bounded") {
+    import org.apache.spark.sql.functions._
+    val fh = TextQueries.q185FeatureHashing(spark, sf)
+    val perDoc = fh.groupBy(col("doc_id")).agg(sum(col("tf")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(filter(split(trim(col("text")),
+          "\\s+"), w => w =!= "")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc shouldBe want // the vectorizer loses and invents nothing
+    // the sign hash is a ±1 per token: |signed| ≤ tf and same parity
+    TextQueries.q185FeatureHashing(spark, sf).collect().foreach { r =>
+      val (tf, sg) = (r.getAs[Long]("tf"), r.getAs[Long]("tf_signed"))
+      math.abs(sg) should be <= tf
+      ((tf - sg) % 2) shouldBe 0L
+    }
+  }
+
+  test("q186: clip counts respect the exact percentile bounds and the winsorized mean sits inside the band") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q186Winsorize(spark, sf).collect()
+    rows.nonEmpty shouldBe true
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // strictly-below-p05 mass is < n/20 by the threshold definition;
+      // strictly-above-p95 mass is ≤ n/20
+      (r.getAs[Long]("n_clip_lo") * 20) should be < n
+      (r.getAs[Long]("n_clip_hi") * 20) should be <= n
+      r.getAs[Long]("lo_cents") should be <= r.getAs[Long]("hi_cents")
+      val m = r.getAs[Double]("mean_winsor")
+      m should (be >= r.getAs[Long]("lo_cents").toDouble and
+        be <= r.getAs[Long]("hi_cents").toDouble)
+    }
+  }
+
+  test("q187: the CDF intervals partition the weight space — every draw resolves exactly once, mass follows weight") {
+    import org.apache.spark.sql.functions._
+    val rows = RetrievalQueries.q187NegativeSampling(spark, sf).collect()
+    // 1000 draws in, 1000 resolutions out, each k exactly once — a gap or
+    // overlap in the [cumlo, cumhi] intervals would break this invariant
+    rows.length shouldBe 1000
+    rows.map(_.getAs[Long]("k")).sorted shouldBe (0L until 1000L).toArray
+    // heavy words must carry draws: rebuild the full vocabulary weights
+    // independently and check the argmax-weight word appears with
+    // frequency near 1000·w/W (loose 3× band — this is a determinism
+    // suite, not a statistics exam)
+    def isqrt(x: Long) = math.sqrt(x.toDouble).toLong
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> {
+        val c = r.getLong(1); isqrt(c * isqrt(c)) }).toMap
+    val wTot = vocab.values.sum
+    val (topWord, topW) = vocab.maxBy(_._2)
+    val expected = 1000.0 * topW / wTot
+    val drawn = rows.count(_.getAs[String]("word") == topWord).toDouble
+    drawn should (be >= expected / 3 and be <= expected * 3)
   }
 
   test("q178: BFS levels are genuine shortest paths — every level-i node touches level i-1 and nothing earlier") {

@@ -1020,6 +1020,29 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q185 feature hashing: no vocabulary side input exists — one scan, no join, partial-aggregated triples") {
+    val p = plan(TextQueries.q185FeatureHashing(spark, sf))
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).size shouldBe 1
+    p should include("partial_count")
+    """\(\d+\) \w*Join""".r.findAllMatchIn(p) shouldBe empty // hash ⇒ no fit pass
+  }
+
+  test("q186 winsorize: thresholds broadcast back onto the histogram — the corpus is never rescanned for the clip") {
+    val p = plan(OlapQueries.q186Winsorize(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "rangepartitioning"
+  }
+
+  test("q187 negative sampling: draws probe the broadcast CDF intervals — no keyed exchange on the draw side") {
+    val p = plan(RetrievalQueries.q187NegativeSampling(spark, sf))
+    // the interval resolve (u BETWEEN cumlo AND cumhi) is the q177
+    // broadcast-probe shape
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
   test("q181 Gini: the segment dim broadcasts onto per-customer sums; no sort-merge join anywhere") {
     val p = plan(OlapQueries.q181Gini(spark, sf))
     p should include("BroadcastHashJoin")
