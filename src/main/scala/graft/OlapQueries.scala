@@ -1187,6 +1187,71 @@ object OlapQueries {
       expr(skew).as("skewness"), expr(kurt).as("ex_kurtosis"))
   }
 
+  /** q189: the log₂-histogram QUANTILE sketch — the missing member of the
+    * mergeable-sketch family (Count-Min counts items, LC/HLL count
+    * distincts, bitmaps count exactly; none answers "what is p99?"):
+    * every value folds into bucket = bitlength(cents), a 64-slot counter
+    * vector per group that merges by plain ADDITION across any
+    * partitioning, any grain, any snapshot — the same monoid property
+    * q152/q154 ship — with a guaranteed-factor-2 answer: the quantile's
+    * true value provably lies in [2^(b−1), 2^b−1] of its estimated
+    * bucket b, because coarsening a histogram cannot move a cumulative
+    * threshold across a bucket boundary. This is the production quantile
+    * monitor (HdrHistogram's trick, DDSketch's γ=2 special case): exact
+    * percentiles (q168) need the full value histogram per window;
+    * 64 counters per group are storable, streamable, and re-aggregable
+    * forever. No float log2 exists anywhere — bitlength IS the bucket
+    * function (the q94/q166 idiom), so the STATE is bit-replayable and
+    * hash-gates, not just the estimates.
+    *
+    * Output is two-part (the q77 union shape): the sketch state rows
+    * (bucket, count, cumulative) and, per q ∈ {50, 90, 99}, the bucket
+    * bounds beside the EXACT discrete percentile from the full histogram
+    * walk — so the gate re-proves est_lo ≤ exact ≤ est_hi on real data
+    * at every scale. Scale shape: one scan; production builds the state
+    * in-scan (≤64 rows per group reach the exchange); the exact
+    * comparator is gate luxury, not operator cost. */
+  val q189LogHistogram: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val Wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val Wc = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val Wt = Window.partitionBy(col("event_type"))
+    val qs = Seq(50L, 90L, 99L)
+    val hist = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val state = hist
+      .groupBy(col("event_type"),
+        length(bin(col("c"))).cast(LongType).as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Wb))
+      .withColumn("n", sum(col("cnt")).over(Wt))
+    val qlit = explode(array(qs.map(lit): _*)).as("qq")
+    val est = state.select(col("event_type"), col("bucket"), col("cum"),
+        col("n"), qlit)
+      .filter(col("cum") * 100 >= col("n") * col("qq"))
+      .groupBy(col("event_type"), col("qq")).agg(min(col("bucket")).as("b"))
+    val exact = hist
+      .withColumn("cum", sum(col("cnt")).over(Wc))
+      .withColumn("n", sum(col("cnt")).over(Wt))
+      .select(col("event_type"), col("c"), col("cum"), col("n"), qlit)
+      .filter(col("cum") * 100 >= col("n") * col("qq"))
+      .groupBy(col("event_type"), col("qq")).agg(min(col("c")).as("exact"))
+    val nullv = lit(null).cast(LongType)
+    state.select(col("event_type"), lit("bucket").as("kind"),
+        col("bucket").as("k"), col("cnt").as("v1"), col("cum").as("v2"),
+        nullv.as("v3"))
+      .unionByName(est.join(broadcast(exact), Seq("event_type", "qq"))
+        .select(col("event_type"), lit("quantile").as("kind"),
+          col("qq").as("k"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b - 1 AS INT))").as("v1"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - 1").as("v2"),
+          col("exact").as("v3")))
+  }
+
   /** The shared skewness/kurtosis float tree over moment columns
     * n, s1, s2, s3, s4 — the q179 [[corrSql]] contract applied to shape
     * statistics. Returns (skewness, excess kurtosis) expression texts. */
@@ -1256,6 +1321,90 @@ object OlapQueries {
           .as("mean_raw"),
         (col("sum_winsor").cast(DoubleType) / col("n").cast(DoubleType))
           .as("mean_winsor"))
+  }
+
+  /** q188: CUPED variance reduction (Deng et al. 2013) — the modern
+    * experimentation readout: each user's post-period spend is adjusted
+    * by their PRE-period spend (yadj = y − θ(x − μx), θ = cov(x,y)/var(x)
+    * pooled), shrinking metric variance with the covariate that existed
+    * before the experiment and leaving the treatment effect unbiased.
+    * Extends q150's z-test from conversion rates to continuous metrics —
+    * the variance term is the whole game there, and CUPED is how real
+    * platforms make small effects detectable.
+    *
+    * The determinism trap: adjusting PER USER and then averaging sums
+    * floats in task order. Instead the adjusted mean and variance are
+    * expanded ALGEBRAICALLY over per-arm integer moments —
+    * Σyadj = Sy − θSx + nθμx and Σyadj² = Syy + θ²Sxx + nc² − 2θSxy +
+    * 2cSy − 2θcSx (c = θμx) — so the engines sum exact BIGINT/DECIMAL
+    * moments (cents quantization; per-user products ≤ 4·10¹² in BIGINT,
+    * sums in DECIMAL(38,0)) and evaluate ONE shared float tree
+    * ([[cupedSql]], wide moments through the [[TWO53]] split). Pooled
+    * moments come from a 2-row window over the arm aggregates — no
+    * second scan. The pooled adjusted mean provably equals the pooled
+    * raw mean (Σn·meanAdj = Σn·meanY), the invariant OperationalSpec
+    * pins.
+    *
+    * Scale shape: one events scan → per-user collapse (keyed exchange
+    * that partial-aggregates map-side) → 2-row arm aggregate; everything
+    * after is arithmetic on 2 rows. */
+  val q188Cuped: Q = (s, d) => {
+    import graft.operators.TextOps
+    val W = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val user = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), cents.as("cv"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit("2024-01-16").cast(TimestampType),
+          col("cv")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast(TimestampType),
+          col("cv")).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(TextOps.hash60(concat(lit("ab:"),
+        col("user_id").cast(StringType))), lit(2L)))
+    val arms = user.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+    val pooled = arms
+      .withColumn("np", sum(col("n")).over(W))
+      .withColumn("spx", sum(col("sx")).over(W))
+      .withColumn("spy", sum(col("sy")).over(W))
+      .withColumn("spxx", sum(col("sxx")).over(W))
+      .withColumn("spxy", sum(col("sxy")).over(W))
+    val e = cupedSql("div", identity)
+    pooled.select(col("arm"), col("n"), col("sx"), col("sy"),
+      col("sxx").cast(StringType).as("sxx"),
+      col("sxy").cast(StringType).as("sxy"),
+      col("syy").cast(StringType).as("syy"),
+      expr(e("theta")).as("theta"),
+      expr(e("mean_y")).as("mean_y"), expr(e("var_y")).as("var_y"),
+      expr(e("mean_adj")).as("mean_adj"), expr(e("var_adj")).as("var_adj"))
+  }
+
+  /** The shared CUPED float tree over per-arm (n, sx, sy, sxx, sxy, syy)
+    * and pooled (np, spx, spy, spxx, spxy) moment columns. */
+  private def cupedSql(idiv: String,
+                       toInt: String => String): Map[String, String] = {
+    def big(t: String) =
+      s"(CAST(${toInt(t)} $idiv $TWO53 AS DOUBLE) * CAST($TWO53 AS DOUBLE)" +
+        s" + CAST(${toInt(t)} % $TWO53 AS DOUBLE))"
+    def d(t: String) = s"CAST($t AS DOUBLE)"
+    val theta = s"((${d("np")} * ${big("spxy")} - ${d("spx")} * ${d("spy")})" +
+      s" / (${d("np")} * ${big("spxx")} - ${d("spx")} * ${d("spx")}))"
+    val mux = s"(${d("spx")} / ${d("np")})"
+    val c = s"($theta * $mux)"
+    val meanY = s"(${d("sy")} / ${d("n")})"
+    val meanAdj = s"((${d("sy")} - $theta * ${d("sx")} + ${d("n")} * $c) / ${d("n")})"
+    val varY = s"(${big("syy")} / ${d("n")} - $meanY * $meanY)"
+    val eAdj2 = s"((${big("syy")} + $theta * $theta * ${big("sxx")}" +
+      s" + ${d("n")} * $c * $c - CAST(2 AS DOUBLE) * $theta * ${big("sxy")}" +
+      s" + CAST(2 AS DOUBLE) * $c * ${d("sy")}" +
+      s" - CAST(2 AS DOUBLE) * $theta * $c * ${d("sx")}) / ${d("n")})"
+    Map("theta" -> theta, "mean_y" -> meanY, "var_y" -> varY,
+      "mean_adj" -> meanAdj,
+      "var_adj" -> s"($eAdj2 - $meanAdj * $meanAdj)")
   }
 
   /** Benford first-digit milli-probabilities: round(log₁₀(1+1/d)·1000) as
@@ -1834,6 +1983,8 @@ object OlapQueries {
     "q181_gini" -> q181Gini,
     "q183_moment_shape" -> q183MomentShape,
     "q186_winsorize" -> q186Winsorize,
+    "q188_cuped" -> q188Cuped,
+    "q189_log_histogram" -> q189LogHistogram,
     "q141_recursive_dfa" -> q141RecursiveDfa,
     "q144_lateral_topk" -> q144LateralTopk,
     "q145_fd_profile" -> q145FdProfile,
@@ -2446,6 +2597,79 @@ object OlapQueries {
            |FROM m""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH m AS (SELECT count(*) AS n,\n$moments\n  FROM lineitem)\n$selects"
+    },
+    // Same bitlength buckets, same addition-merged state, same
+    // cross-multiplied walks for both the sketch and the exact comparator.
+    "q189_log_histogram" ->
+      """WITH hist AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(length(bin(c)) AS BIGINT) AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM hist GROUP BY 1, 2),
+        |stc AS (SELECT event_type, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM st),
+        |qq AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES (50),(90),(99)) v(q)),
+        |est AS (SELECT s.event_type, q.q, min(s.bucket) AS b
+        |  FROM stc s, qq q WHERE s.cum * 100 >= s.n * q.q GROUP BY 1, 2),
+        |hc AS (SELECT event_type, c, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |ex AS (SELECT h.event_type, q.q, min(h.c) AS exact
+        |  FROM hc h, qq q WHERE h.cum * 100 >= h.n * q.q GROUP BY 1, 2)
+        |SELECT event_type, 'bucket' AS kind, bucket AS k,
+        |  cnt AS v1, cum AS v2, CAST(NULL AS BIGINT) AS v3
+        |FROM stc
+        |UNION ALL
+        |SELECT e.event_type, 'quantile', e.q,
+        |  CAST(1 AS BIGINT) << CAST(e.b - 1 AS INTEGER),
+        |  (CAST(1 AS BIGINT) << CAST(e.b AS INTEGER)) - 1,
+        |  x.exact
+        |FROM est e JOIN ex x ON x.event_type = e.event_type AND x.q = e.q"""
+        .stripMargin,
+    // Same cents moments, same 2-row pooled window, same shared CUPED
+    // float tree over the split moments.
+    "q188_cuped" -> {
+      val e = cupedSql("//", t => s"CAST($t AS HUGEINT)")
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |ua AS (SELECT x, y,
+        |    CAST(CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) % 2 AS BIGINT) AS arm
+        |  FROM u),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM ua GROUP BY 1),
+        |p AS (SELECT arm, n, sx, sy, sxx, sxy, syy,
+        |    CAST(sum(n) OVER () AS BIGINT) AS np,
+        |    CAST(sum(sx) OVER () AS BIGINT) AS spx,
+        |    CAST(sum(sy) OVER () AS BIGINT) AS spy,
+        |    sum(sxx) OVER () AS spxx,
+        |    sum(sxy) OVER () AS spxy
+        |  FROM a)
+        |SELECT arm, n, sx, sy,
+        |  CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
+        |  CAST(syy AS VARCHAR) AS syy,
+        |""".stripMargin +
+        s"""  ${e("theta")} AS theta,
+           |  ${e("mean_y")} AS mean_y, ${e("var_y")} AS var_y,
+           |  ${e("mean_adj")} AS mean_adj, ${e("var_adj")} AS var_adj
+           |FROM p""".stripMargin
     },
     // Same cents histogram, same cross-multiplied percentile walk, same
     // histogram-side clipping; two divisions over exact BIGINTs.

@@ -26,7 +26,8 @@ class DeterminismSpec extends SparkSpec {
     "q175_weighted_percentiles", "q176_hll_algebra",
     "q178_bfs_khop", "q179_corr_matrix", "q181_gini",
     "q182_range_frame", "q183_moment_shape", "q184_rake_keywords",
-    "q185_feature_hashing", "q186_winsorize", "q187_negative_sampling")
+    "q185_feature_hashing", "q186_winsorize", "q187_negative_sampling",
+    "q188_cuped", "q189_log_histogram")
 
   test("results are invariant to the shuffle-partition count (7 vs the default)") {
     val hostile = spark.newSession()

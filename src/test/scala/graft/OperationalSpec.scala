@@ -28,7 +28,10 @@ package graft
   * and the RAKE scorer's hand-computed document (q184), and the hashed
   * features' token conservation (q185), and the winsorizer's exact
   * percentile clip bounds (q186), and the negative sampler's
-  * partition-of-weight-space invariant (q187). These assert
+  * partition-of-weight-space invariant (q187), and CUPED's pooled-mean
+  * preservation and covar_pop/var_pop agreement (q188), and the
+  * log-histogram's addition-mergeability and bracketing bounds (q189).
+  * These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
   * partitions' files byte-identical", "reconstruction close enough to
@@ -812,6 +815,69 @@ class OperationalSpec extends SparkSpec {
     val expected = 1000.0 * topW / wTot
     val drawn = rows.count(_.getAs[String]("word") == topWord).toDouble
     drawn should (be >= expected / 3 and be <= expected * 3)
+  }
+
+  test("q188: CUPED preserves the pooled mean exactly and theta matches the engine's covar_pop/var_pop") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q188Cuped(spark, sf).collect()
+    rows.length shouldBe 2
+    // the adjustment redistributes between arms but cannot move the
+    // pooled metric: Σ n·mean_adj = Σ n·mean_y (algebraic identity)
+    val pooledRaw = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_y")).sum
+    val pooledAdj = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_adj")).sum
+    math.abs(pooledAdj - pooledRaw) should be < math.abs(pooledRaw) * 1e-9 + 1e-9
+    rows.foreach { r =>
+      r.getAs[Double]("var_adj") should be >= 0.0
+      r.getAs[Double]("var_y") should be >= 0.0
+    }
+    // independent theta: Spark's own covariance/variance over the same
+    // per-user cents (different algorithm, tolerance comparison)
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val u = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), cents.as("cv"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), col("cv"))
+          .otherwise(0L)).cast("double").as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), col("cv"))
+          .otherwise(0L)).cast("double").as("y"))
+    val ref = u.agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("t"))
+      .head.getDouble(0)
+    math.abs(rows.head.getAs[Double]("theta") - ref) should be <
+      math.abs(ref) * 1e-6 + 1e-9
+  }
+
+  test("q189: the log-histogram state merges by addition across any split, and every quantile bound brackets the exact value") {
+    import org.apache.spark.sql.functions._
+    val out = OlapQueries.q189LogHistogram(spark, sf).collect()
+    val state = out.filter(_.getAs[String]("kind") == "bucket")
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("v1")).toMap
+    state.nonEmpty shouldBe true
+    // mergeability: rebuild the state from two disjoint md5 halves of the
+    // events and ADD the half-states — they must reproduce the full state
+    def halfState(keep: Int): Map[(String, Long), Long] = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .filter(pmod(graft.operators.TextOps.hash60(concat(lit("half:"),
+        col("event_id").cast("string"))), lit(2L)) === keep)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.length(bin(
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long"))).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (h0, h1) = (halfState(0), halfState(1))
+    val merged = (h0.keySet ++ h1.keySet).map(k =>
+      k -> (h0.getOrElse(k, 0L) + h1.getOrElse(k, 0L))).toMap
+    merged shouldBe state
+    // the factor-2 guarantee, on data: est_lo ≤ exact ≤ est_hi per (type, q)
+    val quant = out.filter(_.getAs[String]("kind") == "quantile")
+    quant.length should be >= 9 // 3 quantiles × ≥3 types
+    quant.foreach { r =>
+      val (lo, hi, ex) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"), r.getAs[Long]("v3"))
+      lo should be <= ex
+      ex should be <= hi
+    }
   }
 
   test("q178: BFS levels are genuine shortest paths — every level-i node touches level i-1 and nothing earlier") {

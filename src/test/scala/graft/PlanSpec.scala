@@ -1043,6 +1043,21 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("q188 CUPED: one events scan; user and arm moments partial-aggregate; no join exists") {
+    val p = plan(OlapQueries.q188Cuped(spark, sf))
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p).size shouldBe 1
+    p should include("partial_")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q189 log-histogram: the est/exact reconcile joins broadcast; no sort-merge join, no cartesian") {
+    val p = plan(OlapQueries.q189LogHistogram(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("q181 Gini: the segment dim broadcasts onto per-customer sums; no sort-merge join anywhere") {
     val p = plan(OlapQueries.q181Gini(spark, sf))
     p should include("BroadcastHashJoin")
