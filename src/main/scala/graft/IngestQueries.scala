@@ -93,10 +93,42 @@ object IngestQueries {
         col("priority"), col("comment"))
   }
 
+  /** q190: the FEDERATED query — one declarative plan spanning two
+    * physical formats: the COPY-style CSV fact scan (q170's tolerant
+    * reader over the RFC-4180 orders files, rejects quarantined out)
+    * joined to parquet dimensions (customer ⋈ nation), revenue per
+    * (nation, priority) in exact cents. This is the lake reality a
+    * single-format engine can't serve: yesterday's extract lands as CSV,
+    * the dims live as parquet, and the query should neither care nor
+    * copy — Catalyst plans both scans natively, the dim side broadcasts,
+    * and the CSV fact never pays an exchange before its partial
+    * aggregate. Anonymous orders (NULL cust_id, the CSV empty-string
+    * round-trip) survive the LEFT join into an explicit 'UNKNOWN' bucket
+    * — a federation that silently drops unmatched facts is a bug, not a
+    * semantic. (JSON, the third format, runs the same cross-format path
+    * through the q11/q14 staging pipeline.) The oracle federates
+    * identically through DuckDB's independent CSV parser over the SAME
+    * files plus the parquet views. */
+  val q190FederatedJoin: Q = (s, d) => {
+    val dir = Fixtures.ensureOrdersCsv(s, d)
+    val co = CsvSource.tolerant(s, dir, Fixtures.ordersCsvSchema)
+      .filter(col("_corrupt_record").isNull)
+      .select(col("cust_id"), col("priority"),
+        (col("total").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val dim = Tables.customer(s, d).join(Tables.nation(s, d),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    co.join(broadcast(dim), col("cust_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("n_name"), lit("UNKNOWN")).as("nation"),
+        col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q11_json_events_scan" -> q11JsonEventsScan,
     "q12_json_songs_scan"  -> q12JsonSongsScan,
     "q170_csv_scan"        -> q170CsvScan,
+    "q190_federated_join"  -> q190FederatedJoin,
     "q56_schema_evolution" -> q56SchemaEvolution)
 
   /** The fixture dir the oracle's read_json points at must be the EXACT
@@ -152,6 +184,24 @@ object IngestQueries {
          |FROM $songsReadJson""".stripMargin,
     // An independent RFC-4180 parser over the same files; ignore_errors
     // drops exactly the lines the tolerant Spark scan quarantines.
+    // Same tolerant CSV read, same broadcast-shaped dim join semantics,
+    // same cents quantization and UNKNOWN bucket.
+    "q190_federated_join" ->
+      s"""WITH co AS (SELECT cust_id, priority,
+         |    CAST(CAST(total AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM read_csv('${Fixtures.ordersCsvDir(oracleSf)}/*.csv',
+         |    columns={'order_id':'BIGINT','cust_id':'BIGINT','status':'VARCHAR',
+         |             'total':'DOUBLE','odate':'VARCHAR','priority':'VARCHAR',
+         |             'comment':'VARCHAR'},
+         |    header=false, quote='"', escape='"', nullstr='',
+         |    ignore_errors=true)),
+         |d AS (SELECT c_custkey, n_name FROM customer
+         |  JOIN nation ON n_nationkey = c_nationkey)
+         |SELECT COALESCE(n_name, 'UNKNOWN') AS nation, priority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+         |FROM co LEFT JOIN d ON co.cust_id = d.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
     "q170_csv_scan" ->
       s"""SELECT order_id, cust_id, status, total,
          |  CAST(odate AS TIMESTAMP) AS odate, priority, comment

@@ -1223,10 +1223,7 @@ object OlapQueries {
       .select(col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
       .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
-    val state = hist
-      .groupBy(col("event_type"),
-        length(bin(col("c"))).cast(LongType).as("bucket"))
-      .agg(sum(col("cnt")).as("cnt"))
+    val state = logHistState(Tables.events(s, d))
       .withColumn("cum", sum(col("cnt")).over(Wb))
       .withColumn("n", sum(col("cnt")).over(Wt))
     val qlit = explode(array(qs.map(lit): _*)).as("qq")
@@ -1251,6 +1248,21 @@ object OlapQueries {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - 1").as("v2"),
           col("exact").as("v3")))
   }
+
+  /** The q189 sketch-state builder on any (event_type, value) frame — the
+    * in-scan production shape (bucket computed per row, ≤64 rows per
+    * group reach the exchange), and the streaming twin: count per
+    * (group, bucket) is a sum monoid, so the SAME builder runs unchanged
+    * as a Complete-mode streaming aggregation with state bit-equal to
+    * batch (StreamingSpec). */
+  private[graft] def logHistState(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        length(bin((col("value").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType))).cast(LongType).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The shared skewness/kurtosis float tree over moment columns
     * n, s1, s2, s3, s4 — the q179 [[corrSql]] contract applied to shape

@@ -30,19 +30,26 @@ object CsvSource {
     * `filter(corruptCol.isNull)` is the clean staging input and
     * `filter(corruptCol.isNotNull)` the reject file. Same Spark planning
     * restriction as [[JsonSource.autoTolerant]]: never select ONLY the
-    * corrupt column from the raw scan. And one CSV-specific footgun:
-    * under `spark.sql.csv.parser.columnPruning.enabled` (default true) a
-    * query that references a SUBSET of columns only parses that subset, so
-    * a line whose damage lives in an unreferenced column is NOT flagged —
-    * the corrupt split is only complete when all columns are referenced
-    * (as q170 does) or the scan is cache()d before splitting (as the spec
-    * does). */
+    * corrupt column from the raw scan. And one CSV-specific footgun this
+    * builder CLOSES rather than documents: under Spark's CSV column
+    * pruning (default on) a query referencing a SUBSET of columns only
+    * parses that subset, so a line whose damage lives in an unreferenced
+    * column is silently NOT flagged — a pruned projection over a tolerant
+    * scan (q190) would quarantine fewer rows than the full projection
+    * (q170) over the SAME files. Reject semantics must be a property of
+    * the DATA, not of the consuming query's column list, so tolerant
+    * scans pin full-row parsing (idempotent conf, always the same value —
+    * the [[graft.Tables.events]] nanosAsLong discipline). */
   def tolerant(spark: SparkSession, path: String, schema: StructType,
-               corruptCol: String = "_corrupt_record"): DataFrame =
+               corruptCol: String = "_corrupt_record"): DataFrame = {
+    val k = "spark.sql.csv.parser.columnPruning.enabled"
+    if (spark.conf.getOption(k).forall(_ != "false"))
+      spark.conf.set(k, "false")
     reader(spark, schema.add(corruptCol, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
+  }
 
   private def reader(spark: SparkSession, schema: StructType) =
     spark.read.schema(schema)

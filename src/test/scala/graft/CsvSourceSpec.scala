@@ -29,6 +29,24 @@ class CsvSourceSpec extends SparkSpec {
     } finally scanned.unpersist()
   }
 
+  test("reject semantics are projection-independent: a pruned projection quarantines the same lines as the full one") {
+    // the column-pruning footgun CsvSource.tolerant closes: damage in an
+    // UNREFERENCED column (the garbage order_id line) must still flag the
+    // row when a query reads only (cust_id, priority, total)
+    val dir = Fixtures.ensureOrdersCsv(spark, sf)
+    val all = Fixtures.ordersCsvSchema.fieldNames.map(col).toSeq
+    val full = CsvSource.tolerant(spark, dir, Fixtures.ordersCsvSchema)
+      .filter(col("_corrupt_record").isNull).select(all: _*)
+      .collect().length
+    // the pruned projection deliberately EXCLUDES order_id — the column
+    // carrying the non-numeric garbage
+    val pruned = CsvSource.tolerant(spark, dir, Fixtures.ordersCsvSchema)
+      .filter(col("_corrupt_record").isNull)
+      .select(col("cust_id"), col("priority"), col("total"))
+      .collect().length
+    pruned shouldBe full
+  }
+
   test("quoting round-trip: embedded commas and doubled quotes survive; empty strings read as NULL") {
     val dir = Fixtures.ensureOrdersCsv(spark, sf)
     // cache() forces the full-row parse: under CSV column pruning a

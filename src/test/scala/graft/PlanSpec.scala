@@ -1058,6 +1058,15 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q190 federated join: parquet dims broadcast onto the CSV fact — the CSV side never shuffles before its partial agg") {
+    val p = plan(IngestQueries.q190FederatedJoin(spark, sf))
+    p should include("Scan csv")
+    p should include("Scan parquet")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("partial_count")
+  }
+
   test("q181 Gini: the segment dim broadcasts onto per-customer sums; no sort-merge join anywhere") {
     val p = plan(OlapQueries.q181Gini(spark, sf))
     p should include("BroadcastHashJoin")

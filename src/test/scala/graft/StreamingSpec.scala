@@ -596,6 +596,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming log-histogram state (q189's builder) equals the batch state on a chopped feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    // the SAME builder as q189: per-(group, bucket) counts are a sum
+    // monoid, so the Complete-mode aggregation state IS the sketch state
+    // — quantile bounds derived from it are automatically stream-correct
+    val q = OlapQueries.logHistState(
+        input.toDS().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("q189_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val feed = Seq[(String, Double)](
+        ("click", 0.50), ("click", 1.20), ("click", 300.0), // buckets 6, 7, 15
+        ("view", 0.01),                                     // bucket 1
+        ("view", 655.36), ("click", 0.52))                  // buckets 17, 6
+      val (b1, b2) = feed.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+      val streamed = spark.table("q189_twin_test")
+        .collect().map(r => key(r) -> r.getLong(2)).toMap
+      val batch = OlapQueries.logHistState(feed.toDF("event_type", "value"))
+        .collect().map(r => key(r) -> r.getLong(2)).toMap
+      streamed shouldBe batch
+      // 50 cents and 52 cents share bucket 6 (bitlength 6): count 2
+      streamed(("click", 6L)) shouldBe 2L
+      streamed(("view", 1L)) shouldBe 1L
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch pairing (q147) on an out-of-order, chopped feed") {
     import graft.streaming.EventStream.{TransEvent, Transition}
     implicit val sqlCtx = spark.sqlContext
