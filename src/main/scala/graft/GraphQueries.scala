@@ -131,9 +131,50 @@ object GraphQueries {
 
   private val BFS_HOPS = 3
 
+  /** q191: connected components by STAR CONTRACTION (Kiveris et al.
+    * SoCC'14) — the O(log n)-round algorithm that replaces q44's
+    * O(diameter) label propagation when the graph has chains. The graph
+    * here is exactly that adversarial shape: each customer's orders linked
+    * consecutively by (o_orderdate, o_orderkey) — a forest of paths whose
+    * diameter is the largest order history, the regime where plain
+    * propagation pays one full round per hop (OperationalSpec proves the
+    * separation on a 192-node path: contraction converges in ≤9 rounds
+    * where 9 propagation rounds have moved labels only 9 hops).
+    *
+    * The ORACLE is independent of the algorithm: the chain construction
+    * makes ground truth a window minimum (component of an order = min
+    * orderkey of its customer), so DuckDB never runs a graph algorithm at
+    * all — any connectivity bug, dropped isolated node, or non-converged
+    * round diverges from the closed form. Single-order customers are
+    * isolated nodes: kept, self-labelled (absence of edges is a finding,
+    * not a drop — the q178 discipline).
+    *
+    * Scale shape: per round one keyed exchange per half-step over an edge
+    * list that SHRINKS monotonically (chains contract toward stars), with
+    * localCheckpoint lineage truncation and a THROW past maxRounds — see
+    * [[graft.operators.Graph]]. At 100 TB the chain build is one window
+    * over the orders partitioning and the contraction never touches the
+    * raw tables again. */
+  val q191StarContraction: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chain = ord.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+    val (labels, _) = graft.operators.Graph.starContractComponents(chain, 25)
+    ord.select(col("o_orderkey").as("node"))
+      .join(labels, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q89_pagerank" -> q89Pagerank,
-    "q178_bfs_khop" -> q178BfsKhop)
+    "q178_bfs_khop" -> q178BfsKhop,
+    "q191_star_contraction" -> q191StarContraction)
 
   private def iterCte(i: Int): String =
     s"""r$i AS (
@@ -175,7 +216,16 @@ object GraphQueries {
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS node_type,
          |  node // 2 AS key, dist
-         |FROM v$BFS_HOPS""".stripMargin)
+         |FROM v$BFS_HOPS""".stripMargin,
+    // Ground truth WITHOUT a graph algorithm: the chain construction
+    // (consecutive orders of one customer) makes each component exactly
+    // one customer's order set, so the component minimum is a window
+    // minimum — an independent closed form, not a replay of the
+    // contraction.
+    "q191_star_contraction" ->
+      """SELECT o_orderkey AS node,
+        |  min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+        |FROM orders""".stripMargin)
 
   private def bfsCte(i: Int): String =
     s"""n$i AS (

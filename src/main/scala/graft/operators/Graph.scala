@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Star-contraction connected components — the alternating large-star /
+  * small-star algorithm of Kiveris et al., "Connected Components in
+  * MapReduce and Beyond" (SoCC'14).
+  *
+  * q44's min-label propagation converges in O(graph diameter) rounds: fine
+  * for near-dup clusters (mutually-similar groups have diameter ~2), fatal
+  * for chain-shaped graphs (a customer's order history, a crawl-frontier
+  * path, an event causality chain) where diameter grows with the data. The
+  * SURVEY §9 cluster-resolution note names star contraction as the
+  * adversarial-diameter escape hatch; this is that operator, first-class.
+  *
+  * Mechanics per round (all pure min/set operations — deterministic under
+  * ANY partitioning, task order, or combiner tree):
+  *  - large-star: for every node u over the SYMMETRIZED neighborhood Γ(u),
+  *    reconnect each strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+  *  - small-star: direct every edge from its larger endpoint to its
+  *    smaller; for every u over that smaller-neighbor list N(u),
+  *    reconnect N(u) ∪ {u} to m = min(N(u)).
+  * Both preserve connectivity (every rewired node stays connected to u
+  * through m) and never raise a node's minimum reachable label; the
+  * potential argument in the paper gives O(log² n) rounds worst-case
+  * (O(log n) in practice). At the fixpoint the edge set is a star forest:
+  * every edge points (node → component minimum).
+  *
+  * Scale shape: each half-round is ONE keyed exchange (groupBy node for
+  * the neighborhood minimum, then a co-partitioned join back on the same
+  * key) plus a distinct that collapses map-side. The edge list SHRINKS
+  * monotonically toward |nodes| as chains contract — later rounds are
+  * cheaper than earlier ones. `localCheckpoint` after every round
+  * truncates iterative lineage exactly like q44's resolveClusters;
+  * convergence is detected by a symmetric-difference count (an honest
+  * fixpoint test, not a fixed round budget) and overrunning `maxRounds`
+  * THROWS — partial components are corruption, never a result.
+  */
+object Graph {
+
+  /** (labels, rounds): labels maps every node reachable from `edges`
+    * (both endpoints) to its component's minimum node id; `rounds` is the
+    * number of (large-star + small-star) rounds until fixpoint. */
+  def starContractComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val canonical = edges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    var cur = canonical.localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"star contraction did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      rounds += 1
+      converged = next.except(cur).union(cur.except(next)).isEmpty
+      cur = next
+    }
+    // Fixpoint edges are (node → component min); roots label themselves.
+    val labels = nodes
+      .join(cur, nodes("node") === cur("src"), "left_outer")
+      .select(col("node"), coalesce(col("dst"), col("node")).as("component"))
+    (labels, rounds)
+  }
+
+  /** Reconnect each strictly-larger neighbor of u to min(Γ(u) ∪ {u}),
+    * over the symmetrized neighborhood. Output re-canonicalized
+    * (larger, smaller), self-loops dropped. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, sym("src") === col("u"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Edges already point (larger → smaller); reconnect N(u) ∪ {u} to
+    * min(N(u)). Keeps the (larger, smaller) canonical form. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("u"), col("m"))
+    edges.join(mins, edges("src") === col("u"))
+      .select(col("src"), col("dst"), col("m"))
+      .select(
+        array(struct(col("src").as("a"), col("m").as("b")),
+          struct(col("dst").as("a"), col("m").as("b"))).as("pair"))
+      .select(explode(col("pair")).as("e"))
+      .select(greatest(col("e.a"), col("e.b")).as("src"),
+        least(col("e.a"), col("e.b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** q44's primitive at its honest cost, exposed for the round-count
+    * comparison spec: k rounds of min-label propagation; returns labels
+    * after EXACTLY k rounds (converged or not). */
+  def minLabelRounds(edges: DataFrame, k: Int): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      labels = labels.select(col("node"), col("label")).union(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

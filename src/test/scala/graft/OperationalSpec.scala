@@ -971,4 +971,32 @@ class OperationalSpec extends SparkSpec {
       g should (be >= 0.0 and be < 1.0)
     }
   }
+
+  test("q191: star contraction solves an adversarial path in O(log n) rounds where label propagation is still mid-walk, and never merges components") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A 193-node PATH with ids scrambled along it (position i carries id
+    // (i·77) mod 193 — 77 coprime to the prime 193, so a permutation):
+    // diameter 192, the worst case for per-hop label propagation, with
+    // the component minimum (0) buried mid-path, not at an endpoint.
+    val ids = (0 until 193).map(i => (i * 77) % 193)
+    val path = ids.zip(ids.tail).map { case (a, b) => (a.toLong, b.toLong) }
+    // plus a disjoint 5-node ring far away in id space — a second
+    // component that must NOT merge with the path
+    val ring = (0 until 5).map(i => (1000L + i, 1000L + (i + 1) % 5))
+    val edges = (path ++ ring).toDF("src", "dst")
+    val (labels, rounds) = operators.Graph.starContractComponents(edges, 25)
+    // O(log²n) bound, miles under the diameter: the separation claim
+    rounds should be <= 12
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe 198
+    ids.foreach(id => got(id.toLong) shouldBe 0L)          // path → min 0
+    (0 until 5).foreach(i => got(1000L + i) shouldBe 1000L) // ring → min 1000
+    // The q44 primitive after the SAME round budget has moved labels only
+    // `rounds` hops: nodes farther than that from id 0 along the path are
+    // provably unconverged — the O(diameter) vs O(log n) gap, on data.
+    val lp = operators.Graph.minLabelRounds(edges, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lp.values.count(_ != 0L) should be > 150 // most of the path still wrong
+  }
 }
