@@ -102,6 +102,10 @@ object Graph {
       .distinct()
   }
 
+  /** One (large-star + small-star) round — the fragment the loop repeats;
+    * exposed so PlanSpec can pin its physical shape. */
+  def oneRound(edges: DataFrame): DataFrame = smallStar(largeStar(edges))
+
   /** q44's primitive at its honest cost, exposed for the round-count
     * comparison spec: k rounds of min-label propagation; returns labels
     * after EXACTLY k rounds (converged or not). */

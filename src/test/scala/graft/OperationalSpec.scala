@@ -999,4 +999,64 @@ class OperationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     lp.values.count(_ != 0L) should be > 150 // most of the path still wrong
   }
+
+  test("PrefixScan: the two-stage bucket scan equals the one-window scan for every op, bucketing, and partitioning") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial values: negatives (sum must not be monotone), repeats
+    // (max plateaus), and a group column; order key k is 0..N-1 scrambled
+    // across input partitions
+    val n = 500
+    val rows = (0 until n).map { k =>
+      val g = if (k % 3 == 0) "a" else "b"
+      (g, k.toLong, ((k * 37) % 19 - 9).toLong)
+    }
+    for (parts <- Seq(1, 7); bucketWidth <- Seq(1L, 13L, 1000L);
+         op <- Seq("sum", "max"); excl <- Seq(false, true)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("g", "k", "v")
+      val got = operators.PrefixScan.running(df, Seq("g"),
+          expr(s"k div $bucketWidth"), Seq(col("k")), col("v"), op, "r",
+          exclusive = excl)
+        .select(col("g"), col("k"), col("r"))
+      val w = Window.partitionBy(col("g")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, if (excl) -1 else 0)
+      val oracleAgg = if (op == "sum") sum(col("v")) else max(col("v"))
+      val want = df.select(col("g"), col("k"),
+        (if (op == "sum" && excl) coalesce(oracleAgg.over(w), lit(0L))
+         else oracleAgg.over(w)).as("r"))
+      withClue(s"parts=$parts bucket=$bucketWidth op=$op excl=$excl: ") {
+        got.except(want).union(want.except(got)).count() shouldBe 0L
+      }
+    }
+  }
+
+  test("q194: the sorted-group fold matches an independent in-memory replay, and BOTH clamp branches fire on the real data") {
+    import org.apache.spark.sql.functions._
+    val sfd = sf
+    val got = SequenceQueries.q194ClampedBalance(spark, sfd)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent replay: collect deltas, fold in plain Scala
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val raw = Tables.events(spark, sfd).select(col("user_id"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"), cents)
+          .otherwise(-cents).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = raw.groupBy(_._1).map { case (u, evs) =>
+      var b = 0L; var fl = 0L; var cp = 0L
+      evs.sortBy(_._2).foreach { case (_, _, dl) =>
+        val x = b + dl
+        if (x < 0) { b = 0; fl += 1 }
+        else if (x > 20000L) { b = 20000L; cp += 1 } else b = x
+      }
+      u -> ((b, fl, cp, evs.length.toLong))
+    }
+    got shouldBe want
+    // the test only means something if the clamp actually engages, both ways
+    got.values.map(_._2).sum should be > 0L // floor hits somewhere
+    got.values.map(_._3).sum should be > 0L // cap hits somewhere
+  }
 }

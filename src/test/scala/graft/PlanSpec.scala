@@ -1076,4 +1076,59 @@ class PlanSpec extends SparkSpec {
     // order rows
     p should not include "rangepartitioning"
   }
+
+  test("q192 sweep: the global running sum never funnels to one partition — day-bucketed windows plus a broadcast offset join") {
+    val p = plan(SequenceQueries.q192PeakConcurrency(spark, sf))
+    // grouped scan: every window partitions by (event_type, bucket) or
+    // (event_type) — a degenerate unpartitioned window would print
+    // SinglePartition
+    p should not include "SinglePartition"
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin") // bucket offsets join back broadcast
+    p should include("partial_sum")       // bucket totals collapse map-side
+  }
+
+  test("q196 audit: the ONLY single-partition frame holds bucket summaries (post-aggregation), never event rows") {
+    val p = plan(SequenceQueries.q196WatermarkAudit(spark, sf))
+    "Arguments: SinglePartition".r.findAllMatchIn(p).length shouldBe 1
+    // the single-partition exchange's input is the (bucket, total) summary
+    // produced by the partial max — 2 columns of bucket metadata
+    val idx = p.indexOf("Arguments: SinglePartition")
+    val before = p.substring((idx - 400).max(0), idx)
+    before should include("_pst") // bucket-total column, not raw rows
+    p should include("partial_max")
+  }
+
+  test("q193 coverage: both windows and both aggregations share ONE user_id exchange") {
+    val p = plan(SequenceQueries.q193IntervalCoverage(spark, sf))
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    (p should include).regex("""hashpartitioning\(user_id#\d+L""")
+  }
+
+  test("q194 balance: the non-associative fold is a sorted-group stream — one exchange, in-partition sort, no array materialization") {
+    val p = plan(SequenceQueries.q194ClampedBalance(spark, sf))
+    p should include("MapGroups")
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    """\(\d+\) Sort""".r.findAllMatchIn(p).length shouldBe 1
+    p should not include "collect_list" // the group streams, never buffers
+    p should not include "Window"
+  }
+
+  test("q191 components: every contraction half-step is keyed work — no cartesian, no nested loop, no range sort") {
+    // plan of ONE large-star + small-star round over the chain edges (the
+    // loop repeats this fragment; localCheckpoint cuts lineage between)
+    import org.apache.spark.sql.functions.{col, lead}
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chain = ord.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+    val p = plan(operators.Graph.oneRound(chain))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "rangepartitioning"
+  }
 }
