@@ -186,11 +186,69 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  private[graft] val KC_K = 8
+  private val QSCALE = 1024.0 // power of two: float·1024 is EXACT in IEEE
+
+  /** Element-wise quantization to integer 1/1024ths: float→double is exact,
+    * ×2¹⁰ is exact (power of two shifts the exponent), floor is exact —
+    * so both engines compute the identical BIGINT lattice point with no
+    * float-boundary risk anywhere. */
+  private def qvec(e: Column): Column =
+    transform(e, x => floor(x.cast(DoubleType) * lit(QSCALE)).cast(LongType))
+
+  /** Exact integer squared L2 on the quantized lattice. */
+  private def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** q195: K-CENTER GREEDY CORESET (Gonzalez' farthest-point traversal) —
+    * the diverse-subset selection primitive behind coreset-based training
+    * -data selection (Sener & Savarese's active-learning coreset): pick
+    * the point farthest from everything picked so far, k times. The
+    * selection 2-approximates the optimal k-center cover, and the emitted
+    * radius sequence r₂ ≥ r₃ ≥ … is the coverage-radius certificate
+    * (after i picks, every point lies within rᵢ₊₁ of a center).
+    *
+    * Distances live on the integer lattice ([[qvec]]), so the argmax —
+    * a float tie nightmare in any naive implementation — is an exact
+    * integer compare with a vec_id tie-break: bit-deterministic in both
+    * engines, which is what lets an ITERATIVE geometric selection be
+    * hash-gated at all (DuckDB replays it as k unrolled CTE stages).
+    *
+    * Scale shape: k driver rounds; each round updates the running
+    * min-distance column against ONE literal center vector (pure in-scan
+    * codegen arithmetic, no join — the center is a plan literal like
+    * q162's ring) and takes the top-1 via TakeOrderedAndProject (never a
+    * global sort). `localCheckpoint` pins each round's dmin so round i
+    * rescans (vec_id, qv, dmin) — the corpus is never re-walked through
+    * rounds 1..i−1. Driver state is k rows — model-sized, the q81/q90
+    * contract. */
+  val q195KcenterCoreset: Q = (s, d) => {
+    val pts0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val seed = pts0.orderBy(col("vec_id")).limit(1).collect()(0)
+    var center = seed.getAs[scala.collection.Seq[Long]]("qv")
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seed.getLong(0), 0L)) // the seed's radius is 0 by convention
+    var pts = pts0.withColumn("dmin", lit(Long.MaxValue))
+    for (i <- 2 to KC_K) {
+      val centLit = array(center.map(lit).toSeq: _*)
+      pts = pts.withColumn("dmin",
+        least(col("dmin"), qdist2(col("qv"), centLit))).localCheckpoint(true)
+      val far = pts.orderBy(desc("dmin"), asc("vec_id")).limit(1).collect()(0)
+      picks += ((i.toLong, far.getLong(0), far.getAs[Long]("dmin")))
+      center = far.getAs[scala.collection.Seq[Long]]("qv")
+    }
+    import s.implicits._
+    picks.toSeq.toDF("sel_order", "vec_id", "radius_sq")
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_kmeans" -> q81Kmeans,
     "q132_checkpoint_resume" -> q132CheckpointResume,
     "q85_cluster_sample" -> q85ClusterSample,
-    "q99_semdedup" -> q99SemDedup)
+    "q99_semdedup" -> q99SemDedup,
+    "q195_kcenter_coreset" -> q195KcenterCoreset)
 
   /** dist² between a float-list column and a double-list column: the exact
     * 0.0-seeded left fold both Spark paths implement. */
@@ -258,6 +316,35 @@ object ClusterQueries {
          |SELECT a2.vec_id, a2.cluster, d.dup_of,
          |  CAST(d.dup_of IS NULL AS INTEGER) AS kept
          |FROM a2 LEFT JOIN dups d USING (vec_id)""".stripMargin,
+    // The identical greedy traversal, unrolled: each cᵢ is an exact
+    // integer argmax (ORDER BY dmin DESC, vec_id LIMIT 1) over the dmin
+    // state dᵢ, which least()-folds the distance to the previous pick.
+    "q195_kcenter_coreset" -> {
+      def kcDist(prev: String): String =
+        s"""(SELECT CAST(list_sum(list_transform(list_zip(d.qv, c.qv),
+           |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)
+           |    FROM $prev c)""".stripMargin
+      val stages = (2 to KC_K).map { i =>
+        s"""d$i AS (SELECT d.vec_id, d.qv,
+           |    least(d.dmin, ${kcDist(s"c${i - 1}")}) AS dmin
+           |  FROM d${i - 1} d),
+           |c$i AS (SELECT vec_id, qv, dmin AS r FROM d$i
+           |        ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to KC_K).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_order, vec_id, r AS radius_sq FROM c$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |d1 AS (SELECT vec_id, qv,
+         |  CAST(9223372036854775807 AS BIGINT) AS dmin FROM q),
+         |c1 AS (SELECT vec_id, qv, CAST(0 AS BIGINT) AS r FROM q
+         |       ORDER BY vec_id LIMIT 1),
+         |$stages
+         |$out""".stripMargin
+    },
     // Same replay + the salted-hash quota window (the q37/q63 md5 idiom).
     "q85_cluster_sample" ->
       s"""$kmeansCtes,

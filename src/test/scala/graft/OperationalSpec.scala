@@ -1059,4 +1059,38 @@ class OperationalSpec extends SparkSpec {
     got.values.map(_._2).sum should be > 0L // floor hits somewhere
     got.values.map(_._3).sum should be > 0L // cap hits somewhere
   }
+
+  test("q195: the greedy traversal matches a brute in-memory replay, radii decrease, and the last radius certifies coverage") {
+    import org.apache.spark.sql.functions.col
+    val got = ClusterQueries.q195KcenterCoreset(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // independent replay: quantize + greedy farthest-point in plain Scala
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1024.0).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dmin = scala.collection.mutable.Map(pts.map(_._1 -> Long.MaxValue): _*)
+    var center = pts.head._2
+    val want = scala.collection.mutable.ArrayBuffer((1L, pts.head._1, 0L))
+    for (i <- 2L to ClusterQueries.KC_K.toLong) {
+      pts.foreach { case (id, v) => dmin(id) = math.min(dmin(id), d2(center, v)) }
+      val (fid, fd) = dmin.toSeq.maxBy { case (id, dm) => (dm, -id) }
+      want += ((i, fid, fd))
+      center = pts.find(_._1 == fid).get._2
+    }
+    got.toSeq shouldBe want.toSeq
+    // the greedy invariant: each pick covers, so radii never increase...
+    got.drop(1).map(_._3).sliding(2).foreach { case Array(a, b) => b should be <= a }
+    // ...and after all k picks every point is within the NEXT radius of a
+    // center — which is bounded by the last pick's radius (coverage
+    // certificate of the 2-approximation)
+    pts.foreach { case (id, v) =>
+      math.min(dmin(id), d2(center, v)) should be <= want.last._3
+    }
+  }
 }
