@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1969,7 +1970,140 @@ object OlapQueries {
         |         WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  private[graft] val KMV_K = 64
+  private val KMV_SPACE = 1152921504606846976L // 2^60, the hash60 value space
+
+  /** q197: KMV (k-minimum-values) DISTINCT sketch with set algebra — the
+    * ORDER-STATISTIC member of the mergeable-sketch family (q165 LC bitmap
+    * = presence monoid, q166 HLL = max monoid, q152 CM = add monoid; KMV's
+    * state is "the k smallest distinct hashes", merged by re-taking the k
+    * smallest — Bar-Yossef et al. 2002). What KMV adds over HLL: the
+    * states support DIRECT intersection estimates (the merged sketch is a
+    * uniform sample of the union, so counting members that appear in both
+    * input states estimates Jaccard — no inclusion–exclusion error
+    * stacking as in q167/q176), and the estimator (k−1)·2⁶⁰/h₍ₖ₎ is a
+    * closed form over exact integers.
+    *
+    * The aggregation is [[graft.functions.KmvAgg]] — a bounded typed
+    * buffer that partial-aggregates map-side, ≤ k longs per (group, task)
+    * on the exchange (the q23/TopKAgg discipline; the window-rank
+    * formulation would shuffle every distinct hash). Below k the sketch
+    * IS the set, so the estimate is exact — both regimes are exercised
+    * across the three gate scales. Each row carries its exact twin
+    * (count distinct / exact set intersection) computed in the same
+    * query, so the gate hashes sketch AND anchor together — the sketch
+    * family's anchor discipline with zero rows-only entries.
+    *
+    * Scale: the exact anchors are the expensive side (full distinct
+    * shuffles) and exist FOR the gate; production ships the k-long
+    * states. Estimate division is DECIMAL(38)·div — (k−1)·2⁶⁰ ≈ 7.3e19
+    * overflows BIGINT, so both engines compute it in 128-bit exactly. */
+  val q197KmvSketch: Q = (s, d) => {
+    val kmv = udaf(graft.functions.KmvAgg.kMin(KMV_K))
+    val uh = Tables.events(s, d).select(col("event_type"),
+      graft.operators.TextOps.hash60(
+        concat(lit("kmv:"), col("user_id").cast(StringType))).as("h"),
+      col("user_id"))
+    val st = uh.groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("state"),
+        countDistinct(col("user_id")).as("exact"))
+    def estOf(state: Column): Column =
+      when(size(state) < KMV_K, size(state).cast(LongType))
+        .otherwise(expr(s"CAST((CAST(${KMV_K - 1} AS DECIMAL(38,0)) * $KMV_SPACE) " +
+          "div element_at(state, -1) AS BIGINT)"))
+    def kthOf(state: Column): Column =
+      when(size(state) < KMV_K, lit(-1L)).otherwise(element_at(state, -1))
+    val tyRows = st.select(col("event_type").as("scope"),
+      size(col("state")).cast(LongType).as("state_size"),
+      kthOf(col("state")).as("kth_hash"),
+      estOf(col("state")).as("est"),
+      col("exact"),
+      lit(-1L).as("est_inter"), lit(-1L).as("exact_inter"))
+    // pairwise set algebra over the stored states (5 rows — the point is
+    // that NO raw data is touched again)
+    val a = st.select(col("event_type").as("ta"), col("state").as("sa"),
+      col("exact").as("ea"))
+    val b = st.select(col("event_type").as("tb"), col("state").as("sb"),
+      col("exact").as("eb"))
+    val merged = a.join(b, col("ta") < col("tb"))
+      .withColumn("state", slice(array_sort(array_union(col("sa"), col("sb"))),
+        1, KMV_K))
+      .withColumn("jn", size(filter(col("state"),
+        h => array_contains(col("sa"), h) && array_contains(col("sb"), h)))
+        .cast(LongType))
+    // exact anchors for the pair rows (the gate's independent truth)
+    val ex = uh.select(col("event_type"), col("user_id")).distinct()
+    val exInter = ex.as("x").join(ex.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("xi"))
+    val pairRows = merged.join(exInter, Seq("ta", "tb"), "left_outer")
+      .withColumn("est_u", estOf(col("state")))
+      .select(concat(col("ta"), lit("|"), col("tb")).as("scope"),
+        size(col("state")).cast(LongType).as("state_size"),
+        kthOf(col("state")).as("kth_hash"),
+        col("est_u").as("est"),
+        (col("ea") + col("eb") - coalesce(col("xi"), lit(0L))).as("exact"),
+        // Jaccard-from-states: jn/|merged| of the union estimate
+        expr("(jn * est_u) div size(state)").as("est_inter"),
+        coalesce(col("xi"), lit(0L)).as("exact_inter"))
+    tyRows.unionByName(pairRows)
+  }
+
+  /** q198: HISTOGRAM SPLIT FINDING — the decision-stump primitive at the
+    * core of distributed GBDT (LightGBM/XGBoost's histogram algorithm):
+    * for each segment, the value threshold that best separates a binary
+    * label, scored over a VALUE HISTOGRAM, never over rows. Label here:
+    * weekend-ness ((epoch_days+4) mod 7 ∈ {0,6} — pure integer calendar,
+    * identical in any engine); feature: exact cents; segment: event_type.
+    *
+    * The split criterion is misclassification count — min(pos,n−pos) on
+    * each side — chosen over Gini/entropy deliberately: it is EXACT
+    * INTEGER, so the argmin (min over struct(err, cents)) has exactly one
+    * answer in every engine, no rational-comparison overflow, no float
+    * boundary (the q161/q158 integer-verdict discipline).
+    *
+    * Scale shape: one exchange builds the (segment, cents) histogram with
+    * map-side combine (the exchange carries NDV rows, not corpus rows —
+    * the q168 contract); cumulative (n, pos) prefixes run per segment
+    * over histogram rows; the argmin is an algebraic aggregate. At 100 TB
+    * this is exactly LightGBM's distributed layout: bins travel, rows
+    * don't. */
+  val q198SplitFinding: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val weekend = ((expr("unix_micros(ts) div 86400000000") + lit(4L)) % 7L)
+      .isin(0L, 6L)
+    val hist = Tables.events(s, d)
+      .select(col("event_type"), cents.as("c"),
+        when(weekend, 1L).otherwise(0L).as("y"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val scored = hist
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("pos")).over(wAll))
+      .withColumn("err",
+        least(col("pl"), col("nl") - col("pl")) +
+          least(col("pt") - col("pl"),
+            (col("nt") - col("nl")) - (col("pt") - col("pl"))))
+    scored.groupBy(col("event_type"))
+      .agg(min(struct(col("err"), col("c"))).as("best"),
+        min(col("nt")).as("n"), min(col("pt")).as("pos"))
+      .select(col("event_type"), col("n"), col("pos"),
+        col("best.c").as("best_cents"), col("best.err").as("best_err"),
+        least(col("pos"), col("n") - col("pos")).as("base_err"),
+        (least(col("pos"), col("n") - col("pos")) - col("best.err")).as("gain"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_kmv_sketch" -> q197KmvSketch,
+    "q198_split_finding" -> q198SplitFinding,
     "q154_bitmap_distinct" -> q154BitmapDistinct,
     "q155_frequent_pairs" -> q155FrequentPairs,
     "q156_delta_attribution" -> q156DeltaAttribution,
@@ -2013,6 +2147,100 @@ object OlapQueries {
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 
   val oracle: Map[String, String] = Map(
+    // The k-min states replayed relationally (rank ≤ k over distinct
+    // hashes), the same closed-form estimator in HUGEINT, and independent
+    // exact anchors from raw COUNT(DISTINCT) / set joins.
+    "q197_kmv_sketch" ->
+      s"""WITH uh AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+         |      1, 15)) AS UBIGINT) AS BIGINT) AS h, user_id
+         |  FROM events),
+         |hs AS (SELECT DISTINCT event_type, h FROM uh),
+         |rk AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hs),
+         |st AS (SELECT event_type, list(h ORDER BY h) AS state
+         |       FROM rk WHERE rn <= $KMV_K GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact
+         |       FROM events GROUP BY 1),
+         |ty AS (
+         |  SELECT s.event_type AS scope, CAST(len(state) AS BIGINT) AS state_size,
+         |    CASE WHEN len(state) >= $KMV_K THEN state[$KMV_K]
+         |         ELSE -1 END AS kth_hash,
+         |    CASE WHEN len(state) < $KMV_K THEN CAST(len(state) AS BIGINT)
+         |         ELSE CAST((CAST(${KMV_K - 1} AS HUGEINT) * $KMV_SPACE)
+         |           // state[$KMV_K] AS BIGINT) END AS est,
+         |    e.exact, CAST(-1 AS BIGINT) AS est_inter,
+         |    CAST(-1 AS BIGINT) AS exact_inter
+         |  FROM st s JOIN ex e USING (event_type)),
+         |pr AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |    a.state AS sa, b.state AS sb,
+         |    list_sort(list_distinct(list_concat(a.state, b.state)))[1:$KMV_K]
+         |      AS state
+         |  FROM st a JOIN st b ON a.event_type < b.event_type),
+         |ei AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb,
+         |    count(*) AS xi
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+         |  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |  GROUP BY 1, 2),
+         |pe AS (
+         |  SELECT p.ta, p.tb, p.state,
+         |    CAST(len(list_filter(p.state,
+         |      z -> list_contains(p.sa, z) AND list_contains(p.sb, z)))
+         |      AS BIGINT) AS jn,
+         |    CASE WHEN len(p.state) < $KMV_K THEN CAST(len(p.state) AS BIGINT)
+         |         ELSE CAST((CAST(${KMV_K - 1} AS HUGEINT) * $KMV_SPACE)
+         |           // p.state[$KMV_K] AS BIGINT) END AS est_u,
+         |    ea.exact AS ea, eb.exact AS eb, coalesce(i.xi, 0) AS xi
+         |  FROM pr p
+         |  JOIN ex ea ON ea.event_type = p.ta
+         |  JOIN ex eb ON eb.event_type = p.tb
+         |  LEFT JOIN ei i ON i.ta = p.ta AND i.tb = p.tb)
+         |SELECT scope, state_size, kth_hash, est, exact, est_inter, exact_inter
+         |FROM ty
+         |UNION ALL
+         |SELECT ta || '|' || tb AS scope, CAST(len(state) AS BIGINT),
+         |  CASE WHEN len(state) >= $KMV_K THEN state[$KMV_K] ELSE -1 END,
+         |  est_u, ea + eb - xi,
+         |  (jn * est_u) // CAST(len(state) AS BIGINT),
+         |  CAST(xi AS BIGINT)
+         |FROM pe""".stripMargin,
+    // The identical histogram walk: integer weekend calendar, exact-cent
+    // bins, cumulative prefixes, and the same integer (err, cents) argmin.
+    "q198_split_finding" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CASE WHEN ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |hist AS (SELECT event_type, c, count(*) AS n, sum(y) AS pos
+        |         FROM h GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, c,
+        |    sum(n) OVER w AS nl, sum(pos) OVER w AS pl,
+        |    sum(n) OVER wa AS nt, sum(pos) OVER wa AS pt
+        |  FROM hist
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY c
+        |               ROWS UNBOUNDED PRECEDING),
+        |       wa AS (PARTITION BY event_type)),
+        |errs AS (
+        |  SELECT event_type, c, nt, pt,
+        |    least(pl, nl - pl) + least(pt - pl, (nt - nl) - (pt - pl)) AS err
+        |  FROM scored),
+        |best AS (
+        |  SELECT event_type, c, nt, pt, err,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY err, c) AS rn
+        |  FROM errs)
+        |SELECT event_type, CAST(nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS pos,
+        |  c AS best_cents, CAST(err AS BIGINT) AS best_err,
+        |  CAST(least(pt, nt - pt) AS BIGINT) AS base_err,
+        |  CAST(least(pt, nt - pt) - err AS BIGINT) AS gain
+        |FROM best WHERE rn = 1""".stripMargin,
     // The direct COUNT(DISTINCT): bitmap machinery must be invisible.
     "q154_bitmap_distinct" ->
       """WITH g AS (

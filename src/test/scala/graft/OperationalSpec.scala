@@ -1060,6 +1060,77 @@ class OperationalSpec extends SparkSpec {
     got.values.map(_._3).sum should be > 0L // cap hits somewhere
   }
 
+  test("q197: the KMV state is the true k-min of the distinct set under ANY partitioning, and the estimator lands within its error bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // mergeability + partitioning invariance of the bounded buffer: the
+    // state must equal the ground-truth k smallest distinct values no
+    // matter how the input is split or how merges associate
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 100003L))
+    val wantState = vals.distinct.sorted.take(64)
+    for (parts <- Seq(1, 3, 16)) {
+      val kmv = udaf(graft.functions.KmvAgg.kMin(64))
+      val got = spark.createDataset(vals).repartition(parts)
+        .toDF("h").agg(kmv(col("h"))).collect()(0)
+        .getAs[scala.collection.Seq[Long]](0)
+      withClue(s"parts=$parts: ") { got.toList shouldBe wantState.toList }
+    }
+    // estimator quality on the real data: for every row that took the
+    // estimate path (state full), |est − exact| must sit inside 4σ of the
+    // KMV bound σ ≈ exact/√(k−2) — a sketch whose answer drifts past that
+    // is a broken sketch even if it hashes deterministically
+    val rows = OlapQueries.q197KmvSketch(spark, sf).collect()
+    rows.foreach { r =>
+      val (size, est, exact) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      if (size < 64) est shouldBe exact // below k the sketch IS the set
+      else math.abs(est - exact).toDouble should be <=
+        4.0 * exact.toDouble / math.sqrt(62.0)
+    }
+    // the pair rows' exact set algebra must be internally consistent:
+    // |A∪B| = |A| + |B| − |A∩B| ≥ max(|A|,|B|)
+    val ty = rows.filter(!_.getString(0).contains("|"))
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    rows.filter(_.getString(0).contains("|")).foreach { r =>
+      val Array(a, b) = r.getString(0).split('|')
+      val (u, xi) = (r.getLong(4), r.getLong(6))
+      u shouldBe ty(a) + ty(b) - xi
+      u should be >= math.max(ty(a), ty(b))
+    }
+  }
+
+  test("q198: the histogram argmin equals a brute per-row split search, and gain is never negative") {
+    import org.apache.spark.sql.functions._
+    val got = OlapQueries.q198SplitFinding(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    // brute replay over raw rows for every segment
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), cents.as("c"),
+        ((expr("unix_micros(ts) div 86400000000") + lit(4L)) % 7L)
+          .isin(0L, 6L).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (seg, rows) =>
+      val n = rows.length.toLong
+      val pos = rows.map(_._3).sum
+      val splits = rows.map(_._2).distinct.sorted
+      val best = splits.map { c =>
+        val left = rows.filter(_._2 <= c)
+        val (nl, pl) = (left.length.toLong, left.map(_._3).sum)
+        val err = math.min(pl, nl - pl) +
+          math.min(pos - pl, (n - nl) - (pos - pl))
+        (err, c)
+      }.min
+      val (gn, gp, gc, ge, gg) = got(seg)
+      (gn, gp) shouldBe ((n, pos))
+      (ge, gc) shouldBe best
+      gg shouldBe math.min(pos, n - pos) - ge
+      gg should be >= 0L // the best split is never worse than not splitting
+    }
+  }
+
   test("q195: the greedy traversal matches a brute in-memory replay, radii decrease, and the last radius certifies coverage") {
     import org.apache.spark.sql.functions.col
     val got = ClusterQueries.q195KcenterCoreset(spark, sf)

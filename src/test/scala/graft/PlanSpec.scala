@@ -1114,6 +1114,24 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("q197 KMV: the sketch is a bounded partial-aggregating buffer — map-side partial + merge phases, never a rank window") {
+    val p = plan(OlapQueries.q197KmvSketch(spark, sf))
+    p should include("graft.functions.KmvAgg") // the typed bounded buffer
+    (p should include).regex("""partial_\(h#\d+L, graft\.functions\.KmvAgg""")
+    (p should include).regex("""merge_\(h#\d+L, graft\.functions\.KmvAgg""")
+    // the window-rank formulation (shuffle every distinct hash, rank, cut
+    // at k) is exactly what this operator must NOT be
+    p should not include "Window"
+  }
+
+  test("q198 split finding: bins travel, rows don't — histogram partial-agg, both prefix windows share one segment exchange") {
+    val p = plan(OlapQueries.q198SplitFinding(spark, sf))
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 2
+    p should include("partial_count") // (segment, cents) histogram combines map-side
+    """\(\d+\) Window""".r.findAllMatchIn(p).length shouldBe 2 // cumulative + totals
+    p should not include "SortMergeJoin"
+  }
+
   test("q191 components: every contraction half-step is keyed work — no cartesian, no nested loop, no range sort") {
     // plan of ONE large-star + small-star round over the chain edges (the
     // loop repeats this fragment; localCheckpoint cuts lineage between)
