@@ -243,12 +243,41 @@ object ClusterQueries {
     picks.toSeq.toDF("sel_order", "vec_id", "radius_sq")
   }
 
+  /** q199: the embedding GRAM MATRIX XᵀX on the integer lattice — the
+    * one-scan second-moment state behind whitening, PCA initialization,
+    * and embedding-space covariance drift monitoring. Each row contributes
+    * its upper-triangle outer product IN-SCAN (a generator over the
+    * D(D+1)/2 index pairs — no self-join, no per-dimension explode-join),
+    * and the only exchange carries 2,080 (i, j) cells with map-side
+    * partial sums — corpus size never appears in the shuffle. The same
+    * shape computes a covariance matrix (subtract the q179-style mean
+    * outer product downstream) and re-aggregates across corpus snapshots
+    * by plain addition — the mergeable-state discipline, applied to
+    * linear algebra.
+    *
+    * Quantization is [[qvec]] (exact ×2¹⁰ lattice), so every sum is an
+    * exact BIGINT: |q|≤~2¹¹ ⇒ |p|≤2²² ⇒ safe past 10¹² rows; a corpus
+    * beyond that upgrades the accumulator to DECIMAL, same plan. The
+    * Cauchy–Schwarz structure of the result (s²ᵢⱼ ≤ sᵢᵢ·sⱼⱼ) is
+    * spec-asserted in exact arithmetic. */
+  val q199GramMatrix: Q = (s, d) => {
+    val cells = Tables.embeddings(s, d)
+      .select(qvec(col("embedding")).as("qv"))
+      .select(explode(flatten(transform(col("qv"), (xi, i) =>
+        transform(slice(col("qv"), i + lit(1), lit(DIM)), (xj, jr) =>
+          struct(i.as("i"), (i + jr).as("j"), (xi * xj).as("p")))))).as("e"))
+    cells.groupBy(col("e.i").cast(LongType).as("i"),
+        col("e.j").cast(LongType).as("j"))
+      .agg(sum(col("e.p")).as("s"), count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_kmeans" -> q81Kmeans,
     "q132_checkpoint_resume" -> q132CheckpointResume,
     "q85_cluster_sample" -> q85ClusterSample,
     "q99_semdedup" -> q99SemDedup,
-    "q195_kcenter_coreset" -> q195KcenterCoreset)
+    "q195_kcenter_coreset" -> q195KcenterCoreset,
+    "q199_gram_matrix" -> q199GramMatrix)
 
   /** dist² between a float-list column and a double-list column: the exact
     * 0.0-seeded left fold both Spark paths implement. */
@@ -345,6 +374,20 @@ object ClusterQueries {
          |$stages
          |$out""".stripMargin
     },
+    // The same lattice, accumulated by a flat double-UNNEST instead of the
+    // in-row generator — an independent mechanism over identical integers.
+    "q199_gram_matrix" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |  FROM embeddings)
+         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |  CAST(sum(qv[CAST(i + 1 AS INTEGER)] * qv[CAST(j + 1 AS INTEGER)])
+         |    AS BIGINT) AS s,
+         |  count(*) AS n
+         |FROM q, UNNEST(range(0, $DIM)) t(i), UNNEST(range(0, $DIM)) u(j)
+         |WHERE j >= i
+         |GROUP BY i, j""".stripMargin,
     // Same replay + the salted-hash quota window (the q37/q63 md5 idiom).
     "q85_cluster_sample" ->
       s"""$kmeansCtes,

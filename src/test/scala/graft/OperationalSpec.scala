@@ -1131,6 +1131,28 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q199: the Gram matrix is a true XᵀX — brute-equal, complete upper triangle, Cauchy–Schwarz holds in exact arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val got = ClusterQueries.q199GramMatrix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    got.size shouldBe 64 * 65 / 2 // every (i ≤ j) cell present exactly once
+    // brute replay from the raw vectors
+    val pts = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0)
+        .map(x => math.floor(x.toDouble * 1024.0).toLong).toArray)
+    for (((i, j), (sij, n)) <- got) {
+      n shouldBe pts.length.toLong
+      sij shouldBe pts.map(v => v(i.toInt) * v(j.toInt)).sum
+    }
+    // Cauchy–Schwarz: s²ᵢⱼ ≤ sᵢᵢ·sⱼⱼ — in BigInt, the structural
+    // certificate that the cells really are inner products of one dataset
+    for (((i, j), (sij, _)) <- got if i != j) {
+      (BigInt(sij) * sij) should be <=
+        (BigInt(got((i, i))._1) * got((j, j))._1)
+    }
+  }
+
   test("q195: the greedy traversal matches a brute in-memory replay, radii decrease, and the last radius certifies coverage") {
     import org.apache.spark.sql.functions.col
     val got = ClusterQueries.q195KcenterCoreset(spark, sf)

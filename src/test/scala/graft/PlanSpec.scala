@@ -1132,6 +1132,14 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("q199 Gram: one scan, one exchange of 2080 cells — the outer product is an in-scan generator, never a self-join") {
+    val p = plan(ClusterQueries.q199GramMatrix(spark, sf))
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should include("partial_sum") // cells collapse map-side
+    p should include("Generate")    // the in-row pair generator
+    p should not include "Join"     // no self-join formulation
+  }
+
   test("q191 components: every contraction half-step is keyed work — no cartesian, no nested loop, no range sort") {
     // plan of ONE large-star + small-star round over the chain edges (the
     // loop repeats this fragment; localCheckpoint cuts lineage between)
