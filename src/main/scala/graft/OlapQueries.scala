@@ -1998,15 +1998,28 @@ object OlapQueries {
     * shuffles) and exist FOR the gate; production ships the k-long
     * states. Estimate division is DECIMAL(38)·div — (k−1)·2⁶⁰ ≈ 7.3e19
     * overflows BIGINT, so both engines compute it in 128-bit exactly. */
-  val q197KmvSketch: Q = (s, d) => {
+  /** The q197 state builder over any (event_type, user_id) frame — ONE
+    * definition for the batch sketch and the streaming twin
+    * (StreamingSpec): the bounded k-min buffer is a merge monoid, so the
+    * Complete-mode streaming aggregation state IS this state, bit-equal
+    * on any chop of the same feed. */
+  private[graft] def kmvStates(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val kmv = udaf(graft.functions.KmvAgg.kMin(KMV_K))
+    df.select(col("event_type"), graft.operators.TextOps.hash60(
+        concat(lit("kmv:"), col("user_id").cast(StringType))).as("h"))
+      .groupBy(col("event_type")).agg(kmv(col("h")).as("state"))
+  }
+
+  val q197KmvSketch: Q = (s, d) => {
     val uh = Tables.events(s, d).select(col("event_type"),
       graft.operators.TextOps.hash60(
         concat(lit("kmv:"), col("user_id").cast(StringType))).as("h"),
       col("user_id"))
-    val st = uh.groupBy(col("event_type"))
-      .agg(kmv(col("h")).as("state"),
-        countDistinct(col("user_id")).as("exact"))
+    val st = kmvStates(Tables.events(s, d)
+        .select(col("event_type"), col("user_id")))
+      .join(uh.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact")), "event_type")
     def estOf(state: Column): Column =
       when(size(state) < KMV_K, size(state).cast(LongType))
         .otherwise(expr(s"CAST((CAST(${KMV_K - 1} AS DECIMAL(38,0)) * $KMV_SPACE) " +

@@ -664,11 +664,7 @@ object SampleQueries {
 
   /** JVM twin of TextOps.hash60 / the oracle's md5 incantation — used only
     * at PLAN BUILD time to embed ring positions as literals. */
-  private def hash60Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private def hash60Jvm(s: String): Long = TextOps.hash60Jvm(s)
 
   private def ring(k: Int): (Seq[Long], Seq[Int]) = {
     val nodes = for (s <- 0 until k; v <- 0 until CH_VNODES)

@@ -33,6 +33,14 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** JVM twin of [[hash60]] (and the oracles' md5 incantation) — for
+    * plan-build-time literals (q162's ring) and spec-side ground truth. */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Salted content-stable ordering hash over doc_id — the one definition
     * of the `hash60(salt || doc_id)` idiom the shard/pack/sample operators
     * and their oracles' md5 incantations must all stay bit-identical to.

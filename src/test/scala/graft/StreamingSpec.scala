@@ -596,6 +596,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV states (q197's builder) equal the batch states on a chopped feed, truncation included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // the SAME builder as q197: the bounded k-min-distinct buffer is a
+    // merge monoid (k smallest of a union), so the Complete-mode state is
+    // the sketch — and every estimate/intersection derived from states is
+    // automatically stream-correct
+    val q = OlapQueries.kmvStates(input.toDS().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("q197_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // 70 distinct click users — past k=64, so the stream must TRUNCATE
+      // identically to batch; plus a small view group and re-arrivals
+      val feed = (1L to 70L).map(u => ("click", u)) ++
+        Seq(("view", 5L), ("click", 33L), ("view", 6L))
+      val (b1, b2) = feed.splitAt(40)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val read = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[Long]](1).toList).toMap
+      val streamed = read(spark.table("q197_twin_test"))
+      val batch = read(OlapQueries.kmvStates(feed.toDF("event_type", "user_id")))
+      streamed shouldBe batch
+      streamed("click").size shouldBe 64 // truncated at k
+      streamed("view").size shouldBe 2
+      // the state really is the k smallest of the 70 distinct hashes
+      val all = (1L to 70L).map(u => graft.operators.TextOps.hash60Jvm(s"kmv:$u"))
+      streamed("click") shouldBe all.distinct.sorted.take(64).toList
+    } finally q.stop()
+  }
+
   test("streaming log-histogram state (q189's builder) equals the batch state on a chopped feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
