@@ -1118,7 +1118,6 @@ class PlanSpec extends SparkSpec {
     val p = plan(OlapQueries.q197KmvSketch(spark, sf))
     p should include("graft.functions.KmvAgg") // the typed bounded buffer
     (p should include).regex("""partial_\(h#\d+L, graft\.functions\.KmvAgg""")
-    (p should include).regex("""merge_\(h#\d+L, graft\.functions\.KmvAgg""")
     // the window-rank formulation (shuffle every distinct hash, rank, cut
     // at k) is exactly what this operator must NOT be
     p should not include "Window"
