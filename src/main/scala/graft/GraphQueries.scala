@@ -130,6 +130,62 @@ object GraphQueries {
   }
 
   private val BFS_HOPS = 3
+  private val SSSP_HOPS = 4
+
+  /** q200: weighted single-source shortest paths — BFS upgraded from hop
+    * counts to COSTS: the minimum total edge weight from the q178 seed set
+    * (customers of nation 0) over paths of ≤ [[SSSP_HOPS]] edges, by
+    * Bellman-Ford rounds (relax every edge, keep the per-node minimum).
+    * This is the cheapest-route primitive behind supply-chain reach
+    * ("cheapest way to source from this supplier pool"), weighted
+    * influence radii, and cost-bounded crawl scheduling — the fourth
+    * iterative-join shape: BFS carries levels, PageRank carries mass,
+    * components carry labels, SSSP carries MINIMA OVER SUMS.
+    *
+    * Edge weights are data-derived exact integers: the minimum
+    * floor(l_quantity) over the lineitems linking a (customer, supplier)
+    * pair — a keyed MIN at edge-build time, so the weighted graph is
+    * built once, deterministically. Every relaxation is BIGINT add + MIN:
+    * associative, commutative, order-free — any task order, combiner
+    * tree, or partitioning yields the identical distance table, and the
+    * DuckDB oracle replays the rounds unrolled, hash-exact. K-round
+    * Bellman-Ford computes EXACTLY "shortest cost among ≤K-edge paths" —
+    * a well-defined semantic on its own (cost-bounded reachability), not
+    * an approximation that needs a convergence epsilon.
+    *
+    * Scale shape, per round: edges ⋈ broadcast(dist) → dst-keyed MIN with
+    * map-side partial combine. The distance table is node-sized (≪ edge
+    * list) so the edge list NEVER pays a keyed exchange; a graph whose
+    * distance table outgrows broadcast co-partitions edges and distances
+    * on src — same loop, and past a handful of rounds the q44
+    * localCheckpoint lineage discipline applies. Seeds outside the edge
+    * list stay at dist 0 (isolation is a finding — q178's contract). */
+  val q200Sssp: Q = (s, d) => {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        floor(col("l_quantity")).cast(org.apache.spark.sql.types.LongType)
+          .as("w0"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w0")).as("w"))
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    var dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to SSSP_HOPS)
+      dist = edges.join(broadcast(dist), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    dist.select(
+      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("dist"))
+  }
 
   /** q191: connected components by STAR CONTRACTION (Kiveris et al.
     * SoCC'14) — the O(log n)-round algorithm that replaces q44's
@@ -174,7 +230,8 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "q89_pagerank" -> q89Pagerank,
     "q178_bfs_khop" -> q178BfsKhop,
-    "q191_star_contraction" -> q191StarContraction)
+    "q191_star_contraction" -> q191StarContraction,
+    "q200_sssp" -> q200Sssp)
 
   private def iterCte(i: Int): String =
     s"""r$i AS (
@@ -225,7 +282,33 @@ object GraphQueries {
     "q191_star_contraction" ->
       """SELECT o_orderkey AS node,
         |  min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    // The identical relaxation recursion, unrolled: BIGINT add + MIN have
+    // exactly one answer, so the K-round replay is bit-exact.
+    "q200_sssp" ->
+      s"""WITH e0 AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |    min(CAST(floor(l_quantity) AS BIGINT)) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, w FROM e0
+         |          UNION ALL SELECT dst, src, w FROM e0),
+         |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM customer WHERE c_nationkey = 0),
+         |${(1 to SSSP_HOPS).map(ssspCte).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS key, dist
+         |FROM d$SSSP_HOPS""".stripMargin)
+
+  private def ssspCte(i: Int): String =
+    s"""d$i AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, r.dist + e.w AS dist
+       |    FROM edges e JOIN d${i - 1} r ON r.node = e.src) t
+       |  GROUP BY node)""".stripMargin
 
   private def bfsCte(i: Int): String =
     s"""n$i AS (

@@ -910,6 +910,47 @@ class OperationalSpec extends SparkSpec {
     levels.length should be >= 3
   }
 
+  test("q200: weighted distances are sound — ≥ hop counts, witnessed by a relaxing neighbor, seeds exactly at 0") {
+    import org.apache.spark.sql.functions._
+    val dist = GraphQueries.q200Sssp(spark, sf)
+      .select(concat(col("node_type"), lit(":"), col("key")).as("node"),
+        col("dist"))
+    dist.count() shouldBe dist.select(col("node")).distinct().count()
+    // dist 0 ⟺ seed: every edge weight is ≥ 1 (floor(l_quantity) ∈ [1,50]),
+    // so any relaxed value is strictly positive
+    val seeds = Tables.customer(spark, sf).filter(col("c_nationkey") === 0)
+      .select(concat(lit("customer:"), col("c_custkey")).as("node")).distinct()
+    dist.filter(col("dist") === 0).select(col("node"))
+      .exceptAll(seeds).count() shouldBe 0L
+    seeds.exceptAll(dist.filter(col("dist") === 0).select(col("node")))
+      .count() shouldBe 0L
+    // weighted ≥ hops on every node BFS reaches (3-hop ⊆ 4-edge horizon,
+    // and any path has at least hop-count edges, each of weight ≥ 1)
+    val hops = GraphQueries.q178BfsKhop(spark, sf)
+      .select(concat(col("node_type"), lit(":"), col("key")).as("node"),
+        col("dist").as("hops"))
+    hops.join(dist, Seq("node"), "left_anti").count() shouldBe 0L
+    hops.join(dist, Seq("node"))
+      .filter(col("dist") < col("hops")).count() shouldBe 0L
+    dist.agg(max(col("dist"))).head.getLong(0) should be <= 200L // 4 × 50
+    // relaxation witness: every non-seed's cost is ≥ the best neighbor
+    // extension (the shortest ≤4-edge path ends with SOME edge whose
+    // source was reached one round earlier at no more than dv − w)
+    val e0 = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("customer:"), col("o_custkey")).as("a"),
+        concat(lit("supplier:"), col("l_suppkey")).as("b"),
+        floor(col("l_quantity")).cast("long").as("w0"))
+      .groupBy(col("a"), col("b")).agg(min(col("w0")).as("w"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val nbrBest = edges.join(dist.withColumnRenamed("node", "a")
+        .withColumnRenamed("dist", "da"), Seq("a"))
+      .groupBy(col("b")).agg(min(col("da") + col("w")).as("best"))
+    dist.filter(col("dist") > 0)
+      .join(nbrBest, dist("node") === nbrBest("b"))
+      .filter(col("best") > col("dist")).count() shouldBe 0L
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
