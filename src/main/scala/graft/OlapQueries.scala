@@ -2114,7 +2114,60 @@ object OlapQueries {
         (least(col("pos"), col("n") - col("pos")) - col("best.err")).as("gain"))
   }
 
+  private val AMS_R = 16
+
+  /** q201: AMS second-frequency-moment sketch (Alon–Matias–Szegedy,
+    * STOC'96) over `l_partkey` — F₂ = Σ_x c_x² is exactly the SELF-JOIN
+    * SIZE of lineitem on partkey, the number a join optimizer wants before
+    * committing to a plan and the classic repeat-rate/skew statistic
+    * (uniform keys give F₂ ≈ N²/V; a heavy hitter drives it toward N²).
+    * Estimator r carries a ±1 sign per key — bit r of the shared
+    * `hash60("ams:"||partkey)` — and Z_r = Σ_rows sign_r(key); E[Z_r²] =
+    * F₂, and the output is the per-estimator Z_r, Z_r², their floor-mean
+    * estimate, and the EXACT F₂ on every row (the gate's anchor, the q197
+    * discipline: sketch and truth in one hash-gated result).
+    *
+    * The sketch is R=[[AMS_R]] BIGINTs computed by ONE aggregation over
+    * the scan — no shuffle wider than the 1-row combine — and Z is LINEAR
+    * in the data: sketch(A ⊎ B) = sketch(A) + sketch(B) element-wise, the
+    * strongest mergeability a sketch can have (OperationalSpec proves it
+    * on an arbitrary split; it also makes the state a streaming sum
+    * monoid for free). Signs, sums, squares, and the floor-divided mean
+    * are all exact BIGINT — order-free under any partitioning, replayed
+    * hash-exact by the oracle. At sf0.1 |Z| ≤ 6·10⁵ so Z² ≤ 4·10¹¹; a
+    * 100 TB stream pushes Z² past 2⁶³ and the squares (only) upgrade to
+    * DECIMAL — the per-row sign sums stay BIGINT. */
+  /** The R sign-sums over a frame with hash column `h` — shared by q201,
+    * its linearity spec, and the streaming twin (an unkeyed sum is a
+    * Complete-mode streaming aggregation as-is). */
+  private[graft] def amsZ(hashed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hashed.agg(
+      sum(lit(1L) - lit(2L) * expr("(h div 1) % 2")).as("z0"),
+      (1 until AMS_R).map(r =>
+        sum(lit(1L) - lit(2L) * expr(s"(h div ${1L << r}) % 2")).as(s"z$r")): _*)
+
+  val q201AmsF2: Q = (s, d) => {
+    val rows = Tables.lineitem(s, d).select(
+      graft.operators.TextOps.hash60(
+        concat(lit("ams:"), col("l_partkey").cast(StringType))).as("h"))
+    val sk = amsZ(rows)
+      .withColumn("est_f2", expr(
+        (0 until AMS_R).map(r => s"z$r * z$r")
+          .mkString("(", " + ", s") div $AMS_R")))
+    val exact = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    sk.crossJoin(exact) // 1-row × 1-row
+      .select(col("est_f2"), col("f2_exact"),
+        posexplode(array((0 until AMS_R).map(r => col(s"z$r")): _*))
+          .as(Seq("r", "z")))
+      .select(col("r").cast(LongType).as("r"), col("z"),
+        (col("z") * col("z")).as("z_sq"), col("est_f2"), col("f2_exact"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q201_ams_f2" -> q201AmsF2,
     "q197_kmv_sketch" -> q197KmvSketch,
     "q198_split_finding" -> q198SplitFinding,
     "q154_bitmap_distinct" -> q154BitmapDistinct,
@@ -2163,6 +2216,23 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // The identical sign arithmetic: bit r of the shared md5-60 hash via
+    // floor-div/mod, BIGINT sums and squares — one answer everywhere.
+    "q201_ams_f2" ->
+      s"""WITH h AS (
+         |  SELECT CAST(CAST(('0x' || substr(md5('ams:' ||
+         |      CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM lineitem),
+         |z AS (SELECT rp.r, CAST(sum(1 - 2 * ((h.h // rp.p) % 2)) AS BIGINT) AS z
+         |      FROM h CROSS JOIN (VALUES ${(0 until AMS_R)
+                .map(r => s"(${r}, ${1L << r})").mkString(", ")}) AS rp(r, p)
+         |      GROUP BY rp.r),
+         |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+         |       FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey) t),
+         |est AS (SELECT CAST(sum(z * z) AS BIGINT) // $AMS_R AS est_f2 FROM z)
+         |SELECT CAST(z.r AS BIGINT) AS r, z.z AS z, z.z * z.z AS z_sq,
+         |  est.est_f2 AS est_f2, ex.f2_exact AS f2_exact
+         |FROM z, ex, est""".stripMargin,
     "q197_kmv_sketch" ->
       s"""WITH uh AS (
          |  SELECT DISTINCT event_type,

@@ -951,6 +951,28 @@ class OperationalSpec extends SparkSpec {
       .filter(col("best") > col("dist")).count() shouldBe 0L
   }
 
+  test("q201: the AMS sketch is linear — sketch(A) + sketch(B) equals sketch(A ⊎ B) on any split") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf).select(
+      graft.operators.TextOps.hash60(
+        concat(lit("ams:"), col("l_partkey").cast("string"))).as("h"),
+      pmod(col("l_orderkey"), lit(3)).as("part"))
+    def zvec(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      OlapQueries.amsZ(df.select(col("h"))).collect()
+        .head.toSeq.map(_.asInstanceOf[Long])
+    val whole = zvec(rows)
+    val parts = (0 until 3).map(p => zvec(rows.filter(col("part") === p)))
+    whole shouldBe parts.transpose.map(_.sum)
+    // the floor-mean estimate lands within 2× of the exact self-join size
+    // at this SF (deterministic — a pinned observation, not a tail bound;
+    // the theoretical std is √(2/R)·F₂ ≈ 0.35·F₂)
+    val out = OlapQueries.q201AmsF2(spark, sf).collect().head
+    val est = out.getAs[Long]("est_f2")
+    val exact = out.getAs[Long]("f2_exact")
+    est should be >= exact / 2
+    est should be <= exact * 2
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different

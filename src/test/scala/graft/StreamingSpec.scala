@@ -596,6 +596,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AMS sign-sums (q201's builder) equal the batch sketch on a chopped feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Long]
+    // Z is a plain unkeyed SUM of per-row signs — the simplest possible
+    // streaming monoid: Complete-mode state is the sketch itself, and
+    // re-arrivals are NOT idempotent by design (F2 counts multiplicity,
+    // so the duplicate 207 below must push its signs twice)
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.operators.TextOps.hash60(
+        concat(lit("ams:"), col("k").cast("string"))).as("h"))
+    val q = OlapQueries.amsZ(hashed(input.toDS().toDF("k")))
+      .writeStream.format("memory").queryName("q201_twin_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val feed = Seq(11L, 207L, 11L, 3042L, 99999L, 512L, 207L)
+      val (b1, b2) = feed.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("q201_twin_test").collect()
+        .head.toSeq.map(_.asInstanceOf[Long])
+      val batch = OlapQueries.amsZ(hashed(feed.toDF("k"))).collect()
+        .head.toSeq.map(_.asInstanceOf[Long])
+      streamed shouldBe batch
+      // 7 signed units per estimator: every Z must be odd — a dropped or
+      // double-applied batch would flip the parity
+      streamed.foreach(z => math.abs(z) % 2 shouldBe 1L)
+    } finally q.stop()
+  }
+
   test("streaming KMV states (q197's builder) equal the batch states on a chopped feed, truncation included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
