@@ -271,7 +271,62 @@ object ClusterQueries {
       .agg(sum(col("e.p")).as("s"), count(lit(1)).as("n"))
   }
 
+  /** q202: one ALS HALF-STEP — the alternating-least-squares building
+    * block (Koren/Bell/Volinsky '09; Zhou et al. '08 for the distributed
+    * form) that powers collaborative-filtering recommenders: hold item
+    * factors fixed, solve every user's ridge regression
+    * (V_uᵀV_u + λI)·x_u = V_uᵀr_u in closed form. Rank 2, λ=1, item
+    * factors deterministically initialized from the shared md5-60 hash
+    * (two base-17 digits, each in [−8, 8]) — exactly the random-init →
+    * solve-users first half-iteration of a production ALS, made
+    * bit-reproducible.
+    *
+    * EXACT RATIONAL OUTPUT: the 2×2 normal equations are solved by
+    * Cramer's rule and reported as integers — det(A) and the two
+    * numerators — so x_u = (x1_num/det, x2_num/det) with no float
+    * division anywhere; λ=1 makes A positive definite, det ≥ 1, and the
+    * OperationalSpec re-multiplies A·x_num = det·rhs as an exact BIGINT
+    * identity. Magnitudes: per rating a ≤ 64, p ≤ 400, so at n ratings
+    * the numerators are O(10⁴·n²) — BIGINT holds past n = 10⁵; beyond
+    * that the five sums (only) upgrade to DECIMAL, same plan.
+    *
+    * Scale shape: ratings are the orders⋈lineitem keyed join (dedup to
+    * one rating per (user, item) by MAX quantity), item factors are
+    * IN-SCAN hash arithmetic — no factor-table join at all in this
+    * half-step (a later iteration with learned factors broadcasts the
+    * |items|-row factor table instead — the classic ALS broadcast). One
+    * exchange per half-step: the per-user aggregation of five BIGINT
+    * sums, map-side combined. The other half-step (solve items from user
+    * factors) is the same plan with the keys swapped. */
+  val q202AlsStep: Q = (s, d) => {
+    val ratings = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(max(floor(col("l_quantity")).cast(LongType)).as("r"))
+    val h = graft.operators.TextOps.hash60(
+      concat(lit("als:"), col("item").cast("string")))
+    val sums = ratings
+      .withColumn("h", h)
+      .withColumn("v1", col("h") % 17L - 8L)
+      .withColumn("v2", expr("(h div 17) % 17 - 8"))
+      .groupBy(col("user"))
+      .agg(count(lit(1)).as("n_ratings"),
+        (sum(col("v1") * col("v1")) + 1L).as("a"), // + λI, λ = 1
+        sum(col("v1") * col("v2")).as("b"),
+        (sum(col("v2") * col("v2")) + 1L).as("c"),
+        sum(col("r") * col("v1")).as("p"),
+        sum(col("r") * col("v2")).as("q"))
+    sums.select(col("user"), col("n_ratings"),
+      (col("a") * col("c") - col("b") * col("b")).as("det"),
+      (col("c") * col("p") - col("b") * col("q")).as("x1_num"),
+      (col("a") * col("q") - col("b") * col("p")).as("x2_num"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q202_als_step" -> q202AlsStep,
     "q81_kmeans" -> q81Kmeans,
     "q132_checkpoint_resume" -> q132CheckpointResume,
     "q85_cluster_sample" -> q85ClusterSample,
@@ -321,6 +376,32 @@ object ClusterQueries {
          |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The identical hash-digit factors, BIGINT sums, and Cramer
+    // numerators — integer arithmetic with exactly one answer.
+    "q202_als_step" ->
+      """WITH ratings AS (
+        |  SELECT o_custkey AS u, l_partkey AS item,
+        |    max(CAST(floor(l_quantity) AS BIGINT)) AS r
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |rv AS (
+        |  SELECT u, r,
+        |    (h % 17) - 8 AS v1, ((h // 17) % 17) - 8 AS v2
+        |  FROM (SELECT u, r,
+        |      CAST(CAST(('0x' || substr(md5('als:' || CAST(item AS VARCHAR)),
+        |        1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |    FROM ratings) t),
+        |sums AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS n_ratings,
+        |    CAST(sum(v1 * v1) AS BIGINT) + 1 AS a,
+        |    CAST(sum(v1 * v2) AS BIGINT) AS b,
+        |    CAST(sum(v2 * v2) AS BIGINT) + 1 AS c,
+        |    CAST(sum(r * v1) AS BIGINT) AS p,
+        |    CAST(sum(r * v2) AS BIGINT) AS q
+        |  FROM rv GROUP BY u)
+        |SELECT u AS user, n_ratings, a * c - b * b AS det,
+        |  c * p - b * q AS x1_num, a * q - b * p AS x2_num
+        |FROM sums""".stripMargin,
     "q81_kmeans" ->
       s"""$kmeansCtes
          |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,

@@ -973,6 +973,46 @@ class OperationalSpec extends SparkSpec {
     est should be <= exact * 2
   }
 
+  test("q202: the ALS half-step solution is the ridge minimizer — beats every ±1 lattice neighbor, exact BigInt objective") {
+    import org.apache.spark.sql.functions._
+    val out = ClusterQueries.q202AlsStep(spark, sf).collect()
+      .map(r => r.getAs[Long]("user") ->
+        (r.getAs[Long]("det"), r.getAs[Long]("x1_num"), r.getAs[Long]("x2_num")))
+      .toMap
+    out.nonEmpty shouldBe true
+    // independent JVM replay of the ratings and hash-digit factors
+    val ratings = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(max(floor(col("l_quantity")).cast("long")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    ratings.keySet shouldBe out.keySet
+    // ridge objective ×det² stays integral: J(x) = Σ(r·det − v·x_num)² + λ|x_num|²
+    def obj(rows: Seq[(Long, Long, Long)], det: BigInt,
+            x1: BigInt, x2: BigInt): BigInt = {
+      val fit = rows.map { case (_, item, r) =>
+        val h = BigInt(graft.operators.TextOps.hash60Jvm(s"als:$item"))
+        val (v1, v2) = (h % 17 - 8, (h / 17) % 17 - 8)
+        val res = BigInt(r) * det - v1 * x1 - v2 * x2
+        res * res
+      }.sum
+      fit + x1 * x1 + x2 * x2 // λ = 1
+    }
+    out.foreach { case (u, (det, x1, x2)) =>
+      withClue(s"user $u: ") {
+        det should be >= 1L // λI makes A positive definite
+        val rows = ratings(u)
+        val base = obj(rows, BigInt(det), BigInt(x1), BigInt(x2))
+        // x ± e_k in factor space is x_num ± det·e_k in numerator space;
+        // the true minimizer (rationals, convex) must beat every neighbor
+        for ((d1, d2) <- Seq((det, 0L), (-det, 0L), (0L, det), (0L, -det)))
+          obj(rows, BigInt(det), BigInt(x1 + d1), BigInt(x2 + d2)) should
+            be >= base
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
