@@ -587,7 +587,59 @@ object WindowQueries {
         .cast(org.apache.spark.sql.types.StringType).as("trail7_rows"))
   }
 
+  private val AC_LAGS = 7
+
+  /** q203: AUTOCORRELATION of the gap-filled daily series — the
+    * periodicity detector (weekly seasonality shows as a lag-7 peak,
+    * monitoring pipelines alarm on its collapse) computed EXACTLY: the
+    * lag-ℓ Pearson autocorrelation of per-type daily counts, with the
+    * float-free trick of clearing the mean denominator. With n days,
+    * S = Σx, the centered value n·x_t − S is an integer; then
+    * r_ℓ = num_ℓ / den with num_ℓ = Σ_{t≤n−ℓ} (n·x_t−S)(n·x_{t+ℓ}−S) and
+    * den = Σ (n·x_t−S)² — both exact BIGINTs (order-free sums), the
+    * ratio one IEEE division for readability. Days with no events COUNT
+    * AS ZERO (q61's spine): skipping gaps would silently shift every lag.
+    *
+    * Scale shape: the daily collapse is one map-side-combined shuffle;
+    * the spine is a generator over the 1-row global span crossed with the
+    * observed types; ALL seven lags ride ONE window pass (7 lead columns,
+    * one exchange on event_type — the series is |days| rows per type, K
+    * rows total, so the window state is trivially bounded); the per-type
+    * scalars (n, S, den) broadcast back. At 10⁹ events/day the centered
+    * products pass 2⁶³ and the two sums (only) upgrade to DECIMAL. */
+  val q203Autocorr: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val series = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(counts.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+    val cent = series.join(broadcast(tot), "event_type")
+      .withColumn("c", col("n_days") * col("x") - col("sx"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val led = cent.select(
+      Seq(col("event_type"), col("n_days"), col("c")) ++
+        (1 to AC_LAGS).map(l => lead(col("c"), l).over(w).as(s"c$l")): _*)
+    val den = led.groupBy(col("event_type")).agg(sum(col("c") * col("c")).as("den"))
+    led.select(col("event_type"), col("n_days"), col("c"),
+        posexplode(array((1 to AC_LAGS).map(l => col(s"c$l")): _*))
+          .as(Seq("l0", "cl")))
+      .filter(col("cl").isNotNull)
+      .groupBy(col("event_type"), (col("l0") + 1).cast(LongType).as("lag"))
+      .agg(min(col("n_days")).as("n_days"), count(lit(1)).as("n_pairs"),
+        sum(col("c") * col("cl")).as("num"))
+      .join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
+        col("num"), col("den"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("r"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_autocorr" -> q203Autocorr,
     "q182_range_frame" -> q182RangeFrame,
     "q136_cohort_retention" -> q136CohortRetention,
     "q138_pit_features" -> q138PitFeatures,
@@ -606,6 +658,39 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same zero-filled day spine, same n·x − S centering, same BIGINT
+    // sums; the ratio is the identical single float64 division.
+    "q203_autocorr" ->
+      s"""WITH c AS (
+         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |      AS day, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |series AS (
+         |  SELECT t.event_type, g.day, coalesce(c.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = g.day),
+         |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx
+         |  FROM series GROUP BY 1),
+         |cent AS (SELECT s.event_type, s.day, t.n_days,
+         |    t.n_days * s.x - t.sx AS c
+         |  FROM series s JOIN tot t USING (event_type)),
+         |den AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS den
+         |  FROM cent GROUP BY 1),
+         |led AS (SELECT event_type, n_days, c, lg.lag,
+         |    lead(c, CAST(lg.lag AS INTEGER)) OVER
+         |      (PARTITION BY event_type, lg.lag ORDER BY day) AS cl
+         |  FROM cent CROSS JOIN (SELECT unnest(generate_series(CAST(1 AS BIGINT),
+         |    CAST($AC_LAGS AS BIGINT))) AS lag) lg),
+         |num AS (SELECT event_type, lag, min(n_days) AS n_days,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(c * cl) AS BIGINT) AS num
+         |  FROM led WHERE cl IS NOT NULL GROUP BY 1, 2)
+         |SELECT n.event_type, n.lag, n.n_days, n.n_pairs, n.num, d.den,
+         |  CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS r
+         |FROM num n JOIN den d USING (event_type)""".stripMargin,
     // Same daily decimal collapse, same integer day axis, same two frames;
     // sums compared as canonical decimal strings.
     "q182_range_frame" ->

@@ -1013,6 +1013,24 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q203: autocorrelations obey Cauchy–Schwarz and the pair-count arithmetic of a zero-filled spine") {
+    import org.apache.spark.sql.functions._
+    val rows = WindowQueries.q203Autocorr(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (num, den) = (r.getAs[Long]("num"), r.getAs[Long]("den"))
+      den should be > 0L
+      math.abs(num) should be <= den // |r| ≤ 1, exactly, in integers
+      // a contiguous day spine loses exactly `lag` pairs — a gap-skipping
+      // bug would show up here before it biased any correlation
+      r.getAs[Long]("n_pairs") shouldBe
+        (r.getAs[Long]("n_days") - r.getAs[Long]("lag"))
+      r.getAs[Double]("r") shouldBe (num.toDouble / den.toDouble)
+    }
+    rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")))
+      .distinct.length shouldBe rows.length
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
