@@ -318,6 +318,55 @@ object RetrievalQueries {
           col("n_bigrams"))
   }
 
+  private val KN_SCALE = 1000000000000L // 10^12 fixed-point probability
+  private val KN_TOPK = 100
+
+  /** q204: interpolated KNESER–NEY bigram probabilities (Kneser & Ney '95;
+    * Chen & Goodman '99, the smoothing every n-gram LM toolkit ships as
+    * its default) — the q106 model upgraded from add-one to the estimator
+    * that actually wins perplexity: absolute discount D = 3/4 off every
+    * observed bigram, the freed mass backed off to the CONTINUATION
+    * unigram P_cont(b) = N1+(·b)/NT — "how many contexts does b complete"
+    * — which is what demotes high-count-but-one-context tokens
+    * ("Francisco") that a raw unigram back-off overpromotes.
+    *
+    * Fixed-point exactness: with D = 3/4,
+    *   P(b|a)·10¹² = ((4·c_ab − 3)·S) div (4·c_a)
+    *               + (3·N1a·N1b·S) div (4·c_a·NT)
+    * — two floor divisions over exact counts, order-free, hash-gated; the
+    * second runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because
+    * N1a·N1b·10¹² clears 2⁶³ on a real vocabulary. c_a is the BIGRAM
+    * context total Σ_b c_ab (doc-final tokens excluded) — the correct KN
+    * denominator, derived from the bigram table itself so numerator and
+    * denominator cannot drift.
+    *
+    * Scale shape: bigrams stream from the scan (q106's zip_with, no
+    * materialization); one keyed count shuffle; context and continuation
+    * tables are vocab-bounded broadcasts (q83's note); NT is a 1-row
+    * scalar; the top-K lands in TakeOrderedAndProject under the total
+    * order (c_ab desc, ta, tb) — no global sort. */
+  val q204KneserNey: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val w = TextOps.words(col("text"))
+    val bigrams = docs.select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+    val bc = bigrams.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+    val ctx = bc.groupBy(col("ta"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1a"))
+    val cont = bc.groupBy(col("tb")).agg(count(lit(1)).as("n1b"))
+    val nt = bc.agg(count(lit(1)).as("nt"))
+    bc.join(broadcast(ctx), "ta").join(broadcast(cont), "tb")
+      .crossJoin(broadcast(nt))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"),
+        col("n1a"), col("n1b"), col("nt"),
+        (expr(s"((4 * c_ab - 3) * $KN_SCALE) div (4 * c_a)") +
+          expr(s"CAST((CAST(3 * n1a AS DECIMAL(38,0)) * n1b * $KN_SCALE) " +
+            "div (4 * c_a * nt) AS BIGINT)")).as("p_kn_fp"))
+      .orderBy(col("c_ab").desc, col("ta"), col("tb")).limit(KN_TOPK)
+  }
+
   /** q117: DSIR-style importance-weighted data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its text is under a TARGET
@@ -604,6 +653,7 @@ object RetrievalQueries {
     "q90_bpe_merges" -> q90BpeMerges,
     "q102_bpe_encode" -> q102BpeEncode,
     "q106_bigram_surprisal" -> q106BigramSurprisal,
+    "q204_kneser_ney" -> q204KneserNey,
     "q94_lm_surprisal" -> q94LmSurprisal,
     "q97_tfidf_terms" -> q97TfidfTerms,
     "q98_hybrid_rrf" -> q98HybridRrf,
@@ -760,6 +810,29 @@ object RetrievalQueries {
          |FROM bt JOIN bits USING (b)
          |GROUP BY doc_id, lang""".stripMargin,
     // Same integer-bit trick as q94, lifted to the smoothed conditional.
+    // Same whitespace tokens, same count tables, same two floor
+    // divisions (HUGEINT where Spark runs DECIMAL(38,0)), same top-K
+    // total order.
+    "q204_kneser_ney" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT w[CAST(i AS INTEGER)] AS ta,
+         |              w[CAST(i + 1 AS INTEGER)] AS tb
+         |       FROM docs, UNNEST(range(1, len(w))) r(i)),
+         |bc AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS c_ab
+         |       FROM bg GROUP BY ta, tb),
+         |ctx AS (SELECT ta, CAST(sum(c_ab) AS BIGINT) AS c_a,
+         |    CAST(count(*) AS BIGINT) AS n1a FROM bc GROUP BY ta),
+         |cont AS (SELECT tb, CAST(count(*) AS BIGINT) AS n1b
+         |         FROM bc GROUP BY tb),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bc)
+         |SELECT ta, tb, c_ab, c_a, n1a, n1b, nt,
+         |  ((4 * c_ab - 3) * $KN_SCALE) // (4 * c_a)
+         |    + CAST((CAST(3 * n1a AS HUGEINT) * n1b * $KN_SCALE)
+         |        // (CAST(4 AS HUGEINT) * c_a * nt) AS BIGINT) AS p_kn_fp
+         |FROM bc JOIN ctx USING (ta) JOIN cont USING (tb), nt
+         |ORDER BY c_ab DESC, ta, tb LIMIT $KN_TOPK""".stripMargin,
     "q106_bigram_surprisal" ->
       """WITH docs AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS w

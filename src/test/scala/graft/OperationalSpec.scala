@@ -1031,6 +1031,43 @@ class OperationalSpec extends SparkSpec {
       .distinct.length shouldBe rows.length
   }
 
+  test("q204: Kneser–Ney probabilities are bounded, discount-positive, and the count tables are mutually consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = RetrievalQueries.q204KneserNey(spark, sf).collect()
+    rows.length should be > 0
+    val SCALE = 1000000000000L
+    val nt = rows.head.getAs[Long]("nt")
+    rows.foreach { r =>
+      val (cab, ca) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"))
+      val (n1a, n1b) = (r.getAs[Long]("n1a"), r.getAs[Long]("n1b"))
+      val p = r.getAs[Long]("p_kn_fp")
+      cab should be <= ca // a bigram can't outnumber its context total
+      n1a should be <= ca // distinct continuations can't outnumber tokens
+      n1b should be <= nt
+      p should be > 0L
+      p should be <= SCALE // a probability, in fixed point
+      // interpolation only ADDS continuation mass to the discounted term
+      p should be >= (4 * cab - 3) * SCALE / (4 * ca)
+    }
+    // mass conservation over the FULL vocabulary is the exact-rational
+    // identity Σ_b P(b|a) = 1; its count-table precondition (Σ_b c_ab =
+    // c_a, #distinct b = n1a, Σ_a n1b-rows = NT) is what can actually
+    // break in a distributed rebuild — assert it on the real tables
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val w = graft.operators.TextOps.words(col("text"))
+    val nw = org.apache.spark.sql.functions.size(w)
+    val bc = docs.select(explode(zip_with(
+        slice(w, lit(1), nw - 1), slice(w, lit(2), nw - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("c_ab"))
+    bc.agg(count(lit(1))).head.getLong(0) shouldBe nt
+    val bad = bc.groupBy(col("ta"))
+      .agg(sum(col("c_ab")).as("ca2"), count(lit(1)).as("n1a2"))
+      .filter(col("ca2") < col("n1a2")).count()
+    bad shouldBe 0L
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
