@@ -164,6 +164,7 @@ object ScaleQueries {
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
     "q57_zorder_layout"     -> Seq("graft_events_z"),
+    "q205_hilbert_layout"   -> Seq("graft_events_h"),
     "q72_merge_upsert"      -> Seq("graft_corpus_base"),
     "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"),
     "q78_incremental_refresh" ->
@@ -452,6 +453,31 @@ object ScaleQueries {
       .select(col("event_id"), col("user_id"), col("value"), col("z"))
   }
 
+  /** q205: HILBERT-curve clustered layout — q57's Z-order sibling with the
+    * curve whose h-consecutive cells are always edge-adjacent (no diagonal
+    * jumps), so h-sorted row groups cover tighter 2-D rectangles and
+    * min/max skipping prunes at least as well for the same probes. Same
+    * write-once discipline, same one range exchange paid at build, same
+    * 2-D range probe; the gate pins the h arithmetic (an unrolled CTE
+    * chain in the oracle — [[graft.operators.Scale.hilbert2Ctes]]) and
+    * that the layout never changes the data. The fold-based expression
+    * keeps the plan linear in bits; OperationalSpec proves adjacency and
+    * bijectivity exhaustively and pins the fold to the JVM reference. */
+  val q205HilbertLayout: Q = (s, d) => {
+    val h = Scale.hilbert2(col("user_id"),
+      floor(col("value")).cast(org.apache.spark.sql.types.LongType), Z_BITS)
+    val dir = Scale.writeOnce(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("h", h)
+        .repartitionByRange(8, col("h"))
+        .sortWithinPartitions(col("h")),
+      s"graft_events_h_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/events.parquet") + s"|h=${h.toString.hashCode}")
+    s.read.parquet(dir)
+      .filter(col("user_id").between(10, 40) && col("value").between(5.0, 10.0))
+      .select(col("event_id"), col("user_id"), col("value"), col("h"))
+  }
+
   /** q173: GRAIN-CASCADE rollup maintenance — the silver→gold discipline
     * every lakehouse metrics layer runs: the FINEST grain (per-type DAILY
     * decimal moments) is the only thing computed from the corpus and is
@@ -652,6 +678,7 @@ object ScaleQueries {
     "q173_grain_cascade" -> q173GrainCascade,
     "q55_compaction"    -> q55Compaction,
     "q57_zorder_layout" -> q57ZorderLayout,
+    "q205_hilbert_layout" -> q205HilbertLayout,
     "q72_merge_upsert"  -> q72MergeUpsert,
     "q120_time_travel"  -> q120TimeTravel)
 
@@ -792,6 +819,15 @@ object ScaleQueries {
         |SELECT doc_id, lang, source, n_chars, text FROM keep
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars, text FROM batch""".stripMargin,
+    // The identical quadrant-rotation recurrence, unrolled one CTE per
+    // level; layout must not change results.
+    "q205_hilbert_layout" -> Scale.hilbert2Ctes(
+      s"""SELECT event_id, user_id, value,
+         |  CAST(user_id AS BIGINT) % ${1L << Z_BITS} AS x0,
+         |  CAST(floor(value) AS BIGINT) % ${1L << Z_BITS} AS y0
+         |FROM events
+         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 5.0 AND 10.0""".stripMargin,
+      Z_BITS),
     // Same Morton interleave arithmetic; layout must not change results.
     "q57_zorder_layout" ->
       s"""SELECT event_id, user_id, value,

@@ -348,6 +348,95 @@ object Scale {
       s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** HILBERT curve index of a 2-D point — the space-filling curve whose
+    * consecutive cells are always MANHATTAN-ADJACENT (proved exhaustively
+    * in OperationalSpec), which Z-order's diagonal jumps are not: runs of
+    * h-sorted rows cover tighter 2-D rectangles, so row-group min/max
+    * stats prune better for the same 2-D range probes. Classic iterative
+    * xy→d transform (Warren, Hacker's Delight §16; the quadrant-rotation
+    * recurrence): per level, the quadrant index pays s²·((3·rx) xor ry)
+    * and the lower bits are rotated/reflected into the quadrant's frame.
+    *
+    * Implemented as a FOLD over the level array with built-ins only
+    * (`aggregate` + struct accumulator): sequential state rules out the
+    * zOrder2-style flat sum, and a fold keeps the expression tree LINEAR
+    * in `bits` where naive per-level substitution would grow 3^bits
+    * nodes. Pure integer arithmetic on non-negatives — deterministic
+    * everywhere, replayed by the oracle as an unrolled CTE chain
+    * ([[hilbert2Ctes]]) and by [[hilbert2Jvm]] for spec ground truth.
+    * Coordinates are truncated to `bits` bits, matching zOrder2's
+    * contract; d < 4^bits so bits ≤ 31 stays in BIGINT. */
+  def hilbert2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"hilbert2 bits must be in [1,31] (got $bits)")
+    val mask = lit((1L << bits) - 1)
+    val svals = array((0 until bits).reverse.map(l => lit(1L << l)): _*)
+    aggregate(
+      svals,
+      struct(a.cast(org.apache.spark.sql.types.LongType).bitwiseAND(mask).as("x"),
+        b.cast(org.apache.spark.sql.types.LongType).bitwiseAND(mask).as("y"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        // the reflection uses the FULL grid size n−1, not s−1: that is
+        // the variant whose intermediates stay in [0, n) — and therefore
+        // the only one whose //-and-% replay is engine-independent
+        // (C-style % on a negative coordinate diverges from floor-%)
+        val n1 = lit((1L << bits) - 1)
+        val x = acc.getField("x"); val y = acc.getField("y")
+        val rx = when(x.bitwiseAND(s) === 0L, 0L).otherwise(1L)
+        val ry = when(y.bitwiseAND(s) === 0L, 0L).otherwise(1L)
+        struct(
+          when(ry === 1L, x).when(rx === 1L, n1 - y).otherwise(y).as("x"),
+          when(ry === 1L, y).when(rx === 1L, n1 - x).otherwise(x).as("y"),
+          (acc.getField("d") + s * s *
+            (rx * (lit(3L) - ry) + (lit(1L) - rx) * ry)).as("d"))
+      },
+      acc => acc.getField("d"))
+  }
+
+  /** JVM twin of [[hilbert2]] — spec-side ground truth. */
+  def hilbert2Jvm(a: Long, b: Long, bits: Int): Long = {
+    val n1 = (1L << bits) - 1
+    var x = a & n1; var y = b & n1
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n1 - x; y = n1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** The same transform as an unrolled DuckDB CTE chain: `baseCte` must
+    * yield columns `x0`, `y0` (non-negative, already truncated) plus any
+    * pass-through columns; the returned text appends one CTE per level
+    * and ends with a `SELECT *` exposing `h`. A single nested expression
+    * would grow 3^bits nodes — the chain stays linear, like the fold. */
+  def hilbert2Ctes(baseCte: String, bits: Int = 16): String = {
+    val levels = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val (px, py, pd) = (s"x$i", s"y$i", if (i == 0) "CAST(0 AS BIGINT)" else s"d$i")
+      val rx = s"(($px // $s) % 2)"
+      val ry = s"(($py // $s) % 2)"
+      val n1 = (1L << bits) - 1
+      s"""h${i + 1} AS (SELECT * EXCLUDE ($px, $py${if (i == 0) "" else s", d$i"}),
+         |  CASE WHEN $ry = 1 THEN $px
+         |       WHEN $rx = 1 THEN $n1 - $py ELSE $py END AS x${i + 1},
+         |  CASE WHEN $ry = 1 THEN $py
+         |       WHEN $rx = 1 THEN $n1 - $px ELSE $px END AS y${i + 1},
+         |  $pd + ${s * s} * ($rx * (3 - $ry) + (1 - $rx) * $ry) AS d${i + 1}
+         |  FROM h$i)""".stripMargin
+    }
+    s"""WITH h0 AS ($baseCte),
+       |${levels.mkString(",\n")}
+       |SELECT * EXCLUDE (x$bits, y$bits, d$bits), d$bits AS h FROM h$bits""".stripMargin
+  }
+
   /** Recursive local-filesystem delete (children before parents); no-op on
     * a missing path. The one shared copy of the idiom for every write-once
     * layout. */

@@ -1068,6 +1068,47 @@ class OperationalSpec extends SparkSpec {
     bad shouldBe 0L
   }
 
+  test("q205: the Hilbert fold is the curve — bijective, Manhattan-adjacent steps, equal to the JVM reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exhaustive 16×16 grid at bits=4: every cell index once, and every
+    // consecutive pair of cells edge-adjacent — the locality property
+    // Z-order does NOT have (its diagonal jumps), proved, not claimed
+    val bits = 4; val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .withColumn("h", graft.operators.Scale.hilbert2(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    grid.map(_._3).sorted shouldBe (0L until (n.toLong * n)).toArray
+    val byD = grid.map { case (x, y, h) => h -> (x, y) }.toMap
+    (1 until n * n).foreach { d =>
+      val (x0, y0) = byD(d - 1L); val (x1, y1) = byD(d.toLong)
+      withClue(s"step $d: ") {
+        (math.abs(x0 - x1) + math.abs(y0 - y1)) shouldBe 1L
+      }
+    }
+    grid.foreach { case (x, y, h) =>
+      h shouldBe graft.operators.Scale.hilbert2Jvm(x, y, bits)
+    }
+    // full-width agreement at the production bit width on scattered points
+    val pts = Seq((12L, 9L), (0L, 0L), (65535L, 65535L), (40L, 7L),
+      (31337L, 4242L), (65535L, 0L), (1L, 65534L))
+    pts.toDF("x", "y")
+      .withColumn("h", graft.operators.Scale.hilbert2(col("x"), col("y"), 16))
+      .collect().foreach { r =>
+        r.getLong(2) shouldBe
+          graft.operators.Scale.hilbert2Jvm(r.getLong(0), r.getLong(1), 16)
+      }
+    // the layout must be invisible to WHICH rows a probe returns: the
+    // Hilbert table and the Z-order table answer identically
+    val hRows = ScaleQueries.q205HilbertLayout(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zRows = ScaleQueries.q57ZorderLayout(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    hRows.exceptAll(zRows).count() shouldBe 0L
+    zRows.exceptAll(hRows).count() shouldBe 0L
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
