@@ -325,7 +325,50 @@ object ClusterQueries {
       (col("a") * col("q") - col("b") * col("p")).as("x2_num"))
   }
 
+  private val JL_OUT = 8
+
+  /** q206: JOHNSON–LINDENSTRAUSS sign projection (Achlioptas '03,
+    * "Database-friendly random projections": entries ±1 preserve the JL
+    * guarantee — no Gaussians needed) — every embedding compressed
+    * [[DIM]]→[[JL_OUT]] dims by y_j = Σ_i x_i·s_ij, the dimensionality
+    * reducer in front of sketched similarity search, clustering, and
+    * dedup when the native dimension is too wide to ship.
+    *
+    * Determinism is the q69/q195 lattice discipline composed with the
+    * q162 hash discipline: coordinates quantize to the exact ×2¹⁰
+    * integer lattice ([[qvec]]), and the sign matrix s_ij = 1 −
+    * 2·(hash60("jl:i:j") mod 2) is baked into the plan as LITERALS via
+    * the JVM md5 twin — the oracle re-derives every sign from md5 IN SQL
+    * and must land on the identical ±1, so the hash derivation itself is
+    * cross-engine-gated. All arithmetic is BIGINT: any task order, any
+    * partitioning, one answer. Each row also carries its exact input
+    * norm² so the JL contract E[y_j²] = |x|² is auditable per vector
+    * (OperationalSpec bounds the realized ratio).
+    *
+    * Scale shape: pure in-scan arithmetic — 8×64 literal-weighted sums
+    * fused into the projection, zero joins, zero shuffles (the sign
+    * matrix travels inside the plan, not as a table); output is 8 rows
+    * per vector. At 10⁹ vectors this is the map-only pass it must be. */
+  val q206JlProjection: Q = (s, d) => {
+    val signs = (0 until JL_OUT).map(j => (0 until DIM).map(i =>
+      1L - 2L * (graft.operators.TextOps.hash60Jvm(s"jl:$i:$j") % 2)))
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val ys = (0 until JL_OUT).map(j =>
+      (0 until DIM).map(i =>
+        element_at(col("qv"), i + 1) * lit(signs(j)(i))).reduce(_ + _).as(s"y$j"))
+    val n2in = aggregate(transform(col("qv"), x => x * x),
+      lit(0L), (a, v) => a + v).as("n2_in")
+    qv.select(Seq(col("vec_id"), n2in) ++ ys: _*)
+      .select(col("vec_id"), col("n2_in"),
+        posexplode(array((0 until JL_OUT).map(j => col(s"y$j")): _*))
+          .as(Seq("j", "y")))
+      .select(col("vec_id"), col("j").cast(LongType).as("j"), col("y"),
+        col("n2_in"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_jl_projection" -> q206JlProjection,
     "q202_als_step" -> q202AlsStep,
     "q81_kmeans" -> q81Kmeans,
     "q132_checkpoint_resume" -> q132CheckpointResume,
@@ -376,6 +419,27 @@ object ClusterQueries {
          |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Signs re-derived from md5 IN SQL (not copied as literals): the
+    // replay must agree with the plan's JVM-baked sign matrix bit-for-bit.
+    "q206_jl_projection" ->
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sg AS (SELECT ii.i, jj.j,
+         |    1 - 2 * (CAST(CAST(('0x' || substr(md5('jl:' ||
+         |      CAST(ii.i AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)),
+         |      1, 15)) AS UBIGINT) AS BIGINT) % 2) AS s
+         |  FROM (SELECT unnest(range(0, $DIM)) AS i) ii,
+         |       (SELECT unnest(range(0, $JL_OUT)) AS j) jj),
+         |cells AS (SELECT vec_id, t.i, qv[CAST(t.i + 1 AS INTEGER)] AS x
+         |  FROM qv, UNNEST(range(0, $DIM)) t(i)),
+         |y AS (SELECT vec_id, sg.j, CAST(sum(cells.x * sg.s) AS BIGINT) AS y
+         |  FROM cells JOIN sg ON sg.i = cells.i GROUP BY 1, 2),
+         |n2 AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2_in
+         |  FROM cells GROUP BY 1)
+         |SELECT y.vec_id, CAST(y.j AS BIGINT) AS j, y.y, n2.n2_in
+         |FROM y JOIN n2 USING (vec_id)""".stripMargin,
     // The identical hash-digit factors, BIGINT sums, and Cramer
     // numerators — integer arithmetic with exactly one answer.
     "q202_als_step" ->

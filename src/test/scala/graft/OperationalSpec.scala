@@ -1109,6 +1109,29 @@ class OperationalSpec extends SparkSpec {
     zRows.exceptAll(hRows).count() shouldBe 0L
   }
 
+  test("q206: the JL projection preserves norms in aggregate — E[y²] = |x|² realized within tolerance") {
+    import org.apache.spark.sql.functions._
+    val perVec = ClusterQueries.q206JlProjection(spark, sf)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("y") * col("y")).as("n2_out"), min(col("n2_in")).as("n2_in"),
+        count(lit(1)).as("k"))
+      .collect()
+    perVec.length shouldBe 500
+    perVec.foreach { r =>
+      r.getAs[Long]("k") shouldBe 8L
+      r.getAs[Long]("n2_in") should be > 0L
+    }
+    // per-vector: χ²₈-shaped spread, loosely bounded; corpus mean: tight.
+    // deterministic observations at this SF, not tail bounds
+    val ratios = perVec.map(r =>
+      r.getAs[Long]("n2_out").toDouble / (8.0 * r.getAs[Long]("n2_in")))
+    ratios.foreach(_ should be > 0.05)
+    ratios.foreach(_ should be < 5.0)
+    val mean = ratios.sum / ratios.length
+    mean should be > 0.8
+    mean should be < 1.25
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
