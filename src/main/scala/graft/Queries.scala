@@ -248,7 +248,41 @@ object Queries {
   // Catalog
   // ---------------------------------------------------------------------------
 
+  /** q207: SHIPPING PRIORITY — the TPC-H Q3 shape verbatim (segment-
+    * filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems →
+    * per-order revenue → top-10), the canonical "3-way join, selective
+    * filters on both fact paths, aggregate, small top-k" OLAP plan every
+    * engine is judged on. Revenue follows q64's decimal discipline (per-
+    * row DECIMAL(24,6) cast, decimal sum, ONE double conversion at
+    * output); the top-10 order (revenue desc, o_orderdate, orderkey) is
+    * total, so the result SET is deterministic.
+    *
+    * Scale shape: the filtered customer dim broadcasts into orders, the
+    * filtered orders side broadcasts into the lineitem scan at these SFs
+    * (AQE re-plans to a keyed join when the date filter widens); both
+    * date filters PUSH INTO the parquet scans (PushedFilters); the
+    * aggregation keys on l_orderkey so the partial agg collapses map-side
+    * before one keyed exchange, and the top-10 is TakeOrderedAndProject —
+    * never a global sort. */
+  val q207ShippingPriority: Q = (s, d) => {
+    val cutoff = lit("1998-03-15 00:00:00").cast(TimestampType)
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey").as("orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(24, 6))).as("rev"))
+      .select(col("orderkey"), col("rev").cast(DoubleType).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("orderkey"))
+      .limit(10)
+  }
+
   val relational: Map[String, Q] = Map(
+    "q207_shipping_priority" -> q207ShippingPriority,
     "q125_expectations"     -> q125Expectations,
     "q01_pricing_summary"   -> q01PricingSummary,
     "q02_songplay_left_join" -> q02SongplayLeftJoin,
@@ -263,6 +297,21 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same joins, same decimal revenue, same total top-10 order.
+    "q207_shipping_priority" ->
+      """SELECT l.l_orderkey AS orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, orderkey
+        |LIMIT 10""".stripMargin,
     // Same constraints, same integer verdicts.
     "q125_expectations" ->
       """SELECT 'orders_pk_unique' AS check_name,

@@ -422,6 +422,21 @@ class PlanSpec extends SparkSpec {
     p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
   }
 
+  test("q207 TPC-H Q3 shape: pushed date filters, broadcast joins, top-10 without a global sort") {
+    val p = plan(Queries.q207ShippingPriority(spark, sf))
+    p should include("TakeOrderedAndProject")
+    """\(\d+\) Sort""".r.findAllMatchIn(p) shouldBe empty
+    p should not include "CartesianProduct"
+    // both fact-path date predicates reach their parquet scans
+    p should include("EqualTo(c_mktsegment,BUILDING)")
+    p should include("LessThan(o_orderdate,")
+    p should include("GreaterThan(l_shipdate,")
+    // at test SF every join broadcasts; the only Exchange is the partial→
+    // final revenue aggregation
+    """\(\d+\) BroadcastHashJoin""".r.findAllMatchIn(p).length shouldBe 2
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+  }
+
   test("q28 salted agg: stage 1 shuffles on (key, salt), stage 2 merges algebraically") {
     val p = plan(ScaleQueries.q28SaltedAgg(spark, sf))
     // exactly two shuffles — the skew-splitting (key, salt) exchange and the
