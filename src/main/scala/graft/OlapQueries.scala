@@ -2114,6 +2114,92 @@ object OlapQueries {
         (least(col("pos"), col("n") - col("pos")) - col("best.err")).as("gain"))
   }
 
+  private val IBLT_M = 8192 // cells; decodes sym-diffs up to ~0.8·M/k keys
+  private val IBLT_K = 3
+
+  /** q208: SET RECONCILIATION by invertible Bloom lookup table (Eppstein
+    * et al. SIGCOMM'11 "What's the difference?"; Goodrich–Mitzenmacher
+    * IBLT) — recover the EXACT symmetric difference of two corpus
+    * snapshots (q77's bucket snapshots) from two fixed-size sketches.
+    * This is how two datacenters sync a 100 TB corpus: each side builds
+    * an [[IBLT_M]]-cell table (cnt, Σ±key, Σ±checksum per cell, keys
+    * hashed to [[IBLT_K]] cells), ships KILOBYTES, subtracts cell-wise —
+    * common keys cancel exactly — and peels pure cells (|cnt| = 1,
+    * checksum consistent) until the full diff falls out. Communication is
+    * ∝ the DIFF BOUND, never the corpus.
+    *
+    * Here both sketches build in ONE pass (side A contributes +1, side B
+    * −1, so the aggregation IS the subtracted table): 3 generated rows
+    * per key, one keyed sum into 8192 cells — integer sums, order-free.
+    * The peel runs driver-side over the collected cells (a SKETCH, not
+    * data — 8192 rows whatever the corpus size, the q90-learner-state
+    * altitude) and THROWS if any cell survives undecoded: silent partial
+    * recovery is the one failure mode reconciliation must not have.
+    *
+    * The gate is NOT a replay: the DuckDB oracle computes the symmetric
+    * difference by exact anti-joins. Hash-green therefore proves the
+    * whole mechanism end-to-end — position hashes, cancellation,
+    * peeling — against independent ground truth, at every scale. */
+  val q208IbltReconcile: Q = (s, d) => {
+    import graft.operators.TextOps
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast(StringType)), lit(5))
+    val docs = Tables.documents(s, d).select(col("doc_id"), bucket.as("bkt"))
+    val signed = docs.filter(col("bkt") =!= 0).select(col("doc_id"), lit(1L).as("sgn"))
+      .unionByName(docs.filter(col("bkt") =!= 1)
+        .select(col("doc_id"), lit(-1L).as("sgn")))
+    val chk = TextOps.hash60(concat(lit("ibltc:"), col("doc_id").cast(StringType)))
+    val cells = signed
+      .select(col("doc_id"), col("sgn"), chk.as("chk"),
+        explode(array((0 until IBLT_K).map(j =>
+          pmod(TextOps.hash60(concat(lit(s"iblt$j:"),
+            col("doc_id").cast(StringType))), lit(IBLT_M.toLong))): _*)).as("pos"))
+      .groupBy(col("pos"))
+      .agg(sum(col("sgn")).as("cnt"),
+        sum(col("sgn") * col("doc_id")).as("keysum"),
+        sum(col("sgn") * col("chk")).as("chksum"))
+      .collect()
+    // driver-side peel over the 8192-cell sketch
+    val cnt = new Array[Long](IBLT_M)
+    val keysum = new Array[Long](IBLT_M)
+    val chksum = new Array[Long](IBLT_M)
+    cells.foreach { r =>
+      val p = r.getAs[Long]("pos").toInt
+      cnt(p) = r.getAs[Long]("cnt")
+      keysum(p) = r.getAs[Long]("keysum")
+      chksum(p) = r.getAs[Long]("chksum")
+    }
+    def positions(key: Long): Seq[Int] = (0 until IBLT_K)
+      .map(j => (TextOps.hash60Jvm(s"iblt$j:$key") % IBLT_M).toInt)
+    val recovered = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var progress = true
+    while (progress) {
+      progress = false
+      var p = 0
+      while (p < IBLT_M) {
+        val sgn = cnt(p)
+        if (sgn == 1L || sgn == -1L) {
+          val key = sgn * keysum(p)
+          if (key >= 0 &&
+              chksum(p) == sgn * TextOps.hash60Jvm(s"ibltc:$key")) {
+            recovered += ((key, if (sgn == 1L) "only_a" else "only_b"))
+            positions(key).foreach { q =>
+              cnt(q) -= sgn
+              keysum(q) -= sgn * key
+              chksum(q) -= sgn * TextOps.hash60Jvm(s"ibltc:$key")
+            }
+            progress = true
+          }
+        }
+        p += 1
+      }
+    }
+    require((0 until IBLT_M).forall(p => cnt(p) == 0 && keysum(p) == 0 &&
+      chksum(p) == 0),
+      s"IBLT peel incomplete: diff exceeds the m=$IBLT_M decode capacity")
+    import s.implicits._
+    recovered.toSeq.toDF("doc_id", "side")
+  }
+
   private val AMS_R = 16
 
   /** q201: AMS second-frequency-moment sketch (Alon–Matias–Szegedy,
@@ -2167,6 +2253,7 @@ object OlapQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q208_iblt_reconcile" -> q208IbltReconcile,
     "q201_ams_f2" -> q201AmsF2,
     "q197_kmv_sketch" -> q197KmvSketch,
     "q198_split_finding" -> q198SplitFinding,
@@ -2216,6 +2303,20 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // NOT a replay: the exact symmetric difference by anti-joins — the
+    // independent truth the sketch-and-peel mechanism must reproduce.
+    "q208_iblt_reconcile" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 5 AS bkt
+        |  FROM documents),
+        |a AS (SELECT doc_id FROM docs WHERE bkt <> 0),
+        |b AS (SELECT doc_id FROM docs WHERE bkt <> 1)
+        |SELECT doc_id, 'only_a' AS side FROM a
+        |WHERE doc_id NOT IN (SELECT doc_id FROM b)
+        |UNION ALL
+        |SELECT doc_id, 'only_b' AS side FROM b
+        |WHERE doc_id NOT IN (SELECT doc_id FROM a)""".stripMargin,
     // The identical sign arithmetic: bit r of the shared md5-60 hash via
     // floor-div/mod, BIGINT sums and squares — one answer everywhere.
     "q201_ams_f2" ->

@@ -28,7 +28,7 @@ class DeterminismSpec extends SparkSpec {
     "q182_range_frame", "q183_moment_shape", "q184_rake_keywords",
     "q185_feature_hashing", "q186_winsorize", "q187_negative_sampling",
     "q188_cuped", "q189_log_histogram", "q190_federated_join",
-    "q200_sssp", "q203_autocorr")
+    "q200_sssp", "q203_autocorr", "q208_iblt_reconcile")
 
   test("results are invariant to the shuffle-partition count (7 vs the default)") {
     val hostile = spark.newSession()

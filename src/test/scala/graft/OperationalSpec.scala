@@ -1132,6 +1132,21 @@ class OperationalSpec extends SparkSpec {
     mean should be < 1.25
   }
 
+  test("q208: the IBLT peel recovers exactly the dropped hash buckets — closed-form ground truth, full decode") {
+    val out = OlapQueries.q208IbltReconcile(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side"))
+    val byBucket = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(_.getLong(0))
+      .groupBy(id => graft.operators.TextOps.hash60Jvm(id.toString) % 5)
+    // a = bkt≠0, b = bkt≠1 ⟹ only_a ≡ bucket 1, only_b ≡ bucket 0
+    out.filter(_._2 == "only_a").map(_._1).sorted shouldBe
+      byBucket(1L).sorted
+    out.filter(_._2 == "only_b").map(_._1).sorted shouldBe
+      byBucket(0L).sorted
+    out.length shouldBe (byBucket(0L).length + byBucket(1L).length)
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
