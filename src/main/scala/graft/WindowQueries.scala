@@ -607,15 +607,21 @@ object WindowQueries {
     * rows total, so the window state is trivially bounded); the per-type
     * scalars (n, S, den) broadcast back. At 10⁹ events/day the centered
     * products pass 2⁶³ and the two sums (only) upgrade to DECIMAL. */
-  val q203Autocorr: Q = (s, d) => {
+  /** The zero-filled (event_type, day, x) daily series over the global
+    * observed span — q61's spine at day grain, shared by q203/q209. */
+  private def dailySeries(s: org.apache.spark.sql.SparkSession, d: String) = {
     val counts = Tables.events(s, d)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
-    val series = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .crossJoin(counts.select(col("event_type")).distinct())
       .join(counts, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  val q203Autocorr: Q = (s, d) => {
+    val series = dailySeries(s, d)
     val tot = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
     val cent = series.join(broadcast(tot), "event_type")
@@ -638,7 +644,47 @@ object WindowQueries {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("r"))
   }
 
+  /** q209: THEIL–SEN robust trend — the median of all pairwise slopes of
+    * the daily series, the estimator that shrugs off the outlier days
+    * (traffic spikes, logging outages) that drag q137's least-squares
+    * line: up to ~29% of the points can be corrupted before the slope
+    * moves. Slopes are exact fractions (dy = x_{t2} − x_{t1} BIGINT,
+    * dx = t2 − t1 days); the median is selected under the TOTAL order
+    * (dy/dx as one IEEE division, then dy, then dx) — equal-valued ties
+    * can swap rows, never change the selected VALUES — and reported as
+    * the exact (dy, dx) pair plus the one readability division. Lower
+    * median for even counts: a declared convention, replayed identically.
+    *
+    * Scale shape: the pair generation is a self-join keyed on event_type
+    * — the series is K·|days| rows, so pairs are |days|²/2 per type,
+    * fine at monitoring grain (a year = 66k pairs); the median is one
+    * window rank per type over those pairs. Theil–Sen at very long T is
+    * O(T²) BY DEFINITION — the honest long-series path is the
+    * repeated-median or pair-sampling variant, same plan shape. */
+  val q209TheilSen: Q = (s, d) => theilSen(dailySeries(s, d))
+
+  /** The pair-median machinery over any (event_type, day, x) series —
+    * shared with the spec's planted-outlier robustness proof. */
+  private[graft] def theilSen(series: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = series.select(col("event_type"), col("day").as("t1"), col("x").as("x1"))
+    val b = series.select(col("event_type"), col("day").as("t2"), col("x").as("x2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("t1") < col("t2"))
+      .select(col("event_type"), (col("x2") - col("x1")).as("dy"),
+        (col("t2") - col("t1")).as("dx"))
+      .withColumn("slope", col("dy").cast(DoubleType) / col("dx").cast(DoubleType))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("dy"), col("dx"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q209_theil_sen" -> q209TheilSen,
     "q203_autocorr" -> q203Autocorr,
     "q182_range_frame" -> q182RangeFrame,
     "q136_cohort_retention" -> q136CohortRetention,
@@ -658,6 +704,31 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same spine, same exact-fraction pairs, same (slope, dy, dx) total
+    // order and lower-median convention.
+    "q209_theil_sen" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+        |series AS (
+        |  SELECT t.event_type, g.day, coalesce(c.x, 0) AS x
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = g.day),
+        |pairs AS (SELECT a.event_type, b.x - a.x AS dy, b.day - a.day AS dx,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM series a JOIN series b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, dy, dx) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM pairs)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  dy AS med_dy, dx AS med_dx, slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
     // Same zero-filled day spine, same n·x − S centering, same BIGINT
     // sums; the ratio is the identical single float64 division.
     "q203_autocorr" ->

@@ -1147,6 +1147,25 @@ class OperationalSpec extends SparkSpec {
     out.length shouldBe (byBucket(0L).length + byBucket(1L).length)
   }
 
+  test("q209: Theil–Sen shrugs off planted outliers that wreck the mean slope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // clean line x = 3t over 40 days, with 8 days (20%) spiked by +10⁶:
+    // the pairwise-slope median must still be EXACTLY 3; the OLS/mean
+    // slope is dragged tens of thousands away
+    val series = (0L until 40L)
+      .map(t => ("s", t, 3 * t + (if (t % 5 == 4) 1000000L else 0L)))
+      .toDF("event_type", "day", "x")
+    val out = WindowQueries.theilSen(series).collect()
+    out.length shouldBe 1
+    out.head.getAs[Double]("slope") shouldBe 3.0
+    out.head.getAs[Long]("n_pairs") shouldBe (40L * 39 / 2)
+    val mean = series.agg(
+      (max("x") - min("x")).cast("double") / (max("day") - min("day"))
+    ).head.getDouble(0)
+    math.abs(mean - 3.0) should be > 1000.0
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
