@@ -2252,7 +2252,66 @@ object OlapQueries {
         (col("z") * col("z")).as("z_sq"), col("est_f2"), col("f2_exact"))
   }
 
+  private val CS_R = 3 // count-sketch depth (median of 3)
+  private val CS_W = 256 // count-sketch width
+
+  /** q210: COUNT-SKETCH point frequencies (Charikar–Chen–Farach-Colton
+    * ICALP'02) — the UNBIASED companion that completes the frequency-
+    * sketch trio: q152's count-min only over-counts (biased up), q201's
+    * AMS estimates the whole second moment, count-sketch answers point
+    * queries with E[est] = c_x exactly, errors symmetric around truth.
+    * Per depth row r a key hashes to one of [[CS_W]] signed counters;
+    * est_r(x) = sgn_r(x)·C[r][pos_r(x)] and the reported estimate is the
+    * exact median of the [[CS_R]] row estimates (sorted-array middle —
+    * deterministic, replayed identically). The probe set is the top-20
+    * keys by exact count (total order: count desc, key), so truth rides
+    * every row — the q197/q201 anchor discipline.
+    *
+    * Scale shape: the sketch is one keyed aggregation of 3 generated
+    * rows per item into 192 integer cells (map-side combined; cells are
+    * LINEAR in the data like AMS — proven by the same split argument);
+    * the probe joins 20 keys against a broadcast 192-row cell table.
+    * At 100 TB the sketch is still 192 BIGINTs. */
+  val q210CountSketch: Q = (s, d) => {
+    import graft.operators.TextOps
+    val items = Tables.lineitem(s, d).select(col("l_partkey"))
+    val cells = items
+      .select(col("l_partkey"), posexplode(array((0 until CS_R).map(r =>
+        struct(
+          pmod(TextOps.hash60(concat(lit(s"csp$r:"),
+            col("l_partkey").cast(StringType))), lit(CS_W.toLong)).as("pos"),
+          (lit(1L) - lit(2L) * pmod(TextOps.hash60(concat(lit(s"css$r:"),
+            col("l_partkey").cast(StringType))), lit(2L))).as("sgn"))): _*))
+        .as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell.pos").as("pos"))
+      .agg(sum(col("cell.sgn")).as("c"))
+    val top = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("l_partkey")).limit(20)
+    val ests = (0 until CS_R).map { r =>
+      val pos = pmod(TextOps.hash60(concat(lit(s"csp$r:"),
+        col("l_partkey").cast(StringType))), lit(CS_W.toLong))
+      val sgn = lit(1L) - lit(2L) * pmod(TextOps.hash60(concat(lit(s"css$r:"),
+        col("l_partkey").cast(StringType))), lit(2L))
+      top.select(col("l_partkey"), lit(r).as("r"), pos.as("pos"), sgn.as("sgn"))
+    }.reduce(_ unionByName _)
+    // the certified radius: per-row-estimate std is √(F₂resid/W); the
+    // result carries it so the estimate is self-auditing (spec-bounded)
+    val f2 = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2"))
+    ests.join(broadcast(cells), Seq("r", "pos"))
+      .groupBy(col("l_partkey"))
+      .agg(collect_list(col("sgn") * col("c")).as("es"))
+      .select(col("l_partkey"),
+        element_at(array_sort(col("es")), (CS_R + 1) / 2).as("est"))
+      .join(top, Seq("l_partkey"))
+      .crossJoin(broadcast(f2))
+      .select(col("l_partkey"), col("exact"), col("est"),
+        floor(sqrt((col("f2") - col("exact") * col("exact"))
+          .cast(DoubleType) / CS_W)).cast(LongType).as("err_bound"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_count_sketch" -> q210CountSketch,
     "q208_iblt_reconcile" -> q208IbltReconcile,
     "q201_ams_f2" -> q201AmsF2,
     "q197_kmv_sketch" -> q197KmvSketch,
@@ -2303,6 +2362,35 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same signed cells, same probe hashes, same sorted-middle median.
+    "q210_count_sketch" -> {
+      def posOf(r: String) =
+        s"CAST(CAST(('0x' || substr(md5('csp' || CAST($r AS VARCHAR) || ':' || " +
+          s"CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $CS_W"
+      def sgnOf(r: String) =
+        s"1 - 2 * (CAST(CAST(('0x' || substr(md5('css' || CAST($r AS VARCHAR) " +
+          s"|| ':' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 2)"
+      s"""WITH rr AS (SELECT unnest(range(0, $CS_R)) AS r),
+         |hh AS (SELECT l_partkey, rr.r,
+         |    ${posOf("rr.r")} AS pos, ${sgnOf("rr.r")} AS sgn
+         |  FROM lineitem CROSS JOIN rr),
+         |cells AS (SELECT r, pos, CAST(sum(sgn) AS BIGINT) AS c
+         |  FROM hh GROUP BY 1, 2),
+         |top AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact
+         |  FROM lineitem GROUP BY 1 ORDER BY exact DESC, l_partkey LIMIT 20),
+         |probe AS (SELECT t.l_partkey, t.exact, rr.r,
+         |    ${posOf("rr.r")} AS pos, ${sgnOf("rr.r")} AS sgn
+         |  FROM top t CROSS JOIN rr),
+         |e AS (SELECT p.l_partkey, p.exact, p.sgn * c.c AS est_r
+         |  FROM probe p JOIN cells c ON c.r = p.r AND c.pos = p.pos),
+         |f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM
+         |  (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey) t)
+         |SELECT l_partkey, exact,
+         |  (list_sort(list(est_r)))[${(CS_R + 1) / 2}] AS est,
+         |  CAST(floor(sqrt(CAST(f2.f2 - exact * exact AS DOUBLE) / $CS_W))
+         |    AS BIGINT) AS err_bound
+         |FROM e, f2 GROUP BY l_partkey, exact, f2.f2""".stripMargin
+    },
     // NOT a replay: the exact symmetric difference by anti-joins — the
     // independent truth the sketch-and-peel mechanism must reproduce.
     "q208_iblt_reconcile" ->

@@ -1166,6 +1166,20 @@ class OperationalSpec extends SparkSpec {
     math.abs(mean - 3.0) should be > 1000.0
   }
 
+  test("q210: every count-sketch estimate lands inside its own certified radius (×3)") {
+    val rows = OlapQueries.q210CountSketch(spark, sf).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      val err = math.abs(r.getAs[Long]("est") - r.getAs[Long]("exact"))
+      val bound = r.getAs[Long]("err_bound")
+      bound should be > 0L
+      // per-row std is the bound; the median-of-3 stays within 3σ on
+      // every probe here (deterministic observation; the theory says
+      // each row estimate is within 3σ with prob ~0.998)
+      err should be <= 3 * bound
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
