@@ -2310,7 +2310,67 @@ object OlapQueries {
           .cast(DoubleType) / CS_W)).cast(LongType).as("err_bound"))
   }
 
+  /** q211: SLIDING-WINDOW CARDINALITY from stored sketches — trailing
+    * 7-day distinct users per day, computed from the per-day HLL register
+    * table (q166's builder at day grain) with NO rescan of the raw
+    * events: register rows fan out to the 7 target days they serve
+    * (an in-scan generator — the window merge becomes a plain equi-keyed
+    * MAX, never a range join) and each day's merged registers feed the
+    * q166 shared estimate tree. This is the dashboard workload — "7-day
+    * actives, daily" — run the way a lakehouse should: persist K·256
+    * register rows per grain, answer every window from state.
+    *
+    * The exact trailing distinct count rides the same fan-out on the
+    * (day, user) distinct pairs — the anchor column, so sketch error is
+    * auditable per day. max(rho) is idempotent under re-arrival, so a
+    * register row serving 7 windows is correct by the monoid, not by
+    * luck. Estimates are the q166 shared float tree (one expression,
+    * both engines); everything else is BIGINT.
+    *
+    * Scale shape: registers are |days|·256 rows whatever the corpus;
+    * the fan-out multiplies REGISTER rows (×7), never event rows; both
+    * aggregations collapse map-side. At 10⁹ events/day the raw scan
+    * happens once to build the day's registers — each window after that
+    * is state-only. */
+  val q211SlidingHll: Q = (s, d) => {
+    import graft.operators.TextOps
+    val du = Tables.events(s, d).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      TextOps.hash60(concat(lit("hll:"),
+        col("user_id").cast(StringType))).as("h"),
+      col("user_id"))
+    val regs = du
+      .select(col("day"), pmod(col("h"), lit(HLL_M)).as("bucket"),
+        expr(s"h div $HLL_M").as("w"))
+      .select(col("day"), col("bucket"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val span = regs.agg(max(col("day")).as("d1"))
+    val win = regs
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("bucket"), col("reg"))
+      .crossJoin(broadcast(span)).filter(col("day") <= col("d1"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val st = win.groupBy(col("day"))
+      .agg(count(lit(1)).as("used_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+          .as("zsum"))
+      .withColumn("zeros", lit(HLL_M) - col("used_buckets"))
+      .withColumn("z", col("zsum") + col("zeros") * lit(9007199254740992L))
+      .withColumn("est_milli", expr(hllEstSql("zeros", "z")))
+    val exact = du.select(col("day"), col("user_id")).distinct()
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .crossJoin(broadcast(span)).filter(col("day") <= col("d1"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+    st.join(exact, Seq("day"))
+      .select(col("day"), col("used_buckets"), col("zeros"), col("z"),
+        col("est_milli"), col("n_exact"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q211_sliding_hll" -> q211SlidingHll,
     "q210_count_sketch" -> q210CountSketch,
     "q208_iblt_reconcile" -> q208IbltReconcile,
     "q201_ams_f2" -> q201AmsF2,
@@ -2362,6 +2422,39 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same day-grain registers, same 7-day fan-out merge, same shared
+    // estimate tree, same exact trailing-distinct anchor.
+    "q211_sliding_hll" ->
+      s"""WITH du AS (SELECT
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    CAST(CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+         |      1, 15)) AS UBIGINT) AS BIGINT) AS h,
+         |    user_id
+         |  FROM events),
+         |r AS (SELECT day, h % $HLL_M AS bucket,
+         |    max(CASE WHEN h // $HLL_M = 0 THEN 53
+         |      ELSE 53 - length(bin(h // $HLL_M)) END) AS reg
+         |  FROM du GROUP BY 1, 2),
+         |span AS (SELECT max(day) AS d1 FROM r),
+         |win AS (SELECT r.day + o.o AS day, r.bucket, max(r.reg) AS reg
+         |  FROM r CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o, span
+         |  WHERE r.day + o.o <= span.d1
+         |  GROUP BY 1, 2),
+         |st AS (SELECT day, CAST(count(*) AS BIGINT) AS used_buckets,
+         |    CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zsum
+         |  FROM win GROUP BY 1),
+         |z AS (SELECT day, used_buckets, $HLL_M - used_buckets AS zeros,
+         |    zsum + ($HLL_M - used_buckets) * 9007199254740992 AS z
+         |  FROM st),
+         |e AS (SELECT p.day + o.o AS day,
+         |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT day, user_id FROM du) p
+         |  CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o, span
+         |  WHERE p.day + o.o <= span.d1
+         |  GROUP BY 1)
+         |SELECT z.day, used_buckets, zeros, z,
+         |  ${hllEstSql("zeros", "z")} AS est_milli, n_exact
+         |FROM z JOIN e USING (day)""".stripMargin,
     // Same signed cells, same probe hashes, same sorted-middle median.
     "q210_count_sketch" -> {
       def posOf(r: String) =

