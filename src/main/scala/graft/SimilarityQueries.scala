@@ -271,7 +271,61 @@ object SimilarityQueries {
         (acc, x) => acc + x).as("rev_dot"))
   }
 
+  private val KNN_K = 5
+
+  /** q212: kNN-CLASSIFIER EVALUATION — the "is this embedding space any
+    * good" workload every labeled corpus runs: hold out every 10th vector
+    * as a test set, retrieve each test vector's [[KNN_K]] cosine-nearest
+    * TRAIN vectors, majority-vote their labels, and report prediction vs
+    * truth per test vector. This is the eval loop of retrieval-based
+    * classification (and the sanity gate before shipping an index built
+    * on these vectors): q107 audits the INDEX's recall, q212 audits the
+    * SPACE's label coherence.
+    *
+    * Determinism: similarities are q23's exact cosine fold (one shared
+    * expression tree, native or fallback — bit-identical either way);
+    * the k-neighbor cut ranks by the TOTAL order (sim desc, train id);
+    * the vote breaks count ties by smaller label — every choice is a
+    * declared total order the oracle replays.
+    *
+    * Scale shape: the test side (|corpus|/10 rows) is the broadcast side
+    * of the scored pairing, the corpus streams (q23's contract); the
+    * rank-and-vote moves k rows per test vector through one test-keyed
+    * window + one (test, label) count. At 10⁹ train vectors the brute
+    * pairing swaps for q33's IVF candidates — the vote stage is
+    * unchanged. */
+  val q212KnnClassify: Q = (s, d) => {
+    val cos = cosineFnFor(s)
+    val test = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val train = Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("label").as("t_label"))
+    val scored = train.join(broadcast(test), lit(true))
+      .select(col("q_id"), col("true_label"), col("t_id"), col("t_label"),
+        cos(col("q_emb"), col("t_emb")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("t_id"))
+    val nbrs = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KNN_K)
+    val vw = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("t_label"))
+    nbrs.groupBy(col("q_id"), col("true_label"), col("t_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("q_id"),
+        col("true_label").cast(org.apache.spark.sql.types.LongType)
+          .as("true_label"),
+        col("t_label").cast(org.apache.spark.sql.types.LongType)
+          .as("pred_label"),
+        col("n_votes"),
+        (col("t_label") === col("true_label")).as("correct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q212_knn_classify" -> q212KnnClassify,
     "q118_hof_surface"     -> q118HofSurface,
     "q107_ann_recall"      -> q107AnnRecall,
     "q23_cosine_topk"      -> q23CosineTopK,
@@ -340,6 +394,27 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= $K_BRUTE""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same cosine fold, same (sim desc, id) neighbor cut, same
+    // (votes desc, smaller label) tie-break.
+    "q212_knn_classify" ->
+      s"""WITH test AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS true_label FROM embeddings WHERE vec_id % 10 = 0),
+         |train AS (SELECT vec_id AS t_id, embedding AS t_emb,
+         |    label AS t_label FROM embeddings WHERE vec_id % 10 <> 0),
+         |scored AS (SELECT q_id, true_label, t_id, t_label,
+         |    ${cosineSql("q_emb", "t_emb")} AS sim
+         |  FROM train, test),
+         |nb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, t_id) AS rn FROM scored),
+         |v AS (SELECT q_id, true_label, t_label,
+         |    CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM nb WHERE rn <= $KNN_K GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY n_votes DESC, t_label) AS vr FROM v)
+         |SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+         |  CAST(t_label AS BIGINT) AS pred_label, n_votes,
+         |  t_label = true_label AS correct
+         |FROM r WHERE vr = 1""".stripMargin,
     // Same HOFs as DuckDB list lambdas; same double promotion, same
     // 0.0-seeded left folds, same exactly-representable bounds.
     "q118_hof_surface" ->

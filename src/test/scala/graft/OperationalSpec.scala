@@ -1197,6 +1197,25 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q212: the kNN eval emits one verdict per held-out vector and correctly measures chance-level label coherence") {
+    val rows = SimilarityQueries.q212KnnClassify(spark, sf).collect()
+    rows.length shouldBe 50 // every 10th of 500 vectors, exactly once
+    rows.map(_.getAs[Long]("q_id")).distinct.length shouldBe 50
+    rows.foreach { r =>
+      r.getAs[Long]("n_votes") should be >= 1L
+      r.getAs[Long]("n_votes") should be <= 5L
+      r.getAs[Boolean]("correct") shouldBe
+        (r.getAs[Long]("pred_label") == r.getAs[Long]("true_label"))
+    }
+    // the generator's labels are INDEPENDENT of the vectors (10 classes),
+    // so a correct evaluator must report ~chance accuracy — a high score
+    // here would mean the eval is leaking the answer, not that the space
+    // is good
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    acc should be < 0.35
+    acc should be > 0.0
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
