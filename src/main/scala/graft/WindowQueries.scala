@@ -683,7 +683,63 @@ object WindowQueries {
         col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
   }
 
+  /** q213: ISOTONIC REGRESSION of the daily value signal — the monotone
+    * fit behind probability calibration (Zadrozny–Elkan '02), monotone
+    * dose-response curves, and "metric must not regress" release gates:
+    * the least-squares non-decreasing sequence through each type's daily
+    * mean cents, weighted by day volume. Computed by the MINIMAX closed
+    * form fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) (Barlow et al. '72)
+    * — not by sequential pooling — so the whole fit is joins + windows +
+    * min/max aggregations: range means are exact-BIGINT prefix-sum
+    * differences with ONE double division each, and every min/max over
+    * those doubles is order-free. OperationalSpec proves the fit equals
+    * an independent JVM PAVA and is monotone.
+    *
+    * Scale shape: per type the range/minimax tables are O(n³) in the DAY
+    * count — the right cost at monitoring grain (a year ≈ 8·10⁶ rows per
+    * type, all map-side arithmetic); a very long series switches to
+    * per-key sequential PAVA in a sorted-group fold (q194's altitude),
+    * same contract. The raw scan collapses to K·|days| daily rows
+    * map-side before any of this. */
+  val q213Isotonic: Q = (s, d) => {
+    val cents = (col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        cents.as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cs"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p = daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .withColumn("ss", sum(col("cs")).over(w))
+      .withColumn("nn", sum(col("n")).over(w))
+    val p0 = p.select(col("event_type"), col("i"), col("ss"), col("nn"))
+      .unionByName(p.groupBy(col("event_type"))
+        .agg(lit(0).as("i"), lit(0L).as("ss"), lit(0L).as("nn")))
+    val ranges = p0.as("a").join(p0.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.i") < col("b.i"))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.i") + 1).as("j"), col("b.i").as("k"),
+        ((col("b.ss") - col("a.ss")).cast(DoubleType) /
+          (col("b.nn") - col("a.nn")).cast(DoubleType)).as("avgv"))
+    val m = ranges
+      .select(col("event_type"), col("j"),
+        explode(sequence(col("j"), col("k"))).as("i"), col("avgv"))
+      .groupBy(col("event_type"), col("j"), col("i"))
+      .agg(min(col("avgv")).as("mv"))
+    val fit = m.groupBy(col("event_type"), col("i")).agg(max(col("mv")).as("fit"))
+    p.join(fit, Seq("event_type", "i"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("cs").cast(DoubleType) / col("n").cast(DoubleType)).as("y"),
+        col("fit"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_isotonic" -> q213Isotonic,
     "q209_theil_sen" -> q209TheilSen,
     "q203_autocorr" -> q203Autocorr,
     "q182_range_frame" -> q182RangeFrame,
@@ -704,6 +760,37 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same prefix-difference range means (one double division each),
+    // same minimax over the identical double multiset.
+    "q213_isotonic" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, cs, n,
+        |    CAST(row_number() OVER wd AS BIGINT) AS i,
+        |    CAST(sum(cs) OVER wp AS BIGINT) AS ss,
+        |    CAST(sum(n) OVER wp AS BIGINT) AS nn
+        |  FROM daily
+        |  WINDOW wd AS (PARTITION BY event_type ORDER BY day),
+        |    wp AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p0 AS (SELECT event_type, i, ss, nn FROM p
+        |  UNION ALL SELECT DISTINCT event_type, 0, 0, 0 FROM p),
+        |ranges AS (SELECT a.event_type, a.i + 1 AS j, b.i AS k,
+        |    CAST(b.ss - a.ss AS DOUBLE) / CAST(b.nn - a.nn AS DOUBLE) AS avgv
+        |  FROM p0 a JOIN p0 b ON a.event_type = b.event_type AND a.i < b.i),
+        |m AS (SELECT r.event_type, r.j, t.i, min(r.avgv) AS mv
+        |  FROM ranges r, UNNEST(generate_series(r.j, r.k)) t(i)
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT event_type, i, max(mv) AS fit
+        |  FROM m GROUP BY 1, 2)
+        |SELECT p.event_type, p.day, p.n,
+        |  CAST(p.cs AS DOUBLE) / CAST(p.n AS DOUBLE) AS y, fit.fit
+        |FROM p JOIN fit ON fit.event_type = p.event_type AND fit.i = p.i""".stripMargin,
     // Same spine, same exact-fraction pairs, same (slope, dy, dx) total
     // order and lower-median convention.
     "q209_theil_sen" ->

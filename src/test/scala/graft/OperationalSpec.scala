@@ -1216,6 +1216,51 @@ class OperationalSpec extends SparkSpec {
     acc should be > 0.0
   }
 
+  test("q213: the minimax isotonic fit is monotone and equals an independent exact-rational PAVA") {
+    import org.apache.spark.sql.functions._
+    val out = WindowQueries.q213Isotonic(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("n"), r.getAs[Double]("y"), r.getAs[Double]("fit")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    out.nonEmpty shouldBe true
+    // independent ground truth: sequential pool-adjacent-violators with
+    // EXACT cross-multiplied rational comparisons — a different algorithm
+    // on a different altitude (per-key fold vs minimax joins)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cs"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def pava(pts: Seq[(Long, Long)]): Seq[Double] = {
+      case class B(var cs: Long, var n: Long, var cnt: Int)
+      val st = scala.collection.mutable.ArrayBuffer.empty[B]
+      pts.foreach { case (cs, n) =>
+        st += B(cs, n, 1)
+        while (st.length >= 2 &&
+            st(st.length - 2).cs * st.last.n >= st.last.cs * st(st.length - 2).n) {
+          val b = st.remove(st.length - 1)
+          st.last.cs += b.cs; st.last.n += b.n; st.last.cnt += b.cnt
+        }
+      }
+      st.toSeq.flatMap(b => Seq.fill(b.cnt)(b.cs.toDouble / b.n.toDouble))
+    }
+    out.foreach { case (ty, rows) =>
+      withClue(s"$ty: ") {
+        rows.sliding(2).filter(_.length == 2).foreach { p =>
+          p(0)._5 should be <= p(1)._5 // monotone
+        }
+        val ref = pava(daily(ty).map(t => (t._3, t._4)))
+        ref.length shouldBe rows.length
+        rows.map(_._5).zip(ref).foreach { case (got, want) =>
+          math.abs(got - want) should be < 1e-9 * math.max(1.0, math.abs(want))
+        }
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
