@@ -281,7 +281,38 @@ object Queries {
       .limit(10)
   }
 
+  /** q214: LARGE-VOLUME CUSTOMERS — the TPC-H Q18 shape: a HAVING-
+    * filtered aggregate over the fact drives a SEMI-join back into the
+    * star ("orders whose total quantity tops 200 units, with their
+    * customers"), then top-100. The classic "aggregate as filter" plan
+    * every warehouse migration checks early, complementing q207's
+    * filter-join-aggregate and q96's decorrelated subqueries.
+    *
+    * Quantities floor to BIGINT before summing, so the HAVING cut and
+    * the reported totals are exact integers; the top-100 order
+    * (o_totalprice desc, o_orderdate, o_orderkey) is total.
+    *
+    * Scale shape: the qualifying-order set (sum > threshold — a rare
+    * tail) aggregates map-side on l_orderkey, then joins the fact as a
+    * small broadcast semi-filter; customer joins broadcast at dim scale.
+    * The quantity re-aggregation reuses the l_orderkey partitioning. No
+    * global sort — TakeOrderedAndProject. */
+  val q214LargeVolume: Q = (s, d) => {
+    val qty = floor(col("l_quantity")).cast(LongType)
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(sum(qty).as("total_qty"))
+      .filter(col("total_qty") > 200L)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val relational: Map[String, Q] = Map(
+    "q214_large_volume" -> q214LargeVolume,
     "q207_shipping_priority" -> q207ShippingPriority,
     "q125_expectations"     -> q125Expectations,
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -297,6 +328,19 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same integer quantities, same HAVING cut, same total top-100 order.
+    "q214_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 200)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, big.total_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     // Same joins, same decimal revenue, same total top-10 order.
     "q207_shipping_priority" ->
       """SELECT l.l_orderkey AS orderkey,
