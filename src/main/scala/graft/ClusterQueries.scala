@@ -367,7 +367,51 @@ object ClusterQueries {
         col("n2_in"))
   }
 
+  /** q215: SILHOUETTE audit of the q81 clustering — the standard "are
+    * these clusters real" score (Rousseeuw '87), in the squared-distance
+    * variant on the exact ×2¹⁰ lattice: per vector, a = mean d² to its
+    * own cluster's other members, b = the nearest OTHER cluster's mean
+    * d², s = (b − a)/max(a, b) ∈ [−1, 1]. Negative s flags vectors the
+    * assignment placed wrong — the continuous quality monitor a nightly
+    * embedding build publishes next to q107's recall. Every pair d² and
+    * every (sum, count) is exact BIGINT; the two divisions and the final
+    * ratio are the only float ops (one shared tree, both engines).
+    * Vectors whose cluster has no second member have no a — excluded by
+    * definition (the standard convention sets s=0; we surface the
+    * exclusion instead of inventing a score).
+    *
+    * Scale shape: all-pairs over the CLUSTERED SET — N²·DIM lattice ops,
+    * the honest audit cost at eval grain (2000 vectors = 4M pairs); at
+    * index scale the audit runs per CELL (q33's partition) so pairs are
+    * Σ|cell|², and the per-vector reduction is one keyed aggregation
+    * either way. q81's assignment arrives by its own broadcast plan. */
+  val q215Silhouette: Q = (s, d) => {
+    val asg = q81Kmeans(s, d).select(col("vec_id"), col("cluster"))
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .join(asg, "vec_id")
+    val a = pts.select(col("vec_id").as("i"), col("cluster").as("ci"),
+      col("qv").as("vi"))
+    val b = pts.select(col("vec_id").as("j"), col("cluster").as("cj"),
+      col("qv").as("vj"))
+    val grp = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("ci"), col("cj"),
+        qdist2(col("vi"), col("vj")).as("d2"))
+      .groupBy(col("i"), col("ci"), col("cj"))
+      .agg(sum(col("d2")).as("sd"), count(lit(1)).as("cn"))
+      .withColumn("avgd",
+        col("sd").cast(DoubleType) / col("cn").cast(DoubleType))
+    val own = grp.filter(col("ci") === col("cj"))
+      .select(col("i"), col("ci"), col("avgd").as("a"))
+    val other = grp.filter(col("ci") =!= col("cj"))
+      .groupBy(col("i")).agg(min(col("avgd")).as("b"))
+    own.join(other, Seq("i"))
+      .select(col("i").as("vec_id"), col("ci").as("cluster"), col("a"),
+        col("b"), ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q215_silhouette" -> q215Silhouette,
     "q206_jl_projection" -> q206JlProjection,
     "q202_als_step" -> q202AlsStep,
     "q81_kmeans" -> q81Kmeans,
@@ -419,6 +463,31 @@ object ClusterQueries {
          |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The kmeans replay feeds the identical lattice pair distances; the
+    // two divisions and the ratio are the same shared float tree.
+    "q215_silhouette" ->
+      s"""$kmeansCtes,
+         |lqv AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pts AS (SELECT a2.vec_id, a2.cluster, lqv.qv
+         |  FROM a2 JOIN lqv USING (vec_id)),
+         |grp AS (SELECT p.vec_id AS i, p.cluster AS ci, q.cluster AS cj,
+         |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(p.qv, q.qv),
+         |        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+         |      (x, y) -> x + y)) AS BIGINT) AS sd,
+         |    CAST(count(*) AS BIGINT) AS cn
+         |  FROM pts p JOIN pts q ON p.vec_id <> q.vec_id
+         |  GROUP BY 1, 2, 3),
+         |own AS (SELECT i, ci, CAST(sd AS DOUBLE) / CAST(cn AS DOUBLE) AS a
+         |  FROM grp WHERE ci = cj),
+         |oth AS (SELECT i, min(CAST(sd AS DOUBLE) / CAST(cn AS DOUBLE)) AS b
+         |  FROM grp WHERE ci <> cj GROUP BY 1)
+         |SELECT own.i AS vec_id, own.ci AS cluster, a, b,
+         |  (b - a) / greatest(a, b) AS s
+         |FROM own JOIN oth ON own.i = oth.i""".stripMargin,
     // Signs re-derived from md5 IN SQL (not copied as literals): the
     // replay must agree with the plan's JVM-baked sign matrix bit-for-bit.
     "q206_jl_projection" ->

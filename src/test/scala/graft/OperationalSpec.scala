@@ -1261,6 +1261,24 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q215: silhouette scores are bounded, definitionally consistent, and positive on average for a real clustering") {
+    val rows = ClusterQueries.q215Silhouette(spark, sf).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      val (a, b, sc) = (r.getAs[Double]("a"), r.getAs[Double]("b"),
+        r.getAs[Double]("s"))
+      a should be > 0.0
+      b should be > 0.0
+      sc should be >= -1.0
+      sc should be <= 1.0
+      sc shouldBe ((b - a) / math.max(a, b))
+    }
+    // k-means on these vectors separates SOMETHING: the mean silhouette
+    // of a genuine assignment must beat the zero a random labeling gives
+    val mean = rows.map(_.getAs[Double]("s")).sum / rows.length
+    mean should be > 0.0
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
