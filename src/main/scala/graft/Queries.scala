@@ -311,7 +311,58 @@ object Queries {
       .limit(100)
   }
 
+  /** q216: RFM SEGMENTATION — the classic BI customer scoring: per
+    * customer, Recency (days from last order to the corpus max date — a
+    * data-derived anchor, never wall-clock), Frequency (order count),
+    * Monetary (total price in exact cents), each cut into quintiles by
+    * `ntile(5)` under a TOTAL order (metric, then custkey), composed
+    * into the familiar "5-3-4" segment label. The shape every
+    * marketing-mart migration validates first: three window quantile
+    * passes over one aggregate.
+    *
+    * Determinism: recency/frequency are integers, monetary is DECIMAL
+    * cents summed then held as BIGINT; ntile with a total ORDER BY is a
+    * pure function of rank (both engines put remainder rows in the
+    * leading buckets — same definition), so every score is replayed
+    * exactly. Recency quintiles order DESC so score 5 = most recent,
+    * matching the RFM convention.
+    *
+    * Scale shape: one o_custkey-keyed aggregation (map-side combined),
+    * then three ntile windows over the |customers| aggregate — window
+    * input is customer-grain, orders of magnitude under the fact. At
+    * 10⁹ customers the ntile cut swaps for q104's broadcast equi-depth
+    * boundaries, same scores. */
+  val q216RfmSegments: Q = (s, d) => {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val byCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("oday"), cents.as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("oday")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+    val anchor = byCust.agg(max(col("last_day")).as("d1"))
+    val base = byCust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), (col("d1") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def wAsc(c: String) = org.apache.spark.sql.expressions.Window
+      .orderBy(col(c), col("o_custkey"))
+    def wDesc(c: String) = org.apache.spark.sql.expressions.Window
+      .orderBy(col(c).desc, col("o_custkey"))
+    base
+      .withColumn("r_score", ntile(5).over(wDesc("recency_days")).cast(
+        org.apache.spark.sql.types.LongType))
+      .withColumn("f_score", ntile(5).over(wAsc("frequency")).cast(
+        org.apache.spark.sql.types.LongType))
+      .withColumn("m_score", ntile(5).over(wAsc("monetary_cents")).cast(
+        org.apache.spark.sql.types.LongType))
+      .withColumn("segment", concat_ws("-", col("r_score"), col("f_score"),
+        col("m_score")))
+  }
+
   val relational: Map[String, Q] = Map(
+    "q216_rfm_segments" -> q216RfmSegments,
     "q214_large_volume" -> q214LargeVolume,
     "q207_shipping_priority" -> q207ShippingPriority,
     "q125_expectations"     -> q125Expectations,
@@ -328,6 +379,29 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same integer metrics, same total-ordered ntile cuts, same label.
+    "q216_rfm_segments" ->
+      """WITH bc AS (SELECT o_custkey,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+        |      AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |anchor AS (SELECT max(last_day) AS d1 FROM bc),
+        |base AS (SELECT o_custkey, d1 - last_day AS recency_days,
+        |    frequency, monetary_cents FROM bc, anchor),
+        |scored AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+        |      AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT *, CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+        |  || '-' || CAST(m_score AS VARCHAR) AS segment
+        |FROM scored""".stripMargin,
     // Same integer quantities, same HAVING cut, same total top-100 order.
     "q214_large_volume" ->
       """WITH big AS (

@@ -1279,6 +1279,26 @@ class OperationalSpec extends SparkSpec {
     mean should be > 0.0
   }
 
+  test("q216: RFM scores are balanced quintiles with a consistent label") {
+    val rows = Queries.q216RfmSegments(spark, sf).collect()
+    rows.length shouldBe 150
+    val n = rows.length
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
+      sizes.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+      sizes.values.foreach { sz =>
+        sz should be >= n / 5
+        sz should be <= n / 5 + 1
+      }
+    }
+    rows.foreach { r =>
+      r.getAs[String]("segment") shouldBe
+        s"${r.getAs[Long]("r_score")}-${r.getAs[Long]("f_score")}-${r.getAs[Long]("m_score")}"
+      r.getAs[Long]("recency_days") should be >= 0L
+      r.getAs[Long]("frequency") should be >= 1L
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
