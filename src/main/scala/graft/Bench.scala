@@ -71,8 +71,15 @@ object Bench {
       ScaleQueries.layoutsByQuery.map { case (q, tables) =>
         q -> (() => ScaleQueries.purgeLayouts(spark, sfDir, tables))
       }
+    // Builder-side iteration aid: comma-separated query names to time a
+    // subset (the driver never sets this — its run stays full-catalog).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var times = List.empty[Double]
       var broken = false
       var i = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcCutsExpr, CharClassCountsExpr, CosineSimilarity, DotFD, HashedShinglesExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr, SubstrCountExpr}
+import graft.functions.{CdcCutsExpr, CharClassCountsExpr, CosineSimilarity, DotFD, HashedShinglesExpr, HilbertIndexExpr, JaccardSimilarity, L2SquaredDistance, LshBandKeysExpr, MinHash60Expr, MinMd5Shingle60Expr, SimHash60Expr, SubstrCountExpr}
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
@@ -44,6 +44,8 @@ object GraftExtensions {
       c => CharClassCountsExpr(c.head)),
     desc("cdc_cuts", classOf[CdcCutsExpr])(c => CdcCutsExpr(
       c.head, c(1).eval().asInstanceOf[Int], c(2).eval().asInstanceOf[Int])),
+    desc("hilbert2", classOf[HilbertIndexExpr])(c => HilbertIndexExpr(
+      c.head, c(1), c(2).eval().asInstanceOf[Int])),
     // Spark's own sketch expressions (the machinery behind the optimizer's
     // runtime bloom-filter join reduction), surfaced as callable functions
     // so a query can build the semi-join-reduction shape explicitly:

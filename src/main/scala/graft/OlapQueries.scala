@@ -2275,25 +2275,24 @@ object OlapQueries {
   val q210CountSketch: Q = (s, d) => {
     import graft.operators.TextOps
     val items = Tables.lineitem(s, d).select(col("l_partkey"))
+    // ONE md5 per (row, depth): pos is the low bits, the sign bit sits
+    // above them — disjoint, so position and sign stay independent
     val cells = items
       .select(col("l_partkey"), posexplode(array((0 until CS_R).map(r =>
-        struct(
-          pmod(TextOps.hash60(concat(lit(s"csp$r:"),
-            col("l_partkey").cast(StringType))), lit(CS_W.toLong)).as("pos"),
-          (lit(1L) - lit(2L) * pmod(TextOps.hash60(concat(lit(s"css$r:"),
-            col("l_partkey").cast(StringType))), lit(2L))).as("sgn"))): _*))
-        .as(Seq("r", "cell")))
-      .groupBy(col("r"), col("cell.pos").as("pos"))
-      .agg(sum(col("cell.sgn")).as("c"))
+        TextOps.hash60(concat(lit(s"cs$r:"),
+          col("l_partkey").cast(StringType)))): _*)).as(Seq("r", "h")))
+      .groupBy(col("r"), pmod(col("h"), lit(CS_W.toLong)).as("pos"))
+      .agg(sum(lit(1L) - lit(2L) * expr(s"(h div $CS_W) % 2")).as("c"))
     val top = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("l_partkey")).limit(20)
     val ests = (0 until CS_R).map { r =>
-      val pos = pmod(TextOps.hash60(concat(lit(s"csp$r:"),
-        col("l_partkey").cast(StringType))), lit(CS_W.toLong))
-      val sgn = lit(1L) - lit(2L) * pmod(TextOps.hash60(concat(lit(s"css$r:"),
-        col("l_partkey").cast(StringType))), lit(2L))
-      top.select(col("l_partkey"), lit(r).as("r"), pos.as("pos"), sgn.as("sgn"))
+      val h = TextOps.hash60(concat(lit(s"cs$r:"),
+        col("l_partkey").cast(StringType)))
+      top.select(col("l_partkey"), lit(r).as("r"), h.as("h"))
     }.reduce(_ unionByName _)
+      .select(col("l_partkey"), col("r"),
+        pmod(col("h"), lit(CS_W.toLong)).as("pos"),
+        (lit(1L) - lit(2L) * expr(s"(h div $CS_W) % 2")).as("sgn"))
     // the certified radius: per-row-estimate std is √(F₂resid/W); the
     // result carries it so the estimate is self-auditing (spec-bounded)
     val f2 = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
@@ -2457,12 +2456,11 @@ object OlapQueries {
          |FROM z JOIN e USING (day)""".stripMargin,
     // Same signed cells, same probe hashes, same sorted-middle median.
     "q210_count_sketch" -> {
-      def posOf(r: String) =
-        s"CAST(CAST(('0x' || substr(md5('csp' || CAST($r AS VARCHAR) || ':' || " +
-          s"CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $CS_W"
-      def sgnOf(r: String) =
-        s"1 - 2 * (CAST(CAST(('0x' || substr(md5('css' || CAST($r AS VARCHAR) " +
-          s"|| ':' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 2)"
+      def h60(r: String) =
+        s"CAST(CAST(('0x' || substr(md5('cs' || CAST($r AS VARCHAR) || ':' || " +
+          s"CAST(l_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+      def posOf(r: String) = s"${h60(r)} % $CS_W"
+      def sgnOf(r: String) = s"1 - 2 * ((${h60(r)} // $CS_W) % 2)"
       s"""WITH rr AS (SELECT unnest(range(0, $CS_R)) AS r),
          |hh AS (SELECT l_partkey, rr.r,
          |    ${posOf("rr.r")} AS pos, ${sgnOf("rr.r")} AS sgn

@@ -464,7 +464,7 @@ object ScaleQueries {
     * keeps the plan linear in bits; OperationalSpec proves adjacency and
     * bijectivity exhaustively and pins the fold to the JVM reference. */
   val q205HilbertLayout: Q = (s, d) => {
-    val h = Scale.hilbert2(col("user_id"),
+    val h = Scale.hilbert2For(s)(col("user_id"),
       floor(col("value")).cast(org.apache.spark.sql.types.LongType), Z_BITS)
     val dir = Scale.writeOnce(
       Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
@@ -472,7 +472,10 @@ object ScaleQueries {
         .repartitionByRange(8, col("h"))
         .sortWithinPartitions(col("h")),
       s"graft_events_h_${sfTag(d)}",
-      Scale.dirFingerprint(s"$d/events.parquet") + s"|h=${h.toString.hashCode}")
+      // native and fold paths are value-identical (FallbackSpec), so the
+      // fingerprint carries an explicit algorithm version, not the
+      // Column's identity — switching paths must NOT rebuild the layout
+      Scale.dirFingerprint(s"$d/events.parquet") + s"|h=hilbert2/v2/b=$Z_BITS")
     s.read.parquet(dir)
       .filter(col("user_id").between(10, 40) && col("value").between(5.0, 10.0))
       .select(col("event_id"), col("user_id"), col("value"), col("h"))

@@ -393,6 +393,18 @@ object Scale {
       acc => acc.getField("d"))
   }
 
+  /** Native-or-fold dispatch for [[hilbert2]] (the cosineFnFor
+    * discipline): sessions carrying GraftExtensions get the fused codegen
+    * loop ([[graft.functions.HilbertIndexExpr]]); vanilla sessions take
+    * the built-ins fold — bit-identical either way (FallbackSpec). */
+  def hilbert2For(s: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column, bits: Int = 16): Column =
+    if (s.catalog.functionExists("hilbert2"))
+      call_function("hilbert2",
+        a.cast(org.apache.spark.sql.types.LongType),
+        b.cast(org.apache.spark.sql.types.LongType), lit(bits))
+    else hilbert2(a, b, bits)
+
   /** JVM twin of [[hilbert2]] — spec-side ground truth. */
   def hilbert2Jvm(a: Long, b: Long, bits: Int): Long = {
     val n1 = (1L << bits) - 1

@@ -238,6 +238,30 @@ class FallbackSpec extends SparkSpec {
     fallback shouldBe native
   }
 
+  test("hilbert2 native codegen loop, built-ins fold, and JVM reference are bit-identical") {
+    import graft.operators.Scale
+    val n = 32 // exhaustive 32×32 grid at bits=5, plus full-width points
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    def run(df: org.apache.spark.sql.DataFrame, bits: Int) = df
+      .withColumn("h", Scale.hilbert2For(spark)(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    spark.catalog.functionExists("hilbert2") shouldBe true
+    val native = run(grid, 5)
+    val fold = withoutNativeFunctions {
+      spark.catalog.functionExists("hilbert2") shouldBe false
+      run(grid, 5)
+    }
+    fold shouldBe native
+    native.foreach { case (x, y, h) =>
+      h shouldBe Scale.hilbert2Jvm(x, y, 5)
+    }
+    val wide = Seq((65535L, 1L), (31337L, 4242L), (0L, 65535L)).toDF("x", "y")
+    run(wide, 16).foreach { case (x, y, h) =>
+      h shouldBe Scale.hilbert2Jvm(x, y, 16)
+    }
+  }
+
   test("q82 without the bloom functions drops the prefilter, keeps the exact answer") {
     def run() = DedupQueries.q82BloomDecontam(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
