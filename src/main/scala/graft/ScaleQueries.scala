@@ -165,6 +165,7 @@ object ScaleQueries {
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
     "q57_zorder_layout"     -> Seq("graft_events_z"),
     "q205_hilbert_layout"   -> Seq("graft_events_h"),
+    "q217_incremental_sessions" -> Seq("graft_sessions_state"),
     "q72_merge_upsert"      -> Seq("graft_corpus_base"),
     "q73_incremental_dedup" -> Seq("graft_corpus_sh", "graft_corpus_bands"),
     "q78_incremental_refresh" ->

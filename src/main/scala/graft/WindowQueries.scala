@@ -738,7 +738,80 @@ object WindowQueries {
         col("fit"))
   }
 
+  private val SESS_GAP_MIN = 30
+  private val US_PER_DAY_217 = 86400000000L
+
+  /** q217: INCREMENTAL SESSIONIZATION — q27's gaps-and-islands run the
+    * way a daily pipeline actually runs it: history lives as a write-once
+    * SESSION-GRAIN state table; each day only the new batch (the last 7
+    * days here) is sessionized and merged against the state's open tail.
+    * The q103/q153 discipline applied to the one operator where the naive
+    * incremental answer is WRONG (a batch event can extend yesterday's
+    * session — append-only sessionization splits it): sessions ending
+    * ≥ gap before the cutoff are CLOSED and pass through untouched; the
+    * boundary invariant "old events stop at the cutoff, sessions are
+    * gap-separated" means AT MOST ONE open session per user (spec-
+    * asserted), and the open tail + batch events re-merge as interval
+    * islands (q193's running-max-end), counts summed. Renumbering by
+    * session_start restores q27's chronological session_no, so the gate
+    * is the strongest possible: the incremental answer hash-equals the
+    * FULL RECOMPUTE oracle (q27's SQL verbatim).
+    *
+    * Scale shape: the state is session-grain (orders of magnitude under
+    * events) and only its open tail joins the merge window; the batch
+    * window exchange is batch-sized; closed sessions never touch an
+    * exchange except the final session-grain renumber. At 10¹¹ events
+    * the daily cost is the batch scan + session-grain state, never the
+    * history rescan — which is the entire point. */
+  val q217IncrementalSessions: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val maxDay = ev.agg(max(expr("unix_micros(ts) div 86400000000")))
+      .head.getLong(0)
+    val cutoffUs = (maxDay - 6) * US_PER_DAY_217
+    val gapUs = SESS_GAP_MIN * 60000000L
+    val stateDir = graft.operators.Scale.writeOnce(
+      sessionizeBatch(ev.filter(expr("unix_micros(ts)") < cutoffUs),
+        SESS_GAP_MIN)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events")),
+      s"graft_sessions_state_${ScaleQueries.sfTag(d)}",
+      graft.operators.Scale.dirFingerprint(s"$d/events.parquet") +
+        s"|cut=$cutoffUs|gap=$SESS_GAP_MIN")
+    val state = s.read.parquet(stateDir)
+    val closed = state.filter(
+      expr("unix_micros(session_end)") < cutoffUs - gapUs)
+    val openRows = state.filter(
+        expr("unix_micros(session_end)") >= cutoffUs - gapUs)
+      .select(col("user_id"), col("session_start").as("s_ts"),
+        col("session_end").as("e_ts"), col("n_events").as("n"))
+    val batchRows = ev.filter(expr("unix_micros(ts)") >= cutoffUs)
+      .select(col("user_id"), col("ts").as("s_ts"), col("ts").as("e_ts"),
+        lit(1L).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_ts"), col("e_ts"))
+    val merged = openRows.unionByName(batchRows)
+      .withColumn("prev_e",
+        max(col("e_ts")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens", when(col("prev_e").isNull ||
+        expr("unix_micros(s_ts) - unix_micros(prev_e)") > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_ts")).as("session_start"),
+        max(col("e_ts")).as("session_end"), sum(col("n")).as("n_events"))
+      .drop("island")
+    closed.select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .unionByName(merged)
+      .withColumn("session_no", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start")))
+        .cast(LongType))
+      .select(col("user_id"), col("session_no"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q217_incremental_sessions" -> q217IncrementalSessions,
     "q213_isotonic" -> q213Isotonic,
     "q209_theil_sen" -> q209TheilSen,
     "q203_autocorr" -> q203Autocorr,
@@ -760,6 +833,23 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // The FULL RECOMPUTE — q27's sessionization verbatim. Hash-green
+    // proves incremental-merge ≡ from-scratch, the whole IVM contract.
+    "q217_incremental_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+        |n AS (SELECT user_id, ts,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1
+        |             ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM n)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
     // Same prefix-difference range means (one double division each),
     // same minimax over the identical double multiset.
     "q213_isotonic" ->

@@ -1299,6 +1299,34 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q217: at most one open session per user at the cutoff, and every closed session passes through untouched") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val maxDay = ev.agg(max(expr("unix_micros(ts) div 86400000000")))
+      .head.getLong(0)
+    val cutoffUs = (maxDay - 6) * 86400000000L
+    val gapUs = 30 * 60000000L
+    val state = WindowQueries.sessionizeBatch(
+      ev.filter(expr("unix_micros(ts)") < cutoffUs), 30)
+    // the boundary theorem the incremental merge relies on
+    state.filter(expr("unix_micros(session_end)") >= cutoffUs - gapUs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count() shouldBe 0L
+    // closed sessions must appear verbatim in the incremental output
+    val closed = state
+      .filter(expr("unix_micros(session_end)") < cutoffUs - gapUs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    val out = WindowQueries.q217IncrementalSessions(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    closed.exceptAll(out).count() shouldBe 0L
+    // and the batch window genuinely exercises the merge: some output
+    // session must span the cutoff (starts before, ends after)
+    out.filter(expr("unix_micros(session_start)") < cutoffUs &&
+      expr("unix_micros(session_end)") >= cutoffUs - gapUs).count() should be > 0L
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
