@@ -2368,7 +2368,71 @@ object OlapQueries {
         col("est_milli"), col("n_exact"))
   }
 
+  private val SF_B = 255 // sign-flip resamples; p resolution 1/(B+1)
+
+  /** q218: PAIRED SIGN-FLIP PERMUTATION TEST — exact nonparametric
+    * inference on the engine: "did the week-over-week level really
+    * shift?" Per event type, the paired deltas Δ_d = cents(day d+7) −
+    * cents(day d) give T_obs = ΣΔ_d; under the null (no shift, symmetric
+    * pairs) every sign pattern of the Δ's is equally likely, so the
+    * p-value is the rank of |T_obs| among [[SF_B]] sign-flipped
+    * replicas T_b = Σ s_b(d)·Δ_d — the Fisher randomization test, the
+    * assumption-free alternative to the t-test that q150/q188 presume.
+    *
+    * DETERMINISTIC resampling is the whole trick: s_b(d) is bit b-th of
+    * nothing random — it is 1 − 2·(hash60("sf:b:type:day") mod 2), so
+    * every engine, every partitioning, every re-run draws the identical
+    * 255 sign patterns (the q74/q87 salted-hash discipline applied to
+    * Monte-Carlo statistics). Everything is BIGINT cents; the p-value is
+    * reported as the exact integer p_milli = 1000·(#{|T_b| ≥ |T_obs|}+1)
+    * div (B+1) — the add-one estimator, never zero.
+    *
+    * Scale shape: the daily collapse is map-side; the pairing is one
+    * self-join on (type, day+7); the resample fan-out multiplies DELTA
+    * rows (K·days·B — thousands), never raw events, and lands in one
+    * keyed sum. OperationalSpec plants a constant shift and the test
+    * must max out (p = floor minimum); a permutation harness that cannot
+    * reject a planted effect is decoration. */
+  val q218SignFlipTest: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("cs"))
+    val deltas = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") === col("a.day") + 7)
+      .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        (col("b.cs") - col("a.cs")).as("delta"))
+    signFlipTest(deltas)
+  }
+
+  /** The resample machinery over any (event_type, day, delta) frame —
+    * shared with the spec's planted-shift proof. */
+  private[graft] def signFlipTest(deltas: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextOps
+    val obs = deltas.groupBy(col("event_type"))
+      .agg(sum(col("delta")).as("t_obs"), count(lit(1)).as("n_pairs"))
+    val sgn = lit(1L) - lit(2L) * pmod(TextOps.hash60(concat(
+      lit("sf:"), col("b").cast(StringType), lit(":"), col("event_type"),
+      lit(":"), col("day").cast(StringType))), lit(2L))
+    val reps = deltas
+      .select(col("event_type"), col("day"), col("delta"),
+        explode(sequence(lit(0L), lit(SF_B - 1L))).as("b"))
+      .select(col("event_type"), col("b"), (sgn * col("delta")).as("sd"))
+      .groupBy(col("event_type"), col("b")).agg(sum(col("sd")).as("t_b"))
+    reps.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("t_obs"), col("n_pairs"))
+      .agg(sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L).otherwise(0L))
+        .as("n_ge"))
+      .select(col("event_type"), col("n_pairs"), col("t_obs"), col("n_ge"),
+        lit(SF_B.toLong).as("n_reps"),
+        expr(s"(1000 * (n_ge + 1)) div ${SF_B + 1}").as("p_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_sign_flip_test" -> q218SignFlipTest,
     "q211_sliding_hll" -> q211SlidingHll,
     "q210_count_sketch" -> q210CountSketch,
     "q208_iblt_reconcile" -> q208IbltReconcile,
@@ -2421,6 +2485,34 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same md5 sign patterns, same BIGINT sums, same add-one p estimator.
+    "q218_sign_flip_test" ->
+      s"""WITH daily AS (SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS cs
+         |  FROM events GROUP BY 1, 2),
+         |deltas AS (SELECT a.event_type, a.day, b.cs - a.cs AS delta
+         |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+         |    AND b.day = a.day + 7),
+         |obs AS (SELECT event_type, CAST(sum(delta) AS BIGINT) AS t_obs,
+         |    CAST(count(*) AS BIGINT) AS n_pairs FROM deltas GROUP BY 1),
+         |reps AS (SELECT d.event_type, bb.b,
+         |    CAST(sum((1 - 2 * (CAST(CAST(('0x' || substr(md5('sf:' ||
+         |      CAST(bb.b AS VARCHAR) || ':' || d.event_type || ':' ||
+         |      CAST(d.day AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 2))
+         |      * d.delta) AS BIGINT) AS t_b
+         |  FROM deltas d
+         |  CROSS JOIN (SELECT unnest(range(0, $SF_B)) AS b) bb
+         |  GROUP BY 1, 2)
+         |SELECT o.event_type, o.n_pairs, o.t_obs,
+         |  CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge,
+         |  CAST($SF_B AS BIGINT) AS n_reps,
+         |  (1000 * (CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs) THEN 1
+         |    ELSE 0 END) AS BIGINT) + 1)) // ${SF_B + 1} AS p_milli
+         |FROM reps r JOIN obs o USING (event_type)
+         |GROUP BY o.event_type, o.n_pairs, o.t_obs""".stripMargin,
     // Same day-grain registers, same 7-day fan-out merge, same shared
     // estimate tree, same exact trailing-distinct anchor.
     "q211_sliding_hll" ->

@@ -1327,6 +1327,33 @@ class OperationalSpec extends SparkSpec {
       expr("unix_micros(session_end)") >= cutoffUs - gapUs).count() should be > 0L
   }
 
+  test("q218: the sign-flip test rejects a planted shift at the resolution floor and stays calibrated on pure noise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted effect: 30 paired deltas, all +1000 — every sign flip can
+    // only reduce |T|, so n_ge counts just the all-plus patterns (≈0)
+    // and p lands at the add-one floor
+    val shifted = (0L until 30L).map(t => ("s", t, 1000L))
+      .toDF("event_type", "day", "delta")
+    val ps = OlapQueries.signFlipTest(shifted).collect().head
+    ps.getAs[Long]("p_milli") shouldBe (1000L * 1) / 256 // = 3, the floor
+    ps.getAs[Long]("t_obs") shouldBe 30000L
+    // pure noise: alternating ±1000 deltas sum to 0 — |T_obs| = 0 is the
+    // minimum, every replica ties or beats it, p = 1000 exactly
+    val noise = (0L until 30L).map(t =>
+      ("n", t, if (t % 2 == 0) 1000L else -1000L))
+      .toDF("event_type", "day", "delta")
+    val pn = OlapQueries.signFlipTest(noise).collect().head
+    pn.getAs[Long]("t_obs") shouldBe 0L
+    pn.getAs[Long]("p_milli") shouldBe 1000L
+    // the real-data rows are well-formed p-values
+    OlapQueries.q218SignFlipTest(spark, sf).collect().foreach { r =>
+      r.getAs[Long]("p_milli") should be > 0L
+      r.getAs[Long]("p_milli") should be <= 1000L
+      r.getAs[Long]("n_ge") should be <= 255L
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
