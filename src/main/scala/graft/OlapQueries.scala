@@ -2431,7 +2431,66 @@ object OlapQueries {
         expr(s"(1000 * (n_ge + 1)) div ${SF_B + 1}").as("p_milli"))
   }
 
+  /** q219: 1-D WASSERSTEIN (earth-mover) DISTANCE between every pair of
+    * event types' value distributions — the drift metric that closes the
+    * family: q133's χ² sees bin masses, q174's KS sees the WORST CDF gap,
+    * W₁ integrates ALL of it (∫|F_a − F_b|dx — how far the mass must
+    * move), which is what makes it the standard embedding/score-drift
+    * alarm. Discrete closed form, EXACT: on the merged cent support,
+    * W₁·n_a·n_b = Σ_i (x_{i+1} − x_i)·|cumA_i·n_b − cumB_i·n_a| — every
+    * factor BIGINT, the sum in DECIMAL(38,0) (it clears 2⁶³ at sf0.1),
+    * reported as the exact scaled integer string plus one double
+    * division for readability.
+    *
+    * Scale shape: the value histogram collapses map-side to distinct
+    * cents per type (the q168/q181 distinct-value discipline — support
+    * rows, never raw rows, cross the exchange); each pair's CDF walk is
+    * one window over the merged support; K types = K(K−1)/2 pair walks
+    * over K·|support| rows total. */
+  val q219Wasserstein: Q = (s, d) => {
+    val ct = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("n"))
+    val tot = ct.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    // pair the types first, support second: build the (ta, tb, c) grid by
+    // joining each pair's two histograms on the union support
+    val pairs = tot.select(col("event_type").as("ta"), col("nt").as("n_a"))
+      .join(tot.select(col("event_type").as("tb"), col("nt").as("n_b")),
+        col("ta") < col("tb"))
+    val sup = pairs.join(
+      ct.select(col("event_type"), col("c")).distinct()
+        .select(col("event_type"), col("c"))
+        .withColumnRenamed("event_type", "st"),
+      col("st") === col("ta") || col("st") === col("tb"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("c"))
+      .distinct()
+    val withCounts = sup
+      .join(ct.select(col("event_type").as("ta"), col("c"),
+        col("n").as("na")), Seq("ta", "c"), "left")
+      .join(ct.select(col("event_type").as("tb"), col("c"),
+        col("n").as("nb")), Seq("tb", "c"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ta"), col("tb")).orderBy(col("c"))
+    withCounts
+      .withColumn("cuma", sum(col("na")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("cumb", sum(col("nb")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("c"), 1).over(w) - col("c"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("ta"), col("tb"), col("n_a"), col("n_b"))
+      .agg(sum((col("gap") * abs(col("cuma") * col("n_b") -
+        col("cumb") * col("n_a"))).cast(DecimalType(38, 0))).as("w1_num"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("w1_num").cast(StringType).as("w1_num"),
+        (col("w1_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("w1_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q219_wasserstein" -> q219Wasserstein,
     "q218_sign_flip_test" -> q218SignFlipTest,
     "q211_sliding_hll" -> q211SlidingHll,
     "q210_count_sketch" -> q210CountSketch,
@@ -2485,6 +2544,41 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same merged support, same cross-multiplied CDF gaps, same
+    // DECIMAL(38) sum compared as canonical strings.
+    "q219_wasserstein" ->
+      """WITH ct AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM ct GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS ta, a.nt AS n_a,
+        |    b.event_type AS tb, b.nt AS n_b
+        |  FROM tot a JOIN tot b ON a.event_type < b.event_type),
+        |sup AS (SELECT DISTINCT p.ta, p.tb, p.n_a, p.n_b, s.c
+        |  FROM pairs p JOIN (SELECT DISTINCT event_type, c FROM ct) s
+        |    ON s.event_type = p.ta OR s.event_type = p.tb),
+        |wc AS (SELECT sup.ta, sup.tb, sup.n_a, sup.n_b, sup.c,
+        |    coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb
+        |  FROM sup
+        |  LEFT JOIN ct ca ON ca.event_type = sup.ta AND ca.c = sup.c
+        |  LEFT JOIN ct cb ON cb.event_type = sup.tb AND cb.c = sup.c),
+        |cum AS (SELECT *,
+        |    CAST(sum(na) OVER wv AS BIGINT) AS cuma,
+        |    CAST(sum(nb) OVER wv AS BIGINT) AS cumb,
+        |    lead(c) OVER (PARTITION BY ta, tb ORDER BY c) - c AS gap
+        |  FROM wc
+        |  WINDOW wv AS (PARTITION BY ta, tb ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT ta, tb, n_a, n_b,
+        |  CAST(CAST(sum(CAST(gap * abs(cuma * n_b - cumb * n_a)
+        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS w1_num,
+        |  CAST(sum(CAST(gap * abs(cuma * n_b - cumb * n_a)
+        |    AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE) AS w1_cents
+        |FROM cum WHERE gap IS NOT NULL
+        |GROUP BY ta, tb, n_a, n_b""".stripMargin,
     // Same md5 sign patterns, same BIGINT sums, same add-one p estimator.
     "q218_sign_flip_test" ->
       s"""WITH daily AS (SELECT event_type,

@@ -1354,6 +1354,46 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q219: Wasserstein distances obey the triangle inequality and dominate the mean gap — exact BigInt checks") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q219Wasserstein(spark, sf).collect()
+    rows.length shouldBe 10 // 5 types choose 2
+    val n = rows.map(r => r.getAs[String]("ta") -> r.getAs[Long]("n_a")).toMap ++
+      rows.map(r => r.getAs[String]("tb") -> r.getAs[Long]("n_b")).toMap
+    val w1 = rows.map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+      BigInt(r.getAs[String]("w1_num"))).toMap
+    def dist(a: String, b: String): (BigInt, BigInt) = {
+      val key = if (a < b) (a, b) else (b, a)
+      (w1(key), BigInt(n(a)) * BigInt(n(b))) // (num, den)
+    }
+    val types = n.keys.toSeq.sorted
+    // triangle inequality, cross-multiplied — a CDF-walk bug (mis-merged
+    // support, off-by-one cumulative) breaks metric-ness before anything
+    for (a <- types; b <- types; c <- types
+         if a < c && b != a && b != c) {
+      val (nAC, dAC) = dist(a, c)
+      val (nAB, dAB) = dist(a, b)
+      val (nBC, dBC) = dist(b, c)
+      withClue(s"W1($a,$c) ≤ W1($a,$b) + W1($b,$c): ") {
+        (nAC * dAB * dBC <= (nAB * dAC * dBC + nBC * dAC * dAB)) shouldBe true
+      }
+    }
+    // W1 ≥ |mean difference| (Jensen): exact cents sums vs the scaled num
+    val sums = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .groupBy(col("event_type")).agg(sum(col("c")).as("sc"))
+      .collect().map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("ta"), r.getAs[String]("tb"))
+      val (na, nb) = (BigInt(n(ta)), BigInt(n(tb)))
+      // |sa/na − sb/nb| ≤ num/(na·nb)  ⟺  |sa·nb − sb·na| ≤ num
+      (sums(ta) * nb - sums(tb) * na).abs should be <=
+        BigInt(r.getAs[String]("w1_num"))
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
