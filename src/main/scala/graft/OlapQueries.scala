@@ -2489,7 +2489,36 @@ object OlapQueries {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("w1_cents"))
   }
 
+  /** q220: LOCAL CLUSTERING COEFFICIENT per node of the q157 co-purchase
+    * graph — cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), the "how clique-like
+    * is this node's neighborhood" score behind community features,
+    * link-spam detection, and recommendation confidence. Rides q157's
+    * degree-ordered triangle enumeration (each triangle counted once),
+    * then fans each triangle to its three corners for the per-node
+    * count; nodes of degree 1 have no defined cc and carry tri = 0 with
+    * a NULL coefficient — surfaced, not dropped (q178's absence-is-a-
+    * finding rule). Reported as the exact integer milli ratio
+    * (2000·tri div (deg·(deg−1))) — no float anywhere.
+    *
+    * Scale shape: q157's wedge-join cost model (Σ outdeg² after
+    * orientation), plus one corner fan-out (×3 on TRIANGLE rows) and a
+    * node-keyed count — both tiny next to the wedge join. */
+  val q220ClusteringCoef: Q = (s, d) => {
+    val e = partPairSupports(s, d).select(col("part_a"), col("part_b"))
+    val deg = e.select(explode(array(col("part_a"), col("part_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val triCorners = q157TriangleCount(s, d)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(triCorners, Seq("v"), "left")
+      .na.fill(0L, Seq("tri"))
+      .select(col("v").as("part"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          expr("(2000 * tri) div (deg * (deg - 1))")).as("cc_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q220_clustering_coef" -> q220ClusteringCoef,
     "q219_wasserstein" -> q219Wasserstein,
     "q218_sign_flip_test" -> q218SignFlipTest,
     "q211_sliding_hll" -> q211SlidingHll,
@@ -2544,6 +2573,27 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // q157's id-ordered triangle replay fanned to corners; integer milli.
+    "q220_clustering_coef" ->
+      s"""WITH t AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM t a JOIN t b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $FP_MINSUP),
+         |tri AS (SELECT e1.pa AS t1, e1.pb AS t2, e2.pb AS t3
+         |  FROM p e1
+         |  JOIN p e2 ON e2.pa = e1.pb
+         |  JOIN p e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT pa AS v FROM p UNION ALL SELECT pb FROM p) u GROUP BY 1),
+         |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+         |  (SELECT t1 AS v FROM tri UNION ALL SELECT t2 FROM tri
+         |   UNION ALL SELECT t3 FROM tri) u GROUP BY 1)
+         |SELECT deg.v AS part, deg.deg, coalesce(tc.tri, 0) AS tri,
+         |  CASE WHEN deg.deg >= 2 THEN
+         |    (2000 * coalesce(tc.tri, 0)) // (deg.deg * (deg.deg - 1))
+         |  END AS cc_milli
+         |FROM deg LEFT JOIN tc ON tc.v = deg.v""".stripMargin,
     // Same merged support, same cross-multiplied CDF gaps, same
     // DECIMAL(38) sum compared as canonical strings.
     "q219_wasserstein" ->

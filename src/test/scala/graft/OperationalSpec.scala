@@ -1394,6 +1394,24 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q220: clustering coefficients are bounded and the corner counts conserve 3× the triangle total") {
+    val rows = OlapQueries.q220ClusteringCoef(spark, sf).collect()
+    rows.length should be > 0
+    val totalTri = OlapQueries.q157TriangleCount(spark, sf).count()
+    rows.map(_.getAs[Long]("tri")).sum shouldBe 3 * totalTri
+    rows.foreach { r =>
+      val cc = r.getAs[java.lang.Long]("cc_milli")
+      if (r.getAs[Long]("deg") >= 2) {
+        cc should not be null
+        cc.longValue should be >= 0L
+        cc.longValue should be <= 1000L
+      } else {
+        cc shouldBe null
+        r.getAs[Long]("tri") shouldBe 0L // degree-1 nodes close no triangle
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
