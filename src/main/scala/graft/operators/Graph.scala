@@ -53,6 +53,7 @@ object Graph {
       .localCheckpoint(true)
 
     var cur = canonical.localCheckpoint(true)
+    var curCount = cur.count()
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -61,8 +62,14 @@ object Graph {
           s"star contraction did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       rounds += 1
-      converged = next.except(cur).union(cur.except(next)).isEmpty
+      // Sound two-step fixpoint test, cheapest first: both sides are
+      // DISTINCT canonical sets, so |next| = |cur| ∧ next∖cur = ∅ ⟺
+      // set equality. While the count is still moving (most rounds) the
+      // except never runs; only the terminal round pays it.
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
       cur = next
+      curCount = nextCount
     }
     // Fixpoint edges are (node → component min); roots label themselves.
     val labels = nodes
