@@ -361,7 +361,48 @@ object Queries {
         col("m_score")))
   }
 
+  /** q221: ORDER-PRIORITY CHECKING — the TPC-H Q4 shape on this schema:
+    * for a one-year order window, how many orders per priority had at
+    * least one LATE line item (shipped > 90 days after the order date) —
+    * the EXISTS-correlated-subquery plan, which Catalyst executes as a
+    * semi-join against the distinct late-order keys; the complement
+    * column (all-on-time) is the NOT EXISTS twin, derived by exact
+    * subtraction so one scan serves both. Closes the classic-OLAP set:
+    * q207 filter-join-agg, q214 HAVING-semi-filter, q96 decorrelation,
+    * q221 EXISTS/anti.
+    *
+    * The lateness predicate is exact integer day arithmetic on
+    * microseconds; counts are BIGINTs.
+    *
+    * Scale shape: the order window filter pushes to the scan and the
+    * filtered orders BROADCAST into the lineitem join (the late-key
+    * probe streams the fact); the distinct late-key set is order-grain;
+    * the final aggregate is 5 rows. */
+  val q221OrderPriority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("2000-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val lateKeys = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(broadcast(o.select(col("o_orderkey"), col("o_orderdate"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP))") > 90L * 86400000000L)
+      .select(col("l_orderkey")).distinct()
+    val late = o.join(lateKeys, col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_late"))
+    o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      .join(late, Seq("o_orderpriority"), "left_outer")
+      .na.fill(0L, Seq("n_late"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_late"),
+        (col("n_orders") - col("n_late")).as("n_ontime"))
+  }
+
   val relational: Map[String, Q] = Map(
+    "q221_order_priority" -> q221OrderPriority,
     "q216_rfm_segments" -> q216RfmSegments,
     "q214_large_volume" -> q214LargeVolume,
     "q207_shipping_priority" -> q207ShippingPriority,
@@ -379,6 +420,25 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // The literal EXISTS form — DuckDB plans its own semi-join; the
+    // Spark side must reproduce it through the explicit key probe.
+    "q221_order_priority" ->
+      """WITH o AS (SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01')
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+        |        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |        > 90 * 86400000000) THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+        |        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |        > 90 * 86400000000) THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+        |FROM o GROUP BY o_orderpriority""".stripMargin,
     // Same integer metrics, same total-ordered ntile cuts, same label.
     "q216_rfm_segments" ->
       """WITH bc AS (SELECT o_custkey,
