@@ -227,7 +227,89 @@ object GraphQueries {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** q222: MODULARITY of the nation partition over the trade graph — the
+    * standard "is this community structure real" score (Newman '06):
+    * Q = Σ_c (e_c/m − (d_c/2m)²), here asking whether geography explains
+    * who trades with whom. Exact: scaled by 4m²,
+    * Q·4m² = Σ_c (4m·e_c − d_c²) — every term BIGINT (e_c = intra-
+    * community edges, d_c = total degree of the community, m = |edges|),
+    * with the one readability division at the end. The same scaled-
+    * integer trick as q89's fixed-point mass: community detection
+    * quality becomes hash-gateable. Output: per-community rows (exact
+    * scaled numerators; Σ q_contrib = Q), so a reader can see WHICH
+    * nations trade inward.
+    *
+    * Scale shape: nation labels attach to the node-sized key space by
+    * broadcast; e_c/d_c are two keyed aggregations over the edge list;
+    * the global fold is K rows. */
+  val q222Modularity: Q = (s, d) => {
+    val e0 = bipartiteEdges(s, d) // symmetrized: each undirected edge twice
+    val nat = Tables.customer(s, d)
+      .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("nat"))
+      .unionByName(Tables.supplier(s, d)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("nat")))
+    val lbl = e0
+      .join(broadcast(nat.select(col("node").as("src"), col("nat").as("na"))),
+        "src")
+      .join(broadcast(nat.select(col("node").as("dst"), col("nat").as("nb"))),
+        "dst")
+    // symmetrized list: Σ rows = 2m; intra pairs counted twice too — the
+    // 2s cancel exactly in the scaled formula below
+    val m2 = lbl.count() // = 2m
+    val per = lbl.groupBy(col("na").as("nation"))
+      .agg(sum(when(col("na") === col("nb"), 1L).otherwise(0L)).as("intra2"),
+        count(lit(1)).as("d_c"))
+    per.select(col("nation"), expr("intra2 div 2").as("e_c"), col("d_c"),
+        // contribution × 4m²: 4m·e_c − d_c²  (with m = m2/2); can be
+        // NEGATIVE, so the readable ratio is ONE float division — an
+        // integer div here would hit the truncate-vs-floor divergence
+        (lit(m2) * col("intra2") - col("d_c") * col("d_c")).as("q_num_4m2"))
+      .withColumn("m", lit(m2 / 2))
+      .withColumn("q_contrib",
+        col("q_num_4m2").cast(org.apache.spark.sql.types.DoubleType) /
+          lit((m2.toDouble) * m2.toDouble))
+  }
+
+  /** q223: DEGREE ASSORTATIVITY of the trade graph — Newman's r: the
+    * Pearson correlation of endpoint degrees over every edge. Negative r
+    * (hubs attach to leaves) is the disassortative signature of
+    * bipartite commerce networks; a build that breaks edge symmetry or
+    * degree attachment flips it. Exact q179-style integer moments over
+    * the symmetrized edge list: sums of (da, db, da·db, da², db²) in
+    * BIGINT, numerator/denominator assembled by cross-multiplication,
+    * ONE float division at the end. Output is a single audited row with
+    * every moment visible.
+    *
+    * Scale shape: degree is one keyed count; attaching it to both edge
+    * endpoints is two broadcasts of the node-sized degree table; the
+    * moment fold is map-side algebraic — the edge list is scanned once
+    * and never exchanged. */
+  val q223Assortativity: Q = (s, d) => {
+    val edges = bipartiteEdges(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(broadcast(deg.select(col("src"), col("dg").as("da"))), "src")
+      .join(broadcast(deg.select(col("src").as("dst"), col("dg").as("db"))),
+        "dst")
+    withDeg.agg(count(lit(1)).as("n_arcs"),
+        sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+        sum(col("da") * col("db")).as("sab"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"))
+      .select(col("n_arcs"), col("sa"), col("sb"), col("sab"), col("saa"),
+        col("sbb"),
+        ((col("n_arcs") * col("sab") - col("sa") * col("sb"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          sqrt((col("n_arcs") * col("saa") - col("sa") * col("sa"))
+            .cast(org.apache.spark.sql.types.DoubleType) *
+            (col("n_arcs") * col("sbb") - col("sb") * col("sb"))
+              .cast(org.apache.spark.sql.types.DoubleType))).as("r"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_modularity" -> q222Modularity,
+    "q223_assortativity" -> q223Assortativity,
     "q89_pagerank" -> q89Pagerank,
     "q178_bfs_khop" -> q178BfsKhop,
     "q191_star_contraction" -> q191StarContraction,
@@ -241,6 +323,53 @@ object GraphQueries {
        |  GROUP BY e.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same symmetrized edge list, same scaled-integer numerators, same
+    // single float division for the readable contribution.
+    "q222_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |nat AS (SELECT c_custkey * 2 AS node, c_nationkey AS nat FROM customer
+        |  UNION ALL SELECT s_suppkey * 2 + 1, s_nationkey FROM supplier),
+        |lbl AS (SELECT na.nat AS na, nb.nat AS nb
+        |  FROM edges e JOIN nat na ON na.node = e.src
+        |  JOIN nat nb ON nb.node = e.dst),
+        |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lbl),
+        |per AS (SELECT na AS nation,
+        |    CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT) AS intra2,
+        |    CAST(count(*) AS BIGINT) AS d_c
+        |  FROM lbl GROUP BY 1)
+        |SELECT nation, intra2 // 2 AS e_c, d_c,
+        |  m2.m2 * intra2 - d_c * d_c AS q_num_4m2,
+        |  m2.m2 // 2 AS m,
+        |  CAST(m2.m2 * intra2 - d_c * d_c AS DOUBLE)
+        |    / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS q_contrib
+        |FROM per, m2""".stripMargin,
+    // Same degree attachment, same BIGINT moments, same one-division r.
+    "q223_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+        |  FROM edges GROUP BY 1),
+        |wd AS (SELECT da.dg AS da, db.dg AS db
+        |  FROM edges e JOIN deg da ON da.src = e.src
+        |  JOIN deg db ON db.src = e.dst),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+        |    CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+        |    CAST(sum(da * db) AS BIGINT) AS sab,
+        |    CAST(sum(da * da) AS BIGINT) AS saa,
+        |    CAST(sum(db * db) AS BIGINT) AS sbb
+        |  FROM wd)
+        |SELECT n_arcs, sa, sb, sab, saa, sbb,
+        |  CAST(n_arcs * sab - sa * sb AS DOUBLE)
+        |    / sqrt(CAST(n_arcs * saa - sa * sa AS DOUBLE)
+        |         * CAST(n_arcs * sbb - sb * sb AS DOUBLE)) AS r
+        |FROM mo""".stripMargin,
     // The identical integer update, unrolled: BIGINT floor divisions and
     // sums have exactly one answer, so the replay is bit-exact.
     "q89_pagerank" ->

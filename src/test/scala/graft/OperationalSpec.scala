@@ -1412,6 +1412,30 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q222/q223: modularity sums within [-1,1) and the symmetrized moments obey the exchange symmetry") {
+    val mod = GraphQueries.q222Modularity(spark, sf).collect()
+    mod.length should be > 0
+    val m2 = 2 * mod.head.getAs[Long]("m")
+    mod.map(_.getAs[Long]("d_c")).sum shouldBe m2 // degrees cover all arcs
+    mod.foreach { r =>
+      // the scaled numerator must match its own pieces, with intra2 =
+      // 2·e_c exactly — an odd intra count means the symmetrization
+      // dropped a direction
+      val dC = r.getAs[Long]("d_c")
+      r.getAs[Long]("q_num_4m2") shouldBe
+        (m2 * 2 * r.getAs[Long]("e_c") - dC * dC)
+    }
+    val q = mod.map(_.getAs[Double]("q_contrib")).sum
+    q should be >= -1.0
+    q should be < 1.0
+    val as = GraphQueries.q223Assortativity(spark, sf).collect().head
+    as.getAs[Long]("sa") shouldBe as.getAs[Long]("sb") // u↔v exchange
+    as.getAs[Long]("saa") shouldBe as.getAs[Long]("sbb")
+    val r = as.getAs[Double]("r")
+    r should be >= -1.0
+    r should be <= 1.0
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
