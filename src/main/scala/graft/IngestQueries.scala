@@ -124,7 +124,29 @@ object IngestQueries {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
   }
 
+  /** q224: FIXED-WIDTH scan — the mainframe/copybook feed (positional
+    * columns, no delimiter) that S3 COPY ingests with FIXEDWIDTH and a
+    * modern lake still receives from core-banking extracts. The scan is
+    * `spark.read.text` + positional `substring` + trim/cast — all
+    * codegen'd projection, splittable by line like any text source; the
+    * signed-cents field round-trips through the explicit sign+zero-pad
+    * form so CAST agrees everywhere. The oracle reads the SAME files as
+    * one-column CSV (delimiter chosen to never occur) and substrings
+    * identically — two independent positional parsers, one answer.
+    * Completes the ingest-format matrix: parquet, JSON (q11/q12),
+    * RFC-4180 CSV (q170), fixed-width (q224), federated (q190). */
+  val q224FixedWidthScan: Q = (s, d) => {
+    val dir = Fixtures.ensureCustomerFixed(s, d)
+    s.read.text(dir).select(
+      substring(col("value"), 1, 10).cast(LongType).as("custkey"),
+      rtrim(substring(col("value"), 11, 20)).as("name"),
+      substring(col("value"), 31, 4).cast(LongType).as("nationkey"),
+      rtrim(substring(col("value"), 35, 10)).as("segment"),
+      substring(col("value"), 45, 12).cast(LongType).as("bal_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_fixed_width_scan" -> q224FixedWidthScan,
     "q11_json_events_scan" -> q11JsonEventsScan,
     "q12_json_songs_scan"  -> q12JsonSongsScan,
     "q170_csv_scan"        -> q170CsvScan,
@@ -210,5 +232,16 @@ object IngestQueries {
          |           'total':'DOUBLE','odate':'VARCHAR','priority':'VARCHAR',
          |           'comment':'VARCHAR'},
          |  header=false, quote='"', escape='"', nullstr='',
-         |  ignore_errors=true)""".stripMargin)
+         |  ignore_errors=true)""".stripMargin,
+    // Same positional substrings over the same lines, read through
+    // DuckDB's CSV reader with a delimiter the content never contains.
+    "q224_fixed_width_scan" ->
+      s"""SELECT CAST(substr(line, 1, 10) AS BIGINT) AS custkey,
+         |  rtrim(substr(line, 11, 20)) AS name,
+         |  CAST(substr(line, 31, 4) AS BIGINT) AS nationkey,
+         |  rtrim(substr(line, 35, 10)) AS segment,
+         |  CAST(substr(line, 45, 12) AS BIGINT) AS bal_cents
+         |FROM read_csv('${Fixtures.customerFixedDir(oracleSf)}/*.txt',
+         |  columns={'line':'VARCHAR'}, header=false, delim='|',
+         |  quote='', escape='')""".stripMargin)
 }

@@ -32,6 +32,8 @@ object Fixtures {
   def eventsJsonDir(sfDir: String): String = s"$root/${sfName(sfDir)}/events_json"
   def songsJsonDir(sfDir: String): String  = s"$root/${sfName(sfDir)}/songs_json"
   def ordersCsvDir(sfDir: String): String  = s"$root/${sfName(sfDir)}/orders_csv"
+  def customerFixedDir(sfDir: String): String =
+    s"$root/${sfName(sfDir)}/customer_fixed"
 
   private def done(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_SUCCESS"))
@@ -193,6 +195,36 @@ object Fixtures {
       Files.write(Paths.get(dir, "zz_corrupt.csv"),
         (ordersCsvCorrupt.mkString("\n") + "\n").getBytes("UTF-8"))
       Files.write(Paths.get(dir, "_graft_csv_done"), Array.emptyByteArray)
+    }
+    dir
+  }
+
+  /** FIXED-WIDTH customer master file (the mainframe/COBOL copybook feed
+    * shape): one line per customer, columns by POSITION, no delimiter —
+    *   1–10  custkey, zero-padded
+    *  11–30  name, space-padded right
+    *  31–34  nationkey, zero-padded
+    *  35–44  market segment, space-padded right
+    *  45–56  account balance in cents: explicit sign + 11 digits
+    * (the sign-then-zero-pad form both engines CAST identically; a bare
+    * lpad would bury a minus sign mid-field). Content is alphanumeric +
+    * '#', space, and signs only — the oracle reads the same files as
+    * single-column CSV with an unused delimiter and substrings them. */
+  def ensureCustomerFixed(spark: SparkSession, sfDir: String): String = {
+    val dir = customerFixedDir(sfDir)
+    if (!done(dir)) {
+      val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      Tables.customer(spark, sfDir)
+        .select(concat(
+          lpad(col("c_custkey").cast(StringType), 10, "0"),
+          rpad(col("c_name"), 20, " "),
+          lpad(col("c_nationkey").cast(StringType), 4, "0"),
+          rpad(col("c_mktsegment"), 10, " "),
+          when(cents < 0, lit("-")).otherwise(lit("+")),
+          lpad(abs(cents).cast(StringType), 11, "0")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(dir)
     }
     dir
   }
