@@ -810,7 +810,46 @@ object WindowQueries {
         col("session_end"), col("n_events"))
   }
 
+  /** q225: MAX DRAWDOWN / BEST RUN-UP of the daily cumulative value
+    * series — the prefix-extremum pair behind finance risk ("worst
+    * peak-to-trough"), capacity planning ("biggest backlog build-up"),
+    * and SLO burn analysis. The O(n²) pairwise definition collapses to
+    * one window pass by the Kadane/prefix argument: max_{s≤t}(P_s − P_t)
+    * = max_t(runmax_t − P_t) and the best run-up is its mirror off the
+    * running MIN. Everything is exact cumulative cents; the argmax days
+    * are picked by lexicographic struct MAX with the EARLIEST day as
+    * tiebreak — a declared total order, replayed identically.
+    *
+    * Scale shape: the daily collapse is map-side; the running extrema
+    * and the final per-type fold ride ONE event_type exchange (the
+    * series is K·|days| rows). */
+  val q225Drawdown: Q = (s, d) => {
+    val cents = (col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), cents.as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("dc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p = daily
+      .withColumn("cum", sum(col("dc")).over(w))
+      .withColumn("runmax", max(col("cum")).over(w))
+      .withColumn("runmin", min(col("cum")).over(w))
+    p.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct((col("runmax") - col("cum")).as("dd"),
+          (-col("day")).as("nd"))).as("wd"),
+        max(struct((col("cum") - col("runmin")).as("ru"),
+          (-col("day")).as("nd"))).as("wr"))
+      .select(col("event_type"), col("n_days"),
+        col("wd.dd").as("max_drawdown_cents"), (-col("wd.nd")).as("trough_day"),
+        col("wr.ru").as("best_runup_cents"), (-col("wr.nd")).as("runup_day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q225_drawdown" -> q225Drawdown,
     "q217_incremental_sessions" -> q217IncrementalSessions,
     "q213_isotonic" -> q213Isotonic,
     "q209_theil_sen" -> q209TheilSen,
@@ -833,6 +872,36 @@ object WindowQueries {
     "q92_funnel"       -> q92Funnel)
 
   val oracle: Map[String, String] = Map(
+    // Same cumulative cents, same running extrema; the argmax replayed
+    // as min(day) over the rows achieving the max — the same tiebreak.
+    "q225_drawdown" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS dc
+        |  FROM events GROUP BY 1, 2),
+        |p0 AS (SELECT event_type, day,
+        |    CAST(sum(dc) OVER wp AS BIGINT) AS cum
+        |  FROM daily
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT event_type, day, cum,
+        |    CAST(max(cum) OVER wp AS BIGINT) AS runmax,
+        |    CAST(min(cum) OVER wp AS BIGINT) AS runmin
+        |  FROM p0
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT event_type, day, runmax - cum AS dd,
+        |    cum - runmin AS ru FROM p),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    max(dd) AS mdd, max(ru) AS mru FROM x GROUP BY 1),
+        |td AS (SELECT x.event_type, min(x.day) AS trough_day
+        |  FROM x JOIN g USING (event_type) WHERE x.dd = g.mdd GROUP BY 1),
+        |ru AS (SELECT x.event_type, min(x.day) AS runup_day
+        |  FROM x JOIN g USING (event_type) WHERE x.ru = g.mru GROUP BY 1)
+        |SELECT g.event_type, g.n_days, g.mdd AS max_drawdown_cents,
+        |  td.trough_day, g.mru AS best_runup_cents, ru.runup_day
+        |FROM g JOIN td USING (event_type) JOIN ru USING (event_type)""".stripMargin,
     // The FULL RECOMPUTE — q27's sessionization verbatim. Hash-green
     // proves incremental-merge ≡ from-scratch, the whole IVM contract.
     "q217_incremental_sessions" ->

@@ -1436,6 +1436,43 @@ class OperationalSpec extends SparkSpec {
     r should be <= 1.0
   }
 
+  test("q225: window-pass drawdown equals the brute-force pairwise maximum, earliest-day tiebreaks included") {
+    import org.apache.spark.sql.functions._
+    val out = WindowQueries.q225Drawdown(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("max_drawdown_cents"), r.getAs[Long]("trough_day"),
+          r.getAs[Long]("best_runup_cents"), r.getAs[Long]("runup_day")))
+      .toMap
+    out.nonEmpty shouldBe true
+    val series = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    series.keySet shouldBe out.keySet
+    series.foreach { case (ty, rows) =>
+      val cum = rows.scanLeft(0L)(_ + _._3).drop(1)
+      val days = rows.map(_._2)
+      // brute force over all (s ≤ t) pairs, earliest t on ties
+      var (bd, bdDay) = (Long.MinValue, 0L)
+      var (br, brDay) = (Long.MinValue, 0L)
+      for (t <- cum.indices) {
+        val pre = cum.take(t + 1)
+        val dd = pre.max - cum(t)
+        val ru = cum(t) - pre.min
+        if (dd > bd) { bd = dd; bdDay = days(t) }
+        if (ru > br) { br = ru; brDay = days(t) }
+      }
+      withClue(s"$ty: ") {
+        out(ty) shouldBe ((bd, bdDay, br, brDay))
+        bd should be >= 0L
+        br should be >= 0L
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
