@@ -401,7 +401,50 @@ object Queries {
         (col("n_orders") - col("n_late")).as("n_ontime"))
   }
 
+  /** q226: TOP-N WITH AN OTHERS BUCKET — the report shape every BI layer
+    * renders (top-3 customers per nation by revenue, everyone else
+    * rolled into one OTHERS row per nation, shares of the nation total)
+    * and a surprisingly good engine exercise: a window rank, a
+    * complement aggregate, and a union that must CONSERVE the total
+    * exactly — the spec re-adds each nation's rows and they must equal
+    * the nation total to the cent. Revenue is exact cents; ranks break
+    * ties by custkey; shares are one float division against the exact
+    * nation total carried on every row.
+    *
+    * Scale shape: one customer-grain aggregate off the orders scan, one
+    * nation-keyed window over customer-grain rows, and the OTHERS
+    * complement reuses the same ranked frame — no second scan of the
+    * fact. */
+  val q226TopnOthers: Q = (s, d) => {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val byCust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+      .agg(sum(cents).as("cents"), count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("nation"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val ranked = byCust.withColumn("rk", row_number().over(w))
+      .withColumn("nation_cents", sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("nation"))))
+    val top = ranked.filter(col("rk") <= 3)
+      .select(col("nation"), col("c_custkey").cast(StringType).as("who"),
+        col("rk").cast(org.apache.spark.sql.types.LongType).as("rk"),
+        col("cents"), col("n_orders"), col("nation_cents"))
+    val others = ranked.filter(col("rk") > 3)
+      .groupBy(col("nation"), col("nation_cents"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n_orders")).as("n_orders"))
+      .select(col("nation"), lit("OTHERS").as("who"), lit(99L).as("rk"),
+        col("cents"), col("n_orders"), col("nation_cents"))
+    top.unionByName(others)
+      .withColumn("share", col("cents").cast(DoubleType) /
+        col("nation_cents").cast(DoubleType))
+  }
+
   val relational: Map[String, Q] = Map(
+    "q226_topn_others" -> q226TopnOthers,
     "q221_order_priority" -> q221OrderPriority,
     "q216_rfm_segments" -> q216RfmSegments,
     "q214_large_volume" -> q214LargeVolume,
@@ -420,6 +463,29 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same ranks, same complement, same exact cents and one division.
+    "q226_topn_others" ->
+      """WITH bc AS (SELECT c.c_nationkey AS nation, c.c_custkey,
+        |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY nation
+        |      ORDER BY cents DESC, c_custkey) AS BIGINT) AS rk,
+        |    CAST(sum(cents) OVER (PARTITION BY nation) AS BIGINT)
+        |      AS nation_cents
+        |  FROM bc),
+        |top AS (SELECT nation, CAST(c_custkey AS VARCHAR) AS who, rk,
+        |    cents, n_orders, nation_cents FROM rk WHERE rk <= 3),
+        |oth AS (SELECT nation, 'OTHERS' AS who, CAST(99 AS BIGINT) AS rk,
+        |    CAST(sum(cents) AS BIGINT) AS cents,
+        |    CAST(sum(n_orders) AS BIGINT) AS n_orders, nation_cents
+        |  FROM rk WHERE rk > 3 GROUP BY nation, nation_cents)
+        |SELECT *, CAST(cents AS DOUBLE) / CAST(nation_cents AS DOUBLE)
+        |    AS share
+        |FROM (SELECT * FROM top UNION ALL SELECT * FROM oth) u""".stripMargin,
     // The literal EXISTS form — DuckDB plans its own semi-join; the
     // Spark side must reproduce it through the explicit key probe.
     "q221_order_priority" ->

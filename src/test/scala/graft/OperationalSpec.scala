@@ -1473,6 +1473,22 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q226: top-3 + OTHERS conserves every nation's total to the cent, shares sum to 1") {
+    val rows = Queries.q226TopnOthers(spark, sf).collect()
+    rows.groupBy(_.getAs[Any]("nation").toString).foreach { case (nation, rs) =>
+      withClue(s"nation $nation: ") {
+        val total = rs.head.getAs[Long]("nation_cents")
+        rs.map(_.getAs[Long]("nation_cents")).distinct.length shouldBe 1
+        rs.map(_.getAs[Long]("cents")).sum shouldBe total // conservation
+        math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) should be < 1e-9
+        rs.count(_.getAs[String]("who") != "OTHERS") should be <= 3
+        rs.filter(_.getAs[String]("who") != "OTHERS")
+          .map(_.getAs[Long]("rk")).sorted shouldBe
+          (1L to rs.count(_.getAs[String]("who") != "OTHERS")).toArray
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
