@@ -692,7 +692,76 @@ object SampleQueries {
       .withColumn("moved", col("shard_old") =!= col("shard_new"))
   }
 
+  /** q227: EXACT distribution-free MEDIAN CONFIDENCE INTERVAL — the
+    * order-statistic interval every "is the median really X" question
+    * deserves: for each type's daily event counts x_1..x_n, the sign-
+    * test/binomial argument gives P(X_(j) ≤ median ≤ X_(n+1−j)) =
+    * 1 − 2·P(Bin(n,½) < j) with NO distributional assumption. The rank j
+    * is the largest with 40·Σ_{i<j} C(n,i) ≤ 2ⁿ (the ≤2.5% tail as a
+    * pure integer inequality — no float ever decides coverage), and the
+    * exact coverage numerator 2ⁿ − 2·tail_j ships in the result beside
+    * one readability division.
+    *
+    * The combinatorics (binomial tails in BigInt, the rank selection)
+    * run driver-side over the K-row (type, n) aggregate — sketch
+    * altitude, the IBLT/q90 rule; n ≤ 62 keeps every reported numerator
+    * in BIGINT (a longer series upgrades the two columns to DECIMAL).
+    * The ORDER STATISTICS stay distributed: one rank window per type
+    * picks the j-th, median, and (n+1−j)-th values.
+    *
+    * Scale shape: the daily collapse is map-side; everything after is
+    * K·|days| rows. The point at 100 TB is that exact inference needs
+    * only the GROUPED series — the raw stream never reaches the driver. */
+  val q227MedianCi: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val ns = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    val sel = ns.toSeq.sorted.map { case (ty, n) =>
+      require(n >= 1 && n <= 62, s"median CI needs 1 ≤ n ≤ 62 days (got $n)")
+      val binom = new Array[BigInt](n + 1)
+      binom(0) = BigInt(1)
+      for (i <- 1 to n) binom(i) = binom(i - 1) * (n - i + 1) / i
+      val pow2n = BigInt(2).pow(n)
+      var j = 0
+      // largest j with 40·Σ_{i<j} C(n,i) ≤ 2^n (the exact ≤2.5% tail);
+      // a tiny series where even j=1 overshoots degrades to the widest
+      // interval (x_(1), x_(n)) with its honest sub-95% coverage
+      var cum = BigInt(0)
+      var stop = false
+      for (cand <- 1 to (n + 1) / 2 if !stop) {
+        val t = cum + binom(cand - 1)
+        if (t * 40 <= pow2n) { cum = t; j = cand } else stop = true
+      }
+      if (j == 0) { j = 1; cum = binom(0) }
+      val tail = cum
+      (ty, j.toLong, (n + 1 - j).toLong, ((n + 1) / 2).toLong,
+        (pow2n - 2 * tail).toLong, pow2n.toLong)
+    }
+    import s.implicits._
+    val selDf = sel.toDF("event_type", "j_rank", "k_rank", "med_rank",
+      "cov_num", "pow2n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("x"), col("day"))
+    daily.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(selDf), "event_type")
+      .groupBy(col("event_type"), col("j_rank"), col("k_rank"),
+        col("cov_num"), col("pow2n"))
+      .agg(count(lit(1)).as("n_days"),
+        max(when(col("rn") === col("j_rank"), col("x"))).as("lo_x"),
+        max(when(col("rn") === col("med_rank"), col("x"))).as("median_x"),
+        max(when(col("rn") === col("k_rank"), col("x"))).as("hi_x"))
+      .select(col("event_type"), col("n_days"), col("median_x"),
+        col("lo_x"), col("hi_x"), col("j_rank"), col("k_rank"),
+        col("cov_num"), col("pow2n"),
+        (col("cov_num").cast(org.apache.spark.sql.types.DoubleType) /
+          col("pow2n").cast(org.apache.spark.sql.types.DoubleType))
+          .as("coverage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_median_ci" -> q227MedianCi,
     "q162_consistent_hash" -> q162ConsistentHash,
     "q134_neyman_allocation" -> q134NeymanAllocation,
     "q129_interleave_schedule" -> q129InterleaveSchedule,
@@ -719,6 +788,53 @@ object SampleQueries {
     .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    // Binomials re-derived IN SQL by the exact multiplicative fold, the
+    // same 40·tail ≤ 2^n integer selection, the same rank picks.
+    "q227_median_ci" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM daily GROUP BY 1),
+        |ii AS (SELECT event_type, n, unnest(range(0, n + 1)) AS i FROM ns),
+        |bin AS (SELECT event_type, n, i,
+        |    CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |      range(1, i + 1)), (acc, t) -> (acc * (n - i + t)) // t)
+        |      AS BIGINT) END AS c
+        |  FROM ii),
+        |cum AS (SELECT event_type, n, i,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tail_next
+        |  FROM bin),
+        |selj AS (SELECT event_type, n,
+        |    coalesce(max(CASE WHEN 40 * tail_next <= (CAST(1 AS BIGINT) << n)
+        |      AND i + 1 <= (n + 1) // 2 THEN i + 1 END), 1) AS j
+        |  FROM cum GROUP BY 1, 2),
+        |tl AS (SELECT s.event_type, s.n, s.j,
+        |    coalesce(max(CASE WHEN c.i + 1 = s.j THEN c.tail_next END), 1)
+        |      AS tail
+        |  FROM selj s JOIN cum c USING (event_type) GROUP BY 1, 2, 3),
+        |sel AS (SELECT event_type, n, j AS j_rank, n + 1 - j AS k_rank,
+        |    (n + 1) // 2 AS med_rank,
+        |    (CAST(1 AS BIGINT) << n) - 2 * tail AS cov_num,
+        |    (CAST(1 AS BIGINT) << n) AS pow2n
+        |  FROM tl),
+        |rk AS (SELECT d.event_type, d.x,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.x, d.day) AS BIGINT) AS rn
+        |  FROM daily d)
+        |SELECT s.event_type, s.n AS n_days,
+        |  max(CASE WHEN rk.rn = s.med_rank THEN rk.x END) AS median_x,
+        |  max(CASE WHEN rk.rn = s.j_rank THEN rk.x END) AS lo_x,
+        |  max(CASE WHEN rk.rn = s.k_rank THEN rk.x END) AS hi_x,
+        |  s.j_rank, s.k_rank, s.cov_num, s.pow2n,
+        |  CAST(s.cov_num AS DOUBLE) / CAST(s.pow2n AS DOUBLE) AS coverage
+        |FROM rk JOIN sel s USING (event_type)
+        |GROUP BY s.event_type, s.n, s.j_rank, s.k_rank, s.cov_num,
+        |  s.pow2n""".stripMargin,
     // The ring derived relationally from the SAME md5 arithmetic the Spark
     // side baked into literals; successor resolved by inequality join.
     "q162_consistent_hash" -> {

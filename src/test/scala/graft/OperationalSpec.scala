@@ -1489,6 +1489,32 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q227: median CIs bracket the median with ≥95% exact coverage and symmetric ranks") {
+    val rows = SampleQueries.q227MedianCi(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val (j, k) = (r.getAs[Long]("j_rank"), r.getAs[Long]("k_rank"))
+      j + k shouldBe n + 1 // symmetric order statistics
+      j should be >= 1L
+      k should be <= n
+      r.getAs[Long]("lo_x") should be <= r.getAs[Long]("median_x")
+      r.getAs[Long]("median_x") should be <= r.getAs[Long]("hi_x")
+      val cov = r.getAs[Double]("coverage")
+      cov should be >= 0.95 // n ≈ 30 days: the 2.5% tails are achievable
+      cov should be < 1.0
+      // the coverage numerator is the exact binomial mass: re-derive it
+      val nn = n.toInt
+      val binom = Array.iterate(BigInt(1), nn + 1)(identity)
+        .zipWithIndex.map { case (_, i) =>
+          (0 until i).foldLeft(BigInt(1))((a, t) => a * (nn - t) / (t + 1))
+        }
+      val tail = (0 until j.toInt).map(binom(_)).sum // Σ_{i<j} C(n,i)
+      BigInt(r.getAs[Long]("cov_num")) shouldBe
+        (BigInt(2).pow(nn) - 2 * tail)
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
