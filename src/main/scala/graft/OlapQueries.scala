@@ -2517,7 +2517,51 @@ object OlapQueries {
           expr("(2000 * tri) div (deg * (deg - 1))")).as("cc_milli"))
   }
 
+  /** q228: EXACT AUC (Mann–Whitney U) per event type — "does the value
+    * score separate weekend from weekday events": the ranking metric
+    * every classifier eval reports, computed as a U-statistic so it runs
+    * as windows + sums instead of the quadratic pair scan it literally
+    * is. Ties are handled by MIDRANKS, kept integral by doubling:
+    * 2·midrank = 2·(rank-before-group) + (tied_count + 1), so
+    * num2 = 2·Σ_pos midrank − n₊(n₊+1) is an exact BIGINT and
+    * AUC = num2 / (2·n₊·n₋) takes one float division. The spec proves
+    * num2 equals the brute pair count 2·#{pos > neg} + #{pos = neg} in
+    * BigInt — U-statistic algebra as a test — plus the label-swap
+    * antisymmetry AUC + AUC' = 1 exactly in numerators.
+    *
+    * Scale shape: one rank window over cents per type (the q198
+    * histogram trick would collapse it to distinct values if the domain
+    * is small), one aggregation; no pair ever materializes. */
+  val q228Auc: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val weekend = ((expr("unix_micros(ts) div 86400000000") + lit(4L)) % 7L)
+      .isin(0L, 6L)
+    val scored = Tables.events(s, d)
+      .select(col("event_type"), cents.as("c"),
+        when(weekend, 1L).otherwise(0L).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+    // 2·midrank of a tied group = 2·(rank − 1) + (tied + 1)
+    val mr2 = scored
+      .withColumn("rk", rank().over(w).cast(LongType))
+      .withColumn("tied", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("c"))))
+      .withColumn("mr2", lit(2L) * (col("rk") - 1L) + col("tied") + 1L)
+    mr2.groupBy(col("event_type"))
+      .agg(sum(col("y")).as("n_pos"),
+        sum(lit(1L) - col("y")).as("n_neg"),
+        sum(when(col("y") === 1L, col("mr2")).otherwise(0L)).as("sum_mr2_pos"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        (col("sum_mr2_pos") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num2"),
+        ((col("sum_mr2_pos") - col("n_pos") * (col("n_pos") + 1L))
+          .cast(DoubleType) /
+          (lit(2.0) * col("n_pos").cast(DoubleType) *
+            col("n_neg").cast(DoubleType))).as("auc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_auc" -> q228Auc,
     "q220_clustering_coef" -> q220ClusteringCoef,
     "q219_wasserstein" -> q219Wasserstein,
     "q218_sign_flip_test" -> q218SignFlipTest,
@@ -2573,6 +2617,30 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same doubled midranks, same integer numerator, same one division.
+    "q228_auc" ->
+      """WITH sc AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CASE WHEN ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4)
+        |      % 7 IN (0, 6) THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mr AS (SELECT event_type, y,
+        |    2 * (CAST(rank() OVER (PARTITION BY event_type ORDER BY c)
+        |      AS BIGINT) - 1)
+        |    + CAST(count(*) OVER (PARTITION BY event_type, c) AS BIGINT) + 1
+        |      AS mr2
+        |  FROM sc)
+        |SELECT event_type,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(y) AS BIGINT) * (CAST(sum(y) AS BIGINT) + 1)
+        |    AS auc_num2,
+        |  CAST(CAST(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(y) AS BIGINT) * (CAST(sum(y) AS BIGINT) + 1) AS DOUBLE)
+        |    / (2.0 * CAST(sum(y) AS DOUBLE) * CAST(sum(1 - y) AS DOUBLE))
+        |    AS auc
+        |FROM mr GROUP BY event_type""".stripMargin,
     // q157's id-ordered triangle replay fanned to corners; integer milli.
     "q220_clustering_coef" ->
       s"""WITH t AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

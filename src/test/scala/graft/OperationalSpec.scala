@@ -1515,6 +1515,49 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q228: the rank-sum AUC numerator equals brute pair counting, with exact label-swap antisymmetry") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q228Auc(spark, sf).collect()
+    rows.length shouldBe 5
+    val data = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"),
+        when(((expr("unix_micros(ts) div 86400000000") + lit(4L)) % 7L)
+          .isin(0L, 6L), 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val pts = data(ty)
+      val pos = pts.filter(_._3 == 1L).map(_._2)
+      val neg = pts.filter(_._3 == 0L).map(_._2)
+      r.getAs[Long]("n_pos") shouldBe pos.length.toLong
+      r.getAs[Long]("n_neg") shouldBe neg.length.toLong
+      // brute-force U: 2·#{pos > neg} + #{pos = neg} over all pairs
+      var num2 = BigInt(0)
+      pos.foreach { p =>
+        neg.foreach { n =>
+          if (p > n) num2 += 2 else if (p == n) num2 += 1
+        }
+      }
+      withClue(s"$ty: ") {
+        BigInt(r.getAs[Long]("auc_num2")) shouldBe num2
+        val auc = r.getAs[Double]("auc")
+        auc should be >= 0.0
+        auc should be <= 1.0
+        // label swap: num2 + num2' = 2·n₊·n₋ exactly
+        var num2f = BigInt(0)
+        neg.foreach { p =>
+          pos.foreach { n =>
+            if (p > n) num2f += 2 else if (p == n) num2f += 1
+          }
+        }
+        num2 + num2f shouldBe BigInt(2) * pos.length * neg.length
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
