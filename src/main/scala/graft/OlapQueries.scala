@@ -2560,7 +2560,56 @@ object OlapQueries {
             col("n_neg").cast(DoubleType))).as("auc"))
   }
 
+  /** q229: DELTA-METHOD variance of a RATIO metric — the experimentation
+    * platform's daily bread: revenue-per-order per priority segment is a
+    * ratio of SUMS over the randomization unit (the customer), so its
+    * naive "variance of row-level values" is simply wrong; the delta
+    * method gives Var̂(R) = (σ²_S − 2R·σ_SN + R²·σ²_N)/(n·N̄²) from
+    * per-unit (S_i, N_i) moments. Closes the q150/q188 inference family
+    * with the estimator CUPED assumes.
+    *
+    * All five moment sums (ΣS, ΣN, ΣS², ΣN², ΣSN) are exact BIGINT
+    * cents over customer-grain aggregates; R, the (co)variances, and the
+    * SE are one shared float tree. OperationalSpec brackets the delta SE
+    * against an independent leave-one-out JACKKNIFE on the same units —
+    * the two estimators must agree to first order or the moment algebra
+    * is wrong.
+    *
+    * Scale shape: one customer-grain aggregation off the orders scan,
+    * then a segment-keyed algebraic reduce of five sums — map-side
+    * partials all the way; the fact is scanned once. */
+  val q229RatioVariance: Q = (s, d) => {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("segment"), col("o_custkey"))
+      .agg(sum(cents).as("si"), count(lit(1)).as("ni"))
+    val m = perCust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("si")).as("ss"), sum(col("ni")).as("sn"),
+        sum(col("si") * col("si")).as("sss"),
+        sum(col("ni") * col("ni")).as("snn"),
+        sum(col("si") * col("ni")).as("ssn"))
+    val nD = col("n_units").cast(DoubleType)
+    val r = col("ss").cast(DoubleType) / col("sn").cast(DoubleType)
+    val varS = (col("sss").cast(DoubleType) -
+      col("ss").cast(DoubleType) * col("ss").cast(DoubleType) / nD) / (nD - 1)
+    val varN = (col("snn").cast(DoubleType) -
+      col("sn").cast(DoubleType) * col("sn").cast(DoubleType) / nD) / (nD - 1)
+    val covSN = (col("ssn").cast(DoubleType) -
+      col("ss").cast(DoubleType) * col("sn").cast(DoubleType) / nD) / (nD - 1)
+    val nbar = col("sn").cast(DoubleType) / nD
+    m.select(col("segment"), col("n_units"), col("ss"), col("sn"),
+      col("sss"), col("snn"), col("ssn"),
+      r.as("ratio_cents"),
+      ((varS - lit(2.0) * r * covSN + r * r * varN) / (nD * nbar * nbar))
+        .as("var_ratio"),
+      sqrt((varS - lit(2.0) * r * covSN + r * r * varN) / (nD * nbar * nbar))
+        .as("se_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q229_ratio_variance" -> q229RatioVariance,
     "q228_auc" -> q228Auc,
     "q220_clustering_coef" -> q220ClusteringCoef,
     "q219_wasserstein" -> q219Wasserstein,
@@ -2617,6 +2666,50 @@ object OlapQueries {
     // The k-min states replayed relationally (rank ≤ k over distinct
     // hashes), the same closed-form estimator in HUGEINT, and independent
     // exact anchors from raw COUNT(DISTINCT) / set joins.
+    // Same exact BIGINT moments, same shared float assembly.
+    "q229_ratio_variance" ->
+      """WITH pc AS (SELECT o_orderpriority AS segment, o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS si,
+        |    CAST(count(*) AS BIGINT) AS ni
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(si) AS BIGINT) AS ss, CAST(sum(ni) AS BIGINT) AS sn,
+        |    CAST(sum(si * si) AS BIGINT) AS sss,
+        |    CAST(sum(ni * ni) AS BIGINT) AS snn,
+        |    CAST(sum(si * ni) AS BIGINT) AS ssn
+        |  FROM pc GROUP BY 1)
+        |SELECT segment, n_units, ss, sn, sss, snn, ssn,
+        |  CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) AS ratio_cents,
+        |  ((CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      / CAST(n_units AS DOUBLE)) / (CAST(n_units AS DOUBLE) - 1)
+        |   - 2.0 * (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * ((CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |        / (CAST(n_units AS DOUBLE) - 1))
+        |   + (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * ((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |        / (CAST(n_units AS DOUBLE) - 1)))
+        |  / (CAST(n_units AS DOUBLE)
+        |     * (CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |     * (CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))) AS var_ratio,
+        |  sqrt(((CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      / CAST(n_units AS DOUBLE)) / (CAST(n_units AS DOUBLE) - 1)
+        |   - 2.0 * (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * ((CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |        / (CAST(n_units AS DOUBLE) - 1))
+        |   + (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE))
+        |     * ((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |        / (CAST(n_units AS DOUBLE) - 1)))
+        |  / (CAST(n_units AS DOUBLE)
+        |     * (CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE))
+        |     * (CAST(sn AS DOUBLE) / CAST(n_units AS DOUBLE)))) AS se_ratio
+        |FROM m""".stripMargin,
     // Same doubled midranks, same integer numerator, same one division.
     "q228_auc" ->
       """WITH sc AS (SELECT event_type,

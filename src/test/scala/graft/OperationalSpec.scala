@@ -1558,6 +1558,39 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q229: the delta-method SE brackets an independent jackknife on the same units") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.q229RatioVariance(spark, sf).collect()
+    rows.length shouldBe 5
+    val units = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("seg"), col("o_custkey"))
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("si"), count(lit(1)).as("ni"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val se = r.getAs[Double]("se_ratio")
+      se should be > 0.0
+      // leave-one-out jackknife — a DIFFERENT variance estimator that
+      // must agree to first order with the delta method
+      val us = units(seg)
+      val (ts, tn) = (us.map(_._2).sum, us.map(_._3).sum)
+      val rs = us.map { case (_, si, ni) =>
+        (ts - si).toDouble / (tn - ni).toDouble
+      }
+      val n = rs.length
+      val rbar = rs.sum / n
+      val seJack = math.sqrt(
+        rs.map(x => (x - rbar) * (x - rbar)).sum * (n - 1).toDouble / n)
+      withClue(s"$seg: delta=$se jack=$seJack: ") {
+        se / seJack should be > 0.5
+        se / seJack should be < 2.0
+      }
+    }
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
