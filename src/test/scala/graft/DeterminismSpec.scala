@@ -17,7 +17,8 @@ class DeterminismSpec extends SparkSpec {
 
   // one per family: scan/agg, text, window, sketch, histogram, linkage,
   // advisor, drift, weighted stats, set algebra, graph traversal,
-  // moment statistics, concentration
+  // moment statistics, concentration, min-plus paths, time series,
+  // reconciliation
   private val sample = Seq(
     "q01_pricing_summary", "q17_token_count", "q95_window_suite",
     "q147_transition_matrix", "q163_trending_decay",

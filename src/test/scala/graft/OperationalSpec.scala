@@ -30,7 +30,29 @@ package graft
   * percentile clip bounds (q186), and the negative sampler's
   * partition-of-weight-space invariant (q187), and CUPED's pooled-mean
   * preservation and covar_pop/var_pop agreement (q188), and the
-  * log-histogram's addition-mergeability and bracketing bounds (q189).
+  * log-histogram's addition-mergeability and bracketing bounds (q189),
+  * and the SSSP distances' soundness against BFS hops (q200), and the
+  * AMS sketch's linearity under any split (q201), and the ALS solve's
+  * BigInt lattice optimality (q202), and the autocorrelations'
+  * Cauchy–Schwarz/pair-count arithmetic (q203), and Kneser–Ney's
+  * mass-conservation preconditions (q204), and the Hilbert curve's
+  * exhaustive bijectivity/adjacency (q205), and the JL projection's
+  * norm preservation (q206), and the IBLT peel's closed-form bucket
+  * recovery (q208), and Theil–Sen's planted-outlier immunity (q209),
+  * and the count-sketch estimates' certified radii (q210), and the
+  * sliding-HLL estimates' exact-anchor tracking (q211), and the kNN
+  * eval's chance-level honesty (q212), and the minimax-vs-PAVA isotonic
+  * equality (q213), and the silhouette bounds/positivity (q215), and
+  * the RFM quintile balance (q216), and the incremental sessionizer's
+  * one-open-session boundary theorem (q217), and the sign-flip test's
+  * planted-shift power (q218), and the Wasserstein metric axioms in
+  * BigInt (q219), and the clustering coefficients' 3×-triangle
+  * conservation (q220), and modularity/assortativity exchange
+  * symmetries (q222/q223), and the drawdown's brute-force equality
+  * (q225), and the top-N + OTHERS cent conservation (q226), and the
+  * median CI's binomial coverage identity (q227), and the AUC's brute
+  * pair-count equality (q228), and the delta-method/jackknife agreement
+  * (q229).
   * These assert
   * the semantics the
   * DuckDB hash gate cannot see — "different order per epoch", "untouched
