@@ -2587,7 +2587,8 @@ object OlapQueries {
     val m = perCust.groupBy(col("segment"))
       .agg(count(lit(1)).as("n_units"),
         sum(col("si")).as("ss"), sum(col("ni")).as("sn"),
-        sum(col("si") * col("si")).as("sss"),
+        // Σ S² clears 2⁶³ at sf0.1 (customer-cents squared): DECIMAL(38)
+        sum(col("si").cast(DecimalType(38, 0)) * col("si")).as("sss"),
         sum(col("ni") * col("ni")).as("snn"),
         sum(col("si") * col("ni")).as("ssn"))
     val nD = col("n_units").cast(DoubleType)
@@ -2600,7 +2601,7 @@ object OlapQueries {
       col("ss").cast(DoubleType) * col("sn").cast(DoubleType) / nD) / (nD - 1)
     val nbar = col("sn").cast(DoubleType) / nD
     m.select(col("segment"), col("n_units"), col("ss"), col("sn"),
-      col("sss"), col("snn"), col("ssn"),
+      col("sss").cast(StringType).as("sss"), col("snn"), col("ssn"),
       r.as("ratio_cents"),
       ((varS - lit(2.0) * r * covSN + r * r * varN) / (nD * nbar * nbar))
         .as("var_ratio"),
@@ -2675,11 +2676,12 @@ object OlapQueries {
         |  FROM orders GROUP BY 1, 2),
         |m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_units,
         |    CAST(sum(si) AS BIGINT) AS ss, CAST(sum(ni) AS BIGINT) AS sn,
-        |    CAST(sum(si * si) AS BIGINT) AS sss,
+        |    CAST(sum(CAST(si AS HUGEINT) * si) AS HUGEINT) AS sss,
         |    CAST(sum(ni * ni) AS BIGINT) AS snn,
         |    CAST(sum(si * ni) AS BIGINT) AS ssn
         |  FROM pc GROUP BY 1)
-        |SELECT segment, n_units, ss, sn, sss, snn, ssn,
+        |SELECT segment, n_units, ss, sn, CAST(sss AS VARCHAR) AS sss,
+        |  snn, ssn,
         |  CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) AS ratio_cents,
         |  ((CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
         |      / CAST(n_units AS DOUBLE)) / (CAST(n_units AS DOUBLE) - 1)
