@@ -437,6 +437,65 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
   }
 
+  test("q200 SSSP rounds: distance table broadcasts, the edge list never pays a sort-merge join") {
+    val p = plan(GraphQueries.q200Sssp(spark, sf))
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // one broadcast probe per relaxation round (plus the edge build)
+    """\(\d+\) BroadcastHashJoin""".r.findAllMatchIn(p).length should be >= 4
+  }
+
+  test("q208 IBLT build: one keyed exchange into the fixed cell table, no joins at all") {
+    // the sketch side only — the peel is driver-side; the plan up to the
+    // collected cells must be scan → generate → ONE hash aggregate
+    import org.apache.spark.sql.functions.{array, col, concat, explode, lit, pmod, sum}
+    val bucket = pmod(graft.operators.TextOps.hash60(
+      col("doc_id").cast("string")), lit(5))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), bucket.as("bkt"))
+    val signed = docs.filter(col("bkt") =!= 0)
+      .select(col("doc_id"), lit(1L).as("sgn"))
+      .unionByName(docs.filter(col("bkt") =!= 1)
+        .select(col("doc_id"), lit(-1L).as("sgn")))
+    val cells = signed
+      .select(col("doc_id"), col("sgn"),
+        explode(array((0 until 3).map(j =>
+          pmod(graft.operators.TextOps.hash60(concat(lit(s"iblt$j:"),
+            col("doc_id").cast("string"))), lit(8192L))): _*)).as("pos"))
+      .groupBy(col("pos")).agg(sum(col("sgn")).as("cnt"))
+    val p = plan(cells)
+    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    p should not include "Join"
+    p should include("Generate") // the 3-way position fan-out is in-scan
+  }
+
+  test("q211 sliding HLL: the window merge is a generator fan-out, never a range join") {
+    val p = plan(OlapQueries.q211SlidingHll(spark, sf))
+    p should not include "CartesianProduct"
+    p should include("Generate") // explode(sequence(day, day+6))
+    // the only nested-loop joins are the two 1-row span-scalar broadcasts
+    // (the d1 clamp) — a range join would appear as an Inner BNLJ with a
+    // non-scalar build side
+    val bnlj = """BroadcastNestedLoopJoin \w+ \w+""".r.findAllMatchIn(p)
+      .map(_.matched).toSeq
+    bnlj.distinct shouldBe Seq("BroadcastNestedLoopJoin Cross BuildRight")
+  }
+
+  test("q217 incremental sessions: the steady state reads the session-grain state layout") {
+    val p = plan(WindowQueries.q217IncrementalSessions(spark, sf))
+    p should include("graft_sessions_state") // state scan, not a recompute
+    p should not include "CartesianProduct"
+    // events appear only as the batch-side scan; the merge and renumber
+    // are window exchanges over session/batch-grain rows
+    p should include("Window")
+  }
+
+  test("q212 kNN eval: the test side broadcasts, the corpus streams") {
+    val p = plan(SimilarityQueries.q212KnnClassify(spark, sf))
+    p should include("BroadcastNestedLoopJoin Inner BuildRight")
+    p should not include "CartesianProduct"
+    p should include("Window") // the k-cut and the vote rank
+  }
+
   test("q28 salted agg: stage 1 shuffles on (key, salt), stage 2 merges algebraically") {
     val p = plan(ScaleQueries.q28SaltedAgg(spark, sf))
     // exactly two shuffles — the skew-splitting (key, salt) exchange and the
