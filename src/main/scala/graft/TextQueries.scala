@@ -159,6 +159,39 @@ object TextQueries {
         sum(when(col("lang") === col("pred_ngram"), 1L).otherwise(0L))
           .as("n_ngram_right"))
 
+  /** q230: COHEN'S KAPPA between the two language classifiers — the
+    * chance-corrected inter-rater agreement every labeling pipeline
+    * should report instead of raw agreement (two raters that both say
+    * "en" 90% of the time agree 82% by luck alone). Exact rational:
+    * with N docs, A = #agreements, and E = Σ_label row·col the expected
+    * agreements ×N, κ = (N·A − E)/(N² − E) — numerator and denominator
+    * exact BIGINTs from three keyed counts, one readability division.
+    * Rides q112's prediction machinery (stopword argmax vs character
+    * n-gram argmax), so the confusion matrix and its summary can never
+    * disagree about what the raters said.
+    *
+    * Scale shape: one prediction scan (the q112 plan), two label-grain
+    * marginal counts joined label-on-label (K rows), one 1-row fold. */
+  val q230CohensKappa: Q = (s, d) => {
+    val preds = Tables.documentsDistributed(s, d)
+      .select(argmaxLang(stopwordScores).as("r1"),
+        argmaxLang(ngramScores(s)).as("r2"))
+    val base = preds.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("n_agree"))
+    val rows = preds.groupBy(col("r1").as("label")).agg(count(lit(1)).as("r"))
+    val cols = preds.groupBy(col("r2").as("label")).agg(count(lit(1)).as("c"))
+    val rc = rows.join(cols, "label")
+      .agg(sum(col("r") * col("c")).as("sum_rc"))
+    base.crossJoin(broadcast(rc))
+      .select(col("n_docs"), col("n_agree"), col("sum_rc"),
+        (col("n_docs") * col("n_agree") - col("sum_rc")).as("kappa_num"),
+        (col("n_docs") * col("n_docs") - col("sum_rc")).as("kappa_den"),
+        ((col("n_docs") * col("n_agree") - col("sum_rc"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          (col("n_docs") * col("n_docs") - col("sum_rc"))
+            .cast(org.apache.spark.sql.types.DoubleType)).as("kappa"))
+  }
+
   val q41LangIdNgram: Q = (s, d) => {
     val scores = ngramScores(s)
     val best = greatest(scores.map(_._2): _*)
@@ -906,6 +939,7 @@ object TextQueries {
     "q19_simhash"     -> q19Simhash,
     "q41_lang_id_ngram" -> q41LangIdNgram,
     "q112_lang_agreement" -> q112LangAgreement,
+    "q230_cohens_kappa" -> q230CohensKappa,
     "q42_chunking"    -> q42Chunking)
 
   // ---------------------------------------------------------------------
@@ -1273,6 +1307,38 @@ object TextQueries {
          |FROM w, UNNEST(range(0,
          |  greatest(len(w) - 1 - ${CHUNK_WINDOW - CHUNK_STRIDE}, 0) + 1,
          |  $CHUNK_STRIDE)) AS t(s)""".stripMargin,
+    // Same prediction CTEs as q112, folded to the exact kappa rationals.
+    "q230_cohens_kappa" -> {
+      val stopScores = langStops.map { case (c, sw) =>
+        c -> s"len(list_filter(w, x -> list_contains(${sqlList(sw)}, x)))" }
+      val sBest = stopScores.map(x => s"(${x._2})").mkString("greatest(", ", ", ")")
+      val sPred = stopScores.map { case (c, x) => s"WHEN ($x) = sbest THEN '$c'" }
+        .mkString("CASE WHEN sbest = 0 THEN 'und' ", " ", " END")
+      val ngScores = charNgrams.map { case (code, ngs) =>
+        code -> ngs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ") }
+      val nBest = ngScores.map(x => s"(${x._2})").mkString("greatest(", ", ", ")")
+      val nPred = ngScores.map { case (c, x) => s"WHEN ($x) = nbest THEN '$c'" }
+        .mkString("CASE WHEN nbest = 0 THEN 'und' ", " ", " END")
+      s"""WITH t AS (SELECT text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |b AS (SELECT text, w, $sBest AS sbest, $nBest AS nbest FROM t),
+         |p AS (SELECT $sPred AS r1, $nPred AS r2 FROM b),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree FROM p),
+         |rws AS (SELECT r1 AS label, CAST(count(*) AS BIGINT) AS r
+         |  FROM p GROUP BY 1),
+         |cls AS (SELECT r2 AS label, CAST(count(*) AS BIGINT) AS c
+         |  FROM p GROUP BY 1),
+         |rc AS (SELECT CAST(sum(r * c) AS BIGINT) AS sum_rc
+         |  FROM rws JOIN cls USING (label))
+         |SELECT n_docs, n_agree, sum_rc,
+         |  n_docs * n_agree - sum_rc AS kappa_num,
+         |  n_docs * n_docs - sum_rc AS kappa_den,
+         |  CAST(n_docs * n_agree - sum_rc AS DOUBLE)
+         |    / CAST(n_docs * n_docs - sum_rc AS DOUBLE) AS kappa
+         |FROM base, rc""".stripMargin
+    },
     "q112_lang_agreement" -> {
       val stopScores = langStops.map { case (c, sw) =>
         c -> s"len(list_filter(w, x -> list_contains(${sqlList(sw)}, x)))" }

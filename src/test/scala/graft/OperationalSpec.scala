@@ -1613,6 +1613,25 @@ class OperationalSpec extends SparkSpec {
     }
   }
 
+  test("q230: kappa is chance-corrected — bounded by raw agreement, consistent with q112's confusion matrix") {
+    val r = TextQueries.q230CohensKappa(spark, sf).collect().head
+    val (n, a) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_agree"))
+    val kappa = r.getAs[Double]("kappa")
+    n shouldBe 500L
+    a should be <= n
+    kappa should be <= 1.0
+    kappa should be >= -1.0
+    // κ ≤ raw agreement (chance correction can only shrink), exactly:
+    // N·A − E ≤ A·(N² − E)/N  ⟺  kappa_num·N ≤ A·kappa_den
+    BigInt(r.getAs[Long]("kappa_num")) * n should be <=
+      BigInt(a) * r.getAs[Long]("kappa_den")
+    // the same predictions drive q112: marginals must reconcile
+    val conf = TextQueries.q112LangAgreement(spark, sf).collect()
+    conf.map(_.getAs[Long]("n_docs")).sum shouldBe n
+    conf.filter(c => c.getAs[String]("pred_stop") == c.getAs[String]("pred_ngram"))
+      .map(_.getAs[Long]("n_docs")).sum shouldBe a
+  }
+
   test("q179: the one-scan integer-moment correlations agree with Spark's built-in corr()") {
     import org.apache.spark.sql.functions._
     // corr() streams Welford-style in doubles — an entirely different
