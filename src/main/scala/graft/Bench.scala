@@ -115,7 +115,23 @@ object Bench {
     // line, so the headline fields (value/failed) go LAST and the spread
     // diagnostics go FIRST — they are the cheapest thing to lose to a
     // truncation.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"spread":$spreads,"queries":$qs,"failed":${failed.size},"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"spread":$spreads,"queries":$qs,"failed":${failed.size},"value":$total}"""
+    println(line)
+    // Durable artifact: the driver's stdout capture keeps only the TAIL of
+    // this (very long) line, losing most per-query times to round-over-round
+    // comparison. Write the complete line to a file as well so the full
+    // 230-query profile survives (round-9 advice #4). Best-effort: a bench
+    // must never fail because the artifact directory is read-only.
+    try {
+      val out = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/work/bench_last.json"))
+      Option(out.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[bench] full JSON written to ${out.getPath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN could not write artifact file: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

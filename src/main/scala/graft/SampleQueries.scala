@@ -446,44 +446,36 @@ object SampleQueries {
     * ordering). A single-partition window (`row_number() OVER (ORDER BY
     * …)` with no PARTITION BY) moves the whole table through one task —
     * the non-scalable plan Spark itself warns about. The scalable shape is
-    * the three-phase industrial sort: (1) sample the keys to pick range
-    * boundaries, (2) ONE range exchange + in-partition sort, (3) a
-    * per-partition count pass whose N partial counts prefix-sum into
-    * offsets (N longs of metadata, not data), so index = offset + local
-    * position. `zipWithIndex` IS phases 3's textbook implementation — the
-    * one genuinely per-partition-imperative step, taken at the RDD
-    * altitude exactly once.
+    * the engine's own two-stage [[graft.operators.PrefixScan]] (the
+    * q192/q196 idiom): rank = running COUNT along the total order, i.e.
+    * (1) a per-(day-bucket) partitioned window counts rows locally —
+    * fully parallel, the bucket key (`l_shipdate`) is non-decreasing
+    * along the order so bucket boundaries are order boundaries; (2) one
+    * count per bucket collapses map-side to |days| rows of metadata,
+    * prefix-sums in a metadata-sized frame, and broadcasts back as each
+    * bucket's exclusive offset. Everything stays inside Catalyst —
+    * no RDD round-trip, no codegen break (the round-9 q100 used
+    * `zipWithIndex`; this is the same three-phase industrial sort with
+    * phase 3 expressed as the engine-native scan the repo already owns).
     *
     * Ties (the fact table holds a few fully-duplicate triples) get
     * arbitrary-but-consecutive ranks in any engine; since the tied rows
     * are identical on every projected column, the output MULTISET is
-    * engine-independent and the hash gate stays exact. Range boundaries
-    * only move rows between partitions — the total order, and therefore
-    * every rank, is invariant to them. */
-  private val RANK_PARTS = 32
-
-  /** Phases 1–2 (boundary sample + range exchange + local sort), exposed
-    * so PlanSpec can pin the rangepartitioning shape; `parts` is exposed
-    * so OperationalSpec can prove rank invariance to the partitioning. */
-  private[graft] def rankSorted(s: org.apache.spark.sql.SparkSession,
-                                d: String,
-                                parts: Int = RANK_PARTS): org.apache.spark.sql.DataFrame = {
-    val keys = Seq("l_shipdate", "l_orderkey", "l_linenumber")
-    Tables.lineitem(s, d)
-      .select(keys.map(col): _*)
-      .repartitionByRange(parts, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
-  }
-
+    * engine-independent and the hash gate stays exact. Bucket boundaries
+    * only move rows between window partitions — the total order, and
+    * therefore every rank (up to tie permutation), is invariant to the
+    * bucket granularity (OperationalSpec proves day ≡ month ≡ year). */
   private[graft] def globalRank(s: org.apache.spark.sql.SparkSession,
                                 d: String,
-                                parts: Int = RANK_PARTS): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    val sorted = rankSorted(s, d, parts)
-    val schema = sorted.schema.add("rank", LongType, nullable = false)
-    s.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
-      schema)
+                                bucket: org.apache.spark.sql.Column = col("l_shipdate"))
+      : org.apache.spark.sql.DataFrame = {
+    val keys = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    graft.operators.PrefixScan.running(
+      Tables.lineitem(s, d).select(keys.map(col): _*),
+      group = Seq.empty,
+      bucket = bucket,
+      order = keys.map(col),
+      value = lit(1L), op = "sum", out = "rank", exclusive = false)
   }
 
   val q100GlobalRank: Q = (s, d) => globalRank(s, d)

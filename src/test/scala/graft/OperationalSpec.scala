@@ -518,19 +518,24 @@ class OperationalSpec extends SparkSpec {
     da.head should not equal db.head
   }
 
-  test("q100: global ranks are invariant to the range partition count") {
-    // boundaries only move rows between partitions; the total order — and
-    // therefore every assigned rank — must not notice. (This is the claim
-    // that makes zipWithIndex safe at any cluster size.)
-    def ranks(parts: Int) = SampleQueries.globalRank(spark, sf, parts)
-      .collect()
-      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getInt(2), r.getLong(3)))
-      .sortBy(_._4)
-    val r3 = ranks(3)
-    val r32 = ranks(32)
-    r32 shouldBe r3
+  test("q100: global ranks are invariant to the prefix-scan bucket granularity") {
+    import org.apache.spark.sql.functions.{col, date_trunc, lit}
+    // bucket boundaries only move rows between window partitions; the
+    // total order — and therefore every assigned rank (up to permutation
+    // of fully-identical tied rows) — must not notice. (This is the claim
+    // that makes the two-stage PrefixScan rank safe at any granularity.)
+    def ranks(bucket: org.apache.spark.sql.Column) =
+      SampleQueries.globalRank(spark, sf, bucket)
+        .collect()
+        .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(_._4)
+    val byDay = ranks(col("l_shipdate"))
+    val byMonth = ranks(date_trunc("month", col("l_shipdate")))
+    val oneBucket = ranks(lit(0L)) // degenerate: the whole table is one bucket
+    byMonth shouldBe byDay
+    oneBucket shouldBe byDay
     // contiguity: 1..N exactly once
-    r32.map(_._4).toSeq shouldBe (1L to r32.length.toLong)
+    byDay.map(_._4).toSeq shouldBe (1L to byDay.length.toLong)
   }
 
   test("q115: a failing audit refuses to publish — the previous version stays current") {

@@ -870,12 +870,20 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin")
   }
 
-  test("q100 global rank: range exchange + local sorts, never a single-partition window") {
-    val p = plan(SampleQueries.rankSorted(spark, sf))
-    (p should include).regex("""rangepartitioning\(l_shipdate#\d+ ASC NULLS FIRST""")
-    // a lost range partitioner degrades to SinglePartition + one giant sort
-    p should not include "SinglePartition"
-    p should not include "Window"
+  test("q100 global rank: bucketed prefix-scan windows + broadcast offsets — no RDD node, data never funnels to one partition") {
+    val p = plan(SampleQueries.globalRank(spark, sf))
+    // the per-row window partitions by the day bucket — fully parallel
+    (p should include).regex("""hashpartitioning\(_psb#\d+""")
+    // phase 3 is engine-native now: the round-9 zipWithIndex RDD
+    // round-trip (a codegen/columnar break) must never come back
+    p should not include "Scan ExistingRDD"
+    p should include("BroadcastHashJoin") // bucket offsets join back broadcast
+    p should include("partial_sum")       // bucket totals collapse map-side
+    // the ONLY single-partition frame holds the |days|-row bucket summary
+    // (the _pst totals), never lineitem rows — the q196 contract
+    "Arguments: SinglePartition".r.findAllMatchIn(p).length shouldBe 1
+    val idx = p.indexOf("Arguments: SinglePartition")
+    p.substring((idx - 400).max(0), idx) should include("_pst")
     // the projection prunes to the three key columns at the scan
     p should include(
       "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>")
