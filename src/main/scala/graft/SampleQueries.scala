@@ -696,10 +696,17 @@ object SampleQueries {
     *
     * The combinatorics (binomial tails in BigInt, the rank selection)
     * run driver-side over the K-row (type, n) aggregate — sketch
-    * altitude, the IBLT/q90 rule; n ≤ 62 keeps every reported numerator
-    * in BIGINT (a longer series upgrades the two columns to DECIMAL).
-    * The ORDER STATISTICS stay distributed: one rank window per type
-    * picks the j-th, median, and (n+1−j)-th values.
+    * altitude, the IBLT/q90 rule. The numerators clear 2⁶³ past 62 days,
+    * so `cov_num`/`pow2n` ship as canonical decimal STRINGS (the q229
+    * DECIMAL/HUGEINT gating convention) and the oracle replays the tails
+    * in 128-bit HUGEINT — n ≤ 124 keeps the oracle's incremental
+    * binomial products inside INT128 (a year-long series needs arbitrary
+    * precision on the oracle side too; the Spark side is BigInt already).
+    * The tail-selection inequality is 40·Σ ≤ 2ⁿ refolded as
+    * Σ ≤ ⌊2ⁿ/40⌋ — equivalent on integers, and the 40× product can
+    * never overflow the replay. The ORDER STATISTICS stay distributed:
+    * one rank window per type picks the j-th, median, and (n+1−j)-th
+    * values.
     *
     * Scale shape: the daily collapse is map-side; everything after is
     * K·|days| rows. The point at 100 TB is that exact inference needs
@@ -711,7 +718,7 @@ object SampleQueries {
     val ns = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     val sel = ns.toSeq.sorted.map { case (ty, n) =>
-      require(n >= 1 && n <= 62, s"median CI needs 1 ≤ n ≤ 62 days (got $n)")
+      require(n >= 1 && n <= 124, s"median CI needs 1 ≤ n ≤ 124 days (got $n)")
       val binom = new Array[BigInt](n + 1)
       binom(0) = BigInt(1)
       for (i <- 1 to n) binom(i) = binom(i - 1) * (n - i + 1) / i
@@ -728,28 +735,29 @@ object SampleQueries {
       }
       if (j == 0) { j = 1; cum = binom(0) }
       val tail = cum
+      val covNum = pow2n - 2 * tail
+      // BigInt → Double is correctly rounded on both engines, so the
+      // readability ratio stays bit-identical past the 2⁶³ ceiling.
       (ty, j.toLong, (n + 1 - j).toLong, ((n + 1) / 2).toLong,
-        (pow2n - 2 * tail).toLong, pow2n.toLong)
+        covNum.toString, pow2n.toString,
+        covNum.doubleValue / pow2n.doubleValue)
     }
     import s.implicits._
     val selDf = sel.toDF("event_type", "j_rank", "k_rank", "med_rank",
-      "cov_num", "pow2n")
+      "cov_num", "pow2n", "coverage")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("x"), col("day"))
     daily.withColumn("rn", row_number().over(w).cast(LongType))
       .join(broadcast(selDf), "event_type")
       .groupBy(col("event_type"), col("j_rank"), col("k_rank"),
-        col("cov_num"), col("pow2n"))
+        col("cov_num"), col("pow2n"), col("coverage"))
       .agg(count(lit(1)).as("n_days"),
         max(when(col("rn") === col("j_rank"), col("x"))).as("lo_x"),
         max(when(col("rn") === col("med_rank"), col("x"))).as("median_x"),
         max(when(col("rn") === col("k_rank"), col("x"))).as("hi_x"))
       .select(col("event_type"), col("n_days"), col("median_x"),
         col("lo_x"), col("hi_x"), col("j_rank"), col("k_rank"),
-        col("cov_num"), col("pow2n"),
-        (col("cov_num").cast(org.apache.spark.sql.types.DoubleType) /
-          col("pow2n").cast(org.apache.spark.sql.types.DoubleType))
-          .as("coverage"))
+        col("cov_num"), col("pow2n"), col("coverage"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -791,28 +799,29 @@ object SampleQueries {
         |  FROM daily GROUP BY 1),
         |ii AS (SELECT event_type, n, unnest(range(0, n + 1)) AS i FROM ns),
         |bin AS (SELECT event_type, n, i,
-        |    CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
-        |    ELSE CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |    CASE WHEN i = 0 THEN CAST(1 AS HUGEINT)
+        |    ELSE CAST(list_reduce(list_prepend(CAST(1 AS HUGEINT),
         |      range(1, i + 1)), (acc, t) -> (acc * (n - i + t)) // t)
-        |      AS BIGINT) END AS c
+        |      AS HUGEINT) END AS c
         |  FROM ii),
         |cum AS (SELECT event_type, n, i,
         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
         |      AS tail_next
         |  FROM bin),
         |selj AS (SELECT event_type, n,
-        |    coalesce(max(CASE WHEN 40 * tail_next <= (CAST(1 AS BIGINT) << n)
+        |    coalesce(max(CASE WHEN
+        |      tail_next <= (CAST(1 AS HUGEINT) << n) // 40
         |      AND i + 1 <= (n + 1) // 2 THEN i + 1 END), 1) AS j
         |  FROM cum GROUP BY 1, 2),
         |tl AS (SELECT s.event_type, s.n, s.j,
-        |    coalesce(max(CASE WHEN c.i + 1 = s.j THEN c.tail_next END), 1)
-        |      AS tail
+        |    coalesce(max(CASE WHEN c.i + 1 = s.j THEN c.tail_next END),
+        |      CAST(1 AS HUGEINT)) AS tail
         |  FROM selj s JOIN cum c USING (event_type) GROUP BY 1, 2, 3),
         |sel AS (SELECT event_type, n, j AS j_rank, n + 1 - j AS k_rank,
         |    (n + 1) // 2 AS med_rank,
-        |    (CAST(1 AS BIGINT) << n) - 2 * tail AS cov_num,
-        |    (CAST(1 AS BIGINT) << n) AS pow2n
+        |    (CAST(1 AS HUGEINT) << n) - 2 * tail AS cov_num,
+        |    (CAST(1 AS HUGEINT) << n) AS pow2n
         |  FROM tl),
         |rk AS (SELECT d.event_type, d.x,
         |    CAST(row_number() OVER (PARTITION BY d.event_type
@@ -822,7 +831,9 @@ object SampleQueries {
         |  max(CASE WHEN rk.rn = s.med_rank THEN rk.x END) AS median_x,
         |  max(CASE WHEN rk.rn = s.j_rank THEN rk.x END) AS lo_x,
         |  max(CASE WHEN rk.rn = s.k_rank THEN rk.x END) AS hi_x,
-        |  s.j_rank, s.k_rank, s.cov_num, s.pow2n,
+        |  s.j_rank, s.k_rank,
+        |  CAST(s.cov_num AS VARCHAR) AS cov_num,
+        |  CAST(s.pow2n AS VARCHAR) AS pow2n,
         |  CAST(s.cov_num AS DOUBLE) / CAST(s.pow2n AS DOUBLE) AS coverage
         |FROM rk JOIN sel s USING (event_type)
         |GROUP BY s.event_type, s.n, s.j_rank, s.k_rank, s.cov_num,

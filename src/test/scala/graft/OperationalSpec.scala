@@ -1537,9 +1537,47 @@ class OperationalSpec extends SparkSpec {
           (0 until i).foldLeft(BigInt(1))((a, t) => a * (nn - t) / (t + 1))
         }
       val tail = (0 until j.toInt).map(binom(_)).sum // Σ_{i<j} C(n,i)
-      BigInt(r.getAs[Long]("cov_num")) shouldBe
+      BigInt(r.getAs[String]("cov_num")) shouldBe
         (BigInt(2).pow(nn) - 2 * tail)
     }
+  }
+
+  test("q227: a 90-day series works — the coverage numerators clear 2^63 as canonical decimal strings") {
+    import org.apache.spark.sql.functions._
+    // A >62-day fixture (the round-9 ceiling): 90 daily buckets with a
+    // deterministic skewed count per day. Written as an events table so
+    // the SAME q227 query runs end-to-end against it.
+    val dir = "work/fixtures/q227_90d"
+    val days = 90
+    spark.range(0, days.toLong)
+      .select(col("id"),
+        explode(sequence(lit(1), (pmod(col("id") * 37 + 11, lit(50)) + 1)
+          .cast("int"))).as("k"))
+      .select((col("id") * 1000 + col("k")).as("event_id"),
+        timestamp_micros(col("id") * 86400000000L + col("k")).as("ts"),
+        col("k").as("user_id"), lit("tick").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SampleQueries.q227MedianCi(spark, dir).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Long]("n_days") shouldBe days.toLong
+    // 2^90 ≈ 1.24e27 — far past BIGINT; the strings must carry it exactly
+    BigInt(r.getAs[String]("pow2n")) shouldBe BigInt(2).pow(days)
+    val j = r.getAs[Long]("j_rank")
+    j + r.getAs[Long]("k_rank") shouldBe days + 1L
+    val binomTail = (0 until j.toInt)
+      .map(i => (0 until i).foldLeft(BigInt(1))((a, t) => a * (days - t) / (t + 1)))
+      .sum
+    BigInt(r.getAs[String]("cov_num")) shouldBe
+      (BigInt(2).pow(days) - 2 * binomTail)
+    // the selected tail is the LARGEST with 40·tail ≤ 2^n — j+1 overshoots
+    (40 * (binomTail + (0 until j.toInt).foldLeft(BigInt(1))(
+      (a, t) => a * (days - t) / (t + 1)))) should be > BigInt(2).pow(days)
+    (40 * binomTail) should be <= BigInt(2).pow(days)
+    r.getAs[Double]("coverage") should be >= 0.95
+    r.getAs[Long]("lo_x") should be <= r.getAs[Long]("median_x")
+    r.getAs[Long]("median_x") should be <= r.getAs[Long]("hi_x")
   }
 
   test("q228: the rank-sum AUC numerator equals brute pair counting, with exact label-swap antisymmetry") {
