@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Cached (persisted) plans keep a DETERMINISTIC output partitioning
+      // instead of letting AQE re-plan it away: the iterative graph family
+      // pins its edge list on hash(src,np) via repartition().persist() and
+      // every round's co-partitioned join must SEE that partitioning —
+      // otherwise each round pays a full edge re-exchange (the exact cost
+      // keyed mode exists to avoid).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       // Pinned: the default derives from the process cwd, and managed
       // tables (bucketed joins) must land inside the repo regardless of

@@ -39,6 +39,47 @@ object GraphQueries {
   private val PR_BASE = PR_SCALE * 15L / 100L // the 0.15 teleport term
   private val PR_ITERS = 3
 
+  /** Size-thresholded physical switch for the iterative graph family
+    * (q89 PageRank / q178 BFS / q200 SSSP). The node-sized tables (rank /
+    * frontier / visited / distance) broadcast fine up to a few tens of
+    * millions of nodes — past that the per-round broadcast OOMs the
+    * executors, and the same loops must run as CO-PARTITIONED keyed joins:
+    * edges frozen on hash(src) once (localCheckpoint pins both the
+    * partitioning and the lineage), the node table re-keyed on hash(node)
+    * with the SAME partition count, so the edge list NEVER pays a
+    * per-round exchange — its only per-round cost is the dst-keyed
+    * aggregation that every variant needs. This is the Spark analog of
+    * the reference's diststyle choice (README.md:73-75): ALL (broadcast)
+    * for small dims, KEY (co-partition) for big ones.
+    *
+    * The switch: `spark.graft.graph.mode` = broadcast | keyed | auto
+    * (default auto; the env var SPARK_GRAFT_GRAPH_MODE seeds the default
+    * so a driver run can force a path without code changes). Auto
+    * compares an upper bound on the node count — the customer + supplier
+    * dimension sizes, two parquet-metadata counts, memoized per scale
+    * dir — against `spark.graft.graph.broadcastNodeLimit` (default 10M
+    * nodes ≈ 160 MB of (node,rank) rows: safely inside executor memory
+    * as a broadcast, and far past every test scale). Both paths produce
+    * bit-identical results (every update is integer min/sum —
+    * OperationalSpec proves keyed ≡ broadcast on all three queries);
+    * only the physical plan moves. */
+  private val graphModeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def graphKeyed(s: org.apache.spark.sql.SparkSession,
+                                d: String): Boolean =
+    s.conf.get("spark.graft.graph.mode",
+        sys.env.getOrElse("SPARK_GRAFT_GRAPH_MODE", "auto")) match {
+      case "keyed" => true
+      case "broadcast" => false
+      case _ =>
+        val limit = s.conf.get("spark.graft.graph.broadcastNodeLimit",
+          "10000000").toLong
+        graphModeCache.computeIfAbsent(s"$d#$limit", _ =>
+          Tables.customer(s, d).count() + Tables.supplier(s, d).count() > limit)
+          .booleanValue()
+    }
+
   /** The customer↔supplier bipartite edge list induced by orders⋈lineitem,
     * symmetrized, with nodes packed into one BIGINT (custkey·2 /
     * suppkey·2+1) so every iterative loop over it is long-keyed — shared by
@@ -59,28 +100,99 @@ object GraphQueries {
     * custkey·2 / suppkey·2+1 — so the whole loop is long-keyed (no string
     * keys on the hot path); the output decodes the type back out. The
     * symmetrized bipartite graph has no dangling nodes (every node has the
-    * reverse edge), so no dangling-mass redistribution term is needed. */
-  val q89Pagerank: Q = (s, d) => {
-    val edges = bipartiteEdges(s, d)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // |nodes| ≪ |edges|: degree and rank tables are hinted broadcast —
-    // statically, not left to AQE, because the aggregation output's size
-    // is unknown to the static planner and the edge list must NEVER pay a
-    // sort-merge exchange per iteration.
-    val edgeDeg = edges.join(broadcast(deg), "src")
-    var ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
-    for (_ <- 1 to PR_ITERS)
-      ranks = edgeDeg.join(broadcast(ranks), edgeDeg("src") === ranks("node"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(PR_BASE) + expr("(85 * sc) div 100")).as("r"))
-    ranks.select(
+    * reverse edge), so no dangling-mass redistribution term is needed.
+    * Physical mode per [[graphKeyed]]: broadcast rank table below the node
+    * threshold, co-partitioned keyed joins above it. */
+  val q89Pagerank: Q = (s, d) =>
+    pagerankRanks(s, d, graphKeyed(s, d)).select(
       when(pmod(col("node"), lit(2)) === 0, lit("customer"))
         .otherwise(lit("supplier")).as("node_type"),
       expr("node div 2").as("key"),
       col("r").as("rank_fp"))
+
+  /** One damping round: contributions r div deg flow along edges, collapse
+    * per dst with map-side partial sums, re-damp. Shared verbatim by both
+    * physical modes (and pinned by PlanSpec per mode) — the node-side
+    * `shape` hook is `broadcast` below the threshold and a shuffle_hash
+    * hint above it, so the semantics can never drift between paths. */
+  private def pagerankRound(edgeDeg: org.apache.spark.sql.DataFrame,
+                            ranks: org.apache.spark.sql.DataFrame,
+                            shape: org.apache.spark.sql.DataFrame =>
+                              org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edgeDeg.join(shape(ranks), edgeDeg("src") === ranks("node"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      .select(col("dst").as("node"),
+        (lit(PR_BASE) + expr("(85 * sc) div 100")).as("r"))
+
+  /** The rank loop, mode-explicit (exposed so OperationalSpec can prove
+    * keyed ≡ broadcast and PlanSpec can pin each shape). */
+  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
+                                   d: String,
+                                   keyed: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = bipartiteEdges(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    if (!keyed) {
+      // |nodes| ≪ |edges|: degree and rank tables are hinted broadcast —
+      // statically, not left to AQE, because the aggregation output's size
+      // is unknown to the static planner and the edge list must NEVER pay
+      // a sort-merge exchange per iteration.
+      val edgeDeg = edges.join(broadcast(deg), "src")
+      var ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
+      for (_ <- 1 to PR_ITERS) ranks = pagerankRound(edgeDeg, ranks, broadcast)
+      ranks
+    } else {
+      // Co-partitioned loop: the edges⋈degrees build already exchanges on
+      // src, so ONE explicit repartition pins hash(src, np) (AQE never
+      // coalesces an explicit count) and localCheckpoint freezes both the
+      // partitioning and the lineage. Each round's rank table re-pins
+      // hash(node, np) — node-sized, the only per-round exchanges are
+      // that re-key plus the dst aggregation every mode pays. The
+      // shuffle_hash hint keeps the join a build-side hash of the rank
+      // table: no broadcast (the threshold said it wouldn't fit), and no
+      // per-round re-sort of the edge list (SMJ would pay one).
+      val (edgeDeg, ranks0) = pagerankKeyedSetup(s, d)
+      var ranks = ranks0
+      for (_ <- 1 to PR_ITERS)
+        ranks = pagerankRound(edgeDeg, ranks, _.hint("shuffle_hash"))
+          .localCheckpoint(true)
+      ranks
+    }
   }
+
+  /** Keyed-mode inputs: the edge⋈degree list exchanged on hash(src,np)
+    * ONCE and persisted — the cached plan's output partitioning is
+    * deterministic (canChangeCachedPlanOutputPartitioning defaults off),
+    * so every round's join sees hash(src,np) already satisfied and the
+    * edge list never re-exchanges; localCheckpoint would FORGET the
+    * partitioning (LogicalRDD resurfaces as UnknownPartitioning under
+    * AQE), which is exactly the re-exchange-per-round this mode exists
+    * to avoid. The rank side is node-sized: it re-keys per round (its
+    * one cheap exchange) and localCheckpoints for the q44 lineage
+    * discipline. Shared by the loop and the PlanSpec round pin. */
+  private[graft] def pagerankKeyedSetup(s: org.apache.spark.sql.SparkSession,
+                                        d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges = bipartiteEdges(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg.hint("shuffle_hash"), "src")
+      .repartition(np, col("src")).persist()
+    // checkpointed like every later round's output, so round 1 (and the
+    // PlanSpec fragment) sees exactly the steady-state input shape
+    val ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
+      .localCheckpoint(true)
+    (edgeDeg, ranks)
+  }
+
+  /** One keyed PageRank round over pre-pinned inputs, exposed for the
+    * PlanSpec pin. */
+  private[graft] def pagerankKeyedRoundFragment(
+      edgeDeg: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pagerankRound(edgeDeg, ranks, _.hint("shuffle_hash"))
 
   /** q178: k-hop BFS — exact minimum-hop distances from a seed set (the
     * customers of nation 0) through 3 rounds of frontier expansion over the
@@ -105,28 +217,81 @@ object GraphQueries {
     * node, same loop. Seeds that never appear in the edge list (customers
     * with no orders) stay isolated at dist 0 — kept, not dropped: absence
     * from the graph is itself the finding. */
-  val q178BfsKhop: Q = (s, d) => {
-    val edges = bipartiteEdges(s, d)
+  val q178BfsKhop: Q = (s, d) =>
+    bfsDistances(s, d, graphKeyed(s, d)).select(
+      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("dist"))
+
+  /** The BFS loop, mode-explicit. Keyed mode: edges pinned on hash(src,np)
+    * once; each round's frontier/visited re-key on hash(node,np) (both
+    * node-sized), so the expansion join and the visited anti-join are
+    * co-partitioned shuffled-hash joins — the edge list never re-exchanges
+    * and nothing node-sized ever broadcasts. */
+  private[graft] def bfsDistances(s: org.apache.spark.sql.SparkSession,
+                                  d: String,
+                                  keyed: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges0 = bipartiteEdges(s, d)
+    // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
+    // so no round ever re-exchanges the edge list (see pagerankKeyedSetup)
+    val edges = if (keyed)
+      edges0.repartition(np, col("src")).persist() else edges0
     val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node")).distinct()
       .withColumn("dist", lit(0L))
     var visited = seeds
     var frontier = seeds.select(col("node"))
     for (i <- 1 to BFS_HOPS) {
-      val next = edges.join(broadcast(frontier),
-          edges("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited.select(col("node").as("vnode"))),
-          col("node") === col("vnode"), "left_anti")
-        .select(col("node")).withColumn("dist", lit(i.toLong))
+      val next0 = bfsRound(edges, frontier, visited, i,
+        nodeShape(s, keyed, np))
+      val next = if (keyed) next0.localCheckpoint(true) else next0
       visited = visited.unionByName(next)
       frontier = next.select(col("node"))
     }
-    visited.select(
-      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("node_type"),
-      expr("node div 2").as("key"),
-      col("dist"))
+    visited
+  }
+
+  /** Node-side physical shape: broadcast below the threshold, a
+    * co-partitioned build-side hash above it — the ONE hook both loop
+    * modes and the PlanSpec fragments share. */
+  private def nodeShape(s: org.apache.spark.sql.SparkSession,
+                        keyed: Boolean, np: Int)
+      : (org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.DataFrame =
+    (df, key) =>
+      if (keyed) df.repartition(np, col(key)).hint("shuffle_hash")
+      else broadcast(df)
+
+  /** One frontier expansion: edges ⋈ frontier → dst-distinct → anti-join
+    * the visited set; shared verbatim by both physical modes. */
+  private def bfsRound(edges: org.apache.spark.sql.DataFrame,
+                       frontier: org.apache.spark.sql.DataFrame,
+                       visited: org.apache.spark.sql.DataFrame,
+                       i: Int,
+                       shape: (org.apache.spark.sql.DataFrame, String) =>
+                         org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.join(shape(frontier, "node"), edges("src") === frontier("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(shape(visited.select(col("node").as("vnode")), "vnode"),
+        col("node") === col("vnode"), "left_anti")
+      .select(col("node")).withColumn("dist", lit(i.toLong))
+
+  /** Keyed setup + one unexecuted BFS round, for the PlanSpec pin. */
+  private[graft] def bfsKeyedRoundFragment(s: org.apache.spark.sql.SparkSession,
+                                           d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges = bipartiteEdges(s, d)
+      .repartition(np, col("src")).persist()
+    val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    bfsRound(edges, seeds.select(col("node")), seeds, 1,
+      nodeShape(s, keyed = true, np))
   }
 
   private val BFS_HOPS = 3
@@ -160,7 +325,24 @@ object GraphQueries {
     * on src — same loop, and past a handful of rounds the q44
     * localCheckpoint lineage discipline applies. Seeds outside the edge
     * list stay at dist 0 (isolation is a finding — q178's contract). */
-  val q200Sssp: Q = (s, d) => {
+  val q200Sssp: Q = (s, d) =>
+    ssspDistances(s, d, graphKeyed(s, d)).select(
+      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("dist"))
+
+  /** The Bellman-Ford loop, mode-explicit. Keyed mode: weighted edges
+    * pinned on hash(src,np) once; each round's distance table re-keys on
+    * hash(node,np) (node-sized), relaxations stream the edge partitions
+    * against a build-side hash of the distances, and the per-node MIN
+    * collapses map-side — the edge list never re-exchanges and the
+    * distance table never broadcasts. */
+  private[graft] def ssspDistances(s: org.apache.spark.sql.SparkSession,
+                                   d: String,
+                                   keyed: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
@@ -170,21 +352,44 @@ object GraphQueries {
         floor(col("l_quantity")).cast(org.apache.spark.sql.types.LongType)
           .as("w0"))
       .groupBy(col("src"), col("dst")).agg(min(col("w0")).as("w"))
-    val edges = e0.unionByName(
+    val edges0 = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
+    // so no round ever re-exchanges the edge list (see pagerankKeyedSetup)
+    val edges = if (keyed)
+      edges0.repartition(np, col("src")).persist() else edges0
     var dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node")).distinct()
       .withColumn("dist", lit(0L))
-    for (_ <- 1 to SSSP_HOPS)
-      dist = edges.join(broadcast(dist), edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-    dist.select(
-      when(pmod(col("node"), lit(2)) === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("node_type"),
-      expr("node div 2").as("key"),
-      col("dist"))
+    for (_ <- 1 to SSSP_HOPS) {
+      val relaxed = ssspRound(edges, dist, nodeShape(s, keyed, np))
+      dist = if (keyed) relaxed.localCheckpoint(true) else relaxed
+    }
+    dist
+  }
+
+  /** One Bellman-Ford relaxation round, shared verbatim by both modes. */
+  private def ssspRound(edges: org.apache.spark.sql.DataFrame,
+                        dist: org.apache.spark.sql.DataFrame,
+                        shape: (org.apache.spark.sql.DataFrame, String) =>
+                          org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.join(shape(dist, "node"), edges("src") === dist("node"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      .unionByName(dist)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+
+  /** Keyed setup + one unexecuted SSSP round, for the PlanSpec pin. */
+  private[graft] def ssspKeyedRoundFragment(s: org.apache.spark.sql.SparkSession,
+                                            d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges = bipartiteEdges(s, d).withColumn("w", lit(1L))
+      .repartition(np, col("src")).persist()
+    val dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    ssspRound(edges, dist, nodeShape(s, keyed = true, np))
   }
 
   /** q191: connected components by STAR CONTRACTION (Kiveris et al.

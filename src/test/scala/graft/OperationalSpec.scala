@@ -978,6 +978,22 @@ class OperationalSpec extends SparkSpec {
       .filter(col("best") > col("dist")).count() shouldBe 0L
   }
 
+  test("q89/q178/q200: keyed ≡ broadcast — both physical modes of the iterative graph family produce identical tables") {
+    // Every per-round update is integer min/sum over the same logical
+    // graph, so the co-partitioned path (forced keyed) must reproduce the
+    // broadcast path's output EXACTLY — bit-identical rows, not just
+    // statistically close. This is the safety proof for the auto switch:
+    // crossing the node threshold changes the plan, never the answer.
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList: Seq[Any]).sortBy(_.mkString("|")).toSeq
+    sortedRows(GraphQueries.pagerankRanks(spark, sf, keyed = true)) shouldBe
+      sortedRows(GraphQueries.pagerankRanks(spark, sf, keyed = false))
+    sortedRows(GraphQueries.bfsDistances(spark, sf, keyed = true)) shouldBe
+      sortedRows(GraphQueries.bfsDistances(spark, sf, keyed = false))
+    sortedRows(GraphQueries.ssspDistances(spark, sf, keyed = true)) shouldBe
+      sortedRows(GraphQueries.ssspDistances(spark, sf, keyed = false))
+  }
+
   test("q201: the AMS sketch is linear — sketch(A) + sketch(B) equals sketch(A ⊎ B) on any split") {
     import org.apache.spark.sql.functions._
     val rows = Tables.lineitem(spark, sf).select(
