@@ -380,12 +380,78 @@ object ClusterQueries {
     * definition (the standard convention sets s=0; we surface the
     * exclusion instead of inventing a score).
     *
-    * Scale shape: all-pairs over the CLUSTERED SET — N²·DIM lattice ops,
-    * the honest audit cost at eval grain (2000 vectors = 4M pairs); at
-    * index scale the audit runs per CELL (q33's partition) so pairs are
-    * Σ|cell|², and the per-vector reduction is one keyed aggregation
-    * either way. q81's assignment arrives by its own broadcast plan. */
+    * Scale shape — the SUFFICIENT-STATISTICS form, not all-pairs: on the
+    * integer lattice, Σ_{y∈c} |x−y|² = n_c·|x|² − 2·x·S_c + Q_c with
+    * n_c = |c|, S_c = Σ_{y∈c} y (the vector sum) and Q_c = Σ_{y∈c} |y|²
+    * — an EXACT BIGINT identity, so the N²·DIM pair scan collapses to
+    * one K·DIM-cell aggregation plus a per-point in-scan evaluation
+    * against the broadcast K-row stats table: O(N·K·DIM) work, zero
+    * pair materialization, zero point-keyed exchange after the stats
+    * build (a and b are computed in the SAME projection). Because the
+    * identity is exact, sd and cn are the IDENTICAL integers the pair
+    * scan would produce and the float divisions see identical operands:
+    * the result is bit-equal to [[q215SilhouetteAllPairs]] (the small-N
+    * anchor, OperationalSpec-proven), and the hash gate's all-pairs
+    * DuckDB replay doubles as the independent oracle. Magnitudes:
+    * |q|≤2¹¹ ⇒ every term of sd is ≤ n_c·DIM·2²² ≈ n_c·2.7e8 — BIGINT
+    * holds past 3×10⁹ vectors per cluster; beyond that the sums (only)
+    * upgrade to DECIMAL, same plan. */
   val q215Silhouette: Q = (s, d) => {
+    // the assignment materializes ONCE (localCheckpoint — the assignment
+    // table a production build writes anyway): the stats pass and the
+    // audit pass both read the pinned blocks instead of re-running the
+    // k-means subtree per reference
+    val pts = finalAssignment(s, d)
+      .select(col("vec_id"), col("cluster"), qvec(col("embedding")).as("qv"))
+      .withColumn("q2", aggregate(transform(col("qv"), x => x * x),
+        lit(0L), (acc, v) => acc + v))
+      .localCheckpoint(true)
+    // per-cluster sufficient statistics in ONE aggregation pass: per
+    // (cluster, dim) the component sum plus n/Q (constant across a
+    // cluster's dim groups), regrouped to K rows — the two exchanges
+    // carry K·DIM and K cells (corpus size never appears)
+    val stats0 = pts
+      .select(col("cluster"), col("q2"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"), sum(col("q2")).as("qd"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
+          e => e.getField("sx")).as("sv"),
+        max(col("nd")).as("n"), max(col("qd")).as("qc"))
+    // the K stats rows collapse into ONE row carrying the whole K-entry
+    // array, attached to every point by the licensed 1-row scalar
+    // broadcast (the q94/q150 `total` idiom) — a and b then evaluate in
+    // the SAME projection, so after the stats build the audit is a pure
+    // map pass: zero point-keyed exchanges, zero corpus joins
+    val cs1 = stats0
+      .agg(collect_list(struct(col("cluster").as("cj"),
+        col("sv"), col("n"), col("qc"))).as("cs"))
+    // Σ_{y∈c}|x−y|² = n·|x|² − 2·x·S + Q, exact in BIGINT
+    def sd(e: Column) =
+      e.getField("n") * col("q2") - lit(2L) * aggregate(
+        zip_with(col("qv"), e.getField("sv"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v) + e.getField("qc")
+    pts.crossJoin(broadcast(cs1))
+      .withColumn("own", element_at(
+        filter(col("cs"), c => c.getField("cj") === col("cluster")), 1))
+      .filter(col("own.n") > 1) // own cluster needs a second member for `a`
+      .select(col("vec_id"), col("cluster"),
+        (sd(col("own")).cast(DoubleType) /
+          (col("own.n") - 1).cast(DoubleType)).as("a"),
+        array_min(transform(
+          filter(col("cs"), c => c.getField("cj") =!= col("cluster")),
+          c => sd(c).cast(DoubleType) / c.getField("n").cast(DoubleType)))
+          .as("b"))
+      .filter(col("b").isNotNull) // K=1 degenerate: no other cluster, no s
+      .select(col("vec_id"), col("cluster"), col("a"), col("b"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+  }
+
+  /** The literal all-pairs silhouette — q215's small-N anchor: the same
+    * (sd, cn) integers via the N²·DIM pair scan the closed form
+    * eliminates. OperationalSpec proves q215 ≡ this, bit-identical; it
+    * is never the production path (the non-equi join is a cartesian). */
+  private[graft] val q215SilhouetteAllPairs: Q = (s, d) => {
     val asg = q81Kmeans(s, d).select(col("vec_id"), col("cluster"))
     val pts = Tables.embeddings(s, d)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))

@@ -1322,6 +1322,20 @@ class OperationalSpec extends SparkSpec {
     mean should be > 0.0
   }
 
+  test("q215: the sufficient-statistics silhouette is BIT-identical to the all-pairs scan") {
+    // Σ_{y∈c}|x−y|² = n·|x|² − 2·x·S + Q is exact in BIGINT, so the closed
+    // form feeds the SAME integer (sd, cn) operands into the same float
+    // divisions — doubles must match bit-for-bit, not approximately.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)),
+      java.lang.Double.doubleToLongBits(r.getDouble(3)),
+      java.lang.Double.doubleToLongBits(r.getDouble(4)))
+    val fast = ClusterQueries.q215Silhouette(spark, sf).collect().map(key).sorted
+    val pairs = ClusterQueries.q215SilhouetteAllPairs(spark, sf)
+      .collect().map(key).sorted
+    fast should contain theSameElementsInOrderAs pairs
+  }
+
   test("q216: RFM scores are balanced quintiles with a consistent label") {
     val rows = Queries.q216RfmSegments(spark, sf).collect()
     rows.length shouldBe 150

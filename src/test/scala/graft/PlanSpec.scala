@@ -338,6 +338,20 @@ class PlanSpec extends SparkSpec {
     (p should include).regex("""Arguments: hashpartitioning\(vec_id#\d+L, m#\d+""")
   }
 
+  test("q215 silhouette: the pair scan is gone — the audit is one 1-row stats broadcast, no cartesian") {
+    // the assignment materializes once (localCheckpoint), so the audit
+    // plan is exactly the sufficient-statistics pass: K·DIM aggregation
+    // collapsed to a single stats row, attached by the licensed 1-row
+    // scalar broadcast; a and b evaluate in the same projection — the
+    // N² non-equi pair join this query used to pay may never return
+    val p = plan(ClusterQueries.q215Silhouette(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    // exactly ONE nested-loop join: the intentional 1-row stats attach
+    """\(\d+\) BroadcastNestedLoopJoin""".r.findAllMatchIn(p).length shouldBe 1
+  }
+
   test("q77 set ops: INTERSECT/EXCEPT compile to keyed joins — no cartesian, no nested loop") {
     val p = plan(OlapQueries.q77SetOps(spark, sf))
     p should not include "CartesianProduct"
