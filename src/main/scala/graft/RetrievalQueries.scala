@@ -154,13 +154,19 @@ object RetrievalQueries {
       .limit(PMI_TOP_K)
   }
 
-  /** q90: BPE tokenizer training, first merges — the iterative pair-merge
-    * loop of Sennrich et al. 2016, unrolled for the first `BPE_ROUNDS`
-    * merges: count adjacent symbol pairs over the word-frequency table,
-    * merge the most frequent pair everywhere (count desc, pair asc
-    * tiebreak), repeat on the merged symbols. Round 1 is character
-    * statistics; by round 3 merged multi-char symbols compete — the part a
-    * one-shot pair count can't see.
+  /** q90: BPE tokenizer training with BATCHED merge rounds — the
+    * iterative pair-merge loop of Sennrich et al. 2016, run the way a
+    * distributed vocab learner must: instead of one driver round trip per
+    * merge, each round counts pairs ONCE, ranks the top [[BPE_CAND]]
+    * candidates, and accepts up to [[BPE_BATCH]] of them whose symbols
+    * are DISJOINT from every higher-ranked candidate (including its
+    * concatenation — the conflict rule), then applies all accepted
+    * replaces in rank order. Merging (a,b) can only change the counts of
+    * pairs touching a or b, so disjoint batch-mates keep the exact counts
+    * sequential BPE would have seen — where the batch has no conflicts,
+    * batched ≡ sequential (OperationalSpec proves it, plus batch=1 ≡ the
+    * sequential learner verbatim). Tie-break everywhere is (count desc,
+    * pair asc).
     *
     * Symbol sequences are strings with a TWO-space gap between symbols and
     * a one-space pad at each end, so "merge pair (x,y)" is the literal
@@ -175,22 +181,94 @@ object RetrievalQueries {
     * Scale shape: the corpus collapses to the word-frequency table in one
     * keyed shuffle BEFORE any BPE work (the vocabulary, not the corpus, is
     * the working set — the classic trick that makes BPE training cheap at
-    * 100 TB); each round is one pair-count aggregation over that bounded
-    * table plus a 1-row TakeOrdered broadcast back. Rounds chain by
-    * lineage (3 fixed rounds; past a handful, localCheckpoint like q44). */
-  private[graft] val BPE_ROUNDS = 3
+    * 100 TB); each round is ONE pair-count aggregation over that bounded
+    * table, one [[BPE_CAND]]-row TakeOrdered collect (model-sized, the
+    * q195/q206 literal discipline — the accepted merges enter the next
+    * plan as literals), and one localCheckpoint that pins the re-segmented
+    * word table so lineage stays ONE round deep no matter how many rounds
+    * run: R·B merges cost R driver syncs, not R·B, and the 10³–10⁴-merge
+    * production regime is the same loop with bigger R. */
+  private[graft] val BPE_BATCH = 8
+  private[graft] val BPE_BATCH_ROUNDS = 6
+  private[graft] val BPE_CAND = 48
 
   val q90BpeMerges: Q = (s, d) =>
-    bpeMerges(Tables.documents(s, d), BPE_ROUNDS)
+    bpeState(Tables.documents(s, d), BPE_BATCH_ROUNDS, BPE_BATCH)._1
 
-  private[graft] def bpeMerges(docs: org.apache.spark.sql.DataFrame,
-                               rounds: Int) = bpeState(docs, rounds)._1
-
-  /** The shared BPE learner state: (learned merges, the word table's final
-    * segmentation). q90 reports the merges; q102 reports the encoding the
-    * merges induce — one machine, both views, so the two can never drift. */
+  /** The shared batched learner state: (learned merges, the word table's
+    * final segmentation). q90 reports the merges; q102 reports the
+    * encoding the merges induce — one machine, both views, so the two can
+    * never drift. Merges carry (round, rank) — rank is the within-batch
+    * acceptance order, so the full merge list is totally ordered. */
   private[graft] def bpeState(docs: org.apache.spark.sql.DataFrame,
-                              rounds: Int) = {
+                              rounds: Int, batch: Int) = {
+    val spark = docs.sparkSession
+    val wf = docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => substr(col("word"), i, lit(1)))
+    var seqs = wf.select(col("word"), col("freq"),
+      concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seq"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val toks = split(trim(col("seq")), "  ")
+      // ONE count pass; the candidate window is model-sized (≤ BPE_CAND
+      // rows via TakeOrderedAndProject), so the collect is a metadata
+      // fetch, not a data collect
+      val cand = seqs
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+        .groupBy(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("term_a"), col("term_b"))
+        .limit(BPE_CAND)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // accept rule (replayed verbatim by the oracle's NOT EXISTS): a
+      // candidate survives iff its symbols avoid every HIGHER-RANKED
+      // candidate's {ta, tb, ta||tb} — the concatenation guard keeps a
+      // later pair from touching a symbol a batch-mate just created;
+      // first `batch` survivors (in rank order) are this round's merges
+      val accepted = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      for (i <- cand.indices if accepted.size < batch) {
+        val (ta, tb, c) = cand(i)
+        val conflict = cand.take(i).exists { case (pa, pb, _) =>
+          val syms = Set(pa, pb, pa + pb)
+          syms(ta) || syms(tb)
+        }
+        if (!conflict) accepted += ((ta, tb, c))
+      }
+      merges ++= accepted.zipWithIndex.map { case ((ta, tb, c), k) =>
+        (round, k + 1, ta, tb, c)
+      }
+      // apply in rank order (disjointness makes the order immaterial, but
+      // both engines fold in the same order anyway); localCheckpoint pins
+      // the result so lineage never grows past one round
+      val applied = accepted.foldLeft(col("seq")) { case (acc, (ta, tb, _)) =>
+        replace(acc, lit(s" $ta  $tb "), lit(s" $ta$tb "))
+      }
+      seqs = seqs.select(col("word"), col("freq"), applied.as("seq"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    val mergeDf = merges.toSeq
+      .toDF("round", "merge_rank", "term_a", "term_b", "pair_count")
+    (mergeDf, seqs)
+  }
+
+  /** The one-merge-per-round sequential learner (the pre-batching shape):
+    * q90's semantic anchor — OperationalSpec proves bpeState(batch = 1)
+    * reproduces it merge-for-merge and bit-for-bit on the real corpus,
+    * and that batching itself is invisible when the batch is
+    * conflict-free. Never the production path (R merges = R driver
+    * round trips and R-deep lineage). */
+  private[graft] def bpeStateSeq(docs: org.apache.spark.sql.DataFrame,
+                                 rounds: Int) = {
     val wf = docs.filter(col("text").isNotNull)
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -222,19 +300,20 @@ object RetrievalQueries {
 
   /** q102: BPE encoding — APPLY the q90-learned merges: every corpus word
     * with its frequency and its final subword segmentation after
-    * [[BPE_ROUNDS]] merge rounds (the tokenizer-apply step between "learn
-    * the vocab" and "pack the shards"; q17 counts whitespace tokens, this
-    * produces the subword stream an LM actually consumes).
+    * [[BPE_BATCH_ROUNDS]] batched rounds (the tokenizer-apply step between
+    * "learn the vocab" and "pack the shards"; q17 counts whitespace
+    * tokens, this produces the subword stream an LM actually consumes).
     *
     * Scale shape: identical to q90 — encoding operates on the DISTINCT
-    * word table (one keyed count shuffle), and each merge round is a
-    * 1-row broadcast + a codegen'd string replace, so R rounds add zero
-    * exchanges. Corpus text never re-scans per round. A
-    * production-R (tens of thousands of merges) tokenizer leaves the
-    * relational unroll for a per-partition priority-queue encoder at the
-    * mapPartitions altitude; the semantics gated here are the same. */
+    * word table (one keyed count shuffle), and each batch of merges is a
+    * literal fold of codegen'd string replaces over the checkpointed word
+    * table, so R rounds add zero exchanges. Corpus text never re-scans
+    * per round. A production-R (tens of thousands of merges) tokenizer
+    * leaves the relational unroll for a per-partition priority-queue
+    * encoder at the mapPartitions altitude; the semantics gated here are
+    * the same. */
   val q102BpeEncode: Q = (s, d) => {
-    val seqs = bpeState(Tables.documents(s, d), BPE_ROUNDS)._2
+    val seqs = bpeState(Tables.documents(s, d), BPE_BATCH_ROUNDS, BPE_BATCH)._2
     val toks = split(trim(col("seq")), "  ")
     seqs.select(col("word"), col("freq"),
       size(toks).as("n_tokens"),
@@ -671,37 +750,56 @@ object RetrievalQueries {
        |      + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE
        |                       + $B::DOUBLE * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
 
+  /** One batched round of the oracle replay: pair counts → ranked top-
+    * [[BPE_CAND]] window → the NOT EXISTS conflict filter (verbatim the
+    * engine's accept rule: symbols must avoid every higher-ranked
+    * candidate's {ta, tb, ta||tb}) → first [[BPE_BATCH]] survivors →
+    * all accepted replaces folded over the word table in rank order
+    * (merges encoded "ta tb" — symbols never contain spaces). */
   private def bpeRoundCtes(r: Int): String =
-    s"""p$r AS (SELECT t[CAST(i AS INTEGER)] AS ta, t[CAST(i + 1 AS INTEGER)] AS tb,
+    s"""p$r AS MATERIALIZED (SELECT t[CAST(i AS INTEGER)] AS ta, t[CAST(i + 1 AS INTEGER)] AS tb,
        |    CAST(sum(freq) AS BIGINT) AS cnt
        |  FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s${r - 1}),
        |    UNNEST(range(1, len(t))) x(i)
        |  GROUP BY 1, 2),
-       |b$r AS (SELECT ta, tb, cnt FROM p$r ORDER BY cnt DESC, ta, tb LIMIT 1),
-       |s$r AS (SELECT word, freq,
-       |    replace(seq, ' ' || ta || '  ' || tb || ' ',
-       |                 ' ' || ta || tb || ' ') AS seq
-       |  FROM s${r - 1}, b$r)""".stripMargin
+       |c$r AS MATERIALIZED (SELECT ta, tb, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, ta, tb) AS rk
+       |  FROM p$r ORDER BY cnt DESC, ta, tb LIMIT $BPE_CAND),
+       |a$r AS MATERIALIZED (SELECT ta, tb, cnt, rk,
+       |    row_number() OVER (ORDER BY rk) AS arank
+       |  FROM c$r i
+       |  WHERE NOT EXISTS (SELECT 1 FROM c$r j WHERE j.rk < i.rk
+       |    AND (i.ta IN (j.ta, j.tb, j.ta || j.tb)
+       |      OR i.tb IN (j.ta, j.tb, j.ta || j.tb)))
+       |  ORDER BY rk LIMIT $BPE_BATCH),
+       |s$r AS MATERIALIZED (SELECT word, freq,
+       |    list_reduce(list_prepend(seq,
+       |      (SELECT coalesce(list(ta || ' ' || tb ORDER BY rk),
+       |              CAST([] AS VARCHAR[])) FROM a$r)),
+       |      (x, y) -> replace(x,
+       |        ' ' || split_part(y, ' ', 1) || '  ' || split_part(y, ' ', 2) || ' ',
+       |        ' ' || split_part(y, ' ', 1) || split_part(y, ' ', 2) || ' ')) AS seq
+       |  FROM s${r - 1})""".stripMargin
 
-  /** The shared learner replay (wf → s0 → b1/s1 … b_R/s_R), reused by the
+  /** The shared learner replay (wf → s0 → c/a/s per round), reused by the
     * q90 merges view and the q102 encoding view. */
   private lazy val bpeCtes: String =
-    s"""WITH wf AS (
+    s"""WITH wf AS MATERIALIZED (
        |  SELECT w AS word, count(*) AS freq
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |        FROM documents WHERE text IS NOT NULL) t
        |  WHERE len(w) > 0
        |  GROUP BY 1),
-       |s0 AS (SELECT word, freq,
+       |s0 AS MATERIALIZED (SELECT word, freq,
        |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
        |      i -> substr(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS seq
        |  FROM wf),
-       |${(1 to BPE_ROUNDS).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+       |${(1 to BPE_BATCH_ROUNDS).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
 
   private lazy val bpeSql: String =
     s"""$bpeCtes
-       |${(1 to BPE_ROUNDS).map(r =>
-           s"SELECT CAST($r AS INTEGER) AS round, ta AS term_a, tb AS term_b, cnt AS pair_count FROM b$r")
+       |${(1 to BPE_BATCH_ROUNDS).map(r =>
+           s"SELECT CAST($r AS INTEGER) AS round, CAST(arank AS INTEGER) AS merge_rank, ta AS term_a, tb AS term_b, cnt AS pair_count FROM a$r")
          .mkString("\nUNION ALL ")}""".stripMargin
 
   private lazy val bpeEncodeSql: String =
@@ -709,7 +807,7 @@ object RetrievalQueries {
        |SELECT word, freq,
        |  CAST(len(string_split(trim(seq), '  ')) AS INTEGER) AS n_tokens,
        |  array_to_string(string_split(trim(seq), '  '), ' ') AS tokens
-       |FROM s$BPE_ROUNDS""".stripMargin
+       |FROM s$BPE_BATCH_ROUNDS""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Same double-isqrt weights, same md5 draws, same interval resolve.
