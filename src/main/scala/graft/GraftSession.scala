@@ -23,14 +23,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // Cached (persisted) plans keep a DETERMINISTIC output partitioning
-      // instead of letting AQE re-plan it away: the iterative graph family
-      // pins its edge list on hash(src,np) via repartition().persist() and
-      // every round's co-partitioned join must SEE that partitioning —
-      // otherwise each round pays a full edge re-exchange (the exact cost
-      // keyed mode exists to avoid).
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "false")
+      // NOTE: `canChangeCachedPlanOutputPartitioning` stays at Spark's
+      // default here. The keyed graph loops — the only plans that need a
+      // persisted edge list to KEEP its hash(src,np) partitioning across
+      // rounds — pin it via GraphQueries.withPinnedCachedPartitioning
+      // (scoped set/restore); session-wide the pin costs every OTHER
+      // cache-heavy query the AQE re-plan it wants (round-10 bench:
+      // q84/q82/q79/q81 regressions, adjudicated in work/ab_cached_replan).
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       // Pinned: the default derives from the process cwd, and managed
       // tables (bucketed joins) must land inside the repo regardless of

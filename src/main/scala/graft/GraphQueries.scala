@@ -63,9 +63,6 @@ object GraphQueries {
     * bit-identical results (every update is integer min/sum —
     * OperationalSpec proves keyed ≡ broadcast on all three queries);
     * only the physical plan moves. */
-  private val graphModeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
   private[graft] def graphKeyed(s: org.apache.spark.sql.SparkSession,
                                 d: String): Boolean =
     s.conf.get("spark.graft.graph.mode",
@@ -75,10 +72,54 @@ object GraphQueries {
       case _ =>
         val limit = s.conf.get("spark.graft.graph.broadcastNodeLimit",
           "10000000").toLong
-        graphModeCache.computeIfAbsent(s"$d#$limit", _ =>
-          Tables.customer(s, d).count() + Tables.supplier(s, d).count() > limit)
-          .booleanValue()
+        footerRowCount(s, s"$d/customer.parquet") +
+          footerRowCount(s, s"$d/supplier.parquet") > limit
     }
+
+  /** Row count straight from parquet footer metadata — a driver-side
+    * metadata read, NOT a Spark job, so the auto-mode probe charges
+    * nothing to the first benchmarked execution and can never serve a
+    * stale memo after the files under a scale dir are rewritten. */
+  private def footerRowCount(s: org.apache.spark.sql.SparkSession,
+                             path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      else Seq(fs.getFileStatus(p))
+    stats.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Scope `canChangeCachedPlanOutputPartitioning = false` to the keyed
+    * graph loops — the ONLY plans that rely on a persisted edge list
+    * keeping its hash(src,np) output partitioning across rounds. Session-
+    * wide the conf would also pin every OTHER cached plan's partitioning,
+    * costing cache-heavy queries the AQE re-plan they want (the round-10
+    * bench regression on q84/q82/q79/q81); scoped set/restore keeps the
+    * pin exactly where it pays. The conf is read both when the cache
+    * entry is compiled (persist) and when consumers plan against it, so
+    * the whole keyed loop — setup through final checkpoint — runs inside
+    * the scope. */
+  private[graft] def withPinnedCachedPartitioning[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
 
   /** The customer↔supplier bipartite edge list induced by orders⋈lineitem,
     * symmetrized, with nodes packed into one BIGINT (custkey·2 /
@@ -143,35 +184,44 @@ object GraphQueries {
       var ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
       for (_ <- 1 to PR_ITERS) ranks = pagerankRound(edgeDeg, ranks, broadcast)
       ranks
-    } else {
+    } else withPinnedCachedPartitioning(s) {
       // Co-partitioned loop: the edges⋈degrees build already exchanges on
       // src, so ONE explicit repartition pins hash(src, np) (AQE never
       // coalesces an explicit count) and localCheckpoint freezes both the
       // partitioning and the lineage. Each round's rank table re-pins
-      // hash(node, np) — node-sized, the only per-round exchanges are
-      // that re-key plus the dst aggregation every mode pays. The
-      // shuffle_hash hint keeps the join a build-side hash of the rank
-      // table: no broadcast (the threshold said it wouldn't fit), and no
-      // per-round re-sort of the edge list (SMJ would pay one).
+      // hash(node, np) through the shared nodeShape hook (the same
+      // explicit re-key BFS/SSSP use) — node-sized, the only per-round
+      // exchanges are that re-key plus the dst aggregation every mode
+      // pays. The shuffle_hash hint keeps the join a build-side hash of
+      // the rank table: no broadcast (the threshold said it wouldn't
+      // fit), and no per-round re-sort of the edge list (SMJ would pay
+      // one).
+      val np = s.sessionState.conf.numShufflePartitions
       val (edgeDeg, ranks0) = pagerankKeyedSetup(s, d)
       var ranks = ranks0
       for (_ <- 1 to PR_ITERS)
-        ranks = pagerankRound(edgeDeg, ranks, _.hint("shuffle_hash"))
+        ranks = pagerankRound(edgeDeg, ranks,
+            df => nodeShape(s, keyed = true, np)(df, "node"))
           .localCheckpoint(true)
+      // every round is checkpointed, so the edge cache has no remaining
+      // consumer — release it rather than pinning edge-list-sized blocks
+      // for the session lifetime (the Dedup block-release discipline)
+      edgeDeg.unpersist()
       ranks
     }
   }
 
   /** Keyed-mode inputs: the edge⋈degree list exchanged on hash(src,np)
     * ONCE and persisted — the cached plan's output partitioning is
-    * deterministic (canChangeCachedPlanOutputPartitioning defaults off),
-    * so every round's join sees hash(src,np) already satisfied and the
-    * edge list never re-exchanges; localCheckpoint would FORGET the
-    * partitioning (LogicalRDD resurfaces as UnknownPartitioning under
-    * AQE), which is exactly the re-exchange-per-round this mode exists
-    * to avoid. The rank side is node-sized: it re-keys per round (its
-    * one cheap exchange) and localCheckpoints for the q44 lineage
-    * discipline. Shared by the loop and the PlanSpec round pin. */
+    * deterministic inside [[withPinnedCachedPartitioning]], so every
+    * round's join sees hash(src,np) already satisfied and the edge list
+    * never re-exchanges; localCheckpoint would FORGET the partitioning
+    * (LogicalRDD resurfaces as UnknownPartitioning under AQE), which is
+    * exactly the re-exchange-per-round this mode exists to avoid. The
+    * rank side is node-sized: it re-keys per round (its one cheap
+    * exchange) and localCheckpoints for the q44 lineage discipline.
+    * Shared by the loop and the PlanSpec round pin — callers supply the
+    * pinned-partitioning scope. */
   private[graft] def pagerankKeyedSetup(s: org.apache.spark.sql.SparkSession,
                                         d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -188,11 +238,15 @@ object GraphQueries {
   }
 
   /** One keyed PageRank round over pre-pinned inputs, exposed for the
-    * PlanSpec pin. */
+    * PlanSpec pin — the rank side routes through [[nodeShape]] exactly
+    * like the production loop. */
   private[graft] def pagerankKeyedRoundFragment(
+      s: org.apache.spark.sql.SparkSession,
       edgeDeg: org.apache.spark.sql.DataFrame,
-      ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    pagerankRound(edgeDeg, ranks, _.hint("shuffle_hash"))
+      ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    pagerankRound(edgeDeg, ranks, df => nodeShape(s, keyed = true, np)(df, "node"))
+  }
 
   /** q178: k-hop BFS — exact minimum-hop distances from a seed set (the
     * customers of nation 0) through 3 rounds of frontier expansion over the
@@ -233,25 +287,31 @@ object GraphQueries {
                                   d: String,
                                   keyed: Boolean)
       : org.apache.spark.sql.DataFrame = {
-    val np = s.sessionState.conf.numShufflePartitions
-    val edges0 = bipartiteEdges(s, d)
-    // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
-    // so no round ever re-exchanges the edge list (see pagerankKeyedSetup)
-    val edges = if (keyed)
-      edges0.repartition(np, col("src")).persist() else edges0
-    val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node")).distinct()
-      .withColumn("dist", lit(0L))
-    var visited = seeds
-    var frontier = seeds.select(col("node"))
-    for (i <- 1 to BFS_HOPS) {
-      val next0 = bfsRound(edges, frontier, visited, i,
-        nodeShape(s, keyed, np))
-      val next = if (keyed) next0.localCheckpoint(true) else next0
-      visited = visited.unionByName(next)
-      frontier = next.select(col("node"))
+    def loop = {
+      val np = s.sessionState.conf.numShufflePartitions
+      val edges0 = bipartiteEdges(s, d)
+      // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
+      // so no round ever re-exchanges the edge list (pagerankKeyedSetup)
+      val edges = if (keyed)
+        edges0.repartition(np, col("src")).persist() else edges0
+      val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+      var visited = seeds
+      var frontier = seeds.select(col("node"))
+      for (i <- 1 to BFS_HOPS) {
+        val next0 = bfsRound(edges, frontier, visited, i,
+          nodeShape(s, keyed, np))
+        val next = if (keyed) next0.localCheckpoint(true) else next0
+        visited = visited.unionByName(next)
+        frontier = next.select(col("node"))
+      }
+      // keyed rounds are all checkpointed (and the seed level replays from
+      // its own scan), so the edge cache has no remaining consumer
+      if (keyed) edges.unpersist()
+      visited
     }
-    visited
+    if (keyed) withPinnedCachedPartitioning(s)(loop) else loop
   }
 
   /** Node-side physical shape: broadcast below the threshold, a
@@ -342,30 +402,35 @@ object GraphQueries {
                                    d: String,
                                    keyed: Boolean)
       : org.apache.spark.sql.DataFrame = {
-    val np = s.sessionState.conf.numShufflePartitions
-    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"),
-        floor(col("l_quantity")).cast(org.apache.spark.sql.types.LongType)
-          .as("w0"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w0")).as("w"))
-    val edges0 = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
-    // so no round ever re-exchanges the edge list (see pagerankKeyedSetup)
-    val edges = if (keyed)
-      edges0.repartition(np, col("src")).persist() else edges0
-    var dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node")).distinct()
-      .withColumn("dist", lit(0L))
-    for (_ <- 1 to SSSP_HOPS) {
-      val relaxed = ssspRound(edges, dist, nodeShape(s, keyed, np))
-      dist = if (keyed) relaxed.localCheckpoint(true) else relaxed
+    def loop = {
+      val np = s.sessionState.conf.numShufflePartitions
+      val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"),
+          floor(col("l_quantity")).cast(org.apache.spark.sql.types.LongType)
+            .as("w0"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w0")).as("w"))
+      val edges0 = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
+      // so no round ever re-exchanges the edge list (pagerankKeyedSetup)
+      val edges = if (keyed)
+        edges0.repartition(np, col("src")).persist() else edges0
+      var dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+      for (_ <- 1 to SSSP_HOPS) {
+        val relaxed = ssspRound(edges, dist, nodeShape(s, keyed, np))
+        dist = if (keyed) relaxed.localCheckpoint(true) else relaxed
+      }
+      // the final distance table is checkpointed — release the edge cache
+      if (keyed) edges.unpersist()
+      dist
     }
-    dist
+    if (keyed) withPinnedCachedPartitioning(s)(loop) else loop
   }
 
   /** One Bellman-Ford relaxation round, shared verbatim by both modes. */

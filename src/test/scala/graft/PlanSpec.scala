@@ -752,42 +752,51 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q89 keyed mode: cached edges stream into a shuffled-hash join — no re-exchange of the edge list, no broadcast of the rank table") {
-    val (e, r) = GraphQueries.pagerankKeyedSetup(spark, sf)
-    val df = GraphQueries.pagerankKeyedRoundFragment(e, r)
-    // execute so AQE settles the final plan: the ENSURE_REQUIREMENTS
-    // exchange the static planner provisionally places above the cache is
-    // elided at runtime once the cached stage's hash(src,np) is known
-    df.write.format("noop").mode("overwrite").save()
-    val p = plan(df)
-    // the loop join probes the cache DIRECTLY — Filter over the
-    // InMemoryTableScan, no Exchange in between
-    (p should include).regex(
-      """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*:- Filter \(\d+\)\s*\n\s*:  \+- InMemoryTableScan""")
-    // broadcast mode's signature (build-right broadcast of the node
-    // table) must be absent with the keyed path forced
-    p should not include "BroadcastHashJoin Inner BuildRight"
-    p should include("partial_sum") // dst aggregation still combines map-side
-    e.unpersist()
+    // the pinned-partitioning conf is SCOPED to the keyed loops now (the
+    // production loop wraps itself); the fragment pin runs in the same
+    // scope, covering both the cache compile and the consumer plan
+    GraphQueries.withPinnedCachedPartitioning(spark) {
+      val (e, r) = GraphQueries.pagerankKeyedSetup(spark, sf)
+      val df = GraphQueries.pagerankKeyedRoundFragment(spark, e, r)
+      // execute so AQE settles the final plan: the ENSURE_REQUIREMENTS
+      // exchange the static planner provisionally places above the cache is
+      // elided at runtime once the cached stage's hash(src,np) is known
+      df.write.format("noop").mode("overwrite").save()
+      val p = plan(df)
+      // the loop join probes the cache DIRECTLY — Filter over the
+      // InMemoryTableScan, no Exchange in between
+      (p should include).regex(
+        """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*:- Filter \(\d+\)\s*\n\s*:  \+- InMemoryTableScan""")
+      // broadcast mode's signature (build-right broadcast of the node
+      // table) must be absent with the keyed path forced
+      p should not include "BroadcastHashJoin Inner BuildRight"
+      p should include("partial_sum") // dst aggregation still combines map-side
+      e.unpersist()
+    }
   }
 
   test("q178 keyed mode: frontier expansion and visited anti-join are co-partitioned shuffled-hash joins over the cached edge list") {
-    val df = GraphQueries.bfsKeyedRoundFragment(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    val p = plan(df)
-    (p should include).regex(
-      """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*(:\s*)*:- Filter \(\d+\)\s*\n\s*(:\s*)*:  \+- InMemoryTableScan""")
-    p should include("ShuffledHashJoin LeftAnti BuildRight")
-    p should not include "BroadcastHashJoin Inner BuildRight"
+    GraphQueries.withPinnedCachedPartitioning(spark) {
+      val df = GraphQueries.bfsKeyedRoundFragment(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = plan(df)
+      (p should include).regex(
+        """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*(:\s*)*:- Filter \(\d+\)\s*\n\s*(:\s*)*:  \+- InMemoryTableScan""")
+      p should include("ShuffledHashJoin LeftAnti BuildRight")
+      p should not include "BroadcastHashJoin Inner BuildRight"
+    }
   }
 
   test("q200 keyed mode: relaxation joins the cached weighted edges co-partitioned; the per-node MIN still collapses map-side") {
-    val df = GraphQueries.ssspKeyedRoundFragment(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    val p = plan(df)
-    (p should include).regex(
-      """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*(:\s*)*:- Filter \(\d+\)\s*\n\s*(:\s*)*:  \+- InMemoryTableScan""")
-    p should not include "BroadcastHashJoin Inner BuildRight"
-    p should include("partial_min")
+    GraphQueries.withPinnedCachedPartitioning(spark) {
+      val df = GraphQueries.ssspKeyedRoundFragment(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = plan(df)
+      (p should include).regex(
+        """ShuffledHashJoin Inner BuildRight \(\d+\)\s*\n\s*(:\s*)*:- Filter \(\d+\)\s*\n\s*(:\s*)*:  \+- InMemoryTableScan""")
+      p should not include "BroadcastHashJoin Inner BuildRight"
+      p should include("partial_min")
+    }
   }
 
   test("q91 column stats: unpivot is an in-scan generator feeding one frequency-table aggregation") {
