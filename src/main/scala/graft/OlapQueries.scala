@@ -1792,11 +1792,19 @@ object OlapQueries {
     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_partkey", "l_suppkey")
 
-  val q91ColumnStats: Q = (s, d) => {
+  /** The shared in-scan unpivot behind q91 (exact) and q231 (sketch):
+    * stack() runs as a Generate inside the scan stage — one pass over
+    * lineitem emits every (column, value) cell, never a union of
+    * per-column scans. */
+  private def statStacked(s: org.apache.spark.sql.SparkSession, d: String) = {
     val stackArgs = STAT_COLS
       .map(c => s"'$c', cast($c as double)").mkString(", ")
-    val stacked = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .selectExpr(s"stack(${STAT_COLS.size}, $stackArgs) as (col_name, v)")
+  }
+
+  val q91ColumnStats: Q = (s, d) => {
+    val stacked = statStacked(s, d)
     val counts = stacked.groupBy(col("col_name")).agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col("v"))).as("n_null"),
@@ -1818,6 +1826,33 @@ object OlapQueries {
         min(when(col("cum") >= expr("(nv + 1) div 2"), col("v"))).as("p50"),
         min(when(col("cum") >= expr("(nv * 3 + 3) div 4"), col("v"))).as("p75"))
   }
+
+  /** q231: q91's 100 TB SKETCH TWIN — the same per-column profile over the
+    * same in-scan unpivot, with the two rank-heavy exacts swapped for
+    * mergeable sketches: NDV via HyperLogLog++ (`approx_count_distinct`,
+    * fixed ~2.5 KB state per column vs q91's keyed shuffle of every
+    * distinct (col, value) pair) and percentiles via the
+    * `approx_percentile` digest (map-side mergeable, no per-column window
+    * sort at all). ONE aggregation, one exchange carrying six sketch
+    * states per task — at 10¹² rows this is the profile a nightly ANALYZE
+    * actually runs, while q91's exact plan (frequency table + cumulative
+    * window) is what it is bounded against. No DuckDB oracle — sketch
+    * internals differ across engines — so the gate records the weaker
+    * rows-only check; q91 stays the hash-green anchor and SketchSpec pins
+    * the error (exact n_rows/n_null/min/max equality, HLL 3σ on NDV,
+    * rank-error ≤ nv/accuracy on every percentile) — the q40/q70 twin
+    * discipline applied to profiling. */
+  val q231ColumnSketch: Q = (s, d) =>
+    statStacked(s, d)
+      .groupBy(col("col_name")).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        approx_count_distinct(col("v")).as("ndv_approx"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        approx_percentile(col("v"), lit(0.25), lit(10000)).as("p25_approx"),
+        approx_percentile(col("v"), lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(col("v"), lit(0.75), lit(10000)).as("p75_approx"))
 
   /** q95: the analytic window-function surface in one gated query — rank,
     * dense_rank, percent_rank, cume_dist over the VALUE ordering (ties
@@ -2660,6 +2695,7 @@ object OlapQueries {
     "q109_cdc_diff"    -> q109CdcDiff,
     "q113_corpus_signature" -> q113CorpusSignature,
     "q91_column_stats" -> q91ColumnStats,
+    "q231_column_sketch" -> q231ColumnSketch,
     "q95_window_suite" -> q95WindowSuite,
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 

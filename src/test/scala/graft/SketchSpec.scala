@@ -68,6 +68,51 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q231 column sketch stays within HLL/rank-error bounds of the exact profile (q91)") {
+    val approx = OlapQueries.q231ColumnSketch(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = OlapQueries.q91ColumnStats(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    approx.keySet shouldBe exact.keySet
+
+    // per-column sorted value lists for rank checks (test-side collect:
+    // sf0.001 lineitem × 6 columns is spec-sized)
+    val cols = approx.keySet.toSeq
+    val vals: Map[String, Array[Double]] = cols.map { c =>
+      c -> Tables.lineitem(spark, sf)
+        .selectExpr(s"cast($c as double) as v").where(col("v").isNotNull)
+        .collect().map(_.getDouble(0)).sorted
+    }.toMap
+
+    exact.foreach { case (cn, e) =>
+      val a = approx(cn)
+      // the non-sketched fields are the SAME aggregates — exactly equal
+      a.getAs[Long]("n_rows") shouldBe e.getAs[Long]("n_rows")
+      a.getAs[Long]("n_null") shouldBe e.getAs[Long]("n_null")
+      a.getAs[Double]("min_v") shouldBe e.getAs[Double]("min_v")
+      a.getAs[Double]("max_v") shouldBe e.getAs[Double]("max_v")
+      // HLL++ default rsd 5%: allow 3σ
+      val nd = e.getAs[Long]("ndv").toDouble
+      math.abs(a.getAs[Long]("ndv_approx") - nd) should be <= (nd * 0.15 + 1)
+      // approx_percentile's contract is a RANK guarantee: the returned
+      // element's rank is within n/accuracy of p·n — assert exactly that
+      // (value-domain tolerances would be vacuous for l_discount/l_tax)
+      val v = vals(cn)
+      val nv = v.length.toDouble
+      val err = nv / 10000 + 1
+      for ((p, f) <- Seq(0.25 -> "p25_approx", 0.5 -> "p50_approx",
+                         0.75 -> "p75_approx")) {
+        val ap = a.getAs[Double](f)
+        val lt = v.count(_ < ap).toDouble  // rank range of ap is (lt, le]
+        val le = v.count(_ <= ap).toDouble
+        withClue(s"$cn $f=$ap: ") {
+          lt should be <= (p * nv + err)
+          le should be >= (p * nv - err)
+        }
+      }
+    }
+  }
+
   test("q152 Count-Min: estimates never underestimate; counters merge by element-wise addition") {
     // Structural guarantee: every occurrence of a word lands in its bucket's
     // counter, so min-over-rows can only overcount.
