@@ -123,8 +123,10 @@ object Bench {
     // 230-query profile survives (round-9 advice #4). Best-effort: a bench
     // must never fail because the artifact directory is read-only.
     try {
+      // cwd-relative default (the session already pins warehouse paths
+      // relative to the repo); SPARK_GRAFT_BENCH_OUT overrides
       val out = new java.io.File(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "/root/repo/work/bench_last.json"))
+        "SPARK_GRAFT_BENCH_OUT", "work/bench_last.json"))
       Option(out.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(line) finally w.close()

@@ -700,8 +700,12 @@ object SampleQueries {
     * so `cov_num`/`pow2n` ship as canonical decimal STRINGS (the q229
     * DECIMAL/HUGEINT gating convention) and the oracle replays the tails
     * in 128-bit HUGEINT — n ≤ 124 keeps the oracle's incremental
-    * binomial products inside INT128 (a year-long series needs arbitrary
-    * precision on the oracle side too; the Spark side is BigInt already).
+    * binomial products inside INT128. The ENGINE has no such ceiling
+    * (BigInt): [[binomialCiSelection]]/[[medianCiFromDaily]] accept a
+    * full year (n ≤ 366), gated by spec instead of oracle —
+    * OperationalSpec proves the n = 365 selection against an independent
+    * Pascal-triangle reference and runs the year-scale CI end-to-end on
+    * a synthetic 365-day series.
     * The tail-selection inequality is 40·Σ ≤ 2ⁿ refolded as
     * Σ ≤ ⌊2ⁿ/40⌋ — equivalent on integers, and the 40× product can
     * never overflow the replay. The ORDER STATISTICS stay distributed:
@@ -711,33 +715,49 @@ object SampleQueries {
     * Scale shape: the daily collapse is map-side; everything after is
     * K·|days| rows. The point at 100 TB is that exact inference needs
     * only the GROUPED series — the raw stream never reaches the driver. */
-  val q227MedianCi: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+  /** The exact binomial rank selection behind q227: largest j with
+    * 40·Σ_{i<j} C(n,i) ≤ 2ⁿ (the ≤2.5% tail as a pure integer
+    * inequality), returning (j, cov_num, 2ⁿ). Engine ceiling is n ≤ 366
+    * — a YEAR of daily counts — because the arithmetic is BigInt with no
+    * 128-bit limit; the oracle-gated q227 additionally caps its input at
+    * n ≤ 124 (the DuckDB replay's HUGEINT range), and the 124 < n ≤ 366
+    * regime is SPEC-gated instead: OperationalSpec replays n = 365
+    * against an independent Pascal-triangle reference (the q40/q65 twin
+    * discipline, applied to an oracle-arithmetic ceiling rather than a
+    * sketch). A tiny series where even j = 1 overshoots degrades to the
+    * widest interval (x_(1), x_(n)) with its honest sub-95% coverage. */
+  private[graft] def binomialCiSelection(n: Int): (Int, BigInt, BigInt) = {
+    require(n >= 1 && n <= 366, s"median CI selection needs 1 ≤ n ≤ 366 (got $n)")
+    val binom = new Array[BigInt](n + 1)
+    binom(0) = BigInt(1)
+    for (i <- 1 to n) binom(i) = binom(i - 1) * (n - i + 1) / i
+    val pow2n = BigInt(2).pow(n)
+    var j = 0
+    var cum = BigInt(0)
+    var stop = false
+    for (cand <- 1 to (n + 1) / 2 if !stop) {
+      val t = cum + binom(cand - 1)
+      if (t * 40 <= pow2n) { cum = t; j = cand } else stop = true
+    }
+    if (j == 0) { j = 1; cum = binom(0) }
+    (j, pow2n - 2 * cum, pow2n)
+  }
+
+  /** The CI assembly over an arbitrary (event_type, day, x) daily table,
+    * shared by the oracle-gated q227 (maxN = 124) and the spec-gated
+    * year-scale path (maxN = 366). */
+  private[graft] def medianCiFromDaily(s: org.apache.spark.sql.SparkSession,
+                                       daily: org.apache.spark.sql.DataFrame,
+                                       maxN: Int): org.apache.spark.sql.DataFrame = {
     val ns = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     val sel = ns.toSeq.sorted.map { case (ty, n) =>
-      require(n >= 1 && n <= 124, s"median CI needs 1 ≤ n ≤ 124 days (got $n)")
-      val binom = new Array[BigInt](n + 1)
-      binom(0) = BigInt(1)
-      for (i <- 1 to n) binom(i) = binom(i - 1) * (n - i + 1) / i
-      val pow2n = BigInt(2).pow(n)
-      var j = 0
-      // largest j with 40·Σ_{i<j} C(n,i) ≤ 2^n (the exact ≤2.5% tail);
-      // a tiny series where even j=1 overshoots degrades to the widest
-      // interval (x_(1), x_(n)) with its honest sub-95% coverage
-      var cum = BigInt(0)
-      var stop = false
-      for (cand <- 1 to (n + 1) / 2 if !stop) {
-        val t = cum + binom(cand - 1)
-        if (t * 40 <= pow2n) { cum = t; j = cand } else stop = true
-      }
-      if (j == 0) { j = 1; cum = binom(0) }
-      val tail = cum
-      val covNum = pow2n - 2 * tail
-      // BigInt → Double is correctly rounded on both engines, so the
-      // readability ratio stays bit-identical past the 2⁶³ ceiling.
+      require(n <= maxN, s"median CI for '$ty': n = $n exceeds ceiling $maxN")
+      val (j, covNum, pow2n) = binomialCiSelection(n)
+      // BigInt → Double is correctly rounded on the JVM; the oracle
+      // round-trips its HUGEINTs through VARCHAR (strtod is correctly
+      // rounded too), and pow2n is a power of two (exact divisor) — so
+      // the readability ratio is bit-identical on both engines at any n.
       (ty, j.toLong, (n + 1 - j).toLong, ((n + 1) / 2).toLong,
         covNum.toString, pow2n.toString,
         covNum.doubleValue / pow2n.doubleValue)
@@ -758,6 +778,13 @@ object SampleQueries {
       .select(col("event_type"), col("n_days"), col("median_x"),
         col("lo_x"), col("hi_x"), col("j_rank"), col("k_rank"),
         col("cov_num"), col("pow2n"), col("coverage"))
+  }
+
+  val q227MedianCi: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    medianCiFromDaily(s, daily, maxN = 124)
   }
 
   val queries: Map[String, Q] = Map(
@@ -834,7 +861,8 @@ object SampleQueries {
         |  s.j_rank, s.k_rank,
         |  CAST(s.cov_num AS VARCHAR) AS cov_num,
         |  CAST(s.pow2n AS VARCHAR) AS pow2n,
-        |  CAST(s.cov_num AS DOUBLE) / CAST(s.pow2n AS DOUBLE) AS coverage
+        |  CAST(CAST(s.cov_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(s.pow2n AS VARCHAR) AS DOUBLE) AS coverage
         |FROM rk JOIN sel s USING (event_type)
         |GROUP BY s.event_type, s.n, s.j_rank, s.k_rank, s.cov_num,
         |  s.pow2n""".stripMargin,

@@ -446,28 +446,95 @@ class OperationalSpec extends SparkSpec {
     // "abcd"×10: round 1 merges (a,b) (count ties broken pair-asc), round 2
     // MUST see the merged symbol "ab" as a unit and merge (ab, c) — the
     // recursion a one-shot pair count cannot produce — then (abc, d).
+    def seqMerges(docs: org.apache.spark.sql.DataFrame, rounds: Int) =
+      RetrievalQueries.bpeStateSeq(docs, rounds)._1.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1)
     val docs1 = Seq.fill(10)("abcd").toDF("text")
-    val m1 = RetrievalQueries.bpeMerges(docs1, 3).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .sortBy(_._1)
-    m1 shouldBe Array((1, "a", "b", 10L), (2, "ab", "c", 10L), (3, "abc", "d", 10L))
+    seqMerges(docs1, 3) shouldBe
+      Array((1, "a", "b", 10L), (2, "ab", "c", 10L), (3, "abc", "d", 10L))
 
     // "abab"×10: (a,b) counts both positions; the replace must merge BOTH
     // adjacent occurrences in one left-to-right pass (" a  b  a  b " →
     // " ab  ab "), so round 2's top pair is (ab, ab).
     val docs2 = Seq.fill(10)("abab").toDF("text")
-    val m2 = RetrievalQueries.bpeMerges(docs2, 2).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .sortBy(_._1)
-    m2 shouldBe Array((1, "a", "b", 20L), (2, "ab", "ab", 10L))
+    seqMerges(docs2, 2) shouldBe Array((1, "a", "b", 20L), (2, "ab", "ab", 10L))
 
     // boundary safety: in "xab", the (a,b) merge must not touch the x —
     // and (x,ab) must then beat the exhausted pair in round 2.
     val docs3 = (Seq.fill(10)("xab") ++ Seq.fill(3)("ab")).toDF("text")
-    val m3 = RetrievalQueries.bpeMerges(docs3, 2).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .sortBy(_._1)
-    m3 shouldBe Array((1, "a", "b", 13L), (2, "x", "ab", 10L))
+    seqMerges(docs3, 2) shouldBe Array((1, "a", "b", 13L), (2, "x", "ab", 10L))
+  }
+
+  test("q90: batched merges ≡ sequential merges wherever the batch is conflict-free, and batch=1 IS the sequential learner") {
+    val ss = spark
+    import ss.implicits._
+    def batched(docs: org.apache.spark.sql.DataFrame, rounds: Int, batch: Int) = {
+      val (m, s) = RetrievalQueries.bpeState(docs, rounds, batch)
+      (m.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(t => (t._1, t._2)),
+        s.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .sortBy(_._1))
+    }
+    def sequential(docs: org.apache.spark.sql.DataFrame, rounds: Int) = {
+      val (m, s) = RetrievalQueries.bpeStateSeq(docs, rounds)
+      (m.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(_._1),
+        s.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .sortBy(_._1))
+    }
+
+    // Symbol-disjoint top pairs: ONE batched round must reproduce FOUR
+    // sequential rounds exactly — merges in the same order with the same
+    // counts, and the identical final segmentation. (Merging (a,a) cannot
+    // change (b,b)'s count: only pairs touching a merged symbol move.)
+    val disjoint = (Seq.fill(100)("aa") ++ Seq.fill(90)("bb") ++
+      Seq.fill(80)("cc") ++ Seq.fill(70)("dd")).toDF("text")
+    val (bm, bs) = batched(disjoint, rounds = 1, batch = 4)
+    val (sm, ssq) = sequential(disjoint, rounds = 4)
+    bm.map(t => (t._3, t._4, t._5)) shouldBe sm.map(t => (t._2, t._3, t._4))
+    bm.map(_._2) shouldBe Array(1, 2, 3, 4) // all accepted in one round
+    bs shouldBe ssq
+
+    // Conflicting candidates: "abab" puts (a,b):20 and (b,a):10 in the
+    // same window; (b,a) shares both symbols with the higher-ranked (a,b)
+    // so the filter rejects it, and the batched learner lands on exactly
+    // the sequential merge list — batching never lets a stale count
+    // through a conflict.
+    val overlap = Seq.fill(10)("abab").toDF("text")
+    val (om, os) = batched(overlap, rounds = 2, batch = 8)
+    om shouldBe Array((1, 1, "a", "b", 20L), (2, 1, "ab", "ab", 10L))
+    os shouldBe sequential(overlap, rounds = 2)._2
+
+    // batch = 1 degenerates to the sequential learner verbatim on the
+    // real corpus: same merges, same counts, same final word table.
+    val corpus = Tables.documents(spark, sf)
+    val (b1m, b1s) = batched(corpus, rounds = 3, batch = 1)
+    val (sqm, sqs) = sequential(corpus, rounds = 3)
+    b1m.map(t => (t._1, t._3, t._4, t._5)) shouldBe sqm
+    b1s shouldBe sqs
+  }
+
+  test("q90: the production batch setting learns ≥16 merges with one driver sync per round") {
+    val m = RetrievalQueries.bpeState(Tables.documents(spark, sf),
+      RetrievalQueries.BPE_BATCH_ROUNDS, RetrievalQueries.BPE_BATCH)._1
+    val rows = m.collect()
+    rows.length should be >= 16
+    // every accepted batch is conflict-free by construction: within a
+    // round, no merge's symbols may touch an earlier merge's symbols or
+    // their concatenation
+    rows.groupBy(_.getInt(0)).foreach { case (_, batch) =>
+      val sorted = batch.sortBy(_.getInt(1))
+      for (i <- sorted.indices; j <- 0 until i) {
+        val (ta, tb) = (sorted(i).getString(2), sorted(i).getString(3))
+        val (pa, pb) = (sorted(j).getString(2), sorted(j).getString(3))
+        val syms = Set(pa, pb, pa + pb)
+        withClue(s"merge ($ta,$tb) vs earlier ($pa,$pb): ") {
+          syms(ta) shouldBe false
+          syms(tb) shouldBe false
+        }
+      }
+    }
   }
 
   test("q81: fixed-point centroid accumulation is partitioning-invariant — bit-identical at any parallelism") {
@@ -1608,6 +1675,59 @@ class OperationalSpec extends SparkSpec {
     r.getAs[Double]("coverage") should be >= 0.95
     r.getAs[Long]("lo_x") should be <= r.getAs[Long]("median_x")
     r.getAs[Long]("median_x") should be <= r.getAs[Long]("hi_x")
+  }
+
+  test("q227: the year-scale path (spec-gated, n = 365) matches an independent Pascal-triangle reference") {
+    val ss2 = spark
+    import ss2.implicits._
+    val days = 365
+    def xOf(i: Int): Long = ((i * 37 + 11) % 97 + 1).toLong
+    val daily = (0 until days).map(i => ("tick", i.toLong, xOf(i)))
+      .toDF("event_type", "day", "x")
+    val rows = SampleQueries.medianCiFromDaily(spark, daily, maxN = 366).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Long]("n_days") shouldBe days.toLong
+
+    // independent reference: Pascal's triangle (ADDITIVE recurrence — a
+    // different mechanism from the engine's multiplicative fold) plus a
+    // full-scan argmax for the rank selection
+    var tri = Array(BigInt(1))
+    for (_ <- 1 to days)
+      tri = (Array(BigInt(0)) ++ tri).zip(tri ++ Array(BigInt(0)))
+        .map(t => t._1 + t._2)
+    val pow2n = BigInt(2).pow(days)
+    var jRef = 0
+    var tailRef = BigInt(0)
+    var cum = BigInt(0)
+    for (cand <- 1 to (days + 1) / 2) {
+      cum += tri(cand - 1)
+      if (cum * 40 <= pow2n) { jRef = cand; tailRef = cum }
+    }
+    if (jRef == 0) { jRef = 1; tailRef = tri(0) }
+    val covRef = pow2n - 2 * tailRef
+
+    r.getAs[Long]("j_rank") shouldBe jRef.toLong
+    r.getAs[Long]("k_rank") shouldBe (days + 1 - jRef).toLong
+    BigInt(r.getAs[String]("pow2n")) shouldBe pow2n
+    BigInt(r.getAs[String]("cov_num")) shouldBe covRef
+    r.getAs[Double]("coverage") shouldBe covRef.doubleValue / pow2n.doubleValue
+    r.getAs[Double]("coverage") should be >= 0.95
+    // CLT plausibility: j ≈ n/2 − 0.98·√n ≈ 164 at n = 365
+    jRef should be >= 160
+    jRef should be <= 170
+    // the order statistics against the directly sorted series
+    val xs = (0 until days).map(xOf).sorted
+    r.getAs[Long]("lo_x") shouldBe xs(jRef - 1)
+    r.getAs[Long]("median_x") shouldBe xs((days + 1) / 2 - 1)
+    r.getAs[Long]("hi_x") shouldBe xs(days - jRef)
+
+    // the oracle-gated entry keeps its honest ceiling: the same series
+    // through q227's 124-day regime must refuse, not silently mismatch
+    val e = intercept[IllegalArgumentException] {
+      SampleQueries.medianCiFromDaily(spark, daily, maxN = 124).collect()
+    }
+    e.getMessage should include("exceeds ceiling 124")
   }
 
   test("q228: the rank-sum AUC numerator equals brute pair counting, with exact label-swap antisymmetry") {
