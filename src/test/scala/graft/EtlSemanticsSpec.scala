@@ -130,4 +130,20 @@ class EtlSemanticsSpec extends SparkSpec {
     out.schema("b").dataType shouldBe LongType
     out.head() shouldBe Row("x", 1L)
   }
+
+  test("S3A hook: the staging-source connector config maps exactly (network-free — the JdbcSink/Derby rule)") {
+    // provider-chain default: only the filesystem binding, NO static keys
+    // (an accidental empty-string credential would break the chain)
+    GraftSession.s3aConf() shouldBe Map(
+      "spark.hadoop.fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    // the dwh.cfg-style static case + an S3-compatible endpoint
+    val full = GraftSession.s3aConf(
+      accessKey = Some("AK"), secretKey = Some("SK"),
+      endpoint = Some("s3.example.test"), pathStyleAccess = true)
+    full("spark.hadoop.fs.s3a.access.key") shouldBe "AK"
+    full("spark.hadoop.fs.s3a.secret.key") shouldBe "SK"
+    full("spark.hadoop.fs.s3a.endpoint") shouldBe "s3.example.test"
+    full("spark.hadoop.fs.s3a.path.style.access") shouldBe "true"
+    full.keySet should have size 5
+  }
 }
