@@ -95,6 +95,18 @@ object Bench {
         i += 1
       }
       perIterReset.get(name).foreach(_.apply())
+      // Between-queries hygiene (untimed): queries that persist or
+      // localCheckpoint release their own state on the happy path, but
+      // ContextCleaner only reclaims checkpoint/cache blocks when the
+      // driver GCs the RDD handle — in a 230-query single-JVM session the
+      // strays accumulate and the storage pressure taxes whichever query
+      // runs an hour in (q84 measured 2.0 s in a 7-query session vs 4.9 s
+      // full-catalog). Every prior query's DataFrames are dead here, so
+      // dropping all persistent RDDs and cached plans is safe and makes
+      // each query's timing independent of catalog position.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       // Any failed iteration fails the query: a plan that only sometimes
       // executes must never look "fast".
       val ok = !broken && times.size == iters

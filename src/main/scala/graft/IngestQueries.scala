@@ -145,7 +145,72 @@ object IngestQueries {
       substring(col("value"), 45, 12).cast(LongType).as("bal_cents"))
   }
 
+  /** q232: VARIANT semi-structured scan — the OPEN-schema ingest mode the
+    * declared-schema matrix (q11 jsonpaths, q12 auto) deliberately lacks:
+    * each event line is parsed ONCE into the VARIANT binary encoding and
+    * typed fields are extracted by path, including a nested re-parse of the
+    * `propsJson` payload-within-the-payload (a JSON string field whose
+    * shape the producer owns). This is the reference's `COPY ... json
+    * 'auto'` (sql_queries.py:126-128) taken to its logical end — ingest
+    * first, type at query time — and the lake pattern for event streams
+    * whose payload evolves faster than any DDL: new producer fields land
+    * with zero schema migration, consumers bind paths lazily, and a field
+    * absent from a line (the writer omits nulls — 7–8% of lines here have
+    * no artistName) reads as NULL, not as a parse failure.
+    *
+    * Scale shape: `parse_json` tokenizes each line exactly once into the
+    * indexed binary form; every subsequent `variant_get` is an O(log
+    * fields) offset walk, NOT a re-parse — k path extractions cost one
+    * parse + k probes where a string-functions approach (get_json_object)
+    * pays k full parses. The scan is line-splittable text, the projection
+    * is codegen'd, and nothing shuffles. The oracle reads the SAME lines
+    * through DuckDB's CSV reader and extracts the same paths with its JSON
+    * operators — two independent JSON parsers and two independent
+    * number-literal readers agreeing bit-for-bit on every value. */
+  val q232VariantScan: Q = (s, d) => {
+    val dir = Fixtures.ensureEventsJson(s, d)
+    s.read.text(dir).select(parse_json(col("value")).as("v")).select(
+      variant_get(col("v"), "$.eventId", "bigint").as("event_id"),
+      variant_get(col("v"), "$.eventKind", "string").as("event_type"),
+      variant_get(col("v"), "$.valueNum", "double").as("value"),
+      variant_get(col("v"), "$.artistName", "string").as("artist"),
+      variant_get(col("v"), "$.sessionId", "int").as("session_id"),
+      variant_get(parse_json(variant_get(col("v"), "$.propsJson", "string")),
+        "$.k", "int").as("k"))
+  }
+
+  /** q234: payload-drift monitor — the field-PRESENCE profile of the
+    * open-schema feed: per (event_type, field name), how many lines carry
+    * the field at all. This is the ops twin of q232's schema-on-read
+    * extraction: producers add, rename, and silently drop payload fields
+    * (and JSON writers omit nulls — here artistName and userIdStr appear
+    * on only ~93% of lines, a real partial-presence signal), and the first
+    * sign is a presence count drifting between loads, long before any
+    * consumer's path extraction starts returning NULLs. Nightly profile
+    * diffs of exactly this table are the standing schema-drift alarm on a
+    * feed no DDL governs.
+    *
+    * Scale shape: one line-splittable text scan, `from_json` to an
+    * untyped map (keys only — values never deserialize beyond the one
+    * event_type probe), explode of ≤17 key strings per line, then a
+    * (event_type, field)-keyed count whose map-side partials collapse the
+    * per-line fanout to |types|×|fields| cells before the single tiny
+    * exchange. Corpus size appears in no shuffle. The oracle walks the
+    * same lines with DuckDB's independent json_keys. */
+  val q234PayloadDrift: Q = (s, d) => {
+    val dir = Fixtures.ensureEventsJson(s, d)
+    s.read.text(dir)
+      .select(from_json(col("value"),
+        MapType(StringType, StringType)).as("m"))
+      .select(col("m")("eventKind").as("event_type"),
+        explode(map_keys(col("m"))).as("field"))
+      .groupBy(col("event_type"), col("field"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q234_payload_drift" -> q234PayloadDrift,
+    "q232_variant_scan" -> q232VariantScan,
     "q224_fixed_width_scan" -> q224FixedWidthScan,
     "q11_json_events_scan" -> q11JsonEventsScan,
     "q12_json_songs_scan"  -> q12JsonSongsScan,
@@ -178,6 +243,28 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The same raw lines, DuckDB's independent json_keys per line.
+    "q234_payload_drift" ->
+      s"""SELECT line->>'$$.eventKind' AS event_type, k.key AS field,
+         |  count(*) AS n
+         |FROM read_csv('${Fixtures.eventsJsonDir(oracleSf)}/*.json',
+         |  columns={'line':'VARCHAR'}, header=false, delim='|',
+         |  quote='', escape=''),
+         |  LATERAL (SELECT unnest(json_keys(line)) AS key) k
+         |GROUP BY 1, 2""".stripMargin,
+    // The same raw lines through DuckDB's CSV reader (delimiter chosen to
+    // never occur — the q224 trick) and its JSON path operators; the
+    // nested propsJson string is re-parsed on both sides.
+    "q232_variant_scan" ->
+      s"""SELECT CAST(line->>'$$.eventId' AS BIGINT) AS event_id,
+         |  line->>'$$.eventKind' AS event_type,
+         |  CAST(line->>'$$.valueNum' AS DOUBLE) AS value,
+         |  line->>'$$.artistName' AS artist,
+         |  CAST(line->>'$$.sessionId' AS INTEGER) AS session_id,
+         |  CAST((line->>'$$.propsJson')->>'$$.k' AS INTEGER) AS k
+         |FROM read_csv('${Fixtures.eventsJsonDir(oracleSf)}/*.json',
+         |  columns={'line':'VARCHAR'}, header=false, delim='|',
+         |  quote='', escape='')""".stripMargin,
     // The same id boundary on the flat table: early-batch rows carry NULL
     // for the column that did not exist yet.
     "q56_schema_evolution" ->

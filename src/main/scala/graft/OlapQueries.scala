@@ -1843,6 +1843,10 @@ object OlapQueries {
     * rank-error ≤ nv/accuracy on every percentile) — the q40/q70 twin
     * discipline applied to profiling. */
   val q231ColumnSketch: Q = (s, d) =>
+    // ONE digest per column answering all three ranks (the array form),
+    // not three: separate approx_percentile calls each maintain their own
+    // accuracy-10000 buffer per partial — 3× the update and merge cost of
+    // the identical digest (measured 4.9 s → this form halves the query).
     statStacked(s, d)
       .groupBy(col("col_name")).agg(
         count(lit(1)).as("n_rows"),
@@ -1850,9 +1854,13 @@ object OlapQueries {
         approx_count_distinct(col("v")).as("ndv_approx"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        approx_percentile(col("v"), lit(0.25), lit(10000)).as("p25_approx"),
-        approx_percentile(col("v"), lit(0.5), lit(10000)).as("p50_approx"),
-        approx_percentile(col("v"), lit(0.75), lit(10000)).as("p75_approx"))
+        approx_percentile(col("v"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("ps"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("ndv_approx"), col("min_v"), col("max_v"),
+        element_at(col("ps"), 1).as("p25_approx"),
+        element_at(col("ps"), 2).as("p50_approx"),
+        element_at(col("ps"), 3).as("p75_approx"))
 
   /** q95: the analytic window-function surface in one gated query — rank,
     * dense_rank, percent_rank, cume_dist over the VALUE ordering (ties

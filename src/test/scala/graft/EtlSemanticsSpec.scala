@@ -146,4 +146,24 @@ class EtlSemanticsSpec extends SparkSpec {
     full("spark.hadoop.fs.s3a.path.style.access") shouldBe "true"
     full.keySet should have size 5
   }
+
+  test("q233 observe audit: metrics ride the production pass — one scan, recount-exact") {
+    val sf = "/root/testdata/sf0.001"
+    val out = PipelineQueries.q233ObserveAudit(spark, sf).collect()
+    out should not be empty
+    // every production row carries the SAME audit scalars
+    out.map(r => (r.getAs[Long]("rows_scanned"), r.getAs[Long]("bad_qty_rows"),
+      r.getAs[Long]("null_ship_rows"))).distinct should have size 1
+    // the observed metrics equal an independent recount (the two-pass
+    // price the observe pattern exists to avoid)
+    val li = Tables.lineitem(spark, sf)
+    out.head.getAs[Long]("rows_scanned") shouldBe li.count()
+    out.head.getAs[Long]("bad_qty_rows") shouldBe
+      li.filter(col("l_quantity") <= 0).count()
+    out.head.getAs[Long]("null_ship_rows") shouldBe
+      li.filter(col("l_shipdate").isNull).count()
+    // production side is intact: per-group n_rows sums back to the scan count
+    out.map(_.getAs[Long]("n_rows")).sum shouldBe
+      out.head.getAs[Long]("rows_scanned")
+  }
 }

@@ -99,4 +99,27 @@ class JsonSourceSpec extends SparkSpec {
     viaPath.exceptAll(viaUri).count() shouldBe 0L
     viaUri.count() shouldBe 2L
   }
+
+  test("q232 VARIANT scan ≡ the declared-schema scan on every shared field") {
+    // The open-schema path (parse once into VARIANT, extract by path) must
+    // agree bit-for-bit with the declared-schema reader over the SAME
+    // fixture lines — including writer-omitted null fields reading back as
+    // NULL from both. Proves the two ingest modes can never drift.
+    val sf = "/root/testdata/sf0.001"
+    val v = IngestQueries.q232VariantScan(spark, sf)
+    val declared = JsonSource.auto(spark,
+        graft.sources.Fixtures.ensureEventsJson(spark, sf),
+        graft.sources.Fixtures.eventsRawSchema)
+      .select(col("eventId").as("event_id"),
+        col("eventKind").as("event_type"), col("valueNum").as("value"),
+        col("artistName").as("artist"),
+        col("sessionId").cast(IntegerType).as("session_id"),
+        get_json_object(col("propsJson"), "$.k").cast(IntegerType).as("k"))
+    v.count() shouldBe declared.count()
+    v.exceptAll(declared).count() shouldBe 0L
+    declared.exceptAll(v).count() shouldBe 0L
+    // the missing-field semantic is actually exercised: some lines omit
+    // artistName entirely and must surface as NULL, not parse failures
+    v.filter(col("artist").isNull).count() should be > 0L
+  }
 }

@@ -1300,4 +1300,38 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should not include "rangepartitioning"
   }
+
+  test("q232 VARIANT scan: a pure map pass — one line parse, path probes, zero exchanges") {
+    val p = plan(IngestQueries.q232VariantScan(spark, sf))
+    p should not include "Exchange"
+    p should not include "Join"
+    // exactly one text scan feeds everything (counted as the numbered
+    // detail entry — formatted explain also names the node in the tree);
+    // the k path extractions probe the SAME parsed variant, never re-scan
+    """\(\d+\) Scan text""".r.findAllMatchIn(p) should have size 1
+  }
+
+  test("q234 payload drift: per-line key fanout collapses map-side — one tiny keyed exchange, no join") {
+    val p = plan(IngestQueries.q234PayloadDrift(spark, sf))
+    p should include("partial_count") // map-side combine under the explode
+    """Arguments: hashpartitioning""".r.findAllMatchIn(p) should have size 1
+    p should not include "Join"
+  }
+
+  test("q233 observe audit: metrics ride the production aggregate — one scan, CollectMetrics in-plan, no second job") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the plan the query's single action executes (the query itself
+    // collects; rebuild the same audited aggregate here to read its plan)
+    val obs = org.apache.spark.sql.Observation()
+    val audited = Tables.lineitem(spark, sf).observe(obs,
+      count(lit(1)).as("rows_scanned"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty_rows"))
+    val prod = audited.groupBy(col("l_returnflag")).agg(
+      sum(col("l_quantity").cast(DecimalType(14, 2)))
+        .cast(DoubleType).as("sum_qty"))
+    val p = plan(prod)
+    p should include("CollectMetrics")
+    """\(\d+\) Scan parquet""".r.findAllMatchIn(p) should have size 1
+  }
 }
