@@ -99,11 +99,13 @@ object Bench {
       // localCheckpoint release their own state on the happy path, but
       // ContextCleaner only reclaims checkpoint/cache blocks when the
       // driver GCs the RDD handle — in a 230-query single-JVM session the
-      // strays accumulate and the storage pressure taxes whichever query
-      // runs an hour in (q84 measured 2.0 s in a 7-query session vs 4.9 s
-      // full-catalog). Every prior query's DataFrames are dead here, so
-      // dropping all persistent RDDs and cached plans is safe and makes
-      // each query's timing independent of catalog position.
+      // strays accumulate as storage pressure. Every prior query's
+      // DataFrames are dead here, so dropping all persistent RDDs and
+      // cached plans is safe and makes each query's timing independent of
+      // catalog position. (When comparing runs, compare like CPU counts
+      // too: SPARK_GRAFT_CPUS defaults to 4, and a CPU-bound query like
+      // q84 reads 4.9 s at local[4] vs 2.0 s at local[32] — that delta is
+      // thread count, not a regression.)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

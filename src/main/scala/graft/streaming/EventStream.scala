@@ -341,4 +341,49 @@ object EventStream {
     val songs = graft.pipeline.Etl.stageSongs(spark, sfDir) // static side
     graft.pipeline.Etl.songplay(evStream, songs)
   }
+
+  final case class TypedEvent(event_type: String, cents: Long)
+  final case class TypeTotal(event_type: String, n: Long, cents: Long)
+
+  /** Per-key running totals through `transformWithState` — the operator-
+    * builder stateful API (typed per-key state handles + TTL + timers over
+    * the RocksDB store) that supersedes [[sessionize]]'s mapGroupsWithState
+    * shape. Counts and EXACT integer cents only, so any chop of the feed
+    * into micro-batches folds to the bit-identical total (sums of longs
+    * commute; StreamingSpec proves chop-invariance and batch equality).
+    *
+    * Scale shape: state is ONE small row per distinct event_type key,
+    * partitioned by the group key — the stream shuffles once per
+    * micro-batch on event_type and state never grows with history. The
+    * RocksDB provider keeps the working set off-heap and checkpoint-
+    * incremental, the production posture for million-key state (per-user,
+    * not per-type) this twin stands in for. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedEvent, TypeTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var tot: ValueState[TypeTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tot = getHandle.getValueState[TypeTotal]("tot",
+        org.apache.spark.sql.Encoders.product[TypeTotal], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeTotal] = {
+      var n = 0L
+      var c = 0L
+      if (tot.exists()) { val p = tot.get(); n = p.n; c = p.cents }
+      rows.foreach { e => n += 1; c += e.cents }
+      val now = TypeTotal(key, n, c)
+      tot.update(now)
+      Iterator.single(now)
+    }
+  }
+
+  /** The query builder for [[RunningTotalProcessor]] (Update mode: each
+    * micro-batch emits the latest total per touched key). */
+  def runningTotalsTws(events: Dataset[TypedEvent]): Dataset[TypeTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -738,4 +738,47 @@ class StreamingSpec extends SparkSpec {
       streamed.exists(_._1 == 4L) shouldBe false
     } finally q.stop()
   }
+
+  test("transformWithState running totals: chop-invariant and equal to the batch aggregate (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.TypedEvent
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = Seq(TypedEvent("click", 120L), TypedEvent("view", 10L),
+        TypedEvent("click", 5L), TypedEvent("purchase", 999L),
+        TypedEvent("view", 1L), TypedEvent("click", 7L))
+
+      def run(chunks: Seq[Seq[TypedEvent]], qn: String): Map[String, (Long, Long)] = {
+        val input = MemoryStream[TypedEvent]
+        val q = EventStream.runningTotalsTws(input.toDS())
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Update()).start()
+        try chunks.foreach { ch => input.addData(ch: _*); q.processAllAvailable() }
+        finally q.stop()
+        // Update mode appends one emission per touched key per batch; the
+        // running count is monotone, so the final total is the max-n row.
+        spark.table(qn).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            (r.getAs[Long]("n"), r.getAs[Long]("cents"))))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      }
+
+      val oneShot = run(Seq(feed), "tws_one")
+      val chopped = run(Seq(feed.take(2), feed.slice(2, 3), feed.drop(3)), "tws_chop")
+      chopped shouldBe oneShot // micro-batch boundaries can't change totals
+
+      val batch = feed.toDS().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
+      oneShot shouldBe batch // the streaming fold equals the batch aggregate
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
 }
