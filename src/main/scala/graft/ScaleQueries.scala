@@ -161,6 +161,7 @@ object ScaleQueries {
     "q169_bloom_skipping"   -> Seq("graft_docs_bl", "graft_docs_blidx"),
     "q132_checkpoint_resume" -> Seq("graft_kmeans_ckpt"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
+    "q235_sketch_store"     -> Seq("graft_sketch_daily"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
     "q57_zorder_layout"     -> Seq("graft_events_z"),

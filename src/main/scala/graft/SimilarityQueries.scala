@@ -18,9 +18,9 @@ object SimilarityQueries {
   private val PLANES = 8
   private val DIM = 64
   private val CELLS = 16
-  private val NPROBE = 2
+  private[graft] val NPROBE = 2
   private lazy val grid = Similarity.hyperplaneGrid(PLANES, DIM)
-  private lazy val cents = Similarity.mdGrid("iv", CELLS, DIM)
+  private[graft] lazy val cents = Similarity.mdGrid("iv", CELLS, DIM)
 
   private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
@@ -56,8 +56,16 @@ object SimilarityQueries {
     * cell join dynamically prunes the partitioned scan to the probed
     * directories (DPP, plan-pinned). Same candidates, same ranks: the
     * oracle is q33's SQL verbatim. */
-  val q52AnnIvfPruned: Q = (s, d) =>
-    Similarity.ivfTopKPartitioned(Tables.embeddings(s, d), queriesOf(s, d),
+  val q52AnnIvfPruned: Q = (s, d) => ivfPrunedWith(s, d, queriesOf(s, d))
+
+  /** q52's builder with a caller-supplied query set — MetricsSpec probes it
+    * with ONE query to measure the pruned scan's row volume (the full q52
+    * query set collectively probes nearly every cell at test SF, which
+    * would make an aggregate-volume pin vacuous). */
+  private[graft] def ivfPrunedWith(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Similarity.ivfTopKPartitioned(Tables.embeddings(s, d), queries,
       K_ANN, cents, NPROBE,
       assigned => {
         // The layout depends on the source data AND the centroid grid: a

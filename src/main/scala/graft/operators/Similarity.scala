@@ -126,13 +126,13 @@ object Similarity {
     * (write the corpus partitioned by cell → each probe reads nprobe/cells
     * of the data). */
   /** Nearest-cell assignment column (the IVF inverted-file key). */
-  private def cellAssign(cents: Array[Array[Int]], native: Boolean): Column =
+  private[graft] def cellAssign(cents: Array[Array[Int]], native: Boolean): Column =
     array_min(centroidDists(col("embedding"), cents, native)).getField("c")
 
   /** One row per (query, probed cell): the nprobe nearest cells in
     * deterministic (distance, idx) order — the single definition of the
     * probe contract both IVF variants and the oracle must agree on. */
-  private def cellProbes(queries: DataFrame, cents: Array[Array[Int]],
+  private[graft] def cellProbes(queries: DataFrame, cents: Array[Array[Int]],
       nprobe: Int, native: Boolean): DataFrame =
     queries.withColumn("cell",
       explode(transform(

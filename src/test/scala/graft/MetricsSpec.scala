@@ -1,0 +1,94 @@
+package graft
+
+/** Executed-plan VOLUME pins ([[Metrics]]): PlanSpec proves the shapes,
+  * these prove the amounts — each budget is an order-of-magnitude fence
+  * between the intended communication complexity and the naive one, far
+  * above run-to-run wiggle (shuffle record counts are deterministic for a
+  * fixed input+plan; the headroom covers partition-count drift only). */
+class MetricsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val DOCS = 500L     // documents rows at sf0.001
+  private val CELLS = 36000L  // q91/q231 unpivot: 6 stat cols × 6000 lineitem
+
+  test("q01 aggregate ships group partials, never rows") {
+    // 4 (returnflag, linestatus) groups × ≤ a few map partitions — a plan
+    // that lost map-side combine would shuffle all 6000 lineitem rows
+    val n = Metrics.shuffledRecords(Queries.q01PricingSummary(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 600L) }
+  }
+
+  test("q231 sketch profile ships sketch partials, never cells") {
+    // ≤ 6 col_name groups × map partitions — each record one (HLL register
+    // set + digest) partial; the 36k unpivoted cells must never travel
+    val n = Metrics.shuffledRecords(OlapQueries.q231ColumnSketch(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 600L) }
+  }
+
+  test("q21 MinHash-LSH total shuffle volume is O(docs·bands), never O(docs²)") {
+    // 32 band keys/doc plus the verified-candidate traffic; the all-pairs
+    // alternative would put ~docs²/2 = 125k candidate rows through the
+    // exchanges before verification even starts
+    val n = Metrics.shuffledRecords(
+      DedupQueries.q21DedupMinhashLsh(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 36 * DOCS) }
+  }
+
+  test("q199 Gram matrix ships the 2080-cell triangle per partition, never vectors") {
+    val n = Metrics.shuffledRecords(ClusterQueries.q199GramMatrix(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 2080L * 8) }
+  }
+
+  test("q128 zone map: only intersecting files are read — rows scanned ≪ table rows") {
+    // the [ZM_LO, ZM_HI] slice lives in a fraction of the value-clustered
+    // files; a scan that ignored the zone map would read all 10k events
+    val scans = Metrics.scannedRows(ScaleQueries.q128ZoneMap(spark, sf))
+    val read = scans.map(_._2).sum
+    withClue(s"scanned $scans: ") { read should (be > 0L and be < 2500L) }
+  }
+
+  test("q52 IVF probe: DPP reads exactly the probed cells' rows from the cell layout") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // The property is EXACT pruning, not a magnitude: this corpus's cell
+    // assignment is heavily skewed (one centroid captures ~80% of vectors
+    // at sf0.001), so "rows ≪ table" would be vacuous or flaky — instead
+    // the layout relation must output precisely the rows of the one
+    // query's nprobe probed cells, no more. (The unpartitioned embeddings
+    // scan in the same plan BUILT the layout and legitimately reads 500.)
+    val one = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+    val scans = Metrics.scannedRows(
+      SimilarityQueries.ivfPrunedWith(spark, sf, one))
+    val layout = scans.filter(_._1.contains("graft_emb_ivf")).map(_._2).sum
+
+    val native = spark.catalog.functionExists("l2_sq")
+    val probed = Similarity.cellProbes(one, SimilarityQueries.cents,
+        SimilarityQueries.NPROBE, native)
+      .select(col("cell")).collect().map(_.getInt(0)).toSet
+    val expected = Tables.embeddings(spark, sf)
+      .withColumn("cell", Similarity.cellAssign(SimilarityQueries.cents, native))
+      .filter(col("cell").isin(probed.toSeq: _*)).count()
+    withClue(s"scanned $scans, probed cells $probed: ") {
+      layout shouldBe expected
+      layout should be < 500L // and the pruning really skipped something
+    }
+  }
+
+  test("q153 IVM steady state: base rows never travel — only delta partials and group cells") {
+    // every delta term broadcasts its (tiny) delta side, so the base
+    // orders/lineitem rows reach no exchange; what shuffles is the
+    // delta-view's partial-aggregated cells plus the final 20-cell group.
+    // A full re-join would put the 6000 lineitem + 1500 orders rows
+    // through a keyed exchange every refresh.
+    val n = Metrics.shuffledRecords(ScaleQueries.q153IvmJoin(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 2000L) }
+  }
+
+  test("q234 payload drift collapses the per-line key fanout map-side") {
+    // ≤ |event types| × |fields| cells per map partition (85 live cells);
+    // the naive plan shuffles every exploded key — 10k lines × ~17 keys
+    val n = Metrics.shuffledRecords(
+      IngestQueries.q234PayloadDrift(spark, sf))
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 2000L) }
+  }
+}

@@ -183,4 +183,50 @@ class SketchSpec extends SparkSpec {
       close(l("est_inter_milli"), l("n_inter_exact"))
     }
   }
+
+  test("q235 stored sketches: estimates within DataSketches bounds of exact; serve never rescans events") {
+    val got = OlapQueries.q235SketchStore(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("users_approx"),
+          r.getAs[Double]("p50_value_approx")))).toMap
+
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+    val exact = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("du"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("du")))).toMap
+    got.keySet shouldBe exact.keySet
+
+    exact.foreach { case (t, (n, du)) =>
+      val (gn, gu, gp50) = got(t)
+      gn shouldBe n // the non-sketch aggregate is exact through the store
+      // HLL default lgConfigK=12: rsd ≈ 1.04/√2¹² ≈ 1.6% — allow 3σ
+      math.abs(gu - du).toDouble should be <= (du * 0.05 + 1)
+      // KLL default k=200 ⇒ ε ≈ 1.65% rank error — the returned p50's
+      // rank among this type's exact values must sit within 3·n/100 + 1
+      val vals = ev.filter(col("event_type") === t && col("value").isNotNull)
+        .collect().map(_.getAs[Double]("value")).sorted
+      val lt = vals.count(_ < gp50).toDouble
+      val le = vals.count(_ <= gp50).toDouble
+      val err = 3.0 * vals.length / 100 + 1
+      withClue(s"$t p50=$gp50 rank∈($lt,$le] of ${vals.length}: ") {
+        lt should be <= (0.5 * vals.length + err)
+        le should be >= (0.5 * vals.length - err)
+      }
+    }
+
+    // the architecture's point, pinned: the serving plan reads ONLY the
+    // day-grain store — the events fact never appears among its scans
+    val scans = Metrics.scannedRows(OlapQueries.q235SketchStore(spark, sf))
+    withClue(s"serve scans $scans: ") {
+      scans.map(_._1).exists(_.contains("graft_sketch_daily")) shouldBe true
+      scans.map(_._1).exists(_.contains("events.parquet")) shouldBe false
+    }
+
+    // and the store is day-grain small: days × types rows, sketch bytes
+    val store = OlapQueries.sketchDailyStore(spark, sf)
+    store.count() should be < 400L // ~90 days × 4 types at sf0.001
+  }
 }
