@@ -84,6 +84,19 @@ class MetricsSpec extends SparkSpec {
     withClue(s"shuffled $n: ") { n should (be > 0L and be <= 2000L) }
   }
 
+  test("q73/q78 incremental dedup: corpus state is read, never re-shuffled") {
+    // the whole point of the incremental path: the banded corpus state
+    // (~14k band rows here) and the corpus docs stream through broadcast
+    // probes — only the incoming batch's collapsed partials reach an
+    // exchange (measured: 11 and 13 records respectively)
+    for ((name, df) <- Seq(
+        "q73" -> DedupQueries.q73IncrementalDedup(spark, sf),
+        "q78" -> DedupQueries.q78IncrementalRefresh(spark, sf))) {
+      val n = Metrics.shuffledRecords(df)
+      withClue(s"$name shuffled $n: ") { n should (be > 0L and be <= 200L) }
+    }
+  }
+
   test("q234 payload drift collapses the per-line key fanout map-side") {
     // ≤ |event types| × |fields| cells per map partition (85 live cells);
     // the naive plan shuffles every exploded key — 10k lines × ~17 keys
