@@ -49,15 +49,18 @@ object Metrics {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
         case _                        => Seq.empty
       }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
-    walk(df.queryExecution.executedPlan).distinct
+    distinctByIdentity(walk(df.queryExecution.executedPlan))
       .map(s => (s.tableIdentifier.map(_.toString)
           .getOrElse(s.relation.location.rootPaths.mkString(",")),
         s.metrics("numOutputRows").value))
   }
 
   /** The shuffle exchanges of an executed plan: AQE roots and materialized
-    * query stages are unwrapped to the plans that ran; distinct instances,
-    * so an exchange reused by two branches is counted once. */
+    * query stages are unwrapped to the plans that ran. Dedup is by
+    * REFERENCE, not structure — physical nodes are case classes, so two
+    * structurally identical but independently executed exchanges (each
+    * carrying its own metric values) must both count, while an exchange a
+    * ReusedExchange points back at counts once. */
   def shuffles(plan: SparkPlan): Seq[ShuffleExchangeLike] = {
     def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
       val here = p match {
@@ -69,6 +72,12 @@ object Metrics {
       here ++ p.children.flatMap(walk) ++
         p.subqueries.flatMap(walk)
     }
-    walk(plan).distinct
+    distinctByIdentity(walk(plan))
+  }
+
+  private def distinctByIdentity[T <: AnyRef](xs: Seq[T]): Seq[T] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[T, java.lang.Boolean]())
+    xs.filter(seen.add)
   }
 }
