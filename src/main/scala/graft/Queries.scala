@@ -401,6 +401,31 @@ object Queries {
         (col("n_orders") - col("n_late")).as("n_ontime"))
   }
 
+  /** q236: ORDERED STRING AGGREGATION (`listagg ... WITHIN GROUP`, the
+    * SQL:2016 form Spark 4 added) — per nation, the alphabetical roster
+    * of its customers' market segments plus the member count. The ordered
+    * form is the only hash-gateable one: an unordered listagg is
+    * nondeterministic under ANY parallel execution (concat order = task
+    * order), exactly the q95-ntile class of trap, so the WITHIN GROUP
+    * ordering is semantics, not cosmetics. DISTINCT collapses map-side
+    * BEFORE the aggregation (an explicit pre-distinct rather than
+    * listagg(DISTINCT ...) — same plan Spark would derive, and DuckDB's
+    * string_agg accepts the same shape verbatim), the dim join
+    * broadcasts, and groups are nation-sized: 25 output rows whatever
+    * the customer count. */
+  val q236ListaggRoster: Q = (s, d) => {
+    val segs = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    segs.join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        expr("listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment)")
+          .as("segments"),
+        count(lit(1)).as("n_segments"))
+  }
+
   /** q226: TOP-N WITH AN OTHERS BUCKET — the report shape every BI layer
     * renders (top-3 customers per nation by revenue, everyone else
     * rolled into one OTHERS row per nation, shares of the nation total)
@@ -444,6 +469,7 @@ object Queries {
   }
 
   val relational: Map[String, Q] = Map(
+    "q236_listagg_roster" -> q236ListaggRoster,
     "q226_topn_others" -> q226TopnOthers,
     "q221_order_priority" -> q221OrderPriority,
     "q216_rfm_segments" -> q216RfmSegments,
@@ -463,6 +489,15 @@ object Queries {
     "q64_region_revenue"    -> q64RegionRevenue)
 
   val relationalOracle: Map[String, String] = Map(
+    // Same pre-distinct, same ordered concat — DuckDB's string_agg with
+    // an in-aggregate ORDER BY is the listagg WITHIN GROUP equivalent.
+    "q236_listagg_roster" ->
+      """WITH s AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |SELECT n_name AS nation,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+        |  count(*) AS n_segments
+        |FROM s JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin,
     // Same ranks, same complement, same exact cents and one division.
     "q226_topn_others" ->
       """WITH bc AS (SELECT c.c_nationkey AS nation, c.c_custkey,

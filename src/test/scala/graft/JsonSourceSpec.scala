@@ -122,4 +122,22 @@ class JsonSourceSpec extends SparkSpec {
     // artistName entirely and must surface as NULL, not parse failures
     v.filter(col("artist").isNull).count() should be > 0L
   }
+
+  test("VARIANT ingest tolerance: try_parse_json quarantines garbage as NULL; parse_json is strict") {
+    // q232 uses the STRICT parse (its fixture is machine-written); a feed
+    // with untrusted producers swaps in try_parse_json — same plan, bad
+    // lines become NULL variants and filter out exactly like
+    // autoTolerant's corrupt-record split
+    val dir = writeJson("""{"a": 1}""", """not json at all""")
+    val tolerant = spark.read.text(dir)
+      .select(col("value"), try_parse_json(col("value")).as("v"))
+    tolerant.filter(col("v").isNull).count() shouldBe 1L
+    tolerant.filter(col("v").isNotNull).count() shouldBe 1L
+    // and the quarantined RAW line is still addressable for the reject sink
+    tolerant.filter(col("v").isNull).select(col("value")).head().getString(0) shouldBe
+      "not json at all"
+    intercept[org.apache.spark.SparkException] {
+      spark.read.text(dir).select(parse_json(col("value"))).collect()
+    }
+  }
 }

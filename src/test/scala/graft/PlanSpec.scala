@@ -1301,6 +1301,13 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q236 listagg: pre-distinct collapses map-side and the nation dim broadcasts") {
+    val p = plan(Queries.q236ListaggRoster(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("partial_") // the distinct's map-side collapse
+  }
+
   test("q232 VARIANT scan: a pure map pass — one line parse, path probes, zero exchanges") {
     val p = plan(IngestQueries.q232VariantScan(spark, sf))
     p should not include "Exchange"
