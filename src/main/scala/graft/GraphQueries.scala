@@ -85,14 +85,17 @@ object GraphQueries {
     val conf = s.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(st => st.isFile && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-      else Seq(fs.getFileStatus(p))
-    stats.map { st =>
+    // RECURSIVE walk: a partitioned/nested layout (which Tables.load reads
+    // transparently) must count the same files the scan would read — a
+    // single-level listing would see only subdirectories, sum to 0, and
+    // silently pick broadcast mode for an over-threshold graph.
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    }
+    walk(fs.getFileStatus(p)).map { st =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       try r.getRecordCount finally r.close()
@@ -108,9 +111,18 @@ object GraphQueries {
     * pin exactly where it pays. The conf is read both when the cache
     * entry is compiled (persist) and when consumers plan against it, so
     * the whole keyed loop — setup through final checkpoint — runs inside
-    * the scope. */
+    * the scope.
+    *
+    * Concurrency: the set/restore mutates SHARED session conf, so two
+    * threads scoping it on one session would race (A's restore could
+    * unpin B mid-loop). The keyed scopes themselves serialize on the
+    * monitor below; a concurrent NON-graph query on the same session can
+    * still observe the pin for the scope's duration — callers running
+    * mixed concurrent workloads should give graph queries their own
+    * `SparkSession.newSession()` (separate conf, shared cache). Bench and
+    * Verify run strictly sequentially, where none of this applies. */
   private[graft] def withPinnedCachedPartitioning[T](
-      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = pinLock.synchronized {
     val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val prev = s.conf.getOption(k)
     s.conf.set(k, "false")
@@ -120,6 +132,7 @@ object GraphQueries {
       case None => s.conf.unset(k)
     }
   }
+  private val pinLock = new Object
 
   /** The customer↔supplier bipartite edge list induced by orders⋈lineitem,
     * symmetrized, with nodes packed into one BIGINT (custkey·2 /

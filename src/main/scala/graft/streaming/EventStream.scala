@@ -395,12 +395,15 @@ object EventStream {
     * Streaming's contract is exactly-once *state* but at-least-once sink
     * delivery for arbitrary `foreachBatch` writers; keying the physical
     * layout by the (replay-stable) batchId upgrades that to
-    * exactly-once-effective with no transaction log, the plain-parquet
-    * analog of a WAP commit (q115). Readers see the union of batch
-    * partitions; the partition column prunes per-batch audits for free.
-    * Dynamic mode only replaces partitions present in the incoming frame —
-    * other batches' output is never touched (pinned by spec alongside the
-    * replay and concurrent-reader properties). */
+    * exactly-once-effective with no transaction log. Readers see the
+    * union of batch partitions; the partition column prunes per-batch
+    * audits for free. Dynamic mode only replaces partitions present in
+    * the incoming frame — other batches' output is never touched (pinned
+    * by spec, as is replay idempotence). What plain parquet canNOT give
+    * is reader isolation DURING a replay: a reader racing the overwrite
+    * can see batch=<id> mid-replacement — the q115 write-audit-publish
+    * pointer swap is the atomic-visibility upgrade when readers and
+    * replays overlap. */
   def idempotentBatchWrite(outDir: String)(df: DataFrame, batchId: Long): Unit =
     df.withColumn("batch", lit(batchId))
       .write.mode("overwrite")

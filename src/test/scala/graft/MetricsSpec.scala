@@ -8,8 +8,7 @@ package graft
 class MetricsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private val DOCS = 500L     // documents rows at sf0.001
-  private val CELLS = 36000L  // q91/q231 unpivot: 6 stat cols × 6000 lineitem
+  private val DOCS = 500L // documents rows at sf0.001
 
   test("q01 aggregate ships group partials, never rows") {
     // 4 (returnflag, linestatus) groups × ≤ a few map partitions — a plan
