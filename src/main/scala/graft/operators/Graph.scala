@@ -54,22 +54,42 @@ object Graph {
 
     var cur = canonical.localCheckpoint(true)
     var curCount = cur.count()
+    // The loop's exchanges are sized to the DATA, not the session default:
+    // each round runs ~4 small exchanges over a monotonically shrinking
+    // edge list, and at modest |edges| the per-round cost is task overhead,
+    // not bytes — 32 partitions × 6 rounds × 4 exchanges of a 150k-row
+    // list is pure scheduling tax (measured 17% of q191 at sf0.1). One
+    // partition per ~50k edges recovers it, floored at 8 to keep the loop
+    // parallel and capped at the session np so a cluster-scale edge list
+    // keeps its full width. Results are partitioning-independent (integer
+    // set ops; the hash gate runs across this change).
+    val s = edges.sparkSession
+    val npKey = "spark.sql.shuffle.partitions"
+    val np0 = s.sessionState.conf.numShufflePartitions
+    val loopNp = math.min(np0, math.max(8, (curCount / 50000L).toInt)).toString
+    val prevNp = s.conf.getOption(npKey)
+    s.conf.set(npKey, loopNp)
     var rounds = 0
     var converged = false
-    while (!converged) {
-      if (rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"star contraction did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      rounds += 1
-      // Sound two-step fixpoint test, cheapest first: both sides are
-      // DISTINCT canonical sets, so |next| = |cur| ∧ next∖cur = ∅ ⟺
-      // set equality. While the count is still moving (most rounds) the
-      // except never runs; only the terminal round pays it.
-      val nextCount = next.count()
-      converged = nextCount == curCount && next.except(cur).isEmpty
-      cur = next
-      curCount = nextCount
+    try {
+      while (!converged) {
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"star contraction did not converge in $maxRounds rounds")
+        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        rounds += 1
+        // Sound two-step fixpoint test, cheapest first: both sides are
+        // DISTINCT canonical sets, so |next| = |cur| ∧ next∖cur = ∅ ⟺
+        // set equality. While the count is still moving (most rounds) the
+        // except never runs; only the terminal round pays it.
+        val nextCount = next.count()
+        converged = nextCount == curCount && next.except(cur).isEmpty
+        cur = next
+        curCount = nextCount
+      }
+    } finally prevNp match {
+      case Some(v) => s.conf.set(npKey, v)
+      case None => s.conf.unset(npKey)
     }
     // Fixpoint edges are (node → component min); roots label themselves.
     val labels = nodes
