@@ -147,6 +147,22 @@ class EtlSemanticsSpec extends SparkSpec {
     full.keySet should have size 5
   }
 
+  test("X9 analog: parameterized SQL is the engine-native form of the reference's string templating") {
+    // The reference interpolates config values into SQL text
+    // (sql_queries.py templates the IAM role / S3 paths via .format() —
+    // SURVEY §2.8 X9, declared not-a-query-op). Spark's parameterized
+    // spark.sql is the native equivalent: the same one-statement
+    // flexibility with literals bound by the ENGINE, so a hostile config
+    // value cannot splice syntax into the statement.
+    val named = spark.sql(
+      "SELECT :tbl AS t, :lim AS lim",
+      Map("tbl" -> "songplay", "lim" -> 5))
+    named.head() shouldBe Row("songplay", 5)
+    // positional binding, and the would-be injection stays a LITERAL
+    val pos = spark.sql("SELECT ? AS v", Array("'; DROP TABLE songplay --"))
+    pos.head().getString(0) shouldBe "'; DROP TABLE songplay --"
+  }
+
   test("q233 observe audit: metrics ride the production pass — one scan, recount-exact") {
     val sf = "/root/testdata/sf0.001"
     val out = PipelineQueries.q233ObserveAudit(spark, sf).collect()
