@@ -113,26 +113,19 @@ object GraphQueries {
     * the whole keyed loop — setup through final checkpoint — runs inside
     * the scope.
     *
-    * Concurrency: the set/restore mutates SHARED session conf, so two
-    * threads scoping it on one session would race (A's restore could
-    * unpin B mid-loop). The keyed scopes themselves serialize on the
-    * monitor below; a concurrent NON-graph query on the same session can
-    * still observe the pin for the scope's duration — callers running
-    * mixed concurrent workloads should give graph queries their own
-    * `SparkSession.newSession()` (separate conf, shared cache). Bench and
-    * Verify run strictly sequentially, where none of this applies. */
+    * Concurrency: the set/restore mutates SHARED session conf, so scopes
+    * on one session serialize per session ([[SessionConf]] — scopes on
+    * independent `newSession()` clones run concurrently); a concurrent
+    * NON-graph query on the SAME session can still observe the pin for
+    * the scope's duration — callers running mixed concurrent workloads
+    * should give graph queries their own `newSession()` (separate conf,
+    * shared cache). Bench and Verify run strictly sequentially, where
+    * none of this applies. */
   private[graft] def withPinnedCachedPartitioning[T](
-      s: org.apache.spark.sql.SparkSession)(body: => T): T = pinLock.synchronized {
-    val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "false")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
-    }
-  }
-  private val pinLock = new Object
+      s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    SessionConf.withValue(s,
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "false")(body)
 
   /** The customer↔supplier bipartite edge list induced by orders⋈lineitem,
     * symmetrized, with nodes packed into one BIGINT (custkey·2 /

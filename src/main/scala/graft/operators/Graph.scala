@@ -64,14 +64,14 @@ object Graph {
     // keeps its full width. Results are partitioning-independent (integer
     // set ops; the hash gate runs across this change).
     val s = edges.sparkSession
-    val npKey = "spark.sql.shuffle.partitions"
     val np0 = s.sessionState.conf.numShufflePartitions
     val loopNp = math.min(np0, math.max(8, (curCount / 50000L).toInt)).toString
-    val prevNp = s.conf.getOption(npKey)
-    s.conf.set(npKey, loopNp)
     var rounds = 0
     var converged = false
-    try {
+    // per-session serialized set/restore (graft.SessionConf): a concurrent
+    // scope on the same session can never capture this scope's temporary
+    // value as "previous" and restore it permanently
+    graft.SessionConf.withValue(s, "spark.sql.shuffle.partitions", loopNp) {
       while (!converged) {
         if (rounds >= maxRounds)
           throw new IllegalStateException(
@@ -87,9 +87,6 @@ object Graph {
         cur = next
         curCount = nextCount
       }
-    } finally prevNp match {
-      case Some(v) => s.conf.set(npKey, v)
-      case None => s.conf.unset(npKey)
     }
     // Fixpoint edges are (node → component min); roots label themselves.
     val labels = nodes

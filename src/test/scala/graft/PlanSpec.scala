@@ -1305,7 +1305,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(Queries.q236ListaggRoster(spark, sf))
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
-    p should include("partial_") // the distinct's map-side collapse
+    // the pre-distinct is its OWN two-stage aggregate on the full key pair
+    // (Functions: [] = pure dedup) — asserting on `partial_` alone would be
+    // satisfied by the outer listagg's partial even with the distinct gone
+    """Keys \[2\]: \[c_nationkey#\d+, c_mktsegment#\d+\]""".r
+      .findAllMatchIn(p).size should be >= 2 // partial + final dedup stages
+    p should include("Functions: []")
   }
 
   test("q232 VARIANT scan: a pure map pass — one line parse, path probes, zero exchanges") {
