@@ -56,8 +56,11 @@ object GraphQueries {
     * (default auto; the env var SPARK_GRAFT_GRAPH_MODE seeds the default
     * so a driver run can force a path without code changes). Auto
     * compares an upper bound on the node count — the customer + supplier
-    * dimension sizes, two parquet-metadata counts, memoized per scale
-    * dir — against `spark.graft.graph.broadcastNodeLimit` (default 10M
+    * dimension sizes, two parquet-footer reads performed PER CALL
+    * (deliberately unmemoized: a rewritten scale dir must never be served
+    * a stale count; if per-call listing cost ever matters at very large
+    * file counts, memoize keyed by (path, mtime)) — against
+    * `spark.graft.graph.broadcastNodeLimit` (default 10M
     * nodes ≈ 160 MB of (node,rank) rows: safely inside executor memory
     * as a broadcast, and far past every test scale). Both paths produce
     * bit-identical results (every update is integer min/sum —

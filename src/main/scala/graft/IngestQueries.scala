@@ -208,7 +208,44 @@ object IngestQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q237: ORC scan — the ingest-format matrix's second NATIVE columnar
+    * format (parquet tables, JSON q11/q12, RFC-4180 CSV q170, fixed-width
+    * q224, VARIANT q232, federated q190; Spark bundles the ORC reader —
+    * orc-core ships in its jars — so a lake that standardized on ORC, the
+    * Hive-lineage half of the columnar world, reads first-class with zero
+    * added dependencies). The orders table materializes once as ORC
+    * ([[graft.operators.Scale.writeOnce]] with format=orc, fingerprint-
+    * chained to the source parquet) and is read back with a DECLARED
+    * schema — no inference pass, the q11/q170 discipline. Column pruning
+    * and predicate pushdown work through the same DSv1 scan machinery as
+    * parquet (ORC carries its own stripe/row-group stats), so every
+    * pushdown claim PlanSpec pins for parquet holds here structurally.
+    * The oracle replays the flat parquet table — q55's rule: a physical
+    * format/layout change must be INVISIBLE to results, and the
+    * round-trip proves longs, doubles, strings, and microsecond
+    * timestamps survive two independent columnar codecs bit-for-bit. */
+  val q237OrcScan: Q = (s, d) => {
+    import graft.operators.Scale
+    val dir = Scale.writeOnce(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")),
+      s"graft_orders_orc_${ScaleQueries.sfTag(d)}",
+      Scale.dirFingerprint(s"$d/orders.parquet"), format = "orc")
+    val declared = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      // the source parquet's timestamp[us] carries no zone → Spark reads
+      // it as TIMESTAMP_NTZ, and ORC preserves that distinction; a
+      // declared TIMESTAMP (LTZ) here is an unsupported ORC cast
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType)))
+    s.read.schema(declared).orc(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q237_orc_scan" -> q237OrcScan,
     "q234_payload_drift" -> q234PayloadDrift,
     "q232_variant_scan" -> q232VariantScan,
     "q224_fixed_width_scan" -> q224FixedWidthScan,
@@ -243,6 +280,12 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q55's layout-invisibility rule: the ORC round-trip must reproduce
+    // the flat parquet table exactly.
+    "q237_orc_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     // The same raw lines, DuckDB's independent json_keys per line.
     "q234_payload_drift" ->
       s"""SELECT line->>'$$.eventKind' AS event_type, k.key AS field,

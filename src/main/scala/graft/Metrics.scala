@@ -35,24 +35,37 @@ object Metrics {
       .map(_.metrics("shuffleRecordsWritten").value).sum
   }
 
-  /** Rows each file scan actually produced (AQE unwrapped, distinct scan
+  /** Rows each leaf scan actually produced (AQE unwrapped, distinct scan
     * instances), after running a full-plan action — the quantitative proof
     * of skipping: a partition-pruned or zone-mapped scan must output the
     * selected slice's rows, not the table's. Keyed by the scan's table/
-    * location description so a spec can pick its relation. */
+    * location description so a spec can pick its relation. Matches BOTH
+    * reader generations — DSv1 `FileSourceScanExec` (keyed by table id or
+    * root paths) and DSv2 `BatchScanExec` (keyed by the Scan description,
+    * which embeds the location) — so a source migrating to the v2 reader
+    * cannot make a negative assertion ("table X never appears among the
+    * scans") pass vacuously; specs should still pair every negative pin
+    * with a positive scan assertion as a belt-and-braces guard. */
   def scannedRows(df: DataFrame): Seq[(String, Long)] = {
     df.queryExecution.toRdd.foreach(_ => ())
-    def walk(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    def walk(p: SparkPlan): Seq[SparkPlan] =
       (p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec        => walk(q.plan)
         case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
         case _                        => Seq.empty
       }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
-    distinctByIdentity(walk(df.queryExecution.executedPlan))
-      .map(s => (s.tableIdentifier.map(_.toString)
-          .getOrElse(s.relation.location.rootPaths.mkString(",")),
-        s.metrics("numOutputRows").value))
+    distinctByIdentity(walk(df.queryExecution.executedPlan)).map {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.tableIdentifier.map(_.toString)
+            .getOrElse(s.relation.location.rootPaths.mkString(",")),
+          s.metrics("numOutputRows").value)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        (b.scan.description(), b.metrics("numOutputRows").value)
+      case other => // unreachable: walk only emits the two cases above
+        (other.nodeName, other.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
+    }
   }
 
   /** The shuffle exchanges of an executed plan: AQE roots and materialized

@@ -162,11 +162,15 @@ object RetrievalQueries {
     * are DISJOINT from every higher-ranked candidate (including its
     * concatenation — the conflict rule), then applies all accepted
     * replaces in rank order. Merging (a,b) can only change the counts of
-    * pairs touching a or b, so disjoint batch-mates keep the exact counts
-    * sequential BPE would have seen — where the batch has no conflicts,
-    * batched ≡ sequential (OperationalSpec proves it, plus batch=1 ≡ the
-    * sequential learner verbatim). Tie-break everywhere is (count desc,
-    * pair asc).
+    * pairs touching a or b, so disjoint batch-mates' counts and relative
+    * order are exactly what sequential BPE saw at round START; sequential
+    * may still interleave a merge newly CREATED within the round (e.g.
+    * prefer a pair produced by an earlier batch-mate's merge), so merge
+    * ORDER can diverge even on conflict-free batches — the OperationalSpec
+    * examples are the cases where full equivalence holds, plus batch=1 ≡
+    * the sequential learner verbatim. The oracle replays this identical
+    * batched algorithm, so gating is exact either way. Tie-break
+    * everywhere is (count desc, pair asc).
     *
     * Symbol sequences are strings with a TWO-space gap between symbols and
     * a one-space pad at each end, so "merge pair (x,y)" is the literal

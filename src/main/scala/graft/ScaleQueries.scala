@@ -157,13 +157,14 @@ object ScaleQueries {
     "q51_partition_pruning" -> Seq("graft_docs_part"),
     "q126_layout_audit"     -> Seq("graft_docs_part"),
     "q127_forget_delete"    -> Seq("graft_docs_del"),
-    "q128_zone_map"         -> Seq("graft_events_zm"),
+    "q128_zone_map"         -> Seq("graft_events_zm", "graft_events_zmidx"),
     "q169_bloom_skipping"   -> Seq("graft_docs_bl", "graft_docs_blidx"),
     "q132_checkpoint_resume" -> Seq("graft_kmeans_ckpt"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q235_sketch_store"     -> Seq("graft_sketch_daily"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
+    "q237_orc_scan"         -> Seq("graft_orders_orc"),
     "q57_zorder_layout"     -> Seq("graft_events_z"),
     "q205_hilbert_layout"   -> Seq("graft_events_h"),
     "q217_incremental_sessions" -> Seq("graft_sessions_state"),
@@ -278,40 +279,64 @@ object ScaleQueries {
     * pruning q57's Z-order gets implicitly from parquet row-group stats
     * (and the mechanism behind Delta/Iceberg file-stats skipping): events
     * lay out range-partitioned by `value` (8 files, each covering a tight
-    * value interval), a per-file (min, max, rows) zone map is computed
-    * from the layout itself, and a selective BETWEEN predicate consults
-    * the zone map FIRST — only files whose interval intersects the
-    * predicate are handed to the scan; the rest are never opened. The
-    * zone-map lookup is the one driver-side step, bounded by FILE COUNT
-    * (that is what makes external indexes work: metadata ∝ files, not
-    * rows). OperationalSpec asserts real skipping (hit files < total
-    * files); the oracle is the flat filter — skipping must be invisible
+    * value interval), and a per-file (min, max, rows) zone map is
+    * PERSISTED as a write-once sidecar table fingerprint-chained to the
+    * layout it indexes — exactly q169's Bloom-sidecar discipline (layout
+    * rebuild → new file names/mtimes → new fingerprint → sidecar
+    * rebuilds). A selective BETWEEN predicate consults the SIDECAR first —
+    * only files whose interval intersects the predicate are handed to the
+    * scan; the rest are never opened. The one full pass over the layout
+    * happens at sidecar BUILD time (write-once, amortized over every
+    * query); each query-time consult reads only sidecar rows, bounded by
+    * FILE COUNT (that is what makes external indexes work: metadata ∝
+    * files, not rows — now true of the query path, not just the lookup).
+    * OperationalSpec asserts real skipping (hit files < total files) and
+    * that the consult's ONLY scan is the sidecar (8 rows, never the
+    * layout); the oracle is the flat filter — skipping must be invisible
     * to results. */
   private val ZM_LO = 40.0
   private val ZM_HI = 45.0
+  private[graft] val ZM_FILES = 8
 
-  val q128ZoneMap: Q = (s, d) => {
+  /** Build (write-once) the range layout + its zone-map sidecar; return
+    * both dirs. The sidecar is one row per file: (f, vlo, vhi, n_rows). */
+  private[graft] def zoneMapLayout(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
     val dir = Scale.writeOnce(
       Tables.events(s, d).select(col("event_id"), col("value"))
         .filter(col("value").isNotNull)
-        .repartitionByRange(8, col("value")),
+        .repartitionByRange(ZM_FILES, col("value")),
       s"graft_events_zm_${sfTag(d)}", Scale.dirFingerprint(s"$d/events.parquet"))
-    val hit = zoneMapHits(s, dir, ZM_LO, ZM_HI)
+    val idx = Scale.writeOnce(
+      s.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"),
+          count(lit(1)).as("n_rows")),
+      s"graft_events_zmidx_${sfTag(d)}", Scale.dirFingerprint(dir))
+    (dir, idx)
+  }
+
+  val q128ZoneMap: Q = (s, d) => {
+    val (dir, idx) = zoneMapLayout(s, d)
+    val hit = zoneMapHits(s, idx, ZM_LO, ZM_HI)
     (if (hit.isEmpty) s.read.parquet(dir).limit(0)
      else s.read.parquet(hit: _*))
       .filter(col("value") >= ZM_LO && col("value") <= ZM_HI)
       .select(col("event_id"), col("value"))
   }
 
-  /** The zone-map consultation: per-file min/max from the layout, then the
-    * files whose interval intersects [lo, hi]. Exposed so OperationalSpec
-    * can assert that skipping actually skips. */
+  /** The sidecar read the consult is allowed — exposed as a DataFrame so
+    * MetricsSpec can prove the consult's only scan is the sidecar. */
+  private[graft] def zoneMapConsult(s: org.apache.spark.sql.SparkSession,
+      idx: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(idx).select(col("f"), col("vlo"), col("vhi"))
+
+  /** The zone-map consultation: files whose [vlo, vhi] interval intersects
+    * [lo, hi], FROM THE SIDECAR ONLY — the layout is never scanned here
+    * (MetricsSpec pins that). Driver-side collect ∝ file count. */
   private[graft] def zoneMapHits(s: org.apache.spark.sql.SparkSession,
-      dir: String, lo: Double, hi: Double): Seq[String] =
-    s.read.parquet(dir)
-      .select(input_file_name().as("f"), col("value"))
-      .groupBy(col("f"))
-      .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      idx: String, lo: Double, hi: Double): Seq[String] =
+    zoneMapConsult(s, idx)
       .collect()
       .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
       .map(_.getString(0)).toSeq

@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 
 /** Scoped set/restore of a session conf key, serialized PER SESSION — the
@@ -14,16 +12,33 @@ import org.apache.spark.sql.SparkSession
   *    isolation route the graph scaladocs point mixed workloads at.
   * A concurrent query on the SAME session still observes the scoped value
   * for the scope's duration — that is inherent to shared conf and stays a
-  * documented caveat, not something a lock can fix.
+  * documented caveat, not something a lock can fix. Note also that the
+  * monitor is held for the WHOLE body: a scope wrapping a long iterative
+  * loop (the keyed-graph queries hold it for the full fixpoint) serializes
+  * every other `withValue` scope on that session for that long — callers
+  * wanting conf-scope concurrency should take the `newSession()` route,
+  * not share one session.
   *
-  * The lock registry holds a strong ref per session; engine processes use
-  * one (or a handful of) sessions for their lifetime, so the registry is
-  * bounded by design. */
+  * The registry keys sessions WEAKLY (all lookups synchronize on the map
+  * itself — `computeIfAbsent` through a synchronized wrapper would not be
+  * atomic): a long-lived process that churns `newSession()` clones (the
+  * very pattern recommended above) must not pin each discarded clone's
+  * full session state forever via a strong registry key. The monitor
+  * Object holds no reference back to the session, so an unreferenced
+  * clone — necessarily one with no live scope, since an active scope's
+  * stack frame keeps the session strongly reachable — collects normally
+  * and its entry vanishes with it. */
 private[graft] object SessionConf {
-  private val locks = new ConcurrentHashMap[SparkSession, Object]()
+  private val locks = new java.util.WeakHashMap[SparkSession, Object]()
+
+  private def lockFor(s: SparkSession): Object = locks.synchronized {
+    val existing = locks.get(s)
+    if (existing != null) existing
+    else { val o = new Object; locks.put(s, o); o }
+  }
 
   def withValue[T](s: SparkSession, key: String, value: String)(body: => T): T =
-    locks.computeIfAbsent(s, _ => new Object).synchronized {
+    lockFor(s).synchronized {
       val prev = s.conf.getOption(key)
       s.conf.set(key, value)
       try body

@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each half-round is ONE keyed exchange (groupBy node for
   * the neighborhood minimum, then a co-partitioned join back on the same
-  * key) plus a distinct that collapses map-side. The edge list SHRINKS
+  * key); ONE distinct per ROUND re-canonicalizes at the small-star exit.
+  * The large-star half emits raw (possibly duplicated) rewired edges —
+  * duplicates are absorbed for free by the small-star half's min
+  * aggregation (min over a multiset equals min over its set) and finally
+  * collapsed by the round-exit distinct, so the former per-half-step
+  * distinct exchange is pure overhead and is gone (round-12 exchange
+  * diet; the round-exit distinct must stay: the fixpoint test compares
+  * DISTINCT canonical edge sets by count + except). The edge list SHRINKS
   * monotonically toward |nodes| as chains contract — later rounds are
   * cheaper than earlier ones. `localCheckpoint` after every round
   * truncates iterative lineage exactly like q44's resolveClusters;
@@ -55,10 +62,12 @@ object Graph {
     var cur = canonical.localCheckpoint(true)
     var curCount = cur.count()
     // The loop's exchanges are sized to the DATA, not the session default:
-    // each round runs ~4 small exchanges over a monotonically shrinking
-    // edge list, and at modest |edges| the per-round cost is task overhead,
-    // not bytes — 32 partitions × 6 rounds × 4 exchanges of a 150k-row
-    // list is pure scheduling tax (measured 17% of q191 at sf0.1). One
+    // each round runs ~3 small exchanges over a monotonically shrinking
+    // edge list (two half-step aggregation/join exchanges + the round-exit
+    // distinct; the large-star half's own distinct was deleted in the
+    // round-12 exchange diet), and at modest |edges| the per-round cost is
+    // task overhead, not bytes — 32 partitions × 6 rounds × exchanges of a
+    // 150k-row list is pure scheduling tax (measured 17% of q191 at sf0.1). One
     // partition per ~50k edges recovers it, floored at 8 to keep the loop
     // parallel and capped at the session np so a cluster-scale edge list
     // keeps its full width. Results are partitioning-independent (integer
@@ -97,7 +106,11 @@ object Graph {
 
   /** Reconnect each strictly-larger neighbor of u to min(Γ(u) ∪ {u}),
     * over the symmetrized neighborhood. Output re-canonicalized
-    * (larger, smaller), self-loops dropped. */
+    * (larger, smaller), self-loops dropped — but NOT deduplicated: the
+    * only consumer is [[smallStar]], whose per-key min is duplicate-blind
+    * and whose round-exit distinct collapses whatever survives. Skipping
+    * the dedup here deletes a full-width exchange per round (PlanSpec
+    * pins the per-round exchange budget). */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
@@ -106,7 +119,6 @@ object Graph {
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Edges already point (larger → smaller); reconnect N(u) ∪ {u} to

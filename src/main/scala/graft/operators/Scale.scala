@@ -158,23 +158,30 @@ object Scale {
     writeOnce(df.repartition(n), table, s"compact=$targetBytes|$dataFingerprint")
   }
 
-  /** Plain write-once parquet materialization: rewrite only when the spec
-    * (schema + caller-supplied identity, e.g. a [[dirFingerprint]]) does
+  /** Plain write-once materialization (parquet by default; `format` opens
+    * it to Spark's other native columnar/row formats, e.g. "orc" for the
+    * q237 ingest-matrix entry): rewrite only when the spec (schema +
+    * format + caller-supplied identity, e.g. a [[dirFingerprint]]) does
     * not match what is on disk. The minimal member of the write-once
     * family ([[writeBucketed]]/[[writePartitioned]]/[[compact]] add their
-    * layout knobs to the spec). Returns the dir. */
-  def writeOnce(df: DataFrame, table: String, dataFingerprint: String): String = {
+    * layout knobs to the spec). A non-parquet format joins the spec
+    * string (a format flip must rebuild, not serve the old bytes);
+    * parquet keeps the legacy spec form so existing layouts stay intact.
+    * Returns the dir. */
+  def writeOnce(df: DataFrame, table: String, dataFingerprint: String,
+      format: String = "parquet"): String = {
     val spark = df.sparkSession
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    val spec = s"${df.schema.toDDL}|$dataFingerprint"
+    val fmtKey = if (format == "parquet") "" else s"format=$format|"
+    val spec = s"${df.schema.toDDL}|$fmtKey$dataFingerprint"
     val specFile = loc.resolve("_graft_spec")
     val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(specFile) &&
       new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
     if (!intact) {
       deleteRecursively(loc)
-      df.write.mode("overwrite").parquet(loc.toString)
+      df.write.mode("overwrite").format(format).save(loc.toString)
       java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
     }
     loc.toString

@@ -46,6 +46,23 @@ class MetricsSpec extends SparkSpec {
     withClue(s"scanned $scans: ") { read should (be > 0L and be < 2500L) }
   }
 
+  test("q128 zone map: the consult's ONLY scan is the persisted sidecar — file-count rows, never the layout") {
+    // the round-11 `weak`: the consult used to rebuild the zone map from
+    // every layout row on every execution. Now the map is a write-once
+    // sidecar; this pins "metadata ∝ files, not rows" as an executed-plan
+    // fact, not a docstring claim. (Negative pin paired with a positive
+    // scan assertion per the Metrics scaladoc.)
+    val (_, idx) = ScaleQueries.zoneMapLayout(spark, sf)
+    val scans = Metrics.scannedRows(ScaleQueries.zoneMapConsult(spark, idx))
+    withClue(s"scanned $scans: ") {
+      scans should have size 1                        // exactly one relation read
+      scans.head._1 should include("graft_events_zmidx") // …and it is the sidecar
+      scans.head._2 shouldBe ScaleQueries.ZM_FILES.toLong // one row per file
+      scans.map(_._1).exists(k =>
+        k.contains("graft_events_zm_") || k.contains("events.parquet")) shouldBe false
+    }
+  }
+
   test("q52 IVF probe: DPP reads exactly the probed cells' rows from the cell layout") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity

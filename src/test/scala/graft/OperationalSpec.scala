@@ -225,18 +225,21 @@ class OperationalSpec extends SparkSpec {
 
   test("q128: the zone map actually skips — hit files are a strict subset covering a narrow interval") {
     import org.apache.spark.sql.functions._
-    import graft.operators.Scale
-    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_events_zm"))
-    ScaleQueries.q128ZoneMap(spark, sf).count() // builds the layout
-    val dir = java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      s"graft_events_zm_${ScaleQueries.sfTag(sf)}").toString
+    ScaleQueries.purgeLayouts(spark, sf, Seq("graft_events_zm", "graft_events_zmidx"))
+    val (dir, idx) = ScaleQueries.zoneMapLayout(spark, sf) // builds layout + sidecar
     val totalFiles = spark.read.parquet(dir)
       .select(input_file_name()).distinct().count()
     totalFiles shouldBe 8 // the range layout really produced 8 value-sorted files
-    val hits = ScaleQueries.zoneMapHits(spark, dir, lo = 40.0, hi = 45.0)
+    // the persisted sidecar is metadata-sized: exactly one row per file
+    spark.read.parquet(idx).count() shouldBe totalFiles
+    val hits = ScaleQueries.zoneMapHits(spark, idx, lo = 40.0, hi = 45.0)
     hits.nonEmpty shouldBe true
     hits.length.toLong should be < totalFiles // skipping skipped something
+    // every hit name is a real layout file (the sidecar indexes the layout
+    // it is fingerprint-chained to, not a stale predecessor)
+    val layoutFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    hits.toSet.subsetOf(layoutFiles) shouldBe true
   }
 
   test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {

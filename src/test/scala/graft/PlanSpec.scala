@@ -1301,6 +1301,29 @@ class PlanSpec extends SparkSpec {
     p should not include "rangepartitioning"
   }
 
+  test("q191 round: exchange diet — exactly 3 shuffles per contraction round") {
+    // The loop's real per-round fragment: input localCheckpointed (as the
+    // loop always feeds it), executed so AQE reuse is what actually ran.
+    // Budget: 2 half-step min-aggregation exchanges + 1 round-exit distinct.
+    // The large-star half's own distinct was deleted (round-12 exchange
+    // diet — its duplicates are absorbed by small-star's min and the exit
+    // distinct); a fourth shuffle reappearing means that dedup crept back,
+    // or a half-step stopped reusing its aggregation exchange.
+    import org.apache.spark.sql.functions.{col, lead}
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chain = ord.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      .localCheckpoint(true)
+    val round = operators.Graph.oneRound(chain)
+    round.queryExecution.toRdd.foreach(_ => ())
+    Metrics.shuffles(round.queryExecution.executedPlan) should have size 3
+  }
+
   test("q236 listagg: pre-distinct collapses map-side and the nation dim broadcasts") {
     val p = plan(Queries.q236ListaggRoster(spark, sf))
     p should include("BroadcastHashJoin")
@@ -1311,6 +1334,20 @@ class PlanSpec extends SparkSpec {
     """Keys \[2\]: \[c_nationkey#\d+, c_mktsegment#\d+\]""".r
       .findAllMatchIn(p).size should be >= 2 // partial + final dedup stages
     p should include("Functions: []")
+  }
+
+  test("q237 ORC: column pruning and filter pushdown reach the ORC scan") {
+    // the format must be a first-class scan, not a decode-then-filter:
+    // a downstream projection+predicate lands IN the scan node exactly as
+    // it does for parquet (ORC stripe stats serve the pushed filter)
+    import org.apache.spark.sql.functions.col
+    val df = IngestQueries.q237OrcScan(spark, sf)
+      .filter(col("o_totalprice") > 1000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = plan(df)
+    p should include("Scan orc")
+    p should include("GreaterThan(o_totalprice,1000.0)")
+    p should include("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>")
   }
 
   test("q232 VARIANT scan: a pure map pass — one line parse, path probes, zero exchanges") {
