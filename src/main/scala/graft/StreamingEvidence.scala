@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Driver-visible streaming evidence — the `work/correctness_keyed.json`
+  * pattern applied to the streaming twins (round-11 verdict #4): the spec
+  * suite already asserts batch ≡ stream for each twin, but specs are only
+  * visible as a green `sbt test`; this main re-runs the three production
+  * twins against a REAL scale dir and records per-twin equality hashes in
+  * a committed JSON artifact, so a round's evidence chain (correctness
+  * gate, bench, keyed-graph hashes, streaming hashes) is auditable from
+  * files alone.
+  *
+  * Twins covered (each compares the streaming result content-hash against
+  * the batch operator run on the same input):
+  *  1. foreachBatch incremental dedup ([[EventStream.incrementalDedupStream]])
+  *     — chopped feed ≡ one-shot [[graft.operators.Dedup.incrementalNearDupPairs]];
+  *  2. transformWithState running totals ([[EventStream.runningTotalsTws]],
+  *     RocksDB state store) — chopped feed ≡ the batch groupBy aggregate;
+  *  3. exactly-once-effective sink ([[EventStream.idempotentBatchWrite]])
+  *     — a replayed micro-batch leaves the landed rows equal to the batch
+  *     distinct input (no duplicates, no losses).
+  *
+  * Usage: `runMain graft.StreamingEvidence [sfDir] [outFile]`
+  * (defaults: /root/testdata/sf0.01, work/streaming_r12.json). Exit 1 if
+  * any twin fails — evidence of a failure must never look like evidence.
+  */
+object StreamingEvidence {
+
+  private def md5(lines: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  final case class TwinResult(name: String, rowsStream: Long, rowsBatch: Long,
+      streamMd5: String, batchMd5: String, chops: Int) {
+    def pass: Boolean = streamMd5 == batchMd5 && rowsStream == rowsBatch
+    def json: String =
+      s"""{"name":"$name","rows_stream":$rowsStream,"rows_batch":$rowsBatch,""" +
+        s""""stream_md5":"$streamMd5","batch_md5":"$batchMd5",""" +
+        s""""chops":$chops,"pass":$pass}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outFile = if (args.length > 1) args(1) else "work/streaming_r12.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // ---- twin 1: foreachBatch incremental dedup (q73's streaming twin) ----
+    // Probe docs stream in two chops against the static corpus fingerprints;
+    // per-document independence makes the union equal the one-shot probe.
+    val dedup = {
+      val probeMax = 50L
+      val corpus = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") >= probeMax).repartition(col("doc_id"))
+      val sh = graft.operators.Dedup.shingleSets(corpus, 3)
+      val bands = graft.operators.Dedup.bandKeys(sh, 32, 4)
+      val probeDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < probeMax)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (feedA, feedB) = probeDocs.partition(_._1 < probeMax / 2)
+
+      val input = MemoryStream[(Long, String)]
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = EventStream.incrementalDedupStream(
+          input.toDF().toDF("doc_id", "text"), bands, sh, 0.8) { (df, _) =>
+          buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }.start()
+      try {
+        input.addData(feedA.toSeq); q.processAllAvailable()
+        input.addData(feedB.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val oneShot = graft.operators.Dedup.incrementalNearDupPairs(
+          bands, sh,
+          Tables.documents(spark, sfDir).filter(col("doc_id") < probeMax), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      def fmt(t: (Long, Long, Double)) = f"${t._1}%d|${t._2}%d|${t._3}%.9f"
+      TwinResult("incremental_dedup_foreachbatch",
+        buf.size.toLong, oneShot.length.toLong,
+        md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
+    }
+
+    // ---- twin 2: transformWithState running totals (RocksDB store) ----
+    // The full events table as TypedEvents, chopped into three micro-batches;
+    // final per-key totals must equal the batch aggregate bit-for-bit.
+    val tws = {
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val feed = Tables.events(spark, sfDir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value") * 100).cast("long").as("cents"))
+          .collect()
+          .map(r => EventStream.TypedEvent(r.getString(0), r.getLong(1)))
+        val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+
+        val input = MemoryStream[EventStream.TypedEvent]
+        val qn = "streaming_evidence_tws"
+        val q = EventStream.runningTotalsTws(input.toDS())
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Update()).start()
+        try chunks.foreach { ch => input.addData(ch.toSeq: _*); q.processAllAvailable() }
+        finally q.stop()
+        // Update mode emits one row per touched key per batch; the running
+        // count is monotone, so the final total per key is its max-n row.
+        val streamed = spark.table(qn).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            (r.getAs[Long]("n"), r.getAs[Long]("cents"))))
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).maxBy(_._1)) }
+
+        val batch = Tables.events(spark, sfDir)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") * 100).cast("long")).as("cents"))
+          .collect()
+          .map(r => (r.getAs[String]("event_type"),
+            (r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
+        def fmt(kv: (String, (Long, Long))) = s"${kv._1}|${kv._2._1}|${kv._2._2}"
+        TwinResult("transform_with_state_running_totals",
+          streamed.size.toLong, batch.size.toLong,
+          md5(streamed.toSeq.map(fmt)), md5(batch.toSeq.map(fmt)),
+          chops = chunks.length)
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+
+    // ---- twin 3: exactly-once-effective foreachBatch sink ----
+    // A 3-chop event slice streams through the sink, then micro-batch 0 is
+    // REPLAYED (the at-least-once delivery case); landed rows must equal
+    // the batch input exactly — no duplicates, no losses.
+    val eos = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-eos-evidence").toString
+      val slice = Tables.events(spark, sfDir)
+        .filter(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val chunks = slice.grouped(1000).toSeq
+
+      val input = MemoryStream[(Long, String)]
+      var firstBatchId = -1L
+      var firstBatchRows: Array[org.apache.spark.sql.Row] = Array.empty
+      val q = input.toDF().toDF("event_id", "event_type").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (firstBatchId < 0) { firstBatchId = id; firstBatchRows = df.collect() }
+          EventStream.idempotentBatchWrite(dir)(df, id)
+        }.start()
+      try chunks.foreach { ch => input.addData(ch.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      // the replay: the same first batch content is delivered again
+      EventStream.idempotentBatchWrite(dir)(
+        spark.createDataFrame(
+          java.util.Arrays.asList(firstBatchRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType)))),
+        firstBatchId)
+
+      val landed = spark.read.parquet(dir)
+        .select(col("event_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def fmt(t: (Long, String)) = s"${t._1}|${t._2}"
+      TwinResult("exactly_once_effective_sink",
+        landed.length.toLong, slice.length.toLong,
+        md5(landed.toSeq.map(fmt)), md5(slice.toSeq.map(fmt)),
+        chops = chunks.length)
+    }
+
+    val twins = Seq(dedup, tws, eos)
+    val allPass = twins.forall(_.pass)
+    val json =
+      s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +
+        s""""all_pass":$allPass}"""
+    val out = new java.io.File(outFile)
+    Option(out.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
+    twins.foreach(t => println(s"[streaming-evidence] ${t.name}: " +
+      s"${if (t.pass) "PASS" else "FAIL"} (${t.rowsStream} stream rows, " +
+      s"${t.rowsBatch} batch rows)"))
+    println(s"[streaming-evidence] artifact written to $outFile")
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+}
