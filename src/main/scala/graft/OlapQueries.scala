@@ -1913,6 +1913,75 @@ object OlapQueries {
     s.read.parquet(dir)
   }
 
+  /** q238: PROFILE HISTORY without rescans — q231's sketch column profile
+    * wired into q235's stored-sketch architecture (the round-11 verdict's
+    * follow-through): a nightly pass stores ONE row per (day, column) of
+    * the events feed carrying mergeable profile state — exact n_rows /
+    * n_null / min / max (already monoids) plus HLL sketch bytes for NDV
+    * and KLL sketch bytes for percentiles — and the serving query answers
+    * "profile of any day range" by MERGING stored states: sums, min/max,
+    * `hll_union_agg`, `kll_merge_agg_double`. The events fact appears in
+    * no serve scan (spec-pinned, q235's discipline); the range served
+    * here is the feed's trailing 28 days, the nightly-ANALYZE window a
+    * drift monitor actually reads, and the one driver-side step is a
+    * 1-row max(day) aggregate OVER THE STORE (metadata-sized — the store
+    * is days × columns rows regardless of corpus size).
+    *
+    * NDV sketches aggregate the canonical string form of the profiled
+    * value (`hll_sketch_agg` takes int/long/string/binary, not double;
+    * the cast is a 1:1 recoding, so NDV semantics are unchanged and the
+    * SketchSpec exact twin applies the same cast). Like q231/q235 this
+    * is rows-only by design — DataSketches binaries are not replayable
+    * in DuckDB — anchored by SketchSpec to the exact profile computed
+    * straight from events over the same day range (exact fields equal;
+    * HLL within 3σ; KLL quantiles within rank-error bounds). */
+  val q238ProfileHistory: Q = (s, d) => {
+    val store = profileDailyStore(s, d)
+    // metadata-sized driver step: one row off the day-grain store
+    val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
+    store.filter(col("day") > date_sub(lit(maxDay), 28))
+      .groupBy(col("col_name")).agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        hll_sketch_estimate(hll_union_agg(col("ndv_hll"))).as("ndv_approx"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        kll_merge_agg_double(col("value_kll")).as("m"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("ndv_approx"), col("min_v"), col("max_v"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.25)).as("p25_approx"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.5)).as("p50_approx"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.75)).as("p75_approx"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The columns q238 profiles (numeric surface of the events feed) and
+    * its day-grain store: one row per (day, col_name) with exact monoid
+    * fields + HLL/KLL sketch bytes, write-once through parquet (binary
+    * round-trip — the property that makes the store real). Shared with
+    * SketchSpec's bounds/serve-isolation pins. */
+  private[graft] val PROFILE_COLS = Seq("event_id", "user_id", "value")
+
+  private[graft] def profileDailyStore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val stackArgs = PROFILE_COLS
+      .map(c => s"'$c', cast($c as double)").mkString(", ")
+    val stacked = Tables.events(s, d)
+      .selectExpr("to_date(ts) as day",
+        s"stack(${PROFILE_COLS.size}, $stackArgs) as (col_name, v)")
+    val daily = stacked.groupBy(col("day"), col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"),
+      hll_sketch_agg(col("v").cast(StringType)).as("ndv_hll"),
+      kll_sketch_agg_double(col("v")).as("value_kll"))
+    val dir = graft.operators.Scale.writeOnce(daily,
+      s"graft_profile_daily_${ScaleQueries.sfTag(d)}",
+      graft.operators.Scale.dirFingerprint(s"$d/events.parquet"))
+    s.read.parquet(dir)
+  }
+
   /** q95: the analytic window-function surface in one gated query — rank,
     * dense_rank, percent_rank, cume_dist over the VALUE ordering (ties
     * share ranks, exactly the semantics a reporting layer expects);
@@ -2756,6 +2825,7 @@ object OlapQueries {
     "q91_column_stats" -> q91ColumnStats,
     "q231_column_sketch" -> q231ColumnSketch,
     "q235_sketch_store" -> q235SketchStore,
+    "q238_profile_history" -> q238ProfileHistory,
     "q95_window_suite" -> q95WindowSuite,
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
 

@@ -162,6 +162,7 @@ object ScaleQueries {
     "q132_checkpoint_resume" -> Seq("graft_kmeans_ckpt"),
     "q52_ann_ivf_pruned"    -> Seq("graft_emb_ivf"),
     "q235_sketch_store"     -> Seq("graft_sketch_daily"),
+    "q238_profile_history"  -> Seq("graft_profile_daily"),
     "q55_compaction"        -> Seq("graft_docs_compact"),
     "q56_schema_evolution"  -> Seq("graft_evo_a", "graft_evo_b"),
     "q237_orc_scan"         -> Seq("graft_orders_orc"),

@@ -229,4 +229,68 @@ class SketchSpec extends SparkSpec {
     val store = OlapQueries.sketchDailyStore(spark, sf)
     store.count() should be < 400L // ~90 days × 4 types at sf0.001
   }
+
+  test("q238 profile history: merged day-grain states within sketch bounds of the exact range profile; serve never rescans events") {
+    val got = OlapQueries.q238ProfileHistory(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    got.keySet shouldBe OlapQueries.PROFILE_COLS.toSet
+
+    // the exact twin: the SAME trailing-28-day range and the SAME casts,
+    // computed straight from the events fact
+    val store = OlapQueries.profileDailyStore(spark, sf)
+    val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
+    val stackArgs = OlapQueries.PROFILE_COLS
+      .map(c => s"'$c', cast($c as double)").mkString(", ")
+    val stacked = Tables.events(spark, sf)
+      .selectExpr("to_date(ts) as day",
+        s"stack(${OlapQueries.PROFILE_COLS.size}, $stackArgs) as (col_name, v)")
+      .filter(col("day") > date_sub(lit(maxDay), 28))
+    val exact = stacked.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("nn"),
+        countDistinct(col("v").cast("string")).as("ndv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    exact.keySet shouldBe got.keySet
+
+    exact.foreach { case (c, e) =>
+      val g = got(c)
+      withClue(s"$c: ") {
+        // the monoid fields pass through the store exactly
+        g.getAs[Long]("n_rows") shouldBe e.getAs[Long]("n")
+        g.getAs[Long]("n_null") shouldBe e.getAs[Long]("nn")
+        g.getAs[Double]("min_v") shouldBe e.getAs[Double]("mn")
+        g.getAs[Double]("max_v") shouldBe e.getAs[Double]("mx")
+        // HLL lgConfigK=12: rsd ≈ 1.6% — allow 3σ (and +1 for tiny groups)
+        val ndv = e.getAs[Long]("ndv").toDouble
+        math.abs(g.getAs[Long]("ndv_approx") - ndv) should be <= (ndv * 0.05 + 1)
+        // KLL k=200 ⇒ ~1.65% rank error: each returned quantile's rank
+        // among the exact values must sit within 3·n/100 + 1 of its target
+        val vals = stacked.filter(col("col_name") === c && col("v").isNotNull)
+          .collect().map(_.getAs[Double]("v")).sorted
+        val err = 3.0 * vals.length / 100 + 1
+        for ((q, f) <- Seq(0.25 -> "p25_approx", 0.5 -> "p50_approx",
+            0.75 -> "p75_approx")) {
+          val gq = g.getAs[Double](f)
+          val lt = vals.count(_ < gq).toDouble
+          val le = vals.count(_ <= gq).toDouble
+          withClue(s"$f=$gq rank∈($lt,$le] of ${vals.length}: ") {
+            lt should be <= (q * vals.length + err)
+            le should be >= (q * vals.length - err)
+          }
+        }
+      }
+    }
+
+    // serve isolation, q235's discipline: the serving plan reads ONLY the
+    // day-grain profile store — the events fact never appears
+    val scans = Metrics.scannedRows(OlapQueries.q238ProfileHistory(spark, sf))
+    withClue(s"serve scans $scans: ") {
+      scans.map(_._1).exists(_.contains("graft_profile_daily")) shouldBe true
+      scans.map(_._1).exists(_.contains("events.parquet")) shouldBe false
+    }
+
+    // day-grain small: days × |PROFILE_COLS| rows regardless of corpus size
+    store.count() should be < 300L // ~90 days × 3 columns at sf0.001
+  }
 }
