@@ -63,8 +63,14 @@ object Metrics {
           s.metrics("numOutputRows").value)
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         (b.scan.description(), b.metrics("numOutputRows").value)
-      case other => // unreachable: walk only emits the two cases above
-        (other.nodeName, other.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
+      case other =>
+        // Fail LOUDLY, never fabricate: a silent nodeName key here would
+        // reopen the vacuous-negative-pin hole (a key with no path in it
+        // can never match "table X appears among the scans"). If walk
+        // grows a third leaf case, this forces the mapping to grow too.
+        throw new IllegalStateException(
+          s"scannedRows: unmapped scan node ${other.nodeName} — " +
+            "extend the key mapping alongside walk's new case")
     }
   }
 

@@ -1927,14 +1927,19 @@ object OlapQueries {
     * 1-row max(day) aggregate OVER THE STORE (metadata-sized — the store
     * is days × columns rows regardless of corpus size).
     *
-    * NDV sketches aggregate the canonical string form of the profiled
-    * value (`hll_sketch_agg` takes int/long/string/binary, not double;
-    * the cast is a 1:1 recoding, so NDV semantics are unchanged and the
-    * SketchSpec exact twin applies the same cast). Like q231/q235 this
-    * is rows-only by design — DataSketches binaries are not replayable
-    * in DuckDB — anchored by SketchSpec to the exact profile computed
-    * straight from events over the same day range (exact fields equal;
-    * HLL within 3σ; KLL quantiles within rank-error bounds). */
+    * The unpivot carries TWO projections of each profiled value: a double
+    * (`v`, feeding min/max and the KLL quantile digest — the numeric
+    * profile axis; NOTE a 64-bit id above 2^53 rounds under this cast,
+    * the standard numeric-profiling caveat) and the canonical string of
+    * the ORIGINAL typed value (`vs`, feeding the HLL NDV sketch —
+    * `hll_sketch_agg` takes int/long/string/binary, and string-of-long is
+    * a true 1:1 recoding, so NDV is exact-semantics at ANY id magnitude,
+    * never a victim of double rounding). The SketchSpec exact twin uses
+    * the same projections. Like q231/q235 this is rows-only by design —
+    * DataSketches binaries are not replayable in DuckDB — anchored by
+    * SketchSpec to the exact profile computed straight from events over
+    * the same day range (exact fields equal; HLL within 3σ; KLL
+    * quantiles within rank-error bounds). */
   val q238ProfileHistory: Q = (s, d) => {
     val store = profileDailyStore(s, d)
     // metadata-sized driver step: one row off the day-grain store
@@ -1962,23 +1967,33 @@ object OlapQueries {
     * SketchSpec's bounds/serve-isolation pins. */
   private[graft] val PROFILE_COLS = Seq("event_id", "user_id", "value")
 
-  private[graft] def profileDailyStore(s: org.apache.spark.sql.SparkSession,
+  /** The (day, col_name, v double, vs string) unpivot of the events feed
+    * that BOTH the store build and SketchSpec's exact twin run — one
+    * definition so a new profiled column (or a cast change) can never
+    * drift between the sketch path and its verification. */
+  private[graft] def profileStacked(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val stackArgs = PROFILE_COLS
-      .map(c => s"'$c', cast($c as double)").mkString(", ")
-    val stacked = Tables.events(s, d)
+      .map(c => s"'$c', cast($c as double), cast($c as string)").mkString(", ")
+    Tables.events(s, d)
       .selectExpr("to_date(ts) as day",
-        s"stack(${PROFILE_COLS.size}, $stackArgs) as (col_name, v)")
-    val daily = stacked.groupBy(col("day"), col("col_name")).agg(
+        s"stack(${PROFILE_COLS.size}, $stackArgs) as (col_name, v, vs)")
+  }
+
+  private[graft] def profileDailyStore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val daily = profileStacked(s, d).groupBy(col("day"), col("col_name")).agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col("v"))).as("n_null"),
       min(col("v")).as("min_v"),
       max(col("v")).as("max_v"),
-      hll_sketch_agg(col("v").cast(StringType)).as("ndv_hll"),
+      hll_sketch_agg(col("vs")).as("ndv_hll"),
       kll_sketch_agg_double(col("v")).as("value_kll"))
     val dir = graft.operators.Scale.writeOnce(daily,
       s"graft_profile_daily_${ScaleQueries.sfTag(d)}",
-      graft.operators.Scale.dirFingerprint(s"$d/events.parquet"))
+      // ndv/v2: NDV state switched from string-of-double to string-of-
+      // original — a stale store must not satisfy the spec
+      s"ndv/v2|${graft.operators.Scale.dirFingerprint(s"$d/events.parquet")}")
     s.read.parquet(dir)
   }
 

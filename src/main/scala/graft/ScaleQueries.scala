@@ -308,20 +308,33 @@ object ScaleQueries {
         .filter(col("value").isNotNull)
         .repartitionByRange(ZM_FILES, col("value")),
       s"graft_events_zm_${sfTag(d)}", Scale.dirFingerprint(s"$d/events.parquet"))
+    // The sidecar stores file NAMES, not absolute paths: the write-once
+    // fingerprint (relative names + size + mtime) is relocation-blind, so
+    // a moved/re-rooted warehouse (mv, rsync -a, CI cache restore) would
+    // read "intact" while absolute paths pointed at the old root. Names
+    // resolve against the layout dir at consult time — relocation-proof.
     val idx = Scale.writeOnce(
       s.read.parquet(dir)
-        .groupBy(input_file_name().as("f"))
+        .groupBy(fileBasename.as("f"))
         .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"),
           count(lit(1)).as("n_rows")),
-      s"graft_events_zmidx_${sfTag(d)}", Scale.dirFingerprint(dir))
+      // the "names/v2" tag versions the sidecar's CONTENT discipline
+      // (file names, not absolute paths) — schema alone can't distinguish
+      // them, and a stale absolute-path sidecar must not satisfy the spec
+      s"graft_events_zmidx_${sfTag(d)}", s"names/v2|${Scale.dirFingerprint(dir)}")
     (dir, idx)
   }
+
+  /** The file NAME of the scan's current input — what a portable sidecar
+    * indexes by (absolute paths break when the layout relocates). */
+  private[graft] def fileBasename: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "[^/]+$", 0)
 
   val q128ZoneMap: Q = (s, d) => {
     val (dir, idx) = zoneMapLayout(s, d)
     val hit = zoneMapHits(s, idx, ZM_LO, ZM_HI)
     (if (hit.isEmpty) s.read.parquet(dir).limit(0)
-     else s.read.parquet(hit: _*))
+     else s.read.parquet(hit.map(n => s"$dir/$n"): _*))
       .filter(col("value") >= ZM_LO && col("value") <= ZM_HI)
       .select(col("event_id"), col("value"))
   }
@@ -332,9 +345,10 @@ object ScaleQueries {
       idx: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(idx).select(col("f"), col("vlo"), col("vhi"))
 
-  /** The zone-map consultation: files whose [vlo, vhi] interval intersects
-    * [lo, hi], FROM THE SIDECAR ONLY — the layout is never scanned here
-    * (MetricsSpec pins that). Driver-side collect ∝ file count. */
+  /** The zone-map consultation: file names whose [vlo, vhi] interval
+    * intersects [lo, hi], FROM THE SIDECAR ONLY — the layout is never
+    * scanned here (MetricsSpec pins that). Driver-side collect ∝ file
+    * count; callers resolve names against the layout dir. */
   private[graft] def zoneMapHits(s: org.apache.spark.sql.SparkSession,
       idx: String, lo: Double, hi: Double): Seq[String] =
     zoneMapConsult(s, idx)
@@ -405,17 +419,22 @@ object ScaleQueries {
     val pos = bloomPositions(col("doc_id"))
     val idx = Scale.writeOnce(
       s.read.parquet(dir)
-        .select(input_file_name().as("f"), col("doc_id"))
+        // file NAMES, not absolute paths — same relocation-proofing as the
+        // q128 zone-map sidecar (the fingerprint can't see a moved root)
+        .select(fileBasename.as("f"), col("doc_id"))
         .select(col("f"), explode(array(pos: _*)).as("pos"))
         .select(col("f"), expr("pos div 63").as("word"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
         .groupBy(col("f"), col("word")).agg(expr("bit_or(m)").as("mask")),
-      s"graft_docs_blidx_${sfTag(d)}", Scale.dirFingerprint(dir))
+      // names/v2: see zoneMapLayout — a stale absolute-path sidecar must
+      // not satisfy the spec after the name-keyed consult change
+      s"graft_docs_blidx_${sfTag(d)}", s"names/v2|${Scale.dirFingerprint(dir)}")
     (dir, idx)
   }
 
-  /** Consult the sidecar: files where EVERY bit of at least one probe key
-    * is set. Exposed so OperationalSpec can assert real skipping. */
+  /** Consult the sidecar: file NAMES where EVERY bit of at least one probe
+    * key is set (callers resolve against the layout dir). Exposed so
+    * OperationalSpec can assert real skipping. */
   private[graft] def bloomCandidates(s: org.apache.spark.sql.SparkSession,
       idx: String, probes: Seq[Long]): Seq[String] = {
     val masks: Map[String, Map[Long, Long]] =
@@ -434,7 +453,7 @@ object ScaleQueries {
     val (dir, idx) = bloomLayout(s, d)
     val hit = bloomCandidates(s, idx, BF_PROBES)
     (if (hit.isEmpty) s.read.parquet(dir).limit(0)
-     else s.read.parquet(hit: _*))
+     else s.read.parquet(hit.map(n => s"$dir/$n"): _*))
       .filter(col("doc_id").isin(BF_PROBES: _*))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }

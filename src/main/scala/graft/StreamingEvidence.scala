@@ -95,11 +95,11 @@ object StreamingEvidence {
     // The full events table as TypedEvents, chopped into three micro-batches;
     // final per-key totals must equal the batch aggregate bit-for-bit.
     val tws = {
+      // SessionConf.withValue, not a hand-rolled set/restore: the scoped
+      // form serializes with any concurrent conf scope on this session
       val confKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(confKey)
-      spark.conf.set(confKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      SessionConf.withValue(spark, confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val feed = Tables.events(spark, sfDir)
           .filter(col("value").isNotNull)
           .select(col("event_type"),
@@ -135,9 +135,6 @@ object StreamingEvidence {
           streamed.size.toLong, batch.size.toLong,
           md5(streamed.toSeq.map(fmt)), md5(batch.toSeq.map(fmt)),
           chops = chunks.length)
-      } finally prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
       }
     }
 

@@ -235,11 +235,12 @@ class OperationalSpec extends SparkSpec {
     val hits = ScaleQueries.zoneMapHits(spark, idx, lo = 40.0, hi = 45.0)
     hits.nonEmpty shouldBe true
     hits.length.toLong should be < totalFiles // skipping skipped something
-    // every hit name is a real layout file (the sidecar indexes the layout
-    // it is fingerprint-chained to, not a stale predecessor)
-    val layoutFiles = spark.read.parquet(dir)
-      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
-    hits.toSet.subsetOf(layoutFiles) shouldBe true
+    // every hit NAME is a real layout file (the sidecar stores relocation-
+    // proof basenames and indexes the layout it is fingerprint-chained to)
+    val layoutNames = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll(".*/", "")).toSet
+    hits.toSet.subsetOf(layoutNames) shouldBe true
   }
 
   test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {

@@ -235,23 +235,27 @@ class SketchSpec extends SparkSpec {
       .map(r => r.getAs[String]("col_name") -> r).toMap
     got.keySet shouldBe OlapQueries.PROFILE_COLS.toSet
 
-    // the exact twin: the SAME trailing-28-day range and the SAME casts,
-    // computed straight from the events fact
+    // the exact twin: the SAME trailing-28-day range over the SAME shared
+    // unpivot (OlapQueries.profileStacked — one definition, no drift),
+    // computed straight from the events fact; NDV over the string of the
+    // ORIGINAL value, exactly what the store's HLL sketched
     val store = OlapQueries.profileDailyStore(spark, sf)
     val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
-    val stackArgs = OlapQueries.PROFILE_COLS
-      .map(c => s"'$c', cast($c as double)").mkString(", ")
-    val stacked = Tables.events(spark, sf)
-      .selectExpr("to_date(ts) as day",
-        s"stack(${OlapQueries.PROFILE_COLS.size}, $stackArgs) as (col_name, v)")
+    val stacked = OlapQueries.profileStacked(spark, sf)
       .filter(col("day") > date_sub(lit(maxDay), 28))
     val exact = stacked.groupBy(col("col_name")).agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("v"))).as("nn"),
-        countDistinct(col("v").cast("string")).as("ndv"),
+        countDistinct(col("vs")).as("ndv"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     exact.keySet shouldBe got.keySet
+    // ONE collect of the range's numeric values, grouped in memory — the
+    // per-quantile rank checks below index into it per column
+    val valsByCol = stacked.filter(col("v").isNotNull)
+      .select(col("col_name"), col("v")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
 
     exact.foreach { case (c, e) =>
       val g = got(c)
@@ -266,8 +270,7 @@ class SketchSpec extends SparkSpec {
         math.abs(g.getAs[Long]("ndv_approx") - ndv) should be <= (ndv * 0.05 + 1)
         // KLL k=200 ⇒ ~1.65% rank error: each returned quantile's rank
         // among the exact values must sit within 3·n/100 + 1 of its target
-        val vals = stacked.filter(col("col_name") === c && col("v").isNotNull)
-          .collect().map(_.getAs[Double]("v")).sorted
+        val vals = valsByCol(c)
         val err = 3.0 * vals.length / 100 + 1
         for ((q, f) <- Seq(0.25 -> "p25_approx", 0.5 -> "p50_approx",
             0.75 -> "p75_approx")) {
