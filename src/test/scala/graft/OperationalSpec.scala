@@ -241,6 +241,29 @@ class OperationalSpec extends SparkSpec {
       .select(input_file_name()).distinct().collect()
       .map(_.getString(0).replaceAll(".*/", "")).toSet
     hits.toSet.subsetOf(layoutNames) shouldBe true
+
+    // RELOCATION-PROOF: copy layout + sidecar to a different root (the
+    // mv/rsync/CI-cache-restore case the write-once fingerprint cannot
+    // see) — the consult must resolve the same files and the same rows
+    // from the new location, because it stores names, never paths
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-moved")
+    def copyDir(src: String, name: String): String = {
+      val dst = root.resolve(name)
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
+        java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+      }
+      dst.toString
+    }
+    val movedDir = copyDir(dir, "layout")
+    val movedIdx = copyDir(idx, "idx")
+    val movedHits = ScaleQueries.zoneMapHits(spark, movedIdx, lo = 40.0, hi = 45.0)
+    movedHits.toSet shouldBe hits.toSet
+    val origRows = spark.read.parquet(hits.map(n => s"$dir/$n"): _*)
+      .filter(col("value") >= 40.0 && col("value") <= 45.0).count()
+    spark.read.parquet(movedHits.map(n => s"$movedDir/$n"): _*)
+      .filter(col("value") >= 40.0 && col("value") <= 45.0)
+      .count() shouldBe origRows
   }
 
   test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {

@@ -742,11 +742,10 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState running totals: chop-invariant and equal to the batch aggregate (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.TypedEvent
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // scoped through SessionConf (serialized per session), not a
+    // hand-rolled set/restore — same discipline as StreamingEvidence
+    SessionConf.withValue(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val feed = Seq(TypedEvent("click", 120L), TypedEvent("view", 10L),
         TypedEvent("click", 5L), TypedEvent("purchase", 999L),
         TypedEvent("view", 1L), TypedEvent("click", 7L))
@@ -776,9 +775,6 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getAs[String]("event_type") ->
           ((r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
       oneShot shouldBe batch // the streaming fold equals the batch aggregate
-    } finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
     }
   }
 
