@@ -59,7 +59,8 @@ object Graph {
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
 
-    var cur = canonical.localCheckpoint(true)
+    // lazy + count-materialized, like the loop rounds below
+    var cur = canonical.localCheckpoint(false)
     var curCount = cur.count()
     // The loop's exchanges are sized to the DATA, not the session default:
     // each round runs ~3 small exchanges over a monotonically shrinking
@@ -85,7 +86,17 @@ object Graph {
         if (rounds >= maxRounds)
           throw new IllegalStateException(
             s"star contraction did not converge in $maxRounds rounds")
-        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        // LAZY checkpoint + count as the materializing action: the eager
+        // form ran two jobs per round (checkpoint-materialize, then count
+        // over the persisted blocks); marking lazily lets the count job
+        // BE the materialization — one job per round, same truncated
+        // lineage, and every later consumer (next round's half-steps, the
+        // terminal except) reads the persisted blocks as before. Local
+        // measurement is neutral (8.92 → 8.88 s, within spread — counting
+        // cached blocks was already cheap); the win is one fewer
+        // scheduler round-trip per round, which is real driver latency on
+        // a busy cluster even though local[n] can't show it.
+        val next = smallStar(largeStar(cur)).localCheckpoint(false)
         rounds += 1
         // Sound two-step fixpoint test, cheapest first: both sides are
         // DISTINCT canonical sets, so |next| = |cur| ∧ next∖cur = ∅ ⟺
