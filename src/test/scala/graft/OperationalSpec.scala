@@ -266,6 +266,37 @@ class OperationalSpec extends SparkSpec {
       .count() shouldBe origRows
   }
 
+  test("writeOnce: spec-gated reuse byte-for-byte, and a format flip rebuilds instead of serving the old bytes") {
+    import org.apache.spark.sql.functions.col // not functions._: `not` would shadow the matcher
+    import graft.operators.Scale
+    val df = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    val t = "graft_wo_fmt_test"
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    Scale.deleteRecursively(loc)
+    def inventory() = loc.toFile.listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+
+    val d1 = Scale.writeOnce(df, t, "fp1")
+    val files1 = inventory()
+    files1 should not be empty
+    // same spec → true no-op reuse: names, sizes, and mtimes untouched
+    Scale.writeOnce(df, t, "fp1") shouldBe d1
+    inventory() shouldBe files1
+    // format flip, same data fingerprint → MUST rebuild (the format joins
+    // the spec string): new task files, really ORC, same rows
+    val d3 = Scale.writeOnce(df, t, "fp1", format = "orc")
+    val files3 = inventory()
+    files3.map(_._1).toSet should not be files1.map(_._1).toSet
+    all(files3.map(_._1)) should include(".orc")
+    spark.read.orc(d3).count() shouldBe df.count()
+    // and the ORC spec is itself reuse-stable
+    Scale.writeOnce(df, t, "fp1", format = "orc") shouldBe d3
+    inventory() shouldBe files3
+    Scale.deleteRecursively(loc)
+  }
+
   test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = SampleQueries.q134NeymanAllocation(spark, dir).collect()
