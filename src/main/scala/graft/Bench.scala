@@ -133,7 +133,12 @@ object Bench {
     // host window; round-over-round deltas inside that envelope are noise,
     // not regressions (the round-11 A/B artifact quantified this).
     val okSpreads = results.collect { case (_, _, sp, true) if sp >= 0 => sp }.sorted
-    val spreadMed = if (okSpreads.isEmpty) -1.0 else okSpreads(okSpreads.size / 2)
+    // true median: even-sized catalogs average the two middles (the upper
+    // middle alone would overstate the noise envelope this field defines)
+    val spreadMed =
+      if (okSpreads.isEmpty) -1.0
+      else if (okSpreads.size % 2 == 1) okSpreads(okSpreads.size / 2)
+      else (okSpreads(okSpreads.size / 2 - 1) + okSpreads(okSpreads.size / 2)) / 2.0
     val spreadMax = if (okSpreads.isEmpty) -1.0 else okSpreads.last
     def f2(x: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, x)
     // Field order matters: the driver's tail capture keeps the END of the

@@ -62,7 +62,16 @@ object Metrics {
             .getOrElse(s.relation.location.rootPaths.mkString(",")),
           s.metrics("numOutputRows").value)
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        (b.scan.description(), b.metrics("numOutputRows").value)
+        // For file-based v2 scans, key by the UNTRUNCATED root paths:
+        // Scan.description() abbreviates to spark.sql.maxMetadataStringLength
+        // (~100 chars), which under a deep enough root cuts off the path
+        // tail and would quietly re-open the vacuous-negative-pin hole.
+        val key = b.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.rootPaths.mkString(",")
+          case other => other.description()
+        }
+        (key, b.metrics("numOutputRows").value)
       case other =>
         // Fail LOUDLY, never fabricate: a silent nodeName key here would
         // reopen the vacuous-negative-pin hole (a key with no path in it
