@@ -292,9 +292,10 @@ object ScaleQueries {
     * FILE COUNT (that is what makes external indexes work: metadata ∝
     * files, not rows — now true of the query path, not just the lookup).
     * OperationalSpec asserts real skipping (hit files < total files) and
-    * that the consult's ONLY scan is the sidecar (8 rows, never the
-    * layout); the oracle is the flat filter — skipping must be invisible
-    * to results. */
+    * relocation-proof name resolution; MetricsSpec pins that the
+    * consult's ONLY scan is the sidecar (8 rows, never the layout); the
+    * oracle is the flat filter — skipping must be invisible to
+    * results. */
   private val ZM_LO = 40.0
   private val ZM_HI = 45.0
   private[graft] val ZM_FILES = 8
