@@ -164,6 +164,10 @@ object Bench {
       try w.println(line) finally w.close()
       println(s"[bench] full JSON written to ${out.getPath}")
     } catch { case e: Throwable =>
+      // stdout BEFORE the JSON line, for the same reason as the success
+      // notice: sbt tags stderr `[error]`, and a benign artifact-write
+      // failure must not masquerade as a run error in a tail capture.
+      println(s"[bench] WARN could not write artifact file: ${e.getMessage}")
       System.err.println(s"[bench] WARN could not write artifact file: ${e.getMessage}")
     }
     println(line)

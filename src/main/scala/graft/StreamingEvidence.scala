@@ -26,7 +26,7 @@ import graft.streaming.EventStream
   *     distinct input (no duplicates, no losses).
   *
   * Usage: `runMain graft.StreamingEvidence [sfDir] [outFile]`
-  * (defaults: /root/testdata/sf0.01, work/streaming_r12.json). Exit 1 if
+  * (defaults: /root/testdata/sf0.01, work/streaming_r13.json). Exit 1 if
   * any twin fails — evidence of a failure must never look like evidence.
   */
 object StreamingEvidence {
@@ -37,18 +37,23 @@ object StreamingEvidence {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  final case class TwinResult(name: String, rowsStream: Long, rowsBatch: Long,
-      streamMd5: String, batchMd5: String, chops: Int) {
-    def pass: Boolean = streamMd5 == batchMd5 && rowsStream == rowsBatch
+  /** `unit` names what the two counts COUNT ("rows" for twins whose
+    * compared collections are row sets, "keys" when the comparison is over
+    * per-key final states — twin 2 groups Update-mode emissions by key, so
+    * both sides are key counts); the JSON field names carry the unit so
+    * the artifact can never mislabel a key count as a row count. */
+  final case class TwinResult(name: String, unit: String, nStream: Long,
+      nBatch: Long, streamMd5: String, batchMd5: String, chops: Int) {
+    def pass: Boolean = streamMd5 == batchMd5 && nStream == nBatch
     def json: String =
-      s"""{"name":"$name","rows_stream":$rowsStream,"rows_batch":$rowsBatch,""" +
+      s"""{"name":"$name","${unit}_stream":$nStream,"${unit}_batch":$nBatch,""" +
         s""""stream_md5":"$streamMd5","batch_md5":"$batchMd5",""" +
         s""""chops":$chops,"pass":$pass}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val outFile = if (args.length > 1) args(1) else "work/streaming_r12.json"
+    val outFile = if (args.length > 1) args(1) else "work/streaming_r13.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,7 +91,7 @@ object StreamingEvidence {
           Tables.documents(spark, sfDir).filter(col("doc_id") < probeMax), 0.8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       def fmt(t: (Long, Long, Double)) = f"${t._1}%d|${t._2}%d|${t._3}%.9f"
-      TwinResult("incremental_dedup_foreachbatch",
+      TwinResult("incremental_dedup_foreachbatch", unit = "rows",
         buf.size.toLong, oneShot.length.toLong,
         md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
     }
@@ -131,7 +136,7 @@ object StreamingEvidence {
           .map(r => (r.getAs[String]("event_type"),
             (r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
         def fmt(kv: (String, (Long, Long))) = s"${kv._1}|${kv._2._1}|${kv._2._2}"
-        TwinResult("transform_with_state_running_totals",
+        TwinResult("transform_with_state_running_totals", unit = "keys",
           streamed.size.toLong, batch.size.toLong,
           md5(streamed.toSeq.map(fmt)), md5(batch.toSeq.map(fmt)),
           chops = chunks.length)
@@ -144,6 +149,7 @@ object StreamingEvidence {
     // the batch input exactly — no duplicates, no losses.
     val eos = {
       val dir = java.nio.file.Files.createTempDirectory("graft-eos-evidence").toString
+      try {
       val slice = Tables.events(spark, sfDir)
         .filter(col("event_id") < 3000)
         .select(col("event_id"), col("event_type")).collect()
@@ -175,10 +181,12 @@ object StreamingEvidence {
         .select(col("event_id"), col("event_type")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
       def fmt(t: (Long, String)) = s"${t._1}|${t._2}"
-      TwinResult("exactly_once_effective_sink",
+      TwinResult("exactly_once_effective_sink", unit = "rows",
         landed.length.toLong, slice.length.toLong,
         md5(landed.toSeq.map(fmt)), md5(slice.toSeq.map(fmt)),
         chops = chunks.length)
+      } finally graft.operators.Scale.deleteRecursively( // landed rows are
+        java.nio.file.Paths.get(dir)) // compared above — the dir is disposable
     }
 
     val twins = Seq(dedup, tws, eos)
@@ -191,8 +199,8 @@ object StreamingEvidence {
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(json) finally w.close()
     twins.foreach(t => println(s"[streaming-evidence] ${t.name}: " +
-      s"${if (t.pass) "PASS" else "FAIL"} (${t.rowsStream} stream rows, " +
-      s"${t.rowsBatch} batch rows)"))
+      s"${if (t.pass) "PASS" else "FAIL"} (${t.nStream} stream ${t.unit}, " +
+      s"${t.nBatch} batch ${t.unit})"))
     println(s"[streaming-evidence] artifact written to $outFile")
     spark.stop()
     if (!allPass) sys.exit(1)

@@ -52,12 +52,19 @@ class MetricsSpec extends SparkSpec {
     // sidecar; this pins "metadata ∝ files, not rows" as an executed-plan
     // fact, not a docstring claim. (Negative pin paired with a positive
     // scan assertion per the Metrics scaladoc.)
-    val (_, idx) = ScaleQueries.zoneMapLayout(spark, sf)
+    val (dir, idx) = ScaleQueries.zoneMapLayout(spark, sf)
+    // one sidecar row per ACTUAL layout file — derived, not the ZM_FILES
+    // constant: an empty range partition at a tiny/skewed scale would drop
+    // a file, and that must not fail the sidecar-only-consult pin
+    val layoutFiles = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
     val scans = Metrics.scannedRows(ScaleQueries.zoneMapConsult(spark, idx))
-    withClue(s"scanned $scans: ") {
+    withClue(s"scanned $scans (layout has $layoutFiles files): ") {
       scans should have size 1                        // exactly one relation read
       scans.head._1 should include("graft_events_zmidx") // …and it is the sidecar
-      scans.head._2 shouldBe ScaleQueries.ZM_FILES.toLong // one row per file
+      scans.head._2 shouldBe layoutFiles              // one row per file
+      scans.head._2 should be > 1L                    // …and it is file-grain, not a blob
       scans.map(_._1).exists(k =>
         k.contains("graft_events_zm_") || k.contains("events.parquet")) shouldBe false
     }

@@ -247,23 +247,25 @@ class OperationalSpec extends SparkSpec {
     // see) — the consult must resolve the same files and the same rows
     // from the new location, because it stores names, never paths
     val root = java.nio.file.Files.createTempDirectory("graft-zm-moved")
-    def copyDir(src: String, name: String): String = {
-      val dst = root.resolve(name)
-      java.nio.file.Files.createDirectories(dst)
-      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
-        java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+    try { // finally-cleaned: a failed assertion must not strand the copy
+      def copyDir(src: String, name: String): String = {
+        val dst = root.resolve(name)
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
+          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+        }
+        dst.toString
       }
-      dst.toString
-    }
-    val movedDir = copyDir(dir, "layout")
-    val movedIdx = copyDir(idx, "idx")
-    val movedHits = ScaleQueries.zoneMapHits(spark, movedIdx, lo = 40.0, hi = 45.0)
-    movedHits.toSet shouldBe hits.toSet
-    val origRows = spark.read.parquet(hits.map(n => s"$dir/$n"): _*)
-      .filter(col("value") >= 40.0 && col("value") <= 45.0).count()
-    spark.read.parquet(movedHits.map(n => s"$movedDir/$n"): _*)
-      .filter(col("value") >= 40.0 && col("value") <= 45.0)
-      .count() shouldBe origRows
+      val movedDir = copyDir(dir, "layout")
+      val movedIdx = copyDir(idx, "idx")
+      val movedHits = ScaleQueries.zoneMapHits(spark, movedIdx, lo = 40.0, hi = 45.0)
+      movedHits.toSet shouldBe hits.toSet
+      val origRows = spark.read.parquet(hits.map(n => s"$dir/$n"): _*)
+        .filter(col("value") >= 40.0 && col("value") <= 45.0).count()
+      spark.read.parquet(movedHits.map(n => s"$movedDir/$n"): _*)
+        .filter(col("value") >= 40.0 && col("value") <= 45.0)
+        .count() shouldBe origRows
+    } finally graft.operators.Scale.deleteRecursively(root)
   }
 
   test("writeOnce: spec-gated reuse byte-for-byte, and a format flip rebuilds instead of serving the old bytes") {
@@ -274,27 +276,28 @@ class OperationalSpec extends SparkSpec {
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
     Scale.deleteRecursively(loc)
-    def inventory() = loc.toFile.listFiles()
-      .filter(_.getName.startsWith("part-"))
-      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    try { // finally-cleaned: a failed assertion must not strand the table
+      def inventory() = loc.toFile.listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
 
-    val d1 = Scale.writeOnce(df, t, "fp1")
-    val files1 = inventory()
-    files1 should not be empty
-    // same spec → true no-op reuse: names, sizes, and mtimes untouched
-    Scale.writeOnce(df, t, "fp1") shouldBe d1
-    inventory() shouldBe files1
-    // format flip, same data fingerprint → MUST rebuild (the format joins
-    // the spec string): new task files, really ORC, same rows
-    val d3 = Scale.writeOnce(df, t, "fp1", format = "orc")
-    val files3 = inventory()
-    files3.map(_._1).toSet should not be files1.map(_._1).toSet
-    all(files3.map(_._1)) should include(".orc")
-    spark.read.orc(d3).count() shouldBe df.count()
-    // and the ORC spec is itself reuse-stable
-    Scale.writeOnce(df, t, "fp1", format = "orc") shouldBe d3
-    inventory() shouldBe files3
-    Scale.deleteRecursively(loc)
+      val d1 = Scale.writeOnce(df, t, "fp1")
+      val files1 = inventory()
+      files1 should not be empty
+      // same spec → true no-op reuse: names, sizes, and mtimes untouched
+      Scale.writeOnce(df, t, "fp1") shouldBe d1
+      inventory() shouldBe files1
+      // format flip, same data fingerprint → MUST rebuild (the format joins
+      // the spec string): new task files, really ORC, same rows
+      val d3 = Scale.writeOnce(df, t, "fp1", format = "orc")
+      val files3 = inventory()
+      files3.map(_._1).toSet should not be files1.map(_._1).toSet
+      all(files3.map(_._1)) should include(".orc")
+      spark.read.orc(d3).count() shouldBe df.count()
+      // and the ORC spec is itself reuse-stable
+      Scale.writeOnce(df, t, "fp1", format = "orc") shouldBe d3
+      inventory() shouldBe files3
+    } finally Scale.deleteRecursively(loc)
   }
 
   test("q134: Neyman allocation sums EXACTLY to the budget at every scale") {
