@@ -36,13 +36,14 @@ import org.apache.spark.sql.functions._
   * collapsed by the round-exit distinct, so the former per-half-step
   * distinct exchange is pure overhead and is gone (round-12 exchange
   * diet; the round-exit distinct must stay: the fixpoint test compares
-  * DISTINCT canonical edge sets by count + except). The edge list SHRINKS
-  * monotonically toward |nodes| as chains contract — later rounds are
-  * cheaper than earlier ones. `localCheckpoint` after every round
-  * truncates iterative lineage exactly like q44's resolveClusters;
-  * convergence is detected by a symmetric-difference count (an honest
-  * fixpoint test, not a fixed round budget) and overrunning `maxRounds`
-  * THROWS — partial components are corruption, never a result.
+  * DISTINCT canonical edge sets). The edge list SHRINKS monotonically
+  * toward |nodes| as chains contract — later rounds are cheaper than
+  * earlier ones. `localCheckpoint` after every round truncates iterative
+  * lineage exactly like q44's resolveClusters; convergence is detected by
+  * an order-independent set signature computed inside the round's one
+  * materializing job (see [[edgeSetSig]] — round-13 diet: the former
+  * terminal-round standalone `except` job is gone) and overrunning
+  * `maxRounds` THROWS — partial components are corruption, never a result.
   */
 object Graph {
 
@@ -59,9 +60,9 @@ object Graph {
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
 
-    // lazy + count-materialized, like the loop rounds below
+    // lazy + signature-materialized, like the loop rounds below
     var cur = canonical.localCheckpoint(false)
-    var curCount = cur.count()
+    var curSig = edgeSetSig(cur)
     // The loop's exchanges are sized to the DATA, not the session default:
     // each round runs ~3 small exchanges over a monotonically shrinking
     // edge list (two half-step aggregation/join exchanges + the round-exit
@@ -75,7 +76,7 @@ object Graph {
     // set ops; the hash gate runs across this change).
     val s = edges.sparkSession
     val np0 = s.sessionState.conf.numShufflePartitions
-    val loopNp = math.min(np0, math.max(8, (curCount / 50000L).toInt)).toString
+    val loopNp = math.min(np0, math.max(8, (curSig._1 / 50000L).toInt)).toString
     var rounds = 0
     var converged = false
     // per-session serialized set/restore (graft.SessionConf): a concurrent
@@ -86,26 +87,24 @@ object Graph {
         if (rounds >= maxRounds)
           throw new IllegalStateException(
             s"star contraction did not converge in $maxRounds rounds")
-        // LAZY checkpoint + count as the materializing action: the eager
-        // form ran two jobs per round (checkpoint-materialize, then count
-        // over the persisted blocks); marking lazily lets the count job
-        // BE the materialization — one job per round, same truncated
-        // lineage, and every later consumer (next round's half-steps, the
-        // terminal except) reads the persisted blocks as before. Local
-        // measurement is neutral (8.92 → 8.88 s, within spread — counting
-        // cached blocks was already cheap); the win is one fewer
-        // scheduler round-trip per round, which is real driver latency on
-        // a busy cluster even though local[n] can't show it.
+        // LAZY checkpoint + signature-aggregate as the materializing
+        // action: the eager form ran two jobs per round (checkpoint-
+        // materialize, then count over the persisted blocks); marking
+        // lazily lets the signature job BE the materialization — one job
+        // per round, same truncated lineage, and every later consumer
+        // (the next round's half-steps, the terminal label join) reads
+        // the persisted blocks as before. Round 13 deleted the terminal
+        // round's standalone `except` job too: set equality now falls out
+        // of the SAME per-round job (both sides are DISTINCT canonical
+        // sets, so equal signatures ⟺ equal sets up to the documented
+        // xor-fold collision odds) — the loop pays exactly one scheduler
+        // round-trip per round, fixpoint test included.
         val next = smallStar(largeStar(cur)).localCheckpoint(false)
         rounds += 1
-        // Sound two-step fixpoint test, cheapest first: both sides are
-        // DISTINCT canonical sets, so |next| = |cur| ∧ next∖cur = ∅ ⟺
-        // set equality. While the count is still moving (most rounds) the
-        // except never runs; only the terminal round pays it.
-        val nextCount = next.count()
-        converged = nextCount == curCount && next.except(cur).isEmpty
+        val nextSig = edgeSetSig(next)
+        converged = nextSig == curSig
         cur = next
-        curCount = nextCount
+        curSig = nextSig
       }
     }
     // Fixpoint edges are (node → component min); roots label themselves.
@@ -113,6 +112,30 @@ object Graph {
       .join(cur, nodes("node") === cur("src"), "left_outer")
       .select(col("node"), coalesce(col("dst"), col("node")).as("component"))
     (labels, rounds)
+  }
+
+  /** Order-independent signature of a DISTINCT canonical edge set:
+    * (count, xor-fold of xxhash64(src,dst), xor-fold of xxhash64 over the
+    * tuple extended with a distinguishing literal — a second, independent
+    * 64-bit fingerprint), computed in ONE single-aggregate job — the same
+    * job that materializes the round's lazy checkpoint. Equal signatures
+    * on two distinct-row sets imply set equality unless two DIFFERENT
+    * equal-count sets collide in BOTH independent 64-bit xor-folds
+    * (~2^-128 for this loop's non-adversarial integer edges — the edges
+    * are the algorithm's own rewiring output, not attacker-chosen input);
+    * the exact q44/q191 DuckDB hash gates run across this change. This
+    * replaces the former terminal-round `next.except(cur).isEmpty` job
+    * (round-13 diet): the fixpoint test now costs zero extra jobs in
+    * EVERY round, including the last. xor (not ANSI `sum`) folds the
+    * hashes: it is overflow-free and duplicate-free inputs make its
+    * weaker linear structure irrelevant alongside the count check. */
+  private def edgeSetSig(edges: DataFrame): (Long, Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)),
+      expr("bit_xor(xxhash64(src, dst))"),
+      expr("bit_xor(xxhash64(src, dst, 'seed2'))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Reconnect each strictly-larger neighbor of u to min(Γ(u) ∪ {u}),
