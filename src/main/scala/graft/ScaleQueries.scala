@@ -714,7 +714,79 @@ object ScaleQueries {
     s.read.parquet(dir)
   }
 
+  /** q239: STATS-DRIVEN BROADCAST DECISION — the cost-based-optimizer
+    * demonstration. The customer dim lives as a write-once CATALOG table
+    * ([[graft.operators.Scale.writeTable]]) with `ANALYZE … FOR COLUMNS`
+    * row/column statistics ([[graft.operators.Scale.ensureAnalyzed]]);
+    * the query joins orders to the dim filtered to ONE nation and
+    * aggregates revenue by market segment. The planner knobs are scoped
+    * ([[withCboConf]]): `spark.sql.cbo.enabled` +
+    * `cbo.joinReorder.enabled` on, and `autoBroadcastJoinThreshold`
+    * pinned to HALF the dim's catalog totalSize — so the broadcast can
+    * only happen if the optimizer reasons BELOW table granularity:
+    * FilterEstimation takes the equality predicate's selectivity from the
+    * column stats (1/ndv(c_nationkey) ≈ 4%) and shrinks the filtered
+    * dim's estimate under the threshold, flipping the join static plan to
+    * BroadcastHashJoin; the identical query with CBO off keeps the
+    * table-level size through the Filter (above threshold by
+    * construction) and static-plans a SortMergeJoin. PlanSpec pins BOTH
+    * directions of the flip; `work/ab_q239_cbo.json` (CboEvidence)
+    * measures what the static decision is worth at sf0.1: with CBO the
+    * fact side pays ZERO shuffle-write records, without it the whole
+    * orders projection rides an exchange before AQE can rescue the join.
+    * That is the 100 TB point — AQE converts SMJ→BHJ only after the
+    * fact's map stage has already been written; statistics move the
+    * decision to PLANNING time, before any byte shuffles (Redshift's
+    * ANALYZE-fed planner role, SURVEY §4, made explicit in Catalyst).
+    * Execution happens INSIDE the conf scope (localCheckpoint) so the
+    * returned frame's plan was decided under the scoped stats regime. */
+  private[graft] def q239DimTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val name = s"graft_customer_cbo_${sfTag(d)}"
+    Scale.writeTable(Tables.customer(s, d), name,
+      Scale.dirFingerprint(s"$d/customer.parquet"))
+    Scale.ensureAnalyzed(s, name,
+      Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+    name
+  }
+
+  private[graft] def q239Agg(s: org.apache.spark.sql.SparkSession, d: String,
+      dim: String): org.apache.spark.sql.DataFrame = {
+    val c = s.table(dim).filter(col("c_nationkey") === 3)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("total_price"))
+  }
+
+  /** Scoped CBO regime: estimation + join reorder + a threshold derived
+    * from the dim's own catalog stats (half its totalSize — between the
+    * unfiltered table size and any sane filtered estimate, at EVERY
+    * scale, so the pin never depends on absolute byte counts). */
+  private[graft] def withCboConf[T](s: org.apache.spark.sql.SparkSession,
+      on: Boolean, thresholdBytes: BigInt)(body: => T): T =
+    SessionConf.withValue(s, "spark.sql.cbo.enabled", on.toString) {
+      SessionConf.withValue(s, "spark.sql.cbo.joinReorder.enabled", on.toString) {
+        SessionConf.withValue(s, "spark.sql.autoBroadcastJoinThreshold",
+            thresholdBytes.toString) {
+          body
+        }
+      }
+    }
+
+  val q239CboBroadcast: Q = (s, d) => {
+    val dim = q239DimTable(s, d)
+    val thr = Scale.tableSizeInBytes(s, dim) / 2
+    withCboConf(s, on = true, thr) {
+      q239Agg(s, d, dim).localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_cbo_broadcast" -> q239CboBroadcast,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -734,6 +806,14 @@ object ScaleQueries {
     "q120_time_travel"  -> q120TimeTravel)
 
   val oracle: Map[String, String] = Map(
+    // The CBO knobs change the PLAN, never the rows — the oracle is the
+    // plain relational statement of the join.
+    "q239_cbo_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 3
+        |GROUP BY c_mktsegment""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

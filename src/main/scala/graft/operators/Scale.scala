@@ -108,6 +108,62 @@ object Scale {
     java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
   }
 
+  /** Plain write-once CATALOG table — [[writeBucketed]] without the bucket
+    * layout: the same spec-file gating and fresh-session re-attach, but
+    * registered flat. Exists for the metadata surface a path scan cannot
+    * offer: `ANALYZE TABLE` persists row/column statistics into the
+    * catalog entry, which is what stats-driven planning (q239) consumes.
+    * Data identity discipline is identical — a regenerated source parquet
+    * flips the fingerprint and forces a rebuild. */
+  def writeTable(df: DataFrame, table: String, dataFingerprint: String = ""): Unit = {
+    val spark = df.sparkSession
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val spec = s"${df.schema.toDDL}|$dataFingerprint"
+    val specFile = loc.resolve("_graft_table_spec")
+    val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(specFile) &&
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8") == spec
+    if (spark.catalog.tableExists(table) && intact) return
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (intact) {
+      spark.sql(
+        s"""CREATE TABLE $table (${df.schema.toDDL}) USING PARQUET
+           |LOCATION '${loc.toUri}'""".stripMargin)
+      return
+    }
+    deleteRecursively(loc)
+    df.write.mode("overwrite").saveAsTable(table)
+    java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
+  }
+
+  /** Idempotent `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS …`: a scan
+    * of the table per SESSION at most (the in-memory catalog forgets stats
+    * with the session; within one it is a metadata no-op when row stats
+    * and every requested column's stats are already present). This is the
+    * Spark analog of Redshift's auto-ANALYZE feeding its planner — the
+    * role SURVEY §4 assigns to Catalyst, made explicit here so a plan can
+    * legitimately DEPEND on statistics (q239's broadcast decision). */
+  def ensureAnalyzed(spark: org.apache.spark.sql.SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val have = meta.stats.exists(st =>
+      st.rowCount.isDefined && cols.forall(st.colStats.contains))
+    if (!have)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        cols.mkString(", "))
+  }
+
+  /** The catalog's total-size statistic for an analyzed table (file bytes
+    * — what the planner's size estimate starts from). */
+  def tableSizeInBytes(spark: org.apache.spark.sql.SparkSession,
+      table: String): BigInt =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .stats.map(_.sizeInBytes)
+      .getOrElse(throw new IllegalStateException(s"$table has no stats"))
+
   /** Hive-style partitioned write (write-once, like [[writeBucketed]]):
     * lays the DataFrame out as `<warehouse>/<table>/<partKey>=<value>/...`
     * so a reader's partition-key predicate prunes whole directories at

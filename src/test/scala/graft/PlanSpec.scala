@@ -1383,4 +1383,26 @@ class PlanSpec extends SparkSpec {
     p should include("CollectMetrics")
     """\(\d+\) Scan parquet""".r.findAllMatchIn(p) should have size 1
   }
+
+  test("q239 CBO: the broadcast decision is provably stats-driven — same query, same threshold, plan flips with cbo.enabled") {
+    // Static (pre-AQE) physical plans, because the STATIC decision is the
+    // one that matters at scale: AQE can only convert SMJ→BHJ after the
+    // fact side's shuffle map stage has been written. The threshold is
+    // HALF the analyzed dim's catalog totalSize in both runs — the flip
+    // can only come from FilterEstimation consuming the ANALYZE column
+    // stats (selectivity 1/ndv below table granularity), i.e. from
+    // statistics, not from a knob smuggling in a different byte budget.
+    val dim = ScaleQueries.q239DimTable(spark, sf)
+    val thr = operators.Scale.tableSizeInBytes(spark, dim) / 2
+    val pOn = ScaleQueries.withCboConf(spark, on = true, thr) {
+      ScaleQueries.q239Agg(spark, sf, dim).queryExecution.sparkPlan.toString
+    }
+    val pOff = ScaleQueries.withCboConf(spark, on = false, thr) {
+      ScaleQueries.q239Agg(spark, sf, dim).queryExecution.sparkPlan.toString
+    }
+    pOn should include("BroadcastHashJoin")
+    pOn should not include "SortMergeJoin"
+    pOff should include("SortMergeJoin")
+    pOff should not include "BroadcastHashJoin"
+  }
 }
