@@ -2148,6 +2148,51 @@ object OlapQueries {
         |         WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** q240: the TPC-H Q21 SHAPE — the hardest classic decorrelation form:
+    * EXISTS and NOT EXISTS against the SAME fact table with different
+    * correlation predicates, both carrying a non-equality term
+    * (`l2.l_suppkey <> l1.l_suppkey`) on top of the equi-correlation
+    * key. Semantics on this catalog's columns (no receipt/commit dates):
+    * "the sole RETURNED supplier in finished multi-supplier orders" —
+    * l1 is a returned line in an 'F' order; EXISTS l2 demands another
+    * supplier in the same order; NOT EXISTS l3 demands no OTHER supplier's
+    * line was returned; count per (nation, supplier), Q21's
+    * ORDER BY numwait DESC tiebroken by the unique s_name, LIMIT 100.
+    *
+    * The engine credential (q96's discipline, doubled): Catalyst
+    * decorrelates BOTH subqueries into one pass over the fact — EXISTS →
+    * left-semi join, NOT EXISTS → left-anti join, each keyed on
+    * l_orderkey with the <> term as a join residual — so lineitem is
+    * scanned three times and joined twice on one key, never re-executed
+    * per outer row. Plan-pinned: LeftSemi + LeftAnti present, no
+    * BroadcastNestedLoopJoin, no CartesianProduct, and the top-k is a
+    * TakeOrderedAndProject, not a global sort. At 100 TB all three
+    * lineitem legs shuffle on the same l_orderkey key (AQE can reuse the
+    * exchange), the supplier/nation dims broadcast, and the LIMIT caps
+    * the driver's collect at 100 rows. */
+  val q240SoleFaultSupplier: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q240_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q240_orders")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q240_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q240_nation")
+    s.sql(
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM graft_q240_supplier, graft_q240_lineitem l1,
+        |     graft_q240_orders, graft_q240_nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_q240_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q240_lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
   private[graft] val KMV_K = 64
   private val KMV_SPACE = 1152921504606846976L // 2^60, the hash60 value space
 
@@ -2842,7 +2887,8 @@ object OlapQueries {
     "q235_sketch_store" -> q235SketchStore,
     "q238_profile_history" -> q238ProfileHistory,
     "q95_window_suite" -> q95WindowSuite,
-    "q96_subquery_decorrelate" -> q96SubqueryDecorrelate)
+    "q96_subquery_decorrelate" -> q96SubqueryDecorrelate,
+    "q240_sole_fault_supplier" -> q240SoleFaultSupplier)
 
   val oracle: Map[String, String] = Map(
     // The k-min states replayed relationally (rank ≤ k over distinct
@@ -3676,6 +3722,23 @@ object OlapQueries {
         |                      WHERE o2.o_custkey = o.o_custkey)
         |      > (SELECT sum(o2.o_totalprice) FROM orders o2
         |         WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // The Q21 shape on DuckDB's own decorrelator — identical SQL text up
+    // to the view names.
+    "q240_sole_fault_supplier" ->
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q58_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)

@@ -1384,6 +1384,15 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Scan parquet""".r.findAllMatchIn(p) should have size 1
   }
 
+  test("q240 Q21-shape: both correlated subqueries decorrelate to keyed semi/anti joins — no nested loop, no cartesian, and the top-k never globally sorts") {
+    val p = plan(OlapQueries.q240SoleFaultSupplier(spark, sf))
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+  }
+
   test("q239 CBO: the broadcast decision is provably stats-driven — same query, same threshold, plan flips with cbo.enabled") {
     // Static (pre-AQE) physical plans, because the STATIC decision is the
     // one that matters at scale: AQE can only convert SMJ→BHJ after the
