@@ -1940,11 +1940,16 @@ object OlapQueries {
     * SketchSpec to the exact profile computed straight from events over
     * the same day range (exact fields equal; HLL within 3σ; KLL
     * quantiles within rank-error bounds). */
-  val q238ProfileHistory: Q = (s, d) => {
+  /** The q238/q241 serving plan over the SAME store, parameterized by the
+    * trailing-day range — the store is range-independent by construction
+    * (mergeable day-grain states), and gating TWO ranges proves it on the
+    * artifact chain rather than in prose (round-13 verdict #7). */
+  private[graft] def profileServe(s: org.apache.spark.sql.SparkSession,
+      d: String, days: Int): org.apache.spark.sql.DataFrame = {
     val store = profileDailyStore(s, d)
     // metadata-sized driver step: one row off the day-grain store
     val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
-    store.filter(col("day") > date_sub(lit(maxDay), 28))
+    store.filter(col("day") > date_sub(lit(maxDay), days))
       .groupBy(col("col_name")).agg(
         sum(col("n_rows")).as("n_rows"),
         sum(col("n_null")).as("n_null"),
@@ -1959,6 +1964,16 @@ object OlapQueries {
         kll_sketch_get_quantile_double(col("m"), lit(0.75)).as("p75_approx"))
       .orderBy(col("col_name"))
   }
+
+  val q238ProfileHistory: Q = (s, d) => profileServe(s, d, 28)
+
+  /** q241: the SAME profile store serving a trailing-7-day range — range
+    * independence as a gated entry. Rows-only like q238 (DataSketches
+    * binaries are not replayable in DuckDB), anchored by SketchSpec to
+    * the exact 7-day range profile over the shared unpivot, and in the
+    * committed sketch-bounds artifact (SketchEvidence). A store built
+    * once serves every window; only the serve filter changes. */
+  val q241ProfileRange7: Q = (s, d) => profileServe(s, d, 7)
 
   /** The columns q238 profiles (numeric surface of the events feed) and
     * its day-grain store: one row per (day, col_name) with exact monoid
@@ -2886,6 +2901,7 @@ object OlapQueries {
     "q231_column_sketch" -> q231ColumnSketch,
     "q235_sketch_store" -> q235SketchStore,
     "q238_profile_history" -> q238ProfileHistory,
+    "q241_profile_range7" -> q241ProfileRange7,
     "q95_window_suite" -> q95WindowSuite,
     "q96_subquery_decorrelate" -> q96SubqueryDecorrelate,
     "q240_sole_fault_supplier" -> q240SoleFaultSupplier)

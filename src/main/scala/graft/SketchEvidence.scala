@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *  - q231 column sketch      vs q91's exact column profile;
   *  - q235 stored sketches    vs the exact events aggregate;
   *  - q238 profile history    vs the exact trailing-28-day range profile
-  *    over the SAME shared unpivot.
+  *    over the SAME shared unpivot;
+  *  - q241 range-7 serve      vs the exact trailing-7-day range profile —
+  *    the SAME store answering a second window (range independence).
   *
   * Every row is one inequality: {query, check, value, op, bound, pass}
   * with op ∈ {<=, >=, ==} — `value` is the measured quantity (an absolute
@@ -195,21 +197,24 @@ object SketchEvidence {
       }
     }
 
-    // ---- q238 vs the exact trailing-28-day range profile ---------------
-    locally {
-      val got = OlapQueries.q238ProfileHistory(spark, sf).collect()
+    // ---- q238/q241 vs the exact trailing-range profiles ----------------
+    // Two ranges through the SAME store — range independence on the
+    // artifact chain (q241, round-13 verdict #7).
+    for ((qname, days) <- Seq("q238_profile_history" -> 28,
+        "q241_profile_range7" -> 7)) {
+      val got = OlapQueries.profileServe(spark, sf, days).collect()
         .map(r => r.getAs[String]("col_name") -> r).toMap
       val store = OlapQueries.profileDailyStore(spark, sf)
       val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
       val stacked = OlapQueries.profileStacked(spark, sf)
-        .filter(col("day") > date_sub(lit(maxDay), 28))
+        .filter(col("day") > date_sub(lit(maxDay), days))
       val exact = stacked.groupBy(col("col_name")).agg(
           count(lit(1)).as("n"),
           (count(lit(1)) - count(col("v"))).as("nn"),
           countDistinct(col("vs")).as("ndv"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
         .collect().map(r => r.getAs[String]("col_name") -> r).toMap
-      checks += Check("q238_profile_history", "column_sets_equal",
+      checks += Check(qname,"column_sets_equal",
         (got.keySet ++ exact.keySet).size.toDouble, "==", exact.size.toDouble)
       val valsByCol = stacked.filter(col("v").isNotNull)
         .select(col("col_name"), col("v")).collect()
@@ -217,25 +222,25 @@ object SketchEvidence {
         .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
       exact.foreach { case (c, e) =>
         val g = got(c)
-        checks += Check("q238_profile_history", s"$c n_rows_passthrough",
+        checks += Check(qname,s"$c n_rows_passthrough",
           g.getAs[Long]("n_rows").toDouble, "==", e.getAs[Long]("n").toDouble)
-        checks += Check("q238_profile_history", s"$c n_null_passthrough",
+        checks += Check(qname,s"$c n_null_passthrough",
           g.getAs[Long]("n_null").toDouble, "==", e.getAs[Long]("nn").toDouble)
-        checks += Check("q238_profile_history", s"$c min_passthrough",
+        checks += Check(qname,s"$c min_passthrough",
           g.getAs[Double]("min_v"), "==", e.getAs[Double]("mn"))
-        checks += Check("q238_profile_history", s"$c max_passthrough",
+        checks += Check(qname,s"$c max_passthrough",
           g.getAs[Double]("max_v"), "==", e.getAs[Double]("mx"))
         val ndv = e.getAs[Long]("ndv").toDouble
-        checks += Check("q238_profile_history", s"$c ndv_abs_err",
+        checks += Check(qname,s"$c ndv_abs_err",
           math.abs(g.getAs[Long]("ndv_approx") - ndv), "<=", ndv * 0.05 + 1)
         val vals = valsByCol(c)
         val err = 3.0 * vals.length / 100 + 1
         for ((q, f) <- Seq(0.25 -> "p25_approx", 0.5 -> "p50_approx",
             0.75 -> "p75_approx")) {
           val gq = g.getAs[Double](f)
-          checks += Check("q238_profile_history", s"$c $f rank_lt",
+          checks += Check(qname,s"$c $f rank_lt",
             vals.count(_ < gq).toDouble, "<=", q * vals.length + err)
-          checks += Check("q238_profile_history", s"$c $f rank_le",
+          checks += Check(qname,s"$c $f rank_le",
             vals.count(_ <= gq).toDouble, ">=", q * vals.length - err)
         }
       }

@@ -231,18 +231,29 @@ class SketchSpec extends SparkSpec {
   }
 
   test("q238 profile history: merged day-grain states within sketch bounds of the exact range profile; serve never rescans events") {
-    val got = OlapQueries.q238ProfileHistory(spark, sf).collect()
+    profileRangeBounds(28, OlapQueries.q238ProfileHistory(spark, sf))
+  }
+
+  test("q241 range-7 serve: the SAME store answers a different window within the same bounds — range independence") {
+    profileRangeBounds(7, OlapQueries.q241ProfileRange7(spark, sf))
+  }
+
+  /** The q238/q241 bound suite, parameterized by the trailing-day range:
+    * the store is built once; only the serve filter differs. */
+  private def profileRangeBounds(days: Int,
+      serveDf: org.apache.spark.sql.DataFrame): Unit = {
+    val got = serveDf.collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
     got.keySet shouldBe OlapQueries.PROFILE_COLS.toSet
 
-    // the exact twin: the SAME trailing-28-day range over the SAME shared
+    // the exact twin: the SAME trailing-day range over the SAME shared
     // unpivot (OlapQueries.profileStacked — one definition, no drift),
     // computed straight from the events fact; NDV over the string of the
     // ORIGINAL value, exactly what the store's HLL sketched
     val store = OlapQueries.profileDailyStore(spark, sf)
     val maxDay = store.agg(max(col("day"))).collect()(0).getDate(0)
     val stacked = OlapQueries.profileStacked(spark, sf)
-      .filter(col("day") > date_sub(lit(maxDay), 28))
+      .filter(col("day") > date_sub(lit(maxDay), days))
     val exact = stacked.groupBy(col("col_name")).agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("v"))).as("nn"),
@@ -287,7 +298,7 @@ class SketchSpec extends SparkSpec {
 
     // serve isolation, q235's discipline: the serving plan reads ONLY the
     // day-grain profile store — the events fact never appears
-    val scans = Metrics.scannedRows(OlapQueries.q238ProfileHistory(spark, sf))
+    val scans = Metrics.scannedRows(OlapQueries.profileServe(spark, sf, days))
     withClue(s"serve scans $scans: ") {
       scans.map(_._1).exists(_.contains("graft_profile_daily")) shouldBe true
       scans.map(_._1).exists(_.contains("events.parquet")) shouldBe false
