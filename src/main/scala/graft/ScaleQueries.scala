@@ -785,8 +785,83 @@ object ScaleQueries {
     }
   }
 
+  /** An analyzed write-once catalog copy of any base table — q239's dim
+    * recipe generalized for the multi-table CBO queries. */
+  private[graft] def cboCatalogTable(s: org.apache.spark.sql.SparkSession,
+      d: String, base: String, df: org.apache.spark.sql.DataFrame,
+      statCols: Seq[String]): String = {
+    val name = s"graft_${base}_cbo_${sfTag(d)}"
+    Scale.writeTable(df, name, Scale.dirFingerprint(s"$d/$base.parquet"))
+    Scale.ensureAnalyzed(s, name, statCols)
+    name
+  }
+
+  /** q242: STATS-DRIVEN JOIN REORDER — the second half of the CBO
+    * demonstration (q239 pinned the broadcast decision; this pins the
+    * join-order decision). Three analyzed catalog tables — orders,
+    * customer, nation — joined in a deliberately BAD written order:
+    * fact ⋈ customer FIRST, then the nation dim whose `n_name` equality
+    * filter keeps ONE row (selectivity 1/ndv from the ANALYZE column
+    * stats). Catalyst without CBO preserves the written order, paying an
+    * |orders|-sized intermediate; with `cbo.joinReorder.enabled` the
+    * DP reorderer consults the stats and joins customer to the 1-row
+    * filtered nation FIRST, shrinking the intermediate to |customer|/25
+    * before the fact joins in. PlanSpec pins the flip STRUCTURALLY on the
+    * optimized logical plan: the innermost Join's base relations are
+    * {customer, nation} with CBO on and {orders, customer} with it off.
+    * Results are order-independent (the oracle gates that); at 100 TB the
+    * reorder is the difference between shuffling the fact against the
+    * full dim product and against a pre-filtered sliver — the
+    * ANALYZE-fed planning Redshift does implicitly (SURVEY §4), made
+    * explicit and pinned in Catalyst. Executed inside the conf scope
+    * (localCheckpoint) like q239. */
+  private[graft] def q242Tables(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String, String) = (
+    cboCatalogTable(s, d, "orders",
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice")),
+      Seq("o_custkey", "o_orderpriority")),
+    // customer reuses q239's analyzed copy VERBATIM — same table name,
+    // same spec, so the two CBO queries never thrash the write-once gate
+    q239DimTable(s, d),
+    cboCatalogTable(s, d, "nation", Tables.nation(s, d),
+      Seq("n_nationkey", "n_name")))
+
+  private[graft] def q242Join(s: org.apache.spark.sql.SparkSession,
+      tables: (String, String, String)): org.apache.spark.sql.DataFrame = {
+    val (o, c, n) = tables
+    // the BAD written order: fact first, selective dim last
+    s.table(o)
+      .join(s.table(c), col("o_custkey") === col("c_custkey"))
+      .join(s.table(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("total_price"))
+  }
+
+  /** The reorder scope: estimation + DP join reorder, broadcast threshold
+    * untouched (the reorder is a LOGICAL decision; q239 owns the
+    * physical-broadcast pin). */
+  private[graft] def withReorderConf[T](s: org.apache.spark.sql.SparkSession,
+      on: Boolean)(body: => T): T =
+    SessionConf.withValue(s, "spark.sql.cbo.enabled", on.toString) {
+      SessionConf.withValue(s, "spark.sql.cbo.joinReorder.enabled", on.toString) {
+        body
+      }
+    }
+
+  val q242CboReorder: Q = (s, d) => {
+    val tables = q242Tables(s, d)
+    withReorderConf(s, on = true) {
+      q242Join(s, tables).localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
+    "q242_cbo_reorder"  -> q242CboReorder,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -814,6 +889,14 @@ object ScaleQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey = 3
         |GROUP BY c_mktsegment""".stripMargin,
+    "q242_cbo_reorder" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY o_orderpriority""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

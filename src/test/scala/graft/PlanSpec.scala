@@ -1393,6 +1393,33 @@ class PlanSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q242 CBO: the join ORDER is provably stats-driven — the DP reorderer joins the 1-row filtered dim first, the written order stands without stats") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tables = ScaleQueries.q242Tables(spark, sf)
+    // the innermost (first-executed) join's base relations, read
+    // STRUCTURALLY off the optimized logical plan — a textual pin would
+    // couple to indentation
+    def leafJoinTables(df: DataFrame): Set[String] = {
+      val leafJoins = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.collect { case jj: Join => jj }.size == 1 => j
+      }
+      leafJoins should have size 1
+      leafJoins.head.collect {
+        case r: LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("")
+      }.toSet
+    }
+    val on = ScaleQueries.withReorderConf(spark, on = true) {
+      leafJoinTables(ScaleQueries.q242Join(spark, tables))
+    }
+    val off = ScaleQueries.withReorderConf(spark, on = false) {
+      leafJoinTables(ScaleQueries.q242Join(spark, tables))
+    }
+    on shouldBe Set(tables._2, tables._3)  // customer ⋈ filtered nation first
+    off shouldBe Set(tables._1, tables._2) // the written order: fact first
+  }
+
   test("q239 CBO: the broadcast decision is provably stats-driven — same query, same threshold, plan flips with cbo.enabled") {
     // Static (pre-AQE) physical plans, because the STATIC decision is the
     // one that matters at scale: AQE can only convert SMJ→BHJ after the
