@@ -34,6 +34,11 @@ import graft.operators.Scale
   * collapses to |customer|/ndv(n_name). Wall-clock barely moves at sf0.1
   * local[32] (both arms broadcast), which the artifact says out loud —
   * rows manufactured is the column that survives the 1000× scale-up.
+  *
+  * Third block: q243's runtime bloom-filter A/B into
+  * `work/ab_q243_bloom.json` — same shuffle-write-records listener as
+  * q239, because the injected `might_contain` predicate's whole point is
+  * killing fact rows BEFORE the join exchange.
   */
 object CboEvidence {
 
@@ -149,10 +154,41 @@ object CboEvidence {
          |"note":"the decision is logical, so rows manufactured is the scale-honest column: the written order pays an |orders|-sized intermediate before the 1-row nation filter lands, the stats-fed DP reorderer pays |customer|/ndv(n_name); wall-clock at sf0.1 local[32] barely moves because both arms broadcast the small sides — at 100 TB the intermediate is the difference between shuffling the fact and shuffling a sliver"}""".stripMargin
     writeArtifact(reorderOut, reorderJson)
 
+    // ---- q243: the runtime bloom filter A/B (same listener) ----
+    val bloomOut = if (args.length > 3) args(3) else "work/ab_q243_bloom.json"
+    def bloomArm(on: Boolean): (Long, Double) =
+      ScaleQueries.withRuntimeFilterConf(spark, on) {
+        var best = Double.MaxValue
+        var recs = 0L
+        for (_ <- 1 to iters) {
+          Thread.sleep(500)
+          shuffleRecords.set(0)
+          val t0 = System.nanoTime()
+          ScaleQueries.q243Join(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          best = math.min(best, sec)
+          recs = math.max(recs, shuffleRecords.get)
+        }
+        (recs, best)
+      }
+    spark.sparkContext.addSparkListener(listener)
+    val (bOff, btOff) = bloomArm(on = false)
+    val (bOn, btOn) = bloomArm(on = true)
+    spark.sparkContext.removeSparkListener(listener)
+    val bloomJson =
+      s"""{"probe":"graft.CboEvidence — q243 selective dim join at $sf, local[$cpus], min of $iters; broadcast disabled in BOTH arms (the shuffle-join regime is the 100 TB shape); metric = total shuffle-write records",
+         |"bloom_off":{"shuffle_write_records":$bOff,"sec":${f"$btOff%.3f"}},
+         |"bloom_on":{"shuffle_write_records":$bOn,"sec":${f"$btOn%.3f"}},
+         |"note":"with InjectRuntimeFilter on, the might_contain predicate kills the non-matching ~24/25 of lineitem AT THE SCAN, so the fact's map output shrinks to the matching sliver (plus bloom false positives and the tiny bloom_filter_agg subquery's own exchange); off, the full fact projection rides the join exchange"}""".stripMargin
+    writeArtifact(bloomOut, bloomJson)
+
     spark.stop()
     val ok = jOff == "SortMergeJoin" && jOn == "BroadcastHashJoin" && rOn < rOff
     val okReorder = loOn != loOff && jrOn < jrOff
-    if (!ok || !okReorder) sys.exit(1)
+    val okBloom = bOn < bOff / 5 // at least 5x shuffle-volume reduction
+    if (!ok || !okReorder || !okBloom) sys.exit(1)
   }
 
   private def writeArtifact(outFile: String, json: String): Unit = {

@@ -859,9 +859,69 @@ object ScaleQueries {
     }
   }
 
+  /** q243: RUNTIME BLOOM-FILTER JOIN PUSHDOWN — Catalyst's third runtime
+    * filtering mechanism, completing the set the engine already pins
+    * (dynamic partition pruning on the IVF cells; stats-driven static
+    * decisions in q239/q242). A selective dim join — lineitem against
+    * part filtered to ONE brand (~1/25 of the dim) — where the dim
+    * predicate is on a NON-join, NON-partition column, so neither DPP
+    * nor a parquet min/max pushdown on the fact can exploit it.
+    * `InjectRuntimeFilter` rewrites the plan at OPTIMIZATION time: a
+    * `bloom_filter_agg(xxhash64(p_partkey))` scalar subquery built over
+    * the filtered dim, and a `might_contain(…, xxhash64(l_partkey))`
+    * predicate inserted into the fact's scan filter — so ~24/25 of
+    * lineitem dies AT THE SCAN, before paying the join exchange. The
+    * broadcast threshold is pinned off inside the scope because the demo
+    * is the shuffle-join regime (at 100 TB the dim exceeds any broadcast
+    * threshold; a BroadcastHashJoin would filter pre-shuffle anyway and
+    * make the bloom filter moot — Catalyst itself refuses to inject one
+    * under a broadcast for exactly that reason). The app-side size
+    * threshold is scoped to 0 because its 10 GB default is sized for
+    * real clusters, not sf0.1 fixtures — the conf is the knob, the
+    * rewrite is the capability. PlanSpec pins BOTH arms: with the
+    * feature on the optimized plan carries `bloom_filter_agg` +
+    * `might_contain`; with it off, neither. Results are
+    * filter-independent (bloom false-positive rows still die in the
+    * join); the oracle gates that. Executed inside the conf scope
+    * (localCheckpoint), q239's discipline. */
+  private[graft] def withRuntimeFilterConf[T](s: org.apache.spark.sql.SparkSession,
+      on: Boolean)(body: => T): T =
+    SessionConf.withValue(s, "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        on.toString) {
+      // scoped in BOTH arms, so `enabled` is the only variable
+      SessionConf.withValue(s,
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0") {
+        SessionConf.withValue(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          body
+        }
+      }
+    }
+
+  private[graft] def q243Join(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dim = Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"), col("p_size"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  val q243RuntimeBloom: Q = (s, d) =>
+    withRuntimeFilterConf(s, on = true) {
+      q243Join(s, d).localCheckpoint(true)
+    }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
+    "q243_runtime_bloom" -> q243RuntimeBloom,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -897,6 +957,15 @@ object ScaleQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name = 'NATION_3'
         |GROUP BY o_orderpriority""".stripMargin,
+    // The runtime bloom filter is plan surgery, not semantics: the oracle
+    // is the plain selective join.
+    "q243_runtime_bloom" ->
+      """SELECT p_size, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#4'
+        |GROUP BY p_size""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

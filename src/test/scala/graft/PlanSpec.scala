@@ -1420,6 +1420,31 @@ class PlanSpec extends SparkSpec {
     off shouldBe Set(tables._1, tables._2) // the written order: fact first
   }
 
+  test("q243 runtime filter: InjectRuntimeFilter plants a bloom_filter_agg subquery and a might_contain predicate on the fact scan — and only when enabled") {
+    // The rewrite is OPTIMIZER-time plan surgery, so the pin reads the
+    // optimized logical plan. Physical corroboration: the formatted plan's
+    // lineitem scan carries the might_contain in its Filter, i.e. the fact
+    // rows die before the join exchange, not after.
+    val on = ScaleQueries.withRuntimeFilterConf(spark, on = true) {
+      val df = ScaleQueries.q243Join(spark, sf)
+      val o = df.queryExecution.optimizedPlan.toString
+      o should include("bloom_filter_agg")
+      o should include("might_contain")
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+    // the predicate sits on the SCAN side of the exchange: the formatted
+    // detail for the lineitem-side Filter mentions might_contain
+    on should include("might_contain")
+    on should include("Exchange")
+    ScaleQueries.withRuntimeFilterConf(spark, on = false) {
+      val o = ScaleQueries.q243Join(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      o should not include "bloom_filter_agg"
+      o should not include "might_contain"
+    }
+  }
+
   test("q239 CBO: the broadcast decision is provably stats-driven — same query, same threshold, plan flips with cbo.enabled") {
     // Static (pre-AQE) physical plans, because the STATIC decision is the
     // one that matters at scale: AQE can only convert SMJ→BHJ after the
