@@ -918,10 +918,105 @@ object ScaleQueries {
       q243Join(s, d).localCheckpoint(true)
     }
 
+  /** q244: AQE SKEW-JOIN SPLIT — the REACTIVE complement to q28/q119's
+    * proactive salt. A merge join over a Zipf-skewed key (P(k=1) ≈ 1/2 —
+    * one key owns half the corpus) where `OptimizeSkewedJoin` detects the
+    * hot reduce partition from the map-output statistics at RUNTIME and
+    * splits it into advisory-sized chunks, duplicating the matching build
+    * partition per chunk — the executed SortMergeJoin is tagged
+    * `skew=true` and no reducer carries the hot key alone. The key and
+    * payload are md5-derived integer arithmetic (q187's discipline), so
+    * the oracle replays them bit-for-bit in DuckDB.
+    *
+    * Three preconditions, each a real at-scale lesson (measured here, not
+    * guessed — each was individually observed blocking the split):
+    *  1. The rule's pattern needs both SMJ children to be Sort directly
+    *     over a shuffle stage, and splitting must not break a parent's
+    *     required distribution: an aggregate keyed on (or piggybacking
+    *     on) the join key rides the join's hashpartitioning, so AQE
+    *     refuses the split that would invalidate it. The demo aggregates
+    *     by a key the join partitioning cannot serve (k mod 16 computed
+    *     post-join), and both inputs are materialized flat.
+    *  2. Split granularity is PER MAP OUTPUT: a single-mapper input
+    *     cannot be split at all (the local parquet is one split). The
+    *     probe side is repartitioned into 64 map tasks first — on a real
+    *     cluster the fact side arrives with thousands of mappers and this
+    *     step is the status quo, not an extra cost.
+    *  3. Detection is on BYTES, not rows: a constant hot key compresses
+    *     so well that a 50%-of-rows partition can sit below the byte
+    *     threshold. The payload column is an md5-derived 60-bit integer —
+    *     incompressible, so bytes track rows (at 100 TB real payloads do
+    *     this on their own).
+    * The scoped thresholds (32 KB skew threshold, 16 KB advisory) are
+    * toy-scale resolution for the 256 MB defaults; `skewJoin.enabled` is
+    * Spark's default-on — the conf scope shrinks the ruler, the split
+    * logic is stock. PlanSpec pins `skew=true` with the feature on and
+    * its absence with it off; results are split-independent (the oracle
+    * gates that). Salt (q119) remains the plan-stable PROACTIVE form —
+    * this entry is the engine catching the skew it didn't see coming. */
+  private[graft] val SKEW_M = 1048576L
+
+  private[graft] def q244SkewBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d).select(
+      expr(s"$SKEW_M div (cast(conv(substring(md5(concat('skew:', l_orderkey, ':', l_linenumber)), 1, 15), 16, 10) as bigint) % $SKEW_M + 1)")
+        .as("k"),
+      expr("cast(conv(substring(md5(concat('p:', l_orderkey, ':', l_linenumber)), 1, 15), 16, 10) as bigint)")
+        .as("v"),
+      col("l_quantity"))
+
+  private[graft] def withSkewConf[T](s: org.apache.spark.sql.SparkSession,
+      on: Boolean)(body: => T): T =
+    SessionConf.withValue(s, "spark.sql.adaptive.skewJoin.enabled", on.toString) {
+      // toy-scale rulers for the 256 MB / 64 MB cluster defaults — scoped
+      // in BOTH arms so `enabled` is the only variable
+      SessionConf.withValue(s,
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "32768") {
+        SessionConf.withValue(s,
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0") {
+          SessionConf.withValue(s,
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384") {
+            SessionConf.withValue(s, "spark.sql.autoBroadcastJoinThreshold",
+                "-1") {
+              body
+            }
+          }
+        }
+      }
+    }
+
+  /** Flat-materialized inputs: probe with 64 map tasks, per-key dim. */
+  private[graft] def q244Inputs(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = q244SkewBase(s, d).repartition(64).localCheckpoint(true)
+    val dim = base.groupBy(col("k")).agg(count(lit(1)).as("key_rows"))
+      .localCheckpoint(true)
+    (base, dim)
+  }
+
+  private[graft] def q244Join(base: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base.hint("merge").join(dim, Seq("k"))
+      .groupBy(pmod(col("k"), lit(16L)).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("key_rows")).as("sum_key_rows"),
+        sum(pmod(col("v"), lit(9973L))).as("sum_vmod"),
+        sum(col("l_quantity").cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("sum_qty"))
+
+  val q244AqeSkewJoin: Q = (s, d) => {
+    val (base, dim) = q244Inputs(s, d)
+    withSkewConf(s, on = true) {
+      q244Join(base, dim).localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
     "q243_runtime_bloom" -> q243RuntimeBloom,
+    "q244_aqe_skew_join" -> q244AqeSkewJoin,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -966,6 +1061,29 @@ object ScaleQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#4'
         |GROUP BY p_size""".stripMargin,
+    // The skew split is physical surgery on reduce partitions; semantics
+    // is the plain join, with the Zipf key + payload replayed as the same
+    // md5 integer arithmetic (q187's discipline).
+    "q244_aqe_skew_join" ->
+      s"""WITH base AS (SELECT
+        |    $SKEW_M // (CAST(CAST(('0x' || substr(md5('skew:' ||
+        |      CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |      AS BIGINT) % $SKEW_M + 1) AS k,
+        |    CAST(CAST(('0x' || substr(md5('p:' ||
+        |      CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |      AS BIGINT) AS v,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT k, CAST(count(*) AS BIGINT) AS key_rows
+        |  FROM base GROUP BY k)
+        |SELECT base.k % 16 AS grp, count(*) AS n_rows,
+        |  CAST(SUM(key_rows) AS BIGINT) AS sum_key_rows,
+        |  CAST(SUM(v % 9973) AS BIGINT) AS sum_vmod,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM base JOIN dim ON base.k = dim.k
+        |GROUP BY 1""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

@@ -28,10 +28,12 @@ import graft.operators.Scale
   * mitigated. A join has no combine: every probe row rides the exchange
   * keyed by k, so the hot key's half of the corpus lands on ONE reducer —
   * unless the salt spreads it. AQE's reactive skew split
-  * (OptimizeSkewedJoin) stays inert here by its own byte thresholds
-  * (256 MB default — the honest local regime), and at any scale the salt
-  * remains the plan-stable proactive form with a deterministic bound:
-  * largest reducer's share ≈ hot_key_share / salts.
+  * (OptimizeSkewedJoin) stays inert in the first two arms by its own byte
+  * thresholds (256 MB default — the honest local regime); a THIRD arm
+  * (q244's regime: scoped toy-scale rulers + a 64-map-task probe layout)
+  * measures the reactive split against the same data. At any scale the
+  * salt remains the plan-stable proactive form with a deterministic
+  * bound: largest reducer's share ≈ hot_key_share / salts.
   *
   * Per arm: min-of-N wall seconds and the max single-task share of
   * shuffle-read records in the run's most skewed stage (SparkListener
@@ -142,11 +144,27 @@ object SkewEvidence {
       }
       }
 
+    // Reactive arm prep: AQE's split granularity is PER MAP OUTPUT, so a
+    // single-split local parquet cannot be split at all — manufacture the
+    // many-mapper layout a cluster fact side has anyway (64 map tasks),
+    // OUTSIDE the measured arms, exactly like base/dim materialization.
+    val baseMany = base.repartition(64).localCheckpoint(true)
+    def aqeJoin(b: DataFrame, d2: DataFrame): DataFrame =
+      baseMany.hint("merge").join(d2, Seq("k"))
+
     val (cA, cB) = (checksum(unsalted(base, dim)), checksum(salted(base, dim)))
-    val equal = cA == cB
+    // checksum + timing arms run INSIDE the skew-conf scope: the split is
+    // a runtime decision, so the confs must be live at EXECUTION time
+    val cC = ScaleQueries.withSkewConf(spark, on = true) {
+      checksum(aqeJoin(base, dim))
+    }
+    val equal = cA == cB && cA == cC
 
     val (sU, shU, hrU) = arm(unsalted)
     val (sS, shS, hrS) = arm(salted)
+    val (sA, shA, hrA) = ScaleQueries.withSkewConf(spark, on = true) {
+      arm(aqeJoin)
+    }
     spark.sparkContext.removeSparkListener(listener)
 
     val json =
@@ -154,7 +172,8 @@ object SkewEvidence {
          |"rows":$nRows%d,"hot_key_share":$hotShare%.4f,"results_equal":$equal%b,
          |"unsalted":{"sec":$sU%.3f,"max_reducer_share":$shU%.4f,"max_task_shuffle_records":$hrU%d},
          |"salted":{"sec":$sS%.3f,"max_reducer_share":$shS%.4f,"max_task_shuffle_records":$hrS%d},
-         |"note":"max_reducer_share is the largest single-task fraction of shuffle-read records in the run's most skewed stage; the salted bound is ≈ hot_key_share/salts. The JOIN is the honest target: algebraic aggs never skew (map-side combine) and Spark's two-phase distinct rewrite already spreads count(DISTINCT) — measured 0.25 share vs the key's 0.50 — while a join moves every probe row keyed by k. AQE's OptimizeSkewedJoin stays inert at these sizes by its 256MB default threshold; both arms run with AQE coalescing off and 128 reducers so toy-scale packing and salt-bucket hash collisions do not blur the key-level share (coalescing can merge but never split the unsalted hot partition); salting is the plan-stable proactive form."}""".stripMargin
+         |"aqe_split":{"sec":$sA%.3f,"max_reducer_share":$shA%.4f,"max_task_shuffle_records":$hrA%d},
+         |"note":"max_reducer_share is the largest single-task fraction of shuffle-read records in the run's most skewed stage; the salted bound is ≈ hot_key_share/salts. The JOIN is the honest target: algebraic aggs never skew (map-side combine) and Spark's two-phase distinct rewrite already spreads count(DISTINCT) — measured 0.25 share vs the key's 0.50 — while a join moves every probe row keyed by k. Both arms run with AQE coalescing off and 128 reducers so toy-scale packing and salt-bucket hash collisions do not blur the key-level share (coalescing can merge but never split the unsalted hot partition). The aqe_split arm is q244's REACTIVE alternative under the same scoped toy-scale rulers (32KB skew threshold, 16KB advisory for the 256MB/64MB cluster defaults), with the probe pre-laid into 64 map tasks because OptimizeSkewedJoin splits at per-map-output granularity — a cluster fact side has that layout for free; its share bound is ≈ advisory-chunk/total rather than hot/salts. Salting remains the plan-stable PROACTIVE form: it needs no runtime stats and survives any downstream distribution requirement; the AQE split is the engine catching skew it did not see coming."}""".stripMargin
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -165,6 +184,6 @@ object SkewEvidence {
     }
     println(json.replaceAll("\n", " "))
     spark.stop()
-    if (!(equal && shS < shU)) sys.exit(1)
+    if (!(equal && shS < shU && shA < shU)) sys.exit(1)
   }
 }

@@ -1445,6 +1445,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q244 AQE skew join: the executed SortMergeJoin is tagged skew=true with the feature on, untagged with it off — same inputs, same thresholds") {
+    // The decision is RUNTIME (map-output statistics), so the pin reads
+    // the final adaptive plan AFTER execution — an un-executed
+    // AdaptiveSparkPlan has no stats and no skew handling to show.
+    val (base, dim) = ScaleQueries.q244Inputs(spark, sf)
+    def executedPlanOf(on: Boolean): String =
+      ScaleQueries.withSkewConf(spark, on) {
+        val df = ScaleQueries.q244Join(base, dim)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+    val on = executedPlanOf(true)
+    on should include("skew=true")
+    on should include("SortMergeJoin")
+    val off = executedPlanOf(false)
+    off should not include "skew=true"
+    off should include("SortMergeJoin")
+  }
+
   test("q239 CBO: the broadcast decision is provably stats-driven — same query, same threshold, plan flips with cbo.enabled") {
     // Static (pre-AQE) physical plans, because the STATIC decision is the
     // one that matters at scale: AQE can only convert SMJ→BHJ after the
