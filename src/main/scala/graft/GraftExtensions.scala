@@ -8,12 +8,19 @@ import graft.functions.{CdcCutsExpr, CharClassCountsExpr, CosineSimilarity, DotF
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
-  * them. Installed by [[GraftSession]] via `spark.sql.extensions`; any
-  * session built elsewhere simply falls back to the composable built-in
-  * implementations (see SimilarityQueries' guard). */
+  * them, and the materialized-view rewrite rule
+  * ([[graft.plans.MvRewriteRule]]) into the operator-optimization
+  * fixpoint — inert (a registry-emptiness check) unless a query scope
+  * registers an MV. Installed by [[GraftSession]] via
+  * `spark.sql.extensions`; any session built elsewhere simply falls back
+  * to the composable built-in implementations (see SimilarityQueries'
+  * guard) and to direct scans (the MV rule never installed means every
+  * aggregate reads its source — correct, just unaccelerated). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
+  }
 }
 
 object GraftExtensions {

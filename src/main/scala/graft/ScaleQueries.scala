@@ -1012,11 +1012,77 @@ object ScaleQueries {
     }
   }
 
+  /** q245/q246: AUTOMATIC MATERIALIZED-VIEW REWRITE — full design in
+    * [[graft.plans.MvCatalog]]'s scaladoc. Here: the write-once summary
+    * of `documents` at (lang, source) grain with the four distributive
+    * measures, registered for the query's scope; the query itself is
+    * written against the RAW documents scan and never mentions the MV.
+    * q245 serves the MV's own grain; q246 NAVIGATES to a coarser grain
+    * (lang only — the monoid re-merge: counts sum, sums sum, mins min).
+    * The oracle computes the identical SQL over the raw table in DuckDB —
+    * the strongest available proof the rewrite is invisible. PlanSpec
+    * pins the swap itself: registered, the optimized plan scans the MV
+    * and not the corpus; unregistered, the corpus. */
+  private[graft] def q245MvDef(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.plans.MvCatalog.MvDef = {
+    import graft.plans.MvCatalog._
+    val mv = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val path = Scale.writeOnce(mv, s"graft_docs_mv_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/documents.parquet"))
+    val rel = s.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.getOrElse(sys.error(s"MV at $path did not analyze to a relation"))
+    MvDef(
+      sourcePath = java.nio.file.Paths.get(d, "documents.parquet")
+        .toAbsolutePath.normalize.toString,
+      groupCols = Set("lang", "source"),
+      measures = Map(
+        "cnt_rows" -> CntRows,
+        "sum_chars" -> SumOf("n_chars"),
+        "min_chars" -> MinOf("n_chars"),
+        "max_chars" -> MaxOf("n_chars")),
+      mv = rel)
+  }
+
+  /** The user-shaped queries — raw scans, no MV in sight. */
+  private[graft] def q245Direct(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  private[graft] def q246Direct(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"))
+
+  val q245MvRewrite: Q = (s, d) =>
+    graft.plans.MvCatalog.withMv(s, q245MvDef(s, d)) {
+      q245Direct(s, d).localCheckpoint(true)
+    }
+
+  val q246MvNavigate: Q = (s, d) =>
+    graft.plans.MvCatalog.withMv(s, q245MvDef(s, d)) {
+      q246Direct(s, d).localCheckpoint(true)
+    }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
     "q243_runtime_bloom" -> q243RuntimeBloom,
     "q244_aqe_skew_join" -> q244AqeSkewJoin,
+    "q245_mv_rewrite"   -> q245MvRewrite,
+    "q246_mv_navigate"  -> q246MvNavigate,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -1084,6 +1150,21 @@ object ScaleQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
         |FROM base JOIN dim ON base.k = dim.k
         |GROUP BY 1""".stripMargin,
+    // The MV rewrite must be invisible: the oracle computes the SAME query
+    // over the RAW documents table — if the engine's answer (served from
+    // the summary) drifts by one row, the hash gate fails.
+    "q245_mv_rewrite" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY lang, source""".stripMargin,
+    "q246_mv_navigate" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

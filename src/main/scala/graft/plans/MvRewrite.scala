@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** AUTOMATIC MATERIALIZED-VIEW REWRITE (aggregate navigation) — the
+  * engine-side role Redshift's AutoMV plays for the reference's warehouse
+  * (SURVEY §4: the planner consults maintained summaries so reporting
+  * queries never re-scan the fact): a registered summary table answers any
+  * aggregate the summary's grain and measures can serve, INCLUDING coarser
+  * grains (group-cols ⊆ the MV's group-cols — the monoid re-merge), and
+  * the rewrite is invisible to the query author.
+  *
+  * Mechanics: [[MvRewriteRule]] is injected through the PUBLIC
+  * `SparkSessionExtensions.injectOptimizerRule` hook (the (c) tier of the
+  * custom-operator ladder, SURVEY §7.4), so it runs INSIDE Catalyst's
+  * operator-optimization fixpoint: after column pruning has shaped the
+  * plan, before physical planning. A match requires
+  *  - the aggregate's child to strip (through pass-through Projects /
+  *    SubqueryAliases) to the REGISTERED source relation, matched by the
+  *    scan's root path — not by table name, so any read of the same
+  *    parquet matches;
+  *  - every grouping expression to be a bare source column within the
+  *    MV's grain;
+  *  - every aggregate to be a merge the MV's measures can serve:
+  *    count(constant) → coalesce(sum(cnt),0), sum(col) → sum(sum_col),
+  *    min(col) → min(min_col), max(col) → max(max_col) — the four
+  *    distributive monoids; no DISTINCT, no FILTER clauses.
+  * The rewrite substitutes a fresh instance of the MV relation
+  * (`newInstance()`, so a self-join of two rewritten aggregates can never
+  * collide on attribute ids) and re-keys every output alias to the
+  * ORIGINAL exprIds, so parent operators never notice the swap. Running
+  * inside the fixpoint makes it idempotent for free: the MV's own path is
+  * not a registered source, so a rewritten aggregate never re-matches, and
+  * the same fixpoint re-prunes the new scan's columns.
+  *
+  * Registration ([[MvCatalog.withMv]]) is scoped and session-keyed
+  * (weakly, [[graft.SessionConf]]'s registry discipline): an empty
+  * registry short-circuits the rule to a no-op, so sessions that never
+  * register an MV pay nothing. Staleness is the write-once discipline's
+  * problem, already solved: the MV parquet is fingerprint-chained to its
+  * source dir, so a regenerated source rebuilds the MV before any
+  * registration can serve it.
+  *
+  * At 100 TB this is the difference between a reporting query re-scanning
+  * the fact (minutes, the full scan) and merging a few thousand summary
+  * rows (milliseconds) — and because the serve-side re-aggregation is the
+  * same monoid merge the MV build used, correctness is gated the strongest
+  * way available: the driver's oracle computes the SAME query over the RAW
+  * table in DuckDB and hash-compares. */
+object MvCatalog {
+
+  /** How a serve-side aggregate merges one MV measure column. */
+  sealed trait Merge
+  /** count(constant) at source → sum of the stored per-group row count. */
+  case object CntRows extends Merge
+  final case class SumOf(src: String) extends Merge
+  final case class MinOf(src: String) extends Merge
+  final case class MaxOf(src: String) extends Merge
+
+  /** @param sourcePath normalized root path of the source parquet
+    * @param groupCols  the MV's grain (serves any subset grain)
+    * @param measures   mv column name → the merge algebra it carries
+    * @param mv         analyzed relation of the MV parquet (instantiated
+    *                   fresh per rewrite) */
+  final case class MvDef(
+      sourcePath: String,
+      groupCols: Set[String],
+      measures: Map[String, Merge],
+      mv: LogicalRelation)
+
+  private val regs = new java.util.WeakHashMap[SparkSession, List[MvDef]]()
+
+  def defs(s: SparkSession): List[MvDef] =
+    regs.synchronized { Option(regs.get(s)).getOrElse(Nil) }
+
+  /** Scoped registration — the only way in, so a registration can never
+    * outlive its query builder (SessionConf's try/finally discipline). */
+  def withMv[T](s: SparkSession, d: MvDef)(body: => T): T = {
+    regs.synchronized { regs.put(s, d :: defs(s)) }
+    try body
+    finally regs.synchronized {
+      defs(s).filterNot(_ eq d) match {
+        case Nil  => regs.remove(s)
+        case rest => regs.put(s, rest)
+      }
+    }
+  }
+}
+
+class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import MvCatalog._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val ds = defs(session)
+    if (ds.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        ds.view.flatMap(rewrite(agg, _)).headOption.getOrElse(agg)
+    }
+  }
+
+  /** Strip pass-through shapes the optimizer inserts (pruning projects,
+    * view aliases) down to the scanned relation. */
+  private def sourceOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      sourceOf(c)
+    case SubqueryAlias(_, c) => sourceOf(c)
+    case r: LogicalRelation  => Some(r)
+    case _                   => None
+  }
+
+  private def rootPaths(r: LogicalRelation): Seq[String] = r.relation match {
+    case h: HadoopFsRelation => h.location.rootPaths.map(_.toUri.getPath)
+    case _                   => Seq.empty
+  }
+
+  /** count of a non-null constant — count(1), count(lit(1)), count(*). */
+  private def isRowCount(c: Count): Boolean =
+    c.children.forall(ch => ch.foldable && !ch.nullable)
+
+  private def rewrite(agg: Aggregate, d: MvDef): Option[Aggregate] = {
+    val matches = sourceOf(agg.child).exists(rootPaths(_).contains(d.sourcePath))
+    val grainOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => d.groupCols.contains(a.name)
+      case _                     => false
+    }
+    if (!matches || !grainOk) return None
+
+    val mvRel = d.mv.newInstance()
+    def mvAttr(name: String): Option[AttributeReference] =
+      mvRel.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    // mv measure column serving this source-side aggregate function
+    def serving(m: Merge): Option[AttributeReference] =
+      d.measures.collectFirst { case (col, `m`) => col }.flatMap(mvAttr)
+
+    // each output column re-keyed to its ORIGINAL exprId; any miss aborts
+    val served: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if d.groupCols.contains(a.name) =>
+        mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name)
+          if d.groupCols.contains(a.name) =>
+        mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        (ae.aggregateFunction match {
+          case c: Count if isRowCount(c) =>
+            serving(CntRows).map(m =>
+              Coalesce(Seq(Sum(m).toAggregateExpression(), Literal(0L))))
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              serving(SumOf(a.name)).map(m => Sum(m).toAggregateExpression())
+            case _ => None
+          }
+          case mn: Min => mn.child match {
+            case a: AttributeReference =>
+              serving(MinOf(a.name)).map(m => Min(m).toAggregateExpression())
+            case _ => None
+          }
+          case mx: Max => mx.child match {
+            case a: AttributeReference =>
+              serving(MaxOf(a.name)).map(m => Max(m).toAggregateExpression())
+            case _ => None
+          }
+          case _ => None
+        }).map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (served.exists(_.isEmpty)) return None
+
+    val newGroups = agg.groupingExpressions.map {
+      case a: AttributeReference => mvAttr(a.name).get
+    }
+    Some(Aggregate(newGroups, served.map(_.get), mvRel))
+  }
+}

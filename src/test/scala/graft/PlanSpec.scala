@@ -1445,6 +1445,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q245/q246 MV rewrite: registered, the aggregate scans the summary and never the corpus; unregistered, the corpus — and the served answers are row-identical") {
+    val mvd = ScaleQueries.q245MvDef(spark, sf)
+    // logical toString omits scan locations — read the relations' root
+    // paths structurally
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+    // registered: both grains swap to the MV scan — the corpus parquet
+    // appears nowhere in the optimized plan
+    graft.plans.MvCatalog.withMv(spark, mvd) {
+      val own = scanPaths(ScaleQueries.q245Direct(spark, sf))
+      own.exists(_.contains("graft_docs_mv_")) shouldBe true
+      own.exists(_.contains("documents.parquet")) shouldBe false
+      val coarser = scanPaths(ScaleQueries.q246Direct(spark, sf))
+      coarser.exists(_.contains("graft_docs_mv_")) shouldBe true
+      coarser.exists(_.contains("documents.parquet")) shouldBe false
+      graft.plans.MvCatalog.defs(spark) should have size 1
+    }
+    // unregistered: the same builder scans the corpus
+    val off = scanPaths(ScaleQueries.q245Direct(spark, sf))
+    off.exists(_.contains("documents.parquet")) shouldBe true
+    off.exists(_.contains("graft_docs_mv_")) shouldBe false
+    val direct246 = ScaleQueries.q246Direct(spark, sf).collect().toSet
+    val served246 = graft.plans.MvCatalog.withMv(spark, mvd) {
+      ScaleQueries.q246Direct(spark, sf).collect().toSet
+    }
+    served246 shouldBe direct246
+  }
+
   test("q244 AQE skew join: the executed SortMergeJoin is tagged skew=true with the feature on, untagged with it off — same inputs, same thresholds") {
     // The decision is RUNTIME (map-output statistics), so the pin reads
     // the final adaptive plan AFTER execution — an un-executed
