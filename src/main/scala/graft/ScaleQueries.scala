@@ -1076,6 +1076,26 @@ object ScaleQueries {
       q246Direct(s, d).localCheckpoint(true)
     }
 
+  /** q247: the FILTERED navigation — a predicate on a grain column
+    * (lang = 'en', never a grouping key of this query) strips with the
+    * scan, re-applies to the summary, and the coarser-grain merge serves
+    * the rest. The predicate selects whole MV groups, which is exactly
+    * why it commutes with the monoid merge — a predicate on a NON-grain
+    * column would (correctly) leave the query on the raw scan. */
+  private[graft] def q247Direct(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val q247MvFiltered: Q = (s, d) =>
+    graft.plans.MvCatalog.withMv(s, q245MvDef(s, d)) {
+      q247Direct(s, d).localCheckpoint(true)
+    }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
@@ -1083,6 +1103,7 @@ object ScaleQueries {
     "q244_aqe_skew_join" -> q244AqeSkewJoin,
     "q245_mv_rewrite"   -> q245MvRewrite,
     "q246_mv_navigate"  -> q246MvNavigate,
+    "q247_mv_filtered"  -> q247MvFiltered,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -1165,6 +1186,13 @@ object ScaleQueries {
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
         |FROM documents
         |GROUP BY lang""".stripMargin,
+    "q247_mv_filtered" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |WHERE lang = 'en'
+        |GROUP BY source""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -23,7 +23,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - the aggregate's child to strip (through pass-through Projects /
   *    SubqueryAliases) to the REGISTERED source relation, matched by the
   *    scan's root path — not by table name, so any read of the same
-  *    parquet matches;
+  *    parquet matches; deterministic Filters over GRAIN columns strip
+  *    too and are re-applied to the summary (they select whole groups,
+  *    so they commute with the merge);
   *  - every grouping expression to be a bare source column within the
   *    MV's grain;
   *  - every aggregate to be a merge the MV's measures can serve:
@@ -105,12 +107,17 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Strip pass-through shapes the optimizer inserts (pruning projects,
-    * view aliases) down to the scanned relation. */
-  private def sourceOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    * view aliases) down to the scanned relation, collecting any Filter
+    * conditions met on the way — a predicate over GRAIN columns selects
+    * whole MV groups, so it commutes with the merge and can be served
+    * from the summary too (checked in [[rewrite]]). */
+  private def sourceOf(p: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       sourceOf(c)
     case SubqueryAlias(_, c) => sourceOf(c)
-    case r: LogicalRelation  => Some(r)
+    case Filter(cond, c)     => sourceOf(c).map { case (r, cs) => (r, cond +: cs) }
+    case r: LogicalRelation  => Some((r, Seq.empty))
     case _                   => None
   }
 
@@ -123,13 +130,19 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def isRowCount(c: Count): Boolean =
     c.children.forall(ch => ch.foldable && !ch.nullable)
 
-  private def rewrite(agg: Aggregate, d: MvDef): Option[Aggregate] = {
-    val matches = sourceOf(agg.child).exists(rootPaths(_).contains(d.sourcePath))
+  private def rewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
+    val src = sourceOf(agg.child)
+      .filter { case (r, _) => rootPaths(r).contains(d.sourcePath) }
+    val conds = src.map(_._2).getOrElse(Seq.empty)
+    // every stripped predicate must be a deterministic condition over
+    // GRAIN columns only — it then selects whole summary groups
+    val condsOk = conds.forall(c => c.deterministic &&
+      c.references.forall(a => d.groupCols.contains(a.name)))
     val grainOk = agg.groupingExpressions.forall {
       case a: AttributeReference => d.groupCols.contains(a.name)
       case _                     => false
     }
-    if (!matches || !grainOk) return None
+    if (src.isEmpty || !condsOk || !grainOk) return None
 
     val mvRel = d.mv.newInstance()
     def mvAttr(name: String): Option[AttributeReference] =
@@ -177,6 +190,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val newGroups = agg.groupingExpressions.map {
       case a: AttributeReference => mvAttr(a.name).get
     }
-    Some(Aggregate(newGroups, served.map(_.get), mvRel))
+    val child: LogicalPlan =
+      if (conds.isEmpty) mvRel
+      else Filter(
+        conds.map(_.transform {
+          case a: AttributeReference => mvAttr(a.name).get
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And),
+        mvRel)
+    Some(Aggregate(newGroups, served.map(_.get), child))
   }
 }

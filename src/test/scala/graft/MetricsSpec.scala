@@ -70,6 +70,23 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("q245 MV rewrite: the served aggregate reads summary rows only — corpus rows never enter the plan") {
+    val mvd = ScaleQueries.q245MvDef(spark, sf)
+    val mvRows = spark.read.parquet(
+      mvd.mv.relation.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toString).count()
+    graft.plans.MvCatalog.withMv(spark, mvd) {
+      val scans = Metrics.scannedRows(ScaleQueries.q245Direct(spark, sf))
+      withClue(s"scans $scans: ") {
+        scans should have size 1
+        scans.head._1 should include("graft_docs_mv_")
+        scans.head._2 shouldBe mvRows // every summary row, no corpus row
+        mvRows should be < DOCS // and the summary is smaller than the corpus
+      }
+    }
+  }
+
   test("q52 IVF probe: DPP reads exactly the probed cells' rows from the cell layout") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity

@@ -1473,6 +1473,32 @@ class PlanSpec extends SparkSpec {
     val off = scanPaths(ScaleQueries.q245Direct(spark, sf))
     off.exists(_.contains("documents.parquet")) shouldBe true
     off.exists(_.contains("graft_docs_mv_")) shouldBe false
+    graft.plans.MvCatalog.withMv(spark, mvd) {
+      // q247: a grain-column predicate strips with the scan and re-applies
+      // to the summary
+      val filtered = scanPaths(ScaleQueries.q247Direct(spark, sf))
+      filtered.exists(_.contains("graft_docs_mv_")) shouldBe true
+      filtered.exists(_.contains("documents.parquet")) shouldBe false
+      // negative control: a NON-grain predicate (n_chars) cannot select
+      // whole groups — the query must stay on the raw scan
+      val nonGrain = scanPaths(
+        graft.Tables.documents(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("n_chars") > 100)
+          .groupBy(org.apache.spark.sql.functions.col("lang"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+      nonGrain.exists(_.contains("documents.parquet")) shouldBe true
+      nonGrain.exists(_.contains("graft_docs_mv_")) shouldBe false
+      // negative control: DISTINCT aggregates are not mergeable from
+      // counts — raw scan
+      val distinctAgg = scanPaths(
+        graft.Tables.documents(spark, sf)
+          .groupBy(org.apache.spark.sql.functions.col("lang"))
+          .agg(org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.col("source")).as("n_sources")))
+      distinctAgg.exists(_.contains("documents.parquet")) shouldBe true
+      distinctAgg.exists(_.contains("graft_docs_mv_")) shouldBe false
+    }
     val direct246 = ScaleQueries.q246Direct(spark, sf).collect().toSet
     val served246 = graft.plans.MvCatalog.withMv(spark, mvd) {
       ScaleQueries.q246Direct(spark, sf).collect().toSet
