@@ -986,13 +986,23 @@ object ScaleQueries {
       }
     }
 
-  /** Flat-materialized inputs: probe with 64 map tasks, per-key dim. */
+  /** Write-once inputs (INPUT MANUFACTURING, not an engine layout — the
+    * query's point is the runtime split at serve time, so the synthetic
+    * Zipf corpus is not in [[layoutsByQuery]]'s per-iteration purge, the
+    * q239 catalog-table treatment): probe re-laid into 64 map tasks by
+    * the repartition INSIDE the measured query — the map count the join
+    * exchange sees is the repartition's output count, immune to
+    * small-file packing at the scan. */
   private[graft] def q244Inputs(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val base = q244SkewBase(s, d).repartition(64).localCheckpoint(true)
-    val dim = base.groupBy(col("k")).agg(count(lit(1)).as("key_rows"))
-      .localCheckpoint(true)
-    (base, dim)
+    val fp = Scale.dirFingerprint(s"$d/lineitem.parquet")
+    val basePath = Scale.writeOnce(q244SkewBase(s, d),
+      s"graft_skew_base_${sfTag(d)}", fp)
+    val dimPath = Scale.writeOnce(
+      s.read.parquet(basePath).groupBy(col("k"))
+        .agg(count(lit(1)).as("key_rows")),
+      s"graft_skew_dim_${sfTag(d)}", fp)
+    (s.read.parquet(basePath).repartition(64), s.read.parquet(dimPath))
   }
 
   private[graft] def q244Join(base: org.apache.spark.sql.DataFrame,
@@ -1096,6 +1106,38 @@ object ScaleQueries {
       q247Direct(s, d).localCheckpoint(true)
     }
 
+  /** q248: CACHED-INTERMEDIATE REUSE — `cache()` as the scan-once,
+    * serve-many discipline (the in-session sibling of the write-once
+    * stores: same dedup-the-scan idea, memory instead of parquet, gone
+    * with the session). A per-lang summary is cached; TWO consumers —
+    * the per-lang report and the corpus-wide total re-aggregated FROM
+    * the summary — both resolve to `InMemoryRelation` through Catalyst's
+    * cache manager (plan-pinned), so the corpus parquet is scanned
+    * exactly once no matter how many consumers follow. The union of the
+    * two legs makes the reuse a single gated result; the oracle replays
+    * both legs from the raw table via a CTE. At 100 TB the cached
+    * summary is |langs| rows replicated on executors — the corpus scan
+    * is the thing being deduplicated, and a second consumer costs
+    * nothing new. `unpersist` in `finally` keeps the session's memory
+    * ledger clean (Bench's between-queries release is the backstop). */
+  val q248CachedReuse: Q = (s, d) => {
+    val perLang = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .cache()
+    try {
+      val byLang = perLang.select(lit("by_lang").as("section"), col("lang"),
+        col("n_docs"), col("total_chars"))
+      val total = perLang.agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_chars")).as("total_chars"))
+        .select(lit("total").as("section"), lit(null).cast(StringType).as("lang"),
+          col("n_docs"), col("total_chars"))
+      byLang.unionAll(total).localCheckpoint(true)
+    } finally perLang.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
@@ -1104,6 +1146,7 @@ object ScaleQueries {
     "q245_mv_rewrite"   -> q245MvRewrite,
     "q246_mv_navigate"  -> q246MvNavigate,
     "q247_mv_filtered"  -> q247MvFiltered,
+    "q248_cached_reuse" -> q248CachedReuse,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -1193,6 +1236,18 @@ object ScaleQueries {
         |FROM documents
         |WHERE lang = 'en'
         |GROUP BY source""".stripMargin,
+    // Cache reuse is physical-only: both legs replayed from the raw table.
+    "q248_cached_reuse" ->
+      """WITH per_lang AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT 'by_lang' AS section, lang, n_docs, total_chars FROM per_lang
+        |UNION ALL
+        |SELECT 'total' AS section, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(total_chars) AS BIGINT) AS total_chars
+        |FROM per_lang""".stripMargin,
     // Every grain aggregated DIRECTLY from the corpus: the state cascade
     // must be indistinguishable from recomputation.
     "q173_grain_cascade" ->

@@ -9,8 +9,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** AUTOMATIC MATERIALIZED-VIEW REWRITE (aggregate navigation) — the
   * engine-side role Redshift's AutoMV plays for the reference's warehouse
-  * (SURVEY §4: the planner consults maintained summaries so reporting
-  * queries never re-scan the fact): a registered summary table answers any
+  * (SURVEY §4; the reference's own reporting surface is exactly this
+  * shape — `test_etl.ipynb` cells 8/11/14/17/20 are `select count(*)`
+  * validation aggregates re-issued against the loaded star on every run,
+  * which Redshift answers from maintained metadata/summaries rather than
+  * fact re-scans): a registered summary table answers any
   * aggregate the summary's grain and measures can serve, INCLUDING coarser
   * grains (group-cols ⊆ the MV's group-cols — the monoid re-merge), and
   * the rewrite is invisible to the query author.

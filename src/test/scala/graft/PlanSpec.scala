@@ -1506,6 +1506,26 @@ class PlanSpec extends SparkSpec {
     served246 shouldBe direct246
   }
 
+  test("q248 cache reuse: both consumers resolve to InMemoryRelation through the cache manager; uncached, neither does") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    def legs(cached: Boolean): Seq[String] = {
+      val perLang = Tables.documents(spark, sf)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      val p = if (cached) perLang.cache() else perLang
+      try {
+        Seq(
+          p.select(col("lang"), col("n_docs")),
+          p.agg(sum(col("n_docs")).as("n_docs"))
+        ).map(_.queryExecution.optimizedPlan.toString)
+      } finally if (cached) { p.unpersist(); () }
+    }
+    val cachedPlans = legs(cached = true)
+    cachedPlans.foreach(_ should include("InMemoryRelation"))
+    val uncachedPlans = legs(cached = false)
+    uncachedPlans.foreach(_ should not include "InMemoryRelation")
+  }
+
   test("q244 AQE skew join: the executed SortMergeJoin is tagged skew=true with the feature on, untagged with it off — same inputs, same thresholds") {
     // The decision is RUNTIME (map-output statistics), so the pin reads
     // the final adaptive plan AFTER execution — an un-executed
