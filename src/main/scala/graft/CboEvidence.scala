@@ -117,7 +117,7 @@ object CboEvidence {
          |"cbo_off":{"static_join":"$jOff","shuffle_write_records":$rOff,"sec":${f"$sOff%.3f"}},
          |"cbo_on":{"static_join":"$jOn","shuffle_write_records":$rOn,"sec":${f"$sOn%.3f"}},
          |"note":"shuffle-write records is the cluster-relevant column: the static BroadcastHashJoin never writes the fact side's map output, while the CBO-off SortMergeJoin pays the full orders exchange before AQE can re-plan; local[32] wall-clock underweights that saved exchange"}""".stripMargin
-    writeArtifact(outFile, json)
+    Evidence.writeArtifact(outFile, json)
 
     // ---- q242: the reorder A/B (same session, same ANALYZE'd catalog) ----
     val reorderOut = if (args.length > 2) args(2) else "work/ab_q242_reorder.json"
@@ -152,7 +152,7 @@ object CboEvidence {
          |"reorder_off":{"first_join":"$loOff","join_output_rows":$jrOff,"sec":${f"$tOff%.3f"}},
          |"reorder_on":{"first_join":"$loOn","join_output_rows":$jrOn,"sec":${f"$tOn%.3f"}},
          |"note":"the decision is logical, so rows manufactured is the scale-honest column: the written order pays an |orders|-sized intermediate before the 1-row nation filter lands, the stats-fed DP reorderer pays |customer|/ndv(n_name); wall-clock at sf0.1 local[32] barely moves because both arms broadcast the small sides — at 100 TB the intermediate is the difference between shuffling the fact and shuffling a sliver"}""".stripMargin
-    writeArtifact(reorderOut, reorderJson)
+    Evidence.writeArtifact(reorderOut, reorderJson)
 
     // ---- q243: the runtime bloom filter A/B (same listener) ----
     val bloomOut = if (args.length > 3) args(3) else "work/ab_q243_bloom.json"
@@ -182,7 +182,7 @@ object CboEvidence {
          |"bloom_off":{"shuffle_write_records":$bOff,"sec":${f"$btOff%.3f"}},
          |"bloom_on":{"shuffle_write_records":$bOn,"sec":${f"$btOn%.3f"}},
          |"note":"with InjectRuntimeFilter on, the might_contain predicate kills the non-matching ~24/25 of lineitem AT THE SCAN, so the fact's map output shrinks to the matching sliver (plus bloom false positives and the tiny bloom_filter_agg subquery's own exchange); off, the full fact projection rides the join exchange"}""".stripMargin
-    writeArtifact(bloomOut, bloomJson)
+    Evidence.writeArtifact(bloomOut, bloomJson)
 
     spark.stop()
     val ok = jOff == "SortMergeJoin" && jOn == "BroadcastHashJoin" && rOn < rOff
@@ -191,15 +191,4 @@ object CboEvidence {
     if (!ok || !okReorder || !okBloom) sys.exit(1)
   }
 
-  private def writeArtifact(outFile: String, json: String): Unit = {
-    try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-      println(s"cbo evidence written to $outFile")
-    } catch {
-      case e: Exception => println(s"WARN artifact write failed: $e")
-    }
-    println(json.replaceAll("\n", " "))
-  }
 }

@@ -70,10 +70,12 @@ object SketchEvidence {
           percentile(col("wc"), lit(0.5)).as("p50"),
           percentile(col("wc"), lit(0.99)).as("p99"))
         .collect().map(r => r.getString(0) -> r).toMap
+      // symmetric difference — union-size-vs-exact only proves approx ⊆
+      // exact and lets a dropped group pass the check then crash the loop
       checks += Check("q40_approx_stats", "lang_sets_equal",
-        (approx.keySet ++ exact.keySet).size.toDouble, "==", exact.size.toDouble)
-      exact.foreach { case (lang, e) =>
-        val a = approx(lang)
+        ((approx.keySet -- exact.keySet) ++ (exact.keySet -- approx.keySet))
+          .size.toDouble, "==", 0)
+      exact.foreach { case (lang, e) => approx.get(lang).foreach { a =>
         def num(r: org.apache.spark.sql.Row, f: String) =
           r.getAs[Number](f).doubleValue
         val nd = e.getAs[Long]("nd").toDouble
@@ -87,7 +89,7 @@ object SketchEvidence {
         checks += Check("q40_approx_stats", s"$lang p99_abs_err",
           math.abs(num(a, "p99_approx") - num(e, "p99")),
           "<=", num(e, "p99") * 0.05 + 1)
-      }
+      } }
     }
 
     // ---- q54 vs q65 (exact-percentile cutoff twin) ---------------------
@@ -130,14 +132,14 @@ object SketchEvidence {
       val exact = OlapQueries.q91ColumnStats(spark, sf)
         .collect().map(r => r.getString(0) -> r).toMap
       checks += Check("q231_column_sketch", "column_sets_equal",
-        (approx.keySet ++ exact.keySet).size.toDouble, "==", exact.size.toDouble)
+        ((approx.keySet -- exact.keySet) ++ (exact.keySet -- approx.keySet))
+          .size.toDouble, "==", 0)
       val vals: Map[String, Array[Double]] = approx.keySet.toSeq.map { c =>
         c -> Tables.lineitem(spark, sf)
           .selectExpr(s"cast($c as double) as v").where(col("v").isNotNull)
           .collect().map(_.getDouble(0)).sorted
       }.toMap
-      exact.foreach { case (cn, e) =>
-        val a = approx(cn)
+      exact.foreach { case (cn, e) => approx.get(cn).foreach { a =>
         // non-sketched fields are the same aggregates — exactly equal
         checks += Check("q231_column_sketch", s"$cn n_rows_passthrough",
           a.getAs[Long]("n_rows").toDouble, "==", e.getAs[Long]("n_rows").toDouble)
@@ -162,7 +164,7 @@ object SketchEvidence {
           checks += Check("q231_column_sketch", s"$cn $f rank_le",
             v.count(_ <= ap).toDouble, ">=", p * nv - err)
         }
-      }
+      } }
     }
 
     // ---- q235 vs the exact events aggregate ----------------------------
@@ -178,9 +180,9 @@ object SketchEvidence {
         .collect().map(r => r.getAs[String]("event_type") ->
           ((r.getAs[Long]("n"), r.getAs[Long]("du")))).toMap
       checks += Check("q235_sketch_store", "type_sets_equal",
-        (got.keySet ++ exact.keySet).size.toDouble, "==", exact.size.toDouble)
-      exact.foreach { case (t, (n, du)) =>
-        val (gn, gu, gp50) = got(t)
+        ((got.keySet -- exact.keySet) ++ (exact.keySet -- got.keySet))
+          .size.toDouble, "==", 0)
+      exact.foreach { case (t, (n, du)) => got.get(t).foreach { case (gn, gu, gp50) =>
         checks += Check("q235_sketch_store", s"$t n_rows_passthrough",
           gn.toDouble, "==", n.toDouble)
         // DataSketches HLL lgConfigK=12: rsd ≈ 1.6%, 3σ
@@ -194,7 +196,7 @@ object SketchEvidence {
           vals.count(_ < gp50).toDouble, "<=", 0.5 * vals.length + err)
         checks += Check("q235_sketch_store", s"$t p50 rank_le",
           vals.count(_ <= gp50).toDouble, ">=", 0.5 * vals.length - err)
-      }
+      } }
     }
 
     // ---- q238/q241 vs the exact trailing-range profiles ----------------
@@ -215,13 +217,13 @@ object SketchEvidence {
           min(col("v")).as("mn"), max(col("v")).as("mx"))
         .collect().map(r => r.getAs[String]("col_name") -> r).toMap
       checks += Check(qname,"column_sets_equal",
-        (got.keySet ++ exact.keySet).size.toDouble, "==", exact.size.toDouble)
+        ((got.keySet -- exact.keySet) ++ (exact.keySet -- got.keySet))
+          .size.toDouble, "==", 0)
       val valsByCol = stacked.filter(col("v").isNotNull)
         .select(col("col_name"), col("v")).collect()
         .groupBy(_.getString(0))
         .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
-      exact.foreach { case (c, e) =>
-        val g = got(c)
+      exact.foreach { case (c, e) => got.get(c).foreach { g =>
         checks += Check(qname,s"$c n_rows_passthrough",
           g.getAs[Long]("n_rows").toDouble, "==", e.getAs[Long]("n").toDouble)
         checks += Check(qname,s"$c n_null_passthrough",
@@ -233,7 +235,7 @@ object SketchEvidence {
         val ndv = e.getAs[Long]("ndv").toDouble
         checks += Check(qname,s"$c ndv_abs_err",
           math.abs(g.getAs[Long]("ndv_approx") - ndv), "<=", ndv * 0.05 + 1)
-        val vals = valsByCol(c)
+        val vals = valsByCol.getOrElse(c, Array.empty[Double])
         val err = 3.0 * vals.length / 100 + 1
         for ((q, f) <- Seq(0.25 -> "p25_approx", 0.5 -> "p50_approx",
             0.75 -> "p75_approx")) {
@@ -243,7 +245,7 @@ object SketchEvidence {
           checks += Check(qname,s"$c $f rank_le",
             vals.count(_ <= gq).toDouble, ">=", q * vals.length - err)
         }
-      }
+      } }
     }
 
     val allPass = checks.forall(_.pass)
@@ -258,14 +260,7 @@ object SketchEvidence {
          |"checks":[
          |${checks.map(_.json).mkString(",\n")}
          |]}""".stripMargin
-    try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-      println(s"sketch evidence written to $outFile")
-    } catch {
-      case e: Exception => println(s"WARN artifact write failed: $e")
-    }
+    Evidence.writeArtifact(outFile, json, echo = false)
     println(s"""{"checks":${checks.size},"failed":${checks.count(!_.pass)},""" +
       s""""pass":$allPass}""")
     spark.stop()

@@ -113,7 +113,8 @@ object SkewEvidence {
     // collision noise under the bound being demonstrated. The unsalted
     // arm's number is partition-count-independent either way: the hot key
     // is ONE hash bucket at any np. Same confs, both arms.
-    def arm(build: (DataFrame, DataFrame) => DataFrame): (Double, Double, Long) =
+    def arm(probe: DataFrame,
+        build: (DataFrame, DataFrame) => DataFrame): (Double, Double, Long) =
       SessionConf.withValue(spark,
           "spark.sql.adaptive.coalescePartitions.enabled", "false") {
       SessionConf.withValue(spark, "spark.sql.shuffle.partitions", "128") {
@@ -124,7 +125,7 @@ object SkewEvidence {
         Thread.sleep(500)
         stageReads.clear()
         val t0 = System.nanoTime()
-        build(base, dim).write.format("noop").mode("overwrite").save()
+        build(probe, dim).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // listener bus drain
         if (sec < best) best = sec
@@ -150,20 +151,20 @@ object SkewEvidence {
     // OUTSIDE the measured arms, exactly like base/dim materialization.
     val baseMany = base.repartition(64).localCheckpoint(true)
     def aqeJoin(b: DataFrame, d2: DataFrame): DataFrame =
-      baseMany.hint("merge").join(d2, Seq("k"))
+      b.hint("merge").join(d2, Seq("k"))
 
     val (cA, cB) = (checksum(unsalted(base, dim)), checksum(salted(base, dim)))
     // checksum + timing arms run INSIDE the skew-conf scope: the split is
     // a runtime decision, so the confs must be live at EXECUTION time
     val cC = ScaleQueries.withSkewConf(spark, on = true) {
-      checksum(aqeJoin(base, dim))
+      checksum(aqeJoin(baseMany, dim))
     }
     val equal = cA == cB && cA == cC
 
-    val (sU, shU, hrU) = arm(unsalted)
-    val (sS, shS, hrS) = arm(salted)
+    val (sU, shU, hrU) = arm(base, unsalted)
+    val (sS, shS, hrS) = arm(base, salted)
     val (sA, shA, hrA) = ScaleQueries.withSkewConf(spark, on = true) {
-      arm(aqeJoin)
+      arm(baseMany, aqeJoin)
     }
     spark.sparkContext.removeSparkListener(listener)
 
@@ -174,15 +175,7 @@ object SkewEvidence {
          |"salted":{"sec":$sS%.3f,"max_reducer_share":$shS%.4f,"max_task_shuffle_records":$hrS%d},
          |"aqe_split":{"sec":$sA%.3f,"max_reducer_share":$shA%.4f,"max_task_shuffle_records":$hrA%d},
          |"note":"max_reducer_share is the largest single-task fraction of shuffle-read records in the run's most skewed stage; the salted bound is ≈ hot_key_share/salts. The JOIN is the honest target: algebraic aggs never skew (map-side combine) and Spark's two-phase distinct rewrite already spreads count(DISTINCT) — measured 0.25 share vs the key's 0.50 — while a join moves every probe row keyed by k. Both arms run with AQE coalescing off and 128 reducers so toy-scale packing and salt-bucket hash collisions do not blur the key-level share (coalescing can merge but never split the unsalted hot partition). The aqe_split arm is q244's REACTIVE alternative under the same scoped toy-scale rulers (32KB skew threshold, 16KB advisory for the 256MB/64MB cluster defaults), with the probe pre-laid into 64 map tasks because OptimizeSkewedJoin splits at per-map-output granularity — a cluster fact side has that layout for free; its share bound is ≈ advisory-chunk/total rather than hot/salts. Salting remains the plan-stable PROACTIVE form: it needs no runtime stats and survives any downstream distribution requirement; the AQE split is the engine catching skew it did not see coming."}""".stripMargin
-    try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-      println(s"skew evidence written to $outFile")
-    } catch {
-      case e: Exception => println(s"WARN artifact write failed: $e")
-    }
-    println(json.replaceAll("\n", " "))
+    Evidence.writeArtifact(outFile, json)
     spark.stop()
     if (!(equal && shS < shU && shA < shU)) sys.exit(1)
   }

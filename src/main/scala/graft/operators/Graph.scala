@@ -115,25 +115,31 @@ object Graph {
   }
 
   /** Order-independent signature of a DISTINCT canonical edge set:
-    * (count, xor-fold of xxhash64(src,dst), xor-fold of xxhash64 over the
-    * tuple extended with a distinguishing literal — a second, independent
-    * 64-bit fingerprint), computed in ONE single-aggregate job — the same
-    * job that materializes the round's lazy checkpoint. Equal signatures
-    * on two distinct-row sets imply set equality unless two DIFFERENT
-    * equal-count sets collide in BOTH independent 64-bit xor-folds
-    * (~2^-128 for this loop's non-adversarial integer edges — the edges
-    * are the algorithm's own rewiring output, not attacker-chosen input);
-    * the exact q44/q191 DuckDB hash gates run across this change. This
-    * replaces the former terminal-round `next.except(cur).isEmpty` job
-    * (round-13 diet): the fixpoint test now costs zero extra jobs in
-    * EVERY round, including the last. xor (not ANSI `sum`) folds the
-    * hashes: it is overflow-free and duplicate-free inputs make its
-    * weaker linear structure irrelevant alongside the count check. */
+    * (count, xor-fold of xxhash64(src,dst), xor-fold of a second
+    * fingerprint whose distinguishing literal comes FIRST), computed in
+    * ONE single-aggregate job — the same job that materializes the
+    * round's lazy checkpoint. The literal's position is load-bearing:
+    * XxHash64 folds its arguments sequentially with the running hash as
+    * the next seed, so a TRAILING literal would make the second
+    * fingerprint a pure function of the first (h2 = H('seed2', h1) — any
+    * h1 collision collides h2 automatically, and the pair is worth only
+    * 64 bits). Leading, the two chains start from different states and
+    * stay independent: equal signatures on two distinct-row sets imply
+    * set equality unless two DIFFERENT equal-count sets collide in BOTH
+    * xor-folds (~2^-128 for this loop's non-adversarial integer edges —
+    * the edges are the algorithm's own rewiring output, not
+    * attacker-chosen input); the exact q44/q191 DuckDB hash gates run
+    * across this change. This replaces the former terminal-round
+    * `next.except(cur).isEmpty` job (round-13 diet): the fixpoint test
+    * now costs zero extra jobs in EVERY round, including the last. xor
+    * (not ANSI `sum`) folds the hashes: it is overflow-free and
+    * duplicate-free inputs make its weaker linear structure irrelevant
+    * alongside the count check. */
   private def edgeSetSig(edges: DataFrame): (Long, Long, Long) = {
     val r = edges.agg(
       count(lit(1)),
       expr("bit_xor(xxhash64(src, dst))"),
-      expr("bit_xor(xxhash64(src, dst, 'seed2'))")).head()
+      expr("bit_xor(xxhash64('seed2', src, dst))")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
       if (r.isNullAt(2)) 0L else r.getLong(2))
   }

@@ -152,6 +152,14 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRel.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }
+    // every grain column the groups or stripped filters need must exist in
+    // the MV relation — a mis-registered MvDef declines to the raw scan
+    // instead of throwing inside the optimizer
+    val grainResolvable =
+      (agg.groupingExpressions.collect { case a: AttributeReference => a.name } ++
+        conds.flatMap(_.references.map(_.name)))
+        .forall(mvAttr(_).isDefined)
+    if (!grainResolvable) return None
     // mv measure column serving this source-side aggregate function
     def serving(m: Merge): Option[AttributeReference] =
       d.measures.collectFirst { case (col, `m`) => col }.flatMap(mvAttr)
@@ -159,10 +167,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // each output column re-keyed to its ORIGINAL exprId; any miss aborts
     val served: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference if d.groupCols.contains(a.name) =>
-        mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+        mvAttr(a.name).filter(_.dataType == a.dataType)
+          .map(m => Alias(m, a.name)(exprId = a.exprId))
       case al @ Alias(a: AttributeReference, name)
           if d.groupCols.contains(a.name) =>
-        mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
+        mvAttr(a.name).filter(_.dataType == a.dataType)
+          .map(m => Alias(m, name)(exprId = al.exprId))
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
         (ae.aggregateFunction match {
@@ -185,7 +195,15 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
             case _ => None
           }
           case _ => None
-        }).map(e => Alias(e, name)(exprId = al.exprId))
+        })
+          // the swap must be type-invisible: Sum over a Decimal(p,s)
+          // source yields Decimal(p+10,s), and a serve-side Sum over THAT
+          // widens again to Decimal(p+20,s) — re-keying it under the
+          // original exprId would silently change the query's result
+          // type. Long/Double sums are type-stable; anything else
+          // declines to the raw scan.
+          .filter(_.dataType == al.dataType)
+          .map(e => Alias(e, name)(exprId = al.exprId))
       case _ => None
     }
     if (served.exists(_.isEmpty)) return None
