@@ -1048,8 +1048,8 @@ object ScaleQueries {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }.getOrElse(sys.error(s"MV at $path did not analyze to a relation"))
     MvDef(
-      sourcePath = java.nio.file.Paths.get(d, "documents.parquet")
-        .toAbsolutePath.normalize.toString,
+      source = ScanSource(java.nio.file.Paths.get(d, "documents.parquet")
+        .toAbsolutePath.normalize.toString),
       groupCols = Set("lang", "source"),
       measures = Map(
         "cnt_rows" -> CntRows,
@@ -1106,6 +1106,64 @@ object ScaleQueries {
       q247Direct(s, d).localCheckpoint(true)
     }
 
+  /** q249: the JOIN-AGGREGATE MV — aggregate navigation over the STAR
+    * JOIN itself. The summary is built over orders ⋈ customer at
+    * (c_mktsegment, c_nationkey) grain; the registered source is the
+    * JOIN SHAPE ([[graft.plans.MvCatalog.JoinSource]]), so the reporting
+    * query — written as the raw join + nation filter + segment rollup,
+    * q239's exact reporting shape — is served with NO join in the plan at
+    * all: the fact scan, the dim scan, AND the join exchange vanish, and
+    * what executes is a grain-filtered merge of summary rows. Measures
+    * are count/min/max (order-independent at any re-grouping); a
+    * double SUM is deliberately NOT registered — re-merging a float sum
+    * changes the addition order, and the rewrite must stay bit-invisible
+    * to the hash gate (the type-stability guard's floating sibling).
+    * This is the AutoMV endgame for the reference's reporting surface:
+    * `test_etl.ipynb`'s validation aggregates never touch the star. */
+  private[graft] def q249MvDef(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.plans.MvCatalog.MvDef = {
+    import graft.plans.MvCatalog._
+    val mv = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    val path = Scale.writeOnce(mv, s"graft_ord_cust_mv_${sfTag(d)}",
+      Scale.dirFingerprint(s"$d/orders.parquet") + "|" +
+        Scale.dirFingerprint(s"$d/customer.parquet"))
+    val rel = s.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.getOrElse(sys.error(s"MV at $path did not analyze to a relation"))
+    def abs(t: String) = java.nio.file.Paths.get(d, t)
+      .toAbsolutePath.normalize.toString
+    MvDef(
+      source = JoinSource(abs("orders.parquet"), abs("customer.parquet"),
+        "o_custkey", "c_custkey"),
+      groupCols = Set("c_mktsegment", "c_nationkey"),
+      measures = Map(
+        "cnt_rows" -> CntRows,
+        "min_price" -> MinOf("o_totalprice"),
+        "max_price" -> MaxOf("o_totalprice")),
+      mv = rel)
+  }
+
+  /** The user-shaped reporting query: the raw star join, never the MV. */
+  private[graft] def q249Direct(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 3)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  val q249MvJoinAgg: Q = (s, d) =>
+    graft.plans.MvCatalog.withMv(s, q249MvDef(s, d)) {
+      q249Direct(s, d).localCheckpoint(true)
+    }
+
   /** q248: CACHED-INTERMEDIATE REUSE — `cache()` as the scan-once,
     * serve-many discipline (the in-session sibling of the write-once
     * stores: same dedup-the-scan idea, memory instead of parquet, gone
@@ -1147,6 +1205,7 @@ object ScaleQueries {
     "q246_mv_navigate"  -> q246MvNavigate,
     "q247_mv_filtered"  -> q247MvFiltered,
     "q248_cached_reuse" -> q248CachedReuse,
+    "q249_mv_join_agg"  -> q249MvJoinAgg,
     "q115_wap_publish" -> q115WapPublish,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q153_ivm_join"     -> q153IvmJoin,
@@ -1236,6 +1295,14 @@ object ScaleQueries {
         |FROM documents
         |WHERE lang = 'en'
         |GROUP BY source""".stripMargin,
+    // The join-MV rewrite must be invisible: the oracle runs the raw join.
+    "q249_mv_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 3
+        |GROUP BY c_mktsegment""".stripMargin,
     // Cache reuse is physical-only: both legs replayed from the raw table.
     "q248_cached_reuse" ->
       """WITH per_lang AS (

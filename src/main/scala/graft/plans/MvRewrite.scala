@@ -24,11 +24,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * operator-optimization fixpoint: after column pruning has shaped the
   * plan, before physical planning. A match requires
   *  - the aggregate's child to strip (through pass-through Projects /
-  *    SubqueryAliases) to the REGISTERED source relation, matched by the
-  *    scan's root path — not by table name, so any read of the same
-  *    parquet matches; deterministic Filters over GRAIN columns strip
-  *    too and are re-applied to the summary (they select whole groups,
-  *    so they commute with the merge);
+  *    SubqueryAliases) to the REGISTERED source shape — a scan matched by
+  *    root path (not table name, so any read of the same parquet
+  *    matches), or an inner single-key equi-join of two registered scans
+  *    (the star-join reporting shape — the served plan then contains NO
+  *    join at all); deterministic Filters over GRAIN columns strip too
+  *    and are re-applied to the summary (they select whole groups, so
+  *    they commute with the merge), and for join sources the optimizer's
+  *    implied join-key isnotnulls are absorbed;
   *  - every grouping expression to be a bare source column within the
   *    MV's grain;
   *  - every aggregate to be a merge the MV's measures can serve:
@@ -67,13 +70,25 @@ object MvCatalog {
   final case class MinOf(src: String) extends Merge
   final case class MaxOf(src: String) extends Merge
 
-  /** @param sourcePath normalized root path of the source parquet
-    * @param groupCols  the MV's grain (serves any subset grain)
-    * @param measures   mv column name → the merge algebra it carries
-    * @param mv         analyzed relation of the MV parquet (instantiated
-    *                   fresh per rewrite) */
+  /** What the MV summarizes — the plan shape a query's aggregate child
+    * must strip to. */
+  sealed trait MvSource
+  /** A single parquet scan, matched by normalized root path. */
+  final case class ScanSource(path: String) extends MvSource
+  /** An INNER single-key equi-join of two scans (either written order) —
+    * the star-join reporting shape. The optimizer's implied
+    * `isnotnull(joinKey)` predicates are absorbed: the MV's rows were
+    * built through the same inner join and already satisfy them. */
+  final case class JoinSource(aPath: String, bPath: String,
+      keyA: String, keyB: String) extends MvSource
+
+  /** @param source    the summarized plan shape (scan or star join)
+    * @param groupCols the MV's grain (serves any subset grain)
+    * @param measures  mv column name → the merge algebra it carries
+    * @param mv        analyzed relation of the MV parquet (instantiated
+    *                  fresh per rewrite) */
   final case class MvDef(
-      sourcePath: String,
+      source: MvSource,
       groupCols: Set[String],
       measures: Map[String, Merge],
       mv: LogicalRelation)
@@ -110,18 +125,57 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Strip pass-through shapes the optimizer inserts (pruning projects,
-    * view aliases) down to the scanned relation, collecting any Filter
-    * conditions met on the way — a predicate over GRAIN columns selects
-    * whole MV groups, so it commutes with the merge and can be served
-    * from the summary too (checked in [[rewrite]]). */
-  private def sourceOf(p: LogicalPlan)
-      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    * view aliases), collecting any Filter conditions met on the way — a
+    * predicate over GRAIN columns selects whole MV groups, so it commutes
+    * with the merge and can be served from the summary too (checked in
+    * [[rewrite]]). Returns the first non-pass-through node + the conds. */
+  private def strip(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      sourceOf(c)
-    case SubqueryAlias(_, c) => sourceOf(c)
-    case Filter(cond, c)     => sourceOf(c).map { case (r, cs) => (r, cond +: cs) }
-    case r: LogicalRelation  => Some((r, Seq.empty))
-    case _                   => None
+      strip(c)
+    case SubqueryAlias(_, c) => strip(c)
+    case Filter(cond, c) =>
+      val (leaf, cs) = strip(c); (leaf, cond +: cs)
+    case other => (other, Seq.empty)
+  }
+
+  /** Does `p` strip to the registered source shape? Returns the collected
+    * filter conditions (join-key isnotnulls absorbed for joins). */
+  private def matchSource(p: LogicalPlan, s: MvSource): Option[Seq[Expression]] = {
+    val (leaf, conds) = strip(p)
+    s match {
+      case ScanSource(path) => leaf match {
+        case r: LogicalRelation if rootPaths(r).contains(path) => Some(conds)
+        case _ => None
+      }
+      case JoinSource(aPath, bPath, keyA, keyB) => leaf match {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+          val keyNames = Set(keyA, keyB)
+          val condOk = j.condition match {
+            case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+                x: AttributeReference, y: AttributeReference)) =>
+              Set(x.name, y.name) == keyNames
+            case _ => false
+          }
+          if (!condOk) None
+          else {
+            def leg(p2: LogicalPlan, path: String) =
+              matchSource(p2, ScanSource(path))
+            val straight = for (l <- leg(j.left, aPath); r <- leg(j.right, bPath))
+              yield l ++ r
+            lazy val flipped = for (l <- leg(j.left, bPath); r <- leg(j.right, aPath))
+              yield l ++ r
+            straight.orElse(flipped).map { inner =>
+              (conds ++ inner).filterNot {
+                case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                    a: AttributeReference) => keyNames.contains(a.name)
+                case _ => false
+              }
+            }
+          }
+        case _ => None
+      }
+    }
   }
 
   private def rootPaths(r: LogicalRelation): Seq[String] = r.relation match {
@@ -134,9 +188,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     c.children.forall(ch => ch.foldable && !ch.nullable)
 
   private def rewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
-    val src = sourceOf(agg.child)
-      .filter { case (r, _) => rootPaths(r).contains(d.sourcePath) }
-    val conds = src.map(_._2).getOrElse(Seq.empty)
+    val src = matchSource(agg.child, d.source)
+    val conds = src.getOrElse(Seq.empty)
     // every stripped predicate must be a deterministic condition over
     // GRAIN columns only — it then selects whole summary groups
     val condsOk = conds.forall(c => c.deterministic &&

@@ -1506,6 +1506,40 @@ class PlanSpec extends SparkSpec {
     served246 shouldBe direct246
   }
 
+  test("q249 join-aggregate MV: the star join VANISHES — served plan has no Join node and scans only the summary; unregistered, the raw two-scan join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val mvd = ScaleQueries.q249MvDef(spark, sf)
+    def joinsAndScans(df: DataFrame): (Int, Seq[String]) = {
+      val plan = df.queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }.size
+      val scans = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      (joins, scans)
+    }
+    graft.plans.MvCatalog.withMv(spark, mvd) {
+      val (joins, scans) = joinsAndScans(ScaleQueries.q249Direct(spark, sf))
+      joins shouldBe 0
+      scans.exists(_.contains("graft_ord_cust_mv_")) shouldBe true
+      scans.exists(_.contains("orders.parquet")) shouldBe false
+      scans.exists(_.contains("customer.parquet")) shouldBe false
+      // and the served rows are identical to the raw join's
+      val served = ScaleQueries.q249Direct(spark, sf).collect().toSet
+      served should not be empty
+      served
+    } shouldBe ScaleQueries.q249Direct(spark, sf).collect().toSet
+    val (joinsOff, scansOff) = joinsAndScans(ScaleQueries.q249Direct(spark, sf))
+    joinsOff shouldBe 1
+    scansOff.exists(_.contains("orders.parquet")) shouldBe true
+    scansOff.exists(_.contains("customer.parquet")) shouldBe true
+    scansOff.exists(_.contains("graft_ord_cust_mv_")) shouldBe false
+  }
+
   test("q248 cache reuse: both consumers resolve to InMemoryRelation through the cache manager; uncached, neither does") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     def legs(cached: Boolean): Seq[String] = {
