@@ -1538,6 +1538,27 @@ class PlanSpec extends SparkSpec {
     scansOff.exists(_.contains("orders.parquet")) shouldBe true
     scansOff.exists(_.contains("customer.parquet")) shouldBe true
     scansOff.exists(_.contains("graft_ord_cust_mv_")) shouldBe false
+    // negative controls — both would return WRONG answers if served:
+    graft.plans.MvCatalog.withMv(spark, mvd) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      // a LEFT join keeps unmatched fact rows the inner-join MV never saw
+      val left = joinsAndScans(
+        graft.Tables.orders(spark, sf)
+          .join(graft.Tables.customer(spark, sf),
+            col("o_custkey") === col("c_custkey"), "left_outer")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+      left._1 shouldBe 1
+      left._2.exists(_.contains("graft_ord_cust_mv_")) shouldBe false
+      // a fact-side non-grain predicate selects PARTIAL groups
+      val nonGrain = joinsAndScans(
+        graft.Tables.orders(spark, sf)
+          .join(graft.Tables.customer(spark, sf),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("o_totalprice") > 1000.0)
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+      nonGrain._1 shouldBe 1
+      nonGrain._2.exists(_.contains("graft_ord_cust_mv_")) shouldBe false
+    }
   }
 
   test("q248 cache reuse: both consumers resolve to InMemoryRelation through the cache manager; uncached, neither does") {
