@@ -45,6 +45,7 @@ object MvEvidence {
 
     val queries: Seq[(String, () => org.apache.spark.sql.DataFrame,
         graft.plans.MvCatalog.MvDef)] = Seq(
+      ("q245_mv_rewrite", () => ScaleQueries.q245Direct(spark, sf), scanMv),
       ("q246_mv_navigate", () => ScaleQueries.q246Direct(spark, sf), scanMv),
       ("q247_mv_filtered", () => ScaleQueries.q247Direct(spark, sf), scanMv),
       ("q249_mv_join_agg", () => ScaleQueries.q249Direct(spark, sf), joinMv))
@@ -54,7 +55,6 @@ object MvEvidence {
       var scanRows = 0L
       var recs = 0L
       var best = Double.MaxValue
-      var checksum = 0L
       for (_ <- 1 to iters) {
         Thread.sleep(500)
         shuffleRecords.set(0)
@@ -64,9 +64,11 @@ object MvEvidence {
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         Thread.sleep(500)
         recs = math.max(recs, shuffleRecords.get)
-        checksum = df.collect().map(_.toString.hashCode.toLong).sorted
-          .foldLeft(1125899906842597L)((h, x) => h * 31 + x)
       }
+      // checksum once per arm, outside the timed iterations — it is the
+      // same rows every time and must not double the measured executions
+      val checksum = q().collect().map(_.toString.hashCode.toLong).sorted
+        .foldLeft(1125899906842597L)((h, x) => h * 31 + x)
       (scanRows, recs, best, checksum)
     }
 

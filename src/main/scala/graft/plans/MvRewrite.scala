@@ -139,39 +139,47 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Does `p` strip to the registered source shape? Returns the collected
-    * filter conditions (join-key isnotnulls absorbed for joins). */
-  private def matchSource(p: LogicalPlan, s: MvSource): Option[Seq[Expression]] = {
+    * filter conditions (join-key isnotnulls absorbed for joins) plus the
+    * matched leaf node — the caller needs the leaf's output to refuse
+    * ambiguous column names. */
+  private def matchSource(p: LogicalPlan, s: MvSource)
+      : Option[(Seq[Expression], LogicalPlan)] = {
     val (leaf, conds) = strip(p)
     s match {
       case ScanSource(path) => leaf match {
-        case r: LogicalRelation if rootPaths(r).contains(path) => Some(conds)
+        case r: LogicalRelation if rootPaths(r).contains(path) =>
+          Some((conds, r))
         case _ => None
       }
       case JoinSource(aPath, bPath, keyA, keyB) => leaf match {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
             if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
           val keyNames = Set(keyA, keyB)
-          val condOk = j.condition match {
+          // which key name binds to which LEG — name-set equality alone
+          // would accept a same-named key joined in the wrong orientation
+          val legKeys: Option[(String, String)] = j.condition match {
             case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
                 x: AttributeReference, y: AttributeReference)) =>
-              Set(x.name, y.name) == keyNames
-            case _ => false
+              if (j.left.outputSet.contains(x)) Some((x.name, y.name))
+              else if (j.left.outputSet.contains(y)) Some((y.name, x.name))
+              else None
+            case _ => None
           }
-          if (!condOk) None
-          else {
-            def leg(p2: LogicalPlan, path: String) =
-              matchSource(p2, ScanSource(path))
-            val straight = for (l <- leg(j.left, aPath); r <- leg(j.right, bPath))
-              yield l ++ r
-            lazy val flipped = for (l <- leg(j.left, bPath); r <- leg(j.right, aPath))
-              yield l ++ r
-            straight.orElse(flipped).map { inner =>
-              (conds ++ inner).filterNot {
-                case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-                    a: AttributeReference) => keyNames.contains(a.name)
-                case _ => false
-              }
-            }
+          def legs(aFirst: Boolean): Option[Seq[Expression]] = {
+            val (lp, rp) = if (aFirst) (aPath, bPath) else (bPath, aPath)
+            val (lk, rk) = if (aFirst) (keyA, keyB) else (keyB, keyA)
+            if (!legKeys.contains((lk, rk))) None
+            else for {
+              (l, _) <- matchSource(j.left, ScanSource(lp))
+              (r, _) <- matchSource(j.right, ScanSource(rp))
+            } yield l ++ r
+          }
+          legs(aFirst = true).orElse(legs(aFirst = false)).map { inner =>
+            ((conds ++ inner).filterNot {
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                  a: AttributeReference) => keyNames.contains(a.name)
+              case _ => false
+            }, j)
           }
         case _ => None
       }
@@ -189,7 +197,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
     val src = matchSource(agg.child, d.source)
-    val conds = src.getOrElse(Seq.empty)
+    val conds = src.map(_._1).getOrElse(Seq.empty)
     // every stripped predicate must be a deterministic condition over
     // GRAIN columns only — it then selects whole summary groups
     val condsOk = conds.forall(c => c.deterministic &&
@@ -199,6 +207,18 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _                     => false
     }
     if (src.isEmpty || !condsOk || !grainOk) return None
+    // name-keyed resolution is only sound when the names are unambiguous
+    // in the matched source — a join whose legs share a grain or measure
+    // column name could serve from the wrong leg's summary column
+    val neededNames: Set[String] =
+      agg.groupingExpressions.collect { case a: AttributeReference => a.name }.toSet ++
+        conds.flatMap(_.references.map(_.name)) ++
+        d.measures.values.collect {
+          case SumOf(c) => c; case MinOf(c) => c; case MaxOf(c) => c
+        }
+    val ambiguous = src.get._2.output.groupBy(_.name)
+      .collect { case (n, as) if as.size > 1 => n }.toSet
+    if (neededNames.exists(ambiguous)) return None
 
     val mvRel = d.mv.newInstance()
     def mvAttr(name: String): Option[AttributeReference] =
@@ -206,12 +226,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == name => a
       }
     // every grain column the groups or stripped filters need must exist in
-    // the MV relation — a mis-registered MvDef declines to the raw scan
-    // instead of throwing inside the optimizer
+    // the MV relation AT THE SOURCE'S TYPE — a mis-registered or
+    // type-drifted MvDef declines to the raw scan instead of producing an
+    // ill-typed predicate (or throwing) inside the optimizer
     val grainResolvable =
-      (agg.groupingExpressions.collect { case a: AttributeReference => a.name } ++
-        conds.flatMap(_.references.map(_.name)))
-        .forall(mvAttr(_).isDefined)
+      (agg.groupingExpressions.collect { case a: AttributeReference => a } ++
+        conds.flatMap(_.references))
+        .forall(a => mvAttr(a.name).exists(_.dataType == a.dataType))
     if (!grainResolvable) return None
     // mv measure column serving this source-side aggregate function
     def serving(m: Merge): Option[AttributeReference] =
@@ -233,7 +254,14 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
             serving(CntRows).map(m =>
               Coalesce(Seq(Sum(m).toAggregateExpression(), Literal(0L))))
           case s: Sum => s.child match {
-            case a: AttributeReference =>
+            // float sums are NOT re-mergeable: summing per-group partials
+            // changes the addition order, so the served double could
+            // drift in the low bits from the raw scan's — the rewrite
+            // must stay bit-invisible. Enforced here, not left to
+            // registration convention.
+            case a: AttributeReference
+                if a.dataType != org.apache.spark.sql.types.DoubleType &&
+                   a.dataType != org.apache.spark.sql.types.FloatType =>
               serving(SumOf(a.name)).map(m => Sum(m).toAggregateExpression())
             case _ => None
           }

@@ -1445,19 +1445,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Shared MV-pin helper: logical toString omits scan locations, so read
+    * join count + relation root paths structurally off the optimized plan. */
+  private def mvJoinsAndScans(df: DataFrame): (Int, Seq[String]) = {
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    (joins, scans)
+  }
+
   test("q245/q246 MV rewrite: registered, the aggregate scans the summary and never the corpus; unregistered, the corpus — and the served answers are row-identical") {
     val mvd = ScaleQueries.q245MvDef(spark, sf)
-    // logical toString omits scan locations — read the relations' root
-    // paths structurally
-    def scanPaths(df: DataFrame): Seq[String] =
-      df.queryExecution.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-      }.flatten
+    def scanPaths(df: DataFrame): Seq[String] = mvJoinsAndScans(df)._2
     // registered: both grains swap to the MV scan — the corpus parquet
     // appears nowhere in the optimized plan
     graft.plans.MvCatalog.withMv(spark, mvd) {
@@ -1509,19 +1517,7 @@ class PlanSpec extends SparkSpec {
   test("q249 join-aggregate MV: the star join VANISHES — served plan has no Join node and scans only the summary; unregistered, the raw two-scan join") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val mvd = ScaleQueries.q249MvDef(spark, sf)
-    def joinsAndScans(df: DataFrame): (Int, Seq[String]) = {
-      val plan = df.queryExecution.optimizedPlan
-      val joins = plan.collect { case j: Join => j }.size
-      val scans = plan.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-      }.flatten
-      (joins, scans)
-    }
+    def joinsAndScans(df: DataFrame): (Int, Seq[String]) = mvJoinsAndScans(df)
     graft.plans.MvCatalog.withMv(spark, mvd) {
       val (joins, scans) = joinsAndScans(ScaleQueries.q249Direct(spark, sf))
       joins shouldBe 0
