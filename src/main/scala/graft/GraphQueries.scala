@@ -280,6 +280,39 @@ object GraphQueries {
     * node, same loop. Seeds that never appear in the edge list (customers
     * with no orders) stay isolated at dist 0 — kept, not dropped: absence
     * from the graph is itself the finding. */
+  /** q250: RECURSIVE CTE — the SQL-surface form of the iterative walks
+    * (Spark 4's `WITH RECURSIVE` → a Catalyst `UnionLoop`, plan-pinned).
+    * An ancestry walk over the implicit binary-tree hierarchy on customer
+    * keys (parent = key div 2): every node has exactly ONE chain to the
+    * root, so the recursion is explosion-free by construction — rows =
+    * Σ depths ≈ N·log₂N — and terminates when a chain reaches key 1 (the
+    * root is excluded from the edge set, so the join finds no successor;
+    * no depth cap needed). Output: per node, its ancestor count and root
+    * distance; DuckDB runs its own recursive-CTE evaluator on identical
+    * SQL — two independent fixpoint engines, one hash.
+    *
+    * Scale honesty: UnionLoop re-plans the step query each iteration and
+    * offers no control over loop-invariant partitioning — for the
+    * billion-edge regime the engine's keyed loops (q44/q89/q178/q191,
+    * with pinned edge partitioning and checkpoint discipline) remain the
+    * scale path; the recursive CTE is the right surface for
+    * hierarchy-depth walks like this one, where each iteration's frontier
+    * is a shrinking fraction of a node-sized table. */
+  val q250RecursiveCte: Q = (s, d) => s.sql(
+    s"""WITH RECURSIVE anc(node, anc_node, depth) AS (
+       |  SELECT c_custkey, c_custkey div 2, 1
+       |    FROM parquet.`$d/customer.parquet` WHERE c_custkey > 1
+       |  UNION ALL
+       |  SELECT a.node, e.parent, a.depth + 1
+       |  FROM anc a JOIN (SELECT c_custkey AS child, c_custkey div 2 AS parent
+       |                     FROM parquet.`$d/customer.parquet`
+       |                    WHERE c_custkey > 1) e
+       |    ON e.child = a.anc_node
+       |)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_ancestors,
+       |  CAST(max(depth) AS INT) AS root_depth
+       |FROM anc GROUP BY node""".stripMargin)
+
   val q178BfsKhop: Q = (s, d) =>
     bfsDistances(s, d, graphKeyed(s, d)).select(
       when(pmod(col("node"), lit(2)) === 0, lit("customer"))
@@ -591,6 +624,7 @@ object GraphQueries {
     "q223_assortativity" -> q223Assortativity,
     "q89_pagerank" -> q89Pagerank,
     "q178_bfs_khop" -> q178BfsKhop,
+    "q250_recursive_cte" -> q250RecursiveCte,
     "q191_star_contraction" -> q191StarContraction,
     "q200_sssp" -> q200Sssp)
 
@@ -602,6 +636,20 @@ object GraphQueries {
        |  GROUP BY e.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's own recursive-CTE evaluator on the identical hierarchy —
+    // two independent fixpoint engines, one hash.
+    "q250_recursive_cte" ->
+      """WITH RECURSIVE anc(node, anc_node, depth) AS (
+        |  SELECT c_custkey, c_custkey // 2, 1 FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT a.node, e.parent, a.depth + 1
+        |  FROM anc a JOIN (SELECT c_custkey AS child, c_custkey // 2 AS parent
+        |                     FROM customer WHERE c_custkey > 1) e
+        |    ON e.child = a.anc_node
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_ancestors,
+        |  CAST(max(depth) AS INTEGER) AS root_depth
+        |FROM anc GROUP BY node""".stripMargin,
     // Same symmetrized edge list, same scaled-integer numerators, same
     // single float division for the readable contribution.
     "q222_modularity" ->

@@ -1557,6 +1557,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q250 recursive CTE: the WITH RECURSIVE ancestry walk plans as Catalyst's UnionLoop fixpoint") {
+    val df = GraphQueries.q250RecursiveCte(spark, sf)
+    val o = df.queryExecution.optimizedPlan.toString
+    o should include("UnionLoop")
+    // the walk is explosion-free by construction: rows = Σ depths, and
+    // max depth is ⌈log2(maxKey)⌉
+    val rows = df.collect()
+    rows should not be empty
+    val maxKey = rows.map(_.getLong(0)).max
+    val maxDepth = rows.map(_.getInt(2)).max
+    maxDepth shouldBe (63 - java.lang.Long.numberOfLeadingZeros(maxKey))
+  }
+
   test("q248 cache reuse: both consumers resolve to InMemoryRelation through the cache manager; uncached, neither does") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     def legs(cached: Boolean): Seq[String] = {
