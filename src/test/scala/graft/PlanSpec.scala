@@ -1557,6 +1557,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("MV rewrite float guard: a registered double-sum measure DECLINES (re-merge changes addition order) while count over the same MV serves") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.plans.MvCatalog._
+    val mv = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt_rows"), sum(col("l_quantity")).as("sum_qty"))
+    val path = graft.operators.Scale.writeOnce(mv, "graft_li_mv_guard",
+      graft.operators.Scale.dirFingerprint(s"$sf/lineitem.parquet"))
+    val rel = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.get
+    val mvd = MvDef(
+      ScanSource(java.nio.file.Paths.get(sf, "lineitem.parquet")
+        .toAbsolutePath.normalize.toString),
+      Set("l_returnflag"),
+      Map("cnt_rows" -> CntRows, "sum_qty" -> SumOf("l_quantity")),
+      rel)
+    withMv(spark, mvd) {
+      // positive control: the count-only aggregate serves from the MV
+      val counts = mvJoinsAndScans(
+        Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")))._2
+      counts.exists(_.contains("graft_li_mv_guard")) shouldBe true
+      // the double sum must DECLINE even though the measure is registered
+      // and type-stable (Double == Double): per-group re-merge changes
+      // the addition order
+      val sums = mvJoinsAndScans(
+        Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("qty")))._2
+      sums.exists(_.contains("lineitem.parquet")) shouldBe true
+      sums.exists(_.contains("graft_li_mv_guard")) shouldBe false
+    }
+  }
+
   test("q250 recursive CTE: the WITH RECURSIVE ancestry walk plans as Catalyst's UnionLoop fixpoint") {
     val df = GraphQueries.q250RecursiveCte(spark, sf)
     val o = df.queryExecution.optimizedPlan.toString
