@@ -8,7 +8,9 @@ package graft
   * decomposition contract (q87), the BPE learner's greedy-merge mechanics
   * (q90), the global ranker's partitioning invariance (q100), and the CDC
   * chunker's boundary locality (q110), and the WAP publish's
-  * audit-gates-pointer contract (q115), and the salted join's
+  * audit-gates-pointer contract (q115), and the MV rewrite's
+  * fingerprint-staleness contract (q245 — a regenerated source rebuilds
+  * the summary before any registration can serve it), and the salted join's
   * dilution guarantee (q119), and the retained-version store's
   * byte-identity / retention / no-op-republish contract (q120), and the
   * forget-delete's containment / no-op / emptied-partition contract (q127),
@@ -64,6 +66,55 @@ package graft
 class OperationalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("q245 MV staleness: a regenerated source changes the fingerprint and the summary rebuilds — a registration can never serve stale rows") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-stale")
+    // FIXED child name so sfTag (and therefore the write-once table name)
+    // is stable across runs — no warehouse garbage accumulation
+    val srcDir = root.resolve("mvsrc")
+    java.nio.file.Files.createDirectories(srcDir)
+    def writeSource(langs: Seq[String], rowsPerLang: Int): Unit =
+      spark.range(langs.size.toLong * rowsPerLang)
+        .select(col("id").as("doc_id"),
+          concat(lit("text "), col("id")).as("text"),
+          element_at(lit(langs.toArray),
+            (pmod(col("id"), lit(langs.size)) + 1).cast("int")).as("lang"),
+          lit("web").as("source"),
+          (col("id") % 97 + 10).as("n_chars"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(srcDir.resolve("documents.parquet").toString)
+    def servedLangs(): Map[String, Long] =
+      graft.plans.MvCatalog.withMv(spark,
+          ScaleQueries.q245MvDef(spark, srcDir.toString)) {
+        val df = ScaleQueries.q246Direct(spark, srcDir.toString)
+        // the serve must actually come from the summary, or this test
+        // proves nothing about MV staleness
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten.exists(_.contains("graft_docs_mv_mvsrc")) shouldBe true
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    try {
+      writeSource(Seq("en", "de"), 50)
+      servedLangs() shouldBe Map("en" -> 50L, "de" -> 50L)
+      // regenerate the source IN PLACE: different langs, different counts —
+      // the dirFingerprint no longer matches the summary's spec, so the
+      // next registration's writeOnce rebuilds before anything serves
+      writeSource(Seq("en", "fr", "ja"), 40)
+      servedLangs() shouldBe Map("en" -> 40L, "fr" -> 40L, "ja" -> 40L)
+    } finally {
+      graft.operators.Scale.deleteRecursively(root)
+      graft.operators.Scale.deleteRecursively(java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_docs_mv_mvsrc"))
+    }
+  }
 
   test("q140: the skyline is invariant to input partitioning — the BNL prune is lossless at any split") {
     import org.apache.spark.sql.functions._
