@@ -19,7 +19,7 @@ object SparkEntry {
       WindowQueries.queries ++ ScaleQueries.queries ++ SampleQueries.queries ++
       CorpusPipelineQueries.queries ++ OlapQueries.queries ++
       RetrievalQueries.queries ++ ClusterQueries.queries ++
-      GraphQueries.queries ++ SequenceQueries.queries
+      GraphQueries.queries ++ SequenceQueries.queries ++ SpatialQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       WindowQueries.oracle ++ ScaleQueries.oracle ++ SampleQueries.oracle ++
       CorpusPipelineQueries.oracle ++ OlapQueries.oracle ++
       RetrievalQueries.oracle ++ ClusterQueries.oracle ++
-      GraphQueries.oracle ++ SequenceQueries.oracle
+      GraphQueries.oracle ++ SequenceQueries.oracle ++ SpatialQueries.oracle
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** SPATIAL family — grid-bucketed distance joins over derived planar
+  * coordinates.
+  *
+  * A distance join ("every pair within radius R") is the spatial analog of
+  * the similarity joins this engine already banding-buckets (MinHash bands,
+  * IVF cells): the only shape that survives |points| ≫ 0 is CANDIDATES BY
+  * LOCALITY BUCKET, never all-pairs. Here the bucket is a square grid cell
+  * of side C ≥ R: a point's true neighbors within R can only live in its
+  * own cell or the 8 adjacent ones, so the join is
+  *
+  *   A × explode(9 neighbor cells)  ⋈(cell)  B keyed by its own cell
+  *
+  * — a plain equi-join on the (cellX, cellY) key that Catalyst shuffles (or
+  * broadcasts the small side of) like any other join, followed by the exact
+  * distance filter. Completeness is geometric, not probabilistic: any pair
+  * at distance ≤ R differs by ≤ R < C per axis, hence by ≤ 1 cell per
+  * axis, hence lands in exactly one of the 9 probed cells — so unlike an
+  * LSH join there is NO recall gap, and the oracle can be the literal
+  * all-pairs definition (DuckDB computes the N² brute force; the engine's
+  * grid path must hash-match it EXACTLY).
+  *
+  * Pair uniqueness is structural: B carries each point once (its own
+  * cell), A probes each of the 9 distinct neighbor cells once, so an
+  * (a, b) candidate appears exactly once and `id_a < id_b` halves it to
+  * the unordered pair — no DISTINCT needed.
+  *
+  * Determinism: coordinates are integers derived from row ids via the
+  * engine-portable hash60 (md5) arithmetic — q187/q162's discipline — and
+  * the distance is integer squared-Euclidean (coords < 10^5, so dist2
+  * < 2·10^10 fits bigint exactly; no transcendental, no float). Every
+  * value the gate hashes is exact on both engines.
+  *
+  * Scale shape at 100 TB: candidate volume is Σ_cell |A_cell|·9·|B_cell| —
+  * bounded by cell occupancy, linear in N for any fixed density, vs N²
+  * for all-pairs (the oracle's own plan). Grid skew (a hot cell) is the
+  * same problem as any hot join key and composes with the engine's salt
+  * (q119) / AQE-split (q244) machinery; the explode factor is a constant
+  * 9. The cell width trades shuffle width (fewer, fatter cells) against
+  * candidate count (more, thinner cells) exactly like IVF's nprobe.
+  */
+object SpatialQueries {
+  import Queries.Q
+
+  /** Coordinate space: 0 ≤ x,y < SPACE. */
+  private val SPACE = 100000L
+
+  /** q251 geometry: cell side 1024 ≥ radius 600 (completeness condition),
+    * both powers of two so the cell index `floor(x / C)` is exact in
+    * double on both engines (x < 2^53, C = 2^10). */
+  private val C251 = 1024L
+  private val R2_251 = 600L * 600L
+
+  /** q252 geometry: a wider net for nearest-within-R (cell 2048 ≥ radius
+    * 2000). */
+  private val C252 = 2048L
+  private val R2_252 = 2000L * 2000L
+
+  /** Integer planar point derived from an id column: the hash60 (md5)
+    * engine-portable arithmetic, salted per axis, modulo the space. The
+    * oracle derives the identical (x, y) in DuckDB from the same md5. */
+  private[graft] def points(df: DataFrame, idCol: String): DataFrame = {
+    def axis(salt: String): Column =
+      graft.operators.TextOps.hash60(
+        concat(lit(salt), col(idCol).cast(StringType))) % SPACE
+    df.select(col(idCol).as("id"), axis("gx:").as("x"), axis("gy:").as("y"))
+  }
+
+  /** Attach the grid cell of side `c` (exact: x ≥ 0, c a power of two). */
+  private[graft] def celled(p: DataFrame, c: Long): DataFrame = p
+    .withColumn("cx", floor(col("x") / c).cast(LongType))
+    .withColumn("cy", floor(col("y") / c).cast(LongType))
+
+  /** Probe side: each point replicated to its 9 neighbor cells. */
+  private[graft] def probes(p: DataFrame, c: Long): DataFrame = {
+    val nbrs = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    celled(p, c)
+      .withColumn("nb", explode(array(nbrs: _*)))
+      .withColumn("kx", col("cx") + col("nb.dx"))
+      .withColumn("ky", col("cy") + col("nb.dy"))
+      .drop("nb", "cx", "cy")
+  }
+
+  private def dist2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+  /** The shared DuckDB point derivation (md5 twin of [[points]]). */
+  private def oraclePts(table: String, idCol: String): String = {
+    def axis(salt: String) =
+      s"CAST(CAST(('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % $SPACE"
+    s"SELECT $idCol AS id, ${axis("gx:")} AS x, ${axis("gy:")} AS y FROM $table"
+  }
+
+  /** The grid-candidate distance self-join over a (id, x, y) point set —
+    * shared by q251 and the spec's constructed boundary cases. */
+  private[graft] def gridPairs(p: DataFrame, c: Long, r2: Long): DataFrame = {
+    val probe = probes(p, c)
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        col("kx"), col("ky"))
+    val build = celled(p, c)
+      .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+        col("cx"), col("cy"))
+    probe.join(build, col("kx") === col("cx") && col("ky") === col("cy"))
+      .where(col("id_a") < col("id_b") &&
+        dist2(col("xa"), col("ya"), col("xb"), col("yb")) <= r2)
+      .select(col("id_a"), col("id_b"),
+        dist2(col("xa"), col("ya"), col("xb"), col("yb")).as("dist2"))
+  }
+
+  /** q251: spatial distance self-join — every customer pair within radius
+    * 600 of each other on the derived 10^5 × 10^5 grid, with the exact
+    * squared distance. Engine plan: grid-cell candidates (see object doc);
+    * oracle plan: the all-pairs definition. Identical output, hash-gated. */
+  val q251GeoGridJoin: Q = (s, d) =>
+    gridPairs(points(Tables.customer(s, d), "c_custkey"), C251, R2_251)
+
+  /** q252: nearest-neighbor-within-radius — for each customer, its closest
+    * supplier within radius 2000 (squared distance + supplier-id
+    * tie-break), via the same grid candidates and the engine's argmin
+    * idiom: `min(struct(dist2, id))` — an algebraic aggregate with
+    * map-side partials (q81's assign discipline), so candidates reduce
+    * before they shuffle. Customers with no supplier in range drop (inner
+    * semantics). The oracle brute-forces all customer × supplier pairs and
+    * takes the window rank-1 — same rows, hash-gated. */
+  val q252GeoNearest: Q = (s, d) => {
+    val c = probes(points(Tables.customer(s, d), "c_custkey"), C252)
+      .select(col("id").as("c_id"), col("x").as("xa"), col("y").as("ya"),
+        col("kx"), col("ky"))
+    val sup = celled(points(Tables.supplier(s, d), "s_suppkey"), C252)
+      .select(col("id").as("s_id"), col("x").as("xb"), col("y").as("yb"),
+        col("cx"), col("cy"))
+    c.join(sup, col("kx") === col("cx") && col("ky") === col("cy"))
+      .where(dist2(col("xa"), col("ya"), col("xb"), col("yb")) <= R2_252)
+      .groupBy(col("c_id"))
+      .agg(min(struct(
+        dist2(col("xa"), col("ya"), col("xb"), col("yb")).as("dist2"),
+        col("s_id").as("s_id"))).as("best"))
+      .select(col("c_id"), col("best.s_id").as("s_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q251_geo_grid_join" -> q251GeoGridJoin,
+    "q252_geo_nearest"   -> q252GeoNearest)
+
+  val oracle: Map[String, String] = Map(
+    "q251_geo_grid_join" ->
+      s"""WITH pts AS (${oraclePts("customer", "c_custkey")})
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+         |FROM pts a JOIN pts b ON a.id < b.id
+         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $R2_251""".stripMargin,
+    "q252_geo_nearest" ->
+      s"""WITH c AS (${oraclePts("customer", "c_custkey")}),
+         |     s AS (${oraclePts("supplier", "s_suppkey")}),
+         |cand AS (
+         |  SELECT c.id AS c_id, s.id AS s_id,
+         |         (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) AS dist2
+         |  FROM c, s
+         |  WHERE (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) <= $R2_252)
+         |SELECT c_id, s_id, dist2 FROM (
+         |  SELECT c_id, s_id, dist2,
+         |         row_number() OVER (PARTITION BY c_id
+         |                            ORDER BY dist2, s_id) AS rn
+         |  FROM cand) WHERE rn = 1""".stripMargin)
+}
