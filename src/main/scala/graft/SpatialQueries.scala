@@ -145,9 +145,69 @@ object SpatialQueries {
         col("best.dist2").as("dist2"))
   }
 
+  /** q253 parameters: DBSCAN with eps = 2000 (q252's grid geometry) and
+    * minPts = 3 — a point is CORE when its eps-ball holds ≥ 3 points
+    * counting itself, i.e. ≥ 2 neighbors. */
+  private val MINPTS = 3
+
+  /** q253: density clustering — DBSCAN made deterministic. Classic DBSCAN
+    * is scan-order-dependent in exactly one place (a border point adjacent
+    * to two clusters joins whichever was expanded first); this variant
+    * pins that choice to the MINIMUM adjacent core cluster id, so the
+    * labeling is a pure function of the point set and both engines can
+    * replay it.
+    *
+    * Composition of already-gated machinery, end to end: eps-neighborhoods
+    * from the grid-candidate join (q251 — exact, geometric completeness),
+    * core flags by degree, core components via the q44/q191 star
+    * contraction (labels = component-minimum id, the same convention the
+    * oracle's recursive min-label closure computes), border points by
+    * min-label over adjacent cores, the rest noise (cluster_id −1).
+    *
+    * Scale shape: the pair list is locality-bounded (never all-pairs), the
+    * component loop is O(log n) keyed rounds over core-core edges only,
+    * and every other step is a keyed aggregate over the pair list. The
+    * oracle brute-forces the neighborhoods and walks the closure
+    * recursively — definitions, not mirrors of the engine plan. */
+  val q253GeoDbscan: Q = (s, d) =>
+    dbscan(points(Tables.customer(s, d), "c_custkey"), C252, R2_252, MINPTS)
+
+  /** The deterministic-DBSCAN pipeline over an (id, x, y) point set —
+    * shared by q253 and the spec's constructed two-blob truth. */
+  private[graft] def dbscan(p: DataFrame, cell: Long, r2: Long,
+      minPts: Int): DataFrame = {
+    val pairs = gridPairs(p, cell, r2)
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val core = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts - 1).select(col("a").as("id"))
+    val coreEdges = sym
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val (labels, _) =
+      graft.operators.Graph.starContractComponents(coreEdges, 25)
+    val coreLabeled = core
+      .join(labels.withColumnRenamed("node", "id"), Seq("id"), "left")
+      // an isolated core (no core neighbor) anchors its own cluster
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+    val nbCoreMin = sym
+      .join(coreLabeled.select(col("id").as("b"), col("cluster_id")), "b")
+      .groupBy(col("a")).agg(min(col("cluster_id")).as("b_cluster"))
+    p.select(col("id"))
+      .join(coreLabeled, Seq("id"), "left")
+      .join(nbCoreMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("cluster_id").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster_id"), col("b_cluster"), lit(-1L)).as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q251_geo_grid_join" -> q251GeoGridJoin,
-    "q252_geo_nearest"   -> q252GeoNearest)
+    "q252_geo_nearest"   -> q252GeoNearest,
+    "q253_geo_dbscan"    -> q253GeoDbscan)
 
   val oracle: Map[String, String] = Map(
     "q251_geo_grid_join" ->
@@ -168,5 +228,30 @@ object SpatialQueries {
          |  SELECT c_id, s_id, dist2,
          |         row_number() OVER (PARTITION BY c_id
          |                            ORDER BY dist2, s_id) AS rn
-         |  FROM cand) WHERE rn = 1""".stripMargin)
+         |  FROM cand) WHERE rn = 1""".stripMargin,
+    "q253_geo_dbscan" ->
+      s"""WITH RECURSIVE pts AS (${oraclePts("customer", "c_custkey")}),
+         |pairs AS (SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+         |  ON a.id <> b.id
+         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= $R2_252),
+         |core AS (SELECT a AS id FROM pairs GROUP BY a
+         |  HAVING count(*) >= ${MINPTS - 1}),
+         |cedges AS (SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON ca.id = p.a JOIN core cb ON cb.id = p.b),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM cedges) t
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN cedges e ON e.a = reach.r),
+         |lab AS (SELECT node, min(r) AS cl FROM reach GROUP BY node),
+         |corelab AS (SELECT c.id, coalesce(l.cl, c.id) AS cluster_id
+         |  FROM core c LEFT JOIN lab l ON l.node = c.id),
+         |nbmin AS (SELECT p.a AS id, min(cl.cluster_id) AS b_cluster
+         |  FROM pairs p JOIN corelab cl ON cl.id = p.b GROUP BY p.a)
+         |SELECT pts.id,
+         |  CASE WHEN corelab.cluster_id IS NOT NULL THEN 'core'
+         |       WHEN nbmin.b_cluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(corelab.cluster_id, nbmin.b_cluster, -1) AS cluster_id
+         |FROM pts LEFT JOIN corelab ON corelab.id = pts.id
+         |         LEFT JOIN nbmin ON nbmin.id = pts.id""".stripMargin)
 }

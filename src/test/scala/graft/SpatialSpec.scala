@@ -43,6 +43,25 @@ class SpatialSpec extends SparkSpec {
     got.map(t => (t._1, t._2)) should not contain ((5L, 6L))
   }
 
+  test("q253 dbscan on a constructed two-blob set: cores, min-label border, noise") {
+    import spark.implicits._
+    // blob A (1,2,3): pairwise within eps=2000 → all core, cluster 1.
+    // 4: one neighbor (2, at 1950) → border of cluster 1.
+    // 5: no neighbors → noise (-1).
+    // blob B (6..9): pairwise within eps → all core, cluster 6.
+    val pts = Seq(
+      (1L, 100L, 100L), (2L, 200L, 100L), (3L, 100L, 200L),
+      (4L, 2150L, 100L), (5L, 50000L, 50000L),
+      (6L, 90000L, 90000L), (7L, 90100L, 90090L),
+      (8L, 90050L, 90200L), (9L, 89900L, 89950L)).toDF("id", "x", "y")
+    val got = SpatialQueries.dbscan(pts, 2048L, 4000000L, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", -1L),
+      (6L, "core", 6L), (7L, "core", 6L), (8L, "core", 6L), (9L, "core", 6L))
+  }
+
   test("plans: keyed equi-join on grid cells — no cartesian, no nested loop; q252 argmin combines map-side") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
