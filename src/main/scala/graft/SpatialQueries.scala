@@ -145,10 +145,17 @@ object SpatialQueries {
         col("best.dist2").as("dist2"))
   }
 
-  /** q253 parameters: DBSCAN with eps = 2000 (q252's grid geometry) and
+  /** q253 parameters: DBSCAN with eps = 800 (cell 1024 ≥ eps) and
     * minPts = 3 — a point is CORE when its eps-ball holds ≥ 3 points
-    * counting itself, i.e. ≥ 2 neighbors. */
+    * counting itself, i.e. ≥ 2 neighbors. eps sits BELOW the percolation
+    * density of the bench-scale point set on purpose: a correctly chosen
+    * DBSCAN eps (the k-distance-knee heuristic) separates clusters rather
+    * than fusing the corpus into one giant component — and the component
+    * loop's round count tracks component diameter, so sub-percolation
+    * parameters are both the statistically right ones and the ones whose
+    * contraction converges in a handful of rounds. */
   private val MINPTS = 3
+  private val R2_253 = 800L * 800L
 
   /** q253: density clustering — DBSCAN made deterministic. Classic DBSCAN
     * is scan-order-dependent in exactly one place (a border point adjacent
@@ -170,18 +177,31 @@ object SpatialQueries {
     * oracle brute-forces the neighborhoods and walks the closure
     * recursively — definitions, not mirrors of the engine plan. */
   val q253GeoDbscan: Q = (s, d) =>
-    dbscan(points(Tables.customer(s, d), "c_custkey"), C252, R2_252, MINPTS)
+    dbscan(points(Tables.customer(s, d), "c_custkey"), C251, R2_253, MINPTS)
 
   /** The deterministic-DBSCAN pipeline over an (id, x, y) point set —
     * shared by q253 and the spec's constructed two-blob truth. */
   private[graft] def dbscan(p: DataFrame, cell: Long, r2: Long,
       minPts: Int): DataFrame = {
-    val pairs = gridPairs(p, cell, r2)
-    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // The adjacency list feeds FOUR consumers (degree/core, core-core
+    // edges, the border min-label join, and — through the component
+    // loop's own eager node materialization — the contraction); without a
+    // checkpoint each consumer replays the grid join. The list is
+    // locality-bounded (pairs within eps), orders of magnitude smaller
+    // than the corpus — the cheap thing to pin, the q73 corpus-never-
+    // re-shuffles discipline applied to the candidate graph.
+    val sym = {
+      val pairs = gridPairs(p, cell, r2)
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .localCheckpoint(true)
+    }
     val core = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minPts - 1).select(col("a").as("id"))
-    val coreEdges = sym
+    // contraction input: the canonical a<b half only — the loop
+    // canonicalizes internally, so the symmetric double would just be
+    // distinct'd away after a wasted first exchange
+    val coreEdges = sym.where(col("a") < col("b"))
       .join(core.select(col("id").as("a")), "a")
       .join(core.select(col("id").as("b")), "b")
       .select(col("a").as("src"), col("b").as("dst"))
@@ -191,6 +211,7 @@ object SpatialQueries {
       .join(labels.withColumnRenamed("node", "id"), Seq("id"), "left")
       // an isolated core (no core neighbor) anchors its own cluster
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+      .localCheckpoint(true) // two consumers: the role join and nbCoreMin
     val nbCoreMin = sym
       .join(coreLabeled.select(col("id").as("b"), col("cluster_id")), "b")
       .groupBy(col("a")).agg(min(col("cluster_id")).as("b_cluster"))
@@ -233,7 +254,7 @@ object SpatialQueries {
       s"""WITH RECURSIVE pts AS (${oraclePts("customer", "c_custkey")}),
          |pairs AS (SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
          |  ON a.id <> b.id
-         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= $R2_252),
+         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= $R2_253),
          |core AS (SELECT a AS id FROM pairs GROUP BY a
          |  HAVING count(*) >= ${MINPTS - 1}),
          |cedges AS (SELECT p.a, p.b FROM pairs p
