@@ -45,9 +45,27 @@ object ScaleQueries {
     java.nio.file.Paths.get(d).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
 
   /** q29: lineitem ⋈ orders on the order key, both sides bucketed (16
-    * buckets) on that key — the join itself is exchange-free (plan-asserted
-    * in PlanSpec); only the final small aggregation shuffles. */
-  val q29BucketedJoin: Q = (s, d) => {
+    * buckets) on that key — the join itself is exchange-free AND sort-free
+    * (plan-asserted in PlanSpec); only the final small aggregation
+    * shuffles. Sort-free is earned in two halves: [[Scale.writeBucketed]]
+    * writes ONE sorted file per bucket (a reader may only trust bucket
+    * sort order when the bucket is a single file), and the scoped
+    * `bucketedTableScan.outputOrdering` conf makes the scan REPORT that
+    * order to the planner (off by Spark's default because un-curated
+    * bucketed tables rarely keep one file per bucket and the check lists
+    * files at planning time — a curated write-once layout is precisely
+    * the case that pays that planning cost once and saves two full sorts
+    * on every join). */
+  val q29BucketedJoin: Q = (s, d) =>
+    SessionConf.withValue(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+      q29Direct(s, d).localCheckpoint(true)
+    }
+
+  /** The q29 plan builder (PlanSpec pins this inside the same scoped
+    * conf; the gated entry materializes it so the conf scope closes). */
+  private[graft] def q29Direct(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val tag = sfTag(d)
     val liName = s"graft_lineitem_b_$tag"
     val oName = s"graft_orders_b_$tag"

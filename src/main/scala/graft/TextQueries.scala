@@ -170,12 +170,17 @@ object TextQueries {
     * n-gram argmax), so the confusion matrix and its summary can never
     * disagree about what the raters said.
     *
-    * Scale shape: one prediction scan (the q112 plan), two label-grain
-    * marginal counts joined label-on-label (K rows), one 1-row fold. */
+    * Scale shape: ONE prediction scan (the q112 plan) — the (r1, r2)
+    * label pairs are checkpointed (2 columns × |docs|, trivial) because
+    * three consumers need them (agreement fold, row marginals, column
+    * marginals) and each would otherwise replay the 24-regex scoring
+    * scan; then two label-grain marginal counts joined label-on-label
+    * (K rows), one 1-row fold. */
   val q230CohensKappa: Q = (s, d) => {
     val preds = Tables.documentsDistributed(s, d)
       .select(argmaxLang(stopwordScores).as("r1"),
         argmaxLang(ngramScores(s)).as("r2"))
+      .localCheckpoint(true)
     val base = preds.agg(count(lit(1)).as("n_docs"),
       sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("n_agree"))
     val rows = preds.groupBy(col("r1").as("label")).agg(count(lit(1)).as("r"))

@@ -85,8 +85,9 @@ object Scale {
     // spec — schema, key, and bucket count. A signature file next to
     // _SUCCESS records the spec; any mismatch (changed bucket count,
     // changed projection) forces a rebuild instead of silently attaching
-    // new metadata to an old physical layout.
-    val spec = s"${df.schema.toDDL}|$key|$buckets|$dataFingerprint"
+    // new metadata to an old physical layout. `1fpb` tags the one-file-
+    // per-bucket layout (below) so layouts written before it rebuild.
+    val spec = s"${df.schema.toDDL}|$key|$buckets|1fpb|$dataFingerprint"
     val specFile = loc.resolve("_graft_bucket_spec")
     val intact = java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(specFile) &&
@@ -103,7 +104,15 @@ object Scale {
       return
     }
     deleteRecursively(loc)
-    df.write.bucketBy(buckets, key).sortBy(key)
+    // ONE FILE PER BUCKET: a reader may only treat a bucket as sorted when
+    // the bucket is a single file — with the default many-writer layout
+    // (each task emits its own file per bucket) every bucketed merge join
+    // re-sorts both sides, defeating half the layout. repartition on the
+    // bucket key with numPartitions = buckets uses the same Murmur3
+    // hash-mod the bucket assignment uses, so each write task holds
+    // exactly one bucket and sortBy yields a genuinely sorted bucket the
+    // join consumes sort-free (PlanSpec pins zero Sort under q29's join).
+    df.repartition(buckets, col(key)).write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
     java.nio.file.Files.write(specFile, spec.getBytes("UTF-8"))
   }

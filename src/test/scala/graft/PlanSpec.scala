@@ -614,8 +614,11 @@ class PlanSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
-  test("bucketed join is exchange-free: only the final aggregation shuffles") {
-    val p = plan(ScaleQueries.q29BucketedJoin(spark, sf))
+  test("bucketed join is exchange-free AND sort-free: only the final aggregation shuffles") {
+    val p = SessionConf.withValue(spark,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+      plan(ScaleQueries.q29Direct(spark, sf))
+    }
     p should include("Bucketed: true")
     p should include("SortMergeJoin")
     // the join reads co-located buckets from both sides: no shuffle on
@@ -623,6 +626,10 @@ class PlanSpec extends SparkSpec {
     p should not include "hashpartitioning(l_orderkey"
     p should not include "hashpartitioning(o_orderkey"
     p should not include "BroadcastExchange"
+    // one sorted file per bucket + the scoped outputOrdering conf: the
+    // scan itself carries the join order — the merge join pays NO sort
+    // (\b: "(5) SortMergeJoin" must not count as a Sort node)
+    """\(\d+\) Sort\b""".r.findAllMatchIn(p) shouldBe empty
   }
 
   test("q85 cluster sample: quota window group-limits before its sort; q81's plan underneath") {
