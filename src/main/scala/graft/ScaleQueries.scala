@@ -1214,7 +1214,37 @@ object ScaleQueries {
     } finally perLang.unpersist()
   }
 
+  /** q254: AUTOMATIC EXCHANGE REUSE — the planner capability q248's
+    * explicit cache() complements: when one query references the same
+    * subplan twice, Catalyst's exchange-reuse rule deduplicates the
+    * shuffle WITHOUT the author asking (no cache call, no temp table).
+    * The query is the natural shape that hits it — an extremes report:
+    * top-5 and bottom-5 customers by exact decimal revenue, both branches
+    * of the UNION reading the same per-customer aggregate. The plan
+    * carries the aggregate's exchange ONCE and a ReusedExchange pointer
+    * for the second branch (PlanSpec-pinned), so at 100 TB the fact scan
+    * + partial aggregate + shuffle run once, not per branch — and under
+    * AQE the reused exchange is a reused STAGE (materialized map output
+    * served to both consumers). Each branch's ORDER BY … LIMIT is a
+    * TakeOrderedAndProject heap (q07's discipline), never a global sort.
+    * Revenue is an exact DECIMAL sum gated as its canonical string; ranks
+    * are total-ordered by the (rev, custkey) tie-break. */
+  val q254ExchangeReuse: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val top = per.orderBy(col("rev").desc, col("o_custkey")).limit(5)
+      .withColumn("side", lit("top"))
+    val bot = per.orderBy(col("rev").asc, col("o_custkey")).limit(5)
+      .withColumn("side", lit("bottom"))
+    top.unionByName(bot)
+      .select(col("side"), col("o_custkey"),
+        col("rev").cast(StringType).as("rev_str"), col("n_orders"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q254_exchange_reuse" -> q254ExchangeReuse,
     "q239_cbo_broadcast" -> q239CboBroadcast,
     "q242_cbo_reorder"  -> q242CboReorder,
     "q243_runtime_bloom" -> q243RuntimeBloom,
@@ -1243,6 +1273,20 @@ object ScaleQueries {
     "q120_time_travel"  -> q120TimeTravel)
 
   val oracle: Map[String, String] = Map(
+    // Exchange reuse is physical-only: the oracle states the extremes
+    // report directly, the decimal revenue gated as its canonical string.
+    "q254_exchange_reuse" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT 'top' AS side, o_custkey, rev, n_orders FROM per
+        |      ORDER BY rev DESC, o_custkey LIMIT 5),
+        |b AS (SELECT 'bottom' AS side, o_custkey, rev, n_orders FROM per
+        |      ORDER BY rev ASC, o_custkey LIMIT 5)
+        |SELECT side, o_custkey, CAST(rev AS VARCHAR) AS rev_str, n_orders
+        |FROM (SELECT * FROM t UNION ALL SELECT * FROM b)""".stripMargin,
     // The CBO knobs change the PLAN, never the rows — the oracle is the
     // plain relational statement of the join.
     "q239_cbo_broadcast" ->

@@ -632,6 +632,22 @@ class PlanSpec extends SparkSpec {
     """\(\d+\) Sort\b""".r.findAllMatchIn(p) shouldBe empty
   }
 
+  test("q254: both report branches reuse ONE aggregate exchange; each top-k is a heap") {
+    // exchange reuse under AQE is a RUNTIME property (the second branch's
+    // stage resolves to the first's materialized map output), so the pin
+    // reads the executed final plan, not the initial explain
+    val df = ScaleQueries.q254ExchangeReuse(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the second branch points back at the first branch's shuffle — the
+    // fact scan + partial aggregate + exchange run once for the union
+    p should include("ReusedExchange")
+    "FileScan".r.findAllMatchIn(p).size shouldBe 1
+    p should include("TakeOrderedAndProject")
+    """\bSort\b""".r.findAllMatchIn(p) shouldBe empty // no global sort
+  }
+
   test("q85 cluster sample: quota window group-limits before its sort; q81's plan underneath") {
     val p = plan(ClusterQueries.q85ClusterSample(spark, sf))
     // the rank<=QUOTA filter pushes into WindowGroupLimit: each task
