@@ -191,10 +191,12 @@ object SpatialQueries {
     // than the corpus — the cheap thing to pin, the q73 corpus-never-
     // re-shuffles discipline applied to the candidate graph.
     val sym = {
-      val pairs = gridPairs(p, cell, r2)
+      // checkpoint the a<b half, THEN mirror: checkpointing the union
+      // would run the grid join once per union branch inside the
+      // materializing job; mirroring the checkpoint is two cheap reads
+      val pairs = gridPairs(p, cell, r2).localCheckpoint(true)
       pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-        .localCheckpoint(true)
     }
     val core = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minPts - 1).select(col("a").as("id"))
