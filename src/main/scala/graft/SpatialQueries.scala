@@ -113,6 +113,30 @@ object SpatialQueries {
         dist2(col("xa"), col("ya"), col("xb"), col("yb")).as("dist2"))
   }
 
+  /** The INCREMENTAL form of the grid join — a (small) batch of arriving
+    * points probes the static celled corpus for within-R neighbors:
+    * (probe_id, corpus_id, dist2). The batch side explodes to its 9
+    * candidate cells (×9 on the SMALL side), the corpus side keys by its
+    * own cell and never replicates — the q73 probe discipline applied to
+    * geometry. Per-probe independence makes the union of per-micro-batch
+    * outputs equal the one-shot probe however the feed is chopped, which
+    * is what lets [[graft.streaming.EventStream.spatialProbeStream]] run
+    * this operator UNCHANGED per micro-batch (StreamingSpec asserts the
+    * decomposition). */
+  private[graft] def probeAgainst(corpus: DataFrame, batch: DataFrame,
+      c: Long, r2: Long): DataFrame = {
+    val probe = probes(batch, c)
+      .select(col("id").as("probe_id"), col("x").as("xa"), col("y").as("ya"),
+        col("kx"), col("ky"))
+    val build = celled(corpus, c)
+      .select(col("id").as("corpus_id"), col("x").as("xb"), col("y").as("yb"),
+        col("cx"), col("cy"))
+    probe.join(build, col("kx") === col("cx") && col("ky") === col("cy"))
+      .where(dist2(col("xa"), col("ya"), col("xb"), col("yb")) <= r2)
+      .select(col("probe_id"), col("corpus_id"),
+        dist2(col("xa"), col("ya"), col("xb"), col("yb")).as("dist2"))
+  }
+
   /** q251: spatial distance self-join — every customer pair within radius
     * 600 of each other on the derived 10^5 × 10^5 grid, with the exact
     * squared distance. Engine plan: grid-cell candidates (see object doc);

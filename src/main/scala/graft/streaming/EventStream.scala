@@ -311,6 +311,24 @@ object EventStream {
           corpusBands, corpusShingles, batch, threshold), id)
       }
 
+  /** Streaming twin of the spatial grid probe (q251's incremental form):
+    * each micro-batch of arriving points finds its within-R corpus
+    * neighbors by running the batch operator
+    * [[graft.SpatialQueries.probeAgainst]] UNCHANGED against the static
+    * celled corpus — the [[incrementalDedupStream]] architecture applied
+    * to geometry (`foreachBatch`, batch side exploded ×9, corpus side
+    * keyed by its own cell, never replicated per micro-batch). Per-probe
+    * independence ⇒ the union of per-micro-batch outputs equals the
+    * one-shot probe over the same points however the feed is chopped
+    * (StreamingSpec asserts the decomposition). */
+  def spatialProbeStream(ptsStream: DataFrame, corpusPts: DataFrame,
+      cell: Long, r2: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ptsStream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.SpatialQueries.probeAgainst(corpusPts, batch, cell, r2), id)
+      }
+
   /** Streaming twin of q80's BM25 scorer: arriving documents score against
     * PRECOMPUTED corpus statistics — the same snapshot discipline as
     * [[incrementalDedupStream]]'s materialized fingerprints (a production

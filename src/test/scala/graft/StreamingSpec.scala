@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe oneShot.toSet
   }
 
+  test("streaming spatial probe: chopped point feed equals the one-shot grid probe (q251 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = SpatialQueries.points(Tables.customer(spark, sf), "c_custkey")
+    val probePts = SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (feedA, feedB) = probePts.partition(_._1 < 5)
+    feedA should not be empty
+    feedB should not be empty
+
+    val input = MemoryStream[(Long, Long, Long)]
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = EventStream.spatialProbeStream(
+        input.toDF().toDF("id", "x", "y"), corpus, 32768L, 400000000L) { (df, _) =>
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }.start()
+    try {
+      input.addData(feedA.toSeq); q.processAllAvailable()
+      input.addData(feedB.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // per-probe independence: the union over micro-batches equals the
+    // one-shot probe over the same points, however the feed was chopped
+    val oneShot = SpatialQueries.probeAgainst(corpus,
+        SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey"),
+        32768L, 400000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    buf.size shouldBe oneShot.length // no duplicate emissions across batches
+    oneShot should not be empty
+    buf.toSet shouldBe oneShot.toSet
+  }
+
   test("stream-stream correlate equals the batch range join on the same feeds") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(Long, Long, Timestamp)]
