@@ -251,10 +251,64 @@ object SpatialQueries {
         coalesce(col("cluster_id"), col("b_cluster"), lit(-1L)).as("cluster_id"))
   }
 
+  /** q255 geometry: cell side 4096; region sides are 2000..9999, so a
+    * region covers at most ⌈9999/4096⌉+1 = 4 cells per axis — the explode
+    * factor is bounded by REGION size, not corpus size. */
+  private val C255 = 4096L
+
+  /** Synthetic axis-aligned regions, one per nation row: corner and side
+    * lengths hash60-derived (sides 2000..9999, corners in [0, 90000) so
+    * regions stay inside the space) — the same engine-portable md5
+    * arithmetic as [[points]], replayed verbatim by the oracle. */
+  private def regions(nation: DataFrame): DataFrame = {
+    def h(salt: String): Column =
+      graft.operators.TextOps.hash60(
+        concat(lit(salt), col("n_nationkey").cast(StringType)))
+    nation.select(col("n_nationkey").cast(LongType).as("rid"),
+      (h("rx:") % 90000L).as("x0"), (h("ry:") % 90000L).as("y0"),
+      (lit(2000L) + h("rw:") % 8000L).as("w"),
+      (lit(2000L) + h("rh:") % 8000L).as("h"))
+  }
+
+  /** q255: point-in-region CONTAINMENT join — the 2D complement of the
+    * engine's 1D range join (q62): which customers sit inside which
+    * regions ([x0, x0+w) × [y0, y0+h)). A naive engine plans 2D
+    * containment as a nested-loop over points × regions; the grid form
+    * is an EQUI-join: each region explodes to the cells it overlaps
+    * (bounded by region size — ≤ 16 cells here, never corpus-sized),
+    * each point keys by its single cell, and the exact containment
+    * predicate filters the cell-candidates. A (point, region) candidate
+    * appears exactly once — the point has one cell and the region lists
+    * that cell once — so no dedup exchange exists (SpatialSpec pins
+    * no-nested-loop, no-cartesian).
+    *
+    * Scale shape at 100 TB: candidates are Σ_cell |points_cell|·|regions
+    * overlapping cell| — locality-bounded both ways; millions of regions
+    * ride the same equi-join (broadcast while they fit, shuffled keyed
+    * join beyond), where the nested-loop form is quadratic wall-clock.
+    * The oracle is the literal containment cross join. */
+  val q255GeoContainment: Q = (s, d) => {
+    val p = celled(points(Tables.customer(s, d), "c_custkey"), C255)
+      .select(col("id").as("c_id"), col("x"), col("y"),
+        col("cx").as("px"), col("cy").as("py"))
+    val r = regions(Tables.nation(s, d))
+      .withColumn("gx", explode(sequence(
+        floor(col("x0") / C255).cast(LongType),
+        floor((col("x0") + col("w") - 1) / C255).cast(LongType))))
+      .withColumn("gy", explode(sequence(
+        floor(col("y0") / C255).cast(LongType),
+        floor((col("y0") + col("h") - 1) / C255).cast(LongType))))
+    p.join(r, col("px") === col("gx") && col("py") === col("gy"))
+      .where(col("x") >= col("x0") && col("x") < col("x0") + col("w") &&
+        col("y") >= col("y0") && col("y") < col("y0") + col("h"))
+      .select(col("rid"), col("c_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q251_geo_grid_join" -> q251GeoGridJoin,
     "q252_geo_nearest"   -> q252GeoNearest,
-    "q253_geo_dbscan"    -> q253GeoDbscan)
+    "q253_geo_dbscan"    -> q253GeoDbscan,
+    "q255_geo_containment" -> q255GeoContainment)
 
   val oracle: Map[String, String] = Map(
     "q251_geo_grid_join" ->
@@ -300,5 +354,16 @@ object SpatialQueries {
          |       ELSE 'noise' END AS role,
          |  coalesce(corelab.cluster_id, nbmin.b_cluster, -1) AS cluster_id
          |FROM pts LEFT JOIN corelab ON corelab.id = pts.id
-         |         LEFT JOIN nbmin ON nbmin.id = pts.id""".stripMargin)
+         |         LEFT JOIN nbmin ON nbmin.id = pts.id""".stripMargin,
+    "q255_geo_containment" ->
+      s"""WITH pts AS (${oraclePts("customer", "c_custkey")}),
+         |rects AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |  CAST(CAST(('0x' || substr(md5('rx:' || CAST(n_nationkey AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 90000 AS x0,
+         |  CAST(CAST(('0x' || substr(md5('ry:' || CAST(n_nationkey AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 90000 AS y0,
+         |  2000 + CAST(CAST(('0x' || substr(md5('rw:' || CAST(n_nationkey AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 8000 AS w,
+         |  2000 + CAST(CAST(('0x' || substr(md5('rh:' || CAST(n_nationkey AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 8000 AS h
+         |  FROM nation)
+         |SELECT rid, pts.id AS c_id FROM pts, rects
+         |WHERE x >= x0 AND x < x0 + w
+         |  AND y >= y0 AND y < y0 + h""".stripMargin)
 }

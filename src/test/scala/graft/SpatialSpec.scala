@@ -67,7 +67,10 @@ class SpatialSpec extends SparkSpec {
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val p251 = plan(SpatialQueries.q251GeoGridJoin(spark, sf))
     val p252 = plan(SpatialQueries.q252GeoNearest(spark, sf))
-    for (p <- Seq(p251, p252)) {
+    // 2D containment is the nested-loop trap: the grid form must stay an
+    // equi-join on cells with the containment predicate as a filter
+    val p255 = plan(SpatialQueries.q255GeoContainment(spark, sf))
+    for (p <- Seq(p251, p252, p255)) {
       p should not include "CartesianProduct"
       p should not include "BroadcastNestedLoopJoin"
     }
