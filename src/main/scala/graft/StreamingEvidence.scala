@@ -9,7 +9,7 @@ import graft.streaming.EventStream
 /** Driver-visible streaming evidence — the `work/correctness_keyed.json`
   * pattern applied to the streaming twins (round-11 verdict #4): the spec
   * suite already asserts batch ≡ stream for each twin, but specs are only
-  * visible as a green `sbt test`; this main re-runs the three production
+  * visible as a green `sbt test`; this main re-runs the four production
   * twins against a REAL scale dir and records per-twin equality hashes in
   * a committed JSON artifact, so a round's evidence chain (correctness
   * gate, bench, keyed-graph hashes, streaming hashes) is auditable from
@@ -19,6 +19,8 @@ import graft.streaming.EventStream
   * the batch operator run on the same input):
   *  1. foreachBatch incremental dedup ([[EventStream.incrementalDedupStream]])
   *     — chopped feed ≡ one-shot [[graft.operators.Dedup.incrementalNearDupPairs]];
+  *  1b. foreachBatch spatial grid probe ([[EventStream.spatialProbeStream]])
+  *     — chopped point feed ≡ one-shot [[SpatialQueries.probeAgainst]];
   *  2. transformWithState running totals ([[EventStream.runningTotalsTws]],
   *     RocksDB state store) — chopped feed ≡ the batch groupBy aggregate;
   *  3. exactly-once-effective sink ([[EventStream.idempotentBatchWrite]])
@@ -92,6 +94,39 @@ object StreamingEvidence {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       def fmt(t: (Long, Long, Double)) = f"${t._1}%d|${t._2}%d|${t._3}%.9f"
       TwinResult("incremental_dedup_foreachbatch", unit = "rows",
+        buf.size.toLong, oneShot.length.toLong,
+        md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
+    }
+
+    // ---- twin 1b: foreachBatch spatial grid probe (q251's streaming twin) ----
+    // Supplier points stream in two chops against the static celled customer
+    // corpus; per-probe independence makes the union equal the one-shot probe.
+    val spatial = {
+      val corpus = SpatialQueries.points(
+        Tables.customer(spark, sfDir), "c_custkey")
+      val probePts = SpatialQueries.points(
+          Tables.supplier(spark, sfDir), "s_suppkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (feedA, feedB) = probePts.partition(_._1 % 2 == 0)
+      val (cell, r2) = (8192L, 25000000L) // radius 5000 ≤ cell
+
+      val input = MemoryStream[(Long, Long, Long)]
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = EventStream.spatialProbeStream(
+          input.toDF().toDF("id", "x", "y"), corpus, cell, r2) { (df, _) =>
+          buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }.start()
+      try {
+        input.addData(feedA.toSeq); q.processAllAvailable()
+        input.addData(feedB.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val oneShot = SpatialQueries.probeAgainst(corpus,
+          SpatialQueries.points(Tables.supplier(spark, sfDir), "s_suppkey"),
+          cell, r2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def fmt(t: (Long, Long, Long)) = s"${t._1}|${t._2}|${t._3}"
+      TwinResult("spatial_probe_foreachbatch", unit = "rows",
         buf.size.toLong, oneShot.length.toLong,
         md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
     }
@@ -189,7 +224,7 @@ object StreamingEvidence {
         java.nio.file.Paths.get(dir)) // compared above — the dir is disposable
     }
 
-    val twins = Seq(dedup, tws, eos)
+    val twins = Seq(dedup, spatial, tws, eos)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +
