@@ -62,13 +62,20 @@ object SpatialQueries {
   private val R2_252 = 2000L * 2000L
 
   /** Integer planar point derived from an id column: the hash60 (md5)
-    * engine-portable arithmetic, salted per axis, modulo the space. The
-    * oracle derives the identical (x, y) in DuckDB from the same md5. */
-  private[graft] def points(df: DataFrame, idCol: String): DataFrame = {
+    * engine-portable arithmetic, salted per axis AND per table (`prefix`),
+    * modulo the space. The per-table prefix matters for cross-table
+    * queries: with a shared salt, customer k and supplier k would land on
+    * IDENTICAL coordinates, trivializing q252's nearest-neighbor rows for
+    * every shared key value (dist2 = 0) — the gate would then never
+    * exercise real distance comparison on that id range. The oracle
+    * derives the identical (x, y) in DuckDB from the same md5. */
+  private[graft] def points(df: DataFrame, idCol: String,
+      prefix: String = "g"): DataFrame = {
     def axis(salt: String): Column =
       graft.operators.TextOps.hash60(
         concat(lit(salt), col(idCol).cast(StringType))) % SPACE
-    df.select(col(idCol).as("id"), axis("gx:").as("x"), axis("gy:").as("y"))
+    df.select(col(idCol).as("id"),
+      axis(s"${prefix}x:").as("x"), axis(s"${prefix}y:").as("y"))
   }
 
   /** Attach the grid cell of side `c` (exact: x ≥ 0, c a power of two). */
@@ -91,15 +98,19 @@ object SpatialQueries {
     (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
 
   /** The shared DuckDB point derivation (md5 twin of [[points]]). */
-  private def oraclePts(table: String, idCol: String): String = {
+  private def oraclePts(table: String, idCol: String,
+      prefix: String = "g"): String = {
     def axis(salt: String) =
       s"CAST(CAST(('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % $SPACE"
-    s"SELECT $idCol AS id, ${axis("gx:")} AS x, ${axis("gy:")} AS y FROM $table"
+    s"SELECT $idCol AS id, ${axis(s"${prefix}x:")} AS x, ${axis(s"${prefix}y:")} AS y FROM $table"
   }
 
   /** The grid-candidate distance self-join over a (id, x, y) point set —
     * shared by q251 and the spec's constructed boundary cases. */
   private[graft] def gridPairs(p: DataFrame, c: Long, r2: Long): DataFrame = {
+    // the 9-cell rule is complete ONLY when the cell side covers the
+    // radius — violating it silently drops far pairs, so it must throw
+    require(c * c >= r2, s"grid completeness requires cell^2 >= r2: $c^2 < $r2")
     val probe = probes(p, c)
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         col("kx"), col("ky"))
@@ -125,6 +136,7 @@ object SpatialQueries {
     * decomposition). */
   private[graft] def probeAgainst(corpus: DataFrame, batch: DataFrame,
       c: Long, r2: Long): DataFrame = {
+    require(c * c >= r2, s"grid completeness requires cell^2 >= r2: $c^2 < $r2")
     val probe = probes(batch, c)
       .select(col("id").as("probe_id"), col("x").as("xa"), col("y").as("ya"),
         col("kx"), col("ky"))
@@ -153,10 +165,11 @@ object SpatialQueries {
     * semantics). The oracle brute-forces all customer × supplier pairs and
     * takes the window rank-1 — same rows, hash-gated. */
   val q252GeoNearest: Q = (s, d) => {
+    require(C252 * C252 >= R2_252)
     val c = probes(points(Tables.customer(s, d), "c_custkey"), C252)
       .select(col("id").as("c_id"), col("x").as("xa"), col("y").as("ya"),
         col("kx"), col("ky"))
-    val sup = celled(points(Tables.supplier(s, d), "s_suppkey"), C252)
+    val sup = celled(points(Tables.supplier(s, d), "s_suppkey", "s"), C252)
       .select(col("id").as("s_id"), col("x").as("xb"), col("y").as("yb"),
         col("cx"), col("cy"))
     c.join(sup, col("kx") === col("cx") && col("ky") === col("cy"))
@@ -207,6 +220,8 @@ object SpatialQueries {
     * shared by q253 and the spec's constructed two-blob truth. */
   private[graft] def dbscan(p: DataFrame, cell: Long, r2: Long,
       minPts: Int): DataFrame = {
+    require(cell * cell >= r2,
+      s"grid completeness requires cell^2 >= r2: $cell^2 < $r2")
     // The adjacency list feeds FOUR consumers (degree/core, core-core
     // edges, the border min-label join, and — through the component
     // loop's own eager node materialization — the contraction); without a
@@ -319,7 +334,7 @@ object SpatialQueries {
          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $R2_251""".stripMargin,
     "q252_geo_nearest" ->
       s"""WITH c AS (${oraclePts("customer", "c_custkey")}),
-         |     s AS (${oraclePts("supplier", "s_suppkey")}),
+         |     s AS (${oraclePts("supplier", "s_suppkey", "s")}),
          |cand AS (
          |  SELECT c.id AS c_id, s.id AS s_id,
          |         (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) AS dist2

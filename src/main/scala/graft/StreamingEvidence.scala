@@ -105,7 +105,7 @@ object StreamingEvidence {
       val corpus = SpatialQueries.points(
         Tables.customer(spark, sfDir), "c_custkey")
       val probePts = SpatialQueries.points(
-          Tables.supplier(spark, sfDir), "s_suppkey")
+          Tables.supplier(spark, sfDir), "s_suppkey", "s")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (feedA, feedB) = probePts.partition(_._1 % 2 == 0)
       val (cell, r2) = (8192L, 25000000L) // radius 5000 ≤ cell
@@ -122,7 +122,7 @@ object StreamingEvidence {
       } finally q.stop()
 
       val oneShot = SpatialQueries.probeAgainst(corpus,
-          SpatialQueries.points(Tables.supplier(spark, sfDir), "s_suppkey"),
+          SpatialQueries.points(Tables.supplier(spark, sfDir), "s_suppkey", "s"),
           cell, r2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       def fmt(t: (Long, Long, Long)) = s"${t._1}|${t._2}|${t._3}"

@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val corpus = SpatialQueries.points(Tables.customer(spark, sf), "c_custkey")
-    val probePts = SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey")
+    val probePts = SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey", "s")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val (feedA, feedB) = probePts.partition(_._1 < 5)
     feedA should not be empty
@@ -185,7 +185,7 @@ class StreamingSpec extends SparkSpec {
     // per-probe independence: the union over micro-batches equals the
     // one-shot probe over the same points, however the feed was chopped
     val oneShot = SpatialQueries.probeAgainst(corpus,
-        SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey"),
+        SpatialQueries.points(Tables.supplier(spark, sf), "s_suppkey", "s"),
         32768L, 400000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     buf.size shouldBe oneShot.length // no duplicate emissions across batches
