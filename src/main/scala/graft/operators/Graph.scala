@@ -41,8 +41,8 @@ import org.apache.spark.sql.functions._
   * earlier ones. `localCheckpoint` after every round truncates iterative
   * lineage exactly like q44's resolveClusters; convergence is detected by
   * an order-independent set signature computed inside the round's one
-  * materializing job (see [[edgeSetSig]] — round-13 diet: the former
-  * terminal-round standalone `except` job is gone) and overrunning
+  * materializing job (see [[edgeSetSig]]) and confirmed exactly by one
+  * `except` on the single round whose signatures match; overrunning
   * `maxRounds` THROWS — partial components are corruption, never a result.
   */
 object Graph {
@@ -93,16 +93,23 @@ object Graph {
         // lazily lets the signature job BE the materialization — one job
         // per round, same truncated lineage, and every later consumer
         // (the next round's half-steps, the terminal label join) reads
-        // the persisted blocks as before. Round 13 deleted the terminal
-        // round's standalone `except` job too: set equality now falls out
-        // of the SAME per-round job (both sides are DISTINCT canonical
-        // sets, so equal signatures ⟺ equal sets up to the documented
-        // xor-fold collision odds) — the loop pays exactly one scheduler
-        // round-trip per round, fixpoint test included.
+        // the persisted blocks as before. Non-terminal rounds pay exactly
+        // one scheduler round-trip each, fixpoint test included: the
+        // per-round signature job doubles as the set-equality probe, and
+        // only the round whose signatures match pays the exact `except`
+        // confirmation below.
         val next = smallStar(largeStar(cur)).localCheckpoint(false)
         rounds += 1
         val nextSig = edgeSetSig(next)
-        converged = nextSig == curSig
+        // The signature gates WHICH round pays an exact check; the exact
+        // check keeps the fixpoint deterministic. Both sides are DISTINCT
+        // canonical sets of equal count (sig includes the count), so
+        // next ⊆ cur alone proves equality — one `except` job on the one
+        // round whose signatures match, zero on every other round. A
+        // signature collision (two different equal-count sets equal in
+        // both xor-folds, ~2^-128) is caught here and the loop continues
+        // instead of emitting wrong labels silently.
+        converged = nextSig == curSig && next.except(cur).isEmpty
         cur = next
         curSig = nextSig
       }
@@ -129,9 +136,11 @@ object Graph {
     * xor-folds (~2^-128 for this loop's non-adversarial integer edges —
     * the edges are the algorithm's own rewiring output, not
     * attacker-chosen input); the exact q44/q191 DuckDB hash gates run
-    * across this change. This replaces the former terminal-round
-    * `next.except(cur).isEmpty` job (round-13 diet): the fixpoint test
-    * now costs zero extra jobs in EVERY round, including the last. xor
+    * across this change. The signature decides WHICH round pays an exact
+    * set check: non-terminal rounds pay zero extra jobs (the pre-diet
+    * per-round `except` is gone), and the one round whose signatures
+    * match confirms with a single `except` job — the operator's
+    * exactness guarantee is unconditional, not probabilistic. xor
     * (not ANSI `sum`) folds the hashes: it is overflow-free and
     * duplicate-free inputs make its weaker linear structure irrelevant
     * alongside the count check. */

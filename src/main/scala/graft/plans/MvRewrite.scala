@@ -147,7 +147,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val (leaf, conds) = strip(p)
     s match {
       case ScanSource(path) => leaf match {
-        case r: LogicalRelation if rootPaths(r).contains(path) =>
+        // EXACT root-path-set equality, not membership: a multi-root
+        // relation (spark.read.parquet(registeredPath, otherPath)) scans
+        // the UNION of its roots, and serving that union from an MV
+        // summarizing only the registered path would silently drop the
+        // other roots' rows. Single registered root ⇒ the relation must
+        // have exactly that one root.
+        case r: LogicalRelation if rootPaths(r) == Seq(path) =>
           Some((conds, r))
         case _ => None
       }

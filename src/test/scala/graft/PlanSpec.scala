@@ -1529,6 +1529,23 @@ class PlanSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("source")).as("n_sources")))
       distinctAgg.exists(_.contains("documents.parquet")) shouldBe true
       distinctAgg.exists(_.contains("graft_docs_mv_")) shouldBe false
+      // negative control: a MULTI-ROOT relation that INCLUDES the
+      // registered path scans the union of its roots — serving it from
+      // the single-path MV would silently drop the extra root's rows.
+      // Source matching requires exact root-path-set equality.
+      val extra = java.nio.file.Files
+        .createTempDirectory("graft-mv-multiroot").toString
+      graft.Tables.documents(spark, sf).limit(7)
+        .write.mode("overwrite").parquet(extra)
+      val docsPath = java.nio.file.Paths.get(sf, "documents.parquet")
+        .toAbsolutePath.normalize.toString
+      val multiRoot = scanPaths(
+        spark.read.parquet(docsPath, extra)
+          .groupBy(org.apache.spark.sql.functions.col("lang"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+      multiRoot.exists(_.contains("documents.parquet")) shouldBe true
+      multiRoot.exists(_.contains("graft_docs_mv_")) shouldBe false
     }
     val direct246 = ScaleQueries.q246Direct(spark, sf).collect().toSet
     val served246 = graft.plans.MvCatalog.withMv(spark, mvd) {
