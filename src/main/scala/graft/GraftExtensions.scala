@@ -8,10 +8,12 @@ import graft.functions.{CdcCutsExpr, CharClassCountsExpr, CosineSimilarity, DotF
 
 /** Engine extension point (the public `SparkSessionExtensions` API):
   * registers the native expressions so SQL and `call_function` can reach
-  * them, and the materialized-view rewrite rule
+  * them, the materialized-view rewrite rule
   * ([[graft.plans.MvRewriteRule]]) into the operator-optimization
   * fixpoint — inert (a registry-emptiness check) unless a query scope
-  * registers an MV. Installed by [[GraftSession]] via
+  * registers an MV — and the AS-OF JOIN planner strategy
+  * ([[graft.plans.AsofJoinStrategy]]), inert unless a plan contains
+  * [[graft.plans.AsofJoinPlan]]. Installed by [[GraftSession]] via
   * `spark.sql.extensions`; any session built elsewhere simply falls back
   * to the composable built-in implementations (see SimilarityQueries'
   * guard) and to direct scans (the MV rule never installed means every
@@ -20,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
+    // the whole-operator extension path: AS-OF JOIN as a custom logical
+    // node lowered by a planner strategy to a co-partitioned streaming
+    // merge (graft.plans.AsofJoinExec); vanilla sessions fall back to the
+    // composable union+window formulation (operators.Asof's guard)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }
 

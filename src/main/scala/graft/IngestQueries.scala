@@ -244,7 +244,40 @@ object IngestQueries {
     s.read.schema(declared).orc(dir)
   }
 
+  /** q258: the CUSTOM DataSource V2 — `graft-series`
+    * ([[graft.sources.SeriesSource]]), the engine's demonstration that a
+    * connector it owns participates in planning like a first-class
+    * source. The query reads a 4M-row declared series, keeps the middle
+    * quarter with range predicates the source ABSORBS at planning time
+    * (slices outside the residual range are never planned — fewer
+    * partitions, fewer rows emitted, both spec-pinned in
+    * SeriesSourceSpec), derives a bucket via the engine's portable
+    * hash60(md5) arithmetic, and aggregates. The `fill` payload column
+    * is never referenced, so column pruning means no reader materializes
+    * it (pinned). Oracle: DuckDB `range(lo, hi)` + the identical md5
+    * incantation — a cross-engine gate over a source whose planning the
+    * engine itself implements. Scale shape: a real extraction connector
+    * (JDBC splits, kafka offsets, warehouse unload ranges) works exactly
+    * like this — pushdown decides WHAT is read before any task exists,
+    * statistics report the residual volume so join planning sees the
+    * pruned size. */
+  val q258SeriesSource: Q = (s, _) => {
+    val series = s.read.format("graft-series")
+      .option("end", 4000000L).option("slices", 32).load()
+    series
+      .filter(col("id") >= 1500000L && col("id") < 2500000L)
+      .select(col("id"),
+        (graft.operators.TextOps.hash60(
+          concat(lit("sv:"), col("id").cast(StringType))) % 100)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("id") % 997).as("sum_mod"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q258_series_source" -> q258SeriesSource,
     "q237_orc_scan" -> q237OrcScan,
     "q234_payload_drift" -> q234PayloadDrift,
     "q232_variant_scan" -> q232VariantScan,
@@ -280,6 +313,17 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The series is its own content (id = the value), so DuckDB's range()
+    // plus the engine's standard md5/hash60 incantation replays the query
+    // over a source DuckDB never saw — the gate is on the CONNECTOR's
+    // planning (pushdown, pruning, slicing), not on data plumbing.
+    "q258_series_source" ->
+      """SELECT CAST(CAST(('0x' || substr(md5('sv:' || CAST(id AS VARCHAR)),1,15))
+        |    AS UBIGINT) AS BIGINT) % 100 AS bucket,
+        |  count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+        |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
+        |FROM range(1500000, 2500000) t(id)
+        |GROUP BY 1""".stripMargin,
     // q55's layout-invisibility rule: the ORC round-trip must reproduce
     // the flat parquet table exactly.
     "q237_orc_scan" ->

@@ -55,7 +55,7 @@ object StreamingEvidence {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val outFile = if (args.length > 1) args(1) else "work/streaming_r13.json"
+    val outFile = if (args.length > 1) args(1) else "work/streaming_r14.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -127,6 +127,49 @@ object StreamingEvidence {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       def fmt(t: (Long, Long, Long)) = s"${t._1}|${t._2}|${t._3}"
       TwinResult("spatial_probe_foreachbatch", unit = "rows",
+        buf.size.toLong, oneShot.length.toLong,
+        md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
+    }
+
+    // ---- twin 1c: foreachBatch as-of probe (q256's streaming twin) ----
+    // Purchases stream in two chops against the static deduped click book;
+    // per-left-row independence against a static right side makes the
+    // union equal the one-shot native as-of join.
+    val asof = {
+      val ev = Tables.events(spark, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+          col("click_id"), col("click_value"))
+        .localCheckpoint(true)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val rows = purchases.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val (feedA, feedB) = rows.partition(_._1 % 2 == 0)
+
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = EventStream.asofProbeStream(
+          input.toDF().toDF("purchase_id", "user_id", "purchase_ts"), clicks,
+          "user_id", "purchase_ts", "click_user", "click_ts") { (df, _) =>
+          buf ++= df.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(5)) -1L else r.getLong(5)))
+        }.start()
+      try {
+        input.addData(feedA.toSeq); q.processAllAvailable()
+        input.addData(feedB.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val oneShot = graft.operators.Asof.asofJoin(purchases, clicks,
+          "user_id", "purchase_ts", "click_user", "click_ts")
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
+      TwinResult("asof_probe_foreachbatch", unit = "rows",
         buf.size.toLong, oneShot.length.toLong,
         md5(buf.toSeq.map(fmt)), md5(oneShot.toSeq.map(fmt)), chops = 2)
     }
@@ -224,7 +267,7 @@ object StreamingEvidence {
         java.nio.file.Paths.get(dir)) // compared above — the dir is disposable
     }
 
-    val twins = Seq(dedup, spatial, tws, eos)
+    val twins = Seq(dedup, spatial, asof, tws, eos)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +

@@ -66,6 +66,75 @@ object WindowQueries {
     * the semantics, not a formulation replay. */
   val q50AsofJoin: Q = (s, d) => asofClicks(Tables.events(s, d))
 
+  /** q256: q50's point-in-time semantics through the NATIVE as-of join —
+    * the whole-operator extension path (custom [[graft.plans.AsofJoinPlan]]
+    * → [[graft.plans.AsofJoinStrategy]] → [[graft.plans.AsofJoinExec]]'s
+    * co-partitioned streaming merge, injected via SparkSessionExtensions).
+    * Same answer as q50 and the same DuckDB native `ASOF LEFT JOIN`
+    * oracle, but each side pays its OWN narrow key exchange instead of
+    * one union exchange carrying null-padded struct payloads, and the
+    * merge holds exactly one buffered right row per partition. The click
+    * side pre-aggregates to unique (user, ts) keeping max event_id —
+    * q50's tie policy, so both formulations and the oracle agree
+    * row-for-row. PlanSpec pins the AsofJoin physical node. */
+  val q256AsofNative: Q = (s, d) =>
+    asofNative(Tables.events(s, d), strict = true)
+
+  /** q257: the INCLUSIVE bound (at-or-before) through the same native
+    * operator, on the HOUR grain — `strict = false` flips the
+    * admissibility comparison to `click_hour <= purchase_hour` and the
+    * oracle flips `>` to `>=`. The grain choice is load-bearing: at
+    * microsecond resolution the fixture has zero same-instant
+    * purchase/click pairs (verified at all three scales), so an
+    * inclusive query there would be the strict one wearing a different
+    * oracle; truncated to hours, same-instant pairs abound and the two
+    * bounds genuinely diverge (AsofSpec pins both that divergence and
+    * the `click_hour <= purchase_hour` invariant). Click dedupe moves to
+    * (user, hour) with the same max-event_id tie policy. */
+  val q257AsofInclusive: Q = (s, d) => {
+    val events = Tables.events(s, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_trunc("hour", col("ts")).as("purchase_hour"))
+    val clicks = events.filter(col("event_type") === "click")
+      .repartition(col("user_id")) // one exchange serves dedupe + as-of
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("click_hour"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id").as("click_user"), col("click_hour"),
+        col("click_id"), col("click_value"))
+    graft.operators.Asof.asofJoin(purchases, clicks,
+        "user_id", "purchase_hour", "click_user", "click_hour",
+        strict = false)
+      .select(col("purchase_id"), col("user_id"), col("purchase_hour"),
+        col("click_id"), col("click_hour"), col("click_value"))
+  }
+
+  private[graft] def asofNative(events: org.apache.spark.sql.DataFrame,
+      strict: Boolean) = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    // ONE exchange serves both the tie-breaking dedupe AND the as-of:
+    // clustering by user_id alone satisfies the (user_id, ts) aggregate's
+    // distribution (a user's rows are co-located, so its (user, ts)
+    // groups are too) and is exactly what AsofJoinExec requires of its
+    // right child — without it the agg would hash on (user_id, ts) and
+    // the as-of would re-exchange on user_id, three shuffles instead of
+    // two (PlanSpec pins the two-exchange shape).
+    val clicks = events.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("click_id"), col("click_value"))
+    graft.operators.Asof.asofJoin(purchases, clicks,
+        "user_id", "purchase_ts", "click_user", "click_ts", strict)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("click_value"))
+  }
+
   private[graft] def asofClicks(events: org.apache.spark.sql.DataFrame) = {
     val sub = events
       .filter(col("event_type").isin("purchase", "click"))
@@ -866,6 +935,8 @@ object WindowQueries {
     "q26_windowed_agg" -> q26WindowedAgg,
     "q27_sessionize"   -> q27Sessionize,
     "q50_asof_join"    -> q50AsofJoin,
+    "q256_asof_native" -> q256AsofNative,
+    "q257_asof_inclusive" -> q257AsofInclusive,
     "q61_gap_fill"     -> q61GapFill,
     "q62_range_join"   -> q62RangeJoin,
     "q68_rolling_hourly" -> q68RollingHourly,
@@ -1260,6 +1331,33 @@ object WindowQueries {
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin,
+    // q256: identical semantics to q50 (strictly-earlier), served by the
+    // NATIVE AsofJoinExec — same DuckDB native ASOF oracle, independent
+    // cross-implementation check of the custom physical operator.
+    "q256_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(event_id) AS event_id, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin,
+    // q257: the inclusive bound — at-or-before, on the HOUR grain (at
+    // microsecond grain the fixture has zero same-instant pairs and the
+    // bounds cannot diverge); DuckDB's ASOF inequality flips > to >=.
+    "q257_asof_inclusive" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    max(event_id) AS click_id, max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.h AS purchase_hour,
+        |  c.click_id, c.h AS click_hour, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.h >= c.h""".stripMargin,
     // Dense grid via generate_series over the observed hour span and the
     // observed distinct types; counts left-join in, gaps coalesce to 0.
     "q61_gap_fill" ->

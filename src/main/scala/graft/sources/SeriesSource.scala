@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-series` — a full DataSource V2 TableProvider: the engine's
+  * demonstration that a CUSTOM source participates in Catalyst's
+  * planning the way a warehouse extraction connector must at 100 TB.
+  * The table is a deterministic integer series `[start, end)` with
+  * schema `(id BIGINT NOT NULL, fill STRING)` (`fill` is a 64-char
+  * constant payload standing in for the wide columns a real feed
+  * carries), split into `slices` even input partitions.
+  *
+  * Three planning-time contracts, each spec-pinned (SeriesSourceSpec):
+  *
+  *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): >, >=, <, <=, = on
+  *    `id` narrow the range before partitions are planned — slices that
+  *    fall entirely outside the residual range are never created, so
+  *    pruning is visible as FEWER partitions and fewer rows emitted
+  *    (the source-side counters exist for the spec), not as rows
+  *    filtered after the fact. Pushed filters are still re-applied by
+  *    Spark only if NOT fully consumed: conjuncts the source absorbs
+  *    exactly are removed from the post-scan Filter.
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): a query that
+  *    never touches `fill` gets readers that never materialize the
+  *    payload (the spec pins the no-`fill`-materialized flag) — the
+  *    DSv2 equivalent of parquet ReadSchema pruning.
+  *  - STATISTICS (`SupportsReportStatistics`): row count and byte size
+  *    of the RESIDUAL range (post-pushdown), so the planner's join-side
+  *    decisions (broadcast thresholds, AQE) see the pruned volume, not
+  *    the declared one.
+  *
+  * The series content is engine-portable by construction (`id` is the
+  * value itself), so the DuckDB oracle for queries over this source is
+  * `range(lo, hi)` plus the same md5/hash60 arithmetic the engine's
+  * deterministic derivations use everywhere else — a cross-engine gate
+  * over a source that owns its own planning. */
+class SeriesSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-series"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeriesSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SeriesTable(
+      properties.asScala.getOrElse("start", "0").toLong,
+      properties.asScala.getOrElse("end",
+        sys.error("graft-series requires option 'end'")).toLong,
+      properties.asScala.getOrElse("slices", "32").toInt)
+}
+
+object SeriesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("fill", StringType, nullable = false)))
+  val FillPayload = "x" * 64
+  /** Per-row width for reported statistics: 8 bytes of id + the payload. */
+  val RowBytes: Long = 8L + FillPayload.length
+
+  // Test-only observability (single-JVM local mode): rows actually emitted
+  // by readers, and whether any reader materialized the payload column.
+  val rowsEmitted = new AtomicLong(0)
+  val fillMaterialized = new AtomicBoolean(false)
+}
+
+private class SeriesTable(start: Long, end: Long, slices: Int)
+    extends Table with SupportsRead {
+  require(start <= end, s"graft-series: start $start > end $end")
+  require(slices > 0, s"graft-series: slices must be positive, got $slices")
+  override def name(): String = s"graft_series($start,$end,$slices)"
+  override def schema(): StructType = SeriesSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeriesScanBuilder(start, end, slices)
+}
+
+/** Folds id-range conjuncts into [lo, hi) at planning time. Fully-absorbed
+  * conjuncts are consumed (not returned as residual), so the physical plan
+  * carries no redundant re-filter for them. */
+private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = start
+  private var hi = end
+  private var pushed = Array.empty[Filter]
+  private var required = SeriesSource.schema
+
+  /** Comparison literals arrive boxed and may be Int or Long depending on
+    * how the predicate was written; anything else is left residual. */
+  private def longVal(a: Any): Option[Long] = a match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case GreaterThan("id", v) if longVal(v).isDefined =>
+        lo = math.max(lo, longVal(v).get + 1); true
+      case GreaterThanOrEqual("id", v) if longVal(v).isDefined =>
+        lo = math.max(lo, longVal(v).get); true
+      case LessThan("id", v) if longVal(v).isDefined =>
+        hi = math.min(hi, longVal(v).get); true
+      case LessThanOrEqual("id", v) if longVal(v).isDefined =>
+        hi = math.min(hi, longVal(v).get + 1); true
+      case EqualTo("id", v) if longVal(v).isDefined =>
+        lo = math.max(lo, longVal(v).get)
+        hi = math.min(hi, longVal(v).get + 1); true
+      case _ => false
+    }
+    pushed = absorbed
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SeriesScan(start, end, math.max(lo, start), math.min(hi, end),
+      slices, required)
+}
+
+private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
+    slices: Int, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val resLo = lo
+  private val resHi = math.max(hi, lo) // empty residual collapses to 0 rows
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-series [$start,$end) residual=[$resLo,$resHi) " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  /** Slices are laid over the DECLARED range so their boundaries are
+    * stable under pushdown; slices disjoint from the residual range are
+    * dropped here — at planning time, before any task exists. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.min(slices.toLong, math.max(end - start, 1L)).toInt
+    val span = end - start
+    (0 until n).iterator.map { i =>
+      val sLo = start + span * i / n
+      val sHi = start + span * (i + 1) / n
+      SeriesSlice(math.max(sLo, resLo), math.min(sHi, resHi),
+        wantFill = required.fieldNames.contains("fill"),
+        wantId = required.fieldNames.contains("id"))
+    }.filter(s => s.lo < s.hi).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeriesReaderFactory
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(resHi - resLo, 0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * SeriesSource.RowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+}
+
+private case class SeriesSlice(lo: Long, hi: Long, wantFill: Boolean,
+    wantId: Boolean) extends InputPartition
+
+private object SeriesReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[SeriesSlice]
+    new PartitionReader[InternalRow] {
+      private var cur = s.lo - 1
+      private val width = (if (s.wantId) 1 else 0) + (if (s.wantFill) 1 else 0)
+      private val fill = UTF8String.fromString(SeriesSource.FillPayload)
+      override def next(): Boolean = { cur += 1; cur < s.hi }
+      override def get(): InternalRow = {
+        SeriesSource.rowsEmitted.incrementAndGet()
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
+        var i = 0
+        if (s.wantId) { row.update(i, cur); i += 1 }
+        if (s.wantFill) {
+          SeriesSource.fillMaterialized.set(true)
+          row.update(i, fill)
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

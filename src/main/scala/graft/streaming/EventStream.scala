@@ -329,6 +329,29 @@ object EventStream {
         sink(graft.SpatialQueries.probeAgainst(corpusPts, batch, cell, r2), id)
       }
 
+  /** Streaming twin of the native as-of join (q256's incremental form):
+    * each micro-batch of arriving left rows point-in-time joins the
+    * STATIC right table by running [[graft.operators.Asof.asofJoin]]
+    * UNCHANGED — the [[incrementalDedupStream]]/[[spatialProbeStream]]
+    * architecture applied to temporal lookup (`foreachBatch`; the right
+    * side is a snapshot, the production shape for feature stores: a
+    * trade feed enriches against the last published quote book). Each
+    * left row's match depends only on the static right side, never on
+    * other left rows ⇒ the union of per-micro-batch outputs equals the
+    * one-shot as-of over the same rows however the feed is chopped
+    * (StreamingSpec asserts the decomposition). Inside foreachBatch the
+    * batch is a plain DataFrame, so the NATIVE AsofJoinExec path serves
+    * each micro-batch when the extensions are installed. */
+  def asofProbeStream(leftStream: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String, rightKey: String, rightTime: String,
+      strict: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    leftStream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Asof.asofJoin(batch, right,
+          leftKey, leftTime, rightKey, rightTime, strict), id)
+      }
+
   /** Streaming twin of q80's BM25 scorer: arriving documents score against
     * PRECOMPUTED corpus statistics — the same snapshot discipline as
     * [[incrementalDedupStream]]'s materialized fingerprints (a production

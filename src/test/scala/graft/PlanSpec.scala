@@ -1631,6 +1631,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q256 native as-of join: AsofJoin node, two exchanges, two sorts — and its partitioning/ordering survive for downstream consumers") {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    val df = WindowQueries.q256AsofNative(spark, sf)
+    val p = plan(df)
+    p should include("AsofJoin")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
+    p should not include "Window" // the whole point vs the q50 formulation
+    // two exchanges total: the purchase side's ENSURE_REQUIREMENTS hash
+    // and the click side's explicit repartition that serves BOTH the
+    // dedupe aggregate and the as-of (a (user, ts) agg hash would make
+    // three)
+    """Arguments: hashpartitioning""".r.findAllIn(p).size shouldBe 2
+    """\(\d+\) Sort\b""".r.findAllIn(p).size shouldBe 2
+    // outputPartitioning is advertised: a same-key aggregate on top adds
+    // NO third exchange
+    val agg = plan(df.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+    """Arguments: hashpartitioning""".r.findAllIn(agg).size shouldBe 2
+    // outputOrdering is advertised: a same-key window ordered by the
+    // as-of time adds NO third sort
+    val win = plan(df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("purchase_ts")))))
+    """\(\d+\) Sort\b""".r.findAllIn(win).size shouldBe 2
+    """Arguments: hashpartitioning""".r.findAllIn(win).size shouldBe 2
+  }
+
   test("q250 recursive CTE: the WITH RECURSIVE ancestry walk plans as Catalyst's UnionLoop fixpoint") {
     val df = GraphQueries.q250RecursiveCte(spark, sf)
     val o = df.queryExecution.optimizedPlan.toString

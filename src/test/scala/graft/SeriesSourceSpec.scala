@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SeriesSource
+
+/** The `graft-series` DataSource V2's planning contracts: range pushdown
+  * prunes PARTITIONS (not just rows), column pruning keeps the payload
+  * unmaterialized, fully-absorbed predicates leave no residual Filter,
+  * and reported statistics reflect the residual range. The cross-engine
+  * answer gate is q258's DuckDB range() oracle; these pins are about
+  * WHERE the work happens. */
+class SeriesSourceSpec extends SparkSpec {
+
+  private def series(end: Long, slices: Int = 32): DataFrame =
+    spark.read.format("graft-series")
+      .option("end", end).option("slices", slices).load()
+
+  private def resetCounters(): Unit = {
+    SeriesSource.rowsEmitted.set(0)
+    SeriesSource.fillMaterialized.set(false)
+  }
+
+  test("range pushdown prunes slices at planning time: 8 of 32 partitions planned, residual rows only emitted") {
+    val df = series(4000000L)
+      .filter(col("id") >= 1500000L && col("id") < 2500000L)
+    // [1.5M, 2.5M) over 32 slices of 125k = slices 12..19
+    df.rdd.getNumPartitions shouldBe 8
+    resetCounters()
+    val n = df.count()
+    n shouldBe 1000000L
+    SeriesSource.rowsEmitted.get() shouldBe 1000000L
+  }
+
+  test("fully-absorbed range conjuncts leave NO residual Filter in the optimized plan") {
+    val df = series(4000000L)
+      .filter(col("id") >= 1500000L && col("id") < 2500000L)
+    val filters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    filters shouldBe empty
+  }
+
+  test("column pruning: a query that never references fill gets readers that never materialize it") {
+    resetCounters()
+    series(100000L).filter(col("id") < 1000L)
+      .groupBy((col("id") % 10).as("b")).agg(count(lit(1)).as("n"))
+      .collect()
+    SeriesSource.fillMaterialized.get() shouldBe false
+    // and a query that DOES read fill flips the flag (the pin means
+    // something)
+    series(100L).select(col("fill")).collect()
+    SeriesSource.fillMaterialized.get() shouldBe true
+  }
+
+  test("reported statistics are the RESIDUAL range's, so join planning sees pruned volume") {
+    val pruned = series(4000000L).filter(col("id") < 10000L)
+    val rel = pruned.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    rel.stats.sizeInBytes shouldBe BigInt(10000L * SeriesSource.RowBytes)
+    rel.stats.rowCount shouldBe Some(BigInt(10000))
+  }
+
+  test("point lookup: EqualTo absorbs to a one-partition, one-row plan; an impossible range plans zero partitions") {
+    val one = series(4000000L).filter(col("id") === 42L)
+    one.rdd.getNumPartitions shouldBe 1
+    resetCounters()
+    one.collect().map(_.getLong(0)).toSeq shouldBe Seq(42L)
+    SeriesSource.rowsEmitted.get() shouldBe 1L
+    val none = series(4000000L).filter(col("id") < 0L)
+    none.rdd.getNumPartitions shouldBe 0
+    none.count() shouldBe 0L
+  }
+
+  test("series content is the declared range exactly (min, max, count) and ids are dense") {
+    val df = series(1000L, slices = 7)
+    val r = df.agg(count(lit(1)), min(col("id")), max(col("id")),
+      countDistinct(col("id"))).head()
+    r.getLong(0) shouldBe 1000L
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 999L
+    r.getLong(3) shouldBe 1000L
+  }
+}

@@ -193,6 +193,51 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe oneShot.toSet
   }
 
+  test("streaming as-of probe: chopped purchase feed equals the one-shot native as-of join (q256 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+    // the static right-side snapshot: q256's deduped click book
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("click_id"), col("click_value"))
+      .localCheckpoint(true)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val rows = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val (feedA, feedB) = rows.partition(_._1 % 2 == 0)
+    feedA should not be empty
+    feedB should not be empty
+
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventStream.asofProbeStream(
+        input.toDF().toDF("purchase_id", "user_id", "purchase_ts"), clicks,
+        "user_id", "purchase_ts", "click_user", "click_ts") { (df, _) =>
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      }.start()
+    try {
+      input.addData(feedA.toSeq); q.processAllAvailable()
+      input.addData(feedB.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // per-left-row independence against the static book: the union over
+    // micro-batches equals the one-shot as-of, however the feed is chopped
+    val oneShot = graft.operators.Asof.asofJoin(purchases, clicks,
+        "user_id", "purchase_ts", "click_user", "click_ts")
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    buf.size shouldBe oneShot.length // no duplicate emissions across batches
+    oneShot should not be empty
+    buf.toSet shouldBe oneShot.toSet
+  }
+
   test("stream-stream correlate equals the batch range join on the same feeds") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(Long, Long, Timestamp)]
