@@ -276,7 +276,27 @@ object IngestQueries {
         sum(col("id") % 997).as("sum_mod"))
   }
 
+  /** q259: AGGREGATE PUSHDOWN into the custom source — the ungrouped
+    * count/min/max/sum over `id` never scans a row: each planned slice
+    * answers with one arithmetic partial row (SupportsPushDownAggregates,
+    * partial mode — Spark's final aggregate merges the ≤32 slice rows),
+    * so a 30-MILLION-id range costs ~20 rows of I/O. The negative space
+    * is pinned in SeriesSourceSpec: grouping or a derived-column
+    * aggregate declines and rows scan through the normal pruned path
+    * (q258's shape). This is the `SELECT count(*), max(ts) FROM
+    * huge_table WHERE range` a warehouse connector must answer from
+    * metadata at 100 TB — the engine's source does it from arithmetic,
+    * and the DuckDB oracle recomputes the same answer from an actual
+    * 30M-row range() scan. */
+  val q259SeriesAggPushdown: Q = (s, _) =>
+    s.read.format("graft-series")
+      .option("end", 50000000L).option("slices", 32).load()
+      .filter(col("id") >= 10000000L && col("id") < 40000000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+
   val queries: Map[String, Q] = Map(
+    "q259_series_agg_pushdown" -> q259SeriesAggPushdown,
     "q258_series_source" -> q258SeriesSource,
     "q237_orc_scan" -> q237OrcScan,
     "q234_payload_drift" -> q234PayloadDrift,
@@ -324,6 +344,12 @@ object IngestQueries {
         |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
         |FROM range(1500000, 2500000) t(id)
         |GROUP BY 1""".stripMargin,
+    // DuckDB actually scans the 30M-id range; the engine's source answers
+    // the same aggregates from per-slice arithmetic without emitting a row.
+    "q259_series_agg_pushdown" ->
+      """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM range(10000000, 40000000) t(id)""".stripMargin,
     // q55's layout-invisibility rule: the ORC round-trip must reproduce
     // the flat parquet table exactly.
     "q237_orc_scan" ->

@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,11 +92,43 @@ private class SeriesTable(start: Long, end: Long, slices: Int)
   * carries no redundant re-filter for them. */
 private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
   private var required = SeriesSource.schema
+  private var aggTags: Option[Seq[String]] = None
+
+  /** AGGREGATE PUSHDOWN: ungrouped COUNT/MIN/MAX/SUM over `id` are pure
+    * arithmetic on a slice's [lo, hi) — each planned slice answers with
+    * ONE row and zero scanned values, the shape a warehouse connector
+    * pushes a `SELECT count(*), max(ts) FROM huge_table WHERE range` in.
+    * Partial pushdown (`supportCompletePushDown` = false): Spark still
+    * runs the final merge over the per-slice rows, so any slicing is
+    * correct by the aggregates' mergeability. Anything else — grouping,
+    * DISTINCT, an aggregate over `fill` — declines, and Spark falls back
+    * to scanning rows through the normal pruned path. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case n: NamedReference => n.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      // count(id) ≡ count(*): id is declared NOT NULL
+      case c: Count if !c.isDistinct && isId(c.column) => Some("count")
+      case m: Min if isId(m.column) => Some("min")
+      case m: Max if isId(m.column) => Some("max")
+      case s: Sum if !s.isDistinct && isId(s.column) => Some("sum")
+      case _ => None
+    }
+    if (tags.contains(None)) false
+    else { aggTags = Some(tags.flatten); true }
+  }
 
   /** Comparison literals arrive boxed and may be Int or Long depending on
     * how the predicate was written; anything else is left residual. */
@@ -128,20 +162,28 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
 
   override def build(): Scan =
     new SeriesScan(start, end, math.max(lo, start), math.min(hi, end),
-      slices, required)
+      slices, required, aggTags)
 }
 
 private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
-    slices: Int, required: StructType)
+    slices: Int, required: StructType, aggTags: Option[Seq[String]])
     extends Scan with Batch with SupportsReportStatistics {
   private val resLo = lo
   private val resHi = math.max(hi, lo) // empty residual collapses to 0 rows
 
-  override def readSchema(): StructType = required
+  /** With an aggregation pushed, the scan's output IS the per-slice
+    * partial-aggregate row (Spark maps final-merge functions to these
+    * columns by position). */
+  override def readSchema(): StructType = aggTags match {
+    case Some(tags) => StructType(tags.zipWithIndex.map { case (t, i) =>
+      StructField(s"agg_${i}_$t", LongType, nullable = false) })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-series [$start,$end) residual=[$resLo,$resHi) " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"cols=${required.fieldNames.mkString(",")}" +
+      aggTags.map(t => s" pushedAgg=[${t.mkString(",")}]").getOrElse("")
 
   /** Slices are laid over the DECLARED range so their boundaries are
     * stable under pushdown; slices disjoint from the residual range are
@@ -154,7 +196,8 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
       val sHi = start + span * (i + 1) / n
       SeriesSlice(math.max(sLo, resLo), math.min(sHi, resHi),
         wantFill = required.fieldNames.contains("fill"),
-        wantId = required.fieldNames.contains("id"))
+        wantId = required.fieldNames.contains("id"),
+        aggTags = aggTags)
     }.filter(s => s.lo < s.hi).toArray[InputPartition]
   }
 
@@ -171,11 +214,38 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
 }
 
 private case class SeriesSlice(lo: Long, hi: Long, wantFill: Boolean,
-    wantId: Boolean) extends InputPartition
+    wantId: Boolean, aggTags: Option[Seq[String]]) extends InputPartition
 
 private object SeriesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val s = p.asInstanceOf[SeriesSlice]
+    s.aggTags match {
+      case Some(tags) => return new PartitionReader[InternalRow] {
+        // the slice's whole contribution is arithmetic: one row, no scan.
+        // Sum via BigInt so (lo+hi)·span cannot overflow en route even for
+        // ranges up to 2^31 ids; the result itself must fit a long (the
+        // caller's contract — same as Spark's own long-sum aggregate).
+        private var done = false
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow = {
+          SeriesSource.rowsEmitted.incrementAndGet()
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(tags.length)
+          tags.zipWithIndex.foreach { case (t, i) =>
+            val v: Long = t match {
+              case "count" => s.hi - s.lo
+              case "min" => s.lo
+              case "max" => s.hi - 1
+              case "sum" =>
+                ((BigInt(s.lo) + (s.hi - 1)) * (s.hi - s.lo) / 2).toLong
+            }
+            row.update(i, v)
+          }
+          row
+        }
+        override def close(): Unit = ()
+      }
+      case None => // fall through to the row reader below
+    }
     new PartitionReader[InternalRow] {
       private var cur = s.lo - 1
       private val width = (if (s.wantId) 1 else 0) + (if (s.wantFill) 1 else 0)

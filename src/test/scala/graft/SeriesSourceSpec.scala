@@ -28,8 +28,12 @@ class SeriesSourceSpec extends SparkSpec {
     // [1.5M, 2.5M) over 32 slices of 125k = slices 12..19
     df.rdd.getNumPartitions shouldBe 8
     resetCounters()
-    val n = df.count()
-    n shouldBe 1000000L
+    // aggregate over a DERIVED column: aggregate pushdown declines (it
+    // only absorbs plain `id` aggregates), so rows genuinely scan — which
+    // is the point: residual-range rows and nothing else
+    val r = df.select((col("id") % 7L).as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("m"))).head()
+    r.getLong(0) shouldBe 1000000L
     SeriesSource.rowsEmitted.get() shouldBe 1000000L
   }
 
@@ -72,6 +76,34 @@ class SeriesSourceSpec extends SparkSpec {
     val none = series(4000000L).filter(col("id") < 0L)
     none.rdd.getNumPartitions shouldBe 0
     none.count() shouldBe 0L
+  }
+
+  test("aggregate pushdown: ungrouped count/min/max/sum over id answer with one arithmetic row per slice — no data rows scanned") {
+    val df = series(50000000L)
+      .filter(col("id") >= 10000000L && col("id") < 40000000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+    resetCounters()
+    val r = df.head()
+    r.getLong(0) shouldBe 30000000L
+    r.getLong(1) shouldBe 10000000L
+    r.getLong(2) shouldBe 39999999L
+    r.getLong(3) shouldBe
+      ((BigInt(10000000L) + 39999999L) * 30000000L / 2).toLong
+    // 30M ids crossed the aggregate, but only per-slice partial rows left
+    // the source
+    SeriesSource.rowsEmitted.get() should be <= 32L
+    SeriesSource.rowsEmitted.get() should be >= 1L
+    // the scan's output IS the pushed partial-agg schema
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    rel.output.map(_.name).forall(_.startsWith("agg_")) shouldBe true
+    // negative control: a GROUPED aggregate declines — rows scan normally
+    resetCounters()
+    series(1000L).groupBy((col("id") % 7L).as("g"))
+      .agg(count(lit(1)).as("n")).collect()
+    SeriesSource.rowsEmitted.get() shouldBe 1000L
   }
 
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
