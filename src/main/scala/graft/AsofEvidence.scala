@@ -52,21 +52,22 @@ object AsofEvidence {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
 
+    // The committed (sec, records, bytes) triple comes from ONE iteration
+    // — the fastest — so the artifact's columns describe the same run;
+    // counters drain for a full second before reading (listener delivery
+    // is async, and undercounted shuffle columns would poison the
+    // scale-honest numbers without any gate noticing).
     def measure(mk: () => DataFrame): (Double, Long, Long) = {
-      var best = Double.MaxValue
-      var recs = 0L
-      var bytes = 0L
+      var best = (Double.MaxValue, 0L, 0L)
       for (_ <- 1 to iters) {
-        Thread.sleep(300)
         shuffleRecords.set(0); shuffleBytes.set(0)
         val t0 = System.nanoTime()
         mk().write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // listener bus drain
-        if (sec < best) best = sec
-        recs = shuffleRecords.get; bytes = shuffleBytes.get
+        Thread.sleep(1000) // listener bus drain, before the counter reads
+        if (sec < best._1) best = (sec, shuffleRecords.get, shuffleBytes.get)
       }
-      (best, recs, bytes)
+      best
     }
 
     val window = () => WindowQueries.asofClicks(Tables.events(spark, sf))

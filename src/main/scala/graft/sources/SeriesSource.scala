@@ -112,6 +112,13 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (agg.groupByExpressions.nonEmpty) return false
+    // EMPTY residual range: decline. Pushed partials would plan zero
+    // slices, and Spark's final merge rewrites the pushed count to a
+    // Sum over the partial column — Sum over no rows is NULL where
+    // count(*) over an empty scan must be 0. Declining routes the empty
+    // scan through Spark's own aggregate, which gets all the empty-input
+    // semantics (count 0, min/max/sum NULL) right for free.
+    if (math.min(hi, end) <= math.max(lo, start)) return false
     def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case n: NamedReference => n.fieldNames.toSeq == Seq("id")
@@ -139,18 +146,29 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val MaxV = Long.MaxValue
     val (absorbed, residual) = filters.partition {
+      // Long.MaxValue edges are handled WITHOUT the +1 (it would wrap to
+      // Long.MinValue and — because an absorbed conjunct is never
+      // re-applied by Spark — silently return the wrong rows): ids live
+      // in [start, end) with end <= MaxV, so `id > MaxV` and `id = MaxV`
+      // are vacuously false (collapse to empty) and `id <= MaxV` is
+      // vacuously true (no-op).
       case GreaterThan("id", v) if longVal(v).isDefined =>
-        lo = math.max(lo, longVal(v).get + 1); true
+        val x = longVal(v).get
+        if (x == MaxV) lo = end else lo = math.max(lo, x + 1); true
       case GreaterThanOrEqual("id", v) if longVal(v).isDefined =>
         lo = math.max(lo, longVal(v).get); true
       case LessThan("id", v) if longVal(v).isDefined =>
         hi = math.min(hi, longVal(v).get); true
       case LessThanOrEqual("id", v) if longVal(v).isDefined =>
-        hi = math.min(hi, longVal(v).get + 1); true
+        val x = longVal(v).get
+        if (x != MaxV) hi = math.min(hi, x + 1); true
       case EqualTo("id", v) if longVal(v).isDefined =>
-        lo = math.max(lo, longVal(v).get)
-        hi = math.min(hi, longVal(v).get + 1); true
+        val x = longVal(v).get
+        if (x == MaxV) lo = end
+        else { lo = math.max(lo, x); hi = math.min(hi, x + 1) }
+        true
       case _ => false
     }
     pushed = absorbed
@@ -191,9 +209,12 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.min(slices.toLong, math.max(end - start, 1L)).toInt
     val span = end - start
+    // BigInt for the boundary products: span * i overflows Long once the
+    // declared range passes ~Long.MaxValue/slices, and wrapped boundaries
+    // would duplicate/drop ids. Planning-time only, ≤ `slices` multiplies.
     (0 until n).iterator.map { i =>
-      val sLo = start + span * i / n
-      val sHi = start + span * (i + 1) / n
+      val sLo = start + (BigInt(span) * i / n).toLong
+      val sHi = start + (BigInt(span) * (i + 1) / n).toLong
       SeriesSlice(math.max(sLo, resLo), math.min(sHi, resHi),
         wantFill = required.fieldNames.contains("fill"),
         wantId = required.fieldNames.contains("id"),
@@ -205,9 +226,17 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     SeriesReaderFactory
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = math.max(resHi - resLo, 0L)
+    // With an aggregation pushed, the scan emits one partial row per
+    // planned slice — reporting the residual RANGE here would hand the
+    // planner a multi-GB estimate for a ≤`slices`-row relation and flip
+    // downstream broadcast/AQE decisions the wrong way.
+    private val (rows, rowBytes) = aggTags match {
+      case Some(tags) =>
+        (planInputPartitions().length.toLong, 8L * math.max(tags.length, 1))
+      case None => (math.max(resHi - resLo, 0L), SeriesSource.RowBytes)
+    }
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * SeriesSource.RowBytes)
+      java.util.OptionalLong.of(rows * rowBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows)
   }

@@ -94,16 +94,35 @@ class SeriesSourceSpec extends SparkSpec {
     // the source
     SeriesSource.rowsEmitted.get() should be <= 32L
     SeriesSource.rowsEmitted.get() should be >= 1L
-    // the scan's output IS the pushed partial-agg schema
+    // the scan's output IS the pushed partial-agg schema, and reported
+    // statistics describe the ≤32 partial rows, not the 30M-id range
     val rel = df.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
     }.get
     rel.output.map(_.name).forall(_.startsWith("agg_")) shouldBe true
+    rel.stats.rowCount.get should be <= BigInt(32)
     // negative control: a GROUPED aggregate declines — rows scan normally
     resetCounters()
     series(1000L).groupBy((col("id") % 7L).as("g"))
       .agg(count(lit(1)).as("n")).collect()
     SeriesSource.rowsEmitted.get() shouldBe 1000L
+  }
+
+  test("edges: empty residual declines agg pushdown (count 0, min NULL — never a NULL count); Long.MaxValue bounds absorb without wrapping") {
+    // empty residual + pushed-shape aggregate: pushdown DECLINES, Spark's
+    // own aggregate over the empty scan gets count=0 / min=NULL right
+    val r = series(100L).filter(col("id") > 200L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn")).head()
+    r.getLong(0) shouldBe 0L
+    r.isNullAt(1) shouldBe true
+    // id > MaxValue is vacuously false — absorbed as empty, not wrapped
+    // to MinValue (which would return ALL rows)
+    series(1000L).filter(col("id") > Long.MaxValue).count() shouldBe 0L
+    // id <= MaxValue is vacuously true — absorbed as a no-op, not wrapped
+    // to an empty range (which would return NO rows)
+    series(1000L).filter(col("id") <= Long.MaxValue).count() shouldBe 1000L
+    // id = MaxValue lies outside any [start, end) series
+    series(1000L).filter(col("id") === Long.MaxValue).count() shouldBe 0L
   }
 
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
