@@ -295,7 +295,35 @@ object IngestQueries {
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
 
+  /** q260: RUNTIME FILTERING into the custom source — the DSv2 dynamic-
+    * partition-pruning analog, completing the connector's planning
+    * story (static pushdown q258, aggregate pushdown q259, runtime
+    * pruning here). The series declares `id` filterable
+    * (`SupportsRuntimeFiltering`); joining it with a SELECTIVE dim (the
+    * region-2 nations, keys hash60-derived so DuckDB replays them)
+    * makes Catalyst inject `dynamicpruningexpression(id IN <subquery>)`
+    * on the scan, and at execution the source receives the build side's
+    * key set BEFORE partitions are planned: slices containing no key are
+    * never created, and surviving slices' readers walk the key list
+    * directly — measured: FIVE rows emitted from a 4,000,000-id series
+    * (SeriesSourceSpec pins the counter). At 100 TB this is the fact-
+    * side scan skipping every file the dimension filter rules out,
+    * owned by the connector itself. */
+  val q260SeriesRuntimeFilter: Q = (s, d) => {
+    val dim = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+      .select((graft.operators.TextOps.hash60(
+        concat(lit("rf:"), col("n_nationkey").cast(StringType))) % 4000000L)
+        .as("wid"))
+      .distinct()
+    s.read.format("graft-series")
+      .option("end", 4000000L).option("slices", 32).load()
+      .select(col("id"))
+      .join(dim, col("id") === col("wid"))
+      .select(col("id"), (col("id") % 1000L).as("tail"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q260_series_runtime_filter" -> q260SeriesRuntimeFilter,
     "q259_series_agg_pushdown" -> q259SeriesAggPushdown,
     "q258_series_source" -> q258SeriesSource,
     "q237_orc_scan" -> q237OrcScan,
@@ -344,6 +372,16 @@ object IngestQueries {
         |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
         |FROM range(1500000, 2500000) t(id)
         |GROUP BY 1""".stripMargin,
+    // DuckDB replays the join against an actual 4M-row range() scan; the
+    // engine's source receives the build keys at runtime and emits five.
+    "q260_series_runtime_filter" ->
+      """SELECT r.id, r.id % 1000 AS tail
+        |FROM range(0, 4000000) r(id)
+        |JOIN (SELECT DISTINCT CAST(CAST(('0x' || substr(md5('rf:' ||
+        |        CAST(n_nationkey AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT)
+        |        % 4000000 AS wid
+        |      FROM nation WHERE n_regionkey = 2) d
+        |ON r.id = d.wid""".stripMargin,
     // DuckDB actually scans the 30M-id range; the engine's source answers
     // the same aggregates from per-slice arithmetic without emitting a row.
     "q259_series_agg_pushdown" ->

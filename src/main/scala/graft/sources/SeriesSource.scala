@@ -9,8 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -185,9 +185,37 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
 
 private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     slices: Int, required: StructType, aggTags: Option[Seq[String]])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   private val resLo = lo
   private val resHi = math.max(hi, lo) // empty residual collapses to 0 rows
+
+  /** RUNTIME FILTERING (the DSv2 dynamic-partition-pruning analog): a
+    * join above this scan with a selective build side hands the build's
+    * key set to [[filter]] before partitions are (re)planned — slices
+    * containing none of the keys are never planned, and surviving
+    * slices' readers walk the key list directly instead of the range
+    * (emitting only rows that CAN join is always sound for the inner/
+    * semi joins the optimizer injects runtime filters for). Cannot
+    * co-occur with aggregate pushdown: runtime filters are injected for
+    * a JOIN directly above the scan, aggregate pushdown only fires for
+    * an Aggregate directly above it. */
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val ids = vs.flatMap {
+        case l: java.lang.Long => Some(l.toLong)
+        case i: java.lang.Integer => Some(i.toLong)
+        case _ => None
+      }
+      // only absorb if every value translated — a partial set would
+      // wrongly drop rows for the untranslated values
+      if (ids.length == vs.length)
+        runtimeIds = Some(ids.distinct.sorted)
+    case _ => () // advisory: unabsorbed runtime filters just skip pruning
+  }
 
   /** With an aggregation pushed, the scan's output IS the per-slice
     * partial-aggregate row (Spark maps final-merge functions to these
@@ -215,11 +243,15 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     (0 until n).iterator.map { i =>
       val sLo = start + (BigInt(span) * i / n).toLong
       val sHi = start + (BigInt(span) * (i + 1) / n).toLong
-      SeriesSlice(math.max(sLo, resLo), math.min(sHi, resHi),
+      val cLo = math.max(sLo, resLo)
+      val cHi = math.min(sHi, resHi)
+      SeriesSlice(cLo, cHi,
         wantFill = required.fieldNames.contains("fill"),
         wantId = required.fieldNames.contains("id"),
-        aggTags = aggTags)
-    }.filter(s => s.lo < s.hi).toArray[InputPartition]
+        aggTags = aggTags,
+        ids = runtimeIds.map(_.filter(v => v >= cLo && v < cHi)))
+    }.filter(s => s.lo < s.hi && s.ids.forall(_.nonEmpty))
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -243,7 +275,8 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
 }
 
 private case class SeriesSlice(lo: Long, hi: Long, wantFill: Boolean,
-    wantId: Boolean, aggTags: Option[Seq[String]]) extends InputPartition
+    wantId: Boolean, aggTags: Option[Seq[String]],
+    ids: Option[Array[Long]] = None) extends InputPartition
 
 private object SeriesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -276,15 +309,22 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       case None => // fall through to the row reader below
     }
     new PartitionReader[InternalRow] {
+      // runtime-filtered slices walk the surviving key list directly —
+      // the reader never visits the ids the join cannot match
+      private val idsArr = s.ids.orNull
+      private var idx = -1
       private var cur = s.lo - 1
       private val width = (if (s.wantId) 1 else 0) + (if (s.wantFill) 1 else 0)
       private val fill = UTF8String.fromString(SeriesSource.FillPayload)
-      override def next(): Boolean = { cur += 1; cur < s.hi }
+      override def next(): Boolean =
+        if (idsArr != null) { idx += 1; idx < idsArr.length }
+        else { cur += 1; cur < s.hi }
       override def get(): InternalRow = {
         SeriesSource.rowsEmitted.incrementAndGet()
+        val v = if (idsArr != null) idsArr(idx) else cur
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
         var i = 0
-        if (s.wantId) { row.update(i, cur); i += 1 }
+        if (s.wantId) { row.update(i, v); i += 1 }
         if (s.wantFill) {
           SeriesSource.fillMaterialized.set(true)
           row.update(i, fill)

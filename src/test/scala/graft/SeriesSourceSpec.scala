@@ -125,6 +125,29 @@ class SeriesSourceSpec extends SparkSpec {
     series(1000L).filter(col("id") === Long.MaxValue).count() shouldBe 0L
   }
 
+  test("runtime filtering: a selective join hands the source the build keys — five rows emitted from a 4M-id series") {
+    val d = "/root/testdata/sf0.001"
+    val dim = Tables.nation(spark, d)
+      .filter(col("n_regionkey") === 2)
+      .select((graft.operators.TextOps.hash60(
+        concat(lit("rf:"), col("n_nationkey").cast("string"))) % 4000000L)
+        .as("wid"))
+      .distinct()
+    val nKeys = dim.count()
+    nKeys should be > 0L
+    val joined = series(4000000L).select(col("id"))
+      .join(dim, col("id") === col("wid")).select(col("id"))
+    // the injected dynamic pruning expression is visible on the scan
+    joined.queryExecution.executedPlan.toString should include(
+      "dynamicpruningexpression")
+    resetCounters()
+    val got = joined.collect().map(_.getLong(0)).toSet
+    got.size.toLong shouldBe nKeys
+    // the source emitted ONLY the build side's keys — not 4M rows, not
+    // even one slice's worth
+    SeriesSource.rowsEmitted.get() shouldBe nKeys
+  }
+
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
     val df = series(1000L, slices = 7)
     val r = df.agg(count(lit(1)), min(col("id")), max(col("id")),
