@@ -322,7 +322,53 @@ object IngestQueries {
       .select(col("id"), (col("id") % 1000L).as("tail"))
   }
 
+  /** One leg of q261's storage-partitioned join: the series with a
+    * tag-salted hash60 value column, join keys (id, slice) exposed under
+    * leg-unique names. */
+  private def seriesLeg(s: org.apache.spark.sql.SparkSession, tag: String,
+      end: Long): org.apache.spark.sql.DataFrame =
+    s.read.format("graft-series")
+      .option("end", end).option("slices", 32).load()
+      .select(col("id").as(s"${tag}id"), col("slice").as(s"${tag}slice"),
+        (graft.operators.TextOps.hash60(
+          concat(lit(s"$tag:"), col("id").cast(StringType))) % 1000L)
+          .as(s"v$tag"))
+
+  /** q261: STORAGE-PARTITIONED JOIN — the connector-owned analog of
+    * bucketed tables (Spark's DSv2 SPJ, the Iceberg bucket-join path).
+    * Each series slice reports its own index as a partition key
+    * (`KeyGroupedPartitioning(identity(slice))`, every input partition a
+    * `HasPartitionKey`), so two series with the same declared layout are
+    * co-partitioned BY CONSTRUCTION and the (id, slice) equi-join runs
+    * partition-for-partition with ZERO exchange on either side — one
+    * million ids per leg, no shuffle until the deliberately-different
+    * grouping key afterwards (PlanSpec pins the exchange-free join and
+    * the shuffled negative control with bucketing disabled). The `slice`
+    * conjunct is semantically implied by `id` equality under the shared
+    * layout; carrying it in the join condition is what lets the
+    * KeyGrouped specs match (`requireAllClusterKeysForCoPartition` is
+    * scoped off — partition keys are a SUBSET of the join keys). At
+    * 100 TB this is two co-bucketed fact tables joining with no network
+    * at all. Oracle: the join is 1:1 on id, so DuckDB replays it as ONE
+    * range() scan computing both legs' hashes — a formulation-independent
+    * check that the zero-shuffle path changes nothing. */
+  val q261StoragePartitionedJoin: Q = (s, _) =>
+    graft.SessionConf.withValue(s,
+        "spark.sql.sources.v2.bucketing.enabled", "true") {
+      graft.SessionConf.withValue(s,
+          "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+        seriesLeg(s, "a", 1000000L)
+          .join(seriesLeg(s, "b", 1000000L),
+            col("aid") === col("bid") && col("aslice") === col("bslice"))
+          .groupBy((col("va") % 10L).as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("va") * col("vb")).as("dot"))
+          .localCheckpoint(true) // materialize inside the conf scope
+      }
+    }
+
   val queries: Map[String, Q] = Map(
+    "q261_storage_partitioned_join" -> q261StoragePartitionedJoin,
     "q260_series_runtime_filter" -> q260SeriesRuntimeFilter,
     "q259_series_agg_pushdown" -> q259SeriesAggPushdown,
     "q258_series_source" -> q258SeriesSource,
@@ -372,6 +418,18 @@ object IngestQueries {
         |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
         |FROM range(1500000, 2500000) t(id)
         |GROUP BY 1""".stripMargin,
+    // The join is 1:1 on id, so one range() scan computing BOTH legs'
+    // hashes replays it — formulation-independent of the zero-shuffle path.
+    "q261_storage_partitioned_join" ->
+      """WITH r AS (SELECT
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(id AS VARCHAR)),1,15))
+        |      AS UBIGINT) AS BIGINT) % 1000 AS va,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(id AS VARCHAR)),1,15))
+        |      AS UBIGINT) AS BIGINT) % 1000 AS vb
+        |  FROM range(0, 1000000) t(id))
+        |SELECT va % 10 AS g, count(*) AS n,
+        |  CAST(sum(va * vb) AS BIGINT) AS dot
+        |FROM r GROUP BY 1""".stripMargin,
     // DuckDB replays the join against an actual 4M-row range() scan; the
     // engine's source receives the build keys at runtime and emits five.
     "q260_series_runtime_filter" ->

@@ -9,9 +9,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,12 +63,19 @@ class SeriesSource extends TableProvider
 }
 
 object SeriesSource {
+  /** `slice` is the partition index the row lives in — constant within an
+    * input partition by construction (the reader stamps its own slice's
+    * index), which is exactly what [[KeyGroupedPartitioning]] over
+    * `identity(slice)` promises. It exists for the storage-partitioned
+    * join: two series with the same layout joining on
+    * `(id, slice)` co-locate partition-for-partition with NO exchange. */
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
+    StructField("slice", IntegerType, nullable = false),
     StructField("fill", StringType, nullable = false)))
   val FillPayload = "x" * 64
-  /** Per-row width for reported statistics: 8 bytes of id + the payload. */
-  val RowBytes: Long = 8L + FillPayload.length
+  /** Per-row width for reported statistics: id + slice + the payload. */
+  val RowBytes: Long = 8L + 4L + FillPayload.length
 
   // Test-only observability (single-JVM local mode): rows actually emitted
   // by readers, and whether any reader materialized the payload column.
@@ -186,7 +194,7 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
 private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     slices: Int, required: StructType, aggTags: Option[Seq[String]])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   private val resLo = lo
   private val resHi = math.max(hi, lo) // empty residual collapses to 0 rows
 
@@ -245,13 +253,31 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
       val sHi = start + (BigInt(span) * (i + 1) / n).toLong
       val cLo = math.max(sLo, resLo)
       val cHi = math.min(sHi, resHi)
-      SeriesSlice(cLo, cHi,
+      SeriesSlice(cLo, cHi, index = i,
         wantFill = required.fieldNames.contains("fill"),
         wantId = required.fieldNames.contains("id"),
+        wantSlice = required.fieldNames.contains("slice"),
         aggTags = aggTags,
         ids = runtimeIds.map(_.filter(v => v >= cLo && v < cHi)))
     }.filter(s => s.lo < s.hi && s.ids.forall(_.nonEmpty))
       .toArray[InputPartition]
+  }
+
+  /** STORAGE-PARTITIONED JOIN: each slice is keyed by its own index
+    * (`identity(slice)`, a constant within the partition), so two series
+    * with the same declared layout report IDENTICAL partitionings and a
+    * join carrying `slice` in its keys co-locates partition-for-partition
+    * with no exchange on either side (`spark.sql.sources.v2.bucketing
+    * .enabled`) — the connector-owned analog of bucketed tables.
+    * Reported only when `slice` survives column pruning: the identity
+    * key must resolve against the scan's actual output. */
+  override def outputPartitioning(): V2Partitioning = {
+    val parts = planInputPartitions()
+    if (readSchema().fieldNames.contains("slice"))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("slice")), parts.length)
+    else new UnknownPartitioning(parts.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -274,9 +300,15 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
   }
 }
 
-private case class SeriesSlice(lo: Long, hi: Long, wantFill: Boolean,
-    wantId: Boolean, aggTags: Option[Seq[String]],
-    ids: Option[Array[Long]] = None) extends InputPartition
+private case class SeriesSlice(lo: Long, hi: Long, index: Int,
+    wantFill: Boolean, wantId: Boolean, wantSlice: Boolean,
+    aggTags: Option[Seq[String]],
+    ids: Option[Array[Long]] = None)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](index))
+}
 
 private object SeriesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -314,7 +346,8 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       private val idsArr = s.ids.orNull
       private var idx = -1
       private var cur = s.lo - 1
-      private val width = (if (s.wantId) 1 else 0) + (if (s.wantFill) 1 else 0)
+      private val width = (if (s.wantId) 1 else 0) +
+        (if (s.wantSlice) 1 else 0) + (if (s.wantFill) 1 else 0)
       private val fill = UTF8String.fromString(SeriesSource.FillPayload)
       override def next(): Boolean =
         if (idsArr != null) { idx += 1; idx < idsArr.length }
@@ -325,6 +358,9 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
         var i = 0
         if (s.wantId) { row.update(i, v); i += 1 }
+        // columns emit in schema order (id, slice, fill) — the pruned
+        // readSchema preserves declared order, so the positions line up
+        if (s.wantSlice) { row.update(i, s.index); i += 1 }
         if (s.wantFill) {
           SeriesSource.fillMaterialized.set(true)
           row.update(i, fill)

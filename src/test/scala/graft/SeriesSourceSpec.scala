@@ -148,6 +148,31 @@ class SeriesSourceSpec extends SparkSpec {
     SeriesSource.rowsEmitted.get() shouldBe nKeys
   }
 
+  test("storage-partitioned join: same-layout series co-partition by construction — zero hash exchanges under the join; disabled, both sides shuffle") {
+    def leg(tag: String) = series(1000000L)
+      .select(col("id").as(s"${tag}id"), col("slice").as(s"${tag}slice"))
+    def finalPlanExchanges(run: => org.apache.spark.sql.DataFrame): Int = {
+      val df = run
+      df.agg(count(lit(1))).collect() // materialize so AQE finalizes
+      val plan = df.agg(count(lit(1))).queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    val spj = graft.SessionConf.withValue(spark,
+        "spark.sql.sources.v2.bucketing.enabled", "true") {
+      graft.SessionConf.withValue(spark,
+          "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+        finalPlanExchanges(leg("a").join(leg("b"),
+          col("aid") === col("bid") && col("aslice") === col("bslice")))
+      }
+    }
+    spj shouldBe 0
+    // negative control: without v2 bucketing the same join shuffles both legs
+    val off = finalPlanExchanges(leg("a").join(leg("b"),
+      col("aid") === col("bid") && col("aslice") === col("bslice")))
+    off shouldBe 2
+  }
+
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
     val df = series(1000L, slices = 7)
     val r = df.agg(count(lit(1)), min(col("id")), max(col("id")),
