@@ -367,7 +367,33 @@ object IngestQueries {
       }
     }
 
+  /** q262: write-then-read through the TRANSACTIONAL DSv2 sink
+    * (`graft-ledger`, [[graft.sources.LedgerSink]]) — the write-side
+    * complement to the series connector's read surface. Events' exact
+    * integer cents flow through the sink's task-file + driver-manifest
+    * commit protocol (per-task files named by attempt, published
+    * all-at-once by atomic manifest rename; LedgerSinkSpec pins that a
+    * job with a poisoned task publishes NOTHING and the previous commit
+    * stays visible), then read back BY MANIFEST and aggregated. The
+    * oracle computes the same aggregate straight from the source table:
+    * the hash gate proves the commit protocol is invisible to results —
+    * q55's rule applied to a sink the engine owns. Overwrite mode keeps
+    * the query idempotent run-to-run. */
+  val q262LedgerRoundTrip: Q = (s, d) => {
+    val dir = s"work/ledger_${ScaleQueries.sfTag(d)}"
+    Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id").as("k"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .write.format("graft-ledger").option("path", dir)
+      .mode("overwrite").save()
+    s.read.format("graft-ledger").option("path", dir).load()
+      .groupBy((col("k") % 10L).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q262_ledger_round_trip" -> q262LedgerRoundTrip,
     "q261_storage_partitioned_join" -> q261StoragePartitionedJoin,
     "q260_series_runtime_filter" -> q260SeriesRuntimeFilter,
     "q259_series_agg_pushdown" -> q259SeriesAggPushdown,
@@ -417,6 +443,16 @@ object IngestQueries {
         |  count(*) AS n, min(id) AS min_id, max(id) AS max_id,
         |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
         |FROM range(1500000, 2500000) t(id)
+        |GROUP BY 1""".stripMargin,
+    // The round trip must be invisible: DuckDB aggregates the SOURCE
+    // table; the engine aggregates what came back out of the ledger.
+    "q262_ledger_round_trip" ->
+      """SELECT k % 10 AS g, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS cents,
+        |  min(v) AS min_cents, max(v) AS max_cents
+        |FROM (SELECT event_id AS k,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |      FROM events WHERE value IS NOT NULL) t
         |GROUP BY 1""".stripMargin,
     // The join is 1:1 on id, so one range() scan computing BOTH legs'
     // hashes replays it — formulation-independent of the zero-shuffle path.
