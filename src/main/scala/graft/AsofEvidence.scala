@@ -59,6 +59,10 @@ object AsofEvidence {
     // scale-honest numbers without any gate noticing).
     def measure(mk: () => DataFrame): (Double, Long, Long) = {
       var best = (Double.MaxValue, 0L, 0L)
+      // drain the bus BEFORE the first reset too: the checksum/count
+      // queries that ran just before measure() still have task-end
+      // events in flight, and they must not inflate iteration 1
+      Thread.sleep(1000)
       for (_ <- 1 to iters) {
         shuffleRecords.set(0); shuffleBytes.set(0)
         val t0 = System.nanoTime()

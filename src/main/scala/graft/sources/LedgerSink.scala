@@ -117,18 +117,32 @@ private case class LedgerCommit(file: String, rows: Long)
 
 private class LedgerBatchWrite(dir: String, truncate: Boolean)
     extends BatchWrite {
+  // Task ids restart at 0 per SparkContext, so (partitionId, taskId)
+  // alone collides ACROSS APPLICATIONS writing the same path — a later
+  // run's writer would truncate a file the live manifest references,
+  // corrupting the committed table from a job that "published nothing".
+  // A per-job uid makes every job's files disjoint.
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(dir, "data").mkdirs()
-    LedgerWriterFactory(dir)
+    LedgerWriterFactory(dir, jobUid)
   }
 
   /** Runs on the DRIVER after every task has a committed attempt: only
-    * now does anything become visible, and all of it at once. */
+    * now does anything become visible, and all of it at once. A
+    * truncating commit also deletes the files the PREVIOUS manifest
+    * referenced — after the new manifest is live, they are unreferenced
+    * garbage this writer provably owns the lifecycle of. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.map { case LedgerCommit(f, r) => (f, r) }.toSeq
-    val base = if (truncate) Seq.empty else LedgerSink.readManifest(dir)
+    val prior = LedgerSink.readManifest(dir)
+    val base = if (truncate) Seq.empty else prior
     LedgerSink.writeManifest(dir, base ++ added)
+    if (truncate) prior.foreach { case (f, _) =>
+      new File(new File(dir, "data"), f).delete()
+    }
   }
 
   /** Best-effort cleanup; correctness never depends on it — unmanifested
@@ -140,14 +154,16 @@ private class LedgerBatchWrite(dir: String, truncate: Boolean)
     }
 }
 
-private case class LedgerWriterFactory(dir: String) extends DataWriterFactory {
+private case class LedgerWriterFactory(dir: String, jobUid: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // taskId is unique across attempts — two attempts of one partition
-      // write two files, and only the committed attempt's file is named
-      // in a commit message
-      private val name = s"part-p$partitionId-t$taskId.bin"
+      // taskId is unique across attempts WITHIN an application; jobUid
+      // separates applications — two attempts of one partition write two
+      // files, and only the committed attempt's file is named in a
+      // commit message
+      private val name = s"part-$jobUid-p$partitionId-t$taskId.bin"
       private val file = new File(new File(dir, "data"), name)
       private val out = new DataOutputStream(new FileOutputStream(file))
       private var rows = 0L

@@ -33,10 +33,15 @@ class LedgerSinkSpec extends SparkSpec {
       .mode("append").save()
     readBack(dir).count() shouldBe 1500L
     readBack(dir).select(col("k")).distinct().count() shouldBe 1500L
-    // overwrite truncates the list — old files become invisible
+    // overwrite truncates the list — old files become invisible AND the
+    // truncating commit collects them (it owns the prior manifest's
+    // lifecycle); only the new manifest's files remain on disk
     pairs(7, 9).write.format("graft-ledger").option("path", dir)
       .mode("overwrite").save()
     readBack(dir).collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(7L, 8L)
+    val live = LedgerSink.readManifest(dir).map(_._1).toSet
+    val onDisk = new java.io.File(dir, "data").listFiles().map(_.getName).toSet
+    onDisk shouldBe live
   }
 
   test("atomicity: a job with one poisoned task publishes NOTHING — the previous commit stays visible") {

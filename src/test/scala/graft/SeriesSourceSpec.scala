@@ -152,9 +152,12 @@ class SeriesSourceSpec extends SparkSpec {
     def leg(tag: String) = series(1000000L)
       .select(col("id").as(s"${tag}id"), col("slice").as(s"${tag}slice"))
     def finalPlanExchanges(run: => org.apache.spark.sql.DataFrame): Int = {
-      val df = run
-      df.agg(count(lit(1))).collect() // materialize so AQE finalizes
-      val plan = df.agg(count(lit(1))).queryExecution.executedPlan.toString
+      // ONE Dataset: materialize it, then inspect THAT QueryExecution —
+      // a second .agg() would build a fresh, never-executed plan whose
+      // AQE state says nothing about the run
+      val agg = run.agg(count(lit(1)))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       "Exchange hashpartitioning".r.findAllIn(plan).size
     }
