@@ -31,6 +31,10 @@ object GraftSession {
       // cache-heavy query the AQE re-plan it wants (round-10 bench:
       // q84/q82/q79/q81 regressions, adjudicated in work/ab_cached_replan).
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // catalog-resolved V2 functions (SELECT graft_fns.fns.hash60(...)):
+      // resolution is lazy, so the conf costs nothing until referenced
+      .config("spark.sql.catalog.graft_fns",
+        classOf[graft.sources.GraftFunctionCatalog].getName)
       // Pinned: the default derives from the process cwd, and managed
       // tables (bucketed joins) must land inside the repo regardless of
       // where the harness launches us.

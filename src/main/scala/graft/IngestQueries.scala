@@ -392,7 +392,26 @@ object IngestQueries {
         min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
   }
 
+  /** q263: CATALOG-RESOLVED V2 function — `graft_fns.fns.hash60` reaches
+    * SQL through a [[graft.sources.GraftFunctionCatalog]] plugin
+    * (`spark.sql.catalog.graft_fns`), not through the session's function
+    * registry: the mechanism a platform uses to ship engine functions to
+    * every tenant without per-session registration (Iceberg's transform
+    * functions ride this exact surface). Catalyst binds the function and
+    * compiles the MAGIC `invoke(UTF8String): Long` path; the result is
+    * the engine's canonical cross-engine hash, so the DuckDB oracle
+    * replays it with the standard md5 incantation — the gate proves the
+    * catalog route computes the identical function the expression
+    * registry and the oracle do. */
+  val q263CatalogFunction: Q = (s, d) => s.sql(
+    s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
+       |    AS bucket,
+       |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM parquet.`$d/events.parquet`
+       |GROUP BY 1""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    "q263_catalog_function" -> q263CatalogFunction,
     "q262_ledger_round_trip" -> q262LedgerRoundTrip,
     "q261_storage_partitioned_join" -> q261StoragePartitionedJoin,
     "q260_series_runtime_filter" -> q260SeriesRuntimeFilter,
@@ -443,6 +462,14 @@ object IngestQueries {
         |  count(*) AS n, min(id) AS min_id, max(id) AS max_id,
         |  CAST(sum(id % 997) AS BIGINT) AS sum_mod
         |FROM range(1500000, 2500000) t(id)
+        |GROUP BY 1""".stripMargin,
+    // The catalog-resolved function must compute the engine's canonical
+    // hash60 — DuckDB replays it with the standard md5 incantation.
+    "q263_catalog_function" ->
+      """SELECT CAST(CAST(('0x' || substr(md5('cf:' || CAST(event_id AS VARCHAR)),1,15))
+        |    AS UBIGINT) AS BIGINT) % 97 AS bucket,
+        |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
         |GROUP BY 1""".stripMargin,
     // The round trip must be invisible: DuckDB aggregates the SOURCE
     // table; the engine aggregates what came back out of the ledger.
