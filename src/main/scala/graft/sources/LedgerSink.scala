@@ -63,22 +63,40 @@ object LedgerSink {
 
   private def manifestFile(dir: String) = new File(dir, "manifest.txt")
 
-  /** Committed files as (name, rows); empty when no manifest exists. */
-  def readManifest(dir: String): Seq[(String, Long)] = {
+  /** One manifest, two record kinds: `F<tab>name<tab>rows` data files and
+    * `E<tab>epochId` committed-epoch markers — kept in the SAME
+    * atomically-renamed file so "which files are live" and "which epochs
+    * already landed" can never disagree (a separate epoch ledger could
+    * be one rename behind the manifest after a crash between renames). */
+  def readManifest(dir: String): Seq[(String, Long)] =
+    readAll(dir)._1
+
+  def readEpochs(dir: String): Set[Long] = readAll(dir)._2
+
+  private def readAll(dir: String): (Seq[(String, Long)], Set[Long]) = {
     val f = manifestFile(dir)
-    if (!f.exists()) Seq.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(n, r) = l.split("\t"); (n, r.toLong)
-      }.toSeq
+    if (!f.exists()) (Seq.empty, Set.empty)
+    else {
+      val lines = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toSeq
+      val files = lines.collect { case l if l.startsWith("F\t") =>
+        val Array(_, n, r) = l.split("\t"); (n, r.toLong)
+      }
+      val epochs = lines.collect { case l if l.startsWith("E\t") =>
+        l.split("\t")(1).toLong
+      }.toSet
+      (files, epochs)
+    }
   }
 
   /** Publish a new manifest by atomic rename — readers see the old list
     * or the new one, never a partial file. */
-  def writeManifest(dir: String, entries: Seq[(String, Long)]): Unit = {
+  def writeManifest(dir: String, entries: Seq[(String, Long)],
+      epochs: Set[Long] = Set.empty): Unit = {
     val tmp = new File(dir, s"manifest.tmp.${java.util.UUID.randomUUID}")
-    Files.write(tmp.toPath, entries.map { case (n, r) => s"$n\t$r" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val body = (entries.map { case (n, r) => s"F\t$n\t$r" } ++
+      epochs.toSeq.sorted.map(e => s"E\t$e")).mkString("\n")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, manifestFile(dir).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -90,7 +108,8 @@ private class LedgerTable(dir: String) extends Table
   override def schema(): StructType = LedgerSink.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new LedgerScan(dir)
@@ -109,10 +128,57 @@ private class LedgerWriteBuilder(dir: String) extends WriteBuilder
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LedgerBatchWrite(dir, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming
+        .StreamingWrite = new LedgerStreamingWrite(dir)
   }
 }
 
-private case class LedgerCommit(file: String, rows: Long)
+/** Streaming commits are EPOCH-IDEMPOTENT — exactly-once-effective at
+  * the CONNECTOR level (the streaming twin of the engine's foreachBatch
+  * idempotent sink, but owned by the sink itself): the manifest carries
+  * committed-epoch markers, and a replayed epoch (post-crash micro-batch
+  * re-run from the checkpoint) commits as a NO-OP, so its re-written
+  * task files stay unreferenced garbage instead of duplicated rows.
+  * Marker and file list live in one atomically-renamed manifest, so
+  * they can never disagree. */
+private[graft] class LedgerStreamingWrite(dir: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
+      .streaming.StreamingDataWriterFactory = {
+    new File(dir, "data").mkdirs()
+    LedgerStreamingWriterFactory(dir, jobUid)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = LedgerSink.readManifest(dir)
+    val epochs = LedgerSink.readEpochs(dir)
+    if (epochs.contains(epochId)) return // replayed micro-batch: no-op
+    val added = messages.map { case LedgerCommit(f, r) => (f, r) }.toSeq
+    LedgerSink.writeManifest(dir, files ++ added, epochs + epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LedgerCommit(f, _) => new File(new File(dir, "data"), f).delete()
+      case _ => ()
+    }
+}
+
+private case class LedgerStreamingWriterFactory(dir: String, jobUid: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    LedgerWriterFactory(dir, s"$jobUid-e$epochId").createWriter(
+      partitionId, taskId)
+}
+
+private[graft] case class LedgerCommit(file: String, rows: Long)
     extends WriterCommitMessage
 
 private class LedgerBatchWrite(dir: String, truncate: Boolean)

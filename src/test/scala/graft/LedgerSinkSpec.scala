@@ -64,6 +64,46 @@ class LedgerSinkSpec extends SparkSpec {
     readBack(dir).count() shouldBe 100L
   }
 
+  test("streaming write: micro-batches land through the same manifest protocol, epochs recorded") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.format("graft-ledger")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      input.addData((3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    readBack(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 10L), (2L, 20L), (3L, 30L))
+    LedgerSink.readEpochs(dir).size should be >= 2
+  }
+
+  test("epoch idempotence: a replayed micro-batch commit is a NO-OP — the connector itself is exactly-once-effective") {
+    val dir = freshDir()
+    new java.io.File(dir, "data").mkdirs()
+    // stage one real data file and commit it as epoch 7
+    val f = new java.io.File(new java.io.File(dir, "data"), "part-replay.bin")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    out.writeLong(42L); out.writeLong(420L); out.close()
+    val sw = new graft.sources.LedgerStreamingWrite(dir)
+    val msg: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(graft.sources.LedgerCommit("part-replay.bin", 1L))
+    sw.commit(7L, msg)
+    val after = LedgerSink.readManifest(dir)
+    readBack(dir).count() shouldBe 1L
+    // the post-crash replay: same epoch arrives again (possibly from a
+    // different writer instance) — nothing may change
+    new graft.sources.LedgerStreamingWrite(dir).commit(7L, msg)
+    LedgerSink.readManifest(dir) shouldBe after
+    LedgerSink.readEpochs(dir) shouldBe Set(7L)
+    readBack(dir).count() shouldBe 1L
+  }
+
   test("schema contract: declaring the table schema makes Spark's analyzer reject incompatible frames before any task runs") {
     val dir = freshDir()
     val wrong = spark.range(0, 5).select(col("id").as("k"),
