@@ -204,8 +204,14 @@ private class LedgerBatchWrite(dir: String, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.map { case LedgerCommit(f, r) => (f, r) }.toSeq
     val prior = LedgerSink.readManifest(dir)
+    // a batch APPEND onto a streamed ledger must carry the epoch markers
+    // forward — rewriting the manifest without them would let a later
+    // replayed micro-batch re-commit its epoch and duplicate rows.
+    // TRUNCATE resets both lists: a fresh table has no history.
+    val priorEpochs = LedgerSink.readEpochs(dir)
     val base = if (truncate) Seq.empty else prior
-    LedgerSink.writeManifest(dir, base ++ added)
+    val epochs = if (truncate) Set.empty[Long] else priorEpochs
+    LedgerSink.writeManifest(dir, base ++ added, epochs)
     if (truncate) prior.foreach { case (f, _) =>
       new File(new File(dir, "data"), f).delete()
     }

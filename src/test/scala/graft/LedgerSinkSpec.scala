@@ -102,6 +102,14 @@ class LedgerSinkSpec extends SparkSpec {
     LedgerSink.readManifest(dir) shouldBe after
     LedgerSink.readEpochs(dir) shouldBe Set(7L)
     readBack(dir).count() shouldBe 1L
+    // a batch APPEND onto the streamed ledger carries the epoch markers
+    // forward — a replay AFTER the append must still be a no-op
+    pairs(100, 102).write.format("graft-ledger").option("path", dir)
+      .mode("append").save()
+    LedgerSink.readEpochs(dir) shouldBe Set(7L)
+    readBack(dir).count() shouldBe 3L
+    new graft.sources.LedgerStreamingWrite(dir).commit(7L, msg)
+    readBack(dir).count() shouldBe 3L
   }
 
   test("schema contract: declaring the table schema makes Spark's analyzer reject incompatible frames before any task runs") {
