@@ -403,6 +403,53 @@ object IngestQueries {
     * replays it with the standard md5 incantation — the gate proves the
     * catalog route computes the identical function the expression
     * registry and the oracle do. */
+  /** q264: LIMIT PUSHDOWN into the custom source — Spark's GlobalLimit is
+    * DELETED (complete pushdown) and the source emits exactly the window's
+    * rows: 250k emitted from a 25M-row residual (SeriesSourceSpec pins the
+    * counter and the absent Limit operator). The series' limit semantics
+    * are deterministic by construction (the residual range's first N ids),
+    * which is what makes a LIMIT hash-gateable at all — and what a real
+    * paging connector (JDBC `LIMIT`, a warehouse unload head) returns.
+    * At 100 TB this is the difference between a preview query costing one
+    * partition's prefix and costing a full scan. */
+  val q264LimitPushdown: Q = (s, _) =>
+    s.read.format("graft-series")
+      .option("end", 30000000L).option("slices", 32).load()
+      .filter(col("id") >= 5000000L).select(col("id"))
+      .limit(250000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+
+  /** q265: TOP-N PUSHDOWN — `ORDER BY id DESC LIMIT k` absorbs into the
+    * scan: Spark's Sort AND Limit are deleted, the source plans ONE
+    * partition emitting the k ids in the requested order (SeriesSourceSpec
+    * pins the plan and the 5-row emission). The classic 100 TB trap this
+    * kills: a global sort of the full relation (sampling pass + range
+    * exchange) paid for a 7-row answer. The derived tag rides the engine's
+    * portable hash60 so DuckDB replays rows, order, and values. */
+  val q265TopnPushdown: Q = (s, _) =>
+    s.read.format("graft-series")
+      .option("end", 8000000L).option("slices", 32).load()
+      .select(col("id")).orderBy(col("id").desc).limit(7)
+      .select(col("id"),
+        (graft.operators.TextOps.hash60(
+          concat(lit("tn:"), col("id").cast(StringType))) % 1000L)
+          .as("tag"))
+
+  /** q266: OFFSET PUSHDOWN — the SQL page `ORDER BY id LIMIT 500 OFFSET
+    * 1000000` collapses to a bare relation scan: Spark pushes the
+    * combined window (limit = offset + page, then the offset skip — the
+    * V2 rule's arithmetic, pinned empirically in SeriesSourceSpec for
+    * BOTH composition orders, no double skip) and the source emits the
+    * 500 windowed ids only. Deep pagination at 100 TB is otherwise a
+    * full sort + a million discarded rows PER PAGE. */
+  val q266OffsetPaginate: Q = (s, _) =>
+    s.read.format("graft-series")
+      .option("end", 2000000L).option("slices", 32).load()
+      .select(col("id")).orderBy(col("id"))
+      .offset(1000000).limit(500)
+      .select(col("id"), (col("id") % 97L).as("m"))
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -411,6 +458,9 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q266_offset_paginate" -> q266OffsetPaginate,
+    "q265_topn_pushdown" -> q265TopnPushdown,
+    "q264_limit_pushdown" -> q264LimitPushdown,
     "q263_catalog_function" -> q263CatalogFunction,
     "q262_ledger_round_trip" -> q262LedgerRoundTrip,
     "q261_storage_partitioned_join" -> q261StoragePartitionedJoin,
@@ -452,6 +502,24 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The source's LIMIT window is deterministic (the residual range's
+    // first N ids), so DuckDB replays it as the literal window.
+    "q264_limit_pushdown" ->
+      """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM range(5000000, 5250000) t(id)""".stripMargin,
+    // Top-N: DuckDB sorts and limits what the engine's source answered
+    // from pure window arithmetic — same rows, same derived hash.
+    "q265_topn_pushdown" ->
+      """SELECT id, CAST(CAST(('0x' || substr(md5('tn:' || CAST(id AS VARCHAR)),1,15))
+        |    AS UBIGINT) AS BIGINT) % 1000 AS tag
+        |FROM range(0, 8000000) t(id)
+        |ORDER BY id DESC LIMIT 7""".stripMargin,
+    // The deep page, replayed by DuckDB's own LIMIT/OFFSET.
+    "q266_offset_paginate" ->
+      """SELECT id, id % 97 AS m
+        |FROM range(0, 2000000) t(id)
+        |ORDER BY id LIMIT 500 OFFSET 1000000""".stripMargin,
     // The series is its own content (id = the value), so DuckDB's range()
     // plus the engine's standard md5/hash60 incantation replays the query
     // over a source DuckDB never saw — the gate is on the CONNECTOR's

@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,6 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    of the RESIDUAL range (post-pushdown), so the planner's join-side
   *    decisions (broadcast thresholds, AQE) see the pruned volume, not
   *    the declared one.
+  *  - LIMIT / TOP-N / OFFSET (`SupportsPushDownLimit` / `...TopN` /
+  *    `...Offset`): paging windows absorb COMPLETELY (Spark deletes its
+  *    own Sort/Limit/Offset operators); a pushed top-N plans one
+  *    partition emitting in the requested order — see the ScanBuilder
+  *    note for the combined-pushdown arithmetic.
   *
   * The series content is engine-portable by construction (`id` is the
   * value itself), so the DuckDB oracle for queries over this source is
@@ -101,12 +106,56 @@ private class SeriesTable(start: Long, end: Long, slices: Int)
 private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset {
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
   private var required = SeriesSource.schema
   private var aggTags: Option[Seq[String]] = None
+  private var limitCap: Option[Int] = None
+  private var skipOffset: Int = 0
+  private var topNOrdered = false
+  private var topNDesc = false
+
+  /** LIMIT / TOP-N / OFFSET PUSHDOWN — the paging surfaces a warehouse
+    * connector answers remotely (`ORDER BY k LIMIT n OFFSET m` shipped to
+    * the source, never paid as a full scan + sort). Spark's contract
+    * (V2ScanRelationPushDown): the pushed limit caps the PREFIX of the
+    * source's row stream and the pushed offset then skips within it — for
+    * `df.offset(n).limit(m)` Spark pushes limit = m+n, offset = n — so the
+    * scan emits the index window [offset, limit) of the (ordered) stream.
+    * All three report COMPLETE pushdown (`isPartiallyPushed` = false: the
+    * window arithmetic is globally exact, not per-partition), so Spark
+    * deletes its own Sort/Limit/Offset operators. A pushed top-N
+    * additionally collapses planning to ONE partition emitting in the
+    * requested order — with Spark's Sort gone, row order IS the scan's
+    * partition order, and a multi-slice scan would only promise per-slice
+    * order. Declines while an aggregate is pushed (and vice versa): the
+    * two rewrites never compose — Spark's rule order prevents it, and the
+    * guards keep the invariant local. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggTags.isDefined) return false
+    limitCap = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (aggTags.isDefined || orders.length != 1) return false
+    val o = orders(0)
+    val onId = o.expression match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+    // null ordering is irrelevant: id is declared NOT NULL
+    if (!onId) return false
+    topNOrdered = true
+    topNDesc = o.direction == SortDirection.DESCENDING
+    limitCap = Some(limit); true
+  }
+  override def pushOffset(offset: Int): Boolean = {
+    if (aggTags.isDefined) return false
+    skipOffset = offset; true
+  }
 
   /** AGGREGATE PUSHDOWN: ungrouped COUNT/MIN/MAX/SUM over `id` are pure
     * arithmetic on a slice's [lo, hi) — each planned slice answers with
@@ -120,6 +169,8 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (agg.groupByExpressions.nonEmpty) return false
+    // never compose with a pushed limit/top-N/offset window (see above)
+    if (limitCap.isDefined || skipOffset > 0) return false
     // EMPTY residual range: decline. Pushed partials would plan zero
     // slices, and Spark's final merge rewrites the pushed count to a
     // Sum over the partial column — Sum over no rows is NULL where
@@ -188,15 +239,28 @@ private class SeriesScanBuilder(start: Long, end: Long, slices: Int)
 
   override def build(): Scan =
     new SeriesScan(start, end, math.max(lo, start), math.min(hi, end),
-      slices, required, aggTags)
+      slices, required, aggTags, limitCap, skipOffset, topNOrdered, topNDesc)
 }
 
 private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
-    slices: Int, required: StructType, aggTags: Option[Seq[String]])
+    slices: Int, required: StructType, aggTags: Option[Seq[String]],
+    limitCap: Option[Int], skipOffset: Int, ordered: Boolean, desc: Boolean)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
-  private val resLo = lo
-  private val resHi = math.max(hi, lo) // empty residual collapses to 0 rows
+  /** The pushed limit/offset window over the filter-residual range: limit
+    * caps the stream's prefix, offset skips within it (Spark's combined-
+    * pushdown arithmetic — see the ScanBuilder note), and a descending
+    * top-N mirrors the window to the top of the range. All saturating —
+    * no boundary here can leave [startResidual, endResidual]. */
+  private val (resLo, resHi) = {
+    val lo0 = lo
+    val hi0 = math.max(hi, lo) // empty residual collapses to 0 rows
+    val span = hi0 - lo0
+    val skip = math.min(skipOffset.toLong, span)
+    val cap = limitCap.map(l => math.min(l.toLong, span)).getOrElse(span)
+    if (!desc) (lo0 + skip, lo0 + math.max(cap, skip))
+    else (hi0 - math.max(cap, skip), hi0 - skip)
+  }
 
   /** RUNTIME FILTERING (the DSv2 dynamic-partition-pruning analog): a
     * join above this scan with a selective build side hands the build's
@@ -237,12 +301,28 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
   override def description(): String =
     s"graft-series [$start,$end) residual=[$resLo,$resHi) " +
       s"cols=${required.fieldNames.mkString(",")}" +
-      aggTags.map(t => s" pushedAgg=[${t.mkString(",")}]").getOrElse("")
+      aggTags.map(t => s" pushedAgg=[${t.mkString(",")}]").getOrElse("") +
+      limitCap.map(l => s" pushedLimit=$l").getOrElse("") +
+      (if (skipOffset > 0) s" pushedOffset=$skipOffset" else "") +
+      (if (ordered) s" pushedOrder=id ${if (desc) "DESC" else "ASC"}" else "")
 
   /** Slices are laid over the DECLARED range so their boundaries are
     * stable under pushdown; slices disjoint from the residual range are
     * dropped here — at planning time, before any task exists. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // A pushed top-N plans ONE partition emitting in the requested order:
+    // Spark deleted its Sort, so global order must be the scan's own.
+    if (ordered) {
+      val s = SeriesSlice(resLo, resHi, index = 0,
+        wantFill = required.fieldNames.contains("fill"),
+        wantId = required.fieldNames.contains("id"),
+        wantSlice = required.fieldNames.contains("slice"),
+        aggTags = aggTags,
+        ids = runtimeIds.map(_.filter(v => v >= resLo && v < resHi)),
+        descending = desc)
+      return if (s.lo < s.hi && s.ids.forall(_.nonEmpty)) Array(s)
+        else Array.empty
+    }
     val n = math.min(slices.toLong, math.max(end - start, 1L)).toInt
     val span = end - start
     // BigInt for the boundary products: span * i overflows Long once the
@@ -303,7 +383,8 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
 private case class SeriesSlice(lo: Long, hi: Long, index: Int,
     wantFill: Boolean, wantId: Boolean, wantSlice: Boolean,
     aggTags: Option[Seq[String]],
-    ids: Option[Array[Long]] = None)
+    ids: Option[Array[Long]] = None,
+    descending: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -344,14 +425,19 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       // runtime-filtered slices walk the surviving key list directly —
       // the reader never visits the ids the join cannot match
       private val idsArr = s.ids.orNull
-      private var idx = -1
-      private var cur = s.lo - 1
+      private var idx = if (s.descending && idsArr != null) idsArr.length else -1
+      private var cur = if (s.descending) s.hi else s.lo - 1
       private val width = (if (s.wantId) 1 else 0) +
         (if (s.wantSlice) 1 else 0) + (if (s.wantFill) 1 else 0)
       private val fill = UTF8String.fromString(SeriesSource.FillPayload)
       override def next(): Boolean =
-        if (idsArr != null) { idx += 1; idx < idsArr.length }
-        else { cur += 1; cur < s.hi }
+        if (idsArr != null) {
+          if (s.descending) { idx -= 1; idx >= 0 }
+          else { idx += 1; idx < idsArr.length }
+        } else {
+          if (s.descending) { cur -= 1; cur >= s.lo }
+          else { cur += 1; cur < s.hi }
+        }
       override def get(): InternalRow = {
         SeriesSource.rowsEmitted.incrementAndGet()
         val v = if (idsArr != null) idsArr(idx) else cur

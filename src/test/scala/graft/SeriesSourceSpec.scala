@@ -176,6 +176,77 @@ class SeriesSourceSpec extends SparkSpec {
     off shouldBe 2
   }
 
+  test("limit pushdown: a LIMIT over a 1M-row residual emits exactly that many rows and Spark's own Limit is deleted") {
+    val df = series(4000000L)
+      .filter(col("id") >= 1500000L && col("id") < 2500000L)
+      .select(col("id")).limit(1000)
+    resetCounters()
+    val got = df.collect().map(_.getLong(0))
+    got.length shouldBe 1000
+    // complete pushdown: the window is the residual range's first 1000 ids
+    got.min shouldBe 1500000L
+    got.max shouldBe 1500999L
+    SeriesSource.rowsEmitted.get() shouldBe 1000L
+    // Spark deleted its own Limit — no limit operator survives optimization
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    } shouldBe empty
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    scan.scan.description() should include("pushedLimit=1000")
+    scan.stats.rowCount shouldBe Some(BigInt(1000))
+  }
+
+  test("top-N pushdown: ORDER BY id DESC LIMIT k deletes Spark's Sort, plans one ordered partition, emits k rows descending") {
+    val df = series(4000000L).select(col("id"))
+      .orderBy(col("id").desc).limit(5)
+    df.rdd.getNumPartitions shouldBe 1
+    resetCounters()
+    df.collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(3999999L, 3999998L, 3999997L, 3999996L, 3999995L)
+    SeriesSource.rowsEmitted.get() shouldBe 5L
+    df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    } shouldBe empty
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get.scan.description() should include("pushedOrder=id DESC")
+    // negative control: a sort on a DERIVED column declines — Spark keeps
+    // its Sort and the answer is still right
+    val declined = series(1000L).select(col("id"), (col("id") % 7L).as("m"))
+      .orderBy(col("m"), col("id")).limit(3)
+    declined.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L, 7L, 14L)
+  }
+
+  test("offset pushdown: offset/limit windows in both compositions match SQL semantics with no double skip") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq.sorted
+    val base = series(1000L).select(col("id")).orderBy(col("id"))
+    // OFFSET then LIMIT (SQL `LIMIT 10 OFFSET 100`): rows [100, 110)
+    resetCounters()
+    ids(base.offset(100).limit(10)) shouldBe (100L until 110L)
+    SeriesSource.rowsEmitted.get() shouldBe 10L
+    // LIMIT then OFFSET (take 10, skip 4): rows [4, 10)
+    resetCounters()
+    ids(base.limit(10).offset(4)) shouldBe (4L until 10L)
+    SeriesSource.rowsEmitted.get() shouldBe 6L
+    // offset alone pushes only directly above the relation (Spark's rule
+    // does not push a bare Offset through a Sort): skip 990 of 1000
+    val flat = series(1000L).select(col("id"))
+    resetCounters()
+    ids(flat.offset(990)) shouldBe (990L until 1000L)
+    SeriesSource.rowsEmitted.get() shouldBe 10L
+    // offset past the end: empty, zero rows emitted
+    resetCounters()
+    ids(flat.offset(2000)) shouldBe Seq.empty
+    SeriesSource.rowsEmitted.get() shouldBe 0L
+    // descending window with offset: skip the top 3, take the next 4
+    ids(series(1000L).select(col("id")).orderBy(col("id").desc)
+      .offset(3).limit(4)) shouldBe Seq(993L, 994L, 995L, 996L)
+  }
+
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
     val df = series(1000L, slices = 7)
     val r = df.agg(count(lit(1)), min(col("id")), max(col("id")),
