@@ -35,6 +35,11 @@ object GraftSession {
       // resolution is lazy, so the conf costs nothing until referenced
       .config("spark.sql.catalog.graft_fns",
         classOf[graft.sources.GraftFunctionCatalog].getName)
+      // the engine's lake-table layer (SQL DDL/DML + time travel over
+      // versioned-manifest tables): spark.sql("... graft_cat.db.t ...")
+      .config("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      .config("spark.sql.catalog.graft_cat.root", "work/graft_cat")
       // Pinned: the default derives from the process cwd, and managed
       // tables (bucketed joins) must land inside the repo regardless of
       // where the harness launches us.

@@ -450,6 +450,95 @@ object IngestQueries {
       .offset(1000000).limit(500)
       .select(col("id"), (col("id") % 97L).as("m"))
 
+  /** Shared derivation for the graft_cat lifecycle queries: events'
+    * exact integer cents keyed by event_id, the q262 discipline. */
+  private def catEventsSql(d: String): String =
+    s"""SELECT event_id AS k,
+       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |FROM parquet.`$d/events.parquet` WHERE value IS NOT NULL""".stripMargin
+
+  private def catTable(s: org.apache.spark.sql.SparkSession, d: String,
+      stem: String): String = {
+    val t = s"graft_cat.db.${stem}_${ScaleQueries.sfTag(d)}"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  /** q267: the CATALOG SQL LIFECYCLE — CTAS + INSERT INTO over
+    * `graft_cat`, the engine's [[graft.sources.GraftTableCatalog]]
+    * TableCatalog plugin (versioned-manifest tables, the Iceberg/Delta
+    * snapshot discipline; CatalogSpec pins commit atomicity and the
+    * race-losing exclusive manifest create). Plain SQL resolves the
+    * table through the catalog — no format strings, no paths — exactly
+    * how a 100 TB platform exposes connector-owned tables to every
+    * tenant. The hash gate proves two commits (CTAS's even slice, the
+    * appended odd slice) reassemble the source table bit-exactly:
+    * DuckDB aggregates events directly. */
+  val q267CatalogLifecycle: Q = (s, d) => {
+    val t = catTable(s, d, "ev267")
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"""SELECT k % 7 AS g, count(*) AS n,
+             |  sum(cents) AS cents, min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q268: SQL `DELETE FROM` through the catalog — the connector runs
+    * the Iceberg delete split (CatalogSpec pins it: stats-proven
+    * all-match files DROP from the manifest metadata-only, disjoint
+    * files stay byte-identical, only boundary files copy-on-write).
+    * At 100 TB that is the difference between a delete that rewrites
+    * the table and one that rewrites a file. Oracle: DuckDB aggregates
+    * the source rows the predicate keeps. */
+  val q268CatalogDelete: Q = (s, d) => {
+    val t = catTable(s, d, "ev268")
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)}")
+    s.sql(s"DELETE FROM $t WHERE cents >= 10000")
+    s.sql(s"""SELECT k % 5 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c, max(cents) AS max_c
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q269: TIME TRAVEL — `VERSION AS OF` over the immutable manifest
+    * chain: commits never delete data files, so every version stays
+    * exactly readable behind later appends and deletes (CatalogSpec
+    * pins read-only snapshots and out-of-range rejection). The query
+    * reads versions 2 (even slice), 3 (+odd slice), and 4 (post-delete)
+    * of one table in a single SELECT; DuckDB replays each version's
+    * defining mutation from the source. The 100 TB story: audits and
+    * reproducible training runs pin a snapshot, not a copy. */
+  val q269CatalogTimeTravel: Q = (s, d) => {
+    val t = catTable(s, d, "ev269")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"DELETE FROM $t WHERE cents >= 10000")
+    s.sql((2 to 4).map(v =>
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n,
+         |  sum(cents) AS cents
+         |FROM $t VERSION AS OF $v""".stripMargin)
+      .mkString("\nUNION ALL\n"))
+  }
+
+  /** q270: the `.snapshots` METADATA TABLE — one row per committed
+    * version (operation + row count) served from the manifest chain
+    * alone: CatalogSpec pins that the scan opens ZERO data files. The
+    * Iceberg metadata-table surface: at 100 TB, table history questions
+    * are answered from kilobytes. The file count column is deliberately
+    * NOT selected — it reflects writer parallelism, which is the
+    * engine's business, not the data's. Oracle: DuckDB computes each
+    * version's expected row count from the source mutations. */
+  val q270CatalogSnapshots: Q = (s, d) => {
+    val t = catTable(s, d, "ev270")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"DELETE FROM $t WHERE cents >= 10000")
+    s.sql(s"""SELECT version, operation, `rows` AS n_rows
+             |FROM $t.snapshots""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -458,6 +547,10 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q270_catalog_snapshots" -> q270CatalogSnapshots,
+    "q269_catalog_time_travel" -> q269CatalogTimeTravel,
+    "q268_catalog_delete" -> q268CatalogDelete,
+    "q267_catalog_lifecycle" -> q267CatalogLifecycle,
     "q266_offset_paginate" -> q266OffsetPaginate,
     "q265_topn_pushdown" -> q265TopnPushdown,
     "q264_limit_pushdown" -> q264LimitPushdown,
@@ -502,6 +595,50 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The catalog round trip must be invisible: DuckDB aggregates the
+    // source events the same two slices reassemble.
+    "q267_catalog_lifecycle" ->
+      """SELECT event_id % 7 AS g, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // DuckDB keeps the rows the DELETE predicate keeps.
+    "q268_catalog_delete" ->
+      """SELECT event_id % 5 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents, min(c) AS min_c, max(c) AS max_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE c < 10000
+        |GROUP BY 1""".stripMargin,
+    // Each version's defining mutation, replayed from the source.
+    "q269_catalog_time_travel" ->
+      """WITH src AS (SELECT event_id AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM src WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(*),
+        |  CAST(sum(cents) AS BIGINT) FROM src
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), count(*),
+        |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // The snapshot history, recomputed from the source mutations.
+    "q270_catalog_snapshots" ->
+      """WITH src AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+        |  CAST(0 AS BIGINT) AS n_rows
+        |UNION ALL SELECT 2, 'append',
+        |  (SELECT count(*) FROM events
+        |   WHERE value IS NOT NULL AND event_id % 2 = 0)
+        |UNION ALL SELECT 3, 'append', (SELECT count(*) FROM src)
+        |UNION ALL SELECT 4, 'delete',
+        |  (SELECT count(*) FROM src WHERE cents < 10000)""".stripMargin,
     // The source's LIMIT window is deterministic (the residual range's
     // first N ids), so DuckDB replays it as the literal window.
     "q264_limit_pushdown" ->

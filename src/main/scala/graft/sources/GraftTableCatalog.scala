@@ -1,0 +1,785 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_cat` — a V2 [[TableCatalog]] plugin: the engine's lake-table
+  * layer, giving plain SQL the full lifecycle over connector-owned
+  * tables (`CREATE TABLE` / CTAS / `INSERT INTO` / `INSERT OVERWRITE` /
+  * `DELETE FROM` / `ALTER TABLE ADD COLUMN` / `VERSION AS OF` time
+  * travel / a `.snapshots` metadata table), with the transaction
+  * discipline the 100 TB lake formats (Iceberg/Delta) use:
+  *
+  *  - every commit writes an IMMUTABLE versioned manifest
+  *    (`v{N}.manifest`, created fail-if-exists so a concurrent writer
+  *    loses cleanly) and then swaps the `latest` pointer by atomic
+  *    rename — readers see version N or N+1, never a mix;
+  *  - data files are never mutated or deleted by commits: an overwrite
+  *    or delete publishes a new manifest referencing a new file set, so
+  *    EVERY prior version stays exactly readable (`VERSION AS OF n`)
+  *    until an explicit garbage collection (out of scope here, as in
+  *    Iceberg's `expire_snapshots`);
+  *  - manifests carry per-file row counts, byte sizes, and per-long-
+  *    column min/max, so scans report honest statistics and SKIP files
+  *    a pushed predicate disproves (the connector-level zone map — at
+  *    100 TB, the difference between touching 3 files and 30,000);
+  *  - `DELETE FROM` runs Iceberg-style: files whose stats prove
+  *    all-match are DROPPED from the manifest (metadata-only), files
+  *    whose stats prove none-match are kept untouched, and only
+  *    boundary files are rewritten (copy-on-write bounded by the
+  *    boundary file size — here driver-side; at cluster scale the same
+  *    protocol runs the rewrites as a job);
+  *  - `ALTER TABLE ADD COLUMN` is append-only nullable evolution: each
+  *    manifest entry records the column count its file was written
+  *    under, and readers null-pad older files — no data rewrite.
+  *
+  * Storage types are LONG / DOUBLE / STRING (nullable), a deliberate
+  * floor: the demonstration is the CATALOG and COMMIT protocol, not an
+  * encoding. Single-writer-per-table is assumed (the reference
+  * pipeline's own discipline); the fail-if-exists manifest create turns
+  * a violated assumption into a clean error, not corruption.
+  * CatalogSpec pins each contract; q267–q270 hash-gate the SQL
+  * lifecycle, the delete split, time travel, and the snapshots table
+  * against DuckDB replaying the same mutations. */
+class GraftTableCatalog extends CatalogPlugin with TableCatalog
+    with SupportsNamespaces {
+  import GraftTableCatalog._
+
+  private var catalogName = "graft_cat"
+  private var root: File = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = new File(Option(options.get("root"))
+      .getOrElse("work/graft_cat"))
+    root.mkdirs()
+  }
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("db")
+
+  private def nsDir(namespace: Array[String]): File = {
+    require(namespace.length == 1 && namespace(0).matches("[A-Za-z0-9_]+"),
+      s"graft_cat namespaces are one level: ${namespace.mkString(".")}")
+    new File(root, namespace(0))
+  }
+  private def tableDir(ident: Identifier): File = {
+    require(ident.name.matches("[A-Za-z0-9_]+"),
+      s"illegal table name ${ident.name}")
+    new File(nsDir(ident.namespace), ident.name)
+  }
+
+  // ---- namespaces ----
+  override def listNamespaces(): Array[Array[String]] =
+    root.listFiles().filter(_.isDirectory).map(d => Array(d.getName))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && nsDir(namespace).isDirectory
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Map.of()
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    nsDir(namespace).mkdirs()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("graft_cat namespaces carry no metadata")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) return false
+    val tables = d.listFiles().filter(_.isDirectory)
+    require(cascade || tables.isEmpty,
+      s"namespace ${namespace.mkString(".")} is not empty")
+    tables.foreach(deleteRecursively)
+    d.delete()
+  }
+
+  // ---- tables ----
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory)
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    d.listFiles().filter(t => new File(t, SchemaFile).exists())
+      .map(t => Identifier.of(namespace, t.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    // `db.t.snapshots` — the Iceberg-style metadata table: one row per
+    // committed version, served from the (tiny) manifest chain.
+    if (ident.namespace.length == 2 && ident.name == MetaSnapshots) {
+      val ns = ident.namespace
+      val base = tableDir(Identifier.of(ns.take(1), ns(1)))
+      if (new File(base, SchemaFile).exists())
+        return new SnapshotsTable(base, ns(1))
+    }
+    val dir = tableDir(ident)
+    if (!new File(dir, SchemaFile).exists())
+      throw new NoSuchTableException(ident)
+    new CatalogTable(dir, qualified(ident), pinned = None)
+  }
+
+  /** Time travel: `VERSION AS OF n` pins the scan to manifest n, which is
+    * immutable — later commits can never change what n returns. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!new File(dir, SchemaFile).exists())
+      throw new NoSuchTableException(ident)
+    val v = version.toLong
+    require(v >= 1 && v <= readLatest(dir),
+      s"${qualified(ident)} has versions 1..${readLatest(dir)}; got $v")
+    new CatalogTable(dir, s"${qualified(ident)}@v$v", pinned = Some(v))
+  }
+
+  private def qualified(ident: Identifier): String =
+    (name() +: ident.namespace :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    require(partitions.isEmpty, "graft_cat tables are unpartitioned")
+    schema.fields.foreach { f =>
+      require(Codec.supported(f.dataType),
+        s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
+    }
+    val dir = tableDir(ident)
+    if (new File(dir, SchemaFile).exists())
+      throw new TableAlreadyExistsException(ident)
+    new File(dir, "data").mkdirs()
+    writeSchema(dir, schema)
+    commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
+    new CatalogTable(dir, qualified(ident), pinned = None)
+  }
+
+  /** Append-only nullable evolution: new columns join at the END, old
+    * data files are never touched — their manifest entries record the
+    * column count they were written under and readers null-pad. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!new File(dir, SchemaFile).exists())
+      throw new NoSuchTableException(ident)
+    val schema = readSchema(dir)
+    val evolved = changes.foldLeft(schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft_cat has no nested columns")
+        require(add.isNullable,
+          "added columns must be nullable (old files null-pad)")
+        require(add.position() == null,
+          "added columns always append at the end")
+        require(Codec.supported(add.dataType),
+          s"graft_cat stores LONG/DOUBLE/STRING; got ${add.dataType}")
+        s.add(add.fieldNames()(0), add.dataType, nullable = true)
+      case (_, c) =>
+        sys.error(s"graft_cat supports only ADD COLUMN evolution; got $c")
+    }
+    writeSchema(dir, evolved)
+    new CatalogTable(dir, qualified(ident), pinned = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!new File(dir, SchemaFile).exists()) false
+    else { deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace.sameElements(newIdent.namespace),
+      "rename stays within a namespace")
+    if (!new File(tableDir(oldIdent), SchemaFile).exists())
+      throw new NoSuchTableException(oldIdent)
+    if (new File(tableDir(newIdent), SchemaFile).exists())
+      throw new TableAlreadyExistsException(newIdent)
+    Files.move(tableDir(oldIdent).toPath, tableDir(newIdent).toPath)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
+object GraftTableCatalog {
+  val SchemaFile = "schema.json"
+  val MetaSnapshots = "snapshots"
+
+  /** One manifest entry: an immutable data file plus everything a
+    * planner needs without opening it. */
+  case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
+      stats: Map[String, (Long, Long)])
+  case class Manifest(version: Long, op: String, files: Seq[Entry])
+
+  // Test-only observability (single-JVM local mode), the SeriesSource
+  // counters' discipline: data files actually opened by readers, and the
+  // last DELETE's (droppedFiles, rewrittenFiles, keptFiles) split.
+  val filesOpened = new AtomicLong(0)
+  val lastDeleteDropped = new AtomicLong(-1)
+  val lastDeleteRewritten = new AtomicLong(-1)
+  val lastDeleteKept = new AtomicLong(-1)
+
+  def writeSchema(dir: File, schema: StructType): Unit = {
+    val tmp = new File(dir, s".schema.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, SchemaFile).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+  def readSchema(dir: File): StructType =
+    DataType.fromJson(new String(Files.readAllBytes(
+      new File(dir, SchemaFile).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+
+  def readLatest(dir: File): Long = {
+    val f = new File(dir, "latest")
+    if (!f.exists()) 0L
+    else new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong
+  }
+
+  def readManifest(dir: File, version: Long): Manifest = {
+    val f = new File(dir, s"v$version.manifest")
+    val lines = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toSeq
+    val op = lines.collectFirst { case l if l.startsWith("O\t") =>
+      l.split("\t")(1) }.getOrElse("unknown")
+    val files = lines.collect { case l if l.startsWith("F\t") =>
+      val a = l.split("\t", -1)
+      val stats = if (a(5).isEmpty) Map.empty[String, (Long, Long)]
+        else a(5).split(";").map { s =>
+          val p = s.split(":"); (p(0), (p(1).toLong, p(2).toLong))
+        }.toMap
+      Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
+    }
+    Manifest(version, op, files)
+  }
+
+  /** Publish version `expectedLatest + 1`: the manifest file is created
+    * FAIL-IF-EXISTS (a concurrent writer that raced us dies here, before
+    * anything is visible), then the `latest` pointer swaps by atomic
+    * rename. Data files are never deleted — every committed version
+    * stays readable. */
+  def commitVersion(dir: File, expectedLatest: Long, op: String,
+      files: Seq[Entry]): Long = {
+    val next = expectedLatest + 1
+    val body = (s"O\t$op" +: files.map { e =>
+      val st = e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st"
+    }).mkString("\n")
+    // Reserve the version with an exclusive create — POSIX rename REPLACES
+    // silently, so rename alone cannot lose a race loudly. Exactly one
+    // racer owns the reservation; filling it by atomic rename is then
+    // safe, and readers never look at vN before `latest` points there.
+    val target = new File(dir, s"v$next.manifest")
+    Files.createFile(target.toPath) // throws FileAlreadyExistsException
+    val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, target.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptmp = new File(dir, s".latest.tmp.${java.util.UUID.randomUUID}")
+    Files.write(ptmp.toPath, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(ptmp.toPath, new File(dir, "latest").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The storage codec: null bitmap, then LONG/DOUBLE raw and STRING
+    * length-prefixed, decoded with the column count the FILE was written
+    * under (schema evolution null-pads the rest). Deliberately trivial —
+    * the catalog is the demonstration, not the encoding. */
+  object Codec {
+    def supported(t: DataType): Boolean =
+      t == LongType || t == DoubleType || t == StringType
+
+    def write(out: DataOutputStream, types: Array[DataType],
+        get: Int => Any): Unit = {
+      var bits = 0L
+      types.indices.foreach(i => if (get(i) == null) bits |= (1L << i))
+      out.writeLong(bits)
+      types.indices.foreach { i =>
+        val v = get(i)
+        if (v != null) types(i) match {
+          case LongType => out.writeLong(v.asInstanceOf[Long])
+          case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+          case StringType =>
+            val b = v.toString.getBytes(StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+          case t => sys.error(s"unsupported $t")
+        }
+      }
+    }
+
+    /** Reads one row's FIRST `fileCols` values (boxed; strings as java
+      * String); the caller pads columns the file predates. */
+    def read(in: DataInputStream, types: Array[DataType],
+        fileCols: Int): Array[Any] = {
+      val bits = in.readLong()
+      val out = new Array[Any](fileCols)
+      (0 until fileCols).foreach { i =>
+        if ((bits & (1L << i)) == 0) out(i) = types(i) match {
+          case LongType => in.readLong()
+          case DoubleType => in.readDouble()
+          case StringType =>
+            val b = new Array[Byte](in.readInt()); in.readFully(b)
+            new String(b, StandardCharsets.UTF_8)
+          case t => sys.error(s"unsupported $t")
+        }
+      }
+      out
+    }
+  }
+
+  /** Conservative tri-state "might this file contain a matching row?"
+    * from per-long-column min/max. `true` means "cannot rule it out". */
+  def mayMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
+    def rng(c: String): Option[(Long, Long)] = stats.get(c)
+    def lv(a: Any): Option[Long] = a match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
+        case _ => true
+      }
+      case GreaterThan(c, v) => (rng(c), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(c, v) => (rng(c), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x
+        case _ => true
+      }
+      case LessThan(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x
+        case _ => true
+      }
+      case LessThanOrEqual(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x
+        case _ => true
+      }
+      case In(c, vs) => rng(c) match {
+        case Some((lo, hi)) =>
+          vs.exists(v => lv(v).forall(x => x >= lo && x <= hi))
+        case None => true
+      }
+      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case _ => true
+    }
+  }
+
+  /** "Does EVERY row in this file match?" — provable only when stats
+    * bound the predicate from both sides. Used by DELETE's metadata-only
+    * fast path; `false` just means "rewrite to be sure". */
+  def allMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
+    def rng(c: String): Option[(Long, Long)] = stats.get(c)
+    def lv(a: Any): Option[Long] = a match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo == x && hi == x
+        case _ => false
+      }
+      case GreaterThan(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo > x
+        case _ => false
+      }
+      case GreaterThanOrEqual(c, v) => (rng(c), lv(v)) match {
+        case (Some((lo, _)), Some(x)) => lo >= x
+        case _ => false
+      }
+      case LessThan(c, v) => (rng(c), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi < x
+        case _ => false
+      }
+      case LessThanOrEqual(c, v) => (rng(c), lv(v)) match {
+        case (Some((_, hi)), Some(x)) => hi <= x
+        case _ => false
+      }
+      case And(l, r) => allMatch(l, stats) && allMatch(r, stats)
+      case Or(l, r) => allMatch(l, stats) || allMatch(r, stats)
+      case _ => false
+    }
+  }
+
+  /** Row-level predicate evaluation over decoded (boxed) values — the
+    * authority DELETE's rewrite path uses. Supported shapes mirror
+    * `canDeleteWhere`; an unsupported filter never reaches here. */
+  def evalFilter(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+    def col(c: String): Any = {
+      val i = schema.fieldIndex(c)
+      if (i < row.length) row(i) else null
+    }
+    def cmp(c: String, v: Any): Option[Int] = {
+      val x = col(c)
+      if (x == null || v == null) None
+      else (x, v) match {
+        case (a: Long, b: java.lang.Long) => Some(java.lang.Long.compare(a, b))
+        case (a: Long, b: java.lang.Integer) =>
+          Some(java.lang.Long.compare(a, b.longValue()))
+        case (a: Double, b: java.lang.Double) =>
+          Some(java.lang.Double.compare(a, b))
+        case (a: String, b: String) => Some(a.compareTo(b))
+        case _ => sys.error(s"type mismatch comparing $c to $v")
+      }
+    }
+    f match {
+      case EqualTo(c, v) => cmp(c, v).contains(0)
+      case GreaterThan(c, v) => cmp(c, v).exists(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v).exists(_ >= 0)
+      case LessThan(c, v) => cmp(c, v).exists(_ < 0)
+      case LessThanOrEqual(c, v) => cmp(c, v).exists(_ <= 0)
+      case In(c, vs) => vs.exists(v => cmp(c, v).contains(0))
+      case IsNull(c) => col(c) == null
+      case IsNotNull(c) => col(c) != null
+      case And(l, r) => evalFilter(l, schema, row) && evalFilter(r, schema, row)
+      case Or(l, r) => evalFilter(l, schema, row) || evalFilter(r, schema, row)
+      case Not(x) => !evalFilter(x, schema, row)
+      case _ => sys.error(s"unsupported delete filter $f")
+    }
+  }
+
+  def filterSupported(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
+         IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => filterSupported(l) && filterSupported(r)
+    case Or(l, r) => filterSupported(l) && filterSupported(r)
+    case Not(x) => filterSupported(x)
+    case _ => false
+  }
+}
+
+private class CatalogTable(dir: File, tableName: String,
+    pinned: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+  import GraftTableCatalog._
+
+  override def name(): String = tableName
+  override def schema(): StructType = readSchema(dir)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private def liveManifest(): Manifest = {
+    val v = pinned.getOrElse(readLatest(dir))
+    if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(dir, schema(), liveManifest())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
+    val s = schema()
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      s.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"$tableName expects ${s.simpleString}; got ${info.schema().simpleString}")
+    new CatalogWriteBuilder(dir, s)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall(filterSupported)
+
+  /** The Iceberg delete split: stats-proven all-match files DROP from the
+    * manifest, none-match files survive untouched (byte-identical), only
+    * boundary files rewrite (copy-on-write). The commit is one new
+    * manifest version; prior versions keep serving the old file set. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = schema()
+    val types = s.fields.map(_.dataType)
+    val m = liveManifest()
+    val latest = readLatest(dir)
+    var dropped = 0L; var rewritten = 0L; var kept = 0L
+    val remaining = m.files.flatMap { e =>
+      val every = filters.nonEmpty && filters.forall(allMatch(_, e.stats))
+      val any = filters.forall(mayMatch(_, e.stats))
+      if (every) { dropped += 1; None } // metadata-only drop
+      else if (!any) { kept += 1; Some(e) } // provably untouched
+      else {
+        // boundary file: keep the non-matching rows in a NEW file (the
+        // old one still backs prior versions)
+        val in = new DataInputStream(new FileInputStream(
+          new File(new File(dir, "data"), e.name)))
+        val survivors = try {
+          (0L until e.rows).map(_ => Codec.read(in, types, e.cols))
+            .filterNot(r => filters.forall(evalFilter(_, s, r)))
+        } finally in.close()
+        if (survivors.length == e.rows) { kept += 1; Some(e) }
+        else if (survivors.isEmpty) { dropped += 1; None }
+        else {
+          rewritten += 1
+          val name = s"rw-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+          val f = new File(new File(dir, "data"), name)
+          val out = new DataOutputStream(new FileOutputStream(f))
+          val stats = collection.mutable.Map[String, (Long, Long)]()
+          try survivors.foreach { r =>
+            // the rewrite pads evolution columns to the CURRENT schema
+            val full = r.padTo(types.length, null)
+            Codec.write(out, types, full.apply)
+            s.fields.zipWithIndex.foreach { case (fld, i) =>
+              if (fld.dataType == LongType && full(i) != null) {
+                val v = full(i).asInstanceOf[Long]
+                val (lo, hi) = stats.getOrElse(fld.name, (v, v))
+                stats(fld.name) = (math.min(lo, v), math.max(hi, v))
+              }
+            }
+          } finally out.close()
+          Some(Entry(name, survivors.length, f.length(), types.length,
+            stats.toMap))
+        }
+      }
+    }
+    commitVersion(dir, latest, "delete", remaining)
+    lastDeleteDropped.set(dropped)
+    lastDeleteRewritten.set(rewritten)
+    lastDeleteKept.set(kept)
+  }
+}
+
+private class CatalogScanBuilder(dir: File, schema: StructType,
+    manifest: GraftTableCatalog.Manifest) extends ScanBuilder
+    with SupportsPushDownFilters {
+  import GraftTableCatalog._
+  private var skipFilters = Array.empty[Filter]
+
+  /** File skipping, not filtering: every filter stays RESIDUAL (Spark
+    * re-applies them all), but files whose min/max stats disprove a
+    * conjunct are never planned — the connector-level zone map. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipFilters = filters; filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val live = manifest.files.filter(e =>
+      skipFilters.forall(mayMatch(_, e.stats)))
+    new CatalogScan(dir, schema, live, manifest.version)
+  }
+}
+
+private class CatalogScan(dir: File, schema: StructType,
+    files: Seq[GraftTableCatalog.Entry], version: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_cat $dir v$version files=${files.length}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(e => CatalogFilePartition(
+      new File(new File(dir, "data"), e.name).getPath, e.rows, e.cols,
+      schema.fields.map(_.dataType.json)): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.bytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.rows).sum)
+  }
+}
+
+private case class CatalogFilePartition(path: String, rows: Long, cols: Int,
+    typeJson: Array[String]) extends InputPartition
+
+private object CatalogReaderFactory extends PartitionReaderFactory {
+  import GraftTableCatalog._
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[CatalogFilePartition]
+    val types = fp.typeJson.map(DataType.fromJson)
+    filesOpened.incrementAndGet()
+    new PartitionReader[InternalRow] {
+      private val in = new DataInputStream(new FileInputStream(fp.path))
+      private var read = 0L
+      override def next(): Boolean = read < fp.rows
+      override def get(): InternalRow = {
+        val vals = Codec.read(in, types, fp.cols)
+        read += 1
+        val row = new GenericInternalRow(types.length)
+        types.indices.foreach { i =>
+          val v = if (i < vals.length) vals(i) else null
+          row.update(i, v match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          })
+        }
+        row
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+private class CatalogWriteBuilder(dir: File, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new CatalogBatchWrite(dir, schema, doTruncate)
+  }
+}
+
+private case class CatalogCommit(entry: GraftTableCatalog.Entry)
+  extends WriterCommitMessage
+
+/** The ledger's commit discipline on the versioned chain: per-task files
+  * named by (jobUid, partition, task) so attempts and applications never
+  * collide; nothing visible until the driver publishes manifest N+1. An
+  * overwrite REFERENCES only the new files — it deletes nothing, so
+  * `VERSION AS OF` keeps working behind it. */
+private class CatalogBatchWrite(dir: File, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  import GraftTableCatalog._
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+  private val expectedLatest = readLatest(dir)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(dir, "data").mkdirs()
+    CatalogWriterFactory(dir.getPath, jobUid, schema.json)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.map { case CatalogCommit(e) => e }.toSeq
+      .filter(_.rows > 0) // empty task files add nothing but manifest noise
+    // base = the version this write STARTED from; if another commit landed
+    // meanwhile, commitVersion's exclusive create fails the race loudly
+    val base = if (truncate || expectedLatest == 0) Seq.empty
+      else readManifest(dir, expectedLatest).files
+    commitVersion(dir, expectedLatest,
+      if (truncate) "overwrite" else "append", base ++ added)
+    // stranded zero-row task files are unreferenced; best-effort cleanup
+    messages.foreach { case CatalogCommit(e) if e.rows == 0 =>
+      new File(new File(dir, "data"), e.name).delete()
+    case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CatalogCommit(e) =>
+        new File(new File(dir, "data"), e.name).delete()
+      case _ => ()
+    }
+}
+
+private case class CatalogWriterFactory(dirPath: String, jobUid: String,
+    schemaJson: String) extends DataWriterFactory {
+  import GraftTableCatalog._
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val schema =
+        DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      private val types = schema.fields.map(_.dataType)
+      private val name = s"part-$jobUid-p$partitionId-t$taskId.bin"
+      private val file = new File(new File(dirPath, "data"), name)
+      private val out = new DataOutputStream(new FileOutputStream(file))
+      private var rows = 0L
+      private val stats = collection.mutable.Map[String, (Long, Long)]()
+      override def write(row: InternalRow): Unit = {
+        Codec.write(out, types, i =>
+          if (row.isNullAt(i)) null
+          else types(i) match {
+            case LongType => row.getLong(i)
+            case DoubleType => row.getDouble(i)
+            case StringType => row.getUTF8String(i).toString
+            case t => sys.error(s"unsupported $t")
+          })
+        types.indices.foreach { i =>
+          if (types(i) == LongType && !row.isNullAt(i)) {
+            val v = row.getLong(i)
+            val (lo, hi) = stats.getOrElse(schema.fields(i).name, (v, v))
+            stats(schema.fields(i).name) = (math.min(lo, v), math.max(hi, v))
+          }
+        }
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        CatalogCommit(Entry(name, rows, file.length(), types.length,
+          stats.toMap))
+      }
+      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def close(): Unit = out.close()
+    }
+}
+
+/** `graft_cat.db.<t>.snapshots` — one row per committed version, straight
+  * from the manifest chain (metadata-sized: the scan never touches data
+  * files). The Iceberg metadata-table surface in miniature. */
+private class SnapshotsTable(dir: File, table: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = s"$table.snapshots"
+  override def schema(): StructType = SnapshotsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = SnapshotsTable.schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft_cat snapshots $dir"
+      override def planInputPartitions(): Array[InputPartition] = {
+        val rows = (1L to readLatest(dir)).map { v =>
+          val m = readManifest(dir, v)
+          (v, m.op, m.files.length.toLong, m.files.map(_.rows).sum)
+        }
+        Array(SnapshotRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        SnapshotsReaderFactory
+    }
+}
+
+private object SnapshotsTable {
+  val schema: StructType = new StructType()
+    .add("version", LongType, nullable = false)
+    .add("operation", StringType, nullable = false)
+    .add("files", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+}
+
+private case class SnapshotRows(rows: Seq[(Long, String, Long, Long)])
+  extends InputPartition
+
+private object SnapshotsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rs = p.asInstanceOf[SnapshotRows].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = {
+        val (v, op, nf, nr) = rs(i)
+        new GenericInternalRow(
+          Array[Any](v, UTF8String.fromString(op), nf, nr))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.sources.GraftTableCatalog
+
+/** The `graft_cat` TableCatalog's contracts: SQL lifecycle (DDL, insert,
+  * overwrite, CTAS), the Iceberg-style DELETE split (metadata drop /
+  * untouched / boundary rewrite), immutable time travel, the snapshots
+  * metadata table, stats-based file skipping, append-only schema
+  * evolution, and commit-race safety. q267–q270 carry the cross-engine
+  * hash gates; these pins are about WHERE the work happens and what a
+  * version can never un-see. */
+class CatalogSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+  private def rows(q: String): Seq[Seq[Any]] =
+    sql(q).collect().toSeq.map(_.toSeq)
+
+  private def freshTable(name: String, ddlCols: String): String = {
+    sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql(s"DROP TABLE IF EXISTS graft_cat.db.$name")
+    sql(s"CREATE TABLE graft_cat.db.$name ($ddlCols)")
+    s"graft_cat.db.$name"
+  }
+
+  test("SQL lifecycle: create, insert, typed round trip with nulls, overwrite, drop") {
+    val t = freshTable("lifecycle", "k BIGINT, x DOUBLE, s STRING")
+    sql(s"INSERT INTO $t VALUES (1, 1.5, 'a'), (2, NULL, NULL), (3, -0.25, 'c')")
+    rows(s"SELECT k, x, s FROM $t ORDER BY k") shouldBe Seq(
+      Seq(1L, 1.5, "a"), Seq(2L, null, null), Seq(3L, -0.25, "c"))
+    // append accumulates
+    sql(s"INSERT INTO $t VALUES (4, 4.0, 'd')")
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
+    // INSERT OVERWRITE replaces the visible contents
+    sql(s"INSERT OVERWRITE $t VALUES (9, 9.0, 'z')")
+    rows(s"SELECT k, s FROM $t") shouldBe Seq(Seq(9L, "z"))
+    // SHOW TABLES sees it; DROP removes it
+    sql("SHOW TABLES IN graft_cat.db").collect()
+      .map(_.getString(1)) should contain("lifecycle")
+    sql(s"DROP TABLE $t")
+    intercept[Exception](rows(s"SELECT * FROM $t"))
+  }
+
+  test("CTAS materializes a query into the catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.ctas")
+    sql("""CREATE TABLE graft_cat.db.ctas AS
+          |SELECT id AS k, CAST(id % 3 AS DOUBLE) AS x,
+          |       CAST(id % 2 AS STRING) AS s
+          |FROM range(0, 100)""".stripMargin)
+    rows("SELECT count(*), sum(k) FROM graft_cat.db.ctas") shouldBe
+      Seq(Seq(100L, 4950L))
+  }
+
+  test("DELETE splits by file stats: aligned files drop metadata-only, disjoint files stay, boundary files rewrite") {
+    val t = freshTable("del", "k BIGINT, v BIGINT")
+    // three single-partition inserts = three files with disjoint k-ranges
+    sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(100, 200, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(200, 300, 1, 1)")
+    // DELETE k >= 150: file [200,300) all-match -> dropped; [0,100)
+    // none-match -> kept; [100,200) boundary -> rewritten to [100,150)
+    sql(s"DELETE FROM $t WHERE k >= 150")
+    GraftTableCatalog.lastDeleteDropped.get() shouldBe 1L
+    GraftTableCatalog.lastDeleteKept.get() shouldBe 1L
+    GraftTableCatalog.lastDeleteRewritten.get() shouldBe 1L
+    rows(s"SELECT count(*), min(k), max(k) FROM $t") shouldBe
+      Seq(Seq(150L, 0L, 149L))
+    // an unsupported predicate shape is rejected at analysis, not wrong
+    intercept[Exception](sql(s"DELETE FROM $t WHERE k % 2 = 0"))
+    // delete-all empties the table but the versions remain
+    sql(s"DELETE FROM $t WHERE k >= 0")
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(0L))
+  }
+
+  test("time travel: every committed version stays exactly readable behind later overwrites and deletes") {
+    val t = freshTable("tt", "k BIGINT, v BIGINT")        // v1: create
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")     // v2
+    sql(s"INSERT INTO $t SELECT id, id FROM range(10, 30)")    // v3
+    sql(s"DELETE FROM $t WHERE k < 5")                         // v4
+    sql(s"INSERT OVERWRITE $t VALUES (99, 99)")                // v5
+    def cnt(v: Int): Long =
+      rows(s"SELECT count(*) FROM $t VERSION AS OF $v").head.head
+        .asInstanceOf[Long]
+    cnt(1) shouldBe 0L
+    cnt(2) shouldBe 10L
+    cnt(3) shouldBe 30L
+    cnt(4) shouldBe 25L
+    cnt(5) shouldBe 1L
+    // the pinned snapshot is read-only
+    intercept[Exception](
+      sql(s"INSERT INTO $t VERSION AS OF 2 VALUES (1, 1)"))
+    // out-of-range versions are rejected
+    intercept[Exception](rows(s"SELECT * FROM $t VERSION AS OF 6"))
+  }
+
+  test("snapshots metadata table: one row per version with operation and row counts, served without touching data files") {
+    val t = freshTable("snap", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 50)")
+    sql(s"DELETE FROM $t WHERE k >= 40")
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT version, operation, rows FROM $t.snapshots ORDER BY version") shouldBe
+      Seq(Seq(1L, "create", 0L), Seq(2L, "append", 50L),
+        Seq(3L, "delete", 40L))
+    GraftTableCatalog.filesOpened.get() shouldBe 0L
+  }
+
+  test("stats-based file skipping: a selective predicate never opens disjoint files, and every filter is still re-applied") {
+    val t = freshTable("skip", "k BIGINT, v BIGINT")
+    (0 until 8).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${i * 1000}, ${i * 1000 + 1000}, 1, 1)")
+    }
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT count(*) FROM $t WHERE k >= 2500 AND k < 3500") shouldBe
+      Seq(Seq(1000L))
+    // files [2000,3000) and [3000,4000) are the only candidates
+    GraftTableCatalog.filesOpened.get() shouldBe 2L
+    // filters stay residual: the boundary files' non-matching rows were
+    // filtered by Spark (count proves it), and a point lookup opens 1 file
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT v FROM $t WHERE k = 4321") shouldBe Seq(Seq(4321L))
+    GraftTableCatalog.filesOpened.get() shouldBe 1L
+  }
+
+  test("schema evolution: ADD COLUMN null-pads old files without rewriting them; new inserts carry the column") {
+    val t = freshTable("evo", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    val dataDir = new File("work/graft_cat/db/evo/data")
+    val filesBefore = dataDir.listFiles().map(f => (f.getName, f.length())).toSet
+    sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    sql(s"INSERT INTO $t VALUES (3, 30, 'three')")
+    rows(s"SELECT k, v, note FROM $t ORDER BY k") shouldBe Seq(
+      Seq(1L, 10L, null), Seq(2L, 20L, null), Seq(3L, 30L, "three"))
+    // the old files are byte-identical — evolution touched only the schema
+    filesBefore.subsetOf(
+      dataDir.listFiles().map(f => (f.getName, f.length())).toSet) shouldBe true
+    // non-nullable or mid-position adds are rejected
+    intercept[Exception](
+      sql(s"ALTER TABLE $t ADD COLUMN bad STRING NOT NULL"))
+    // insert with the OLD arity is rejected (schema is the contract)
+    intercept[Exception](sql(s"INSERT INTO $t VALUES (4, 40)"))
+  }
+
+  test("commit is atomic and race-safe: a poisoned write publishes nothing; a lost manifest race throws instead of clobbering") {
+    val t = freshTable("atomic", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t VALUES (1, 1)")
+    val before = rows(s"SELECT * FROM $t")
+    // a poisoned task fails the job mid-write: nothing becomes visible
+    val poison = spark.range(0, 100, 1, 4)
+      .selectExpr("id AS k", "id AS v")
+      .select(col("k"), col("v"))
+    intercept[Exception] {
+      import org.apache.spark.sql.functions.udf
+      val boom = udf((k: Long) => {
+        if (k == 77L) sys.error("poisoned row"); k
+      })
+      poison.select(boom(col("k")).as("k"), col("v"))
+        .writeTo("graft_cat.db.atomic").append()
+    }
+    rows(s"SELECT * FROM $t") shouldBe before
+    // two writers committing over the same base version: the second
+    // manifest create must throw (fail-if-exists), never overwrite
+    val dir = new File("work/graft_cat/db/atomic")
+    val latest = GraftTableCatalog.readLatest(dir)
+    GraftTableCatalog.commitVersion(dir, latest, "append", Seq.empty)
+    intercept[Exception] {
+      GraftTableCatalog.commitVersion(dir, latest, "append", Seq.empty)
+    }
+  }
+
+  test("write-path schema enforcement: wrong column types are rejected before any file lands") {
+    freshTable("strict", "k BIGINT, v BIGINT")
+    intercept[Exception] {
+      spark.sql("SELECT 'nope' AS k, 'wrong' AS v")
+        .writeTo("graft_cat.db.strict").append()
+    }
+    rows("SELECT count(*) FROM graft_cat.db.strict") shouldBe Seq(Seq(0L))
+  }
+}
