@@ -539,6 +539,26 @@ object IngestQueries {
              |FROM $t.snapshots""".stripMargin)
   }
 
+  /** q271: MAINTENANCE PROCEDURE — `CALL graft_cat.sys.compact(...)`
+    * through Spark 4's ProcedureCatalog surface (the Iceberg
+    * `rewrite_data_files` shape): two commits' files bin-pack into one
+    * and the table commits a `compact` version. The hash gate proves
+    * compaction is INVISIBLE to results — q55's layout rule at the
+    * catalog level — while CatalogSpec pins the mechanics (6 files → 1,
+    * prior versions still serve the original files, at-target files
+    * untouched). At 100 TB the small-file problem is a procedure call,
+    * not a table rewrite. */
+  val q271CatalogCompact: Q = (s, d) => {
+    val t = catTable(s, d, "ev271")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"CALL graft_cat.sys.compact('db', 'ev271_${ScaleQueries.sfTag(d)}', ${64L * 1024 * 1024})")
+    s.sql(s"""SELECT k % 9 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -547,6 +567,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q271_catalog_compact" -> q271CatalogCompact,
     "q270_catalog_snapshots" -> q270CatalogSnapshots,
     "q269_catalog_time_travel" -> q269CatalogTimeTravel,
     "q268_catalog_delete" -> q268CatalogDelete,
@@ -626,6 +647,15 @@ object IngestQueries {
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), count(*),
         |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // Compaction must be invisible: DuckDB aggregates the source rows
+    // the two commits carried, never seeing the file layout.
+    "q271_catalog_compact" ->
+      """SELECT event_id % 9 AS g, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // The snapshot history, recomputed from the source mutations.
     "q270_catalog_snapshots" ->
       """WITH src AS (SELECT

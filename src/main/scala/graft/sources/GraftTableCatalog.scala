@@ -10,9 +10,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
@@ -58,7 +59,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * lifecycle, the delete split, time travel, and the snapshots table
   * against DuckDB replaying the same mutations. */
 class GraftTableCatalog extends CatalogPlugin with TableCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
   import GraftTableCatalog._
 
   private var catalogName = "graft_cat"
@@ -148,6 +149,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     val v = version.toLong
     require(v >= 1 && v <= readLatest(dir),
       s"${qualified(ident)} has versions 1..${readLatest(dir)}; got $v")
+    require(new File(dir, s"v$v.manifest").exists(),
+      s"${qualified(ident)} version $v was expired by sys.expire_versions")
     new CatalogTable(dir, s"${qualified(ident)}@v$v", pinned = Some(v))
   }
 
@@ -217,6 +220,27 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+
+  // ---- procedures (`CALL graft_cat.sys.compact('db', 't', ...)`) ----
+  private[sources] def resolveTableDir(ns: String, table: String): File = {
+    val dir = tableDir(Identifier.of(Array(ns), table))
+    if (!new File(dir, SchemaFile).exists())
+      throw new NoSuchTableException(Identifier.of(Array(ns), table))
+    dir
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("sys")))
+      Array(Identifier.of(Array("sys"), "compact"),
+        Identifier.of(Array("sys"), "expire_versions"))
+    else Array.empty
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    (ident.namespace.toSeq, ident.name) match {
+      case (Seq("sys"), "compact") => new CompactProcedure(this)
+      case (Seq("sys"), "expire_versions") => new ExpireProcedure(this)
+      case _ => sys.error(s"graft_cat has no procedure " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}; " +
+        "see SHOW PROCEDURES IN graft_cat.sys")
+    }
 }
 
 object GraftTableCatalog {
@@ -746,10 +770,13 @@ private class SnapshotsTable(dir: File, table: String) extends Table
       override def toBatch: Batch = this
       override def description(): String = s"graft_cat snapshots $dir"
       override def planInputPartitions(): Array[InputPartition] = {
-        val rows = (1L to readLatest(dir)).map { v =>
-          val m = readManifest(dir, v)
-          (v, m.op, m.files.length.toLong, m.files.map(_.rows).sum)
-        }
+        // expired versions (sys.expire_versions) drop out of the history
+        val rows = (1L to readLatest(dir))
+          .filter(v => new File(dir, s"v$v.manifest").exists())
+          .map { v =>
+            val m = readManifest(dir, v)
+            (v, m.op, m.files.length.toLong, m.files.map(_.rows).sum)
+          }
         Array(SnapshotRows(rows))
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -782,4 +809,163 @@ private object SnapshotsReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+/** One-row result set for a maintenance procedure (`CALL` surfaces the
+  * row to SQL via [[LocalScan]]). */
+private case class ProcResult(resultSchema: StructType,
+    values: Array[Any]) extends LocalScan {
+  override def readSchema(): StructType = resultSchema
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(values))
+  override def description(): String = "graft_cat procedure result"
+}
+
+/** `CALL graft_cat.sys.compact(ns, table, target_bytes)` — bin-packs
+  * live data files smaller than `target_bytes` into consolidated files
+  * and commits the new file list as one `compact` version. Reads are
+  * byte-equivalent before and after (CatalogSpec pins the hash), prior
+  * versions keep serving the original files, and files at or above the
+  * target are left alone. The Iceberg `rewrite_data_files` surface in
+  * miniature: at 100 TB, the small-file problem is a maintenance
+  * procedure, not a table rewrite — and the rewrites themselves would
+  * run as a job (driver-side here, bounded by the small-file volume). */
+private class CompactProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "compact"
+  override def description(): String =
+    "bin-pack data files below target_bytes into consolidated files"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "compact"
+      override def isDeterministic: Boolean = false // commits a version
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val target = input.getLong(2)
+        val schema = readSchema(dir)
+        val types = schema.fields.map(_.dataType)
+        val latest = readLatest(dir)
+        val m = readManifest(dir, latest)
+        val (small, big) = m.files.partition(_.bytes < target)
+        // deterministic greedy packing over the manifest order
+        val bins = small.foldLeft(List.empty[List[Entry]]) {
+          case (acc, e) => acc match {
+            case head :: tail
+              if head.map(_.bytes).sum + e.bytes <= target =>
+              (e :: head) :: tail
+            case _ => List(e) :: acc
+          }
+        }.map(_.reverse).reverse
+        val merged = bins.map { bin =>
+          if (bin.length == 1) bin.head // nothing to gain from a rewrite
+          else {
+            val name =
+              s"cp-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+            val f = new File(new File(dir, "data"), name)
+            val out = new DataOutputStream(new FileOutputStream(f))
+            var rows = 0L
+            val stats = collection.mutable.Map[String, (Long, Long)]()
+            try bin.foreach { e =>
+              val in = new DataInputStream(new FileInputStream(
+                new File(new File(dir, "data"), e.name)))
+              try (0L until e.rows).foreach { _ =>
+                val full = Codec.read(in, types, e.cols)
+                  .padTo(types.length, null)
+                Codec.write(out, types, full.apply)
+                schema.fields.zipWithIndex.foreach { case (fld, i) =>
+                  if (fld.dataType == LongType && full(i) != null) {
+                    val v = full(i).asInstanceOf[Long]
+                    val (lo, hi) = stats.getOrElse(fld.name, (v, v))
+                    stats(fld.name) =
+                      (math.min(lo, v), math.max(hi, v))
+                  }
+                }
+                rows += 1
+              } finally in.close()
+            } finally out.close()
+            Entry(name, rows, f.length(), types.length, stats.toMap)
+          }
+        }
+        commitVersion(dir, latest, "compact", big ++ merged)
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(CompactProcedure.resultSchema,
+            Array[Any](m.files.length.toLong,
+              (big ++ merged).length.toLong,
+              m.files.map(_.rows).sum))).iterator()
+      }
+    }
+}
+
+private object CompactProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("files_before", LongType, nullable = false)
+    .add("files_after", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.expire_versions(ns, table, keep_last)` — the
+  * explicit garbage collection that bounds time travel: manifests older
+  * than the retained window are removed, and data files referenced by
+  * NO retained manifest are deleted. Until this is called, commits
+  * never delete anything — the procedure is where the "every version
+  * stays readable" contract is deliberately and visibly traded for
+  * space (Iceberg's `expire_snapshots`). Expired `VERSION AS OF` reads
+  * fail with a clear error; the snapshots table drops the expired rows. */
+private class ExpireProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "expire_versions"
+  override def description(): String =
+    "drop manifests beyond keep_last and delete unreferenced data files"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "expire_versions"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_last", LongType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val keep = input.getLong(2)
+        require(keep >= 1, s"keep_last must be >= 1; got $keep")
+        val latest = readLatest(dir)
+        val minKeep = math.max(1L, latest - keep + 1)
+        val live = (1L until minKeep)
+          .filter(v => new File(dir, s"v$v.manifest").exists())
+        val retainedRefs = (minKeep to latest)
+          .filter(v => new File(dir, s"v$v.manifest").exists())
+          .flatMap(v => readManifest(dir, v).files.map(_.name)).toSet
+        var filesDeleted = 0L
+        live.foreach { v =>
+          readManifest(dir, v).files.foreach { e =>
+            if (!retainedRefs.contains(e.name)) {
+              val f = new File(new File(dir, "data"), e.name)
+              if (f.exists()) { f.delete(); filesDeleted += 1 }
+            }
+          }
+        }
+        // manifests go LAST: a crash mid-expire leaves extra data files
+        // (harmless garbage), never a manifest pointing at deleted data
+        live.foreach(v => new File(dir, s"v$v.manifest").delete())
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(ExpireProcedure.resultSchema,
+            Array[Any](live.length.toLong, filesDeleted))).iterator()
+      }
+    }
+}
+
+private object ExpireProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("versions_expired", LongType, nullable = false)
+    .add("files_deleted", LongType, nullable = false)
 }

@@ -145,6 +145,48 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](sql(s"INSERT INTO $t VALUES (4, 40)"))
   }
 
+  test("CALL sys.compact bin-packs small files into one, reads stay identical, prior versions keep the original files") {
+    val t = freshTable("cmp", "k BIGINT, v BIGINT")
+    (0 until 6).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, id * 3 FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)")
+    }
+    val before = rows(s"SELECT count(*), sum(k * v) FROM $t")
+    val res = sql("CALL graft_cat.sys.compact('db', 'cmp', 1048576)")
+      .collect().head
+    res.getLong(0) shouldBe 6L // files_before
+    res.getLong(1) shouldBe 1L // files_after
+    res.getLong(2) shouldBe 600L
+    rows(s"SELECT count(*), sum(k * v) FROM $t") shouldBe before
+    // history records the compaction; the pre-compact version (v7:
+    // create + 6 appends) still serves the ORIGINAL six files
+    rows(s"SELECT operation FROM $t.snapshots ORDER BY version DESC LIMIT 1") shouldBe
+      Seq(Seq("compact"))
+    rows(s"SELECT count(*), sum(k * v) FROM $t VERSION AS OF 7") shouldBe before
+    // files at/above target are left alone: a second compact with a tiny
+    // target finds nothing to pack
+    val again = sql("CALL graft_cat.sys.compact('db', 'cmp', 10)")
+      .collect().head
+    again.getLong(0) shouldBe again.getLong(1)
+  }
+
+  test("CALL sys.expire_versions bounds time travel: old manifests drop, unreferenced data files delete, latest is untouched") {
+    val t = freshTable("exp", "k BIGINT, v BIGINT")               // v1
+    (0 until 3).foreach { i =>                                    // v2-v4
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    }
+    sql(s"INSERT OVERWRITE $t VALUES (1, 100), (2, 200)")         // v5
+    val res = sql("CALL graft_cat.sys.expire_versions('db', 'exp', 1)")
+      .collect().head
+    res.getLong(0) shouldBe 4L // versions expired (v1..v4)
+    res.getLong(1) shouldBe 3L // the appends' files, unreferenced by v5
+    rows(s"SELECT k, v FROM $t ORDER BY k") shouldBe
+      Seq(Seq(1L, 100L), Seq(2L, 200L))
+    // expired reads fail with a clear error; history shows only v5
+    val e = intercept[Exception](rows(s"SELECT * FROM $t VERSION AS OF 3"))
+    e.getMessage should include("expired")
+    rows(s"SELECT version FROM $t.snapshots") shouldBe Seq(Seq(5L))
+  }
+
   test("commit is atomic and race-safe: a poisoned write publishes nothing; a lost manifest race throws instead of clobbering") {
     val t = freshTable("atomic", "k BIGINT, v BIGINT")
     sql(s"INSERT INTO $t VALUES (1, 1)")
