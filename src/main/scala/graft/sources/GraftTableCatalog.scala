@@ -251,7 +251,13 @@ object GraftTableCatalog {
     * planner needs without opening it. */
   case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
       stats: Map[String, (Long, Long)])
-  case class Manifest(version: Long, op: String, files: Seq[Entry])
+  /** `epochs` = committed streaming micro-batch ids, carried forward by
+    * EVERY commit (including overwrites: a replayed epoch must stay a
+    * no-op even after the table's content was replaced) — file list and
+    * epoch set live in one immutable manifest so they can never
+    * disagree, the LedgerSink rule on the versioned chain. */
+  case class Manifest(version: Long, op: String, files: Seq[Entry],
+      epochs: Set[Long] = Set.empty)
 
   // Test-only observability (single-JVM local mode), the SeriesSource
   // counters' discipline: data files actually opened by readers, and the
@@ -293,7 +299,10 @@ object GraftTableCatalog {
         }.toMap
       Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
     }
-    Manifest(version, op, files)
+    val epochs = lines.collect { case l if l.startsWith("E\t") =>
+      l.split("\t")(1).toLong
+    }.toSet
+    Manifest(version, op, files, epochs)
   }
 
   /** Publish version `expectedLatest + 1`: the manifest file is created
@@ -302,13 +311,13 @@ object GraftTableCatalog {
     * rename. Data files are never deleted — every committed version
     * stays readable. */
   def commitVersion(dir: File, expectedLatest: Long, op: String,
-      files: Seq[Entry]): Long = {
+      files: Seq[Entry], epochs: Set[Long] = Set.empty): Long = {
     val next = expectedLatest + 1
-    val body = (s"O\t$op" +: files.map { e =>
+    val body = (s"O\t$op" +: (files.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
       s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st"
-    }).mkString("\n")
+    } ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
     // Reserve the version with an exclusive create — POSIX rename REPLACES
     // silently, so rename alone cannot lose a race loudly. Exactly one
     // racer owns the reservation; filling it by atomic rename is then
@@ -507,7 +516,8 @@ private class CatalogTable(dir: File, tableName: String,
   override def schema(): StructType = readSchema(dir)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   private def liveManifest(): Manifest = {
     val v = pinned.getOrElse(readLatest(dir))
@@ -578,7 +588,7 @@ private class CatalogTable(dir: File, tableName: String,
         }
       }
     }
-    commitVersion(dir, latest, "delete", remaining)
+    commitVersion(dir, latest, "delete", remaining, m.epochs)
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)
@@ -665,7 +675,58 @@ private class CatalogWriteBuilder(dir: File, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new CatalogBatchWrite(dir, schema, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming
+        .StreamingWrite = new CatalogStreamingWrite(dir, schema)
   }
+}
+
+/** `writeStream.toTable("graft_cat.db.t")` — each micro-batch is ONE
+  * versioned commit (`stream-epoch`), and the manifest's epoch set makes
+  * a post-crash replayed micro-batch a NO-OP: exactly-once-effective at
+  * the catalog level, with time travel straight through the stream's
+  * history (every epoch is a version). The LedgerStreamingWrite
+  * discipline on the versioned chain. */
+private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import GraftTableCatalog._
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    new File(dir, "data").mkdirs()
+    CatalogStreamingWriterFactory(dir.getPath, jobUid, schema.json)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val latest = readLatest(dir)
+    val m = if (latest == 0) Manifest(0, "none", Seq.empty)
+      else readManifest(dir, latest)
+    if (m.epochs.contains(epochId)) return // replayed micro-batch: no-op
+    val added = messages.map { case CatalogCommit(e) => e }.toSeq
+      .filter(_.rows > 0)
+    commitVersion(dir, latest, "stream-epoch", m.files ++ added,
+      m.epochs + epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CatalogCommit(e) =>
+        new File(new File(dir, "data"), e.name).delete()
+      case _ => ()
+    }
+}
+
+private case class CatalogStreamingWriterFactory(dirPath: String,
+    jobUid: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson)
+      .createWriter(partitionId, taskId)
 }
 
 private case class CatalogCommit(entry: GraftTableCatalog.Entry)
@@ -692,11 +753,17 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
     val added = messages.map { case CatalogCommit(e) => e }.toSeq
       .filter(_.rows > 0) // empty task files add nothing but manifest noise
     // base = the version this write STARTED from; if another commit landed
-    // meanwhile, commitVersion's exclusive create fails the race loudly
-    val base = if (truncate || expectedLatest == 0) Seq.empty
-      else readManifest(dir, expectedLatest).files
+    // meanwhile, commitVersion's exclusive create fails the race loudly.
+    // Epoch markers carry through EVERY commit — truncate replaces the
+    // file list, never the stream's progress record.
+    val (base, epochs) =
+      if (expectedLatest == 0) (Seq.empty[Entry], Set.empty[Long])
+      else {
+        val m = readManifest(dir, expectedLatest)
+        (if (truncate) Seq.empty[Entry] else m.files, m.epochs)
+      }
     commitVersion(dir, expectedLatest,
-      if (truncate) "overwrite" else "append", base ++ added)
+      if (truncate) "overwrite" else "append", base ++ added, epochs)
     // stranded zero-row task files are unreferenced; best-effort cleanup
     messages.foreach { case CatalogCommit(e) if e.rows == 0 =>
       new File(new File(dir, "data"), e.name).delete()
@@ -893,7 +960,7 @@ private class CompactProcedure(cat: GraftTableCatalog)
             Entry(name, rows, f.length(), types.length, stats.toMap)
           }
         }
-        commitVersion(dir, latest, "compact", big ++ merged)
+        commitVersion(dir, latest, "compact", big ++ merged, m.epochs)
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(CompactProcedure.resultSchema,
             Array[Any](m.files.length.toLong,

@@ -214,6 +214,38 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming into a catalog table: each micro-batch is a versioned commit; a replayed epoch is a no-op even after later commits") {
+    val t = freshTable("strm", "k BIGINT, v BIGINT")
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.sparkSession.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = input.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .toTable("graft_cat.db.strm")
+    try {
+      input.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      input.addData((3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    rows(s"SELECT k, v FROM $t ORDER BY k") shouldBe
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L))
+    // every micro-batch is a version — time travel works over the stream
+    rows(s"SELECT count(*) FROM $t.snapshots WHERE operation = 'stream-epoch'")
+      .head.head.asInstanceOf[Long] should be >= 2L
+    // a batch append carries the stream's epoch markers forward...
+    sql(s"INSERT INTO $t VALUES (4, 40)")
+    val dir = new File("work/graft_cat/db/strm")
+    val versionsBefore = GraftTableCatalog.readLatest(dir)
+    // ...so the post-crash replay of an already-committed epoch is a
+    // NO-OP at the protocol level: no new version, no new rows
+    val schema = GraftTableCatalog.readSchema(dir)
+    new graft.sources.CatalogStreamingWrite(dir, schema)
+      .commit(0L, Array.empty)
+    GraftTableCatalog.readLatest(dir) shouldBe versionsBefore
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
+  }
+
   test("write-path schema enforcement: wrong column types are rejected before any file lands") {
     freshTable("strict", "k BIGINT, v BIGINT")
     intercept[Exception] {
