@@ -39,7 +39,9 @@ object GraftSession {
       // versioned-manifest tables): spark.sql("... graft_cat.db.t ...")
       .config("spark.sql.catalog.graft_cat",
         classOf[graft.sources.GraftTableCatalog].getName)
-      .config("spark.sql.catalog.graft_cat.root", "work/graft_cat")
+      // absolute, like warehouse.dir: catalog tables must land inside
+      // the repo regardless of where the harness launches us
+      .config("spark.sql.catalog.graft_cat.root", "/root/repo/work/graft_cat")
       // Pinned: the default derives from the process cwd, and managed
       // tables (bucketed joins) must land inside the repo regardless of
       // where the harness launches us.

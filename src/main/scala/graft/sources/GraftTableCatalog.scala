@@ -5,8 +5,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -141,7 +139,11 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   }
 
   /** Time travel: `VERSION AS OF n` pins the scan to manifest n, which is
-    * immutable — later commits can never change what n returns. */
+    * immutable — later commits can never change what n returns. The
+    * CURRENT schema applies to every version (older files null-pad per
+    * their recorded column count): one consistent view, not Iceberg's
+    * per-snapshot schema — evolution here is append-only, so the current
+    * schema is always a superset. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
@@ -161,6 +163,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       partitions: Array[Transform], properties: java.util.Map[String, String])
       : Table = {
     require(partitions.isEmpty, "graft_cat tables are unpartitioned")
+    // the codec's null bitmap is one long — 65th column would wrap it
+    require(schema.fields.length <= 64,
+      s"graft_cat tables hold at most 64 columns; got ${schema.fields.length}")
     schema.fields.foreach { f =>
       require(Codec.supported(f.dataType),
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
@@ -192,6 +197,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           "added columns always append at the end")
         require(Codec.supported(add.dataType),
           s"graft_cat stores LONG/DOUBLE/STRING; got ${add.dataType}")
+        require(s.fields.length < 64, // the codec's one-long null bitmap
+          "graft_cat tables hold at most 64 columns")
         s.add(add.fieldNames()(0), add.dataType, nullable = true)
       case (_, c) =>
         sys.error(s"graft_cat supports only ADD COLUMN evolution; got $c")
@@ -1007,13 +1014,13 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         require(keep >= 1, s"keep_last must be >= 1; got $keep")
         val latest = readLatest(dir)
         val minKeep = math.max(1L, latest - keep + 1)
-        val live = (1L until minKeep)
+        val expired = (1L until minKeep)
           .filter(v => new File(dir, s"v$v.manifest").exists())
         val retainedRefs = (minKeep to latest)
           .filter(v => new File(dir, s"v$v.manifest").exists())
           .flatMap(v => readManifest(dir, v).files.map(_.name)).toSet
         var filesDeleted = 0L
-        live.foreach { v =>
+        expired.foreach { v =>
           readManifest(dir, v).files.foreach { e =>
             if (!retainedRefs.contains(e.name)) {
               val f = new File(new File(dir, "data"), e.name)
@@ -1023,10 +1030,10 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         }
         // manifests go LAST: a crash mid-expire leaves extra data files
         // (harmless garbage), never a manifest pointing at deleted data
-        live.foreach(v => new File(dir, s"v$v.manifest").delete())
+        expired.foreach(v => new File(dir, s"v$v.manifest").delete())
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(ExpireProcedure.resultSchema,
-            Array[Any](live.length.toLong, filesDeleted))).iterator()
+            Array[Any](expired.length.toLong, filesDeleted))).iterator()
       }
     }
 }
