@@ -559,6 +559,51 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
+  /** q272: SQL `UPDATE` through the catalog — the GROUP-BASED
+    * copy-on-write row-level operation (`SupportsRowLevelOperations`):
+    * Spark narrows the scan to files containing matches via the
+    * `_file IN <subquery>` runtime group filter, reads those files
+    * whole, and the write's commit swaps exactly them — untouched
+    * files keep their manifest entries byte-for-byte (CatalogSpec pins
+    * it). At 100 TB a targeted UPDATE costs the matched files'
+    * rewrite, never the table's. Oracle: DuckDB applies the same CASE. */
+  val q272CatalogUpdate: Q = (s, d) => {
+    val t = catTable(s, d, "ev272")
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)}")
+    s.sql(s"UPDATE $t SET cents = cents + 1000000 WHERE cents >= 10000")
+    s.sql(s"""SELECT k % 6 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c, max(cents) AS max_c
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q273: SQL `MERGE INTO` — the upsert statement over the same
+    * group-based machinery: matched keys update in place, unmatched
+    * source rows insert, all as ONE `merge` version (atomic: a reader
+    * sees pre-merge or post-merge, never a mix). The engine's q72
+    * merge-upsert OPERATOR expressed as connector-owned SQL. Oracle:
+    * DuckDB derives the post-merge state from events directly (even
+    * ids keep their cents unless divisible by 3, which carry the
+    * doubled source cents; odd div-3 ids insert). */
+  val q273CatalogMerge: Q = (s, d) => {
+    val t = catTable(s, d, "ev273")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ev273_src AS
+             |SELECT event_id AS k,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+             |    AS cents
+             |FROM parquet.`$d/events.parquet`
+             |WHERE value IS NOT NULL AND event_id % 3 = 0""".stripMargin)
+    s.sql(s"""MERGE INTO $t AS tgt USING ev273_src AS src
+             |ON tgt.k = src.k
+             |WHEN MATCHED THEN UPDATE SET cents = src.cents
+             |WHEN NOT MATCHED THEN INSERT (k, cents)
+             |  VALUES (src.k, src.cents)""".stripMargin)
+    s.sql(s"""SELECT k % 7 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -567,6 +612,8 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q273_catalog_merge" -> q273CatalogMerge,
+    "q272_catalog_update" -> q272CatalogUpdate,
     "q271_catalog_compact" -> q271CatalogCompact,
     "q270_catalog_snapshots" -> q270CatalogSnapshots,
     "q269_catalog_time_travel" -> q269CatalogTimeTravel,
@@ -647,6 +694,30 @@ object IngestQueries {
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), count(*),
         |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // The UPDATE's CASE, applied by DuckDB to the source rows.
+    "q272_catalog_update" ->
+      """SELECT event_id % 6 AS g, count(*) AS n,
+        |  CAST(sum(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END)
+        |    AS BIGINT) AS cents,
+        |  min(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END) AS min_c,
+        |  max(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END) AS max_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
+    // Post-merge state derived straight from events: target keys are the
+    // even ids, source keys the div-3 ids carrying doubled cents —
+    // matched rows take the source value, unmatched sources insert.
+    "q273_catalog_merge" ->
+      """SELECT event_id % 7 AS g, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 2 * c ELSE c END)
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE event_id % 2 = 0 OR event_id % 3 = 0
+        |GROUP BY 1""".stripMargin,
     // Compaction must be invisible: DuckDB aggregates the source rows
     // the two commits carried, never seeing the file layout.
     "q271_catalog_compact" ->

@@ -8,10 +8,10 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
@@ -169,6 +169,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     schema.fields.foreach { f =>
       require(Codec.supported(f.dataType),
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
+      require(f.name != FileMetaCol,
+        s"$FileMetaCol is a reserved metadata column name")
     }
     val dir = tableDir(ident)
     if (new File(dir, SchemaFile).exists())
@@ -253,6 +255,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
 object GraftTableCatalog {
   val SchemaFile = "schema.json"
   val MetaSnapshots = "snapshots"
+  /** Metadata column: the data file a row lives in — the GROUP key the
+    * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
+  val FileMetaCol = "_file"
 
   /** One manifest entry: an immutable data file plus everything a
     * planner needs without opening it. */
@@ -516,11 +521,35 @@ object GraftTableCatalog {
 
 private class CatalogTable(dir: File, tableName: String,
     pinned: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
   import GraftTableCatalog._
 
   override def name(): String = tableName
   override def schema(): StructType = readSchema(dir)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file backing the row"
+    })
+
+  /** UPDATE / MERGE / (non-metadata) DELETE — GROUP-BASED copy-on-write:
+    * Spark narrows the scan to the files that contain matching rows via
+    * a `_file IN <subquery>` runtime filter, reads those files WHOLE
+    * (the per-branch conditions carry row semantics), and the write's
+    * commit swaps exactly the planned files for the rewritten ones —
+    * untouched files keep their manifest entries byte-for-byte
+    * (CatalogSpec pins it). The Iceberg COW path in miniature; at
+    * 100 TB a point UPDATE costs one file's rewrite, not a table's. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
+    () => new CatalogRowLevelOperation(dir, schema(), info.command())
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -604,9 +633,10 @@ private class CatalogTable(dir: File, tableName: String,
 
 private class CatalogScanBuilder(dir: File, schema: StructType,
     manifest: GraftTableCatalog.Manifest) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import GraftTableCatalog._
   private var skipFilters = Array.empty[Filter]
+  private var required: StructType = schema
 
   /** File skipping, not filtering: every filter stays RESIDUAL (Spark
     * re-applies them all), but files whose min/max stats disprove a
@@ -616,36 +646,51 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
+  /** May include the `_file` metadata column — the reader stamps it. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): Scan = {
     val live = manifest.files.filter(e =>
       skipFilters.forall(mayMatch(_, e.stats)))
-    new CatalogScan(dir, schema, live, manifest.version)
+    new CatalogScan(dir, schema, required, live, manifest.version)
   }
 }
 
-private class CatalogScan(dir: File, schema: StructType,
-    files: Seq[GraftTableCatalog.Entry], version: Long)
+private class CatalogScan(dir: File, tableSchema: StructType,
+    required: StructType, initialFiles: Seq[GraftTableCatalog.Entry],
+    version: Long)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = schema
+  protected def currentFiles: Seq[GraftTableCatalog.Entry] = initialFiles
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_cat $dir v$version files=${files.length}"
+    s"graft_cat $dir v$version files=${currentFiles.length} " +
+      s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e => CatalogFilePartition(
-      new File(new File(dir, "data"), e.name).getPath, e.rows, e.cols,
-      schema.fields.map(_.dataType.json)): InputPartition).toArray
+    currentFiles.map { e =>
+      CatalogFilePartition(
+        new File(new File(dir, "data"), e.name).getPath, e.name,
+        e.rows, e.cols,
+        tableSchema.fields.map(_.dataType.json),
+        // required field -> source index in the FILE's row (-1 = _file)
+        required.fields.map(f =>
+          if (f.name == GraftTableCatalog.FileMetaCol) -1
+          else tableSchema.fieldIndex(f.name))): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     CatalogReaderFactory
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(files.map(_.bytes).sum)
+      java.util.OptionalLong.of(currentFiles.map(_.bytes).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(files.map(_.rows).sum)
+      java.util.OptionalLong.of(currentFiles.map(_.rows).sum)
   }
 }
 
-private case class CatalogFilePartition(path: String, rows: Long, cols: Int,
-    typeJson: Array[String]) extends InputPartition
+private case class CatalogFilePartition(path: String, fileName: String,
+    rows: Long, cols: Int, typeJson: Array[String], srcIdx: Array[Int])
+    extends InputPartition
 
 private object CatalogReaderFactory extends PartitionReaderFactory {
   import GraftTableCatalog._
@@ -655,18 +700,26 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
     filesOpened.incrementAndGet()
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(new FileInputStream(fp.path))
+      private val fileTag = UTF8String.fromString(fp.fileName)
       private var read = 0L
       override def next(): Boolean = read < fp.rows
       override def get(): InternalRow = {
+        // the whole file row decodes (the codec is positional), the
+        // required projection picks from it — column pruning here saves
+        // materialization, not I/O, which matches the format's floor
         val vals = Codec.read(in, types, fp.cols)
         read += 1
-        val row = new GenericInternalRow(types.length)
-        types.indices.foreach { i =>
-          val v = if (i < vals.length) vals(i) else null
-          row.update(i, v match {
-            case s: String => UTF8String.fromString(s)
-            case other => other
-          })
+        val row = new GenericInternalRow(fp.srcIdx.length)
+        fp.srcIdx.indices.foreach { i =>
+          val v = fp.srcIdx(i) match {
+            case -1 => fileTag
+            case s if s < vals.length => vals(s) match {
+              case str: String => UTF8String.fromString(str)
+              case other => other
+            }
+            case _ => null // the file predates this (evolved) column
+          }
+          row.update(i, v)
         }
         row
       }
@@ -1042,4 +1095,137 @@ private object ExpireProcedure {
   val resultSchema: StructType = new StructType()
     .add("versions_expired", LongType, nullable = false)
     .add("files_deleted", LongType, nullable = false)
+}
+
+/** The group-based row-level operation (UPDATE / MERGE / DELETE
+  * fallback). One instance spans the statement: its SCAN records which
+  * files it finally planned (post runtime group filter), its WRITE's
+  * commit replaces exactly those files — the scan→write handshake that
+  * makes copy-on-write surgical instead of table-wide. */
+private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import GraftTableCatalog._
+
+  /** Files the COW scan planned for the CURRENT execution — what the
+    * write will replace. Volatile: planning and commit are different
+    * threads; single-statement scope, so last-plan-wins is exact. */
+  @volatile private[sources] var plannedFiles: Set[String] = Set.empty
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** `_file` must ride the scan so Spark can group and runtime-filter
+    * rows by the file they live in. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(FileMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(dir, tableSchema,
+        { val v = readLatest(dir)
+          if (v == 0) Manifest(0, "none", Seq.empty)
+          else readManifest(dir, v) }) {
+      override def build(): Scan = super.build() match {
+        case base: CatalogScan =>
+          new CatalogCowScan(base, CatalogRowLevelOperation.this)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"row-level write expects ${tableSchema.simpleString}; " +
+        s"got ${info.schema().simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new CatalogReplaceGroupsWrite(dir, tableSchema,
+            CatalogRowLevelOperation.this)
+      }
+    }
+  }
+}
+
+/** The COW scan: the base catalog scan plus (a) the `_file` runtime
+  * group filter and (b) planned-file reporting into the operation.
+  * Rows are never dropped below file granularity — whole surviving
+  * files flow out, and the rewritten plan's per-branch conditions do
+  * the row-level work. */
+private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  import GraftTableCatalog._
+  @volatile private var keep: Option[Set[String]] = None
+
+  override def readSchema(): StructType = base.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String = "cow " + base.description()
+  override def estimateStatistics(): Statistics = base.estimateStatistics()
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(FileMetaCol))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(FileMetaCol, vs) =>
+      val names = vs.map {
+        case s: String => s
+        case u: UTF8String => u.toString
+        case other => String.valueOf(other)
+      }.toSet
+      keep = Some(names)
+    case _ => () // advisory; an unabsorbed filter just skips narrowing
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = base.planInputPartitions()
+      .map(_.asInstanceOf[CatalogFilePartition])
+      .filter(p => keep.forall(_.contains(p.fileName)))
+    // the handshake: exactly these files will be replaced at commit
+    op.plannedFiles = parts.map(_.fileName).toSet
+    parts.toArray[InputPartition]
+  }
+}
+
+/** ReplaceData's batch write: standard task files + a commit that swaps
+  * the operation's planned files for the rewritten ones, as one new
+  * version. Files outside the planned set keep their manifest entries
+  * untouched — the proof the rewrite was group-local. */
+private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
+    op: CatalogRowLevelOperation) extends BatchWrite {
+  import GraftTableCatalog._
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+  private val expectedLatest = readLatest(dir)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(dir, "data").mkdirs()
+    CatalogWriterFactory(dir.getPath, jobUid, schema.json)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.map { case CatalogCommit(e) => e }.toSeq
+      .filter(_.rows > 0)
+    val m = readManifest(dir, expectedLatest)
+    val replaced = op.plannedFiles
+    commitVersion(dir, expectedLatest,
+      op.command().name().toLowerCase(java.util.Locale.ROOT),
+      m.files.filterNot(e => replaced.contains(e.name)) ++ added,
+      m.epochs)
+    messages.foreach { case CatalogCommit(e) if e.rows == 0 =>
+      new File(new File(dir, "data"), e.name).delete()
+    case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CatalogCommit(e) =>
+        new File(new File(dir, "data"), e.name).delete()
+      case _ => ()
+    }
 }

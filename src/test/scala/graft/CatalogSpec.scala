@@ -70,8 +70,10 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.lastDeleteRewritten.get() shouldBe 1L
     rows(s"SELECT count(*), min(k), max(k) FROM $t") shouldBe
       Seq(Seq(150L, 0L, 149L))
-    // an unsupported predicate shape is rejected at analysis, not wrong
-    intercept[Exception](sql(s"DELETE FROM $t WHERE k % 2 = 0"))
+    // a predicate the metadata path cannot prove falls back to the
+    // GROUP-BASED row-level rewrite (not an error, not a wrong answer)
+    sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    rows(s"SELECT count(*), min(k) FROM $t") shouldBe Seq(Seq(75L, 1L))
     // delete-all empties the table but the versions remain
     sql(s"DELETE FROM $t WHERE k >= 0")
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(0L))
@@ -212,6 +214,53 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       GraftTableCatalog.commitVersion(dir, latest, "append", Seq.empty)
     }
+  }
+
+  test("_file metadata column: selectable, groups rows by their backing file") {
+    val t = freshTable("fmeta", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(10, 20, 1, 1)")
+    rows(s"SELECT count(DISTINCT _file) FROM $t") shouldBe Seq(Seq(2L))
+    rows(s"SELECT count(*) AS n FROM $t GROUP BY _file")
+      .map(_.head) shouldBe Seq(10L, 10L)
+  }
+
+  test("UPDATE is group-local copy-on-write: only files containing matches are replaced, the rest keep their manifest entries") {
+    val t = freshTable("upd", "k BIGINT, v BIGINT")
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)")
+    }
+    val dir = new File("work/graft_cat/db/upd")
+    val before = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir))
+      .files.map(_.name)
+    sql(s"UPDATE $t SET v = v + 1000000 WHERE k >= 210 AND k < 220")
+    rows(s"SELECT count(*), sum(v) FROM $t") shouldBe
+      Seq(Seq(300L, (0L until 300L).sum + 10L * 1000000L))
+    val after = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir))
+    after.op shouldBe "update"
+    // the two untouched files keep their EXACT entries; the matched file
+    // is gone, replaced by the rewrite's output
+    after.files.map(_.name).intersect(before) shouldBe before.take(2)
+    after.files.map(_.rows).sum shouldBe 300L
+  }
+
+  test("MERGE INTO: matched rows update, unmatched insert, one merge version") {
+    val t = freshTable("mrg", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")
+    sql("""SELECT id AS k, id * 100 AS v FROM range(5, 15)""")
+      .createOrReplaceTempView("mrg_src")
+    sql(s"""MERGE INTO $t USING mrg_src ON $t.k = mrg_src.k
+           |WHEN MATCHED THEN UPDATE SET v = mrg_src.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (mrg_src.k, mrg_src.v)
+           |""".stripMargin)
+    rows(s"SELECT k, v FROM $t ORDER BY k") shouldBe
+      ((0L until 5L).map(k => Seq(k, k)) ++
+        (5L until 15L).map(k => Seq(k, k * 100)))
+    val dir = new File("work/graft_cat/db/mrg")
+    GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).op shouldBe "merge"
   }
 
   test("streaming into a catalog table: each micro-batch is a versioned commit; a replayed epoch is a no-op even after later commits") {
