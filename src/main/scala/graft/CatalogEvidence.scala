@@ -1,0 +1,116 @@
+package graft
+
+import graft.sources.GraftTableCatalog
+
+/** Driver-visible evidence for the `graft_cat` lake-table layer — the
+  * ConnectorEvidence discipline applied to the catalog: each contract
+  * measured on real runs via the manifest chain and the source-side
+  * counters, committed as one artifact. Every arm's ANSWER is verified
+  * before its measurement is recorded.
+  *
+  *  - DELETE SPLIT: over a 16-file, 1M-row table, a range delete drops
+  *    8 files metadata-only, keeps 7 untouched, rewrites exactly the 1
+  *    boundary file — bytes rewritten vs table bytes (3.1%) is the COW
+  *    cost;
+  *  - FILE SKIPPING: a window query opens only the 3 of 16 files its
+  *    range overlaps;
+  *  - GROUP-LOCAL UPDATE: a 10-row UPDATE replaces 1 of 16 files, the
+  *    other 15 manifest entries byte-identical;
+  *  - COMPACTION: 16 small files bin-pack to 1; contents checksum-equal.
+  *
+  * Usage: `runMain graft.CatalogEvidence [outFile]`. */
+object CatalogEvidence {
+
+  def main(args: Array[String]): Unit = {
+    val outFile = if (args.length > 0) args(0)
+      else "work/catalog_evidence_r14.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sql(q: String) = spark.sql(q)
+    def one(q: String): Seq[Any] = sql(q).collect().head.toSeq
+    val dir = new java.io.File("work/graft_cat/db/evidence")
+    def manifest() = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    def build(): Unit = {
+      sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      sql("DROP TABLE IF EXISTS graft_cat.db.evidence")
+      sql("CREATE TABLE graft_cat.db.evidence (k BIGINT, v BIGINT)")
+      (0 until 16).foreach { i =>
+        sql(s"INSERT INTO graft_cat.db.evidence SELECT id, id * 3 " +
+          s"FROM range(${i * 62500L}, ${(i + 1) * 62500L}, 1, 1)")
+      }
+    }
+    val checksum = "sum(k * 31 + v) AS cs, count(*) AS n"
+
+    // ---- delete split ----
+    val del = {
+      build()
+      val total = manifest().files
+      val totalBytes = total.map(_.bytes).sum
+      // [437500 + 31250, 1M): file 7 splits, files 8..15 drop whole
+      sql("DELETE FROM graft_cat.db.evidence WHERE k >= 468750")
+      val r = one("SELECT count(*), min(k), max(k) FROM graft_cat.db.evidence")
+      require(r == Seq(468750L, 0L, 468749L), s"delete answer wrong: $r")
+      val after = manifest()
+      val rewrittenBytes = after.files.map(_.bytes).sum -
+        total.filter(e => after.files.exists(_.name == e.name)).map(_.bytes).sum
+      s"""{"files_total": ${total.length},
+         | "files_dropped_metadata_only": ${GraftTableCatalog.lastDeleteDropped.get},
+         | "files_kept_untouched": ${GraftTableCatalog.lastDeleteKept.get},
+         | "files_rewritten": ${GraftTableCatalog.lastDeleteRewritten.get},
+         | "table_bytes": $totalBytes, "bytes_rewritten": $rewrittenBytes}"""
+        .stripMargin
+    }
+
+    // ---- file skipping ----
+    val skip = {
+      build()
+      GraftTableCatalog.filesOpened.set(0)
+      val r = one("SELECT count(*) FROM graft_cat.db.evidence " +
+        "WHERE k >= 156250 AND k < 281250")
+      require(r == Seq(125000L), s"skip answer wrong: $r")
+      s"""{"files_total": 16, "files_opened": ${GraftTableCatalog.filesOpened.get}}"""
+    }
+
+    // ---- group-local update ----
+    val upd = {
+      build()
+      val before = manifest().files.map(_.name)
+      val csBefore = one(s"SELECT $checksum FROM graft_cat.db.evidence")
+      sql("UPDATE graft_cat.db.evidence SET v = v + 7 " +
+        "WHERE k >= 312600 AND k < 312610")
+      val after = manifest()
+      val cs = one(s"SELECT $checksum FROM graft_cat.db.evidence")
+      require(cs.head == csBefore.head.asInstanceOf[Long] + 70L &&
+        cs(1) == csBefore(1), s"update answer wrong: $cs vs $csBefore")
+      val surviving = after.files.map(_.name).intersect(before)
+      s"""{"files_total": 16, "files_replaced": ${16 - surviving.length},
+         | "rows_updated": 10, "operation": "${after.op}"}""".stripMargin
+    }
+
+    // ---- compaction ----
+    val cmp = {
+      build()
+      val csBefore = one(s"SELECT $checksum FROM graft_cat.db.evidence")
+      val r = sql("CALL graft_cat.sys.compact('db', 'evidence', 134217728)")
+        .collect().head
+      val cs = one(s"SELECT $checksum FROM graft_cat.db.evidence")
+      require(cs == csBefore, s"compact changed results: $cs vs $csBefore")
+      s"""{"files_before": ${r.getLong(0)}, "files_after": ${r.getLong(1)},
+         | "rows": ${r.getLong(2)}}""".stripMargin
+    }
+
+    val json =
+      s"""{"probe": "graft.CatalogEvidence — the graft_cat lake-table layer measured on a 16-file, 1M-row table; every arm's answer verified before its measurement is recorded",
+         | "delete_split": $del,
+         | "file_skipping": $skip,
+         | "group_local_update": $upd,
+         | "compaction": $cmp,
+         | "note": "bytes_rewritten is the copy-on-write cost of the boundary file; files_replaced counts manifest entries that changed across the UPDATE — the other 15 are byte-identical entries serving the same data files."}"""
+        .stripMargin
+    Evidence.writeArtifact(outFile, json)
+    spark.stop()
+  }
+}
