@@ -604,6 +604,29 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
+  /** q274: FEDERATED catalog ⋈ parquet join — catalog tables are
+    * first-class in PLANNING, not just readable: the dim's manifest
+    * statistics (25 rows, a few hundred bytes) sit under the broadcast
+    * threshold, so Catalyst broadcasts the catalog side and the parquet
+    * fact never shuffles (PlanSpec pins BroadcastHashJoin with the
+    * graft_cat scan on the build side). The 100 TB shape: lake-format
+    * dims joining warehouse-extract facts with the join strategy chosen
+    * from CONNECTOR-reported statistics. Oracle: DuckDB joins the same
+    * two sources directly. */
+  val q274CatalogFederated: Q = (s, d) => {
+    val t = catTable(s, d, "ev274")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+             |FROM parquet.`$d/nation.parquet`""".stripMargin)
+    s.sql(s"""SELECT d.name AS name, count(*) AS n,
+             |  sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |    AS cents
+             |FROM parquet.`$d/events.parquet` e
+             |JOIN $t d ON e.event_id % 25 = d.k
+             |WHERE e.value IS NOT NULL
+             |GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -612,6 +635,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q274_catalog_federated" -> q274CatalogFederated,
     "q273_catalog_merge" -> q273CatalogMerge,
     "q272_catalog_update" -> q272CatalogUpdate,
     "q271_catalog_compact" -> q271CatalogCompact,
@@ -694,6 +718,15 @@ object IngestQueries {
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), count(*),
         |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // DuckDB joins the same two sources directly — the catalog's
+    // round trip of nation must be invisible to the join.
+    "q274_catalog_federated" ->
+      """SELECT n.n_name AS name, count(*) AS n,
+        |  CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events e JOIN nation n ON e.event_id % 25 = n.n_nationkey
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // The UPDATE's CASE, applied by DuckDB to the source rows.
     "q272_catalog_update" ->
       """SELECT event_id % 6 AS g, count(*) AS n,

@@ -1731,4 +1731,17 @@ class PlanSpec extends SparkSpec {
     pOff should include("SortMergeJoin")
     pOff should not include "BroadcastHashJoin"
   }
+
+  test("q274: the catalog dim's CONNECTOR-reported statistics choose the broadcast — the parquet fact never shuffles for the join") {
+    val df = IngestQueries.q274CatalogFederated(spark, sf)
+    val p = plan(df)
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // the broadcast side is the catalog scan (manifest statistics: 25
+    // rows), visible as the graft_cat relation under the exchange
+    p should include("graft_cat")
+    // the fact side's only exchange is the aggregation's, never a join
+    // shuffle: one hashpartitioning exchange in the whole plan
+    "Arguments: hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
 }
