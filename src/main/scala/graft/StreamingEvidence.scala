@@ -25,7 +25,11 @@ import graft.streaming.EventStream
   *     RocksDB state store) — chopped feed ≡ the batch groupBy aggregate;
   *  3. exactly-once-effective sink ([[EventStream.idempotentBatchWrite]])
   *     — a replayed micro-batch leaves the landed rows equal to the batch
-  *     distinct input (no duplicates, no losses).
+  *     distinct input (no duplicates, no losses);
+  *  4. catalog versioned sink (`writeStream.toTable` into `graft_cat`,
+  *     [[graft.sources.CatalogStreamingWrite]]) — chopped feed lands as
+  *     stream-epoch versions equal to the batch input, and a replayed
+  *     epoch commit moves neither the version nor the rows.
   *
   * Usage: `runMain graft.StreamingEvidence [sfDir] [outFile]`
   * (defaults: /root/testdata/sf0.01, work/streaming_r13.json). Exit 1 if
@@ -267,7 +271,47 @@ object StreamingEvidence {
         java.nio.file.Paths.get(dir)) // compared above — the dir is disposable
     }
 
-    val twins = Seq(dedup, spatial, asof, tws, eos)
+    // ---- twin 4: catalog versioned sink (epoch-idempotent commits) ----
+    // The same 3-chop slice streams through writeStream.toTable into a
+    // graft_cat table (each micro-batch one stream-epoch version), then
+    // epoch 0 is REPLAYED at the protocol level; landed rows must equal
+    // the batch input exactly and the replay must not move the version.
+    val cat = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.stream_evidence")
+      spark.sql(
+        "CREATE TABLE graft_cat.db.stream_evidence (k BIGINT, cents BIGINT)")
+      val slice = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull && col("event_id") < 3000)
+        .select(col("event_id"), (col("value") * 100).cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val chunks = slice.grouped(1000).toSeq
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-cat-ckpt").toString
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("k", "cents").writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .toTable("graft_cat.db.stream_evidence")
+      try chunks.foreach { ch =>
+        input.addData(ch.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val dir = new java.io.File("/root/repo/work/graft_cat/db/stream_evidence")
+      val vBefore = graft.sources.GraftTableCatalog.readLatest(dir)
+      new graft.sources.CatalogStreamingWrite(dir,
+        graft.sources.GraftTableCatalog.readSchema(dir)).commit(0L, Array.empty)
+      require(graft.sources.GraftTableCatalog.readLatest(dir) == vBefore,
+        "replayed epoch moved the version")
+      val landed = spark.sql(
+          "SELECT k, cents FROM graft_cat.db.stream_evidence")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
+      TwinResult("catalog_versioned_sink", unit = "rows",
+        landed.length.toLong, slice.length.toLong,
+        md5(landed.toSeq.map(fmt)), md5(slice.toSeq.map(fmt)),
+        chops = chunks.length)
+    }
+
+    val twins = Seq(dedup, spatial, asof, tws, eos, cat)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +
