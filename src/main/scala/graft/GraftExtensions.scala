@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge (graft.plans.AsofJoinExec); vanilla sessions fall back to the
     // composable union+window formulation (operators.Asof's guard)
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    // V2 view resolution (graft.plans.ResolveGraftViews): OSS Spark ships
+    // the ViewCatalog API but resolves no v2 views — this rule expands a
+    // graft_cat view reference to its stored SQL, the Iceberg pattern
+    ext.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
   }
 }
 

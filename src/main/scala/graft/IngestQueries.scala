@@ -627,6 +627,30 @@ object IngestQueries {
              |GROUP BY 1""".stripMargin)
   }
 
+  /** q275: persisted CATALOG VIEW through the V2 ViewCatalog surface.
+    * OSS Spark ships the API but wires neither view DDL nor resolution
+    * for v2 catalogs, so the engine supplies both the Iceberg way: DDL
+    * rides the procedure surface (`CALL graft_cat.sys.create_view`),
+    * and SELECT resolution rides the injected
+    * [[graft.plans.ResolveGraftViews]] analyzer rule expanding the
+    * stored SQL. The definition (SQL + schema derived by analysis at
+    * create time) is a catalog object any session carrying the conf can
+    * read; CatalogSpec pins persistence, base-table tracking, and both
+    * name-clash guards. With it every catalog plugin surface is
+    * exercised: tables, functions, procedures, views. Oracle: DuckDB
+    * computes the view's aggregate straight from events. */
+  val q275CatalogView: Q = (s, d) => {
+    val t = catTable(s, d, "ev275")
+    val vName = s"ev275v_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)}")
+    s.sql(s"CALL graft_cat.sys.drop_view('db', '$vName')")
+    s.sql(s"CALL graft_cat.sys.create_view('db', '$vName', " +
+      s"'SELECT k % 11 AS g, cents FROM $t WHERE cents >= 500')")
+    s.sql(s"""SELECT g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c
+             |FROM graft_cat.db.$vName GROUP BY g""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -635,6 +659,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q275_catalog_view" -> q275CatalogView,
     "q274_catalog_federated" -> q274CatalogFederated,
     "q273_catalog_merge" -> q273CatalogMerge,
     "q272_catalog_update" -> q272CatalogUpdate,
@@ -718,6 +743,15 @@ object IngestQueries {
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), count(*),
         |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // The view's aggregate computed straight from events.
+    "q275_catalog_view" ->
+      """SELECT event_id % 11 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents, min(c) AS min_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE c >= 500
+        |GROUP BY 1""".stripMargin,
     // DuckDB joins the same two sources directly — the catalog's
     // round trip of nation must be invisible to the join.
     "q274_catalog_federated" ->

@@ -6,9 +6,9 @@ import java.nio.file.{Files, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -57,7 +57,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * lifecycle, the delete split, time travel, and the snapshots table
   * against DuckDB replaying the same mutations. */
 class GraftTableCatalog extends CatalogPlugin with TableCatalog
-    with SupportsNamespaces with ProcedureCatalog {
+    with SupportsNamespaces with ProcedureCatalog with ViewCatalog {
   import GraftTableCatalog._
 
   private var catalogName = "graft_cat"
@@ -156,6 +156,22 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     new CatalogTable(dir, s"${qualified(ident)}@v$v", pinned = Some(v))
   }
 
+  /** `TIMESTAMP AS OF t`: the greatest version committed at or before t
+    * (manifests record their commit wall-clock). Spark hands micros. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!new File(dir, SchemaFile).exists())
+      throw new NoSuchTableException(ident)
+    val ms = timestamp / 1000L
+    val v = (1L to readLatest(dir))
+      .filter(v => new File(dir, s"v$v.manifest").exists())
+      .filter(v => readManifest(dir, v).commitMs <= ms)
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"${qualified(ident)} has no commit at or before timestamp $ms ms"))
+    new CatalogTable(dir, s"${qualified(ident)}@v$v", pinned = Some(v))
+  }
+
   private def qualified(ident: Identifier): String =
     (name() +: ident.namespace :+ ident.name).mkString(".")
 
@@ -175,6 +191,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     val dir = tableDir(ident)
     if (new File(dir, SchemaFile).exists())
       throw new TableAlreadyExistsException(ident)
+    require(!viewFile(ident).exists(),
+      s"a VIEW named ${qualified(ident)} already exists")
     new File(dir, "data").mkdirs()
     writeSchema(dir, schema)
     commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
@@ -230,6 +248,65 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     f.delete()
   }
 
+  // ---- views (`CREATE VIEW graft_cat.db.v AS SELECT ...`) ----
+  // A view is its recorded SQL plus the resolution context Spark needs
+  // to replay it (catalog, namespace, schema, output names) — stored as
+  // one JSON file beside the table dirs, published by atomic rename.
+  // Persisted views are the catalog surface the reference's BI layer
+  // would sit on: logic ships to every session, not every notebook.
+  private def viewFile(ident: Identifier): File =
+    new File(nsDir(ident.namespace), s"${ident.name}.view.json")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val d = nsDir(namespace.toArray)
+    if (!d.isDirectory)
+      throw new NoSuchNamespaceException(name() +: namespace)
+    d.listFiles().filter(_.getName.endsWith(".view.json"))
+      .map(f => Identifier.of(namespace.toArray,
+        f.getName.stripSuffix(".view.json")))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && viewFile(ident).exists()
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    StoredView.read(viewFile(ident), qualified(ident))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    require(namespaceExists(ident.namespace),
+      s"no namespace ${ident.namespace.mkString(".")}")
+    require(!new File(tableDir(ident), SchemaFile).exists(),
+      s"a TABLE named ${qualified(ident)} already exists")
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    StoredView.write(viewFile(ident), info)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[StoredView]
+    val props = changes.foldLeft(v.props) {
+      case (p, set: ViewChange.SetProperty) => p + (set.property -> set.value)
+      case (p, rm: ViewChange.RemoveProperty) => p - rm.property
+      case (p, _) => p
+    }
+    StoredView.writeRecord(viewFile(ident), v.copy(props = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && viewFile(ident).delete()
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace.sameElements(newIdent.namespace),
+      "rename stays within a namespace")
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    Files.move(viewFile(oldIdent).toPath, viewFile(newIdent).toPath)
+  }
+
   // ---- procedures (`CALL graft_cat.sys.compact('db', 't', ...)`) ----
   private[sources] def resolveTableDir(ns: String, table: String): File = {
     val dir = tableDir(Identifier.of(Array(ns), table))
@@ -240,12 +317,16 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("sys")))
       Array(Identifier.of(Array("sys"), "compact"),
-        Identifier.of(Array("sys"), "expire_versions"))
+        Identifier.of(Array("sys"), "expire_versions"),
+        Identifier.of(Array("sys"), "create_view"),
+        Identifier.of(Array("sys"), "drop_view"))
     else Array.empty
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     (ident.namespace.toSeq, ident.name) match {
       case (Seq("sys"), "compact") => new CompactProcedure(this)
       case (Seq("sys"), "expire_versions") => new ExpireProcedure(this)
+      case (Seq("sys"), "create_view") => new CreateViewProcedure(this)
+      case (Seq("sys"), "drop_view") => new DropViewProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -269,7 +350,7 @@ object GraftTableCatalog {
     * epoch set live in one immutable manifest so they can never
     * disagree, the LedgerSink rule on the versioned chain. */
   case class Manifest(version: Long, op: String, files: Seq[Entry],
-      epochs: Set[Long] = Set.empty)
+      epochs: Set[Long] = Set.empty, commitMs: Long = 0L)
 
   // Test-only observability (single-JVM local mode), the SeriesSource
   // counters' discipline: data files actually opened by readers, and the
@@ -314,7 +395,9 @@ object GraftTableCatalog {
     val epochs = lines.collect { case l if l.startsWith("E\t") =>
       l.split("\t")(1).toLong
     }.toSet
-    Manifest(version, op, files, epochs)
+    val commitMs = lines.collectFirst { case l if l.startsWith("T\t") =>
+      l.split("\t")(1).toLong }.getOrElse(0L)
+    Manifest(version, op, files, epochs, commitMs)
   }
 
   /** Publish version `expectedLatest + 1`: the manifest file is created
@@ -325,7 +408,8 @@ object GraftTableCatalog {
   def commitVersion(dir: File, expectedLatest: Long, op: String,
       files: Seq[Entry], epochs: Set[Long] = Set.empty): Long = {
     val next = expectedLatest + 1
-    val body = (s"O\t$op" +: (files.map { e =>
+    val body = (Seq(s"O\t$op",
+      s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
       s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st"
@@ -1228,4 +1312,153 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
         new File(new File(dir, "data"), e.name).delete()
       case _ => ()
     }
+}
+
+/** A persisted V2 view: the recorded SQL plus its resolution context,
+  * one JSON file published by atomic rename (null column aliases /
+  * comments ride a NUL sentinel — JSON-library-agnostic). */
+private[sources] case class StoredView(viewName: String, sql: String,
+    cat: String, ns: Seq[String], schemaJson: String,
+    queryCols: Seq[String], aliases: Seq[String], comments: Seq[String],
+    props: Map[String, String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = sql
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] = ns.toArray
+  override def schema(): StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  override def queryColumnNames(): Array[String] = queryCols.toArray
+  override def columnAliases(): Array[String] =
+    aliases.map(a => if (a == StoredView.Nul) null else a).toArray
+  override def columnComments(): Array[String] =
+    comments.map(c => if (c == StoredView.Nul) null else c).toArray
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+}
+
+private[sources] object StoredView {
+  val Nul = "\u0000"
+  private case class Rec(sql: String, cat: String, ns: Seq[String],
+      schemaJson: String, queryCols: Seq[String], aliases: Seq[String],
+      comments: Seq[String], props: Map[String, String])
+  implicit private val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def nulify(a: Array[String]): Seq[String] =
+    Option(a).map(_.toSeq.map(x => if (x == null) Nul else x))
+      .getOrElse(Seq.empty)
+
+  private def writeAtomic(f: File, body: String): Unit = {
+    val tmp = new File(f.getParentFile,
+      s".view.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def write(f: File, info: ViewInfo): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeAtomic(f, org.json4s.jackson.Serialization.write(Rec(
+      info.sql, info.currentCatalog,
+      Option(info.currentNamespace).map(_.toSeq).getOrElse(Seq.empty),
+      info.schema.json,
+      Option(info.queryColumnNames).map(_.toSeq).getOrElse(Seq.empty),
+      nulify(info.columnAliases), nulify(info.columnComments),
+      Option(info.properties)
+        .map(_.asScala.toMap).getOrElse(Map.empty))))
+  }
+
+  def writeRecord(f: File, v: StoredView): Unit =
+    writeAtomic(f, org.json4s.jackson.Serialization.write(Rec(
+      v.sql, v.cat, v.ns, v.schemaJson, v.queryCols, v.aliases,
+      v.comments, v.props)))
+
+  def read(f: File, qualifiedName: String): StoredView = {
+    val r = org.json4s.jackson.Serialization.read[Rec](
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    StoredView(qualifiedName, r.sql, r.cat, r.ns, r.schemaJson,
+      r.queryCols, r.aliases, r.comments, r.props)
+  }
+}
+
+/** `CALL graft_cat.sys.create_view(ns, name, sql)` — view DDL on the
+  * procedure surface, because OSS Spark's `CREATE VIEW` statement
+  * refuses non-session catalogs outright (ResolveSessionCatalog throws
+  * CATALOG_OPERATION before any extension rule runs) while `CALL` IS
+  * wired. The view's schema is derived by ANALYZING the SQL in the
+  * active session (no execution), then stored with the resolution
+  * context; reads resolve through the injected
+  * [[graft.plans.ResolveGraftViews]] rule. Use qualified table names in
+  * the view SQL — unqualified references resolve in the READER's
+  * session context. */
+private class CreateViewProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "create_view"
+  override def description(): String =
+    "persist a view definition (ns, name, sql) in the catalog"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "create_view"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val ns = input.getUTF8String(0).toString
+        val viewName = input.getUTF8String(1).toString
+        val sql = input.getUTF8String(2).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val schema = spark.sql(sql).schema // analysis only, no job
+        val ident = Identifier.of(Array(ns), viewName)
+        cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          ident, sql, cat.name(), Array(ns), schema,
+          schema.fieldNames, Array.empty[String], Array.empty[String],
+          java.util.Map.of[String, String]()))
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(CreateViewProcedure.resultSchema,
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString(s"${cat.name()}.$ns.$viewName"),
+              schema.fields.length.toLong))).iterator()
+      }
+    }
+}
+
+private object CreateViewProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("columns", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.drop_view(ns, name)` — the DDL complement. */
+private class DropViewProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "drop_view"
+  override def description(): String = "drop a persisted view (ns, name)"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_view"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dropped = cat.dropView(Identifier.of(
+          Array(input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString))
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(DropViewProcedure.resultSchema,
+            Array[Any](dropped))).iterator()
+      }
+    }
+}
+
+private object DropViewProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)
 }

@@ -295,6 +295,50 @@ class CatalogSpec extends SparkSpec {
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
   }
 
+  test("views: sys.create_view persists SQL, SELECT resolves through the injected rule, name-clash guards hold") {
+    val t = freshTable("vbase", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(0, 100, 1, 1)")
+    sql("CALL graft_cat.sys.drop_view('db', 'v_doubled')")
+    val res = sql("CALL graft_cat.sys.create_view('db', 'v_doubled', " +
+      s"'SELECT k, v, v - k AS delta FROM $t WHERE k >= 10')")
+      .collect().head
+    res.getString(0) shouldBe "graft_cat.db.v_doubled"
+    res.getLong(1) shouldBe 3L // schema derived by analysis at create time
+    rows("SELECT count(*), sum(delta) FROM graft_cat.db.v_doubled") shouldBe
+      Seq(Seq(90L, (10L until 100L).sum))
+    // the view is a definition, not a copy: it tracks its base table
+    sql(s"INSERT INTO $t VALUES (200, 1000)")
+    rows("SELECT count(*) FROM graft_cat.db.v_doubled") shouldBe Seq(Seq(91L))
+    // the stored definition lives beside the table dirs
+    new File("work/graft_cat/db/v_doubled.view.json").exists() shouldBe true
+    // a table cannot shadow a view, nor a view a table
+    intercept[Exception](
+      sql("CREATE TABLE graft_cat.db.v_doubled (k BIGINT)"))
+    intercept[Exception](
+      sql("CALL graft_cat.sys.create_view('db', 'vbase', 'SELECT 1 AS one')"))
+    sql("CALL graft_cat.sys.drop_view('db', 'v_doubled')")
+    intercept[Exception](rows("SELECT * FROM graft_cat.db.v_doubled"))
+  }
+
+  test("TIMESTAMP AS OF serves the greatest version committed at or before the timestamp") {
+    val t = freshTable("tstrav", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")  // v2
+    Thread.sleep(25)
+    sql(s"INSERT INTO $t SELECT id, id FROM range(10, 40, 1, 1)") // v3
+    val dir = new File("work/graft_cat/db/tstrav")
+    val t2 = GraftTableCatalog.readManifest(dir, 2).commitMs
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t2))
+    rows(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$lit'") shouldBe
+      Seq(Seq(10L))
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(40L))
+    // a timestamp before the first commit is rejected, not empty
+    intercept[Exception](
+      rows(s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+  }
+
   test("write-path schema enforcement: wrong column types are rejected before any file lands") {
     freshTable("strict", "k BIGINT, v BIGINT")
     intercept[Exception] {
