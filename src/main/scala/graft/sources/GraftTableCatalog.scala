@@ -477,6 +477,18 @@ object GraftTableCatalog {
     }
   }
 
+  /** One reader task per data file: the partition carries the table's
+    * column types (positional decode) plus the required projection's
+    * source indices (-1 = the `_file` metadata column). */
+  private[sources] def filePartition(dir: File, tableSchema: StructType,
+      required: StructType, e: Entry): CatalogFilePartition =
+    CatalogFilePartition(
+      new File(new File(dir, "data"), e.name).getPath, e.name,
+      e.rows, e.cols,
+      tableSchema.fields.map(_.dataType.json),
+      required.fields.map(f =>
+        if (f.name == FileMetaCol) -1 else tableSchema.fieldIndex(f.name)))
+
   /** Conservative tri-state "might this file contain a matching row?"
     * from per-long-column min/max. `true` means "cannot rule it out". */
   def mayMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
@@ -637,7 +649,7 @@ private class CatalogTable(dir: File, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   private def liveManifest(): Manifest = {
     val v = pinned.getOrElse(readLatest(dir))
@@ -645,7 +657,8 @@ private class CatalogTable(dir: File, tableName: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, schema(), liveManifest())
+    new CatalogScanBuilder(dir, schema(), liveManifest(),
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
@@ -716,7 +729,8 @@ private class CatalogTable(dir: File, tableName: String,
 }
 
 private class CatalogScanBuilder(dir: File, schema: StructType,
-    manifest: GraftTableCatalog.Manifest) extends ScanBuilder
+    manifest: GraftTableCatalog.Manifest, startingVersion: Long = 0L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import GraftTableCatalog._
   private var skipFilters = Array.empty[Filter]
@@ -737,38 +751,33 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   override def build(): Scan = {
     val live = manifest.files.filter(e =>
       skipFilters.forall(mayMatch(_, e.stats)))
-    new CatalogScan(dir, schema, required, live, manifest.version)
+    new CatalogScan(dir, schema, required, live, manifest.version,
+      startingVersion)
   }
 }
 
 private class CatalogScan(dir: File, tableSchema: StructType,
-    required: StructType, initialFiles: Seq[GraftTableCatalog.Entry],
-    version: Long)
+    required: StructType, files: Seq[GraftTableCatalog.Entry],
+    version: Long, startingVersion: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
-  protected def currentFiles: Seq[GraftTableCatalog.Entry] = initialFiles
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CatalogMicroBatchStream(dir, tableSchema, required, startingVersion)
   override def description(): String =
-    s"graft_cat $dir v$version files=${currentFiles.length} " +
+    s"graft_cat $dir v$version files=${files.length} " +
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    currentFiles.map { e =>
-      CatalogFilePartition(
-        new File(new File(dir, "data"), e.name).getPath, e.name,
-        e.rows, e.cols,
-        tableSchema.fields.map(_.dataType.json),
-        // required field -> source index in the FILE's row (-1 = _file)
-        required.fields.map(f =>
-          if (f.name == GraftTableCatalog.FileMetaCol) -1
-          else tableSchema.fieldIndex(f.name))): InputPartition
-    }.toArray
+    files.map(e => GraftTableCatalog
+      .filePartition(dir, tableSchema, required, e): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     CatalogReaderFactory
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(currentFiles.map(_.bytes).sum)
+      java.util.OptionalLong.of(files.map(_.bytes).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(currentFiles.map(_.rows).sum)
+      java.util.OptionalLong.of(files.map(_.rows).sum)
   }
 }
 
@@ -1461,4 +1470,67 @@ private object DropViewProcedure {
   val resultSchema: StructType = new StructType()
     .add("dropped", org.apache.spark.sql.types.BooleanType,
       nullable = false)
+}
+
+/** The catalog table as a STREAMING SOURCE — version-offset tailing,
+  * the Delta/Iceberg change-feed shape: offsets are manifest versions,
+  * and each micro-batch reads the data files NEWLY REFERENCED by
+  * append-family commits (`append`, `stream-epoch`, `overwrite`) in the
+  * offset window. Row-level mutations (delete/update/merge/compact)
+  * reference rewritten copies of EXISTING rows, so their commits emit
+  * nothing — this is an append feed, not a full CDF with change types
+  * (documented floor). `startingVersion` (default 0 = full history)
+  * skips the backlog. Offsets are plain version numbers, so a restart
+  * from the checkpoint resumes exactly; expired versions inside a
+  * window are skipped (expire_versions bounds history explicitly). */
+private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
+    required: StructType, startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import GraftTableCatalog._
+  private val AppendOps = Set("append", "stream-epoch", "overwrite")
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(math.max(0L, startingVersion))
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(readLatest(dir))
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(json.toLong)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    ((s + 1) to e)
+      .filter(v => new File(dir, s"v$v.manifest").exists())
+      .flatMap { v =>
+        val m = readManifest(dir, v)
+        if (!AppendOps.contains(m.op)) Seq.empty
+        else {
+          val prev =
+            if (v > 1 && new File(dir, s"v${v - 1}.manifest").exists())
+              readManifest(dir, v - 1).files.map(_.name).toSet
+            else Set.empty[String]
+          m.files.filterNot(f => prev.contains(f.name))
+        }
+      }
+      .map(e2 => filePartition(dir, tableSchema, required, e2)
+        : InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+}
+
+private case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
 }

@@ -339,6 +339,34 @@ class CatalogSpec extends SparkSpec {
       rows(s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01 00:00:00'"))
   }
 
+  test("streaming SOURCE: readStream.table tails versions — appends arrive per commit, mutations emit nothing, catalog-to-catalog runs end to end") {
+    freshTable("cdcsrc", "k BIGINT, v BIGINT")
+    freshTable("cdcdst", "k BIGINT, v BIGINT")
+    val src = "graft_cat.db.cdcsrc"
+    val dst = "graft_cat.db.cdcdst"
+    sql(s"INSERT INTO $src SELECT id, id FROM range(0, 5, 1, 1)") // backlog
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val q = spark.readStream.table(src)
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .toTable(dst)
+    try {
+      q.processAllAvailable() // startingVersion defaults to full history
+      rows(s"SELECT count(*) FROM $dst") shouldBe Seq(Seq(5L))
+      sql(s"INSERT INTO $src SELECT id, id FROM range(5, 12, 1, 1)")
+      q.processAllAvailable()
+      rows(s"SELECT count(*) FROM $dst") shouldBe Seq(Seq(12L))
+      // a row-level mutation rewrites EXISTING rows — the append feed
+      // carries nothing for it
+      sql(s"UPDATE $src SET v = v + 1 WHERE k = 3")
+      q.processAllAvailable()
+      rows(s"SELECT count(*) FROM $dst") shouldBe Seq(Seq(12L))
+      // and the feed keeps flowing afterwards
+      sql(s"INSERT INTO $src VALUES (100, 100)")
+      q.processAllAvailable()
+      rows(s"SELECT v FROM $dst WHERE k = 100") shouldBe Seq(Seq(100L))
+    } finally q.stop()
+  }
+
   test("write-path schema enforcement: wrong column types are rejected before any file lands") {
     freshTable("strict", "k BIGINT, v BIGINT")
     intercept[Exception] {
