@@ -1508,22 +1508,25 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
-    ((s + 1) to e)
-      .filter(v => new File(dir, s"v$v.manifest").exists())
-      .flatMap { v =>
-        val m = readManifest(dir, v)
-        if (!AppendOps.contains(m.op)) Seq.empty
-        else {
-          val prev =
-            if (v > 1 && new File(dir, s"v${v - 1}.manifest").exists())
-              readManifest(dir, v - 1).files.map(_.name).toSet
-            else Set.empty[String]
-          m.files.filterNot(f => prev.contains(f.name))
+    // Walk the window carrying the file set seen SO FAR: "new" means new
+    // versus the last retained manifest at or before v, not just v-1 —
+    // a mid-window expired manifest must not make old files look new,
+    // and non-append commits still advance the baseline so a delete's
+    // rewritten copies never surface at the next append.
+    def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
+    var seen: Set[String] =
+      if (s >= 1 && exists(s)) readManifest(dir, s).files.map(_.name).toSet
+      else Set.empty
+    val out = Seq.newBuilder[InputPartition]
+    ((s + 1) to e).filter(exists).foreach { v =>
+      val m = readManifest(dir, v)
+      if (AppendOps.contains(m.op))
+        m.files.filterNot(f => seen.contains(f.name)).foreach { f =>
+          out += filePartition(dir, tableSchema, required, f)
         }
-      }
-      .map(e2 => filePartition(dir, tableSchema, required, e2)
-        : InputPartition)
-      .toArray
+      seen = m.files.map(_.name).toSet
+    }
+    out.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
