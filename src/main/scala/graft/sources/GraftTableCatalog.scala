@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -526,6 +526,7 @@ object GraftTableCatalog {
       }
       case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case _: AlwaysFalse => false
       case _ => true
     }
   }
@@ -563,6 +564,9 @@ object GraftTableCatalog {
       }
       case And(l, r) => allMatch(l, stats) && allMatch(r, stats)
       case Or(l, r) => allMatch(l, stats) || allMatch(r, stats)
+      // SQL TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — every
+      // file drops metadata-only
+      case _: AlwaysTrue => true
       case _ => false
     }
   }
@@ -600,6 +604,8 @@ object GraftTableCatalog {
       case And(l, r) => evalFilter(l, schema, row) && evalFilter(r, schema, row)
       case Or(l, r) => evalFilter(l, schema, row) || evalFilter(r, schema, row)
       case Not(x) => !evalFilter(x, schema, row)
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
       case _ => sys.error(s"unsupported delete filter $f")
     }
   }
@@ -608,6 +614,7 @@ object GraftTableCatalog {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
          IsNull(_) | IsNotNull(_) => true
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => filterSupported(l) && filterSupported(r)
     case Or(l, r) => filterSupported(l) && filterSupported(r)
     case Not(x) => filterSupported(x)

@@ -77,6 +77,13 @@ class CatalogSpec extends SparkSpec {
     // delete-all empties the table but the versions remain
     sql(s"DELETE FROM $t WHERE k >= 0")
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(0L))
+    // SQL TRUNCATE arrives as deleteWhere(AlwaysTrue): metadata-only,
+    // every prior version still readable
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 7, 1, 1)")
+    sql(s"TRUNCATE TABLE $t")
+    GraftTableCatalog.lastDeleteDropped.get() shouldBe 1L
+    GraftTableCatalog.lastDeleteRewritten.get() shouldBe 0L
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(0L))
   }
 
   test("time travel: every committed version stays exactly readable behind later overwrites and deletes") {
