@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the generated-class cache defaults to 100 entries — a 275-query
+      // session thrashes it, paying Janino recompilation per query and
+      // flooding the JIT code cache; sized to hold the whole catalog
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // NOTE: `canChangeCachedPlanOutputPartitioning` stays at Spark's
       // default here. The keyed graph loops — the only plans that need a
       // persisted edge list to KEEP its hash(src,np) partitioning across
