@@ -30,7 +30,10 @@ object CatalogEvidence {
 
     def sql(q: String) = spark.sql(q)
     def one(q: String): Seq[Any] = sql(q).collect().head.toSeq
-    val dir = new java.io.File("work/graft_cat/db/evidence")
+    // absolute, matching the session's pinned catalog root — a relative
+    // path would read a different place than SQL writes if the harness
+    // launches outside /root/repo
+    val dir = new java.io.File("/root/repo/work/graft_cat/db/evidence")
     def manifest() = GraftTableCatalog.readManifest(dir,
       GraftTableCatalog.readLatest(dir))
     def build(): Unit = {

@@ -187,6 +187,10 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
       require(f.name != FileMetaCol,
         s"$FileMetaCol is a reserved metadata column name")
+      // manifest stats serialize as name:lo:hi joined by ';' — a name
+      // carrying either delimiter would brick every later read
+      require(f.name.matches("[A-Za-z0-9_]+"),
+        s"illegal column name ${f.name} (letters, digits, _ only)")
     }
     val dir = tableDir(ident)
     if (new File(dir, SchemaFile).exists())
@@ -219,6 +223,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           s"graft_cat stores LONG/DOUBLE/STRING; got ${add.dataType}")
         require(s.fields.length < 64, // the codec's one-long null bitmap
           "graft_cat tables hold at most 64 columns")
+        require(add.fieldNames()(0).matches("[A-Za-z0-9_]+"),
+          s"illegal column name ${add.fieldNames()(0)}")
         s.add(add.fieldNames()(0), add.dataType, nullable = true)
       case (_, c) =>
         sys.error(s"graft_cat supports only ADD COLUMN evolution; got $c")
@@ -240,6 +246,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       throw new NoSuchTableException(oldIdent)
     if (new File(tableDir(newIdent), SchemaFile).exists())
       throw new TableAlreadyExistsException(newIdent)
+    require(!viewFile(newIdent).exists(),
+      s"a VIEW named ${qualified(newIdent)} already exists")
     Files.move(tableDir(oldIdent).toPath, tableDir(newIdent).toPath)
   }
 
@@ -304,6 +312,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       "rename stays within a namespace")
     if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
     if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    require(!new File(tableDir(newIdent), SchemaFile).exists(),
+      s"a TABLE named ${qualified(newIdent)} already exists")
     Files.move(viewFile(oldIdent).toPath, viewFile(newIdent).toPath)
   }
 
@@ -676,8 +686,15 @@ private class CatalogTable(dir: File, tableName: String,
     new CatalogWriteBuilder(dir, s)
   }
 
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && filters.forall(filterSupported)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // decline filters touching columns outside the DATA schema (e.g. the
+    // _file metadata column): the row evaluator has no value for them —
+    // declining routes the delete to the group-based row-level path,
+    // whose scan DOES expose _file
+    val dataCols = schema().fieldNames.toSet
+    pinned.isEmpty && filters.forall(f =>
+      filterSupported(f) && f.references.forall(dataCols.contains))
+  }
 
   /** The Iceberg delete split: stats-proven all-match files DROP from the
     * manifest, none-match files survive untouched (byte-identical), only
@@ -863,11 +880,22 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
     val latest = readLatest(dir)
     val m = if (latest == 0) Manifest(0, "none", Seq.empty)
       else readManifest(dir, latest)
-    if (m.epochs.contains(epochId)) return // replayed micro-batch: no-op
-    val added = messages.map { case CatalogCommit(e) => e }.toSeq
-      .filter(_.rows > 0)
-    commitVersion(dir, latest, "stream-epoch", m.files ++ added,
+    def dropFiles(msgs: Seq[WriterCommitMessage]): Unit = msgs.foreach {
+      case CatalogCommit(e) => new File(new File(dir, "data"), e.name).delete()
+      case _ => ()
+    }
+    if (m.epochs.contains(epochId)) {
+      // replayed micro-batch: the commit is a no-op, and the replay's
+      // freshly written task files would otherwise strand forever
+      // (referenced by no manifest, so expire never touches them)
+      dropFiles(messages.toSeq)
+      return
+    }
+    val (kept, empty) = messages.map { case c @ CatalogCommit(e) => c }
+      .partition(_.entry.rows > 0)
+    commitVersion(dir, latest, "stream-epoch", m.files ++ kept.map(_.entry),
       m.epochs + epochId)
+    dropFiles(empty.toSeq) // zero-row task files add nothing
   }
 
   override def abort(epochId: Long,
@@ -889,7 +917,7 @@ private case class CatalogStreamingWriterFactory(dirPath: String,
       .createWriter(partitionId, taskId)
 }
 
-private case class CatalogCommit(entry: GraftTableCatalog.Entry)
+private[graft] case class CatalogCommit(entry: GraftTableCatalog.Entry)
   extends WriterCommitMessage
 
 /** The ledger's commit discipline on the versioned chain: per-task files
@@ -1521,9 +1549,21 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
     // and non-append commits still advance the baseline so a delete's
     // rewritten copies never surface at the next append.
     def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
-    var seen: Set[String] =
-      if (s >= 1 && exists(s)) readManifest(dir, s).files.map(_.name).toSet
-      else Set.empty
+    // baseline = the last RETAINED manifest at or before the start
+    // offset. If the checkpointed version was expired, the baseline is
+    // unrecoverable (append manifests list base ++ added, so an empty
+    // baseline would silently re-emit the whole table): fail loudly —
+    // expiring versions a live stream's checkpoint still needs is an
+    // operator error, same contract as expired VERSION AS OF reads.
+    var seen: Set[String] = (s to 1L by -1).find(exists)
+      .map(v => readManifest(dir, v).files.map(_.name).toSet)
+      .getOrElse {
+        if (s >= 1)
+          throw new IllegalStateException(
+            s"stream offset v$s of $dir was expired by sys.expire_versions" +
+              " — restart the stream from scratch or retain more versions")
+        Set.empty
+      }
     val out = Seq.newBuilder[InputPartition]
     ((s + 1) to e).filter(exists).foreach { v =>
       val m = readManifest(dir, v)

@@ -313,13 +313,19 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     // A pushed top-N plans ONE partition emitting in the requested order:
     // Spark deleted its Sort, so global order must be the scan's own.
     if (ordered) {
+      // the single ordered partition spans slice boundaries, so the
+      // reader derives each id's REAL slice from the declared layout
+      // (sliceOf) — stamping the partition index would silently report
+      // slice=0 for every row
       val s = SeriesSlice(resLo, resHi, index = 0,
         wantFill = required.fieldNames.contains("fill"),
         wantId = required.fieldNames.contains("id"),
         wantSlice = required.fieldNames.contains("slice"),
         aggTags = aggTags,
         ids = runtimeIds.map(_.filter(v => v >= resLo && v < resHi)),
-        descending = desc)
+        descending = desc,
+        sliceOf = Some((start, end - start,
+          math.min(slices.toLong, math.max(end - start, 1L)).toInt)))
       return if (s.lo < s.hi && s.ids.forall(_.nonEmpty)) Array(s)
         else Array.empty
     }
@@ -353,7 +359,10 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
     * key must resolve against the scan's actual output. */
   override def outputPartitioning(): V2Partitioning = {
     val parts = planInputPartitions()
-    if (readSchema().fieldNames.contains("slice"))
+    // a pushed top-N's single partition spans slice boundaries — its
+    // slice values VARY within the partition, so KeyGroupedPartitioning's
+    // constant-per-partition promise would be a lie there
+    if (readSchema().fieldNames.contains("slice") && !ordered)
       new KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity("slice")), parts.length)
@@ -384,7 +393,10 @@ private case class SeriesSlice(lo: Long, hi: Long, index: Int,
     wantFill: Boolean, wantId: Boolean, wantSlice: Boolean,
     aggTags: Option[Seq[String]],
     ids: Option[Array[Long]] = None,
-    descending: Boolean = false)
+    descending: Boolean = false,
+    // (declaredStart, declaredSpan, sliceCount): set when this partition
+    // spans slice boundaries and the reader must derive per-id slices
+    sliceOf: Option[(Long, Long, Int)] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -438,6 +450,14 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
           if (s.descending) { cur -= 1; cur >= s.lo }
           else { cur += 1; cur < s.hi }
         }
+      // inverse of the planner's boundary staircase sLo(i) = start +
+      // floor(span*i/n): the greatest i with sLo(i) <= v, exact via the
+      // same BigInt arithmetic the boundaries use
+      private def sliceIdx(v: Long): Int = s.sliceOf match {
+        case Some((st, sp, n)) =>
+          (((BigInt(v - st) + 1) * n + sp - 1) / sp - 1).toInt
+        case None => s.index
+      }
       override def get(): InternalRow = {
         SeriesSource.rowsEmitted.incrementAndGet()
         val v = if (idsArr != null) idsArr(idx) else cur
@@ -446,7 +466,7 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
         if (s.wantId) { row.update(i, v); i += 1 }
         // columns emit in schema order (id, slice, fill) — the pruned
         // readSchema preserves declared order, so the positions line up
-        if (s.wantSlice) { row.update(i, s.index); i += 1 }
+        if (s.wantSlice) { row.update(i, sliceIdx(v)); i += 1 }
         if (s.wantFill) {
           SeriesSource.fillMaterialized.set(true)
           row.update(i, fill)

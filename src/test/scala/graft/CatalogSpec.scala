@@ -296,10 +296,37 @@ class CatalogSpec extends SparkSpec {
     // ...so the post-crash replay of an already-committed epoch is a
     // NO-OP at the protocol level: no new version, no new rows
     val schema = GraftTableCatalog.readSchema(dir)
+    // the replay arrives WITH freshly re-written task files: the no-op
+    // commit must delete them, or they strand forever (referenced by no
+    // manifest, so expire never touches them)
+    val staged = new File(dir, "data/fake-replay.bin")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
     new graft.sources.CatalogStreamingWrite(dir, schema)
-      .commit(0L, Array.empty)
+      .commit(0L, Array(graft.sources.CatalogCommit(
+        GraftTableCatalog.Entry("fake-replay.bin", 1L, 3L, 2, Map.empty))))
     GraftTableCatalog.readLatest(dir) shouldBe versionsBefore
+    staged.exists() shouldBe false
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
+  }
+
+  test("review pins: DELETE by _file declines to the row-level path; renames respect clash guards; illegal column names rejected") {
+    val t = freshTable("rfix", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(10, 20, 1, 1)")
+    // _file is not a data column: the metadata path declines and the
+    // group-based rewrite (whose scan DOES expose _file) deletes the file
+    val f = sql(s"SELECT _file FROM $t WHERE k = 5").collect().head.getString(0)
+    sql(s"DELETE FROM $t WHERE _file = '$f'")
+    rows(s"SELECT count(*), min(k) FROM $t") shouldBe Seq(Seq(10L, 10L))
+    // a rename cannot shadow a view, nor a view-rename a table
+    sql("CALL graft_cat.sys.drop_view('db', 'rfixview')")
+    sql("CALL graft_cat.sys.create_view('db', 'rfixview', 'SELECT 1 AS one')")
+    intercept[Exception](sql(s"ALTER TABLE $t RENAME TO rfixview"))
+    // stats serialize as name:lo:hi joined by ';' — delimiter names are
+    // rejected at CREATE instead of bricking the first read
+    intercept[Exception](
+      sql("CREATE TABLE graft_cat.db.badcol (`a:b` BIGINT)"))
+    sql("CALL graft_cat.sys.drop_view('db', 'rfixview')")
   }
 
   test("views: sys.create_view persists SQL, SELECT resolves through the injected rule, name-clash guards hold") {

@@ -220,6 +220,20 @@ class SeriesSourceSpec extends SparkSpec {
     declined.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L, 7L, 14L)
   }
 
+  test("top-N pushdown reports REAL slices: the ordered partition derives each id's slice from the declared layout") {
+    val top = series(4000000L).select(col("id"), col("slice"))
+      .orderBy(col("id").desc).limit(3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    top shouldBe Seq((3999999L, 31), (3999998L, 31), (3999997L, 31))
+    // uneven layout, full window: derived slices must equal the unpushed
+    // scan's partition-stamped slices for every id
+    val truth = series(1000L, slices = 7).select(col("id"), col("slice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    series(1000L, slices = 7).select(col("id"), col("slice"))
+      .orderBy(col("id")).limit(1000)
+      .collect().foreach(r => r.getInt(1) shouldBe truth(r.getLong(0)))
+  }
+
   test("offset pushdown: offset/limit windows in both compositions match SQL semantics with no double skip") {
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.collect().map(_.getLong(0)).toSeq.sorted
