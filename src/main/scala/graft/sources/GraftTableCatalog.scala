@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
@@ -797,6 +798,11 @@ private class CatalogScan(dir: File, tableSchema: StructType,
       .filePartition(dir, tableSchema, required, e): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     CatalogReaderFactory
+  /** V2 CUSTOM METRICS: files actually opened and rows decoded, as
+    * first-class SQL metrics — the file-skipping story, observable on
+    * every executed plan rather than only via the test counters. */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    CatalogScanMetrics.supported
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_.bytes).sum)
@@ -819,6 +825,9 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
       private val in = new DataInputStream(new FileInputStream(fp.path))
       private val fileTag = UTF8String.fromString(fp.fileName)
       private var read = 0L
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(CatalogScanMetrics.task("filesOpened", 1L),
+          CatalogScanMetrics.task("rowsRead", read))
       override def next(): Boolean = read < fp.rows
       override def get(): InternalRow = {
         // the whole file row decodes (the codec is positional), the
@@ -1291,6 +1300,8 @@ private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
   override def toBatch: Batch = this
   override def description(): String = "cow " + base.description()
   override def estimateStatistics(): Statistics = base.estimateStatistics()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    CatalogScanMetrics.supported
   override def createReaderFactory(): PartitionReaderFactory =
     CatalogReaderFactory
 
@@ -1583,4 +1594,20 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
 private case class VersionOffset(v: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = v.toString
+}
+
+/** The catalog scans' custom-metric definitions (one instance per scan —
+  * Spark aggregates per-reader task values with the sum semantics). */
+private[sources] object CatalogScanMetrics {
+  private class M(n: String, d: String) extends CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+  def supported: Array[CustomMetric] = Array(
+    new M("filesOpened", "data files opened by graft_cat readers"),
+    new M("rowsRead", "rows decoded by graft_cat readers"))
+  def task(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -372,6 +373,13 @@ private class SeriesScan(start: Long, end: Long, lo: Long, hi: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     SeriesReaderFactory
 
+  /** V2 CUSTOM METRICS: the source-side row count as a first-class SQL
+    * metric (aggregated from per-reader task metrics) — the same signal
+    * the test-only counter carries, but visible to any observer of the
+    * executed plan. */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SeriesRowsEmittedMetric)
+
   override def estimateStatistics(): Statistics = new Statistics {
     // With an aggregation pushed, the scan emits one partial row per
     // planned slice — reporting the residual RANGE here would hand the
@@ -413,9 +421,13 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
         // ranges up to 2^31 ids; the result itself must fit a long (the
         // caller's contract — same as Spark's own long-sum aggregate).
         private var done = false
+        private var emitted = 0L
+        override def currentMetricsValues(): Array[CustomTaskMetric] =
+          Array(SeriesTaskMetric(emitted))
         override def next(): Boolean = { val r = !done; done = true; r }
         override def get(): InternalRow = {
           SeriesSource.rowsEmitted.incrementAndGet()
+          emitted += 1
           val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(tags.length)
           tags.zipWithIndex.foreach { case (t, i) =>
             val v: Long = t match {
@@ -442,6 +454,9 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       private val width = (if (s.wantId) 1 else 0) +
         (if (s.wantSlice) 1 else 0) + (if (s.wantFill) 1 else 0)
       private val fill = UTF8String.fromString(SeriesSource.FillPayload)
+      private var emitted = 0L
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(SeriesTaskMetric(emitted))
       override def next(): Boolean =
         if (idsArr != null) {
           if (s.descending) { idx -= 1; idx >= 0 }
@@ -460,6 +475,7 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       }
       override def get(): InternalRow = {
         SeriesSource.rowsEmitted.incrementAndGet()
+        emitted += 1
         val v = if (idsArr != null) idsArr(idx) else cur
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
         var i = 0
@@ -476,4 +492,13 @@ private object SeriesReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+private class SeriesRowsEmittedMetric extends CustomSumMetric {
+  override def name(): String = "rowsEmitted"
+  override def description(): String = "rows emitted by graft-series readers"
+}
+
+private case class SeriesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "rowsEmitted"
 }

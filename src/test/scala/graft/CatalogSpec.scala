@@ -309,6 +309,29 @@ class CatalogSpec extends SparkSpec {
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
   }
 
+  test("V2 custom metrics: filesOpened and rowsRead surface as SQL metrics — the file-skipping story on the executed plan") {
+    val t = freshTable("met", "k BIGINT, v BIGINT")
+    (0 until 8).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${i * 1000}, ${i * 1000 + 1000}, 1, 1)")
+    }
+    val df = sql(s"SELECT count(*) FROM $t WHERE k >= 2500 AND k < 3500")
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk)
+    val scan = walk(df.queryExecution.executedPlan).head
+    scan.metrics("filesOpened").value shouldBe 2L  // 2 of 8 files survive
+    scan.metrics("rowsRead").value shouldBe 2000L  // decoded, pre-filter
+  }
+
   test("review pins: DELETE by _file declines to the row-level path; renames respect clash guards; illegal column names rejected") {
     val t = freshTable("rfix", "k BIGINT, v BIGINT")
     sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")

@@ -261,6 +261,26 @@ class SeriesSourceSpec extends SparkSpec {
       .offset(3).limit(4)) shouldBe Seq(993L, 994L, 995L, 996L)
   }
 
+  test("V2 custom metrics: rowsEmitted surfaces as a SQL metric on the executed scan") {
+    val df = series(4000000L)
+      .filter(col("id") >= 1500000L && col("id") < 2500000L)
+      .select((col("id") % 7L).as("m")).agg(count(lit(1)), sum(col("m")))
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk)
+    val scan = walk(df.queryExecution.executedPlan).head
+    scan.metrics("rowsEmitted").value shouldBe 1000000L
+  }
+
   test("series content is the declared range exactly (min, max, count) and ids are dense") {
     val df = series(1000L, slices = 7)
     val r = df.agg(count(lit(1)), min(col("id")), max(col("id")),
