@@ -118,11 +118,32 @@ object ConnectorEvidence {
          | "shuffle_records_bucketing_on": $on}""".stripMargin
     }
 
+    // ---- limit / top-N / offset pushdown ----
+    val paging = {
+      SeriesSource.rowsEmitted.set(0)
+      val topn = series(8000000L).select(col("id"))
+        .orderBy(col("id").desc).limit(7)
+        .collect().map(_.getLong(0))
+      require(topn.head == 7999999L && topn.length == 7,
+        s"top-N answer wrong: ${topn.toSeq}")
+      val topEmitted = SeriesSource.rowsEmitted.get
+      SeriesSource.rowsEmitted.set(0)
+      val page = series(2000000L).select(col("id")).orderBy(col("id"))
+        .offset(1000000).limit(500).collect()
+      require(page.length == 500 && page.head.getLong(0) == 1000000L,
+        "deep-page answer wrong")
+      val pageEmitted = SeriesSource.rowsEmitted.get
+      s"""{"topn_over_ids": 8000000, "topn_rows_emitted": $topEmitted,
+         | "deep_page_offset": 1000000, "page_rows_emitted": $pageEmitted}"""
+        .stripMargin
+    }
+
     val json =
       s"""{"probe": "graft.ConnectorEvidence — the graft-series DSv2 planning ladder, measured with source-side counters; every arm's answer verified before its measurement is recorded",
          | "static_pushdown": $sp,
          | "aggregate_pushdown": $ap,
          | "runtime_filtering": $rf,
+         | "paging_pushdown": $paging,
          | "storage_partitioned_join": $spj,
          | "note": "rows_emitted counts rows leaving the source's readers. SPJ: the residual shuffle records with bucketing on are the final single-row aggregate's, not the join's — both 1M-row legs stopped shuffling."}""".stripMargin
     Evidence.writeArtifact(outFile, json)
