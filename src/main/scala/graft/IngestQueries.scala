@@ -651,6 +651,30 @@ object IngestQueries {
              |FROM graft_cat.db.$vName GROUP BY g""".stripMargin)
   }
 
+  /** q276: WRITE-PATH CLUSTERING — `write.order_by` makes the catalog's
+    * write DEMAND a range distribution + in-partition sort
+    * (`RequiresDistributionAndOrdering`): Spark inserts the exchange,
+    * every task file lands with a DISJOINT cents range, and the
+    * manifest's min/max stats come out tight, so the narrow-range read
+    * below opens ~2 of 8 files on data that arrived UNSORTED
+    * (CatalogSpec pins disjoint ranges, ≤2 files opened, and the
+    * all-files negative control without the property). The Iceberg
+    * write-ordered-by contract: the write path organizes data for the
+    * read path — at 100 TB, the difference between every query paying a
+    * sort and no query paying one. Oracle: DuckDB filters the same
+    * derived cents directly. */
+  val q276CatalogOrderedWrite: Q = (s, d) => {
+    val t = catTable(s, d, "ev276")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('write.order_by'='cents',
+             |               'write.partitions'='8')""".stripMargin)
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)}")
+    s.sql(s"""SELECT k % 4 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c, max(cents) AS max_c
+             |FROM $t WHERE cents BETWEEN 2000 AND 5999
+             |GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -659,6 +683,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q276_catalog_ordered_write" -> q276CatalogOrderedWrite,
     "q275_catalog_view" -> q275CatalogView,
     "q274_catalog_federated" -> q274CatalogFederated,
     "q273_catalog_merge" -> q273CatalogMerge,
@@ -743,6 +768,16 @@ object IngestQueries {
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), count(*),
         |  CAST(sum(cents) AS BIGINT) FROM src WHERE cents < 10000""".stripMargin,
+    // The ordered write must be invisible to results: DuckDB filters the
+    // same derived cents straight from events.
+    "q276_catalog_ordered_write" ->
+      """SELECT event_id % 4 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents, min(c) AS min_c, max(c) AS max_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE c BETWEEN 2000 AND 5999
+        |GROUP BY 1""".stripMargin,
     // The view's aggregate computed straight from events.
     "q275_catalog_view" ->
       """SELECT event_id % 11 AS g, count(*) AS n,

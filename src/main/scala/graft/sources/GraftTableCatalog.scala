@@ -200,6 +200,18 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       s"a VIEW named ${qualified(ident)} already exists")
     new File(dir, "data").mkdirs()
     writeSchema(dir, schema)
+    val reserved = Set("provider", "owner", "location", "external",
+      "comment", "option.path")
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filterNot { case (k, _) => reserved(k) }
+    }
+    props.get(WriteOrderByProp).foreach { cols =>
+      cols.split(",").map(_.trim).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"$WriteOrderByProp column $c is not in the schema"))
+    }
+    if (props.nonEmpty) writeProps(dir, props)
     commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
     new CatalogTable(dir, qualified(ident), pinned = None)
   }
@@ -350,6 +362,14 @@ object GraftTableCatalog {
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
+  /** Table property: CSV of columns the WRITE path range-distributes and
+    * sorts by, so every insert lands with disjoint per-file min/max —
+    * file skipping works on any data, not only pre-sorted feeds. */
+  val WriteOrderByProp = "write.order_by"
+  /** Table property: exact writer partition count for ordered writes
+    * (0 = let AQE size them) — at toy scale AQE rightly coalesces a tiny
+    * range exchange to one file, which hides the disjoint-stats layout. */
+  val WritePartitionsProp = "write.partitions"
 
   /** One manifest entry: an immutable data file plus everything a
     * planner needs without opening it. */
@@ -377,6 +397,27 @@ object GraftTableCatalog {
     Files.move(tmp.toPath, new File(dir, SchemaFile).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+  /** Table properties (props.json): carries `write.order_by` — the
+    * write-path clustering contract (see CatalogWriteBuilder). Reserved
+    * Spark-managed keys are not persisted. */
+  def writeProps(dir: File, props: Map[String, String]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val tmp = new File(dir, s".props.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath, org.json4s.jackson.Serialization.write(props)
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, "props.json").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+  def readProps(dir: File): Map[String, String] = {
+    val f = new File(dir, "props.json")
+    if (!f.exists()) Map.empty
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.Serialization.read[Map[String, String]](
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    }
+  }
+
   def readSchema(dir: File): StructType =
     DataType.fromJson(new String(Files.readAllBytes(
       new File(dir, SchemaFile).toPath), StandardCharsets.UTF_8))
@@ -678,13 +719,23 @@ private class CatalogTable(dir: File, tableName: String,
     new CatalogScanBuilder(dir, schema(), liveManifest(),
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
 
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    readProps(dir).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
     val s = schema()
     require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
       s.fields.map(f => (f.name, f.dataType)).toSeq,
       s"$tableName expects ${s.simpleString}; got ${info.schema().simpleString}")
-    new CatalogWriteBuilder(dir, s)
+    val props = readProps(dir)
+    new CatalogWriteBuilder(dir, s,
+      props.get(WriteOrderByProp)
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      props.get(WritePartitionsProp).map(_.toInt).getOrElse(0))
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
@@ -854,16 +905,44 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private class CatalogWriteBuilder(dir: File, schema: StructType)
+private class CatalogWriteBuilder(dir: File, schema: StructType,
+    orderBy: Seq[String] = Seq.empty, numPartitions: Int = 0)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new CatalogBatchWrite(dir, schema, doTruncate)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming
-        .StreamingWrite = new CatalogStreamingWrite(dir, schema)
-  }
+
+  /** With `write.order_by` set, the write DEMANDS a range distribution +
+    * in-partition sort on those columns (RequiresDistributionAndOrdering)
+    * — Spark inserts the exchange/sort, every task file covers a disjoint
+    * key range, and the manifest's min/max stats come out TIGHT, so file
+    * skipping works on arbitrary inserts. The Iceberg write-ordered-by
+    * contract: the write path organizes data for the read path. */
+  override def build(): Write =
+    if (orderBy.isEmpty) new Write {
+      override def toBatch: BatchWrite =
+        new CatalogBatchWrite(dir, schema, doTruncate)
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+    }
+    else new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      private def sorts = orderBy.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        .toArray
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(sorts)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        sorts
+      override def requiredNumPartitions(): Int = numPartitions
+      override def toBatch: BatchWrite =
+        new CatalogBatchWrite(dir, schema, doTruncate)
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+    }
 }
 
 /** `writeStream.toTable("graft_cat.db.t")` — each micro-batch is ONE

@@ -332,6 +332,48 @@ class CatalogSpec extends SparkSpec {
     scan.metrics("rowsRead").value shouldBe 2000L  // decoded, pre-filter
   }
 
+  test("write.order_by: the write path range-distributes and sorts, so per-file stats are disjoint and point queries open one file") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.ord")
+    sql("""CREATE TABLE graft_cat.db.ord (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('write.order_by'='k', 'write.partitions'='8')""".stripMargin)
+    // an UNSORTED, 8-partition insert (an affine scramble of the ids)
+    sql("""INSERT INTO graft_cat.db.ord
+          |SELECT (id * 48271 + 12345) % 100000 AS k, id AS v
+          |FROM range(0, 100000, 1, 8)""".stripMargin)
+    val dir = new File("work/graft_cat/db/ord")
+    val files = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    files.length should be > 1
+    // disjoint k ranges: sorted by min, no file starts before the
+    // previous one ends (range partitioning keeps equal keys together)
+    val ranges = files.map(_.stats("k")).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hiA), (loB, _)) =>
+      loB should be >= hiA
+    case _ => ()
+    }
+    GraftTableCatalog.filesOpened.set(0)
+    val n777 = sql("SELECT count(*) FROM graft_cat.db.ord WHERE k = 777")
+      .collect().head.getLong(0)
+    GraftTableCatalog.filesOpened.get() should be <= 2L
+    // negative control: the same scramble WITHOUT the property overlaps
+    // every file, and the same point query opens them all
+    sql("DROP TABLE IF EXISTS graft_cat.db.unord")
+    sql("CREATE TABLE graft_cat.db.unord (k BIGINT, v BIGINT)")
+    sql("""INSERT INTO graft_cat.db.unord
+          |SELECT (id * 48271 + 12345) % 100000 AS k, id AS v
+          |FROM range(0, 100000, 1, 8)""".stripMargin)
+    GraftTableCatalog.filesOpened.set(0)
+    val n777u = sql("SELECT count(*) FROM graft_cat.db.unord WHERE k = 777")
+      .collect().head.getLong(0)
+    GraftTableCatalog.filesOpened.get() should be >= 6L
+    n777 shouldBe n777u
+    // an order_by column must exist
+    intercept[Exception](sql(
+      """CREATE TABLE graft_cat.db.badord (k BIGINT)
+        |TBLPROPERTIES ('write.order_by'='nope')""".stripMargin))
+  }
+
   test("review pins: DELETE by _file declines to the row-level path; renames respect clash guards; illegal column names rejected") {
     val t = freshTable("rfix", "k BIGINT, v BIGINT")
     sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10, 1, 1)")
