@@ -207,9 +207,14 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       properties.asScala.toMap.filterNot { case (k, _) => reserved(k) }
     }
     props.get(WriteOrderByProp).foreach { cols =>
-      cols.split(",").map(_.trim).foreach(c =>
+      cols.split(",").map(_.trim).foreach { c =>
         require(schema.fieldNames.contains(c),
-          s"$WriteOrderByProp column $c is not in the schema"))
+          s"$WriteOrderByProp column $c is not in the schema")
+        // only LONG columns carry manifest min/max — ordering by anything
+        // else buys no skipping, so it is rejected rather than implied
+        require(schema(c).dataType == LongType,
+          s"$WriteOrderByProp supports LONG columns; $c is ${schema(c).dataType}")
+      }
     }
     if (props.nonEmpty) writeProps(dir, props)
     commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
@@ -1212,28 +1217,40 @@ private class CompactProcedure(cat: GraftTableCatalog)
             val name =
               s"cp-${java.util.UUID.randomUUID().toString.take(12)}.bin"
             val f = new File(new File(dir, "data"), name)
-            val out = new DataOutputStream(new FileOutputStream(f))
-            var rows = 0L
-            val stats = collection.mutable.Map[String, (Long, Long)]()
-            try bin.foreach { e =>
+            // a write.order_by table keeps its contract through
+            // maintenance: the bin's rows re-sort before writing, so the
+            // compacted file's stats stay as tight as the originals'
+            val orderIdx = readProps(dir).get(WriteOrderByProp).toSeq
+              .flatMap(_.split(",")).map(_.trim)
+              .filter(schema.fieldNames.contains).map(schema.fieldIndex)
+            val decoded = bin.flatMap { e =>
               val in = new DataInputStream(new FileInputStream(
                 new File(new File(dir, "data"), e.name)))
-              try (0L until e.rows).foreach { _ =>
-                val full = Codec.read(in, types, e.cols)
-                  .padTo(types.length, null)
-                Codec.write(out, types, full.apply)
-                schema.fields.zipWithIndex.foreach { case (fld, i) =>
-                  if (fld.dataType == LongType && full(i) != null) {
-                    val v = full(i).asInstanceOf[Long]
-                    val (lo, hi) = stats.getOrElse(fld.name, (v, v))
-                    stats(fld.name) =
-                      (math.min(lo, v), math.max(hi, v))
-                  }
+              try (0L until e.rows).map(_ =>
+                Codec.read(in, types, e.cols).padTo(types.length, null))
+              finally in.close()
+            }
+            val rowsOut = if (orderIdx.isEmpty) decoded
+              else decoded.sortBy(r => orderIdx.map(i => r(i) match {
+                case l: Long => l
+                case _ => Long.MinValue // nulls first (order_by is LONG-only)
+              }).toIndexedSeq)(
+                scala.math.Ordering.Implicits.seqOrdering[IndexedSeq, Long])
+            val out = new DataOutputStream(new FileOutputStream(f))
+            val stats = collection.mutable.Map[String, (Long, Long)]()
+            try rowsOut.foreach { full =>
+              Codec.write(out, types, full.apply)
+              schema.fields.zipWithIndex.foreach { case (fld, i) =>
+                if (fld.dataType == LongType && full(i) != null) {
+                  val v = full(i).asInstanceOf[Long]
+                  val (lo, hi) = stats.getOrElse(fld.name, (v, v))
+                  stats(fld.name) =
+                    (math.min(lo, v), math.max(hi, v))
                 }
-                rows += 1
-              } finally in.close()
+              }
             } finally out.close()
-            Entry(name, rows, f.length(), types.length, stats.toMap)
+            Entry(name, rowsOut.length, f.length(), types.length,
+              stats.toMap)
           }
         }
         commitVersion(dir, latest, "compact", big ++ merged, m.epochs)

@@ -368,10 +368,27 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getLong(0)
     GraftTableCatalog.filesOpened.get() should be >= 6L
     n777 shouldBe n777u
-    // an order_by column must exist
+    // an order_by column must exist (and be LONG — the only type with
+    // manifest stats)
     intercept[Exception](sql(
       """CREATE TABLE graft_cat.db.badord (k BIGINT)
         |TBLPROPERTIES ('write.order_by'='nope')""".stripMargin))
+    intercept[Exception](sql(
+      """CREATE TABLE graft_cat.db.badord (k BIGINT, s STRING)
+        |TBLPROPERTIES ('write.order_by'='s')""".stripMargin))
+    // maintenance keeps the contract: compaction re-sorts each bin by
+    // the order_by columns, so merged files keep TIGHT stats — the
+    // per-file ranges still cover ~the key space once, not once per file
+    sql("CALL graft_cat.sys.compact('db', 'ord', 1048576)")
+    rows("SELECT count(*) FROM graft_cat.db.ord").head.head shouldBe 100000L
+    val after = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    after.length should be < files.length
+    after.map { e => val (lo, hi) = e.stats("k"); hi - lo + 1 }
+      .sum should be <= 110000L
+    GraftTableCatalog.filesOpened.set(0)
+    sql("SELECT count(*) FROM graft_cat.db.ord WHERE k = 777").collect()
+    GraftTableCatalog.filesOpened.get() should be <= 2L
   }
 
   test("review pins: DELETE by _file declines to the row-level path; renames respect clash guards; illegal column names rejected") {
