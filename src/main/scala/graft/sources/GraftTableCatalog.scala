@@ -216,6 +216,10 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           s"$WriteOrderByProp supports LONG columns; $c is ${schema(c).dataType}")
       }
     }
+    props.get(WritePartitionsProp).foreach { n =>
+      require(n.matches("[0-9]+") && n.toInt >= 0,
+        s"$WritePartitionsProp must be a non-negative integer; got $n")
+    }
     if (props.nonEmpty) writeProps(dir, props)
     commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
     new CatalogTable(dir, qualified(ident), pinned = None)
@@ -307,6 +311,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     require(!new File(tableDir(ident), SchemaFile).exists(),
       s"a TABLE named ${qualified(ident)} already exists")
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    // exclusive reservation, the manifest-commit discipline: a racing
+    // creator dies here instead of silently overwriting
+    Files.createFile(viewFile(ident).toPath)
     StoredView.write(viewFile(ident), info)
     loadView(ident)
   }
