@@ -1,30 +1,33 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_cat` — a V2 [[TableCatalog]] plugin: the engine's lake-table
   * layer, giving plain SQL the full lifecycle over connector-owned
-  * tables (`CREATE TABLE` / CTAS / `INSERT INTO` / `INSERT OVERWRITE` /
-  * `DELETE FROM` / `ALTER TABLE ADD COLUMN` / `VERSION AS OF` time
-  * travel / a `.snapshots` metadata table), with the transaction
-  * discipline the 100 TB lake formats (Iceberg/Delta) use:
+  * tables (`CREATE TABLE` / atomic CTAS / `INSERT INTO` / `INSERT
+  * OVERWRITE` / `DELETE FROM` / schema evolution / `VERSION AS OF` time
+  * travel / `.snapshots`, `.partitions` and `.changes` metadata tables),
+  * with the transaction discipline the 100 TB lake formats
+  * (Iceberg/Delta) use:
   *
   *  - every commit writes an IMMUTABLE versioned manifest
   *    (`v{N}.manifest`, created fail-if-exists so a concurrent writer
@@ -33,32 +36,47 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - data files are never mutated or deleted by commits: an overwrite
   *    or delete publishes a new manifest referencing a new file set, so
   *    EVERY prior version stays exactly readable (`VERSION AS OF n`)
-  *    until an explicit garbage collection (out of scope here, as in
-  *    Iceberg's `expire_snapshots`);
-  *  - manifests carry per-file row counts, byte sizes, and per-long-
-  *    column min/max, so scans report honest statistics and SKIP files
-  *    a pushed predicate disproves (the connector-level zone map — at
-  *    100 TB, the difference between touching 3 files and 30,000);
-  *  - `DELETE FROM` runs Iceberg-style: files whose stats prove
-  *    all-match are DROPPED from the manifest (metadata-only), files
-  *    whose stats prove none-match are kept untouched, and only
-  *    boundary files are rewritten (copy-on-write bounded by the
-  *    boundary file size — here driver-side; at cluster scale the same
-  *    protocol runs the rewrites as a job);
-  *  - `ALTER TABLE ADD COLUMN` is append-only nullable evolution: each
-  *    manifest entry records the column count its file was written
-  *    under, and readers null-pad older files — no data rewrite.
+  *    until an explicit `sys.expire_versions`;
+  *  - manifests carry per-file row counts, byte sizes, per-long-column
+  *    min/max AND per-column null presence, so scans report honest
+  *    statistics and SKIP files a pushed predicate disproves, while
+  *    DELETE's metadata-only fast path never drops a file whose NULL
+  *    rows the predicate does not match (Iceberg's strict evaluator
+  *    requires nullCount==0 for exactly this);
+  *  - HIDDEN PARTITIONING (identity / bucket(n) / days transforms, the
+  *    Iceberg partition-spec model): partition values ride each
+  *    manifest entry, scans prune partitions BEFORE file stats, two
+  *    same-spec tables join storage-partitioned (zero exchange), and
+  *    `.partitions` reports partition-level statistics;
+  *  - `DELETE FROM` runs Iceberg-style: files whose partition values or
+  *    stats prove all-match are DROPPED from the manifest
+  *    (metadata-only), none-match files survive untouched, and boundary
+  *    files either rewrite (copy-on-write, the default) or — with
+  *    `delete.mode`='merge-on-read' — commit a small POSITION DELETE
+  *    FILE that readers anti-merge, so a 10-row delete never rewrites a
+  *    hot 1 GB file; `sys.compact` applies and drops delete files;
+  *  - CTAS is ATOMIC via [[StagingTableCatalog]]: the table builds in a
+  *    hidden staging directory and publishes by one directory rename —
+  *    a poisoned CTAS write leaves NO table behind;
+  *  - schema evolution is FIELD-ID based (ADD / RENAME / DROP COLUMN):
+  *    each manifest entry records the field ids and types its file was
+  *    written under, so renames never rewrite data and old files stay
+  *    readable under the new schema — the Iceberg column-mapping rule;
+  *  - `.changes` is the CHANGE DATA FEED: row-level `_change_type`
+  *    insert/delete rows derived from each version's added/removed
+  *    files and delete-file deltas, readable as a batch table or a
+  *    streaming source — folding the feed reproduces the table.
   *
   * Storage types are LONG / DOUBLE / STRING (nullable), a deliberate
   * floor: the demonstration is the CATALOG and COMMIT protocol, not an
   * encoding. Single-writer-per-table is assumed (the reference
   * pipeline's own discipline); the fail-if-exists manifest create turns
   * a violated assumption into a clean error, not corruption.
-  * CatalogSpec pins each contract; q267–q270 hash-gate the SQL
-  * lifecycle, the delete split, time travel, and the snapshots table
+  * CatalogSpec pins each contract; q267–q282 hash-gate the SQL surface
   * against DuckDB replaying the same mutations. */
 class GraftTableCatalog extends CatalogPlugin with TableCatalog
-    with SupportsNamespaces with ProcedureCatalog with ViewCatalog {
+    with SupportsNamespaces with ProcedureCatalog with ViewCatalog
+    with StagingTableCatalog {
   import GraftTableCatalog._
 
   private var catalogName = "graft_cat"
@@ -79,6 +97,15 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       s"graft_cat namespaces are one level: ${namespace.mkString(".")}")
     new File(root, namespace(0))
   }
+  /** Identifier shapes the catalog can possibly own. Anything else maps
+    * to NoSuchTableException in the lookup paths (NOT a require failure:
+    * Spark's resolution fallback only catches the analysis exceptions,
+    * so a 4-part probe must read as TABLE_OR_VIEW_NOT_FOUND, not a raw
+    * requirement error). */
+  private def identOk(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      ident.namespace()(0).matches("[A-Za-z0-9_]+") &&
+      ident.name.matches("[A-Za-z0-9_]+")
   private def tableDir(ident: Identifier): File = {
     require(ident.name.matches("[A-Za-z0-9_]+"),
       s"illegal table name ${ident.name}")
@@ -93,7 +120,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && nsDir(namespace).isDirectory
+    namespace.length == 1 && namespace(0).matches("[A-Za-z0-9_]+") &&
+      nsDir(namespace).isDirectory
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] =
     if (namespaceExists(namespace)) java.util.Map.of()
@@ -104,14 +132,24 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     sys.error("graft_cat namespaces carry no metadata")
+  /** Emptiness and cascade account for BOTH table directories and
+    * persisted `*.view.json` files — a views-only namespace is not
+    * "empty", and a cascade drop removes views too instead of silently
+    * failing the final directory delete after destroying the tables. */
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
     if (!d.isDirectory) return false
-    val tables = d.listFiles().filter(_.isDirectory)
-    require(cascade || tables.isEmpty,
+    // abandoned staging dirs (a crashed atomic CTAS) are clutter, not
+    // content: they never block a drop and always delete
+    val (staging, rest) = d.listFiles().toSeq.partition(
+      f => f.isDirectory && f.getName.startsWith("."))
+    val tables = rest.filter(_.isDirectory)
+    val views = rest.filter(_.getName.endsWith(".view.json"))
+    require(cascade || (tables.isEmpty && views.isEmpty),
       s"namespace ${namespace.mkString(".")} is not empty")
-    tables.foreach(deleteRecursively)
+    (staging ++ tables).foreach(deleteRecursively)
+    views.foreach(_.delete())
     d.delete()
   }
 
@@ -120,19 +158,28 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     val d = nsDir(namespace)
     if (!d.isDirectory)
       throw new NoSuchNamespaceException(name() +: namespace.toSeq)
-    d.listFiles().filter(t => new File(t, SchemaFile).exists())
+    d.listFiles()
+      .filter(t => !t.getName.startsWith(".") && // hide CTAS staging dirs
+        new File(t, SchemaFile).exists())
       .map(t => Identifier.of(namespace, t.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // `db.t.snapshots` — the Iceberg-style metadata table: one row per
-    // committed version, served from the (tiny) manifest chain.
-    if (ident.namespace.length == 2 && ident.name == MetaSnapshots) {
+    // `db.t.snapshots` / `db.t.partitions` / `db.t.changes` — the
+    // Iceberg-style metadata tables, served from the manifest chain.
+    if (ident.namespace.length == 2 && MetaTables.contains(ident.name)) {
       val ns = ident.namespace
-      val base = tableDir(Identifier.of(ns.take(1), ns(1)))
-      if (new File(base, SchemaFile).exists())
-        return new SnapshotsTable(base, ns(1))
+      if (ns(0).matches("[A-Za-z0-9_]+") && ns(1).matches("[A-Za-z0-9_]+")) {
+        val base = tableDir(Identifier.of(ns.take(1), ns(1)))
+        if (new File(base, SchemaFile).exists()) ident.name match {
+          case MetaSnapshots => return new SnapshotsTable(base, ns(1))
+          case MetaPartitions => return new PartitionsTable(base, ns(1))
+          case MetaChanges => return new ChangesTable(base,
+            s"${ns.mkString(".")}.$MetaChanges")
+        }
+      }
     }
+    if (!identOk(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
@@ -141,11 +188,11 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
 
   /** Time travel: `VERSION AS OF n` pins the scan to manifest n, which is
     * immutable — later commits can never change what n returns. The
-    * CURRENT schema applies to every version (older files null-pad per
-    * their recorded column count): one consistent view, not Iceberg's
-    * per-snapshot schema — evolution here is append-only, so the current
-    * schema is always a superset. */
+    * CURRENT schema applies to every version (older files map by field
+    * id and null-pad): one consistent view, not Iceberg's per-snapshot
+    * schema. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (!identOk(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
@@ -160,6 +207,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   /** `TIMESTAMP AS OF t`: the greatest version committed at or before t
     * (manifests record their commit wall-clock). Spark hands micros. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!identOk(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
@@ -179,7 +227,22 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String])
       : Table = {
-    require(partitions.isEmpty, "graft_cat tables are unpartitioned")
+    val dir = tableDir(ident)
+    if (new File(dir, SchemaFile).exists())
+      throw new TableAlreadyExistsException(ident)
+    require(!viewFile(ident).exists(),
+      s"a VIEW named ${qualified(ident)} already exists")
+    setupTableDir(dir, schema, partitions, properties)
+    new CatalogTable(dir, qualified(ident), pinned = None)
+  }
+
+  /** All CREATE-time validation plus the on-disk layout (schema, column
+    * mapping, partition spec, properties, the v1 `create` commit) —
+    * shared by the direct CREATE path and the staged (atomic CTAS)
+    * path, which builds the same layout in a hidden directory. */
+  private def setupTableDir(dir: File, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Unit = {
     // the codec's null bitmap is one long — 65th column would wrap it
     require(schema.fields.length <= 64,
       s"graft_cat tables hold at most 64 columns; got ${schema.fields.length}")
@@ -188,18 +251,15 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
       require(f.name != FileMetaCol,
         s"$FileMetaCol is a reserved metadata column name")
-      // manifest stats serialize as name:lo:hi joined by ';' — a name
+      // manifest stats serialize as key:lo:hi joined by ';' — a name
       // carrying either delimiter would brick every later read
       require(f.name.matches("[A-Za-z0-9_]+"),
         s"illegal column name ${f.name} (letters, digits, _ only)")
     }
-    val dir = tableDir(ident)
-    if (new File(dir, SchemaFile).exists())
-      throw new TableAlreadyExistsException(ident)
-    require(!viewFile(ident).exists(),
-      s"a VIEW named ${qualified(ident)} already exists")
-    new File(dir, "data").mkdirs()
-    writeSchema(dir, schema)
+    val mapping = ColMapping(schema.indices.toList,
+      schema.fields.length, evolved = false)
+    val spec = parseTransforms(partitions, schema)
+      .map(p => p.copy(id = mapping.ids(p.id))) // schema index → field id
     val reserved = Set("provider", "owner", "location", "external",
       "comment", "option.path")
     val props = {
@@ -220,21 +280,80 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       require(n.matches("[0-9]+") && n.toInt >= 0,
         s"$WritePartitionsProp must be a non-negative integer; got $n")
     }
+    props.get(DeleteModeProp).foreach { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"$DeleteModeProp is copy-on-write or merge-on-read; got $m")
+    }
+    new File(dir, "data").mkdirs()
+    writeSchema(dir, schema)
+    writeMapping(dir, mapping)
+    if (spec.nonEmpty) writeSpec(dir, spec)
     if (props.nonEmpty) writeProps(dir, props)
     commitVersion(dir, expectedLatest = 0L, op = "create", files = Seq.empty)
-    new CatalogTable(dir, qualified(ident), pinned = None)
   }
 
-  /** Append-only nullable evolution: new columns join at the END, old
-    * data files are never touched — their manifest entries record the
-    * column count they were written under and readers null-pad. */
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  /** The staged table builds in a hidden `.stg-*` directory; nothing is
+    * visible (not listed, not loadable) until `commitStagedChanges`
+    * publishes it by ONE directory rename. A poisoned CTAS write aborts
+    * the stage and leaves NO table — the LedgerSink rule applied to
+    * table creation itself (CatalogSpec pins it). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : StagedTable = {
+    if (new File(tableDir(ident), SchemaFile).exists())
+      throw new TableAlreadyExistsException(ident)
+    require(!viewFile(ident).exists(),
+      s"a VIEW named ${qualified(ident)} already exists")
+    stage(ident, schema, partitions, properties, replace = false)
+  }
+
+  /** RTAS: `REPLACE TABLE ... AS SELECT` rebuilds the definition from
+    * scratch (fresh version history, like a DROP+CREATE that readers
+    * never see half-done). The swap is two renames — old table aside,
+    * staged table in — so the not-atomic window is the rename pair, not
+    * the write. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : StagedTable = {
+    if (!new File(tableDir(ident), SchemaFile).exists())
+      throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : StagedTable =
+    stage(ident, schema, partitions, properties, replace = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    val ns = nsDir(ident.namespace)
+    require(ns.isDirectory, s"no namespace ${ident.namespace.mkString(".")}")
+    val tmp = new File(ns,
+      s".stg-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
+    setupTableDir(tmp, schema, partitions, properties)
+    new GraftStagedTable(tmp, tableDir(ident), qualified(ident), replace)
+  }
+
+  /** Schema evolution, FIELD-ID based (the Iceberg column-mapping rule):
+    * the mapping file carries one stable id per live column, every data
+    * file records the ids it was written under, and readers resolve
+    * columns by id — so ADD appends a fresh id (old files null-pad),
+    * RENAME touches only the schema file (zero data movement), and DROP
+    * removes the id (old files' values for it are simply never
+    * projected, and stay readable via time travel). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
-    val schema = readSchema(dir)
-    val evolved = changes.foldLeft(schema) {
-      case (s, add: TableChange.AddColumn) =>
+    var schema = readSchema(dir)
+    var mapping = readMapping(dir, schema)
+    var props = readProps(dir)
+    val spec = readSpec(dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft_cat has no nested columns")
         require(add.isNullable,
@@ -243,15 +362,56 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           "added columns always append at the end")
         require(Codec.supported(add.dataType),
           s"graft_cat stores LONG/DOUBLE/STRING; got ${add.dataType}")
-        require(s.fields.length < 64, // the codec's one-long null bitmap
+        require(schema.fields.length < 64, // the codec's one-long null bitmap
           "graft_cat tables hold at most 64 columns")
-        require(add.fieldNames()(0).matches("[A-Za-z0-9_]+"),
-          s"illegal column name ${add.fieldNames()(0)}")
-        s.add(add.fieldNames()(0), add.dataType, nullable = true)
-      case (_, c) =>
-        sys.error(s"graft_cat supports only ADD COLUMN evolution; got $c")
+        val nm = add.fieldNames()(0)
+        require(nm.matches("[A-Za-z0-9_]+"), s"illegal column name $nm")
+        require(!schema.fieldNames.contains(nm), s"column $nm already exists")
+        schema = schema.add(nm, add.dataType, nullable = true)
+        mapping = mapping.copy(ids = mapping.ids :+ mapping.nextId,
+          nextId = mapping.nextId + 1)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "graft_cat has no nested columns")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName
+        require(schema.fieldNames.contains(from), s"no column $from")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        require(to != FileMetaCol,
+          s"$FileMetaCol is a reserved metadata column name")
+        require(to.matches("[A-Za-z0-9_]+"), s"illegal column name $to")
+        val i = schema.fieldIndex(from)
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = to)))
+        // ids are untouched — old files keep reading; name-keyed stats in
+        // PRE-evolution manifests stop resolving (conservative, not wrong)
+        mapping = mapping.copy(evolved = true)
+        props.get(WriteOrderByProp).foreach { cols =>
+          props += WriteOrderByProp -> cols.split(",").map(_.trim)
+            .map(c => if (c == from) to else c).mkString(",")
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "graft_cat has no nested columns")
+        val c = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(c)) {
+          require(del.ifExists() == java.lang.Boolean.TRUE, s"no column $c")
+        } else {
+          require(schema.fields.length > 1, "cannot drop the last column")
+          val i = schema.fieldIndex(c)
+          require(!spec.exists(_.id == mapping.ids(i)),
+            s"$c is a partition source column")
+          require(!props.get(WriteOrderByProp).exists(
+            _.split(",").map(_.trim).contains(c)),
+            s"$c is a $WriteOrderByProp column; unset the property first")
+          schema = StructType(schema.fields.patch(i, Nil, 1))
+          mapping = mapping.copy(ids = mapping.ids.patch(i, Nil, 1),
+            evolved = true)
+        }
+      case c =>
+        sys.error(s"graft_cat supports ADD/RENAME/DROP COLUMN evolution; got $c")
     }
-    writeSchema(dir, evolved)
+    writeSchema(dir, schema)
+    writeMapping(dir, mapping)
+    writeProps(dir, props)
     new CatalogTable(dir, qualified(ident), pinned = None)
   }
 
@@ -273,10 +433,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     Files.move(tableDir(oldIdent).toPath, tableDir(newIdent).toPath)
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit = GraftTableCatalog.deleteTree(f)
 
   // ---- views (`CREATE VIEW graft_cat.db.v AS SELECT ...`) ----
   // A view is its recorded SQL plus the resolution context Spark needs
@@ -297,7 +454,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && viewFile(ident).exists()
+    ident.namespace.length == 1 &&
+      ident.namespace()(0).matches("[A-Za-z0-9_]+") && viewFile(ident).exists()
 
   override def loadView(ident: Identifier): View = {
     if (!viewExists(ident)) throw new NoSuchViewException(ident)
@@ -330,7 +488,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
   }
 
   override def dropView(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && viewFile(ident).delete()
+    ident.namespace.length == 1 &&
+      ident.namespace()(0).matches("[A-Za-z0-9_]+") && viewFile(ident).delete()
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(oldIdent.namespace.sameElements(newIdent.namespace),
@@ -371,6 +530,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
 object GraftTableCatalog {
   val SchemaFile = "schema.json"
   val MetaSnapshots = "snapshots"
+  val MetaPartitions = "partitions"
+  val MetaChanges = "changes"
+  val MetaTables: Set[String] = Set(MetaSnapshots, MetaPartitions, MetaChanges)
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
@@ -382,11 +544,50 @@ object GraftTableCatalog {
     * (0 = let AQE size them) — at toy scale AQE rightly coalesces a tiny
     * range exchange to one file, which hides the disjoint-stats layout. */
   val WritePartitionsProp = "write.partitions"
+  /** Table property: how `DELETE FROM` treats boundary files.
+    * 'copy-on-write' (default) rewrites them; 'merge-on-read' commits a
+    * position delete file readers anti-merge — the Iceberg v2 read path,
+    * so a 10-row delete never rewrites a 1 GB file. */
+  val DeleteModeProp = "delete.mode"
+  /** The CDF's two synthetic columns (the Delta CDF names). */
+  val ChangeTypeCol = "_change_type"
+  val ChangeVersionCol = "_version"
+
+  /** A position delete file: `rows` positions (longs, raw file order)
+    * of `dataFile` rows that are logically deleted. */
+  case class DeleteFile(name: String, rows: Long)
 
   /** One manifest entry: an immutable data file plus everything a
-    * planner needs without opening it. */
+    * planner needs without opening it.
+    *
+    *  - `stats`: per-LONG-column min/max over NON-NULL values, keyed
+    *    `#<fieldId>` (v2) or by column name (legacy manifests);
+    *  - `nullFree`: columns PROVEN to contain no nulls (same key space);
+    *    `None` means a legacy manifest with no null bookkeeping — every
+    *    "all rows match" proof then fails, never the other way (the
+    *    Iceberg strict-evaluator rule: a comparison predicate cannot
+    *    match a NULL, so metadata-only DELETE needs nullCount==0);
+    *  - `fieldIds`: positional field ids the file was written under
+    *    (empty = legacy 0..cols-1) — the column-mapping indirection that
+    *    makes RENAME free and DROP read-compatible;
+    *  - `typeCodes`: positional storage types (L/D/S; empty = legacy,
+    *    derive from the current schema prefix — valid because legacy
+    *    tables predate DROP);
+    *  - `partition`: this file's partition tuple under the table's
+    *    spec (encoded; empty = unpartitioned);
+    *  - `deletes`: position delete files readers anti-merge. */
   case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)],
+      nullFree: Option[Set[String]] = None,
+      fieldIds: Seq[Int] = Seq.empty,
+      typeCodes: String = "",
+      partition: Seq[String] = Seq.empty,
+      deletes: Seq[DeleteFile] = Seq.empty) {
+    def liveRows: Long = rows - deletes.map(_.rows).sum
+    def idsOrLegacy: Seq[Int] =
+      if (fieldIds.nonEmpty) fieldIds else 0 until cols
+  }
+
   /** `epochs` = committed streaming micro-batch ids, carried forward by
     * EVERY commit (including overwrites: a replayed epoch must stay a
     * no-op even after the table's content was replaced) — file list and
@@ -395,13 +596,33 @@ object GraftTableCatalog {
   case class Manifest(version: Long, op: String, files: Seq[Entry],
       epochs: Set[Long] = Set.empty, commitMs: Long = 0L)
 
+  /** The column mapping (mapping.json): one STABLE field id per live
+    * column, parallel to the current schema. `evolved` flips true on the
+    * first RENAME/DROP — from then on, name-keyed stats in pre-evolution
+    * manifests are ignored (conservative: pruning weakens, correctness
+    * holds). Absent file = legacy table: ids are schema positions. */
+  case class ColMapping(ids: Seq[Int], nextId: Int, evolved: Boolean)
+
+  /** One partition-spec transform: `kind` ∈ identity|bucket|days, `arg`
+    * the bucket count (0 otherwise), `id` the SOURCE column's field id
+    * (stable across renames). */
+  case class PT(kind: String, arg: Int, id: Int)
+
   // Test-only observability (single-JVM local mode), the SeriesSource
   // counters' discipline: data files actually opened by readers, and the
-  // last DELETE's (droppedFiles, rewrittenFiles, keptFiles) split.
+  // last DELETE's split.
   val filesOpened = new AtomicLong(0)
   val lastDeleteDropped = new AtomicLong(-1)
   val lastDeleteRewritten = new AtomicLong(-1)
   val lastDeleteKept = new AtomicLong(-1)
+  /** merge-on-read: boundary files that took a position-delete file
+    * instead of a rewrite in the last DELETE. */
+  val lastDeleteMorFiles = new AtomicLong(-1)
+
+  private[sources] def deleteTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete()
+  }
 
   def writeSchema(dir: File, schema: StructType): Unit = {
     val tmp = new File(dir, s".schema.tmp.${java.util.UUID.randomUUID}")
@@ -409,31 +630,143 @@ object GraftTableCatalog {
     Files.move(tmp.toPath, new File(dir, SchemaFile).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
-  /** Table properties (props.json): carries `write.order_by` — the
-    * write-path clustering contract (see CatalogWriteBuilder). Reserved
-    * Spark-managed keys are not persisted. */
-  def writeProps(dir: File, props: Map[String, String]): Unit = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val tmp = new File(dir, s".props.tmp.${java.util.UUID.randomUUID}")
-    Files.write(tmp.toPath, org.json4s.jackson.Serialization.write(props)
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(dir, "props.json").toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-  def readProps(dir: File): Map[String, String] = {
-    val f = new File(dir, "props.json")
-    if (!f.exists()) Map.empty
-    else {
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      org.json4s.jackson.Serialization.read[Map[String, String]](
-        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
-    }
-  }
-
   def readSchema(dir: File): StructType =
     DataType.fromJson(new String(Files.readAllBytes(
       new File(dir, SchemaFile).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
+
+  private def writeJsonAtomic(dir: File, fileName: String,
+      body: String): Unit = {
+    val tmp = new File(dir, s".$fileName.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, fileName).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+  private def readFileOpt(dir: File, fileName: String): Option[String] = {
+    val f = new File(dir, fileName)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+  }
+
+  /** Table properties (props.json): `write.order_by` / `write.partitions`
+    * / `delete.mode`. Reserved Spark-managed keys are not persisted. */
+  def writeProps(dir: File, props: Map[String, String]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    writeJsonAtomic(dir, "props.json",
+      org.json4s.jackson.Serialization.write(props))
+  }
+  def readProps(dir: File): Map[String, String] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "props.json")
+      .map(org.json4s.jackson.Serialization.read[Map[String, String]])
+      .getOrElse(Map.empty)
+  }
+
+  def writeMapping(dir: File, mp: ColMapping): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    writeJsonAtomic(dir, "mapping.json",
+      org.json4s.jackson.Serialization.write(mp))
+  }
+  def readMapping(dir: File, schema: StructType): ColMapping = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "mapping.json")
+      .map(org.json4s.jackson.Serialization.read[ColMapping])
+      .getOrElse(ColMapping(schema.indices.toList,
+        schema.fields.length, evolved = false))
+  }
+
+  def writeSpec(dir: File, spec: Seq[PT]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    writeJsonAtomic(dir, "partition.json",
+      org.json4s.jackson.Serialization.write(spec))
+  }
+  def readSpec(dir: File): Seq[PT] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "partition.json")
+      .map(org.json4s.jackson.Serialization.read[Seq[PT]])
+      .getOrElse(Seq.empty)
+  }
+
+  /** CREATE-time transform validation. Returned PTs carry the SCHEMA
+    * INDEX in `id`; the caller remaps to field ids. */
+  private[sources] def parseTransforms(ts: Array[Transform],
+      schema: StructType): Seq[PT] = ts.toSeq.map { t =>
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"unsupported partition transform $t")
+    val c = refs(0).fieldNames()(0)
+    require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the schema")
+    val idx = schema.fieldIndex(c)
+    val dt = schema(idx).dataType
+    t.name() match {
+      case "identity" =>
+        require(dt == LongType || dt == StringType,
+          s"identity partitioning supports LONG/STRING; $c is $dt")
+        PT("identity", 0, idx)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(sys.error(s"bucket transform without a count: $t"))
+        require(n >= 1 && n <= 100000, s"bucket count out of range: $n")
+        require(dt == LongType || dt == StringType,
+          s"bucket partitioning supports LONG/STRING; $c is $dt")
+        PT("bucket", n, idx)
+      case "days" =>
+        require(dt == LongType,
+          s"days() partitions epoch-millis LONG columns; $c is $dt")
+        PT("days", 0, idx)
+      case other => sys.error(
+        s"graft_cat supports identity/bucket/days partitioning; got $other")
+    }
+  }
+
+  /** The catalog's bucket function (both sides of a storage-partitioned
+    * join are graft_cat tables, so only self-consistency matters). */
+  def bucketOf(v: Any, n: Int): Int = {
+    val bytes = v match {
+      case l: Long =>
+        val b = new Array[Byte](8)
+        var x = l; var i = 0
+        while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+        b
+      case l: java.lang.Long =>
+        val b = new Array[Byte](8)
+        var x = l.longValue(); var i = 0
+        while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+        b
+      case s: String => s.getBytes(StandardCharsets.UTF_8)
+      case u: UTF8String => u.getBytes
+      case other => sys.error(s"unbucketable value $other")
+    }
+    Math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x5bd1e995), n)
+  }
+
+  private val DayMs = 86400000L
+
+  /** One partition-tuple slot, encoded for the manifest: `n` = null,
+    * `l<long>` = numeric result, `s<url-encoded>` = identity string. */
+  def encodePartValue(kind: String, arg: Int, v: Any): String =
+    if (v == null) "n"
+    else kind match {
+      case "identity" => v match {
+        case l: Long => s"l$l"
+        case l: java.lang.Long => s"l$l"
+        case s: String => "s" + URLEncoder.encode(s, "UTF-8")
+        case u: UTF8String => "s" + URLEncoder.encode(u.toString, "UTF-8")
+        case other => sys.error(s"unsupported identity partition value $other")
+      }
+      case "bucket" => s"l${bucketOf(v, arg)}"
+      case "days" =>
+        val ms = v match {
+          case l: Long => l
+          case l: java.lang.Long => l.longValue()
+          case other => sys.error(s"days() needs a LONG; got $other")
+        }
+        s"l${Math.floorDiv(ms, DayMs)}"
+      case other => sys.error(s"unknown transform $other")
+    }
 
   def readLatest(dir: File): Long = {
     val f = new File(dir, "latest")
@@ -454,7 +787,24 @@ object GraftTableCatalog {
         else a(5).split(";").map { s =>
           val p = s.split(":"); (p(0), (p(1).toLong, p(2).toLong))
         }.toMap
-      Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
+      if (a.length >= 11) {
+        val nullFree = if (a(6) == "-") Set.empty[String]
+          else a(6).split(";").toSet
+        val ids = if (a(7).isEmpty) Seq.empty[Int]
+          else a(7).split(",").map(_.toInt).toSeq
+        val partition = if (a(9) == "-") Seq.empty[String]
+          else a(9).split(";").toSeq
+        val deletes = if (a(10) == "-") Seq.empty[DeleteFile]
+          else a(10).split(";").map { s =>
+            val p = s.split(":"); DeleteFile(p(0), p(1).toLong)
+          }.toSeq
+        Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
+          Some(nullFree), ids, a(8), partition, deletes)
+      } else {
+        // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
+        // no metadata-only delete proof), ids/types positional
+        Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
+      }
     }
     val epochs = lines.collect { case l if l.startsWith("E\t") =>
       l.split("\t")(1).toLong
@@ -468,7 +818,10 @@ object GraftTableCatalog {
     * FAIL-IF-EXISTS (a concurrent writer that raced us dies here, before
     * anything is visible), then the `latest` pointer swaps by atomic
     * rename. Data files are never deleted — every committed version
-    * stays readable. */
+    * stays readable. A zero-byte reservation whose version was never
+    * published (a writer crashed between reserve and fill; `latest`
+    * still points below it) is reclaimed instead of bricking the table
+    * with FileAlreadyExistsException forever. */
   def commitVersion(dir: File, expectedLatest: Long, op: String,
       files: Seq[Entry], epochs: Set[Long] = Set.empty): Long = {
     val next = expectedLatest + 1
@@ -476,14 +829,33 @@ object GraftTableCatalog {
       s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st"
+      val nf = e.nullFree match {
+        case Some(s) if s.isEmpty => "-"
+        case Some(s) => s.toSeq.sorted.mkString(";")
+        case None => "-" // writers always know; None only ever parses in
+      }
+      val ids = e.idsOrLegacy.mkString(",")
+      val types = if (e.typeCodes.nonEmpty) e.typeCodes else "?" * e.cols
+      val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
+      val dels = if (e.deletes.isEmpty) "-"
+        else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels"
     } ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
     // Reserve the version with an exclusive create — POSIX rename REPLACES
     // silently, so rename alone cannot lose a race loudly. Exactly one
     // racer owns the reservation; filling it by atomic rename is then
     // safe, and readers never look at vN before `latest` points there.
     val target = new File(dir, s"v$next.manifest")
-    Files.createFile(target.toPath) // throws FileAlreadyExistsException
+    try Files.createFile(target.toPath)
+    catch {
+      case e: FileAlreadyExistsException =>
+        if (target.length() == 0 && readLatest(dir) < next) {
+          // orphaned reservation from a crashed writer: never published
+          // (latest still below it), nothing references it — reclaim.
+          Files.delete(target.toPath)
+          Files.createFile(target.toPath) // a genuine racer still loses here
+        } else throw e
+    }
     val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, target.toPath,
@@ -497,11 +869,24 @@ object GraftTableCatalog {
 
   /** The storage codec: null bitmap, then LONG/DOUBLE raw and STRING
     * length-prefixed, decoded with the column count the FILE was written
-    * under (schema evolution null-pads the rest). Deliberately trivial —
+    * under (schema evolution maps by field id). Deliberately trivial —
     * the catalog is the demonstration, not the encoding. */
   object Codec {
     def supported(t: DataType): Boolean =
       t == LongType || t == DoubleType || t == StringType
+
+    def typeCode(t: DataType): Char = t match {
+      case LongType => 'L'
+      case DoubleType => 'D'
+      case StringType => 'S'
+      case other => sys.error(s"unsupported $other")
+    }
+    def codeType(c: Char): DataType = c match {
+      case 'L' => LongType
+      case 'D' => DoubleType
+      case 'S' => StringType
+      case other => sys.error(s"unknown type code $other")
+    }
 
     def write(out: DataOutputStream, types: Array[DataType],
         get: Int => Any): Unit = {
@@ -521,8 +906,8 @@ object GraftTableCatalog {
       }
     }
 
-    /** Reads one row's FIRST `fileCols` values (boxed; strings as java
-      * String); the caller pads columns the file predates. */
+    /** Reads one row's `fileCols` values (boxed; strings as java
+      * String); the caller projects by field id. */
     def read(in: DataInputStream, types: Array[DataType],
         fileCols: Int): Array[Any] = {
       val bits = in.readLong()
@@ -541,103 +926,188 @@ object GraftTableCatalog {
     }
   }
 
-  /** One reader task per data file: the partition carries the table's
-    * column types (positional decode) plus the required projection's
-    * source indices (-1 = the `_file` metadata column). */
-  private[sources] def filePartition(dir: File, tableSchema: StructType,
-      required: StructType, e: Entry): CatalogFilePartition =
-    CatalogFilePartition(
-      new File(new File(dir, "data"), e.name).getPath, e.name,
-      e.rows, e.cols,
-      tableSchema.fields.map(_.dataType.json),
-      required.fields.map(f =>
-        if (f.name == FileMetaCol) -1 else tableSchema.fieldIndex(f.name)))
+  /** Everything the planner can PROVE about one data file without
+    * opening it, keyed by CURRENT column name (field-id resolution and
+    * partition-transform inversion already applied):
+    *  - `rng`: value bounds for LONG columns (file stats, tightened or
+    *    replaced by identity/days partition values);
+    *  - `nullFree`: columns proven to contain NO nulls — required for
+    *    every "all rows match" proof (a NULL matches no comparison);
+    *  - `allNull`: columns proven ALL-null (identity partition value n);
+    *  - `strVal`: exact string value (identity string partition);
+    *  - `bucket`: (bucketValue, bucketCount) for bucket partitions. */
+  case class FileFacts(rng: Map[String, (Long, Long)],
+      nullFree: Set[String], allNull: Set[String] = Set.empty,
+      strVal: Map[String, String] = Map.empty,
+      bucket: Map[String, (Int, Int)] = Map.empty)
 
-  /** Conservative tri-state "might this file contain a matching row?"
-    * from per-long-column min/max. `true` means "cannot rule it out". */
-  def mayMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
-    def rng(c: String): Option[(Long, Long)] = stats.get(c)
-    def lv(a: Any): Option[Long] = a match {
-      case l: java.lang.Long => Some(l)
-      case i: java.lang.Integer => Some(i.toLong)
-      case _ => None
+  /** Assemble [[FileFacts]] for one entry under the CURRENT schema.
+    * Stats keyed `#<id>` always resolve; legacy name-keyed stats resolve
+    * only while the table never renamed/dropped a column (`evolved` —
+    * after that, a stale name could alias a different field, so they are
+    * conservatively ignored). */
+  def fileFacts(e: Entry, schema: StructType, mp: ColMapping,
+      spec: Seq[PT]): FileFacts = {
+    var rng = Map.empty[String, (Long, Long)]
+    var nullFree = Set.empty[String]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val id = mp.ids(i)
+      e.stats.get(s"#$id")
+        .orElse(if (!mp.evolved) e.stats.get(f.name) else None)
+        .foreach(v => rng += f.name -> v)
+      val proven = e.nullFree.exists(s =>
+        s.contains(s"#$id") || (!mp.evolved && s.contains(f.name)))
+      if (proven) nullFree += f.name
     }
-    f match {
-      case EqualTo(c, v) => (rng(c), lv(v)) match {
-        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
-        case _ => true
+    var allNull = Set.empty[String]
+    var strVal = Map.empty[String, String]
+    var bucket = Map.empty[String, (Int, Int)]
+    if (spec.nonEmpty && e.partition.length == spec.length) {
+      spec.zip(e.partition).foreach { case (pt, pv) =>
+        val idx = mp.ids.indexOf(pt.id)
+        if (idx >= 0) { // a dropped source column can't happen (guarded),
+          val c = schema.fields(idx).name // but stay defensive
+          (pt.kind, pv) match {
+            case (_, "n") => allNull += c
+            case ("identity", v) if v.startsWith("l") =>
+              val x = v.tail.toLong
+              rng += c -> (x, x); nullFree += c
+            case ("identity", v) if v.startsWith("s") =>
+              strVal += c -> URLDecoder.decode(v.tail, "UTF-8")
+              nullFree += c
+            case ("bucket", v) if v.startsWith("l") =>
+              bucket += c -> (v.tail.toInt, pt.arg); nullFree += c
+            case ("days", v) if v.startsWith("l") =>
+              val d = v.tail.toLong
+              rng += c -> (d * DayMs, d * DayMs + DayMs - 1); nullFree += c
+            case _ => ()
+          }
+        }
       }
-      case GreaterThan(c, v) => (rng(c), lv(v)) match {
+    }
+    FileFacts(rng, nullFree, allNull, strVal, bucket)
+  }
+
+  private def longLit(a: Any): Option[Long] = a match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case b: java.lang.Byte => Some(b.toLong)
+    case _ => None
+  }
+  private def strLit(a: Any): Option[String] = a match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** Conservative tri-state "might this file contain a matching row?".
+    * `true` means "cannot rule it out". Partition facts make this exact
+    * for identity values (incl. strings and all-null partitions) and
+    * bucket membership; LONG stats bound the rest. */
+  def mayMatch(f: Filter, facts: FileFacts): Boolean = f match {
+    case EqualTo(c, v) =>
+      if (facts.allNull(c)) false // NULL = x is never TRUE
+      else strLit(v) match {
+        case Some(s) => facts.strVal.get(c) match {
+          case Some(pv) => pv == s
+          case None => true
+        }
+        case None => longLit(v) match {
+          case Some(x) =>
+            val bucketOk = facts.bucket.get(c)
+              .forall { case (b, n) => bucketOf(x, n) == b }
+            val rngOk = facts.rng.get(c)
+              .forall { case (lo, hi) => x >= lo && x <= hi }
+            bucketOk && rngOk
+          case None => true
+        }
+      }
+    case GreaterThan(c, v) =>
+      !facts.allNull(c) && ((facts.rng.get(c), longLit(v)) match {
         case (Some((_, hi)), Some(x)) => hi > x
         case _ => true
-      }
-      case GreaterThanOrEqual(c, v) => (rng(c), lv(v)) match {
+      })
+    case GreaterThanOrEqual(c, v) =>
+      !facts.allNull(c) && ((facts.rng.get(c), longLit(v)) match {
         case (Some((_, hi)), Some(x)) => hi >= x
         case _ => true
-      }
-      case LessThan(c, v) => (rng(c), lv(v)) match {
+      })
+    case LessThan(c, v) =>
+      !facts.allNull(c) && ((facts.rng.get(c), longLit(v)) match {
         case (Some((lo, _)), Some(x)) => lo < x
         case _ => true
-      }
-      case LessThanOrEqual(c, v) => (rng(c), lv(v)) match {
+      })
+    case LessThanOrEqual(c, v) =>
+      !facts.allNull(c) && ((facts.rng.get(c), longLit(v)) match {
         case (Some((lo, _)), Some(x)) => lo <= x
         case _ => true
-      }
-      case In(c, vs) => rng(c) match {
-        case Some((lo, hi)) =>
-          vs.exists(v => lv(v).forall(x => x >= lo && x <= hi))
-        case None => true
-      }
-      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
-      case _: AlwaysFalse => false
-      case _ => true
-    }
+      })
+    case In(c, vs) =>
+      !facts.allNull(c) && vs.exists(v => mayMatch(EqualTo(c, v), facts))
+    case IsNull(c) => !facts.nullFree(c)
+    case IsNotNull(c) => !facts.allNull(c)
+    case And(l, r) => mayMatch(l, facts) && mayMatch(r, facts)
+    case Or(l, r) => mayMatch(l, facts) || mayMatch(r, facts)
+    case _: AlwaysFalse => false
+    case _ => true
   }
 
-  /** "Does EVERY row in this file match?" — provable only when stats
-    * bound the predicate from both sides. Used by DELETE's metadata-only
-    * fast path; `false` just means "rewrite to be sure". */
-  def allMatch(f: Filter, stats: Map[String, (Long, Long)]): Boolean = {
-    def rng(c: String): Option[(Long, Long)] = stats.get(c)
-    def lv(a: Any): Option[Long] = a match {
-      case l: java.lang.Long => Some(l)
-      case i: java.lang.Integer => Some(i.toLong)
-      case _ => None
-    }
-    f match {
-      case EqualTo(c, v) => (rng(c), lv(v)) match {
-        case (Some((lo, hi)), Some(x)) => lo == x && hi == x
-        case _ => false
+  /** "Does EVERY row in this file match?" — provable only when the facts
+    * bound the predicate from both sides AND prove the column null-free:
+    * per SQL three-valued logic a NULL row matches no comparison, so a
+    * file whose stats say (5,5) but that may hold NULLs must NOT take
+    * DELETE's metadata-only drop path (the round-14 advice fix; Iceberg's
+    * strict evaluator requires nullCount==0 for exactly this). `false`
+    * just means "rewrite to be sure". */
+  def allMatch(f: Filter, facts: FileFacts): Boolean = f match {
+    case EqualTo(c, v) =>
+      strLit(v) match {
+        case Some(s) => facts.strVal.get(c).contains(s) // implies null-free
+        case None => longLit(v) match {
+          case Some(x) => facts.nullFree(c) &&
+            facts.rng.get(c).exists { case (lo, hi) => lo == x && hi == x }
+          case None => false
+        }
       }
-      case GreaterThan(c, v) => (rng(c), lv(v)) match {
+    case GreaterThan(c, v) => facts.nullFree(c) &&
+      ((facts.rng.get(c), longLit(v)) match {
         case (Some((lo, _)), Some(x)) => lo > x
         case _ => false
-      }
-      case GreaterThanOrEqual(c, v) => (rng(c), lv(v)) match {
+      })
+    case GreaterThanOrEqual(c, v) => facts.nullFree(c) &&
+      ((facts.rng.get(c), longLit(v)) match {
         case (Some((lo, _)), Some(x)) => lo >= x
         case _ => false
-      }
-      case LessThan(c, v) => (rng(c), lv(v)) match {
+      })
+    case LessThan(c, v) => facts.nullFree(c) &&
+      ((facts.rng.get(c), longLit(v)) match {
         case (Some((_, hi)), Some(x)) => hi < x
         case _ => false
-      }
-      case LessThanOrEqual(c, v) => (rng(c), lv(v)) match {
+      })
+    case LessThanOrEqual(c, v) => facts.nullFree(c) &&
+      ((facts.rng.get(c), longLit(v)) match {
         case (Some((_, hi)), Some(x)) => hi <= x
         case _ => false
-      }
-      case And(l, r) => allMatch(l, stats) && allMatch(r, stats)
-      case Or(l, r) => allMatch(l, stats) || allMatch(r, stats)
-      // SQL TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — every
-      // file drops metadata-only
-      case _: AlwaysTrue => true
-      case _ => false
-    }
+      })
+    case In(c, vs) => vs.exists(v => allMatch(EqualTo(c, v), facts))
+    case IsNull(c) => facts.allNull(c)
+    case IsNotNull(c) => facts.nullFree(c)
+    case And(l, r) => allMatch(l, facts) && allMatch(r, facts)
+    case Or(l, r) => allMatch(l, facts) || allMatch(r, facts)
+    // SQL TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — every
+    // file drops metadata-only (TRUE matches NULL rows too)
+    case _: AlwaysTrue => true
+    case _ => false
   }
 
-  /** Row-level predicate evaluation over decoded (boxed) values — the
-    * authority DELETE's rewrite path uses. Supported shapes mirror
-    * `canDeleteWhere`; an unsupported filter never reaches here. */
+  /** Row-level predicate evaluation over decoded (boxed, CURRENT-schema-
+    * aligned) values — the authority DELETE's boundary path uses.
+    * Strings compare in UTF8String's UTF-8 binary order, the SAME order
+    * Spark applies to the identical residual predicate at scan time
+    * (java.lang.String.compareTo is UTF-16 code-unit order, which
+    * disagrees around supplementary characters — the round-14 advice
+    * fix). Supported shapes mirror `canDeleteWhere`. */
   def evalFilter(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
     def col(c: String): Any = {
       val i = schema.fieldIndex(c)
@@ -652,7 +1122,10 @@ object GraftTableCatalog {
           Some(java.lang.Long.compare(a, b.longValue()))
         case (a: Double, b: java.lang.Double) =>
           Some(java.lang.Double.compare(a, b))
-        case (a: String, b: String) => Some(a.compareTo(b))
+        case (a: String, b: String) =>
+          Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+        case (a: String, b: UTF8String) =>
+          Some(UTF8String.fromString(a).compareTo(b))
         case _ => sys.error(s"type mismatch comparing $c to $v")
       }
     }
@@ -684,6 +1157,188 @@ object GraftTableCatalog {
     case Not(x) => filterSupported(x)
     case _ => false
   }
+
+  /** Positional decode types for one file: recorded per entry (v2), or
+    * the current-schema prefix for legacy files (valid: legacy tables
+    * predate DROP COLUMN, so positions never shifted). */
+  private[sources] def fileTypes(e: Entry, schema: StructType): Array[String] =
+    if (e.typeCodes.nonEmpty && !e.typeCodes.contains('?'))
+      e.typeCodes.map(c => Codec.codeType(c).json).toArray
+    else schema.fields.take(e.cols).map(_.dataType.json)
+
+  /** One reader task per data file: positional decode types, the
+    * required projection's FILE positions (resolved by field id; -1 =
+    * the `_file` metadata column, -2 = null-pad), the delete files to
+    * anti-merge, and optional CDF stamping. */
+  private[sources] def filePartition(dir: File, tableSchema: StructType,
+      mp: ColMapping, required: StructType, e: Entry,
+      changeType: String = "", changeVersion: Long = 0L,
+      positions: Option[Array[Long]] = None,
+      keyVals: Array[Any] = Array.empty): CatalogFilePartition = {
+    val fids = e.idsOrLegacy.toArray
+    val srcIdx = required.fields.map { f =>
+      if (f.name == FileMetaCol) -1
+      else {
+        val id = mp.ids(tableSchema.fieldIndex(f.name))
+        val p = fids.indexOf(id)
+        if (p >= 0) p else -2
+      }
+    }
+    CatalogFilePartition(
+      new File(new File(dir, "data"), e.name).getPath, e.name,
+      e.rows, fileTypes(e, tableSchema), srcIdx,
+      e.deletes.map(d =>
+        new File(new File(dir, "data"), d.name).getPath).toArray,
+      positions, changeType, changeVersion, keyVals)
+  }
+
+  /** Load + merge position delete files into one sorted skip array. */
+  private[sources] def loadDeletePositions(paths: Array[String]): Array[Long] =
+    if (paths.isEmpty) Array.empty
+    else paths.flatMap { p =>
+      val f = new File(p)
+      val n = (f.length() / 8).toInt
+      val in = new DataInputStream(new BufferedInputStream(
+        new FileInputStream(f)))
+      try Array.fill(n)(in.readLong()) finally in.close()
+    }.sorted
+
+  /** Write one position delete file; returns its [[DeleteFile]]. */
+  private[sources] def writeDeleteFile(dir: File,
+      positions: Seq[Long]): DeleteFile = {
+    val name = s"del-${java.util.UUID.randomUUID().toString.take(12)}.del"
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(new File(new File(dir, "data"), name))))
+    try positions.sorted.foreach(out.writeLong) finally out.close()
+    DeleteFile(name, positions.length.toLong)
+  }
+
+  /** Write CURRENT-schema-aligned boxed rows as one v2 data file (the
+    * driver-side rewrite path: DELETE's copy-on-write boundary and
+    * sys.compact). Stats key by field id; null presence is tracked so
+    * the rewrite keeps full pruning power. */
+  private[sources] def writeLocalFile(dir: File, prefix: String,
+      schema: StructType, mp: ColMapping, partition: Seq[String],
+      rows: Iterable[Array[Any]]): Entry = {
+    val types = schema.fields.map(_.dataType)
+    val name = s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+    val f = new File(new File(dir, "data"), name)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(f)))
+    val stats = collection.mutable.Map[String, (Long, Long)]()
+    val hasNull = new Array[Boolean](types.length)
+    var n = 0L
+    try rows.foreach { full =>
+      Codec.write(out, types, full.apply)
+      var i = 0
+      while (i < types.length) {
+        if (full(i) == null) hasNull(i) = true
+        else if (types(i) == LongType) {
+          val v = full(i).asInstanceOf[Long]
+          val key = s"#${mp.ids(i)}"
+          val (lo, hi) = stats.getOrElse(key, (v, v))
+          stats(key) = (math.min(lo, v), math.max(hi, v))
+        }
+        i += 1
+      }
+      n += 1
+    } finally out.close()
+    val nullFree = types.indices.collect {
+      case i if !hasNull(i) => s"#${mp.ids(i)}"
+    }.toSet
+    Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
+      mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
+      partition, Seq.empty)
+  }
+
+  /** Decode one whole file (skipping already-deleted positions), each
+    * row ALIGNED to the current schema by field id. Returns (rawPos,
+    * alignedRow) pairs — the boundary-delete and compact machinery. */
+  private[sources] def readAligned(dir: File, e: Entry, schema: StructType,
+      mp: ColMapping): IndexedSeq[(Long, Array[Any])] = {
+    val types = fileTypes(e, schema).map(DataType.fromJson)
+    val fids = e.idsOrLegacy.toArray
+    // file position of each current column (or -1), precomputed once
+    val proj = mp.ids.map(id => fids.indexOf(id)).toArray
+    val skip = loadDeletePositions(e.deletes.map(d =>
+      new File(new File(dir, "data"), d.name).getPath).toArray)
+    var si = 0
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(new File(new File(dir, "data"), e.name))))
+    try (0L until e.rows).flatMap { pos =>
+      val raw = Codec.read(in, types, types.length)
+      if (si < skip.length && skip(si) == pos) { si += 1; None }
+      else {
+        val aligned = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          if (proj(i) >= 0 && proj(i) < raw.length) aligned(i) = raw(proj(i))
+          i += 1
+        }
+        Some((pos, aligned))
+      }
+    } finally in.close()
+  }
+
+  /** Derive the CHANGE DATA FEED splits for versions (fromV, toV]: diff
+    * consecutive retained manifests — removed files' live rows become
+    * deletes, added files' live rows become inserts, a same-file
+    * delete-set extension emits exactly the delta positions as deletes
+    * (delete files are append-only per entry, so the delta is the
+    * suffix). `compact` versions emit nothing: they replace files with a
+    * byte-different, row-identical layout. The baseline below a
+    * partially-expired history is the first retained manifest (its full
+    * content reads as the net insert) — for a RESTARTED STREAM that is
+    * silent duplication, so streams fail loudly instead
+    * (`failOnExpiredStart`). */
+  private[sources] def changeSplits(dir: File, schema: StructType,
+      fromV: Long, toV: Long, failOnExpiredStart: Boolean)
+      : Array[InputPartition] = {
+    val mp = readMapping(dir, schema)
+    def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
+    var prev: Map[String, Entry] = (fromV to 1L by -1).find(exists)
+      .map(v => readManifest(dir, v).files.map(e => e.name -> e).toMap)
+      .getOrElse {
+        if (fromV >= 1 && failOnExpiredStart)
+          throw new IllegalStateException(
+            s"change feed offset v$fromV of $dir was expired by " +
+              "sys.expire_versions — restart the stream from scratch " +
+              "or retain more versions")
+        Map.empty
+      }
+    val out = Seq.newBuilder[InputPartition]
+    ((fromV + 1) to toV).filter(exists).foreach { v =>
+      val m = readManifest(dir, v)
+      val cur = m.files.map(e => e.name -> e).toMap
+      if (m.op != "compact") {
+        prev.valuesIterator.filterNot(e => cur.contains(e.name)).foreach {
+          e => // removed file: its live rows (as of prev) are deletes
+            out += filePartition(dir, schema, mp, schema, e,
+              changeType = "delete", changeVersion = v)
+        }
+        cur.valuesIterator.filterNot(e => prev.contains(e.name)).foreach {
+          e => // added file: its live rows are inserts
+            out += filePartition(dir, schema, mp, schema, e,
+              changeType = "insert", changeVersion = v)
+        }
+        cur.valuesIterator.foreach { e =>
+          prev.get(e.name).foreach { pe =>
+            val delta = e.deletes.drop(pe.deletes.length)
+            if (delta.nonEmpty) {
+              val positions = loadDeletePositions(delta.map(d =>
+                new File(new File(dir, "data"), d.name).getPath).toArray)
+              out += filePartition(dir, schema, mp, schema,
+                pe.copy(deletes = Seq.empty),
+                changeType = "delete", changeVersion = v,
+                positions = Some(positions))
+            }
+          }
+        }
+      }
+      prev = cur
+    }
+    out.result().toArray
+  }
 }
 
 private class CatalogTable(dir: File, tableName: String,
@@ -694,6 +1349,22 @@ private class CatalogTable(dir: File, tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = readSchema(dir)
+
+  /** The table's partition spec, reported back to Spark (DESCRIBE shows
+    * it; the write path routes rows by it; SPJ plans against it). */
+  override def partitioning(): Array[Transform] = {
+    val s = schema()
+    val mp = readMapping(dir, s)
+    readSpec(dir).map { p =>
+      val c = s.fields(mp.ids.indexOf(p.id)).name
+      p.kind match {
+        case "identity" => Expressions.identity(c)
+        case "bucket" => Expressions.bucket(p.arg, c)
+        case "days" => Expressions.days(c)
+        case other => sys.error(s"unknown transform $other")
+      }
+    }.toArray
+  }
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -760,52 +1431,47 @@ private class CatalogTable(dir: File, tableName: String,
       filterSupported(f) && f.references.forall(dataCols.contains))
   }
 
-  /** The Iceberg delete split: stats-proven all-match files DROP from the
-    * manifest, none-match files survive untouched (byte-identical), only
-    * boundary files rewrite (copy-on-write). The commit is one new
-    * manifest version; prior versions keep serving the old file set. */
+  /** The Iceberg delete split, now over FULL file facts (partition
+    * values + stats + null presence): proven all-match files DROP from
+    * the manifest (metadata-only — on an identity-partitioned table a
+    * partition-aligned DELETE never touches data), proven none-match
+    * files survive untouched, and only boundary files pay — a rewrite
+    * under copy-on-write, or a small position delete file under
+    * `delete.mode`='merge-on-read' (the Iceberg v2 read path: a 10-row
+    * delete on a 1 GB file writes 80 bytes, and `sys.compact` applies
+    * it later). The commit is one new manifest version; prior versions
+    * keep serving the old file set. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val s = schema()
-    val types = s.fields.map(_.dataType)
+    val mp = readMapping(dir, s)
+    val spec = readSpec(dir)
     val m = liveManifest()
     val latest = readLatest(dir)
-    var dropped = 0L; var rewritten = 0L; var kept = 0L
+    val mor = readProps(dir).get(DeleteModeProp).contains("merge-on-read")
+    var dropped = 0L; var rewritten = 0L; var kept = 0L; var morFiles = 0L
     val remaining = m.files.flatMap { e =>
-      val every = filters.nonEmpty && filters.forall(allMatch(_, e.stats))
-      val any = filters.forall(mayMatch(_, e.stats))
+      val facts = fileFacts(e, s, mp, spec)
+      val every = filters.nonEmpty && filters.forall(allMatch(_, facts))
+      val any = filters.forall(mayMatch(_, facts))
       if (every) { dropped += 1; None } // metadata-only drop
       else if (!any) { kept += 1; Some(e) } // provably untouched
       else {
-        // boundary file: keep the non-matching rows in a NEW file (the
-        // old one still backs prior versions)
-        val in = new DataInputStream(new FileInputStream(
-          new File(new File(dir, "data"), e.name)))
-        val survivors = try {
-          (0L until e.rows).map(_ => Codec.read(in, types, e.cols))
-            .filterNot(r => filters.forall(evalFilter(_, s, r)))
-        } finally in.close()
-        if (survivors.length == e.rows) { kept += 1; Some(e) }
-        else if (survivors.isEmpty) { dropped += 1; None }
-        else {
+        // boundary file: decode live rows (field-id aligned, existing
+        // deletes applied) and split by the predicate
+        val live = readAligned(dir, e, s, mp)
+        val (hit, miss) = live.partition { case (_, row) =>
+          filters.forall(evalFilter(_, s, row)) }
+        if (hit.isEmpty) { kept += 1; Some(e) }
+        else if (miss.isEmpty) { dropped += 1; None }
+        else if (mor) {
+          morFiles += 1
+          Some(e.copy(deletes =
+            e.deletes :+ writeDeleteFile(dir, hit.map(_._1))))
+        } else {
           rewritten += 1
-          val name = s"rw-${java.util.UUID.randomUUID().toString.take(12)}.bin"
-          val f = new File(new File(dir, "data"), name)
-          val out = new DataOutputStream(new FileOutputStream(f))
-          val stats = collection.mutable.Map[String, (Long, Long)]()
-          try survivors.foreach { r =>
-            // the rewrite pads evolution columns to the CURRENT schema
-            val full = r.padTo(types.length, null)
-            Codec.write(out, types, full.apply)
-            s.fields.zipWithIndex.foreach { case (fld, i) =>
-              if (fld.dataType == LongType && full(i) != null) {
-                val v = full(i).asInstanceOf[Long]
-                val (lo, hi) = stats.getOrElse(fld.name, (v, v))
-                stats(fld.name) = (math.min(lo, v), math.max(hi, v))
-              }
-            }
-          } finally out.close()
-          Some(Entry(name, survivors.length, f.length(), types.length,
-            stats.toMap))
+          // survivors keep the file's partition tuple (rows of one file
+          // share it by construction) — the new file stays prunable
+          Some(writeLocalFile(dir, "rw", s, mp, e.partition, miss.map(_._2)))
         }
       }
     }
@@ -813,6 +1479,7 @@ private class CatalogTable(dir: File, tableName: String,
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)
+    lastDeleteMorFiles.set(morFiles)
   }
 }
 
@@ -825,8 +1492,9 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   private var required: StructType = schema
 
   /** File skipping, not filtering: every filter stays RESIDUAL (Spark
-    * re-applies them all), but files whose min/max stats disprove a
-    * conjunct are never planned — the connector-level zone map. */
+    * re-applies them all), but files whose facts (partition values
+    * FIRST — exact, then min/max stats) disprove a conjunct are never
+    * planned — the connector-level partition pruning + zone map. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     skipFilters = filters; filters
   }
@@ -837,17 +1505,24 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     required = requiredSchema
 
   override def build(): Scan = {
-    val live = manifest.files.filter(e =>
-      skipFilters.forall(mayMatch(_, e.stats)))
-    new CatalogScan(dir, schema, required, live, manifest.version,
+    val mp = readMapping(dir, schema)
+    val spec = readSpec(dir)
+    val live = manifest.files.filter { e =>
+      val facts = fileFacts(e, schema, mp, spec)
+      skipFilters.forall(mayMatch(_, facts))
+    }
+    new CatalogScan(dir, schema, mp, spec, required, live, manifest.version,
       startingVersion)
   }
 }
 
 private class CatalogScan(dir: File, tableSchema: StructType,
+    mp: GraftTableCatalog.ColMapping, spec: Seq[GraftTableCatalog.PT],
     required: StructType, files: Seq[GraftTableCatalog.Entry],
     version: Long, startingVersion: Long = 0L)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
+  import GraftTableCatalog._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -856,9 +1531,54 @@ private class CatalogScan(dir: File, tableSchema: StructType,
   override def description(): String =
     s"graft_cat $dir v$version files=${files.length} " +
       s"cols=${required.fieldNames.mkString(",")}"
+
+  /** Decode one entry's partition tuple into SPJ key-row values (order
+    * parallels the spec): identity long → long, identity string →
+    * UTF8String, bucket → int, days → long day ordinal, null → null. */
+  private def keyVals(e: Entry): Array[Any] =
+    if (e.partition.length != spec.length) Array.empty
+    else spec.zip(e.partition).map {
+      case (_, "n") => null
+      case (PT("identity", _, _), v) if v.startsWith("s") =>
+        UTF8String.fromString(URLDecoder.decode(v.tail, "UTF-8"))
+      case (PT("identity", _, _), v) => java.lang.Long.valueOf(v.tail.toLong)
+      case (PT("bucket", _, _), v) => java.lang.Integer.valueOf(v.tail.toInt)
+      case (PT("days", _, _), v) => java.lang.Long.valueOf(v.tail.toLong)
+      case (_, other) => sys.error(s"bad partition value $other")
+    }.toArray[Any]
+
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e => GraftTableCatalog
-      .filePartition(dir, tableSchema, required, e): InputPartition).toArray
+    files.map(e => filePartition(dir, tableSchema, mp, required, e,
+      keyVals = keyVals(e)): InputPartition).toArray
+
+  /** STORAGE-PARTITIONED JOIN through the catalog: every file carries
+    * its partition tuple as a [[HasPartitionKey]], so two tables created
+    * with the same spec co-locate partition-for-partition and an
+    * equi-join on the partition source columns runs with ZERO exchange
+    * on either side (`spark.sql.sources.v2.bucketing.enabled` — Spark
+    * groups same-key files into one task). Reported only when the spec
+    * is identity/bucket (days inverts a range, not a key), every planned
+    * file carries a tuple, and the source columns survive pruning (the
+    * key expressions must resolve against the scan's output). */
+  override def outputPartitioning(): V2Partitioning = {
+    val srcCols = spec.map(p => {
+      val i = mp.ids.indexOf(p.id)
+      if (i >= 0) tableSchema.fields(i).name else ""
+    })
+    val ok = spec.nonEmpty && files.nonEmpty &&
+      spec.forall(p => p.kind == "identity" || p.kind == "bucket") &&
+      files.forall(_.partition.length == spec.length) &&
+      srcCols.forall(c => c.nonEmpty && required.fieldNames.contains(c))
+    if (!ok) new UnknownPartitioning(files.length)
+    else new KeyGroupedPartitioning(
+      spec.zip(srcCols).map {
+        case (PT("identity", _, _), c) => Expressions.identity(c)
+        case (PT("bucket", n, _), c) => Expressions.bucket(n, c)
+        case (p, _) => sys.error(s"unreachable: $p")
+      }.toArray,
+      files.map(_.partition).distinct.length)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     CatalogReaderFactory
   /** V2 CUSTOM METRICS: files actually opened and rows decoded, as
@@ -870,13 +1590,25 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_.bytes).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(files.map(_.rows).sum)
+      java.util.OptionalLong.of(files.map(_.liveRows).sum)
   }
 }
 
+/** One reader task: `srcIdx` maps required output positions to file
+  * positions (-1 = `_file`, -2 = null-pad for columns the file
+  * predates); `deletePaths` anti-merge as a sorted position skip list;
+  * `positions` (CDF delta-deletes) restricts emission to exactly those
+  * raw positions; `changeType`/`changeVersion` stamp the two CDF
+  * columns; `keyVals` is the partition tuple for SPJ grouping. */
 private case class CatalogFilePartition(path: String, fileName: String,
-    rows: Long, cols: Int, typeJson: Array[String], srcIdx: Array[Int])
-    extends InputPartition
+    rows: Long, typeJson: Array[String], srcIdx: Array[Int],
+    deletePaths: Array[String] = Array.empty,
+    positions: Option[Array[Long]] = None,
+    changeType: String = "", changeVersion: Long = 0L,
+    keyVals: Array[Any] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
+}
 
 private object CatalogReaderFactory extends PartitionReaderFactory {
   import GraftTableCatalog._
@@ -885,24 +1617,46 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
     val types = fp.typeJson.map(DataType.fromJson)
     filesOpened.incrementAndGet()
     new PartitionReader[InternalRow] {
-      private val in = new DataInputStream(new FileInputStream(fp.path))
+      private val in = new DataInputStream(new BufferedInputStream(
+        new FileInputStream(fp.path), 1 << 16))
       private val fileTag = UTF8String.fromString(fp.fileName)
+      private val skips = loadDeletePositions(fp.deletePaths)
+      private val only = fp.positions.map(_.sorted)
+      private var pos = -1L
+      private var si = 0
+      private var oi = 0
+      private var cur: Array[Any] = _
       private var read = 0L
       override def currentMetricsValues(): Array[CustomTaskMetric] =
         Array(CatalogScanMetrics.task("filesOpened", 1L),
           CatalogScanMetrics.task("rowsRead", read))
-      override def next(): Boolean = read < fp.rows
+      override def next(): Boolean = {
+        if (only.exists(o => oi >= o.length)) return false
+        while (pos + 1 < fp.rows) {
+          pos += 1
+          // the whole row decodes (the codec is positional); projection
+          // picks from it — pruning saves materialization, not I/O,
+          // which matches the format's floor
+          val vals = Codec.read(in, types, types.length)
+          val emit = only match {
+            case Some(o) =>
+              if (oi < o.length && o(oi) == pos) { oi += 1; true }
+              else false
+            case None =>
+              if (si < skips.length && skips(si) == pos) { si += 1; false }
+              else true
+          }
+          if (emit) { cur = vals; read += 1; return true }
+        }
+        false
+      }
       override def get(): InternalRow = {
-        // the whole file row decodes (the codec is positional), the
-        // required projection picks from it — column pruning here saves
-        // materialization, not I/O, which matches the format's floor
-        val vals = Codec.read(in, types, fp.cols)
-        read += 1
-        val row = new GenericInternalRow(fp.srcIdx.length)
+        val extra = if (fp.changeType.isEmpty) 0 else 2
+        val row = new GenericInternalRow(fp.srcIdx.length + extra)
         fp.srcIdx.indices.foreach { i =>
           val v = fp.srcIdx(i) match {
             case -1 => fileTag
-            case s if s < vals.length => vals(s) match {
+            case s if s >= 0 && s < cur.length => cur(s) match {
               case str: String => UTF8String.fromString(str)
               case other => other
             }
@@ -910,11 +1664,60 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
           }
           row.update(i, v)
         }
+        if (extra == 2) {
+          row.update(fp.srcIdx.length, UTF8String.fromString(fp.changeType))
+          row.update(fp.srcIdx.length + 1, fp.changeVersion)
+        }
         row
       }
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** The atomic-CTAS staged table: a fully-formed table directory hidden
+  * under `.stg-*`, published by ONE directory rename in
+  * `commitStagedChanges` — readers see no table, then the whole table;
+  * a failed CTAS write aborts the stage and the namespace is untouched
+  * (CatalogSpec pins the poisoned-job case, mirroring LedgerSinkSpec). */
+private class GraftStagedTable(tmp: File, finalDir: File,
+    tableName: String, replace: Boolean)
+    extends StagedTable with SupportsWrite {
+  import GraftTableCatalog._
+  private val inner = new CatalogTable(tmp, tableName, pinned = None)
+  override def name(): String = tableName
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    if (!replace) {
+      try Files.move(tmp.toPath, finalDir.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e @ (_: FileAlreadyExistsException |
+                  _: java.nio.file.FileSystemException) =>
+          deleteTree(tmp) // a concurrent creator won; leave no debris
+          throw new IllegalStateException(
+            s"table $tableName was created concurrently", e)
+      }
+    } else {
+      // REPLACE swaps by two renames (POSIX offers no atomic dir
+      // exchange): old aside, staged in, old removed — the non-atomic
+      // window is the instant between renames, never a half-written table
+      val trash = new File(finalDir.getParentFile,
+        s".trash-${java.util.UUID.randomUUID().toString.take(8)}")
+      val existed = finalDir.exists()
+      if (existed) Files.move(finalDir.toPath, trash.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp.toPath, finalDir.toPath, StandardCopyOption.ATOMIC_MOVE)
+      if (existed) deleteTree(trash)
+    }
+  override def abortStagedChanges(): Unit = deleteTree(tmp)
 }
 
 private class CatalogWriteBuilder(dir: File, schema: StructType,
@@ -938,7 +1741,7 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
     }
     else new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      import org.apache.spark.sql.connector.expressions.SortDirection
       private def sorts = orderBy.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
         .toArray
@@ -972,7 +1775,12 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory = {
     new File(dir, "data").mkdirs()
-    CatalogStreamingWriterFactory(dir.getPath, jobUid, schema.json)
+    val mp = readMapping(dir, schema)
+    val spec = readSpec(dir)
+    CatalogStreamingWriterFactory(dir.getPath, jobUid, schema.json,
+      mp.ids.mkString(","),
+      spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
+        .mkString(";"))
   }
 
   override def commit(epochId: Long,
@@ -980,44 +1788,43 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
     val latest = readLatest(dir)
     val m = if (latest == 0) Manifest(0, "none", Seq.empty)
       else readManifest(dir, latest)
-    def dropFiles(msgs: Seq[WriterCommitMessage]): Unit = msgs.foreach {
-      case CatalogCommit(e) => new File(new File(dir, "data"), e.name).delete()
-      case _ => ()
-    }
+    def entriesOf(msgs: Seq[WriterCommitMessage]): Seq[Entry] =
+      msgs.flatMap { case CatalogCommit(es) => es; case _ => Seq.empty }
     if (m.epochs.contains(epochId)) {
       // replayed micro-batch: the commit is a no-op, and the replay's
       // freshly written task files would otherwise strand forever
       // (referenced by no manifest, so expire never touches them)
-      dropFiles(messages.toSeq)
+      entriesOf(messages.toSeq).foreach(e =>
+        new File(new File(dir, "data"), e.name).delete())
       return
     }
-    val (kept, empty) = messages.map { case c @ CatalogCommit(e) => c }
-      .partition(_.entry.rows > 0)
-    commitVersion(dir, latest, "stream-epoch", m.files ++ kept.map(_.entry),
+    val (kept, empty) = entriesOf(messages.toSeq).partition(_.rows > 0)
+    commitVersion(dir, latest, "stream-epoch", m.files ++ kept,
       m.epochs + epochId)
-    dropFiles(empty.toSeq) // zero-row task files add nothing
+    empty.foreach(e => // zero-row task files add nothing
+      new File(new File(dir, "data"), e.name).delete())
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CatalogCommit(e) =>
-        new File(new File(dir, "data"), e.name).delete()
+      case CatalogCommit(es) => es.foreach(e =>
+        new File(new File(dir, "data"), e.name).delete())
       case _ => ()
     }
 }
 
 private case class CatalogStreamingWriterFactory(dirPath: String,
-    jobUid: String, schemaJson: String)
+    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson)
-      .createWriter(partitionId, taskId)
+    CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson,
+      idsCsv, specEnc).createWriter(partitionId, taskId)
 }
 
-private[graft] case class CatalogCommit(entry: GraftTableCatalog.Entry)
+private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry])
   extends WriterCommitMessage
 
 /** The ledger's commit discipline on the versioned chain: per-task files
@@ -1034,12 +1841,20 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(dir, "data").mkdirs()
-    CatalogWriterFactory(dir.getPath, jobUid, schema.json)
+    val mp = readMapping(dir, schema)
+    val spec = readSpec(dir)
+    CatalogWriterFactory(dir.getPath, jobUid, schema.json,
+      mp.ids.mkString(","),
+      spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
+        .mkString(";"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.map { case CatalogCommit(e) => e }.toSeq
-      .filter(_.rows > 0) // empty task files add nothing but manifest noise
+    val all = messages.toSeq.flatMap {
+      case CatalogCommit(es) => es
+      case _ => Seq.empty
+    }
+    val added = all.filter(_.rows > 0) // empty task files add only noise
     // base = the version this write STARTED from; if another commit landed
     // meanwhile, commitVersion's exclusive create fails the race loudly.
     // Epoch markers carry through EVERY commit — truncate replaces the
@@ -1052,23 +1867,27 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
       }
     commitVersion(dir, expectedLatest,
       if (truncate) "overwrite" else "append", base ++ added, epochs)
-    // stranded zero-row task files are unreferenced; best-effort cleanup
-    messages.foreach { case CatalogCommit(e) if e.rows == 0 =>
-      new File(new File(dir, "data"), e.name).delete()
-    case _ => ()
-    }
+    all.filter(_.rows == 0).foreach(e => // stranded zero-row task files
+      new File(new File(dir, "data"), e.name).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CatalogCommit(e) =>
-        new File(new File(dir, "data"), e.name).delete()
+      case CatalogCommit(es) => es.foreach(e =>
+        new File(new File(dir, "data"), e.name).delete())
       case _ => ()
     }
 }
 
+/** Task-side writer. On a PARTITIONED table every task routes rows to
+  * one open file per partition tuple it sees (the Iceberg fanout
+  * writer), computing transform values inline — identity / bucket(n) /
+  * days — so partition layout is HIDDEN from writers: they insert rows,
+  * the table places them. Per-file stats key by FIELD ID and track null
+  * presence (the metadata DELETE's proof obligations). */
 private case class CatalogWriterFactory(dirPath: String, jobUid: String,
-    schemaJson: String) extends DataWriterFactory {
+    schemaJson: String, idsCsv: String, specEnc: String)
+    extends DataWriterFactory {
   import GraftTableCatalog._
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -1076,13 +1895,53 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
       private val schema =
         DataType.fromJson(schemaJson).asInstanceOf[StructType]
       private val types = schema.fields.map(_.dataType)
-      private val name = s"part-$jobUid-p$partitionId-t$taskId.bin"
-      private val file = new File(new File(dirPath, "data"), name)
-      private val out = new DataOutputStream(new FileOutputStream(file))
-      private var rows = 0L
-      private val stats = collection.mutable.Map[String, (Long, Long)]()
+      private val ids: Array[Int] =
+        if (idsCsv.isEmpty) Array.empty else idsCsv.split(",").map(_.toInt)
+      private val typeCodes =
+        schema.fields.map(f => Codec.typeCode(f.dataType)).mkString
+      private val spec: Array[(String, Int, Int)] =
+        if (specEnc.isEmpty) Array.empty
+        else specEnc.split(";").map { s =>
+          val p = s.split(":"); (p(0), p(1).toInt, p(2).toInt)
+        }
+      private val stem = s"part-$jobUid-p$partitionId-t$taskId"
+
+      private class Sink(val tuple: Seq[String], suffix: String) {
+        val name = s"$stem$suffix.bin"
+        val file = new File(new File(dirPath, "data"), name)
+        val out = new DataOutputStream(new java.io.BufferedOutputStream(
+          new FileOutputStream(file)))
+        var rows = 0L
+        val stats = collection.mutable.Map[String, (Long, Long)]()
+        val hasNull = new Array[Boolean](types.length)
+      }
+      private val sinks =
+        collection.mutable.LinkedHashMap[Seq[String], Sink]()
+      private var nextSuffix = 0
+
+      private def sinkFor(row: InternalRow): Sink = {
+        val tuple: Seq[String] =
+          if (spec.isEmpty) Seq.empty
+          else spec.toSeq.map { case (kind, arg, pos) =>
+            val v: Any = if (row.isNullAt(pos)) null
+              else types(pos) match {
+                case LongType => row.getLong(pos)
+                case StringType => row.getUTF8String(pos)
+                case t => sys.error(s"unpartitionable type $t")
+              }
+            encodePartValue(kind, arg, v)
+          }
+        sinks.getOrElseUpdate(tuple, {
+          val s = new Sink(tuple,
+            if (spec.isEmpty) "" else s"-k$nextSuffix")
+          nextSuffix += 1
+          s
+        })
+      }
+
       override def write(row: InternalRow): Unit = {
-        Codec.write(out, types, i =>
+        val sk = sinkFor(row)
+        Codec.write(sk.out, types, i =>
           if (row.isNullAt(i)) null
           else types(i) match {
             case LongType => row.getLong(i)
@@ -1090,28 +1949,182 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
             case StringType => row.getUTF8String(i).toString
             case t => sys.error(s"unsupported $t")
           })
-        types.indices.foreach { i =>
-          if (types(i) == LongType && !row.isNullAt(i)) {
+        var i = 0
+        while (i < types.length) {
+          if (row.isNullAt(i)) sk.hasNull(i) = true
+          else if (types(i) == LongType) {
             val v = row.getLong(i)
-            val (lo, hi) = stats.getOrElse(schema.fields(i).name, (v, v))
-            stats(schema.fields(i).name) = (math.min(lo, v), math.max(hi, v))
+            val key = s"#${ids(i)}"
+            val (lo, hi) = sk.stats.getOrElse(key, (v, v))
+            sk.stats(key) = (math.min(lo, v), math.max(hi, v))
           }
+          i += 1
         }
-        rows += 1
+        sk.rows += 1
       }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        CatalogCommit(Entry(name, rows, file.length(), types.length,
-          stats.toMap))
+      override def commit(): WriterCommitMessage =
+        CatalogCommit(sinks.values.toSeq.map { sk =>
+          sk.out.close()
+          val nullFree = types.indices.collect {
+            case i if !sk.hasNull(i) => s"#${ids(i)}"
+          }.toSet
+          Entry(sk.name, sk.rows, sk.file.length(), types.length,
+            sk.stats.toMap, Some(nullFree), ids.toSeq, typeCodes,
+            sk.tuple, Seq.empty)
+        })
+      override def abort(): Unit = {
+        sinks.values.foreach { sk => sk.out.close(); sk.file.delete() }
+        ()
       }
-      override def abort(): Unit = { out.close(); file.delete(); () }
-      override def close(): Unit = out.close()
+      override def close(): Unit = sinks.values.foreach(_.out.close())
+    }
+}
+
+/** The group-based row-level operation (UPDATE / MERGE / DELETE
+  * fallback). One instance spans the statement: its SCAN records which
+  * files it finally planned (post runtime group filter), its WRITE's
+  * commit replaces exactly those files — the scan→write handshake that
+  * makes copy-on-write surgical instead of table-wide. */
+private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import GraftTableCatalog._
+
+  /** Files the COW scan planned for the CURRENT execution — what the
+    * write will replace. Volatile: planning and commit are different
+    * threads; single-statement scope, so last-plan-wins is exact. */
+  @volatile private[sources] var plannedFiles: Set[String] = Set.empty
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** `_file` must ride the scan so Spark can group and runtime-filter
+    * rows by the file they live in. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(FileMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(dir, tableSchema,
+        { val v = readLatest(dir)
+          if (v == 0) Manifest(0, "none", Seq.empty)
+          else readManifest(dir, v) }) {
+      override def build(): Scan = super.build() match {
+        case base: CatalogScan =>
+          new CatalogCowScan(base, CatalogRowLevelOperation.this)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"row-level write expects ${tableSchema.simpleString}; " +
+        s"got ${info.schema().simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new CatalogReplaceGroupsWrite(dir, tableSchema,
+            CatalogRowLevelOperation.this)
+      }
+    }
+  }
+}
+
+/** The COW scan: the base catalog scan plus (a) the `_file` runtime
+  * group filter and (b) planned-file reporting into the operation.
+  * Rows are never dropped below file granularity — whole surviving
+  * files flow out (position deletes still anti-merge), and the
+  * rewritten plan's per-branch conditions do the row-level work. */
+private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  import GraftTableCatalog._
+  @volatile private var keep: Option[Set[String]] = None
+
+  override def readSchema(): StructType = base.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String = "cow " + base.description()
+  override def estimateStatistics(): Statistics = base.estimateStatistics()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    CatalogScanMetrics.supported
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(FileMetaCol))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(FileMetaCol, vs) =>
+      val names = vs.map {
+        case s: String => s
+        case u: UTF8String => u.toString
+        case other => String.valueOf(other)
+      }.toSet
+      keep = Some(names)
+    case _ => () // advisory; an unabsorbed filter just skips narrowing
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = base.planInputPartitions()
+      .map(_.asInstanceOf[CatalogFilePartition])
+      .filter(p => keep.forall(_.contains(p.fileName)))
+    // the handshake: exactly these files will be replaced at commit
+    op.plannedFiles = parts.map(_.fileName).toSet
+    parts.toArray[InputPartition]
+  }
+}
+
+/** ReplaceData's batch write: standard task files + a commit that swaps
+  * the operation's planned files for the rewritten ones, as one new
+  * version. Files outside the planned set keep their manifest entries
+  * untouched — the proof the rewrite was group-local. A replaced file's
+  * position-delete files drop with it (the rewrite materialized the
+  * live rows). */
+private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
+    op: CatalogRowLevelOperation) extends BatchWrite {
+  import GraftTableCatalog._
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+  private val expectedLatest = readLatest(dir)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(dir, "data").mkdirs()
+    val mp = readMapping(dir, schema)
+    val spec = readSpec(dir)
+    CatalogWriterFactory(dir.getPath, jobUid, schema.json,
+      mp.ids.mkString(","),
+      spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
+        .mkString(";"))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.toSeq.flatMap {
+      case CatalogCommit(es) => es
+      case _ => Seq.empty
+    }
+    val added = all.filter(_.rows > 0)
+    val m = readManifest(dir, expectedLatest)
+    val replaced = op.plannedFiles
+    commitVersion(dir, expectedLatest,
+      op.command().name().toLowerCase(java.util.Locale.ROOT),
+      m.files.filterNot(e => replaced.contains(e.name)) ++ added,
+      m.epochs)
+    all.filter(_.rows == 0).foreach(e =>
+      new File(new File(dir, "data"), e.name).delete())
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CatalogCommit(es) => es.foreach(e =>
+        new File(new File(dir, "data"), e.name).delete())
+      case _ => ()
     }
 }
 
 /** `graft_cat.db.<t>.snapshots` — one row per committed version, straight
   * from the manifest chain (metadata-sized: the scan never touches data
-  * files). The Iceberg metadata-table surface in miniature. */
+  * files). The Iceberg metadata-table surface in miniature. Row counts
+  * are LIVE rows (position deletes subtracted). */
 private class SnapshotsTable(dir: File, table: String) extends Table
     with SupportsRead {
   import GraftTableCatalog._
@@ -1130,7 +2143,7 @@ private class SnapshotsTable(dir: File, table: String) extends Table
           .filter(v => new File(dir, s"v$v.manifest").exists())
           .map { v =>
             val m = readManifest(dir, v)
-            (v, m.op, m.files.length.toLong, m.files.map(_.rows).sum)
+            (v, m.op, m.files.length.toLong, m.files.map(_.liveRows).sum)
           }
         Array(SnapshotRows(rows))
       }
@@ -1166,6 +2179,240 @@ private object SnapshotsReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** `graft_cat.db.<t>.partitions` — PARTITION-LEVEL STATISTICS from the
+  * manifest chain alone: one row per live partition tuple with file,
+  * row and byte totals. At 100 TB this is how an operator answers "is
+  * the layout skewed, which partition is hot" from kilobytes — the
+  * Iceberg partitions metadata table. Unpartitioned tables report one
+  * all-table row with an empty key. */
+private class PartitionsTable(dir: File, table: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = s"$table.partitions"
+  override def schema(): StructType = PartitionsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = PartitionsTable.schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft_cat partitions $dir"
+      override def planInputPartitions(): Array[InputPartition] = {
+        val s = GraftTableCatalog.readSchema(dir)
+        val mp = readMapping(dir, s)
+        val spec = readSpec(dir)
+        val v = readLatest(dir)
+        val files = if (v == 0) Seq.empty else readManifest(dir, v).files
+        def label(tuple: Seq[String]): String =
+          if (spec.isEmpty || tuple.length != spec.length) ""
+          else spec.zip(tuple).map { case (pt, pv) =>
+            val i = mp.ids.indexOf(pt.id)
+            val c = if (i >= 0) s.fields(i).name else s"#${pt.id}"
+            val key = pt.kind match {
+              case "identity" => c
+              case "bucket" => s"${c}_bucket"
+              case "days" => s"${c}_day"
+              case other => other
+            }
+            val value = pv match {
+              case "n" => "null"
+              case x if x.startsWith("s") => URLDecoder.decode(x.tail, "UTF-8")
+              case x => x.tail
+            }
+            s"$key=$value"
+          }.mkString("/")
+        val rows = files.groupBy(_.partition).toSeq
+          .map { case (tuple, es) =>
+            (label(tuple), es.length.toLong, es.map(_.liveRows).sum,
+              es.map(_.bytes).sum)
+          }.sortBy(_._1)
+        Array(PartitionRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        PartitionsReaderFactory
+    }
+}
+
+private object PartitionsTable {
+  val schema: StructType = new StructType()
+    .add("partition", StringType, nullable = false)
+    .add("files", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+    .add("bytes", LongType, nullable = false)
+}
+
+private case class PartitionRows(rows: Seq[(String, Long, Long, Long)])
+  extends InputPartition
+
+private object PartitionsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rs = p.asInstanceOf[PartitionRows].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = {
+        val (part, nf, nr, nb) = rs(i)
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromString(part), nf, nr, nb))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** `graft_cat.db.<t>.changes` — the CHANGE DATA FEED (Delta CDF shape):
+  * row-level `_change_type` ∈ insert|delete rows with the committing
+  * `_version`, DERIVED from the manifest chain — added files emit their
+  * live rows as inserts, removed files emit theirs as deletes, and a
+  * merge-on-read delete emits exactly its delta positions. UPDATE/MERGE
+  * appear as delete+insert pairs (their replaced/added files), compact
+  * emits nothing (layout, not change). Folding the feed (inserts minus
+  * deletes, as multisets) reproduces the table at any version — the
+  * StreamingEvidence twin pins it md5-equal. Readable as a batch table
+  * or a streaming source (offsets are versions; `startingVersion`
+  * skips the backlog). */
+private class ChangesTable(dir: File, tableName: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = tableName
+  override def schema(): StructType = {
+    val base = readSchema(dir)
+    base.add(ChangeTypeCol, StringType, nullable = false)
+      .add(ChangeVersionCol, LongType, nullable = false)
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    () => new ChangesScan(dir, readSchema(dir), schema(), startingVersion)
+  }
+}
+
+private class ChangesScan(dir: File, base: StructType, out: StructType,
+    startingVersion: Long) extends Scan with Batch {
+  import GraftTableCatalog._
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream(dir, base, startingVersion)
+  override def description(): String =
+    s"graft_cat changes $dir from=v$startingVersion"
+  override def planInputPartitions(): Array[InputPartition] =
+    changeSplits(dir, base, startingVersion, readLatest(dir),
+      failOnExpiredStart = false)
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+}
+
+private class ChangesMicroBatchStream(dir: File, base: StructType,
+    startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import GraftTableCatalog._
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(math.max(0L, startingVersion))
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(readLatest(dir))
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(json.toLong)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] =
+    changeSplits(dir, base,
+      start.asInstanceOf[VersionOffset].v,
+      end.asInstanceOf[VersionOffset].v,
+      failOnExpiredStart = true)
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+}
+
+/** The catalog table as a STREAMING SOURCE — version-offset tailing:
+  * offsets are manifest versions, and each micro-batch reads the data
+  * files NEWLY REFERENCED by append-family commits (`append`,
+  * `stream-epoch`, `overwrite`) in the offset window. Row-level
+  * mutations reference rewritten copies of EXISTING rows, so their
+  * commits emit nothing here — the APPEND feed; the `.changes` table is
+  * the full CDF with change types. `startingVersion` (default 0 = full
+  * history) skips the backlog. Offsets are plain version numbers, so a
+  * restart from the checkpoint resumes exactly; expired versions inside
+  * a window are skipped (expire_versions bounds history explicitly). */
+private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
+    required: StructType, startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import GraftTableCatalog._
+  private val AppendOps = Set("append", "stream-epoch", "overwrite")
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(math.max(0L, startingVersion))
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(readLatest(dir))
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(json.toLong)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val mp = readMapping(dir, tableSchema)
+    // Walk the window carrying the file set seen SO FAR: "new" means new
+    // versus the last retained manifest at or before v, not just v-1 —
+    // a mid-window expired manifest must not make old files look new,
+    // and non-append commits still advance the baseline so a delete's
+    // rewritten copies never surface at the next append.
+    def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
+    // baseline = the last RETAINED manifest at or before the start
+    // offset. If the checkpointed version was expired, the baseline is
+    // unrecoverable (append manifests list base ++ added, so an empty
+    // baseline would silently re-emit the whole table): fail loudly —
+    // expiring versions a live stream's checkpoint still needs is an
+    // operator error, same contract as expired VERSION AS OF reads.
+    var seen: Set[String] = (s to 1L by -1).find(exists)
+      .map(v => readManifest(dir, v).files.map(_.name).toSet)
+      .getOrElse {
+        if (s >= 1)
+          throw new IllegalStateException(
+            s"stream offset v$s of $dir was expired by sys.expire_versions" +
+              " — restart the stream from scratch or retain more versions")
+        Set.empty
+      }
+    val out = Seq.newBuilder[InputPartition]
+    ((s + 1) to e).filter(exists).foreach { v =>
+      val m = readManifest(dir, v)
+      if (AppendOps.contains(m.op))
+        m.files.filterNot(f => seen.contains(f.name)).foreach { f =>
+          out += filePartition(dir, tableSchema, mp, required, f)
+        }
+      seen = m.files.map(_.name).toSet
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CatalogReaderFactory
+}
+
+private case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
 /** One-row result set for a maintenance procedure (`CALL` surfaces the
   * row to SQL via [[LocalScan]]). */
 private case class ProcResult(resultSchema: StructType,
@@ -1178,19 +2425,21 @@ private case class ProcResult(resultSchema: StructType,
 
 /** `CALL graft_cat.sys.compact(ns, table, target_bytes)` — bin-packs
   * live data files smaller than `target_bytes` into consolidated files
-  * and commits the new file list as one `compact` version. Reads are
-  * byte-equivalent before and after (CatalogSpec pins the hash), prior
-  * versions keep serving the original files, and files at or above the
-  * target are left alone. The Iceberg `rewrite_data_files` surface in
-  * miniature: at 100 TB, the small-file problem is a maintenance
-  * procedure, not a table rewrite — and the rewrites themselves would
-  * run as a job (driver-side here, bounded by the small-file volume). */
+  * and APPLIES outstanding position-delete files (a file carrying
+  * deletes always rewrites, whatever its size — compaction is where
+  * merge-on-read debt is repaid), committing the new file list as one
+  * `compact` version. Packing is PER PARTITION TUPLE: files of
+  * different partitions never merge, so pruning survives maintenance.
+  * Reads are byte-equivalent before and after (CatalogSpec pins the
+  * hash), prior versions keep serving the original files, and
+  * at-target delete-free files are left alone. The Iceberg
+  * `rewrite_data_files` surface in miniature. */
 private class CompactProcedure(cat: GraftTableCatalog)
     extends UnboundProcedure {
   import GraftTableCatalog._
   override def name(): String = "compact"
   override def description(): String =
-    "bin-pack data files below target_bytes into consolidated files"
+    "bin-pack data files below target_bytes and apply delete files"
   override def bind(inputType: StructType): BoundProcedure =
     new BoundProcedure {
       override def name(): String = "compact"
@@ -1205,67 +2454,51 @@ private class CompactProcedure(cat: GraftTableCatalog)
           input.getUTF8String(0).toString, input.getUTF8String(1).toString)
         val target = input.getLong(2)
         val schema = readSchema(dir)
-        val types = schema.fields.map(_.dataType)
+        val mp = readMapping(dir, schema)
         val latest = readLatest(dir)
         val m = readManifest(dir, latest)
-        val (small, big) = m.files.partition(_.bytes < target)
-        // deterministic greedy packing over the manifest order
-        val bins = small.foldLeft(List.empty[List[Entry]]) {
-          case (acc, e) => acc match {
-            case head :: tail
-              if head.map(_.bytes).sum + e.bytes <= target =>
-              (e :: head) :: tail
-            case _ => List(e) :: acc
-          }
-        }.map(_.reverse).reverse
-        val merged = bins.map { bin =>
-          if (bin.length == 1) bin.head // nothing to gain from a rewrite
-          else {
-            val name =
-              s"cp-${java.util.UUID.randomUUID().toString.take(12)}.bin"
-            val f = new File(new File(dir, "data"), name)
-            // a write.order_by table keeps its contract through
-            // maintenance: the bin's rows re-sort before writing, so the
-            // compacted file's stats stay as tight as the originals'
-            val orderIdx = readProps(dir).get(WriteOrderByProp).toSeq
-              .flatMap(_.split(",")).map(_.trim)
-              .filter(schema.fieldNames.contains).map(schema.fieldIndex)
-            val decoded = bin.flatMap { e =>
-              val in = new DataInputStream(new FileInputStream(
-                new File(new File(dir, "data"), e.name)))
-              try (0L until e.rows).map(_ =>
-                Codec.read(in, types, e.cols).padTo(types.length, null))
-              finally in.close()
-            }
-            val rowsOut = if (orderIdx.isEmpty) decoded
-              else decoded.sortBy(r => orderIdx.map(i => r(i) match {
-                case l: Long => l
-                case _ => Long.MinValue // nulls first (order_by is LONG-only)
-              }).toIndexedSeq)(
-                scala.math.Ordering.Implicits.seqOrdering[IndexedSeq, Long])
-            val out = new DataOutputStream(new FileOutputStream(f))
-            val stats = collection.mutable.Map[String, (Long, Long)]()
-            try rowsOut.foreach { full =>
-              Codec.write(out, types, full.apply)
-              schema.fields.zipWithIndex.foreach { case (fld, i) =>
-                if (fld.dataType == LongType && full(i) != null) {
-                  val v = full(i).asInstanceOf[Long]
-                  val (lo, hi) = stats.getOrElse(fld.name, (v, v))
-                  stats(fld.name) =
-                    (math.min(lo, v), math.max(hi, v))
-                }
+        val (cand, big) = m.files.partition(e =>
+          e.bytes < target || e.deletes.nonEmpty)
+        val orderIdx = readProps(dir).get(WriteOrderByProp).toSeq
+          .flatMap(_.split(",")).map(_.trim)
+          .filter(schema.fieldNames.contains).map(schema.fieldIndex)
+        // per-partition-tuple deterministic greedy packing over the
+        // manifest order — cross-partition merges would destroy pruning
+        val merged = cand.groupBy(_.partition).toSeq
+          .sortBy(_._1.mkString(";")).flatMap { case (tuple, es) =>
+            val bins = es.foldLeft(List.empty[List[Entry]]) {
+              case (acc, e) => acc match {
+                case head :: tail
+                  if head.map(_.bytes).sum + e.bytes <= target =>
+                  (e :: head) :: tail
+                case _ => List(e) :: acc
               }
-            } finally out.close()
-            Entry(name, rowsOut.length, f.length(), types.length,
-              stats.toMap)
+            }.map(_.reverse).reverse
+            bins.map { bin =>
+              if (bin.length == 1 && bin.head.deletes.isEmpty)
+                bin.head // nothing to gain from a rewrite
+              else {
+                val rows = bin.flatMap(e =>
+                  readAligned(dir, e, schema, mp).map(_._2))
+                // a write.order_by table keeps its contract through
+                // maintenance: the bin's rows re-sort before writing
+                val sorted = if (orderIdx.isEmpty) rows
+                  else rows.sortBy(r => orderIdx.map(i => r(i) match {
+                    case l: Long => l
+                    case _ => Long.MinValue // nulls first (LONG-only)
+                  }).toIndexedSeq)(
+                    scala.math.Ordering.Implicits
+                      .seqOrdering[IndexedSeq, Long])
+                writeLocalFile(dir, "cp", schema, mp, tuple, sorted)
+              }
+            }
           }
-        }
         commitVersion(dir, latest, "compact", big ++ merged, m.epochs)
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(CompactProcedure.resultSchema,
             Array[Any](m.files.length.toLong,
               (big ++ merged).length.toLong,
-              m.files.map(_.rows).sum))).iterator()
+              m.files.map(_.liveRows).sum))).iterator()
       }
     }
 }
@@ -1279,12 +2512,13 @@ private object CompactProcedure {
 
 /** `CALL graft_cat.sys.expire_versions(ns, table, keep_last)` — the
   * explicit garbage collection that bounds time travel: manifests older
-  * than the retained window are removed, and data files referenced by
-  * NO retained manifest are deleted. Until this is called, commits
-  * never delete anything — the procedure is where the "every version
-  * stays readable" contract is deliberately and visibly traded for
-  * space (Iceberg's `expire_snapshots`). Expired `VERSION AS OF` reads
-  * fail with a clear error; the snapshots table drops the expired rows. */
+  * than the retained window are removed, and data/delete files
+  * referenced by NO retained manifest are deleted. Until this is
+  * called, commits never delete anything — the procedure is where the
+  * "every version stays readable" contract is deliberately and visibly
+  * traded for space (Iceberg's `expire_snapshots`). Expired
+  * `VERSION AS OF` reads fail with a clear error; the snapshots table
+  * drops the expired rows. */
 private class ExpireProcedure(cat: GraftTableCatalog)
     extends UnboundProcedure {
   import GraftTableCatalog._
@@ -1309,14 +2543,15 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         val minKeep = math.max(1L, latest - keep + 1)
         val expired = (1L until minKeep)
           .filter(v => new File(dir, s"v$v.manifest").exists())
+        def refsOf(e: Entry): Seq[String] = e.name +: e.deletes.map(_.name)
         val retainedRefs = (minKeep to latest)
           .filter(v => new File(dir, s"v$v.manifest").exists())
-          .flatMap(v => readManifest(dir, v).files.map(_.name)).toSet
+          .flatMap(v => readManifest(dir, v).files.flatMap(refsOf)).toSet
         var filesDeleted = 0L
         expired.foreach { v =>
-          readManifest(dir, v).files.foreach { e =>
-            if (!retainedRefs.contains(e.name)) {
-              val f = new File(new File(dir, "data"), e.name)
+          readManifest(dir, v).files.flatMap(refsOf).foreach { n =>
+            if (!retainedRefs.contains(n)) {
+              val f = new File(new File(dir, "data"), n)
               if (f.exists()) { f.delete(); filesDeleted += 1 }
             }
           }
@@ -1335,141 +2570,6 @@ private object ExpireProcedure {
   val resultSchema: StructType = new StructType()
     .add("versions_expired", LongType, nullable = false)
     .add("files_deleted", LongType, nullable = false)
-}
-
-/** The group-based row-level operation (UPDATE / MERGE / DELETE
-  * fallback). One instance spans the statement: its SCAN records which
-  * files it finally planned (post runtime group filter), its WRITE's
-  * commit replaces exactly those files — the scan→write handshake that
-  * makes copy-on-write surgical instead of table-wide. */
-private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
-    extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  import GraftTableCatalog._
-
-  /** Files the COW scan planned for the CURRENT execution — what the
-    * write will replace. Volatile: planning and commit are different
-    * threads; single-statement scope, so last-plan-wins is exact. */
-  @volatile private[sources] var plannedFiles: Set[String] = Set.empty
-
-  override def command()
-      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
-
-  /** `_file` must ride the scan so Spark can group and runtime-filter
-    * rows by the file they live in. */
-  override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(FileMetaCol))
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, tableSchema,
-        { val v = readLatest(dir)
-          if (v == 0) Manifest(0, "none", Seq.empty)
-          else readManifest(dir, v) }) {
-      override def build(): Scan = super.build() match {
-        case base: CatalogScan =>
-          new CatalogCowScan(base, CatalogRowLevelOperation.this)
-      }
-    }
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
-      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"row-level write expects ${tableSchema.simpleString}; " +
-        s"got ${info.schema().simpleString}")
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new CatalogReplaceGroupsWrite(dir, tableSchema,
-            CatalogRowLevelOperation.this)
-      }
-    }
-  }
-}
-
-/** The COW scan: the base catalog scan plus (a) the `_file` runtime
-  * group filter and (b) planned-file reporting into the operation.
-  * Rows are never dropped below file granularity — whole surviving
-  * files flow out, and the rewritten plan's per-branch conditions do
-  * the row-level work. */
-private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
-    extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
-  import GraftTableCatalog._
-  @volatile private var keep: Option[Set[String]] = None
-
-  override def readSchema(): StructType = base.readSchema()
-  override def toBatch: Batch = this
-  override def description(): String = "cow " + base.description()
-  override def estimateStatistics(): Statistics = base.estimateStatistics()
-  override def supportedCustomMetrics(): Array[CustomMetric] =
-    CatalogScanMetrics.supported
-  override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
-
-  override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(FileMetaCol))
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
-    case In(FileMetaCol, vs) =>
-      val names = vs.map {
-        case s: String => s
-        case u: UTF8String => u.toString
-        case other => String.valueOf(other)
-      }.toSet
-      keep = Some(names)
-    case _ => () // advisory; an unabsorbed filter just skips narrowing
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val parts = base.planInputPartitions()
-      .map(_.asInstanceOf[CatalogFilePartition])
-      .filter(p => keep.forall(_.contains(p.fileName)))
-    // the handshake: exactly these files will be replaced at commit
-    op.plannedFiles = parts.map(_.fileName).toSet
-    parts.toArray[InputPartition]
-  }
-}
-
-/** ReplaceData's batch write: standard task files + a commit that swaps
-  * the operation's planned files for the rewritten ones, as one new
-  * version. Files outside the planned set keep their manifest entries
-  * untouched — the proof the rewrite was group-local. */
-private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
-    op: CatalogRowLevelOperation) extends BatchWrite {
-  import GraftTableCatalog._
-  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
-  private val expectedLatest = readLatest(dir)
-
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    new File(dir, "data").mkdirs()
-    CatalogWriterFactory(dir.getPath, jobUid, schema.json)
-  }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.map { case CatalogCommit(e) => e }.toSeq
-      .filter(_.rows > 0)
-    val m = readManifest(dir, expectedLatest)
-    val replaced = op.plannedFiles
-    commitVersion(dir, expectedLatest,
-      op.command().name().toLowerCase(java.util.Locale.ROOT),
-      m.files.filterNot(e => replaced.contains(e.name)) ++ added,
-      m.epochs)
-    messages.foreach { case CatalogCommit(e) if e.rows == 0 =>
-      new File(new File(dir, "data"), e.name).delete()
-    case _ => ()
-    }
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case CatalogCommit(e) =>
-        new File(new File(dir, "data"), e.name).delete()
-      case _ => ()
-    }
 }
 
 /** A persisted V2 view: the recorded SQL plus its resolution context,
@@ -1498,7 +2598,7 @@ private[sources] case class StoredView(viewName: String, sql: String,
 }
 
 private[sources] object StoredView {
-  val Nul = "\u0000"
+  val Nul: String = 0.toChar.toString // the NUL sentinel for JSON nulls
   private case class Rec(sql: String, cat: String, ns: Seq[String],
       schemaJson: String, queryCols: Seq[String], aliases: Seq[String],
       comments: Seq[String], props: Map[String, String])
@@ -1619,84 +2719,6 @@ private object DropViewProcedure {
   val resultSchema: StructType = new StructType()
     .add("dropped", org.apache.spark.sql.types.BooleanType,
       nullable = false)
-}
-
-/** The catalog table as a STREAMING SOURCE — version-offset tailing,
-  * the Delta/Iceberg change-feed shape: offsets are manifest versions,
-  * and each micro-batch reads the data files NEWLY REFERENCED by
-  * append-family commits (`append`, `stream-epoch`, `overwrite`) in the
-  * offset window. Row-level mutations (delete/update/merge/compact)
-  * reference rewritten copies of EXISTING rows, so their commits emit
-  * nothing — this is an append feed, not a full CDF with change types
-  * (documented floor). `startingVersion` (default 0 = full history)
-  * skips the backlog. Offsets are plain version numbers, so a restart
-  * from the checkpoint resumes exactly; expired versions inside a
-  * window are skipped (expire_versions bounds history explicitly). */
-private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
-    required: StructType, startingVersion: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import GraftTableCatalog._
-  private val AppendOps = Set("append", "stream-epoch", "overwrite")
-
-  override def initialOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    VersionOffset(math.max(0L, startingVersion))
-  override def latestOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    VersionOffset(readLatest(dir))
-  override def deserializeOffset(json: String)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    VersionOffset(json.toLong)
-  override def commit(
-      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(
-      start: org.apache.spark.sql.connector.read.streaming.Offset,
-      end: org.apache.spark.sql.connector.read.streaming.Offset)
-      : Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val e = end.asInstanceOf[VersionOffset].v
-    // Walk the window carrying the file set seen SO FAR: "new" means new
-    // versus the last retained manifest at or before v, not just v-1 —
-    // a mid-window expired manifest must not make old files look new,
-    // and non-append commits still advance the baseline so a delete's
-    // rewritten copies never surface at the next append.
-    def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
-    // baseline = the last RETAINED manifest at or before the start
-    // offset. If the checkpointed version was expired, the baseline is
-    // unrecoverable (append manifests list base ++ added, so an empty
-    // baseline would silently re-emit the whole table): fail loudly —
-    // expiring versions a live stream's checkpoint still needs is an
-    // operator error, same contract as expired VERSION AS OF reads.
-    var seen: Set[String] = (s to 1L by -1).find(exists)
-      .map(v => readManifest(dir, v).files.map(_.name).toSet)
-      .getOrElse {
-        if (s >= 1)
-          throw new IllegalStateException(
-            s"stream offset v$s of $dir was expired by sys.expire_versions" +
-              " — restart the stream from scratch or retain more versions")
-        Set.empty
-      }
-    val out = Seq.newBuilder[InputPartition]
-    ((s + 1) to e).filter(exists).foreach { v =>
-      val m = readManifest(dir, v)
-      if (AppendOps.contains(m.op))
-        m.files.filterNot(f => seen.contains(f.name)).foreach { f =>
-          out += filePartition(dir, tableSchema, required, f)
-        }
-      seen = m.files.map(_.name).toSet
-    }
-    out.result().toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
-}
-
-private case class VersionOffset(v: Long)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = v.toString
 }
 
 /** The catalog scans' custom-metric definitions (one instance per scan —

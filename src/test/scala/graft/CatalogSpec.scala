@@ -302,8 +302,8 @@ class CatalogSpec extends SparkSpec {
     val staged = new File(dir, "data/fake-replay.bin")
     java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
     new graft.sources.CatalogStreamingWrite(dir, schema)
-      .commit(0L, Array(graft.sources.CatalogCommit(
-        GraftTableCatalog.Entry("fake-replay.bin", 1L, 3L, 2, Map.empty))))
+      .commit(0L, Array(graft.sources.CatalogCommit(Seq(
+        GraftTableCatalog.Entry("fake-replay.bin", 1L, 3L, 2, Map.empty)))))
     GraftTableCatalog.readLatest(dir) shouldBe versionsBefore
     staged.exists() shouldBe false
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
@@ -347,7 +347,7 @@ class CatalogSpec extends SparkSpec {
     files.length should be > 1
     // disjoint k ranges: sorted by min, no file starts before the
     // previous one ends (range partitioning keeps equal keys together)
-    val ranges = files.map(_.stats("k")).sortBy(_._1)
+    val ranges = files.map(_.stats("#0")).sortBy(_._1) // "#0" = field id of k
     ranges.sliding(2).foreach { case Seq((_, hiA), (loB, _)) =>
       loB should be >= hiA
     case _ => ()
@@ -384,7 +384,7 @@ class CatalogSpec extends SparkSpec {
     val after = GraftTableCatalog
       .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
     after.length should be < files.length
-    after.map { e => val (lo, hi) = e.stats("k"); hi - lo + 1 }
+    after.map { e => val (lo, hi) = e.stats("#0"); hi - lo + 1 }
       .sum should be <= 110000L
     GraftTableCatalog.filesOpened.set(0)
     sql("SELECT count(*) FROM graft_cat.db.ord WHERE k = 777").collect()
