@@ -675,6 +675,143 @@ object IngestQueries {
              |GROUP BY 1""".stripMargin)
   }
 
+
+  /** q277: HIDDEN PARTITIONING — CTAS `PARTITIONED BY (g)` routes every
+    * row to its partition at write time (the fanout writer computes the
+    * transform; writers never see the layout), the manifest carries each
+    * file's partition tuple, and the `g IN (2,5)` read prunes the other
+    * six partitions at SCAN PLANNING, before file stats (CatalogSpec
+    * pins filesOpened and the metadata-only partition-aligned DELETE).
+    * The Iceberg partition-spec model — at 100 TB, the single biggest
+    * skip lever a lake table has: min/max stats cannot prune an
+    * unordered dimension, partition values can. Oracle: DuckDB filters
+    * the same derivation directly. */
+  val q277CatalogPartitioned: Q = (s, d) => {
+    val t = catTable(s, d, "ev277")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (g) AS
+             |SELECT k, k % 8 AS g, cents FROM (${catEventsSql(d)}) src""".stripMargin)
+    s.sql(s"""SELECT g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t WHERE g IN (2, 5) GROUP BY g""".stripMargin)
+  }
+
+  /** q278: STORAGE-PARTITIONED JOIN through the catalog — both sides are
+    * CTAS `PARTITIONED BY (bucket(16, k))` tables, the scans report
+    * KeyGroupedPartitioning over the catalog's own `bucket` V2 function
+    * (GraftTableCatalog is a FunctionCatalog for exactly this — the
+    * Iceberg wiring), so the k-equi-join runs partition-for-partition
+    * with ZERO exchange on either side (CatalogSpec pins 0 hash
+    * exchanges vs >=2 with bucketing off). The q261 connector story,
+    * now on CATALOG tables: at 100 TB, two co-bucketed facts join with
+    * no network. Oracle: the join is 1:1 on k, so DuckDB computes both
+    * legs in one scan. */
+  val q278CatalogSpj: Q = (s, d) => {
+    val a = catTable(s, d, "ev278a")
+    val b = catTable(s, d, "ev278b")
+    s.sql(s"CREATE TABLE $a PARTITIONED BY (bucket(16, k)) AS ${catEventsSql(d)}")
+    s.sql(s"""CREATE TABLE $b PARTITIONED BY (bucket(16, k)) AS
+             |SELECT k, k % 997 AS m FROM (${catEventsSql(d)}) src""".stripMargin)
+    graft.SessionConf.withValue(s,
+        "spark.sql.sources.v2.bucketing.enabled", "true") {
+      graft.SessionConf.withValue(s,
+          "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+        graft.SessionConf.withValue(s,
+            "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          s.sql(s"""SELECT a.k % 9 AS g, count(*) AS n,
+                   |  sum(a.cents * b.m) AS dot
+                   |FROM $a a JOIN $b b ON a.k = b.k
+                   |GROUP BY 1""".stripMargin)
+            .localCheckpoint(true) // materialize inside the conf scope
+        }
+      }
+    }
+  }
+
+  /** q279: MERGE-ON-READ DELETE — `delete.mode`='merge-on-read' makes
+    * the boundary of this DELETE commit a small POSITION DELETE FILE
+    * instead of rewriting data files (CatalogSpec pins ZERO rewrites and
+    * the untouched file names; `sys.compact` later applies the debt
+    * byte-equal to the copy-on-write answer). The Iceberg v2 read path:
+    * at 100 TB, a 10-row GDPR delete on a hot 1 GB file costs 80 bytes,
+    * not a gigabyte of IO. The hash gate proves readers anti-merge the
+    * positions exactly — same oracle shape as the COW delete (q268),
+    * different grouping. */
+  val q279CatalogMorDelete: Q = (s, d) => {
+    val t = catTable(s, d, "ev279")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('delete.mode'='merge-on-read')
+             |AS ${catEventsSql(d)}""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE cents >= 10000")
+    s.sql(s"""SELECT k % 11 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c, max(cents) AS max_c
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q280: CHANGE DATA FEED — the `.changes` metadata table emits
+    * row-level `_change_type` insert/delete rows derived from each
+    * version's added/removed files and merge-on-read delete-position
+    * deltas. The query FOLDS the feed (inserts minus deletes, as
+    * multisets) and aggregates the reconstruction — hash-equal to DuckDB
+    * replaying the mutations directly, which proves the feed carries
+    * exactly the net changes (CatalogSpec pins the fold identity, the
+    * MOR delta positions, and that compaction emits nothing; the
+    * StreamingEvidence twin pins batch ≡ streamed-fold). The Delta CDF
+    * surface: downstream consumers sync incrementally instead of
+    * re-reading 100 TB. */
+  val q280CatalogCdf: Q = (s, d) => {
+    val t = catTable(s, d, "ev280")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"UPDATE $t SET cents = cents * 3 WHERE k % 5 = 0")
+    s.sql(s"DELETE FROM $t WHERE cents >= 30000")
+    s.sql(s"""SELECT k % 6 AS g, count(*) AS n, sum(cents) AS cents
+             |FROM (SELECT k, cents,
+             |        sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1
+             |            END) AS mult
+             |      FROM $t.changes GROUP BY k, cents HAVING mult != 0)
+             |GROUP BY 1""".stripMargin)
+  }
+
+  /** q281: FIELD-ID SCHEMA EVOLUTION — RENAME COLUMN between two inserts
+    * (zero data movement: the mapping file changes, ids do not), then
+    * ADD COLUMN mid-stream; the aggregate spans BOTH file generations
+    * under the renamed name, with the added column null-padded for the
+    * older generation (CatalogSpec pins untouched files, id-keyed stat
+    * pruning across the rename, and that a re-added name never
+    * resurrects dropped values). The Iceberg column-mapping rule: at
+    * 100 TB a rename is a metadata commit, not a table rewrite. */
+  val q281CatalogEvolution: Q = (s, d) => {
+    val t = catTable(s, d, "ev281")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"ALTER TABLE $t RENAME COLUMN cents TO pennies")
+    s.sql(s"ALTER TABLE $t ADD COLUMN src BIGINT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT k, cents, 1 FROM (${catEventsSql(d)} AND event_id % 2 = 1) src""".stripMargin)
+    s.sql(s"""SELECT k % 7 AS g, count(*) AS n, sum(pennies) AS pennies,
+             |  count(src) AS n_src, min(k) AS min_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q282: ATOMIC REPLACE TABLE AS SELECT — the definition rebuilds in a
+    * hidden staging directory via [[org.apache.spark.sql.connector
+    * .catalog.StagingTableCatalog]] and swaps in whole; every CTAS in
+    * this suite now rides the same staged path, so a poisoned CTAS
+    * write leaves NO table behind (CatalogSpec pins it, mirroring the
+    * ledger sink's poisoned-job test). RTAS here replaces the even-slice
+    * table with the full derivation — readers see old or new, never a
+    * half-written table. Oracle: DuckDB aggregates the replacement
+    * definition directly. */
+  val q282CatalogRtas: Q = (s, d) => {
+    val t = catTable(s, d, "ev282")
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"REPLACE TABLE $t AS ${catEventsSql(d)}")
+    s.sql(s"""SELECT k % 10 AS g, count(*) AS n, sum(cents) AS cents,
+             |  max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -683,6 +820,12 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q282_catalog_rtas" -> q282CatalogRtas,
+    "q281_catalog_evolution" -> q281CatalogEvolution,
+    "q280_catalog_cdf" -> q280CatalogCdf,
+    "q279_catalog_mor_delete" -> q279CatalogMorDelete,
+    "q278_catalog_spj" -> q278CatalogSpj,
+    "q277_catalog_partitioned" -> q277CatalogPartitioned,
     "q276_catalog_ordered_write" -> q276CatalogOrderedWrite,
     "q275_catalog_view" -> q275CatalogView,
     "q274_catalog_federated" -> q274CatalogFederated,
@@ -737,6 +880,68 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Partition pruning must be invisible to results: DuckDB filters the
+    // same modulo-derived dimension directly.
+    "q277_catalog_partitioned" ->
+      """SELECT event_id % 8 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE event_id % 8 IN (2, 5)
+        |GROUP BY 1""".stripMargin,
+    // The SPJ is 1:1 on k, so DuckDB computes both legs in one scan —
+    // the zero-shuffle path must change nothing.
+    "q278_catalog_spj" ->
+      """SELECT event_id % 9 AS g, count(*) AS n,
+        |  CAST(sum(c * (event_id % 997)) AS BIGINT) AS dot
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
+    // Readers must anti-merge the position delete file exactly: DuckDB
+    // keeps the rows the predicate keeps, as in q268.
+    "q279_catalog_mor_delete" ->
+      """SELECT event_id % 11 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents, min(c) AS min_c, max(c) AS max_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE c < 10000
+        |GROUP BY 1""".stripMargin,
+    // Folding the change feed must reproduce the mutated table: DuckDB
+    // replays insert + update + delete on the source rows directly.
+    "q280_catalog_cdf" ->
+      """WITH src AS (SELECT event_id AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |fin AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 THEN c * 3 ELSE c END AS cents FROM src)
+        |SELECT k % 6 AS g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin WHERE cents < 30000
+        |GROUP BY 1""".stripMargin,
+    // Both file generations under the renamed column, the added column
+    // null for the first generation.
+    "q281_catalog_evolution" ->
+      """SELECT event_id % 7 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS pennies,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_src,
+        |  min(event_id) AS min_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
+    // RTAS replaced the even slice with the full derivation — DuckDB
+    // aggregates the replacement definition.
+    "q282_catalog_rtas" ->
+      """SELECT event_id % 10 AS g, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  max(event_id) AS max_k
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // The catalog round trip must be invisible: DuckDB aggregates the
     // source events the same two slices reassemble.
     "q267_catalog_lifecycle" ->

@@ -7,9 +7,10 @@ import java.nio.file.{FileAlreadyExistsException, Files, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
@@ -76,7 +77,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * against DuckDB replaying the same mutations. */
 class GraftTableCatalog extends CatalogPlugin with TableCatalog
     with SupportsNamespaces with ProcedureCatalog with ViewCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
   import GraftTableCatalog._
 
   private var catalogName = "graft_cat"
@@ -515,6 +516,20 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         Identifier.of(Array("sys"), "create_view"),
         Identifier.of(Array("sys"), "drop_view"))
     else Array.empty
+  // ---- functions ----
+  /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
+    * V2 function: Spark resolves a bucket-partitioned scan's
+    * KeyGroupedPartitioning by loading `bucket` from the TABLE's own
+    * catalog (the Iceberg wiring) — without this, storage-partitioned
+    * joins on bucket specs silently fall back to shuffles. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     (ident.namespace.toSeq, ident.name) match {
       case (Seq("sys"), "compact") => new CompactProcedure(this)
@@ -2735,4 +2750,43 @@ private[sources] object CatalogScanMetrics {
     override def name(): String = n
     override def value(): Long = v
   }
+}
+
+/** The partition `bucket` transform as a V2 [[ScalarFunction]] — the
+  * SAME hash the write path routes rows with ([[GraftTableCatalog
+  * .bucketOf]]), so the values Spark compares during a
+  * storage-partitioned join are exactly the values that placed the
+  * files. Two scans of bucket(n)-spec'd graft_cat tables bind to
+  * functions with equal canonical names, which is what makes their
+  * KeyGroupedPartitionings compatible. */
+private[sources] object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft_cat's partition transform hash"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, col); got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case LongType => new GraftBucketBound(LongType)
+      case StringType => new GraftBucketBound(StringType)
+      case t => throw new UnsupportedOperationException(s"bucket over $t")
+    }
+  }
+}
+
+private class GraftBucketBound(col: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, col)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft_cat.bucket(${col.simpleString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else col match {
+      case LongType =>
+        Int.box(GraftTableCatalog.bucketOf(input.getLong(1), input.getInt(0)))
+      case _ =>
+        Int.box(GraftTableCatalog.bucketOf(input.getUTF8String(1),
+          input.getInt(0)))
+    }
 }

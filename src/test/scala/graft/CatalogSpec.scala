@@ -491,4 +491,195 @@ class CatalogSpec extends SparkSpec {
     }
     rows("SELECT count(*) FROM graft_cat.db.strict") shouldBe Seq(Seq(0L))
   }
+  // ---- round 15: hidden partitioning, merge-on-read, atomic CTAS,
+  //      field-id evolution, change data feed ----
+
+  test("identity partitioning: pruning never opens other partitions, partition-aligned DELETE is metadata-only, .partitions reports per-tuple stats") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.pid")
+    sql("CREATE TABLE graft_cat.db.pid (g BIGINT, v BIGINT) PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.pid SELECT id % 4 AS g, id AS v FROM range(0, 8000, 1, 4)")
+    val dir = new File("work/graft_cat/db/pid")
+    val files = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    files.length shouldBe 16 // 4 writer tasks x 4 tuples (fanout writer)
+    files.map(_.partition).distinct.length shouldBe 4
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.pid WHERE g = 2") shouldBe
+      Seq(Seq(2000L, 8000000L))
+    GraftTableCatalog.filesOpened.get() shouldBe 4L // only g=2's files
+    // partition-aligned DELETE: every g=3 file drops metadata-only
+    sql("DELETE FROM graft_cat.db.pid WHERE g = 3")
+    GraftTableCatalog.lastDeleteDropped.get() shouldBe 4L
+    GraftTableCatalog.lastDeleteRewritten.get() shouldBe 0L
+    GraftTableCatalog.lastDeleteMorFiles.get() shouldBe 0L
+    rows("SELECT count(*) FROM graft_cat.db.pid") shouldBe Seq(Seq(6000L))
+    rows("SELECT `partition`, files, `rows` FROM graft_cat.db.pid.partitions ORDER BY `partition`") shouldBe
+      Seq(Seq("g=0", 4L, 2000L), Seq("g=1", 4L, 2000L), Seq("g=2", 4L, 2000L))
+  }
+
+  test("bucket partitioning: a point query opens one bucket's files; same-spec tables join storage-partitioned with zero hash exchange") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    Seq("bja", "bjb").foreach { t =>
+      sql(s"DROP TABLE IF EXISTS graft_cat.db.$t")
+      sql(s"CREATE TABLE graft_cat.db.$t (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    }
+    sql("INSERT INTO graft_cat.db.bja SELECT id, id * 2 FROM range(0, 20000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.bjb SELECT id, id * 3 FROM range(0, 20000, 1, 2)")
+    // bucket pruning: k = 777 hashes into one bucket -> one file per task
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT v FROM graft_cat.db.bja WHERE k = 777") shouldBe Seq(Seq(1554L))
+    GraftTableCatalog.filesOpened.get() should be <= 2L
+    def finalPlanExchanges(run: => org.apache.spark.sql.DataFrame): Int = {
+      val df = run
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    def joined = sql(
+      """SELECT count(*) AS n, sum(a.v * b.v) AS dot
+        |FROM graft_cat.db.bja a JOIN graft_cat.db.bjb b ON a.k = b.k""".stripMargin)
+    def withSpj[T](on: Boolean)(body: => T): T =
+      SessionConf.withValue(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        SessionConf.withValue(spark, "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+          SessionConf.withValue(spark, "spark.sql.sources.v2.bucketing.enabled", on.toString)(body)
+        }
+      }
+    val spj = withSpj(on = true)(finalPlanExchanges(joined))
+    val off = withSpj(on = false)(finalPlanExchanges(joined))
+    spj shouldBe 0 // co-partitioned by construction: zero exchange
+    off should be >= 2 // negative control: both legs shuffle
+  }
+
+  test("merge-on-read DELETE: a small delete writes a position delete file and rewrites ZERO data files; compact repays the debt byte-equal to copy-on-write") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.mor")
+    sql("""CREATE TABLE graft_cat.db.mor (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.mor SELECT id, id * 7 FROM range(0, 10000, 1, 1)")
+    val dir = new File("work/graft_cat/db/mor")
+    val before = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    before.length shouldBe 1
+    sql("DELETE FROM graft_cat.db.mor WHERE k >= 100 AND k < 110")
+    GraftTableCatalog.lastDeleteRewritten.get() shouldBe 0L
+    GraftTableCatalog.lastDeleteMorFiles.get() shouldBe 1L
+    val after = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    after.map(_.name) shouldBe before.map(_.name) // data files untouched
+    after.head.deletes.map(_.rows).sum shouldBe 10L
+    after.head.liveRows shouldBe 9990L
+    // a second delete layers another delete file; reads merge both
+    sql("DELETE FROM graft_cat.db.mor WHERE k = 9999")
+    rows("SELECT count(*), sum(k) FROM graft_cat.db.mor") shouldBe
+      Seq(Seq(9989L, (0L until 10000L).sum - (100L until 110L).sum - 9999L))
+    // COW twin: identical mutations under the default mode, identical rows
+    sql("DROP TABLE IF EXISTS graft_cat.db.cowtwin")
+    sql("CREATE TABLE graft_cat.db.cowtwin (k BIGINT, v BIGINT)")
+    sql("INSERT INTO graft_cat.db.cowtwin SELECT id, id * 7 FROM range(0, 10000, 1, 1)")
+    sql("DELETE FROM graft_cat.db.cowtwin WHERE k >= 100 AND k < 110")
+    sql("DELETE FROM graft_cat.db.cowtwin WHERE k = 9999")
+    rows("SELECT k, v FROM graft_cat.db.mor ORDER BY k") shouldBe
+      rows("SELECT k, v FROM graft_cat.db.cowtwin ORDER BY k")
+    // compact applies and drops the delete files; answers unchanged
+    sql(s"CALL graft_cat.sys.compact('db', 'mor', ${64L * 1024 * 1024})")
+    GraftTableCatalog.readManifest(dir, GraftTableCatalog.readLatest(dir))
+      .files.foreach(_.deletes shouldBe empty)
+    rows("SELECT k, v FROM graft_cat.db.mor ORDER BY k") shouldBe
+      rows("SELECT k, v FROM graft_cat.db.cowtwin ORDER BY k")
+  }
+
+  test("atomic CTAS: a poisoned CTAS write publishes NO table and leaves no staging debris; REPLACE TABLE AS SELECT swaps whole") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.actas")
+    spark.udf.register("ctas_poison", (k: Long) =>
+      if (k == 666L) throw new RuntimeException("poisoned row") else k)
+    intercept[Exception](sql(
+      """CREATE TABLE graft_cat.db.actas AS
+        |SELECT ctas_poison(id) AS k FROM range(0, 1000, 1, 4)""".stripMargin))
+    // NO table exists: the stage aborted before publication
+    sql("SHOW TABLES IN graft_cat.db").collect()
+      .map(_.getString(1)) should not contain "actas"
+    intercept[Exception](rows("SELECT * FROM graft_cat.db.actas"))
+    // and no staging debris in the namespace dir
+    new File("work/graft_cat/db").listFiles().map(_.getName)
+      .filter(_.startsWith(".stg-")) shouldBe empty
+    // the happy path lands whole
+    sql("CREATE TABLE graft_cat.db.actas AS SELECT id AS k FROM range(0, 100)")
+    rows("SELECT count(*), sum(k) FROM graft_cat.db.actas") shouldBe
+      Seq(Seq(100L, 4950L))
+    // RTAS rebuilds the definition in a stage and swaps it in
+    sql("REPLACE TABLE graft_cat.db.actas AS SELECT id AS k, id * 2 AS v FROM range(0, 10)")
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.actas") shouldBe
+      Seq(Seq(10L, 90L))
+  }
+
+  test("field-id evolution: RENAME reads every generation without rewriting and stats keep pruning; DROP leaves old files readable; a re-added name never resurrects dropped values") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.evo")
+    sql("CREATE TABLE graft_cat.db.evo (a BIGINT, b STRING)")
+    sql("INSERT INTO graft_cat.db.evo SELECT id, concat('x', id) FROM range(0, 1000, 1, 1)")
+    val dir = new File("work/graft_cat/db/evo")
+    val gen1 = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files.map(_.name)
+    sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN a TO a2")
+    sql("INSERT INTO graft_cat.db.evo SELECT id, concat('x', id) FROM range(1000, 2000, 1, 1)")
+    // both generations read under the new name; gen1 files untouched
+    rows("SELECT count(*), sum(a2) FROM graft_cat.db.evo") shouldBe
+      Seq(Seq(2000L, (0L until 2000L).sum))
+    val files2 = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    gen1.foreach(n => files2.map(_.name) should contain(n))
+    // id-keyed stats prune ACROSS the rename: a2=1500 is a gen2-only read
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT b FROM graft_cat.db.evo WHERE a2 = 1500") shouldBe
+      Seq(Seq("x1500"))
+    GraftTableCatalog.filesOpened.get() shouldBe 1L
+    // DROP b: reads survive on the same files; re-ADD b binds a FRESH
+    // field id, so the dropped values must NOT resurrect
+    sql("ALTER TABLE graft_cat.db.evo DROP COLUMN b")
+    rows("SELECT count(*) FROM graft_cat.db.evo") shouldBe Seq(Seq(2000L))
+    sql("ALTER TABLE graft_cat.db.evo ADD COLUMN b STRING")
+    rows("SELECT count(*) FROM graft_cat.db.evo WHERE b IS NULL") shouldBe
+      Seq(Seq(2000L))
+    // rename clash guard
+    intercept[Exception](sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN a2 TO b"))
+  }
+
+  test(".changes: the feed folds back to the table exactly, a MOR delete emits its delta positions, compaction emits nothing") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.cdf")
+    sql("""CREATE TABLE graft_cat.db.cdf (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.cdf SELECT id, id FROM range(0, 500, 1, 2)")
+    sql("INSERT INTO graft_cat.db.cdf SELECT id, id FROM range(500, 1000, 1, 2)")
+    sql("UPDATE graft_cat.db.cdf SET v = v + 1000000 WHERE k % 97 = 0")
+    sql("DELETE FROM graft_cat.db.cdf WHERE k >= 100 AND k < 120")
+    sql(s"CALL graft_cat.sys.compact('db', 'cdf', ${64L * 1024 * 1024})")
+    // folding inserts minus deletes reproduces the live table, exactly
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.cdf.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM folded EXCEPT SELECT k, v FROM graft_cat.db.cdf)),
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM graft_cat.db.cdf EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
+    // the MOR delete emitted EXACTLY its 20 delta positions
+    val delV = rows(
+      "SELECT version FROM graft_cat.db.cdf.snapshots WHERE operation = 'delete'").head.head
+    rows(s"""SELECT count(*) FROM graft_cat.db.cdf.changes
+            |WHERE _version = $delV AND _change_type = 'delete'""".stripMargin) shouldBe
+      Seq(Seq(20L))
+    // compaction is layout, not change: its version emits nothing
+    val compV = rows(
+      "SELECT version FROM graft_cat.db.cdf.snapshots WHERE operation = 'compact'").head.head
+    rows(s"SELECT count(*) FROM graft_cat.db.cdf.changes WHERE _version = $compV") shouldBe
+      Seq(Seq(0L))
+  }
+
 }
