@@ -51,6 +51,19 @@ object GraftSession {
       // where the harness launches us.
       .config("spark.sql.warehouse.dir", "/root/repo/work/warehouse")
       .config("spark.ui.enabled", "false")
+      // The UI is off, but every execution still feeds the driver's
+      // in-memory status store — at Spark defaults it retains 1000 jobs,
+      // 1000 stages, 100k tasks and 1000 SQL executions WITH plan graphs
+      // and metric maps. A full 282-query × 6-pass bench session is
+      // ~1700 executions of large plans: measured at 600 executions the
+      // retention holds ~90 MB of dead bookkeeping (work/aging_ab_r15
+      // .json — post-GC heap 335 MB default vs 242 MB trimmed, probe
+      // inflation itself ≤2% and GC-revertible). Nothing reads the store
+      // here, so retain a diagnostic floor, not a museum.
+      .config("spark.sql.ui.retainedExecutions", "30")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
 
   /** S3A connector config for the staging reads (SURVEY §2.1 S1/S2's real
     * source — the reference COPYs from `s3://udacity-dend/...`,

@@ -29,7 +29,10 @@ import graft.streaming.EventStream
   *  4. catalog versioned sink (`writeStream.toTable` into `graft_cat`,
   *     [[graft.sources.CatalogStreamingWrite]]) — chopped feed lands as
   *     stream-epoch versions equal to the batch input, and a replayed
-  *     epoch commit moves neither the version nor the rows.
+  *     epoch commit moves neither the version nor the rows;
+  *  5. change data feed fold (readStream over a `graft_cat` table's
+  *     `.changes` metadata table) — folding the streamed insert/delete
+  *     rows reproduces the mutated table exactly (q280's twin).
   *
   * Usage: `runMain graft.StreamingEvidence [sfDir] [outFile]`
   * (defaults: /root/testdata/sf0.01, work/streaming_r13.json). Exit 1 if
@@ -59,7 +62,7 @@ object StreamingEvidence {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val outFile = if (args.length > 1) args(1) else "work/streaming_r14.json"
+    val outFile = if (args.length > 1) args(1) else "work/streaming_r15.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -311,7 +314,61 @@ object StreamingEvidence {
         chops = chunks.length)
     }
 
-    val twins = Seq(dedup, spatial, asof, tws, eos, cat)
+    // ---- twin 5: change data feed — streamed fold ≡ batch state ----
+    // A catalog table mutates (two appends, a COW update, a merge-on-read
+    // delete, a compaction); readStream over `.changes` folds the
+    // insert/delete rows into a driver-side multiset, and the folded
+    // state must equal the batch table read EXACTLY — the proof the feed
+    // carries the net changes and nothing else (q280's streaming twin).
+    val cdf = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_evidence")
+      spark.sql("""CREATE TABLE graft_cat.db.cdf_evidence
+        |(k BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+      val evSql = s"""SELECT event_id AS k,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM parquet.`$sfDir/events.parquet`
+        |WHERE value IS NOT NULL AND event_id < 4000""".stripMargin
+      spark.sql("INSERT INTO graft_cat.db.cdf_evidence " +
+        s"SELECT * FROM ($evSql) t WHERE k % 2 = 0")
+      spark.sql("INSERT INTO graft_cat.db.cdf_evidence " +
+        s"SELECT * FROM ($evSql) t WHERE k % 2 = 1")
+      spark.sql(
+        "UPDATE graft_cat.db.cdf_evidence SET cents = cents * 3 WHERE k % 5 = 0")
+      spark.sql("DELETE FROM graft_cat.db.cdf_evidence WHERE cents >= 30000")
+      spark.sql("CALL graft_cat.sys.compact('db', 'cdf_evidence', " +
+        s"${64L * 1024 * 1024})")
+      val state = collection.mutable.Map.empty[(Long, Long), Long]
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-cdf-ckpt").toString
+      val q = spark.readStream.table("graft_cat.db.cdf_evidence.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            val delta = if (r.getString(2) == "insert") 1L else -1L
+            val n = state.getOrElse(key, 0L) + delta
+            if (n == 0L) state.remove(key) else state(key) = n
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      require(state.valuesIterator.forall(_ > 0),
+        "CDF fold went negative: a delete without a matching insert")
+      val folded = state.toSeq
+        .flatMap { case (kv, n) => Seq.fill(n.toInt)(kv) }
+      val batch = spark.sql("SELECT k, cents FROM graft_cat.db.cdf_evidence")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val versions = graft.sources.GraftTableCatalog.readLatest(
+        new java.io.File("/root/repo/work/graft_cat/db/cdf_evidence"))
+      def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
+      TwinResult("change_data_feed_fold", unit = "rows",
+        folded.length.toLong, batch.length.toLong,
+        md5(folded.map(fmt)), md5(batch.toSeq.map(fmt)),
+        chops = versions.toInt)
+    }
+
+    val twins = Seq(dedup, spatial, asof, tws, eos, cat, cdf)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +

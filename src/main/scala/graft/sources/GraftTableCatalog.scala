@@ -2739,17 +2739,26 @@ private object DropViewProcedure {
 /** The catalog scans' custom-metric definitions (one instance per scan —
   * Spark aggregates per-reader task values with the sum semantics). */
 private[sources] object CatalogScanMetrics {
-  private class M(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
-  }
-  def supported: Array[CustomMetric] = Array(
-    new M("filesOpened", "data files opened by graft_cat readers"),
-    new M("rowsRead", "rows decoded by graft_cat readers"))
+  def supported: Array[CustomMetric] =
+    Array(new FilesOpenedMetric, new RowsReadMetric)
   def task(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     override def name(): String = n
     override def value(): Long = v
   }
+}
+
+// top-level + zero-arg: Spark's SQL UI listener re-instantiates metric
+// classes reflectively to aggregate task values — an inner class with
+// constructor params would log "no zero-argument constructor" and drop
+// the metric from the UI
+private[sources] class FilesOpenedMetric extends CustomSumMetric {
+  override def name(): String = "filesOpened"
+  override def description(): String =
+    "data files opened by graft_cat readers"
+}
+private[sources] class RowsReadMetric extends CustomSumMetric {
+  override def name(): String = "rowsRead"
+  override def description(): String = "rows decoded by graft_cat readers"
 }
 
 /** The partition `bucket` transform as a V2 [[ScalarFunction]] — the
