@@ -812,6 +812,31 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
+
+  /** q283: SNAPSHOT TAGS — `CALL graft_cat.sys.tag` pins a committed
+    * version under a NAME (the Iceberg ref model), `VERSION AS OF
+    * 'snap'` reads it, and `sys.expire_versions` RETAINS tagged
+    * versions while dropping the untagged history around them
+    * (CatalogSpec pins retention, release via drop_tag, and the
+    * numeric-name guard). The reproducible-training-run primitive: a
+    * run tags its snapshot once and the data outlives any retention
+    * policy — at 100 TB, an audit pins a name, not a copy. Oracle:
+    * DuckDB aggregates the even slice the tag froze, invisible to the
+    * later insert, delete, and expiry. */
+  val q283CatalogTag: Q = (s, d) => {
+    val t = catTable(s, d, "ev283")
+    val stem = s"ev283_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"CALL graft_cat.sys.tag('db', '$stem', 'snap', 2)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"DELETE FROM $t WHERE cents >= 10000")
+    s.sql(s"CALL graft_cat.sys.expire_versions('db', '$stem', 1)")
+    s.sql(s"""SELECT k % 8 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k
+             |FROM $t VERSION AS OF 'snap' GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -820,6 +845,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q283_catalog_tag" -> q283CatalogTag,
     "q282_catalog_rtas" -> q282CatalogRtas,
     "q281_catalog_evolution" -> q281CatalogEvolution,
     "q280_catalog_cdf" -> q280CatalogCdf,
@@ -880,6 +906,15 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The tag froze the even slice; the later insert/delete/expiry must
+    // be invisible through it.
+    "q283_catalog_tag" ->
+      """SELECT event_id % 8 AS g, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k
+        |FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+        |GROUP BY 1""".stripMargin,
     // Partition pruning must be invisible to results: DuckDB filters the
     // same modulo-derived dimension directly.
     "q277_catalog_partitioned" ->

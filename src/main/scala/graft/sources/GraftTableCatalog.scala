@@ -197,7 +197,11 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
-    val v = version.toLong
+    // `VERSION AS OF 'name'` — a TAG resolves to its pinned version
+    val v = if (version.matches("-?[0-9]+")) version.toLong
+      else readRefs(dir).getOrElse(version, throw new IllegalArgumentException(
+        s"${qualified(ident)} has no tag '$version'; " +
+          s"tags: ${readRefs(dir).keys.toSeq.sorted.mkString(", ")}"))
     require(v >= 1 && v <= readLatest(dir),
       s"${qualified(ident)} has versions 1..${readLatest(dir)}; got $v")
     require(new File(dir, s"v$v.manifest").exists(),
@@ -514,7 +518,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       Array(Identifier.of(Array("sys"), "compact"),
         Identifier.of(Array("sys"), "expire_versions"),
         Identifier.of(Array("sys"), "create_view"),
-        Identifier.of(Array("sys"), "drop_view"))
+        Identifier.of(Array("sys"), "drop_view"),
+        Identifier.of(Array("sys"), "tag"),
+        Identifier.of(Array("sys"), "drop_tag"))
     else Array.empty
   // ---- functions ----
   /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
@@ -536,6 +542,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       case (Seq("sys"), "expire_versions") => new ExpireProcedure(this)
       case (Seq("sys"), "create_view") => new CreateViewProcedure(this)
       case (Seq("sys"), "drop_view") => new DropViewProcedure(this)
+      case (Seq("sys"), "tag") => new TagProcedure(this)
+      case (Seq("sys"), "drop_tag") => new DropTagProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -688,6 +696,22 @@ object GraftTableCatalog {
       .map(org.json4s.jackson.Serialization.read[ColMapping])
       .getOrElse(ColMapping(schema.indices.toList,
         schema.fields.length, evolved = false))
+  }
+
+  /** Named snapshot refs (refs.json): TAGS pinning a version by name —
+    * readable via `VERSION AS OF 'name'` and retained through
+    * `sys.expire_versions` (the Iceberg refs model: a tagged training
+    * snapshot survives GC until the tag drops). */
+  def readRefs(dir: File): Map[String, Long] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "refs.json")
+      .map(org.json4s.jackson.Serialization.read[Map[String, Long]])
+      .getOrElse(Map.empty)
+  }
+  def writeRefs(dir: File, refs: Map[String, Long]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    writeJsonAtomic(dir, "refs.json",
+      org.json4s.jackson.Serialization.write(refs))
   }
 
   def writeSpec(dir: File, spec: Seq[PT]): Unit = {
@@ -2556,10 +2580,13 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         require(keep >= 1, s"keep_last must be >= 1; got $keep")
         val latest = readLatest(dir)
         val minKeep = math.max(1L, latest - keep + 1)
-        val expired = (1L until minKeep)
+        // TAGGED versions are pinned: expiry never drops them (the
+        // Iceberg refs rule) — drop the tag first to release them
+        val tagged = readRefs(dir).values.toSet
+        val expired = (1L until minKeep).filterNot(tagged)
           .filter(v => new File(dir, s"v$v.manifest").exists())
         def refsOf(e: Entry): Seq[String] = e.name +: e.deletes.map(_.name)
-        val retainedRefs = (minKeep to latest)
+        val retainedRefs = ((minKeep to latest) ++ tagged).distinct
           .filter(v => new File(dir, s"v$v.manifest").exists())
           .flatMap(v => readManifest(dir, v).files.flatMap(refsOf)).toSet
         var filesDeleted = 0L
@@ -2585,6 +2612,90 @@ private object ExpireProcedure {
   val resultSchema: StructType = new StructType()
     .add("versions_expired", LongType, nullable = false)
     .add("files_deleted", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.tag(ns, table, name, version)` — pin a committed
+  * version under a NAME (the Iceberg tag ref): `VERSION AS OF 'name'`
+  * reads it, and `sys.expire_versions` retains it until the tag drops.
+  * The reproducible-training-run primitive: a run pins `train-2026-08`
+  * once and the snapshot outlives any retention policy. */
+private class TagProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin version under a name; VERSION AS OF name reads it, expiry keeps it"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "tag"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val tag = input.getUTF8String(2).toString
+        val v = input.getLong(3)
+        require(tag.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+          s"illegal tag name '$tag' (must not read as a version number)")
+        require(v >= 1 && v <= readLatest(dir),
+          s"no version $v to tag (1..${readLatest(dir)})")
+        require(new File(dir, s"v$v.manifest").exists(),
+          s"version $v was already expired")
+        val refs = readRefs(dir)
+        require(!refs.contains(tag),
+          s"tag '$tag' already points at v${refs(tag)}; drop it first")
+        writeRefs(dir, refs + (tag -> v))
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(TagProcedure.resultSchema,
+            Array[Any](UTF8String.fromString(tag), v))).iterator()
+      }
+    }
+}
+
+private object TagProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("tag", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.drop_tag(ns, table, name)` — release the pin;
+  * the version becomes expirable again. */
+private class DropTagProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "drop_tag"
+  override def description(): String = "drop a named snapshot tag"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_tag"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val tag = input.getUTF8String(2).toString
+        val refs = readRefs(dir)
+        if (refs.contains(tag)) writeRefs(dir, refs - tag)
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(DropTagProcedure.resultSchema,
+            Array[Any](refs.contains(tag)))).iterator()
+      }
+    }
+}
+
+private object DropTagProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)
 }
 
 /** A persisted V2 view: the recorded SQL plus its resolution context,

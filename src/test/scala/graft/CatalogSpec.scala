@@ -682,4 +682,29 @@ class CatalogSpec extends SparkSpec {
       Seq(Seq(0L))
   }
 
+  test("snapshot tags: VERSION AS OF a name reads the pinned version, expiry retains tagged versions, drop_tag releases them") {
+    val t = freshTable("tags", "k BIGINT")
+    sql(s"INSERT INTO $t SELECT id FROM range(0, 10)") // v2
+    sql(s"INSERT INTO $t SELECT id FROM range(10, 30)") // v3
+    sql("CALL graft_cat.sys.tag('db', 'tags', 'stable', 2)")
+    sql(s"INSERT INTO $t SELECT id FROM range(30, 60)") // v4
+    rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'") shouldBe
+      Seq(Seq(10L))
+    // expiry keeps the tagged version alive...
+    sql("CALL graft_cat.sys.expire_versions('db', 'tags', 1)")
+    rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'") shouldBe
+      Seq(Seq(10L))
+    // ...while untagged old versions are gone
+    intercept[Exception](rows(s"SELECT count(*) FROM $t VERSION AS OF 3"))
+    // guards: duplicate tag, numeric-looking name, unknown tag
+    intercept[Exception](sql("CALL graft_cat.sys.tag('db', 'tags', 'stable', 4)"))
+    intercept[Exception](sql("CALL graft_cat.sys.tag('db', 'tags', '7', 4)"))
+    intercept[Exception](rows(s"SELECT count(*) FROM $t VERSION AS OF 'nope'"))
+    // drop_tag releases the pin: the next expiry removes the version
+    sql("CALL graft_cat.sys.drop_tag('db', 'tags', 'stable')")
+    sql("CALL graft_cat.sys.expire_versions('db', 'tags', 1)")
+    intercept[Exception](rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'"))
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(60L))
+  }
+
 }
