@@ -837,6 +837,29 @@ object IngestQueries {
              |FROM $t VERSION AS OF 'snap' GROUP BY 1""".stripMargin)
   }
 
+
+  /** q284: DAYS PARTITIONING — the time-series spec: `PARTITIONED BY
+    * (days(ms))` buckets epoch-millis rows by day ordinal at write time,
+    * and a two-day range predicate prunes every other day at SCAN
+    * PLANNING (the facts evaluator inverts the transform: day d implies
+    * ms ∈ [d·86400000, (d+1)·86400000); CatalogSpec pins 2-of-6
+    * filesOpened and the `.partitions` day labels). The dominant lake
+    * layout at 100 TB — logs partition by day, queries carry time
+    * ranges, and the scan never lists the other 3,650 days. Oracle:
+    * DuckDB replays the day arithmetic on the source rows. */
+  val q284CatalogDaysPartition: Q = (s, d) => {
+    val t = catTable(s, d, "ev284")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (days(ms)) AS
+             |SELECT k, (19700 + k % 5) * 86400000 + (k % 1440) * 60000 AS ms,
+             |       cents
+             |FROM (${catEventsSql(d)}) src""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t
+             |WHERE ms >= ${19701L * 86400000L}
+             |  AND ms < ${19703L * 86400000L}""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -845,6 +868,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q284_catalog_days_partition" -> q284CatalogDaysPartition,
     "q283_catalog_tag" -> q283CatalogTag,
     "q282_catalog_rtas" -> q282CatalogRtas,
     "q281_catalog_evolution" -> q281CatalogEvolution,
@@ -906,6 +930,14 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The day-range read keeps exactly the two middle days' keys.
+    "q284_catalog_days_partition" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 5 IN (1, 2)""".stripMargin,
     // The tag froze the even slice; the later insert/delete/expiry must
     // be invisible through it.
     "q283_catalog_tag" ->

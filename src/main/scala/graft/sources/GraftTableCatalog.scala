@@ -175,6 +175,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         if (new File(base, SchemaFile).exists()) ident.name match {
           case MetaSnapshots => return new SnapshotsTable(base, ns(1))
           case MetaPartitions => return new PartitionsTable(base, ns(1))
+          case MetaRefs => return new RefsTable(base, ns(1))
           case MetaChanges => return new ChangesTable(base,
             s"${ns.mkString(".")}.$MetaChanges")
         }
@@ -288,6 +289,12 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     props.get(DeleteModeProp).foreach { m =>
       require(m == "copy-on-write" || m == "merge-on-read",
         s"$DeleteModeProp is copy-on-write or merge-on-read; got $m")
+    }
+    props.get(WriteDistributionProp).foreach { m =>
+      require(m == "none" || m == "hash",
+        s"$WriteDistributionProp is none or hash; got $m")
+      require(m == "none" || spec.nonEmpty,
+        s"$WriteDistributionProp=hash needs a partitioned table")
     }
     new File(dir, "data").mkdirs()
     writeSchema(dir, schema)
@@ -555,7 +562,9 @@ object GraftTableCatalog {
   val MetaSnapshots = "snapshots"
   val MetaPartitions = "partitions"
   val MetaChanges = "changes"
-  val MetaTables: Set[String] = Set(MetaSnapshots, MetaPartitions, MetaChanges)
+  val MetaRefs = "refs"
+  val MetaTables: Set[String] =
+    Set(MetaSnapshots, MetaPartitions, MetaChanges, MetaRefs)
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
@@ -567,6 +576,14 @@ object GraftTableCatalog {
     * (0 = let AQE size them) — at toy scale AQE rightly coalesces a tiny
     * range exchange to one file, which hides the disjoint-stats layout. */
   val WritePartitionsProp = "write.partitions"
+  /** Table property: how a partitioned INSERT distributes rows.
+    * 'none' (default) = fanout — each task writes one file per partition
+    * tuple it sees; 'hash' = the write DEMANDS a clustered distribution
+    * on the partition transforms (Iceberg's write.distribution-mode=
+    * hash), so each tuple lands in ONE task and file counts track
+    * partitions, not tasks × partitions — at 100 TB the difference
+    * between 10k files and 10M. */
+  val WriteDistributionProp = "write.distribution"
   /** Table property: how `DELETE FROM` treats boundary files.
     * 'copy-on-write' (default) rewrites them; 'merge-on-read' commits a
     * position delete file readers anti-merge — the Iceberg v2 read path,
@@ -1454,10 +1471,27 @@ private class CatalogTable(dir: File, tableName: String,
       s.fields.map(f => (f.name, f.dataType)).toSeq,
       s"$tableName expects ${s.simpleString}; got ${info.schema().simpleString}")
     val props = readProps(dir)
+    // hash distribution clusters on the partition transforms (identity /
+    // bucket ride V2 expression resolution; a days() transform keeps the
+    // fanout path — Spark types days() for DATE/TIMESTAMP, not epoch-ms)
+    val clusterOn: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      if (!props.get(WriteDistributionProp).contains("hash")) Seq.empty
+      else {
+        val mp = readMapping(dir, s)
+        readSpec(dir).flatMap { p =>
+          val i = mp.ids.indexOf(p.id)
+          if (i < 0) None else p.kind match {
+            case "identity" => Some(Expressions.column(s.fields(i).name))
+            case "bucket" => Some(Expressions.bucket(p.arg, s.fields(i).name))
+            case _ => None
+          }
+        }
+      }
     new CatalogWriteBuilder(dir, s,
       props.get(WriteOrderByProp)
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
-      props.get(WritePartitionsProp).map(_.toInt).getOrElse(0))
+      props.get(WritePartitionsProp).map(_.toInt).getOrElse(0),
+      clusterOn)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
@@ -1560,8 +1594,32 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     required: StructType, files: Seq[GraftTableCatalog.Entry],
     version: Long, startingVersion: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
   import GraftTableCatalog._
+  /** Files surviving the RUNTIME filter (DPP: a selective join hands the
+    * scan its build keys before partitions plan — non-matching
+    * partitions' files never exist). None = no runtime narrowing. */
+  @volatile private var runtimeKept: Option[Seq[Entry]] = None
+  private def liveFiles: Seq[Entry] = runtimeKept.getOrElse(files)
+
+  /** Partition source columns accept runtime filters. This COEXISTS
+    * with KeyGroupedPartitioning: BatchScanExec regroups the filtered
+    * partitions by key (every input partition carries its key), so a
+    * runtime-pruned SPJ stays well-formed — the Iceberg combination. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    spec.flatMap { p =>
+      val i = mp.ids.indexOf(p.id)
+      if (i < 0) None
+      else Some(Expressions.column(tableSchema.fields(i).name))
+    }.toArray
+  override def filter(filters: Array[Filter]): Unit =
+    if (filters.nonEmpty)
+      runtimeKept = Some(files.filter { e =>
+        val facts = fileFacts(e, tableSchema, mp, spec)
+        filters.forall(mayMatch(_, facts))
+      })
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1587,7 +1645,7 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     }.toArray[Any]
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e => filePartition(dir, tableSchema, mp, required, e,
+    liveFiles.map(e => filePartition(dir, tableSchema, mp, required, e,
       keyVals = keyVals(e)): InputPartition).toArray
 
   /** STORAGE-PARTITIONED JOIN through the catalog: every file carries
@@ -1599,16 +1657,23 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     * is identity/bucket (days inverts a range, not a key), every planned
     * file carries a tuple, and the source columns survive pruning (the
     * key expressions must resolve against the scan's output). */
+  private lazy val spjEligible: Boolean = {
+    val srcCols = spec.map(p => {
+      val i = mp.ids.indexOf(p.id)
+      if (i >= 0) tableSchema.fields(i).name else ""
+    })
+    spec.nonEmpty && files.nonEmpty &&
+      spec.forall(p => p.kind == "identity" || p.kind == "bucket") &&
+      files.forall(_.partition.length == spec.length) &&
+      srcCols.forall(c => c.nonEmpty && required.fieldNames.contains(c))
+  }
+
   override def outputPartitioning(): V2Partitioning = {
     val srcCols = spec.map(p => {
       val i = mp.ids.indexOf(p.id)
       if (i >= 0) tableSchema.fields(i).name else ""
     })
-    val ok = spec.nonEmpty && files.nonEmpty &&
-      spec.forall(p => p.kind == "identity" || p.kind == "bucket") &&
-      files.forall(_.partition.length == spec.length) &&
-      srcCols.forall(c => c.nonEmpty && required.fieldNames.contains(c))
-    if (!ok) new UnknownPartitioning(files.length)
+    if (!spjEligible) new UnknownPartitioning(liveFiles.length)
     else new KeyGroupedPartitioning(
       spec.zip(srcCols).map {
         case (PT("identity", _, _), c) => Expressions.identity(c)
@@ -1760,7 +1825,9 @@ private class GraftStagedTable(tmp: File, finalDir: File,
 }
 
 private class CatalogWriteBuilder(dir: File, schema: StructType,
-    orderBy: Seq[String] = Seq.empty, numPartitions: Int = 0)
+    orderBy: Seq[String] = Seq.empty, numPartitions: Int = 0,
+    clusterOn: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1772,7 +1839,25 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
     * skipping works on arbitrary inserts. The Iceberg write-ordered-by
     * contract: the write path organizes data for the read path. */
   override def build(): Write =
-    if (orderBy.isEmpty) new Write {
+    if (orderBy.isEmpty && clusterOn.isEmpty) new Write {
+      override def toBatch: BatchWrite =
+        new CatalogBatchWrite(dir, schema, doTruncate)
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+    }
+    else if (orderBy.isEmpty) new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      // write.distribution=hash: rows cluster BY PARTITION TRANSFORM
+      // before the writers, so each tuple lands in one task and the
+      // fanout writer opens one file for it
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(clusterOn.toArray)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def requiredNumPartitions(): Int = numPartitions
       override def toBatch: BatchWrite =
         new CatalogBatchWrite(dir, schema, doTruncate)
       override def toStreaming: org.apache.spark.sql.connector.write
@@ -2297,6 +2382,33 @@ private object PartitionsReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+/** `graft_cat.db.<t>.refs` — the named snapshot refs (tags): one row
+  * per tag with its pinned version, straight from refs.json. */
+private class RefsTable(dir: File, table: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = s"$table.refs"
+  override def schema(): StructType = RefsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with LocalScan {
+      override def readSchema(): StructType = RefsTable.schema
+      override def description(): String = s"graft_cat refs $dir"
+      override def rows(): Array[InternalRow] =
+        readRefs(dir).toSeq.sortBy(_._1).map { case (tag, v) =>
+          new GenericInternalRow(
+            Array[Any](UTF8String.fromString(tag), v)): InternalRow
+        }.toArray
+    }
+}
+
+private object RefsTable {
+  val schema: StructType = new StructType()
+    .add("tag", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
 }
 
 /** `graft_cat.db.<t>.changes` — the CHANGE DATA FEED (Delta CDF shape):

@@ -690,6 +690,8 @@ class CatalogSpec extends SparkSpec {
     sql(s"INSERT INTO $t SELECT id FROM range(30, 60)") // v4
     rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'") shouldBe
       Seq(Seq(10L))
+    // the .refs metadata table lists the pins
+    rows(s"SELECT tag, version FROM $t.refs") shouldBe Seq(Seq("stable", 2L))
     // expiry keeps the tagged version alive...
     sql("CALL graft_cat.sys.expire_versions('db', 'tags', 1)")
     rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'") shouldBe
@@ -705,6 +707,78 @@ class CatalogSpec extends SparkSpec {
     sql("CALL graft_cat.sys.expire_versions('db', 'tags', 1)")
     intercept[Exception](rows(s"SELECT count(*) FROM $t VERSION AS OF 'stable'"))
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(60L))
+  }
+
+  test("days partitioning over epoch-millis: a day-aligned predicate prunes to that day's files; .partitions labels day ordinals") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.pdays")
+    sql("CREATE TABLE graft_cat.db.pdays (ts BIGINT, v BIGINT) PARTITIONED BY (days(ts))")
+    // three DAY-ALIGNED days of data (minute offsets stay inside the
+    // day), 2 writer tasks -> 6 files
+    val day0 = 19700L
+    sql(s"""INSERT INTO graft_cat.db.pdays
+           |SELECT ($day0 + id % 3) * 86400000 + (id % 1000) * 60000,
+           |       id
+           |FROM range(0, 6000, 1, 2)""".stripMargin)
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"""SELECT count(*) FROM graft_cat.db.pdays
+            |WHERE ts >= ${(day0 + 1) * 86400000L}
+            |  AND ts < ${(day0 + 2) * 86400000L}""".stripMargin) shouldBe
+      Seq(Seq(2000L))
+    GraftTableCatalog.filesOpened.get() shouldBe 2L // that day's 2 files
+    rows("SELECT `partition`, `rows` FROM graft_cat.db.pdays.partitions ORDER BY `partition`")
+      .map(_.head) shouldBe
+      Seq(s"ts_day=$day0", s"ts_day=${day0 + 1}", s"ts_day=${day0 + 2}")
+  }
+
+  test("write.distribution=hash: a partitioned insert clusters by transform, so files track partitions, not tasks x partitions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.phash")
+    sql("""CREATE TABLE graft_cat.db.phash (g BIGINT, v BIGINT)
+          |PARTITIONED BY (g)
+          |TBLPROPERTIES ('write.distribution'='hash')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.phash SELECT id % 4 AS g, id AS v FROM range(0, 8000, 1, 4)")
+    val dir = new File("work/graft_cat/db/phash")
+    val files = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files
+    // the identity-partitioning test's fanout control lands 16 files for
+    // the SAME insert; clustered, each tuple lands in one task
+    files.length shouldBe 4
+    files.map(_.partition).distinct.length shouldBe 4
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.phash") shouldBe
+      Seq(Seq(8000L, (0L until 8000L).sum))
+    // hash mode demands a partition spec
+    intercept[Exception](sql(
+      """CREATE TABLE graft_cat.db.badhash (k BIGINT)
+        |TBLPROPERTIES ('write.distribution'='hash')""".stripMargin))
+  }
+
+  test("runtime partition pruning: a selective dim join hands the scan its build keys before planning — only matching partitions' files open") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.dppf")
+    sql("CREATE TABLE graft_cat.db.dppf (g BIGINT, v BIGINT) PARTITIONED BY (g)")
+    // big enough that Spark's DPP benefit heuristic fires (the scan's
+    // reported size must dwarf the broadcast overhead)
+    sql("INSERT INTO graft_cat.db.dppf SELECT id % 8 AS g, id AS v FROM range(0, 2000000, 1, 4)")
+    // 8 partitions x 4 tasks = 32 files
+    GraftTableCatalog.readManifest(new File("work/graft_cat/db/dppf"),
+      GraftTableCatalog.readLatest(new File("work/graft_cat/db/dppf")))
+      .files.length shouldBe 32
+    val dim = Tables.nation(spark, "/root/testdata/sf0.001")
+      .filter(col("n_regionkey") === 2)
+      .select((col("n_nationkey") % 8).cast("long").as("dg")).distinct()
+    val nKeys = dim.count()
+    nKeys should be > 0L
+    val joined = spark.table("graft_cat.db.dppf")
+      .join(dim, col("g") === col("dg"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    joined.queryExecution.executedPlan.toString should include(
+      "dynamicpruningexpression")
+    GraftTableCatalog.filesOpened.set(0)
+    joined.collect().head.getLong(0) shouldBe nKeys * 250000L
+    // only the matching partitions' files opened: 4 per surviving key
+    GraftTableCatalog.filesOpened.get() shouldBe nKeys * 4L
   }
 
 }
