@@ -860,6 +860,30 @@ object IngestQueries {
              |  AND ms < ${19703L * 86400000L}""".stripMargin)
   }
 
+
+  /** q285: UPSERT BY KEY — `write.upsert.key` makes every INSERT commit
+    * its data files PLUS a sequence-tagged EQUALITY DELETE file (the
+    * distinct keys written), and readers anti-join the key file against
+    * every OLDER file only: same-key rows are superseded WITHOUT
+    * rewriting a single data file (CatalogSpec pins zero rewrites, the
+    * time-travel view before the upsert, compaction repaying the debt,
+    * and the change feed's loud decline until it does). The Iceberg v2
+    * CDC-apply path — at 100 TB, a CDC batch lands as its own files
+    * plus kilobytes of keys, never a table rewrite. Final state equals
+    * q273's MERGE (matched keys take the doubled source cents,
+    * unmatched insert), so DuckDB replays it directly. */
+  val q285CatalogUpsert: Q = (s, d) => {
+    val t = catTable(s, d, "ev285")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"""INSERT INTO $t
+             |SELECT k, cents * 2 FROM (${catEventsSql(d)} AND event_id % 3 = 0) src""".stripMargin)
+    s.sql(s"""SELECT k % 12 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -868,6 +892,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q285_catalog_upsert" -> q285CatalogUpsert,
     "q284_catalog_days_partition" -> q284CatalogDaysPartition,
     "q283_catalog_tag" -> q283CatalogTag,
     "q282_catalog_rtas" -> q282CatalogRtas,
@@ -930,6 +955,19 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Upsert last-writer-wins state: even keys keep their cents unless
+    // divisible by 3 (doubled by the second insert); odd div-3 keys
+    // insert with doubled cents — the q273 MERGE state, new grouping.
+    "q285_catalog_upsert" ->
+      """SELECT event_id % 12 AS g, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 2 * c ELSE c END)
+        |    AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE event_id % 2 = 0 OR event_id % 3 = 0
+        |GROUP BY 1""".stripMargin,
     // The day-range read keeps exactly the two middle days' keys.
     "q284_catalog_days_partition" ->
       """SELECT count(*) AS n,

@@ -314,6 +314,60 @@ object StreamingEvidence {
         chops = chunks.length)
     }
 
+    // ---- twin 6: streaming CDC UPSERT (equality deletes) ----
+    // Three overlapping micro-batches stream into an upsert-keyed
+    // catalog table (each epoch = data files + a sequence-tagged key
+    // file; ZERO data files rewritten); the landed state must equal
+    // last-writer-wins computed batch-side, and a protocol-level epoch
+    // replay must move neither version nor rows.
+    val upsert = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.upsert_evidence")
+      spark.sql("""CREATE TABLE graft_cat.db.upsert_evidence
+        |(k BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+      val slice = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull && col("event_id") < 3000)
+        .select(col("event_id"), (col("value") * 100).cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // chop 1: k < 2000 raw; chop 2: k in [1000, 3000) with +7;
+      // chop 3: k < 500 with +13 — last writer wins per key
+      val chops = Seq(
+        slice.filter(_._1 < 2000),
+        slice.filter(_._1 >= 1000).map { case (k, c) => (k, c + 7) },
+        slice.filter(_._1 < 500).map { case (k, c) => (k, c + 13) })
+      val expected = slice.map { case (k, c) =>
+        if (k < 500) (k, c + 13)
+        else if (k >= 1000) (k, c + 7)
+        else (k, c)
+      }
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-ups-ckpt").toString
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("k", "cents").writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .toTable("graft_cat.db.upsert_evidence")
+      try chops.foreach { ch =>
+        input.addData(ch.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val dir = new java.io.File(
+        "/root/repo/work/graft_cat/db/upsert_evidence")
+      val vBefore = graft.sources.GraftTableCatalog.readLatest(dir)
+      new graft.sources.CatalogStreamingWrite(dir,
+        graft.sources.GraftTableCatalog.readSchema(dir))
+        .commit(0L, Array.empty)
+      require(graft.sources.GraftTableCatalog.readLatest(dir) == vBefore,
+        "replayed upsert epoch moved the version")
+      val landed = spark.sql(
+          "SELECT k, cents FROM graft_cat.db.upsert_evidence")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
+      TwinResult("streaming_cdc_upsert", unit = "rows",
+        landed.length.toLong, expected.length.toLong,
+        md5(landed.toSeq.map(fmt)), md5(expected.toSeq.map(fmt)),
+        chops = chops.length)
+    }
+
     // ---- twin 5: change data feed — streamed fold ≡ batch state ----
     // A catalog table mutates (two appends, a COW update, a merge-on-read
     // delete, a compaction); readStream over `.changes` folds the
@@ -368,7 +422,7 @@ object StreamingEvidence {
         chops = versions.toInt)
     }
 
-    val twins = Seq(dedup, spatial, asof, tws, eos, cat, cdf)
+    val twins = Seq(dedup, spatial, asof, tws, eos, cat, upsert, cdf)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +

@@ -290,6 +290,13 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       require(m == "copy-on-write" || m == "merge-on-read",
         s"$DeleteModeProp is copy-on-write or merge-on-read; got $m")
     }
+    props.get(UpsertKeyProp).foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"$UpsertKeyProp column $k is not in the schema")
+      require(schema(k).dataType == LongType ||
+        schema(k).dataType == StringType,
+        s"$UpsertKeyProp supports LONG/STRING keys; $k is ${schema(k).dataType}")
+    }
     props.get(WriteDistributionProp).foreach { m =>
       require(m == "none" || m == "hash",
         s"$WriteDistributionProp is none or hash; got $m")
@@ -364,6 +371,14 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     var mapping = readMapping(dir, schema)
     var props = readProps(dir)
     val spec = readSpec(dir)
+    // RENAME/DROP resolve columns by FIELD ID; a pre-v2 data file carries
+    // no ids (positional only), so evolving over one would mis-map its
+    // columns. Compaction rewrites such files with ids — require it first.
+    lazy val allEntriesCarryIds: Boolean = {
+      val latest = readLatest(dir)
+      latest == 0 || readManifest(dir, latest).files.forall(e =>
+        e.fieldIds.nonEmpty)
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -384,6 +399,9 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           nextId = mapping.nextId + 1)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1, "graft_cat has no nested columns")
+        require(allEntriesCarryIds,
+          "this table has pre-v2 data files without field ids; " +
+            "run sys.compact before RENAME COLUMN")
         val from = rn.fieldNames()(0)
         val to = rn.newName
         require(schema.fieldNames.contains(from), s"no column $from")
@@ -401,8 +419,13 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           props += WriteOrderByProp -> cols.split(",").map(_.trim)
             .map(c => if (c == from) to else c).mkString(",")
         }
+        if (props.get(UpsertKeyProp).contains(from))
+          props += UpsertKeyProp -> to
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "graft_cat has no nested columns")
+        require(allEntriesCarryIds,
+          "this table has pre-v2 data files without field ids; " +
+            "run sys.compact before DROP COLUMN")
         val c = del.fieldNames()(0)
         if (!schema.fieldNames.contains(c)) {
           require(del.ifExists() == java.lang.Boolean.TRUE, s"no column $c")
@@ -414,6 +437,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           require(!props.get(WriteOrderByProp).exists(
             _.split(",").map(_.trim).contains(c)),
             s"$c is a $WriteOrderByProp column; unset the property first")
+          require(!props.get(UpsertKeyProp).contains(c),
+            s"$c is the $UpsertKeyProp column; unset the property first")
           schema = StructType(schema.fields.patch(i, Nil, 1))
           mapping = mapping.copy(ids = mapping.ids.patch(i, Nil, 1),
             evolved = true)
@@ -584,6 +609,14 @@ object GraftTableCatalog {
     * partitions, not tasks × partitions — at 100 TB the difference
     * between 10k files and 10M. */
   val WriteDistributionProp = "write.distribution"
+  /** Table property: UPSERT key column. When set, every INSERT (batch or
+    * streaming epoch) SUPERSEDES prior rows carrying the same key: the
+    * write commits its data files PLUS an EQUALITY DELETE file (the
+    * distinct keys written), sequence-tagged so readers anti-join it
+    * against every OLDER data file only — the Iceberg v2 CDC-apply
+    * path. `sys.compact` applies and drops the key files. Batches are
+    * expected key-unique (the CDC contract). */
+  val UpsertKeyProp = "write.upsert.key"
   /** Table property: how `DELETE FROM` treats boundary files.
     * 'copy-on-write' (default) rewrites them; 'merge-on-read' commits a
     * position delete file readers anti-merge — the Iceberg v2 read path,
@@ -596,6 +629,12 @@ object GraftTableCatalog {
   /** A position delete file: `rows` positions (longs, raw file order)
     * of `dataFile` rows that are logically deleted. */
   case class DeleteFile(name: String, rows: Long)
+
+  /** An equality delete file: `rows` DISTINCT upsert-key values written
+    * at commit `seq`; readers anti-join it against every data file with
+    * a SMALLER seq (newer files are immune — their rows are the
+    * replacements). */
+  case class EqDelete(name: String, rows: Long, seq: Long)
 
   /** One manifest entry: an immutable data file plus everything a
     * planner needs without opening it.
@@ -622,7 +661,10 @@ object GraftTableCatalog {
       fieldIds: Seq[Int] = Seq.empty,
       typeCodes: String = "",
       partition: Seq[String] = Seq.empty,
-      deletes: Seq[DeleteFile] = Seq.empty) {
+      deletes: Seq[DeleteFile] = Seq.empty,
+      seq: Long = 0L) {
+    /** Live rows MINUS positional deletes; an upper bound while equality
+      * deletes are outstanding (they resolve per-row at read). */
     def liveRows: Long = rows - deletes.map(_.rows).sum
     def idsOrLegacy: Seq[Int] =
       if (fieldIds.nonEmpty) fieldIds else 0 until cols
@@ -634,7 +676,8 @@ object GraftTableCatalog {
     * epoch set live in one immutable manifest so they can never
     * disagree, the LedgerSink rule on the versioned chain. */
   case class Manifest(version: Long, op: String, files: Seq[Entry],
-      epochs: Set[Long] = Set.empty, commitMs: Long = 0L)
+      epochs: Set[Long] = Set.empty, commitMs: Long = 0L,
+      eqDeletes: Seq[EqDelete] = Seq.empty)
 
   /** The column mapping (mapping.json): one STABLE field id per live
     * column, parallel to the current schema. `evolved` flips true on the
@@ -854,8 +897,9 @@ object GraftTableCatalog {
           else a(10).split(";").map { s =>
             val p = s.split(":"); DeleteFile(p(0), p(1).toLong)
           }.toSeq
+        val seq = if (a.length >= 12) a(11).toLong else 0L
         Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
-          Some(nullFree), ids, a(8), partition, deletes)
+          Some(nullFree), ids, a(8), partition, deletes, seq)
       } else {
         // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
         // no metadata-only delete proof), ids/types positional
@@ -867,7 +911,11 @@ object GraftTableCatalog {
     }.toSet
     val commitMs = lines.collectFirst { case l if l.startsWith("T\t") =>
       l.split("\t")(1).toLong }.getOrElse(0L)
-    Manifest(version, op, files, epochs, commitMs)
+    val eq = lines.collect { case l if l.startsWith("Q\t") =>
+      val a = l.split("\t")
+      EqDelete(a(1), a(2).toLong, a(3).toLong)
+    }
+    Manifest(version, op, files, epochs, commitMs, eq)
   }
 
   /** Publish version `expectedLatest + 1`: the manifest file is created
@@ -879,7 +927,8 @@ object GraftTableCatalog {
     * still points below it) is reclaimed instead of bricking the table
     * with FileAlreadyExistsException forever. */
   def commitVersion(dir: File, expectedLatest: Long, op: String,
-      files: Seq[Entry], epochs: Set[Long] = Set.empty): Long = {
+      files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
     val next = expectedLatest + 1
     val body = (Seq(s"O\t$op",
       s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
@@ -895,8 +944,9 @@ object GraftTableCatalog {
       val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
       val dels = if (e.deletes.isEmpty) "-"
         else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels"
-    } ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}"
+    } ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
+      ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
     // Reserve the version with an exclusive create — POSIX rename REPLACES
     // silently, so rename alone cannot lose a race loudly. Exactly one
     // racer owns the reservation; filling it by atomic rename is then
@@ -1006,16 +1056,23 @@ object GraftTableCatalog {
       spec: Seq[PT]): FileFacts = {
     var rng = Map.empty[String, (Long, Long)]
     var nullFree = Set.empty[String]
+    var allNull = Set.empty[String]
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val id = mp.ids(i)
-      e.stats.get(s"#$id")
-        .orElse(if (!mp.evolved) e.stats.get(f.name) else None)
-        .foreach(v => rng += f.name -> v)
-      val proven = e.nullFree.exists(s =>
-        s.contains(s"#$id") || (!mp.evolved && s.contains(f.name)))
-      if (proven) nullFree += f.name
+      if (!e.idsOrLegacy.contains(id)) {
+        // the file PREDATES this column (or its id was dropped and
+        // re-added): every read null-pads it — provably all-null, so
+        // equality/IsNotNull predicates prune the file outright
+        allNull += f.name
+      } else {
+        e.stats.get(s"#$id")
+          .orElse(if (!mp.evolved) e.stats.get(f.name) else None)
+          .foreach(v => rng += f.name -> v)
+        val proven = e.nullFree.exists(s =>
+          s.contains(s"#$id") || (!mp.evolved && s.contains(f.name)))
+        if (proven) nullFree += f.name
+      }
     }
-    var allNull = Set.empty[String]
     var strVal = Map.empty[String, String]
     var bucket = Map.empty[String, (Int, Int)]
     if (spec.nonEmpty && e.partition.length == spec.length) {
@@ -1230,7 +1287,8 @@ object GraftTableCatalog {
       mp: ColMapping, required: StructType, e: Entry,
       changeType: String = "", changeVersion: Long = 0L,
       positions: Option[Array[Long]] = None,
-      keyVals: Array[Any] = Array.empty): CatalogFilePartition = {
+      keyVals: Array[Any] = Array.empty,
+      eqCtx: Option[(Int, Seq[EqDelete])] = None): CatalogFilePartition = {
     val fids = e.idsOrLegacy.toArray
     val srcIdx = required.fields.map { f =>
       if (f.name == FileMetaCol) -1
@@ -1240,13 +1298,68 @@ object GraftTableCatalog {
         if (p >= 0) p else -2
       }
     }
+    // the key column rides the FILE positionally (anti-join runs before
+    // projection, so it needn't survive column pruning)
+    val (eqPaths, eqPos, eqStr) = eqCtx match {
+      case Some((keyIdx, dels)) =>
+        val live = dels.filter(_.seq > e.seq)
+        val pos = fids.indexOf(mp.ids(keyIdx))
+        if (live.isEmpty || pos < 0) (Array.empty[String], -1, false)
+        else (live.map(d =>
+          new File(new File(dir, "data"), d.name).getPath).toArray,
+          pos, tableSchema.fields(keyIdx).dataType == StringType)
+      case None => (Array.empty[String], -1, false)
+    }
     CatalogFilePartition(
       new File(new File(dir, "data"), e.name).getPath, e.name,
       e.rows, fileTypes(e, tableSchema), srcIdx,
       e.deletes.map(d =>
         new File(new File(dir, "data"), d.name).getPath).toArray,
-      positions, changeType, changeVersion, keyVals)
+      positions, changeType, changeVersion, keyVals,
+      eqPaths, eqPos, eqStr)
   }
+
+  /** Load equality-delete key files into one boxed lookup set. */
+  private[sources] def loadEqKeys(paths: Array[String],
+      isStr: Boolean): java.util.HashSet[Any] = {
+    val set = new java.util.HashSet[Any]()
+    paths.foreach { p =>
+      val in = new DataInputStream(new BufferedInputStream(
+        new FileInputStream(p)))
+      try {
+        val n = in.readLong()
+        var i = 0L
+        while (i < n) {
+          if (isStr) {
+            val b = new Array[Byte](in.readInt()); in.readFully(b)
+            set.add(new String(b, StandardCharsets.UTF_8))
+          } else set.add(in.readLong(): java.lang.Long)
+          i += 1
+        }
+      } finally in.close()
+    }
+    set
+  }
+
+  /** The upsert WRITE encoding ("<schemaPos>:<L|S>") or "". */
+  private[sources] def upsertEncOf(dir: File, schema: StructType): String =
+    readProps(dir).get(UpsertKeyProp)
+      .filter(schema.fieldNames.contains)
+      .map { k =>
+        val i = schema.fieldIndex(k)
+        s"$i:${if (schema.fields(i).dataType == StringType) "S" else "L"}"
+      }.getOrElse("")
+
+  /** The upsert read context for one table state: (key column's CURRENT
+    * schema index, the manifest's equality deletes). None when the table
+    * has no upsert key or no outstanding key files. */
+  private[sources] def upsertCtx(dir: File, schema: StructType,
+      m: Manifest): Option[(Int, Seq[EqDelete])] =
+    readProps(dir).get(UpsertKeyProp) match {
+      case Some(k) if m.eqDeletes.nonEmpty && schema.fieldNames.contains(k) =>
+        Some((schema.fieldIndex(k), m.eqDeletes))
+      case _ => None
+    }
 
   /** Load + merge position delete files into one sorted skip array. */
   private[sources] def loadDeletePositions(paths: Array[String]): Array[Long] =
@@ -1275,7 +1388,7 @@ object GraftTableCatalog {
     * the rewrite keeps full pruning power. */
   private[sources] def writeLocalFile(dir: File, prefix: String,
       schema: StructType, mp: ColMapping, partition: Seq[String],
-      rows: Iterable[Array[Any]]): Entry = {
+      rows: Iterable[Array[Any]], seq: Long = 0L): Entry = {
     val types = schema.fields.map(_.dataType)
     val name = s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}.bin"
     val f = new File(new File(dir, "data"), name)
@@ -1304,20 +1417,31 @@ object GraftTableCatalog {
     }.toSet
     Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
       mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
-      partition, Seq.empty)
+      partition, Seq.empty, seq)
   }
 
   /** Decode one whole file (skipping already-deleted positions), each
     * row ALIGNED to the current schema by field id. Returns (rawPos,
     * alignedRow) pairs — the boundary-delete and compact machinery. */
   private[sources] def readAligned(dir: File, e: Entry, schema: StructType,
-      mp: ColMapping): IndexedSeq[(Long, Array[Any])] = {
+      mp: ColMapping,
+      eqCtx: Option[(Int, Seq[EqDelete])] = None)
+      : IndexedSeq[(Long, Array[Any])] = {
     val types = fileTypes(e, schema).map(DataType.fromJson)
     val fids = e.idsOrLegacy.toArray
     // file position of each current column (or -1), precomputed once
     val proj = mp.ids.map(id => fids.indexOf(id)).toArray
     val skip = loadDeletePositions(e.deletes.map(d =>
       new File(new File(dir, "data"), d.name).getPath).toArray)
+    // equality deletes apply only to files OLDER than the key file
+    val eqFilter: Option[(Int, java.util.HashSet[Any])] = eqCtx.flatMap {
+      case (keyIdx, dels) =>
+        val live = dels.filter(_.seq > e.seq)
+        if (live.isEmpty) None
+        else Some((keyIdx, loadEqKeys(live.map(d =>
+          new File(new File(dir, "data"), d.name).getPath).toArray,
+          schema.fields(keyIdx).dataType == StringType)))
+    }
     var si = 0
     val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(new File(new File(dir, "data"), e.name))))
@@ -1331,7 +1455,10 @@ object GraftTableCatalog {
           if (proj(i) >= 0 && proj(i) < raw.length) aligned(i) = raw(proj(i))
           i += 1
         }
-        Some((pos, aligned))
+        val eqDead = eqFilter.exists { case (keyIdx, set) =>
+          aligned(keyIdx) != null && set.contains(aligned(keyIdx))
+        }
+        if (eqDead) None else Some((pos, aligned))
       }
     } finally in.close()
   }
@@ -1352,9 +1479,11 @@ object GraftTableCatalog {
       : Array[InputPartition] = {
     val mp = readMapping(dir, schema)
     def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
-    var prev: Map[String, Entry] = (fromV to 1L by -1).find(exists)
-      .map(v => readManifest(dir, v).files.map(e => e.name -> e).toMap)
-      .getOrElse {
+    var baselined = (fromV to 1L by -1).exists(exists)
+    var prev: Map[String, Entry] =
+      if (baselined) (fromV to 1L by -1).find(exists)
+        .map(v => readManifest(dir, v).files.map(e => e.name -> e).toMap).get
+      else {
         if (fromV >= 1 && failOnExpiredStart)
           throw new IllegalStateException(
             s"change feed offset v$fromV of $dir was expired by " +
@@ -1365,8 +1494,16 @@ object GraftTableCatalog {
     val out = Seq.newBuilder[InputPartition]
     ((fromV + 1) to toV).filter(exists).foreach { v =>
       val m = readManifest(dir, v)
+      if (m.eqDeletes.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"the change feed cannot derive row-level changes while " +
+            s"equality deletes (upsert key files) are outstanding at v$v " +
+            s"of $dir — run sys.compact first (a documented floor)")
       val cur = m.files.map(e => e.name -> e).toMap
-      if (m.op != "compact") {
+      // the first RETAINED manifest after an expired prefix is the net
+      // baseline, whatever its op — skipping a leading compact would
+      // lose the whole table from the feed
+      if (m.op != "compact" || !baselined) {
         prev.valuesIterator.filterNot(e => cur.contains(e.name)).foreach {
           e => // removed file: its live rows (as of prev) are deletes
             out += filePartition(dir, schema, mp, schema, e,
@@ -1392,6 +1529,7 @@ object GraftTableCatalog {
         }
       }
       prev = cur
+      baselined = true
     }
     out.result().toArray
   }
@@ -1521,6 +1659,7 @@ private class CatalogTable(dir: File, tableName: String,
     val m = liveManifest()
     val latest = readLatest(dir)
     val mor = readProps(dir).get(DeleteModeProp).contains("merge-on-read")
+    val eqCtx = upsertCtx(dir, s, m)
     var dropped = 0L; var rewritten = 0L; var kept = 0L; var morFiles = 0L
     val remaining = m.files.flatMap { e =>
       val facts = fileFacts(e, s, mp, spec)
@@ -1531,7 +1670,7 @@ private class CatalogTable(dir: File, tableName: String,
       else {
         // boundary file: decode live rows (field-id aligned, existing
         // deletes applied) and split by the predicate
-        val live = readAligned(dir, e, s, mp)
+        val live = readAligned(dir, e, s, mp, eqCtx)
         val (hit, miss) = live.partition { case (_, row) =>
           filters.forall(evalFilter(_, s, row)) }
         if (hit.isEmpty) { kept += 1; Some(e) }
@@ -1543,12 +1682,15 @@ private class CatalogTable(dir: File, tableName: String,
         } else {
           rewritten += 1
           // survivors keep the file's partition tuple (rows of one file
-          // share it by construction) — the new file stays prunable
-          Some(writeLocalFile(dir, "rw", s, mp, e.partition, miss.map(_._2)))
+          // share it by construction) — the new file stays prunable; the
+          // rewrite MATERIALIZED any equality deletes, so it takes the
+          // new sequence and they never re-apply
+          Some(writeLocalFile(dir, "rw", s, mp, e.partition,
+            miss.map(_._2), seq = latest + 1))
         }
       }
     }
-    commitVersion(dir, latest, "delete", remaining, m.epochs)
+    commitVersion(dir, latest, "delete", remaining, m.epochs, m.eqDeletes)
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)
@@ -1585,14 +1727,15 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
       skipFilters.forall(mayMatch(_, facts))
     }
     new CatalogScan(dir, schema, mp, spec, required, live, manifest.version,
-      startingVersion)
+      startingVersion, upsertCtx(dir, schema, manifest))
   }
 }
 
 private class CatalogScan(dir: File, tableSchema: StructType,
     mp: GraftTableCatalog.ColMapping, spec: Seq[GraftTableCatalog.PT],
     required: StructType, files: Seq[GraftTableCatalog.Entry],
-    version: Long, startingVersion: Long = 0L)
+    version: Long, startingVersion: Long = 0L,
+    eqCtx: Option[(Int, Seq[GraftTableCatalog.EqDelete])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
   import GraftTableCatalog._
@@ -1646,7 +1789,7 @@ private class CatalogScan(dir: File, tableSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     liveFiles.map(e => filePartition(dir, tableSchema, mp, required, e,
-      keyVals = keyVals(e)): InputPartition).toArray
+      keyVals = keyVals(e), eqCtx = eqCtx): InputPartition).toArray
 
   /** STORAGE-PARTITIONED JOIN through the catalog: every file carries
     * its partition tuple as a [[HasPartitionKey]], so two tables created
@@ -1709,7 +1852,9 @@ private case class CatalogFilePartition(path: String, fileName: String,
     deletePaths: Array[String] = Array.empty,
     positions: Option[Array[Long]] = None,
     changeType: String = "", changeVersion: Long = 0L,
-    keyVals: Array[Any] = Array.empty)
+    keyVals: Array[Any] = Array.empty,
+    eqDeletePaths: Array[String] = Array.empty,
+    eqKeyPos: Int = -1, eqKeyIsStr: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
 }
@@ -1725,6 +1870,9 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
         new FileInputStream(fp.path), 1 << 16))
       private val fileTag = UTF8String.fromString(fp.fileName)
       private val skips = loadDeletePositions(fp.deletePaths)
+      private val eqKeys: java.util.HashSet[Any] =
+        if (fp.eqDeletePaths.isEmpty) new java.util.HashSet[Any]()
+        else loadEqKeys(fp.eqDeletePaths, fp.eqKeyIsStr)
       private val only = fp.positions.map(_.sorted)
       private var pos = -1L
       private var si = 0
@@ -1742,13 +1890,22 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
           // picks from it — pruning saves materialization, not I/O,
           // which matches the format's floor
           val vals = Codec.read(in, types, types.length)
-          val emit = only match {
+          var emit = only match {
             case Some(o) =>
               if (oi < o.length && o(oi) == pos) { oi += 1; true }
               else false
             case None =>
               if (si < skips.length && skips(si) == pos) { si += 1; false }
               else true
+          }
+          // upsert: a newer commit's key file supersedes this row
+          if (emit && fp.eqKeyPos >= 0 && !eqKeys.isEmpty) {
+            val k = vals(fp.eqKeyPos)
+            val boxed: Any = k match {
+              case s: String => s
+              case other => other
+            }
+            if (boxed != null && eqKeys.contains(boxed)) emit = false
           }
           if (emit) { cur = vals; read += 1; return true }
         }
@@ -1904,7 +2061,8 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
     CatalogStreamingWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"))
+        .mkString(";"),
+      upsertEncOf(dir, schema))
   }
 
   override def commit(epochId: Long,
@@ -1913,42 +2071,58 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
     val m = if (latest == 0) Manifest(0, "none", Seq.empty)
       else readManifest(dir, latest)
     def entriesOf(msgs: Seq[WriterCommitMessage]): Seq[Entry] =
-      msgs.flatMap { case CatalogCommit(es) => es; case _ => Seq.empty }
+      msgs.flatMap { case CatalogCommit(es, _) => es; case _ => Seq.empty }
+    def keysOf(msgs: Seq[WriterCommitMessage]): Seq[(String, Long)] =
+      msgs.flatMap { case CatalogCommit(_, k) => k; case _ => None }
     if (m.epochs.contains(epochId)) {
       // replayed micro-batch: the commit is a no-op, and the replay's
-      // freshly written task files would otherwise strand forever
-      // (referenced by no manifest, so expire never touches them)
-      entriesOf(messages.toSeq).foreach(e =>
-        new File(new File(dir, "data"), e.name).delete())
+      // freshly written task files (data AND key files) would otherwise
+      // strand forever (referenced by no manifest)
+      (entriesOf(messages.toSeq).map(_.name) ++
+        keysOf(messages.toSeq).map(_._1)).foreach(n =>
+        new File(new File(dir, "data"), n).delete())
       return
     }
-    val (kept, empty) = entriesOf(messages.toSeq).partition(_.rows > 0)
+    val newSeq = latest + 1
+    val (kept, empty) = entriesOf(messages.toSeq).map(_.copy(seq = newSeq))
+      .partition(_.rows > 0)
+    val taskKeys = keysOf(messages.toSeq)
+    val upsert = taskKeys.nonEmpty && m.files.nonEmpty
+    val eq =
+      if (upsert) m.eqDeletes ++ taskKeys.filter(_._2 > 0)
+        .map { case (n, r) => EqDelete(n, r, newSeq) }
+      else m.eqDeletes
     commitVersion(dir, latest, "stream-epoch", m.files ++ kept,
-      m.epochs + epochId)
-    empty.foreach(e => // zero-row task files add nothing
-      new File(new File(dir, "data"), e.name).delete())
+      m.epochs + epochId, eq)
+    val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
+      else taskKeys.map(_._1)
+    (empty.map(_.name) ++ dropKeys).foreach(n => // zero-row leftovers
+      new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CatalogCommit(es) => es.foreach(e =>
-        new File(new File(dir, "data"), e.name).delete())
+      case CatalogCommit(es, k) =>
+        (es.map(_.name) ++ k.map(_._1)).foreach(n =>
+          new File(new File(dir, "data"), n).delete())
       case _ => ()
     }
 }
 
 private case class CatalogStreamingWriterFactory(dirPath: String,
-    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String)
+    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String,
+    upsertEnc: String = "")
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson,
-      idsCsv, specEnc).createWriter(partitionId, taskId)
+      idsCsv, specEnc, upsertEnc).createWriter(partitionId, taskId)
 }
 
-private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry])
+private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry],
+    eqKeys: Option[(String, Long)] = None)
   extends WriterCommitMessage
 
 /** The ledger's commit discipline on the versioned chain: per-task files
@@ -1970,35 +2144,57 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
     CatalogWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"))
+        .mkString(";"),
+      upsertEncOf(dir, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newSeq = expectedLatest + 1
     val all = messages.toSeq.flatMap {
-      case CatalogCommit(es) => es
+      case CatalogCommit(es, _) => es
       case _ => Seq.empty
-    }
+    }.map(_.copy(seq = newSeq))
     val added = all.filter(_.rows > 0) // empty task files add only noise
+    val taskKeys = messages.toSeq.flatMap {
+      case CatalogCommit(_, k) => k
+      case _ => None
+    }
     // base = the version this write STARTED from; if another commit landed
     // meanwhile, commitVersion's exclusive create fails the race loudly.
     // Epoch markers carry through EVERY commit — truncate replaces the
     // file list, never the stream's progress record.
-    val (base, epochs) =
-      if (expectedLatest == 0) (Seq.empty[Entry], Set.empty[Long])
+    val (base, epochs, oldEq) =
+      if (expectedLatest == 0)
+        (Seq.empty[Entry], Set.empty[Long], Seq.empty[EqDelete])
       else {
         val m = readManifest(dir, expectedLatest)
-        (if (truncate) Seq.empty[Entry] else m.files, m.epochs)
+        (if (truncate) Seq.empty[Entry] else m.files, m.epochs,
+          if (truncate) Seq.empty[EqDelete] else m.eqDeletes)
       }
+    // UPSERT: the write's key files supersede same-key rows in every
+    // OLDER file (seq-tagged equality deletes); with no older data the
+    // key files are dead weight and drop immediately
+    val upsert = taskKeys.nonEmpty && !truncate
+    val (eq, dropKeys) =
+      if (upsert && base.nonEmpty)
+        (oldEq ++ taskKeys.filter(_._2 > 0)
+          .map { case (n, r) => EqDelete(n, r, newSeq) },
+          taskKeys.filter(_._2 == 0).map(_._1))
+      else (oldEq, taskKeys.map(_._1))
     commitVersion(dir, expectedLatest,
-      if (truncate) "overwrite" else "append", base ++ added, epochs)
-    all.filter(_.rows == 0).foreach(e => // stranded zero-row task files
-      new File(new File(dir, "data"), e.name).delete())
+      if (truncate) "overwrite"
+      else if (upsert && base.nonEmpty) "upsert"
+      else "append",
+      base ++ added, epochs, eq)
+    (all.filter(_.rows == 0).map(_.name) ++ dropKeys).foreach(n =>
+      new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CatalogCommit(es) => es.foreach(e =>
-        new File(new File(dir, "data"), e.name).delete())
+      case CatalogCommit(es, k) =>
+        (es.map(_.name) ++ k.map(_._1)).foreach(n =>
+          new File(new File(dir, "data"), n).delete())
       case _ => ()
     }
 }
@@ -2010,12 +2206,22 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
   * the table places them. Per-file stats key by FIELD ID and track null
   * presence (the metadata DELETE's proof obligations). */
 private case class CatalogWriterFactory(dirPath: String, jobUid: String,
-    schemaJson: String, idsCsv: String, specEnc: String)
+    schemaJson: String, idsCsv: String, specEnc: String,
+    upsertEnc: String = "")
     extends DataWriterFactory {
   import GraftTableCatalog._
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // upsert mode: collect this task's DISTINCT keys for the commit's
+      // equality delete file ("<schemaPos>:<L|S>")
+      private val upsert: Option[(Int, Boolean)] =
+        if (upsertEnc.isEmpty) None
+        else {
+          val p = upsertEnc.split(":")
+          Some((p(0).toInt, p(1) == "S"))
+        }
+      private val upsertKeys = new java.util.LinkedHashSet[Any]()
       private val schema =
         DataType.fromJson(schemaJson).asInstanceOf[StructType]
       private val types = schema.fields.map(_.dataType)
@@ -2064,6 +2270,13 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
       }
 
       override def write(row: InternalRow): Unit = {
+        upsert.foreach { case (pos, isStr) =>
+          require(!row.isNullAt(pos),
+            "upsert key must be non-null (the CDC contract)")
+          upsertKeys.add(
+            if (isStr) row.getUTF8String(pos).toString
+            else (row.getLong(pos): java.lang.Long))
+        }
         val sk = sinkFor(row)
         Codec.write(sk.out, types, i =>
           if (row.isNullAt(i)) null
@@ -2086,8 +2299,8 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         }
         sk.rows += 1
       }
-      override def commit(): WriterCommitMessage =
-        CatalogCommit(sinks.values.toSeq.map { sk =>
+      override def commit(): WriterCommitMessage = {
+        val entries = sinks.values.toSeq.map { sk =>
           sk.out.close()
           val nullFree = types.indices.collect {
             case i if !sk.hasNull(i) => s"#${ids(i)}"
@@ -2095,7 +2308,26 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
             sk.stats.toMap, Some(nullFree), ids.toSeq, typeCodes,
             sk.tuple, Seq.empty)
-        })
+        }
+        val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
+          .map { case (_, isStr) =>
+            val name = s"eq-$stem.keys"
+            val out = new DataOutputStream(new java.io.BufferedOutputStream(
+              new FileOutputStream(new File(new File(dirPath, "data"), name))))
+            try {
+              out.writeLong(upsertKeys.size.toLong)
+              upsertKeys.forEach { k =>
+                if (isStr) {
+                  val b = k.asInstanceOf[String]
+                    .getBytes(StandardCharsets.UTF_8)
+                  out.writeInt(b.length); out.write(b)
+                } else out.writeLong(k.asInstanceOf[java.lang.Long])
+              }
+            } finally out.close()
+            (name, upsertKeys.size.toLong)
+          }
+        CatalogCommit(entries, eqKeys)
+      }
       override def abort(): Unit = {
         sinks.values.foreach { sk => sk.out.close(); sk.file.delete() }
         ()
@@ -2218,29 +2450,39 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
     CatalogWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"))
+        .mkString(";"),
+      upsertEncOf(dir, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newSeq = expectedLatest + 1
     val all = messages.toSeq.flatMap {
-      case CatalogCommit(es) => es
+      case CatalogCommit(es, _) => es
       case _ => Seq.empty
-    }
+    }.map(_.copy(seq = newSeq))
     val added = all.filter(_.rows > 0)
+    // the COW rewrite materialized its groups' live rows, so the
+    // per-row machinery (not the key files) carries upsert semantics
+    // here; a group write never adds equality deletes
+    val dropKeys = messages.toSeq.flatMap {
+      case CatalogCommit(_, k) => k.map(_._1)
+      case _ => None
+    }
     val m = readManifest(dir, expectedLatest)
     val replaced = op.plannedFiles
     commitVersion(dir, expectedLatest,
       op.command().name().toLowerCase(java.util.Locale.ROOT),
       m.files.filterNot(e => replaced.contains(e.name)) ++ added,
-      m.epochs)
-    all.filter(_.rows == 0).foreach(e =>
-      new File(new File(dir, "data"), e.name).delete())
+      m.epochs, m.eqDeletes)
+    (all.filter(_.rows == 0).map(_.name) ++ dropKeys).foreach(n =>
+      new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CatalogCommit(es) => es.foreach(e =>
-        new File(new File(dir, "data"), e.name).delete())
+      case CatalogCommit(es, k) =>
+        (es.map(_.name) ++ k.map(_._1)).foreach(n =>
+          new File(new File(dir, "data"), n).delete())
       case _ => ()
     }
 }
@@ -2608,8 +2850,16 @@ private class CompactProcedure(cat: GraftTableCatalog)
         val mp = readMapping(dir, schema)
         val latest = readLatest(dir)
         val m = readManifest(dir, latest)
+        // candidates: small files, files carrying merge-on-read delete
+        // debt, files older than an outstanding equality delete (upsert
+        // debt), and pre-v2 files without field ids (compact is also the
+        // format upgrader — RENAME/DROP require ids)
+        val maxEqSeq = if (m.eqDeletes.isEmpty) 0L
+          else m.eqDeletes.map(_.seq).max
+        val eqCtx = upsertCtx(dir, schema, m)
         val (cand, big) = m.files.partition(e =>
-          e.bytes < target || e.deletes.nonEmpty)
+          e.bytes < target || e.deletes.nonEmpty || e.fieldIds.isEmpty ||
+            e.seq < maxEqSeq)
         val orderIdx = readProps(dir).get(WriteOrderByProp).toSeq
           .flatMap(_.split(",")).map(_.trim)
           .filter(schema.fieldNames.contains).map(schema.fieldIndex)
@@ -2626,11 +2876,12 @@ private class CompactProcedure(cat: GraftTableCatalog)
               }
             }.map(_.reverse).reverse
             bins.map { bin =>
-              if (bin.length == 1 && bin.head.deletes.isEmpty)
+              if (bin.length == 1 && bin.head.deletes.isEmpty &&
+                  bin.head.fieldIds.nonEmpty && bin.head.seq >= maxEqSeq)
                 bin.head // nothing to gain from a rewrite
               else {
                 val rows = bin.flatMap(e =>
-                  readAligned(dir, e, schema, mp).map(_._2))
+                  readAligned(dir, e, schema, mp, eqCtx).map(_._2))
                 // a write.order_by table keeps its contract through
                 // maintenance: the bin's rows re-sort before writing
                 val sorted = if (orderIdx.isEmpty) rows
@@ -2640,10 +2891,14 @@ private class CompactProcedure(cat: GraftTableCatalog)
                   }).toIndexedSeq)(
                     scala.math.Ordering.Implicits
                       .seqOrdering[IndexedSeq, Long])
-                writeLocalFile(dir, "cp", schema, mp, tuple, sorted)
+                writeLocalFile(dir, "cp", schema, mp, tuple, sorted,
+                  seq = latest + 1)
               }
             }
           }
+        // every candidate rewrite materialized the outstanding equality
+        // deletes and non-candidates are at least as new — the key files
+        // drop from the manifest (expire reclaims the bytes later)
         commitVersion(dir, latest, "compact", big ++ merged, m.epochs)
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(CompactProcedure.resultSchema,
@@ -2698,12 +2953,14 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         val expired = (1L until minKeep).filterNot(tagged)
           .filter(v => new File(dir, s"v$v.manifest").exists())
         def refsOf(e: Entry): Seq[String] = e.name +: e.deletes.map(_.name)
+        def allRefs(m: Manifest): Seq[String] =
+          m.files.flatMap(refsOf) ++ m.eqDeletes.map(_.name)
         val retainedRefs = ((minKeep to latest) ++ tagged).distinct
           .filter(v => new File(dir, s"v$v.manifest").exists())
-          .flatMap(v => readManifest(dir, v).files.flatMap(refsOf)).toSet
+          .flatMap(v => allRefs(readManifest(dir, v))).toSet
         var filesDeleted = 0L
         expired.foreach { v =>
-          readManifest(dir, v).files.flatMap(refsOf).foreach { n =>
+          allRefs(readManifest(dir, v)).foreach { n =>
             if (!retainedRefs.contains(n)) {
               val f = new File(new File(dir, "data"), n)
               if (f.exists()) { f.delete(); filesDeleted += 1 }

@@ -643,6 +643,12 @@ class CatalogSpec extends SparkSpec {
     sql("ALTER TABLE graft_cat.db.evo ADD COLUMN b STRING")
     rows("SELECT count(*) FROM graft_cat.db.evo WHERE b IS NULL") shouldBe
       Seq(Seq(2000L))
+    // every live file PREDATES the re-added b (fresh id): provably
+    // all-null, so IS NOT NULL prunes the whole scan at planning
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.evo WHERE b IS NOT NULL") shouldBe
+      Seq(Seq(0L))
+    GraftTableCatalog.filesOpened.get() shouldBe 0L
     // rename clash guard
     intercept[Exception](sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN a2 TO b"))
   }
@@ -779,6 +785,45 @@ class CatalogSpec extends SparkSpec {
     joined.collect().head.getLong(0) shouldBe nKeys * 250000L
     // only the matching partitions' files opened: 4 per surviving key
     GraftTableCatalog.filesOpened.get() shouldBe nKeys * 4L
+  }
+
+  test("write.upsert.key: INSERT supersedes same-key rows via a sequence-tagged equality delete file; compact repays the debt; the change feed declines until then") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.ups")
+    sql("""CREATE TABLE graft_cat.db.ups (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.ups SELECT id, id FROM range(0, 1000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.ups SELECT id, id + 1000000 FROM range(500, 1500, 1, 2)")
+    val dir = new File("work/graft_cat/db/ups")
+    val m = GraftTableCatalog.readManifest(dir, GraftTableCatalog.readLatest(dir))
+    m.op shouldBe "upsert"
+    m.eqDeletes should not be empty
+    m.files.length shouldBe 4 // ZERO data files rewritten by the upsert
+    // reads anti-join the key file against OLDER files only
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.ups") shouldBe
+      Seq(Seq(1500L, (0L until 500L).sum + (500L until 1500L).sum + 1000L * 1000000L))
+    rows("SELECT v FROM graft_cat.db.ups WHERE k = 250") shouldBe Seq(Seq(250L))
+    rows("SELECT v FROM graft_cat.db.ups WHERE k = 750") shouldBe Seq(Seq(1000750L))
+    // time travel BEFORE the upsert sees the original values
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.ups VERSION AS OF 2") shouldBe
+      Seq(Seq(1000L, (0L until 1000L).sum))
+    // the change feed declines loudly while key files are outstanding
+    intercept[Exception](rows("SELECT count(*) FROM graft_cat.db.ups.changes"))
+    // compaction repays the debt: key files drop, answers identical
+    val before = rows("SELECT k, v FROM graft_cat.db.ups ORDER BY k")
+    sql(s"CALL graft_cat.sys.compact('db', 'ups', ${64L * 1024 * 1024})")
+    GraftTableCatalog.readManifest(dir, GraftTableCatalog.readLatest(dir))
+      .eqDeletes shouldBe empty
+    rows("SELECT k, v FROM graft_cat.db.ups ORDER BY k") shouldBe before
+    // and once the upsert-era manifests expire, the feed serves again
+    sql("CALL graft_cat.sys.expire_versions('db', 'ups', 1)")
+    rows("SELECT count(*) FROM graft_cat.db.ups.changes") shouldBe
+      Seq(Seq(1500L))
+    // guards: null keys rejected; the key column cannot DROP
+    intercept[Exception](
+      sql("INSERT INTO graft_cat.db.ups VALUES (NULL, 1)"))
+    intercept[Exception](
+      sql("ALTER TABLE graft_cat.db.ups DROP COLUMN k"))
   }
 
 }
