@@ -2490,7 +2490,9 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
 /** `graft_cat.db.<t>.snapshots` — one row per committed version, straight
   * from the manifest chain (metadata-sized: the scan never touches data
   * files). The Iceberg metadata-table surface in miniature. Row counts
-  * are LIVE rows (position deletes subtracted). */
+  * are LIVE rows (position deletes subtracted); on an upsert table with
+  * OUTSTANDING equality deletes they are an upper bound (key files
+  * resolve per-row at read — compaction restores exactness). */
 private class SnapshotsTable(dir: File, table: String) extends Table
     with SupportsRead {
   import GraftTableCatalog._
