@@ -361,6 +361,19 @@ object StreamingEvidence {
       val landed = spark.sql(
           "SELECT k, cents FROM graft_cat.db.upsert_evidence")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the change feed resolves the upserts' retractions: folding it
+      // must reproduce the landed state exactly
+      val foldedOk = spark.sql(
+        """WITH folded AS (SELECT k, cents,
+          |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+          |  FROM graft_cat.db.upsert_evidence.changes
+          |  GROUP BY k, cents HAVING n != 0)
+          |SELECT (SELECT count(*) FROM folded WHERE n = 1),
+          |       (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin)
+        .collect().head
+      require(foldedOk.getLong(0) == landed.length &&
+        foldedOk.getLong(1) == 0L,
+        s"CDF fold over the upsert stream diverged: $foldedOk")
       def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
       TwinResult("streaming_cdc_upsert", unit = "rows",
         landed.length.toLong, expected.length.toLong,

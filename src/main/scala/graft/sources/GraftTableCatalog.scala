@@ -1288,7 +1288,8 @@ object GraftTableCatalog {
       changeType: String = "", changeVersion: Long = 0L,
       positions: Option[Array[Long]] = None,
       keyVals: Array[Any] = Array.empty,
-      eqCtx: Option[(Int, Seq[EqDelete])] = None): CatalogFilePartition = {
+      eqCtx: Option[(Int, Seq[EqDelete])] = None,
+      keysOnly: Array[String] = Array.empty): CatalogFilePartition = {
     val fids = e.idsOrLegacy.toArray
     val srcIdx = required.fields.map { f =>
       if (f.name == FileMetaCol) -1
@@ -1304,7 +1305,7 @@ object GraftTableCatalog {
       case Some((keyIdx, dels)) =>
         val live = dels.filter(_.seq > e.seq)
         val pos = fids.indexOf(mp.ids(keyIdx))
-        if (live.isEmpty || pos < 0) (Array.empty[String], -1, false)
+        if (pos < 0) (Array.empty[String], -1, false)
         else (live.map(d =>
           new File(new File(dir, "data"), d.name).getPath).toArray,
           pos, tableSchema.fields(keyIdx).dataType == StringType)
@@ -1316,7 +1317,7 @@ object GraftTableCatalog {
       e.deletes.map(d =>
         new File(new File(dir, "data"), d.name).getPath).toArray,
       positions, changeType, changeVersion, keyVals,
-      eqPaths, eqPos, eqStr)
+      eqPaths, eqPos, eqStr, keysOnly)
   }
 
   /** Load equality-delete key files into one boxed lookup set. */
@@ -1491,14 +1492,18 @@ object GraftTableCatalog {
               "or retain more versions")
         Map.empty
       }
+    val upsertKeyIdx: Int = readProps(dir).get(UpsertKeyProp)
+      .filter(schema.fieldNames.contains).map(schema.fieldIndex)
+      .getOrElse(-1)
+    var prevEqNames: Set[String] = Set.empty
     val out = Seq.newBuilder[InputPartition]
     ((fromV + 1) to toV).filter(exists).foreach { v =>
       val m = readManifest(dir, v)
-      if (m.eqDeletes.nonEmpty)
+      if (m.eqDeletes.nonEmpty && upsertKeyIdx < 0)
         throw new UnsupportedOperationException(
-          s"the change feed cannot derive row-level changes while " +
-            s"equality deletes (upsert key files) are outstanding at v$v " +
-            s"of $dir — run sys.compact first (a documented floor)")
+          s"v$v of $dir carries equality deletes but the table has no " +
+            s"resolvable $UpsertKeyProp column — the change feed cannot " +
+            "derive row-level changes; run sys.compact first")
       val cur = m.files.map(e => e.name -> e).toMap
       // the first RETAINED manifest after an expired prefix is the net
       // baseline, whatever its op — skipping a leading compact would
@@ -1527,8 +1532,26 @@ object GraftTableCatalog {
             }
           }
         }
+        // an UPSERT's new key files retract the LIVE older instances of
+        // the upserted keys: for each pre-existing file, emit the rows
+        // whose key the new files replaced (keysOnly), alive at v-1
+        // (earlier key files still anti-merge, as do position deletes)
+        val newDels = m.eqDeletes.filterNot(d => prevEqNames.contains(d.name))
+        if (newDels.nonEmpty) {
+          val newPaths = newDels.map(d =>
+            new File(new File(dir, "data"), d.name).getPath).toArray
+          prev.valuesIterator.foreach { pe =>
+            val earlier = m.eqDeletes.filter(d =>
+              d.seq > pe.seq && !newDels.exists(_.name == d.name))
+            out += filePartition(dir, schema, mp, schema, pe,
+              changeType = "delete", changeVersion = v,
+              eqCtx = Some((upsertKeyIdx, earlier)),
+              keysOnly = newPaths)
+          }
+        }
       }
       prev = cur
+      prevEqNames = m.eqDeletes.map(_.name).toSet
       baselined = true
     }
     out.result().toArray
@@ -1854,7 +1877,8 @@ private case class CatalogFilePartition(path: String, fileName: String,
     changeType: String = "", changeVersion: Long = 0L,
     keyVals: Array[Any] = Array.empty,
     eqDeletePaths: Array[String] = Array.empty,
-    eqKeyPos: Int = -1, eqKeyIsStr: Boolean = false)
+    eqKeyPos: Int = -1, eqKeyIsStr: Boolean = false,
+    keysOnlyPaths: Array[String] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
 }
@@ -1873,6 +1897,10 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
       private val eqKeys: java.util.HashSet[Any] =
         if (fp.eqDeletePaths.isEmpty) new java.util.HashSet[Any]()
         else loadEqKeys(fp.eqDeletePaths, fp.eqKeyIsStr)
+      // CDF retraction mode: emit ONLY rows whose key an upsert replaced
+      private val keysOnly: Option[java.util.HashSet[Any]] =
+        if (fp.keysOnlyPaths.isEmpty) None
+        else Some(loadEqKeys(fp.keysOnlyPaths, fp.eqKeyIsStr))
       private val only = fp.positions.map(_.sorted)
       private var pos = -1L
       private var si = 0
@@ -1899,13 +1927,13 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
               else true
           }
           // upsert: a newer commit's key file supersedes this row
-          if (emit && fp.eqKeyPos >= 0 && !eqKeys.isEmpty) {
-            val k = vals(fp.eqKeyPos)
-            val boxed: Any = k match {
-              case s: String => s
-              case other => other
-            }
+          if (emit && fp.eqKeyPos >= 0 &&
+              (!eqKeys.isEmpty || keysOnly.isDefined)) {
+            val boxed: Any = vals(fp.eqKeyPos)
             if (boxed != null && eqKeys.contains(boxed)) emit = false
+            if (emit) keysOnly.foreach { inc =>
+              if (boxed == null || !inc.contains(boxed)) emit = false
+            }
           }
           if (emit) { cur = vals; read += 1; return true }
         }

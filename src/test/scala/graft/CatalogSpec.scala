@@ -787,7 +787,7 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.filesOpened.get() shouldBe nKeys * 4L
   }
 
-  test("write.upsert.key: INSERT supersedes same-key rows via a sequence-tagged equality delete file; compact repays the debt; the change feed declines until then") {
+  test("write.upsert.key: INSERT supersedes same-key rows via a sequence-tagged equality delete file; compact repays the debt; the change feed resolves the retractions") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     sql("DROP TABLE IF EXISTS graft_cat.db.ups")
     sql("""CREATE TABLE graft_cat.db.ups (k BIGINT, v BIGINT)
@@ -807,8 +807,22 @@ class CatalogSpec extends SparkSpec {
     // time travel BEFORE the upsert sees the original values
     rows("SELECT count(*), sum(v) FROM graft_cat.db.ups VERSION AS OF 2") shouldBe
       Seq(Seq(1000L, (0L until 1000L).sum))
-    // the change feed declines loudly while key files are outstanding
-    intercept[Exception](rows("SELECT count(*) FROM graft_cat.db.ups.changes"))
+    // the change feed RESOLVES the upsert: the epoch's key file retracts
+    // exactly the live older instances, so folding reproduces the table
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.ups.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM folded EXCEPT SELECT k, v FROM graft_cat.db.ups)),
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM graft_cat.db.ups EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
+    // and the retraction count is exactly the overlap
+    rows("""SELECT count(*) FROM graft_cat.db.ups.changes
+      |WHERE _change_type = 'delete'""".stripMargin) shouldBe Seq(Seq(500L))
     // compaction repays the debt: key files drop, answers identical
     val before = rows("SELECT k, v FROM graft_cat.db.ups ORDER BY k")
     sql(s"CALL graft_cat.sys.compact('db', 'ups', ${64L * 1024 * 1024})")
