@@ -1311,6 +1311,8 @@ object GraftTableCatalog {
           pos, tableSchema.fields(keyIdx).dataType == StringType)
       case None => (Array.empty[String], -1, false)
     }
+    require(keysOnly.isEmpty || eqPos >= 0,
+      s"keys-only filter over ${e.name} without a resolvable key position")
     CatalogFilePartition(
       new File(new File(dir, "data"), e.name).getPath, e.name,
       e.rows, fileTypes(e, tableSchema), srcIdx,
@@ -1481,21 +1483,29 @@ object GraftTableCatalog {
     val mp = readMapping(dir, schema)
     def exists(v: Long) = new File(dir, s"v$v.manifest").exists()
     var baselined = (fromV to 1L by -1).exists(exists)
-    var prev: Map[String, Entry] =
+    val baseManifest: Option[Manifest] =
       if (baselined) (fromV to 1L by -1).find(exists)
-        .map(v => readManifest(dir, v).files.map(e => e.name -> e).toMap).get
+        .map(v => readManifest(dir, v))
       else {
         if (fromV >= 1 && failOnExpiredStart)
           throw new IllegalStateException(
             s"change feed offset v$fromV of $dir was expired by " +
               "sys.expire_versions — restart the stream from scratch " +
               "or retain more versions")
-        Map.empty
+        None
       }
+    var prev: Map[String, Entry] = baseManifest
+      .map(_.files.map(e => e.name -> e).toMap).getOrElse(Map.empty)
     val upsertKeyIdx: Int = readProps(dir).get(UpsertKeyProp)
       .filter(schema.fieldNames.contains).map(schema.fieldIndex)
       .getOrElse(-1)
-    var prevEqNames: Set[String] = Set.empty
+    // the baseline's OWN equality deletes: a restarted stream must not
+    // re-retract them, and the rows they killed must not re-emit
+    var prevEq: Seq[EqDelete] =
+      baseManifest.map(_.eqDeletes).getOrElse(Seq.empty)
+    def ctxOf(dels: Seq[EqDelete]): Option[(Int, Seq[EqDelete])] =
+      if (upsertKeyIdx >= 0 && dels.nonEmpty) Some((upsertKeyIdx, dels))
+      else None
     val out = Seq.newBuilder[InputPartition]
     ((fromV + 1) to toV).filter(exists).foreach { v =>
       val m = readManifest(dir, v)
@@ -1510,14 +1520,20 @@ object GraftTableCatalog {
       // lose the whole table from the feed
       if (m.op != "compact" || !baselined) {
         prev.valuesIterator.filterNot(e => cur.contains(e.name)).foreach {
-          e => // removed file: its live rows (as of prev) are deletes
+          e => // removed file: its rows LIVE AS OF v-1 are deletes —
+            // "live" includes the eq filter, else rows an upsert already
+            // retracted would double-delete when a rewrite removes them
             out += filePartition(dir, schema, mp, schema, e,
-              changeType = "delete", changeVersion = v)
+              changeType = "delete", changeVersion = v,
+              eqCtx = ctxOf(prevEq))
         }
         cur.valuesIterator.filterNot(e => prev.contains(e.name)).foreach {
-          e => // added file: its live rows are inserts
+          e => // added file: its live rows are inserts (the eq filter
+            // only matters for the first-retained-baseline case, where
+            // "added" files are old and may carry superseded rows)
             out += filePartition(dir, schema, mp, schema, e,
-              changeType = "insert", changeVersion = v)
+              changeType = "insert", changeVersion = v,
+              eqCtx = ctxOf(m.eqDeletes))
         }
         cur.valuesIterator.foreach { e =>
           prev.get(e.name).foreach { pe =>
@@ -1536,6 +1552,7 @@ object GraftTableCatalog {
         // the upserted keys: for each pre-existing file, emit the rows
         // whose key the new files replaced (keysOnly), alive at v-1
         // (earlier key files still anti-merge, as do position deletes)
+        val prevEqNames = prevEq.map(_.name).toSet
         val newDels = m.eqDeletes.filterNot(d => prevEqNames.contains(d.name))
         if (newDels.nonEmpty) {
           val newPaths = newDels.map(d =>
@@ -1551,7 +1568,7 @@ object GraftTableCatalog {
         }
       }
       prev = cur
-      prevEqNames = m.eqDeletes.map(_.name).toSet
+      prevEq = m.eqDeletes
       baselined = true
     }
     out.result().toArray
@@ -1713,7 +1730,9 @@ private class CatalogTable(dir: File, tableName: String,
         }
       }
     }
-    commitVersion(dir, latest, "delete", remaining, m.epochs, m.eqDeletes)
+    // an emptied table needs no key files (nothing left to supersede)
+    commitVersion(dir, latest, "delete", remaining, m.epochs,
+      if (remaining.isEmpty) Seq.empty else m.eqDeletes)
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)

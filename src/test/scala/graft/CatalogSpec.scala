@@ -823,6 +823,20 @@ class CatalogSpec extends SparkSpec {
     // and the retraction count is exactly the overlap
     rows("""SELECT count(*) FROM graft_cat.db.ups.changes
       |WHERE _change_type = 'delete'""".stripMargin) shouldBe Seq(Seq(500L))
+    // a COW delete AFTER the upsert removes old files: their delete
+    // emission must NOT re-emit rows the upsert already retracted
+    sql("DELETE FROM graft_cat.db.ups WHERE k < 300")
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.ups.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM folded EXCEPT SELECT k, v FROM graft_cat.db.ups)),
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM graft_cat.db.ups EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
     // compaction repays the debt: key files drop, answers identical
     val before = rows("SELECT k, v FROM graft_cat.db.ups ORDER BY k")
     sql(s"CALL graft_cat.sys.compact('db', 'ups', ${64L * 1024 * 1024})")
@@ -832,7 +846,7 @@ class CatalogSpec extends SparkSpec {
     // and once the upsert-era manifests expire, the feed serves again
     sql("CALL graft_cat.sys.expire_versions('db', 'ups', 1)")
     rows("SELECT count(*) FROM graft_cat.db.ups.changes") shouldBe
-      Seq(Seq(1500L))
+      Seq(Seq(1200L))
     // guards: null keys rejected; the key column cannot DROP
     intercept[Exception](
       sql("INSERT INTO graft_cat.db.ups VALUES (NULL, 1)"))
