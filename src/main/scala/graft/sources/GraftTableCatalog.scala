@@ -1353,6 +1353,33 @@ object GraftTableCatalog {
         s"$i:${if (schema.fields(i).dataType == StringType) "S" else "L"}"
       }.getOrElse("")
 
+  /** Cross-task key-uniqueness check for one upsert batch: per-task key
+    * files are distinct by construction (the writer enforces it), so the
+    * union is duplicate-free iff the sizes add up. On violation the
+    * batch's files are reclaimed BEFORE the loud failure — a rejected
+    * commit must strand nothing. Driver-side and proportional to the
+    * batch's key count (a cluster-scale impl would sort-merge spill). */
+  private[sources] def requireDisjointKeys(dir: File,
+      taskKeys: Seq[(String, Long)], cleanup: Seq[String]): Unit = {
+    val isStr = {
+      // peek one byte? cheaper: both variants load identically as longs
+      // only for L keys; string files need the flag — derive from props
+      val schema = readSchema(dir)
+      readProps(dir).get(UpsertKeyProp).filter(schema.fieldNames.contains)
+        .exists(k => schema(k).dataType == StringType)
+    }
+    val union = loadEqKeys(taskKeys.map(t =>
+      new File(new File(dir, "data"), t._1).getPath).toArray, isStr)
+    if (union.size.toLong != taskKeys.map(_._2).sum) {
+      cleanup.foreach(n => new File(new File(dir, "data"), n).delete())
+      throw new IllegalStateException(
+        "upsert batch carries the same key in more than one task " +
+          s"(${taskKeys.map(_._2).sum} keys, ${union.size} distinct) — " +
+          "one row per key per batch is the CDC contract; " +
+          "nothing was committed")
+    }
+  }
+
   /** The upsert read context for one table state: (key column's CURRENT
     * schema index, the manifest's equality deletes). None when the table
     * has no upsert key or no outstanding key files. */
@@ -2134,6 +2161,8 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
     val (kept, empty) = entriesOf(messages.toSeq).map(_.copy(seq = newSeq))
       .partition(_.rows > 0)
     val taskKeys = keysOf(messages.toSeq)
+    if (taskKeys.nonEmpty) requireDisjointKeys(dir, taskKeys,
+      cleanup = entriesOf(messages.toSeq).map(_.name) ++ taskKeys.map(_._1))
     val upsert = taskKeys.nonEmpty && m.files.nonEmpty
     val eq =
       if (upsert) m.eqDeletes ++ taskKeys.filter(_._2 > 0)
@@ -2222,6 +2251,8 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
     // OLDER file (seq-tagged equality deletes); with no older data the
     // key files are dead weight and drop immediately
     val upsert = taskKeys.nonEmpty && !truncate
+    if (taskKeys.nonEmpty) requireDisjointKeys(dir, taskKeys,
+      cleanup = all.map(_.name) ++ taskKeys.map(_._1))
     val (eq, dropKeys) =
       if (upsert && base.nonEmpty)
         (oldEq ++ taskKeys.filter(_._2 > 0)
@@ -2320,9 +2351,14 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         upsert.foreach { case (pos, isStr) =>
           require(!row.isNullAt(pos),
             "upsert key must be non-null (the CDC contract)")
-          upsertKeys.add(
+          val key: Any =
             if (isStr) row.getUTF8String(pos).toString
-            else (row.getLong(pos): java.lang.Long))
+            else (row.getLong(pos): java.lang.Long)
+          // the CDC contract: ONE row per key per batch — a duplicate
+          // would land two "live" rows (equality deletes only reach
+          // OLDER files), so it fails the write, not the reader
+          require(upsertKeys.add(key),
+            s"duplicate upsert key $key within one batch")
         }
         val sk = sinkFor(row)
         Codec.write(sk.out, types, i =>

@@ -847,11 +847,20 @@ class CatalogSpec extends SparkSpec {
     sql("CALL graft_cat.sys.expire_versions('db', 'ups', 1)")
     rows("SELECT count(*) FROM graft_cat.db.ups.changes") shouldBe
       Seq(Seq(1200L))
-    // guards: null keys rejected; the key column cannot DROP
+    // guards: null keys rejected; the key column cannot DROP; duplicate
+    // keys in one batch — within a task or across tasks — fail the WRITE
+    // and publish nothing (version unmoved, no stranded files)
     intercept[Exception](
       sql("INSERT INTO graft_cat.db.ups VALUES (NULL, 1)"))
     intercept[Exception](
       sql("ALTER TABLE graft_cat.db.ups DROP COLUMN k"))
+    val vBefore = GraftTableCatalog.readLatest(dir)
+    intercept[Exception](sql( // task-local duplicate
+      "INSERT INTO graft_cat.db.ups SELECT id % 50, id FROM range(0, 100, 1, 1)"))
+    intercept[Exception](sql( // cross-task duplicate
+      "INSERT INTO graft_cat.db.ups SELECT id % 100, id FROM range(0, 200, 1, 2)"))
+    GraftTableCatalog.readLatest(dir) shouldBe vBefore
+    rows("SELECT count(*) FROM graft_cat.db.ups") shouldBe Seq(Seq(1200L))
   }
 
 }
