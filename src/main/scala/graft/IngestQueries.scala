@@ -884,6 +884,29 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
+
+  /** q286: MERGE-ON-READ UPDATE — `update.mode`='merge-on-read' routes
+    * UPDATE/MERGE (and stats-unprovable DELETEs) through Spark's
+    * DELTA-BASED row-level plan ([[org.apache.spark.sql.connector.write
+    * .SupportsDelta]]): the scan stamps each row's (_file, _pos) ROW ID,
+    * matched rows come back as per-row delete calls that land as
+    * position-delete entries on their SOURCE files, and the updated
+    * values land as one small insert file — ZERO data files rewritten
+    * (CatalogSpec pins untouched file names, the exact delete-position
+    * count, the COW twin's identical answers, and the change feed's
+    * exact fold over the delta history). The Iceberg v2 merge-on-read
+    * WRITE path: at 100 TB, a point UPDATE costs rows, not files. Same
+    * mutation as q272, served merge-on-read, new grouping. */
+  val q286CatalogMorUpdate: Q = (s, d) => {
+    val t = catTable(s, d, "ev286")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('update.mode'='merge-on-read')
+             |AS ${catEventsSql(d)}""".stripMargin)
+    s.sql(s"UPDATE $t SET cents = cents + 1000000 WHERE cents >= 10000")
+    s.sql(s"""SELECT k % 13 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(cents) AS min_c, max(cents) AS max_c
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -892,6 +915,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q286_catalog_mor_update" -> q286CatalogMorUpdate,
     "q285_catalog_upsert" -> q285CatalogUpsert,
     "q284_catalog_days_partition" -> q284CatalogDaysPartition,
     "q283_catalog_tag" -> q283CatalogTag,
@@ -955,6 +979,18 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The merge-on-read UPDATE's CASE, applied by DuckDB directly (the
+    // q272 mutation, new grouping).
+    "q286_catalog_mor_update" ->
+      """SELECT event_id % 13 AS g, count(*) AS n,
+        |  CAST(sum(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END)
+        |    AS BIGINT) AS cents,
+        |  min(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END) AS min_c,
+        |  max(CASE WHEN c >= 10000 THEN c + 1000000 ELSE c END) AS max_c
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
     // Upsert last-writer-wins state: even keys keep their cents unless
     // divisible by 3 (doubled by the second insert); odd div-3 keys
     // insert with doubled cents — the q273 MERGE state, new grouping.

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -296,6 +296,10 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       require(schema(k).dataType == LongType ||
         schema(k).dataType == StringType,
         s"$UpsertKeyProp supports LONG/STRING keys; $k is ${schema(k).dataType}")
+    }
+    props.get(UpdateModeProp).foreach { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"$UpdateModeProp is copy-on-write or merge-on-read; got $m")
     }
     props.get(WriteDistributionProp).foreach { m =>
       require(m == "none" || m == "hash",
@@ -593,6 +597,17 @@ object GraftTableCatalog {
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
+  /** Metadata column: the row's raw position within its data file —
+    * (_file, _pos) is the ROW ID the delta-based (merge-on-read)
+    * row-level operations address deletes by. */
+  val PosMetaCol = "_pos"
+  /** Table property: how UPDATE / MERGE / fallback DELETE execute.
+    * 'copy-on-write' (default) rewrites whole matched files via the
+    * group-based plan; 'merge-on-read' uses Spark's delta-based plan
+    * ([[org.apache.spark.sql.connector.write.SupportsDelta]]): matched
+    * rows become POSITION DELETES on their source files plus small
+    * insert files — a 10-row update touches 10 rows, not a file. */
+  val UpdateModeProp = "update.mode"
   /** Table property: CSV of columns the WRITE path range-distributes and
     * sorts by, so every insert lands with disjoint per-file min/max —
     * file skipping works on any data, not only pre-sorted feeds. */
@@ -1293,6 +1308,7 @@ object GraftTableCatalog {
     val fids = e.idsOrLegacy.toArray
     val srcIdx = required.fields.map { f =>
       if (f.name == FileMetaCol) -1
+      else if (f.name == PosMetaCol) -3
       else {
         val id = mp.ids(tableSchema.fieldIndex(f.name))
         val p = fids.indexOf(id)
@@ -1633,6 +1649,11 @@ private class CatalogTable(dir: File, tableName: String,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "data file backing the row"
+    }, new MetadataColumn {
+      override def name(): String = PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within its data file"
     })
 
   /** UPDATE / MERGE / (non-metadata) DELETE — GROUP-BASED copy-on-write:
@@ -1647,7 +1668,10 @@ private class CatalogTable(dir: File, tableName: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
-    () => new CatalogRowLevelOperation(dir, schema(), info.command())
+    if (readProps(dir).get(UpdateModeProp).contains("merge-on-read"))
+      () => new CatalogDeltaOperation(dir, schema(), info.command())
+    else
+      () => new CatalogRowLevelOperation(dir, schema(), info.command())
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1989,8 +2013,9 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
         val extra = if (fp.changeType.isEmpty) 0 else 2
         val row = new GenericInternalRow(fp.srcIdx.length + extra)
         fp.srcIdx.indices.foreach { i =>
-          val v = fp.srcIdx(i) match {
+          val v: Any = fp.srcIdx(i) match {
             case -1 => fileTag
+            case -3 => pos // the raw in-file position (the row id)
             case s if s >= 0 && s < cur.length => cur(s) match {
               case str: String => UTF8String.fromString(str)
               case other => other
@@ -2567,6 +2592,138 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
         (es.map(_.name) ++ k.map(_._1)).foreach(n =>
           new File(new File(dir, "data"), n).delete())
       case _ => ()
+    }
+}
+
+/** The DELTA-BASED row-level operation (`update.mode`='merge-on-read',
+  * [[SupportsDelta]]): Spark's rewrite plans address matched rows by
+  * ROW ID — the (_file, _pos) pair the scan stamps — and hand the write
+  * per-row delete/insert calls, so a 10-row UPDATE commits a few
+  * position-delete entries plus one small insert file with ZERO data
+  * files rewritten (the Iceberg v2 merge-on-read WRITE path; the
+  * group-based copy-on-write operation remains the default). Updates
+  * are represented as delete+insert pairs, which is also exactly what
+  * the change feed derives from the resulting manifest diff. */
+private class CatalogDeltaOperation(dir: File, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with SupportsDelta {
+  import GraftTableCatalog._
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(FileMetaCol), Expressions.column(PosMetaCol))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  /** A PLAIN catalog scan: the delta plan pushes the condition itself
+    * (file skipping applies), reads only candidate rows, and addresses
+    * them by row id — no whole-group reads, no `_file IN` handshake. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(dir, tableSchema, {
+      val v = readLatest(dir)
+      if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+    })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new CatalogDeltaBatchWrite(dir, tableSchema, cmd)
+      }
+    }
+}
+
+/** One delta task's outcome: new data files (inserts) plus, per source
+  * file, the raw positions this task deleted. */
+private[graft] case class CatalogDeltaCommit(
+    entries: Seq[GraftTableCatalog.Entry],
+    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+
+private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends DeltaBatchWrite {
+  import GraftTableCatalog._
+  private val jobUid = java.util.UUID.randomUUID().toString.take(8)
+  private val expectedLatest = readLatest(dir)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    new File(dir, "data").mkdirs()
+    val mp = readMapping(dir, schema)
+    val spec = readSpec(dir)
+    CatalogDeltaWriterFactory(dir.getPath, jobUid, schema.json,
+      mp.ids.mkString(","),
+      spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
+        .mkString(";"))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newSeq = expectedLatest + 1
+    val parts = messages.toSeq.collect { case d: CatalogDeltaCommit => d }
+    val added = parts.flatMap(_.entries).map(_.copy(seq = newSeq))
+      .filter(_.rows > 0)
+    // merge per-file delete positions across tasks (each row matched
+    // once, so the arrays are disjoint; writeDeleteFile sorts)
+    val deleted: Map[String, Seq[Long]] = parts.flatMap(_.deletes.toSeq)
+      .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2) }
+    val m = readManifest(dir, expectedLatest)
+    val files = m.files.map { e =>
+      deleted.get(e.name) match {
+        case Some(pos) if pos.nonEmpty =>
+          e.copy(deletes = e.deletes :+ writeDeleteFile(dir, pos))
+        case _ => e // untouched entries stay byte-identical
+      }
+    } ++ added
+    commitVersion(dir, expectedLatest,
+      cmd.name().toLowerCase(java.util.Locale.ROOT),
+      files, m.epochs, m.eqDeletes)
+    parts.flatMap(_.entries).filter(_.rows == 0).foreach(e =>
+      new File(new File(dir, "data"), e.name).delete())
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case d: CatalogDeltaCommit => d.entries.foreach(e =>
+        new File(new File(dir, "data"), e.name).delete())
+      case _ => ()
+    }
+}
+
+/** Task-side delta writer: inserts route through the standard
+  * (partition-aware) writer; deletes accumulate (file, position) pairs.
+  * With updates represented as delete+insert, `update` never fires —
+  * implemented anyway for API completeness. */
+private case class CatalogDeltaWriterFactory(dirPath: String,
+    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val inner = CatalogWriterFactory(dirPath, jobUid,
+        schemaJson, idsCsv, specEnc).createWriter(partitionId, taskId)
+      private val dels =
+        collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(0).toString,
+          collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = { delete(meta, id); insert(row) }
+      override def insert(row: InternalRow): Unit = inner.write(row)
+      override def commit(): WriterCommitMessage = {
+        val entries = inner.commit() match {
+          case CatalogCommit(es, _) => es
+          case other => sys.error(s"unexpected inner commit $other")
+        }
+        CatalogDeltaCommit(entries,
+          dels.map { case (f, ps) => f -> ps.toArray }.toMap)
+      }
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
     }
 }
 

@@ -863,4 +863,75 @@ class CatalogSpec extends SparkSpec {
     rows("SELECT count(*) FROM graft_cat.db.ups") shouldBe Seq(Seq(1200L))
   }
 
+  test("merge-on-read UPDATE/MERGE (SupportsDelta): matched rows become position deletes plus small inserts, zero files rewritten; the feed folds exactly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.mu")
+    sql("""CREATE TABLE graft_cat.db.mu (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.mu SELECT id, id FROM range(0, 100000, 1, 4)")
+    val dir = new File("work/graft_cat/db/mu")
+    val before = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files.map(_.name)
+    sql("UPDATE graft_cat.db.mu SET v = v + 7 WHERE k >= 10 AND k < 20")
+    val after = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir))
+    after.op shouldBe "update"
+    // every original file still referenced — zero rewrites
+    before.foreach(n => after.files.map(_.name) should contain(n))
+    after.files.flatMap(_.deletes).map(_.rows).sum shouldBe 10L
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.mu") shouldBe
+      Seq(Seq(100000L, (0L until 100000L).sum + 70L))
+    rows("SELECT v FROM graft_cat.db.mu WHERE k = 15") shouldBe Seq(Seq(22L))
+    // MERGE through the same delta plan: matched update + unmatched insert
+    sql("""MERGE INTO graft_cat.db.mu t
+          |USING (SELECT id * 2 AS k, id AS v
+          |       FROM range(49999, 50003)) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).op shouldBe "merge"
+    // matched: k=99998 only (the other three exceed the range) — 3 inserts
+    rows("SELECT count(*) FROM graft_cat.db.mu") shouldBe Seq(Seq(100003L))
+    rows("SELECT v FROM graft_cat.db.mu WHERE k = 99998") shouldBe
+      Seq(Seq(49999L)) // matched: updated in place via delete+insert
+    rows("SELECT v FROM graft_cat.db.mu WHERE k = 100004") shouldBe
+      Seq(Seq(50002L)) // unmatched: inserted
+    // a stats-unprovable DELETE routes through the delta plan too:
+    // position deletes only, no new data files
+    val filesBeforeDel = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir)).files.map(_.name)
+    sql("DELETE FROM graft_cat.db.mu WHERE k % 10000 = 17")
+    val afterDel = GraftTableCatalog
+      .readManifest(dir, GraftTableCatalog.readLatest(dir))
+    afterDel.files.map(_.name) shouldBe filesBeforeDel
+    rows("SELECT count(*) FROM graft_cat.db.mu") shouldBe Seq(Seq(99993L))
+    // the change feed folds the whole delta history back exactly
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.mu.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM folded EXCEPT SELECT k, v FROM graft_cat.db.mu)),
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM graft_cat.db.mu EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
+    // the COW twin computes the identical final state
+    sql("DROP TABLE IF EXISTS graft_cat.db.mucow")
+    sql("CREATE TABLE graft_cat.db.mucow (k BIGINT, v BIGINT)")
+    sql("INSERT INTO graft_cat.db.mucow SELECT id, id FROM range(0, 100000, 1, 4)")
+    sql("UPDATE graft_cat.db.mucow SET v = v + 7 WHERE k >= 10 AND k < 20")
+    sql("""MERGE INTO graft_cat.db.mucow t
+          |USING (SELECT id * 2 AS k, id AS v
+          |       FROM range(49999, 50003)) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    sql("DELETE FROM graft_cat.db.mucow WHERE k % 10000 = 17")
+    rows("SELECT k, v FROM graft_cat.db.mu ORDER BY k, v") shouldBe
+      rows("SELECT k, v FROM graft_cat.db.mucow ORDER BY k, v")
+  }
+
 }
