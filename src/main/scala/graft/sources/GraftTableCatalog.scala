@@ -255,8 +255,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     schema.fields.foreach { f =>
       require(Codec.supported(f.dataType),
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
-      require(f.name != FileMetaCol,
-        s"$FileMetaCol is a reserved metadata column name")
+      require(f.name != FileMetaCol && f.name != PosMetaCol,
+        s"${f.name} is a reserved metadata column name")
       // manifest stats serialize as key:lo:hi joined by ';' — a name
       // carrying either delimiter would brick every later read
       require(f.name.matches("[A-Za-z0-9_]+"),
@@ -396,6 +396,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         require(schema.fields.length < 64, // the codec's one-long null bitmap
           "graft_cat tables hold at most 64 columns")
         val nm = add.fieldNames()(0)
+        require(nm != FileMetaCol && nm != PosMetaCol,
+          s"$nm is a reserved metadata column name")
         require(nm.matches("[A-Za-z0-9_]+"), s"illegal column name $nm")
         require(!schema.fieldNames.contains(nm), s"column $nm already exists")
         schema = schema.add(nm, add.dataType, nullable = true)
@@ -410,8 +412,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         val to = rn.newName
         require(schema.fieldNames.contains(from), s"no column $from")
         require(!schema.fieldNames.contains(to), s"column $to already exists")
-        require(to != FileMetaCol,
-          s"$FileMetaCol is a reserved metadata column name")
+        require(to != FileMetaCol && to != PosMetaCol,
+          s"$to is a reserved metadata column name")
         require(to.matches("[A-Za-z0-9_]+"), s"illegal column name $to")
         val i = schema.fieldIndex(from)
         schema = StructType(schema.fields.updated(i,
