@@ -907,6 +907,107 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
+  /** q287: WRITABLE BRANCH — WAP (write-audit-publish) as a catalog
+    * primitive: `sys.branch` forks a writable ref, `db.t.branch_audit`
+    * addresses it for INSERT and DML (commits land on the branch's OWN
+    * manifest chain — main's content and version history never move),
+    * and `sys.fast_forward` publishes the audited head as ONE main
+    * commit (CatalogSpec pins main-invisibility, the diverged-base
+    * refusal, expiry pinning the branch's unpublished files, and
+    * drop_branch reclaiming them). The Iceberg branch model: at 100 TB a
+    * risky backfill audits on a branch and publishes atomically — or
+    * drops, leaving nothing. Oracle: DuckDB computes the published
+    * state — both parity slices minus the audit's delete — directly. */
+  val q287CatalogBranchWap: Q = (s, d) => {
+    val t = catTable(s, d, "ev287")
+    val stem = s"ev287_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"CALL graft_cat.sys.branch('db', '$stem', 'audit')")
+    s.sql(s"INSERT INTO $t.branch_audit ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"DELETE FROM $t.branch_audit WHERE cents >= 10000")
+    s.sql(s"CALL graft_cat.sys.fast_forward('db', '$stem', 'audit')")
+    s.sql(s"""SELECT k % 9 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q288: PARTITION-SPEC EVOLUTION — `sys.set_partition_spec` appends a
+    * new layout generation WITHOUT rewriting a file: the even slice lands
+    * under `identity(g)`, the spec evolves to `days(ms)`, the odd slice
+    * lands under the day layout, and one query carrying predicates on
+    * BOTH generations' source columns prunes each generation under its
+    * OWN spec (CatalogSpec pins zero rewrites at evolution, 4-of-7 /
+    * 5-of-7 filesOpened per probe, per-generation DELETE split and
+    * compaction). The Iceberg per-file-spec-id model: at 100 TB a table
+    * re-partitions day→hour as it grows and the old years never rewrite.
+    * Oracle: DuckDB replays both modulo predicates on the source. */
+  val q288CatalogSpecEvolution: Q = (s, d) => {
+    val t = catTable(s, d, "ev288")
+    val stem = s"ev288_${ScaleQueries.sfTag(d)}"
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (g) AS
+             |SELECT k % 8 AS g, (19700 + k % 5) * 86400000 AS ms, k, cents
+             |FROM (${catEventsSql(d)} AND event_id % 2 = 0) src""".stripMargin)
+    s.sql(s"CALL graft_cat.sys.set_partition_spec('db', '$stem', 'days(ms)')")
+    s.sql(s"""INSERT INTO $t
+             |SELECT k % 8 AS g, (19700 + k % 5) * 86400000 AS ms, k, cents
+             |FROM (${catEventsSql(d)} AND event_id % 2 = 1) src""".stripMargin)
+    s.sql(s"""SELECT g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t
+             |WHERE g IN (2, 5)
+             |  AND ms >= ${19701L * 86400000L} AND ms < ${19703L * 86400000L}
+             |GROUP BY g""".stripMargin)
+  }
+
+  /** q289: INCREMENTAL MATERIALIZED AGGREGATE ON THE CHANGE FEED — the
+    * q153 IVM pattern fed by the catalog's OWN `.changes` stream: a
+    * mutation history (two appends, a COW update, a merge-on-read
+    * delete) streams as insert/delete deltas, each micro-batch
+    * AGGREGATES ITS DELTA distributively (count/sum signed by change
+    * type) and merges O(groups) rows into the served state — the state
+    * never sees a base-table row, never refolds history, and stays
+    * bounded by group count, not row count. At 100 TB this is how a
+    * downstream rollup follows a mutating lake table: deltas in, merged
+    * aggregates out, zero base rescans (the ninth streaming twin chops
+    * the same feed across restarts). Oracle: DuckDB recomputes the
+    * rollup from the replayed mutation history. */
+  val q289CatalogIncrementalMv: Q = (s, d) => {
+    val t = catTable(s, d, "ev289")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 1")
+    s.sql(s"UPDATE $t SET cents = cents * 3 WHERE k % 5 = 0")
+    s.sql(s"DELETE FROM $t WHERE cents >= 25000")
+    // group -> (n, sum): the materialized rollup, merged from deltas only
+    val state = collection.mutable.Map.empty[Long, (Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-q289-ckpt").toString
+    val q = s.readStream.table(s"$t.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch aggregates its OWN delta distributively; only
+        // O(groups) merged rows ever reach the driver state
+        df.selectExpr("k % 11 AS g",
+            "CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END AS sgn",
+            "cents")
+          .groupBy("g")
+          .agg(org.apache.spark.sql.functions.sum("sgn").as("dn"),
+            org.apache.spark.sql.functions.expr("sum(sgn * cents)").as("dc"))
+          .collect().foreach { r =>
+            val g = r.getLong(0)
+            val (n0, c0) = state.getOrElse(g, (0L, 0L))
+            val (n1, c1) = (n0 + r.getLong(1), c0 + r.getLong(2))
+            if (n1 == 0L) state.remove(g) else state(g) = (n1, c1)
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import s.implicits._
+    state.toSeq.map { case (g, (n, c)) => (g, n, c) }
+      .toDF("g", "n", "cents")
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -915,6 +1016,9 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q289_catalog_incremental_mv" -> q289CatalogIncrementalMv,
+    "q288_catalog_spec_evolution" -> q288CatalogSpecEvolution,
+    "q287_catalog_branch_wap" -> q287CatalogBranchWap,
     "q286_catalog_mor_update" -> q286CatalogMorUpdate,
     "q285_catalog_upsert" -> q285CatalogUpsert,
     "q284_catalog_days_partition" -> q284CatalogDaysPartition,
@@ -979,6 +1083,40 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The rollup the delta stream maintained, recomputed by DuckDB from
+    // the replayed mutation history (insert both slices, apply the
+    // update, drop the deleted rows).
+    "q289_catalog_incremental_mv" ->
+      """WITH src AS (SELECT event_id AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |fin AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 THEN c * 3 ELSE c END AS cents FROM src)
+        |SELECT k % 11 AS g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin WHERE cents < 25000
+        |GROUP BY 1""".stripMargin,
+    // Both spec generations' predicates replayed as the modulos that
+    // derived them — layout evolution must be invisible to results.
+    "q288_catalog_spec_evolution" ->
+      """SELECT event_id % 8 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE event_id % 8 IN (2, 5) AND event_id % 5 IN (1, 2)
+        |GROUP BY 1""".stripMargin,
+    // The published (fast-forwarded) state: both parity slices minus the
+    // branch audit's delete — DuckDB computes it directly.
+    "q287_catalog_branch_wap" ->
+      """SELECT event_id % 9 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE c < 10000
+        |GROUP BY 1""".stripMargin,
     // The merge-on-read UPDATE's CASE, applied by DuckDB directly (the
     // q272 mutation, new grouping).
     "q286_catalog_mor_update" ->

@@ -62,7 +62,7 @@ object StreamingEvidence {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val outFile = if (args.length > 1) args(1) else "work/streaming_r15.json"
+    val outFile = if (args.length > 1) args(1) else "work/streaming_r16.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -435,7 +435,78 @@ object StreamingEvidence {
         chops = versions.toInt)
     }
 
-    val twins = Seq(dedup, spatial, asof, tws, eos, cat, upsert, cdf)
+    // ---- twin 9: incremental materialized aggregate on the change feed ----
+    // The q289/q153 IVM pattern under RESTART CHOPS: a rollup (count/sum
+    // per group) is maintained from `.changes` deltas ONLY — each
+    // micro-batch aggregates its own delta distributively and merges
+    // O(groups) rows into driver state; the stream stops and resumes
+    // from its checkpoint between every mutation phase. The final state
+    // must equal the batch rollup of the mutated table exactly — the
+    // proof a downstream materialization can follow a mutating lake
+    // table across restarts without ever rescanning it.
+    val ivm = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.ivm_evidence")
+      spark.sql("""CREATE TABLE graft_cat.db.ivm_evidence
+        |(k BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('delete.mode'='merge-on-read')""".stripMargin)
+      val evSql = s"""SELECT event_id AS k,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM parquet.`$sfDir/events.parquet`
+        |WHERE value IS NOT NULL AND event_id < 4000""".stripMargin
+      val state = collection.mutable.Map.empty[Long, (Long, Long)]
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-ivm-ckpt").toString
+      def drain(): Unit = {
+        val q = spark.readStream.table("graft_cat.db.ivm_evidence.changes")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.selectExpr("k % 9 AS g",
+                "CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END AS sgn",
+                "cents")
+              .groupBy("g")
+              .agg(org.apache.spark.sql.functions.sum("sgn").as("dn"),
+                org.apache.spark.sql.functions.expr("sum(sgn * cents)")
+                  .as("dc"))
+              .collect().foreach { r =>
+                val g = r.getLong(0)
+                val (n0, c0) = state.getOrElse(g, (0L, 0L))
+                val (n1, c1) = (n0 + r.getLong(1), c0 + r.getLong(2))
+                if (n1 == 0L) state.remove(g) else state(g) = (n1, c1)
+              }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // phase 1: both slices land; the stream catches up, then STOPS
+      spark.sql("INSERT INTO graft_cat.db.ivm_evidence " +
+        s"SELECT * FROM ($evSql) t WHERE k % 2 = 0")
+      spark.sql("INSERT INTO graft_cat.db.ivm_evidence " +
+        s"SELECT * FROM ($evSql) t WHERE k % 2 = 1")
+      drain()
+      // phase 2: a COW update mutates under the stopped stream; resume
+      spark.sql("UPDATE graft_cat.db.ivm_evidence SET cents = cents * 3 " +
+        "WHERE k % 5 = 0")
+      drain()
+      // phase 3: merge-on-read delete + compaction; resume again
+      spark.sql(
+        "DELETE FROM graft_cat.db.ivm_evidence WHERE cents >= 30000")
+      spark.sql("CALL graft_cat.sys.compact('db', 'ivm_evidence', " +
+        s"${64L * 1024 * 1024})")
+      drain()
+      val streamRows = state.toSeq.map { case (g, (n, c)) => (g, n, c) }
+      val batchRows = spark.sql(
+        """SELECT k % 9 AS g, count(*) AS n, sum(cents) AS cents
+          |FROM graft_cat.db.ivm_evidence GROUP BY 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      def fmt(t: (Long, Long, Long)) = s"${t._1}|${t._2}|${t._3}"
+      TwinResult("incremental_mv_on_cdf", unit = "groups",
+        streamRows.length.toLong, batchRows.length.toLong,
+        md5(streamRows.map(fmt)), md5(batchRows.map(fmt)),
+        chops = 3)
+    }
+
+    val twins = Seq(dedup, spatial, asof, tws, eos, cat, upsert, cdf, ivm)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +

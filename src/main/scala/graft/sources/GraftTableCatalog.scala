@@ -9,7 +9,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsPartitionManagement, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
@@ -181,6 +181,21 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         }
       }
     }
+    // `db.t.branch_<name>` — the WRITABLE branch handle (the Iceberg
+    // branch identifier): reads serve the branch head, INSERT/DML commit
+    // to the branch's own manifest chain, `sys.fast_forward` publishes.
+    if (ident.namespace.length == 2 && ident.name.startsWith(BranchPrefix)) {
+      val ns = ident.namespace
+      if (ns(0).matches("[A-Za-z0-9_]+") && ns(1).matches("[A-Za-z0-9_]+")) {
+        val base = tableDir(Identifier.of(ns.take(1), ns(1)))
+        val bname = ident.name.stripPrefix(BranchPrefix)
+        if (new File(base, SchemaFile).exists() &&
+            readBranchRefs(base).contains(bname))
+          return new CatalogTable(base,
+            s"${(name() +: ns).mkString(".")}.${ident.name}",
+            pinned = None, branch = Some(bname))
+      }
+    }
     if (!identOk(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
@@ -255,7 +270,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     schema.fields.foreach { f =>
       require(Codec.supported(f.dataType),
         s"graft_cat stores LONG/DOUBLE/STRING; ${f.name} is ${f.dataType}")
-      require(f.name != FileMetaCol && f.name != PosMetaCol,
+      require(!ReservedCols(f.name),
         s"${f.name} is a reserved metadata column name")
       // manifest stats serialize as key:lo:hi joined by ';' — a name
       // carrying either delimiter would brick every later read
@@ -341,13 +356,20 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       : StagedTable = {
     if (!new File(tableDir(ident), SchemaFile).exists())
       throw new NoSuchTableException(ident)
+    require(!viewFile(ident).exists(),
+      s"a VIEW named ${qualified(ident)} already exists")
     stage(ident, schema, partitions, properties, replace = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String])
-      : StagedTable =
+      : StagedTable = {
+    // same collision rule as stageCreate: a TABLE must never shadow a
+    // VIEW of the same name (both would persist and resolve)
+    require(!viewFile(ident).exists(),
+      s"a VIEW named ${qualified(ident)} already exists")
     stage(ident, schema, partitions, properties, replace = true)
+  }
 
   private def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String],
@@ -396,7 +418,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         require(schema.fields.length < 64, // the codec's one-long null bitmap
           "graft_cat tables hold at most 64 columns")
         val nm = add.fieldNames()(0)
-        require(nm != FileMetaCol && nm != PosMetaCol,
+        require(!ReservedCols(nm),
           s"$nm is a reserved metadata column name")
         require(nm.matches("[A-Za-z0-9_]+"), s"illegal column name $nm")
         require(!schema.fieldNames.contains(nm), s"column $nm already exists")
@@ -412,7 +434,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         val to = rn.newName
         require(schema.fieldNames.contains(from), s"no column $from")
         require(!schema.fieldNames.contains(to), s"column $to already exists")
-        require(to != FileMetaCol && to != PosMetaCol,
+        require(!ReservedCols(to),
           s"$to is a reserved metadata column name")
         require(to.matches("[A-Za-z0-9_]+"), s"illegal column name $to")
         val i = schema.fieldIndex(from)
@@ -558,7 +580,11 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         Identifier.of(Array("sys"), "create_view"),
         Identifier.of(Array("sys"), "drop_view"),
         Identifier.of(Array("sys"), "tag"),
-        Identifier.of(Array("sys"), "drop_tag"))
+        Identifier.of(Array("sys"), "drop_tag"),
+        Identifier.of(Array("sys"), "branch"),
+        Identifier.of(Array("sys"), "drop_branch"),
+        Identifier.of(Array("sys"), "fast_forward"),
+        Identifier.of(Array("sys"), "set_partition_spec"))
     else Array.empty
   // ---- functions ----
   /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
@@ -582,6 +608,11 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       case (Seq("sys"), "drop_view") => new DropViewProcedure(this)
       case (Seq("sys"), "tag") => new TagProcedure(this)
       case (Seq("sys"), "drop_tag") => new DropTagProcedure(this)
+      case (Seq("sys"), "branch") => new BranchProcedure(this)
+      case (Seq("sys"), "drop_branch") => new DropBranchProcedure(this)
+      case (Seq("sys"), "fast_forward") => new FastForwardProcedure(this)
+      case (Seq("sys"), "set_partition_spec") =>
+        new SetPartitionSpecProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -639,9 +670,27 @@ object GraftTableCatalog {
     * position delete file readers anti-merge — the Iceberg v2 read path,
     * so a 10-row delete never rewrites a 1 GB file. */
   val DeleteModeProp = "delete.mode"
+  /** The identifier suffix addressing a writable branch:
+    * `db.t.branch_<name>` (the Iceberg Spark identifier shape). */
+  val BranchPrefix = "branch_"
   /** The CDF's two synthetic columns (the Delta CDF names). */
   val ChangeTypeCol = "_change_type"
   val ChangeVersionCol = "_version"
+  /** A zero-byte manifest reservation older than this (and still
+    * unpublished) is treated as a crashed writer's orphan and reclaimed;
+    * younger ones are presumed LIVE (a writer between reserve and fill)
+    * and the commit fails loudly instead of racing it. */
+  val OrphanReclaimMs: Long = 10L * 60 * 1000
+  /** Names no user column may take: the scan's metadata columns AND the
+    * `.changes` table's synthetic CDF columns (a user column named
+    * `_change_type` would duplicate-name the CDF schema). */
+  val ReservedCols: Set[String] =
+    Set(FileMetaCol, PosMetaCol, ChangeTypeCol, ChangeVersionCol)
+  /** Columnar (vectorized) batch reads are the default; set
+    * `-Dgraft.catalog.columnar=false` for the row-reader path (the
+    * committed A/B in catalog_evidence_r16.json measures both). */
+  def columnarEnabled: Boolean =
+    !"false".equals(System.getProperty("graft.catalog.columnar"))
 
   /** A position delete file: `rows` positions (longs, raw file order)
     * of `dataFile` rows that are logically deleted. */
@@ -669,8 +718,11 @@ object GraftTableCatalog {
     *  - `typeCodes`: positional storage types (L/D/S; empty = legacy,
     *    derive from the current schema prefix — valid because legacy
     *    tables predate DROP);
-    *  - `partition`: this file's partition tuple under the table's
-    *    spec (encoded; empty = unpartitioned);
+    *  - `partition`: this file's partition tuple under the spec
+    *    GENERATION it was written under (encoded; empty = unpartitioned);
+    *  - `specId`: index into the table's spec history (specs.json) — the
+    *    Iceberg per-file spec id, so `SET PARTITION SPEC` never rewrites
+    *    data: old files keep pruning under their own layout;
     *  - `deletes`: position delete files readers anti-merge. */
   case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
       stats: Map[String, (Long, Long)],
@@ -679,7 +731,8 @@ object GraftTableCatalog {
       typeCodes: String = "",
       partition: Seq[String] = Seq.empty,
       deletes: Seq[DeleteFile] = Seq.empty,
-      seq: Long = 0L) {
+      seq: Long = 0L,
+      specId: Int = 0) {
     /** Live rows MINUS positional deletes; an upper bound while equality
       * deletes are outstanding (they resolve per-row at read). */
     def liveRows: Long = rows - deletes.map(_.rows).sum
@@ -791,6 +844,90 @@ object GraftTableCatalog {
       org.json4s.jackson.Serialization.write(refs))
   }
 
+  /** A WRITABLE branch ref (branches.json): `base` = the MAIN version the
+    * branch forked from (pinned against expiry while the branch lives),
+    * `head` = the branch-local commit count (0 = no branch commits yet;
+    * the branch state is then exactly the base manifest). Branch commits
+    * live in their own `b-<name>.v<K>.manifest` chain — the MAIN chain
+    * stays strictly linear, so snapshots / CDF / time travel never see a
+    * branch commit until `sys.fast_forward` publishes the branch head as
+    * ONE new main version (write-audit-publish, the Iceberg branch
+    * model). */
+  case class BranchRef(base: Long, head: Long)
+
+  def readBranchRefs(dir: File): Map[String, BranchRef] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "branches.json")
+      .map(org.json4s.jackson.Serialization.read[Map[String, BranchRef]])
+      .getOrElse(Map.empty)
+  }
+  def writeBranchRefs(dir: File, refs: Map[String, BranchRef]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    writeJsonAtomic(dir, "branches.json",
+      org.json4s.jackson.Serialization.write(refs))
+  }
+
+  private[sources] def branchManifestFile(dir: File, name: String,
+      k: Long): File = new File(dir, s"b-$name.v$k.manifest")
+
+  private[sources] def branchRefOf(dir: File, name: String): BranchRef =
+    readBranchRefs(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"$dir has no branch '$name'; " +
+        s"branches: ${readBranchRefs(dir).keys.toSeq.sorted.mkString(", ")}"))
+
+  /** The manifest a reader/writer of `branch` (None = main) sees NOW. */
+  def headManifest(dir: File, branch: Option[String]): Manifest =
+    branch match {
+      case None =>
+        val v = readLatest(dir)
+        if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+      case Some(b) =>
+        val r = branchRefOf(dir, b)
+        if (r.head > 0) parseManifest(branchManifestFile(dir, b, r.head), r.head)
+        else if (r.base > 0) readManifest(dir, r.base)
+        else Manifest(0, "none", Seq.empty)
+    }
+
+  /** The commit CAS token for `branch`: main's latest, or the branch's
+    * local head count. */
+  def headVersion(dir: File, branch: Option[String]): Long = branch match {
+    case None => readLatest(dir)
+    case Some(b) => branchRefOf(dir, b).head
+  }
+
+  /** Publish branch commit `expectedHead + 1`: same exclusive-create
+    * discipline as [[commitVersion]] on the branch's own manifest chain,
+    * then the branches.json head advances. The branch pointer swap is
+    * single-writer like the rest of the table (a racer dies at the
+    * exclusive create, before the pointer moves). */
+  def commitBranchVersion(dir: File, name: String, expectedHead: Long,
+      op: String, files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
+    val r = branchRefOf(dir, name)
+    require(r.head == expectedHead,
+      s"branch '$name' advanced to head ${r.head} (expected $expectedHead)")
+    val next = expectedHead + 1
+    val target = branchManifestFile(dir, name, next)
+    Files.createFile(target.toPath) // a racer dies loudly here
+    val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp.toPath,
+      manifestBody(op, files, epochs, eqDeletes).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, target.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeBranchRefs(dir, readBranchRefs(dir) + (name -> r.copy(head = next)))
+    next
+  }
+
+  /** Branch-aware commit dispatch: main commits advance `latest`, branch
+    * commits advance the branch's own chain. */
+  def commitHead(dir: File, branch: Option[String], expected: Long,
+      op: String, files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      eqDeletes: Seq[EqDelete] = Seq.empty): Long = branch match {
+    case None => commitVersion(dir, expected, op, files, epochs, eqDeletes)
+    case Some(b) =>
+      commitBranchVersion(dir, b, expected, op, files, epochs, eqDeletes)
+  }
+
   def writeSpec(dir: File, spec: Seq[PT]): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     writeJsonAtomic(dir, "partition.json",
@@ -801,6 +938,34 @@ object GraftTableCatalog {
     readFileOpt(dir, "partition.json")
       .map(org.json4s.jackson.Serialization.read[Seq[PT]])
       .getOrElse(Seq.empty)
+  }
+
+  /** The table's SPEC HISTORY (specs.json): one entry per partition-spec
+    * generation, current = last; every data file records the generation
+    * it was written under (`Entry.specId`), so evolving the spec never
+    * rewrites data — old files prune under the OLD transforms, new files
+    * under the new (the Iceberg partition-spec-evolution model). A table
+    * that never evolved has no specs.json: its single generation is
+    * partition.json (spec id 0). */
+  def readSpecs(dir: File): Seq[Seq[PT]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    readFileOpt(dir, "specs.json")
+      .map(org.json4s.jackson.Serialization.read[Seq[Seq[PT]]])
+      .getOrElse(Seq(readSpec(dir)))
+  }
+  /** Append a new spec generation: specs.json grows, partition.json (the
+    * WRITER-facing current spec) swaps to the new generation. */
+  def appendSpec(dir: File, spec: Seq[PT]): Int = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val specs = readSpecs(dir) :+ spec
+    writeJsonAtomic(dir, "specs.json",
+      org.json4s.jackson.Serialization.write(specs))
+    if (spec.nonEmpty) writeSpec(dir, spec)
+    else { // unpartition: partition.json absent = empty current spec
+      writeJsonAtomic(dir, "partition.json",
+        org.json4s.jackson.Serialization.write(Seq.empty[PT]))
+    }
+    specs.length - 1
   }
 
   /** CREATE-time transform validation. Returned PTs carry the SCHEMA
@@ -891,8 +1056,10 @@ object GraftTableCatalog {
       StandardCharsets.UTF_8).trim.toLong
   }
 
-  def readManifest(dir: File, version: Long): Manifest = {
-    val f = new File(dir, s"v$version.manifest")
+  def readManifest(dir: File, version: Long): Manifest =
+    parseManifest(new File(dir, s"v$version.manifest"), version)
+
+  private[sources] def parseManifest(f: File, version: Long): Manifest = {
     val lines = new String(Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toSeq
     val op = lines.collectFirst { case l if l.startsWith("O\t") =>
@@ -915,8 +1082,9 @@ object GraftTableCatalog {
             val p = s.split(":"); DeleteFile(p(0), p(1).toLong)
           }.toSeq
         val seq = if (a.length >= 12) a(11).toLong else 0L
+        val specId = if (a.length >= 13) a(12).toInt else 0
         Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
-          Some(nullFree), ids, a(8), partition, deletes, seq)
+          Some(nullFree), ids, a(8), partition, deletes, seq, specId)
       } else {
         // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
         // no metadata-only delete proof), ids/types positional
@@ -943,11 +1111,9 @@ object GraftTableCatalog {
     * published (a writer crashed between reserve and fill; `latest`
     * still points below it) is reclaimed instead of bricking the table
     * with FileAlreadyExistsException forever. */
-  def commitVersion(dir: File, expectedLatest: Long, op: String,
-      files: Seq[Entry], epochs: Set[Long] = Set.empty,
-      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
-    val next = expectedLatest + 1
-    val body = (Seq(s"O\t$op",
+  private def manifestBody(op: String, files: Seq[Entry],
+      epochs: Set[Long], eqDeletes: Seq[EqDelete]): String =
+    (Seq(s"O\t$op",
       s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
@@ -956,14 +1122,25 @@ object GraftTableCatalog {
         case Some(s) => s.toSeq.sorted.mkString(";")
         case None => "-" // writers always know; None only ever parses in
       }
-      val ids = e.idsOrLegacy.mkString(",")
+      // a LEGACY entry (no recorded ids/types) must round-trip as legacy:
+      // fabricating positional ids here would satisfy the
+      // compact-before-RENAME/DROP guard while the '?' types still fall
+      // back to the current-schema prefix — after a DROP that prefix
+      // misaligns the codec and silently decodes garbage
+      val ids = e.fieldIds.mkString(",")
       val types = if (e.typeCodes.nonEmpty) e.typeCodes else "?" * e.cols
       val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
       val dels = if (e.deletes.isEmpty) "-"
         else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}"
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}"
     } ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
       ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
+
+  def commitVersion(dir: File, expectedLatest: Long, op: String,
+      files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
+    val next = expectedLatest + 1
+    val body = manifestBody(op, files, epochs, eqDeletes)
     // Reserve the version with an exclusive create — POSIX rename REPLACES
     // silently, so rename alone cannot lose a race loudly. Exactly one
     // racer owns the reservation; filling it by atomic rename is then
@@ -972,9 +1149,16 @@ object GraftTableCatalog {
     try Files.createFile(target.toPath)
     catch {
       case e: FileAlreadyExistsException =>
-        if (target.length() == 0 && readLatest(dir) < next) {
-          // orphaned reservation from a crashed writer: never published
-          // (latest still below it), nothing references it — reclaim.
+        // Reclaim ONLY a demonstrably stale reservation: zero bytes,
+        // never published (latest still below it), AND older than the
+        // staleness window. A LIVE writer between reserve and fill is
+        // none of these — deleting its reservation would let both
+        // writers ATOMIC_MOVE onto vN and the loser's files would
+        // silently vanish (the lost-update the exclusive create exists
+        // to prevent).
+        if (target.length() == 0 && readLatest(dir) < next &&
+            System.currentTimeMillis - target.lastModified() >
+              OrphanReclaimMs) {
           Files.delete(target.toPath)
           Files.createFile(target.toPath) // a genuine racer still loses here
         } else throw e
@@ -1337,29 +1521,208 @@ object GraftTableCatalog {
       e.deletes.map(d =>
         new File(new File(dir, "data"), d.name).getPath).toArray,
       positions, changeType, changeVersion, keyVals,
-      eqPaths, eqPos, eqStr, keysOnly)
+      eqPaths, eqPos, eqStr, keysOnly,
+      required.fields.map(_.dataType.json))
   }
 
-  /** Load equality-delete key files into one boxed lookup set. */
-  private[sources] def loadEqKeys(paths: Array[String],
-      isStr: Boolean): java.util.HashSet[Any] = {
-    val set = new java.util.HashSet[Any]()
-    paths.foreach { p =>
-      val in = new DataInputStream(new BufferedInputStream(
-        new FileInputStream(p)))
-      try {
-        val n = in.readLong()
-        var i = 0L
-        while (i < n) {
-          if (isStr) {
-            val b = new Array[Byte](in.readInt()); in.readFully(b)
-            set.add(new String(b, StandardCharsets.UTF_8))
-          } else set.add(in.readLong(): java.lang.Long)
-          i += 1
-        }
-      } finally in.close()
+  /** SORTED equality-delete key files, probed by memory-mapped binary
+    * search — the bounded-memory replacement for materializing key sets
+    * into per-task HashSets. On-disk layout (values in ascending order;
+    * strings in UTF8String's unsigned-byte order, the SAME order the
+    * engine compares strings everywhere):
+    *
+    *   LONG file:   int64 n, then n × int64 values
+    *   STRING file: int64 n, int64 offTablePos,
+    *                then n × (int32 len, bytes),
+    *                then n × int64 absolute record positions
+    *
+    * A reader holds ONE mapped buffer per outstanding key file (heap
+    * cost O(runs), zero heap-resident keys — the page cache owns the
+    * bytes); each probe is a binary search per run. A month of 10M-row
+    * CDC batches stays readable in constant heap, and `sys.compact`
+    * still collapses the runs entirely. */
+  object EqKeys {
+    private def map(path: String): java.nio.ByteBuffer = {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path))
+      try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        0, ch.size())
+      finally ch.close()
     }
-    set
+
+    /** Unsigned lexicographic compare of `probe` vs the record at index
+      * `i` of a mapped STRING run — UTF8String's binary order. */
+    private def cmpStr(buf: java.nio.ByteBuffer, offPos: Long, i: Long,
+        probe: Array[Byte], probeLen: Int): Int = {
+      val rec = buf.getLong((offPos + 8 * i).toInt)
+      val len = buf.getInt(rec.toInt)
+      val base = rec.toInt + 4
+      var k = 0
+      val n = math.min(probeLen, len)
+      while (k < n) {
+        val a = probe(k) & 0xff
+        val b = buf.get(base + k) & 0xff
+        if (a != b) return a - b
+        k += 1
+      }
+      probeLen - len
+    }
+
+    /** One probeable set of runs. Thread-confined (each reader task
+      * builds its own — ByteBuffer positions are never mutated here, all
+      * reads are absolute). */
+    final class Lookup(paths: Array[String], isStr: Boolean) {
+      private val runs: Array[java.nio.ByteBuffer] = paths.map(map)
+      def isEmpty: Boolean = runs.forall(b => b.capacity == 0 ||
+        b.getLong(0) == 0L)
+
+      def containsLong(v: Long): Boolean = {
+        var r = 0
+        while (r < runs.length) {
+          val buf = runs(r)
+          if (buf.capacity >= 8) {
+            val n = buf.getLong(0)
+            var lo = 0L; var hi = n - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val x = buf.getLong((8 + 8 * mid).toInt)
+              if (x == v) return true
+              else if (x < v) lo = mid + 1
+              else hi = mid - 1
+            }
+          }
+          r += 1
+        }
+        false
+      }
+
+      def containsBytes(probe: Array[Byte], probeLen: Int): Boolean = {
+        var r = 0
+        while (r < runs.length) {
+          val buf = runs(r)
+          if (buf.capacity >= 16) {
+            val n = buf.getLong(0)
+            val offPos = buf.getLong(8)
+            var lo = 0L; var hi = n - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val c = cmpStr(buf, offPos, mid, probe, probeLen)
+              if (c == 0) return true
+              else if (c > 0) lo = mid + 1
+              else hi = mid - 1
+            }
+          }
+          r += 1
+        }
+        false
+      }
+
+      /** Boxed convenience for the driver-side (row-at-a-time) paths. */
+      def contains(a: Any): Boolean = a match {
+        case null => false
+        case l: java.lang.Long => containsLong(l)
+        case s: String =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          containsBytes(b, b.length)
+        case u: UTF8String =>
+          val b = u.getBytes
+          containsBytes(b, b.length)
+        case other => sys.error(s"unprobeable key $other")
+      }
+    }
+
+    def lookup(paths: Array[String], isStr: Boolean): Lookup =
+      new Lookup(paths, isStr)
+
+    /** Write one task's DISTINCT keys as a sorted run. */
+    def write(file: File, keys: Iterable[Any], isStr: Boolean): Long = {
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(
+        new FileOutputStream(file)))
+      try {
+        if (isStr) {
+          val bs = keys.map(_.asInstanceOf[String]
+            .getBytes(StandardCharsets.UTF_8)).toArray
+          java.util.Arrays.sort(bs,
+            new java.util.Comparator[Array[Byte]] {
+              override def compare(a: Array[Byte], b: Array[Byte]): Int =
+                java.util.Arrays.compareUnsigned(a, b)
+            })
+          out.writeLong(bs.length.toLong)
+          var pos = 16L
+          val offs = new Array[Long](bs.length)
+          var i = 0
+          while (i < bs.length) {
+            offs(i) = pos; pos += 4 + bs(i).length; i += 1
+          }
+          out.writeLong(pos) // offset-table position
+          bs.foreach { b => out.writeInt(b.length); out.write(b) }
+          offs.foreach(out.writeLong)
+          bs.length.toLong
+        } else {
+          val ls = keys.map(_.asInstanceOf[java.lang.Long].longValue).toArray
+          java.util.Arrays.sort(ls)
+          out.writeLong(ls.length.toLong)
+          ls.foreach(out.writeLong)
+          ls.length.toLong
+        }
+      } finally out.close()
+    }
+
+    /** Streaming k-way check that the runs are pairwise disjoint (each
+      * run is internally sorted+distinct by construction): O(total)
+      * time, O(runs) heap — the commit-time CDC-contract check without
+      * the driver-side union. Returns the first duplicated key, if any. */
+    def firstOverlap(paths: Seq[String], isStr: Boolean): Option[Any] = {
+      val bufs = paths.map(map).toArray
+      val n = bufs.map(b => if (b.capacity >= 8) b.getLong(0) else 0L)
+      val idx = new Array[Long](bufs.length)
+      if (isStr) {
+        def rec(r: Int): (Int, Int) = { // (absolute pos, len) of current
+          val off = bufs(r).getLong((bufs(r).getLong(8) + 8 * idx(r)).toInt)
+          (off.toInt + 4, bufs(r).getInt(off.toInt))
+        }
+        def cmp(a: Int, b: Int): Int = {
+          val (pa, la) = rec(a); val (pb, lb) = rec(b)
+          var k = 0
+          val m = math.min(la, lb)
+          while (k < m) {
+            val x = bufs(a).get(pa + k) & 0xff
+            val y = bufs(b).get(pb + k) & 0xff
+            if (x != y) return x - y
+            k += 1
+          }
+          la - lb
+        }
+        while (true) {
+          val live = bufs.indices.filter(r => idx(r) < n(r))
+          if (live.length < 2) return None
+          var best = live.head // global min by pairwise compare
+          live.tail.foreach { r => if (cmp(r, best) < 0) best = r }
+          val dup = live.exists(r => r != best && cmp(r, best) == 0)
+          if (dup) {
+            val (p, l) = rec(best)
+            val b = new Array[Byte](l)
+            var k = 0
+            while (k < l) { b(k) = bufs(best).get(p + k); k += 1 }
+            return Some(new String(b, StandardCharsets.UTF_8))
+          }
+          idx(best) += 1
+        }
+        None
+      } else {
+        def cur(r: Int): Long = bufs(r).getLong((8 + 8 * idx(r)).toInt)
+        while (true) {
+          val live = bufs.indices.filter(r => idx(r) < n(r))
+          if (live.length < 2) return None
+          var best = live.head
+          live.tail.foreach { r => if (cur(r) < cur(best)) best = r }
+          if (live.exists(r => r != best && cur(r) == cur(best)))
+            return Some(cur(best): java.lang.Long)
+          idx(best) += 1
+        }
+        None
+      }
+    }
   }
 
   /** The upsert WRITE encoding ("<schemaPos>:<L|S>") or "". */
@@ -1372,29 +1735,27 @@ object GraftTableCatalog {
       }.getOrElse("")
 
   /** Cross-task key-uniqueness check for one upsert batch: per-task key
-    * files are distinct by construction (the writer enforces it), so the
-    * union is duplicate-free iff the sizes add up. On violation the
-    * batch's files are reclaimed BEFORE the loud failure — a rejected
-    * commit must strand nothing. Driver-side and proportional to the
-    * batch's key count (a cluster-scale impl would sort-merge spill). */
+    * files are SORTED and distinct by construction, so a streaming k-way
+    * merge over the runs finds any cross-task duplicate in O(total)
+    * time and O(tasks) heap — no driver-side union ever materializes.
+    * On violation the batch's files are reclaimed BEFORE the loud
+    * failure — a rejected commit must strand nothing. */
   private[sources] def requireDisjointKeys(dir: File,
       taskKeys: Seq[(String, Long)], cleanup: Seq[String]): Unit = {
     val isStr = {
-      // peek one byte? cheaper: both variants load identically as longs
-      // only for L keys; string files need the flag — derive from props
       val schema = readSchema(dir)
       readProps(dir).get(UpsertKeyProp).filter(schema.fieldNames.contains)
         .exists(k => schema(k).dataType == StringType)
     }
-    val union = loadEqKeys(taskKeys.map(t =>
-      new File(new File(dir, "data"), t._1).getPath).toArray, isStr)
-    if (union.size.toLong != taskKeys.map(_._2).sum) {
-      cleanup.foreach(n => new File(new File(dir, "data"), n).delete())
-      throw new IllegalStateException(
-        "upsert batch carries the same key in more than one task " +
-          s"(${taskKeys.map(_._2).sum} keys, ${union.size} distinct) — " +
-          "one row per key per batch is the CDC contract; " +
-          "nothing was committed")
+    EqKeys.firstOverlap(taskKeys.map(t =>
+      new File(new File(dir, "data"), t._1).getPath), isStr) match {
+      case Some(dup) =>
+        cleanup.foreach(n => new File(new File(dir, "data"), n).delete())
+        throw new IllegalStateException(
+          s"upsert batch carries key $dup in more than one task — " +
+            "one row per key per batch is the CDC contract; " +
+            "nothing was committed")
+      case None => ()
     }
   }
 
@@ -1436,7 +1797,7 @@ object GraftTableCatalog {
     * the rewrite keeps full pruning power. */
   private[sources] def writeLocalFile(dir: File, prefix: String,
       schema: StructType, mp: ColMapping, partition: Seq[String],
-      rows: Iterable[Array[Any]], seq: Long = 0L): Entry = {
+      rows: Iterable[Array[Any]], seq: Long = 0L, specId: Int = 0): Entry = {
     val types = schema.fields.map(_.dataType)
     val name = s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}.bin"
     val f = new File(new File(dir, "data"), name)
@@ -1465,7 +1826,7 @@ object GraftTableCatalog {
     }.toSet
     Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
       mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
-      partition, Seq.empty, seq)
+      partition, Seq.empty, seq, specId)
   }
 
   /** Decode one whole file (skipping already-deleted positions), each
@@ -1482,11 +1843,11 @@ object GraftTableCatalog {
     val skip = loadDeletePositions(e.deletes.map(d =>
       new File(new File(dir, "data"), d.name).getPath).toArray)
     // equality deletes apply only to files OLDER than the key file
-    val eqFilter: Option[(Int, java.util.HashSet[Any])] = eqCtx.flatMap {
+    val eqFilter: Option[(Int, EqKeys.Lookup)] = eqCtx.flatMap {
       case (keyIdx, dels) =>
         val live = dels.filter(_.seq > e.seq)
         if (live.isEmpty) None
-        else Some((keyIdx, loadEqKeys(live.map(d =>
+        else Some((keyIdx, EqKeys.lookup(live.map(d =>
           new File(new File(dir, "data"), d.name).getPath).toArray,
           schema.fields(keyIdx).dataType == StringType)))
     }
@@ -1621,9 +1982,10 @@ object GraftTableCatalog {
 }
 
 private class CatalogTable(dir: File, tableName: String,
-    pinned: Option[Long]) extends Table
+    pinned: Option[Long], branch: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsMetadataColumns with SupportsRowLevelOperations {
+    with SupportsMetadataColumns with SupportsRowLevelOperations
+    with SupportsPartitionManagement {
   import GraftTableCatalog._
 
   override def name(): String = tableName
@@ -1671,23 +2033,143 @@ private class CatalogTable(dir: File, tableName: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
     if (readProps(dir).get(UpdateModeProp).contains("merge-on-read"))
-      () => new CatalogDeltaOperation(dir, schema(), info.command())
+      () => new CatalogDeltaOperation(dir, schema(), info.command(), branch)
     else
-      () => new CatalogRowLevelOperation(dir, schema(), info.command())
+      () => new CatalogRowLevelOperation(dir, schema(), info.command(), branch)
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
-  private def liveManifest(): Manifest = {
-    val v = pinned.getOrElse(readLatest(dir))
-    if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+  private def liveManifest(): Manifest =
+    if (branch.isDefined) headManifest(dir, branch)
+    else {
+      val v = pinned.getOrElse(readLatest(dir))
+      if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+    }
+
+  // ---- SupportsPartitionManagement: the plain-SQL DDL surface over the
+  // manifest chain. `SHOW PARTITIONS` lists the CURRENT spec
+  // generation's live tuples (older generations report via the
+  // `.partitions` metadata table); `ALTER TABLE ... DROP PARTITION` is
+  // the partition-aligned METADATA-ONLY delete — entries drop from the
+  // manifest, no data file is read or written. Partitions materialize
+  // through writes (the hidden-partitioning model), so ADD PARTITION is
+  // deliberately unsupported.
+  private def curSpecAndId: (Seq[PT], Int) = {
+    val specs = readSpecs(dir)
+    (specs.lastOption.getOrElse(Seq.empty), specs.length - 1)
+  }
+
+  /** DERIVED field names, the Iceberg partition-field convention:
+    * identity keeps the column name (so `PARTITION (g=5)` just works),
+    * bucket(n) surfaces as `<col>_bucket` (the bucket ordinal), days as
+    * `<col>_day` (the epoch-day ordinal). */
+  override def partitionSchema(): StructType = {
+    val s = schema()
+    val mp = readMapping(dir, s)
+    val (spec, _) = curSpecAndId
+    spec.foldLeft(new StructType()) { (st, p) =>
+      val i = mp.ids.indexOf(p.id)
+      val c = if (i >= 0) s.fields(i).name else s"#${p.id}"
+      p.kind match {
+        case "identity" => st.add(c, s.fields(i).dataType, nullable = true)
+        case "bucket" => st.add(s"${c}_bucket", IntegerType, nullable = true)
+        case "days" => st.add(s"${c}_day", LongType, nullable = true)
+        case other => sys.error(s"unknown transform $other")
+      }
+    }
+  }
+
+  private def decodeSlot(pt: PT, pv: String): Any = pv match {
+    case "n" => null
+    case v if v.startsWith("s") =>
+      UTF8String.fromString(URLDecoder.decode(v.tail, "UTF-8"))
+    case v if pt.kind == "bucket" => Integer.valueOf(v.tail.toInt)
+    case v => java.lang.Long.valueOf(v.tail.toLong)
+  }
+  private def encodeSlot(v: Any): String = v match {
+    case null => "n"
+    case u: UTF8String => "s" + URLEncoder.encode(u.toString, "UTF-8")
+    case s: String => "s" + URLEncoder.encode(s, "UTF-8")
+    case other => s"l$other" // Int bucket ordinal / Long value / day
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      partial: InternalRow): Array[InternalRow] = {
+    val (spec, cur) = curSpecAndId
+    if (spec.isEmpty) return Array.empty
+    val ps = partitionSchema()
+    require(names.length == partial.numFields,
+      s"partial ident has ${partial.numFields} values for ${names.length} names")
+    val nameIdx = names.map(ps.fieldIndex)
+    val wanted = nameIdx.indices.map { i =>
+      if (partial.isNullAt(i)) null
+      else partial.get(i, ps.fields(nameIdx(i)).dataType)
+    }
+    liveManifest().files
+      .filter(e => e.specId == cur && e.partition.length == spec.length)
+      .map(_.partition).distinct
+      .map(t => spec.zip(t).map { case (pt, pv) => decodeSlot(pt, pv) })
+      .filter(vals => nameIdx.indices.forall(i =>
+        java.util.Objects.equals(vals(nameIdx(i)), wanted(i))))
+      .map(vals => new GenericInternalRow(vals.toArray[Any]): InternalRow)
+      .toArray
+  }
+
+  /** Metadata-only: the partition's entries drop from the manifest as
+    * one commit; every data file survives untouched for time travel. */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    require(pinned.isEmpty, s"$tableName is a time-travel snapshot: read-only")
+    val (spec, cur) = curSpecAndId
+    require(spec.nonEmpty, s"$tableName is not partitioned")
+    val ps = partitionSchema()
+    val tuple = spec.indices.map(i => encodeSlot(
+      if (ident.isNullAt(i)) null
+      else ident.get(i, ps.fields(i).dataType)))
+    val m = liveManifest()
+    val latest = headVersion(dir, branch)
+    val (hit, kept) = m.files.partition(e =>
+      e.specId == cur && e.partition == tuple)
+    if (hit.isEmpty) false
+    else {
+      commitHead(dir, branch, latest, "drop_partition", kept, m.epochs,
+        if (kept.isEmpty) Seq.empty else m.eqDeletes)
+      lastDeleteDropped.set(hit.length.toLong)
+      lastDeleteRewritten.set(0L)
+      lastDeleteKept.set(kept.length.toLong)
+      true
+    }
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$tableName: partitions materialize via writes (hidden " +
+        "partitioning) — ADD PARTITION has nothing to create")
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$tableName: partitions carry no mutable metadata")
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] = {
+    val (spec, cur) = curSpecAndId
+    val ps = partitionSchema()
+    val tuple = spec.indices.map(i => encodeSlot(
+      if (ident.isNullAt(i)) null
+      else ident.get(i, ps.fields(i).dataType)))
+    val es = liveManifest().files.filter(e =>
+      e.specId == cur && e.partition == tuple)
+    java.util.Map.of("files", es.length.toString,
+      "rows", es.map(_.liveRows).sum.toString,
+      "bytes", es.map(_.bytes).sum.toString)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CatalogScanBuilder(dir, schema(), liveManifest(),
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      streamBranch = branch)
 
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
@@ -1702,6 +2184,12 @@ private class CatalogTable(dir: File, tableName: String,
       s.fields.map(f => (f.name, f.dataType)).toSeq,
       s"$tableName expects ${s.simpleString}; got ${info.schema().simpleString}")
     val props = readProps(dir)
+    // the equality-delete seq ordering is defined against the MAIN
+    // commit sequence; branch-local seqs would misorder after a
+    // fast-forward, so upsert-keyed tables take CDC on main only
+    require(branch.isEmpty || !props.contains(UpsertKeyProp),
+      s"$tableName: upsert-keyed tables do not support branch writes " +
+        "(equality-delete sequencing is defined on the main chain)")
     // hash distribution clusters on the partition transforms (identity /
     // bucket ride V2 expression resolution; a days() transform keeps the
     // fanout path — Spark types days() for DATE/TIMESTAMP, not epoch-ms)
@@ -1722,7 +2210,7 @@ private class CatalogTable(dir: File, tableName: String,
       props.get(WriteOrderByProp)
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
       props.get(WritePartitionsProp).map(_.toInt).getOrElse(0),
-      clusterOn)
+      clusterOn, branch)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
@@ -1748,14 +2236,17 @@ private class CatalogTable(dir: File, tableName: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val s = schema()
     val mp = readMapping(dir, s)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir)
+    def specOf(e: Entry): Seq[PT] =
+      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+      else Seq.empty
     val m = liveManifest()
-    val latest = readLatest(dir)
+    val latest = headVersion(dir, branch)
     val mor = readProps(dir).get(DeleteModeProp).contains("merge-on-read")
     val eqCtx = upsertCtx(dir, s, m)
     var dropped = 0L; var rewritten = 0L; var kept = 0L; var morFiles = 0L
     val remaining = m.files.flatMap { e =>
-      val facts = fileFacts(e, s, mp, spec)
+      val facts = fileFacts(e, s, mp, specOf(e))
       val every = filters.nonEmpty && filters.forall(allMatch(_, facts))
       val any = filters.forall(mayMatch(_, facts))
       if (every) { dropped += 1; None } // metadata-only drop
@@ -1779,12 +2270,12 @@ private class CatalogTable(dir: File, tableName: String,
           // rewrite MATERIALIZED any equality deletes, so it takes the
           // new sequence and they never re-apply
           Some(writeLocalFile(dir, "rw", s, mp, e.partition,
-            miss.map(_._2), seq = latest + 1))
+            miss.map(_._2), seq = latest + 1, specId = e.specId))
         }
       }
     }
     // an emptied table needs no key files (nothing left to supersede)
-    commitVersion(dir, latest, "delete", remaining, m.epochs,
+    commitHead(dir, branch, latest, "delete", remaining, m.epochs,
       if (remaining.isEmpty) Seq.empty else m.eqDeletes)
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
@@ -1794,7 +2285,8 @@ private class CatalogTable(dir: File, tableName: String,
 }
 
 private class CatalogScanBuilder(dir: File, schema: StructType,
-    manifest: GraftTableCatalog.Manifest, startingVersion: Long = 0L)
+    manifest: GraftTableCatalog.Manifest, startingVersion: Long = 0L,
+    streamBranch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import GraftTableCatalog._
@@ -1816,24 +2308,34 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
 
   override def build(): Scan = {
     val mp = readMapping(dir, schema)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir)
+    def specOf(e: Entry): Seq[PT] =
+      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+      else Seq.empty
     val live = manifest.files.filter { e =>
-      val facts = fileFacts(e, schema, mp, spec)
+      val facts = fileFacts(e, schema, mp, specOf(e))
       skipFilters.forall(mayMatch(_, facts))
     }
-    new CatalogScan(dir, schema, mp, spec, required, live, manifest.version,
-      startingVersion, upsertCtx(dir, schema, manifest))
+    new CatalogScan(dir, schema, mp, specs, required, live, manifest.version,
+      startingVersion, upsertCtx(dir, schema, manifest), streamBranch)
   }
 }
 
 private class CatalogScan(dir: File, tableSchema: StructType,
-    mp: GraftTableCatalog.ColMapping, spec: Seq[GraftTableCatalog.PT],
+    mp: GraftTableCatalog.ColMapping, specs: Seq[Seq[GraftTableCatalog.PT]],
     required: StructType, files: Seq[GraftTableCatalog.Entry],
     version: Long, startingVersion: Long = 0L,
-    eqCtx: Option[(Int, Seq[GraftTableCatalog.EqDelete])] = None)
+    eqCtx: Option[(Int, Seq[GraftTableCatalog.EqDelete])] = None,
+    streamBranch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
   import GraftTableCatalog._
+  /** The CURRENT spec generation (writers' layout; SPJ plans on it). */
+  private val spec: Seq[PT] = specs.lastOption.getOrElse(Seq.empty)
+  private val curSpecId: Int = specs.length - 1
+  private def specOf(e: Entry): Seq[PT] =
+    if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+    else Seq.empty
   /** Files surviving the RUNTIME filter (DPP: a selective join hands the
     * scan its build keys before partitions plan — non-matching
     * partitions' files never exist). None = no runtime narrowing. */
@@ -1846,23 +2348,31 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     * runtime-pruned SPJ stays well-formed — the Iceberg combination. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    spec.flatMap { p =>
+    // EVERY spec generation's source columns accept runtime filters: a
+    // DPP key on an OLD generation's column still prunes its files
+    specs.flatten.distinct.flatMap { p =>
       val i = mp.ids.indexOf(p.id)
       if (i < 0) None
       else Some(Expressions.column(tableSchema.fields(i).name))
-    }.toArray
+    }.distinct.toArray
   override def filter(filters: Array[Filter]): Unit =
     if (filters.nonEmpty)
       runtimeKept = Some(files.filter { e =>
-        val facts = fileFacts(e, tableSchema, mp, spec)
+        val facts = fileFacts(e, tableSchema, mp, specOf(e))
         filters.forall(mayMatch(_, facts))
       })
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // version-offset tailing is defined on the MAIN chain only; silently
+    // tailing main from a branch handle would read the wrong table
+    require(streamBranch.isEmpty,
+      s"streaming reads address the main table, not branch " +
+        s"'${streamBranch.getOrElse("")}' — fast-forward first")
     new CatalogMicroBatchStream(dir, tableSchema, required, startingVersion)
+  }
   override def description(): String =
     s"graft_cat $dir v$version files=${files.length} " +
       s"cols=${required.fieldNames.mkString(",")}"
@@ -1871,7 +2381,8 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     * parallels the spec): identity long → long, identity string →
     * UTF8String, bucket → int, days → long day ordinal, null → null. */
   private def keyVals(e: Entry): Array[Any] =
-    if (e.partition.length != spec.length) Array.empty
+    if (e.specId != curSpecId || e.partition.length != spec.length)
+      Array.empty // an old-generation file has no key under the current spec
     else spec.zip(e.partition).map {
       case (_, "n") => null
       case (PT("identity", _, _), v) if v.startsWith("s") =>
@@ -1895,14 +2406,20 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     * is identity/bucket (days inverts a range, not a key), every planned
     * file carries a tuple, and the source columns survive pruning (the
     * key expressions must resolve against the scan's output). */
-  private lazy val spjEligible: Boolean = {
+  private def spjEligible: Boolean = {
     val srcCols = spec.map(p => {
       val i = mp.ids.indexOf(p.id)
       if (i >= 0) tableSchema.fields(i).name else ""
     })
-    spec.nonEmpty && files.nonEmpty &&
+    // evaluated over liveFiles, not the pre-runtime-filter set: after a
+    // DPP narrowing the reported partitioning must describe exactly the
+    // partitions that will plan (a count from the wider set would exceed
+    // the planned partitions' distinct keys — fragile across Spark
+    // versions even where BatchScanExec regroups by key)
+    spec.nonEmpty && liveFiles.nonEmpty &&
       spec.forall(p => p.kind == "identity" || p.kind == "bucket") &&
-      files.forall(_.partition.length == spec.length) &&
+      liveFiles.forall(e =>
+        e.specId == curSpecId && e.partition.length == spec.length) &&
       srcCols.forall(c => c.nonEmpty && required.fieldNames.contains(c))
   }
 
@@ -1918,11 +2435,14 @@ private class CatalogScan(dir: File, tableSchema: StructType,
         case (PT("bucket", n, _), c) => Expressions.bucket(n, c)
         case (p, _) => sys.error(s"unreachable: $p")
       }.toArray,
-      files.map(_.partition).distinct.length)
+      liveFiles.map(_.partition).distinct.length)
   }
 
+  /** COLUMNAR by default (the vectorized codec decode); the system
+    * property is the row-path A/B + kill switch. */
   override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
+    if (columnarEnabled) CatalogColumnarReaderFactory
+    else CatalogReaderFactory
   /** V2 CUSTOM METRICS: files actually opened and rows decoded, as
     * first-class SQL metrics — the file-skipping story, observable on
     * every executed plan rather than only via the test counters. */
@@ -1950,7 +2470,8 @@ private case class CatalogFilePartition(path: String, fileName: String,
     keyVals: Array[Any] = Array.empty,
     eqDeletePaths: Array[String] = Array.empty,
     eqKeyPos: Int = -1, eqKeyIsStr: Boolean = false,
-    keysOnlyPaths: Array[String] = Array.empty)
+    keysOnlyPaths: Array[String] = Array.empty,
+    outTypeJson: Array[String] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
 }
@@ -1966,13 +2487,12 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
         new FileInputStream(fp.path), 1 << 16))
       private val fileTag = UTF8String.fromString(fp.fileName)
       private val skips = loadDeletePositions(fp.deletePaths)
-      private val eqKeys: java.util.HashSet[Any] =
-        if (fp.eqDeletePaths.isEmpty) new java.util.HashSet[Any]()
-        else loadEqKeys(fp.eqDeletePaths, fp.eqKeyIsStr)
+      private val eqKeys: GraftTableCatalog.EqKeys.Lookup =
+        EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr)
       // CDF retraction mode: emit ONLY rows whose key an upsert replaced
-      private val keysOnly: Option[java.util.HashSet[Any]] =
+      private val keysOnly: Option[GraftTableCatalog.EqKeys.Lookup] =
         if (fp.keysOnlyPaths.isEmpty) None
-        else Some(loadEqKeys(fp.keysOnlyPaths, fp.eqKeyIsStr))
+        else Some(EqKeys.lookup(fp.keysOnlyPaths, fp.eqKeyIsStr))
       private val only = fp.positions.map(_.sorted)
       private var pos = -1L
       private var si = 0
@@ -2000,7 +2520,7 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
           }
           // upsert: a newer commit's key file supersedes this row
           if (emit && fp.eqKeyPos >= 0 &&
-              (!eqKeys.isEmpty || keysOnly.isDefined)) {
+              (fp.eqDeletePaths.nonEmpty || keysOnly.isDefined)) {
             val boxed: Any = vals(fp.eqKeyPos)
             if (boxed != null && eqKeys.contains(boxed)) emit = false
             if (emit) keysOnly.foreach { inc =>
@@ -2035,6 +2555,220 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** The COLUMNAR read path ([[PartitionReaderFactory.supportColumnarReads]]):
+  * decodes the codec stream straight into `OnHeapColumnVector`s — no
+  * per-row `GenericInternalRow`, no boxed values, and strings land as raw
+  * UTF-8 bytes (the row reader round-trips bytes → java String →
+  * UTF8String). Constant columns (`_file`, null-pads for columns a file
+  * predates, CDF stamps) ride `ConstantColumnVector`s. Delete-file
+  * skips, equality-delete key filtering and CDF positions-only mode
+  * follow the row reader's emit logic EXACTLY — a filtered row simply
+  * never advances the batch slot. The row `createReader` remains for
+  * Spark surfaces that ask for it. */
+private object CatalogColumnarReaderFactory extends PartitionReaderFactory {
+  import GraftTableCatalog._
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    CatalogReaderFactory.createReader(p)
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    filesOpened.incrementAndGet()
+    new CatalogColumnarReader(p.asInstanceOf[CatalogFilePartition])
+  }
+}
+
+private class CatalogColumnarReader(fp: CatalogFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import GraftTableCatalog._
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val BatchRows = 4096
+  private val types: Array[DataType] = fp.typeJson.map(DataType.fromJson)
+  private val outTypes: Array[DataType] =
+    fp.outTypeJson.map(DataType.fromJson)
+  // memory-mapped decode: the codec writes java.io.DataOutput big-endian,
+  // which is ByteBuffer's default order — values read straight off the
+  // page cache with no stream indirection (the row reader's
+  // DataInputStream pays method-call + bounds overhead per VALUE; at
+  // 4096-row batches that overhead, not boxing, dominated the first
+  // columnar cut)
+  private val buf: java.nio.ByteBuffer = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(fp.path))
+    try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
+    finally ch.close()
+  }
+  private val skips = loadDeletePositions(fp.deletePaths)
+  private val eqKeys: GraftTableCatalog.EqKeys.Lookup =
+    EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr)
+  private val keysOnly: Option[GraftTableCatalog.EqKeys.Lookup] =
+    if (fp.keysOnlyPaths.isEmpty) None
+    else Some(EqKeys.lookup(fp.keysOnlyPaths, fp.eqKeyIsStr))
+  private val eqActive =
+    fp.eqKeyPos >= 0 && (fp.eqDeletePaths.nonEmpty || keysOnly.isDefined)
+  private val only = fp.positions.map(_.sorted)
+
+  // file position -> output slot (-1 = not projected); required names
+  // are unique, so at most one output per file column
+  private val fileToOut: Array[Int] = {
+    val a = Array.fill(types.length)(-1)
+    fp.srcIdx.zipWithIndex.foreach { case (s, i) => if (s >= 0) a(s) = i }
+    a
+  }
+  // output slots carrying the _pos metadata column (row-varying)
+  private val posOut: Array[Int] =
+    fp.srcIdx.zipWithIndex.collect { case (-3, i) => i }
+
+  private val writable = new Array[OnHeapColumnVector](fp.srcIdx.length)
+  private val vectors: Array[ColumnVector] = {
+    val base: Array[ColumnVector] = fp.srcIdx.indices.map { i =>
+      fp.srcIdx(i) match {
+        case -1 =>
+          val cv = new ConstantColumnVector(BatchRows, StringType)
+          cv.setUtf8String(UTF8String.fromString(fp.fileName))
+          cv: ColumnVector
+        case -3 =>
+          writable(i) = new OnHeapColumnVector(BatchRows, LongType)
+          writable(i): ColumnVector
+        case s if s >= 0 =>
+          writable(i) = new OnHeapColumnVector(BatchRows, outTypes(i))
+          writable(i): ColumnVector
+        case _ => // the file predates this (evolved) column: all null
+          val cv = new ConstantColumnVector(BatchRows, outTypes(i))
+          cv.setNull()
+          cv: ColumnVector
+      }
+    }.toArray
+    if (fp.changeType.isEmpty) base
+    else {
+      val ct = new ConstantColumnVector(BatchRows, StringType)
+      ct.setUtf8String(UTF8String.fromString(fp.changeType))
+      val cv = new ConstantColumnVector(BatchRows, LongType)
+      cv.setLong(fp.changeVersion)
+      base ++ Array[ColumnVector](ct, cv)
+    }
+  }
+  private val batch = new ColumnarBatch(vectors)
+
+  private var pos = -1L
+  private var si = 0
+  private var oi = 0
+  private var read = 0L
+  private var scratch = new Array[Byte](64)
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(CatalogScanMetrics.task("filesOpened", 1L),
+      CatalogScanMetrics.task("rowsRead", read))
+
+  /** Consume one row's bytes without materializing it. */
+  private def skipRow(): Unit = {
+    val bits = buf.getLong()
+    var c = 0
+    while (c < types.length) {
+      if ((bits & (1L << c)) == 0) types(c) match {
+        case StringType =>
+          val len = buf.getInt() // advances 4 first; THEN skip the bytes
+          buf.position(buf.position() + len)
+        case _ => buf.position(buf.position() + 8)
+      }
+      c += 1
+    }
+  }
+
+  /** Decode one row into batch slot `n`; returns whether it emits (a
+    * discarded row leaves slot `n` to be overwritten by the next). */
+  private def decodeRow(n: Int): Boolean = {
+    // clear null marks a discarded previous occupant may have left
+    var i = 0
+    while (i < writable.length) {
+      if (writable(i) != null) writable(i).putNotNull(n)
+      i += 1
+    }
+    i = 0
+    while (i < posOut.length) {
+      writable(posOut(i)).putLong(n, pos); i += 1
+    }
+    val bits = buf.getLong()
+    // key probes run AT the key column (raw bytes — no String per row)
+    var keyPresent = false
+    var keyInEq = false
+    var keyInOnly = false
+    var c = 0
+    while (c < types.length) {
+      val out = fileToOut(c)
+      if ((bits & (1L << c)) != 0) {
+        if (out >= 0) writable(out).putNull(n)
+      } else types(c) match {
+        case LongType =>
+          val v = buf.getLong()
+          if (out >= 0) writable(out).putLong(n, v)
+          if (eqActive && c == fp.eqKeyPos) {
+            keyPresent = true
+            keyInEq = eqKeys.containsLong(v)
+            keysOnly.foreach(inc => keyInOnly = inc.containsLong(v))
+          }
+        case DoubleType =>
+          val v = buf.getDouble()
+          if (out >= 0) writable(out).putDouble(n, v)
+        case _ =>
+          val len = buf.getInt()
+          if (len > scratch.length)
+            scratch = new Array[Byte](math.max(len, scratch.length * 2))
+          buf.get(scratch, 0, len)
+          if (out >= 0) writable(out).putByteArray(n, scratch, 0, len)
+          if (eqActive && c == fp.eqKeyPos) {
+            keyPresent = true
+            keyInEq = eqKeys.containsBytes(scratch, len)
+            keysOnly.foreach(inc => keyInOnly = inc.containsBytes(scratch, len))
+          }
+      }
+      c += 1
+    }
+    if (!eqActive) true
+    else {
+      var emit = !(keyPresent && keyInEq)
+      if (emit && keysOnly.isDefined) emit = keyPresent && keyInOnly
+      emit
+    }
+  }
+
+  private val onlyArr: Array[Long] = only.orNull
+
+  override def next(): Boolean = {
+    var w = 0
+    while (w < writable.length) {
+      if (writable(w) != null) writable(w).reset()
+      w += 1
+    }
+    var n = 0
+    var exhausted = false
+    while (n < BatchRows && !exhausted && pos + 1 < fp.rows) {
+      if (onlyArr != null && oi >= onlyArr.length)
+        exhausted = true // no more CDF positions in this file
+      else {
+        pos += 1
+        val preEmit =
+          if (onlyArr != null) {
+            if (oi < onlyArr.length && onlyArr(oi) == pos) { oi += 1; true }
+            else false
+          } else if (si < skips.length && skips(si) == pos) {
+            si += 1; false
+          } else true
+        if (!preEmit) skipRow()
+        else if (decodeRow(n)) n += 1
+      }
+    }
+    batch.setNumRows(n)
+    read += n
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close() // the mapping frees with GC
 }
 
 /** The atomic-CTAS staged table: a fully-formed table directory hidden
@@ -2085,10 +2819,20 @@ private class GraftStagedTable(tmp: File, finalDir: File,
 private class CatalogWriteBuilder(dir: File, schema: StructType,
     orderBy: Seq[String] = Seq.empty, numPartitions: Int = 0,
     clusterOn: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-      Seq.empty)
+      Seq.empty,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  private def streamingWrite()
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    // each micro-batch is a MAIN commit (epoch markers live there); a
+    // branch is audited with batch writes, then fast-forwarded
+    require(branch.isEmpty,
+      s"streaming writes address the main table, not branch " +
+        s"'${branch.getOrElse("")}'")
+    new CatalogStreamingWrite(dir, schema)
+  }
 
   /** With `write.order_by` set, the write DEMANDS a range distribution +
     * in-partition sort on those columns (RequiresDistributionAndOrdering)
@@ -2099,9 +2843,9 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
   override def build(): Write =
     if (orderBy.isEmpty && clusterOn.isEmpty) new Write {
       override def toBatch: BatchWrite =
-        new CatalogBatchWrite(dir, schema, doTruncate)
+        new CatalogBatchWrite(dir, schema, doTruncate, branch)
       override def toStreaming: org.apache.spark.sql.connector.write
-          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+          .streaming.StreamingWrite = streamingWrite()
     }
     else if (orderBy.isEmpty) new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -2117,9 +2861,9 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
         Array.empty
       override def requiredNumPartitions(): Int = numPartitions
       override def toBatch: BatchWrite =
-        new CatalogBatchWrite(dir, schema, doTruncate)
+        new CatalogBatchWrite(dir, schema, doTruncate, branch)
       override def toStreaming: org.apache.spark.sql.connector.write
-          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+          .streaming.StreamingWrite = streamingWrite()
     }
     else new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -2136,9 +2880,9 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
         sorts
       override def requiredNumPartitions(): Int = numPartitions
       override def toBatch: BatchWrite =
-        new CatalogBatchWrite(dir, schema, doTruncate)
+        new CatalogBatchWrite(dir, schema, doTruncate, branch)
       override def toStreaming: org.apache.spark.sql.connector.write
-          .streaming.StreamingWrite = new CatalogStreamingWrite(dir, schema)
+          .streaming.StreamingWrite = streamingWrite()
     }
 }
 
@@ -2163,7 +2907,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema))
+      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
   }
 
   override def commit(epochId: Long,
@@ -2215,13 +2959,13 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
 
 private case class CatalogStreamingWriterFactory(dirPath: String,
     jobUid: String, schemaJson: String, idsCsv: String, specEnc: String,
-    upsertEnc: String = "")
+    upsertEnc: String = "", specId: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson,
-      idsCsv, specEnc, upsertEnc).createWriter(partitionId, taskId)
+      idsCsv, specEnc, upsertEnc, specId).createWriter(partitionId, taskId)
 }
 
 private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry],
@@ -2234,10 +2978,10 @@ private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry],
   * overwrite REFERENCES only the new files — it deletes nothing, so
   * `VERSION AS OF` keeps working behind it. */
 private class CatalogBatchWrite(dir: File, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, branch: Option[String] = None) extends BatchWrite {
   import GraftTableCatalog._
   private val jobUid = java.util.UUID.randomUUID().toString.take(8)
-  private val expectedLatest = readLatest(dir)
+  private val expectedLatest = headVersion(dir, branch)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2248,7 +2992,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema))
+      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2266,14 +3010,15 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
     // meanwhile, commitVersion's exclusive create fails the race loudly.
     // Epoch markers carry through EVERY commit — truncate replaces the
     // file list, never the stream's progress record.
-    val (base, epochs, oldEq) =
-      if (expectedLatest == 0)
-        (Seq.empty[Entry], Set.empty[Long], Seq.empty[EqDelete])
-      else {
-        val m = readManifest(dir, expectedLatest)
-        (if (truncate) Seq.empty[Entry] else m.files, m.epochs,
-          if (truncate) Seq.empty[EqDelete] else m.eqDeletes)
-      }
+    val (base, epochs, oldEq) = {
+      // branch heads resolve through the ref (head 0 = the base MAIN
+      // manifest) — a branch forked from a non-empty table starts full
+      val m = if (branch.isEmpty && expectedLatest == 0)
+        Manifest(0, "none", Seq.empty)
+      else headManifest(dir, branch)
+      (if (truncate) Seq.empty[Entry] else m.files, m.epochs,
+        if (truncate) Seq.empty[EqDelete] else m.eqDeletes)
+    }
     // UPSERT: the write's key files supersede same-key rows in every
     // OLDER file (seq-tagged equality deletes); with no older data the
     // key files are dead weight and drop immediately
@@ -2286,7 +3031,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
           .map { case (n, r) => EqDelete(n, r, newSeq) },
           taskKeys.filter(_._2 == 0).map(_._1))
       else (oldEq, taskKeys.map(_._1))
-    commitVersion(dir, expectedLatest,
+    commitHead(dir, branch, expectedLatest,
       if (truncate) "overwrite"
       else if (upsert && base.nonEmpty) "upsert"
       else "append",
@@ -2312,7 +3057,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
   * presence (the metadata DELETE's proof obligations). */
 private case class CatalogWriterFactory(dirPath: String, jobUid: String,
     schemaJson: String, idsCsv: String, specEnc: String,
-    upsertEnc: String = "")
+    upsertEnc: String = "", specId: Int = 0)
     extends DataWriterFactory {
   import GraftTableCatalog._
   override def createWriter(partitionId: Int,
@@ -2417,24 +3162,18 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           }.toSet
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
             sk.stats.toMap, Some(nullFree), ids.toSeq, typeCodes,
-            sk.tuple, Seq.empty)
+            sk.tuple, Seq.empty, 0L, specId)
         }
         val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
           .map { case (_, isStr) =>
+            import scala.jdk.CollectionConverters._
             val name = s"eq-$stem.keys"
-            val out = new DataOutputStream(new java.io.BufferedOutputStream(
-              new FileOutputStream(new File(new File(dirPath, "data"), name))))
-            try {
-              out.writeLong(upsertKeys.size.toLong)
-              upsertKeys.forEach { k =>
-                if (isStr) {
-                  val b = k.asInstanceOf[String]
-                    .getBytes(StandardCharsets.UTF_8)
-                  out.writeInt(b.length); out.write(b)
-                } else out.writeLong(k.asInstanceOf[java.lang.Long])
-              }
-            } finally out.close()
-            (name, upsertKeys.size.toLong)
+            // SORTED run (EqKeys layout): readers binary-search it
+            // memory-mapped instead of materializing a heap set
+            val n = EqKeys.write(
+              new File(new File(dirPath, "data"), name),
+              upsertKeys.asScala, isStr)
+            (name, n)
           }
         CatalogCommit(entries, eqKeys)
       }
@@ -2452,7 +3191,8 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
   * commit replaces exactly those files — the scan→write handshake that
   * makes copy-on-write surgical instead of table-wide. */
 private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import GraftTableCatalog._
 
@@ -2471,10 +3211,7 @@ private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
     Array(Expressions.column(FileMetaCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, tableSchema,
-        { val v = readLatest(dir)
-          if (v == 0) Manifest(0, "none", Seq.empty)
-          else readManifest(dir, v) }) {
+    new CatalogScanBuilder(dir, tableSchema, headManifest(dir, branch)) {
       override def build(): Scan = super.build() match {
         case base: CatalogScan =>
           new CatalogCowScan(base, CatalogRowLevelOperation.this)
@@ -2490,7 +3227,7 @@ private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new CatalogReplaceGroupsWrite(dir, tableSchema,
-            CatalogRowLevelOperation.this)
+            CatalogRowLevelOperation.this, branch)
       }
     }
   }
@@ -2547,10 +3284,11 @@ private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
   * position-delete files drop with it (the rewrite materialized the
   * live rows). */
 private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
-    op: CatalogRowLevelOperation) extends BatchWrite {
+    op: CatalogRowLevelOperation, branch: Option[String] = None)
+    extends BatchWrite {
   import GraftTableCatalog._
   private val jobUid = java.util.UUID.randomUUID().toString.take(8)
-  private val expectedLatest = readLatest(dir)
+  private val expectedLatest = headVersion(dir, branch)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2561,7 +3299,7 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema))
+      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2578,9 +3316,9 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       case CatalogCommit(_, k) => k.map(_._1)
       case _ => None
     }
-    val m = readManifest(dir, expectedLatest)
+    val m = headManifest(dir, branch)
     val replaced = op.plannedFiles
-    commitVersion(dir, expectedLatest,
+    commitHead(dir, branch, expectedLatest,
       op.command().name().toLowerCase(java.util.Locale.ROOT),
       m.files.filterNot(e => replaced.contains(e.name)) ++ added,
       m.epochs, m.eqDeletes)
@@ -2607,7 +3345,8 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
   * are represented as delete+insert pairs, which is also exactly what
   * the change feed derives from the resulting manifest diff. */
 private class CatalogDeltaOperation(dir: File, tableSchema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with SupportsDelta {
   import GraftTableCatalog._
@@ -2626,16 +3365,13 @@ private class CatalogDeltaOperation(dir: File, tableSchema: StructType,
     * (file skipping applies), reads only candidate rows, and addresses
     * them by row id — no whole-group reads, no `_file IN` handshake. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, tableSchema, {
-      val v = readLatest(dir)
-      if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
-    })
+    new CatalogScanBuilder(dir, tableSchema, headManifest(dir, branch))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new CatalogDeltaBatchWrite(dir, tableSchema, cmd)
+          new CatalogDeltaBatchWrite(dir, tableSchema, cmd, branch)
       }
     }
 }
@@ -2647,11 +3383,12 @@ private[graft] case class CatalogDeltaCommit(
     deletes: Map[String, Array[Long]]) extends WriterCommitMessage
 
 private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends DeltaBatchWrite {
   import GraftTableCatalog._
   private val jobUid = java.util.UUID.randomUUID().toString.take(8)
-  private val expectedLatest = readLatest(dir)
+  private val expectedLatest = headVersion(dir, branch)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -2661,7 +3398,7 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
     CatalogDeltaWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"))
+        .mkString(";"), readSpecs(dir).length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2673,7 +3410,7 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
     // once, so the arrays are disjoint; writeDeleteFile sorts)
     val deleted: Map[String, Seq[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2) }
-    val m = readManifest(dir, expectedLatest)
+    val m = headManifest(dir, branch)
     val files = m.files.map { e =>
       deleted.get(e.name) match {
         case Some(pos) if pos.nonEmpty =>
@@ -2681,7 +3418,7 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
         case _ => e // untouched entries stay byte-identical
       }
     } ++ added
-    commitVersion(dir, expectedLatest,
+    commitHead(dir, branch, expectedLatest,
       cmd.name().toLowerCase(java.util.Locale.ROOT),
       files, m.epochs, m.eqDeletes)
     parts.flatMap(_.entries).filter(_.rows == 0).foreach(e =>
@@ -2701,13 +3438,15 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
   * With updates represented as delete+insert, `update` never fires —
   * implemented anyway for API completeness. */
 private case class CatalogDeltaWriterFactory(dirPath: String,
-    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String)
+    jobUid: String, schemaJson: String, idsCsv: String, specEnc: String,
+    specId: Int = 0)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val inner = CatalogWriterFactory(dirPath, jobUid,
-        schemaJson, idsCsv, specEnc).createWriter(partitionId, taskId)
+        schemaJson, idsCsv, specEnc,
+        specId = specId).createWriter(partitionId, taskId)
       private val dels =
         collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
       override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -2810,10 +3549,14 @@ private class PartitionsTable(dir: File, table: String) extends Table
       override def planInputPartitions(): Array[InputPartition] = {
         val s = GraftTableCatalog.readSchema(dir)
         val mp = readMapping(dir, s)
-        val spec = readSpec(dir)
+        val specs = readSpecs(dir)
         val v = readLatest(dir)
         val files = if (v == 0) Seq.empty else readManifest(dir, v).files
-        def label(tuple: Seq[String]): String =
+        // labels resolve under each file's OWN spec generation — after a
+        // SET PARTITION SPEC, old and new layouts report side by side
+        def label(specId: Int, tuple: Seq[String]): String = {
+          val spec = if (specId >= 0 && specId < specs.length) specs(specId)
+            else Seq.empty
           if (spec.isEmpty || tuple.length != spec.length) ""
           else spec.zip(tuple).map { case (pt, pv) =>
             val i = mp.ids.indexOf(pt.id)
@@ -2831,9 +3574,10 @@ private class PartitionsTable(dir: File, table: String) extends Table
             }
             s"$key=$value"
           }.mkString("/")
-        val rows = files.groupBy(_.partition).toSeq
-          .map { case (tuple, es) =>
-            (label(tuple), es.length.toLong, es.map(_.liveRows).sum,
+        }
+        val rows = files.groupBy(e => (e.specId, e.partition)).toSeq
+          .map { case ((sid, tuple), es) =>
+            (label(sid, tuple), es.length.toLong, es.map(_.liveRows).sum,
               es.map(_.bytes).sum)
           }.sortBy(_._1)
         Array(PartitionRows(rows))
@@ -2870,8 +3614,10 @@ private object PartitionsReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** `graft_cat.db.<t>.refs` — the named snapshot refs (tags): one row
-  * per tag with its pinned version, straight from refs.json. */
+/** `graft_cat.db.<t>.refs` — the named refs: one row per TAG (pinned
+  * version) and per BRANCH (its base/fork version, plus the local head
+  * count), from refs.json + branches.json. The `tag` column keeps its
+  * name for both kinds (it is the ref NAME); `type` disambiguates. */
 private class RefsTable(dir: File, table: String) extends Table
     with SupportsRead {
   import GraftTableCatalog._
@@ -2883,11 +3629,18 @@ private class RefsTable(dir: File, table: String) extends Table
     () => new Scan with LocalScan {
       override def readSchema(): StructType = RefsTable.schema
       override def description(): String = s"graft_cat refs $dir"
-      override def rows(): Array[InternalRow] =
-        readRefs(dir).toSeq.sortBy(_._1).map { case (tag, v) =>
-          new GenericInternalRow(
-            Array[Any](UTF8String.fromString(tag), v)): InternalRow
-        }.toArray
+      override def rows(): Array[InternalRow] = {
+        val tags = readRefs(dir).toSeq.sortBy(_._1).map { case (tag, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(tag), v,
+            UTF8String.fromString("tag"), 0L)): InternalRow
+        }
+        val branches = readBranchRefs(dir).toSeq.sortBy(_._1)
+          .map { case (n, r) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+              r.base, UTF8String.fromString("branch"), r.head)): InternalRow
+          }
+        (tags ++ branches).toArray
+      }
     }
 }
 
@@ -2895,6 +3648,8 @@ private object RefsTable {
   val schema: StructType = new StructType()
     .add("tag", StringType, nullable = false)
     .add("version", LongType, nullable = false)
+    .add("type", StringType, nullable = false)
+    .add("head", LongType, nullable = false)
 }
 
 /** `graft_cat.db.<t>.changes` — the CHANGE DATA FEED (Delta CDF shape):
@@ -3107,10 +3862,12 @@ private class CompactProcedure(cat: GraftTableCatalog)
         val orderIdx = readProps(dir).get(WriteOrderByProp).toSeq
           .flatMap(_.split(",")).map(_.trim)
           .filter(schema.fieldNames.contains).map(schema.fieldIndex)
-        // per-partition-tuple deterministic greedy packing over the
-        // manifest order — cross-partition merges would destroy pruning
-        val merged = cand.groupBy(_.partition).toSeq
-          .sortBy(_._1.mkString(";")).flatMap { case (tuple, es) =>
+        // per-(spec-generation, partition-tuple) deterministic greedy
+        // packing over the manifest order — cross-partition (or
+        // cross-generation) merges would destroy pruning
+        val merged = cand.groupBy(e => (e.specId, e.partition)).toSeq
+          .sortBy { case ((sid, t), _) => (sid, t.mkString(";")) }
+          .flatMap { case ((specId, tuple), es) =>
             val bins = es.foldLeft(List.empty[List[Entry]]) {
               case (acc, e) => acc match {
                 case head :: tail
@@ -3136,7 +3893,7 @@ private class CompactProcedure(cat: GraftTableCatalog)
                     scala.math.Ordering.Implicits
                       .seqOrdering[IndexedSeq, Long])
                 writeLocalFile(dir, "cp", schema, mp, tuple, sorted,
-                  seq = latest + 1)
+                  seq = latest + 1, specId = specId)
               }
             }
           }
@@ -3191,17 +3948,28 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         require(keep >= 1, s"keep_last must be >= 1; got $keep")
         val latest = readLatest(dir)
         val minKeep = math.max(1L, latest - keep + 1)
-        // TAGGED versions are pinned: expiry never drops them (the
-        // Iceberg refs rule) — drop the tag first to release them
-        val tagged = readRefs(dir).values.toSet
-        val expired = (1L until minKeep).filterNot(tagged)
+        // TAGGED versions are pinned, and so is every live branch's BASE
+        // (a branch with no local commits reads its base manifest):
+        // expiry never drops them — release the ref first
+        val branchRefs = readBranchRefs(dir)
+        val pinnedVs = readRefs(dir).values.toSet ++
+          branchRefs.values.map(_.base).filter(_ > 0)
+        val expired = (1L until minKeep).filterNot(pinnedVs)
           .filter(v => new File(dir, s"v$v.manifest").exists())
         def refsOf(e: Entry): Seq[String] = e.name +: e.deletes.map(_.name)
         def allRefs(m: Manifest): Seq[String] =
           m.files.flatMap(refsOf) ++ m.eqDeletes.map(_.name)
-        val retainedRefs = ((minKeep to latest) ++ tagged).distinct
+        // branch manifests pin THEIR file references too: an unpublished
+        // branch commit's files must survive main-history GC
+        val branchFileRefs = branchRefs.toSeq.flatMap { case (n, r) =>
+          (1L to r.head).map(k => branchManifestFile(dir, n, k))
+            .filter(_.exists())
+            .flatMap(f => allRefs(parseManifest(f, 0)))
+        }.toSet
+        val retainedRefs = ((minKeep to latest) ++ pinnedVs).distinct
           .filter(v => new File(dir, s"v$v.manifest").exists())
-          .flatMap(v => allRefs(readManifest(dir, v))).toSet
+          .flatMap(v => allRefs(readManifest(dir, v))).toSet ++
+          branchFileRefs
         var filesDeleted = 0L
         expired.foreach { v =>
           allRefs(readManifest(dir, v)).foreach { n =>
@@ -3309,6 +4077,255 @@ private object DropTagProcedure {
   val resultSchema: StructType = new StructType()
     .add("dropped", org.apache.spark.sql.types.BooleanType,
       nullable = false)
+}
+
+/** `CALL graft_cat.sys.branch(ns, table, name)` — create a WRITABLE
+  * branch at the current main version (the Iceberg branch ref): reads
+  * and writes address it as `db.t.branch_<name>`, nothing a branch
+  * commit does is visible on main, and `sys.fast_forward` publishes the
+  * branch head as ONE main commit — write-audit-publish as a catalog
+  * primitive, not a session convention. The fork-point version is
+  * pinned against `sys.expire_versions` while the branch lives. */
+private class BranchProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "branch"
+  override def description(): String =
+    "create writable branch at the current version; address as db.t.branch_<name>"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "branch"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val bname = input.getUTF8String(2).toString
+        require(bname.matches("[A-Za-z][A-Za-z0-9_]*"),
+          s"illegal branch name '$bname'")
+        require(!readProps(dir).contains(UpsertKeyProp),
+          "upsert-keyed tables do not support branches " +
+            "(equality-delete sequencing is defined on the main chain)")
+        val refs = readBranchRefs(dir)
+        require(!refs.contains(bname),
+          s"branch '$bname' already exists (head ${refs(bname).head})")
+        val base = readLatest(dir)
+        writeBranchRefs(dir, refs + (bname -> BranchRef(base, 0)))
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(BranchProcedure.resultSchema,
+            Array[Any](UTF8String.fromString(bname), base))).iterator()
+      }
+    }
+}
+
+private object BranchProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("branch", StringType, nullable = false)
+    .add("base_version", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.drop_branch(ns, table, name)` — discard the
+  * branch: its manifests delete, and data files referenced by NO
+  * retained main manifest and no other branch are reclaimed (an
+  * abandoned audit leaves no orphans). */
+private class DropBranchProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "drop a branch and reclaim its unpublished files"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val bname = input.getUTF8String(2).toString
+        val refs = readBranchRefs(dir)
+        var filesDeleted = 0L
+        val dropped = refs.contains(bname)
+        if (dropped) {
+          val r = refs(bname)
+          def allRefs(m: Manifest): Seq[String] =
+            m.files.flatMap(e => e.name +: e.deletes.map(_.name)) ++
+              m.eqDeletes.map(_.name)
+          val manifests = (1L to r.head)
+            .map(k => branchManifestFile(dir, bname, k)).filter(_.exists())
+          val mine = manifests.flatMap(f => allRefs(parseManifest(f, 0))).toSet
+          // retained elsewhere: every existing main manifest + every
+          // OTHER branch's manifests
+          val retained = ((1L to readLatest(dir))
+            .filter(v => new File(dir, s"v$v.manifest").exists())
+            .flatMap(v => allRefs(readManifest(dir, v))) ++
+            (refs - bname).toSeq.flatMap { case (n, o) =>
+              (1L to o.head).map(k => branchManifestFile(dir, n, k))
+                .filter(_.exists())
+                .flatMap(f => allRefs(parseManifest(f, 0)))
+            }).toSet
+          (mine -- retained).foreach { n =>
+            val f = new File(new File(dir, "data"), n)
+            if (f.exists()) { f.delete(); filesDeleted += 1 }
+          }
+          manifests.foreach(_.delete())
+          writeBranchRefs(dir, refs - bname)
+        }
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(DropBranchProcedure.resultSchema,
+            Array[Any](dropped, filesDeleted))).iterator()
+      }
+    }
+}
+
+private object DropBranchProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)
+    .add("files_reclaimed", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.fast_forward(ns, table, name)` — PUBLISH: the
+  * branch head's file set commits as one new MAIN version (op
+  * `fast_forward`), so main readers and the change feed see the whole
+  * audited batch atomically. Requires main unmoved since the fork (the
+  * Iceberg fast-forward ancestor rule) — a diverged main fails loudly
+  * rather than silently merging. The branch re-bases onto the published
+  * version and stays usable. */
+private class FastForwardProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch head as the next main version (WAP publish)"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val bname = input.getUTF8String(2).toString
+        val r = branchRefOf(dir, bname)
+        require(r.head > 0,
+          s"branch '$bname' has no commits to publish")
+        val mainLatest = readLatest(dir)
+        require(mainLatest == r.base,
+          s"main advanced from v${r.base} to v$mainLatest since branch " +
+            s"'$bname' forked — fast-forward requires an unchanged base")
+        val bm = parseManifest(branchManifestFile(dir, bname, r.head), r.head)
+        val mainEpochs = if (mainLatest == 0) Set.empty[Long]
+          else readManifest(dir, mainLatest).epochs
+        val v = commitVersion(dir, mainLatest, "fast_forward", bm.files,
+          mainEpochs ++ bm.epochs, bm.eqDeletes)
+        writeBranchRefs(dir,
+          readBranchRefs(dir) + (bname -> BranchRef(v, 0)))
+        // the branch chain is published (its content IS main v); clear it
+        // so the next branch commit starts a fresh local chain at v1
+        (1L to r.head).map(k => branchManifestFile(dir, bname, k))
+          .foreach(_.delete())
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(FastForwardProcedure.resultSchema,
+            Array[Any](UTF8String.fromString(bname), v))).iterator()
+      }
+    }
+}
+
+private object FastForwardProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("branch", StringType, nullable = false)
+    .add("published_version", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.set_partition_spec(ns, table, spec)` — PARTITION
+  * SPEC EVOLUTION: append a new spec generation (e.g. `'days(ms)'`,
+  * `'bucket(8, k)'`, `'g'` for identity, `''` to unpartition) WITHOUT
+  * touching a single data file. Existing files keep their generation's
+  * layout and keep pruning under it (per-file spec ids, the Iceberg
+  * model); new writes land under the new transforms. The 100 TB reality
+  * this serves: a table that partitioned by day at 1 TB re-partitions by
+  * hour at 100 TB, and the old years never rewrite. */
+private class SetPartitionSpecProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "set_partition_spec"
+  override def description(): String =
+    "append a new partition-spec generation; existing files keep theirs"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "set_partition_spec"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("spec", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val specStr = input.getUTF8String(2).toString.trim
+        val schema = readSchema(dir)
+        val mp = readMapping(dir, schema)
+        def fieldIdOf(c: String): Int = {
+          require(schema.fieldNames.contains(c),
+            s"partition column $c is not in the schema")
+          mp.ids(schema.fieldIndex(c))
+        }
+        def typeOf(c: String): DataType = schema(c).dataType
+        val Bucket = """bucket\(\s*([0-9]+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+        val Days = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+        val Ident = """(?:identity\(\s*)?([A-Za-z0-9_]+)\s*\)?""".r
+        val spec: Seq[PT] =
+          if (specStr.isEmpty) Seq.empty
+          else specStr.split(",").map(_.trim).toSeq.map {
+            case Bucket(n, c) =>
+              require(n.toInt >= 1 && n.toInt <= 100000,
+                s"bucket count out of range: $n")
+              require(typeOf(c) == LongType || typeOf(c) == StringType,
+                s"bucket partitioning supports LONG/STRING; $c is ${typeOf(c)}")
+              PT("bucket", n.toInt, fieldIdOf(c))
+            case Days(c) =>
+              require(typeOf(c) == LongType,
+                s"days() partitions epoch-millis LONG columns; $c is ${typeOf(c)}")
+              PT("days", 0, fieldIdOf(c))
+            case Ident(c) =>
+              require(typeOf(c) == LongType || typeOf(c) == StringType,
+                s"identity partitioning supports LONG/STRING; $c is ${typeOf(c)}")
+              PT("identity", 0, fieldIdOf(c))
+            case other => sys.error(
+              s"unparseable transform '$other' (identity/bucket(n,c)/days(c))")
+          }
+        require(spec.nonEmpty ||
+          !readProps(dir).get(WriteDistributionProp).contains("hash"),
+          s"$WriteDistributionProp=hash needs a partitioned table; " +
+            "unset the property before unpartitioning")
+        val id = appendSpec(dir, spec)
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(SetPartitionSpecProcedure.resultSchema,
+            Array[Any](id.toLong,
+              UTF8String.fromString(if (specStr.isEmpty) "unpartitioned"
+                else specStr)))).iterator()
+      }
+    }
+}
+
+private object SetPartitionSpecProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("spec_id", LongType, nullable = false)
+    .add("spec", StringType, nullable = false)
 }
 
 /** A persisted V2 view: the recorded SQL plus its resolution context,

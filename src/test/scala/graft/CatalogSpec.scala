@@ -934,4 +934,362 @@ class CatalogSpec extends SparkSpec {
       rows("SELECT k, v FROM graft_cat.db.mucow ORDER BY k, v")
   }
 
+
+  test("round-16 advice pins: legacy entries stay legacy through commits, live reservations never reclaim, CDF names reserved, RTAS respects view clash") {
+    // (1) forwarding a LEGACY entry (no field ids) through a commit must
+    // keep it legacy — fabricated ids would unlock RENAME/DROP while the
+    // '?' type codes still decode by current-schema prefix
+    val t = freshTable("adv16", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t VALUES (1, 10)")
+    val dir = new File("work/graft_cat/db/adv16")
+    val latest = GraftTableCatalog.readLatest(dir)
+    val m = GraftTableCatalog.readManifest(dir, latest)
+    val legacy = m.files.map(_.copy(fieldIds = Seq.empty, typeCodes = ""))
+    GraftTableCatalog.commitVersion(dir, latest, "append", legacy)
+    val reread = GraftTableCatalog.readManifest(dir, latest + 1)
+    reread.files.foreach(_.fieldIds shouldBe Seq.empty)
+    // ... and RENAME over such files demands sys.compact first
+    val err = intercept[Exception](
+      sql(s"ALTER TABLE $t RENAME COLUMN v TO w"))
+    err.getMessage should include("sys.compact")
+    // (2) a FRESH zero-byte reservation is a live writer, not an orphan:
+    // a racing commit must die loudly instead of reclaiming it
+    val l2 = GraftTableCatalog.readLatest(dir)
+    val reservation = new File(dir, s"v${l2 + 1}.manifest")
+    java.nio.file.Files.createFile(reservation.toPath)
+    intercept[Exception](
+      GraftTableCatalog.commitVersion(dir, l2, "append", Seq.empty))
+    // aged past the staleness window the same reservation reclaims
+    reservation.setLastModified(
+      System.currentTimeMillis - GraftTableCatalog.OrphanReclaimMs - 1000)
+    GraftTableCatalog.commitVersion(dir, l2, "append",
+      reread.files) shouldBe l2 + 1
+    // (3) the CDF's synthetic column names are reserved at CREATE and ADD
+    intercept[Exception](
+      sql("CREATE TABLE graft_cat.db.advbad (_change_type STRING)"))
+    intercept[Exception](
+      sql(s"ALTER TABLE $t ADD COLUMN _version BIGINT"))
+    // (4) CREATE OR REPLACE TABLE must not shadow a same-name VIEW
+    sql("CALL graft_cat.sys.create_view('db', 'adv16view', 'SELECT 1 AS x')")
+    intercept[Exception](
+      sql("CREATE OR REPLACE TABLE graft_cat.db.adv16view AS SELECT 2 AS y"))
+    sql("CALL graft_cat.sys.drop_view('db', 'adv16view')")
+  }
+
+
+  test("columnar read path: catalog scans report ColumnarBatch reads, and every mutation surface answers identically to the row reader") {
+    val t = freshTable("colnar", "k BIGINT, x DOUBLE, s STRING")
+    sql(s"INSERT INTO $t SELECT id, id * 0.5, concat('s', id) " +
+      "FROM range(0, 50000, 1, 4)")
+    sql(s"INSERT INTO $t VALUES (50000, NULL, NULL)")
+    // the executed plan carries a columnar-to-row transition: the scan
+    // produced ColumnarBatches, not InternalRows
+    val df = sql(s"SELECT k, x, s FROM $t WHERE k >= 10 AND k < 40000")
+    df.collect().length shouldBe 39990
+    df.queryExecution.executedPlan.toString should include ("ColumnarToRow")
+    // row-reader A/B: identical answers over nulls, metadata columns,
+    // MOR position deletes, upsert equality deletes and evolution pads
+    sql(s"ALTER TABLE $t ADD COLUMN pad BIGINT")
+    sql(s"INSERT INTO $t VALUES (70000, 7.0, 'new', 77)")
+    sql(s"DELETE FROM $t WHERE k % 9999 = 17")
+    val probes = Seq(
+      s"SELECT sum(k), sum(x), count(s), sum(pad), count(*) FROM $t",
+      s"SELECT count(DISTINCT _file), sum(_pos * (k % 7)) FROM $t",
+      s"SELECT k, x, s, pad FROM $t WHERE k >= 49995 ORDER BY k")
+    def run() = probes.map(q => rows(q))
+    val colnar = run()
+    System.setProperty("graft.catalog.columnar", "false")
+    try run() shouldBe colnar
+    finally System.clearProperty("graft.catalog.columnar")
+    // MOR + upsert twin: columnar reader resolves delete files equally
+    sql("DROP TABLE IF EXISTS graft_cat.db.colnar_ups")
+    sql("""CREATE TABLE graft_cat.db.colnar_ups (k BIGINT, v STRING)
+      |TBLPROPERTIES ('write.upsert.key'='k',
+      |               'delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.colnar_ups " +
+      "SELECT id, concat('v', id) FROM range(0, 20000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.colnar_ups " +
+      "SELECT id, concat('u', id) FROM range(5000, 6000, 1, 1)")
+    sql("DELETE FROM graft_cat.db.colnar_ups WHERE k >= 19990 AND k < 19995")
+    val q = "SELECT count(*), sum(k), count(CASE WHEN v LIKE 'u%' THEN 1 END) " +
+      "FROM graft_cat.db.colnar_ups"
+    val colUps = rows(q)
+    System.setProperty("graft.catalog.columnar", "false")
+    try rows(q) shouldBe colUps
+    finally System.clearProperty("graft.catalog.columnar")
+    colUps.head.head shouldBe 19995L
+  }
+
+
+  test("writable branches: WAP — branch commits invisible on main, fast-forward publishes atomically, guards and GC hold") {
+    val t = freshTable("wap", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(0, 1000, 1, 2)")
+    val mainBefore = rows(s"SELECT count(*), sum(v) FROM $t")
+    sql("CALL graft_cat.sys.branch('db', 'wap', 'audit')")
+    // write to the branch; audit it through the branch handle; main is
+    // untouched in content AND in version history
+    val dir = new File("work/graft_cat/db/wap")
+    val latestBefore = GraftTableCatalog.readLatest(dir)
+    sql(s"INSERT INTO $t.branch_audit SELECT id, id * 2 FROM range(1000, 2000, 1, 2)")
+    sql(s"UPDATE $t.branch_audit SET v = 0 WHERE k >= 1900")
+    sql(s"DELETE FROM $t.branch_audit WHERE k >= 1990")
+    rows(s"SELECT count(*), sum(v) FROM $t") shouldBe mainBefore
+    GraftTableCatalog.readLatest(dir) shouldBe latestBefore
+    rows(s"SELECT count(*), min(k), max(k) FROM $t.branch_audit") shouldBe
+      Seq(Seq(1990L, 0L, 1989L))
+    // .refs lists the branch with its fork point and local head count
+    rows(s"SELECT tag, version, type, head FROM $t.refs WHERE type = 'branch'") shouldBe
+      Seq(Seq("audit", latestBefore, "branch", 3L))
+    // publish: ONE new main version carries the whole audited batch
+    sql("CALL graft_cat.sys.fast_forward('db', 'wap', 'audit')")
+    GraftTableCatalog.readLatest(dir) shouldBe latestBefore + 1
+    rows(s"SELECT count(*), min(k), max(k) FROM $t") shouldBe
+      Seq(Seq(1990L, 0L, 1989L))
+    rows(s"SELECT operation FROM $t.snapshots ORDER BY version DESC LIMIT 1") shouldBe
+      Seq(Seq("fast_forward"))
+    // a diverged main refuses fast-forward (ancestor rule)
+    sql(s"INSERT INTO $t.branch_audit VALUES (5000, 1)")
+    sql(s"INSERT INTO $t VALUES (6000, 1)")
+    val e1 = intercept[Exception](
+      sql("CALL graft_cat.sys.fast_forward('db', 'wap', 'audit')"))
+    e1.getMessage should include("main advanced")
+    // expire keeps the branch's unpublished files and its base manifest
+    sql(s"INSERT INTO $t VALUES (6001, 1)")
+    sql(s"INSERT INTO $t VALUES (6002, 1)")
+    sql("CALL graft_cat.sys.expire_versions('db', 'wap', 1)")
+    rows(s"SELECT count(*) FROM $t.branch_audit").head.head shouldBe 1991L
+    // drop_branch reclaims files referenced by the branch alone
+    val r = sql("CALL graft_cat.sys.drop_branch('db', 'wap', 'audit')")
+      .collect().head
+    r.getBoolean(0) shouldBe true
+    r.getLong(1) should be >= 1L
+    intercept[Exception](rows(s"SELECT count(*) FROM $t.branch_audit"))
+    // main serves on, unaffected by the branch's death
+    rows(s"SELECT count(*) FROM $t").head.head shouldBe 1993L
+    // upsert-keyed tables refuse branches outright
+    sql("DROP TABLE IF EXISTS graft_cat.db.wap_ups")
+    sql("""CREATE TABLE graft_cat.db.wap_ups (k BIGINT, v BIGINT)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    val e2 = intercept[Exception](
+      sql("CALL graft_cat.sys.branch('db', 'wap_ups', 'b')"))
+    e2.getMessage should include("upsert")
+  }
+
+
+  test("partition-spec evolution: SET PARTITION SPEC rewrites nothing; each generation prunes under its own layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.specev")
+    sql("CREATE TABLE graft_cat.db.specev (g BIGINT, ms BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    // generation 0: identity(g) — one task, 4 partition files
+    sql("INSERT INTO graft_cat.db.specev SELECT id % 4, " +
+      "(19700 + id % 3) * 86400000, id FROM range(0, 40000, 1, 1)")
+    val dir = new File("work/graft_cat/db/specev")
+    def entries() = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).files
+    val gen0 = entries().map(_.name).toSet
+    gen0.size shouldBe 4
+    // evolve: days(ms). ZERO files rewritten, spec id appended
+    val r = sql("CALL graft_cat.sys.set_partition_spec('db', 'specev', 'days(ms)')")
+      .collect().head
+    r.getLong(0) shouldBe 1L
+    entries().map(_.name).toSet shouldBe gen0
+    // generation 1: same data shape, lands under days(ms) — 3 day files
+    sql("INSERT INTO graft_cat.db.specev SELECT id % 4, " +
+      "(19700 + id % 3) * 86400000, id FROM range(40000, 80000, 1, 1)")
+    entries().length shouldBe 7
+    entries().map(_.specId).toSet shouldBe Set(0, 1)
+    // probe on the OLD spec column: gen-0 prunes to 1-of-4, gen-1 files
+    // carry no g facts and all open — 4 of 7 total
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.specev WHERE g = 2") shouldBe
+      Seq(Seq(20000L))
+    GraftTableCatalog.filesOpened.get shouldBe 4L
+    // probe on the NEW spec column: gen-1 prunes to 1-of-3; gen-0 files
+    // span all days (stats cannot disprove) and all open — 5 of 7
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.specev " +
+      s"WHERE ms = ${19701L * 86400000L}") shouldBe Seq(Seq(26667L))
+    GraftTableCatalog.filesOpened.get shouldBe 5L
+    // .partitions reports both layout generations side by side
+    val labels = rows("SELECT partition FROM graft_cat.db.specev.partitions")
+      .map(_.head.toString)
+    labels.count(_.startsWith("g=")) shouldBe 4
+    labels.count(_.startsWith("ms_day=")) shouldBe 3
+    // DELETE prunes per generation: the g=1 gen-0 file drops
+    // metadata-only; gen-1 boundary files rewrite under THEIR layout
+    sql("DELETE FROM graft_cat.db.specev WHERE g = 1")
+    GraftTableCatalog.lastDeleteDropped.get shouldBe 1L
+    GraftTableCatalog.lastDeleteRewritten.get shouldBe 3L
+    rows("SELECT count(*) FROM graft_cat.db.specev") shouldBe Seq(Seq(60000L))
+    entries().filter(_.specId == 1).foreach(_.partition.length shouldBe 1)
+    // compaction packs per (generation, tuple): pruning survives it
+    sql("CALL graft_cat.sys.compact('db', 'specev', 1073741824)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.specev WHERE g = 2") shouldBe
+      Seq(Seq(20000L))
+    GraftTableCatalog.filesOpened.get should be <= 4L
+  }
+
+
+  test("SHOW PARTITIONS / DROP PARTITION: plain-SQL partition DDL over the manifest; aligned drop is metadata-only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.pmgmt")
+    sql("CREATE TABLE graft_cat.db.pmgmt (g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.pmgmt SELECT id % 4, id " +
+      "FROM range(0, 4000, 1, 1)")
+    // SHOW PARTITIONS lists the live tuples in Hive layout
+    sql("SHOW PARTITIONS graft_cat.db.pmgmt").collect()
+      .map(_.getString(0)).sorted shouldBe
+      Array("g=0", "g=1", "g=2", "g=3")
+    // ... and narrows by a partial spec
+    sql("SHOW PARTITIONS graft_cat.db.pmgmt PARTITION (g=2)").collect()
+      .map(_.getString(0)) shouldBe Array("g=2")
+    // DROP PARTITION is metadata-only: entries leave the manifest, no
+    // data file is read or rewritten
+    val dir = new File("work/graft_cat/db/pmgmt")
+    val before = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).files.map(_.name).toSet
+    GraftTableCatalog.filesOpened.set(0)
+    sql("ALTER TABLE graft_cat.db.pmgmt DROP PARTITION (g=1)")
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    GraftTableCatalog.lastDeleteDropped.get shouldBe 1L
+    GraftTableCatalog.lastDeleteRewritten.get shouldBe 0L
+    rows("SELECT count(*), count(DISTINCT g) FROM graft_cat.db.pmgmt") shouldBe
+      Seq(Seq(3000L, 3L))
+    val after = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    after.op shouldBe "drop_partition"
+    after.files.map(_.name).toSet.subsetOf(before) shouldBe true
+    // time travel still serves the dropped partition (nothing deleted)
+    val v = GraftTableCatalog.readLatest(dir) - 1
+    rows(s"SELECT count(*) FROM graft_cat.db.pmgmt VERSION AS OF $v") shouldBe
+      Seq(Seq(4000L))
+    // dropping a missing partition is a loud no-such-partition error
+    intercept[Exception](
+      sql("ALTER TABLE graft_cat.db.pmgmt DROP PARTITION (g=9)"))
+    // IF EXISTS makes it silent
+    sql("ALTER TABLE graft_cat.db.pmgmt DROP IF EXISTS PARTITION (g=9)")
+    // ADD PARTITION is deliberately unsupported (hidden partitioning)
+    intercept[Exception](
+      sql("ALTER TABLE graft_cat.db.pmgmt ADD PARTITION (g=7)"))
+  }
+
+
+  test("bounded-memory equality deletes: key files land as SORTED runs, readers probe them mmap'd, the cross-task dup check streams") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    // LONG keys: a multi-task CDC batch over a multi-task base
+    sql("DROP TABLE IF EXISTS graft_cat.db.eqmem")
+    sql("""CREATE TABLE graft_cat.db.eqmem (k BIGINT, v STRING)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.eqmem SELECT id, concat('v', id) " +
+      "FROM range(0, 100000, 1, 4)")
+    // an unsorted, multi-partition CDC batch (affine scramble)
+    sql("INSERT INTO graft_cat.db.eqmem " +
+      "SELECT (id * 48271 + 7) % 100000, concat('u', id) " +
+      "FROM range(0, 10000, 1, 2)")
+    val dir = new File("work/graft_cat/db/eqmem")
+    val m = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    m.eqDeletes should not be empty
+    // THE MEMORY-SHAPE PIN: every key file on disk is a sorted run (the
+    // EqKeys layout readers binary-search memory-mapped — keys are never
+    // materialized on the heap; loadEqKeys no longer exists)
+    m.eqDeletes.foreach { q =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(new File(dir, "data/" + q.name))))
+      try {
+        val n = in.readLong()
+        n shouldBe q.rows
+        var prev = Long.MinValue
+        (0L until n).foreach { _ =>
+          val v = in.readLong()
+          v should be > prev
+          prev = v
+        }
+      } finally in.close()
+    }
+    // correctness through the mmap probe path, columnar AND row readers
+    val probe = "SELECT count(*), count(CASE WHEN v LIKE 'u%' THEN 1 END) " +
+      "FROM graft_cat.db.eqmem"
+    val col = rows(probe)
+    col shouldBe Seq(Seq(100000L, 10000L))
+    System.setProperty("graft.catalog.columnar", "false")
+    try rows(probe) shouldBe col
+    finally System.clearProperty("graft.catalog.columnar")
+    // STRING keys: sorted in UTF8 binary order, offset footer present
+    sql("DROP TABLE IF EXISTS graft_cat.db.eqmems")
+    sql("""CREATE TABLE graft_cat.db.eqmems (k STRING, v BIGINT)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.eqmems SELECT concat('k', id), id " +
+      "FROM range(0, 20000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.eqmems SELECT concat('k', id * 7 % 20000), -1 " +
+      "FROM range(0, 1000, 1, 1)")
+    rows("SELECT count(*), sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) " +
+      "FROM graft_cat.db.eqmems") shouldBe Seq(Seq(20000L, 1000L))
+    // the streaming cross-task duplicate check still dies loudly: the
+    // same key in two partitions of one batch violates the CDC contract
+    val dup = intercept[Exception](
+      sql("INSERT INTO graft_cat.db.eqmem " +
+        "SELECT CAST(id % 2 AS BIGINT), 'dup' FROM range(0, 4, 1, 2)"))
+    dup.getMessage should include("more than one task")
+    // the rejected batch stranded nothing and the table still serves
+    rows(probe) shouldBe col
+  }
+
+
+  test("CDF stress: upsert retractions over position deletes — MOR update then upsert of the same keys folds exactly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.mucdf")
+    sql("""CREATE TABLE graft_cat.db.mucdf (k BIGINT, v BIGINT)
+      |TBLPROPERTIES ('update.mode'='merge-on-read',
+      |               'write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.mucdf SELECT id, id FROM range(0, 10000, 1, 2)")
+    // MOR UPDATE: position deletes land on the base files, updated rows
+    // land in a small insert file
+    sql("UPDATE graft_cat.db.mucdf SET v = v + 100000 " +
+      "WHERE k >= 100 AND k < 200")
+    val dir = new File("work/graft_cat/db/mucdf")
+    GraftTableCatalog.readManifest(dir, GraftTableCatalog.readLatest(dir))
+      .files.exists(_.deletes.nonEmpty) shouldBe true
+    // UPSERT the same key range plus untouched keys: retractions must
+    // thread THROUGH the position deletes (k in [100,150) was updated
+    // then NOT upserted; [150,250) spans updated AND untouched rows)
+    sql("INSERT INTO graft_cat.db.mucdf SELECT id, -id " +
+      "FROM range(150, 250, 1, 1)")
+    val vUpsert = GraftTableCatalog.readLatest(dir)
+    // final state: base, except [100,150) updated, [150,250) upserted
+    rows("""SELECT count(*), sum(v) FROM graft_cat.db.mucdf""").head shouldBe
+      Seq(10000L,
+        (0L until 10000L).map { k =>
+          if (k >= 150 && k < 250) -k
+          else if (k >= 100 && k < 150) k + 100000L
+          else k
+        }.sum)
+    // EXACT retraction accounting at the upsert version: one delete per
+    // upserted key, carrying the value LIVE at v-1 (the UPDATED value
+    // for [150,200) — not the original, not a double emission)
+    val dels = rows(s"""SELECT k, v FROM graft_cat.db.mucdf.changes
+      |WHERE _version = $vUpsert AND _change_type = 'delete'""".stripMargin)
+    dels.length shouldBe 100
+    dels.map(_.head.asInstanceOf[Long]).sorted shouldBe (150L until 250L)
+    dels.map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      .foreach { case (k, v) =>
+        v shouldBe (if (k < 200) k + 100000L else k)
+      }
+    // the full fold reproduces the table exactly (multiset semantics)
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.mucdf.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM folded EXCEPT SELECT k, v FROM graft_cat.db.mucdf)),
+      |  (SELECT count(*) FROM
+      |    (SELECT k, v FROM graft_cat.db.mucdf EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
+  }
+
 }
