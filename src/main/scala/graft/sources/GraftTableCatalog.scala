@@ -1634,7 +1634,9 @@ object GraftTableCatalog {
     def lookup(paths: Array[String], isStr: Boolean): Lookup =
       new Lookup(paths, isStr)
 
-    /** Write one task's DISTINCT keys as a sorted run. */
+    /** Write one task's DISTINCT keys as a sorted run. Capped at 2 GiB
+      * per run (a single MappedByteBuffer's address range) — ~250M long
+      * keys per TASK per batch; a bigger CDC batch should shard tasks. */
     def write(file: File, keys: Iterable[Any], isStr: Boolean): Long = {
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
         new FileOutputStream(file)))
@@ -1654,12 +1656,18 @@ object GraftTableCatalog {
           while (i < bs.length) {
             offs(i) = pos; pos += 4 + bs(i).length; i += 1
           }
+          require(pos + 8L * bs.length <= Int.MaxValue.toLong,
+            s"equality-delete key run would exceed 2 GiB ($pos bytes of " +
+              "keys) — shard the CDC batch across more tasks")
           out.writeLong(pos) // offset-table position
           bs.foreach { b => out.writeInt(b.length); out.write(b) }
           offs.foreach(out.writeLong)
           bs.length.toLong
         } else {
           val ls = keys.map(_.asInstanceOf[java.lang.Long].longValue).toArray
+          require(8L + 8L * ls.length <= Int.MaxValue.toLong,
+            "equality-delete key run would exceed 2 GiB — shard the " +
+              "CDC batch across more tasks")
           java.util.Arrays.sort(ls)
           out.writeLong(ls.length.toLong)
           ls.foreach(out.writeLong)
@@ -3251,7 +3259,8 @@ private class CatalogCowScan(base: CatalogScan, op: CatalogRowLevelOperation)
   override def supportedCustomMetrics(): Array[CustomMetric] =
     CatalogScanMetrics.supported
   override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
+    if (GraftTableCatalog.columnarEnabled) CatalogColumnarReaderFactory
+    else CatalogReaderFactory
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -3696,7 +3705,8 @@ private class ChangesScan(dir: File, base: StructType, out: StructType,
     changeSplits(dir, base, startingVersion, readLatest(dir),
       failOnExpiredStart = false)
   override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
+    if (GraftTableCatalog.columnarEnabled) CatalogColumnarReaderFactory
+    else CatalogReaderFactory
 }
 
 private class ChangesMicroBatchStream(dir: File, base: StructType,
@@ -3724,7 +3734,8 @@ private class ChangesMicroBatchStream(dir: File, base: StructType,
       end.asInstanceOf[VersionOffset].v,
       failOnExpiredStart = true)
   override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
+    if (GraftTableCatalog.columnarEnabled) CatalogColumnarReaderFactory
+    else CatalogReaderFactory
 }
 
 /** The catalog table as a STREAMING SOURCE — version-offset tailing:
@@ -3797,7 +3808,8 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CatalogReaderFactory
+    if (GraftTableCatalog.columnarEnabled) CatalogColumnarReaderFactory
+    else CatalogReaderFactory
 }
 
 private case class VersionOffset(v: Long)

@@ -1228,6 +1228,19 @@ class CatalogSpec extends SparkSpec {
       "FROM range(0, 1000, 1, 1)")
     rows("SELECT count(*), sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) " +
       "FROM graft_cat.db.eqmems") shouldBe Seq(Seq(20000L, 1000L))
+    // the change feed resolves STRING-keyed retractions through the
+    // mmap'd keysOnly probe (columnar path): fold ≡ table
+    rows("""WITH folded AS (
+      |  SELECT k, v,
+      |    sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+      |  FROM graft_cat.db.eqmems.changes GROUP BY k, v HAVING n != 0)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT k, v FROM folded
+      |     EXCEPT SELECT k, v FROM graft_cat.db.eqmems)),
+      |  (SELECT count(*) FROM (SELECT k, v FROM graft_cat.db.eqmems
+      |     EXCEPT SELECT k, v FROM folded)),
+      |  (SELECT count(*) FROM folded WHERE n != 1)""".stripMargin) shouldBe
+      Seq(Seq(0L, 0L, 0L))
     // the streaming cross-task duplicate check still dies loudly: the
     // same key in two partitions of one batch violates the CDC contract
     val dup = intercept[Exception](
