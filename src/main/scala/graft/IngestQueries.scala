@@ -1008,6 +1008,32 @@ object IngestQueries {
       .toDF("g", "n", "cents")
   }
 
+  /** q290: AGGREGATE PUSHDOWN INTO MANIFEST STATS — unfiltered COUNT(*) /
+    * COUNT(col) / MIN / MAX answer from the manifest as a LocalTableScan:
+    * ZERO files opened, zero tasks (the Iceberg count-from-metadata
+    * behavior; CatalogSpec pins the 0-filesOpened counter, the
+    * LocalTableScan plan, and every decline: nullable-column counts,
+    * filtered aggregates, MOR-delete extremes, outstanding equality
+    * deletes — with compaction restoring the metadata answer). COUNT
+    * stays exact THROUGH merge-on-read position deletes (liveRows
+    * subtracts them). At 100 TB: a table count reads kilobytes of
+    * manifest instead of launching a full scan. Oracle: DuckDB computes
+    * the same four scalars from the source rows. */
+  val q290CatalogAggPushdown: Q = (s, d) => {
+    val t = catTable(s, d, "ev290")
+    val t2 = catTable(s, d, "ev290b")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('delete.mode'='merge-on-read')
+             |AS ${catEventsSql(d)}""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE cents >= 20000 AND cents < 20010")
+    s.sql(s"CREATE TABLE $t2 AS ${catEventsSql(d)}")
+    s.sql(s"""SELECT
+             |  (SELECT count(*) FROM $t) AS n_after_mor_delete,
+             |  (SELECT count(*) FROM $t2) AS n,
+             |  (SELECT min(k) FROM $t2) AS min_k,
+             |  (SELECT max(k) FROM $t2) AS max_k,
+             |  (SELECT count(cents) FROM $t2) AS n_cents""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -1016,6 +1042,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q290_catalog_agg_pushdown" -> q290CatalogAggPushdown,
     "q289_catalog_incremental_mv" -> q289CatalogIncrementalMv,
     "q288_catalog_spec_evolution" -> q288CatalogSpecEvolution,
     "q287_catalog_branch_wap" -> q287CatalogBranchWap,
@@ -1083,6 +1110,18 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The four metadata-served scalars, recomputed by DuckDB from rows.
+    "q290_catalog_agg_pushdown" ->
+      """WITH src AS (SELECT event_id AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM src
+        |     WHERE NOT (c >= 20000 AND c < 20010)) AS n_after_mor_delete,
+        |  (SELECT count(*) FROM src) AS n,
+        |  (SELECT min(k) FROM src) AS min_k,
+        |  (SELECT max(k) FROM src) AS max_k,
+        |  (SELECT count(c) FROM src) AS n_cents""".stripMargin,
     // The rollup the delta stream maintained, recomputed by DuckDB from
     // the replayed mutation history (insert both slices, apply the
     // update, drop the deleted rows).

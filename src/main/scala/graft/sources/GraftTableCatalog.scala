@@ -2296,10 +2296,108 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     manifest: GraftTableCatalog.Manifest, startingVersion: Long = 0L,
     streamBranch: Option[String] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import GraftTableCatalog._
   private var skipFilters = Array.empty[Filter]
   private var required: StructType = schema
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+
+  /** AGGREGATE PUSHDOWN INTO MANIFEST STATISTICS — the Iceberg
+    * count-from-metadata behavior: an unfiltered, ungrouped COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col) answers from the manifest WITHOUT
+    * opening a data file (at 100 TB: kilobytes of manifest instead of a
+    * full scan). Strictly proof-gated, declining to a normal scan when
+    * exactness is not provable:
+    *  - any pushed filter → decline (a partially-matching file would
+    *    need row inspection);
+    *  - outstanding equality deletes → decline everything (liveRows is
+    *    an upper bound until compaction);
+    *  - COUNT(*): liveRows sums stay exact THROUGH position deletes;
+    *  - COUNT(col): needs every file proven null-free for the column
+    *    (then every live row counts, deletes included);
+    *  - MIN/MAX(col): LONG stats over non-null values (SQL min/max
+    *    ignore nulls, same domain); any position delete on any file
+    *    declines — the extremal row may be the deleted one; every file
+    *    must either carry bounds for the column or prove it all-null. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = answerFromManifest(agg)
+    pushedAgg.isDefined
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answerFromManifest(agg).isDefined
+
+  private def answerFromManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (agg.groupByExpressions().nonEmpty || skipFilters.nonEmpty ||
+        manifest.eqDeletes.nonEmpty) return None
+    val mp = readMapping(dir, schema)
+    val specs = readSpecs(dir)
+    val facts = manifest.files.map(e => fileFacts(e, schema, mp,
+      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+      else Seq.empty))
+    val hasPosDeletes = manifest.files.exists(_.deletes.nonEmpty)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+        schema.fieldNames.contains(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def extremum(col: String, lo: Boolean): Option[Any] =
+      if (hasPosDeletes || schema(col).dataType != LongType) None
+      else {
+        // per file: Some(None) = provably all-null (contributes
+        // nothing), Some(Some(b)) = bound, None = unprovable → decline
+        val per: Seq[Option[Option[Long]]] = facts.map { f =>
+          if (f.allNull(col)) Some(None)
+          else f.rng.get(col) match {
+            case Some(r) => Some(Some(if (lo) r._1 else r._2))
+            case None => None
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else {
+          val bounds = per.flatten.flatten
+          Some(if (bounds.isEmpty) null
+            else if (lo) (bounds.min: java.lang.Long)
+            else (bounds.max: java.lang.Long))
+        }
+      }
+    val cols = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some(("count_star", LongType, false,
+          manifest.files.map(_.liveRows).sum: Any))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column()).flatMap { col =>
+          if (facts.forall(_.nullFree(col)))
+            Some(("count", LongType, false,
+              manifest.files.map(_.liveRows).sum: Any))
+          else None
+        }
+      case m: Min =>
+        colOf(m.column()).flatMap(col => extremum(col, lo = true)
+          .map(v => ("min", LongType, true, v)))
+      case m: Max =>
+        colOf(m.column()).flatMap(col => extremum(col, lo = false)
+          .map(v => ("max", LongType, true, v)))
+      case _ => None // Sum/Avg/stddev/distinct: not derivable from stats
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val defined = cols.map(_.get)
+      val st = defined.zipWithIndex.foldLeft(new StructType()) {
+        case (s, ((nm, dt, nullable, _), i)) => s.add(s"${nm}_$i", dt, nullable)
+      }
+      Some((st, defined.map(_._4).toArray))
+    }
+  }
 
   /** File skipping, not filtering: every filter stays RESIDUAL (Spark
     * re-applies them all), but files whose facts (partition values
@@ -2314,19 +2412,35 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val mp = readMapping(dir, schema)
-    val specs = readSpecs(dir)
-    def specOf(e: Entry): Seq[PT] =
-      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
-      else Seq.empty
-    val live = manifest.files.filter { e =>
-      val facts = fileFacts(e, schema, mp, specOf(e))
-      skipFilters.forall(mayMatch(_, facts))
-    }
-    new CatalogScan(dir, schema, mp, specs, required, live, manifest.version,
-      startingVersion, upsertCtx(dir, schema, manifest), streamBranch)
+  override def build(): Scan = pushedAgg match {
+    case Some((st, values)) =>
+      // the manifest IS the answer: a LocalScan serves it driver-side —
+      // zero tasks, zero files opened (CatalogSpec pins the counter)
+      new CatalogAggScan(dir, st, values)
+    case None =>
+      val mp = readMapping(dir, schema)
+      val specs = readSpecs(dir)
+      def specOf(e: Entry): Seq[PT] =
+        if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+        else Seq.empty
+      val live = manifest.files.filter { e =>
+        val facts = fileFacts(e, schema, mp, specOf(e))
+        skipFilters.forall(mayMatch(_, facts))
+      }
+      new CatalogScan(dir, schema, mp, specs, required, live,
+        manifest.version, startingVersion,
+        upsertCtx(dir, schema, manifest), streamBranch)
   }
+}
+
+/** A pushed-down aggregate answered entirely from the manifest. */
+private class CatalogAggScan(dir: File, st: StructType, values: Array[Any])
+    extends Scan with LocalScan {
+  override def readSchema(): StructType = st
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(values))
+  override def description(): String =
+    s"graft_cat manifest-aggregate $dir ${st.fieldNames.mkString(",")}"
 }
 
 private class CatalogScan(dir: File, tableSchema: StructType,
@@ -3744,7 +3858,10 @@ private class ChangesMicroBatchStream(dir: File, base: StructType,
   * `stream-epoch`, `overwrite`) in the offset window. Row-level
   * mutations reference rewritten copies of EXISTING rows, so their
   * commits emit nothing here — the APPEND feed; the `.changes` table is
-  * the full CDF with change types. `startingVersion` (default 0 = full
+  * the full CDF with change types. A `fast_forward` WAP publish emits
+  * its branch's files when the publish was pure-insert, and fails
+  * loudly when the branch mutated pre-existing rows (appends cannot
+  * represent it). `startingVersion` (default 0 = full
   * history) skips the backlog. Offsets are plain version numbers, so a
   * restart from the checkpoint resumes exactly; expired versions inside
   * a window are skipped (expire_versions bounds history explicitly). */
@@ -3786,23 +3903,42 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
     // baseline would silently re-emit the whole table): fail loudly —
     // expiring versions a live stream's checkpoint still needs is an
     // operator error, same contract as expired VERSION AS OF reads.
-    var seen: Set[String] = (s to 1L by -1).find(exists)
-      .map(v => readManifest(dir, v).files.map(_.name).toSet)
+    var seen: Map[String, Entry] = (s to 1L by -1).find(exists)
+      .map(v => readManifest(dir, v).files.map(e => e.name -> e).toMap)
       .getOrElse {
         if (s >= 1)
           throw new IllegalStateException(
             s"stream offset v$s of $dir was expired by sys.expire_versions" +
               " — restart the stream from scratch or retain more versions")
-        Set.empty
+        Map.empty
       }
     val out = Seq.newBuilder[InputPartition]
     ((s + 1) to e).filter(exists).foreach { v =>
       val m = readManifest(dir, v)
+      val cur = m.files.map(e => e.name -> e).toMap
       if (AppendOps.contains(m.op))
         m.files.filterNot(f => seen.contains(f.name)).foreach { f =>
           out += filePartition(dir, tableSchema, mp, required, f)
         }
-      seen = m.files.map(_.name).toSet
+      else if (m.op == "fast_forward") {
+        // a WAP publish that only INSERTED on its branch is an append:
+        // every previously-seen file survives byte-identical (same
+        // delete set) and the branch's files emit. A publish carrying
+        // branch DML (rewrites/position deletes on old files) cannot be
+        // represented as appends — fail loudly, the `.changes` feed is
+        // the surface that can.
+        val pure = seen.forall { case (n, pe) =>
+          cur.get(n).exists(_.deletes.length == pe.deletes.length)
+        }
+        if (!pure) throw new UnsupportedOperationException(
+          s"v$v of $dir is a fast-forward publish that MUTATED " +
+            "pre-existing rows — the append feed cannot represent it; " +
+            "read the .changes change data feed instead")
+        m.files.filterNot(f => seen.contains(f.name)).foreach { f =>
+          out += filePartition(dir, tableSchema, mp, required, f)
+        }
+      }
+      seen = cur
     }
     out.result().toArray
   }

@@ -1305,4 +1305,106 @@ class CatalogSpec extends SparkSpec {
       Seq(Seq(0L, 0L, 0L))
   }
 
+
+  test("aggregate pushdown into manifest stats: COUNT/MIN/MAX answer metadata-only and decline whenever exactness is unprovable") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.aggpd")
+    sql("CREATE TABLE graft_cat.db.aggpd (k BIGINT, x DOUBLE, s STRING) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    sql("INSERT INTO graft_cat.db.aggpd SELECT id, id * 0.5, " +
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('s', id) END " +
+      "FROM range(0, 100000, 1, 4)")
+    // count(*) / min / max / count(null-free col) answer from the
+    // manifest: zero files opened, plan is a LocalTableScan
+    GraftTableCatalog.filesOpened.set(0)
+    val df = sql("SELECT count(*), min(k), max(k), count(k) FROM graft_cat.db.aggpd")
+    df.collect().head.toSeq shouldBe Seq(100000L, 0L, 99999L, 100000L)
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    df.queryExecution.executedPlan.toString should include ("LocalTableScan")
+    // a nullable column's count is unprovable -> the WHOLE push declines
+    // and the scan answers by reading (still correct)
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*), count(s) FROM graft_cat.db.aggpd") shouldBe
+      Seq(Seq(100000L, 90000L))
+    GraftTableCatalog.filesOpened.get shouldBe 4L
+    // a filtered aggregate never pushes (partially-matching files)
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggpd WHERE k >= 50000") shouldBe
+      Seq(Seq(50000L))
+    GraftTableCatalog.filesOpened.get should be >= 1L
+    // MOR position deletes: count(*) stays exact THROUGH them
+    // (liveRows subtracts), min/max decline (the extremal row may be
+    // the deleted one)
+    sql("DELETE FROM graft_cat.db.aggpd WHERE k >= 50000 AND k < 50010")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggpd") shouldBe Seq(Seq(99990L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT min(k), max(k) FROM graft_cat.db.aggpd") shouldBe
+      Seq(Seq(0L, 99999L))
+    GraftTableCatalog.filesOpened.get shouldBe 4L
+    // outstanding equality deletes (upsert) decline EVERYTHING —
+    // liveRows is an upper bound until compaction
+    sql("DROP TABLE IF EXISTS graft_cat.db.aggups")
+    sql("""CREATE TABLE graft_cat.db.aggups (k BIGINT, v BIGINT)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.aggups SELECT id, id FROM range(0, 1000, 1, 1)")
+    sql("INSERT INTO graft_cat.db.aggups SELECT id, -id FROM range(0, 500, 1, 1)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggups") shouldBe Seq(Seq(1000L))
+    GraftTableCatalog.filesOpened.get should be >= 1L
+    // ... and compaction restores the metadata answer
+    sql("CALL graft_cat.sys.compact('db', 'aggups', 1073741824)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*), min(k), max(k) FROM graft_cat.db.aggups") shouldBe
+      Seq(Seq(1000L, 0L, 999L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // an empty table answers count 0 / null extremes, still metadata-only
+    sql("DELETE FROM graft_cat.db.aggpd WHERE k >= 0")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*), min(k) FROM graft_cat.db.aggpd") shouldBe
+      Seq(Seq(0L, null))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+  }
+
+
+  test("append feed x WAP: a pure-insert fast-forward emits its branch's rows; a publish carrying branch DML fails the tailer loudly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.wapfeed")
+    sql("CREATE TABLE graft_cat.db.wapfeed (k BIGINT, v BIGINT)")
+    sql("INSERT INTO graft_cat.db.wapfeed SELECT id, id FROM range(0, 100, 1, 1)")
+    val got = collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wapfeed-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft_cat.db.wapfeed")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.collect().map(_.getLong(0)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    got.length shouldBe 100
+    // pure-insert WAP: branch, insert, publish — the tailer receives
+    // exactly the audited batch
+    sql("CALL graft_cat.sys.branch('db', 'wapfeed', 'audit')")
+    sql("INSERT INTO graft_cat.db.wapfeed.branch_audit " +
+      "SELECT id, id FROM range(100, 150, 1, 1)")
+    sql("CALL graft_cat.sys.fast_forward('db', 'wapfeed', 'audit')")
+    drain()
+    got.length shouldBe 150
+    got.toSeq.sorted shouldBe (0L until 150L)
+    // a publish that MUTATED pre-existing rows cannot read as appends:
+    // the tailer dies loudly and points at .changes
+    sql("INSERT INTO graft_cat.db.wapfeed.branch_audit VALUES (999, 1)")
+    sql("DELETE FROM graft_cat.db.wapfeed.branch_audit WHERE k < 10")
+    sql("CALL graft_cat.sys.fast_forward('db', 'wapfeed', 'audit')")
+    val e = intercept[Exception](drain())
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    rootMsg(e) should include(".changes")
+  }
+
 }
