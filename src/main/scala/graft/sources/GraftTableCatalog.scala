@@ -908,7 +908,19 @@ object GraftTableCatalog {
       s"branch '$name' advanced to head ${r.head} (expected $expectedHead)")
     val next = expectedHead + 1
     val target = branchManifestFile(dir, name, next)
-    Files.createFile(target.toPath) // a racer dies loudly here
+    try Files.createFile(target.toPath) // a racer dies loudly here
+    catch {
+      case e: FileAlreadyExistsException =>
+        // same stale-orphan rule as the main chain: reclaim only a
+        // zero-byte, never-published (head still below it), AGED
+        // reservation — a crashed writer must not brick the branch
+        if (target.length() == 0 && branchRefOf(dir, name).head < next &&
+            System.currentTimeMillis - target.lastModified() >
+              OrphanReclaimMs) {
+          Files.delete(target.toPath)
+          Files.createFile(target.toPath)
+        } else throw e
+    }
     val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
     Files.write(tmp.toPath,
       manifestBody(op, files, epochs, eqDeletes).getBytes(StandardCharsets.UTF_8))
@@ -2149,6 +2161,16 @@ private class CatalogTable(dir: File, tableName: String,
       lastDeleteKept.set(kept.length.toLong)
       true
     }
+  }
+
+  /** `TRUNCATE TABLE t PARTITION (...)` — for a lake table, removing a
+    * partition's rows IS the metadata-only entry drop (the partition
+    * "exists" again the moment a write lands rows in it). */
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    if (!partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(tableName, ident, partitionSchema())
+    dropPartition(ident)
   }
 
   override def createPartition(ident: InternalRow,

@@ -1174,6 +1174,14 @@ class CatalogSpec extends SparkSpec {
     // ADD PARTITION is deliberately unsupported (hidden partitioning)
     intercept[Exception](
       sql("ALTER TABLE graft_cat.db.pmgmt ADD PARTITION (g=7)"))
+    // TRUNCATE TABLE ... PARTITION is the same metadata-only drop
+    GraftTableCatalog.filesOpened.set(0)
+    sql("TRUNCATE TABLE graft_cat.db.pmgmt PARTITION (g=2)")
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    rows("SELECT count(*), count(DISTINCT g) FROM graft_cat.db.pmgmt") shouldBe
+      Seq(Seq(2000L, 2L))
+    intercept[Exception](
+      sql("TRUNCATE TABLE graft_cat.db.pmgmt PARTITION (g=2)"))
   }
 
 
