@@ -1218,7 +1218,11 @@ object GraftTableCatalog {
           case LongType => out.writeLong(v.asInstanceOf[Long])
           case DoubleType => out.writeDouble(v.asInstanceOf[Double])
           case StringType =>
-            val b = v.toString.getBytes(StandardCharsets.UTF_8)
+            // a UTF8String's bytes ARE the encoding — no String detour
+            val b = v match {
+              case u: UTF8String => u.getBytes
+              case s => s.toString.getBytes(StandardCharsets.UTF_8)
+            }
             out.writeInt(b.length); out.write(b)
           case t => sys.error(s"unsupported $t")
         }
@@ -1237,6 +1241,25 @@ object GraftTableCatalog {
           case DoubleType => in.readDouble()
           case StringType =>
             val b = new Array[Byte](in.readInt()); in.readFully(b)
+            new String(b, StandardCharsets.UTF_8)
+          case t => sys.error(s"unsupported $t")
+        }
+      }
+      out
+    }
+
+    /** Same decode off a (memory-mapped) buffer — the driver-side
+      * rewrite/compact path's variant; big-endian matches the writer. */
+    def read(buf: java.nio.ByteBuffer, types: Array[DataType],
+        fileCols: Int): Array[Any] = {
+      val bits = buf.getLong()
+      val out = new Array[Any](fileCols)
+      (0 until fileCols).foreach { i =>
+        if ((bits & (1L << i)) == 0) out(i) = types(i) match {
+          case LongType => buf.getLong()
+          case DoubleType => buf.getDouble()
+          case StringType =>
+            val b = new Array[Byte](buf.getInt()); buf.get(b)
             new String(b, StandardCharsets.UTF_8)
           case t => sys.error(s"unsupported $t")
         }
@@ -1872,9 +1895,14 @@ object GraftTableCatalog {
           schema.fields(keyIdx).dataType == StringType)))
     }
     var si = 0
-    val in = new DataInputStream(new BufferedInputStream(
-      new FileInputStream(new File(new File(dir, "data"), e.name))))
-    try (0L until e.rows).flatMap { pos =>
+    val in = { // memory-mapped, same as the columnar reader
+      val ch = java.nio.channels.FileChannel.open(
+        new File(new File(dir, "data"), e.name).toPath)
+      try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        0, ch.size())
+      finally ch.close()
+    }
+    (0L until e.rows).flatMap { pos =>
       val raw = Codec.read(in, types, types.length)
       if (si < skip.length && skip(si) == pos) { si += 1; None }
       else {
@@ -1889,7 +1917,7 @@ object GraftTableCatalog {
         }
         if (eqDead) None else Some((pos, aligned))
       }
-    } finally in.close()
+    } // the mapping frees with GC
   }
 
   /** Derive the CHANGE DATA FEED splits for versions (fromV, toV]: diff
@@ -3234,7 +3262,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         val name = s"$stem$suffix.bin"
         val file = new File(new File(dirPath, "data"), name)
         val out = new DataOutputStream(new java.io.BufferedOutputStream(
-          new FileOutputStream(file)))
+          new FileOutputStream(file), 1 << 16))
         var rows = 0L
         val stats = collection.mutable.Map[String, (Long, Long)]()
         val hasNull = new Array[Boolean](types.length)
@@ -3282,7 +3310,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           else types(i) match {
             case LongType => row.getLong(i)
             case DoubleType => row.getDouble(i)
-            case StringType => row.getUTF8String(i).toString
+            case StringType => row.getUTF8String(i) // bytes pass through
             case t => sys.error(s"unsupported $t")
           })
         var i = 0
