@@ -1257,6 +1257,12 @@ class CatalogSpec extends SparkSpec {
     dup.getMessage should include("more than one task")
     // the rejected batch stranded nothing and the table still serves
     rows(probe) shouldBe col
+    // ... and the STRING-keyed merge walks the same guard
+    val dupS = intercept[Exception](
+      sql("INSERT INTO graft_cat.db.eqmems " +
+        "SELECT 'dup', id FROM range(0, 2, 1, 2)"))
+    dupS.getMessage should include("more than one task")
+    rows("SELECT count(*) FROM graft_cat.db.eqmems") shouldBe Seq(Seq(20000L))
   }
 
 
