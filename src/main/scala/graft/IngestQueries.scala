@@ -1034,6 +1034,26 @@ object IngestQueries {
              |  (SELECT count(cents) FROM $t2) AS n_cents""".stripMargin)
   }
 
+  /** q291: PARTITION HISTOGRAM FROM METADATA — GROUP-BY-partition-column
+    * aggregate pushdown: `SELECT g, count(*), min(k), max(k) ... GROUP BY
+    * g` on an identity-partitioned table answers with ONE row per live
+    * partition straight from the manifest (zero files opened, zero
+    * tasks, LocalTableScan — spec-pinned, with declines for expression
+    * groups, non-identity transforms, and mixed spec generations). The
+    * daily 100 TB operator question — "how big is each partition, is the
+    * layout skewed" — served from kilobytes, grouped and exact (position
+    * deletes subtract; equality deletes decline). Oracle: DuckDB groups
+    * the source rows by the same derivation. */
+  val q291CatalogPartitionHistogram: Q = (s, d) => {
+    val t = catTable(s, d, "ev291")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (g) AS
+             |SELECT k % 8 AS g, k, cents
+             |FROM (${catEventsSql(d)}) src""".stripMargin)
+    s.sql(s"""SELECT g, count(*) AS n, count(cents) AS n_cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY g""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -1042,6 +1062,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q291_catalog_partition_histogram" -> q291CatalogPartitionHistogram,
     "q290_catalog_agg_pushdown" -> q290CatalogAggPushdown,
     "q289_catalog_incremental_mv" -> q289CatalogIncrementalMv,
     "q288_catalog_spec_evolution" -> q288CatalogSpecEvolution,
@@ -1110,6 +1131,14 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The per-partition histogram, recomputed by DuckDB from the rows.
+    "q291_catalog_partition_histogram" ->
+      """SELECT event_id % 8 AS g, count(*) AS n, count(c) AS n_cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
     // The four metadata-served scalars, recomputed by DuckDB from rows.
     "q290_catalog_agg_pushdown" ->
       """WITH src AS (SELECT event_id AS k,

@@ -2351,7 +2351,7 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   import GraftTableCatalog._
   private var skipFilters = Array.empty[Filter]
   private var required: StructType = schema
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
 
   /** AGGREGATE PUSHDOWN INTO MANIFEST STATISTICS — the Iceberg
     * count-from-metadata behavior: an unfiltered, ungrouped COUNT(*) /
@@ -2382,17 +2382,16 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
 
   private def answerFromManifest(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (agg.groupByExpressions().nonEmpty || skipFilters.nonEmpty ||
-        manifest.eqDeletes.nonEmpty) return None
+    if (skipFilters.nonEmpty || manifest.eqDeletes.nonEmpty) return None
     val mp = readMapping(dir, schema)
     val specs = readSpecs(dir)
-    val facts = manifest.files.map(e => fileFacts(e, schema, mp,
-      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
-      else Seq.empty))
-    val hasPosDeletes = manifest.files.exists(_.deletes.nonEmpty)
+    val facts: Seq[(Entry, FileFacts)] = manifest.files.map(e =>
+      (e, fileFacts(e, schema, mp,
+        if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+        else Seq.empty)))
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames().length == 1 &&
@@ -2400,52 +2399,109 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
         Some(r.fieldNames()(0))
       case _ => None
     }
-    def extremum(col: String, lo: Boolean): Option[Any] =
-      if (hasPosDeletes || schema(col).dataType != LongType) None
-      else {
-        // per file: Some(None) = provably all-null (contributes
-        // nothing), Some(Some(b)) = bound, None = unprovable → decline
-        val per: Seq[Option[Option[Long]]] = facts.map { f =>
-          if (f.allNull(col)) Some(None)
-          else f.rng.get(col) match {
-            case Some(r) => Some(Some(if (lo) r._1 else r._2))
-            case None => None
+
+    /** The aggregate values over one file subset (the whole table, or
+      * one partition group) — None anywhere means decline the push. */
+    def aggsOver(sub: Seq[(Entry, FileFacts)])
+        : Option[Seq[(String, DataType, Boolean, Any)]] = {
+      val hasPosDeletes = sub.exists(_._1.deletes.nonEmpty)
+      def extremum(col: String, lo: Boolean): Option[Any] =
+        if (hasPosDeletes || schema(col).dataType != LongType) None
+        else {
+          // per file: Some(None) = provably all-null (contributes
+          // nothing), Some(Some(b)) = bound, None = unprovable → decline
+          val per: Seq[Option[Option[Long]]] = sub.map { case (_, f) =>
+            if (f.allNull(col)) Some(None)
+            else f.rng.get(col) match {
+              case Some(r) => Some(Some(if (lo) r._1 else r._2))
+              case None => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val bounds = per.flatten.flatten
+            Some(if (bounds.isEmpty) null
+              else if (lo) (bounds.min: java.lang.Long)
+              else (bounds.max: java.lang.Long))
           }
         }
-        if (per.exists(_.isEmpty)) None
-        else {
-          val bounds = per.flatten.flatten
-          Some(if (bounds.isEmpty) null
-            else if (lo) (bounds.min: java.lang.Long)
-            else (bounds.max: java.lang.Long))
-        }
+      val cols = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some(("count_star", LongType, false,
+            sub.map(_._1.liveRows).sum: Any))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column()).flatMap { col =>
+            if (sub.forall(_._2.nullFree(col)))
+              Some(("count", LongType, false,
+                sub.map(_._1.liveRows).sum: Any))
+            else None
+          }
+        case m: Min =>
+          colOf(m.column()).flatMap(col => extremum(col, lo = true)
+            .map(v => ("min", LongType, true, v)))
+        case m: Max =>
+          colOf(m.column()).flatMap(col => extremum(col, lo = false)
+            .map(v => ("max", LongType, true, v)))
+        case _ => None // Sum/Avg/stddev/distinct: not derivable from stats
       }
-    val cols = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        Some(("count_star", LongType, false,
-          manifest.files.map(_.liveRows).sum: Any))
-      case c: Count if !c.isDistinct =>
-        colOf(c.column()).flatMap { col =>
-          if (facts.forall(_.nullFree(col)))
-            Some(("count", LongType, false,
-              manifest.files.map(_.liveRows).sum: Any))
-          else None
-        }
-      case m: Min =>
-        colOf(m.column()).flatMap(col => extremum(col, lo = true)
-          .map(v => ("min", LongType, true, v)))
-      case m: Max =>
-        colOf(m.column()).flatMap(col => extremum(col, lo = false)
-          .map(v => ("max", LongType, true, v)))
-      case _ => None // Sum/Avg/stddev/distinct: not derivable from stats
+      if (cols.exists(_.isEmpty)) None else Some(cols.map(_.get))
     }
-    if (cols.exists(_.isEmpty)) None
-    else {
-      val defined = cols.map(_.get)
-      val st = defined.zipWithIndex.foldLeft(new StructType()) {
-        case (s, ((nm, dt, nullable, _), i)) => s.add(s"${nm}_$i", dt, nullable)
+
+    def schemaOf(groupFields: Seq[(String, DataType)],
+        aggs: Seq[(String, DataType, Boolean, Any)]): StructType = {
+      val withGroups = groupFields.foldLeft(new StructType()) {
+        case (s, (n, dt)) => s.add(n, dt, nullable = true)
       }
-      Some((st, defined.map(_._4).toArray))
+      aggs.zipWithIndex.foldLeft(withGroups) {
+        case (s, ((nm, dt, nullable, _), i)) =>
+          s.add(s"${nm}_$i", dt, nullable)
+      }
+    }
+
+    if (agg.groupByExpressions().isEmpty) {
+      aggsOver(facts).map(aggs =>
+        (schemaOf(Seq.empty, aggs), Seq(aggs.map(_._4).toArray)))
+    } else {
+      // GROUP BY pushdown — every group column must be an IDENTITY
+      // partition source under the CURRENT spec and every file must
+      // carry a current-generation tuple: the manifest then holds one
+      // exact group per live partition value (the partition-histogram
+      // query a 100 TB operator runs daily, served from kilobytes).
+      val spec = specs.last
+      val cur = specs.length - 1
+      val groupCols = agg.groupByExpressions().toSeq.map(colOf)
+      if (groupCols.exists(_.isEmpty)) return None
+      if (!manifest.files.forall(e =>
+        e.specId == cur && e.partition.length == spec.length)) return None
+      val slotOf: Seq[Int] = groupCols.flatten.map { c =>
+        val id = mp.ids(schema.fieldIndex(c))
+        spec.indexWhere(p => p.kind == "identity" && p.id == id)
+      }
+      if (slotOf.exists(_ < 0)) return None
+      def decode(c: String, pv: String): Any = pv match {
+        case "n" => null
+        case v if v.startsWith("s") =>
+          UTF8String.fromString(URLDecoder.decode(v.tail, "UTF-8"))
+        case v => java.lang.Long.valueOf(v.tail.toLong)
+      }
+      val grouped = facts.groupBy { case (e, _) =>
+        slotOf.map(e.partition(_))
+      }
+      val rowsOpt = grouped.toSeq.map { case (key, sub) =>
+        aggsOver(sub).map { aggs =>
+          (aggs,
+            key.zip(groupCols.flatten).map { case (pv, c) => decode(c, pv) }
+              ++ aggs.map(_._4))
+        }
+      }
+      if (rowsOpt.exists(_.isEmpty) || rowsOpt.isEmpty) None
+      else {
+        val aggsShape = rowsOpt.head.get._1
+        val groupFields = groupCols.flatten.map(c =>
+          (c, schema(c).dataType))
+        Some((schemaOf(groupFields, aggsShape),
+          rowsOpt.map(_.get._2.toArray)))
+      }
     }
   }
 
@@ -2463,10 +2519,10 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     required = requiredSchema
 
   override def build(): Scan = pushedAgg match {
-    case Some((st, values)) =>
+    case Some((st, rows)) =>
       // the manifest IS the answer: a LocalScan serves it driver-side —
       // zero tasks, zero files opened (CatalogSpec pins the counter)
-      new CatalogAggScan(dir, st, values)
+      new CatalogAggScan(dir, st, rows)
     case None =>
       val mp = readMapping(dir, schema)
       val specs = readSpecs(dir)
@@ -2483,12 +2539,14 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
   }
 }
 
-/** A pushed-down aggregate answered entirely from the manifest. */
-private class CatalogAggScan(dir: File, st: StructType, values: Array[Any])
-    extends Scan with LocalScan {
+/** A pushed-down aggregate answered entirely from the manifest — one
+  * row for the ungrouped form, one per live partition value for the
+  * GROUP-BY-partition-column form. */
+private class CatalogAggScan(dir: File, st: StructType,
+    aggRows: Seq[Array[Any]]) extends Scan with LocalScan {
   override def readSchema(): StructType = st
   override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(values))
+    aggRows.map(v => new GenericInternalRow(v): InternalRow).toArray
   override def description(): String =
     s"graft_cat manifest-aggregate $dir ${st.fieldNames.mkString(",")}"
 }

@@ -1379,6 +1379,25 @@ class CatalogSpec extends SparkSpec {
     rows("SELECT count(*), min(k) FROM graft_cat.db.aggpd") shouldBe
       Seq(Seq(0L, null))
     GraftTableCatalog.filesOpened.get shouldBe 0L
+    // GROUP BY an identity partition column: one exact row per live
+    // partition, straight from the manifest
+    sql("DROP TABLE IF EXISTS graft_cat.db.agggb")
+    sql("CREATE TABLE graft_cat.db.agggb (g BIGINT, k BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.agggb SELECT id % 4, id " +
+      "FROM range(0, 40000, 1, 2)")
+    GraftTableCatalog.filesOpened.set(0)
+    val gb = sql("SELECT g, count(*), min(k), max(k) " +
+      "FROM graft_cat.db.agggb GROUP BY g ORDER BY g")
+    gb.collect().map(_.toSeq).toSeq shouldBe (0L until 4L).map(g =>
+      Seq(g, 10000L, g, 39996L + g))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    gb.queryExecution.executedPlan.toString should include ("LocalTableScan")
+    // an expression group (not a partition column) declines and scans
+    GraftTableCatalog.filesOpened.set(0)
+    sql("SELECT k % 3, count(*) FROM graft_cat.db.agggb GROUP BY k % 3")
+      .collect()
+    GraftTableCatalog.filesOpened.get should be >= 1L
   }
 
 
