@@ -1036,7 +1036,8 @@ object IngestQueries {
 
   /** q291: PARTITION HISTOGRAM FROM METADATA — GROUP-BY-partition-column
     * aggregate pushdown: `SELECT g, count(*), min(k), max(k) ... GROUP BY
-    * g` on an identity-partitioned table answers with ONE row per live
+    * g` (sums included — the manifest carries per-file exact sums) on an
+    * identity-partitioned table answers with ONE row per live
     * partition straight from the manifest (zero files opened, zero
     * tasks, LocalTableScan — spec-pinned, with declines for expression
     * groups, non-identity transforms, and mixed spec generations). The
@@ -1050,7 +1051,8 @@ object IngestQueries {
              |SELECT k % 8 AS g, k, cents
              |FROM (${catEventsSql(d)}) src""".stripMargin)
     s.sql(s"""SELECT g, count(*) AS n, count(cents) AS n_cents,
-             |  min(k) AS min_k, max(k) AS max_k
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  sum(k) AS sum_k, sum(cents) AS cents
              |FROM $t GROUP BY g""".stripMargin)
   }
 
@@ -1134,7 +1136,9 @@ object IngestQueries {
     // The per-partition histogram, recomputed by DuckDB from the rows.
     "q291_catalog_partition_histogram" ->
       """SELECT event_id % 8 AS g, count(*) AS n, count(c) AS n_cents,
-        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |  min(event_id) AS min_k, max(event_id) AS max_k,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  CAST(sum(c) AS BIGINT) AS cents
         |FROM (SELECT event_id,
         |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |      FROM events WHERE value IS NOT NULL) t

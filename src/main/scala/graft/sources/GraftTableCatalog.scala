@@ -723,6 +723,9 @@ object GraftTableCatalog {
     *  - `specId`: index into the table's spec history (specs.json) — the
     *    Iceberg per-file spec id, so `SET PARTITION SPEC` never rewrites
     *    data: old files keep pruning under their own layout;
+    *  - `sums`: per-LONG-column EXACT sums over non-null values (same
+    *    `#<fieldId>` key space; absent = legacy file or the writer hit
+    *    long overflow) — what SUM pushdown answers from;
     *  - `deletes`: position delete files readers anti-merge. */
   case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
       stats: Map[String, (Long, Long)],
@@ -732,7 +735,8 @@ object GraftTableCatalog {
       partition: Seq[String] = Seq.empty,
       deletes: Seq[DeleteFile] = Seq.empty,
       seq: Long = 0L,
-      specId: Int = 0) {
+      specId: Int = 0,
+      sums: Map[String, Long] = Map.empty) {
     /** Live rows MINUS positional deletes; an upper bound while equality
       * deletes are outstanding (they resolve per-row at read). */
     def liveRows: Long = rows - deletes.map(_.rows).sum
@@ -1095,8 +1099,13 @@ object GraftTableCatalog {
           }.toSeq
         val seq = if (a.length >= 12) a(11).toLong else 0L
         val specId = if (a.length >= 13) a(12).toInt else 0
+        val sums = if (a.length >= 15 && a(13) != "-")
+          a(13).split(";").map { s =>
+            val p = s.split(":"); (p(0), p(1).toLong)
+          }.toMap
+        else Map.empty[String, Long]
         Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
-          Some(nullFree), ids, a(8), partition, deletes, seq, specId)
+          Some(nullFree), ids, a(8), partition, deletes, seq, specId, sums)
       } else {
         // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
         // no metadata-only delete proof), ids/types positional
@@ -1144,7 +1153,12 @@ object GraftTableCatalog {
       val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
       val dels = if (e.deletes.isEmpty) "-"
         else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}"
+      val sm = if (e.sums.isEmpty) "-"
+        else e.sums.toSeq.sortBy(_._1)
+          .map { case (c, v) => s"$c:$v" }.mkString(";")
+      // trailing tab-terminated spare field keeps the format extensible:
+      // a parser sees >= 15 fields whenever sums are meaningful
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}\t$sm\t-"
     } ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
       ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
 
@@ -1847,6 +1861,8 @@ object GraftTableCatalog {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(f)))
     val stats = collection.mutable.Map[String, (Long, Long)]()
+    val sums = collection.mutable.Map[String, Long]()
+    val sumBad = collection.mutable.Set[String]()
     val hasNull = new Array[Boolean](types.length)
     var n = 0L
     try rows.foreach { full =>
@@ -1859,6 +1875,12 @@ object GraftTableCatalog {
           val key = s"#${mp.ids(i)}"
           val (lo, hi) = stats.getOrElse(key, (v, v))
           stats(key) = (math.min(lo, v), math.max(hi, v))
+          if (!sumBad(key)) {
+            val s0 = sums.getOrElse(key, 0L)
+            val s1 = s0 + v
+            if (((s0 ^ s1) & (v ^ s1)) < 0) { sumBad += key; sums -= key }
+            else sums(key) = s1
+          }
         }
         i += 1
       }
@@ -1869,7 +1891,7 @@ object GraftTableCatalog {
     }.toSet
     Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
       mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
-      partition, Seq.empty, seq, specId)
+      partition, Seq.empty, seq, specId, sums.toMap)
   }
 
   /** Decode one whole file (skipping already-deleted positions), each
@@ -2384,7 +2406,7 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (skipFilters.nonEmpty || manifest.eqDeletes.nonEmpty) return None
     val mp = readMapping(dir, schema)
     val specs = readSpecs(dir)
@@ -2442,7 +2464,33 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
         case m: Max =>
           colOf(m.column()).flatMap(col => extremum(col, lo = false)
             .map(v => ("max", LongType, true, v)))
-        case _ => None // Sum/Avg/stddev/distinct: not derivable from stats
+        case s: Sum if !s.isDistinct =>
+          // per-file EXACT sums over non-null values (the manifest's
+          // `sums` field): same proof shape as min/max — every file must
+          // either carry the sum or be provably value-free for the
+          // column; deletes or a recorded-overflow file decline; the
+          // final fold declines on overflow too (ANSI would fail there)
+          colOf(s.column()).flatMap { col =>
+            if (hasPosDeletes || schema(col).dataType != LongType) None
+            else {
+              val key = s"#${mp.ids(schema.fieldIndex(col))}"
+              val per: Seq[Option[Option[Long]]] = sub.map { case (e, f) =>
+                if (f.allNull(col)) Some(None)
+                else if (f.rng.contains(col)) e.sums.get(key).map(Some(_))
+                else None // values unprovable (legacy / all-null-in-file)
+              }
+              if (per.exists(_.isEmpty)) None
+              else {
+                val vals = per.flatten.flatten
+                if (vals.isEmpty) Some(("sum", LongType, true, null: Any))
+                else try Some(("sum", LongType, true,
+                  (vals.reduce(Math.addExact(_: Long, _: Long))
+                    : java.lang.Long): Any))
+                catch { case _: ArithmeticException => None }
+              }
+            }
+          }
+        case _ => None // Avg/stddev/distinct: not derivable from stats
       }
       if (cols.exists(_.isEmpty)) None else Some(cols.map(_.get))
     }
@@ -3324,6 +3372,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         var rows = 0L
         val stats = collection.mutable.Map[String, (Long, Long)]()
         val hasNull = new Array[Boolean](types.length)
+        // exact per-column sums over non-null LONG values; a column that
+        // overflows Long drops out (SUM pushdown then declines)
+        val sums = collection.mutable.Map[String, Long]()
+        val sumBad = collection.mutable.Set[String]()
       }
       private val sinks =
         collection.mutable.LinkedHashMap[Seq[String], Sink]()
@@ -3379,6 +3431,13 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
             val key = s"#${ids(i)}"
             val (lo, hi) = sk.stats.getOrElse(key, (v, v))
             sk.stats(key) = (math.min(lo, v), math.max(hi, v))
+            if (!sk.sumBad(key)) {
+              val s0 = sk.sums.getOrElse(key, 0L)
+              val s1 = s0 + v
+              if (((s0 ^ s1) & (v ^ s1)) < 0) { // signed overflow
+                sk.sumBad += key; sk.sums -= key
+              } else sk.sums(key) = s1
+            }
           }
           i += 1
         }
@@ -3392,7 +3451,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           }.toSet
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
             sk.stats.toMap, Some(nullFree), ids.toSeq, typeCodes,
-            sk.tuple, Seq.empty, 0L, specId)
+            sk.tuple, Seq.empty, 0L, specId, sk.sums.toMap)
         }
         val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
           .map { case (_, isStr) =>

@@ -1331,8 +1331,10 @@ class CatalogSpec extends SparkSpec {
     // count(*) / min / max / count(null-free col) answer from the
     // manifest: zero files opened, plan is a LocalTableScan
     GraftTableCatalog.filesOpened.set(0)
-    val df = sql("SELECT count(*), min(k), max(k), count(k) FROM graft_cat.db.aggpd")
-    df.collect().head.toSeq shouldBe Seq(100000L, 0L, 99999L, 100000L)
+    val df = sql("SELECT count(*), min(k), max(k), count(k), sum(k) " +
+      "FROM graft_cat.db.aggpd")
+    df.collect().head.toSeq shouldBe
+      Seq(100000L, 0L, 99999L, 100000L, 4999950000L)
     GraftTableCatalog.filesOpened.get shouldBe 0L
     df.queryExecution.executedPlan.toString should include ("LocalTableScan")
     // a nullable column's count is unprovable -> the WHOLE push declines
@@ -1387,10 +1389,11 @@ class CatalogSpec extends SparkSpec {
     sql("INSERT INTO graft_cat.db.agggb SELECT id % 4, id " +
       "FROM range(0, 40000, 1, 2)")
     GraftTableCatalog.filesOpened.set(0)
-    val gb = sql("SELECT g, count(*), min(k), max(k) " +
+    val gb = sql("SELECT g, count(*), min(k), max(k), sum(k) " +
       "FROM graft_cat.db.agggb GROUP BY g ORDER BY g")
     gb.collect().map(_.toSeq).toSeq shouldBe (0L until 4L).map(g =>
-      Seq(g, 10000L, g, 39996L + g))
+      Seq(g, 10000L, g, 39996L + g,
+        (g until 40000L by 4).sum))
     GraftTableCatalog.filesOpened.get shouldBe 0L
     gb.queryExecution.executedPlan.toString should include ("LocalTableScan")
     // an expression group (not a partition column) declines and scans
