@@ -871,6 +871,47 @@ object GraftTableCatalog {
       org.json4s.jackson.Serialization.write(refs))
   }
 
+  /** Serialize ALL branches.json mutations through an exclusive-create
+    * lock. Unlike the manifest chains (which CAS on per-version files),
+    * the branch-ref map is ONE shared file mutated by branch create,
+    * branch commits, fast_forward and drop_branch — an unguarded
+    * read-modify-write from two concurrent operations on DIFFERENT
+    * branches silently drops one update (e.g. a committed head advance,
+    * stranding its manifest so the next commit dies on a non-reclaimable
+    * FileAlreadyExistsException). The lock spans only the
+    * read-apply-write of a <1 KiB JSON file; contention waits briefly
+    * then fails loudly; a crashed holder's lock reclaims after
+    * [[OrphanReclaimMs]], mirroring manifest reservations. */
+  def mutateBranchRefs(dir: File)(
+      f: Map[String, BranchRef] => Map[String, BranchRef])
+      : Map[String, BranchRef] = {
+    val lock = new File(dir, ".branches.lock")
+    var held = false
+    var attempts = 0
+    while (!held) {
+      try { Files.createFile(lock.toPath); held = true }
+      catch {
+        case _: FileAlreadyExistsException =>
+          if (lock.exists() &&
+              System.currentTimeMillis - lock.lastModified() >
+                OrphanReclaimMs) {
+            lock.delete() // crashed holder; the retry races fairly
+          } else {
+            attempts += 1
+            if (attempts > 500) throw new IllegalStateException(
+              s"could not acquire branch-ref lock $lock after 5s — " +
+                "a concurrent branch operation is stuck")
+            Thread.sleep(10)
+          }
+      }
+    }
+    try {
+      val next = f(readBranchRefs(dir))
+      writeBranchRefs(dir, next)
+      next
+    } finally Files.deleteIfExists(lock.toPath)
+  }
+
   private[sources] def branchManifestFile(dir: File, name: String,
       k: Long): File = new File(dir, s"b-$name.v$k.manifest")
 
@@ -930,7 +971,11 @@ object GraftTableCatalog {
       manifestBody(op, files, epochs, eqDeletes).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    writeBranchRefs(dir, readBranchRefs(dir) + (name -> r.copy(head = next)))
+    mutateBranchRefs(dir) { refs =>
+      val cur = refs.getOrElse(name, throw new IllegalStateException(
+        s"branch '$name' was dropped while its commit v$next was in flight"))
+      refs + (name -> cur.copy(head = next))
+    }
     next
   }
 
@@ -944,17 +989,30 @@ object GraftTableCatalog {
       commitBranchVersion(dir, b, expected, op, files, epochs, eqDeletes)
   }
 
+  /** CREATE-time write of the GENERATION-0 layout (partition.json).
+    * After creation this file is immutable — spec evolution appends to
+    * specs.json only, so the current layout + its spec id are always
+    * ONE atomic read (see [[readSpecs]]). */
   def writeSpec(dir: File, spec: Seq[PT]): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     writeJsonAtomic(dir, "partition.json",
       org.json4s.jackson.Serialization.write(spec))
   }
-  def readSpec(dir: File): Seq[PT] = {
+  private def readSpec0(dir: File): Seq[PT] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     readFileOpt(dir, "partition.json")
       .map(org.json4s.jackson.Serialization.read[Seq[PT]])
       .getOrElse(Seq.empty)
   }
+  /** The table's CURRENT partition layout — the last specs.json
+    * generation, derived from the same single read that yields the
+    * current spec id. Reading layout and id from two separate files
+    * could race `sys.set_partition_spec` and tag new data files with
+    * the NEW specId but OLD-layout tuples (which would then prune
+    * under the wrong transforms); one source of truth removes the
+    * race by construction. */
+  def readSpec(dir: File): Seq[PT] =
+    readSpecs(dir).lastOption.getOrElse(Seq.empty)
 
   /** The table's SPEC HISTORY (specs.json): one entry per partition-spec
     * generation, current = last; every data file records the generation
@@ -962,25 +1020,22 @@ object GraftTableCatalog {
     * rewrites data — old files prune under the OLD transforms, new files
     * under the new (the Iceberg partition-spec-evolution model). A table
     * that never evolved has no specs.json: its single generation is
-    * partition.json (spec id 0). */
+    * partition.json (spec id 0, written once at CREATE). */
   def readSpecs(dir: File): Seq[Seq[PT]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     readFileOpt(dir, "specs.json")
       .map(org.json4s.jackson.Serialization.read[Seq[Seq[PT]]])
-      .getOrElse(Seq(readSpec(dir)))
+      .getOrElse(Seq(readSpec0(dir)))
   }
-  /** Append a new spec generation: specs.json grows, partition.json (the
-    * WRITER-facing current spec) swaps to the new generation. */
+  /** Append a new spec generation: ONE atomic specs.json swap carries
+    * both the new layout and (implicitly, by position) its spec id;
+    * partition.json is untouched (it remains the immutable gen-0
+    * record that seeds specs.json for never-evolved tables). */
   def appendSpec(dir: File, spec: Seq[PT]): Int = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val specs = readSpecs(dir) :+ spec
     writeJsonAtomic(dir, "specs.json",
       org.json4s.jackson.Serialization.write(specs))
-    if (spec.nonEmpty) writeSpec(dir, spec)
-    else { // unpartition: partition.json absent = empty current spec
-      writeJsonAtomic(dir, "partition.json",
-        org.json4s.jackson.Serialization.write(Seq.empty[PT]))
-    }
     specs.length - 1
   }
 
@@ -2241,6 +2296,11 @@ private class CatalogTable(dir: File, tableName: String,
       else ident.get(i, ps.fields(i).dataType)))
     val es = liveManifest().files.filter(e =>
       e.specId == cur && e.partition == tuple)
+    // the SupportsPartitionManagement contract: an absent partition is
+    // an ERROR, not a phantom {files:0} row (mirrors truncatePartition)
+    if (es.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(tableName, ident, ps)
     java.util.Map.of("files", es.length.toString,
       "rows", es.map(_.liveRows).sum.toString,
       "bytes", es.map(_.bytes).sum.toString)
@@ -2431,10 +2491,17 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
         if (hasPosDeletes || schema(col).dataType != LongType) None
         else {
           // per file: Some(None) = provably all-null (contributes
-          // nothing), Some(Some(b)) = bound, None = unprovable → decline
-          val per: Seq[Option[Option[Long]]] = sub.map { case (_, f) =>
+          // nothing), Some(Some(b)) = bound, None = unprovable → decline.
+          // Read the EXACT per-file stats, never facts.rng: for a
+          // days()-transform source column, fileFacts overwrites the
+          // stats with the synthesized day-wide pruning range
+          // [dayStart, dayStart+86399999] — sound for skipping, but an
+          // extremum served from it would be a value no row holds.
+          val key = s"#${mp.ids(schema.fieldIndex(col))}"
+          val per: Seq[Option[Option[Long]]] = sub.map { case (e, f) =>
             if (f.allNull(col)) Some(None)
-            else f.rng.get(col) match {
+            else e.stats.get(key)
+              .orElse(if (!mp.evolved) e.stats.get(col) else None) match {
               case Some(r) => Some(Some(if (lo) r._1 else r._2))
               case None => None
             }
@@ -3180,12 +3247,13 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
         .StreamingDataWriterFactory = {
     new File(dir, "data").mkdirs()
     val mp = readMapping(dir, schema)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir) // ONE read: layout + id stay consistent
+    val spec = specs.last
     CatalogStreamingWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
+      upsertEncOf(dir, schema), specs.length - 1)
   }
 
   override def commit(epochId: Long,
@@ -3265,12 +3333,13 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(dir, "data").mkdirs()
     val mp = readMapping(dir, schema)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir) // ONE read: layout + id stay consistent
+    val spec = specs.last
     CatalogWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
+      upsertEncOf(dir, schema), specs.length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3584,12 +3653,13 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(dir, "data").mkdirs()
     val mp = readMapping(dir, schema)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir) // ONE read: layout + id stay consistent
+    val spec = specs.last
     CatalogWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), readSpecs(dir).length - 1)
+      upsertEncOf(dir, schema), specs.length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3684,11 +3754,12 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     new File(dir, "data").mkdirs()
     val mp = readMapping(dir, schema)
-    val spec = readSpec(dir)
+    val specs = readSpecs(dir) // ONE read: layout + id stay consistent
+    val spec = specs.last
     CatalogDeltaWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"), readSpecs(dir).length - 1)
+        .mkString(";"), specs.length - 1)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4094,8 +4165,11 @@ private class CatalogMicroBatchStream(dir: File, tableSchema: StructType,
         // branch DML (rewrites/position deletes on old files) cannot be
         // represented as appends — fail loudly, the `.changes` feed is
         // the surface that can.
+        // identity check on the delete FILE NAMES, not counts: a branch
+        // that swapped one position-delete file for another of equal
+        // count would pass a length test and silently mis-stream
         val pure = seen.forall { case (n, pe) =>
-          cur.get(n).exists(_.deletes.length == pe.deletes.length)
+          cur.get(n).exists(_.deletes.map(_.name) == pe.deletes.map(_.name))
         }
         if (!pure) throw new UnsupportedOperationException(
           s"v$v of $dir is a fast-forward publish that MUTATED " +
@@ -4425,11 +4499,12 @@ private class BranchProcedure(cat: GraftTableCatalog)
         require(!readProps(dir).contains(UpsertKeyProp),
           "upsert-keyed tables do not support branches " +
             "(equality-delete sequencing is defined on the main chain)")
-        val refs = readBranchRefs(dir)
-        require(!refs.contains(bname),
-          s"branch '$bname' already exists (head ${refs(bname).head})")
         val base = readLatest(dir)
-        writeBranchRefs(dir, refs + (bname -> BranchRef(base, 0)))
+        mutateBranchRefs(dir) { refs =>
+          require(!refs.contains(bname),
+            s"branch '$bname' already exists (head ${refs(bname).head})")
+          refs + (bname -> BranchRef(base, 0))
+        }
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(BranchProcedure.resultSchema,
             Array[Any](UTF8String.fromString(bname), base))).iterator()
@@ -4492,7 +4567,7 @@ private class DropBranchProcedure(cat: GraftTableCatalog)
             if (f.exists()) { f.delete(); filesDeleted += 1 }
           }
           manifests.foreach(_.delete())
-          writeBranchRefs(dir, refs - bname)
+          mutateBranchRefs(dir)(_ - bname)
         }
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(DropBranchProcedure.resultSchema,
@@ -4546,8 +4621,7 @@ private class FastForwardProcedure(cat: GraftTableCatalog)
           else readManifest(dir, mainLatest).epochs
         val v = commitVersion(dir, mainLatest, "fast_forward", bm.files,
           mainEpochs ++ bm.epochs, bm.eqDeletes)
-        writeBranchRefs(dir,
-          readBranchRefs(dir) + (bname -> BranchRef(v, 0)))
+        mutateBranchRefs(dir)(_ + (bname -> BranchRef(v, 0)))
         // the branch chain is published (its content IS main v); clear it
         // so the next branch commit starts a fresh local chain at v1
         (1L to r.head).map(k => branchManifestFile(dir, bname, k))
@@ -4603,9 +4677,22 @@ private class SetPartitionSpecProcedure(cat: GraftTableCatalog)
         val Bucket = """bucket\(\s*([0-9]+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
         val Days = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
         val Ident = """(?:identity\(\s*)?([A-Za-z0-9_]+)\s*\)?""".r
+        // split on TOP-LEVEL commas only: bucket(n,c) carries its own
+        val parts: Seq[String] = {
+          val out = Seq.newBuilder[String]
+          var depth = 0; val sb = new StringBuilder
+          specStr.foreach {
+            case '(' => depth += 1; sb.append('(')
+            case ')' => depth -= 1; sb.append(')')
+            case ',' if depth == 0 => out += sb.toString; sb.clear()
+            case ch => sb.append(ch)
+          }
+          out += sb.toString
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
         val spec: Seq[PT] =
           if (specStr.isEmpty) Seq.empty
-          else specStr.split(",").map(_.trim).toSeq.map {
+          else parts.map {
             case Bucket(n, c) =>
               require(n.toInt >= 1 && n.toInt <= 100000,
                 s"bucket count out of range: $n")

@@ -1443,4 +1443,79 @@ class CatalogSpec extends SparkSpec {
     rootMsg(e) should include(".changes")
   }
 
+
+  test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    // (1) MIN/MAX pushdown over a days()-partitioned SOURCE column must
+    // serve the exact per-file stats, never the synthesized day-wide
+    // pruning range [dayStart, dayStart+86399999] — the values below sit
+    // strictly inside their days, so a facts.rng answer would be wrong
+    sql("DROP TABLE IF EXISTS graft_cat.db.adv17d")
+    sql("CREATE TABLE graft_cat.db.adv17d (ts BIGINT, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    sql("INSERT INTO graft_cat.db.adv17d VALUES " +
+      "(3600000, 1), (7200000, 2), (90000000, 3), (93600000, 4)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT min(ts), max(ts), count(*) FROM graft_cat.db.adv17d") shouldBe
+      Seq(Seq(3600000L, 93600000L, 4L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // (2) branches.json mutations are lock-serialized: interleaved
+    // operations on DIFFERENT branches never lose an update
+    val dir = new File("work/graft_cat/db/adv17d")
+    import GraftTableCatalog.{mutateBranchRefs, readBranchRefs, BranchRef}
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 25).foreach { i =>
+        mutateBranchRefs(dir)(_ + (s"b${t}_$i" -> BranchRef(0, i.toLong)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val refs = readBranchRefs(dir)
+    refs.size shouldBe 100
+    (0 until 4).foreach(t => (0 until 25).foreach(i =>
+      refs(s"b${t}_$i").head shouldBe i.toLong))
+    // a crashed holder's stale lock reclaims instead of wedging forever
+    val lock = new File(dir, ".branches.lock")
+    java.nio.file.Files.createFile(lock.toPath)
+    lock.setLastModified(
+      System.currentTimeMillis - GraftTableCatalog.OrphanReclaimMs - 1000)
+    mutateBranchRefs(dir)(_ - "b0_0")
+    readBranchRefs(dir).contains("b0_0") shouldBe false
+    lock.exists() shouldBe false
+    mutateBranchRefs(dir)(_ => Map.empty) // leave the table clean
+    // (3) spec evolution is ONE atomically-swapped record: partition.json
+    // stays the immutable gen-0 layout (so a racing writer can never pair
+    // the new spec id with an old layout), while the current layout+id
+    // both derive from specs.json
+    sql("DROP TABLE IF EXISTS graft_cat.db.adv17s")
+    sql("CREATE TABLE graft_cat.db.adv17s (g BIGINT, k BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.adv17s VALUES (1, 10)")
+    val sdir = new File("work/graft_cat/db/adv17s")
+    val gen0 = java.nio.file.Files.readString(
+      new File(sdir, "partition.json").toPath)
+    sql("CALL graft_cat.sys.set_partition_spec('db', 'adv17s', 'bucket(8,k)')")
+    java.nio.file.Files.readString(
+      new File(sdir, "partition.json").toPath) shouldBe gen0
+    GraftTableCatalog.readSpec(sdir).map(_.kind) shouldBe Seq("bucket")
+    GraftTableCatalog.readSpecs(sdir).length shouldBe 2
+    sql("INSERT INTO graft_cat.db.adv17s VALUES (2, 20)")
+    rows("SELECT g, k FROM graft_cat.db.adv17s ORDER BY g") shouldBe
+      Seq(Seq(1L, 10L), Seq(2L, 20L))
+    // (4) loadPartitionMetadata on an absent partition is a loud
+    // NoSuchPartitionException, not a phantom {files:0} row
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsPartitionManagement, TableCatalog}
+    sql("DROP TABLE IF EXISTS graft_cat.db.pmgmt17")
+    sql("CREATE TABLE graft_cat.db.pmgmt17 (g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.pmgmt17 VALUES (0, 1), (1, 2)")
+    val pm = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("db"), "pmgmt17"))
+      .asInstanceOf[SupportsPartitionManagement]
+    pm.loadPartitionMetadata(org.apache.spark.sql.catalyst.InternalRow(0L))
+      .get("rows") shouldBe "1"
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException](
+      pm.loadPartitionMetadata(org.apache.spark.sql.catalyst.InternalRow(9L)))
+  }
+
 }
