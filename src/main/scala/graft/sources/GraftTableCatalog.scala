@@ -3433,27 +3433,133 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         }
       private val stem = s"part-$jobUid-p$partitionId-t$taskId"
 
+      // 0=LONG 1=DOUBLE 2=STRING — an int switch beats a DataType match
+      // in the per-value hot loop
+      private val tcodes: Array[Int] = types.map {
+        case LongType => 0
+        case DoubleType => 1
+        case StringType => 2
+        case t => sys.error(s"unsupported $t")
+      }
+
+      /** The VECTORIZED-write sink: encodes straight from `InternalRow`
+        * accessors into a growable big-endian byte scratch (flushed in
+        * 64 KiB chunks), with per-column stats in PRIMITIVE arrays — no
+        * boxed values, no DataOutputStream, no per-row string-keyed map
+        * updates. Byte layout is identical to [[Codec.write]] (the
+        * mmap'd columnar reader decodes both). */
       private class Sink(val tuple: Seq[String], suffix: String) {
         val name = s"$stem$suffix.bin"
         val file = new File(new File(dirPath, "data"), name)
-        val out = new DataOutputStream(new java.io.BufferedOutputStream(
-          new FileOutputStream(file), 1 << 16))
+        private val ch = new FileOutputStream(file)
+        private var buf = new Array[Byte](1 << 16)
+        private var pos = 0
+        private var closed = false
         var rows = 0L
-        val stats = collection.mutable.Map[String, (Long, Long)]()
         val hasNull = new Array[Boolean](types.length)
+        private val hasVal = new Array[Boolean](types.length)
+        private val lo = new Array[Long](types.length)
+        private val hi = new Array[Long](types.length)
         // exact per-column sums over non-null LONG values; a column that
         // overflows Long drops out (SUM pushdown then declines)
-        val sums = collection.mutable.Map[String, Long]()
-        val sumBad = collection.mutable.Set[String]()
+        private val sum = new Array[Long](types.length)
+        private val sumBad = new Array[Boolean](types.length)
+
+        private def flushBuf(): Unit =
+          if (pos > 0) { ch.write(buf, 0, pos); pos = 0 }
+        private def ensure(n: Int): Unit =
+          if (pos + n > buf.length) {
+            flushBuf()
+            if (n > buf.length)
+              buf = new Array[Byte](Integer.highestOneBit(n) << 1)
+          }
+        private def putLong(v: Long): Unit = {
+          ensure(8); val p = pos
+          buf(p) = (v >>> 56).toByte; buf(p + 1) = (v >>> 48).toByte
+          buf(p + 2) = (v >>> 40).toByte; buf(p + 3) = (v >>> 32).toByte
+          buf(p + 4) = (v >>> 24).toByte; buf(p + 5) = (v >>> 16).toByte
+          buf(p + 6) = (v >>> 8).toByte; buf(p + 7) = v.toByte
+          pos = p + 8
+        }
+
+        def writeRow(row: InternalRow): Unit = {
+          val n = tcodes.length
+          var bits = 0L
+          var i = 0
+          while (i < n) {
+            if (row.isNullAt(i)) { bits |= (1L << i); hasNull(i) = true }
+            i += 1
+          }
+          putLong(bits)
+          i = 0
+          while (i < n) {
+            if ((bits & (1L << i)) == 0) (tcodes(i): @annotation.switch) match {
+              case 0 =>
+                val v = row.getLong(i)
+                putLong(v)
+                if (hasVal(i)) {
+                  if (v < lo(i)) lo(i) = v
+                  if (v > hi(i)) hi(i) = v
+                } else { hasVal(i) = true; lo(i) = v; hi(i) = v }
+                if (!sumBad(i)) {
+                  val s0 = sum(i); val s1 = s0 + v
+                  if (((s0 ^ s1) & (v ^ s1)) < 0) sumBad(i) = true
+                  else sum(i) = s1
+                }
+              case 1 => // doubleToLongBits (not Raw): canonical NaN, the
+                // exact bytes DataOutputStream.writeDouble produced
+                putLong(java.lang.Double.doubleToLongBits(row.getDouble(i)))
+              case 2 =>
+                // a UTF8String's bytes ARE the encoding — copied once,
+                // straight into the scratch, no String/byte[] detour
+                val u = row.getUTF8String(i)
+                val len = u.numBytes()
+                ensure(4 + len)
+                val p = pos
+                buf(p) = (len >>> 24).toByte; buf(p + 1) = (len >>> 16).toByte
+                buf(p + 2) = (len >>> 8).toByte; buf(p + 3) = len.toByte
+                u.writeToMemory(buf,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p + 4)
+                pos = p + 4 + len
+            }
+            i += 1
+          }
+          rows += 1
+        }
+
+        def statsMap: Map[String, (Long, Long)] =
+          types.indices.collect {
+            case i if tcodes(i) == 0 && hasVal(i) =>
+              s"#${ids(i)}" -> (lo(i), hi(i))
+          }.toMap
+        def sumsMap: Map[String, Long] =
+          types.indices.collect {
+            case i if tcodes(i) == 0 && hasVal(i) && !sumBad(i) =>
+              s"#${ids(i)}" -> sum(i)
+          }.toMap
+        def closeOut(): Unit =
+          if (!closed) { closed = true; flushBuf(); ch.close() }
       }
       private val sinks =
         collection.mutable.LinkedHashMap[Seq[String], Sink]()
       private var nextSuffix = 0
 
-      private def sinkFor(row: InternalRow): Sink = {
-        val tuple: Seq[String] =
-          if (spec.isEmpty) Seq.empty
-          else spec.toSeq.map { case (kind, arg, pos) =>
+      // unpartitioned writes skip the per-row tuple + map lookup; for
+      // partitioned writes the last sink is cached (clustered input —
+      // the hash-distribution write path — then hits the map ~once per
+      // partition change, not once per row)
+      private var soleSink: Sink = null
+      private var lastTuple: Seq[String] = null
+      private var lastSink: Sink = null
+      private def sinkFor(row: InternalRow): Sink =
+        if (spec.isEmpty) {
+          if (soleSink == null) {
+            soleSink = new Sink(Seq.empty, "")
+            sinks.put(Seq.empty, soleSink)
+          }
+          soleSink
+        } else {
+          val tuple: Seq[String] = spec.toSeq.map { case (kind, arg, pos) =>
             val v: Any = if (row.isNullAt(pos)) null
               else types(pos) match {
                 case LongType => row.getLong(pos)
@@ -3462,13 +3568,17 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
               }
             encodePartValue(kind, arg, v)
           }
-        sinks.getOrElseUpdate(tuple, {
-          val s = new Sink(tuple,
-            if (spec.isEmpty) "" else s"-k$nextSuffix")
-          nextSuffix += 1
-          s
-        })
-      }
+          if (tuple == lastTuple) lastSink
+          else {
+            val sk = sinks.getOrElseUpdate(tuple, {
+              val s = new Sink(tuple, s"-k$nextSuffix")
+              nextSuffix += 1
+              s
+            })
+            lastTuple = tuple; lastSink = sk
+            sk
+          }
+        }
 
       override def write(row: InternalRow): Unit = {
         upsert.foreach { case (pos, isStr) =>
@@ -3483,44 +3593,17 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           require(upsertKeys.add(key),
             s"duplicate upsert key $key within one batch")
         }
-        val sk = sinkFor(row)
-        Codec.write(sk.out, types, i =>
-          if (row.isNullAt(i)) null
-          else types(i) match {
-            case LongType => row.getLong(i)
-            case DoubleType => row.getDouble(i)
-            case StringType => row.getUTF8String(i) // bytes pass through
-            case t => sys.error(s"unsupported $t")
-          })
-        var i = 0
-        while (i < types.length) {
-          if (row.isNullAt(i)) sk.hasNull(i) = true
-          else if (types(i) == LongType) {
-            val v = row.getLong(i)
-            val key = s"#${ids(i)}"
-            val (lo, hi) = sk.stats.getOrElse(key, (v, v))
-            sk.stats(key) = (math.min(lo, v), math.max(hi, v))
-            if (!sk.sumBad(key)) {
-              val s0 = sk.sums.getOrElse(key, 0L)
-              val s1 = s0 + v
-              if (((s0 ^ s1) & (v ^ s1)) < 0) { // signed overflow
-                sk.sumBad += key; sk.sums -= key
-              } else sk.sums(key) = s1
-            }
-          }
-          i += 1
-        }
-        sk.rows += 1
+        sinkFor(row).writeRow(row)
       }
       override def commit(): WriterCommitMessage = {
         val entries = sinks.values.toSeq.map { sk =>
-          sk.out.close()
+          sk.closeOut()
           val nullFree = types.indices.collect {
             case i if !sk.hasNull(i) => s"#${ids(i)}"
           }.toSet
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
-            sk.stats.toMap, Some(nullFree), ids.toSeq, typeCodes,
-            sk.tuple, Seq.empty, 0L, specId, sk.sums.toMap)
+            sk.statsMap, Some(nullFree), ids.toSeq, typeCodes,
+            sk.tuple, Seq.empty, 0L, specId, sk.sumsMap)
         }
         val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
           .map { case (_, isStr) =>
@@ -3536,10 +3619,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         CatalogCommit(entries, eqKeys)
       }
       override def abort(): Unit = {
-        sinks.values.foreach { sk => sk.out.close(); sk.file.delete() }
+        sinks.values.foreach { sk => sk.closeOut(); sk.file.delete() }
         ()
       }
-      override def close(): Unit = sinks.values.foreach(_.out.close())
+      override def close(): Unit = sinks.values.foreach(_.closeOut())
     }
 }
 

@@ -1444,6 +1444,70 @@ class CatalogSpec extends SparkSpec {
   }
 
 
+  test("vectorized write path: unboxed encode round-trips every type shape, interleaved partition tuples route correctly, manifest stats stay exact") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    // type-shape torture: nulls in every column, empty + 4-byte + long
+    // strings (the mmap reader's position-arithmetic edge), negative
+    // longs, double specials — written by the primitive-array encoder,
+    // read back by BOTH readers
+    sql("DROP TABLE IF EXISTS graft_cat.db.vecw")
+    sql("CREATE TABLE graft_cat.db.vecw (k BIGINT, x DOUBLE, s STRING)")
+    sql("INSERT INTO graft_cat.db.vecw VALUES " +
+      "(-9223372036854775808, -0.0, ''), " +
+      "(9223372036854775807, CAST('NaN' AS DOUBLE), 'abcd'), " +
+      "(NULL, NULL, NULL), " +
+      "(0, CAST('Infinity' AS DOUBLE), repeat('x', 100000)), " +
+      "(42, 1.5E-300, 'μδ→')")
+    val q = "SELECT k, x, s FROM graft_cat.db.vecw ORDER BY k NULLS FIRST"
+    // NaN-safe equality: Scala's numeric == makes NaN != NaN even boxed,
+    // so compare doubles by their bit patterns
+    def canon(rs: Seq[Seq[Any]]): Seq[Seq[Any]] = rs.map(_.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case v => v
+    })
+    val colRes = rows(q)
+    System.setProperty("graft.catalog.columnar", "false")
+    try canon(rows(q)) shouldBe canon(colRes)
+    finally System.clearProperty("graft.catalog.columnar")
+    colRes.length shouldBe 5
+    colRes(2)(2).asInstanceOf[String].length shouldBe 100000 // k=0 row
+    // extreme values stay exact through the new encoder (the file with
+    // the all-NULL k row has no k stats, so this scans — correctness
+    // check; the 0-file metadata proof runs on vecs below)
+    rows("SELECT min(k), max(k), count(*) FROM graft_cat.db.vecw") shouldBe
+      Seq(Seq(Long.MinValue, Long.MaxValue, 5L))
+    // a sum that never overflows IS recorded
+    sql("DROP TABLE IF EXISTS graft_cat.db.vecs")
+    sql("CREATE TABLE graft_cat.db.vecs AS SELECT id AS k " +
+      "FROM range(0, 1000, 1, 1)")
+    val sdir = new File("work/graft_cat/db/vecs")
+    val se = GraftTableCatalog.readManifest(sdir,
+      GraftTableCatalog.readLatest(sdir)).files.head
+    se.sums(s"#${se.fieldIds.head}") shouldBe 499500L
+    se.stats(s"#${se.fieldIds.head}") shouldBe ((0L, 999L))
+    // ... and those stats serve the metadata-only aggregate (0 files)
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT min(k), max(k), sum(k), count(*) FROM graft_cat.db.vecs") shouldBe
+      Seq(Seq(0L, 999L, 499500L, 1000L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // INTERLEAVED partition tuples: the one-element sink cache must
+    // re-route on every tuple change, never mis-bucket a row
+    sql("DROP TABLE IF EXISTS graft_cat.db.vecp")
+    sql("CREATE TABLE graft_cat.db.vecp (g BIGINT, k BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.vecp SELECT id % 3, id " +
+      "FROM range(0, 9000, 1, 1)") // round-robin: g alternates per row
+    rows("SELECT g, count(*), min(k), max(k) FROM graft_cat.db.vecp " +
+      "GROUP BY g ORDER BY g") shouldBe Seq(
+      Seq(0L, 3000L, 0L, 8997L), Seq(1L, 3000L, 1L, 8998L),
+      Seq(2L, 3000L, 2L, 8999L))
+    // ... and partition pruning over those files stays exact
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.vecp WHERE g = 1") shouldBe
+      Seq(Seq(3000L))
+    GraftTableCatalog.filesOpened.get shouldBe 1L
+  }
+
   test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     // (1) MIN/MAX pushdown over a days()-partitioned SOURCE column must
