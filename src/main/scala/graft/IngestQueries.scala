@@ -1056,6 +1056,42 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q292: MULTI-WRITER OPTIMISTIC CONCURRENCY — four concurrent INSERT
+    * jobs race one table's commit token; a writer that loses the
+    * exclusive-create reservation re-reads the head, REBASES its
+    * manifest onto it and retries (the Iceberg OCC loop), so ALL four
+    * land as four append versions — no lost updates, no external
+    * serialization (CatalogSpec pins the deterministic-contention
+    * rebase, the bounded-retry loud failure, the INSERT OVERWRITE
+    * refusal to rebase, and the row-level pure-appends-only conflict
+    * validation). At 100 TB many pipelines append to one table
+    * concurrently; a single-writer catalog would serialize the fleet
+    * through failures. Oracle: DuckDB reassembles all four slices. */
+  val q292CatalogOcc: Q = (s, d) => {
+    val t = catTable(s, d, "ev292")
+    val stem = s"ev292_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    val dir = new java.io.File(s"work/graft_cat/db/$stem")
+    val v0 = graft.sources.GraftTableCatalog.readLatest(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        try { s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 4 = $i"); () }
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!errs.isEmpty) throw new IllegalStateException(
+      "a concurrent writer failed instead of rebasing", errs.peek())
+    // four independent commits must have landed — version history is
+    // the proof the writers raced rather than serialized through a loss
+    val v1 = graft.sources.GraftTableCatalog.readLatest(dir)
+    require(v1 - v0 == 4L,
+      s"expected 4 commit versions after v$v0, found head v$v1")
+    s.sql(s"""SELECT k % 7 AS g, count(*) AS n, sum(cents) AS cents,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   val q263CatalogFunction: Q = (s, d) => s.sql(
     s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
        |    AS bucket,
@@ -1064,6 +1100,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q292_catalog_occ" -> q292CatalogOcc,
     "q291_catalog_partition_histogram" -> q291CatalogPartitionHistogram,
     "q290_catalog_agg_pushdown" -> q290CatalogAggPushdown,
     "q289_catalog_incremental_mv" -> q289CatalogIncrementalMv,
@@ -1133,6 +1170,15 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // All four concurrent writers' slices, reassembled by DuckDB.
+    "q292_catalog_occ" ->
+      """SELECT event_id % 7 AS g, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |GROUP BY 1""".stripMargin,
     // The per-partition histogram, recomputed by DuckDB from the rows.
     "q291_catalog_partition_histogram" ->
       """SELECT event_id % 8 AS g, count(*) AS n, count(c) AS n_cents,

@@ -1255,6 +1255,67 @@ object GraftTableCatalog {
     next
   }
 
+  /** OPTIMISTIC CONCURRENCY (the Iceberg commit model): a writer that
+    * loses the exclusive-create race re-reads the head, re-derives its
+    * manifest against it (each caller supplies its own rebase +
+    * validation rules), and retries — so two non-conflicting writers
+    * BOTH land instead of the second dying on a token mismatch. Bounded
+    * retries keep sustained contention loud. */
+  val MaxCommitRetries = 5
+
+  /** Run `attempt(expected)` — which must re-derive its view of the
+    * table FROM `expected` and commit with it as the CAS token — and on
+    * a lost reservation race retry against the advanced head. The
+    * attempt itself decides whether a rebase is sound and throws
+    * (non-FileAlreadyExists) when it is not; that failure propagates. */
+  def retryingCommit[T](dir: File, branch: Option[String], first: Long)(
+      attempt: Long => T): T = {
+    var expected = first
+    var tries = 0
+    while (true) {
+      try return attempt(expected)
+      catch {
+        case e: FileAlreadyExistsException =>
+          tries += 1
+          if (tries > MaxCommitRetries) throw new IllegalStateException(
+            s"commit on $dir lost $MaxCommitRetries optimistic retries " +
+              "(sustained writer contention)", e)
+          Thread.sleep(tries * 10L)
+          expected = headVersion(dir, branch)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The manifest as of version `v` on `branch` (0 = empty table). */
+  def manifestAt(dir: File, branch: Option[String], v: Long): Manifest =
+    branch match {
+      case None =>
+        if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+      case Some(b) =>
+        if (v > 0) parseManifest(branchManifestFile(dir, b, v), v)
+        else {
+          val r = branchRefOf(dir, b)
+          if (r.base > 0) readManifest(dir, r.base)
+          else Manifest(0, "none", Seq.empty)
+        }
+    }
+
+  /** Rebase-soundness proof for a ROW-LEVEL op (DELETE/UPDATE/MERGE/
+    * compaction) that scanned `base` and now faces `head`: every file
+    * of `base` must survive BYTE-IDENTICAL (same deletes, seq, spec)
+    * and no equality deletes may have been added — i.e. the intervening
+    * commits were pure appends. The op's decisions (which rows match,
+    * which files rewrite) then still hold; concurrently APPENDED rows
+    * are simply outside its snapshot (snapshot isolation, Iceberg's
+    * default validation level). Anything else — a concurrent delete,
+    * rewrite, upsert or overwrite — fails the commit loudly. */
+  def pureAppendsSince(base: Manifest, head: Manifest): Boolean = {
+    val cur = head.files.map(e => e.name -> e).toMap
+    base.files.forall(e => cur.get(e.name).contains(e)) &&
+      head.eqDeletes == base.eqDeletes
+  }
+
   /** The storage codec: null bitmap, then LONG/DOUBLE raw and STRING
     * length-prefixed, decoded with the column count the FILE was written
     * under (schema evolution maps by field id). Deliberately trivial —
@@ -3258,39 +3319,39 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val latest = readLatest(dir)
-    val m = if (latest == 0) Manifest(0, "none", Seq.empty)
-      else readManifest(dir, latest)
     def entriesOf(msgs: Seq[WriterCommitMessage]): Seq[Entry] =
       msgs.flatMap { case CatalogCommit(es, _) => es; case _ => Seq.empty }
     def keysOf(msgs: Seq[WriterCommitMessage]): Seq[(String, Long)] =
       msgs.flatMap { case CatalogCommit(_, k) => k; case _ => None }
-    if (m.epochs.contains(epochId)) {
-      // replayed micro-batch: the commit is a no-op, and the replay's
-      // freshly written task files (data AND key files) would otherwise
-      // strand forever (referenced by no manifest)
-      (entriesOf(messages.toSeq).map(_.name) ++
-        keysOf(messages.toSeq).map(_._1)).foreach(n =>
-        new File(new File(dir, "data"), n).delete())
-      return
-    }
-    val newSeq = latest + 1
-    val (kept, empty) = entriesOf(messages.toSeq).map(_.copy(seq = newSeq))
-      .partition(_.rows > 0)
     val taskKeys = keysOf(messages.toSeq)
     if (taskKeys.nonEmpty) requireDisjointKeys(dir, taskKeys,
       cleanup = entriesOf(messages.toSeq).map(_.name) ++ taskKeys.map(_._1))
-    val upsert = taskKeys.nonEmpty && m.files.nonEmpty
-    val eq =
-      if (upsert) m.eqDeletes ++ taskKeys.filter(_._2 > 0)
-        .map { case (n, r) => EqDelete(n, r, newSeq) }
-      else m.eqDeletes
-    commitVersion(dir, latest, "stream-epoch", m.files ++ kept,
-      m.epochs + epochId, eq)
-    val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
-      else taskKeys.map(_._1)
-    (empty.map(_.name) ++ dropKeys).foreach(n => // zero-row leftovers
-      new File(new File(dir, "data"), n).delete())
+    // epoch appends rebase like batch appends (OCC): a batch writer
+    // landing between micro-batches no longer kills the stream
+    val toDelete = retryingCommit(dir, None, readLatest(dir)) { latest =>
+      val m = manifestAt(dir, None, latest)
+      if (m.epochs.contains(epochId)) {
+        // replayed micro-batch: the commit is a no-op, and the replay's
+        // freshly written task files (data AND key files) would
+        // otherwise strand forever (referenced by no manifest)
+        entriesOf(messages.toSeq).map(_.name) ++ taskKeys.map(_._1)
+      } else {
+        val newSeq = latest + 1
+        val (kept, empty) = entriesOf(messages.toSeq)
+          .map(_.copy(seq = newSeq)).partition(_.rows > 0)
+        val upsert = taskKeys.nonEmpty && m.files.nonEmpty
+        val eq =
+          if (upsert) m.eqDeletes ++ taskKeys.filter(_._2 > 0)
+            .map { case (n, r) => EqDelete(n, r, newSeq) }
+          else m.eqDeletes
+        commitVersion(dir, latest, "stream-epoch", m.files ++ kept,
+          m.epochs + epochId, eq)
+        val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
+          else taskKeys.map(_._1)
+        empty.map(_.name) ++ dropKeys // zero-row leftovers
+      }
+    }
+    toDelete.foreach(n => new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(epochId: Long,
@@ -3343,48 +3404,55 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newSeq = expectedLatest + 1
-    val all = messages.toSeq.flatMap {
+    val raw = messages.toSeq.flatMap {
       case CatalogCommit(es, _) => es
       case _ => Seq.empty
-    }.map(_.copy(seq = newSeq))
-    val added = all.filter(_.rows > 0) // empty task files add only noise
+    }
     val taskKeys = messages.toSeq.flatMap {
       case CatalogCommit(_, k) => k
       case _ => None
     }
-    // base = the version this write STARTED from; if another commit landed
-    // meanwhile, commitVersion's exclusive create fails the race loudly.
-    // Epoch markers carry through EVERY commit — truncate replaces the
-    // file list, never the stream's progress record.
-    val (base, epochs, oldEq) = {
-      // branch heads resolve through the ref (head 0 = the base MAIN
-      // manifest) — a branch forked from a non-empty table starts full
-      val m = if (branch.isEmpty && expectedLatest == 0)
-        Manifest(0, "none", Seq.empty)
-      else headManifest(dir, branch)
-      (if (truncate) Seq.empty[Entry] else m.files, m.epochs,
-        if (truncate) Seq.empty[EqDelete] else m.eqDeletes)
-    }
-    // UPSERT: the write's key files supersede same-key rows in every
-    // OLDER file (seq-tagged equality deletes); with no older data the
-    // key files are dead weight and drop immediately
-    val upsert = taskKeys.nonEmpty && !truncate
     if (taskKeys.nonEmpty) requireDisjointKeys(dir, taskKeys,
-      cleanup = all.map(_.name) ++ taskKeys.map(_._1))
-    val (eq, dropKeys) =
-      if (upsert && base.nonEmpty)
-        (oldEq ++ taskKeys.filter(_._2 > 0)
-          .map { case (n, r) => EqDelete(n, r, newSeq) },
-          taskKeys.filter(_._2 == 0).map(_._1))
-      else (oldEq, taskKeys.map(_._1))
-    commitHead(dir, branch, expectedLatest,
-      if (truncate) "overwrite"
-      else if (upsert && base.nonEmpty) "upsert"
-      else "append",
-      base ++ added, epochs, eq)
-    (all.filter(_.rows == 0).map(_.name) ++ dropKeys).foreach(n =>
-      new File(new File(dir, "data"), n).delete())
+      cleanup = raw.map(_.name) ++ taskKeys.map(_._1))
+    // OPTIMISTIC COMMIT: every attempt re-derives base/seq/eq from the
+    // `expected` it is handed, so a lost race rebases onto the advanced
+    // head and BOTH writers land (appends and upserts always rebase —
+    // the commit order defines upsert LWW sequencing). INSERT OVERWRITE
+    // never rebases: replaying a truncate over a concurrent commit
+    // would silently discard what that writer just published.
+    val dropped = retryingCommit(dir, branch, expectedLatest) { expected =>
+      if (truncate && expected != expectedLatest)
+        throw new IllegalStateException(
+          s"INSERT OVERWRITE of $dir raced a concurrent commit " +
+            s"(v$expectedLatest -> v$expected): an overwrite rebase would " +
+            "drop the other writer's rows — re-run the overwrite")
+      val newSeq = expected + 1
+      val all = raw.map(_.copy(seq = newSeq))
+      val added = all.filter(_.rows > 0) // empty task files add only noise
+      // Epoch markers carry through EVERY commit — truncate replaces the
+      // file list, never the stream's progress record.
+      val m = manifestAt(dir, branch, expected)
+      val (base, epochs, oldEq) =
+        (if (truncate) Seq.empty[Entry] else m.files, m.epochs,
+          if (truncate) Seq.empty[EqDelete] else m.eqDeletes)
+      // UPSERT: the write's key files supersede same-key rows in every
+      // OLDER file (seq-tagged equality deletes); with no older data the
+      // key files are dead weight and drop immediately
+      val upsert = taskKeys.nonEmpty && !truncate
+      val (eq, dropKeys) =
+        if (upsert && base.nonEmpty)
+          (oldEq ++ taskKeys.filter(_._2 > 0)
+            .map { case (n, r) => EqDelete(n, r, newSeq) },
+            taskKeys.filter(_._2 == 0).map(_._1))
+        else (oldEq, taskKeys.map(_._1))
+      commitHead(dir, branch, expected,
+        if (truncate) "overwrite"
+        else if (upsert && base.nonEmpty) "upsert"
+        else "append",
+        base ++ added, epochs, eq)
+      all.filter(_.rows == 0).map(_.name) ++ dropKeys
+    }
+    dropped.foreach(n => new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3746,12 +3814,10 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newSeq = expectedLatest + 1
-    val all = messages.toSeq.flatMap {
+    val raw = messages.toSeq.flatMap {
       case CatalogCommit(es, _) => es
       case _ => Seq.empty
-    }.map(_.copy(seq = newSeq))
-    val added = all.filter(_.rows > 0)
+    }
     // the COW rewrite materialized its groups' live rows, so the
     // per-row machinery (not the key files) carries upsert semantics
     // here; a group write never adds equality deletes
@@ -3759,13 +3825,29 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       case CatalogCommit(_, k) => k.map(_._1)
       case _ => None
     }
-    val m = headManifest(dir, branch)
+    val baseM = manifestAt(dir, branch, expectedLatest)
     val replaced = op.plannedFiles
-    commitHead(dir, branch, expectedLatest,
-      op.command().name().toLowerCase(java.util.Locale.ROOT),
-      m.files.filterNot(e => replaced.contains(e.name)) ++ added,
-      m.epochs, m.eqDeletes)
-    (all.filter(_.rows == 0).map(_.name) ++ dropKeys).foreach(n =>
+    // OCC for a group rewrite: rebase is sound ONLY over pure appends
+    // (every scanned file byte-identical, no new eq deletes) — the
+    // planned-file swap then still replaces exactly what was read;
+    // anything else fails loudly (Iceberg's conflicting-files check)
+    val dropped = retryingCommit(dir, branch, expectedLatest) { expected =>
+      val m = manifestAt(dir, branch, expected)
+      if (expected != expectedLatest && !pureAppendsSince(baseM, m))
+        throw new IllegalStateException(
+          s"row-level ${op.command()} on $dir raced a CONFLICTING commit " +
+            s"(v$expectedLatest -> v$expected is not append-only): " +
+            "re-run the statement against the new version")
+      val newSeq = expected + 1
+      val all = raw.map(_.copy(seq = newSeq))
+      val added = all.filter(_.rows > 0)
+      commitHead(dir, branch, expected,
+        op.command().name().toLowerCase(java.util.Locale.ROOT),
+        m.files.filterNot(e => replaced.contains(e.name)) ++ added,
+        m.epochs, m.eqDeletes)
+      all.filter(_.rows == 0).map(_.name)
+    }
+    (dropped ++ dropKeys).foreach(n =>
       new File(new File(dir, "data"), n).delete())
   }
 
@@ -3846,27 +3928,42 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newSeq = expectedLatest + 1
     val parts = messages.toSeq.collect { case d: CatalogDeltaCommit => d }
-    val added = parts.flatMap(_.entries).map(_.copy(seq = newSeq))
-      .filter(_.rows > 0)
     // merge per-file delete positions across tasks (each row matched
-    // once, so the arrays are disjoint; writeDeleteFile sorts)
-    val deleted: Map[String, Seq[Long]] = parts.flatMap(_.deletes.toSeq)
-      .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2) }
-    val m = headManifest(dir, branch)
-    val files = m.files.map { e =>
-      deleted.get(e.name) match {
-        case Some(pos) if pos.nonEmpty =>
-          e.copy(deletes = e.deletes :+ writeDeleteFile(dir, pos))
-        case _ => e // untouched entries stay byte-identical
+    // once, so the arrays are disjoint; writeDeleteFile sorts). The
+    // delete FILES are written once, outside the OCC loop — their
+    // content is independent of the rebase base, and re-writing them
+    // per attempt would strand the earlier attempts' files
+    val deleted: Map[String, DeleteFile] = parts.flatMap(_.deletes.toSeq)
+      .groupBy(_._1).collect { case (f, ps) if ps.exists(_._2.nonEmpty) =>
+        f -> writeDeleteFile(dir, ps.flatMap(_._2))
       }
-    } ++ added
-    commitHead(dir, branch, expectedLatest,
-      cmd.name().toLowerCase(java.util.Locale.ROOT),
-      files, m.epochs, m.eqDeletes)
-    parts.flatMap(_.entries).filter(_.rows == 0).foreach(e =>
-      new File(new File(dir, "data"), e.name).delete())
+    val baseM = manifestAt(dir, branch, expectedLatest)
+    // OCC for a MOR delta: same soundness rule as the group rewrite —
+    // position deletes were computed against the scanned files, so
+    // rebase only over pure appends; conflicts fail loudly
+    val dropped = retryingCommit(dir, branch, expectedLatest) { expected =>
+      val m = manifestAt(dir, branch, expected)
+      if (expected != expectedLatest && !pureAppendsSince(baseM, m))
+        throw new IllegalStateException(
+          s"row-level $cmd on $dir raced a CONFLICTING commit " +
+            s"(v$expectedLatest -> v$expected is not append-only): " +
+            "re-run the statement against the new version")
+      val newSeq = expected + 1
+      val added = parts.flatMap(_.entries).map(_.copy(seq = newSeq))
+        .filter(_.rows > 0)
+      val files = m.files.map { e =>
+        deleted.get(e.name) match {
+          case Some(df) => e.copy(deletes = e.deletes :+ df)
+          case _ => e // untouched entries stay byte-identical
+        }
+      } ++ added
+      commitHead(dir, branch, expected,
+        cmd.name().toLowerCase(java.util.Locale.ROOT),
+        files, m.epochs, m.eqDeletes)
+      parts.flatMap(_.entries).filter(_.rows == 0).map(_.name)
+    }
+    dropped.foreach(n => new File(new File(dir, "data"), n).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

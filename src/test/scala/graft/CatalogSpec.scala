@@ -1508,6 +1508,83 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.filesOpened.get shouldBe 1L
   }
 
+  test("optimistic concurrency: contended appends all land, held reservations fail loudly after bounded retries, overwrite refuses to rebase") {
+    import GraftTableCatalog._
+    val t = freshTable("occ", "k BIGINT, v BIGINT")
+    val dir = new File("work/graft_cat/db/occ")
+    // (1) 6 concurrent INSERT writers: every one must land (losers
+    // rebase onto the advanced head and retry), one commit each
+    val v0 = readLatest(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 6).map { i =>
+      new Thread(() =>
+        try { sql(s"INSERT INTO $t SELECT id, id * 10 " +
+          s"FROM range(${i * 1000}, ${i * 1000 + 1000}, 1, 1)"); () }
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    errs.isEmpty shouldBe true
+    readLatest(dir) shouldBe v0 + 6
+    rows(s"SELECT count(*), min(k), max(k), sum(v) FROM $t") shouldBe
+      Seq(Seq(6000L, 0L, 5999L, (0L until 6000L).map(_ * 10).sum))
+    // (2) a HELD (fresh, zero-byte) reservation is a live writer: the
+    // OCC loop retries against it and then fails LOUDLY, bounded
+    val lN = readLatest(dir)
+    val resv = new File(dir, s"v${lN + 1}.manifest")
+    java.nio.file.Files.createFile(resv.toPath)
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES (9999, 9)"))
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + rootMsg(x.getCause)
+    rootMsg(e) should include("optimistic retries")
+    java.nio.file.Files.delete(resv.toPath)
+    sql(s"INSERT INTO $t VALUES (9999, 9)") // released -> lands
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(6001L))
+    // (3) INSERT OVERWRITE refuses to rebase over a concurrent commit
+    // (a truncate replay would drop the other writer's rows): drive the
+    // REAL write path with a stale token and a commit injected between
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsWrite, TableCatalog}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tbl = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("db"), "occ"))
+      .asInstanceOf[SupportsWrite]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "occ-test"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.Table].schema()
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+    }
+    val batch = tbl.newWriteBuilder(info)
+      .asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+      .truncate().build().toBatch // captures the commit token NOW
+    sql(s"INSERT INTO $t VALUES (77777, 7)") // concurrent commit lands
+    val w = batch.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      }).createWriter(0, 0L)
+    w.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](1L, 2L)))
+    val msg = w.commit()
+    val oe = intercept[IllegalStateException](batch.commit(Array(msg)))
+    oe.getMessage should include("INSERT OVERWRITE")
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(6002L)) // nothing lost
+    // (4) the row-level rebase-validation core: pure appends pass,
+    // anything touching scanned files or eq-deletes refuses
+    val base = readManifest(dir, readLatest(dir))
+    val fileA = base.files.head
+    pureAppendsSince(base, base) shouldBe true
+    pureAppendsSince(base, base.copy(
+      files = base.files :+ fileA.copy(name = "new-append.bin"))) shouldBe true
+    pureAppendsSince(base, base.copy(
+      files = base.files.tail)) shouldBe false // a scanned file vanished
+    pureAppendsSince(base, base.copy(files =
+      fileA.copy(deletes = fileA.deletes :+ DeleteFile("d.del", 1)) +:
+        base.files.tail)) shouldBe false // a scanned file took deletes
+    pureAppendsSince(base, base.copy(
+      eqDeletes = Seq(EqDelete("eq.keys", 1, 99)))) shouldBe false
+  }
+
   test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     // (1) MIN/MAX pushdown over a days()-partitioned SOURCE column must
