@@ -692,6 +692,11 @@ object GraftTableCatalog {
   def columnarEnabled: Boolean =
     !"false".equals(System.getProperty("graft.catalog.columnar"))
 
+  /** Kill switch + A/B handle for the scan-reported per-column
+    * statistics (CBO inputs). */
+  def colStatsEnabled: Boolean =
+    !"false".equals(System.getProperty("graft.catalog.colstats"))
+
   /** A position delete file: `rows` positions (longs, raw file order)
     * of `dataFile` rows that are logically deleted. */
   case class DeleteFile(name: String, rows: Long)
@@ -2502,8 +2507,11 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     * opening a data file (at 100 TB: kilobytes of manifest instead of a
     * full scan). Strictly proof-gated, declining to a normal scan when
     * exactness is not provable:
-    *  - any pushed filter → decline (a partially-matching file would
-    *    need row inspection);
+    *  - pushed filters tolerate PARTITION-ALIGNED predicates: files
+    *    proven all-match contribute, proven no-match drop, any
+    *    partially-matching file declines the whole push;
+    *  - AVG(col): exact manifest sum / null-free live-row count,
+    *    complete-pushdown only;
     *  - outstanding equality deletes → decline everything (liveRows is
     *    an upper bound until compaction);
     *  - COUNT(*): liveRows sums stay exact THROUGH position deletes;
@@ -2527,14 +2535,30 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (skipFilters.nonEmpty || manifest.eqDeletes.nonEmpty) return None
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
+    if (manifest.eqDeletes.nonEmpty) return None
     val mp = readMapping(dir, schema)
     val specs = readSpecs(dir)
-    val facts: Seq[(Entry, FileFacts)] = manifest.files.map(e =>
+    val allFacts: Seq[(Entry, FileFacts)] = manifest.files.map(e =>
       (e, fileFacts(e, schema, mp,
         if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
         else Seq.empty)))
+    // PARTITION-PREDICATE-TOLERANT: classify every live file against the
+    // pushed filters — wholly matching files contribute, wholly
+    // non-matching files drop, a PARTIAL file (may contain matching rows
+    // but not provably all) declines the push. Spark only offers the
+    // aggregation when no residual filter remains, i.e. when pushFilters
+    // absorbed everything, so partials cannot actually occur here — the
+    // check keeps the proof local instead of relying on that contract.
+    var partial = false
+    val facts: Seq[(Entry, FileFacts)] = allFacts.filter { case (_, ft) =>
+      if (skipFilters.forall(allMatch(_, ft))) true
+      else {
+        if (skipFilters.forall(mayMatch(_, ft))) partial = true
+        false
+      }
+    }
+    if (partial) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames().length == 1 &&
@@ -2618,7 +2642,31 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
               }
             }
           }
-        case _ => None // Avg/stddev/distinct: not derivable from stats
+        case a: Avg if !a.isDistinct =>
+          // avg = exact manifest sum / exact non-null count. Provable
+          // when every file is null-free for the column (count is then
+          // liveRows), carries its sum, and no position deletes touch
+          // the subset; Spark only pushes Avg under
+          // supportCompletePushDown, so the division happens once, here.
+          colOf(a.column()).flatMap { col =>
+            if (hasPosDeletes || schema(col).dataType != LongType) None
+            else if (!sub.forall(_._2.nullFree(col))) None
+            else {
+              val key = s"#${mp.ids(schema.fieldIndex(col))}"
+              val per = sub.map(_._1.sums.get(key))
+              if (per.exists(_.isEmpty)) None
+              else try {
+                val n = sub.map(_._1.liveRows).sum
+                if (n == 0L) Some(("avg", DoubleType, true, null: Any))
+                else {
+                  val s = per.flatten.reduce(Math.addExact(_: Long, _: Long))
+                  Some(("avg", DoubleType, true,
+                    (java.lang.Double.valueOf(s.toDouble / n)): Any))
+                }
+              } catch { case _: ArithmeticException => None }
+            }
+          }
+        case _ => None // stddev/distinct: not derivable from stats
       }
       if (cols.exists(_.isEmpty)) None else Some(cols.map(_.get))
     }
@@ -2685,10 +2733,28 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     * re-applies them all), but files whose facts (partition values
     * FIRST — exact, then min/max stats) disprove a conjunct are never
     * planned — the connector-level partition pruning + zone map. */
+  /** Filters the scan ABSORBED: provably exact at FILE granularity —
+    * every live file either all-matches (partition value, day range or
+    * stats prove it, nulls included) or no-matches. File skipping then
+    * IS the filter, so Spark re-applies nothing — and, because no
+    * post-scan filter remains, a downstream Aggregation becomes
+    * eligible for manifest pushdown (`SELECT count(*) ... WHERE g = 5`
+    * answers metadata-only). Partial files keep the filter RESIDUAL,
+    * exactly as before. */
+  private var absorbed = Array.empty[Filter]
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    skipFilters = filters; filters
+    skipFilters = filters
+    val mp = readMapping(dir, schema)
+    val specs = readSpecs(dir)
+    val facts = manifest.files.map(e => fileFacts(e, schema, mp,
+      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+      else Seq.empty))
+    val (abs, residual) = filters.partition(f =>
+      facts.forall(ft => allMatch(f, ft) || !mayMatch(f, ft)))
+    absorbed = abs
+    residual
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = absorbed
 
   /** May include the `_file` metadata column — the reader stamps it. */
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -2854,11 +2920,65 @@ private class CatalogScan(dir: File, tableSchema: StructType,
     * every executed plan rather than only via the test counters. */
   override def supportedCustomMetrics(): Array[CustomMetric] =
     CatalogScanMetrics.supported
+  /** Scan statistics for the optimizer. Beyond rows/bytes, the manifest
+    * serves PER-COLUMN statistics to Catalyst's CBO
+    * (`spark.sql.cbo.enabled`): exact min/max folded from the per-file
+    * stats, nullCount=0 where every file proves the column null-free,
+    * and a distinct-count ESTIMATE bounded by the value range and the
+    * row count. With them, FilterEstimation prices range predicates and
+    * JoinEstimation prices key cardinalities — a selectively-filtered
+    * leg broadcasts instead of shuffling, and multi-way joins reorder —
+    * all from kilobytes of manifest, no ANALYZE pass over 100 TB. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_.bytes).sum)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_.liveRows).sum)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!colStatsEnabled) return out
+      val totalRows = files.map(_.liveRows).sum
+      required.fields.foreach { f =>
+        if (f.dataType == LongType && tableSchema.fieldNames.contains(f.name)) {
+          val id = mp.ids(tableSchema.fieldIndex(f.name))
+          val key = s"#$id"
+          // EXACT per-file stats only (never the day-synthesized ranges)
+          val bounds = files.flatMap(e => e.stats.get(key)
+            .orElse(if (!mp.evolved) e.stats.get(f.name) else None))
+          if (bounds.nonEmpty) {
+            val lo = bounds.map(_._1).min
+            val hi = bounds.map(_._2).max
+            val allNullFree = files.forall(e => e.nullFree.exists(s =>
+              s.contains(key) || (!mp.evolved && s.contains(f.name))))
+            // estimate, not a proof: distinct values can't exceed the
+            // closed range's width or the live row count
+            val dv = (BigInt(hi) - BigInt(lo) + 1).min(BigInt(totalRows))
+              .max(BigInt(1)).toLong
+            out.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(java.lang.Long.valueOf(lo))
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(java.lang.Long.valueOf(hi))
+                override def nullCount(): java.util.OptionalLong =
+                  if (allNullFree) java.util.OptionalLong.of(0L)
+                  else java.util.OptionalLong.empty()
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(dv)
+                override def avgLen(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(8L)
+                override def maxLen(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(8L)
+              })
+          }
+        }
+      }
+      out
+    }
   }
 }
 

@@ -507,6 +507,13 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.filesOpened.set(0)
     rows("SELECT count(*), sum(v) FROM graft_cat.db.pid WHERE g = 2") shouldBe
       Seq(Seq(2000L, 8000000L))
+    // the partition-aligned aggregate now answers from the MANIFEST
+    GraftTableCatalog.filesOpened.get() shouldBe 0L
+    // an expression aggregate cannot push -> the scan runs, and pruning
+    // opens ONLY g=2's files
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT sum(v % 7) FROM graft_cat.db.pid WHERE g = 2")
+      .head.head.asInstanceOf[Long] should be >= 0L
     GraftTableCatalog.filesOpened.get() shouldBe 4L // only g=2's files
     // partition-aligned DELETE: every g=3 file drops metadata-only
     sql("DELETE FROM graft_cat.db.pid WHERE g = 3")
@@ -731,6 +738,14 @@ class CatalogSpec extends SparkSpec {
             |WHERE ts >= ${(day0 + 1) * 86400000L}
             |  AND ts < ${(day0 + 2) * 86400000L}""".stripMargin) shouldBe
       Seq(Seq(2000L))
+    // day-aligned count: answered from the manifest, zero files
+    GraftTableCatalog.filesOpened.get() shouldBe 0L
+    // a non-pushable aggregate still scans ONLY that day's files
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"""SELECT sum(ts % 7) FROM graft_cat.db.pdays
+            |WHERE ts >= ${(day0 + 1) * 86400000L}
+            |  AND ts < ${(day0 + 2) * 86400000L}""".stripMargin)
+      .head.head.asInstanceOf[Long] should be >= 0L
     GraftTableCatalog.filesOpened.get() shouldBe 2L // that day's 2 files
     rows("SELECT `partition`, `rows` FROM graft_cat.db.pdays.partitions ORDER BY `partition`")
       .map(_.head) shouldBe
@@ -1343,10 +1358,15 @@ class CatalogSpec extends SparkSpec {
     rows("SELECT count(*), count(s) FROM graft_cat.db.aggpd") shouldBe
       Seq(Seq(100000L, 90000L))
     GraftTableCatalog.filesOpened.get shouldBe 4L
-    // a filtered aggregate never pushes (partially-matching files)
+    // a FILE-ALIGNED filter absorbs and the count stays metadata-only
     GraftTableCatalog.filesOpened.set(0)
     rows("SELECT count(*) FROM graft_cat.db.aggpd WHERE k >= 50000") shouldBe
       Seq(Seq(50000L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // a MID-FILE cutoff leaves a partial file -> residual filter, scan
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggpd WHERE k >= 50001") shouldBe
+      Seq(Seq(49999L))
     GraftTableCatalog.filesOpened.get should be >= 1L
     // MOR position deletes: count(*) stays exact THROUGH them
     // (liveRows subtracts), min/max decline (the extremal row may be
@@ -1501,10 +1521,15 @@ class CatalogSpec extends SparkSpec {
       "GROUP BY g ORDER BY g") shouldBe Seq(
       Seq(0L, 3000L, 0L, 8997L), Seq(1L, 3000L, 1L, 8998L),
       Seq(2L, 3000L, 2L, 8999L))
-    // ... and partition pruning over those files stays exact
+    // ... and partition pruning over those files stays exact: the
+    // aligned count is metadata-only, a non-pushable agg opens 1 file
     GraftTableCatalog.filesOpened.set(0)
     rows("SELECT count(*) FROM graft_cat.db.vecp WHERE g = 1") shouldBe
       Seq(Seq(3000L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT sum(k % 3) FROM graft_cat.db.vecp WHERE g = 1")
+      .head.head.asInstanceOf[Long] should be >= 0L
     GraftTableCatalog.filesOpened.get shouldBe 1L
   }
 
@@ -1583,6 +1608,95 @@ class CatalogSpec extends SparkSpec {
         base.files.tail)) shouldBe false // a scanned file took deletes
     pureAppendsSince(base, base.copy(
       eqDeletes = Seq(EqDelete("eq.keys", 1, 99)))) shouldBe false
+  }
+
+  test("column statistics reach the CBO: a selective range filter flips the join to broadcast; stats off keeps the shuffle") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    Seq("cbo_a", "cbo_b").foreach { t =>
+      sql(s"DROP TABLE IF EXISTS graft_cat.db.$t")
+      sql(s"CREATE TABLE graft_cat.db.$t AS SELECT id AS k, id * 7 AS v " +
+        "FROM range(0, 200000, 1, 4)")
+    }
+    def planWith(colStats: Boolean): (Long, String) = {
+      if (!colStats) System.setProperty("graft.catalog.colstats", "false")
+      try {
+        SessionConf.withValue(spark, "spark.sql.cbo.enabled", "true") {
+          SessionConf.withValue(spark, "spark.sql.adaptive.enabled", "false") {
+            SessionConf.withValue(spark,
+              "spark.sql.autoBroadcastJoinThreshold", "262144") {
+              val df = sql("SELECT count(*) AS n FROM graft_cat.db.cbo_a a " +
+                "JOIN graft_cat.db.cbo_b b ON a.k = b.k WHERE b.k < 300")
+              (df.collect().head.getLong(0),
+                df.queryExecution.executedPlan.toString)
+            }
+          }
+        }
+      } finally System.clearProperty("graft.catalog.colstats")
+    }
+    // with manifest column stats the CBO prices `k < 300` over the
+    // known [0, 200000) range -> the filtered leg is tiny -> broadcast
+    val (nOn, planOn) = planWith(colStats = true)
+    nOn shouldBe 300L
+    planOn should include ("BroadcastHashJoin")
+    // same query, stats withheld: the filter's output is unpriceable,
+    // both legs stay over the threshold -> shuffle join, same answer
+    val (nOff, planOff) = planWith(colStats = false)
+    nOff shouldBe 300L
+    planOff should not include "BroadcastHashJoin"
+    planOff should include ("SortMergeJoin")
+  }
+
+  test("filtered aggregate pushdown + AVG: partition-aligned predicates answer metadata-only; partial files and nullable AVG decline") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.aggf")
+    sql("CREATE TABLE graft_cat.db.aggf (g BIGINT, k BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.aggf SELECT id % 4, id " +
+      "FROM range(0, 40000, 1, 2)")
+    // identity-partition predicate: every file provably all-match or
+    // no-match, so COUNT/MIN/MAX/SUM/AVG all answer from the manifest
+    GraftTableCatalog.filesOpened.set(0)
+    val df = sql("SELECT count(*), min(k), max(k), sum(k), avg(k) " +
+      "FROM graft_cat.db.aggf WHERE g = 2")
+    df.collect().head.toSeq shouldBe
+      Seq(10000L, 2L, 39998L, 200000000L, 20000.0)
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    df.queryExecution.executedPlan.toString should include ("LocalTableScan")
+    // ... and the GROUP-BY-partition histogram composes with the filter
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT g, count(*) AS n, avg(k) FROM graft_cat.db.aggf " +
+      "WHERE g IN (1, 3) GROUP BY g ORDER BY g") shouldBe Seq(
+      Seq(1L, 10000L, 19999.0), Seq(3L, 10000L, 20001.0))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // a MID-FILE predicate leaves PARTIAL files -> the filter stays
+    // residual, the aggregate scans, the answer stays right
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggf WHERE k >= 19999") shouldBe
+      Seq(Seq(20001L))
+    GraftTableCatalog.filesOpened.get should be >= 1L
+    // day-aligned range over days() partitioning: absorbed + metadata
+    sql("DROP TABLE IF EXISTS graft_cat.db.aggd")
+    sql("CREATE TABLE graft_cat.db.aggd (ms BIGINT, v BIGINT) " +
+      "PARTITIONED BY (days(ms))")
+    sql("INSERT INTO graft_cat.db.aggd SELECT id * 4000, id " +
+      "FROM range(0, 40000, 1, 2)") // days 0 and 1, boundary-straddling files
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.aggd " +
+      s"WHERE ms >= 86400000") shouldBe Seq(Seq(40000L - 21600L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // AVG over a column with nulls is unprovable -> declines to a scan
+    sql("DROP TABLE IF EXISTS graft_cat.db.aggn")
+    sql("CREATE TABLE graft_cat.db.aggn AS SELECT id AS k, " +
+      "CASE WHEN id % 2 = 0 THEN id ELSE NULL END AS x " +
+      "FROM range(0, 1000, 1, 1)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT avg(x) FROM graft_cat.db.aggn") shouldBe
+      Seq(Seq((0L until 1000L by 2).sum.toDouble / 500))
+    GraftTableCatalog.filesOpened.get should be >= 1L
+    // unfiltered AVG on a null-free column: metadata-only
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT avg(k) FROM graft_cat.db.aggn") shouldBe Seq(Seq(499.5))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
   }
 
   test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
