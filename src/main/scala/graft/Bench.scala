@@ -18,6 +18,10 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // wall-clock bracket for drift adjudication: EVERY round sees midday
+    // host contention; start/end stamps make the affected window legible
+    // without git archaeology (round-16 verdict ask #8)
+    val wallStart = System.currentTimeMillis
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -145,7 +149,14 @@ object Bench {
     // line, so the headline fields (value/failed) go LAST and the spread
     // diagnostics go FIRST — they are the cheapest thing to lose to a
     // truncation.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"spread":$spreads,"queries":$qs,"spread_med":${f2(spreadMed)},"spread_max":${f2(spreadMax)},"failed":${failed.size},"value":$total}"""
+    val wallEnd = System.currentTimeMillis
+    val wallIso = {
+      val fmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+      def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneId.systemDefault()).format(fmt)
+      s""""wall_start":"${iso(wallStart)}","wall_end":"${iso(wallEnd)}","wall_sec":${(wallEnd - wallStart) / 1000}"""
+    }
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,$wallIso,"spread":$spreads,"queries":$qs,"spread_med":${f2(spreadMed)},"spread_max":${f2(spreadMax)},"failed":${failed.size},"value":$total}"""
     // Durable artifact: the driver's stdout capture keeps only the TAIL of
     // this (very long) line, losing most per-query times to round-over-round
     // comparison. Write the complete line to a file as well so the full

@@ -1056,6 +1056,57 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q294: REF-ADDRESSABLE TIME TRAVEL — `VERSION AS OF` takes tag AND
+    * branch NAMES, not just version numbers: the tag resolves to its
+    * expiry-pinned version, the branch name serves the branch's current
+    * (unpublished) head through the same read machinery as
+    * `db.t.branch_<name>` (CatalogSpec pins resolution precedence, the
+    * dangling-ref error listing both namespaces, and main's
+    * invisibility). At 100 TB: "query the `prod` tag" and "audit the
+    * `backfill` branch" are plain SQL, no version-number bookkeeping.
+    * One result unions the tag view, the branch view and main, each
+    * labeled — DuckDB recomputes all three slices from the source. */
+  val q294CatalogRefTravel: Q = (s, d) => {
+    val t = catTable(s, d, "ev294")
+    val stem = s"ev294_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t AS ${catEventsSql(d)} AND event_id % 3 = 0")
+    val v = graft.sources.GraftTableCatalog.readLatest(
+      new java.io.File(s"work/graft_cat/db/$stem"))
+    s.sql(s"CALL graft_cat.sys.tag('db', '$stem', 'base', $v)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 3 = 1")
+    s.sql(s"CALL graft_cat.sys.branch('db', '$stem', 'audit')")
+    s.sql(s"INSERT INTO $t.branch_audit ${catEventsSql(d)} AND event_id % 3 = 2")
+    s.sql(s"""SELECT 'tag' AS ref, count(*) AS n, sum(cents) AS cents
+             |FROM $t VERSION AS OF 'base'
+             |UNION ALL
+             |SELECT 'branch' AS ref, count(*) AS n, sum(cents) AS cents
+             |FROM $t VERSION AS OF 'audit'
+             |UNION ALL
+             |SELECT 'main' AS ref, count(*) AS n, sum(cents) AS cents
+             |FROM $t""".stripMargin)
+  }
+
+  /** q293: FILTERED AGGREGATE PUSHDOWN + AVG — a partition-aligned
+    * predicate is ABSORBED by the scan (every file provably all-match
+    * or no-match from the manifest, so file skipping IS the filter) and
+    * the aggregate — COUNT/MIN/MAX/SUM plus AVG composed from the
+    * manifest's exact per-file sums and null-free live-row counts —
+    * answers metadata-only: ZERO files opened, LocalTableScan
+    * (CatalogSpec pins the counters and every decline: mid-file
+    * cutoffs, nullable AVG, deletes). The 100 TB shape: `WHERE g = k`
+    * rollups — the most common operational query there is — cost
+    * kilobytes of manifest, not a partition scan. Oracle: DuckDB
+    * recomputes the filtered aggregate from rows. */
+  val q293CatalogFilteredAgg: Q = (s, d) => {
+    val t = catTable(s, d, "ev293")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (g) AS
+             |SELECT k % 6 AS g, k, cents
+             |FROM (${catEventsSql(d)}) src""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+             |  sum(cents) AS cents, avg(cents) AS avg_cents
+             |FROM $t WHERE g = 4""".stripMargin)
+  }
+
   /** q292: MULTI-WRITER OPTIMISTIC CONCURRENCY — four concurrent INSERT
     * jobs race one table's commit token; a writer that loses the
     * exclusive-create reservation re-reads the head, REBASES its
@@ -1100,6 +1151,8 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q294_catalog_ref_travel" -> q294CatalogRefTravel,
+    "q293_catalog_filtered_agg" -> q293CatalogFilteredAgg,
     "q292_catalog_occ" -> q292CatalogOcc,
     "q291_catalog_partition_histogram" -> q291CatalogPartitionHistogram,
     "q290_catalog_agg_pushdown" -> q290CatalogAggPushdown,
@@ -1170,6 +1223,29 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The three ref views (tagged base, audited branch, main), each
+    // recomputed by DuckDB from the parity slices that built them.
+    "q294_catalog_ref_travel" ->
+      """WITH src AS (SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT 'tag' AS ref, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |FROM src WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 'branch' AS ref, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |FROM src WHERE event_id % 3 IN (0, 1, 2)
+        |UNION ALL
+        |SELECT 'main' AS ref, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |FROM src WHERE event_id % 3 IN (0, 1)""".stripMargin,
+    // The partition-filtered rollup, recomputed by DuckDB from rows.
+    "q293_catalog_filtered_agg" ->
+      """SELECT count(*) AS n, min(event_id) AS min_k,
+        |  max(event_id) AS max_k, CAST(sum(c) AS BIGINT) AS cents,
+        |  avg(c) AS avg_cents
+        |FROM (SELECT event_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL) t
+        |WHERE event_id % 6 = 4""".stripMargin,
     // All four concurrent writers' slices, reassembled by DuckDB.
     "q292_catalog_occ" ->
       """SELECT event_id % 7 AS g, count(*) AS n,

@@ -506,7 +506,81 @@ object StreamingEvidence {
         chops = 3)
     }
 
-    val twins = Seq(dedup, spatial, asof, tws, eos, cat, upsert, cdf, ivm)
+    // ---- twin 10: STREAMING WAP (write-audit-publish) ----
+    // A stream writes its micro-batches to a BRANCH (each epoch a
+    // branch-chain commit — main's content and version history never
+    // move while the stream runs), the audited head publishes atomically
+    // via sys.fast_forward, and a downstream `.changes` consumer on MAIN
+    // sees exactly the published rows in ONE version. The 100 TB WAP
+    // discipline applied to a live stream: audit continuously, publish
+    // atomically, lose nothing.
+    val wap = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.wap_evidence")
+      spark.sql(
+        "CREATE TABLE graft_cat.db.wap_evidence (k BIGINT, cents BIGINT)")
+      val evSql = s"""SELECT event_id AS k,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM parquet.`$sfDir/events.parquet`
+        |WHERE value IS NOT NULL AND event_id < 4000""".stripMargin
+      // main seeds with the even slice
+      spark.sql("INSERT INTO graft_cat.db.wap_evidence " +
+        s"SELECT * FROM ($evSql) t WHERE k % 2 = 0")
+      val nMain0 = spark.sql(
+        "SELECT count(*) FROM graft_cat.db.wap_evidence")
+        .collect().head.getLong(0)
+      // the audited stream: odd slice, 3 chops, committed on the branch
+      spark.sql("CALL graft_cat.sys.branch('db', 'wap_evidence', 'audit')")
+      val slice = spark.sql(s"SELECT * FROM ($evSql) t WHERE k % 2 = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val chunks = slice.grouped((slice.length / 3).max(1)).toSeq
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-wap-ckpt").toString
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("k", "cents").writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .toTable("graft_cat.db.wap_evidence.branch_audit")
+      try chunks.foreach { ch =>
+        input.addData(ch.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      // audit invisibility: main never moved while the stream committed
+      require(spark.sql("SELECT count(*) FROM graft_cat.db.wap_evidence")
+        .collect().head.getLong(0) == nMain0,
+        "branch stream leaked into main before publish")
+      // downstream consumer on MAIN's change feed, attached pre-publish
+      val landed = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft-wap-cdf-ckpt").toString
+      def drainMain(): Unit = {
+        val c = spark.readStream.table("graft_cat.db.wap_evidence.changes")
+          .writeStream.option("checkpointLocation", ckpt2)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach { r =>
+              require(r.getString(2) == "insert",
+                s"unexpected ${r.getString(2)} in the WAP publish feed")
+              landed += ((r.getLong(0), r.getLong(1)))
+            }
+            ()
+          }.start()
+        try c.processAllAvailable() finally c.stop()
+      }
+      drainMain() // consumes the seed slice
+      val seedSeen = landed.length
+      require(seedSeen == nMain0, "feed baseline missed the seed slice")
+      landed.clear()
+      // PUBLISH: the whole audited stream lands as ONE main version
+      spark.sql(
+        "CALL graft_cat.sys.fast_forward('db', 'wap_evidence', 'audit')")
+      drainMain() // consumes exactly the published rows
+      def fmt(t: (Long, Long)) = s"${t._1}|${t._2}"
+      TwinResult("streaming_wap_publish", unit = "rows",
+        landed.length.toLong, slice.length.toLong,
+        md5(landed.toSeq.map(fmt)), md5(slice.toSeq.map(fmt)),
+        chops = chunks.length)
+    }
+
+    val twins =
+      Seq(dedup, spatial, asof, tws, eos, cat, upsert, cdf, ivm, wap)
     val allPass = twins.forall(_.pass)
     val json =
       s"""{"sf":"$sfDir","twins":[${twins.map(_.json).mkString(",")}],""" +

@@ -213,11 +213,23 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
     val dir = tableDir(ident)
     if (!new File(dir, SchemaFile).exists())
       throw new NoSuchTableException(ident)
-    // `VERSION AS OF 'name'` — a TAG resolves to its pinned version
+    // `VERSION AS OF 'name'` — REF-ADDRESSABLE time travel: a TAG
+    // resolves to its pinned (expiry-retained) version; a BRANCH name
+    // serves the branch's current head through the same read machinery
+    // as the db.t.branch_<name> handle (expiry pins its base and
+    // unpublished files). A dangling ref fails listing both namespaces.
     val v = if (version.matches("-?[0-9]+")) version.toLong
-      else readRefs(dir).getOrElse(version, throw new IllegalArgumentException(
-        s"${qualified(ident)} has no tag '$version'; " +
-          s"tags: ${readRefs(dir).keys.toSeq.sorted.mkString(", ")}"))
+      else readRefs(dir).get(version) match {
+        case Some(tv) => tv
+        case None if readBranchRefs(dir).contains(version) =>
+          return new CatalogTable(dir,
+            s"${qualified(ident)}@branch_$version",
+            pinned = None, branch = Some(version))
+        case None => throw new IllegalArgumentException(
+          s"${qualified(ident)} has no tag or branch '$version'; " +
+            s"tags: ${readRefs(dir).keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${readBranchRefs(dir).keys.toSeq.sorted.mkString(", ")}")
+      }
     require(v >= 1 && v <= readLatest(dir),
       s"${qualified(ident)} has versions 1..${readLatest(dir)}; got $v")
     require(new File(dir, s"v$v.manifest").exists(),
@@ -584,7 +596,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         Identifier.of(Array("sys"), "branch"),
         Identifier.of(Array("sys"), "drop_branch"),
         Identifier.of(Array("sys"), "fast_forward"),
-        Identifier.of(Array("sys"), "set_partition_spec"))
+        Identifier.of(Array("sys"), "set_partition_spec"),
+        Identifier.of(Array("sys"), "rewrite_deletes"))
     else Array.empty
   // ---- functions ----
   /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
@@ -613,6 +626,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
       case (Seq("sys"), "fast_forward") => new FastForwardProcedure(this)
       case (Seq("sys"), "set_partition_spec") =>
         new SetPartitionSpecProcedure(this)
+      case (Seq("sys"), "rewrite_deletes") =>
+        new RewriteDeletesProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -1692,7 +1707,7 @@ object GraftTableCatalog {
         new File(new File(dir, "data"), d.name).getPath).toArray,
       positions, changeType, changeVersion, keyVals,
       eqPaths, eqPos, eqStr, keysOnly,
-      required.fields.map(_.dataType.json))
+      required.fields.map(_.dataType.json), e.seq)
   }
 
   /** SORTED equality-delete key files, probed by memory-mapped binary
@@ -1738,11 +1753,23 @@ object GraftTableCatalog {
       probeLen - len
     }
 
+    /** Suffix marking a MERGED run (per-key max seq entries) written by
+      * `sys.rewrite_deletes`; plain `.keys` runs carry one run-level seq
+      * in their manifest entry and are pre-filtered per file. */
+    val MergedSuffix = ".keyseq"
+
     /** One probeable set of runs. Thread-confined (each reader task
       * builds its own — ByteBuffer positions are never mutated here, all
-      * reads are absolute). */
-    final class Lookup(paths: Array[String], isStr: Boolean) {
+      * reads are absolute). `fileSeq` is the PROBING file's sequence:
+      * plain runs were already filtered to seq > fileSeq at plan time
+      * and answer on membership alone; a merged run stores each key's
+      * MAX source seq and suppresses only when that seq > fileSeq —
+      * exactly equivalent to probing the original runs one by one. */
+    final class Lookup(paths: Array[String], isStr: Boolean,
+        fileSeq: Long = Long.MinValue) {
       private val runs: Array[java.nio.ByteBuffer] = paths.map(map)
+      private val isMerged: Array[Boolean] =
+        paths.map(_.endsWith(MergedSuffix))
       def isEmpty: Boolean = runs.forall(b => b.capacity == 0 ||
         b.getLong(0) == 0L)
 
@@ -1753,10 +1780,16 @@ object GraftTableCatalog {
           if (buf.capacity >= 8) {
             val n = buf.getLong(0)
             var lo = 0L; var hi = n - 1
-            while (lo <= hi) {
+            var found = false
+            while (!found && lo <= hi) {
               val mid = (lo + hi) >>> 1
               val x = buf.getLong((8 + 8 * mid).toInt)
-              if (x == v) return true
+              if (x == v) {
+                if (!isMerged(r) ||
+                    buf.getLong((8 + 8 * n + 8 * mid).toInt) > fileSeq)
+                  return true
+                found = true // key present but its delete predates the file
+              }
               else if (x < v) lo = mid + 1
               else hi = mid - 1
             }
@@ -1774,10 +1807,17 @@ object GraftTableCatalog {
             val n = buf.getLong(0)
             val offPos = buf.getLong(8)
             var lo = 0L; var hi = n - 1
-            while (lo <= hi) {
+            var found = false
+            while (!found && lo <= hi) {
               val mid = (lo + hi) >>> 1
               val c = cmpStr(buf, offPos, mid, probe, probeLen)
-              if (c == 0) return true
+              if (c == 0) {
+                if (!isMerged(r)) return true
+                val rec = buf.getLong((offPos + 8 * mid).toInt)
+                val len = buf.getInt(rec.toInt)
+                if (buf.getLong(rec.toInt + 4 + len) > fileSeq) return true
+                found = true
+              }
               else if (c > 0) lo = mid + 1
               else hi = mid - 1
             }
@@ -1801,8 +1841,89 @@ object GraftTableCatalog {
       }
     }
 
-    def lookup(paths: Array[String], isStr: Boolean): Lookup =
-      new Lookup(paths, isStr)
+    def lookup(paths: Array[String], isStr: Boolean,
+        fileSeq: Long = Long.MinValue): Lookup =
+      new Lookup(paths, isStr, fileSeq)
+
+    /** Streaming iterator over one run's (key, seq) records in key
+      * order. Plain runs yield `runSeq` for every key; merged runs
+      * yield their stored per-key seqs. Long keys box for the driver-
+      * side k-way merge (run counts, not row counts). */
+    def iterate(path: String, isStr: Boolean, runSeq: Long)
+        : Iterator[(Any, Long)] = {
+      val buf = map(path)
+      val merged = path.endsWith(MergedSuffix)
+      if (buf.capacity < 8) return Iterator.empty
+      val n = buf.getLong(0)
+      if (isStr) {
+        val offPos = buf.getLong(8)
+        (0L until n).iterator.map { i =>
+          val rec = buf.getLong((offPos + 8 * i).toInt)
+          val len = buf.getInt(rec.toInt)
+          val b = new Array[Byte](len)
+          var k = 0
+          while (k < len) { b(k) = buf.get(rec.toInt + 4 + k); k += 1 }
+          val seq = if (merged) buf.getLong(rec.toInt + 4 + len) else runSeq
+          (new String(b, StandardCharsets.UTF_8): Any, seq)
+        }
+      } else {
+        (0L until n).iterator.map { i =>
+          val seq = if (merged) buf.getLong((8 + 8 * n + 8 * i).toInt)
+            else runSeq
+          (java.lang.Long.valueOf(buf.getLong((8 + 8 * i).toInt)): Any, seq)
+        }
+      }
+    }
+
+    /** Write a MERGED run: per-key MAX seq records, keys ascending.
+      * LONG layout:   int64 n, n x int64 keys, n x int64 seqs
+      * STRING layout: int64 n, int64 offTablePos,
+      *                n x (int32 len, bytes, int64 seq),
+      *                n x int64 absolute record positions
+      * (the plain layouts plus a seq per key — `cmpStr` and the binary
+      * searches read both shapes). */
+    def writeMerged(file: File, entries: Iterator[(Any, Long)],
+        isStr: Boolean): Long = {
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(
+        new FileOutputStream(file)))
+      try {
+        if (isStr) {
+          val es = entries.map { case (k, s) =>
+            (k.asInstanceOf[String].getBytes(StandardCharsets.UTF_8), s)
+          }.toArray
+          out.writeLong(es.length.toLong)
+          var pos = 16L
+          es.foreach { case (b, _) => pos += 4 + b.length + 8 }
+          require(pos + 8L * es.length <= Int.MaxValue.toLong,
+            "merged equality-delete run would exceed 2 GiB — expire old " +
+              "versions and compact before re-merging")
+          out.writeLong(pos)
+          val offs = new Array[Long](es.length)
+          var at = 16L
+          var i = 0
+          while (i < es.length) {
+            offs(i) = at
+            out.writeInt(es(i)._1.length); out.write(es(i)._1)
+            out.writeLong(es(i)._2)
+            at += 4 + es(i)._1.length + 8
+            i += 1
+          }
+          offs.foreach(out.writeLong)
+          es.length.toLong
+        } else {
+          val es = entries.map { case (k, s) =>
+            (k.asInstanceOf[java.lang.Long].longValue, s)
+          }.toArray
+          require(8L + 16L * es.length <= Int.MaxValue.toLong,
+            "merged equality-delete run would exceed 2 GiB — expire old " +
+              "versions and compact before re-merging")
+          out.writeLong(es.length.toLong)
+          es.foreach(e => out.writeLong(e._1))
+          es.foreach(e => out.writeLong(e._2))
+          es.length.toLong
+        }
+      } finally out.close()
+    }
 
     /** Write one task's DISTINCT keys as a sorted run. Capped at 2 GiB
       * per run (a single MappedByteBuffer's address range) — ~250M long
@@ -2035,7 +2156,7 @@ object GraftTableCatalog {
         if (live.isEmpty) None
         else Some((keyIdx, EqKeys.lookup(live.map(d =>
           new File(new File(dir, "data"), d.name).getPath).toArray,
-          schema.fields(keyIdx).dataType == StringType)))
+          schema.fields(keyIdx).dataType == StringType, e.seq)))
     }
     var si = 0
     val in = { // memory-mapped, same as the columnar reader
@@ -2114,8 +2235,10 @@ object GraftTableCatalog {
       val cur = m.files.map(e => e.name -> e).toMap
       // the first RETAINED manifest after an expired prefix is the net
       // baseline, whatever its op — skipping a leading compact would
-      // lose the whole table from the feed
-      if (m.op != "compact" || !baselined) {
+      // lose the whole table from the feed. rewrite_deletes is a pure
+      // metadata swap (same files, same suppression outcome): emitting
+      // its merged run as "new deletes" would re-retract every key
+      if ((m.op != "compact" && m.op != "rewrite_deletes") || !baselined) {
         prev.valuesIterator.filterNot(e => cur.contains(e.name)).foreach {
           e => // removed file: its rows LIVE AS OF v-1 are deletes —
             // "live" includes the eq filter, else rows an upsert already
@@ -2997,7 +3120,8 @@ private case class CatalogFilePartition(path: String, fileName: String,
     eqDeletePaths: Array[String] = Array.empty,
     eqKeyPos: Int = -1, eqKeyIsStr: Boolean = false,
     keysOnlyPaths: Array[String] = Array.empty,
-    outTypeJson: Array[String] = Array.empty)
+    outTypeJson: Array[String] = Array.empty,
+    fileSeq: Long = Long.MinValue)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
 }
@@ -3014,7 +3138,7 @@ private object CatalogReaderFactory extends PartitionReaderFactory {
       private val fileTag = UTF8String.fromString(fp.fileName)
       private val skips = loadDeletePositions(fp.deletePaths)
       private val eqKeys: GraftTableCatalog.EqKeys.Lookup =
-        EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr)
+        EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr, fp.fileSeq)
       // CDF retraction mode: emit ONLY rows whose key an upsert replaced
       private val keysOnly: Option[GraftTableCatalog.EqKeys.Lookup] =
         if (fp.keysOnlyPaths.isEmpty) None
@@ -3129,7 +3253,7 @@ private class CatalogColumnarReader(fp: CatalogFilePartition)
   }
   private val skips = loadDeletePositions(fp.deletePaths)
   private val eqKeys: GraftTableCatalog.EqKeys.Lookup =
-    EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr)
+    EqKeys.lookup(fp.eqDeletePaths, fp.eqKeyIsStr, fp.fileSeq)
   private val keysOnly: Option[GraftTableCatalog.EqKeys.Lookup] =
     if (fp.keysOnlyPaths.isEmpty) None
     else Some(EqKeys.lookup(fp.keysOnlyPaths, fp.eqKeyIsStr))
@@ -3351,14 +3475,13 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   private def streamingWrite()
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-    // each micro-batch is a MAIN commit (epoch markers live there); a
-    // branch is audited with batch writes, then fast-forwarded
-    require(branch.isEmpty,
-      s"streaming writes address the main table, not branch " +
-        s"'${branch.getOrElse("")}'")
-    new CatalogStreamingWrite(dir, schema)
-  }
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    // each micro-batch commits on the addressed chain: main directly,
+    // or a branch's own chain (STREAMING WAP — the audited stream
+    // publishes atomically via sys.fast_forward; epoch markers ride
+    // the branch manifests and carry through the publish, so replay
+    // idempotence survives it)
+    new CatalogStreamingWrite(dir, schema, branch)
 
   /** With `write.order_by` set, the write DEMANDS a range distribution +
     * in-partition sort on those columns (RequiresDistributionAndOrdering)
@@ -3418,7 +3541,8 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
   * the catalog level, with time travel straight through the stream's
   * history (every epoch is a version). The LedgerStreamingWrite
   * discipline on the versioned chain. */
-private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
+private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import GraftTableCatalog._
   private val jobUid = java.util.UUID.randomUUID().toString.take(8)
@@ -3448,8 +3572,9 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
       cleanup = entriesOf(messages.toSeq).map(_.name) ++ taskKeys.map(_._1))
     // epoch appends rebase like batch appends (OCC): a batch writer
     // landing between micro-batches no longer kills the stream
-    val toDelete = retryingCommit(dir, None, readLatest(dir)) { latest =>
-      val m = manifestAt(dir, None, latest)
+    val toDelete = retryingCommit(dir, branch,
+        headVersion(dir, branch)) { latest =>
+      val m = manifestAt(dir, branch, latest)
       if (m.epochs.contains(epochId)) {
         // replayed micro-batch: the commit is a no-op, and the replay's
         // freshly written task files (data AND key files) would
@@ -3464,7 +3589,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType)
           if (upsert) m.eqDeletes ++ taskKeys.filter(_._2 > 0)
             .map { case (n, r) => EqDelete(n, r, newSeq) }
           else m.eqDeletes
-        commitVersion(dir, latest, "stream-epoch", m.files ++ kept,
+        commitHead(dir, branch, latest, "stream-epoch", m.files ++ kept,
           m.epochs + epochId, eq)
         val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
           else taskKeys.map(_._1)
@@ -4947,6 +5072,111 @@ private object FastForwardProcedure {
   * model); new writes land under the new transforms. The 100 TB reality
   * this serves: a table that partitioned by day at 1 TB re-partitions by
   * hour at 100 TB, and the old years never rewrite. */
+
+/** `CALL graft_cat.sys.rewrite_deletes(ns, table)` — EQUALITY-DELETE RUN
+  * MAINTENANCE: outstanding key runs accumulate one per CDC batch, so
+  * reader probe cost grows O(runs x log n) and every run file stays
+  * pinned until compaction. This k-way-merges ALL outstanding runs into
+  * ONE sorted run carrying each key's MAX source seq — probe outcomes
+  * are provably identical (a row is suppressed iff max{seq of runs
+  * containing its key} > its file's seq), the commit is pure metadata
+  * (zero data files touched), and the old run files age out with their
+  * manifests via sys.expire_versions. The Iceberg
+  * rewrite_position_delete_files analog for the equality-delete side. */
+private class RewriteDeletesProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "rewrite_deletes"
+  override def description(): String =
+    "k-way merge outstanding equality-delete key runs into one sorted run"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_deletes"
+      override def isDeterministic: Boolean = false // commits a version
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val schema = readSchema(dir)
+        val latest = readLatest(dir)
+        val m = if (latest == 0) Manifest(0, "none", Seq.empty)
+          else readManifest(dir, latest)
+        if (m.eqDeletes.length <= 1) {
+          // nothing to merge: zero or one run is already minimal
+          return java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+            ProcResult(RewriteDeletesProcedure.resultSchema,
+              Array[Any](m.eqDeletes.length.toLong,
+                m.eqDeletes.length.toLong,
+                m.eqDeletes.map(_.rows).sum))).iterator()
+        }
+        val isStr = readProps(dir).get(UpsertKeyProp)
+          .filter(schema.fieldNames.contains)
+          .exists(k => schema(k).dataType == StringType)
+        // k-way merge the sorted runs, keeping each key's MAX seq (the
+        // exact equivalent of probing every run: suppression tests
+        // max-seq > fileSeq). Heap of (headKey, seq, iterator).
+        val iters = m.eqDeletes.map(d => EqKeys.iterate(
+          new File(new File(dir, "data"), d.name).getPath, isStr, d.seq)
+          .buffered)
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) => x < y
+          case (x: String, y: String) =>
+            java.util.Arrays.compareUnsigned(
+              x.getBytes(StandardCharsets.UTF_8),
+              y.getBytes(StandardCharsets.UTF_8)) < 0
+          case other => sys.error(s"unorderable keys $other")
+        }
+        val mergedEntries = new Iterator[(Any, Long)] {
+          override def hasNext: Boolean = iters.exists(_.hasNext)
+          override def next(): (Any, Long) = {
+            var minKey: Any = null
+            iters.foreach { it =>
+              if (it.hasNext && (minKey == null || lt(it.head._1, minKey)))
+                minKey = it.head._1
+            }
+            var maxSeq = Long.MinValue
+            iters.foreach { it =>
+              while (it.hasNext && it.head._1 == minKey) {
+                maxSeq = math.max(maxSeq, it.next()._2)
+              }
+            }
+            (minKey, maxSeq)
+          }
+        }
+        val name =
+          s"eq-merged-${java.util.UUID.randomUUID.toString.take(8)}" +
+            EqKeys.MergedSuffix
+        val n = EqKeys.writeMerged(
+          new File(new File(dir, "data"), name), mergedEntries, isStr)
+        val maxSeq = m.eqDeletes.map(_.seq).max
+        retryingCommit(dir, None, latest) { expected =>
+          val cur = manifestAt(dir, None, expected)
+          // the merge is valid only for the exact run set it read — a
+          // concurrent CDC batch means new runs; fail loudly, re-run
+          if (cur.eqDeletes.map(_.name).sorted != m.eqDeletes.map(_.name).sorted)
+            throw new IllegalStateException(
+              s"rewrite_deletes on $dir raced a concurrent CDC batch " +
+                "(the outstanding run set changed) — re-run the call")
+          commitVersion(dir, expected, "rewrite_deletes", cur.files,
+            cur.epochs, Seq(EqDelete(name, n, maxSeq)))
+        }
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(RewriteDeletesProcedure.resultSchema,
+            Array[Any](m.eqDeletes.length.toLong, 1L, n))).iterator()
+      }
+    }
+}
+
+private object RewriteDeletesProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("runs_before", LongType, nullable = false)
+    .add("runs_after", LongType, nullable = false)
+    .add("keys", LongType, nullable = false)
+}
+
 private class SetPartitionSpecProcedure(cat: GraftTableCatalog)
     extends UnboundProcedure {
   import GraftTableCatalog._

@@ -1699,6 +1699,104 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.filesOpened.get shouldBe 0L
   }
 
+  test("sys.rewrite_deletes: N key runs merge to one with per-key seqs; every probe outcome identical; the feed ignores the swap") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.eqrw")
+    sql("""CREATE TABLE graft_cat.db.eqrw (k BIGINT, v STRING)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.eqrw SELECT id, concat('a', id) " +
+      "FROM range(0, 10000, 1, 2)")
+    // three CDC batches -> three outstanding runs, overlapping keys
+    sql("INSERT INTO graft_cat.db.eqrw SELECT id, concat('b', id) " +
+      "FROM range(1000, 2000, 1, 1)")
+    sql("INSERT INTO graft_cat.db.eqrw SELECT id, concat('c', id) " +
+      "FROM range(500, 1500, 1, 1)")
+    sql("INSERT INTO graft_cat.db.eqrw SELECT id, concat('d', id) " +
+      "FROM range(9000, 9100, 1, 1)")
+    val dir = new File("work/graft_cat/db/eqrw")
+    def eqDels = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).eqDeletes
+    eqDels.length shouldBe 3
+    val probe = "SELECT count(*), sum(k), " +
+      "count(CASE WHEN v LIKE 'a%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'b%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'c%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'd%' THEN 1 END) FROM graft_cat.db.eqrw"
+    val before = rows(probe)
+    before.head.head shouldBe 10000L // upserts replace, never add
+    val r = sql("CALL graft_cat.sys.rewrite_deletes('db', 'eqrw')")
+      .collect().head
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 1L))
+    eqDels.length shouldBe 1
+    eqDels.head.name should endWith (".keyseq")
+    rows(probe) shouldBe before // byte-identical suppression outcomes
+    // a LATER CDC batch coexists with the merged run (mixed probing)
+    sql("INSERT INTO graft_cat.db.eqrw SELECT id, concat('e', id) " +
+      "FROM range(1400, 1600, 1, 1)")
+    rows("SELECT count(*), count(CASE WHEN v LIKE 'e%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'c%' THEN 1 END) FROM graft_cat.db.eqrw") shouldBe
+      Seq(Seq(10000L, 200L, 900L - 100L + 0L + 100L)) // c: 500..1399 survive
+    // the change feed emits NOTHING for the rewrite version
+    val rwV = GraftTableCatalog.readLatest(dir) - 1 // rewrite committed here
+    rows(s"SELECT count(*) FROM graft_cat.db.eqrw.changes " +
+      s"WHERE _version = $rwV") shouldBe Seq(Seq(0L))
+    // idempotent second call is a no-op (already one run)
+    sql("CALL graft_cat.sys.rewrite_deletes('db', 'eqrw')")
+    // STRING-keyed twin: merge + probe parity through UTF-8 byte order
+    sql("DROP TABLE IF EXISTS graft_cat.db.eqrws")
+    sql("""CREATE TABLE graft_cat.db.eqrws (k STRING, v BIGINT)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.eqrws SELECT concat('k', id), id " +
+      "FROM range(0, 5000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.eqrws SELECT concat('k', id), -id " +
+      "FROM range(100, 300, 1, 1)")
+    sql("INSERT INTO graft_cat.db.eqrws SELECT concat('k', id), id * 2 " +
+      "FROM range(200, 400, 1, 1)")
+    val sProbe = "SELECT count(*), sum(v) FROM graft_cat.db.eqrws"
+    val sBefore = rows(sProbe)
+    sql("CALL graft_cat.sys.rewrite_deletes('db', 'eqrws')")
+    rows(sProbe) shouldBe sBefore
+    // ... and compaction still repays the whole debt after a merge
+    sql("CALL graft_cat.sys.compact('db', 'eqrws', 1073741824)")
+    rows(sProbe) shouldBe sBefore
+    GraftTableCatalog.readManifest(new File("work/graft_cat/db/eqrws"),
+      GraftTableCatalog.readLatest(new File("work/graft_cat/db/eqrws")))
+      .eqDeletes shouldBe empty
+  }
+
+  test("ref-addressable time travel: VERSION AS OF resolves tags AND branch names; dangling refs fail listing both") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.vref")
+    sql("CREATE TABLE graft_cat.db.vref AS SELECT id AS k " +
+      "FROM range(0, 1000, 1, 1)")
+    val ctasV = GraftTableCatalog.readLatest(new File("work/graft_cat/db/vref"))
+    sql(s"CALL graft_cat.sys.tag('db', 'vref', 'first', $ctasV)")
+    sql("INSERT INTO graft_cat.db.vref SELECT id FROM range(1000, 1500, 1, 1)")
+    sql("CALL graft_cat.sys.branch('db', 'vref', 'audit')")
+    sql("INSERT INTO graft_cat.db.vref.branch_audit " +
+      "SELECT id FROM range(5000, 5250, 1, 1)")
+    // tag name -> its pinned version
+    rows("SELECT count(*) FROM graft_cat.db.vref VERSION AS OF 'first'") shouldBe
+      Seq(Seq(1000L))
+    // branch name -> the branch's CURRENT head (main untouched)
+    rows("SELECT count(*) FROM graft_cat.db.vref VERSION AS OF 'audit'") shouldBe
+      Seq(Seq(1750L))
+    rows("SELECT count(*) FROM graft_cat.db.vref") shouldBe Seq(Seq(1500L))
+    // numeric versions keep working
+    rows(s"SELECT count(*) FROM graft_cat.db.vref VERSION AS OF ${ctasV + 1}") shouldBe
+      Seq(Seq(1500L))
+    // a dangling ref fails loudly, listing both namespaces
+    val e = intercept[Exception](
+      rows("SELECT count(*) FROM graft_cat.db.vref VERSION AS OF 'nope'"))
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + rootMsg(x.getCause)
+    rootMsg(e) should include ("no tag or branch 'nope'")
+    rootMsg(e) should include ("first")
+    rootMsg(e) should include ("audit")
+    sql("CALL graft_cat.sys.drop_branch('db', 'vref', 'audit')")
+    sql("CALL graft_cat.sys.drop_tag('db', 'vref', 'first')")
+  }
+
   test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     // (1) MIN/MAX pushdown over a days()-partitioned SOURCE column must
