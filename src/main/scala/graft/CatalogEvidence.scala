@@ -262,6 +262,32 @@ object CatalogEvidence {
       s"""{"ctas_ms": $tCtas, "dml_ms": $tDml, "serve_ms": $tServe}"""
     }
 
+    // ---- vectorized write path A/B (round-17) ----
+    // The writer encodes straight from InternalRow accessors into a
+    // primitive scratch (no boxing, no DataOutputStream, stats in
+    // primitive arrays). MIN-of-5 CTAS at 1M rows, long-only and
+    // long/double/string shapes; the round-16 artifact's 194 ms
+    // (same probe, boxed row-at-a-time writer) is the baseline.
+    val writePath = {
+      def ms[T](b: => T): Long = {
+        val t0 = System.nanoTime(); b; (System.nanoTime() - t0) / 1000000L
+      }
+      def ctasMin(body: String): Long = (1 to 5).map { _ =>
+        sql("DROP TABLE IF EXISTS graft_cat.db.ev_wab")
+        ms(sql(s"CREATE TABLE graft_cat.db.ev_wab AS $body"))
+      }.min
+      val tLong = ctasMin(
+        "SELECT id AS k, id * 3 AS v FROM range(0, 1000000, 1, 4)")
+      val tMixed = ctasMin(
+        "SELECT id AS k, CAST(id AS DOUBLE) * 0.5 AS x, " +
+          "concat('s', id) AS s FROM range(0, 1000000, 1, 4)")
+      val n = one("SELECT count(*), sum(k) FROM graft_cat.db.ev_wab")
+      require(n == Seq(1000000L, 499999500000L), s"write A/B wrong: $n")
+      s"""{"rows": 1000000, "ctas_long_min_ms": $tLong,
+         | "ctas_mixed_min_ms": $tMixed,
+         | "r16_boxed_writer_ctas_ms": 194}""".stripMargin
+    }
+
 
     // ---- upsert (equality-delete) A/B vs MERGE ----
     // A 1k-row CDC batch against a 1M-row upsert-keyed table: the commit
@@ -412,6 +438,7 @@ object CatalogEvidence {
          | "mor_delete_ab": $mor,
          | "storage_partitioned_join_ab": $spj,
          | "lifecycle_vs_serve": $phases,
+         | "write_path_ab": $writePath,
          | "serve_columnar_vs_row": $serveCol,
          | "columnar_decode_ab": $colAb,
          | "aggregate_pushdown_ab": $aggPd,
