@@ -2448,8 +2448,21 @@ private class CatalogTable(dir: File, tableName: String,
       e.specId == cur && e.partition == tuple)
     if (hit.isEmpty) false
     else {
-      commitHead(dir, branch, latest, "drop_partition", kept, m.epochs,
-        if (kept.isEmpty) Seq.empty else m.eqDeletes)
+      // OCC: pure appends rebase (snapshot isolation — files appended
+      // after the drop's snapshot survive, even into this partition);
+      // conflicts fail loudly
+      retryingCommit(dir, branch, latest) { expected =>
+        val cur = manifestAt(dir, branch, expected)
+        if (expected != latest && !pureAppendsSince(m, cur))
+          throw new IllegalStateException(
+            s"DROP PARTITION on $dir raced a CONFLICTING commit " +
+              s"(v$latest -> v$expected is not append-only): re-run")
+        val baseNames = m.files.map(_.name).toSet
+        val appended = cur.files.filterNot(e => baseNames.contains(e.name))
+        commitHead(dir, branch, expected, "drop_partition",
+          kept ++ appended, cur.epochs,
+          if (kept.isEmpty && appended.isEmpty) Seq.empty else m.eqDeletes)
+      }
       lastDeleteDropped.set(hit.length.toLong)
       lastDeleteRewritten.set(0L)
       lastDeleteKept.set(kept.length.toLong)
@@ -2603,9 +2616,24 @@ private class CatalogTable(dir: File, tableName: String,
         }
       }
     }
-    // an emptied table needs no key files (nothing left to supersede)
-    commitHead(dir, branch, latest, "delete", remaining, m.epochs,
-      if (remaining.isEmpty) Seq.empty else m.eqDeletes)
+    // OCC: rebase over pure appends (appended files are outside this
+    // DELETE's snapshot and survive untouched — snapshot isolation);
+    // anything else fails loudly. The split decisions and any rewritten
+    // files were computed ONCE above and are reused across attempts.
+    // An emptied table needs no key files (nothing left to supersede).
+    retryingCommit(dir, branch, latest) { expected =>
+      val cur = manifestAt(dir, branch, expected)
+      if (expected != latest && !pureAppendsSince(m, cur))
+        throw new IllegalStateException(
+          s"DELETE on $dir raced a CONFLICTING commit " +
+            s"(v$latest -> v$expected is not append-only): re-run")
+      val baseNames = m.files.map(_.name).toSet
+      val appended = cur.files.filterNot(e => baseNames.contains(e.name))
+      commitHead(dir, branch, expected, "delete", remaining ++ appended,
+        cur.epochs,
+        if (remaining.isEmpty && appended.isEmpty) Seq.empty
+        else m.eqDeletes)
+    }
     lastDeleteDropped.set(dropped)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)
