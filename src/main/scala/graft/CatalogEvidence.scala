@@ -262,6 +262,37 @@ object CatalogEvidence {
       s"""{"ctas_ms": $tCtas, "dml_ms": $tDml, "serve_ms": $tServe}"""
     }
 
+    // ---- bloom sidecar skipping A/B (round-17) ----
+    // A hash-scrambled LONG column: every file's min/max covers the full
+    // domain, so zone maps prune nothing and only the 64 KiB bloom
+    // sidecar can skip. Point probe on 8 files: holder only vs all 8.
+    val bloomAb = {
+      sql("DROP TABLE IF EXISTS graft_cat.db.ev_bloom")
+      sql("CREATE TABLE graft_cat.db.ev_bloom (h BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('write.bloom.columns'='h')")
+      sql("INSERT INTO graft_cat.db.ev_bloom " +
+        "SELECT hash(id) * 1000000007L + id, id FROM range(0, 1000000, 1, 8)")
+      val hVal = one("SELECT h FROM graft_cat.db.ev_bloom WHERE v = 777777")
+        .head.asInstanceOf[Long]
+      GraftTableCatalog.filesOpened.set(0)
+      require(one(s"SELECT v FROM graft_cat.db.ev_bloom WHERE h = $hVal") ==
+        Seq(777777L), "bloom probe answer wrong")
+      val withBloom = GraftTableCatalog.filesOpened.get
+      sql("DROP TABLE IF EXISTS graft_cat.db.ev_nobloom")
+      sql("CREATE TABLE graft_cat.db.ev_nobloom AS " +
+        "SELECT hash(id) * 1000000007L + id AS h, id AS v " +
+        "FROM range(0, 1000000, 1, 8)")
+      val hVal2 = one("SELECT h FROM graft_cat.db.ev_nobloom WHERE v = 777777")
+        .head.asInstanceOf[Long]
+      GraftTableCatalog.filesOpened.set(0)
+      require(one(s"SELECT v FROM graft_cat.db.ev_nobloom WHERE h = $hVal2") ==
+        Seq(777777L), "control probe answer wrong")
+      val without = GraftTableCatalog.filesOpened.get
+      s"""{"rows": 1000000, "files": 8, "sidecar_bytes_per_file": 65544,
+         | "point_probe_files_opened_with_bloom": $withBloom,
+         | "point_probe_files_opened_without": $without}""".stripMargin
+    }
+
     // ---- vectorized write path A/B (round-17) ----
     // The writer encodes straight from InternalRow accessors into a
     // primitive scratch (no boxing, no DataOutputStream, stats in
@@ -439,6 +470,7 @@ object CatalogEvidence {
          | "storage_partitioned_join_ab": $spj,
          | "lifecycle_vs_serve": $phases,
          | "write_path_ab": $writePath,
+         | "bloom_sidecar_ab": $bloomAb,
          | "serve_columnar_vs_row": $serveCol,
          | "columnar_decode_ab": $colAb,
          | "aggregate_pushdown_ab": $aggPd,

@@ -1056,6 +1056,30 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q295: BLOOM-SIDECAR FILE SKIPPING — `write.bloom.columns` attaches
+    * a 64 KiB per-file bloom filter sidecar (the Iceberg puffin model)
+    * to LONG/STRING columns: point predicates (`=` / `IN`) on an
+    * UNSORTED column — where every file's min/max covers the whole
+    * domain and zone maps prune NOTHING — skip files by definite-absence
+    * proof, reading kilobytes of sidecar instead of the data (CatalogSpec
+    * pins 1-of-8 filesOpened for the holder, 0 for an absent value, the
+    * 8-of-8 no-property control, sidecar lifecycle following the data
+    * file, and the loud non-LONG/STRING guard). The 100 TB shape: id
+    * lookups on an append-ordered fact table open one file, not the
+    * table. Oracle: DuckDB replays the same multiplicative scramble. */
+  val q295CatalogBloomSkip: Q = (s, d) => {
+    val t = catTable(s, d, "ev295")
+    s.sql(s"""CREATE TABLE $t (h BIGINT, k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('write.bloom.columns'='h')""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT (k * 1000003L) % 900000011L AS h, k, cents
+             |FROM (${catEventsSql(d)}) src""".stripMargin)
+    s.sql(s"""SELECT h, k, cents FROM $t
+             |WHERE h IN ((101 * 1000003L) % 900000011L,
+             |            (1777 * 1000003L) % 900000011L,
+             |            (3888 * 1000003L) % 900000011L)""".stripMargin)
+  }
+
   /** q294: REF-ADDRESSABLE TIME TRAVEL — `VERSION AS OF` takes tag AND
     * branch NAMES, not just version numbers: the tag resolves to its
     * expiry-pinned version, the branch name serves the branch's current
@@ -1151,6 +1175,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q295_catalog_bloom_skip" -> q295CatalogBloomSkip,
     "q294_catalog_ref_travel" -> q294CatalogRefTravel,
     "q293_catalog_filtered_agg" -> q293CatalogFilteredAgg,
     "q292_catalog_occ" -> q292CatalogOcc,
@@ -1223,6 +1248,17 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The same scramble + IN-list, replayed by DuckDB over the rows.
+    "q295_catalog_bloom_skip" ->
+      """SELECT (CAST(event_id AS BIGINT) * 1000003) % 900000011 AS h,
+        |  event_id AS k,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM events
+        |WHERE value IS NOT NULL
+        |  AND (CAST(event_id AS BIGINT) * 1000003) % 900000011 IN
+        |    ((CAST(101 AS BIGINT) * 1000003) % 900000011,
+        |     (CAST(1777 AS BIGINT) * 1000003) % 900000011,
+        |     (CAST(3888 AS BIGINT) * 1000003) % 900000011)""".stripMargin,
     // The three ref views (tagged base, audited branch, main), each
     // recomputed by DuckDB from the parity slices that built them.
     "q294_catalog_ref_travel" ->

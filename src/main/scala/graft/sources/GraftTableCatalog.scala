@@ -680,6 +680,141 @@ object GraftTableCatalog {
     * path. `sys.compact` applies and drops the key files. Batches are
     * expected key-unique (the CDC contract). */
   val UpsertKeyProp = "write.upsert.key"
+
+  /** `write.bloom.columns` — comma-separated LONG/STRING columns that get
+    * a PER-FILE BLOOM FILTER SIDECAR (`<file>.bloom`, 64 KiB per column,
+    * the Iceberg puffin model): point predicates (`=` / `IN`) on an
+    * UNSORTED column then skip files min/max ranges cannot — the filter
+    * proves definite ABSENCE, planning opens the sidecar (kilobytes)
+    * instead of the data file. ~0.1% false-positive rate at 50k distinct
+    * values per file; a false positive costs one data-file scan, never
+    * correctness. */
+  val BloomColsProp = "write.bloom.columns"
+  /** 8192 longs = 2^19 bits = 64 KiB per column per file. */
+  private[sources] val BloomWords = 8192
+  /** splitmix64 — the value hash bloom bits derive from (LONGs). */
+  private[sources] def bloomMixLong(v0: Long): Long = {
+    var v = v0 + 0x9E3779B97F4A7C15L
+    v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+    v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
+    v ^ (v >>> 31)
+  }
+  /** FNV-1a 64 over UTF-8 bytes (STRINGs) — identical on write + probe. */
+  private[sources] def bloomMixBytes(b: Array[Byte], len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < len) { h ^= (b(i) & 0xffL); h *= 0x100000001B3L; i += 1 }
+    bloomMixLong(h)
+  }
+  /** k=4 double-hashed probes over 2^19 bits. */
+  private[sources] def bloomSet(bits: Array[Long], h: Long): Unit = {
+    val h2 = (h >>> 32) | (h << 32)
+    var i = 0
+    while (i < 4) {
+      val idx = ((h + i * h2) & Long.MaxValue) % (BloomWords * 64L)
+      bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+  private[sources] def bloomMightContain(bits: Array[Long], h: Long)
+      : Boolean = {
+    val h2 = (h >>> 32) | (h << 32)
+    var i = 0
+    while (i < 4) {
+      val idx = ((h + i * h2) & Long.MaxValue) % (BloomWords * 64L)
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  /** Sidecar format: per column `int32 fieldId, int32 nWords, longs`. */
+  private[sources] def writeBloomSidecar(f: File,
+      cols: Seq[(Int, Array[Long])]): Unit = {
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(f), 1 << 16))
+    try cols.foreach { case (id, bits) =>
+      out.writeInt(id); out.writeInt(bits.length)
+      bits.foreach(out.writeLong)
+    } finally out.close()
+  }
+  private[sources] def readBloomSidecar(f: File): Map[Int, Array[Long]] = {
+    if (!f.exists()) return Map.empty
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(f), 1 << 16))
+    try {
+      val out = Map.newBuilder[Int, Array[Long]]
+      while (in.available() > 0) {
+        val id = in.readInt(); val n = in.readInt()
+        val bits = new Array[Long](n)
+        var i = 0
+        while (i < n) { bits(i) = in.readLong(); i += 1 }
+        out += id -> bits
+      }
+      out.result()
+    } finally in.close()
+  }
+  /** Writer-facing bloom config: schema POSITIONS of the indexed
+    * columns (validated: present, LONG or STRING). */
+  private[sources] def bloomEncOf(dir: File, schema: StructType): String =
+    readProps(dir).get(BloomColsProp) match {
+      case Some(cols) => cols.split(",").map(_.trim).filter(_.nonEmpty)
+        .map { c =>
+          require(schema.fieldNames.contains(c),
+            s"$BloomColsProp names unknown column '$c'")
+          require(schema(c).dataType == LongType ||
+            schema(c).dataType == StringType,
+            s"$BloomColsProp supports LONG/STRING; '$c' is ${schema(c).dataType}")
+          schema.fieldIndex(c).toString
+        }.mkString(",")
+      case None => ""
+    }
+
+  /** Deleting a data file always removes its bloom sidecar with it. */
+  private[sources] def deleteDataAndSidecar(dataDir: File, n: String)
+      : Boolean = {
+    val f = new File(dataDir, n)
+    val existed = f.exists()
+    if (existed) f.delete()
+    val b = new File(dataDir, n + ".bloom")
+    if (b.exists()) b.delete()
+    existed
+  }
+
+  /** Bloom-sidecar file pruning: TRUE = cannot rule the file out. Only
+    * `=` / `IN` shapes on indexed columns consult the sidecar (64 KiB
+    * read, lazily, only for files that survived partition + min/max
+    * pruning); a missing sidecar or unindexed column is conservative. */
+  private[sources] def bloomMayMatch(dir: File, schema: StructType,
+      mp: ColMapping, e: Entry, filters: Array[Filter]): Boolean = {
+    if (e.bloomCols.isEmpty) return true
+    lazy val side = readBloomSidecar(
+      new File(new File(dir, "data"), e.name + ".bloom"))
+    def hashOf(c: String, v: Any): Option[(Int, Long)] = {
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) None
+      else {
+        val id = mp.ids(i)
+        if (!e.bloomCols.contains(id)) None
+        else longLit(v).map(x => (id, bloomMixLong(x)))
+          .orElse(strLit(v).map { sv =>
+            val b = sv.getBytes(StandardCharsets.UTF_8)
+            (id, bloomMixBytes(b, b.length))
+          })
+      }
+    }
+    def ok(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => hashOf(c, v) match {
+        case Some((id, h)) =>
+          side.get(id).forall(bits => bloomMightContain(bits, h))
+        case None => true
+      }
+      case In(c, vs) => vs.isEmpty || vs.exists(v => ok(EqualTo(c, v)))
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r) => ok(l) || ok(r)
+      case _ => true
+    }
+    filters.forall(ok)
+  }
   /** Table property: how `DELETE FROM` treats boundary files.
     * 'copy-on-write' (default) rewrites them; 'merge-on-read' commits a
     * position delete file readers anti-merge — the Iceberg v2 read path,
@@ -756,7 +891,8 @@ object GraftTableCatalog {
       deletes: Seq[DeleteFile] = Seq.empty,
       seq: Long = 0L,
       specId: Int = 0,
-      sums: Map[String, Long] = Map.empty) {
+      sums: Map[String, Long] = Map.empty,
+      bloomCols: Seq[Int] = Seq.empty) {
     /** Live rows MINUS positional deletes; an upper bound while equality
       * deletes are outstanding (they resolve per-row at read). */
     def liveRows: Long = rows - deletes.map(_.rows).sum
@@ -1179,8 +1315,11 @@ object GraftTableCatalog {
             val p = s.split(":"); (p(0), p(1).toLong)
           }.toMap
         else Map.empty[String, Long]
+        val bloomCols = if (a.length >= 16 && a(14) != "-")
+          a(14).split(";").map(_.toInt).toSeq else Seq.empty[Int]
         Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
-          Some(nullFree), ids, a(8), partition, deletes, seq, specId, sums)
+          Some(nullFree), ids, a(8), partition, deletes, seq, specId, sums,
+          bloomCols)
       } else {
         // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
         // no metadata-only delete proof), ids/types positional
@@ -1233,7 +1372,8 @@ object GraftTableCatalog {
           .map { case (c, v) => s"$c:$v" }.mkString(";")
       // trailing tab-terminated spare field keeps the format extensible:
       // a parser sees >= 15 fields whenever sums are meaningful
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}\t$sm\t-"
+      val bl = if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(";")
+      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}\t$sm\t$bl\t-"
     } ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
       ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
 
@@ -2049,7 +2189,7 @@ object GraftTableCatalog {
     EqKeys.firstOverlap(taskKeys.map(t =>
       new File(new File(dir, "data"), t._1).getPath), isStr) match {
       case Some(dup) =>
-        cleanup.foreach(n => new File(new File(dir, "data"), n).delete())
+        cleanup.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
         throw new IllegalStateException(
           s"upsert batch carries key $dup in more than one task — " +
             "one row per key per batch is the CDC contract; " +
@@ -2924,7 +3064,8 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
         else Seq.empty
       val live = manifest.files.filter { e =>
         val facts = fileFacts(e, schema, mp, specOf(e))
-        skipFilters.forall(mayMatch(_, facts))
+        skipFilters.forall(mayMatch(_, facts)) &&
+          bloomMayMatch(dir, schema, mp, e, skipFilters)
       }
       new CatalogScan(dir, schema, mp, specs, required, live,
         manifest.version, startingVersion,
@@ -3586,7 +3727,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), specs.length - 1)
+      upsertEncOf(dir, schema), specs.length - 1, bloomEncOf(dir, schema))
   }
 
   override def commit(epochId: Long,
@@ -3624,7 +3765,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
         empty.map(_.name) ++ dropKeys // zero-row leftovers
       }
     }
-    toDelete.foreach(n => new File(new File(dir, "data"), n).delete())
+    toDelete.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
   }
 
   override def abort(epochId: Long,
@@ -3632,20 +3773,21 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
     messages.foreach {
       case CatalogCommit(es, k) =>
         (es.map(_.name) ++ k.map(_._1)).foreach(n =>
-          new File(new File(dir, "data"), n).delete())
+          deleteDataAndSidecar(new File(dir, "data"), n))
       case _ => ()
     }
 }
 
 private case class CatalogStreamingWriterFactory(dirPath: String,
     jobUid: String, schemaJson: String, idsCsv: String, specEnc: String,
-    upsertEnc: String = "", specId: Int = 0)
+    upsertEnc: String = "", specId: Int = 0, bloomEnc: String = "")
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     CatalogWriterFactory(dirPath, s"$jobUid-e$epochId", schemaJson,
-      idsCsv, specEnc, upsertEnc, specId).createWriter(partitionId, taskId)
+      idsCsv, specEnc, upsertEnc, specId, bloomEnc)
+      .createWriter(partitionId, taskId)
 }
 
 private[graft] case class CatalogCommit(entries: Seq[GraftTableCatalog.Entry],
@@ -3673,7 +3815,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), specs.length - 1)
+      upsertEncOf(dir, schema), specs.length - 1, bloomEncOf(dir, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3725,14 +3867,14 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
         base ++ added, epochs, eq)
       all.filter(_.rows == 0).map(_.name) ++ dropKeys
     }
-    dropped.foreach(n => new File(new File(dir, "data"), n).delete())
+    dropped.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case CatalogCommit(es, k) =>
         (es.map(_.name) ++ k.map(_._1)).foreach(n =>
-          new File(new File(dir, "data"), n).delete())
+          deleteDataAndSidecar(new File(dir, "data"), n))
       case _ => ()
     }
 }
@@ -3745,7 +3887,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
   * presence (the metadata DELETE's proof obligations). */
 private case class CatalogWriterFactory(dirPath: String, jobUid: String,
     schemaJson: String, idsCsv: String, specEnc: String,
-    upsertEnc: String = "", specId: Int = 0)
+    upsertEnc: String = "", specId: Int = 0, bloomEnc: String = "")
     extends DataWriterFactory {
   import GraftTableCatalog._
   override def createWriter(partitionId: Int,
@@ -3774,6 +3916,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         }
       private val stem = s"part-$jobUid-p$partitionId-t$taskId"
 
+      // schema positions carrying a per-file bloom sidecar
+      private val bloomPos: Array[Int] =
+        if (bloomEnc.isEmpty) Array.empty
+        else bloomEnc.split(",").map(_.toInt)
       // 0=LONG 1=DOUBLE 2=STRING — an int switch beats a DataType match
       // in the per-value hot loop
       private val tcodes: Array[Int] = types.map {
@@ -3805,6 +3951,8 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         // overflows Long drops out (SUM pushdown then declines)
         private val sum = new Array[Long](types.length)
         private val sumBad = new Array[Boolean](types.length)
+        val blooms: Array[Array[Long]] =
+          Array.fill(bloomPos.length)(new Array[Long](BloomWords))
 
         private def flushBuf(): Unit =
           if (pos > 0) { ch.write(buf, 0, pos); pos = 0 }
@@ -3864,6 +4012,19 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
                 pos = p + 4 + len
             }
             i += 1
+          }
+          var bi = 0
+          while (bi < bloomPos.length) {
+            val p = bloomPos(bi)
+            if ((bits & (1L << p)) == 0) {
+              val h = if (tcodes(p) == 0) bloomMixLong(row.getLong(p))
+                else {
+                  val u = row.getUTF8String(p)
+                  bloomMixBytes(u.getBytes, u.numBytes())
+                }
+              bloomSet(blooms(bi), h)
+            }
+            bi += 1
           }
           rows += 1
         }
@@ -3942,9 +4103,16 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           val nullFree = types.indices.collect {
             case i if !sk.hasNull(i) => s"#${ids(i)}"
           }.toSet
+          if (bloomPos.nonEmpty && sk.rows > 0)
+            writeBloomSidecar(
+              new File(new File(dirPath, "data"), sk.name + ".bloom"),
+              bloomPos.toSeq.zipWithIndex.map { case (p, bi) =>
+                (ids(p), sk.blooms(bi))
+              })
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
             sk.statsMap, Some(nullFree), ids.toSeq, typeCodes,
-            sk.tuple, Seq.empty, 0L, specId, sk.sumsMap)
+            sk.tuple, Seq.empty, 0L, specId, sk.sumsMap,
+            if (sk.rows > 0) bloomPos.toSeq.map(ids(_)) else Seq.empty)
         }
         val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
           .map { case (_, isStr) =>
@@ -3960,7 +4128,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         CatalogCommit(entries, eqKeys)
       }
       override def abort(): Unit = {
-        sinks.values.foreach { sk => sk.closeOut(); sk.file.delete() }
+        sinks.values.foreach { sk =>
+          sk.closeOut()
+          deleteDataAndSidecar(sk.file.getParentFile, sk.name)
+        }
         ()
       }
       override def close(): Unit = sinks.values.foreach(_.closeOut())
@@ -4083,7 +4254,7 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
         .mkString(";"),
-      upsertEncOf(dir, schema), specs.length - 1)
+      upsertEncOf(dir, schema), specs.length - 1, bloomEncOf(dir, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4121,14 +4292,14 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       all.filter(_.rows == 0).map(_.name)
     }
     (dropped ++ dropKeys).foreach(n =>
-      new File(new File(dir, "data"), n).delete())
+      deleteDataAndSidecar(new File(dir, "data"), n))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case CatalogCommit(es, k) =>
         (es.map(_.name) ++ k.map(_._1)).foreach(n =>
-          new File(new File(dir, "data"), n).delete())
+          deleteDataAndSidecar(new File(dir, "data"), n))
       case _ => ()
     }
 }
@@ -4197,7 +4368,7 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
     CatalogDeltaWriterFactory(dir.getPath, jobUid, schema.json,
       mp.ids.mkString(","),
       spec.map(p => s"${p.kind}:${p.arg}:${mp.ids.indexOf(p.id)}")
-        .mkString(";"), specs.length - 1)
+        .mkString(";"), specs.length - 1, bloomEncOf(dir, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4236,13 +4407,13 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
         files, m.epochs, m.eqDeletes)
       parts.flatMap(_.entries).filter(_.rows == 0).map(_.name)
     }
-    dropped.foreach(n => new File(new File(dir, "data"), n).delete())
+    dropped.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case d: CatalogDeltaCommit => d.entries.foreach(e =>
-        new File(new File(dir, "data"), e.name).delete())
+        deleteDataAndSidecar(new File(dir, "data"), e.name))
       case _ => ()
     }
 }
@@ -4253,14 +4424,15 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
   * implemented anyway for API completeness. */
 private case class CatalogDeltaWriterFactory(dirPath: String,
     jobUid: String, schemaJson: String, idsCsv: String, specEnc: String,
-    specId: Int = 0)
+    specId: Int = 0, bloomEnc: String = "")
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val inner = CatalogWriterFactory(dirPath, jobUid,
         schemaJson, idsCsv, specEnc,
-        specId = specId).createWriter(partitionId, taskId)
+        specId = specId, bloomEnc = bloomEnc)
+        .createWriter(partitionId, taskId)
       private val dels =
         collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
       override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -4816,8 +4988,8 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         expired.foreach { v =>
           allRefs(readManifest(dir, v)).foreach { n =>
             if (!retainedRefs.contains(n)) {
-              val f = new File(new File(dir, "data"), n)
-              if (f.exists()) { f.delete(); filesDeleted += 1 }
+              if (deleteDataAndSidecar(new File(dir, "data"), n))
+                filesDeleted += 1
             }
           }
         }
@@ -5016,8 +5188,8 @@ private class DropBranchProcedure(cat: GraftTableCatalog)
                 .flatMap(f => allRefs(parseManifest(f, 0)))
             }).toSet
           (mine -- retained).foreach { n =>
-            val f = new File(new File(dir, "data"), n)
-            if (f.exists()) { f.delete(); filesDeleted += 1 }
+            if (deleteDataAndSidecar(new File(dir, "data"), n))
+              filesDeleted += 1
           }
           manifests.foreach(_.delete())
           mutateBranchRefs(dir)(_ - bname)

@@ -1797,6 +1797,70 @@ class CatalogSpec extends SparkSpec {
     sql("CALL graft_cat.sys.drop_tag('db', 'vref', 'first')")
   }
 
+  test("bloom sidecar file skipping: point predicates on an unsorted column open only the holder file; cleanup follows the data file") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.bloomt")
+    // h is a hash-scrambled LONG: every file's min/max range covers the
+    // whole domain, so ONLY the bloom can skip files on a point probe
+    sql("CREATE TABLE graft_cat.db.bloomt (h BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('write.bloom.columns'='h,s')")
+    sql("INSERT INTO graft_cat.db.bloomt " +
+      "SELECT hash(id) * 1000000007L + id, concat('key', id), id " +
+      "FROM range(0, 80000, 1, 8)")
+    val dir = new File("work/graft_cat/db/bloomt")
+    val m = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    m.files.length shouldBe 8
+    m.files.foreach(_.bloomCols.length shouldBe 2)
+    m.files.foreach(e =>
+      new File(dir, s"data/${e.name}.bloom").exists() shouldBe true)
+    // pick a real value and its holder file count via full scan
+    val probe = rows("SELECT h, s, v FROM graft_cat.db.bloomt " +
+      "WHERE v = 41234").head
+    val (hVal, sVal) = (probe(0).asInstanceOf[Long], probe(1).toString)
+    // LONG point probe: without bloom every file's range matches; with
+    // it only the holder (plus <=1% false positives) opens
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT v FROM graft_cat.db.bloomt WHERE h = $hVal") shouldBe
+      Seq(Seq(41234L))
+    GraftTableCatalog.filesOpened.get should be <= 2L
+    // STRING point probe through the same sidecar
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT v FROM graft_cat.db.bloomt WHERE s = '$sVal'") shouldBe
+      Seq(Seq(41234L))
+    GraftTableCatalog.filesOpened.get should be <= 2L
+    // an ABSENT value: zero files opened (definite-absence proof)
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.bloomt WHERE s = 'nope'") shouldBe
+      Seq(Seq(0L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    // IN-lists probe per value; range predicates ignore the bloom
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT count(*) FROM graft_cat.db.bloomt " +
+      s"WHERE h IN ($hVal, 1, 2)") shouldBe Seq(Seq(1L))
+    GraftTableCatalog.filesOpened.get should be <= 3L
+    rows("SELECT count(*) FROM graft_cat.db.bloomt WHERE v >= 0") shouldBe
+      Seq(Seq(80000L))
+    // the control table (no property) opens everything for the probe
+    sql("DROP TABLE IF EXISTS graft_cat.db.bloomc")
+    sql("CREATE TABLE graft_cat.db.bloomc AS " +
+      "SELECT hash(id) * 1000000007L + id AS h, id AS v " +
+      "FROM range(0, 80000, 1, 8)")
+    GraftTableCatalog.filesOpened.set(0)
+    rows(s"SELECT count(*) FROM graft_cat.db.bloomc WHERE h = $hVal")
+    GraftTableCatalog.filesOpened.get shouldBe 8L
+    // guards: unknown / non-LONG-STRING columns fail the write loudly
+    sql("DROP TABLE IF EXISTS graft_cat.db.bloomg")
+    sql("CREATE TABLE graft_cat.db.bloomg (k BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES ('write.bloom.columns'='x')")
+    intercept[Exception](sql("INSERT INTO graft_cat.db.bloomg VALUES (1, 1.0)"))
+    // DELETE of a whole file removes its sidecar with it
+    sql("DELETE FROM graft_cat.db.bloomt WHERE v >= 0") // all files drop
+    sql("CALL graft_cat.sys.expire_versions('db', 'bloomt', 1)")
+    new File(dir, "data").listFiles()
+      .count(_.getName.endsWith(".bloom")) shouldBe 0
+  }
+
   test("round-17 advice pins: days-partition extremes exact, branch refs survive concurrent mutation, spec swap is one record, absent partition errors") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     // (1) MIN/MAX pushdown over a days()-partitioned SOURCE column must
