@@ -2246,9 +2246,32 @@ object GraftTableCatalog {
     val sums = collection.mutable.Map[String, Long]()
     val sumBad = collection.mutable.Set[String]()
     val hasNull = new Array[Boolean](types.length)
+    // maintenance rewrites (compaction, boundary deletes) REBUILD the
+    // bloom sidecars the original files carried, so point-lookup
+    // pruning survives table maintenance
+    val bloomPos: Array[Int] =
+      if (bloomEncOf(dir, schema).isEmpty) Array.empty
+      else bloomEncOf(dir, schema).split(",").map(_.toInt)
+    val blooms = Array.fill(bloomPos.length)(new Array[Long](BloomWords))
     var n = 0L
     try rows.foreach { full =>
       Codec.write(out, types, full.apply)
+      var bi = 0
+      while (bi < bloomPos.length) {
+        val pv = full(bloomPos(bi))
+        if (pv != null) {
+          val h = pv match {
+            case l: java.lang.Long => bloomMixLong(l)
+            case st: String =>
+              val b = st.getBytes(StandardCharsets.UTF_8)
+              bloomMixBytes(b, b.length)
+            case u: UTF8String => bloomMixBytes(u.getBytes, u.numBytes())
+            case other => sys.error(s"unbloomable value $other")
+          }
+          bloomSet(blooms(bi), h)
+        }
+        bi += 1
+      }
       var i = 0
       while (i < types.length) {
         if (full(i) == null) hasNull(i) = true
@@ -2271,9 +2294,15 @@ object GraftTableCatalog {
     val nullFree = types.indices.collect {
       case i if !hasNull(i) => s"#${mp.ids(i)}"
     }.toSet
+    if (bloomPos.nonEmpty && n > 0)
+      writeBloomSidecar(new File(new File(dir, "data"), name + ".bloom"),
+        bloomPos.toSeq.zipWithIndex.map { case (pos, bi) =>
+          (mp.ids(pos), blooms(bi))
+        })
     Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
       mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
-      partition, Seq.empty, seq, specId, sums.toMap)
+      partition, Seq.empty, seq, specId, sums.toMap,
+      if (n > 0) bloomPos.toSeq.map(mp.ids(_)) else Seq.empty)
   }
 
   /** Decode one whole file (skipping already-deleted positions), each

@@ -1849,6 +1849,20 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.filesOpened.set(0)
     rows(s"SELECT count(*) FROM graft_cat.db.bloomc WHERE h = $hVal")
     GraftTableCatalog.filesOpened.get shouldBe 8L
+    // compaction REBUILDS the sidecars: point pruning survives
+    // maintenance (the rewritten file carries a fresh bloom)
+    sql("CALL graft_cat.sys.compact('db', 'bloomt', 1073741824)")
+    val mc = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    mc.files.length shouldBe 1
+    mc.files.head.bloomCols.length shouldBe 2
+    new File(dir, s"data/${mc.files.head.name}.bloom").exists() shouldBe true
+    GraftTableCatalog.filesOpened.set(0)
+    rows("SELECT count(*) FROM graft_cat.db.bloomt WHERE s = 'nope'") shouldBe
+      Seq(Seq(0L))
+    GraftTableCatalog.filesOpened.get shouldBe 0L
+    rows(s"SELECT v FROM graft_cat.db.bloomt WHERE h = $hVal") shouldBe
+      Seq(Seq(41234L))
     // guards: unknown / non-LONG-STRING columns fail the write loudly
     sql("DROP TABLE IF EXISTS graft_cat.db.bloomg")
     sql("CREATE TABLE graft_cat.db.bloomg (k BIGINT, x DOUBLE) " +
