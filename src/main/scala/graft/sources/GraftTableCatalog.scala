@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -900,13 +900,21 @@ object GraftTableCatalog {
       if (fieldIds.nonEmpty) fieldIds else 0 until cols
   }
 
-  /** `epochs` = committed streaming micro-batch ids, carried forward by
-    * EVERY commit (including overwrites: a replayed epoch must stay a
+  /** `epochs` = committed streaming micro-batch markers, carried forward
+    * by EVERY commit (including overwrites: a replayed epoch must stay a
     * no-op even after the table's content was replaced) — file list and
     * epoch set live in one immutable manifest so they can never
-    * disagree, the LedgerSink rule on the versioned chain. */
+    * disagree, the LedgerSink rule on the versioned chain. Markers are
+    * NAMESPACED BY QUERY (`<queryId>:<epochId>`, the stable checkpoint
+    * query id Spark keys micro-batch idempotence on) so replay detection
+    * is per-stream: a FRESH stream (new checkpoint, epoch ids restart at
+    * 0) writing to a table — or a branch inheriting main's epoch set —
+    * never has its first batches misclassified as replays of some OTHER
+    * stream's epochs. Bare-long markers parse in from pre-namespace
+    * manifests and stay carried; they can no longer match any live
+    * stream (by design — cross-query matching was the data-loss bug). */
   case class Manifest(version: Long, op: String, files: Seq[Entry],
-      epochs: Set[Long] = Set.empty, commitMs: Long = 0L,
+      epochs: Set[String] = Set.empty, commitMs: Long = 0L,
       eqDeletes: Seq[EqDelete] = Seq.empty)
 
   /** The column mapping (mapping.json): one STABLE field id per live
@@ -925,6 +933,11 @@ object GraftTableCatalog {
   // counters' discipline: data files actually opened by readers, and the
   // last DELETE's split.
   val filesOpened = new AtomicLong(0)
+  /** Test-only: runs once inside rewrite_deletes' OCC attempt, after the
+    * head manifest is read — a spec injects a concurrent CDC commit here
+    * to drive the rebase path deterministically. */
+  val rewriteDeletesRaceHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
   val lastDeleteDropped = new AtomicLong(-1)
   val lastDeleteRewritten = new AtomicLong(-1)
   val lastDeleteKept = new AtomicLong(-1)
@@ -1051,7 +1064,36 @@ object GraftTableCatalog {
           if (lock.exists() &&
               System.currentTimeMillis - lock.lastModified() >
                 OrphanReclaimMs) {
-            lock.delete() // crashed holder; the retry races fairly
+            // Reclaim by ATOMIC RENAME + post-rename identity check, not
+            // delete+create: with two waiters on one stale lock, a bare
+            // delete lets waiter B read the stale mtime, then delete the
+            // FRESH lock waiter A just created — both enter and one
+            // branches.json update is lost. The rename to a unique tomb
+            // succeeds for exactly one waiter and grants it EXCLUSIVE
+            // ownership of whatever file was at the path — so the mtime
+            // re-check on the tomb is race-free: a genuinely stale tomb
+            // is discarded (both waiters then retry createFile fairly);
+            // a FRESH tomb means we just stole a live holder's lock —
+            // restore it by renaming back (the path can only be empty,
+            // nobody else could create while the theft was in flight
+            // unseen; if somehow occupied, fail LOUDLY rather than let
+            // two holders proceed).
+            val tomb = new File(dir,
+              s".branches.lock.tomb.${java.util.UUID.randomUUID}")
+            try {
+              Files.move(lock.toPath, tomb.toPath,
+                StandardCopyOption.ATOMIC_MOVE)
+              if (System.currentTimeMillis - tomb.lastModified() >
+                  OrphanReclaimMs) tomb.delete()
+              else Files.move(tomb.toPath, lock.toPath,
+                StandardCopyOption.ATOMIC_MOVE) // no REPLACE: loud if raced
+            } catch {
+              case _: NoSuchFileException => () // another waiter reclaimed
+              case e: FileAlreadyExistsException =>
+                throw new IllegalStateException(
+                  s"branch-lock reclaim on $lock raced a concurrent " +
+                    "create while restoring a stolen fresh lock", e)
+            }
           } else {
             attempts += 1
             if (attempts > 500) throw new IllegalStateException(
@@ -1102,10 +1144,14 @@ object GraftTableCatalog {
     * single-writer like the rest of the table (a racer dies at the
     * exclusive create, before the pointer moves). */
   def commitBranchVersion(dir: File, name: String, expectedHead: Long,
-      op: String, files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      op: String, files: Seq[Entry], epochs: Set[String] = Set.empty,
       eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
     val r = branchRefOf(dir, name)
-    require(r.head == expectedHead,
+    // a stale CAS token is a RETRYABLE race, same as losing the
+    // exclusive-create on the main chain — surface it as the exception
+    // retryingCommit rebases on, so concurrent branch appends/stream
+    // epochs rebase instead of failing loudly on the pointer read
+    if (r.head != expectedHead) throw new FileAlreadyExistsException(
       s"branch '$name' advanced to head ${r.head} (expected $expectedHead)")
     val next = expectedHead + 1
     val target = branchManifestFile(dir, name, next)
@@ -1138,7 +1184,7 @@ object GraftTableCatalog {
   /** Branch-aware commit dispatch: main commits advance `latest`, branch
     * commits advance the branch's own chain. */
   def commitHead(dir: File, branch: Option[String], expected: Long,
-      op: String, files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      op: String, files: Seq[Entry], epochs: Set[String] = Set.empty,
       eqDeletes: Seq[EqDelete] = Seq.empty): Long = branch match {
     case None => commitVersion(dir, expected, op, files, epochs, eqDeletes)
     case Some(b) =>
@@ -1327,7 +1373,7 @@ object GraftTableCatalog {
       }
     }
     val epochs = lines.collect { case l if l.startsWith("E\t") =>
-      l.split("\t")(1).toLong
+      l.split("\t")(1)
     }.toSet
     val commitMs = lines.collectFirst { case l if l.startsWith("T\t") =>
       l.split("\t")(1).toLong }.getOrElse(0L)
@@ -1347,7 +1393,7 @@ object GraftTableCatalog {
     * still points below it) is reclaimed instead of bricking the table
     * with FileAlreadyExistsException forever. */
   private def manifestBody(op: String, files: Seq[Entry],
-      epochs: Set[Long], eqDeletes: Seq[EqDelete]): String =
+      epochs: Set[String], eqDeletes: Seq[EqDelete]): String =
     (Seq(s"O\t$op",
       s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
@@ -1378,7 +1424,7 @@ object GraftTableCatalog {
       ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
 
   def commitVersion(dir: File, expectedLatest: Long, op: String,
-      files: Seq[Entry], epochs: Set[Long] = Set.empty,
+      files: Seq[Entry], epochs: Set[String] = Set.empty,
       eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
     val next = expectedLatest + 1
     val body = manifestBody(op, files, epochs, eqDeletes)
@@ -2721,7 +2767,7 @@ private class CatalogTable(dir: File, tableName: String,
       props.get(WriteOrderByProp)
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
       props.get(WritePartitionsProp).map(_.toInt).getOrElse(0),
-      clusterOn, branch)
+      clusterOn, branch, info.queryId())
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
@@ -3668,7 +3714,7 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
     orderBy: Seq[String] = Seq.empty, numPartitions: Int = 0,
     clusterOn: Seq[org.apache.spark.sql.connector.expressions.Expression] =
       Seq.empty,
-    branch: Option[String] = None)
+    branch: Option[String] = None, queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -3679,7 +3725,7 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
     // publishes atomically via sys.fast_forward; epoch markers ride
     // the branch manifests and carry through the publish, so replay
     // idempotence survives it)
-    new CatalogStreamingWrite(dir, schema, branch)
+    new CatalogStreamingWrite(dir, schema, branch, queryId)
 
   /** With `write.order_by` set, the write DEMANDS a range distribution +
     * in-partition sort on those columns (RequiresDistributionAndOrdering)
@@ -3740,7 +3786,7 @@ private class CatalogWriteBuilder(dir: File, schema: StructType,
   * history (every epoch is a version). The LedgerStreamingWrite
   * discipline on the versioned chain. */
 private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
-    branch: Option[String] = None)
+    branch: Option[String] = None, queryId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import GraftTableCatalog._
   private val jobUid = java.util.UUID.randomUUID().toString.take(8)
@@ -3770,10 +3816,15 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
       cleanup = entriesOf(messages.toSeq).map(_.name) ++ taskKeys.map(_._1))
     // epoch appends rebase like batch appends (OCC): a batch writer
     // landing between micro-batches no longer kills the stream
+    // replay markers are PER-QUERY: `<queryId>:<epochId>`, the stable
+    // checkpoint id Spark defines micro-batch idempotence on — a fresh
+    // stream's epoch 0 never collides with another stream's epoch 0
+    // already in the table's (or, via the branch base, main's) epoch set
+    val epochTok = s"$queryId:$epochId"
     val toDelete = retryingCommit(dir, branch,
         headVersion(dir, branch)) { latest =>
       val m = manifestAt(dir, branch, latest)
-      if (m.epochs.contains(epochId)) {
+      if (m.epochs.contains(epochTok)) {
         // replayed micro-batch: the commit is a no-op, and the replay's
         // freshly written task files (data AND key files) would
         // otherwise strand forever (referenced by no manifest)
@@ -3788,7 +3839,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
             .map { case (n, r) => EqDelete(n, r, newSeq) }
           else m.eqDeletes
         commitHead(dir, branch, latest, "stream-epoch", m.files ++ kept,
-          m.epochs + epochId, eq)
+          m.epochs + epochTok, eq)
         val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
           else taskKeys.map(_._1)
         empty.map(_.name) ++ dropKeys // zero-row leftovers
@@ -5271,7 +5322,7 @@ private class FastForwardProcedure(cat: GraftTableCatalog)
           s"main advanced from v${r.base} to v$mainLatest since branch " +
             s"'$bname' forked — fast-forward requires an unchanged base")
         val bm = parseManifest(branchManifestFile(dir, bname, r.head), r.head)
-        val mainEpochs = if (mainLatest == 0) Set.empty[Long]
+        val mainEpochs = if (mainLatest == 0) Set.empty[String]
           else readManifest(dir, mainLatest).epochs
         val v = commitVersion(dir, mainLatest, "fast_forward", bm.files,
           mainEpochs ++ bm.epochs, bm.eqDeletes)
@@ -5346,55 +5397,76 @@ private class RewriteDeletesProcedure(cat: GraftTableCatalog)
           .exists(k => schema(k).dataType == StringType)
         // k-way merge the sorted runs, keeping each key's MAX seq (the
         // exact equivalent of probing every run: suppression tests
-        // max-seq > fileSeq). Heap of (headKey, seq, iterator).
-        val iters = m.eqDeletes.map(d => EqKeys.iterate(
-          new File(new File(dir, "data"), d.name).getPath, isStr, d.seq)
-          .buffered)
-        def lt(a: Any, b: Any): Boolean = (a, b) match {
-          case (x: java.lang.Long, y: java.lang.Long) => x < y
-          case (x: String, y: String) =>
-            java.util.Arrays.compareUnsigned(
-              x.getBytes(StandardCharsets.UTF_8),
-              y.getBytes(StandardCharsets.UTF_8)) < 0
-          case other => sys.error(s"unorderable keys $other")
-        }
-        val mergedEntries = new Iterator[(Any, Long)] {
-          override def hasNext: Boolean = iters.exists(_.hasNext)
-          override def next(): (Any, Long) = {
-            var minKey: Any = null
-            iters.foreach { it =>
-              if (it.hasNext && (minKey == null || lt(it.head._1, minKey)))
-                minKey = it.head._1
-            }
-            var maxSeq = Long.MinValue
-            iters.foreach { it =>
-              while (it.hasNext && it.head._1 == minKey) {
-                maxSeq = math.max(maxSeq, it.next()._2)
-              }
-            }
-            (minKey, maxSeq)
+        // max-seq > fileSeq). The merge runs INSIDE the OCC attempt
+        // against the run set of the head it will commit over — a
+        // concurrent CDC batch that lands mid-merge just means the
+        // retry re-merges with the new run included (same seq
+        // semantics), instead of failing loudly; and an attempt's
+        // merged file is deleted before any rethrow/retry, so a raced
+        // call never strands an unreferenced run in data/.
+        def mergeRuns(runs: Seq[EqDelete], outName: String): Long = {
+          val iters = runs.map(d => EqKeys.iterate(
+            new File(new File(dir, "data"), d.name).getPath, isStr, d.seq)
+            .buffered)
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: java.lang.Long, y: java.lang.Long) => x < y
+            case (x: String, y: String) =>
+              java.util.Arrays.compareUnsigned(
+                x.getBytes(StandardCharsets.UTF_8),
+                y.getBytes(StandardCharsets.UTF_8)) < 0
+            case other => sys.error(s"unorderable keys $other")
           }
+          val mergedEntries = new Iterator[(Any, Long)] {
+            override def hasNext: Boolean = iters.exists(_.hasNext)
+            override def next(): (Any, Long) = {
+              var minKey: Any = null
+              iters.foreach { it =>
+                if (it.hasNext && (minKey == null || lt(it.head._1, minKey)))
+                  minKey = it.head._1
+              }
+              var maxSeq = Long.MinValue
+              iters.foreach { it =>
+                while (it.hasNext && it.head._1 == minKey) {
+                  maxSeq = math.max(maxSeq, it.next()._2)
+                }
+              }
+              (minKey, maxSeq)
+            }
+          }
+          EqKeys.writeMerged(
+            new File(new File(dir, "data"), outName), mergedEntries, isStr)
         }
-        val name =
-          s"eq-merged-${java.util.UUID.randomUUID.toString.take(8)}" +
-            EqKeys.MergedSuffix
-        val n = EqKeys.writeMerged(
-          new File(new File(dir, "data"), name), mergedEntries, isStr)
-        val maxSeq = m.eqDeletes.map(_.seq).max
-        retryingCommit(dir, None, latest) { expected =>
+        var runsBefore = m.eqDeletes.length.toLong
+        var keys = 0L
+        var pending: String = null
+        def dropPending(): Unit = if (pending != null) {
+          new File(new File(dir, "data"), pending).delete()
+          pending = null
+        }
+        try retryingCommit(dir, None, latest) { expected =>
           val cur = manifestAt(dir, None, expected)
-          // the merge is valid only for the exact run set it read — a
-          // concurrent CDC batch means new runs; fail loudly, re-run
-          if (cur.eqDeletes.map(_.name).sorted != m.eqDeletes.map(_.name).sorted)
-            throw new IllegalStateException(
-              s"rewrite_deletes on $dir raced a concurrent CDC batch " +
-                "(the outstanding run set changed) — re-run the call")
-          commitVersion(dir, expected, "rewrite_deletes", cur.files,
-            cur.epochs, Seq(EqDelete(name, n, maxSeq)))
-        }
+          dropPending() // a lost race invalidates the previous merge
+          Option(rewriteDeletesRaceHook.getAndSet(null)).foreach(_.run())
+          if (cur.eqDeletes.length <= 1) {
+            // a racer already merged (or compaction resolved the runs)
+            runsBefore = cur.eqDeletes.length.toLong
+            keys = cur.eqDeletes.map(_.rows).sum
+          } else {
+            runsBefore = cur.eqDeletes.length.toLong
+            val name =
+              s"eq-merged-${java.util.UUID.randomUUID.toString.take(8)}" +
+                EqKeys.MergedSuffix
+            pending = name
+            keys = mergeRuns(cur.eqDeletes, name)
+            val maxSeq = cur.eqDeletes.map(_.seq).max
+            commitVersion(dir, expected, "rewrite_deletes", cur.files,
+              cur.epochs, Seq(EqDelete(name, keys, maxSeq)))
+            pending = null // committed: the manifest references it now
+          }
+        } catch { case t: Throwable => dropPending(); throw t }
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(RewriteDeletesProcedure.resultSchema,
-            Array[Any](m.eqDeletes.length.toLong, 1L, n))).iterator()
+            Array[Any](runsBefore, 1L, keys))).iterator()
       }
     }
 }

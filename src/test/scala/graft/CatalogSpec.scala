@@ -280,6 +280,7 @@ class CatalogSpec extends SparkSpec {
     val q = input.toDF().toDF("k", "v").writeStream
       .option("checkpointLocation", ckpt).outputMode("append")
       .toTable("graft_cat.db.strm")
+    val queryId = q.id.toString // the STABLE checkpoint id epochs key on
     try {
       input.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
       input.addData((3L, 30L)); q.processAllAvailable()
@@ -301,12 +302,22 @@ class CatalogSpec extends SparkSpec {
     // manifest, so expire never touches them)
     val staged = new File(dir, "data/fake-replay.bin")
     java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
-    new graft.sources.CatalogStreamingWrite(dir, schema)
+    new graft.sources.CatalogStreamingWrite(dir, schema, None, queryId)
       .commit(0L, Array(graft.sources.CatalogCommit(Seq(
         GraftTableCatalog.Entry("fake-replay.bin", 1L, 3L, 2, Map.empty)))))
     GraftTableCatalog.readLatest(dir) shouldBe versionsBefore
     staged.exists() shouldBe false
     rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(4L))
+    // ...while the SAME epoch id from a DIFFERENT query (a fresh
+    // checkpoint whose epochs restart at 0) is NOT a replay: its first
+    // micro-batch commits instead of being silently dropped — replay
+    // detection is namespaced per-stream
+    val staged2 = new File(dir, "data/fresh-stream.bin")
+    java.nio.file.Files.write(staged2.toPath, Array[Byte](1, 2, 3))
+    new graft.sources.CatalogStreamingWrite(dir, schema, None, "other-q")
+      .commit(0L, Array(graft.sources.CatalogCommit(Seq(
+        GraftTableCatalog.Entry("fresh-stream.bin", 0L, 3L, 2, Map.empty)))))
+    GraftTableCatalog.readLatest(dir) shouldBe versionsBefore + 1
   }
 
   test("V2 custom metrics: filesOpened and rowsRead surface as SQL metrics — the file-skipping story on the executed plan") {
@@ -1762,6 +1773,95 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.readManifest(new File("work/graft_cat/db/eqrws"),
       GraftTableCatalog.readLatest(new File("work/graft_cat/db/eqrws")))
       .eqDeletes shouldBe empty
+  }
+
+  test("sys.rewrite_deletes rebases over a concurrent CDC batch: the retry re-merges with the new run included; no orphan merged file") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.eqrb")
+    sql("""CREATE TABLE graft_cat.db.eqrb (k BIGINT, v STRING)
+      |TBLPROPERTIES ('write.upsert.key'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.eqrb SELECT id, concat('a', id) " +
+      "FROM range(0, 1000, 1, 2)")
+    sql("INSERT INTO graft_cat.db.eqrb SELECT id, concat('b', id) " +
+      "FROM range(100, 300, 1, 1)")
+    sql("INSERT INTO graft_cat.db.eqrb SELECT id, concat('c', id) " +
+      "FROM range(200, 400, 1, 1)")
+    val dir = new File("work/graft_cat/db/eqrb")
+    def eqDels = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).eqDeletes
+    eqDels.length shouldBe 2
+    // inject a CDC batch INSIDE the procedure's OCC attempt, after it
+    // read the head — the exact mid-merge race; the commit must lose
+    // its reservation, re-merge with the new run, and land
+    GraftTableCatalog.rewriteDeletesRaceHook.set(() =>
+      sql("INSERT INTO graft_cat.db.eqrb SELECT id, concat('z', id) " +
+        "FROM range(50, 150, 1, 1)"))
+    val r = sql("CALL graft_cat.sys.rewrite_deletes('db', 'eqrb')")
+      .collect().head
+    GraftTableCatalog.rewriteDeletesRaceHook.get shouldBe null
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 1L)) // re-merged 3 runs
+    eqDels.length shouldBe 1
+    // all keys at correct max-seq: the LAST writer wins at every key,
+    // including the injected z batch
+    rows("SELECT count(*), " +
+      "count(CASE WHEN v LIKE 'z%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'c%' THEN 1 END), " +
+      "count(CASE WHEN v LIKE 'b%' THEN 1 END) FROM graft_cat.db.eqrb")
+      .shouldBe(Seq(Seq(1000L, 100L, 200L, 50L)))
+    // the losing attempt's merged run was deleted, the winning one is
+    // referenced: no eq-merged orphans in data/
+    val referenced = eqDels.map(_.name).toSet
+    new File(dir, "data").listFiles()
+      .map(_.getName).filter(_.startsWith("eq-merged-"))
+      .filterNot(referenced) shouldBe empty
+  }
+
+  test("branch-chain OCC: a stale branch head token is a retryable race — concurrent branch writers rebase like main-chain writers") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.brocc")
+    sql("CREATE TABLE graft_cat.db.brocc AS SELECT id AS k " +
+      "FROM range(0, 100, 1, 1)")
+    sql("CALL graft_cat.sys.branch('db', 'brocc', 'aud')")
+    val dir = new File("work/graft_cat/db/brocc")
+    val stale = GraftTableCatalog.headVersion(dir, Some("aud"))
+    // writer A advances the branch while writer B still holds `stale`
+    sql("INSERT INTO graft_cat.db.brocc.branch_aud " +
+      "SELECT id FROM range(100, 150, 1, 1)")
+    // writer B: the stale token must surface as the retryable exception
+    // so retryingCommit rebases — not IllegalArgumentException
+    GraftTableCatalog.retryingCommit(dir, Some("aud"), stale) { expected =>
+      val m = GraftTableCatalog.manifestAt(dir, Some("aud"), expected)
+      GraftTableCatalog.commitHead(dir, Some("aud"), expected, "append",
+        m.files, m.epochs, m.eqDeletes)
+    }
+    // BOTH commits landed: A's insert and B's rebased append
+    GraftTableCatalog.headVersion(dir, Some("aud")) shouldBe stale + 2
+    rows("SELECT count(*) FROM graft_cat.db.brocc.branch_aud") shouldBe
+      Seq(Seq(150L))
+  }
+
+  test("branch-ref lock: a stale orphan lock is reclaimed by atomic rename — contended mutations never lose an update") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.brlock")
+    sql("CREATE TABLE graft_cat.db.brlock AS SELECT id FROM range(10)")
+    val dir = new File("work/graft_cat/db/brlock")
+    // a crashed holder's orphan: present and older than the reclaim window
+    val lock = new File(dir, ".branches.lock")
+    java.nio.file.Files.createFile(lock.toPath)
+    lock.setLastModified(
+      System.currentTimeMillis - GraftTableCatalog.OrphanReclaimMs - 60000)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 25).foreach { i =>
+        GraftTableCatalog.mutateBranchRefs(dir)(refs =>
+          refs + (s"b-$t-$i" -> GraftTableCatalog.BranchRef(1, 0)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    // every one of the 200 contended updates is present (a delete+create
+    // reclaim could let two holders in and drop one) and the lock is gone
+    GraftTableCatalog.readBranchRefs(dir).count(
+      _._1.startsWith("b-")) shouldBe 200
+    lock.exists() shouldBe false
   }
 
   test("ref-addressable time travel: VERSION AS OF resolves tags AND branch names; dangling refs fail listing both") {
