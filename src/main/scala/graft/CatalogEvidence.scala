@@ -458,8 +458,51 @@ object CatalogEvidence {
          | "answers_equal": true}""".stripMargin
     }
 
+    // ---- manifest list + partition-pruned segments: commit bytes and
+    // planning I/O stay FLAT as the table grows 16 -> 1024 files ----
+    val segArm = {
+      sql("DROP TABLE IF EXISTS graft_cat.db.ev_seg")
+      sql("CREATE TABLE graft_cat.db.ev_seg (g BIGINT, v BIGINT) " +
+        "PARTITIONED BY (g)")
+      val sdir = new java.io.File("/root/repo/work/graft_cat/db/ev_seg")
+      val samples = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 64).foreach { i =>
+        sql(s"INSERT INTO graft_cat.db.ev_seg SELECT $i, id " +
+          s"FROM range(${i * 1000L}, ${(i + 1) * 1000L}, 1, 16)")
+        if (Set(1, 4, 16, 64).contains(i + 1)) { // 16/64/256/1024 files
+          val latest = GraftTableCatalog.readLatest(sdir)
+          val m = GraftTableCatalog.readManifest(sdir, latest)
+          val prevSegs =
+            if (latest > 1)
+              GraftTableCatalog.readManifest(sdir, latest - 1)
+                .segs.map(_.ref.name).toSet
+            else Set.empty[String]
+          val newSegBytes = m.segs.map(_.ref.name).filterNot(prevSegs)
+            .map(n => new java.io.File(sdir, n).length).sum
+          val listBytes =
+            new java.io.File(sdir, s"v$latest.manifest").length
+          GraftTableCatalog.segmentsRead.set(0)
+          val r = one("SELECT sum(v % 7) FROM graft_cat.db.ev_seg " +
+            s"WHERE g = $i")
+          require(r.head == (i * 1000L until (i + 1) * 1000L).map(_ % 7).sum,
+            s"segment probe answer wrong at $i: $r")
+          val consulted = GraftTableCatalog.segmentsRead.get
+          samples += s"""{"files": ${m.files.length},
+            | "segments": ${m.segs.length},
+            | "commit_list_bytes": $listBytes,
+            | "commit_new_segment_bytes": $newSegBytes,
+            | "point_probe_segments_consulted": $consulted}"""
+            .stripMargin.replace("\n", "")
+        }
+      }
+      s"""{"growth": [${samples.mkString(", ")}],
+         | "note": "each commit appends 16 files into one partition; commit metadata write = its own segment + the O(segments) list, never a rewrite of prior entries; the point probe consults exactly the matching segment at every size"}"""
+        .stripMargin
+    }
+
     val json =
       s"""{"probe": "graft.CatalogEvidence — the graft_cat lake-table layer measured on a 16-file, 1M-row table; every arm's answer verified before its measurement is recorded",
+         | "manifest_segments": $segArm,
          | "delete_split": $del,
          | "file_skipping": $skip,
          | "group_local_update": $upd,

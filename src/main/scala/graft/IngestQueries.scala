@@ -1056,6 +1056,65 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q297: MERGE WITH SCHEMA EVOLUTION — Spark 4's evolving merge: a
+    * source WIDER than the target auto-adds the missing column (the
+    * analyzer turns the width difference into the catalog's nullable
+    * AddColumn in the same transaction — TableCapability
+    * AUTOMATIC_SCHEMA_EVOLUTION) and the merge lands against the
+    * evolved schema: matched rows update and take the new column,
+    * unmatched insert, untouched files NULL-PAD it byte-identically
+    * (field-id mapped reads, no rewrite). At 100 TB a pipeline adds a
+    * feature column without coordinating a separate DDL step against
+    * every writer. Oracle: DuckDB replays the merge arithmetic. */
+  val q297CatalogMergeEvolve: Q = (s, d) => {
+    val t = catTable(s, d, "ev297")
+    val view = s"ev297_src_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)} AND event_id % 2 = 0")
+    s.sql(s"""SELECT k, cents * 2 AS cents, k % 7 AS flag
+             |FROM (${catEventsSql(d)}) src
+             |WHERE k % 4 IN (0, 1)""".stripMargin)
+      .createOrReplaceTempView(view)
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING $view
+             |ON $t.k = $view.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+    s.sql(s"""SELECT k % 9 AS g, count(*) AS n, sum(cents) AS cents,
+             |  count(flag) AS flags, sum(flag) AS flag_sum
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
+  /** q296: `.files` METADATA TABLE — the per-file operational view of
+    * the head manifest (Iceberg's files table): partition tuple, spec
+    * generation, raw/live rows, position-delete accounting, bloom
+    * columns and rendered min/max, served from kilobytes of metadata.
+    * The gated query drives it through BOTH partition-spec evolution
+    * (gen-0 unpartitioned files + gen-1 identity-partitioned files
+    * coexist) and a merge-on-read DELETE (per-file position deletes, no
+    * rewrites), then aggregates the view by (spec, partition) so DuckDB
+    * can recompute every number from rows. At 100 TB this is how an
+    * operator answers "did the delete land as MOR, which partition is
+    * skewed" without listing storage. */
+  val q296CatalogFilesMeta: Q = (s, d) => {
+    val t = catTable(s, d, "ev296")
+    val stem = s"ev296_${ScaleQueries.sfTag(d)}"
+    s.sql(s"""CREATE TABLE $t (g BIGINT, k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('update.mode'='merge-on-read')""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT k % 5 AS g, k, cents
+             |FROM (${catEventsSql(d)}) src WHERE k % 3 = 0""".stripMargin)
+    s.sql(s"CALL graft_cat.sys.set_partition_spec('db', '$stem', 'g')")
+    s.sql(s"""INSERT INTO $t SELECT k % 5 AS g, k, cents
+             |FROM (${catEventsSql(d)}) src WHERE k % 3 = 1""".stripMargin)
+    // non-pushable predicate -> the row-level MERGE-ON-READ path: every
+    // touched file takes a position-delete file, nothing rewrites
+    s.sql(s"DELETE FROM $t WHERE k % 10 = 3")
+    s.sql(s"""SELECT spec_id, partition AS part,
+             |  sum(rows) AS raw_rows, sum(live_rows) AS live_rows,
+             |  sum(deleted_rows) AS deleted_rows
+             |FROM $t.files GROUP BY 1, 2""".stripMargin)
+  }
+
   /** q295: BLOOM-SIDECAR FILE SKIPPING — `write.bloom.columns` attaches
     * a 64 KiB per-file bloom filter sidecar (the Iceberg puffin model)
     * to LONG/STRING columns: point predicates (`=` / `IN`) on an
@@ -1175,6 +1234,8 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q297_catalog_merge_evolve" -> q297CatalogMergeEvolve,
+    "q296_catalog_files_meta" -> q296CatalogFilesMeta,
     "q295_catalog_bloom_skip" -> q295CatalogBloomSkip,
     "q294_catalog_ref_travel" -> q294CatalogRefTravel,
     "q293_catalog_filtered_agg" -> q293CatalogFilteredAgg,
@@ -1248,6 +1309,43 @@ object IngestQueries {
        |           'title':'VARCHAR','duration':'DECIMAL(12,6)','year':'INTEGER'})""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The evolving merge, replayed: even keys seeded the target; source
+    // rows (k%4 in 0,1) doubled cents and stamped flag — matched evens
+    // updated in place, odds inserted, untouched evens null-pad flag.
+    "q297_catalog_merge_evolve" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        | m AS (
+        |  SELECT k, CASE WHEN k % 4 = 0 THEN c * 2 ELSE c END AS cents,
+        |    CASE WHEN k % 4 = 0 THEN k % 7 ELSE NULL END AS flag
+        |  FROM src WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, c * 2 AS cents, k % 7 AS flag
+        |  FROM src WHERE k % 4 = 1)
+        |SELECT k % 9 AS g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  count(flag) AS flags, CAST(sum(flag) AS BIGINT) AS flag_sum
+        |FROM m GROUP BY 1""".stripMargin,
+    // The (spec, partition) file-view aggregates, each recomputed by
+    // DuckDB from the slices that built them: gen-0 files are the k%3=0
+    // slice (unpartitioned tuple '-'), gen-1 files the k%3=1 slice under
+    // identity(g) tuples 'l<g>'; the MOR DELETE suppressed k%10=3 rows
+    // without dropping a file, so raw stays the slice size.
+    "q296_catalog_files_meta" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT CAST(0 AS BIGINT) AS spec_id, '-' AS part,
+        |  count(*) AS raw_rows,
+        |  count(*) FILTER (WHERE k % 10 <> 3) AS live_rows,
+        |  count(*) FILTER (WHERE k % 10 = 3) AS deleted_rows
+        |FROM src WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS spec_id,
+        |  'l' || CAST(k % 5 AS VARCHAR) AS part,
+        |  count(*) AS raw_rows,
+        |  count(*) FILTER (WHERE k % 10 <> 3) AS live_rows,
+        |  count(*) FILTER (WHERE k % 10 = 3) AS deleted_rows
+        |FROM src WHERE k % 3 = 1 GROUP BY 2""".stripMargin,
     // The same scramble + IN-list, replayed by DuckDB over the rows.
     "q295_catalog_bloom_skip" ->
       """SELECT (CAST(event_id AS BIGINT) * 1000003) % 900000011 AS h,

@@ -176,6 +176,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           case MetaSnapshots => return new SnapshotsTable(base, ns(1))
           case MetaPartitions => return new PartitionsTable(base, ns(1))
           case MetaRefs => return new RefsTable(base, ns(1))
+          case MetaFiles => return new FilesTable(base, ns(1))
           case MetaChanges => return new ChangesTable(base,
             s"${ns.mkString(".")}.$MetaChanges")
         }
@@ -640,8 +641,9 @@ object GraftTableCatalog {
   val MetaPartitions = "partitions"
   val MetaChanges = "changes"
   val MetaRefs = "refs"
+  val MetaFiles = "files"
   val MetaTables: Set[String] =
-    Set(MetaSnapshots, MetaPartitions, MetaChanges, MetaRefs)
+    Set(MetaSnapshots, MetaPartitions, MetaChanges, MetaRefs, MetaFiles)
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
@@ -690,8 +692,34 @@ object GraftTableCatalog {
     * values per file; a false positive costs one data-file scan, never
     * correctness. */
   val BloomColsProp = "write.bloom.columns"
-  /** 8192 longs = 2^19 bits = 64 KiB per column per file. */
-  private[sources] val BloomWords = 8192
+  /** Writers BUILD at 2^21 bits (32768 longs, 256 KiB) and FOLD DOWN to
+    * the smallest power-of-2 size with expected fp <= ~2% for the rows
+    * actually flushed (OR-ing halves preserves `h mod m` probe positions
+    * for power-of-2 m) — a 50k-row file ships ~64 KiB, a 1k-row file
+    * ~2 KiB, a 125k-row file keeps the full 256 KiB instead of the fixed
+    * 64 KiB that measured ~14% fp. Readers size probes from the sidecar
+    * (`nWords` rides the format), so old fixed-size sidecars keep
+    * probing identically. */
+  private[sources] val BloomWords = 32768
+  private[sources] val BloomMinWords = 32 // 2 Kib floor
+  /** Fold a build-size filter to its ship size for `rows` values: need
+    * m >= ~8.7*n bits for fp(k=4) <= 2%. */
+  private[sources] def bloomSized(bits: Array[Long], rows: Long)
+      : Array[Long] = {
+    val neededBits = math.max(1L, 9L * rows)
+    var targetWords = BloomMinWords
+    while (targetWords.toLong * 64 < neededBits && targetWords < bits.length)
+      targetWords <<= 1
+    var cur = bits
+    while (cur.length > targetWords) {
+      val half = cur.length >> 1
+      val next = new Array[Long](half)
+      var i = 0
+      while (i < half) { next(i) = cur(i) | cur(i + half); i += 1 }
+      cur = next
+    }
+    cur
+  }
   /** splitmix64 — the value hash bloom bits derive from (LONGs). */
   private[sources] def bloomMixLong(v0: Long): Long = {
     var v = v0 + 0x9E3779B97F4A7C15L
@@ -699,19 +727,25 @@ object GraftTableCatalog {
     v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
     v ^ (v >>> 31)
   }
-  /** FNV-1a 64 over UTF-8 bytes (STRINGs) — identical on write + probe. */
-  private[sources] def bloomMixBytes(b: Array[Byte], len: Int): Long = {
+  /** FNV-1a 64 over UTF-8 bytes (STRINGs) — identical on write + probe.
+    * `off` lets the vectorized writer mix straight out of its scratch
+    * buffer without re-copying the string bytes. */
+  private[sources] def bloomMixBytes(b: Array[Byte], len: Int,
+      off: Int = 0): Long = {
     var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < len) { h ^= (b(i) & 0xffL); h *= 0x100000001B3L; i += 1 }
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= (b(i) & 0xffL); h *= 0x100000001B3L; i += 1 }
     bloomMixLong(h)
   }
-  /** k=4 double-hashed probes over 2^19 bits. */
+  /** k=4 double-hashed probes; the bit-space is the ARRAY's size (always
+    * a power of 2), so a folded filter and the build filter agree. */
   private[sources] def bloomSet(bits: Array[Long], h: Long): Unit = {
     val h2 = (h >>> 32) | (h << 32)
+    val m = bits.length * 64L
     var i = 0
     while (i < 4) {
-      val idx = ((h + i * h2) & Long.MaxValue) % (BloomWords * 64L)
+      val idx = ((h + i * h2) & Long.MaxValue) % m
       bits((idx >>> 6).toInt) |= (1L << (idx & 63))
       i += 1
     }
@@ -719,9 +753,10 @@ object GraftTableCatalog {
   private[sources] def bloomMightContain(bits: Array[Long], h: Long)
       : Boolean = {
     val h2 = (h >>> 32) | (h << 32)
+    val m = bits.length * 64L
     var i = 0
     while (i < 4) {
-      val idx = ((h + i * h2) & Long.MaxValue) % (BloomWords * 64L)
+      val idx = ((h + i * h2) & Long.MaxValue) % m
       if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
@@ -881,6 +916,9 @@ object GraftTableCatalog {
     *  - `sums`: per-LONG-column EXACT sums over non-null values (same
     *    `#<fieldId>` key space; absent = legacy file or the writer hit
     *    long overflow) — what SUM pushdown answers from;
+    *  - `ndv`: per-column ESTIMATED distinct non-null values (linear
+    *    counting at write; same `#<fieldId>` keys) — feeds CBO column
+    *    statistics, never a correctness proof;
     *  - `deletes`: position delete files readers anti-merge. */
   case class Entry(name: String, rows: Long, bytes: Long, cols: Int,
       stats: Map[String, (Long, Long)],
@@ -892,7 +930,8 @@ object GraftTableCatalog {
       seq: Long = 0L,
       specId: Int = 0,
       sums: Map[String, Long] = Map.empty,
-      bloomCols: Seq[Int] = Seq.empty) {
+      bloomCols: Seq[Int] = Seq.empty,
+      ndv: Map[String, Long] = Map.empty) {
     /** Live rows MINUS positional deletes; an upper bound while equality
       * deletes are outstanding (they resolve per-row at read). */
     def liveRows: Long = rows - deletes.map(_.rows).sum
@@ -915,7 +954,27 @@ object GraftTableCatalog {
     * stream (by design — cross-query matching was the data-loss bug). */
   case class Manifest(version: Long, op: String, files: Seq[Entry],
       epochs: Set[String] = Set.empty, commitMs: Long = 0L,
-      eqDeletes: Seq[EqDelete] = Seq.empty)
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      segs: Seq[Segment] = Seq.empty)
+
+  /** One manifest-list reference to an immutable SEGMENT file (`sg-*.seg`,
+    * a block of F entry lines): `count` entries, rows/bytes totals, and a
+    * PARTITION-RANGE SUMMARY planning prunes on BEFORE reading the
+    * segment — the Iceberg manifest-list design. Summary grammar:
+    * `-` (no pruning possible) or `p<specId>|<slot>|<slot>...` with one
+    * slot per partition transform: `*` unknown, `N` all-null,
+    * `l<lo>:<hi>` encoded-long range (identity long / bucket ordinal /
+    * day ordinal), `s<urlenc>` uniform identity string; a trailing `!`
+    * marks "some entries null in this slot" (never emitted by
+    * URLEncoder, so unambiguous). */
+  case class SegRef(name: String, count: Long, rows: Long, bytes: Long,
+      summary: String)
+  case class Segment(ref: SegRef, entries: Seq[Entry])
+
+  /** Segment files PARSED (driver-side planning/commit I/O) — the
+    * observability behind the partition-pruned-planning pins: a point
+    * probe on a partitioned table must consult only matching segments. */
+  val segmentsRead = new AtomicLong(0)
 
   /** The column mapping (mapping.json): one STABLE field id per live
     * column, parallel to the current schema. `evolved` flips true on the
@@ -944,6 +1003,9 @@ object GraftTableCatalog {
   /** merge-on-read: boundary files that took a position-delete file
     * instead of a rewrite in the last DELETE. */
   val lastDeleteMorFiles = new AtomicLong(-1)
+  /** boundary files the last DELETE kept UNREAD because a bloom sidecar
+    * disproved its point predicate. */
+  val lastDeleteBloomKept = new AtomicLong(-1)
 
   private[sources] def deleteTree(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteTree)
@@ -1145,7 +1207,8 @@ object GraftTableCatalog {
     * exclusive create, before the pointer moves). */
   def commitBranchVersion(dir: File, name: String, expectedHead: Long,
       op: String, files: Seq[Entry], epochs: Set[String] = Set.empty,
-      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      prev: Option[Manifest] = None): Long = {
     val r = branchRefOf(dir, name)
     // a stale CAS token is a RETRYABLE race, same as losing the
     // exclusive-create on the main chain — surface it as the exception
@@ -1168,9 +1231,21 @@ object GraftTableCatalog {
           Files.createFile(target.toPath)
         } else throw e
     }
+    // segment reuse against the branch's own previous head (or, for the
+    // first branch commit, the forked base manifest on main — segment
+    // files are immutable and table-dir-scoped, so cross-chain reuse by
+    // reference is sound)
+    val prevSegs = prev.map(_.segs).getOrElse {
+      if (expectedHead > 0)
+        parseManifest(branchManifestFile(dir, name, expectedHead),
+          expectedHead).segs
+      else if (r.base > 0) readManifest(dir, r.base).segs
+      else Seq.empty
+    }
     val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
     Files.write(tmp.toPath,
-      manifestBody(op, files, epochs, eqDeletes).getBytes(StandardCharsets.UTF_8))
+      manifestBody(op, planSegments(dir, prevSegs, files), epochs, eqDeletes)
+        .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     mutateBranchRefs(dir) { refs =>
@@ -1185,10 +1260,12 @@ object GraftTableCatalog {
     * commits advance the branch's own chain. */
   def commitHead(dir: File, branch: Option[String], expected: Long,
       op: String, files: Seq[Entry], epochs: Set[String] = Set.empty,
-      eqDeletes: Seq[EqDelete] = Seq.empty): Long = branch match {
-    case None => commitVersion(dir, expected, op, files, epochs, eqDeletes)
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      prev: Option[Manifest] = None): Long = branch match {
+    case None =>
+      commitVersion(dir, expected, op, files, epochs, eqDeletes, prev)
     case Some(b) =>
-      commitBranchVersion(dir, b, expected, op, files, epochs, eqDeletes)
+      commitBranchVersion(dir, b, expected, op, files, epochs, eqDeletes, prev)
   }
 
   /** CREATE-time write of the GENERATION-0 layout (partition.json).
@@ -1332,45 +1409,71 @@ object GraftTableCatalog {
   def readManifest(dir: File, version: Long): Manifest =
     parseManifest(new File(dir, s"v$version.manifest"), version)
 
-  private[sources] def parseManifest(f: File, version: Long): Manifest = {
+  private[sources] def parseEntryLine(a: Array[String]): Entry = {
+    val stats = if (a(5).isEmpty) Map.empty[String, (Long, Long)]
+      else a(5).split(";").map { s =>
+        val p = s.split(":"); (p(0), (p(1).toLong, p(2).toLong))
+      }.toMap
+    if (a.length >= 11) {
+      val nullFree = if (a(6) == "-") Set.empty[String]
+        else a(6).split(";").toSet
+      val ids = if (a(7).isEmpty) Seq.empty[Int]
+        else a(7).split(",").map(_.toInt).toSeq
+      val partition = if (a(9) == "-") Seq.empty[String]
+        else a(9).split(";").toSeq
+      val deletes = if (a(10) == "-") Seq.empty[DeleteFile]
+        else a(10).split(";").map { s =>
+          val p = s.split(":"); DeleteFile(p(0), p(1).toLong)
+        }.toSeq
+      val seq = if (a.length >= 12) a(11).toLong else 0L
+      val specId = if (a.length >= 13) a(12).toInt else 0
+      val sums = if (a.length >= 15 && a(13) != "-")
+        a(13).split(";").map { s =>
+          val p = s.split(":"); (p(0), p(1).toLong)
+        }.toMap
+      else Map.empty[String, Long]
+      val bloomCols = if (a.length >= 16 && a(14) != "-")
+        a(14).split(";").map(_.toInt).toSeq else Seq.empty[Int]
+      val ndv = if (a.length >= 16 && a(15) != "-")
+        a(15).split(";").map { s =>
+          val p = s.split(":"); (p(0), p(1).toLong)
+        }.toMap
+      else Map.empty[String, Long]
+      Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
+        Some(nullFree), ids, a(8), partition, deletes, seq, specId, sums,
+        bloomCols, ndv)
+    } else {
+      // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
+      // no metadata-only delete proof), ids/types positional
+      Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
+    }
+  }
+
+  /** Parse one SEGMENT file (a block of F lines). Counted — the
+    * planning-pruning pins read [[segmentsRead]]. */
+  private[sources] def loadSegment(dir: File, name: String): Seq[Entry] = {
+    segmentsRead.incrementAndGet()
+    new String(Files.readAllBytes(new File(dir, name).toPath),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map(l => parseEntryLine(l.split("\t", -1))).toSeq
+  }
+
+  /** The list-level pieces of a version manifest, WITHOUT loading any
+    * referenced segment: header, inline (legacy) entries, segment refs,
+    * eq-delete runs, epochs. Planning prunes `refs` by partition summary
+    * before reading a single segment; everything else loads eagerly via
+    * [[parseManifest]]. */
+  private[sources] def parseManifestList(f: File, version: Long)
+      : (String, Long, Seq[Entry], Seq[SegRef], Set[String], Seq[EqDelete]) = {
     val lines = new String(Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toSeq
     val op = lines.collectFirst { case l if l.startsWith("O\t") =>
       l.split("\t")(1) }.getOrElse("unknown")
-    val files = lines.collect { case l if l.startsWith("F\t") =>
+    val inline = lines.collect { case l if l.startsWith("F\t") =>
+      parseEntryLine(l.split("\t", -1)) }
+    val refs = lines.collect { case l if l.startsWith("M\t") =>
       val a = l.split("\t", -1)
-      val stats = if (a(5).isEmpty) Map.empty[String, (Long, Long)]
-        else a(5).split(";").map { s =>
-          val p = s.split(":"); (p(0), (p(1).toLong, p(2).toLong))
-        }.toMap
-      if (a.length >= 11) {
-        val nullFree = if (a(6) == "-") Set.empty[String]
-          else a(6).split(";").toSet
-        val ids = if (a(7).isEmpty) Seq.empty[Int]
-          else a(7).split(",").map(_.toInt).toSeq
-        val partition = if (a(9) == "-") Seq.empty[String]
-          else a(9).split(";").toSeq
-        val deletes = if (a(10) == "-") Seq.empty[DeleteFile]
-          else a(10).split(";").map { s =>
-            val p = s.split(":"); DeleteFile(p(0), p(1).toLong)
-          }.toSeq
-        val seq = if (a.length >= 12) a(11).toLong else 0L
-        val specId = if (a.length >= 13) a(12).toInt else 0
-        val sums = if (a.length >= 15 && a(13) != "-")
-          a(13).split(";").map { s =>
-            val p = s.split(":"); (p(0), p(1).toLong)
-          }.toMap
-        else Map.empty[String, Long]
-        val bloomCols = if (a.length >= 16 && a(14) != "-")
-          a(14).split(";").map(_.toInt).toSeq else Seq.empty[Int]
-        Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats,
-          Some(nullFree), ids, a(8), partition, deletes, seq, specId, sums,
-          bloomCols)
-      } else {
-        // legacy (pre-v2) line: no null bookkeeping (nullFree = None →
-        // no metadata-only delete proof), ids/types positional
-        Entry(a(1), a(2).toLong, a(3).toLong, a(4).toInt, stats)
-      }
+      SegRef(a(1), a(2).toLong, a(3).toLong, a(4).toLong, a(5))
     }
     val epochs = lines.collect { case l if l.startsWith("E\t") =>
       l.split("\t")(1)
@@ -1381,7 +1484,126 @@ object GraftTableCatalog {
       val a = l.split("\t")
       EqDelete(a(1), a(2).toLong, a(3).toLong)
     }
-    Manifest(version, op, files, epochs, commitMs, eq)
+    (op, commitMs, inline, refs, epochs, eq)
+  }
+
+  private[sources] def parseManifest(f: File, version: Long): Manifest = {
+    val (op, commitMs, inline, refs, epochs, eq) = parseManifestList(f, version)
+    val segs = refs.map(r => Segment(r, loadSegment(f.getParentFile, r.name)))
+    Manifest(version, op, inline ++ segs.flatMap(_.entries), epochs,
+      commitMs, eq, segs)
+  }
+
+  /** The PLANNING view of a manifest: list-level facts (version, op,
+    * epochs, eq-delete runs, segment refs) parsed eagerly; file entries
+    * loaded PER SEGMENT, on demand, after partition-summary pruning —
+    * so a point probe on a 1024-file table parses only the segments
+    * whose partition ranges may match, not the whole file list. */
+  private[sources] final class PlanManifest(val dir: File,
+      val version: Long, val op: String, val epochs: Set[String],
+      val eqDeletes: Seq[EqDelete], inline: Seq[Entry], refs: Seq[SegRef]) {
+    private val cache =
+      scala.collection.mutable.HashMap.empty[String, Seq[Entry]]
+    private def seg(n: String): Seq[Entry] =
+      cache.getOrElseUpdate(n, loadSegment(dir, n))
+    def files: Seq[Entry] = inline ++ refs.flatMap(r => seg(r.name))
+    def pruned(filters: Array[Filter], schema: StructType, mp: ColMapping,
+        specs: Seq[Seq[PT]]): Seq[Entry] =
+      if (filters.isEmpty) files
+      else inline ++ refs
+        .filter(r => segMayMatch(r.summary, filters, schema, mp, specs))
+        .flatMap(r => seg(r.name))
+  }
+
+  private[sources] def emptyPlan(dir: File): PlanManifest =
+    new PlanManifest(dir, 0, "none", Set.empty, Seq.empty, Seq.empty,
+      Seq.empty)
+
+  private[sources] def parsePlan(dir: File, f: File, version: Long)
+      : PlanManifest = {
+    val (op, _, inline, refs, epochs, eq) = parseManifestList(f, version)
+    new PlanManifest(dir, version, op, epochs, eq, inline, refs)
+  }
+
+  /** [[headManifest]]'s lazy twin for the read path. */
+  private[sources] def planHead(dir: File, branch: Option[String])
+      : PlanManifest = branch match {
+    case None =>
+      val v = readLatest(dir)
+      if (v == 0) emptyPlan(dir)
+      else parsePlan(dir, new File(dir, s"v$v.manifest"), v)
+    case Some(b) =>
+      val r = branchRefOf(dir, b)
+      if (r.head > 0) parsePlan(dir, branchManifestFile(dir, b, r.head), r.head)
+      else if (r.base > 0)
+        parsePlan(dir, new File(dir, s"v${r.base}.manifest"), r.base)
+      else emptyPlan(dir)
+  }
+
+  /** Collect segment files referenced by NO existing manifest (main or
+    * branch chains). Age-guarded: a fresh unreferenced segment may be an
+    * in-flight commit's (reservation held, list not yet published) —
+    * only segments older than [[OrphanReclaimMs]] are reclaimed. */
+  private[sources] def gcSegments(dir: File,
+      graceMs: Long = OrphanReclaimMs): Long = {
+    val ls = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val retained: Set[String] = ls
+      .filter(f => f.getName.matches("v\\d+\\.manifest") ||
+        (f.getName.startsWith("b-") && f.getName.endsWith(".manifest")))
+      .flatMap(f => parseManifestList(f, 0)._4.map(_.name)).toSet
+    var n = 0L
+    ls.foreach { f =>
+      if (f.getName.startsWith("sg-") && f.getName.endsWith(".seg") &&
+          !retained.contains(f.getName) &&
+          System.currentTimeMillis - f.lastModified() > graceMs) {
+        if (f.delete()) n += 1
+      }
+    }
+    n
+  }
+
+  /** Test doorway: a zero-grace sweep lets specs observe segment GC
+    * without waiting out the reclaim window. */
+  def gcSegmentsForTest(dir: File, graceMs: Long): Long =
+    gcSegments(dir, graceMs)
+
+  /** Test doorway: build an adaptively-sized bloom over `n` distinct
+    * longs, probe `probes` absent keys — (shipped words, measured fp). */
+  def bloomFpForTest(n: Int, probes: Int): (Int, Double) = {
+    val bits = new Array[Long](BloomWords)
+    var i = 0
+    while (i < n) { bloomSet(bits, bloomMixLong(i.toLong)); i += 1 }
+    val sized = bloomSized(bits, n.toLong)
+    var fp = 0
+    var j = 0
+    while (j < probes) {
+      if (bloomMightContain(sized, bloomMixLong((n + j).toLong))) fp += 1
+      j += 1
+    }
+    (sized.length, fp.toDouble / probes)
+  }
+
+  /** LINEAR-COUNTING distinct estimator (one 2 KiB bitmap per tracked
+    * column): hash each non-null value into 2^14 buckets; the estimate
+    * m*ln(m/empty) is tight through ~m/2 distincts and degrades toward
+    * the row-count upper bound as the bitmap saturates — always an
+    * ESTIMATE for CBO, never a correctness proof. */
+  final val NdvBits = 1 << 14
+  final class NdvSketch {
+    val words = new Array[Long](NdvBits / 64)
+    def add(h: Long): Unit = {
+      val b = (h & (NdvBits - 1)).toInt
+      words(b >> 6) |= 1L << (b & 63)
+    }
+    def estimate(rows: Long): Long = {
+      var set = 0
+      var i = 0
+      while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+      val empty = NdvBits - set
+      if (empty == 0) rows
+      else math.min(rows,
+        math.max(set.toLong, math.round(NdvBits * math.log(NdvBits.toDouble / empty))))
+    }
   }
 
   /** Publish version `expectedLatest + 1`: the manifest file is created
@@ -1392,42 +1614,172 @@ object GraftTableCatalog {
     * published (a writer crashed between reserve and fill; `latest`
     * still points below it) is reclaimed instead of bricking the table
     * with FileAlreadyExistsException forever. */
-  private def manifestBody(op: String, files: Seq[Entry],
+  private[sources] def entryLine(e: Entry): String = {
+    val st = e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
+    val nf = e.nullFree match {
+      case Some(s) if s.isEmpty => "-"
+      case Some(s) => s.toSeq.sorted.mkString(";")
+      case None => "-" // writers always know; None only ever parses in
+    }
+    // a LEGACY entry (no recorded ids/types) must round-trip as legacy:
+    // fabricating positional ids here would satisfy the
+    // compact-before-RENAME/DROP guard while the '?' types still fall
+    // back to the current-schema prefix — after a DROP that prefix
+    // misaligns the codec and silently decodes garbage
+    val ids = e.fieldIds.mkString(",")
+    val types = if (e.typeCodes.nonEmpty) e.typeCodes else "?" * e.cols
+    val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
+    val dels = if (e.deletes.isEmpty) "-"
+      else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
+    val sm = if (e.sums.isEmpty) "-"
+      else e.sums.toSeq.sortBy(_._1)
+        .map { case (c, v) => s"$c:$v" }.mkString(";")
+    // trailing tab-terminated spare field keeps the format extensible:
+    // a parser sees >= 15 fields whenever sums are meaningful
+    val bl = if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(";")
+    val nv = if (e.ndv.isEmpty) "-"
+      else e.ndv.toSeq.sortBy(_._1)
+        .map { case (c, v) => s"$c:$v" }.mkString(";")
+    s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}\t$sm\t$bl\t$nv\t-"
+  }
+
+  /** The partition-range summary planning prunes on (grammar on
+    * [[SegRef]]). Computable only when every entry shares ONE spec
+    * generation and a full-length tuple; `-` otherwise (never wrong,
+    * just unprunable). Works on the ENCODED slot values, so identity
+    * longs, bucket ordinals and day ordinals all summarize as one
+    * integer range; the PT kind re-interprets the range at prune time
+    * exactly as [[fileFacts]] does per file. */
+  private[sources] def segSummary(entries: Seq[Entry]): String = {
+    if (entries.isEmpty) return "-"
+    val sids = entries.map(_.specId).distinct
+    if (sids.length != 1) return "-"
+    val n = entries.head.partition.length
+    if (n == 0 || entries.exists(_.partition.length != n)) return "-"
+    val slots = (0 until n).map { i =>
+      val vs = entries.map(_.partition(i))
+      val nulls = vs.count(_ == "n")
+      if (nulls == vs.length) "N"
+      else {
+        val nn = vs.filter(_ != "n")
+        val bang = if (nulls > 0) "!" else ""
+        if (nn.forall(_.startsWith("l"))) {
+          val xs = nn.map(_.tail.toLong)
+          s"l${xs.min}:${xs.max}$bang"
+        } else if (nn.forall(_.startsWith("s")) && nn.distinct.length == 1) {
+          nn.head + bang
+        } else "*"
+      }
+    }
+    s"p${sids.head}|${slots.mkString("|")}"
+  }
+
+  /** "Might any file in this segment match every filter?" — false only
+    * when the summary DISPROVES some filter for the whole segment, i.e.
+    * every member file is provably non-matching. Synthesizes the same
+    * [[FileFacts]] shape [[fileFacts]] builds per file, but with the
+    * slot's value RANGE (a strict weakening of every member's facts, so
+    * a segment-level disproof is a per-file disproof). */
+  private[sources] def segMayMatch(summary: String, filters: Array[Filter],
+      schema: StructType, mp: ColMapping, specs: Seq[Seq[PT]]): Boolean = {
+    if (filters.isEmpty || !summary.startsWith("p")) return true
+    val parts = summary.split("\\|", -1)
+    val sid = parts(0).tail.toInt
+    if (sid < 0 || sid >= specs.length) return true
+    val spec = specs(sid)
+    if (spec.length != parts.length - 1) return true
+    var rng = Map.empty[String, (Long, Long)]
+    var nullFree = Set.empty[String]
+    var allNull = Set.empty[String]
+    var strVal = Map.empty[String, String]
+    var bucket = Map.empty[String, (Int, Int)]
+    spec.zipWithIndex.foreach { case (pt, i) =>
+      val slot = parts(i + 1)
+      val idx = mp.ids.indexOf(pt.id)
+      if (idx >= 0 && slot != "*") {
+        val c = schema.fields(idx).name
+        if (slot == "N") allNull += c
+        else {
+          val hasNull = slot.endsWith("!")
+          val core = if (hasNull) slot.dropRight(1) else slot
+          if (core.startsWith("l")) {
+            val b = core.tail.split(":")
+            val (lo, hi) = (b(0).toLong, b(1).toLong)
+            pt.kind match {
+              case "identity" => rng += c -> (lo, hi)
+              case "days" => rng += c -> (lo * DayMs, hi * DayMs + DayMs - 1)
+              case "bucket" => if (lo == hi) bucket += c -> (lo.toInt, pt.arg)
+              case _ => ()
+            }
+            if (!hasNull) nullFree += c
+          } else if (core.startsWith("s") && pt.kind == "identity") {
+            strVal += c -> URLDecoder.decode(core.tail, "UTF-8")
+            if (!hasNull) nullFree += c
+          }
+        }
+      }
+    }
+    val facts = FileFacts(rng, nullFree, allNull, strVal, bucket)
+    filters.forall(mayMatch(_, facts))
+  }
+
+  /** Write one immutable segment file; unique name, whole-file write. */
+  private[sources] def writeSegment(dir: File, entries: Seq[Entry]): Segment = {
+    val name = s"sg-${java.util.UUID.randomUUID.toString.take(12)}.seg"
+    Files.write(new File(dir, name).toPath,
+      entries.map(entryLine).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Segment(SegRef(name, entries.length.toLong, entries.map(_.rows).sum,
+      entries.map(_.bytes).sum, segSummary(entries)), entries)
+  }
+
+  /** Segment count ceiling: beyond it a commit folds the smallest half
+    * into its new segment (array-doubling amortization — a full fold
+    * costs O(folded entries) once per ~MaxSegments/2 commits, keeping
+    * the steady-state commit O(delta), never O(files)). */
+  val MaxSegments = 64
+
+  /** INCREMENTAL COMMIT planning — the Iceberg manifest-list reuse rule:
+    * a previous segment whose entries ALL survive byte-identical in the
+    * new file list is reused BY REFERENCE (zero bytes rewritten); every
+    * other entry (appends, rewrites, delete-touched files) lands in ONE
+    * new segment. A pure append therefore writes only its own entries +
+    * the list; a row-level op rewrites only the segments it touched. */
+  private def planSegments(dir: File, prevSegs: Seq[Segment],
+      files: Seq[Entry]): Seq[Segment] = {
+    val byName = files.iterator.map(e => e.name -> e).toMap
+    var covered = Set.empty[String]
+    var reused = prevSegs.filter { sg =>
+      val ok = sg.entries.nonEmpty &&
+        sg.entries.forall(e => byName.get(e.name).contains(e)) &&
+        !sg.entries.exists(e => covered(e.name))
+      if (ok) covered ++= sg.entries.iterator.map(_.name)
+      ok
+    }
+    var rest = files.filterNot(e => covered(e.name))
+    if (reused.length >= MaxSegments) {
+      val smallestFirst = reused.sortBy(_.entries.length)
+      val fold = smallestFirst.take(reused.length - MaxSegments / 2).toSet
+      rest = rest ++ reused.filter(fold).flatMap(_.entries)
+      reused = reused.filterNot(fold)
+    }
+    if (rest.isEmpty) reused else reused :+ writeSegment(dir, rest)
+  }
+
+  private def manifestBody(op: String, segs: Seq[Segment],
       epochs: Set[String], eqDeletes: Seq[EqDelete]): String =
     (Seq(s"O\t$op",
-      s"T\t${System.currentTimeMillis}") ++ (files.map { e =>
-      val st = e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
-      val nf = e.nullFree match {
-        case Some(s) if s.isEmpty => "-"
-        case Some(s) => s.toSeq.sorted.mkString(";")
-        case None => "-" // writers always know; None only ever parses in
-      }
-      // a LEGACY entry (no recorded ids/types) must round-trip as legacy:
-      // fabricating positional ids here would satisfy the
-      // compact-before-RENAME/DROP guard while the '?' types still fall
-      // back to the current-schema prefix — after a DROP that prefix
-      // misaligns the codec and silently decodes garbage
-      val ids = e.fieldIds.mkString(",")
-      val types = if (e.typeCodes.nonEmpty) e.typeCodes else "?" * e.cols
-      val part = if (e.partition.isEmpty) "-" else e.partition.mkString(";")
-      val dels = if (e.deletes.isEmpty) "-"
-        else e.deletes.map(d => s"${d.name}:${d.rows}").mkString(";")
-      val sm = if (e.sums.isEmpty) "-"
-        else e.sums.toSeq.sortBy(_._1)
-          .map { case (c, v) => s"$c:$v" }.mkString(";")
-      // trailing tab-terminated spare field keeps the format extensible:
-      // a parser sees >= 15 fields whenever sums are meaningful
-      val bl = if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(";")
-      s"F\t${e.name}\t${e.rows}\t${e.bytes}\t${e.cols}\t$st\t$nf\t$ids\t$types\t$part\t$dels\t${e.seq}\t${e.specId}\t$sm\t$bl\t-"
-    } ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
-      ++ epochs.toSeq.sorted.map(e => s"E\t$e"))).mkString("\n")
+      s"T\t${System.currentTimeMillis}")
+      ++ segs.map(sg => s"M\t${sg.ref.name}\t${sg.ref.count}" +
+        s"\t${sg.ref.rows}\t${sg.ref.bytes}\t${sg.ref.summary}")
+      ++ eqDeletes.map(q => s"Q\t${q.name}\t${q.rows}\t${q.seq}")
+      ++ epochs.toSeq.sorted.map(e => s"E\t$e")).mkString("\n")
 
   def commitVersion(dir: File, expectedLatest: Long, op: String,
       files: Seq[Entry], epochs: Set[String] = Set.empty,
-      eqDeletes: Seq[EqDelete] = Seq.empty): Long = {
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      prev: Option[Manifest] = None): Long = {
     val next = expectedLatest + 1
-    val body = manifestBody(op, files, epochs, eqDeletes)
     // Reserve the version with an exclusive create — POSIX rename REPLACES
     // silently, so rename alone cannot lose a race loudly. Exactly one
     // racer owns the reservation; filling it by atomic rename is then
@@ -1450,6 +1802,19 @@ object GraftTableCatalog {
           Files.createFile(target.toPath) // a genuine racer still loses here
         } else throw e
     }
+    // Segments are planned and written ONLY after the reservation is won
+    // (a lost race writes zero segment bytes); `prev` — the manifest the
+    // caller derived `files` from — supplies the reuse candidates
+    // without a second O(files) parse. A pure append reuses every prior
+    // segment by reference and writes one segment of just its delta.
+    val prevSegs = prev.map(_.segs).getOrElse {
+      val pf = new File(dir, s"v$expectedLatest.manifest")
+      if (expectedLatest > 0 && pf.exists())
+        parseManifest(pf, expectedLatest).segs
+      else Seq.empty
+    }
+    val body =
+      manifestBody(op, planSegments(dir, prevSegs, files), epochs, eqDeletes)
     val tmp = new File(dir, s".manifest.tmp.${java.util.UUID.randomUUID}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, target.toPath,
@@ -2069,46 +2434,65 @@ object GraftTableCatalog {
       * (the plain layouts plus a seq per key — `cmpStr` and the binary
       * searches read both shapes). */
     def writeMerged(file: File, entries: Iterator[(Any, Long)],
-        isStr: Boolean): Long = {
+        isStr: Boolean): Long =
+      writeMerged(file, entries, isStr, Int.MaxValue.toLong)
+
+    /** STREAMING write — O(1) memory regardless of key count: records
+      * stream straight to the run file while the trailing section (LONG
+      * seqs / STRING offset table) spills to a sidecar temp file that is
+      * appended afterwards; the two header longs back-patch last. The
+      * only remaining bound is the mapped-read format itself (one
+      * MappedByteBuffer address range): crossing `cap` (2 GiB, test-
+      * overridable) still fails LOUDLY before writing past it. */
+    def writeMerged(file: File, entries: Iterator[(Any, Long)],
+        isStr: Boolean, cap: Long): Long = {
+      val tmp = new File(file.getParentFile, file.getName + ".tail")
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
         new FileOutputStream(file)))
+      val tail = new DataOutputStream(new java.io.BufferedOutputStream(
+        new FileOutputStream(tmp)))
+      var n = 0L
+      var closed = false
+      def capCheck(total: Long): Unit = require(total <= cap,
+        "merged equality-delete run would exceed 2 GiB — expire old " +
+          "versions and compact before re-merging")
       try {
         if (isStr) {
-          val es = entries.map { case (k, s) =>
-            (k.asInstanceOf[String].getBytes(StandardCharsets.UTF_8), s)
-          }.toArray
-          out.writeLong(es.length.toLong)
-          var pos = 16L
-          es.foreach { case (b, _) => pos += 4 + b.length + 8 }
-          require(pos + 8L * es.length <= Int.MaxValue.toLong,
-            "merged equality-delete run would exceed 2 GiB — expire old " +
-              "versions and compact before re-merging")
-          out.writeLong(pos)
-          val offs = new Array[Long](es.length)
+          out.writeLong(0L); out.writeLong(0L) // n, offPos: patched below
           var at = 16L
-          var i = 0
-          while (i < es.length) {
-            offs(i) = at
-            out.writeInt(es(i)._1.length); out.write(es(i)._1)
-            out.writeLong(es(i)._2)
-            at += 4 + es(i)._1.length + 8
-            i += 1
+          entries.foreach { case (k, sq) =>
+            val b = k.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+            tail.writeLong(at)
+            out.writeInt(b.length); out.write(b); out.writeLong(sq)
+            at += 4 + b.length + 8
+            n += 1
+            capCheck(at + 8L * n)
           }
-          offs.foreach(out.writeLong)
-          es.length.toLong
+          tail.close()
+          Files.copy(tmp.toPath, out) // the offset table
+          out.close(); closed = true
+          val raf = new java.io.RandomAccessFile(file, "rw")
+          try { raf.writeLong(n); raf.writeLong(at) } finally raf.close()
         } else {
-          val es = entries.map { case (k, s) =>
-            (k.asInstanceOf[java.lang.Long].longValue, s)
-          }.toArray
-          require(8L + 16L * es.length <= Int.MaxValue.toLong,
-            "merged equality-delete run would exceed 2 GiB — expire old " +
-              "versions and compact before re-merging")
-          out.writeLong(es.length.toLong)
-          es.foreach(e => out.writeLong(e._1))
-          es.foreach(e => out.writeLong(e._2))
-          es.length.toLong
+          out.writeLong(0L) // n: patched below
+          entries.foreach { case (k, sq) =>
+            out.writeLong(k.asInstanceOf[java.lang.Long].longValue)
+            tail.writeLong(sq)
+            n += 1
+            capCheck(8L + 16L * n)
+          }
+          tail.close()
+          Files.copy(tmp.toPath, out) // the seq column
+          out.close(); closed = true
+          val raf = new java.io.RandomAccessFile(file, "rw")
+          try raf.writeLong(n) finally raf.close()
         }
-      } finally out.close()
+        n
+      } finally {
+        if (!closed) { try out.close() catch { case _: Throwable => () } }
+        try tail.close() catch { case _: Throwable => () }
+        tmp.delete()
+      }
     }
 
     /** Write one task's DISTINCT keys as a sorted run. Capped at 2 GiB
@@ -2248,10 +2632,10 @@ object GraftTableCatalog {
     * schema index, the manifest's equality deletes). None when the table
     * has no upsert key or no outstanding key files. */
   private[sources] def upsertCtx(dir: File, schema: StructType,
-      m: Manifest): Option[(Int, Seq[EqDelete])] =
+      eqDeletes: Seq[EqDelete]): Option[(Int, Seq[EqDelete])] =
     readProps(dir).get(UpsertKeyProp) match {
-      case Some(k) if m.eqDeletes.nonEmpty && schema.fieldNames.contains(k) =>
-        Some((schema.fieldIndex(k), m.eqDeletes))
+      case Some(k) if eqDeletes.nonEmpty && schema.fieldNames.contains(k) =>
+        Some((schema.fieldIndex(k), eqDeletes))
       case _ => None
     }
 
@@ -2292,6 +2676,10 @@ object GraftTableCatalog {
     val sums = collection.mutable.Map[String, Long]()
     val sumBad = collection.mutable.Set[String]()
     val hasNull = new Array[Boolean](types.length)
+    val ndvs = types.map {
+      case LongType | StringType => new NdvSketch
+      case _ => null
+    }
     // maintenance rewrites (compaction, boundary deletes) REBUILD the
     // bloom sidecars the original files carried, so point-lookup
     // pruning survives table maintenance
@@ -2332,6 +2720,13 @@ object GraftTableCatalog {
             if (((s0 ^ s1) & (v ^ s1)) < 0) { sumBad += key; sums -= key }
             else sums(key) = s1
           }
+          ndvs(i).add(bloomMixLong(v))
+        } else if (types(i) == StringType) {
+          val b = full(i) match {
+            case u: UTF8String => u.getBytes
+            case st => st.toString.getBytes(StandardCharsets.UTF_8)
+          }
+          ndvs(i).add(bloomMixBytes(b, b.length))
         }
         i += 1
       }
@@ -2343,12 +2738,16 @@ object GraftTableCatalog {
     if (bloomPos.nonEmpty && n > 0)
       writeBloomSidecar(new File(new File(dir, "data"), name + ".bloom"),
         bloomPos.toSeq.zipWithIndex.map { case (pos, bi) =>
-          (mp.ids(pos), blooms(bi))
+          (mp.ids(pos), bloomSized(blooms(bi), n))
         })
+    val ndvMap = types.indices.collect {
+      case i if ndvs(i) != null && n > 0 =>
+        s"#${mp.ids(i)}" -> ndvs(i).estimate(n) // nulls never hash in
+    }.toMap
     Entry(name, n, f.length(), types.length, stats.toMap, Some(nullFree),
       mp.ids, schema.fields.map(fd => Codec.typeCode(fd.dataType)).mkString,
       partition, Seq.empty, seq, specId, sums.toMap,
-      if (n > 0) bloomPos.toSeq.map(mp.ids(_)) else Seq.empty)
+      if (n > 0) bloomPos.toSeq.map(mp.ids(_)) else Seq.empty, ndvMap)
   }
 
   /** Decode one whole file (skipping already-deleted positions), each
@@ -2567,15 +2966,30 @@ private class CatalogTable(dir: File, tableName: String,
       () => new CatalogRowLevelOperation(dir, schema(), info.command(), branch)
   }
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION backs `MERGE INTO ... WITH SCHEMA
+    // EVOLUTION`: the analyzer turns a wider merge source into
+    // alterTable AddColumn changes (nullable, appended — exactly the
+    // evolution this catalog supports) in the same transaction
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private def liveManifest(): Manifest =
     if (branch.isDefined) headManifest(dir, branch)
     else {
       val v = pinned.getOrElse(readLatest(dir))
       if (v == 0) Manifest(0, "none", Seq.empty) else readManifest(dir, v)
+    }
+
+  /** The lazy planning twin of [[liveManifest]] — segment entries load
+    * only after partition-summary pruning (scan path). */
+  private def livePlan(): PlanManifest =
+    if (branch.isDefined) planHead(dir, branch)
+    else {
+      val v = pinned.getOrElse(readLatest(dir))
+      if (v == 0) emptyPlan(dir)
+      else parsePlan(dir, new File(dir, s"v$v.manifest"), v)
     }
 
   // ---- SupportsPartitionManagement: the plain-SQL DDL surface over the
@@ -2676,7 +3090,8 @@ private class CatalogTable(dir: File, tableName: String,
         val appended = cur.files.filterNot(e => baseNames.contains(e.name))
         commitHead(dir, branch, expected, "drop_partition",
           kept ++ appended, cur.epochs,
-          if (kept.isEmpty && appended.isEmpty) Seq.empty else m.eqDeletes)
+          if (kept.isEmpty && appended.isEmpty) Seq.empty else m.eqDeletes,
+          prev = Some(cur))
       }
       lastDeleteDropped.set(hit.length.toLong)
       lastDeleteRewritten.set(0L)
@@ -2724,7 +3139,7 @@ private class CatalogTable(dir: File, tableName: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, schema(), liveManifest(),
+    new CatalogScanBuilder(dir, schema(), livePlan(),
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
       streamBranch = branch)
 
@@ -2800,15 +3215,20 @@ private class CatalogTable(dir: File, tableName: String,
     val m = liveManifest()
     val latest = headVersion(dir, branch)
     val mor = readProps(dir).get(DeleteModeProp).contains("merge-on-read")
-    val eqCtx = upsertCtx(dir, s, m)
+    val eqCtx = upsertCtx(dir, s, m.eqDeletes)
     var dropped = 0L; var rewritten = 0L; var kept = 0L; var morFiles = 0L
+    var bloomKept = 0L
     val remaining = m.files.flatMap { e =>
       val facts = fileFacts(e, s, mp, specOf(e))
       val every = filters.nonEmpty && filters.forall(allMatch(_, facts))
       val any = filters.forall(mayMatch(_, facts))
       if (every) { dropped += 1; None } // metadata-only drop
       else if (!any) { kept += 1; Some(e) } // provably untouched
-      else {
+      else if (!bloomMayMatch(dir, s, mp, e, filters)) {
+        // a point-predicate DELETE whose sidecar proves absence: the
+        // boundary file is untouched WITHOUT decoding a row
+        kept += 1; bloomKept += 1; Some(e)
+      } else {
         // boundary file: decode live rows (field-id aligned, existing
         // deletes applied) and split by the predicate
         val live = readAligned(dir, e, s, mp, eqCtx)
@@ -2847,9 +3267,10 @@ private class CatalogTable(dir: File, tableName: String,
       commitHead(dir, branch, expected, "delete", remaining ++ appended,
         cur.epochs,
         if (remaining.isEmpty && appended.isEmpty) Seq.empty
-        else m.eqDeletes)
+        else m.eqDeletes, prev = Some(cur))
     }
     lastDeleteDropped.set(dropped)
+    lastDeleteBloomKept.set(bloomKept)
     lastDeleteRewritten.set(rewritten)
     lastDeleteKept.set(kept)
     lastDeleteMorFiles.set(morFiles)
@@ -2857,7 +3278,7 @@ private class CatalogTable(dir: File, tableName: String,
 }
 
 private class CatalogScanBuilder(dir: File, schema: StructType,
-    manifest: GraftTableCatalog.Manifest, startingVersion: Long = 0L,
+    manifest: GraftTableCatalog.PlanManifest, startingVersion: Long = 0L,
     streamBranch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -2905,10 +3326,14 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     if (manifest.eqDeletes.nonEmpty) return None
     val mp = readMapping(dir, schema)
     val specs = readSpecs(dir)
-    val allFacts: Seq[(Entry, FileFacts)] = manifest.files.map(e =>
-      (e, fileFacts(e, schema, mp,
-        if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
-        else Seq.empty)))
+    // segment-level pruning first: a summary-disproven segment is a
+    // proof that EVERY file in it is wholly non-matching, so dropping
+    // it whole preserves the classification below
+    val allFacts: Seq[(Entry, FileFacts)] =
+      manifest.pruned(skipFilters, schema, mp, specs).map(e =>
+        (e, fileFacts(e, schema, mp,
+          if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+          else Seq.empty)))
     // PARTITION-PREDICATE-TOLERANT: classify every live file against the
     // pushed filters — wholly matching files contribute, wholly
     // non-matching files drop, a PARTIAL file (may contain matching rows
@@ -3061,8 +3486,8 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
       val cur = specs.length - 1
       val groupCols = agg.groupByExpressions().toSeq.map(colOf)
       if (groupCols.exists(_.isEmpty)) return None
-      if (!manifest.files.forall(e =>
-        e.specId == cur && e.partition.length == spec.length)) return None
+      if (!allFacts.forall { case (e, _) =>
+        e.specId == cur && e.partition.length == spec.length }) return None
       val slotOf: Seq[Int] = groupCols.flatten.map { c =>
         val id = mp.ids(schema.fieldIndex(c))
         spec.indexWhere(p => p.kind == "identity" && p.id == id)
@@ -3112,9 +3537,14 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
     skipFilters = filters
     val mp = readMapping(dir, schema)
     val specs = readSpecs(dir)
-    val facts = manifest.files.map(e => fileFacts(e, schema, mp,
-      if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
-      else Seq.empty))
+    // absorption proof over the SURVIVING segments only: a pruned
+    // segment's files are provably non-matching (never scanned), so
+    // absorbing a filter needs all-match/no-match proof only where a
+    // row could actually be produced
+    val facts = manifest.pruned(filters, schema, mp, specs)
+      .map(e => fileFacts(e, schema, mp,
+        if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
+        else Seq.empty))
     val (abs, residual) = filters.partition(f =>
       facts.forall(ft => allMatch(f, ft) || !mayMatch(f, ft)))
     absorbed = abs
@@ -3137,14 +3567,15 @@ private class CatalogScanBuilder(dir: File, schema: StructType,
       def specOf(e: Entry): Seq[PT] =
         if (e.specId >= 0 && e.specId < specs.length) specs(e.specId)
         else Seq.empty
-      val live = manifest.files.filter { e =>
-        val facts = fileFacts(e, schema, mp, specOf(e))
-        skipFilters.forall(mayMatch(_, facts)) &&
-          bloomMayMatch(dir, schema, mp, e, skipFilters)
-      }
+      val live = manifest.pruned(skipFilters, schema, mp, specs)
+        .filter { e =>
+          val facts = fileFacts(e, schema, mp, specOf(e))
+          skipFilters.forall(mayMatch(_, facts)) &&
+            bloomMayMatch(dir, schema, mp, e, skipFilters)
+        }
       new CatalogScan(dir, schema, mp, specs, required, live,
         manifest.version, startingVersion,
-        upsertCtx(dir, schema, manifest), streamBranch)
+        upsertCtx(dir, schema, manifest.eqDeletes), streamBranch)
   }
 }
 
@@ -3309,38 +3740,91 @@ private class CatalogScan(dir: File, tableSchema: StructType,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (!colStatsEnabled) return out
       val totalRows = files.map(_.liveRows).sum
+      val totalBytes = files.map(_.bytes).sum
+      def put(name: String, loOpt: Option[Long], hiOpt: Option[Long],
+          nullFree: Boolean, dvOpt: Long, len: Long): Unit =
+        out.put(Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              loOpt.map(v => java.util.Optional.of(
+                java.lang.Long.valueOf(v): Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              hiOpt.map(v => java.util.Optional.of(
+                java.lang.Long.valueOf(v): Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def nullCount(): java.util.OptionalLong =
+              if (nullFree) java.util.OptionalLong.of(0L)
+              else java.util.OptionalLong.empty()
+            override def distinctCount(): java.util.OptionalLong =
+              if (dvOpt > 0) java.util.OptionalLong.of(dvOpt)
+              else java.util.OptionalLong.empty()
+            override def avgLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(len)
+            override def maxLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(len)
+          })
       required.fields.foreach { f =>
-        if (f.dataType == LongType && tableSchema.fieldNames.contains(f.name)) {
+        if (tableSchema.fieldNames.contains(f.name)) {
           val id = mp.ids(tableSchema.fieldIndex(f.name))
           val key = s"#$id"
-          // EXACT per-file stats only (never the day-synthesized ranges)
-          val bounds = files.flatMap(e => e.stats.get(key)
-            .orElse(if (!mp.evolved) e.stats.get(f.name) else None))
-          if (bounds.nonEmpty) {
-            val lo = bounds.map(_._1).min
-            val hi = bounds.map(_._2).max
-            val allNullFree = files.forall(e => e.nullFree.exists(s =>
-              s.contains(key) || (!mp.evolved && s.contains(f.name))))
-            // estimate, not a proof: distinct values can't exceed the
-            // closed range's width or the live row count
-            val dv = (BigInt(hi) - BigInt(lo) + 1).min(BigInt(totalRows))
-              .max(BigInt(1)).toLong
-            out.put(Expressions.column(f.name),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def min(): java.util.Optional[Object] =
-                  java.util.Optional.of(java.lang.Long.valueOf(lo))
-                override def max(): java.util.Optional[Object] =
-                  java.util.Optional.of(java.lang.Long.valueOf(hi))
-                override def nullCount(): java.util.OptionalLong =
-                  if (allNullFree) java.util.OptionalLong.of(0L)
-                  else java.util.OptionalLong.empty()
-                override def distinctCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(dv)
-                override def avgLen(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(8L)
-                override def maxLen(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(8L)
-              })
+          def statOf(e: Entry): Option[(Long, Long)] = e.stats.get(key)
+            .orElse(if (!mp.evolved) e.stats.get(f.name) else None)
+          val allNullFree = files.forall(e => e.nullFree.exists(s =>
+            s.contains(key) || (!mp.evolved && s.contains(f.name))))
+          // ndv: estimated (sum of per-file linear-counting sketches,
+          // capped at live rows); declined when any live file with rows
+          // lacks a sketch for the column — an honest "unknown" beats a
+          // confident undercount
+          val dvOpt =
+            if (totalRows > 0 && files.forall(e => e.rows == 0 ||
+                e.ndv.contains(key) || !e.idsOrLegacy.contains(id)))
+              math.min(files.flatMap(_.ndv.get(key)).sum,
+                math.max(totalRows, 1L))
+            else -1L
+          if (f.dataType == LongType) {
+            // HONEST bounds — the extremum discipline on the estimate
+            // surface: min/max report only when EVERY live file either
+            // carries exact stats for the column or is provably
+            // value-free (all-null in-file, or it predates the column
+            // and reads null-padded); an evolved table never reports
+            // bounds narrower than its data
+            // same tri-state as the MIN/MAX pushdown's extremum proof: a
+            // file bounds the column (exact stats), is provably
+            // value-free (predates the column, reads null-padded), or
+            // DECLINES the whole estimate — stats-less entries prove
+            // nothing, so an evolved/legacy table never reports bounds
+            // narrower than its data
+            val per: Seq[Option[Option[(Long, Long)]]] = files.map { e =>
+              if (!e.idsOrLegacy.contains(id)) Some(None) // null-padded
+              else statOf(e).map(r => Some(r))
+            }
+            val (loOpt, hiOpt) =
+              if (per.exists(_.isEmpty)) (None, None)
+              else {
+                val bs = per.flatten.flatten
+                if (bs.isEmpty) (None, None)
+                else (Some(bs.map(_._1).min), Some(bs.map(_._2).max))
+              }
+            val dv =
+              if (dvOpt > 0) dvOpt
+              else (loOpt, hiOpt) match {
+                case (Some(lo), Some(hi)) =>
+                  (BigInt(hi) - BigInt(lo) + 1)
+                    .min(BigInt(math.max(totalRows, 1L))).max(BigInt(1))
+                    .toLong
+                case _ => -1L
+              }
+            if (loOpt.isDefined || allNullFree || dv > 0)
+              put(f.name, loOpt, hiOpt, allNullFree, dv, 8L)
+          } else if (f.dataType == StringType) {
+            // strings: estimated ndv (when every live file carries a
+            // sketch), proven nullCount=0, and a row-width avgLen upper
+            // bound (manifest bytes / rows — honest, not per-column)
+            val len = if (totalRows > 0)
+              math.max(1L, totalBytes / math.max(totalRows, 1L)) else 1L
+            if (dvOpt > 0 || allNullFree)
+              put(f.name, None, None, allNullFree, dvOpt, len)
           }
         }
       }
@@ -3839,7 +4323,7 @@ private[graft] class CatalogStreamingWrite(dir: File, schema: StructType,
             .map { case (n, r) => EqDelete(n, r, newSeq) }
           else m.eqDeletes
         commitHead(dir, branch, latest, "stream-epoch", m.files ++ kept,
-          m.epochs + epochTok, eq)
+          m.epochs + epochTok, eq, prev = Some(m))
         val dropKeys = if (upsert) taskKeys.filter(_._2 == 0).map(_._1)
           else taskKeys.map(_._1)
         empty.map(_.name) ++ dropKeys // zero-row leftovers
@@ -3944,7 +4428,7 @@ private class CatalogBatchWrite(dir: File, schema: StructType,
         if (truncate) "overwrite"
         else if (upsert && base.nonEmpty) "upsert"
         else "append",
-        base ++ added, epochs, eq)
+        base ++ added, epochs, eq, prev = Some(m))
       all.filter(_.rows == 0).map(_.name) ++ dropKeys
     }
     dropped.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
@@ -4033,6 +4517,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         private val sumBad = new Array[Boolean](types.length)
         val blooms: Array[Array[Long]] =
           Array.fill(bloomPos.length)(new Array[Long](BloomWords))
+        // per-column distinct sketches (LONG + STRING), 2 KiB each —
+        // one mix + one OR per non-null value on the hot path
+        val ndvs: Array[NdvSketch] = Array.tabulate(types.length)(i =>
+          if (tcodes(i) == 0 || tcodes(i) == 2) new NdvSketch else null)
 
         private def flushBuf(): Unit =
           if (pos > 0) { ch.write(buf, 0, pos); pos = 0 }
@@ -4075,6 +4563,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
                   if (((s0 ^ s1) & (v ^ s1)) < 0) sumBad(i) = true
                   else sum(i) = s1
                 }
+                ndvs(i).add(bloomMixLong(v))
               case 1 => // doubleToLongBits (not Raw): canonical NaN, the
                 // exact bytes DataOutputStream.writeDouble produced
                 putLong(java.lang.Double.doubleToLongBits(row.getDouble(i)))
@@ -4090,6 +4579,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
                 u.writeToMemory(buf,
                   org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p + 4)
                 pos = p + 4 + len
+                ndvs(i).add(bloomMixBytes(buf, len, p + 4))
             }
             i += 1
           }
@@ -4118,6 +4608,11 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
           types.indices.collect {
             case i if tcodes(i) == 0 && hasVal(i) && !sumBad(i) =>
               s"#${ids(i)}" -> sum(i)
+          }.toMap
+        def ndvMap: Map[String, Long] =
+          types.indices.collect {
+            case i if ndvs(i) != null && rows > 0 =>
+              s"#${ids(i)}" -> ndvs(i).estimate(rows)
           }.toMap
         def closeOut(): Unit =
           if (!closed) { closed = true; flushBuf(); ch.close() }
@@ -4187,12 +4682,13 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
             writeBloomSidecar(
               new File(new File(dirPath, "data"), sk.name + ".bloom"),
               bloomPos.toSeq.zipWithIndex.map { case (p, bi) =>
-                (ids(p), sk.blooms(bi))
+                (ids(p), bloomSized(sk.blooms(bi), sk.rows))
               })
           Entry(sk.name, sk.rows, sk.file.length(), types.length,
             sk.statsMap, Some(nullFree), ids.toSeq, typeCodes,
             sk.tuple, Seq.empty, 0L, specId, sk.sumsMap,
-            if (sk.rows > 0) bloomPos.toSeq.map(ids(_)) else Seq.empty)
+            if (sk.rows > 0) bloomPos.toSeq.map(ids(_)) else Seq.empty,
+            sk.ndvMap)
         }
         val eqKeys = upsert.filter(_ => !upsertKeys.isEmpty)
           .map { case (_, isStr) =>
@@ -4244,7 +4740,7 @@ private class CatalogRowLevelOperation(dir: File, tableSchema: StructType,
     Array(Expressions.column(FileMetaCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, tableSchema, headManifest(dir, branch)) {
+    new CatalogScanBuilder(dir, tableSchema, planHead(dir, branch)) {
       override def build(): Scan = super.build() match {
         case base: CatalogScan =>
           new CatalogCowScan(base, CatalogRowLevelOperation.this)
@@ -4368,7 +4864,7 @@ private class CatalogReplaceGroupsWrite(dir: File, schema: StructType,
       commitHead(dir, branch, expected,
         op.command().name().toLowerCase(java.util.Locale.ROOT),
         m.files.filterNot(e => replaced.contains(e.name)) ++ added,
-        m.epochs, m.eqDeletes)
+        m.epochs, m.eqDeletes, prev = Some(m))
       all.filter(_.rows == 0).map(_.name)
     }
     (dropped ++ dropKeys).foreach(n =>
@@ -4414,7 +4910,7 @@ private class CatalogDeltaOperation(dir: File, tableSchema: StructType,
     * (file skipping applies), reads only candidate rows, and addresses
     * them by row id — no whole-group reads, no `_file IN` handshake. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(dir, tableSchema, headManifest(dir, branch))
+    new CatalogScanBuilder(dir, tableSchema, planHead(dir, branch))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -4484,7 +4980,7 @@ private class CatalogDeltaBatchWrite(dir: File, schema: StructType,
       } ++ added
       commitHead(dir, branch, expected,
         cmd.name().toLowerCase(java.util.Locale.ROOT),
-        files, m.epochs, m.eqDeletes)
+        files, m.epochs, m.eqDeletes, prev = Some(m))
       parts.flatMap(_.entries).filter(_.rows == 0).map(_.name)
     }
     dropped.foreach(n => deleteDataAndSidecar(new File(dir, "data"), n))
@@ -4589,6 +5085,78 @@ private object SnapshotsReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(
           Array[Any](v, UTF8String.fromString(op), nf, nr))
       }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** `graft_cat.db.<t>.files` — the PER-FILE operational view of the head
+  * manifest (the Iceberg files metadata table): one row per live data
+  * file with its partition tuple, spec generation, raw/live row counts,
+  * position-delete accounting, bloom-indexed columns and rendered
+  * per-column min/max — the standard debugging surface ("which file
+  * holds the skew", "did the delete land as MOR", "is this file
+  * bloom-indexed") served from kilobytes of metadata. */
+private class FilesTable(dir: File, table: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = s"$table.files"
+  override def schema(): StructType = FilesTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = FilesTable.schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft_cat files $dir"
+      override def planInputPartitions(): Array[InputPartition] = {
+        val m = headManifest(dir, None)
+        val rows = m.files.map { e =>
+          val part = if (e.partition.isEmpty) "-"
+            else e.partition.mkString(";")
+          val st = e.stats.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(";")
+          val bl = if (e.bloomCols.isEmpty) "-"
+            else e.bloomCols.sorted.mkString(";")
+          Seq[Any](e.name, part, e.specId.toLong, e.rows, e.liveRows,
+            e.bytes, e.seq, e.deletes.length.toLong,
+            e.deletes.map(_.rows).sum, bl, if (st.isEmpty) "-" else st)
+        }
+        Array(FileRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        FilesReaderFactory
+    }
+}
+
+private object FilesTable {
+  val schema: StructType = new StructType()
+    .add("file", StringType, nullable = false)
+    .add("partition", StringType, nullable = false)
+    .add("spec_id", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+    .add("live_rows", LongType, nullable = false)
+    .add("bytes", LongType, nullable = false)
+    .add("seq", LongType, nullable = false)
+    .add("delete_files", LongType, nullable = false)
+    .add("deleted_rows", LongType, nullable = false)
+    .add("bloom_columns", StringType, nullable = false)
+    .add("stats", StringType, nullable = false)
+}
+
+private case class FileRows(rows: Seq[Seq[Any]]) extends InputPartition
+
+private object FilesReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rs = p.asInstanceOf[FileRows].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = new GenericInternalRow(
+        rs(i).map {
+          case st: String => UTF8String.fromString(st): Any
+          case x => x
+        }.toArray)
       override def close(): Unit = ()
     }
   }
@@ -4949,7 +5517,7 @@ private class CompactProcedure(cat: GraftTableCatalog)
         // format upgrader — RENAME/DROP require ids)
         val maxEqSeq = if (m.eqDeletes.isEmpty) 0L
           else m.eqDeletes.map(_.seq).max
-        val eqCtx = upsertCtx(dir, schema, m)
+        val eqCtx = upsertCtx(dir, schema, m.eqDeletes)
         val (cand, big) = m.files.partition(e =>
           e.bytes < target || e.deletes.nonEmpty || e.fieldIds.isEmpty ||
             e.seq < maxEqSeq)
@@ -4994,7 +5562,8 @@ private class CompactProcedure(cat: GraftTableCatalog)
         // every candidate rewrite materialized the outstanding equality
         // deletes and non-candidates are at least as new — the key files
         // drop from the manifest (expire reclaims the bytes later)
-        commitVersion(dir, latest, "compact", big ++ merged, m.epochs)
+        commitVersion(dir, latest, "compact", big ++ merged, m.epochs,
+          prev = Some(m))
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(CompactProcedure.resultSchema,
             Array[Any](m.files.length.toLong,
@@ -5076,6 +5645,7 @@ private class ExpireProcedure(cat: GraftTableCatalog)
         // manifests go LAST: a crash mid-expire leaves extra data files
         // (harmless garbage), never a manifest pointing at deleted data
         expired.foreach(v => new File(dir, s"v$v.manifest").delete())
+        gcSegments(dir) // segment files referenced only by expired lists
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(ExpireProcedure.resultSchema,
             Array[Any](expired.length.toLong, filesDeleted))).iterator()
@@ -5273,6 +5843,7 @@ private class DropBranchProcedure(cat: GraftTableCatalog)
           }
           manifests.foreach(_.delete())
           mutateBranchRefs(dir)(_ - bname)
+          gcSegments(dir) // segments referenced only by the dropped chain
         }
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(DropBranchProcedure.resultSchema,
@@ -5325,12 +5896,13 @@ private class FastForwardProcedure(cat: GraftTableCatalog)
         val mainEpochs = if (mainLatest == 0) Set.empty[String]
           else readManifest(dir, mainLatest).epochs
         val v = commitVersion(dir, mainLatest, "fast_forward", bm.files,
-          mainEpochs ++ bm.epochs, bm.eqDeletes)
+          mainEpochs ++ bm.epochs, bm.eqDeletes, prev = Some(bm))
         mutateBranchRefs(dir)(_ + (bname -> BranchRef(v, 0)))
         // the branch chain is published (its content IS main v); clear it
         // so the next branch commit starts a fresh local chain at v1
         (1L to r.head).map(k => branchManifestFile(dir, bname, k))
           .foreach(_.delete())
+        gcSegments(dir) // intermediate branch commits' folded segments
         java.util.List.of[org.apache.spark.sql.connector.read.Scan](
           ProcResult(FastForwardProcedure.resultSchema,
             Array[Any](UTF8String.fromString(bname), v))).iterator()
@@ -5460,7 +6032,8 @@ private class RewriteDeletesProcedure(cat: GraftTableCatalog)
             keys = mergeRuns(cur.eqDeletes, name)
             val maxSeq = cur.eqDeletes.map(_.seq).max
             commitVersion(dir, expected, "rewrite_deletes", cur.files,
-              cur.epochs, Seq(EqDelete(name, keys, maxSeq)))
+              cur.epochs, Seq(EqDelete(name, keys, maxSeq)),
+              prev = Some(cur))
             pending = null // committed: the manifest references it now
           }
         } catch { case t: Throwable => dropPending(); throw t }

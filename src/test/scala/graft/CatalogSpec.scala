@@ -270,6 +270,34 @@ class CatalogSpec extends SparkSpec {
       GraftTableCatalog.readLatest(dir)).op shouldBe "merge"
   }
 
+  test("MERGE INTO WITH SCHEMA EVOLUTION: a wider source auto-adds the column in the same transaction; old files null-pad") {
+    val t = freshTable("mse", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 10, 1, 1)")
+    sql("""SELECT id AS k, id * 100 AS v, concat('x', id) AS tag
+          |FROM range(5, 15)""".stripMargin)
+      .createOrReplaceTempView("mse_src")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING mse_src
+           |ON $t.k = mse_src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+    // the target grew the source's extra column...
+    sql(s"SELECT * FROM $t").schema.fieldNames.toSeq shouldBe
+      Seq("k", "v", "tag")
+    // ...merged rows carry it, untouched rows null-pad byte-identically
+    rows(s"SELECT k, v, tag FROM $t ORDER BY k") shouldBe
+      ((0L until 5L).map(k => Seq(k, k * 10, null)) ++
+        (5L until 15L).map(k => Seq(k, k * 100, s"x$k")))
+    // a second evolving merge with the SAME shape is a plain merge (no
+    // duplicate-column failure), and plain MERGE without the clause
+    // still refuses a wider source loudly
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING mse_src
+           |ON $t.k = mse_src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |""".stripMargin)
+    rows(s"SELECT count(*) FROM $t") shouldBe Seq(Seq(15L))
+  }
+
   test("streaming into a catalog table: each micro-batch is a versioned commit; a replayed epoch is a no-op even after later commits") {
     val t = freshTable("strm", "k BIGINT, v BIGINT")
     implicit val sqlCtx = spark.sqlContext
@@ -1621,6 +1649,76 @@ class CatalogSpec extends SparkSpec {
       eqDeletes = Seq(EqDelete("eq.keys", 1, 99)))) shouldBe false
   }
 
+  test("string column statistics reach the CBO: a string-equality filter flips the join to broadcast via estimated ndv; stats off keeps the shuffle") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    Seq("cbos_a", "cbos_b").foreach { t =>
+      sql(s"DROP TABLE IF EXISTS graft_cat.db.$t")
+      sql(s"CREATE TABLE graft_cat.db.$t AS " +
+        "SELECT concat('k', id) AS s, id * 7 AS v " +
+        "FROM range(0, 200000, 1, 4)")
+    }
+    def planWith(colStats: Boolean): (Long, String) = {
+      if (!colStats) System.setProperty("graft.catalog.colstats", "false")
+      try {
+        SessionConf.withValue(spark, "spark.sql.cbo.enabled", "true") {
+          SessionConf.withValue(spark, "spark.sql.adaptive.enabled", "false") {
+            SessionConf.withValue(spark,
+              "spark.sql.autoBroadcastJoinThreshold", "262144") {
+              val df = sql("SELECT count(*) AS n FROM graft_cat.db.cbos_a a " +
+                "JOIN graft_cat.db.cbos_b b ON a.s = b.s WHERE b.s = 'k17'")
+              (df.collect().head.getLong(0),
+                df.queryExecution.executedPlan.toString)
+            }
+          }
+        }
+      } finally System.clearProperty("graft.catalog.colstats")
+    }
+    // with the writer's linear-counting ndv the CBO prices `s = 'k17'`
+    // at ~1/200000 selectivity -> the filtered leg is tiny -> broadcast
+    val (nOn, planOn) = planWith(colStats = true)
+    nOn shouldBe 1L
+    planOn should include ("BroadcastHashJoin")
+    // stats withheld: the equality is unpriceable, shuffle join
+    val (nOff, planOff) = planWith(colStats = false)
+    nOff shouldBe 1L
+    planOff should not include "BroadcastHashJoin"
+    planOff should include ("SortMergeJoin")
+  }
+
+  test("honest CBO bounds: a live file without exact stats declines min/max instead of reporting bounds narrower than the data") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.hb")
+    sql("CREATE TABLE graft_cat.db.hb AS SELECT id AS k " +
+      "FROM range(0, 1000, 1, 1)")
+    val dir = new File("work/graft_cat/db/hb")
+    def attrStats = SessionConf.withValue(spark,
+        "spark.sql.cbo.enabled", "true") {
+      sql("SELECT k FROM graft_cat.db.hb").queryExecution.optimizedPlan
+        .collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.stats
+        }.get.attributeStats.values.headOption
+    }
+    // clean v2 table: exact bounds reported
+    val clean = attrStats.get
+    clean.min.map(_.toString.toLong) shouldBe Some(0L)
+    clean.max.map(_.toString.toLong) shouldBe Some(999L)
+    // inject a LEGACY entry (no stats, no null bookkeeping): the column
+    // may now hold values outside [0,999] that nothing recorded —
+    // honest bounds must DECLINE, not keep the stale narrow range
+    val m = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    GraftTableCatalog.commitVersion(dir, m.version, "append",
+      m.files :+ GraftTableCatalog.Entry("legacy-nostats.bin", 5L, 40L, 1,
+        Map.empty), m.epochs, m.eqDeletes)
+    attrStats match {
+      case Some(cs) =>
+        cs.min shouldBe None
+        cs.max shouldBe None
+      case None => () // no column stat at all is equally honest
+    }
+  }
+
   test("column statistics reach the CBO: a selective range filter flips the join to broadcast; stats off keeps the shuffle") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     Seq("cbo_a", "cbo_b").foreach { t =>
@@ -1816,6 +1914,37 @@ class CatalogSpec extends SparkSpec {
       .filterNot(referenced) shouldBe empty
   }
 
+  test("writeMerged streams: a million-key merge materializes nothing on the driver; the 2 GiB format bound still fails loudly") {
+    import GraftTableCatalog.EqKeys
+    val dirT = java.nio.file.Files.createTempDirectory("graft-eqm").toFile
+    // LONG: 1M lazily generated (key, seq) records — the iterator is
+    // never collected; headers back-patch after the stream
+    val f = new File(dirT, "m1.keyseq")
+    EqKeys.writeMerged(f, (0L until 1000000L).iterator
+      .map(i => (java.lang.Long.valueOf(i * 2): Any, i % 7)),
+      isStr = false) shouldBe 1000000L
+    val lk = EqKeys.lookup(Array(f.getPath), isStr = false, fileSeq = 2L)
+    lk.containsLong(12L) shouldBe true // i=6: seq 6 > fileSeq 2
+    lk.containsLong(4L) shouldBe false // i=2: seq 2, predates the file
+    lk.containsLong(13L) shouldBe false // absent key
+    // STRING twin through the same streamed layout
+    val fs = new File(dirT, "m2.keyseq")
+    EqKeys.writeMerged(fs,
+      Iterator[(Any, Long)](("alpha", 5L), ("beta", 1L)),
+      isStr = true) shouldBe 2L
+    val lks = EqKeys.lookup(Array(fs.getPath), isStr = true, fileSeq = 3L)
+    lks.contains("alpha") shouldBe true
+    lks.contains("beta") shouldBe false
+    lks.contains("gamma") shouldBe false
+    // the mapped-read format bound (test-scaled cap) trips loudly
+    // BEFORE writing past it, not after materializing anything
+    intercept[IllegalArgumentException] {
+      EqKeys.writeMerged(new File(dirT, "m3.keyseq"),
+        (0L until 100L).iterator.map(i => (java.lang.Long.valueOf(i): Any, 0L)),
+        isStr = false, cap = 256L)
+    }
+  }
+
   test("branch-chain OCC: a stale branch head token is a retryable race — concurrent branch writers rebase like main-chain writers") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
     sql("DROP TABLE IF EXISTS graft_cat.db.brocc")
@@ -1862,6 +1991,117 @@ class CatalogSpec extends SparkSpec {
     GraftTableCatalog.readBranchRefs(dir).count(
       _._1.startsWith("b-")) shouldBe 200
     lock.exists() shouldBe false
+  }
+
+  test("manifest segments: a partition point probe parses only matching segments; commits reuse prior segments by reference") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.segs")
+    sql("CREATE TABLE graft_cat.db.segs (g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    (0 until 8).foreach { g =>
+      sql(s"INSERT INTO graft_cat.db.segs SELECT $g, id " +
+        s"FROM range(${g * 100}, ${g * 100 + 100}, 1, 1)")
+    }
+    val dir = new File("work/graft_cat/db/segs")
+    val m = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    // eight partition-disjoint appends -> eight segments, reused by
+    // reference: the manifest LIST is O(segments), not O(files)
+    m.segs.length shouldBe 8
+    m.files.length shouldBe 8
+    val segFiles = m.segs.map(s => new File(dir, s.ref.name))
+    segFiles.foreach(_.exists() shouldBe true)
+    val mtimes = segFiles.map(f => f.getName -> f.lastModified()).toMap
+    // a point probe PLANS by reading only the matching segment (the
+    // non-pushable aggregate keeps a real scan in the plan)
+    GraftTableCatalog.segmentsRead.set(0)
+    rows("SELECT sum(v % 7) FROM graft_cat.db.segs WHERE g = 3") shouldBe
+      Seq(Seq((300L until 400L).map(_ % 7).sum))
+    GraftTableCatalog.segmentsRead.get shouldBe 1L
+    // an unfiltered scan consults all of them
+    GraftTableCatalog.segmentsRead.set(0)
+    rows("SELECT sum(v % 7) FROM graft_cat.db.segs").head.head shouldBe
+      (0L until 800L).map(_ % 7).sum
+    GraftTableCatalog.segmentsRead.get shouldBe 8L
+    // the NEXT commit writes one new segment and touches none of the
+    // previous eight (commit I/O is O(delta), not O(files))
+    sql("INSERT INTO graft_cat.db.segs SELECT 8, id " +
+      "FROM range(800, 900, 1, 1)")
+    val m2 = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    m2.segs.length shouldBe 9
+    m2.segs.take(8).map(_.ref.name) shouldBe m.segs.map(_.ref.name)
+    m.segs.foreach { sg =>
+      new File(dir, sg.ref.name).lastModified() shouldBe mtimes(sg.ref.name)
+    }
+    // a row-boundary DELETE in ONE partition rewrites only that
+    // partition's segment; the other eight ride along by reference
+    sql("DELETE FROM graft_cat.db.segs WHERE g = 3 AND v < 350")
+    val m3 = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    val before = m2.segs.map(_.ref.name).toSet
+    m3.segs.count(sg => before.contains(sg.ref.name)) shouldBe 8
+    rows("SELECT count(*) FROM graft_cat.db.segs") shouldBe Seq(Seq(850L))
+    // summaries carry the partition ranges planning pruned on
+    val bySeg = m.segs.map(_.ref.summary)
+    bySeg.zipWithIndex.foreach { case (sm, g) =>
+      sm shouldBe s"p0|l$g:$g"
+    }
+  }
+
+  test("manifest segments: expiry collects segments referenced by no retained version; live ones survive") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.seggc")
+    sql("CREATE TABLE graft_cat.db.seggc (k BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO graft_cat.db.seggc SELECT id, id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)")
+    }
+    val dir = new File("work/graft_cat/db/seggc")
+    // full compaction rewrites everything into one fresh segment
+    sql("CALL graft_cat.sys.compact('db', 'seggc', 1073741824)")
+    def segsOnDisk = dir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("sg-") && n.endsWith(".seg")).toSet
+    val allSegs = segsOnDisk
+    sql("CALL graft_cat.sys.expire_versions('db', 'seggc', 1)")
+    // age guard: expire's own sweep must NOT reclaim fresh segments
+    segsOnDisk shouldBe allSegs
+    // a zero-grace sweep (test-only) collects exactly the segments that
+    // no surviving manifest references
+    GraftTableCatalog.gcSegmentsForTest(dir, 0L)
+    val live = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir)).segs.map(_.ref.name).toSet
+    segsOnDisk shouldBe live
+    rows("SELECT count(*), sum(v) FROM graft_cat.db.seggc") shouldBe
+      Seq(Seq(400L, (0L until 400L).sum))
+  }
+
+  test("adaptive bloom sizing: fp <= 2% at 125k rows/file, small files ship small sidecars; DELETE keeps bloom-disproven boundary files unread") {
+    // sizing + measured fp straight off the writer's fold logic
+    val (words125k, fp125k) = GraftTableCatalog.bloomFpForTest(125000, 20000)
+    words125k shouldBe 32768 // 256 KiB cap holds the fp target
+    fp125k should be <= 0.02
+    val (words1k, fp1k) = GraftTableCatalog.bloomFpForTest(1000, 20000)
+    words1k should be <= 256 // ~2 KiB shipped for a 1k-row file
+    fp1k should be <= 0.02
+    val (words50k, fp50k) = GraftTableCatalog.bloomFpForTest(50000, 20000)
+    fp50k should be <= 0.02
+    words50k should be <= 16384
+    // end-to-end: a 125k-row single file + an absent-key point DELETE —
+    // the sidecar disproves the predicate, the file is kept UNREAD
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.blad")
+    sql("""CREATE TABLE graft_cat.db.blad (k BIGINT, v BIGINT)
+      |TBLPROPERTIES ('write.bloom.columns'='k')""".stripMargin)
+    sql("INSERT INTO graft_cat.db.blad SELECT id * 2, id " +
+      "FROM range(0, 125000, 1, 1)")
+    sql("DELETE FROM graft_cat.db.blad WHERE k = 124001") // odd: absent
+    GraftTableCatalog.lastDeleteBloomKept.get shouldBe 1L
+    GraftTableCatalog.lastDeleteRewritten.get shouldBe 0L
+    rows("SELECT count(*) FROM graft_cat.db.blad") shouldBe Seq(Seq(125000L))
+    // a PRESENT key still deletes through the same path
+    sql("DELETE FROM graft_cat.db.blad WHERE k = 124000")
+    rows("SELECT count(*) FROM graft_cat.db.blad") shouldBe Seq(Seq(124999L))
   }
 
   test("ref-addressable time travel: VERSION AS OF resolves tags AND branch names; dangling refs fail listing both") {
