@@ -1056,6 +1056,46 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q298: ORPHAN-FILE SWEEP — `sys.remove_orphans`, the Iceberg
+    * `remove_orphan_files` maintenance verb: crashed writers strand
+    * data files, sidecars and delete runs by design (a failed commit
+    * leaves garbage, never a dangling reference), and the sweep deletes
+    * every `data/` file no manifest — main history or branch commit —
+    * references, guarded by an age window so in-flight writes survive.
+    * The query plants a crashed writer's strands (a fake data file plus
+    * its bloom sidecar, back-dated past the window), sweeps, REQUIREs
+    * exactly those two files and their bytes reclaimed, and hash-gates
+    * that the table reads identically afterwards — the sweep touched
+    * nothing referenced, across both live data and the MOR delete files
+    * the preceding row-level DELETE attached. At 100 TB this is the
+    * storage-bill verb: years of crashed-job garbage reclaimed without
+    * listing a single table scan. Oracle: DuckDB replays the surviving
+    * rows. */
+  val q298CatalogRemoveOrphans: Q = (s, d) => {
+    val t = catTable(s, d, "ev298")
+    val stem = s"ev298_${ScaleQueries.sfTag(d)}"
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+             |TBLPROPERTIES ('update.mode'='merge-on-read')""".stripMargin)
+    s.sql(s"INSERT INTO $t ${catEventsSql(d)}")
+    // non-pushable predicate -> MOR position-delete files the sweep
+    // must recognize as referenced
+    s.sql(s"DELETE FROM $t WHERE k % 10 = 3")
+    val dataDir = new java.io.File(s"work/graft_cat/db/$stem/data")
+    val o1 = new java.io.File(dataDir, "orphan-q298.bin")
+    val o2 = new java.io.File(dataDir, "orphan-q298.bin.bloom")
+    java.nio.file.Files.write(o1.toPath, Array.fill(64)(7.toByte))
+    java.nio.file.Files.write(o2.toPath, Array.fill(32)(1.toByte))
+    val aged = System.currentTimeMillis - 60000
+    o1.setLastModified(aged); o2.setLastModified(aged)
+    val swept = s.sql(
+      s"CALL graft_cat.sys.remove_orphans('db', '$stem', 30000)")
+      .collect()(0)
+    require(swept.getLong(0) == 2L && swept.getLong(1) == 96L,
+      s"orphan sweep expected (files=2, bytes=96); got $swept")
+    s.sql(s"""SELECT k % 7 AS g, count(*) AS n, sum(cents) AS cents
+             |FROM $t GROUP BY 1""".stripMargin)
+  }
+
   /** q297: MERGE WITH SCHEMA EVOLUTION — Spark 4's evolving merge: a
     * source WIDER than the target auto-adds the missing column (the
     * analyzer turns the width difference into the catalog's nullable
@@ -1234,6 +1274,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q298_catalog_remove_orphans" -> q298CatalogRemoveOrphans,
     "q297_catalog_merge_evolve" -> q297CatalogMergeEvolve,
     "q296_catalog_files_meta" -> q296CatalogFilesMeta,
     "q295_catalog_bloom_skip" -> q295CatalogBloomSkip,
@@ -1312,6 +1353,15 @@ object IngestQueries {
     // The evolving merge, replayed: even keys seeded the target; source
     // rows (k%4 in 0,1) doubled cents and stamped flag — matched evens
     // updated in place, odds inserted, untouched evens null-pad flag.
+    // The post-sweep read: every event row except the MOR-deleted
+    // k%10=3 slice — identical bytes before and after remove_orphans.
+    "q298_catalog_remove_orphans" ->
+      """SELECT CAST(event_id AS BIGINT) % 7 AS g, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events
+        |WHERE value IS NOT NULL AND CAST(event_id AS BIGINT) % 10 <> 3
+        |GROUP BY 1""".stripMargin,
     "q297_catalog_merge_evolve" ->
       """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

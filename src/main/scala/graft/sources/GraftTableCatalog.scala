@@ -598,7 +598,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         Identifier.of(Array("sys"), "drop_branch"),
         Identifier.of(Array("sys"), "fast_forward"),
         Identifier.of(Array("sys"), "set_partition_spec"),
-        Identifier.of(Array("sys"), "rewrite_deletes"))
+        Identifier.of(Array("sys"), "rewrite_deletes"),
+        Identifier.of(Array("sys"), "remove_orphans"))
     else Array.empty
   // ---- functions ----
   /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
@@ -629,6 +630,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         new SetPartitionSpecProcedure(this)
       case (Seq("sys"), "rewrite_deletes") =>
         new RewriteDeletesProcedure(this)
+      case (Seq("sys"), "remove_orphans") =>
+        new RemoveOrphansProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -6049,6 +6052,80 @@ private object RewriteDeletesProcedure {
     .add("runs_before", LongType, nullable = false)
     .add("runs_after", LongType, nullable = false)
     .add("keys", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.remove_orphans(ns, table, older_than_ms)` — the
+  * Iceberg `remove_orphan_files` maintenance verb: crashed writers
+  * strand data files, bloom sidecars and delete runs by DESIGN (a
+  * failed commit leaves garbage, never a dangling reference), and this
+  * sweep reclaims them. A file in `data/` is an ORPHAN iff no existing
+  * manifest — any main version still on disk, any branch commit —
+  * references it (a `.bloom` sidecar is referenced through its base
+  * data file). The grace window is the in-flight-writer guard: a file
+  * younger than `older_than_ms` may belong to a commit whose manifest
+  * is not yet published, so it always survives; size the window above
+  * the longest plausible write (Iceberg defaults to 3 days). Also
+  * sweeps manifest-list segment files referenced by no list. */
+private class RemoveOrphansProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "remove_orphans"
+  override def description(): String =
+    "delete data/ files no manifest references, older than the grace window"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "remove_orphans"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val grace = input.getLong(2)
+        require(grace >= 0, s"older_than_ms must be >= 0; got $grace")
+        // EVERY manifest still on disk pins its references — not just
+        // retained history: an unpublished branch commit, a tag-pinned
+        // version and the head all protect their files identically
+        val manifests = Option(dir.listFiles()).map(_.toSeq)
+          .getOrElse(Seq.empty)
+          .filter(f => f.getName.matches("v\\d+\\.manifest") ||
+            (f.getName.startsWith("b-") && f.getName.endsWith(".manifest")))
+        val referenced: Set[String] = manifests.flatMap { f =>
+          val m = parseManifest(f, 0)
+          m.files.flatMap(e => e.name +: e.deletes.map(_.name)) ++
+            m.eqDeletes.map(_.name)
+        }.toSet
+        val now = System.currentTimeMillis
+        var removed = 0L
+        var bytes = 0L
+        Option(new File(dir, "data").listFiles()).map(_.toSeq)
+          .getOrElse(Seq.empty).foreach { f =>
+            val base =
+              if (f.getName.endsWith(".bloom"))
+                f.getName.dropRight(".bloom".length)
+              else f.getName
+            if (!referenced.contains(base) &&
+                now - f.lastModified() > grace) {
+              val len = f.length()
+              if (f.delete()) { removed += 1; bytes += len }
+            }
+          }
+        val segs = gcSegments(dir, grace)
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(RemoveOrphansProcedure.resultSchema,
+            Array[Any](removed, bytes, segs))).iterator()
+      }
+    }
+}
+
+private object RemoveOrphansProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("files_deleted", LongType, nullable = false)
+    .add("bytes_reclaimed", LongType, nullable = false)
+    .add("segments_deleted", LongType, nullable = false)
 }
 
 private class SetPartitionSpecProcedure(cat: GraftTableCatalog)

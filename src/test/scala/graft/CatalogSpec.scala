@@ -2289,4 +2289,50 @@ class CatalogSpec extends SparkSpec {
       pm.loadPartitionMetadata(org.apache.spark.sql.catalyst.InternalRow(9L)))
   }
 
+  test("sys.remove_orphans: unreferenced data/sidecar files older than the grace window are reclaimed; referenced, branch-pinned and in-flight files all survive") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.orph")
+    sql("CREATE TABLE graft_cat.db.orph (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('update.mode'='merge-on-read')")
+    val t = "graft_cat.db.orph"
+    sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100, 1, 4)")
+    // a MOR delete adds position-delete files the sweep must also pin
+    sql(s"DELETE FROM $t WHERE k % 10 = 3")
+    // an unpublished branch commit pins ITS files too
+    sql("CALL graft_cat.sys.branch('db', 'orph', 'wip')")
+    sql(s"INSERT INTO $t.branch_wip SELECT id, id FROM range(100, 120)")
+    val dir = new File("work/graft_cat/db/orph")
+    val dataDir = new File(dir, "data")
+    val before = dataDir.listFiles().map(_.getName).toSet
+    before.size should be > 4
+    // plant a crashed writer's strands: a data file and its bloom sidecar
+    val orphan = new File(dataDir, "deadbeef0001.bin")
+    java.nio.file.Files.write(orphan.toPath, Array.fill(64)(7.toByte))
+    java.nio.file.Files.write(new File(dataDir, "deadbeef0001.bin.bloom")
+      .toPath, Array.fill(32)(1.toByte))
+    // an IN-FLIGHT write (fresh mtime) with a generous grace: untouched
+    val r0 = rows("CALL graft_cat.sys.remove_orphans('db', 'orph', " +
+      s"${60L * 60 * 1000})")
+    r0.head.head shouldBe 0L
+    dataDir.listFiles().map(_.getName).toSet should
+      contain allElementsOf Set("deadbeef0001.bin", "deadbeef0001.bin.bloom")
+    // age the strands past the window -> exactly the two orphans go
+    orphan.setLastModified(System.currentTimeMillis - 10000)
+    new File(dataDir, "deadbeef0001.bin.bloom")
+      .setLastModified(System.currentTimeMillis - 10000)
+    val r1 = rows("CALL graft_cat.sys.remove_orphans('db', 'orph', 5000)")
+    r1.head.head shouldBe 2L
+    (r1.head(1).asInstanceOf[Long]) shouldBe 96L
+    dataDir.listFiles().map(_.getName).toSet shouldBe before
+    // zero-grace full sweep: every referenced file (data, deletes,
+    // branch commits) survives and both chains still read correctly
+    rows("CALL graft_cat.sys.remove_orphans('db', 'orph', 0)")
+      .head.head shouldBe 0L
+    dataDir.listFiles().map(_.getName).toSet shouldBe before
+    rows(s"SELECT count(*), sum(v) FROM $t") shouldBe Seq(Seq(
+      90L, (0L until 100).filter(_ % 10 != 3).map(_ * 10).sum))
+    rows(s"SELECT count(*) FROM $t.branch_wip") shouldBe Seq(Seq(110L))
+    sql(s"DROP TABLE $t")
+  }
+
 }
