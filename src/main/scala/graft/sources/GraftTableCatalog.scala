@@ -4524,6 +4524,10 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
         // one mix + one OR per non-null value on the hot path
         val ndvs: Array[NdvSketch] = Array.tabulate(types.length)(i =>
           if (tcodes(i) == 0 || tcodes(i) == 2) new NdvSketch else null)
+        // the string hash computed while the bytes sit in the scratch —
+        // the bloom loop reuses it instead of re-materializing the
+        // UTF8String's bytes (allocation-free hot path)
+        private val strHash = new Array[Long](types.length)
 
         private def flushBuf(): Unit =
           if (pos > 0) { ch.write(buf, 0, pos); pos = 0 }
@@ -4582,7 +4586,9 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
                 u.writeToMemory(buf,
                   org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p + 4)
                 pos = p + 4 + len
-                ndvs(i).add(bloomMixBytes(buf, len, p + 4))
+                val h = bloomMixBytes(buf, len, p + 4)
+                ndvs(i).add(h)
+                strHash(i) = h
             }
             i += 1
           }
@@ -4591,10 +4597,7 @@ private case class CatalogWriterFactory(dirPath: String, jobUid: String,
             val p = bloomPos(bi)
             if ((bits & (1L << p)) == 0) {
               val h = if (tcodes(p) == 0) bloomMixLong(row.getLong(p))
-                else {
-                  val u = row.getUTF8String(p)
-                  bloomMixBytes(u.getBytes, u.numBytes())
-                }
+                else strHash(p)
               bloomSet(blooms(bi), h)
             }
             bi += 1
