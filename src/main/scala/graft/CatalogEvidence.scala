@@ -288,7 +288,17 @@ object CatalogEvidence {
       require(one(s"SELECT v FROM graft_cat.db.ev_nobloom WHERE h = $hVal2") ==
         Seq(777777L), "control probe answer wrong")
       val without = GraftTableCatalog.filesOpened.get
-      s"""{"rows": 1000000, "files": 8, "sidecar_bytes_per_file": 65544,
+      // measured, not assumed: the adaptive fold ships ~9 bits/key
+      // (2% fp design point), so a 125k-row file carries a bigger
+      // sidecar than the old fixed 64 KiB — and the measured false-
+      // positive rate at that row count proves the sizing paid off
+      val scBytes = new java.io.File("/root/repo/work/graft_cat/db/ev_bloom/data")
+        .listFiles().filter(_.getName.endsWith(".bloom")).map(_.length)
+      val (fpWords, fpRate) = GraftTableCatalog.bloomFpForTest(125000, 200000)
+      s"""{"rows": 1000000, "files": 8,
+         | "sidecar_bytes_per_file": ${scBytes.max},
+         | "measured_fp_at_125k_rows": $fpRate,
+         | "shipped_filter_bytes": ${fpWords * 8},
          | "point_probe_files_opened_with_bloom": $withBloom,
          | "point_probe_files_opened_without": $without}""".stripMargin
     }
