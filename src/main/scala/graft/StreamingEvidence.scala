@@ -300,8 +300,16 @@ object StreamingEvidence {
       } finally q.stop()
       val dir = new java.io.File("/root/repo/work/graft_cat/db/stream_evidence")
       val vBefore = graft.sources.GraftTableCatalog.readLatest(dir)
+      // a REPLAY is same-query, same-epoch: markers are namespaced
+      // <queryId>:<epochId>, so the protocol-level replay reuses the
+      // landed stream's queryId (a fresh queryId is correctly a NEW
+      // stream and would commit)
+      val qid0 = graft.sources.GraftTableCatalog.readManifest(dir, vBefore)
+        .epochs.collectFirst { case e if e.endsWith(":0") =>
+          e.dropRight(2) }.getOrElse(sys.error("no epoch-0 marker landed"))
       new graft.sources.CatalogStreamingWrite(dir,
-        graft.sources.GraftTableCatalog.readSchema(dir)).commit(0L, Array.empty)
+        graft.sources.GraftTableCatalog.readSchema(dir), queryId = qid0)
+        .commit(0L, Array.empty)
       require(graft.sources.GraftTableCatalog.readLatest(dir) == vBefore,
         "replayed epoch moved the version")
       val landed = spark.sql(
@@ -353,8 +361,11 @@ object StreamingEvidence {
       val dir = new java.io.File(
         "/root/repo/work/graft_cat/db/upsert_evidence")
       val vBefore = graft.sources.GraftTableCatalog.readLatest(dir)
+      val upsQid = graft.sources.GraftTableCatalog.readManifest(dir, vBefore)
+        .epochs.collectFirst { case e if e.endsWith(":0") =>
+          e.dropRight(2) }.getOrElse(sys.error("no epoch-0 marker landed"))
       new graft.sources.CatalogStreamingWrite(dir,
-        graft.sources.GraftTableCatalog.readSchema(dir))
+        graft.sources.GraftTableCatalog.readSchema(dir), queryId = upsQid)
         .commit(0L, Array.empty)
       require(graft.sources.GraftTableCatalog.readLatest(dir) == vBefore,
         "replayed upsert epoch moved the version")
