@@ -1056,6 +1056,47 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q299: Z-ORDER CLUSTERING REWRITE — `sys.rewrite_sorted`, the
+    * Iceberg `rewrite_data_files` sort/z-order strategy (Delta OPTIMIZE
+    * ZORDER BY): live files rewrite so rows land in Morton-interleaved
+    * order over (x, y) — each output file covers a tight 2-D rectangle
+    * of the value space, so a range probe on EITHER column prunes to a
+    * strip of cells instead of opening the table. The query builds the
+    * worst layout (every file spans both full domains — zone maps prune
+    * NOTHING), rewrites, REQUIREs a y-range probe to open strictly
+    * fewer than all files, and hash-gates the post-rewrite probe result
+    * against DuckDB replaying the same scramble — clustering moved
+    * bytes, never rows. At 100 TB this is how a feature-store table
+    * serves selective probes on TWO id spaces from one layout. */
+  val q299CatalogZorder: Q = (s, d) => {
+    val t = catTable(s, d, "ev299")
+    val stem = s"ev299_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT, cents BIGINT)")
+    (0 until 8).foreach { i =>
+      s.sql(s"""INSERT INTO $t
+               |SELECT k, (k * 2654435761L) % 1048576 AS y, cents
+               |FROM (${catEventsSql(d)}) src WHERE k % 8 = $i""".stripMargin)
+    }
+    val dir = new java.io.File(s"work/graft_cat/db/$stem")
+    val m = graft.sources.GraftTableCatalog.readManifest(dir,
+      graft.sources.GraftTableCatalog.readLatest(dir))
+    val bytes = m.files.map(_.bytes).sum
+    s.sql("CALL graft_cat.sys.rewrite_sorted('db', " +
+      s"'$stem', 'x,y', ${bytes / 8 + 1})")
+    val filesAfter = graft.sources.GraftTableCatalog.readManifest(dir,
+      graft.sources.GraftTableCatalog.readLatest(dir)).files.length
+    val probe = s"""SELECT x % 13 AS g, count(*) AS n,
+                   |  sum(cents) AS cents FROM $t
+                   |WHERE y BETWEEN 131072 AND 262143 GROUP BY 1""".stripMargin
+    graft.sources.GraftTableCatalog.filesOpened.set(0)
+    val out = s.sql(probe)
+    out.collect() // drive the scan so the counter fills
+    val opened = graft.sources.GraftTableCatalog.filesOpened.get()
+    require(opened < filesAfter,
+      s"z-order probe should prune: opened $opened of $filesAfter files")
+    s.sql(probe)
+  }
+
   /** q298: ORPHAN-FILE SWEEP — `sys.remove_orphans`, the Iceberg
     * `remove_orphan_files` maintenance verb: crashed writers strand
     * data files, sidecars and delete runs by design (a failed commit
@@ -1274,6 +1315,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q299_catalog_zorder" -> q299CatalogZorder,
     "q298_catalog_remove_orphans" -> q298CatalogRemoveOrphans,
     "q297_catalog_merge_evolve" -> q297CatalogMergeEvolve,
     "q296_catalog_files_meta" -> q296CatalogFilesMeta,
@@ -1353,6 +1395,16 @@ object IngestQueries {
     // The evolving merge, replayed: even keys seeded the target; source
     // rows (k%4 in 0,1) doubled cents and stamped flag — matched evens
     // updated in place, odds inserted, untouched evens null-pad flag.
+    // The post-rewrite probe: DuckDB replays the scramble and the
+    // y-window — the clustering rewrite moved bytes, never rows.
+    "q299_catalog_zorder" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT k % 13 AS g, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |FROM src
+        |WHERE (k * 2654435761) % 1048576 BETWEEN 131072 AND 262143
+        |GROUP BY 1""".stripMargin,
     // The post-sweep read: every event row except the MOR-deleted
     // k%10=3 slice — identical bytes before and after remove_orphans.
     "q298_catalog_remove_orphans" ->

@@ -599,7 +599,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         Identifier.of(Array("sys"), "fast_forward"),
         Identifier.of(Array("sys"), "set_partition_spec"),
         Identifier.of(Array("sys"), "rewrite_deletes"),
-        Identifier.of(Array("sys"), "remove_orphans"))
+        Identifier.of(Array("sys"), "remove_orphans"),
+        Identifier.of(Array("sys"), "rewrite_sorted"))
     else Array.empty
   // ---- functions ----
   /** [[FunctionCatalog]] exposing the partition `bucket` transform as a
@@ -632,6 +633,8 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
         new RewriteDeletesProcedure(this)
       case (Seq("sys"), "remove_orphans") =>
         new RemoveOrphansProcedure(this)
+      case (Seq("sys"), "rewrite_sorted") =>
+        new RewriteSortedProcedure(this)
       case _ => sys.error(s"graft_cat has no procedure " +
         s"${(ident.namespace :+ ident.name).mkString(".")}; " +
         "see SHOW PROCEDURES IN graft_cat.sys")
@@ -723,6 +726,36 @@ object GraftTableCatalog {
     }
     cur
   }
+  /** Normalize a LONG into the unsigned 32-bit code space its z-order
+    * bits interleave from: position within the column's [lo, hi] span,
+    * computed in doubles (monotone to within double precision — exact
+    * rank is irrelevant, clustering only needs neighborhood order; the
+    * double form also sidesteps `hi - lo` overflow on extreme spans). */
+  private[sources] def zCode32(v: Long, lo: Long, hi: Long): Long =
+    if (hi <= lo) 0L
+    else {
+      val f = (v.toDouble - lo.toDouble) / (hi.toDouble - lo.toDouble)
+      val c = (f * 4294967295.0).toLong
+      if (c < 0L) 0L else if (c > 4294967295L) 4294967295L else c
+    }
+
+  /** Morton interleave: bit 63-b of the key is bit (31 - b/k) of column
+    * b%k's 32-bit code — round-robin from the MSB, so the top bits of
+    * every column dominate equally and a range probe on ANY of the k
+    * columns maps to contiguous key runs. k >= 2 (a single column sorts
+    * plainly); compare keys UNSIGNED (column 0's bit 31 lands in the
+    * sign bit). */
+  private[sources] def zInterleave(codes: Array[Long]): Long = {
+    val k = codes.length
+    var key = 0L
+    var b = 0
+    while (b < 64) {
+      key = (key << 1) | ((codes(b % k) >>> (31 - b / k)) & 1L)
+      b += 1
+    }
+    key
+  }
+
   /** splitmix64 — the value hash bloom bits derive from (LONGs). */
   private[sources] def bloomMixLong(v0: Long): Long = {
     var v = v0 + 0x9E3779B97F4A7C15L
@@ -2855,7 +2888,11 @@ object GraftTableCatalog {
       // lose the whole table from the feed. rewrite_deletes is a pure
       // metadata swap (same files, same suppression outcome): emitting
       // its merged run as "new deletes" would re-retract every key
-      if ((m.op != "compact" && m.op != "rewrite_deletes") || !baselined) {
+      // rewrite_sorted joins compact here: a clustering rewrite changes
+      // file names, never live rows — emitting it would retract and
+      // re-insert the whole table
+      if ((m.op != "compact" && m.op != "rewrite_deletes" &&
+          m.op != "rewrite_sorted") || !baselined) {
         prev.valuesIterator.filterNot(e => cur.contains(e.name)).foreach {
           e => // removed file: its rows LIVE AS OF v-1 are deletes —
             // "live" includes the eq filter, else rows an upsert already
@@ -6129,6 +6166,138 @@ private object RemoveOrphansProcedure {
     .add("files_deleted", LongType, nullable = false)
     .add("bytes_reclaimed", LongType, nullable = false)
     .add("segments_deleted", LongType, nullable = false)
+}
+
+/** `CALL graft_cat.sys.rewrite_sorted(ns, table, cols, target_bytes)` —
+  * MULTI-DIMENSIONAL CLUSTERING maintenance (Iceberg
+  * `rewrite_data_files` with a sort/z-order strategy, Delta OPTIMIZE
+  * ZORDER BY): rewrites every live file so rows land in sort order —
+  * one column sorts plainly; two or more interleave into a Morton
+  * z-key, so each output file covers a tight HYPER-RECTANGLE of the
+  * value space and a range probe on ANY clustered column prunes to
+  * ~n^((k-1)/k) of the files instead of all of them (an append-ordered
+  * table prunes on nothing but arrival time). Clustering is per
+  * (spec-generation, partition-tuple) — files of different partitions
+  * never merge, so partition pruning survives. The rewrite materializes
+  * all outstanding position/equality-delete debt (same as `compact`),
+  * output files split at `target_bytes`, bloom sidecars rebuild, rows
+  * are byte-equivalent before and after, prior versions keep serving
+  * the original files, and the change feed skips the commit (no rows
+  * changed). LONG columns only — loud error otherwise; nulls cluster
+  * first. */
+private class RewriteSortedProcedure(cat: GraftTableCatalog)
+    extends UnboundProcedure {
+  import GraftTableCatalog._
+  override def name(): String = "rewrite_sorted"
+  override def description(): String =
+    "rewrite live files clustered by a sort or z-order over LONG columns"
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_sorted"
+      override def isDeterministic: Boolean = false // commits a version
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType).build())
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val dir = cat.resolveTableDir(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val colsArg = input.getUTF8String(2).toString
+        val target = input.getLong(3)
+        require(target >= 1, s"target_bytes must be >= 1; got $target")
+        val schema = readSchema(dir)
+        val mp = readMapping(dir, schema)
+        val cols = colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        require(cols.distinct.length == cols.length,
+          s"duplicate column in '$colsArg'")
+        val colIdx = cols.map { c =>
+          require(schema.fieldNames.contains(c),
+            s"clustering column $c is not in the schema")
+          require(schema(c).dataType == LongType,
+            s"rewrite_sorted clusters LONG columns; $c is ${schema(c).dataType}")
+          schema.fieldIndex(c)
+        }.toArray
+        val latest = readLatest(dir)
+        val m = if (latest == 0) Manifest(0, "none", Seq.empty)
+          else readManifest(dir, latest)
+        val eqCtx = upsertCtx(dir, schema, m.eqDeletes)
+        def longAt(r: Array[Any], i: Int): Long = r(i) match {
+          case l: Long => l
+          case _ => Long.MinValue // nulls cluster first
+        }
+        val out = m.files.groupBy(e => (e.specId, e.partition)).toSeq
+          .sortBy { case ((sid, t), _) => (sid, t.mkString(";")) }
+          .flatMap { case ((specId, tuple), es) =>
+            val rows = es.flatMap(e =>
+              readAligned(dir, e, schema, mp, eqCtx).map(_._2))
+            if (rows.isEmpty) Seq.empty
+            else {
+              val sorted =
+                if (colIdx.length == 1)
+                  rows.sortBy(r => longAt(r, colIdx(0)))
+                else {
+                  // per-column [lo, hi] over the LIVE rows, then Morton
+                  val k = colIdx.length
+                  val lo = Array.fill(k)(Long.MaxValue)
+                  val hi = Array.fill(k)(Long.MinValue)
+                  rows.foreach { r =>
+                    var j = 0
+                    while (j < k) {
+                      r(colIdx(j)) match {
+                        case v: Long =>
+                          if (v < lo(j)) lo(j) = v
+                          if (v > hi(j)) hi(j) = v
+                        case _ => () // nulls don't shape the span
+                      }
+                      j += 1
+                    }
+                  }
+                  val codes = new Array[Long](k)
+                  rows.map { r =>
+                    var j = 0
+                    while (j < k) {
+                      codes(j) =
+                        if (r(colIdx(j)) == null) 0L
+                        else zCode32(longAt(r, colIdx(j)), lo(j), hi(j))
+                      j += 1
+                    }
+                    (zInterleave(codes), r)
+                  }.sortBy(_._1)(Ordering.fromLessThan[Long](
+                    java.lang.Long.compareUnsigned(_, _) < 0)).map(_._2)
+                }
+              val totalBytes = es.map(_.bytes).sum
+              val nFiles = math.max(1L,
+                math.ceil(totalBytes.toDouble / target).toLong)
+              val per = math.max(1,
+                math.ceil(sorted.length.toDouble / nFiles).toInt)
+              sorted.grouped(per).map(chunk =>
+                writeLocalFile(dir, "zs", schema, mp, tuple, chunk,
+                  seq = latest + 1, specId = specId)).toSeq
+            }
+          }
+        // every live file was rewritten at the new sequence with the
+        // delete debt materialized — position deletes are gone and the
+        // equality-delete runs drop from the manifest (like compact)
+        commitVersion(dir, latest, "rewrite_sorted", out, m.epochs,
+          prev = Some(m))
+        java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+          ProcResult(RewriteSortedProcedure.resultSchema,
+            Array[Any](m.files.length.toLong, out.length.toLong,
+              out.map(_.rows).sum,
+              UTF8String.fromString(cols.mkString(","))))).iterator()
+      }
+    }
+}
+
+private object RewriteSortedProcedure {
+  val resultSchema: StructType = new StructType()
+    .add("files_before", LongType, nullable = false)
+    .add("files_after", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+    .add("clustered_by", StringType, nullable = false)
 }
 
 private class SetPartitionSpecProcedure(cat: GraftTableCatalog)

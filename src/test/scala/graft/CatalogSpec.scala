@@ -2335,4 +2335,63 @@ class CatalogSpec extends SparkSpec {
     sql(s"DROP TABLE $t")
   }
 
+  test("sys.rewrite_sorted: z-order clustering makes range probes on EVERY clustered column prune; rows are byte-equivalent, prior versions serve, the change feed skips the rewrite") {
+    val t = freshTable("zord", "x BIGINT, y BIGINT, v BIGINT")
+    // 16 x-slab files: each insert covers a contiguous x range while y
+    // scrambles over the full domain — the append-ordered layout where
+    // zone maps prune on x but NEVER on y
+    (0 until 16).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, (id * 2654435761) % 65536, id " +
+        s"FROM range(${i * 4096}, ${(i + 1) * 4096}, 1, 1)")
+    }
+    val dir = new File("work/graft_cat/db/zord")
+    val preV = GraftTableCatalog.readLatest(dir)
+    val check = s"SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+      s"sum(x * y % 97) AS mix FROM $t"
+    val preRows = rows(check)
+    def opened(q: String): Long = {
+      GraftTableCatalog.filesOpened.set(0)
+      sql(q).collect()
+      GraftTableCatalog.filesOpened.get()
+    }
+    // sum(v % 7) defeats aggregate pushdown — these pins measure SCAN
+    // pruning, not the metadata-only answer path
+    val xProbe =
+      s"SELECT sum(v % 7) FROM $t WHERE x BETWEEN 8192 AND 12287"
+    val yProbe =
+      s"SELECT sum(v % 7) FROM $t WHERE y BETWEEN 8192 AND 12287"
+    val xAns = rows(xProbe); val yAns = rows(yProbe)
+    opened(xProbe) shouldBe 1L   // slab layout prunes on x...
+    opened(yProbe) shouldBe 16L  // ...and on y opens EVERYTHING
+    val bytes = GraftTableCatalog.readManifest(dir, preV)
+      .files.map(_.bytes).sum
+    val res = rows("CALL graft_cat.sys.rewrite_sorted('db', 'zord', " +
+      s"'x,y', ${bytes / 16 + 1})")
+    res.head.take(2) shouldBe Seq(16L, 16L)
+    res.head(3) shouldBe "x,y"
+    // 16 z-rectangles over a 2-D uniform: a probe covering 1/16 of
+    // either dimension touches ~a strip of cells, not the whole table
+    rows(xProbe) shouldBe xAns
+    rows(yProbe) shouldBe yAns
+    opened(xProbe) should be <= 8L
+    opened(yProbe) should be <= 8L
+    rows(check) shouldBe preRows                       // byte-equivalent
+    rows(s"SELECT count(*) FROM $t VERSION AS OF $preV") shouldBe
+      Seq(Seq(65536L))                                 // history serves
+    val postV = GraftTableCatalog.readLatest(dir)
+    rows(s"""SELECT count(*) FROM graft_cat.db.zord.changes
+            |WHERE _version = $postV""".stripMargin) shouldBe
+      Seq(Seq(0L))                                     // CDF-invisible
+    // single column = plain sort: every output file's x-range disjoint
+    rows("CALL graft_cat.sys.rewrite_sorted('db', 'zord', 'x', " +
+      s"${bytes / 16 + 1})")
+    opened(xProbe) shouldBe 1L
+    rows(check) shouldBe preRows
+    // non-LONG clustering column fails loudly
+    val e = intercept[Exception](
+      sql("CALL graft_cat.sys.rewrite_sorted('db', 'zord', 'nope', 1)"))
+    e.getMessage should include("not in the schema")
+    sql(s"DROP TABLE $t")
+  }
+
 }
