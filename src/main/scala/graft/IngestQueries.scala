@@ -1056,6 +1056,36 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q300: `.manifests` METADATA TABLE — the manifest-list view of the
+    * head version (Iceberg's manifests table): one row per segment
+    * reference with entry/row/byte totals, the partition-range summary
+    * planning prunes on, and the REUSED flag that makes the
+    * incremental-commit contract visible — a healthy append chain
+    * reuses every prior segment by reference and writes exactly one new
+    * one, so commits are O(delta) metadata, never O(files). The query
+    * drives four hash-distributed partitioned appends and one
+    * partition-aligned metadata DELETE, then aggregates the view: the
+    * dropped partition's segment vanishes (its entries all died), the
+    * three survivors are all REUSED (zero bytes rewritten at the
+    * delete), and DuckDB recomputes the row totals from the source
+    * while the segment arithmetic pins the design. */
+  val q300CatalogManifestsMeta: Q = (s, d) => {
+    val t = catTable(s, d, "ev300")
+    s.sql(s"""CREATE TABLE $t (g BIGINT, k BIGINT, cents BIGINT)
+             |PARTITIONED BY (g)
+             |TBLPROPERTIES ('write.distribution'='hash')""".stripMargin)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO $t SELECT k % 4 AS g, k, cents
+               |FROM (${catEventsSql(d)}) src
+               |WHERE k % 4 = $i""".stripMargin)
+    }
+    s.sql(s"DELETE FROM $t WHERE g = 3") // aligned: metadata-only drop
+    s.sql(s"""SELECT count(*) AS segments, sum(entries) AS files,
+             |  sum(rows) AS raw_rows,
+             |  sum(CASE WHEN reused THEN 1 ELSE 0 END) AS reused_segments
+             |FROM $t.manifests""".stripMargin)
+  }
+
   /** q299: Z-ORDER CLUSTERING REWRITE — `sys.rewrite_sorted`, the
     * Iceberg `rewrite_data_files` sort/z-order strategy (Delta OPTIMIZE
     * ZORDER BY): live files rewrite so rows land in Morton-interleaved
@@ -1315,6 +1345,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q300_catalog_manifests_meta" -> q300CatalogManifestsMeta,
     "q299_catalog_zorder" -> q299CatalogZorder,
     "q298_catalog_remove_orphans" -> q298CatalogRemoveOrphans,
     "q297_catalog_merge_evolve" -> q297CatalogMergeEvolve,
@@ -1395,6 +1426,18 @@ object IngestQueries {
     // The evolving merge, replayed: even keys seeded the target; source
     // rows (k%4 in 0,1) doubled cents and stamped flag — matched evens
     // updated in place, odds inserted, untouched evens null-pad flag.
+    // Segment arithmetic from the incremental-commit rule: 4 appends =
+    // 4 single-file segments; the aligned DELETE kills one whole
+    // segment and REUSES the other three by reference (nothing
+    // rewrites, no new segment) — counts are design constants, row
+    // totals recompute from the source.
+    "q300_catalog_manifests_meta" ->
+      """SELECT CAST(3 AS BIGINT) AS segments,
+        |  CAST(3 AS BIGINT) AS files,
+        |  (SELECT count(*) FROM events
+        |   WHERE value IS NOT NULL
+        |     AND CAST(event_id AS BIGINT) % 4 <> 3) AS raw_rows,
+        |  CAST(3 AS BIGINT) AS reused_segments""".stripMargin,
     // The post-rewrite probe: DuckDB replays the scramble and the
     // y-window — the clustering rewrite moved bytes, never rows.
     "q299_catalog_zorder" ->

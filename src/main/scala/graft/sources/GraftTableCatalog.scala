@@ -177,6 +177,7 @@ class GraftTableCatalog extends CatalogPlugin with TableCatalog
           case MetaPartitions => return new PartitionsTable(base, ns(1))
           case MetaRefs => return new RefsTable(base, ns(1))
           case MetaFiles => return new FilesTable(base, ns(1))
+          case MetaManifests => return new ManifestsTable(base, ns(1))
           case MetaChanges => return new ChangesTable(base,
             s"${ns.mkString(".")}.$MetaChanges")
         }
@@ -648,8 +649,10 @@ object GraftTableCatalog {
   val MetaChanges = "changes"
   val MetaRefs = "refs"
   val MetaFiles = "files"
+  val MetaManifests = "manifests"
   val MetaTables: Set[String] =
-    Set(MetaSnapshots, MetaPartitions, MetaChanges, MetaRefs, MetaFiles)
+    Set(MetaSnapshots, MetaPartitions, MetaChanges, MetaRefs, MetaFiles,
+      MetaManifests)
   /** Metadata column: the data file a row lives in — the GROUP key the
     * row-level operations (UPDATE/MERGE/DELETE rewrites) narrow by. */
   val FileMetaCol = "_file"
@@ -5185,6 +5188,63 @@ private object FilesTable {
     .add("deleted_rows", LongType, nullable = false)
     .add("bloom_columns", StringType, nullable = false)
     .add("stats", StringType, nullable = false)
+}
+
+/** `graft_cat.db.<t>.manifests` — the MANIFEST-LIST view of the head
+  * version (Iceberg's manifests metadata table): one row per segment
+  * reference with its entry/row/byte totals, the partition-range
+  * summary planning prunes on, and whether the segment was REUSED from
+  * the prior version (the incremental-commit story made visible: a
+  * healthy append chain shows every prior segment reused and one new
+  * one). Pre-segment legacy manifests surface their inline entries as
+  * one `-` row. Served from list-level metadata alone — no segment
+  * file is opened. */
+private class ManifestsTable(dir: File, table: String) extends Table
+    with SupportsRead {
+  import GraftTableCatalog._
+  override def name(): String = s"$table.manifests"
+  override def schema(): StructType = ManifestsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = ManifestsTable.schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft_cat manifests $dir"
+      override def planInputPartitions(): Array[InputPartition] = {
+        val v = readLatest(dir)
+        if (v == 0) return Array(FileRows(Seq.empty))
+        val (_, _, inline, refs, _, _) =
+          parseManifestList(new File(dir, s"v$v.manifest"), v)
+        val prior: Set[String] =
+          if (v <= 1) Set.empty
+          else parseManifestList(
+            new File(dir, s"v${v - 1}.manifest"), v - 1)._4
+            .map(_.name).toSet
+        val segRows = refs.map { r =>
+          Seq[Any](r.name, r.count, r.rows, r.bytes, r.summary,
+            prior.contains(r.name))
+        }
+        val legacy =
+          if (inline.isEmpty) Seq.empty
+          else Seq(Seq[Any]("-", inline.length.toLong,
+            inline.map(_.rows).sum, inline.map(_.bytes).sum, "-", false))
+        Array(FileRows(segRows ++ legacy))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        FilesReaderFactory
+    }
+}
+
+private object ManifestsTable {
+  val schema: StructType = new StructType()
+    .add("segment", StringType, nullable = false)
+    .add("entries", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+    .add("bytes", LongType, nullable = false)
+    .add("partition_summary", StringType, nullable = false)
+    .add("reused", org.apache.spark.sql.types.BooleanType,
+      nullable = false)
 }
 
 private case class FileRows(rows: Seq[Seq[Any]]) extends InputPartition

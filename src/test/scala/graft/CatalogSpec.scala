@@ -2394,4 +2394,22 @@ class CatalogSpec extends SparkSpec {
     sql(s"DROP TABLE $t")
   }
 
+  test(".manifests: one row per segment ref with reuse flags, served without opening a single segment file") {
+    val t = freshTable("mani", "k BIGINT, v BIGINT")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 100, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(100, 300, 1, 1)")
+    val dir = new File("work/graft_cat/db/mani")
+    val m = GraftTableCatalog.readManifest(dir,
+      GraftTableCatalog.readLatest(dir))
+    GraftTableCatalog.segmentsRead.set(0)
+    val listed = rows(s"SELECT segment, entries, rows, reused " +
+      s"FROM $t.manifests ORDER BY rows")
+    GraftTableCatalog.segmentsRead.get() shouldBe 0L // list-level only
+    listed.map(_.head).toSet shouldBe m.segs.map(_.ref.name).toSet
+    listed shouldBe Seq(
+      Seq(m.segs.head.ref.name, 1L, 100L, true),   // append 1: reused
+      Seq(m.segs(1).ref.name, 1L, 200L, false))    // append 2: new
+    sql(s"DROP TABLE $t")
+  }
+
 }
