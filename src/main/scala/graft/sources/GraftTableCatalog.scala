@@ -921,6 +921,80 @@ object GraftTableCatalog {
   def colStatsEnabled: Boolean =
     !"false".equals(System.getProperty("graft.catalog.colstats"))
 
+  /** Kill switch + A/B handle for the manifest-derived equi-height
+    * histograms riding the column statistics. */
+  def histogramEnabled: Boolean =
+    !"false".equals(System.getProperty("graft.catalog.histogram"))
+
+  /** Synthesize an EQUI-HEIGHT histogram from per-file (lo, hi, rows,
+    * ndv) spans — the piecewise-uniform density the manifest already
+    * implies, no data scan: the CDF at any point is the sum of each
+    * file's rows scaled by how much of the file's span lies below it;
+    * bin boundaries invert that CDF at multiples of rows/bins (binary
+    * search, the CDF is monotone), and each bin's ndv prorates the
+    * overlapping files' distinct estimates. Skewed layouts (most rows
+    * bunched in a narrow range) therefore price correctly under
+    * Catalyst's FilterEstimation, where a bare [min, max] assumes
+    * uniformity over the whole span. */
+  private[sources] def manifestHistogram(
+      spans: Seq[(Long, Long, Long, Long)], totalRows: Long)
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    if (spans.length < 2 || spans.length > 4096 || totalRows <= 0)
+      return None
+    val gLo = spans.map(_._1).min.toDouble
+    val gHi = spans.map(_._2).max.toDouble
+    if (gHi <= gLo) return None
+    def cdf(x: Double): Double = {
+      var s = 0.0
+      spans.foreach { case (lo, hi, r, _) =>
+        if (x >= hi) s += r.toDouble
+        else if (x > lo)
+          s += r.toDouble * (x - lo) / (hi.toDouble - lo.toDouble)
+      }
+      s
+    }
+    val nBins = math.min(64, math.max(4, spans.length))
+    val h = totalRows.toDouble / nBins
+    val cuts = new Array[Double](nBins + 1)
+    cuts(0) = gLo; cuts(nBins) = gHi
+    var i = 1
+    while (i < nBins) {
+      val target = i * h
+      var lo = gLo; var hi = gHi
+      var it = 0
+      while (it < 64) {
+        val mid = (lo + hi) / 2
+        if (cdf(mid) < target) lo = mid else hi = mid
+        it += 1
+      }
+      cuts(i) = (lo + hi) / 2
+      i += 1
+    }
+    val binArr = Array.tabulate[
+        org.apache.spark.sql.connector.read.colstats.HistogramBin](nBins) {
+      b =>
+        val bl = cuts(b); val bh = cuts(b + 1)
+        var nv = 0.0
+        spans.foreach { case (lo, hi, r, nd) =>
+          val width = hi.toDouble - lo.toDouble + 1.0
+          val ndv = if (nd > 0) nd.toDouble else math.min(width, r.toDouble)
+          val ov = math.min(bh, hi.toDouble + 1.0) - math.max(bl, lo.toDouble)
+          if (ov > 0) nv += ndv * (ov / width)
+        }
+        val ndvL = math.max(1L, math.min(nv.toLong, h.toLong + 1L))
+        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+          override def lo(): Double = bl
+          override def hi(): Double = bh
+          override def ndv(): Long = ndvL
+        }
+    }
+    Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+      override def height(): Double = h
+      override def bins(): Array[
+        org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+    })
+  }
+
   /** A position delete file: `rows` positions (longs, raw file order)
     * of `dataFile` rows that are logically deleted. */
   case class DeleteFile(name: String, rows: Long)
@@ -3785,9 +3859,16 @@ private class CatalogScan(dir: File, tableSchema: StructType,
       val totalRows = files.map(_.liveRows).sum
       val totalBytes = files.map(_.bytes).sum
       def put(name: String, loOpt: Option[Long], hiOpt: Option[Long],
-          nullFree: Boolean, dvOpt: Long, len: Long): Unit =
+          nullFree: Boolean, dvOpt: Long, len: Long,
+          hist: Option[
+            org.apache.spark.sql.connector.read.colstats.Histogram] = None)
+          : Unit =
         out.put(Expressions.column(name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist.map(java.util.Optional.of(_)).getOrElse(
+                java.util.Optional.empty())
             override def min(): java.util.Optional[Object] =
               loOpt.map(v => java.util.Optional.of(
                 java.lang.Long.valueOf(v): Object))
@@ -3858,8 +3939,18 @@ private class CatalogScan(dir: File, tableSchema: StructType,
                     .toLong
                 case _ => -1L
               }
+            // histogram only when bounds did NOT decline — every live
+            // file contributed an exact span, so the piecewise density
+            // is honest (the kill switch is the A/B handle)
+            val hist =
+              if (loOpt.isEmpty || !histogramEnabled) None
+              else manifestHistogram(
+                files.zip(per).collect {
+                  case (e, Some(Some((lo, hi)))) if e.liveRows > 0 =>
+                    (lo, hi, e.liveRows, e.ndv.getOrElse(key, 0L))
+                }, totalRows)
             if (loOpt.isDefined || allNullFree || dv > 0)
-              put(f.name, loOpt, hiOpt, allNullFree, dv, 8L)
+              put(f.name, loOpt, hiOpt, allNullFree, dv, 8L, hist)
           } else if (f.dataType == StringType) {
             // strings: estimated ndv (when every live file carries a
             // sketch), proven nullCount=0, and a row-width avgLen upper

@@ -2412,4 +2412,40 @@ class CatalogSpec extends SparkSpec {
     sql(s"DROP TABLE $t")
   }
 
+  test("manifest histograms reach the CBO: a skewed range filter prices near truth with bins and wildly under the bare [min,max] without") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    sql("DROP TABLE IF EXISTS graft_cat.db.histo")
+    sql("CREATE TABLE graft_cat.db.histo (v BIGINT, p BIGINT)")
+    // 90% of rows bunch in [0, 100); a thin tail stretches to 10M —
+    // per-file spans are tight, so the piecewise density knows it
+    sql("INSERT INTO graft_cat.db.histo " +
+      "SELECT id % 100, id FROM range(0, 90000, 1, 4)")
+    sql("INSERT INTO graft_cat.db.histo " +
+      "SELECT 100 + (id * 1000), id FROM range(0, 10000, 1, 2)")
+    def estimate(hist: Boolean): BigInt = {
+      if (!hist) System.setProperty("graft.catalog.histogram", "false")
+      try {
+        SessionConf.withValue(spark, "spark.sql.cbo.enabled", "true") {
+          // v < 200000 cuts MID-tail-file, so absorption declines, the
+          // filter stays residual, and the estimate is genuinely priced
+          // (a file-aligned cutoff would be answered exactly by file
+          // skipping with or without a histogram)
+          val plan = sql(
+            "SELECT v, p FROM graft_cat.db.histo WHERE v < 200000")
+            .queryExecution.optimizedPlan
+          plan.stats.rowCount.getOrElse(sys.error("no rowCount estimate"))
+        }
+      } finally System.clearProperty("graft.catalog.histogram")
+    }
+    val withHist = estimate(hist = true)
+    val without = estimate(hist = false)
+    // truth ~90200 (the dense 90k + ~200 tail rows). The bare span
+    // prices v < 200000 uniformly over [0, ~10M] -> ~2% of rows; the
+    // histogram knows 90% of the mass sits below 100.
+    withHist.toLong should be >= 45000L
+    withHist.toLong should be <= 120000L
+    without.toLong should be <= 10000L
+    sql("DROP TABLE graft_cat.db.histo")
+  }
+
 }
