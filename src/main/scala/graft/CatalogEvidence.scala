@@ -335,6 +335,44 @@ object CatalogEvidence {
     // writes the batch's data files plus an ~8 KB key file and rewrites
     // NOTHING; the MERGE twin rewrites every matched file. Answers
     // verified equal; compaction repays the key debt checksum-equal.
+    // ---- z-order clustering A/B (round-18): 16 x-slab files where a
+    // y probe opens everything; after sys.rewrite_sorted('x,y') each
+    // file is a 2-D rectangle and BOTH single-column probes prune ----
+    val zAb = {
+      sql("DROP TABLE IF EXISTS graft_cat.db.ev_zord")
+      sql("CREATE TABLE graft_cat.db.ev_zord (x BIGINT, y BIGINT, v BIGINT)")
+      (0 until 16).foreach { i =>
+        sql("INSERT INTO graft_cat.db.ev_zord " +
+          s"SELECT id, (id * 2654435761L) % 1048576, id " +
+          s"FROM range(${i * 62500L}, ${(i + 1) * 62500L}, 1, 1)")
+      }
+      def opened(q: String): Long = {
+        GraftTableCatalog.filesOpened.set(0)
+        sql(q).collect()
+        GraftTableCatalog.filesOpened.get
+      }
+      val xq = "SELECT sum(v % 7) FROM graft_cat.db.ev_zord " +
+        "WHERE x BETWEEN 100000 AND 162499"
+      val yq = "SELECT sum(v % 7) FROM graft_cat.db.ev_zord " +
+        "WHERE y BETWEEN 0 AND 65535"
+      val xa = one(xq); val ya = one(yq)
+      val xBefore = opened(xq); val yBefore = opened(yq)
+      val zdir = new java.io.File("/root/repo/work/graft_cat/db/ev_zord")
+      val zBytes = GraftTableCatalog.readManifest(zdir,
+        GraftTableCatalog.readLatest(zdir)).files.map(_.bytes).sum
+      val t0 = System.nanoTime
+      sql("CALL graft_cat.sys.rewrite_sorted('db', 'ev_zord', 'x,y', " +
+        s"${zBytes / 16 + 1})")
+      val zMs = (System.nanoTime - t0) / 1000000
+      require(one(xq) == xa && one(yq) == ya, "z-order changed answers")
+      val xAfter = opened(xq); val yAfter = opened(yq)
+      s"""{"rows": 1000000, "files": 16, "rewrite_ms": $zMs,
+         | "x_probe_files_before": $xBefore,
+         | "x_probe_files_after": $xAfter,
+         | "y_probe_files_before": $yBefore,
+         | "y_probe_files_after": $yAfter}""".stripMargin
+    }
+
     val ups = {
       sql("DROP TABLE IF EXISTS graft_cat.db.ev_ups")
       sql("""CREATE TABLE graft_cat.db.ev_ups (k BIGINT, v BIGINT)
@@ -528,6 +566,7 @@ object CatalogEvidence {
          | "columnar_decode_ab": $colAb,
          | "aggregate_pushdown_ab": $aggPd,
          | "upsert_vs_merge_ab": $ups,
+         | "zorder_rewrite_ab": $zAb,
          | "note": "bytes_rewritten is the copy-on-write cost of the boundary file; files_replaced counts manifest entries that changed across the UPDATE — the other 15 are byte-identical entries serving the same data files."}"""
         .stripMargin
     Evidence.writeArtifact(outFile, json)
