@@ -1600,9 +1600,28 @@ object GraftTableCatalog {
     (op, commitMs, inline, refs, epochs, eq)
   }
 
+  /** Load a batch of segment files CONCURRENTLY (driver-side planning
+    * I/O: 64 segments of a large table parse in parallel instead of
+    * serially — at 100 TB the difference between one round-trip of
+    * storage latency and sixty-four). Order-preserving via the name
+    * map; [[segmentsRead]] increments stay exact (atomic). */
+  private[sources] def loadSegments(dir: File, names: Seq[String])
+      : Map[String, Seq[Entry]] =
+    if (names.length <= 1)
+      names.map(n => n -> loadSegment(dir, n)).toMap
+    else {
+      import scala.jdk.CollectionConverters._
+      val arr = new Array[(String, Seq[Entry])](names.length)
+      names.zipWithIndex.toList.asJava.parallelStream().forEach { p =>
+        arr(p._2) = p._1 -> loadSegment(dir, p._1)
+      }
+      arr.toMap
+    }
+
   private[sources] def parseManifest(f: File, version: Long): Manifest = {
     val (op, commitMs, inline, refs, epochs, eq) = parseManifestList(f, version)
-    val segs = refs.map(r => Segment(r, loadSegment(f.getParentFile, r.name)))
+    val byName = loadSegments(f.getParentFile, refs.map(_.name))
+    val segs = refs.map(r => Segment(r, byName(r.name)))
     Manifest(version, op, inline ++ segs.flatMap(_.entries), epochs,
       commitMs, eq, segs)
   }
@@ -1617,15 +1636,20 @@ object GraftTableCatalog {
       val eqDeletes: Seq[EqDelete], inline: Seq[Entry], refs: Seq[SegRef]) {
     private val cache =
       scala.collection.mutable.HashMap.empty[String, Seq[Entry]]
-    private def seg(n: String): Seq[Entry] =
-      cache.getOrElseUpdate(n, loadSegment(dir, n))
-    def files: Seq[Entry] = inline ++ refs.flatMap(r => seg(r.name))
+    /** Load the named segments, fetching the uncached ones in ONE
+      * parallel batch ([[loadSegments]]). */
+    private def segs(names: Seq[String]): Seq[Entry] = {
+      val missing = names.filterNot(cache.contains)
+      if (missing.nonEmpty) cache ++= loadSegments(dir, missing)
+      names.flatMap(cache)
+    }
+    def files: Seq[Entry] = inline ++ segs(refs.map(_.name))
     def pruned(filters: Array[Filter], schema: StructType, mp: ColMapping,
         specs: Seq[Seq[PT]]): Seq[Entry] =
       if (filters.isEmpty) files
-      else inline ++ refs
+      else inline ++ segs(refs
         .filter(r => segMayMatch(r.summary, filters, schema, mp, specs))
-        .flatMap(r => seg(r.name))
+        .map(_.name))
   }
 
   private[sources] def emptyPlan(dir: File): PlanManifest =
