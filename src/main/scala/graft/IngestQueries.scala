@@ -1056,6 +1056,48 @@ object IngestQueries {
              |FROM $t GROUP BY g""".stripMargin)
   }
 
+  /** q301: DISTRIBUTED Z-ORDER REWRITE — q299's clustering maintenance
+    * executed by the CLUSTER instead of the driver (the Iceberg
+    * `rewrite_data_files` action shape): the snapshot reads back
+    * through the catalog (`VERSION AS OF` head — MOR/equality deletes
+    * apply in the scan), the Morton key computes as a codegen'd column
+    * expression (span codes + bit interleave, sign-flipped so signed
+    * range partitioning orders the unsigned key), `repartitionByRange`
+    * + `sortWithinPartitions` land each z-run in one task, and the
+    * VECTORIZED WRITER rebuilds stats, sums, ndv sketches and bloom
+    * sidecars for free; files move by same-filesystem rename and commit
+    * as one CDF-invisible version. Zero rows ever materialize on the
+    * driver — the shape that holds at 100 TB. Oracle: identical to
+    * q299's (clustering moved bytes, never rows). */
+  val q301CatalogZorderDist: Q = (s, d) => {
+    val t = catTable(s, d, "ev301")
+    val stem = s"ev301_${ScaleQueries.sfTag(d)}"
+    s.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT, cents BIGINT)")
+    (0 until 8).foreach { i =>
+      s.sql(s"""INSERT INTO $t
+               |SELECT k, (k * 2654435761L) % 1048576 AS y, cents
+               |FROM (${catEventsSql(d)}) src WHERE k % 8 = $i""".stripMargin)
+    }
+    val dir = new java.io.File(s"work/graft_cat/db/$stem")
+    val m = graft.sources.GraftTableCatalog.readManifest(dir,
+      graft.sources.GraftTableCatalog.readLatest(dir))
+    val bytes = m.files.map(_.bytes).sum
+    s.sql("CALL graft_cat.sys.rewrite_sorted('db', " +
+      s"'$stem', 'x,y', ${bytes / 8 + 1}, 'distributed')")
+    val filesAfter = graft.sources.GraftTableCatalog.readManifest(dir,
+      graft.sources.GraftTableCatalog.readLatest(dir)).files.length
+    val probe = s"""SELECT x % 13 AS g, count(*) AS n,
+                   |  sum(cents) AS cents FROM $t
+                   |WHERE y BETWEEN 131072 AND 262143 GROUP BY 1""".stripMargin
+    graft.sources.GraftTableCatalog.filesOpened.set(0)
+    s.sql(probe).collect()
+    val opened = graft.sources.GraftTableCatalog.filesOpened.get()
+    require(opened < filesAfter,
+      s"distributed z-order probe should prune: opened $opened of " +
+        s"$filesAfter files")
+    s.sql(probe)
+  }
+
   /** q300: `.manifests` METADATA TABLE — the manifest-list view of the
     * head version (Iceberg's manifests table): one row per segment
     * reference with entry/row/byte totals, the partition-range summary
@@ -1345,6 +1387,7 @@ object IngestQueries {
        |GROUP BY 1""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    "q301_catalog_zorder_dist" -> q301CatalogZorderDist,
     "q300_catalog_manifests_meta" -> q300CatalogManifestsMeta,
     "q299_catalog_zorder" -> q299CatalogZorder,
     "q298_catalog_remove_orphans" -> q298CatalogRemoveOrphans,
@@ -1426,6 +1469,16 @@ object IngestQueries {
     // The evolving merge, replayed: even keys seeded the target; source
     // rows (k%4 in 0,1) doubled cents and stamped flag — matched evens
     // updated in place, odds inserted, untouched evens null-pad flag.
+    // Same oracle as q299: the distributed rewrite moved bytes, never
+    // rows.
+    "q301_catalog_zorder_dist" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT k % 13 AS g, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |FROM src
+        |WHERE (k * 2654435761) % 1048576 BETWEEN 131072 AND 262143
+        |GROUP BY 1""".stripMargin,
     // Segment arithmetic from the incremental-commit rule: 4 appends =
     // 4 single-file segments; the aligned DELETE kills one whole
     // segment and REUSES the other three by reference (nothing

@@ -6374,13 +6374,19 @@ private class RewriteSortedProcedure(cat: GraftTableCatalog)
         ProcedureParameter.in("ns", StringType).build(),
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("cols", StringType).build(),
-        ProcedureParameter.in("target_bytes", LongType).build())
+        ProcedureParameter.in("target_bytes", LongType).build(),
+        ProcedureParameter.in("mode", StringType)
+          .defaultValue("'local'").build())
       override def call(input: InternalRow)
           : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-        val dir = cat.resolveTableDir(
-          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val nsStr = input.getUTF8String(0).toString
+        val tableStr = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(nsStr, tableStr)
         val colsArg = input.getUTF8String(2).toString
         val target = input.getLong(3)
+        val mode = input.getUTF8String(4).toString
+        require(mode == "local" || mode == "distributed",
+          s"mode must be 'local' or 'distributed'; got '$mode'")
         require(target >= 1, s"target_bytes must be >= 1; got $target")
         val schema = readSchema(dir)
         val mp = readMapping(dir, schema)
@@ -6403,7 +6409,10 @@ private class RewriteSortedProcedure(cat: GraftTableCatalog)
           case l: Long => l
           case _ => Long.MinValue // nulls cluster first
         }
-        val out = m.files.groupBy(e => (e.specId, e.partition)).toSeq
+        val out: Seq[Entry] = if (mode == "distributed")
+          RewriteSortedProcedure.distributed(cat, nsStr, tableStr, dir,
+            schema, mp, m, latest, colIdx, target)
+        else m.files.groupBy(e => (e.specId, e.partition)).toSeq
           .sortBy { case ((sid, t), _) => (sid, t.mkString(";")) }
           .flatMap { case ((specId, tuple), es) =>
             val rows = es.flatMap(e =>
@@ -6473,6 +6482,107 @@ private object RewriteSortedProcedure {
     .add("files_after", LongType, nullable = false)
     .add("rows", LongType, nullable = false)
     .add("clustered_by", StringType, nullable = false)
+
+  /** DISTRIBUTED clustering rewrite — zero driver-side row
+    * materialization (the Iceberg `rewrite_data_files` action shape):
+    * the CLUSTER does the work through the engine's own surfaces. The
+    * snapshot reads back through the catalog (`VERSION AS OF` the head
+    * — MOR position deletes and equality deletes apply in the scan,
+    * exactly-the-committed-state semantics), the z-key computes as a
+    * CODEGEN'D COLUMN EXPRESSION (the same per-column 32-bit span
+    * codes + Morton interleave as the local path, built from
+    * shiftleft/shiftright/bitwise ops — no UDF; the sign bit XORs so
+    * signed range partitioning orders the unsigned key correctly), a
+    * `repartitionByRange(nFiles)` + `sortWithinPartitions` lands each
+    * z-run in ONE task, and the VECTORIZED WRITER writes the files —
+    * stats, sums, ndv sketches and bloom sidecars all rebuild for free
+    * — into a scratch table whose files then MOVE (same-filesystem
+    * rename) into the target's data directory and commit as the
+    * rewrite version. Scope: unpartitioned, non-evolved tables with
+    * exact manifest stats on every clustered column (everything else
+    * declines loudly to mode 'local'); a lost commit race strands the
+    * moved files for `sys.remove_orphans`, never corrupts. */
+  def distributed(cat: GraftTableCatalog, ns: String, table: String,
+      dir: java.io.File, schema: StructType,
+      mp: GraftTableCatalog.ColMapping, m: GraftTableCatalog.Manifest,
+      latest: Long, colIdx: Array[Int], target: Long)
+      : Seq[GraftTableCatalog.Entry] = {
+    import GraftTableCatalog._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val specs = readSpecs(dir)
+    require(specs.last.isEmpty, "rewrite_sorted mode 'distributed' " +
+      "supports unpartitioned tables; partitioned tables use mode 'local'")
+    require(!mp.evolved, "rewrite_sorted mode 'distributed' supports " +
+      "non-evolved tables (field-id remap); use mode 'local'")
+    if (m.files.isEmpty) return Seq.empty
+    val bounds: Seq[(Long, Long)] = colIdx.toSeq.map { i =>
+      val key = s"#${mp.ids(i)}"
+      val st = m.files.map(_.stats.get(key))
+      require(st.forall(_.isDefined), "mode 'distributed' needs exact " +
+        s"manifest stats on ${schema.fields(i).name}; use mode 'local'")
+      val bs = st.flatten
+      (bs.map(_._1).min, bs.map(_._2).max)
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = spark.sql(
+      s"SELECT * FROM graft_cat.$ns.$table VERSION AS OF $latest")
+    def code(j: Int): Column = {
+      val c = col(schema.fields(colIdx(j)).name)
+      val (lo, hi) = bounds(j)
+      if (hi <= lo) lit(0L)
+      else {
+        val f = (c.cast("double") - lit(lo.toDouble)) /
+          lit(hi.toDouble - lo.toDouble)
+        coalesce(least(greatest((f * lit(4294967295.0)).cast("long"),
+          lit(0L)), lit(4294967295L)), lit(0L))
+      }
+    }
+    val sortKey: Column =
+      if (colIdx.length == 1) col(schema.fields(colIdx(0)).name)
+      else {
+        val codes = colIdx.indices.map(code)
+        var key: Column = lit(0L)
+        var b = 0
+        while (b < 64) {
+          key = shiftleft(key, 1).bitwiseOR(
+            shiftright(codes(b % colIdx.length), 31 - b / colIdx.length)
+              .bitwiseAND(lit(1L)))
+          b += 1
+        }
+        // unsigned z-order under SIGNED range partitioning: flip bit 63
+        key.bitwiseXOR(lit(Long.MinValue))
+      }
+    val totalBytes = m.files.map(_.bytes).sum
+    val nFiles = math.max(1L,
+      math.ceil(totalBytes.toDouble / target).toLong).toInt
+    val tmp = s"rwtmp_${java.util.UUID.randomUUID.toString.take(8)
+      .replace("-", "")}"
+    val bloomProp = readProps(dir).get(BloomColsProp)
+      .map(v => s" TBLPROPERTIES ('$BloomColsProp'='$v')").getOrElse("")
+    spark.sql(s"CREATE TABLE graft_cat.$ns.$tmp (${schema.toDDL})$bloomProp")
+    try {
+      src.withColumn("__gz", sortKey)
+        .repartitionByRange(nFiles, col("__gz"))
+        .sortWithinPartitions("__gz")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .writeTo(s"graft_cat.$ns.$tmp").append()
+      val tdir = cat.resolveTableDir(ns, tmp)
+      val tm = readManifest(tdir, readLatest(tdir))
+      val srcData = new java.io.File(tdir, "data")
+      val dstData = new java.io.File(dir, "data")
+      tm.files.map { e =>
+        require(new java.io.File(srcData, e.name)
+          .renameTo(new java.io.File(dstData, e.name)),
+          s"could not move ${e.name} into ${dstData}")
+        val bl = new java.io.File(srcData, e.name + ".bloom")
+        if (bl.exists()) bl.renameTo(new java.io.File(dstData,
+          e.name + ".bloom"))
+        e.copy(seq = latest + 1, specId = specs.length - 1,
+          partition = Seq.empty)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft_cat.$ns.$tmp")
+  }
 }
 
 private class SetPartitionSpecProcedure(cat: GraftTableCatalog)

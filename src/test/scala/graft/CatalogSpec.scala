@@ -2448,4 +2448,67 @@ class CatalogSpec extends SparkSpec {
     sql("DROP TABLE graft_cat.db.histo")
   }
 
+  test("sys.rewrite_sorted mode 'distributed': the cluster rewrites through the catalog's own writer; probes prune on both columns, content is byte-equivalent, the change feed skips it; partitioned tables decline loudly, append-evolved tables rewrite with null-pads") {
+    val t = freshTable("zdist", "x BIGINT, y BIGINT, v BIGINT")
+    (0 until 8).foreach { i =>
+      sql(s"INSERT INTO $t SELECT id, (id * 2654435761) % 65536, id " +
+        s"FROM range(${i * 8192}, ${(i + 1) * 8192}, 1, 1)")
+    }
+    val dir = new File("work/graft_cat/db/zdist")
+    val preV = GraftTableCatalog.readLatest(dir)
+    val check = s"SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+      s"sum(x * y % 97) AS mix FROM $t"
+    val preRows = rows(check)
+    def opened(q: String): Long = {
+      GraftTableCatalog.filesOpened.set(0)
+      sql(q).collect()
+      GraftTableCatalog.filesOpened.get()
+    }
+    val yProbe =
+      s"SELECT sum(v % 7) FROM $t WHERE y BETWEEN 0 AND 8191"
+    val yAns = rows(yProbe)
+    opened(yProbe) shouldBe 8L // slab layout: y prunes nothing
+    val bytes = GraftTableCatalog.readManifest(dir, preV)
+      .files.map(_.bytes).sum
+    val res = rows("CALL graft_cat.sys.rewrite_sorted('db', 'zdist', " +
+      s"'x,y', ${bytes / 8 + 1}, 'distributed')")
+    res.head.head shouldBe 8L
+    rows(yProbe) shouldBe yAns
+    opened(yProbe) should be <= 4L        // 2-D rectangles prune y now
+    rows(check) shouldBe preRows          // byte-equivalent content
+    rows(s"SELECT count(*) FROM $t VERSION AS OF $preV") shouldBe
+      Seq(Seq(65536L))
+    val postV = GraftTableCatalog.readLatest(dir)
+    rows(s"""SELECT count(*) FROM graft_cat.db.zdist.changes
+            |WHERE _version = $postV""".stripMargin) shouldBe
+      Seq(Seq(0L))                        // CDF-invisible
+    // the scratch table is gone; no stray files outside data/
+    sql("SHOW TABLES IN graft_cat.db").collect()
+      .map(_.getString(1)).exists(_.startsWith("rwtmp_")) shouldBe false
+    // declines: partitioned table, evolved table
+    sql("DROP TABLE IF EXISTS graft_cat.db.zdp")
+    sql("CREATE TABLE graft_cat.db.zdp (g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    sql("INSERT INTO graft_cat.db.zdp VALUES (1, 1), (2, 2)")
+    intercept[Exception](rows("CALL graft_cat.sys.rewrite_sorted(" +
+      "'db', 'zdp', 'v', 1000, 'distributed')"))
+      .getMessage should include("unpartitioned")
+    // append-only ADD COLUMN keeps positional field ids (the mapping
+    // is NOT remapped), so the distributed path legitimately applies:
+    // the snapshot read null-pads the old file and the rewrite lands
+    // the evolved schema
+    sql("DROP TABLE IF EXISTS graft_cat.db.zde")
+    sql("CREATE TABLE graft_cat.db.zde (a BIGINT)")
+    sql("INSERT INTO graft_cat.db.zde VALUES (1)")
+    sql("ALTER TABLE graft_cat.db.zde ADD COLUMN b BIGINT")
+    sql("INSERT INTO graft_cat.db.zde VALUES (2, 20)")
+    rows("CALL graft_cat.sys.rewrite_sorted(" +
+      "'db', 'zde', 'a', 1000000, 'distributed')")
+    rows("SELECT a, b FROM graft_cat.db.zde ORDER BY a") shouldBe Seq(
+      Seq(1L, null), Seq(2L, 20L))
+    sql(s"DROP TABLE $t")
+    sql("DROP TABLE graft_cat.db.zdp")
+    sql("DROP TABLE graft_cat.db.zde")
+  }
+
 }
