@@ -33,9 +33,17 @@ object Bench {
     // scale measures the plans, not first compilation.
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
     val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    // Builder-side iteration aid: comma-separated query names to time a
+    // subset (the driver never sets this — its run stays full-catalog).
+    // Resolved BEFORE the warmup so a subset run warms only what it times.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     if (!new java.io.File(warmSf).isDirectory)
       System.err.println(s"[bench] WARN warmup dir $warmSf missing — timed numbers include first-compilation cost")
-    else SparkEntry.queries.foreach { case (name, fn) =>
+    else SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         // non-fatal (the timed pass decides pass/fail), but never silent
@@ -75,11 +83,6 @@ object Bench {
       ScaleQueries.layoutsByQuery.map { case (q, tables) =>
         q -> (() => ScaleQueries.purgeLayouts(spark, sfDir, tables))
       }
-    // Builder-side iteration aid: comma-separated query names to time a
-    // subset (the driver never sets this — its run stays full-catalog).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -261,7 +261,14 @@ object ClusterQueries {
     * Cauchy–Schwarz structure of the result (s²ᵢⱼ ≤ sᵢᵢ·sⱼⱼ) is
     * spec-asserted in exact arithmetic. */
   val q199GramMatrix: Q = (s, d) => {
-    val cells = Tables.embeddings(s, d)
+    // The D(D+1)/2 outer-product generator is pure CPU fused into the scan
+    // stage; a one-row-group input would serialize it on one core, so the
+    // scan is layout-adaptively rebalanced (vec_id-keyed, a no-op whenever
+    // the input already carries ≥ core-count row groups — the 100 TB case,
+    // where the exchange-of-cells-only shape below is unchanged).
+    val cells = Tables.spreadForCompute(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        col("vec_id"))
       .select(qvec(col("embedding")).as("qv"))
       .select(explode(flatten(transform(col("qv"), (xi, i) =>
         transform(slice(col("qv"), i + lit(1), lit(DIM)), (xj, jr) =>

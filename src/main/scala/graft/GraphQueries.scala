@@ -532,7 +532,10 @@ object GraphQueries {
     val chain = ord.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
-    val (labels, _) = graft.operators.Graph.starContractComponents(chain, 25)
+    // chains have degree ≤ 2: no skew for AQE to fix, so the loop runs
+    // non-adaptive (fixed 3-exchange rounds, no per-stage re-plan barrier)
+    val (labels, _) = graft.operators.Graph.starContractComponents(chain, 25,
+      adaptiveLoop = false)
     ord.select(col("o_orderkey").as("node"))
       .join(labels, Seq("node"), "left_outer")
       .select(col("node"),

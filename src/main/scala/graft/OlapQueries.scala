@@ -90,6 +90,10 @@ object OlapQueries {
   private val FP_MINSUP = 2
 
   private def distinctOrderParts(s: org.apache.spark.sql.SparkSession, d: String) =
+    // Measured (r18 opt): rebalancing this scan before the distinct moves a
+    // raw-row exchange into EVERY consuming subtree (q155 uses it three
+    // times) and lost ~0.2-0.4 s vs the in-scan partial collapse — left
+    // in the original in-scan shape.
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
 
@@ -1799,7 +1803,15 @@ object OlapQueries {
   private def statStacked(s: org.apache.spark.sql.SparkSession, d: String) = {
     val stackArgs = STAT_COLS
       .map(c => s"'$c', cast($c as double)").mkString(", ")
-    Tables.lineitem(s, d)
+    // stack() fuses into the scan stage; a one-row-group input serializes
+    // the 6×|rows| cell generation plus the partial aggregation above it on
+    // one core. Layout-adaptive rebalance of ONLY the six profiled columns
+    // ((partkey, suppkey)-keyed — high-cardinality, even) parallelizes the
+    // generator; a no-op at ≥ core-count row groups (the 100 TB case keeps
+    // the pure in-scan shape).
+    Tables.spreadForCompute(
+        Tables.lineitem(s, d).select(STAT_COLS.map(col): _*),
+        col("l_partkey"), col("l_suppkey"))
       .selectExpr(s"stack(${STAT_COLS.size}, $stackArgs) as (col_name, v)")
   }
 
@@ -2050,18 +2062,22 @@ object OlapQueries {
   /** The q141 state-machine SQL, shared VERBATIM between the Spark query
     * and the DuckDB oracle (only the events table name differs): one
     * definition of the transition function, zero drift risk. */
-  private def dfaSql(eventsTable: String): String =
-    s"""WITH RECURSIVE seq AS (
-       |  SELECT * FROM (
+  private def dfaSeqSql(eventsTable: String): String =
+    s"""SELECT * FROM (
        |    SELECT user_id,
        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |        AS step,
        |      event_type
        |    FROM $eventsTable) x
-       |  WHERE step <= 8),
-       |walk AS (
+       |  WHERE step <= 8""".stripMargin
+
+  /** The walk over a step-indexed chain relation and a seed user relation —
+    * the ONE copy of the transition function both engines run.
+    * `seqRel`/`usersRel` are table names or parenthesized subqueries. */
+  private def dfaWalkSql(seqRel: String, usersRel: String): String =
+    s"""WITH RECURSIVE walk AS (
        |  SELECT user_id, 0 AS step, 'start' AS state
-       |  FROM (SELECT DISTINCT user_id FROM $eventsTable) u
+       |  FROM $usersRel u
        |  UNION ALL
        |  SELECT s.user_id, s.step, CASE
        |      WHEN w.state = 'converted' THEN 'converted'
@@ -2075,7 +2091,7 @@ object OlapQueries {
        |        CASE WHEN w.state = 'start' THEN 'browsing'
        |             ELSE w.state END
        |      ELSE w.state END AS state
-       |  FROM walk w JOIN seq s
+       |  FROM walk w JOIN $seqRel s
        |    ON s.user_id = w.user_id AND s.step = w.step + 1
        |  WHERE w.step < 8)
        |SELECT user_id, step AS steps, state AS final_state
@@ -2083,6 +2099,10 @@ object OlapQueries {
        |        (PARTITION BY user_id ORDER BY step DESC) AS rn
        |      FROM walk) z
        |WHERE rn = 1""".stripMargin
+
+  private def dfaSql(eventsTable: String): String =
+    dfaWalkSql(s"(${dfaSeqSql(eventsTable)})",
+      s"(SELECT DISTINCT user_id FROM $eventsTable)")
 
   /** q141: recursive CTE — the declarative twin of the hand-looped
     * iteration family (q44's label propagation and q89's PageRank drive
@@ -2107,7 +2127,18 @@ object OlapQueries {
     * nothing (measured ~2× on the bench before the prune). */
   val q141RecursiveDfa: Q = (s, d) => {
     Tables.events(s, d).createOrReplaceTempView("graft_q141_events")
-    s.sql(dfaSql("graft_q141_events"))
+    // UnionLoop replays the recursive step's WHOLE subtree every iteration
+    // — including the loop-INVARIANT windowed chain, which would be
+    // re-scanned and re-ranked 8×. Materialize the chain once
+    // (localCheckpoint — truncated lineage, in-memory blocks) and let the
+    // recursion join the |users|-row frontier against it; the seed user
+    // set is the chain's step-1 rows (every user has ≥1 event, so the set
+    // is identical to DISTINCT user_id over events — the oracle's inline
+    // form). Same rows, 8× less chain work.
+    val seq = s.sql(dfaSeqSql("graft_q141_events")).localCheckpoint()
+    seq.createOrReplaceTempView("graft_q141_seq")
+    s.sql(dfaWalkSql("graft_q141_seq",
+      "(SELECT DISTINCT user_id FROM graft_q141_seq)"))
   }
 
   /** The q144 LATERAL SQL, shared verbatim with the oracle (table name is

@@ -38,6 +38,33 @@ object Tables {
   def documentsDistributed(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(org.apache.spark.sql.functions.col("doc_id"))
 
+  /** Layout-adaptive rebalance for COMPUTE-BOUND map-side pipelines.
+    *
+    * Parquet row groups are the scan-split floor: a single-row-group file
+    * scans as ONE task no matter the session's core count, so any CPU-dense
+    * work fused into that scan stage (in-row generators, partial
+    * aggregation, per-row hashing, decimal arithmetic) serializes on one
+    * core. When the scan already carries at least the session's default
+    * parallelism — the cluster case: thousands of row groups — this is a
+    * NO-OP and the plan keeps its in-scan shape with zero extra exchanges.
+    * Only when the scan is NARROWER than the core budget does it pay one
+    * keyed exchange of the (caller-projected) input to put every core to
+    * work: the [[documentsDistributed]] rationale, made conditional on the
+    * actual input layout instead of unconditional. Callers project to the
+    * needed columns FIRST so the rebalance moves minimal bytes, and key it
+    * by a high-cardinality column set so the spread is even.
+    *
+    * The check reads the physical scan's partition count (file splits ×
+    * row-group placement — deterministic for fixed data + conf); it runs
+    * no job. Results are partitioning-independent for every caller (all
+    * are keyed aggregations / generators gated by the DuckDB oracle). */
+  def spreadForCompute(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "spreadForCompute needs explicit distribution keys")
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
+
   /** `events` with `ts` surfaced as a microsecond TimestampType column,
     * whatever physical type the parquet carries. The driver's generator has
     * shipped two layouts across rounds:

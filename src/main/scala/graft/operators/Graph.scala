@@ -50,7 +50,8 @@ object Graph {
   /** (labels, rounds): labels maps every node reachable from `edges`
     * (both endpoints) to its component's minimum node id; `rounds` is the
     * number of (large-star + small-star) rounds until fixpoint. */
-  def starContractComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+  def starContractComponents(edges: DataFrame, maxRounds: Int,
+                             adaptiveLoop: Boolean = true): (DataFrame, Int) = {
     val canonical = edges
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
@@ -81,8 +82,24 @@ object Graph {
     var converged = false
     // per-session serialized set/restore (graft.SessionConf): a concurrent
     // scope on the same session can never capture this scope's temporary
-    // value as "previous" and restore it permanently
+    // value as "previous" and restore it permanently.
+    // `adaptiveLoop = false` turns AQE OFF inside the loop: every round's
+    // job is a fixed 3-exchange fragment whose width this loop already
+    // sizes explicitly to the data (loopNp) — exactly the decision AQE
+    // would re-derive, paying one stage-materialize + re-plan barrier PER
+    // EXCHANGE per round to do it. Non-adaptive scheduling pipelines the
+    // round's stages back-to-back: measured −30% on q191 (6.4→4.5 s
+    // min-of-5 at sf0.1), whose chain graph has degree ≤ 2 and nothing for
+    // AQE's skew splitter to do. Callers whose edge lists carry hub-node
+    // skew (q253's DBSCAN grid graph: measured +1.1 s under the same
+    // change) keep the default adaptive loop — AQE's runtime skew-join
+    // handling is worth the per-stage barriers there. Round results are
+    // integer set ops — identical under any partitioning/conf — and the
+    // terminal label join still plans under the session's normal setting
+    // outside this scope.
     graft.SessionConf.withValue(s, "spark.sql.shuffle.partitions", loopNp) {
+     graft.SessionConf.withValue(s, "spark.sql.adaptive.enabled",
+         adaptiveLoop.toString) {
       while (!converged) {
         if (rounds >= maxRounds)
           throw new IllegalStateException(
@@ -113,6 +130,7 @@ object Graph {
         cur = next
         curSig = nextSig
       }
+     }
     }
     // Fixpoint edges are (node → component min); roots label themselves.
     val labels = nodes

@@ -1298,9 +1298,16 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
-  test("q199 Gram: one scan, one exchange of 2080 cells — the outer product is an in-scan generator, never a self-join") {
+  test("q199 Gram: one cell exchange of 2080 cells — the outer product is an in-scan generator, never a self-join") {
     val p = plan(ClusterQueries.q199GramMatrix(spark, sf))
-    """\(\d+\) Exchange""".r.findAllMatchIn(p).length shouldBe 1
+    // one aggregation exchange of 2080 cells, plus (at most) the
+    // layout-adaptive compute rebalance of the raw vectors — an explicit
+    // REPARTITION_BY_NUM that fires only when the input's row groups
+    // under-parallelize the session (always, at this test's one-file
+    // input; never at cluster-scale inputs)
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).length
+    exchanges should be <= 2
+    if (exchanges == 2) p should include("REPARTITION_BY_NUM")
     p should include("partial_sum") // cells collapse map-side
     p should include("Generate")    // the in-row pair generator
     p should not include "Join"     // no self-join formulation
@@ -1743,5 +1750,20 @@ class PlanSpec extends SparkSpec {
     // the fact side's only exchange is the aggregation's, never a join
     // shuffle: one hashpartitioning exchange in the whole plan
     "Arguments: hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("spreadForCompute: rebalances an under-parallel scan to core width, NO-OP at ≥ core-count input partitions") {
+    import org.apache.spark.sql.functions.col
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    assume(narrow.rdd.getNumPartitions < target) // one-row-group test input
+    val spread = Tables.spreadForCompute(narrow, col("l_orderkey"))
+    spread.rdd.getNumPartitions shouldBe target
+    plan(spread) should include("REPARTITION_BY_NUM")
+    // already-parallel input (the cluster-scale case): returned UNCHANGED —
+    // zero extra exchanges, the in-scan shape survives
+    val wide = narrow.repartition(target + 1, col("l_orderkey"))
+    Tables.spreadForCompute(wide, col("l_orderkey")) should be theSameInstanceAs wide
   }
 }
