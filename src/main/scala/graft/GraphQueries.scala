@@ -332,10 +332,13 @@ object GraphQueries {
     def loop = {
       val np = s.sessionState.conf.numShufflePartitions
       val edges0 = bipartiteEdges(s, d)
-      // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
-      // so no round ever re-exchanges the edge list (pagerankKeyedSetup)
+      // keyed: persist, not localCheckpoint — the cached plan KEEPS
+      // hash(src,np) (pagerankKeyedSetup). broadcast: lazy-checkpoint the
+      // edge build so the checkpoint-cut rounds share one materialization
+      // of it (see ssspDistances — exchange reuse cannot cross the cut).
       val edges = if (keyed)
-        edges0.repartition(np, col("src")).persist() else edges0
+        edges0.repartition(np, col("src")).persist()
+      else edges0.localCheckpoint(false)
       val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node")).distinct()
         .withColumn("dist", lit(0L))
@@ -344,7 +347,13 @@ object GraphQueries {
       for (i <- 1 to BFS_HOPS) {
         val next0 = bfsRound(edges, frontier, visited, i,
           nodeShape(s, keyed, np))
-        val next = if (keyed) next0.localCheckpoint(true) else next0
+        // broadcast mode cuts lineage too, LAZILY: `visited` feeds each
+        // round twice (anti-join + union accumulation), so an uncut chain
+        // doubles the Catalyst plan per hop — 2^HOPS copies of the seed
+        // subtree to analyze/codegen. Lazy localCheckpoint keeps the plan
+        // linear at zero extra jobs (node-sized blocks materialize inside
+        // the query's own action).
+        val next = next0.localCheckpoint(keyed)
         visited = visited.unionByName(next)
         frontier = next.select(col("node"))
       }
@@ -381,6 +390,35 @@ object GraphQueries {
       .join(shape(visited.select(col("node").as("vnode")), "vnode"),
         col("node") === col("vnode"), "left_anti")
       .select(col("node")).withColumn("dist", lit(i.toLong))
+
+  /** One unexecuted BROADCAST-mode BFS round, for the PlanSpec pin — the
+    * per-round shape the loop repeats (the loop's lineage cuts mean the
+    * final plan no longer carries every round, so the pin reads the
+    * fragment, exactly like the keyed-mode pins). */
+  private[graft] def bfsBroadcastRoundFragment(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges = bipartiteEdges(s, d)
+    val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    bfsRound(edges, seeds.select(col("node")), seeds, 1,
+      nodeShape(s, keyed = false, np))
+  }
+
+  /** One unexecuted BROADCAST-mode SSSP relaxation round, for the PlanSpec
+    * pin (see [[bfsBroadcastRoundFragment]]). */
+  private[graft] def ssspBroadcastRoundFragment(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val np = s.sessionState.conf.numShufflePartitions
+    val edges = bipartiteEdges(s, d).withColumn("w", lit(1L))
+    val dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    ssspRound(edges, dist, nodeShape(s, keyed = false, np))
+  }
 
   /** Keyed setup + one unexecuted BFS round, for the PlanSpec pin. */
   private[graft] def bfsKeyedRoundFragment(s: org.apache.spark.sql.SparkSession,
@@ -457,16 +495,30 @@ object GraphQueries {
         .groupBy(col("src"), col("dst")).agg(min(col("w0")).as("w"))
       val edges0 = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      // persist, not localCheckpoint: the cached plan KEEPS hash(src,np),
-      // so no round ever re-exchanges the edge list (pagerankKeyedSetup)
+      // keyed: persist, not localCheckpoint — the cached plan KEEPS
+      // hash(src,np), so no round ever re-exchanges the edge list
+      // (pagerankKeyedSetup). broadcast: lazy-checkpoint the weighted edge
+      // build so all rounds share ONE materialization of it — with the
+      // rounds' lineage now cut (below), each round otherwise re-plans and
+      // re-executes the whole orders⋈lineitem build, because runtime
+      // exchange reuse only deduplicates within a single planned query.
+      // Block-level reuse is the same shape keyed mode already pays.
       val edges = if (keyed)
-        edges0.repartition(np, col("src")).persist() else edges0
+        edges0.repartition(np, col("src")).persist()
+      else edges0.localCheckpoint(false)
       var dist = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node")).distinct()
         .withColumn("dist", lit(0L))
       for (_ <- 1 to SSSP_HOPS) {
         val relaxed = ssspRound(edges, dist, nodeShape(s, keyed, np))
-        dist = if (keyed) relaxed.localCheckpoint(true) else relaxed
+        // keyed: eager checkpoint (the q44 lineage discipline). broadcast:
+        // LAZY checkpoint — ssspRound nests `dist` TWICE (relax + union),
+        // so an uncut lineage doubles the plan per round: 2^HOPS copies of
+        // the seed subtree for Catalyst/codegen even though runtime
+        // exchange reuse deduplicates the work. The lazy cut keeps plans
+        // linear in rounds at zero extra jobs (blocks materialize inside
+        // the query's own single action) and the table is node-sized.
+        dist = relaxed.localCheckpoint(keyed)
       }
       // the final distance table is checkpointed — release the edge cache
       if (keyed) edges.unpersist()

@@ -384,8 +384,12 @@ object Queries {
         col("o_orderdate") < lit("2000-01-01 00:00:00").cast(TimestampType))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_orderpriority"))
-    val lateKeys = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_shipdate"))
+    // the per-row timestamp parses + broadcast probe are map-side CPU over
+    // the whole fact — layout-adaptive rebalance (no-op at many-row-group
+    // inputs) keeps them off a single scan task
+    val lateKeys = Tables.spreadForCompute(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey"))
       .join(broadcast(o.select(col("o_orderkey"), col("o_orderdate"))),
         col("l_orderkey") === col("o_orderkey"))
       .filter(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +

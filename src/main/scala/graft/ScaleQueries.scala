@@ -674,15 +674,30 @@ object ScaleQueries {
     * recompute. */
   val q153IvmJoin: Q = (s, d) => {
     import graft.operators.TextOps
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-      pmod(TextOps.hash60(concat(lit("ivmo:"),
-        col("o_orderkey").cast(StringType))), lit(10L)).as("o_arm"))
-    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(24, 6)).as("rev"),
-      pmod(TextOps.hash60(concat(lit("ivml:"),
-        col("l_orderkey").cast(StringType), lit(":"),
-        col("l_linenumber").cast(StringType))), lit(10L)).as("l_arm"))
+    // The md5-based arm split is the per-row cost center (state build +
+    // every delta term filters on it). Layout-adaptive rebalance puts the
+    // hash work on every core; the q84 nondeterministic fence keeps the
+    // arm FILTERS from being pushed back through the exchange into the
+    // one-task scan (the arm value itself is a pure function of the key —
+    // the oracle replays it — the fence only blocks optimizer movement).
+    def fenced(c: org.apache.spark.sql.Column) =
+      when(spark_partition_id() >= 0, c)
+    val o = Tables.spreadForCompute(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        fenced(pmod(TextOps.hash60(concat(lit("ivmo:"),
+          col("o_orderkey").cast(StringType))), lit(10L))).as("o_arm"))
+    val l = Tables.spreadForCompute(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(24, 6)).as("rev"),
+        fenced(pmod(TextOps.hash60(concat(lit("ivml:"),
+          col("l_orderkey").cast(StringType), lit(":"),
+          col("l_linenumber").cast(StringType))), lit(10L))).as("l_arm"))
     def view(j: org.apache.spark.sql.DataFrame) =
       j.groupBy(col("o_orderpriority"), col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))

@@ -307,9 +307,14 @@ object SimilarityQueries {
     val test = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("true_label"))
-    val train = Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
-      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
-        col("label").as("t_label"))
+    val train = Tables.spreadForCompute(
+      Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+          col("label").as("t_label")),
+      col("t_id"))
+    // the |train|×|test| cosine scoring streams the train side — rebalance
+    // it (layout-adaptive, no-op at many-row-group inputs) so the scoring
+    // runs at core width instead of one task per input row group
     val scored = train.join(broadcast(test), lit(true))
       .select(col("q_id"), col("true_label"), col("t_id"), col("t_label"),
         cos(col("q_emb"), col("t_emb")).as("sim"))
