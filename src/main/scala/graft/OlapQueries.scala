@@ -420,11 +420,17 @@ object OlapQueries {
       case "documents" => Tables.documents(s, d)
     }
     IND_CANDS.map { case (ct, cc, pt, pc) =>
+      // native-typed columns end to end: every candidate pair is same-typed
+      // (long/long or string/string), so the stringification the original
+      // carried bought nothing and cost a per-row cast + string exchange on
+      // BOTH sides of every anti-join (~1.8 M casts per lineitem
+      // candidate). Join on the native values: injective, so distinct
+      // counts, missing counts and verdicts are bit-identical.
       val child = table(ct).filter(col(cc).isNotNull)
-        .select(col(cc).cast(StringType).as("v")).distinct()
+        .select(col(cc).as("v")).distinct()
       val miss = child.join(
           table(pt).filter(col(pc).isNotNull)
-            .select(col(pc).cast(StringType).as("pv")),
+            .select(col(pc).as("pv")),
           col("v") === col("pv"), "left_anti")
         .agg(count(lit(1)).as("missing"))
       child.agg(count(lit(1)).as("ndv_child"))
@@ -1733,7 +1739,13 @@ object OlapQueries {
     * the property that makes nested export safe at 100 TB where an
     * unbounded collect_list would OOM. */
   val q146NestedExport: Q = (s, d) => {
-    Tables.lineitem(s, d)
+    // the broadcast probe + per-order collect_list partials are map-side
+    // work over the whole fact — rebalance (layout-adaptive no-op at
+    // cluster inputs) keeps them off a single scan task
+    Tables.spreadForCompute(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        col("l_orderkey"))
       .select(col("l_orderkey"),
         col("l_linenumber").cast(LongType).as("ln"),
         col("l_partkey").cast(LongType).as("pk"))
@@ -2543,7 +2555,12 @@ object OlapQueries {
     * At 100 TB the sketch is still 192 BIGINTs. */
   val q210CountSketch: Q = (s, d) => {
     import graft.operators.TextOps
-    val items = Tables.lineitem(s, d).select(col("l_partkey"))
+    // 3 md5s per row fused into the scan — layout-adaptive rebalance of the
+    // single projected column puts the hashing (and the exact-count partial
+    // aggregations sharing this input) on every core; no-op at cluster
+    // inputs (the sketch exchange stays 192 cells either way)
+    val items = Tables.spreadForCompute(
+      Tables.lineitem(s, d).select(col("l_partkey")), col("l_partkey"))
     // ONE md5 per (row, depth): pos is the low bits, the sign bit sits
     // above them — disjoint, so position and sign stay independent
     val cells = items

@@ -817,7 +817,13 @@ object TextQueries {
       (acc, w) => map_concat(
         map_filter(acc, (k, _) => k =!= w),
         map(w, coalesce(element_at(acc, w), lit(0L)) + 1L)))
-    Tables.documents(s, d).filter(col("text").isNotNull)
+    // the per-token map rebuild is interpreted-lambda CPU fused into the
+    // scan — rebalance (layout-adaptive, no-op at many-row-group inputs)
+    // so the fold runs at core width
+    Tables.spreadForCompute(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         map_filter(transform_values(counts, (_, v) => v * 2L),
           (_, v) => v > 2L).as("m"))

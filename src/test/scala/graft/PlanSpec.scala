@@ -288,10 +288,16 @@ class PlanSpec extends SparkSpec {
     """vec_id#\d+L? < 8""".r.findFirstIn(p) shouldBe None
   }
 
-  test("q131 map surface: in-row map fold, one scan, zero exchanges") {
+  test("q131 map surface: in-row map fold, one scan, no aggregation exchange") {
     val p = plan(TextQueries.q131MapSurface(spark, sf))
     """\(\d+\) Scan parquet""".r.findAllMatchIn(p).length shouldBe 1
-    """\(\d+\) Exchange""".r.findAllMatchIn(p) shouldBe empty
+    // the only allowed exchange is the layout-adaptive compute rebalance
+    // (REPARTITION_BY_NUM; fires at this one-file input, never at
+    // cluster-scale inputs) — the fold itself stays in-row: no
+    // aggregation/join exchange
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).length
+    exchanges should be <= 1
+    if (exchanges == 1) p should include("REPARTITION_BY_NUM")
     p should include("Generate") // the explode back to rows
   }
 
