@@ -357,6 +357,9 @@ object DedupQueries {
     * (doc_id, cluster, score) triple, never text. */
   val q108KeepBest: Q = (s, d) => {
     val clusters = q44DedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    // Measured (r18 opt): rebalancing this scan before the quality scoring
+    // lost ~0.2 s — the score is cheap native arithmetic, not worth an
+    // extra raw-text exchange. Kept in-scan.
     val scored = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextQueries.qualityScore(col("text")).as("quality_score"))

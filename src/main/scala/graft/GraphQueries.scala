@@ -137,6 +137,9 @@ object GraphQueries {
     * this is the materialized edge table every graph pass reads. */
   private def bipartiteEdges(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame = {
+    // Measured (r18 opt): rebalancing the fact before this probe LOST
+    // ~0.3 s on q89/q178 — the probe is a cheap BHJ + distinct partial,
+    // not worth an extra raw-row exchange. Kept in-scan.
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -621,6 +624,10 @@ object GraphQueries {
         "src")
       .join(broadcast(nat.select(col("node").as("dst"), col("nat").as("nb"))),
         "dst")
+      // two consumers (the m2 count below and the per-nation aggregation):
+      // checkpoint so the edge build + label attach runs ONCE instead of
+      // once per pass — the same materialize-once shape the keyed loops pay
+      .localCheckpoint(true)
     // symmetrized list: Σ rows = 2m; intra pairs counted twice too — the
     // 2s cancel exactly in the scaled formula below
     val m2 = lbl.count() // = 2m
