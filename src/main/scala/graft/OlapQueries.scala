@@ -155,8 +155,16 @@ object OlapQueries {
     * wedge and closing joins are keyed exchanges on vertex / arc keys;
     * degree attach is two keyed joins against a |V|-row aggregate. No
     * cartesian, no driver-side graph. */
-  val q157TriangleCount: Q = (s, d) => {
-    val e = partPairSupports(s, d).select(col("part_a"), col("part_b"))
+  val q157TriangleCount: Q = (s, d) =>
+    trianglesFromEdges(partPairSupports(s, d)
+      .select(col("part_a"), col("part_b")))
+
+  /** Degree-ordered triangle enumeration over an undirected (part_a,
+    * part_b) edge list — q157's motif machinery, factored so q220 can run
+    * it over an edge list it has already materialized (instead of
+    * rebuilding the co-occurrence mining a second time). */
+  private[graft] def trianglesFromEdges(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = e.select(explode(array(col("part_a"), col("part_b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val arcs = e
@@ -2790,10 +2798,15 @@ object OlapQueries {
     * orientation), plus one corner fan-out (×3 on TRIANGLE rows) and a
     * node-keyed count — both tiny next to the wedge join. */
   val q220ClusteringCoef: Q = (s, d) => {
+    // ONE co-occurrence mining pass: the edge list is checkpointed and
+    // feeds both the degree count and the triangle enumeration (the
+    // original called q157 wholesale, rebuilding the q155 mining a second
+    // time inside the same plan)
     val e = partPairSupports(s, d).select(col("part_a"), col("part_b"))
+      .localCheckpoint(true)
     val deg = e.select(explode(array(col("part_a"), col("part_b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val triCorners = q157TriangleCount(s, d)
+    val triCorners = trianglesFromEdges(e)
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("tri"))
     deg.join(triCorners, Seq("v"), "left")

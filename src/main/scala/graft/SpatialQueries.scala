@@ -246,6 +246,9 @@ object SpatialQueries {
       .join(core.select(col("id").as("a")), "a")
       .join(core.select(col("id").as("b")), "b")
       .select(col("a").as("src"), col("b").as("dst"))
+    // adaptiveLoop stays ON here: the grid graph's hub cells skew the
+    // contraction joins, and AQE's runtime handling wins — measured twice
+    // (r18 opt, isolated min-of-5: 3.95 s non-adaptive vs 3.22 s adaptive)
     val (labels, _) =
       graft.operators.Graph.starContractComponents(coreEdges, 25)
     val coreLabeled = core

@@ -57,9 +57,12 @@ object Graph {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
+    // lazy: `nodes` has exactly one consumer (the terminal label join), so
+    // an eager materialization here was one whole extra job per call — the
+    // final join's own action materializes it instead
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // lazy + signature-materialized, like the loop rounds below
     var cur = canonical.localCheckpoint(false)
