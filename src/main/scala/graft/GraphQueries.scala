@@ -302,6 +302,10 @@ object GraphQueries {
     * hierarchy-depth walks like this one, where each iteration's frontier
     * is a shrinking fraction of a node-sized table. */
   val q250RecursiveCte: Q = (s, d) => s.sql(
+    // Measured (r18 opt): materializing the edge relation once (the q141
+    // treatment) did NOT move q250 — this loop's invariant subtree is a
+    // trivial 15k-row scan and the cost is UnionLoop's per-iteration
+    // re-plan itself. Kept in the plain shared-SQL form.
     s"""WITH RECURSIVE anc(node, anc_node, depth) AS (
        |  SELECT c_custkey, c_custkey div 2, 1
        |    FROM parquet.`$d/customer.parquet` WHERE c_custkey > 1

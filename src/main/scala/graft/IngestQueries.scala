@@ -1379,12 +1379,23 @@ object IngestQueries {
              |FROM $t GROUP BY 1""".stripMargin)
   }
 
-  val q263CatalogFunction: Q = (s, d) => s.sql(
-    s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
-       |    AS bucket,
-       |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
-       |FROM parquet.`$d/events.parquet`
-       |GROUP BY 1""".stripMargin)
+  val q263CatalogFunction: Q = (s, d) => {
+    // the V2 function (md5 per event) would otherwise run inside the
+    // one-task parquet scan — stage the projected column through the
+    // layout-adaptive rebalance (no-op at many-row-group inputs); the SQL
+    // surface still resolves graft_fns.fns.hash60 through the catalog
+    graft.Tables.spreadForCompute(
+        s.read.parquet(s"$d/events.parquet")
+          .select(org.apache.spark.sql.functions.col("event_id")),
+        org.apache.spark.sql.functions.col("event_id"))
+      .createOrReplaceTempView("graft_q263_events")
+    s.sql(
+      s"""SELECT graft_fns.fns.hash60('cf:' || CAST(event_id AS STRING)) % 97
+         |    AS bucket,
+         |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM graft_q263_events
+         |GROUP BY 1""".stripMargin)
+  }
 
   val queries: Map[String, Q] = Map(
     "q301_catalog_zorder_dist" -> q301CatalogZorderDist,

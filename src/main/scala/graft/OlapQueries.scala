@@ -2627,7 +2627,12 @@ object OlapQueries {
     * is state-only. */
   val q211SlidingHll: Q = (s, d) => {
     import graft.operators.TextOps
-    val du = Tables.events(s, d).select(
+    // one md5 per event fused into the scan — rebalance (layout-adaptive
+    // no-op at many-row-group inputs) so the register hashing runs at
+    // core width
+    val du = Tables.spreadForCompute(
+        Tables.events(s, d).select(col("ts"), col("user_id")),
+        col("user_id")).select(
       expr("unix_micros(ts) div 86400000000").as("day"),
       TextOps.hash60(concat(lit("hll:"),
         col("user_id").cast(StringType))).as("h"),

@@ -40,7 +40,14 @@ object Queries {
     * input splits; the single-row-group testdata parquet serializes it
     * onto one task, which a real multi-row-group layout would not. */
   val q01PricingSummary: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
+    // three wide-decimal sums per row fused into the scan — rebalance
+    // (layout-adaptive no-op at many-row-group inputs) so the decimal
+    // arithmetic runs at core width
+    val li = Tables.spreadForCompute(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber")),
+      col("l_orderkey"), col("l_linenumber"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(DecimalType(14, 2))).cast(DoubleType).as("sum_qty"),

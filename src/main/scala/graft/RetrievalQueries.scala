@@ -485,7 +485,13 @@ object RetrievalQueries {
   private val DSIR_SALT = "dsir:"
 
   val q117DsirSelection: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    // one md5 per TOKEN (~100× |docs|) fused into the scan — rebalance
+    // (layout-adaptive, no-op at many-row-group inputs) so the token
+    // hashing runs at core width
+    val docs = Tables.spreadForCompute(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
     val bucketed = docs
       .select(col("doc_id"), col("lang"),
         explode(TextOps.words(col("text"))).as("t"))

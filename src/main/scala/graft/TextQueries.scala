@@ -530,7 +530,12 @@ object TextQueries {
       .groupBy(col("word")).agg(count(lit(1)).as("true_cnt"))
 
   val q152CountminFreq: Q = (s, d) => {
-    val wc = cmItemCounts(Tables.documents(s, d))
+    // the multiset shingle explode (3-word concat per occurrence) is
+    // in-scan string CPU — rebalance (layout-adaptive no-op at
+    // many-row-group inputs) so it runs at core width
+    val wc = cmItemCounts(Tables.spreadForCompute(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      col("doc_id")))
     val counters = cmCounters(wc)
     wc.orderBy(col("true_cnt").desc, col("word")).limit(CM_TOPK)
       .select(col("word"), col("true_cnt"),
