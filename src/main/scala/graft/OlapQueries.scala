@@ -1836,6 +1836,7 @@ object OlapQueries {
   }
 
   val q91ColumnStats: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val stacked = statStacked(s, d)
     val counts = stacked.groupBy(col("col_name")).agg(
       count(lit(1)).as("n_rows"),
@@ -1843,10 +1844,34 @@ object OlapQueries {
       count(col("v")).as("nv"))
     val vc = stacked.filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
-    val cum = vc.withColumn("cum", sum(col("c")).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("col_name")).orderBy(col("v"))
-        .rowsBetween(Long.MinValue, 0)))
+    // TWO-LEVEL cumulative sum: a single window partitioned by col_name
+    // serializes each column's whole frequency table into ONE task (the
+    // widest column is most of the table). Instead, bucket each column's
+    // value range (floor((v−min)·B/(max−min)) — monotone in v, so
+    // bucket-majorated order equals value order), cumulate bucket totals
+    // over the 6×B-row bucket table, and run the fine window per
+    // (col_name, bucket) — CUM_B-way parallel per column, exact same cum
+    // values. The bucket-offset table is K·B rows and broadcasts.
+    val CUM_B = 64
+    val rng = vc.groupBy(col("col_name"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bucketed = vc.join(broadcast(rng), "col_name")
+      .withColumn("bkt",
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(least(lit(CUM_B - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin"))
+              * CUM_B).cast(IntegerType))))
+      .drop("vmin", "vmax")
+    val bktOff = bucketed.groupBy(col("col_name"), col("bkt"))
+      .agg(sum(col("c")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(
+        Window.partitionBy(col("col_name")).orderBy(col("bkt"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("col_name"), col("bkt"), col("off"))
+    val cum = bucketed.join(broadcast(bktOff), Seq("col_name", "bkt"))
+      .withColumn("cum", col("off") + sum(col("c")).over(
+        Window.partitionBy(col("col_name"), col("bkt")).orderBy(col("v"))
+          .rowsBetween(Long.MinValue, 0)))
     cum.join(broadcast(counts), "col_name")
       .groupBy(col("col_name")).agg(
         first(col("n_rows")).as("n_rows"),

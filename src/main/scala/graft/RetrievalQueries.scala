@@ -377,6 +377,8 @@ object RetrievalQueries {
     * broadcast back onto the in-scan bigram stream (bounded vocab — the
     * q83 note); the per-doc regroup carries (doc_id, bits) longs. */
   val q106BigramSurprisal: Q = (s, d) => {
+    // Measured (r18 opt): rebalancing this scan was flat — the cost is the
+    // downstream bigram aggregation, not the in-scan split. Kept in-scan.
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
     val w = TextOps.words(col("text"))
     val bigrams = docs.select(col("doc_id"), explode(zip_with(
@@ -575,6 +577,8 @@ object RetrievalQueries {
 
   val q139PhraseSearch: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // Measured (r18 opt): rebalancing this scan was flat — the cost is the
+    // per-doc window + phrase aggregation, not the in-scan split.
     val toks = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
       .withColumnRenamed("col", "t")
