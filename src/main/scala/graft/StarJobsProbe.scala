@@ -45,7 +45,8 @@ object StarJobsProbe {
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val (labels, rounds) =
-      graft.operators.Graph.starContractComponents(chain, 25)
+      graft.operators.Graph.starContractComponents(chain, 25,
+        adaptiveLoop = false) // match q191's production call (r18 opt)
     labels.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(2000) // let the listener bus drain (async delivery)

@@ -10,18 +10,22 @@ class MetricsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val DOCS = 500L // documents rows at sf0.001
 
-  test("q01 aggregate ships group partials, never rows") {
-    // 4 (returnflag, linestatus) groups × ≤ a few map partitions — a plan
-    // that lost map-side combine would shuffle all 6000 lineitem rows
+  test("q01 aggregate: raw rows cross at most the layout rebalance; the aggregation ships group partials") {
+    // The layout-adaptive compute rebalance (fires at this one-file input;
+    // a plan-pinned NO-OP at ≥ core-count input partitions — the cluster
+    // case) moves the 6000 projected lineitem rows ONCE; the aggregation
+    // exchange still carries only 4-group partials. A plan that lost
+    // map-side combine would put the rows through a SECOND keyed exchange.
     val n = Metrics.shuffledRecords(Queries.q01PricingSummary(spark, sf))
-    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 600L) }
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 6000L + 600L) }
   }
 
-  test("q231 sketch profile ships sketch partials, never cells") {
-    // ≤ 6 col_name groups × map partitions — each record one (HLL register
-    // set + digest) partial; the 36k unpivoted cells must never travel
+  test("q231 sketch profile: raw rows cross at most the layout rebalance; the aggregation ships sketch partials") {
+    // one conditional rebalance pass of the 6000 projected rows (no-op at
+    // cluster inputs, see PlanSpec) — the 36k unpivoted cells must still
+    // never travel: the sketch exchange carries ≤ 6 groups × partials
     val n = Metrics.shuffledRecords(OlapQueries.q231ColumnSketch(spark, sf))
-    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 600L) }
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 6000L + 600L) }
   }
 
   test("q21 MinHash-LSH total shuffle volume is O(docs·bands), never O(docs²)") {
@@ -114,14 +118,16 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
-  test("q153 IVM steady state: base rows never travel — only delta partials and group cells") {
+  test("q153 IVM steady state: base rows cross at most the layout rebalance — joins stay broadcast, aggregates ship partials") {
     // every delta term broadcasts its (tiny) delta side, so the base
-    // orders/lineitem rows reach no exchange; what shuffles is the
-    // delta-view's partial-aggregated cells plus the final 20-cell group.
-    // A full re-join would put the 6000 lineitem + 1500 orders rows
-    // through a keyed exchange every refresh.
+    // orders/lineitem rows reach no JOIN exchange; the only raw-row
+    // movement is the layout-adaptive rebalance before the md5 arm split
+    // (one pass of the 6000 + 1500 projected base rows here; a plan-pinned
+    // no-op at ≥ core-count inputs). A full re-join would ALSO put the
+    // rows through keyed join exchanges every refresh — that is what the
+    // bound excludes (one pass + partial cells, never two).
     val n = Metrics.shuffledRecords(ScaleQueries.q153IvmJoin(spark, sf))
-    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 2000L) }
+    withClue(s"shuffled $n: ") { n should (be > 0L and be <= 7500L + 2000L) }
   }
 
   test("q73/q78 incremental dedup: corpus state is read, never re-shuffled") {
