@@ -191,7 +191,11 @@ object GraphQueries {
       // |nodes| ≪ |edges|: degree and rank tables are hinted broadcast —
       // statically, not left to AQE, because the aggregation output's size
       // is unknown to the static planner and the edge list must NEVER pay
-      // a sort-merge exchange per iteration.
+      // a sort-merge exchange per iteration. Measured (r18 opt): unlike
+      // sssp/bfs, this loop nests `ranks` LINEARLY (once per round), so
+      // the single uncut plan already runs the edge build once via
+      // runtime exchange reuse — the sssp-style lazy-checkpoint treatment
+      // re-measured SLOWER here (2.0 → 3.0 s) and was reverted.
       val edgeDeg = edges.join(broadcast(deg), "src")
       var ranks = deg.select(col("src").as("node"), lit(PR_SCALE).as("r"))
       for (_ <- 1 to PR_ITERS) ranks = pagerankRound(edgeDeg, ranks, broadcast)

@@ -99,8 +99,13 @@ object OlapQueries {
 
   /** The qualifying co-occurrence edges (part_a < part_b, support ≥
     * [[FP_MINSUP]]) — q155's mining output and q157's input graph. */
-  private[graft] def partPairSupports(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = distinctOrderParts(s, d)
+  private[graft] def partPairSupports(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    partPairSupportsFrom(distinctOrderParts(s, d))
+
+  /** [[partPairSupports]] over a caller-supplied distinct (order, part)
+    * table — so q155 can materialize that table ONCE and share it with its
+    * support/total subtrees instead of rebuilding the distinct per use. */
+  private def partPairSupportsFrom(t: org.apache.spark.sql.DataFrame) = {
     val freq = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= FP_MINSUP)
     t.join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
@@ -115,9 +120,12 @@ object OlapQueries {
   }
 
   val q155FrequentPairs: Q = (s, d) => {
+    // Measured (r18 opt): checkpointing `t` for its multiple consumers was
+    // a wash — runtime exchange reuse already deduplicates the identical
+    // distinct subtrees within this single plan. Kept uncut.
     val t = distinctOrderParts(s, d)
     val isup = t.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
-    val pairs = partPairSupports(s, d)
+    val pairs = partPairSupportsFrom(t)
     val n = t.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     pairs
